@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory: local[N] for tests/bench, but every setting mirrors what
+  * the engine needs on a real cluster (AQE for skew joins + partition
+  * coalescing, UTC, bounded shuffle partitions).
+  */
+object GraftSession {
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  def builder(appName: String = "graft"): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // events.parquet carries TIMESTAMP(NANOS); read as long, normalized
+      // to micros in Tables.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  /** Build the session and register graft's native SQL functions. */
+  def get(appName: String = "graft"): SparkSession = {
+    val spark = builder(appName).getOrCreate()
+    functions.GraftFunctions.register(spark)
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,34 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.functions.call_function
+
+/** Programmatic registration of graft's native expressions into a session's
+  * FunctionRegistry (the SparkSessionExtensions path in [[GraftExtensions]]
+  * does the same for spark.sql.extensions-configured clusters).
+  */
+object GraftFunctions {
+
+  private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_cosine" -> { args => QuantizedCosine(args(0), args(1)) },
+    "graft_simhash64" -> { args => SimHash64(args(0)) },
+    "graft_rolling_hash" -> { args => RollingHash(args(0)) }
+  )
+
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    builders.foreach { case (name, builder) =>
+      registry.registerFunction(
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name),
+        builder)
+    }
+  }
+
+  // Column-API wrappers (require register() / GraftExtensions on the session).
+  def graftCosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
+  def graftSimHash64(tokens: Column): Column = call_function("graft_simhash64", tokens)
+  def graftRollingHash(s: Column): Column = call_function("graft_rolling_hash", s)
+}

@@ -1,0 +1,142 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Cosine similarity over float vectors, quantized to a 1e-9 grid so the
+  * accumulation is exact 64-bit integer math: order-independent and
+  * bit-reproducible across engines (the DuckDB oracle mirrors the same
+  * FLOOR(x*1e9) quantization). The only floating-point ops are the final
+  * divide/sqrt/multiply, which are IEEE-deterministic.
+  *
+  * Domain: |component| <= 3.0 and dim <= 1024 keep every accumulator well
+  * inside the int64 range (3e9^2 * 1024 < 2^63).
+  *
+  * Spark-first replacement for per-event model scoring the reference does
+  * via an external endpoint (reference: flink-app/.../CallSageMakerTest.java).
+  */
+case class QuantizedCosine(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    QuantizedCosine.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.QuantizedCosine.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object QuantizedCosine {
+  final val Q = 1e9
+
+  def quant(f: Float): Long = math.floor(f.toDouble * Q).toLong
+
+  def compute(x: ArrayData, y: ArrayData): Double = {
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0L
+    var na = 0L
+    var nb = 0L
+    var i = 0
+    while (i < n) {
+      val xi = quant(x.getFloat(i))
+      val yi = quant(y.getFloat(i))
+      dot += xi * yi
+      na += xi * xi
+      nb += yi * yi
+      i += 1
+    }
+    if (na == 0L || nb == 0L) 0.0
+    else dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+  }
+}
+
+/** 64-bit SimHash over a token array: xxhash64 each token (seed 42), add
+  * +1/-1 per bit position, set result bit where the sum is positive.
+  * Single pass, no shuffle — the banding join downstream is the only
+  * exchange in the near-dup pipeline.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val acc = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (acc(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Karp–Rabin polynomial rolling hash of a string (base 257, mod 2^61-1).
+  * Content-defined fingerprint building block; exposed for chunking /
+  * shingling without materializing substrings.
+  */
+case class RollingHash(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_rolling_hash"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    RollingHash.hash(bytes)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RollingHash {
+  final val Mod = (1L << 61) - 1
+  final val Base = 257L
+
+  def hash(bytes: Array[Byte]): Long = {
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      // h = (h * Base + b) mod (2^61-1); h < 2^61, Base < 2^9 so the
+      // product needs 128-bit reduction via Math.multiplyHigh.
+      val lo = h * Base
+      val hi = Math.multiplyHigh(h, Base)
+      // fold 128-bit (hi, lo) mod 2^61-1: x = lo&M + (bits above 61)
+      val folded = (lo & Mod) + ((hi << 3) | (lo >>> 61))
+      h = folded % Mod
+      h = (h + (bytes(i) & 0xff)) % Mod
+      i += 1
+    }
+    h
+  }
+}

@@ -1,0 +1,262 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.{Exact, QueryDef}
+import graft.Exact._
+import graft.sources.Tables
+
+/** Relational core. Every query is declarative DataFrame API — Catalyst gets
+  * the whole plan, so filter pushdown / column pruning / join reordering and
+  * AQE all apply. Dimension sides are explicitly broadcast where they are
+  * bounded (region/nation/supplier), everything else shuffles on its join key
+  * exactly once.
+  */
+object Analytics {
+
+  /** TPC-H Q1-style pricing summary: partial (map-side) aggregation does the
+    * heavy lifting; cardinality of the group key is tiny so the shuffle is
+    * a few bytes per partition regardless of input scale.
+    */
+  def q1PricingSummary(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("2000-12-01"))
+    l.groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(discPrice(col("l_extendedprice"), col("l_discount")))
+          .cast(DoubleType).as("sum_disc_price"),
+        sum(d2(col("l_extendedprice")) *
+            ((lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).cast(dec4))
+          .cast(DoubleType).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+      .withColumn("avg_price", col("sum_base_price") / col("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val q1Oracle: String =
+    s"""SELECT *, sum_qty / count_order AS avg_qty,
+       |       sum_base_price / count_order AS avg_price
+       |FROM (
+       |  SELECT l_returnflag, l_linestatus,
+       |    ${sqlDsum("l_quantity")} AS sum_qty,
+       |    ${sqlDsum("l_extendedprice")} AS sum_base_price,
+       |    CAST(SUM($sqlDiscPrice) AS DOUBLE) AS sum_disc_price,
+       |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+       |             CAST((1 - l_discount) * (1 + l_tax) AS DECIMAL(18,4))) AS DOUBLE) AS sum_charge,
+       |    COUNT(*) AS count_order
+       |  FROM lineitem
+       |  WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+       |  GROUP BY l_returnflag, l_linestatus
+       |)
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3-style: filters reach the scans (pushdown), customer side is
+    * pre-filtered on segment before the join.
+    */
+  def q3ShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-01-01")
+    val c = Tables.t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.t(s, dir, "orders").filter(col("o_orderdate") < cutoff)
+    val l = Tables.t(s, dir, "lineitem").filter(col("l_shipdate") > cutoff)
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), epochUs(col("o_orderdate")).as("o_odate_us"),
+        col("o_orderpriority"))
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
+        .cast(DoubleType).as("revenue"))
+      .select("l_orderkey", "revenue", "o_odate_us", "o_orderpriority")
+      .orderBy("l_orderkey")
+  }
+
+  val q3Oracle: String =
+    s"""SELECT l_orderkey, CAST(SUM($sqlDiscPrice) AS DOUBLE) AS revenue,
+       |       epoch_us(o_orderdate) AS o_odate_us, o_orderpriority
+       |FROM customer
+       |JOIN orders   ON c_custkey = o_custkey
+       |JOIN lineitem ON o_orderkey = l_orderkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01'
+       |  AND l_shipdate  > TIMESTAMP '1998-01-01'
+       |GROUP BY l_orderkey, epoch_us(o_orderdate), o_orderpriority
+       |ORDER BY l_orderkey""".stripMargin
+
+  /** TPC-H Q5-style 6-way join. region/nation/supplier are bounded dims ->
+    * broadcast; orders/lineitem shuffle on their keys once.
+    */
+  def q5LocalSupplier(s: SparkSession, dir: String): DataFrame = {
+    val r = Tables.t(s, dir, "region").filter(col("r_name") === "ASIA")
+    val n = Tables.t(s, dir, "nation")
+    val sup = Tables.t(s, dir, "supplier")
+    val c = Tables.t(s, dir, "customer")
+    val o = Tables.t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1998-01-01"))
+    val l = Tables.t(s, dir, "lineitem")
+    broadcast(r)
+      .join(broadcast(n), col("n_regionkey") === col("r_regionkey"))
+      .join(c, col("c_nationkey") === col("n_nationkey"))
+      .join(o, col("o_custkey") === col("c_custkey"))
+      .join(l, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
+        .cast(DoubleType).as("revenue"))
+      .orderBy("n_name")
+  }
+
+  val q5Oracle: String =
+    s"""SELECT n_name, CAST(SUM($sqlDiscPrice) AS DOUBLE) AS revenue
+       |FROM region
+       |JOIN nation   ON n_regionkey = r_regionkey
+       |JOIN customer ON c_nationkey = n_nationkey
+       |JOIN orders   ON o_custkey = c_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |WHERE r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+       |  AND o_orderdate <  TIMESTAMP '1998-01-01'
+       |GROUP BY n_name
+       |ORDER BY n_name""".stripMargin
+
+  /** Multi-level aggregation in one pass (ROLLUP). */
+  def qRollupRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "orders")
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+
+  val qRollupOracle: String =
+    s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       |       ${sqlDsum("o_totalprice")} AS total_price
+       |FROM orders
+       |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+       |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  /** Top-k per group via ranking window; deterministic tiebreak on the key. */
+  def qTopkOrdersPerCust(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.t(s, dir, "orders")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+      .orderBy("o_custkey", "rk")
+  }
+
+  val qTopkOracle: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_custkey
+      |                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders)
+      |WHERE rk <= 3
+      |ORDER BY o_custkey, rk""".stripMargin
+
+  def qDistinctCusts(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(countDistinct(col("o_custkey")).as("n_custs"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
+  val qDistinctOracle: String =
+    """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_custs,
+      |       COUNT(*) AS n_orders
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** EXISTS -> left-semi join: never duplicates the probe side. */
+  def qSemiOrderedCusts(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "customer")
+      .join(Tables.t(s, dir, "orders"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  val qSemiOracle: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** NOT EXISTS -> left-anti join (customers with no URGENT order). */
+  def qAntiSilentCusts(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "customer")
+      .join(Tables.t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  val qAntiOracle: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Scalar-subquery shape: global aggregate broadcast against the scan —
+    * one pass over `part`, no driver-side collect.
+    */
+  def qAboveAvgPriceParts(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.t(s, dir, "part")
+    val avgP = p.agg(
+      (dsum(col("p_retailprice")) / count(lit(1))).as("avg_price"))
+    p.crossJoin(broadcast(avgP))
+      .filter(col("p_retailprice") > col("avg_price"))
+      .select("p_partkey", "p_name", "p_retailprice")
+      .orderBy("p_partkey")
+  }
+
+  val qAboveAvgOracle: String =
+    s"""SELECT p_partkey, p_name, p_retailprice FROM part
+       |WHERE p_retailprice > (SELECT ${sqlDsum("p_retailprice")} / COUNT(*) FROM part)
+       |ORDER BY p_partkey""".stripMargin
+
+  /** Conditional aggregation (pivot shape) — one scan, no joins. */
+  def qPivotStatusCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        count(when(col("o_orderstatus") === "F", 1)).as("n_f"),
+        count(when(col("o_orderstatus") === "O", 1)).as("n_o"),
+        count(when(col("o_orderstatus") === "P", 1)).as("n_p"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
+  val qPivotOracle: String =
+    """SELECT o_orderpriority,
+      |  COUNT(CASE WHEN o_orderstatus='F' THEN 1 END) AS n_f,
+      |  COUNT(CASE WHEN o_orderstatus='O' THEN 1 END) AS n_o,
+      |  COUNT(CASE WHEN o_orderstatus='P' THEN 1 END) AS n_p,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** HLL sketch distinct — the 100 TB answer to COUNT(DISTINCT): no exact
+    * shuffle of the full key set. Approximate, so rows-only checked.
+    */
+  def qApproxDistinctCusts(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(approx_count_distinct(col("o_custkey"), 0.01).as("n_custs_approx"))
+      .orderBy("o_orderpriority")
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q1_pricing_summary", q1PricingSummary, Some(q1Oracle), headline = true),
+    QueryDef("q3_shipping_priority", q3ShippingPriority, Some(q3Oracle), headline = true),
+    QueryDef("q5_local_supplier", q5LocalSupplier, Some(q5Oracle), headline = true),
+    QueryDef("q_rollup_revenue", qRollupRevenue, Some(qRollupOracle)),
+    QueryDef("q_topk_orders_per_cust", qTopkOrdersPerCust, Some(qTopkOracle)),
+    QueryDef("q_distinct_custs", qDistinctCusts, Some(qDistinctOracle)),
+    QueryDef("q_semi_ordered_custs", qSemiOrderedCusts, Some(qSemiOracle)),
+    QueryDef("q_anti_silent_custs", qAntiSilentCusts, Some(qAntiOracle)),
+    QueryDef("q_above_avg_price_parts", qAboveAvgPriceParts, Some(qAboveAvgOracle)),
+    QueryDef("q_pivot_status_counts", qPivotStatusCounts, Some(qPivotOracle)),
+    QueryDef("q_approx_distinct_custs", qApproxDistinctCusts, None)
+  )
+}

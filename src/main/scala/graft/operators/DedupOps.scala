@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.QueryDef
+import graft.functions.GraftFunctions
+import graft.sources.Tables
+
+/** Deduplication family over `documents`. The exact/pair-join variants are
+  * oracle-checked; MinHash-LSH and SimHash depend on engine hash functions
+  * so they are rows-only checked plus unit-tested (candidate recall vs the
+  * exact Jaccard query on the same data).
+  */
+object DedupOps {
+
+  /** Word 3-gram shingles as a distinct array column (single pass, local). */
+  private def withShingles(df: DataFrame): DataFrame =
+    df.withColumn("toks", split(col("text"), " "))
+      .withColumn("shs",
+        when(size(col("toks")) >= 3,
+          array_distinct(expr(
+            "transform(sequence(0, size(toks)-3), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))")))
+          .otherwise(array().cast("array<string>")))
+
+  private val sqlShingles: String =
+    """SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+      |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shs
+      |FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM documents)""".stripMargin
+
+  /** Exact duplicate groups by content hash; keeper = min doc_id. */
+  def exactDedup(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "documents")
+      .groupBy(md5(lower(col("text"))).as("fp"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      .select("keeper", "n_copies", "fp")
+      .orderBy("keeper")
+
+  val exactOracle: String =
+    """SELECT MIN(doc_id) AS keeper, COUNT(*) AS n_copies, md5(lower(text)) AS fp
+      |FROM documents GROUP BY md5(lower(text)) ORDER BY keeper""".stripMargin
+
+  /** Exact n-gram Jaccard near-dup pairs (threshold 0.8) via inverted-index
+    * join on shingles: candidate generation shuffles only (shingle, doc_id)
+    * pairs; at 100 TB the same plan holds with a document-frequency cap on
+    * hot shingles (any shingle shared by half the corpus carries no signal).
+    */
+  def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = withShingles(Tables.t(s, dir, "documents"))
+      .select(col("doc_id"), col("shs"))
+    val inv = sh.select(col("doc_id"), explode(col("shs")).as("sh"))
+    val sz = sh.select(col("doc_id"), size(col("shs")).as("n_sh"))
+    val common = inv.as("a")
+      .join(inv.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sz.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_sh", "n1"), "d1")
+      .join(sz.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "n2"), "d2")
+      .withColumn("jaccard", col("common").cast(DoubleType) /
+        (col("n1") + col("n2") - col("common")).cast(DoubleType))
+      .filter(col("jaccard") >= 0.8)
+      .select("d1", "d2", "common", "jaccard")
+      .orderBy("d1", "d2")
+  }
+
+  val jaccardOracle: String =
+    s"""WITH sh AS ($sqlShingles),
+       |inv AS (SELECT doc_id, unnest(shs) AS sh FROM sh),
+       |sz AS (SELECT doc_id, len(shs) AS n_sh FROM sh),
+       |c AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+       |  FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT d1, d2, common,
+       |       CAST(common AS DOUBLE) / CAST(x.n_sh + y.n_sh - common AS DOUBLE) AS jaccard
+       |FROM c JOIN sz x ON x.doc_id = d1 JOIN sz y ON y.doc_id = d2
+       |WHERE CAST(common AS DOUBLE) / CAST(x.n_sh + y.n_sh - common AS DOUBLE) >= 0.8
+       |ORDER BY d1, d2""".stripMargin
+
+  // ---- MinHash + LSH ----------------------------------------------------
+  // 64 permutations, 16 bands x 4 rows. Signatures are computed entirely
+  // map-side with higher-order array expressions (array_min over an affine
+  // hash transform) — ZERO shuffle until the banding join.
+  final val NumPerm = 64
+  final val Bands = 16
+  final val RowsPerBand = NumPerm / Bands
+  final val MhPrime = 4294967311L // smallest prime > 2^32
+  private val rng = new scala.util.Random(42)
+  // a < 2^30 keeps a*h + b < 2^62 (h is a 32-bit unsigned murmur hash).
+  private[operators] val permA: Array[Long] =
+    Array.fill(NumPerm)(1L + rng.nextInt((1 << 30) - 1).toLong)
+  private[operators] val permB: Array[Long] =
+    Array.fill(NumPerm)(rng.nextInt(Int.MaxValue).toLong)
+
+  private def sigCol(i: Int): Column =
+    expr(s"array_min(transform(shs, s -> pmod(${permA(i)}L * (CAST(hash(s) AS BIGINT) & 4294967295) + ${permB(i)}L, ${MhPrime}L)))")
+
+  /** MinHash-LSH near-dup: candidates from band-bucket join, verified with
+    * exact Jaccard on the (few) candidates via array_intersect.
+    */
+  def minHashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sh = withShingles(Tables.t(s, dir, "documents"))
+      .select(col("doc_id"), col("shs"))
+      .filter(size(col("shs")) > 0)
+    val withSig = sh.withColumn("sig", array((0 until NumPerm).map(sigCol): _*))
+    val bandKeys = (0 until Bands).map { b =>
+      val rows = (0 until RowsPerBand).map(r => col("sig").getItem(b * RowsPerBand + r))
+      struct(lit(b).as("band"), xxhash64(rows: _*).as("bkey"))
+    }
+    val exploded = withSig
+      .select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val cands = exploded.as("a")
+      .join(exploded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    cands
+      .join(sh.select(col("doc_id").as("d1"), col("shs").as("shs1")), "d1")
+      .join(sh.select(col("doc_id").as("d2"), col("shs").as("shs2")), "d2")
+      .withColumn("common", size(array_intersect(col("shs1"), col("shs2"))))
+      .withColumn("jaccard", col("common").cast(DoubleType) /
+        (size(col("shs1")) + size(col("shs2")) - col("common")).cast(DoubleType))
+      .filter(col("jaccard") >= 0.7)
+      .select("d1", "d2", "jaccard")
+      .orderBy("d1", "d2")
+  }
+
+  /** SimHash near-dup: 64-bit fingerprints from the native SimHash64
+    * expression; pigeonhole banding (4 x 16-bit chunks) guarantees recall
+    * for hamming <= 3; verify with bit_count(xor).
+    */
+  def simHashPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.t(s, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("sh64", GraftFunctions.graftSimHash64(col("toks")))
+      .select("doc_id", "sh64")
+    val banded = d.select(col("doc_id"), col("sh64"),
+        explode(array((0 until 4).map(i =>
+          struct(lit(i).as("band"),
+            shiftrightunsigned(col("sh64"), i * 16).bitwiseAND(lit(0xFFFFL)).as("chunk"))): _*)).as("bk"))
+      .select(col("doc_id"), col("sh64"), col("bk.band").as("band"), col("bk.chunk").as("chunk"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        bit_count(col("a.sh64").bitwiseXOR(col("b.sh64"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy("d1", "d2")
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("doc_exact_dedup", exactDedup, Some(exactOracle)),
+    QueryDef("doc_jaccard_pairs", jaccardPairs, Some(jaccardOracle), headline = true),
+    QueryDef("doc_minhash_lsh", minHashLsh, None, headline = true),
+    QueryDef("doc_simhash", simHashPairs, None)
+  )
+}

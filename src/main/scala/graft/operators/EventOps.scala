@@ -1,0 +1,279 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.QueryDef
+import graft.Exact._
+import graft.sources.Tables
+
+/** Event-stream semantics over the `events` table (batch = deterministic
+  * replay of the stream; the streaming module runs the same logic with
+  * watermarks + state). Temporal outputs are epoch-microsecond BIGINTs so
+  * both engines hash identically.
+  */
+object EventOps {
+
+  // ---- CEP parameters (reference: flink-app/.../AnomalyDetection.java:126-132:
+  // runs of 10..30 events with packets<10 followed by one with packets>10
+  // within 1 minute, keyed by ip_dst). Same shape re-parameterized for the
+  // events table: key=user_id, packets=value.
+  final val LowThresh = 50.0
+  final val HighThresh = 100.0
+  final val MinRun = 3L
+  final val WithinUs = 24L * 3600 * 1000000 // gap run-end -> normal event
+
+  /** Tumbling event-time window (1 hour) per event type. */
+  def tumblingHourly(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "events")
+      .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("hour_us"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .withColumn("avg_value", col("sum_value") / col("n"))
+      .orderBy("hour_us", "event_type")
+
+  val tumblingOracle: String =
+    s"""SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+       |       COUNT(*) AS n, ${sqlDsum("value")} AS sum_value,
+       |       ${sqlDsum("value")} / COUNT(*) AS avg_value
+       |FROM events GROUP BY 1, 2 ORDER BY hour_us, event_type""".stripMargin
+
+  /** Sliding (hopping) window: 6h length, 3h slide -> each event lands in
+    * exactly two windows. Spark's window() assigns both in the map phase;
+    * the only shuffle is the final aggregation.
+    */
+  def sliding6h(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "events")
+      .groupBy(window(col("ts"), "6 hours", "3 hours"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("wstart_us"),
+        col("n"), col("sum_value"))
+      .orderBy("wstart_us")
+
+  val slidingOracle: String =
+    s"""SELECT wstart_us, COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
+       |FROM (
+       |  SELECT ((epoch_us(ts) // 10800000000) - k.k) * 10800000000 AS wstart_us,
+       |         value
+       |  FROM events CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT))) k(k)
+       |)
+       |GROUP BY wstart_us ORDER BY wstart_us""".stripMargin
+
+  /** Gap-based sessionization (12h inactivity closes a session). One shuffle
+    * on user_id; both window passes and the final aggregation reuse that
+    * partitioning — Catalyst plans a single exchange.
+    */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapUs = 12L * 3600 * 1000000
+    Tables.t(s, dir, "events")
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_s",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(
+        min(unix_micros(col("ts"))).as("s_start_us"),
+        max(unix_micros(col("ts"))).as("s_end_us"),
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("sum_value"))
+      .orderBy("user_id", "sid")
+  }
+
+  val sessionizeOracle: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, ts, value,
+       |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+       |  FROM events),
+       |f AS (
+       |  SELECT *, CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 43200000000
+       |                 THEN 1 ELSE 0 END AS new_s FROM e),
+       |g AS (
+       |  SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid FROM f)
+       |SELECT user_id, sid, MIN(epoch_us(ts)) AS s_start_us,
+       |       MAX(epoch_us(ts)) AS s_end_us, COUNT(*) AS n_events,
+       |       ${sqlDsum("value")} AS sum_value
+       |FROM g GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin
+
+  /** CEP fragmentation-attack analog (reference AnomalyDetection.java:126-167):
+    * per key, a maximal run of >= MinRun consecutive low-value events
+    * immediately followed by a high-value event within WithinUs. Islands are
+    * found with two ranking passes over the same (user_id, ts) partitioning —
+    * a single shuffle, linear per-partition work, no self-join blowup.
+    * Output mirrors AttackResult (avg_fragment_size, avg_packets,
+    * size_reduction_percent).
+    */
+  def cepAttack(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val e = Tables.t(s, dir, "events")
+      .select("user_id", "event_id", "ts", "value")
+      .withColumn("rn", row_number().over(byUser))
+
+    val runs = e
+      .filter(col("value") < LowThresh)
+      .withColumn("grp", col("rn") - row_number().over(byUser))
+      .groupBy("user_id", "grp")
+      .agg(
+        count(lit(1)).as("fragment_count"),
+        max(col("rn")).as("rn_end"),
+        min(unix_micros(col("ts"))).as("attack_start_us"),
+        max(unix_micros(col("ts"))).as("attack_end_us"),
+        dsum(col("value")).as("sum_low"))
+      .filter(col("fragment_count") >= MinRun)
+
+    val nxt = e.select(
+      col("user_id").as("n_user"), col("rn").as("n_rn"),
+      unix_micros(col("ts")).as("normal_ts_us"), col("value").as("avg_packets"))
+
+    runs
+      .join(nxt, col("user_id") === col("n_user") && col("n_rn") === col("rn_end") + 1)
+      .filter(col("avg_packets") > HighThresh &&
+        col("normal_ts_us") - col("attack_end_us") <= WithinUs)
+      .withColumn("avg_fragment_size", col("sum_low") / col("fragment_count"))
+      .withColumn("size_reduction_percent",
+        (col("avg_packets") - col("avg_fragment_size")) / col("avg_packets") * 100)
+      .select(col("user_id").as("target_id"), col("attack_start_us"),
+        col("attack_end_us"), col("normal_ts_us"), col("fragment_count"),
+        col("avg_fragment_size"), col("avg_packets"), col("size_reduction_percent"))
+      .orderBy("target_id", "attack_start_us")
+  }
+
+  val cepOracle: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, ts, value,
+       |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+       |  FROM events),
+       |i AS (
+       |  SELECT *, rn - row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS grp
+       |  FROM e WHERE value < $LowThresh),
+       |runs AS (
+       |  SELECT user_id, grp, COUNT(*) AS fragment_count, MAX(rn) AS rn_end,
+       |         MIN(epoch_us(ts)) AS attack_start_us,
+       |         MAX(epoch_us(ts)) AS attack_end_us,
+       |         ${sqlDsum("value")} AS sum_low
+       |  FROM i GROUP BY user_id, grp HAVING COUNT(*) >= $MinRun)
+       |SELECT r.user_id AS target_id, r.attack_start_us, r.attack_end_us,
+       |       epoch_us(n.ts) AS normal_ts_us, r.fragment_count,
+       |       r.sum_low / r.fragment_count AS avg_fragment_size,
+       |       n.value AS avg_packets,
+       |       (n.value - r.sum_low / r.fragment_count) / n.value * 100 AS size_reduction_percent
+       |FROM runs r JOIN e n ON n.user_id = r.user_id AND n.rn = r.rn_end + 1
+       |WHERE n.value > $HighThresh
+       |  AND epoch_us(n.ts) - r.attack_end_us <= $WithinUs
+       |ORDER BY target_id, attack_start_us""".stripMargin
+
+  /** IPInsights analog (reference sagemaker notebook: entity<->IP
+    * co-occurrence scoring). Rarity = expected/observed co-occurrence of
+    * (user, event_type): integer-exact counts, one final IEEE division.
+    */
+  def rarityScore(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "events")
+    val pair = e.groupBy("user_id", "event_type").agg(count(lit(1)).as("n_pair"))
+    val byUser = e.groupBy("user_id").agg(count(lit(1)).as("n_user"))
+    val byType = e.groupBy("event_type").agg(count(lit(1)).as("n_type"))
+    val total = e.agg(count(lit(1)).as("n_total"))
+    pair
+      .join(byUser, "user_id")
+      .join(broadcast(byType), "event_type")
+      .crossJoin(broadcast(total))
+      .withColumn("rarity",
+        (col("n_user") * col("n_type")).cast(DoubleType) /
+          (col("n_total") * col("n_pair")).cast(DoubleType))
+      .select("user_id", "event_type", "n_pair", "rarity")
+      .orderBy("user_id", "event_type")
+  }
+
+  val rarityOracle: String =
+    """WITH p AS (SELECT user_id, event_type, COUNT(*) AS n_pair FROM events GROUP BY 1,2),
+      |u AS (SELECT user_id, COUNT(*) AS n_user FROM events GROUP BY 1),
+      |t AS (SELECT event_type, COUNT(*) AS n_type FROM events GROUP BY 1),
+      |tot AS (SELECT COUNT(*) AS n_total FROM events)
+      |SELECT p.user_id, p.event_type, p.n_pair,
+      |       CAST(u.n_user * t.n_type AS DOUBLE) /
+      |       CAST(tot.n_total * p.n_pair AS DOUBLE) AS rarity
+      |FROM p JOIN u USING (user_id) JOIN t USING (event_type) CROSS JOIN tot
+      |ORDER BY user_id, event_type""".stripMargin
+
+  /** Z-score outliers per event type. Moments from exact decimal sums; the
+    * naive-variance formula is written identically in both engines so the
+    * IEEE op sequence matches bit-for-bit.
+    */
+  def zscoreOutliers(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "events")
+    val stats = e.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      dsum(col("value")).as("sx"),
+      sum(d2(col("value")) * d2(col("value"))).cast(DoubleType).as("sxx"))
+    val mean = col("sx") / col("n")
+    val std = sqrt(col("sxx") / col("n") - (col("sx") / col("n")) * (col("sx") / col("n")))
+    e.join(broadcast(stats), "event_type")
+      .filter(abs(col("value") - mean) > lit(2.5) * std)
+      .select("event_id", "event_type", "value")
+      .orderBy("event_id")
+  }
+
+  val zscoreOracle: String =
+    s"""WITH s AS (
+       |  SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS sx,
+       |         CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+       |  FROM events GROUP BY event_type)
+       |SELECT e.event_id, e.event_type, e.value
+       |FROM events e JOIN s USING (event_type)
+       |WHERE ABS(e.value - s.sx / s.n) >
+       |      2.5 * SQRT(s.sxx / s.n - (s.sx / s.n) * (s.sx / s.n))
+       |ORDER BY event_id""".stripMargin
+
+  /** Exactly-once replay semantics: deterministic dedup on (user_id, ts),
+    * keeping the lowest event_id (dropDuplicates would be nondeterministic).
+    */
+  def dedupReplay(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "ts").orderBy("event_id")
+    Tables.t(s, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .orderBy("user_id")
+  }
+
+  val dedupReplayOracle: String =
+    s"""WITH d AS (
+       |  SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
+       |  FROM events)
+       |SELECT user_id, COUNT(*) AS n_events, ${sqlDsum("value")} AS sum_value
+       |FROM d WHERE rn = 1 GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Schema'd JSON extraction (reference serde:
+    * flink-app/.../serde/JsonDeserializationSchema.java) — from_json with an
+    * explicit schema stays inside codegen, no UDF.
+    */
+  def jsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("k")).cast(LongType).as("sum_k"))
+      .withColumn("avg_k", col("sum_k").cast(DoubleType) / col("n"))
+      .orderBy("event_type")
+
+  val jsonExtractOracle: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |       CAST(CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("ev_tumbling_hourly", tumblingHourly, Some(tumblingOracle)),
+    QueryDef("ev_sliding_6h", sliding6h, Some(slidingOracle)),
+    QueryDef("ev_sessionize", sessionize, Some(sessionizeOracle)),
+    QueryDef("ev_cep_attack", cepAttack, Some(cepOracle), headline = true),
+    QueryDef("ev_rarity_score", rarityScore, Some(rarityOracle)),
+    QueryDef("ev_zscore_outliers", zscoreOutliers, Some(zscoreOracle)),
+    QueryDef("ev_dedup_replay", dedupReplay, Some(dedupReplayOracle)),
+    QueryDef("ev_json_extract", jsonExtract, Some(jsonExtractOracle))
+  )
+}

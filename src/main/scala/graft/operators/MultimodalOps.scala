@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.sources.Tables
+
+/** Multimodal column plumbing: media payloads travel as opaque `binary`
+  * columns with a typed metadata struct; decode / feature-extract runs
+  * per-partition with bounded batch shape. The decode step here is a
+  * deterministic fake (byte-level features) standing in for an image/audio
+  * codec — the Spark-side schema, partitioning, and batch plumbing are real.
+  */
+object MultimodalOps {
+
+  case class MmRecord(doc_id: Long, payload: Array[Byte], mime: String, n_bytes: Int)
+  case class MmFeatures(doc_id: Long, n_bytes: Int, head_byte: Int,
+      checksum: Long, n_distinct_bytes: Int)
+
+  /** documents.text reinterpreted as a binary payload + metadata. */
+  def asBinaryTable(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id"),
+        col("text").cast("binary").as("payload"),
+        lit("text/plain").as("mime"),
+        octet_length(col("text")).as("n_bytes"))
+
+  /** Deterministic fake "decode": byte histogram features. A real codec
+    * would slot in here (??? boundary) with the identical partition-local
+    * batch shape — one record in, one feature row out, no shuffle.
+    */
+  def decodeStub(r: MmRecord): MmFeatures = {
+    val bytes = r.payload
+    var checksum = 0L
+    val seen = new Array[Boolean](256)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      checksum = (checksum * 31 + b) & 0xFFFFFFFFL
+      seen(b) = true
+      i += 1
+    }
+    MmFeatures(r.doc_id, r.n_bytes, if (bytes.nonEmpty) bytes(0) & 0xff else -1,
+      checksum, seen.count(identity))
+  }
+
+  /** Frame-sampling analog: take every k-th byte "frame" of the payload. */
+  def frameSample(df: DataFrame, k: Int): DataFrame =
+    df.withColumn("frames",
+      expr(s"transform(sequence(1, octet_length(payload), $k), i -> substring(payload, i, 1))"))
+
+  def binaryFeatures(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    asBinaryTable(s, dir)
+      .as[MmRecord]
+      .mapPartitions(_.map(decodeStub))
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("mm_binary_features", binaryFeatures, None)
+  )
+}

@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.QueryDef
+import graft.functions.GraftFunctions.graftCosine
+import graft.sources.Tables
+
+/** Similarity search over `embeddings` (array<float>[64]). Cosine is the
+  * quantized-integer native expression (see QuantizedCosine) so Spark and
+  * the DuckDB oracle agree bit-for-bit.
+  *
+  * DuckDB rendering of the same quantized cosine, inlined per use.
+  */
+object SimilarityOps {
+
+  private def sqlQDot(a: String, b: String): String =
+    s"""CAST(list_sum(list_transform(list_zip($a, $b),
+       |  z -> CAST(FLOOR(CAST(z[1] AS DOUBLE) * 1e9) AS BIGINT) *
+       |       CAST(FLOOR(CAST(z[2] AS DOUBLE) * 1e9) AS BIGINT))) AS BIGINT)""".stripMargin
+
+  private def sqlQCos(a: String, b: String): String =
+    s"""(CAST(${sqlQDot(a, b)} AS DOUBLE) /
+       |  (SQRT(CAST(${sqlQDot(a, a)} AS DOUBLE)) * SQRT(CAST(${sqlQDot(b, b)} AS DOUBLE))))""".stripMargin
+
+  /** Brute-force exact top-10 cosine neighbors for a 10-vector query set.
+    * The query side is broadcast; the corpus is scanned once; ranking is a
+    * per-query window (the 100 TB plan: per-partition top-k heaps then a
+    * tiny global merge — same result, and AQE keeps the window input small
+    * because the broadcast join output is already partition-local).
+    */
+  def knnBrute(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", graftCosine(col("q_emb"), col("embedding")))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("rnk"), col("sim"))
+      .orderBy("q_id", "rnk")
+  }
+
+  val knnOracle: String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT q.q_id, e.vec_id AS n_id,
+       |         ${sqlQCos("q.q_emb", "e.embedding")} AS sim
+       |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rnk
+       |  FROM scored)
+       |SELECT q_id, n_id, rnk, sim FROM ranked WHERE rnk <= 10
+       |ORDER BY q_id, rnk""".stripMargin
+
+  /** Random-hyperplane LSH ANN (the scale path): 16-bit signatures computed
+    * map-side from a broadcast hyperplane matrix; probing joins only the
+    * query's bucket instead of scanning the corpus. Approximate -> rows-only.
+    */
+  final val LshBits = 8
+  final val Dim = 64
+  private val planes: Array[Array[Double]] = {
+    val rng = new scala.util.Random(7)
+    Array.fill(LshBits, Dim)(rng.nextGaussian())
+  }
+
+  private def sigExpr: org.apache.spark.sql.Column = {
+    // sign-bit signature: bit b set iff dot(plane_b, v) > 0 — built from
+    // higher-order functions, stays inside codegen.
+    val bits = (0 until LshBits).map { b =>
+      val terms = s"aggregate(zip_with(embedding, array(${planes(b).mkString(",")}), (x, p) -> CAST(x AS DOUBLE) * p), CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)"
+      s"CASE WHEN $terms > 0 THEN ${1 << b} ELSE 0 END"
+    }
+    expr(bits.mkString("(", " + ", ")"))
+  }
+
+  def knnLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "embeddings").withColumn("sig", sigExpr)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("sig").as("q_sig"))
+    val scored = e.join(broadcast(q), col("sig") === col("q_sig") && col("vec_id") =!= col("q_id"))
+      .withColumn("sim", graftCosine(col("q_emb"), col("embedding")))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("rnk"), col("sim"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** Per-label centroids (IVF coarse quantizer building block): exact
+    * integer sums of quantized components -> order-independent.
+    */
+  def labelCentroids(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "embeddings")
+    val dims = Seq(0, 1, 2, 3)
+    val aggs = dims.map(d =>
+      sum(floor(element_at(col("embedding"), d + 1).cast(DoubleType) * 1e9).cast("long"))
+        .as(s"s$d"))
+    e.groupBy("label")
+      .agg(count(lit(1)).as("n"), aggs: _*)
+      .select(col("label") +: col("n") +: dims.map(d =>
+        (col(s"s$d").cast(DoubleType) / lit(1e9) / col("n")).as(s"c$d")): _*)
+      .orderBy("label")
+  }
+
+  val centroidsOracle: String = {
+    val dims = Seq(0, 1, 2, 3)
+    val sums = dims.map(d =>
+      s"SUM(CAST(FLOOR(CAST(embedding[${d + 1}] AS DOUBLE) * 1e9) AS BIGINT)) AS s$d").mkString(",\n    ")
+    val outs = dims.map(d => s"CAST(CAST(s$d AS BIGINT) AS DOUBLE) / 1e9 / n AS c$d").mkString(", ")
+    s"""SELECT label, n, $outs FROM (
+       |  SELECT label, COUNT(*) AS n,
+       |    $sums
+       |  FROM embeddings GROUP BY label)
+       |ORDER BY label""".stripMargin
+  }
+
+  /** Embedding-cosine near-dup pairs with label blocking (standard blocked
+    * dedup: candidates only within a block -> n^2/blocks instead of n^2).
+    */
+  def cosineDups(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "embeddings")
+    e.as("a")
+      .join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim", graftCosine(col("a.embedding"), col("b.embedding")))
+      .filter(col("sim") >= 0.4)
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+        col("a.label").as("label"), col("sim"))
+      .orderBy("v1", "v2")
+  }
+
+  val cosineDupsOracle: String =
+    s"""SELECT a.vec_id AS v1, b.vec_id AS v2, a.label AS label,
+       |       ${sqlQCos("a.embedding", "b.embedding")} AS sim
+       |FROM embeddings a JOIN embeddings b
+       |  ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE ${sqlQCos("a.embedding", "b.embedding")} >= 0.4
+       |ORDER BY v1, v2""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("emb_knn_brute", knnBrute, Some(knnOracle), headline = true),
+    QueryDef("emb_knn_lsh", knnLsh, None),
+    QueryDef("emb_label_centroids", labelCentroids, Some(centroidsOracle)),
+    QueryDef("emb_cosine_dups", cosineDups, Some(cosineDupsOracle))
+  )
+}

@@ -46,8 +46,12 @@ object DedupOps {
     * pairs; at 100 TB the same plan holds with a document-frequency cap on
     * hot shingles (any shingle shared by half the corpus carries no signal).
     */
-  def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = withShingles(Tables.t(s, dir, "documents"))
+  def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    jaccardPairsOn(Tables.t(s, dir, "documents"))
+
+  /** Same, over any (doc_id, text) frame. */
+  def jaccardPairsOn(documents: DataFrame): DataFrame = {
+    val sh = withShingles(documents)
       .select(col("doc_id"), col("shs"))
     val inv = sh.select(col("doc_id"), explode(col("shs")).as("sh"))
     val sz = sh.select(col("doc_id"), size(col("shs")).as("n_sh"))
@@ -100,8 +104,11 @@ object DedupOps {
   /** MinHash-LSH near-dup: candidates from band-bucket join, verified with
     * exact Jaccard on the (few) candidates via array_intersect.
     */
-  def minHashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sh = withShingles(Tables.t(s, dir, "documents"))
+  def minHashLsh(s: SparkSession, dir: String): DataFrame =
+    minHashLshOn(Tables.t(s, dir, "documents"))
+
+  def minHashLshOn(documents: DataFrame): DataFrame = {
+    val sh = withShingles(documents)
       .select(col("doc_id"), col("shs"))
       .filter(size(col("shs")) > 0)
     val withSig = sh.withColumn("sig", array((0 until NumPerm).map(sigCol): _*))
@@ -133,8 +140,11 @@ object DedupOps {
     * expression; pigeonhole banding (4 x 16-bit chunks) guarantees recall
     * for hamming <= 3; verify with bit_count(xor).
     */
-  def simHashPairs(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.t(s, dir, "documents")
+  def simHashPairs(s: SparkSession, dir: String): DataFrame =
+    simHashPairsOn(Tables.t(s, dir, "documents"))
+
+  def simHashPairsOn(documents: DataFrame): DataFrame = {
+    val d = documents
       .withColumn("toks", split(col("text"), " "))
       .withColumn("sh64", GraftFunctions.graftSimHash64(col("toks")))
       .select("doc_id", "sh64")

@@ -65,10 +65,13 @@ object EventOps {
     * on user_id; both window passes and the final aggregation reuse that
     * partitioning — Catalyst plans a single exchange.
     */
-  def sessionize(s: SparkSession, dir: String): DataFrame = {
+  def sessionize(s: SparkSession, dir: String): DataFrame =
+    sessionizeOn(Tables.t(s, dir, "events"))
+
+  def sessionizeOn(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val gapUs = 12L * 3600 * 1000000
-    Tables.t(s, dir, "events")
+    events
       .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
       .withColumn("new_s",
         when(col("prev_us").isNull ||
@@ -108,9 +111,13 @@ object EventOps {
     * Output mirrors AttackResult (avg_fragment_size, avg_packets,
     * size_reduction_percent).
     */
-  def cepAttack(s: SparkSession, dir: String): DataFrame = {
+  def cepAttack(s: SparkSession, dir: String): DataFrame =
+    cepAttackOn(Tables.t(s, dir, "events"))
+
+  /** Same, over any (user_id, event_id, ts, value) frame. */
+  def cepAttackOn(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val e = Tables.t(s, dir, "events")
+    val e = events
       .select("user_id", "event_id", "ts", "value")
       .withColumn("rn", row_number().over(byUser))
 

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DedupOps, SimilarityOps}
+import graft.sources.Tables
+
+class DedupSimilaritySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("exact dedup groups identical normalized text") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "ALPHA BETA GAMMA"), (3L, "other text here"))
+      .toDF("doc_id", "text")
+    val groups = docs
+      .groupBy(md5(lower(col("text"))).as("fp"))
+      .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_copies"))
+      .collect()
+    assert(groups.length == 2)
+    assert(groups.map(_.getAs[Long]("n_copies")).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("minhash-LSH candidates recall the exact jaccard>=0.8 pairs (sf0.001)") {
+    val docs = Tables.t(spark, sf0001, "documents")
+    val exact = DedupOps.jaccardPairsOn(docs)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val lsh = DedupOps.minHashLshOn(docs)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "test data should contain near-dup pairs")
+    val recall = exact.count(lsh.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall too low (missed ${exact -- lsh})")
+  }
+
+  test("simhash finds the planted near-dups (sf0.001)") {
+    val docs = Tables.t(spark, sf0001, "documents")
+    val pairs = DedupOps.simHashPairsOn(docs).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_.getAs[Int]("hamming") <= 3))
+  }
+
+  test("knnBrute top-1 matches a driver-side brute force (sf0.001)") {
+    val emb = Tables.t(spark, sf0001, "embeddings")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val q0 = emb.find(_._1 == 0L).get._2
+    val expectedTop = emb.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(q0, v)) }.maxBy(_._2)._1
+    val got = SimilarityOps.knnBrute(spark, sf0001)
+      .filter(col("q_id") === 0 && col("rnk") === 1).first().getAs[Long]("n_id")
+    assert(got == expectedTop)
+  }
+
+  test("label centroids: n sums to corpus size (sf0.001)") {
+    val c = SimilarityOps.labelCentroids(spark, sf0001)
+    val total = c.agg(sum("n")).first().getLong(0)
+    assert(total == Tables.t(spark, sf0001, "embeddings").count())
+  }
+}

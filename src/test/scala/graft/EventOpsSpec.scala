@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.EventOps
+
+class EventOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  /** (user, offsetMinutes, value) -> events frame */
+  private def mkEvents(rows: Seq[(Long, Long, Double)]): DataFrame =
+    rows.zipWithIndex
+      .map { case ((u, m, v), i) => (u, i.toLong, 1700000000000L + m * 60000, v) }
+      .toDF("user_id", "event_id", "ms", "value")
+      .withColumn("ts", timestamp_millis(col("ms")))
+      .drop("ms")
+
+  test("cepAttackOn detects a low run closed by a high event") {
+    // user 1: 4 low events then a high one (match);
+    // user 2: only 2 lows then high (below MinRun -> no match);
+    // user 3: lows never closed by a high (no match).
+    val e = mkEvents(Seq(
+      (1L, 0L, 5.0), (1L, 1L, 8.0), (1L, 2L, 3.0), (1L, 3L, 7.0), (1L, 4L, 150.0),
+      (2L, 0L, 5.0), (2L, 1L, 6.0), (2L, 2L, 200.0),
+      (3L, 0L, 5.0), (3L, 1L, 6.0), (3L, 2L, 7.0), (3L, 3L, 8.0)))
+    val res = EventOps.cepAttackOn(e).collect()
+    assert(res.length == 1)
+    val r = res(0)
+    assert(r.getAs[Long]("target_id") == 1L)
+    assert(r.getAs[Long]("fragment_count") == 4L)
+    assert(math.abs(r.getAs[Double]("avg_fragment_size") - 5.75) < 1e-9)
+    assert(r.getAs[Double]("avg_packets") == 150.0)
+  }
+
+  test("cepAttackOn respects the within-window bound") {
+    // high event arrives 25h after the run ends -> outside WithinUs (24h)
+    val e = mkEvents(Seq(
+      (1L, 0L, 5.0), (1L, 1L, 6.0), (1L, 2L, 7.0), (1L, 3L + 25 * 60, 150.0)))
+    assert(EventOps.cepAttackOn(e).count() == 0)
+  }
+
+  test("sessionizeOn splits on gaps > 12h") {
+    val e = mkEvents(Seq(
+      (1L, 0L, 1.0), (1L, 10L, 1.0),       // session 1 (10 min apart)
+      (1L, 10L + 13 * 60, 1.0),            // 13h gap -> session 2
+      (2L, 0L, 1.0)))                      // separate user
+    val sess = EventOps.sessionizeOn(e).collect()
+    assert(sess.count(_.getAs[Long]("user_id") == 1L) == 2)
+    assert(sess.count(_.getAs[Long]("user_id") == 2L) == 1)
+    val s1 = sess.filter(r => r.getAs[Long]("user_id") == 1L && r.getAs[Long]("sid") == 1L).head
+    assert(s1.getAs[Long]("n_events") == 2L)
+  }
+
+  test("full cep query returns attacks on sf0.001") {
+    val res = EventOps.cepAttack(spark, sf0001)
+    assert(res.count() > 0)
+    // every result respects the run-length and threshold invariants
+    val bad = res.filter(col("fragment_count") < EventOps.MinRun ||
+      col("avg_packets") <= EventOps.HighThresh).count()
+    assert(bad == 0)
+  }
+}

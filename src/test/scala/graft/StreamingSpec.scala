@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.model.NetworkEvent
+import graft.sources.EventGen
+import graft.streaming.StreamingAnomaly
+
+class StreamingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val events = EventGen.stream(seed = 1, n = 1000, burstLen = 15, attackEvery = 200)
+  private val expectedAttacks = StreamingAnomaly.detectAttacksBatch(events)
+
+  test("generator plants detectable attacks; batch fold finds all 5 bursts") {
+    assert(expectedAttacks.length == 5, s"got ${expectedAttacks.length}")
+    expectedAttacks.foreach { a =>
+      assert(a.fragment_count == 15)
+      assert(a.avg_fragment_size < 64.0)
+      assert(a.size_reduction_percent > 50.0)
+    }
+  }
+
+  test("streaming CEP over MemoryStream matches the batch fold") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val parsed = StreamingAnomaly.parse(mem.toDF())
+    val results = StreamingAnomaly.detectAttacks(parsed)
+    val query = StreamingAnomaly.toJson(results).writeStream
+      .format("memory").queryName("attacks_out").outputMode("append").start()
+    try {
+      val json = events.map { e =>
+        Seq(
+          s""""event_type":"${e.event_type}"""",
+          s""""ip_src":"${e.ip_src}"""",
+          s""""ip_dst":"${e.ip_dst}"""",
+          s""""port_src":"${e.port_src}"""",
+          s""""port_dst":"${e.port_dst}"""",
+          s""""ip_proto":"${e.ip_proto}"""",
+          s""""timestamp_start":${e.timestamp_start}""",
+          s""""timestamp_end":${e.timestamp_end}""",
+          s""""packets":${e.packets}""",
+          s""""bytes":${e.bytes}""",
+          s""""writer_id":"${e.writer_id}"""",
+          s""""text":"${e.text.replace("\\", "\\\\").replace("\"", "\\\"")}""""
+        ).mkString("{", ",", "}")
+      }
+      // two micro-batches to exercise cross-batch state carry-over
+      val (b1, b2) = json.splitAt(json.length / 2)
+      mem.addData(b1)
+      query.processAllAvailable()
+      mem.addData(b2)
+      query.processAllAvailable()
+      val got = spark.table("attacks_out")
+        .select(from_json(col("value"), spark.range(1).select(
+          lit(0L).as("attack_start_time"), lit(0L).as("attack_end_time"),
+          lit("").as("attacker_id"), lit("").as("target_ip"),
+          lit(0L).as("fragment_count"), lit(0.0).as("avg_packets"),
+          lit(0.0).as("avg_fragment_size"), lit(0.0).as("size_reduction_percent")
+        ).schema).as("r"))
+        .select("r.*").collect()
+      assert(got.length == expectedAttacks.length,
+        s"streaming found ${got.length}, batch found ${expectedAttacks.length}")
+      val gotKeys = got.map(r =>
+        (r.getAs[Long]("attack_start_time"), r.getAs[String]("target_ip"),
+          r.getAs[Long]("fragment_count"))).toSet
+      val expKeys = expectedAttacks.map(a =>
+        (a.attack_start_time, a.target_ip, a.fragment_count)).toSet
+      assert(gotKeys == expKeys)
+    } finally query.stop()
+  }
+
+  test("watermarked tumbling aggregation emits finalized windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[NetworkEvent]
+    val agg = StreamingAnomaly.tumblingCounts(mem.toDS())
+    val query = agg.writeStream
+      .format("memory").queryName("tumbling_out").outputMode("append").start()
+    try {
+      // ~7 min of traffic so the 2-min watermark finalizes early windows
+      val long = EventGen.stream(seed = 2, n = 4000, attackEvery = 0)
+      mem.addData(long.take(3000))
+      query.processAllAvailable()
+      mem.addData(long.drop(3000))
+      query.processAllAvailable()
+      assert(spark.table("tumbling_out").count() > 0)
+    } finally query.stop()
+  }
+
+  test("parse drops malformed json lines") {
+    val good = """{"event_type":"GET","ip_src":"1.2.3.4","ip_dst":"5.6.7.8","port_src":"80","port_dst":"443","ip_proto":"TCP","timestamp_start":1000,"timestamp_end":2000,"packets":5,"bytes":100,"writer_id":"w","text":"t"}"""
+    val df = Seq(good, "not json at all", "{}").toDF("value")
+    val parsed = StreamingAnomaly.parse(df).collect()
+    assert(parsed.length == 1)
+    assert(parsed(0).ip_dst == "5.6.7.8")
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Analytics, TextOps}
+
+class TextAnalyticsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("sqli pattern flags the reference producers' payloads") {
+    val samples = Seq(
+      // from code/lambdas/fragmentation_attack/lambda_handler.py:24-26
+      "IP 192.168.1.5 > 10.34.0.9: frag 4242:0@ MF proto UDP: AND (SELECT 1234 FROM(SELECT COUNT(*),CONCAT(0x7171787671,(SELECT (ELT(1234=1234,1))),0x71707a7871,FLOOR(RAND(0)*2))x FROM INFORMATION_SCHEMA.CHARACTER_SETS GROUP BY x)a)",
+      "userid=1 UNION ALL SELECT CONCAT(0x7171787671,0x53,0x71707a7871),NULL,NULL--",
+      "totally normal apache log line GET /index.html 200")
+    val flags = samples.toDF("text")
+      .select(upper(col("text")).rlike(TextOps.sqliPattern).as("f"))
+      .collect().map(_.getBoolean(0))
+    assert(flags.toSeq == Seq(true, true, false))
+  }
+
+  test("langId discriminates real multilingual samples") {
+    val df = Seq(
+      (1L, "the cat is on the roof of the house", "en"),
+      (2L, "el gato de la casa es de que los vecinos", "es"),
+      (3L, "le chat et les amis des voisins une maison", "fr"),
+      (4L, "der hund und die katze das haus ein garten", "de"))
+      .toDF("doc_id", "text", "lang")
+    df.createOrReplaceTempView("documents_lang_test")
+    // reuse the same prediction logic by rebuilding it on this frame
+    val toks = split(col("text"), " ")
+    val profiles = Seq(
+      "en" -> Seq("the", "a", "and", "of", "is"),
+      "es" -> Seq("el", "la", "de", "que", "los"),
+      "fr" -> Seq("le", "la", "les", "des", "une"),
+      "de" -> Seq("der", "die", "und", "das", "ein"))
+    val scored = profiles.foldLeft(df) { case (d, (l, m)) =>
+      d.withColumn(s"c_$l", size(filter(toks, t => array_contains(array(m.map(lit): _*), t))))
+    }
+    val best = profiles.map { case (l, _) => col(s"c_$l") }
+    val pred = profiles.map(_._1).foldRight(lit("und")) { case (l, other) =>
+      when(col(s"c_$l") > 0 && col(s"c_$l") === greatest(best: _*), lit(l)).otherwise(other)
+    }
+    val out = scored.select(col("lang"), pred.as("pred")).collect()
+    assert(out.forall(r => r.getString(0) == r.getString(1)),
+      out.map(r => s"${r.getString(0)}->${r.getString(1)}").mkString(", "))
+  }
+
+  test("q1 aggregates reconcile with a direct recomputation (sf0.001)") {
+    val q1 = Analytics.q1PricingSummary(spark, sf0001).collect()
+    assert(q1.nonEmpty)
+    q1.foreach { r =>
+      assert(math.abs(r.getAs[Double]("avg_qty") -
+        r.getAs[Double]("sum_qty") / r.getAs[Long]("count_order")) < 1e-12)
+    }
+    val totalRows = q1.map(_.getAs[Long]("count_order")).sum
+    val expected = graft.sources.Tables.t(spark, sf0001, "lineitem")
+      .filter(col("l_shipdate") <= lit("2000-12-01")).count()
+    assert(totalRows == expected)
+  }
+
+  test("topk never exceeds 3 per customer and ranks by totalprice desc") {
+    val tk = Analytics.qTopkOrdersPerCust(spark, sf0001)
+    val bad = tk.groupBy("o_custkey").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 3).count()
+    assert(bad == 0)
+    val monotone = tk.groupBy("o_custkey")
+      .agg(min(when(col("rk") === 1, col("o_totalprice"))).as("p1"),
+        min(when(col("rk") === 2, col("o_totalprice"))).as("p2"))
+      .filter(col("p2").isNotNull && col("p1") < col("p2")).count()
+    assert(monotone == 0)
+  }
+}

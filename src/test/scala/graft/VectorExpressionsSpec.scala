@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+import graft.functions.{GraftFunctions, RollingHash}
+
+class VectorExpressionsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def naiveCosine(a: Seq[Float], b: Seq[Float]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+    val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+    dot / (na * nb)
+  }
+
+  test("graft_cosine matches naive cosine within quantization error") {
+    val a = Seq(0.1f, -0.2f, 0.3f, 0.05f)
+    val b = Seq(0.2f, -0.1f, 0.25f, -0.4f)
+    val got = Seq((a, b)).toDF("a", "b")
+      .select(GraftFunctions.graftCosine(col("a"), col("b"))).first().getDouble(0)
+    assert(math.abs(got - naiveCosine(a, b)) < 1e-6)
+  }
+
+  test("graft_cosine: identical vectors -> 1.0, orthogonal -> 0.0, zero -> 0.0") {
+    val rows = Seq(
+      (Seq(0.5f, 0.5f), Seq(0.5f, 0.5f)),
+      (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)),
+      (Seq(0.0f, 0.0f), Seq(1.0f, 1.0f)))
+    val got = rows.toDF("a", "b")
+      .select(GraftFunctions.graftCosine(col("a"), col("b")))
+      .collect().map(_.getDouble(0))
+    assert(math.abs(got(0) - 1.0) < 1e-9)
+    assert(math.abs(got(1)) < 1e-9)
+    assert(got(2) == 0.0)
+  }
+
+  test("graft_cosine null propagation") {
+    val df = spark.sql("SELECT graft_cosine(CAST(NULL AS ARRAY<FLOAT>), array(CAST(1.0 AS FLOAT))) AS c")
+    assert(df.first().isNullAt(0))
+  }
+
+  test("graft_simhash64: similar token sets have small hamming distance") {
+    val base = "the quick brown fox jumps over the lazy dog again and again".split(" ").toSeq
+    val near = base.updated(2, "red")
+    val far = "completely different words entirely unrelated to anything before now".split(" ").toSeq
+    val df = Seq((base, near, far)).toDF("a", "b", "c")
+      .select(
+        GraftFunctions.graftSimHash64(col("a")).as("ha"),
+        GraftFunctions.graftSimHash64(col("b")).as("hb"),
+        GraftFunctions.graftSimHash64(col("c")).as("hc"))
+    val Row(ha: Long, hb: Long, hc: Long) = df.first()
+    def hamming(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(hamming(ha, hb) < hamming(ha, hc))
+    assert(hamming(ha, ha) == 0)
+  }
+
+  test("graft_rolling_hash: deterministic and matches direct computation") {
+    val s = "hello graft"
+    val expected = RollingHash.hash(s.getBytes("UTF-8"))
+    val got = Seq(s).toDF("s")
+      .select(GraftFunctions.graftRollingHash(col("s"))).first().getLong(0)
+    assert(got == expected)
+    // polynomial identity: hash("ab") = (('a' mod M)*257 + 'b') mod M
+    val ab = RollingHash.hash("ab".getBytes)
+    assert(ab == ('a'.toLong * 257 + 'b'.toLong) % RollingHash.Mod)
+  }
+}

@@ -21,6 +21,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     functions.GraftFunctions.register(spark)
 
+    // warm up codegen, FS layer and the JIT before timing
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/nation.parquet").count()
+
     val targets = Registry.all.filter(_.headline)
     val results = targets.map { q =>
       val t0 = System.nanoTime()

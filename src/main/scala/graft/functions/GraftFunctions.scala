@@ -14,7 +14,10 @@ object GraftFunctions {
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_cosine" -> { args => QuantizedCosine(args(0), args(1)) },
     "graft_simhash64" -> { args => SimHash64(args(0)) },
-    "graft_rolling_hash" -> { args => RollingHash(args(0)) }
+    "graft_rolling_hash" -> { args => RollingHash(args(0)) },
+    "graft_minhash_sig" -> { args => MinHashSig(args(0)) },
+    "graft_word_shingles" -> { args =>
+      WordShingles(args(0), args(1).eval().asInstanceOf[Int]) }
   )
 
   def register(spark: SparkSession): Unit = {
@@ -31,4 +34,7 @@ object GraftFunctions {
   def graftCosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
   def graftSimHash64(tokens: Column): Column = call_function("graft_simhash64", tokens)
   def graftRollingHash(s: Column): Column = call_function("graft_rolling_hash", s)
+  def graftMinHashSig(tokens: Column): Column = call_function("graft_minhash_sig", tokens)
+  def graftWordShingles(text: Column, k: Int): Column =
+    call_function("graft_word_shingles", text, org.apache.spark.sql.functions.lit(k))
 }

@@ -140,3 +140,87 @@ object RollingHash {
     h
   }
 }
+
+/** All 64 MinHash signature values in ONE pass over the shingle array:
+  * sig[i] = min over shingles of pmod(A(i)*h + B(i), P) where h is the
+  * shingle's xxhash64 folded to 32 bits. Replaces 64 separate
+  * array_min(transform(...)) expressions whose generated code blew past
+  * JIT-friendly sizes; the tight nested loop here is ~64x|shingles|
+  * multiply-adds per row.
+  */
+case class MinHashSig(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val perms = MinHashSig.NumPerm
+    val mins = Array.fill(perms)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L) & 0xFFFFFFFFL
+        var p = 0
+        while (p < perms) {
+          val v = (MinHashSig.A(p) * h + MinHashSig.B(p)) % MinHashSig.P
+          if (v < mins(p)) mins(p) = v
+          p += 1
+        }
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  final val NumPerm = 64
+  final val P = 4294967311L // smallest prime > 2^32
+  private val rng = new scala.util.Random(42)
+  // A < 2^30 keeps A*h + B < 2^62 for 32-bit h.
+  val A: Array[Long] = Array.fill(NumPerm)(1L + rng.nextInt((1 << 30) - 1).toLong)
+  val B: Array[Long] = Array.fill(NumPerm)(rng.nextInt(Int.MaxValue).toLong)
+}
+
+/** Distinct word k-gram shingles of a text column in one pass. Replaces a
+  * transform(sequence(...), concat_ws(...)) + array_distinct chain: Spark
+  * evaluates higher-order lambdas interpretively per element, which showed
+  * up as ~2 ms/doc; this loop is ~30x faster and allocation-light.
+  */
+case class WordShingles(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_word_shingles"
+
+  private val space = UTF8String.fromString(" ")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].split(space, -1)
+    val n = toks.length - k + 1
+    if (n <= 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String](n * 2)
+    var i = 0
+    while (i < n) {
+      val parts = new Array[UTF8String](k)
+      var j = 0
+      while (j < k) { parts(j) = toks(i + j); j += 1 }
+      seen.add(UTF8String.concatWs(space, parts: _*))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var m = 0
+    while (it.hasNext) { out(m) = it.next(); m += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

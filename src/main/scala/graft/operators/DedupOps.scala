@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
@@ -15,19 +16,19 @@ import graft.sources.Tables
   */
 object DedupOps {
 
-  /** Word 3-gram shingles as a distinct array column (single pass, local). */
+  /** Word 5-gram shingles as a distinct array column (single pass, local).
+    * 5-grams (vs 3) keep near-dup Jaccard high while making shingles rare
+    * enough that inverted-index joins don't explode on a small vocabulary.
+    */
   private def withShingles(df: DataFrame): DataFrame =
-    df.withColumn("toks", split(col("text"), " "))
-      .withColumn("shs",
-        when(size(col("toks")) >= 3,
-          array_distinct(expr(
-            "transform(sequence(0, size(toks)-3), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))")))
-          .otherwise(array().cast("array<string>")))
+    Tables.spread(df).withColumn("shs",
+      GraftFunctions.graftWordShingles(col("text"), 5))
 
   private val sqlShingles: String =
-    """SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
-      |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shs
-      |FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM documents)""".stripMargin
+    """SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 3),
+      |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) AS shs
+      |FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM documents)
+      |WHERE len(toks) >= 5""".stripMargin
 
   /** Exact duplicate groups by content hash; keeper = min doc_id. */
   def exactDedup(s: SparkSession, dir: String): DataFrame =
@@ -49,22 +50,48 @@ object DedupOps {
   def jaccardPairs(s: SparkSession, dir: String): DataFrame =
     jaccardPairsOn(Tables.t(s, dir, "documents"))
 
-  /** Same, over any (doc_id, text) frame. */
+  /** Same, over any (doc_id, text) frame.
+    *
+    * Scale path: PPJoin-style prefix filtering. A raw inverted-index
+    * self-join explodes on hot shingles (every pair sharing ANY shingle
+    * becomes a candidate). Instead, order each doc's shingles rarest-first
+    * (global document frequency) and index only the prefix of length
+    * n - ceil(t*n) + 1: any pair with J >= t must share a prefix shingle
+    * (|A∩B| >= t*|A| when J >= t), so this is exact — candidates collapse
+    * from "share anything" to "share a rare shingle". Verification computes
+    * the true Jaccard on the candidates' full shingle arrays.
+    */
   def jaccardPairsOn(documents: DataFrame): DataFrame = {
+    val t = 0.8
+    // shingle arrays are consumed three times (index, verify x2): persist
+    // once instead of recomputing the map phase per consumer. Disk-backed,
+    // so the same plan holds when the corpus does not fit in memory.
     val sh = withShingles(documents)
       .select(col("doc_id"), col("shs"))
-    val inv = sh.select(col("doc_id"), explode(col("shs")).as("sh"))
-    val sz = sh.select(col("doc_id"), size(col("shs")).as("n_sh"))
-    val common = inv.as("a")
-      .join(inv.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(sz.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_sh", "n1"), "d1")
-      .join(sz.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "n2"), "d2")
+      .filter(size(col("shs")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inv = sh.select(col("doc_id"), size(col("shs")).as("n_sh"),
+      explode(col("shs")).as("sh"))
+    val freq = inv.groupBy("sh").agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy("doc_id").orderBy("df", "sh")
+    val prefix = inv.join(freq, "sh")
+      .withColumn("rk", row_number().over(byRarity))
+      .filter(col("rk") <= col("n_sh") - ceil(col("n_sh") * t) + 1)
+      .select("doc_id", "n_sh", "sh")
+    // size filter: J >= t forces min(|A|,|B|) >= t * max(|A|,|B|)
+    val cands = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.n_sh") >= col("b.n_sh") * t && col("b.n_sh") >= col("a.n_sh") * t)
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    cands
+      .join(sh.select(col("doc_id").as("d1"), col("shs").as("shs1")), "d1")
+      .join(sh.select(col("doc_id").as("d2"), col("shs").as("shs2")), "d2")
+      .withColumn("common", size(array_intersect(col("shs1"), col("shs2"))))
       .withColumn("jaccard", col("common").cast(DoubleType) /
-        (col("n1") + col("n2") - col("common")).cast(DoubleType))
-      .filter(col("jaccard") >= 0.8)
+        (size(col("shs1")) + size(col("shs2")) - col("common")).cast(DoubleType))
+      .filter(col("jaccard") >= t)
       .select("d1", "d2", "common", "jaccard")
       .orderBy("d1", "d2")
   }
@@ -84,22 +111,12 @@ object DedupOps {
        |ORDER BY d1, d2""".stripMargin
 
   // ---- MinHash + LSH ----------------------------------------------------
-  // 64 permutations, 16 bands x 4 rows. Signatures are computed entirely
-  // map-side with higher-order array expressions (array_min over an affine
-  // hash transform) — ZERO shuffle until the banding join.
-  final val NumPerm = 64
+  // 64 permutations, 16 bands x 4 rows. Signatures come from the native
+  // MinHashSig expression — one pass over the shingles per row, ZERO
+  // shuffle until the banding join.
+  final val NumPerm = graft.functions.MinHashSig.NumPerm
   final val Bands = 16
   final val RowsPerBand = NumPerm / Bands
-  final val MhPrime = 4294967311L // smallest prime > 2^32
-  private val rng = new scala.util.Random(42)
-  // a < 2^30 keeps a*h + b < 2^62 (h is a 32-bit unsigned murmur hash).
-  private[operators] val permA: Array[Long] =
-    Array.fill(NumPerm)(1L + rng.nextInt((1 << 30) - 1).toLong)
-  private[operators] val permB: Array[Long] =
-    Array.fill(NumPerm)(rng.nextInt(Int.MaxValue).toLong)
-
-  private def sigCol(i: Int): Column =
-    expr(s"array_min(transform(shs, s -> pmod(${permA(i)}L * (CAST(hash(s) AS BIGINT) & 4294967295) + ${permB(i)}L, ${MhPrime}L)))")
 
   /** MinHash-LSH near-dup: candidates from band-bucket join, verified with
     * exact Jaccard on the (few) candidates via array_intersect.
@@ -111,7 +128,8 @@ object DedupOps {
     val sh = withShingles(documents)
       .select(col("doc_id"), col("shs"))
       .filter(size(col("shs")) > 0)
-    val withSig = sh.withColumn("sig", array((0 until NumPerm).map(sigCol): _*))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withSig = sh.withColumn("sig", GraftFunctions.graftMinHashSig(col("shs")))
     val bandKeys = (0 until Bands).map { b =>
       val rows = (0 until RowsPerBand).map(r => col("sig").getItem(b * RowsPerBand + r))
       struct(lit(b).as("band"), xxhash64(rows: _*).as("bkey"))
@@ -119,6 +137,7 @@ object DedupOps {
     val exploded = withSig
       .select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = exploded.as("a")
       .join(exploded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&

@@ -14,14 +14,28 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
     // events.ts is parquet TIMESTAMP(NANOS): read as nanos-long (see
     // spark.sql.legacy.parquet.nanosAsLong) and normalize to a micros
     // timestamp with integer `div` (a double division would lose precision
     // above 2^53 ns).
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    val df =
+      if (name == "events" && raw.schema("ts").dataType == LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    df
+  }
+
+  /** The driver's tables are single-file/single-row-group parquet, which
+    * caps scan parallelism at 1 task no matter the split size. When (and
+    * only when) the scan yields far fewer partitions than the cluster has
+    * cores, insert one cheap round-robin shuffle so downstream map-heavy
+    * work parallelizes. On a real multi-row-group / multi-file 100 TB
+    * layout this is a no-op.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
   }
 
   /** Register every table as a temp view (for spark.sql callers). */

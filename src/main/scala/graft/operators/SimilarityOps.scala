@@ -92,6 +92,52 @@ object SimilarityOps {
       .orderBy("q_id", "rnk")
   }
 
+  /** IVF ANN: MLlib KMeans coarse quantizer (k=16, seeded) partitions the
+    * corpus into cells; each query probes only the `nprobe` nearest cells
+    * instead of scanning everything. At 100 TB the cell assignment is
+    * write-once (bucketed by cell id), so a query touches nprobe/k of the
+    * data. Approximate -> rows-only checked; recall vs brute force is
+    * unit-tested.
+    */
+  def knnIvf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val nprobe = 4
+    val e = Tables.spread(Tables.t(s, dir, "embeddings"))
+      .withColumn("features", array_to_vector(col("embedding")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val model = new KMeans().setK(16).setSeed(42L).setMaxIter(5)
+      .fit(e.select("features"))
+    val assigned = model.transform(e).withColumnRenamed("prediction", "cell")
+    val centroids = model.clusterCenters
+    // probe sets: nprobe nearest centroids per query (k x q distances —
+    // metadata-sized, computed on the driver like any index lookup)
+    val queries = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val qVecs = queries.collect().map(r =>
+      (r.getAs[Long]("q_id"), r.getAs[scala.collection.Seq[Float]]("q_emb").toArray))
+    val probes = qVecs.flatMap { case (qid, v) =>
+      centroids.zipWithIndex
+        .map { case (c, ci) =>
+          var d = 0.0
+          val ca = c.toArray
+          for (i <- ca.indices) { val t = ca(i) - v(i); d += t * t }
+          (ci, d)
+        }
+        .sortBy(_._2).take(nprobe).map { case (ci, _) => (qid, ci) }
+    }.toSeq
+    val probeDf = s.createDataFrame(probes).toDF("q_id", "cell")
+      .join(queries, "q_id")
+    val scored = assigned.join(broadcast(probeDf), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", graftCosine(col("q_emb"), col("embedding")))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("rnk"), col("sim"))
+      .orderBy("q_id", "rnk")
+  }
+
   /** Per-label centroids (IVF coarse quantizer building block): exact
     * integer sums of quantized components -> order-independent.
     */
@@ -146,6 +192,7 @@ object SimilarityOps {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("emb_knn_brute", knnBrute, Some(knnOracle), headline = true),
     QueryDef("emb_knn_lsh", knnLsh, None),
+    QueryDef("emb_knn_ivf", knnIvf, None),
     QueryDef("emb_label_centroids", labelCentroids, Some(centroidsOracle)),
     QueryDef("emb_cosine_dups", cosineDups, Some(cosineDupsOracle))
   )

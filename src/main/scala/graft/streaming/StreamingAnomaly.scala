@@ -154,6 +154,22 @@ object StreamingAnomaly {
     }
   }
 
+  /** Exactly-once ingest semantics for at-least-once transports (the
+    * reference's Kafka -> Firehose fan-out replays on retry): drop replayed
+    * events by identity key within the watermark horizon. State is bounded
+    * by the watermark, so this holds at stream scale.
+    */
+  def dedupStream(events: Dataset[NetworkEvent]): Dataset[NetworkEvent] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withColumn("event_time", timestamp_millis(col("timestamp_start")))
+      .withWatermark("event_time", "2 minutes")
+      .dropDuplicatesWithinWatermark("ip_src", "ip_dst", "timestamp_start", "writer_id")
+      .drop("event_time")
+      .as[NetworkEvent]
+  }
+
   /** Watermarked tumbling event-time aggregation (the streaming counterpart
     * of EventOps.tumblingHourly, at 1-minute granularity).
     */

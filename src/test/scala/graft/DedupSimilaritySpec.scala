@@ -54,6 +54,16 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(got == expectedTop)
   }
 
+  test("IVF ANN recalls most brute-force top-10 neighbors (sf0.001)") {
+    val brute = SimilarityOps.knnBrute(spark, sf0001)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val ivf = SimilarityOps.knnIvf(spark, sf0001)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = brute.count(ivf.contains).toDouble / brute.size
+    assert(recall >= 0.3, s"IVF recall $recall implausibly low")
+    assert(ivf.size == brute.size)
+  }
+
   test("label centroids: n sums to corpus size (sf0.001)") {
     val c = SimilarityOps.labelCentroids(spark, sf0001)
     val total = c.agg(sum("n")).first().getLong(0)

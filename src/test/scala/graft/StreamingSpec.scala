@@ -88,6 +88,22 @@ class StreamingSpec extends SparkSpecBase {
     } finally query.stop()
   }
 
+  test("dedupStream drops replayed events within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[NetworkEvent]
+    val deduped = StreamingAnomaly.dedupStream(mem.toDS())
+    val query = deduped.writeStream
+      .format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      val base = events.take(50)
+      mem.addData(base ++ base.take(20)) // 20 replays in the same batch
+      query.processAllAvailable()
+      mem.addData(base.take(10))         // replays in a later batch
+      query.processAllAvailable()
+      assert(spark.table("dedup_out").count() == 50)
+    } finally query.stop()
+  }
+
   test("parse drops malformed json lines") {
     val good = """{"event_type":"GET","ip_src":"1.2.3.4","ip_dst":"5.6.7.8","port_src":"80","port_dst":"443","ip_proto":"TCP","timestamp_start":1000,"timestamp_end":2000,"packets":5,"bytes":100,"writer_id":"w","text":"t"}"""
     val df = Seq(good, "not json at all", "{}").toDF("value")

@@ -167,6 +167,41 @@ object TextOps {
       |     UNNEST(range(1, len(toks))) AS r(i)
       |GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin
 
+  /** Apache combined-log parsing (the reference producers emit this format
+    * in `text`: producer/lambda_function.py:115-119). regexp_extract stays
+    * in codegen; one pass, no UDF.
+    */
+  val apacheLogRe: String =
+    "^(\\S+) \\S+ \\S+ \\[([^\\]]*)\\] \"(\\S+) (\\S+)[^\"]*\" (\\d+) (\\d+)"
+
+  def parseApacheLog(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("log_ip", regexp_extract(col(textCol), apacheLogRe, 1))
+      .withColumn("log_ts", regexp_extract(col(textCol), apacheLogRe, 2))
+      .withColumn("log_method", regexp_extract(col(textCol), apacheLogRe, 3))
+      .withColumn("log_path", regexp_extract(col(textCol), apacheLogRe, 4))
+      .withColumn("log_status",
+        when(regexp_extract(col(textCol), apacheLogRe, 5) === "", null)
+          .otherwise(regexp_extract(col(textCol), apacheLogRe, 5)).cast("int"))
+      .withColumn("log_bytes",
+        when(regexp_extract(col(textCol), apacheLogRe, 6) === "", null)
+          .otherwise(regexp_extract(col(textCol), apacheLogRe, 6)).cast("int"))
+
+  /** Sanitization rewrites from the reference agent action group
+    * (agent_action_group/action_group.py:29-33).
+    */
+  def sanitize(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, lit("Fragment Attack Detection"), lit("Network Event")),
+        lit("Attacker IP"), lit("Source IP")),
+      lit("Attack"), lit("Event"))
+
+  /** Severity routing rule (action_group.py:139-155: only severity 2 —
+    * direct evidence of malicious intent — notifies).
+    */
+  def classifySeverity(text: Column): Column =
+    when(upper(text).rlike(sqliPattern), 2).otherwise(1)
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("doc_token_stats", tokenStats, Some(tokenStatsOracle)),
     QueryDef("doc_quality", quality, Some(qualityOracle)),

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{SkewJoin, TextOps}
+
+class UtilOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("saltedJoin matches a plain join on skewed data") {
+    val big = (Seq.fill(5000)(("hot", 1)) ++ (1 to 100).map(i => (s"k$i", i)))
+      .toDF("k", "v")
+    val small = (Seq(("hot", 99)) ++ (1 to 100).map(i => (s"k$i", i * 2)))
+      .toDF("k", "w")
+    val plain = big.join(small, "k").agg(sum("w"), count(lit(1))).first()
+    val salted = SkewJoin.saltedJoin(big, small, "k", 8)
+      .agg(sum("w"), count(lit(1))).first()
+    assert(plain == salted)
+  }
+
+  test("apache log parse extracts fields from reference-format lines") {
+    val line = """84.55.41.57 - - [14/Apr/2023:08:22:13 0100] "GET /wordpress/check_user.php?userid=1 HTTP/1.1" 200 166 "-" "Mozilla/5.0""""
+    val df = TextOps.parseApacheLog(Seq(line, "garbage").toDF("text"), "text").collect()
+    val ok = df(0)
+    assert(ok.getAs[String]("log_ip") == "84.55.41.57")
+    assert(ok.getAs[String]("log_method") == "GET")
+    assert(ok.getAs[Int]("log_status") == 200)
+    assert(ok.getAs[Int]("log_bytes") == 166)
+    assert(df(1).isNullAt(df(1).fieldIndex("log_status")))
+  }
+
+  test("sanitize + severity mirror the reference action group rules") {
+    val df = Seq(
+      ("Fragment Attack Detection: Attacker IP 1.2.3.4 Attack ongoing",
+        "userid=1 UNION ALL SELECT CONCAT(0x71,0x53),NULL--"),
+      ("benign report", "normal request"))
+      .toDF("report", "payload")
+      .select(
+        TextOps.sanitize(col("report")).as("clean"),
+        TextOps.classifySeverity(col("payload")).as("sev"))
+      .collect()
+    assert(df(0).getAs[String]("clean") == "Network Event: Source IP 1.2.3.4 Event ongoing")
+    assert(df(0).getAs[Int]("sev") == 2)
+    assert(df(1).getAs[Int]("sev") == 1)
+  }
+}

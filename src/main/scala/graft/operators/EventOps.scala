@@ -273,7 +273,49 @@ object EventOps {
       |       CAST(CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** As-of join: each event picks the latest order of the same customer at
+    * or before its timestamp. Spark has no native ASOF; the scalable
+    * composition is union + one keyed window pass (a single shuffle on the
+    * key — never a per-row range subquery). The oracle is DuckDB's native
+    * ASOF JOIN, i.e. an independent implementation of the same semantics.
+    * Orders are first reduced to one per (custkey, orderdate) so the as-of
+    * pick is unambiguous in both engines.
+    */
+  def asofLastOrder(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "events")
+    val o = Tables.t(s, dir, "orders")
+      .groupBy("o_custkey", "o_orderdate")
+      .agg(max("o_orderkey").as("o_orderkey"))
+    val oTag = o.select(
+      col("o_custkey").as("k"), epochUs(col("o_orderdate")).as("t"),
+      lit(null).cast(LongType).as("event_id"),
+      col("o_orderkey"), lit(0).as("tag"))
+    val eTag = e.select(
+      col("user_id").as("k"), epochUs(col("ts")).as("t"),
+      col("event_id"), lit(null).cast(LongType).as("o_orderkey"), lit(1).as("tag"))
+    // at equal t the order row sorts first, so "ts >= orderdate" includes it
+    val w = Window.partitionBy("k").orderBy("t", "tag")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    oTag.unionByName(eTag)
+      .withColumn("mk", last(col("o_orderkey"), ignoreNulls = true).over(w))
+      .withColumn("mt", last(when(col("tag") === 0, col("t")), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1 && col("mk").isNotNull)
+      .select(col("event_id"), col("k").as("user_id"),
+        col("mk").as("o_orderkey"), col("mt").as("odate_us"))
+      .orderBy("event_id")
+  }
+
+  val asofOracle: String =
+    """WITH orders_d AS (
+      |  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+      |  FROM orders GROUP BY o_custkey, o_orderdate)
+      |SELECT e.event_id, e.user_id, o.o_orderkey, epoch_us(o.o_orderdate) AS odate_us
+      |FROM events e ASOF JOIN orders_d o
+      |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+      |ORDER BY event_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("ev_asof_last_order", asofLastOrder, Some(asofOracle)),
     QueryDef("ev_tumbling_hourly", tumblingHourly, Some(tumblingOracle)),
     QueryDef("ev_sliding_6h", sliding6h, Some(slidingOracle)),
     QueryDef("ev_sessionize", sessionize, Some(sessionizeOracle)),

@@ -145,7 +145,7 @@ object Analytics {
     val w = Window.partitionBy("o_custkey")
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
     Tables.t(s, dir, "orders")
-      .withColumn("rk", row_number().over(w))
+      .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= 3)
       .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
       .orderBy("o_custkey", "rk")

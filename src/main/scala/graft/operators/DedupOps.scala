@@ -88,7 +88,7 @@ object DedupOps {
     cands
       .join(sh.select(col("doc_id").as("d1"), col("shs").as("shs1")), "d1")
       .join(sh.select(col("doc_id").as("d2"), col("shs").as("shs2")), "d2")
-      .withColumn("common", size(array_intersect(col("shs1"), col("shs2"))))
+      .withColumn("common", size(array_intersect(col("shs1"), col("shs2"))).cast("long"))
       .withColumn("jaccard", col("common").cast(DoubleType) /
         (size(col("shs1")) + size(col("shs2")) - col("common")).cast(DoubleType))
       .filter(col("jaccard") >= t)

@@ -40,7 +40,7 @@ object SimilarityOps {
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("sim", graftCosine(col("q_emb"), col("embedding")))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
-    scored.withColumn("rnk", row_number().over(w))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 10)
       .select(col("q_id"), col("vec_id").as("n_id"), col("rnk"), col("sim"))
       .orderBy("q_id", "rnk")
@@ -86,7 +86,7 @@ object SimilarityOps {
     val scored = e.join(broadcast(q), col("sig") === col("q_sig") && col("vec_id") =!= col("q_id"))
       .withColumn("sim", graftCosine(col("q_emb"), col("embedding")))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
-    scored.withColumn("rnk", row_number().over(w))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 10)
       .select(col("q_id"), col("vec_id").as("n_id"), col("rnk"), col("sim"))
       .orderBy("q_id", "rnk")
@@ -132,7 +132,7 @@ object SimilarityOps {
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("sim", graftCosine(col("q_emb"), col("embedding")))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
-    scored.withColumn("rnk", row_number().over(w))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 10)
       .select(col("q_id"), col("vec_id").as("n_id"), col("rnk"), col("sim"))
       .orderBy("q_id", "rnk")

@@ -25,9 +25,9 @@ object TextOps {
   def tokenStats(s: SparkSession, dir: String): DataFrame =
     Tables.t(s, dir, "documents")
       .select(col("doc_id"),
-        size(split(col("text"), " ")).as("n_ws_tokens"),
-        regexp_count(col("text"), lit(tokPat)).as("n_bpe_tokens"),
-        length(col("text")).as("n_chars_calc"))
+        size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
+        regexp_count(col("text"), lit(tokPat)).cast("long").as("n_bpe_tokens"),
+        length(col("text")).cast("long").as("n_chars_calc"))
       .orderBy("doc_id")
 
   val tokenStatsOracle: String =
@@ -43,10 +43,10 @@ object TextOps {
     val toks = split(col("text"), " ")
     Tables.t(s, dir, "documents")
       .select(col("doc_id"),
-        size(toks).as("n_tokens"),
-        size(filter(toks, t => array_contains(stopArr, t))).as("n_stop"),
-        size(array_distinct(toks)).as("n_uniq"),
-        (length(col("text")) - (size(toks) - lit(1))).as("n_letter"))
+        size(toks).cast("long").as("n_tokens"),
+        size(filter(toks, t => array_contains(stopArr, t))).cast("long").as("n_stop"),
+        size(array_distinct(toks)).cast("long").as("n_uniq"),
+        (length(col("text")) - (size(toks) - lit(1))).cast("long").as("n_letter"))
       .withColumn("stop_ratio", col("n_stop").cast(DoubleType) / col("n_tokens"))
       .withColumn("uniq_ratio", col("n_uniq").cast(DoubleType) / col("n_tokens"))
       .withColumn("mean_word_len", col("n_letter").cast(DoubleType) / col("n_tokens"))

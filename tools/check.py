@@ -41,7 +41,7 @@ for name in sorted(os.listdir(OUT)):
     s = s.sort_values(by=list(s.columns)).reset_index(drop=True)
     o = o.sort_values(by=list(o.columns)).reset_index(drop=True)
     try:
-        pd.testing.assert_frame_equal(s, o, check_dtype=False, check_exact=True)
+        pd.testing.assert_frame_equal(s, o, check_dtype=True, check_exact=True)
         results[name] = f"OK ({len(s)} rows)"
     except AssertionError as e:
         results[name] = "VALUE MISMATCH: " + str(e).split("\n")[0]

@@ -1,11 +1,16 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
+
+/** graft's native Catalyst expressions. All implement doGenCode as a static
+  * call into their companion (no boxing, no virtual eval dispatch) so the
+  * enclosing stage keeps WholeStageCodegen — a CodegenFallback expression
+  * would knock the whole stage back to interpreted volcano mode.
+  */
 
 /** Cosine similarity over float vectors, quantized to a 1e-9 grid so the
   * accumulation is exact 64-bit integer math: order-independent and
@@ -66,14 +71,24 @@ object QuantizedCosine {
   * Single pass, no shuffle — the banding join downstream is the only
   * exchange in the near-dup pipeline.
   */
-case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class SimHash64(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash64"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(input: Any): Any =
+    SimHash64.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SimHash64.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  def compute(arr: ArrayData): Long = {
     val acc = new Array[Int](64)
     var i = 0
     while (i < arr.numElements()) {
@@ -95,25 +110,23 @@ case class SimHash64(child: Expression)
     }
     out
   }
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
 }
 
 /** Karp–Rabin polynomial rolling hash of a string (base 257, mod 2^61-1).
   * Content-defined fingerprint building block; exposed for chunking /
   * shingling without materializing substrings.
   */
-case class RollingHash(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class RollingHash(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_rolling_hash"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
-    RollingHash.hash(bytes)
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    RollingHash.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.RollingHash.compute($c);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -122,6 +135,8 @@ case class RollingHash(child: Expression)
 object RollingHash {
   final val Mod = (1L << 61) - 1
   final val Base = 257L
+
+  def compute(s: UTF8String): Long = hash(s.getBytes)
 
   def hash(bytes: Array[Byte]): Long = {
     var h = 0L
@@ -148,32 +163,17 @@ object RollingHash {
   * JIT-friendly sizes; the tight nested loop here is ~64x|shingles|
   * multiply-adds per row.
   */
-case class MinHashSig(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class MinHashSig(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash_sig"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    val perms = MinHashSig.NumPerm
-    val mins = Array.fill(perms)(Long.MaxValue)
-    var i = 0
-    while (i < n) {
-      if (!arr.isNullAt(i)) {
-        val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L) & 0xFFFFFFFFL
-        var p = 0
-        while (p < perms) {
-          val v = (MinHashSig.A(p) * h + MinHashSig.B(p)) % MinHashSig.P
-          if (v < mins(p)) mins(p) = v
-          p += 1
-        }
-      }
-      i += 1
-    }
-    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(mins)
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashSig.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinHashSig.compute($c);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -186,6 +186,25 @@ object MinHashSig {
   // A < 2^30 keeps A*h + B < 2^62 for 32-bit h.
   val A: Array[Long] = Array.fill(NumPerm)(1L + rng.nextInt((1 << 30) - 1).toLong)
   val B: Array[Long] = Array.fill(NumPerm)(rng.nextInt(Int.MaxValue).toLong)
+
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val mins = Array.fill(NumPerm)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L) & 0xFFFFFFFFL
+        var p = 0
+        while (p < NumPerm) {
+          val v = (A(p) * h + B(p)) % P
+          if (v < mins(p)) mins(p) = v
+          p += 1
+        }
+      }
+      i += 1
+    }
+    ArrayData.toArrayData(mins)
+  }
 }
 
 /** Distinct word k-gram shingles of a text column in one pass. Replaces a
@@ -193,18 +212,29 @@ object MinHashSig {
   * evaluates higher-order lambdas interpretively per element, which showed
   * up as ~2 ms/doc; this loop is ~30x faster and allocation-light.
   */
-case class WordShingles(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_word_shingles"
 
+  override protected def nullSafeEval(input: Any): Any =
+    WordShingles.compute(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WordShingles.compute($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordShingles {
   private val space = UTF8String.fromString(" ")
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[UTF8String].split(space, -1)
+  def compute(text: UTF8String, k: Int): ArrayData = {
+    val toks = text.split(space, -1)
     val n = toks.length - k + 1
-    if (n <= 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    if (n <= 0) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[UTF8String](n * 2)
     var i = 0
     while (i < n) {
@@ -218,9 +248,6 @@ case class WordShingles(child: Expression, k: Int)
     val it = seen.iterator()
     var m = 0
     while (it.hasNext) { out(m) = it.next(); m += 1 }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    new GenericArrayData(out)
   }
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
 }

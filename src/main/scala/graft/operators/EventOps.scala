@@ -206,6 +206,35 @@ object EventOps {
       |FROM p JOIN u USING (user_id) JOIN t USING (event_type) CROSS JOIN tot
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** IPInsights-style TRAINED co-occurrence scorer (the reference trains a
+    * SageMaker IPInsights embedding on (entity, ip) pairs — sagemaker
+    * notebook cells 10-13 — and scores event pairs against it). Spark-first
+    * analog: MLlib ALS with implicit feedback learns entity/type latent
+    * factors from co-occurrence counts; score = <user_vec, type_vec>, low
+    * score for an observed pair = anomalous association. Model-dependent ->
+    * rows-only; monotonicity vs raw counts is unit-tested.
+    */
+  def ipinsightsScore(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.recommendation.ALS
+    val e = Tables.t(s, dir, "events")
+    val types = e.select("event_type").distinct().collect()
+      .map(_.getString(0)).sorted.zipWithIndex.toMap
+    val toIdx = udf((t: String) => types(t))
+    val pairs = e.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n_pair"))
+      .withColumn("type_idx", toIdx(col("event_type")))
+      .withColumn("strength", log1p(col("n_pair")))
+    val als = new ALS()
+      .setUserCol("user_id").setItemCol("type_idx").setRatingCol("strength")
+      .setImplicitPrefs(true).setRank(8).setMaxIter(5).setSeed(42L)
+    val model = als.fit(pairs)
+    model.setColdStartStrategy("drop")
+    model.transform(pairs)
+      .select(col("user_id"), col("event_type"), col("n_pair"),
+        col("prediction").cast(DoubleType).as("score"))
+      .orderBy("user_id", "event_type")
+  }
+
   /** Z-score outliers per event type. Moments from exact decimal sums; the
     * naive-variance formula is written identically in both engines so the
     * IEEE op sequence matches bit-for-bit.
@@ -321,6 +350,7 @@ object EventOps {
     QueryDef("ev_sessionize", sessionize, Some(sessionizeOracle)),
     QueryDef("ev_cep_attack", cepAttack, Some(cepOracle), headline = true),
     QueryDef("ev_rarity_score", rarityScore, Some(rarityOracle)),
+    QueryDef("ev_ipinsights_score", ipinsightsScore, None),
     QueryDef("ev_zscore_outliers", zscoreOutliers, Some(zscoreOracle)),
     QueryDef("ev_dedup_replay", dedupReplay, Some(dedupReplayOracle)),
     QueryDef("ev_json_extract", jsonExtract, Some(jsonExtractOracle))

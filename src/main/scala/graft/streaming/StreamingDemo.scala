@@ -53,9 +53,12 @@ object StreamingDemo {
       .option("checkpointLocation", s"$outDir/checkpoint")
       .trigger(Trigger.AvailableNow())
       .start()
+    val t0 = System.nanoTime()
     query.awaitTermination()
+    val secs = (System.nanoTime() - t0) / 1e9
     val n = spark.read.json(s"$outDir/attacks").count()
-    println(s"[demo] attacks detected: $n")
+    val nIn = spark.read.text(inDir).count()
+    println(f"[demo] attacks detected: $n; throughput: ${nIn / secs}%.0f events/s ($nIn events in $secs%.1f s)")
     spark.stop()
   }
 }

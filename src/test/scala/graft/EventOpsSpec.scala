@@ -52,6 +52,16 @@ class EventOpsSpec extends SparkSpecBase {
     assert(s1.getAs[Long]("n_events") == 2L)
   }
 
+  test("ALS ipinsights scores rank frequent pairs above rare ones (sf0.001)") {
+    val scored = graft.operators.EventOps.ipinsightsScore(spark, sf0001).collect()
+    assert(scored.nonEmpty)
+    val byFreq = scored.sortBy(_.getAs[Long]("n_pair"))
+    val lowQ = byFreq.take(byFreq.length / 4).map(_.getAs[Double]("score"))
+    val highQ = byFreq.takeRight(byFreq.length / 4).map(_.getAs[Double]("score"))
+    assert(highQ.sum / highQ.length > lowQ.sum / lowQ.length,
+      "trained scores should track co-occurrence strength")
+  }
+
   test("full cep query returns attacks on sf0.001") {
     val res = EventOps.cepAttack(spark, sf0001)
     assert(res.count() > 0)

@@ -1,0 +1,30 @@
+package graft
+
+import graft.operators.{Analytics, SimilarityOps}
+
+/** Plan-shape assertions: the scale claims (pushdown, pruning, broadcast,
+  * rank-limit pushdown) hold in the compiled physical plan, not just in
+  * prose.
+  */
+class PlanSpec extends SparkSpecBase {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q1: shipdate filter reaches the parquet scan; schema pruned") {
+    val p = plan(Analytics.q1PricingSummary(spark, sf0001))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(!p.contains("l_orderkey"), "unused column not pruned from scan")
+  }
+
+  test("q5: bounded dims broadcast") {
+    val p = plan(Analytics.q5LocalSupplier(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("PushedFilters: [IsNotNull(r_name), EqualTo(r_name,ASIA)"))
+  }
+
+  test("knn: rank<=k pushes a WindowGroupLimit below the final sort") {
+    val p = plan(SimilarityOps.knnBrute(spark, sf0001))
+    assert(p.contains("WindowGroupLimit"))
+  }
+}

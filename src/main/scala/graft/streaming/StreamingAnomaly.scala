@@ -59,37 +59,42 @@ object StreamingAnomaly {
       maxRun: Int = 30,
       withinMs: Long = 60000L)
 
-  /** Per-key CEP state carried across micro-batches: the open run of
-    * low-packet fragments, if any.
+  /** One buffered fragment of the open run. */
+  final case class Frag(startMs: Long, endMs: Long, size: Double, src: String)
+
+  /** Per-key CEP state carried across micro-batches: the last <= maxRun
+    * fragments of the open run (Flink's greedy times(min,max) +
+    * skipPastLastEvent matches the LAST <= maxRun fragments of a longer
+    * run, so a bounded ring buffer is exactly the state needed — O(maxRun)
+    * per key).
     */
-  final case class RunState(
-      startMs: Long, lastMs: Long, lastEndMs: Long, attacker: String,
-      count: Long, sumFragSize: Double)
+  final case class RunState(frags: Vector[Frag])
 
   /** Fold one event through the state machine; emits a result when a
     * high-packet event closes a qualifying run (reference semantics:
-    * avg_fragment_size = mean(bytes/packets) over the run, avg_packets =
-    * mean(packets) over the single "normal" event).
+    * avg_fragment_size = mean(bytes/packets) over the matched fragments,
+    * avg_packets = mean(packets) over the single "normal" event).
     */
   private def step(st: Option[RunState], e: NetworkEvent, p: CepParams)
       : (Option[RunState], Option[AttackResult]) = {
     if (e.packets < p.lowPackets) {
-      val frag = e.bytes.toDouble / e.packets
+      val frag = Frag(e.timestamp_start, e.timestamp_end,
+        e.bytes.toDouble / e.packets, e.ip_src)
       val next = st match {
-        case Some(r) => r.copy(lastMs = e.timestamp_start, lastEndMs = e.timestamp_end,
-          count = r.count + 1, sumFragSize = r.sumFragSize + frag)
-        case None => RunState(e.timestamp_start, e.timestamp_start, e.timestamp_end,
-          e.ip_src, 1L, frag)
+        case Some(r) => r.copy(frags = (r.frags :+ frag).takeRight(p.maxRun))
+        case None => RunState(Vector(frag))
       }
       (Some(next), None)
     } else if (e.packets > p.highPackets) {
       val res = st.collect {
-        case r if r.count >= p.minRun && r.count <= p.maxRun &&
-          e.timestamp_start - r.startMs <= p.withinMs =>
-          val avgFrag = r.sumFragSize / r.count
+        case r if r.frags.length >= p.minRun &&
+          e.timestamp_start - r.frags.head.startMs <= p.withinMs =>
+          val n = r.frags.length
+          val avgFrag = r.frags.map(_.size).sum / n
           val avgPk = e.packets.toDouble
-          AttackResult(r.startMs, r.lastEndMs, r.attacker, e.ip_dst, r.count,
-            avgPk, avgFrag, (avgPk - avgFrag) / avgPk * 100)
+          AttackResult(r.frags.head.startMs, r.frags.last.endMs,
+            r.frags.head.src, e.ip_dst, n.toLong, avgPk, avgFrag,
+            (avgPk - avgFrag) / avgPk * 100)
       }
       (None, res) // skip-past-last-event: state always resets on a high event
     } else (st, None)
@@ -136,8 +141,36 @@ object StreamingAnomaly {
       }
   }
 
-  /** Batch replay of the same detection (identical `step` fold, so batch
-    * and streaming agree by construction).
+  /** Distributed batch replay with EXACT reference semantics at scale:
+    * hash-repartition by key, sort within partitions by (key, time), then
+    * one linear mapPartitions pass running the same `step` fold across key
+    * boundaries. No window self-joins, no per-group materialization —
+    * memory is O(maxRun) per open key, and the sort spills. This is the
+    * one place composition genuinely can't express the semantics
+    * (greedy times(min,max) + skip-past-last with run truncation), so
+    * mapPartitions is warranted.
+    */
+  def detectAttacksBatchDs(events: Dataset[NetworkEvent], p: CepParams = CepParams())
+      : Dataset[AttackResult] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .repartition(col("ip_dst"))
+      .sortWithinPartitions(col("ip_dst"), col("timestamp_start"), col("timestamp_end"))
+      .mapPartitions { it =>
+        var curKey: String = null
+        var st: Option[RunState] = None
+        it.flatMap { e =>
+          if (e.ip_dst != curKey) { curKey = e.ip_dst; st = None }
+          val (ns, res) = step(st, e, p)
+          st = ns
+          res.iterator
+        }
+      }
+  }
+
+  /** Local batch replay of the same detection (identical `step` fold, so
+    * local, distributed-batch and streaming agree by construction).
     */
   def detectAttacksBatch(events: Seq[NetworkEvent], p: CepParams = CepParams())
       : Seq[AttackResult] = {

@@ -88,6 +88,25 @@ class StreamingSpec extends SparkSpecBase {
     } finally query.stop()
   }
 
+  test("distributed batch CEP (sorted mapPartitions) matches the local fold") {
+    val ds = spark.createDataset(events)(implicitly)
+    val got = StreamingAnomaly.detectAttacksBatchDs(ds).collect()
+      .map(a => (a.attack_start_time, a.target_ip, a.fragment_count)).toSet
+    val exp = expectedAttacks
+      .map(a => (a.attack_start_time, a.target_ip, a.fragment_count)).toSet
+    assert(got == exp)
+  }
+
+  test("long runs match the LAST maxRun fragments (Flink greedy + skip-past-last)") {
+    val long = EventGen.stream(seed = 3, n = 400, burstLen = 45, attackEvery = 200)
+    val res = StreamingAnomaly.detectAttacksBatch(long)
+    assert(res.nonEmpty)
+    assert(res.forall(_.fragment_count == 30), res.map(_.fragment_count).toString)
+    // and runs shorter than minRun never match
+    val tiny = EventGen.stream(seed = 4, n = 400, burstLen = 5, attackEvery = 200)
+    assert(StreamingAnomaly.detectAttacksBatch(tiny).isEmpty)
+  }
+
   test("dedupStream drops replayed events within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[NetworkEvent]

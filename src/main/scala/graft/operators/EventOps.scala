@@ -206,6 +206,36 @@ object EventOps {
       |FROM p JOIN u USING (user_id) JOIN t USING (event_type) CROSS JOIN tot
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** Exact rank-based quantiles per group (value at rank ceil(q*n) — the
+    * "lower" quantile, no interpolation, so it is deterministic and
+    * oracle-checkable; the sketch path for 100 TB is approx_percentile).
+    * One shuffle; the rank window and the count window share it.
+    */
+  def quantilesByType(s: SparkSession, dir: String): DataFrame = {
+    val byTypeVal = Window.partitionBy("event_type").orderBy("value", "event_id")
+    val byType = Window.partitionBy("event_type")
+    def pick(q: Double) =
+      max(when(col("rn") === ceil(lit(q) * col("n")).cast(LongType), col("value")))
+    Tables.t(s, dir, "events")
+      .withColumn("rn", row_number().over(byTypeVal).cast(LongType))
+      .withColumn("n", count(lit(1)).over(byType))
+      .groupBy("event_type")
+      .agg(pick(0.5).as("p50"), pick(0.95).as("p95"), pick(0.99).as("p99"))
+      .orderBy("event_type")
+  }
+
+  val quantilesOracle: String =
+    """WITH r AS (
+      |  SELECT event_type, value, event_id,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+      |         COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events)
+      |SELECT event_type,
+      |  MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT) THEN value END) AS p50,
+      |  MAX(CASE WHEN rn = CAST(CEIL(0.95 * n) AS BIGINT) THEN value END) AS p95,
+      |  MAX(CASE WHEN rn = CAST(CEIL(0.99 * n) AS BIGINT) THEN value END) AS p99
+      |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** IPInsights-style TRAINED co-occurrence scorer (the reference trains a
     * SageMaker IPInsights embedding on (entity, ip) pairs — sagemaker
     * notebook cells 10-13 — and scores event pairs against it). Spark-first
@@ -351,6 +381,7 @@ object EventOps {
     QueryDef("ev_cep_attack", cepAttack, Some(cepOracle), headline = true),
     QueryDef("ev_rarity_score", rarityScore, Some(rarityOracle)),
     QueryDef("ev_ipinsights_score", ipinsightsScore, None),
+    QueryDef("ev_quantiles_by_type", quantilesByType, Some(quantilesOracle)),
     QueryDef("ev_zscore_outliers", zscoreOutliers, Some(zscoreOracle)),
     QueryDef("ev_dedup_replay", dedupReplay, Some(dedupReplayOracle)),
     QueryDef("ev_json_extract", jsonExtract, Some(jsonExtractOracle))

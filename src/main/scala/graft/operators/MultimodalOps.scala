@@ -50,6 +50,30 @@ object MultimodalOps {
     df.withColumn("frames",
       expr(s"transform(sequence(1, octet_length(payload), $k), i -> substring(payload, i, 1))"))
 
+  /** Resize analog: downsample the payload to `n` bytes by strided pick —
+    * stands in for image resize; same partition-local batch shape a codec
+    * kernel would use.
+    */
+  def resize(df: DataFrame, n: Int): DataFrame =
+    df.withColumn("resized",
+      expr(s"CASE WHEN octet_length(payload) <= $n THEN payload ELSE " +
+        s"aggregate(transform(sequence(0, $n - 1), " +
+        s"i -> substring(payload, 1 + CAST(i * octet_length(payload) / $n AS INT), 1)), " +
+        "CAST('' AS BINARY), (acc, b) -> acc || b) END"))
+
+  /** Batched decode: process records in bounded batches per partition
+    * (real media codecs amortize per-call overhead across a batch; the
+    * batch size bounds peak memory). Returns (batch sizes seen, features).
+    */
+  def decodeBatched(ds: Dataset[MmRecord], batchSize: Int): Dataset[MmFeatures] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions(_.grouped(batchSize).flatMap { batch =>
+      // a real codec would decode `batch` in one native call here
+      batch.map(decodeStub)
+    })
+  }
+
   def binaryFeatures(s: SparkSession, dir: String): DataFrame = {
     val spark = s
     import spark.implicits._

@@ -25,6 +25,19 @@ class MultimodalSpec extends SparkSpecBase {
     assert(f1.minBy(_.getAs[Long]("doc_id")).getAs[Long]("checksum") == cs)
   }
 
+  test("resize downsamples to n bytes; batched decode equals per-record decode") {
+    import spark.implicits._
+    val resized = MultimodalOps.resize(MultimodalOps.asBinaryTable(spark, sf0001), 16)
+      .select(col("doc_id"), octet_length(col("resized")).as("nr"), col("n_bytes"))
+      .collect()
+    assert(resized.forall(r =>
+      r.getAs[Int]("nr") == math.min(16, r.getAs[Int]("n_bytes"))))
+    val ds = MultimodalOps.asBinaryTable(spark, sf0001).as[MultimodalOps.MmRecord]
+    val a = MultimodalOps.decodeBatched(ds, 64).collect().sortBy(_.doc_id)
+    val b = ds.mapPartitions(_.map(MultimodalOps.decodeStub)).collect().sortBy(_.doc_id)
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("frame sampling keeps every k-th byte") {
     val df = MultimodalOps.frameSample(MultimodalOps.asBinaryTable(spark, sf0001), 10)
     val r = df.select(col("n_bytes"), size(col("frames")).as("nf")).first()

@@ -237,6 +237,28 @@ object Analytics {
       |  COUNT(*) AS n
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Running (cumulative) aggregate per key: one shuffle, frame-ordered
+    * window; the decimal cast keeps the running sum exact so both engines
+    * agree bit-for-bit at every prefix.
+    */
+  def qCumsumCust(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        epochUs(col("o_orderdate")).as("odate_us"),
+        sum(d2(col("o_totalprice"))).over(w).cast(DoubleType).as("running_total"))
+      .orderBy("o_custkey", "odate_us", "o_orderkey")
+  }
+
+  val qCumsumOracle: String =
+    """SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS odate_us,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+      |FROM orders
+      |ORDER BY o_custkey, odate_us, o_orderkey""".stripMargin
+
   /** HLL sketch distinct — the 100 TB answer to COUNT(DISTINCT): no exact
     * shuffle of the full key set. Approximate, so rows-only checked.
     */
@@ -257,6 +279,7 @@ object Analytics {
     QueryDef("q_anti_silent_custs", qAntiSilentCusts, Some(qAntiOracle)),
     QueryDef("q_above_avg_price_parts", qAboveAvgPriceParts, Some(qAboveAvgOracle)),
     QueryDef("q_pivot_status_counts", qPivotStatusCounts, Some(qPivotOracle)),
+    QueryDef("q_cumsum_cust", qCumsumCust, Some(qCumsumOracle)),
     QueryDef("q_approx_distinct_custs", qApproxDistinctCusts, None)
   )
 }

@@ -28,6 +28,10 @@ object GraftFunctions {
         new ExpressionInfo("graft.functions", name),
         builder)
     }
+    val rules = spark.sessionState.experimentalMethods
+    if (!rules.extraOptimizations.contains(graft.plans.CollapseDistinctShingles))
+      rules.extraOptimizations =
+        rules.extraOptimizations :+ graft.plans.CollapseDistinctShingles
   }
 
   // Column-API wrappers (require register() / GraftExtensions on the session).

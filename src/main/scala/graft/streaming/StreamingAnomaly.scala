@@ -203,6 +203,19 @@ object StreamingAnomaly {
       .as[NetworkEvent]
   }
 
+  /** Session windows on the stream (gap-based, like EventOps.sessionize):
+    * Spark's native session_window merges windows as events arrive; the
+    * watermark closes and emits sessions.
+    */
+  def sessionCounts(events: Dataset[NetworkEvent], gap: String = "30 seconds"): DataFrame =
+    events
+      .withColumn("event_time", timestamp_millis(col("timestamp_start")))
+      .withWatermark("event_time", "2 minutes")
+      .groupBy(session_window(col("event_time"), gap), col("ip_dst"))
+      .agg(count(lit(1)).as("n"), sum(col("bytes")).as("sum_bytes"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("ip_dst"), col("n"), col("sum_bytes"))
+
   /** Watermarked tumbling event-time aggregation (the streaming counterpart
     * of EventOps.tumblingHourly, at 1-minute granularity).
     */

@@ -23,6 +23,16 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("PushedFilters: [IsNotNull(r_name), EqualTo(r_name,ASIA)"))
   }
 
+  test("optimizer rule collapses array_distinct over graft_word_shingles") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions
+    val df = graft.sources.Tables.t(spark, sf0001, "documents")
+      .select(array_distinct(GraftFunctions.graftWordShingles(col("text"), 3)).as("s"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("array_distinct"), optimized)
+    assert(optimized.contains("graft_word_shingles"))
+  }
+
   test("knn: rank<=k pushes a WindowGroupLimit below the final sort") {
     val p = plan(SimilarityOps.knnBrute(spark, sf0001))
     assert(p.contains("WindowGroupLimit"))

@@ -107,6 +107,25 @@ class StreamingSpec extends SparkSpecBase {
     assert(StreamingAnomaly.detectAttacksBatch(tiny).isEmpty)
   }
 
+  test("session windows close after the gap + watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[NetworkEvent]
+    val agg = StreamingAnomaly.sessionCounts(mem.toDS(), gap = "5 seconds")
+    val query = agg.writeStream
+      .format("memory").queryName("session_out").outputMode("append").start()
+    try {
+      val long = EventGen.stream(seed = 5, n = 4000, attackEvery = 0)
+      mem.addData(long.take(3000))
+      query.processAllAvailable()
+      mem.addData(long.drop(3000))
+      query.processAllAvailable()
+      val rows = spark.table("session_out").collect()
+      assert(rows.nonEmpty)
+      // session invariant: end - start >= gap floor, n >= 1
+      assert(rows.forall(_.getAs[Long]("n") >= 1))
+    } finally query.stop()
+  }
+
   test("dedupStream drops replayed events within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[NetworkEvent]

@@ -118,6 +118,25 @@ object DedupOps {
   final val Bands = 16
   final val RowsPerBand = NumPerm / Bands
 
+  /** Hot-bucket cap: a NEAR-IDENTICAL cluster of n docs puts n rows in the
+    * same (band, key) bucket -> O(n^2) candidates. Buckets past the cap are
+    * dropped (they carry cluster structure, not pair signal — massive
+    * exact-dup clusters should be collapsed by exact dedup first); the
+    * remaining bands still recall ordinary near-dup pairs.
+    */
+  final val MaxBucket = 100L
+
+  /** Drop rows in overflowing buckets. Hot buckets are few by construction,
+    * so the overflow list broadcasts.
+    */
+  private def pruneHotBuckets(exploded: DataFrame, keys: Seq[String]): DataFrame = {
+    val hot = exploded.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > MaxBucket)
+      .select(keys.map(col): _*)
+    exploded.join(broadcast(hot), keys, "left_anti")
+  }
+
   /** MinHash-LSH near-dup: candidates from band-bucket join, verified with
     * exact Jaccard on the (few) candidates via array_intersect.
     */
@@ -137,9 +156,10 @@ object DedupOps {
     val exploded = withSig
       .select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val pruned = pruneHotBuckets(exploded, Seq("band", "bkey"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = exploded.as("a")
-      .join(exploded.as("b"),
+    val cands = pruned.as("a")
+      .join(pruned.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
@@ -172,8 +192,9 @@ object DedupOps {
           struct(lit(i).as("band"),
             shiftrightunsigned(col("sh64"), i * 16).bitwiseAND(lit(0xFFFFL)).as("chunk"))): _*)).as("bk"))
       .select(col("doc_id"), col("sh64"), col("bk.band").as("band"), col("bk.chunk").as("chunk"))
-    banded.as("a")
-      .join(banded.as("b"),
+    val pruned = pruneHotBuckets(banded, Seq("band", "chunk"))
+    pruned.as("a")
+      .join(pruned.as("b"),
         col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),

@@ -1,0 +1,60 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.operators.{DedupOps, EventOps, SimilarityOps}
+import graft.sources.Tables
+
+/** Scale stress: replicate the sf0.1 tables 10-20x with key offsets (and
+  * per-copy text perturbation so near-dup structure stays realistic instead
+  * of exploding into cross-copy clusters), then time the heavy operators.
+  * The point is the scaling CURVE, not the absolute numbers.
+  */
+object Stress {
+  def time[T](label: String)(f: => T): Unit = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[stress] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s ($r)")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val copies = if (args.length > 1) args(1).toInt else 10
+    val spark = GraftSession.get("stress")
+    import spark.implicits._
+    spark.range(100).count()
+
+    // documents x copies: a copy-specific marker token interleaved every 3
+    // words preserves within-copy near-dup structure (both twins get the
+    // same rewrite) while zeroing cross-copy similarity (every 5-gram
+    // shingle spans a marker), so pair counts scale linearly with copies
+    val docs = Tables.t(spark, dir, "documents")
+    def perturb(i: Int) = expr(
+      s"concat_ws(' ', flatten(transform(split(text, ' '), " +
+      s"(t, i) -> CASE WHEN i % 3 = 2 THEN array(t, 'cp$i') ELSE array(t) END)))")
+    val docsN = (0 until copies).map { i =>
+      docs.select(
+        (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+        perturb(i).as("text"))
+    }.reduce(_ unionByName _)
+    time(s"docs x$copies count")(docsN.count())
+    time(s"minhash-lsh x$copies")(DedupOps.minHashLshOn(docsN).count())
+    time(s"jaccard x$copies")(DedupOps.jaccardPairsOn(docsN).count())
+    spark.catalog.clearCache()
+
+    // events x copies on distinct user spaces
+    val ev = Tables.t(spark, dir, "events")
+    val evN = (0 until copies).map { i =>
+      ev.select(
+        (col("event_id") + lit(i * 100000000L)).as("event_id"),
+        (col("user_id") + lit(i * 100000L)).as("user_id"),
+        col("ts"), col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _)
+    time(s"events x$copies count")(evN.count())
+    time(s"cep x$copies")(EventOps.cepAttackOn(evN).count())
+
+    spark.stop()
+  }
+}

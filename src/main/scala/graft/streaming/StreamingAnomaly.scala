@@ -203,6 +203,20 @@ object StreamingAnomaly {
       .as[NetworkEvent]
   }
 
+  /** Model serving on the stream: the reference calls a SageMaker endpoint
+    * per event (CallSageMakerTest.java); the Spark-first analog joins the
+    * stream against a broadcast static score table (stream-static join —
+    * no state, no per-event RPC, model refresh = replace the static side).
+    * Events whose (key, feature) score exceeds `threshold` are flagged.
+    */
+  def scoreStream(events: Dataset[NetworkEvent], model: DataFrame,
+      threshold: Double): DataFrame = {
+    // model: (ip_dst, ip_proto, score) — higher = more anomalous
+    events.join(broadcast(model), Seq("ip_dst", "ip_proto"), "left")
+      .withColumn("score", coalesce(col("score"), lit(1.0))) // unseen pair = max anomaly
+      .withColumn("flagged", col("score") >= threshold)
+  }
+
   /** Session windows on the stream (gap-based, like EventOps.sessionize):
     * Spark's native session_window merges windows as events arrive; the
     * watermark closes and emits sessions.

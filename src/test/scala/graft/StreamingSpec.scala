@@ -142,6 +142,30 @@ class StreamingSpec extends SparkSpecBase {
     } finally query.stop()
   }
 
+  test("stream-static model scoring flags unseen key pairs") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[NetworkEvent]
+    // "trained" model: every (ip_dst, ip_proto) seen in the first 500
+    // events is benign (0.0); anything else defaults to 1.0
+    val model = spark.createDataset(events.take(500))(implicitly)
+      .select(col("ip_dst"), col("ip_proto")).distinct()
+      .withColumn("score", lit(0.0))
+    val scored = StreamingAnomaly.scoreStream(mem.toDS(), model, threshold = 0.5)
+    val query = scored.writeStream
+      .format("memory").queryName("scored_out").outputMode("append").start()
+    try {
+      mem.addData(events.take(500))
+      mem.addData(events.takeRight(100))
+      query.processAllAvailable()
+      val out = spark.table("scored_out")
+      assert(out.count() == 600)
+      val flaggedKnown = out.filter(col("flagged") && col("score") === 0.0).count()
+      assert(flaggedKnown == 0)
+      assert(out.filter(col("flagged")).count() > 0,
+        "later traffic contains unseen (dst, proto) pairs")
+    } finally query.stop()
+  }
+
   test("parse drops malformed json lines") {
     val good = """{"event_type":"GET","ip_src":"1.2.3.4","ip_dst":"5.6.7.8","port_src":"80","port_dst":"443","ip_proto":"TCP","timestamp_start":1000,"timestamp_end":2000,"packets":5,"bytes":100,"writer_id":"w","text":"t"}"""
     val df = Seq(good, "not json at all", "{}").toDF("value")

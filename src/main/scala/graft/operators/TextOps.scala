@@ -202,12 +202,159 @@ object TextOps {
   def classifySeverity(text: Column): Column =
     when(upper(text).rlike(sqliPattern), 2).otherwise(1)
 
+
+  // ---- LLM-training-data pipeline ops ----------------------------------
+
+  /** PII scrubbing (emails/URLs/phones -> placeholders). Patterns kept to
+    * the Java-regex ∩ RE2 common subset so the oracle is exact.
+    */
+  val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val urlRe = "https?://[^ ]+"
+  val phoneRe = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
+
+  def scrubPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, emailRe, "<EMAIL>"),
+        urlRe, "<URL>"),
+      phoneRe, "<PHONE>")
+
+  def piiScrub(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(emailRe)).cast("long").as("n_emails"),
+        regexp_count(col("text"), lit(urlRe)).cast("long").as("n_urls"),
+        regexp_count(col("text"), lit(phoneRe)).cast("long").as("n_phones"),
+        md5(scrubPii(col("text"))).as("scrubbed_fp"))
+      .orderBy("doc_id")
+
+  val piiOracle: String =
+    s"""SELECT doc_id,
+       |  len(regexp_extract_all(text, '$emailRe')) AS n_emails,
+       |  len(regexp_extract_all(text, '$urlRe')) AS n_urls,
+       |  len(regexp_extract_all(text, '$phoneRe')) AS n_phones,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+       |      '$emailRe', '<EMAIL>', 'g'), '$urlRe', '<URL>', 'g'),
+       |      '$phoneRe', '<PHONE>', 'g')) AS scrubbed_fp
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Repetition ratio (Gopher/RefinedWeb-style quality rule): share of all
+    * bigram occurrences taken by the single most repeated bigram.
+    */
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.t(s, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 2)
+    val big = d.select(col("doc_id"),
+      explode(expr("transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))")).as("bigram"))
+    big.groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").cast("long").as("n_bigrams"), max("c").cast("long").as("max_rep"))
+      .withColumn("rep_ratio",
+        col("max_rep").cast(DoubleType) / col("n_bigrams").cast(DoubleType))
+      .orderBy("doc_id")
+  }
+
+  val repetitionOracle: String =
+    """WITH b AS (
+      |  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bigram
+      |  FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+      |       UNNEST(range(1, len(toks))) AS r(i)),
+      |c AS (SELECT doc_id, bigram, COUNT(*) AS c FROM b GROUP BY 1, 2)
+      |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+      |       CAST(MAX(c) AS BIGINT) AS max_rep,
+      |       CAST(CAST(MAX(c) AS BIGINT) AS DOUBLE) /
+      |       CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE) AS rep_ratio
+      |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Benchmark-contamination check: corpus docs sharing >= 30% of their
+    * 5-gram shingles with any "benchmark" doc (here: doc_id < 25) are
+    * flagged. Inverted-index join on shingles, benchmark side broadcast —
+    * the shape used to keep eval sets out of 100 TB training corpora.
+    */
+  def contamination(s: SparkSession, dir: String): DataFrame = {
+    val shs = Tables.t(s, dir, "documents")
+      .withColumn("shs", graft.functions.GraftFunctions.graftWordShingles(col("text"), 5))
+      .filter(size(col("shs")) > 0)
+      .select(col("doc_id"), col("shs"), size(col("shs")).cast("long").as("n_sh"))
+    val bench = shs.filter(col("doc_id") < 25)
+      .select(col("doc_id").as("b_id"), explode(col("shs")).as("sh"))
+    val corpus = shs.filter(col("doc_id") >= 25)
+      .select(col("doc_id"), col("n_sh"), explode(col("shs")).as("sh"))
+    corpus.join(broadcast(bench), "sh")
+      .groupBy("doc_id", "n_sh", "b_id")
+      .agg(count(lit(1)).as("shared"))
+      .groupBy("doc_id", "n_sh")
+      .agg(max(col("shared").cast(DoubleType) / col("n_sh").cast(DoubleType)).as("max_overlap"))
+      .filter(col("max_overlap") >= 0.3)
+      .select(col("doc_id"), col("max_overlap"))
+      .orderBy("doc_id")
+  }
+
+  val contaminationOracle: String =
+    """WITH shd AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 3),
+      |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) AS shs
+      |  FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM documents)
+      |  WHERE len(toks) >= 5),
+      |bench AS (SELECT doc_id AS b_id, unnest(shs) AS sh FROM shd WHERE doc_id < 25),
+      |corpus AS (SELECT doc_id, len(shs) AS n_sh, unnest(shs) AS sh FROM shd WHERE doc_id >= 25),
+      |ov AS (
+      |  SELECT c.doc_id, c.n_sh, b.b_id, COUNT(*) AS shared
+      |  FROM corpus c JOIN bench b USING (sh) GROUP BY 1, 2, 3)
+      |SELECT doc_id, MAX(CAST(shared AS DOUBLE) / CAST(n_sh AS DOUBLE)) AS max_overlap
+      |FROM ov GROUP BY doc_id, n_sh
+      |HAVING MAX(CAST(shared AS DOUBLE) / CAST(n_sh AS DOUBLE)) >= 0.3
+      |ORDER BY doc_id""".stripMargin
+
+  /** Composed keep/drop filter with reasons (row-local signals only, so
+    * the whole pipeline is one codegen'd projection).
+    */
+  def filterPipeline(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    Tables.t(s, dir, "documents")
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("uniq_ratio",
+        size(array_distinct(toks)).cast(DoubleType) / size(toks).cast(DoubleType))
+      .withColumn("flagged", upper(col("text")).rlike(sqliPattern))
+      .withColumn("reason",
+        when(col("n_tokens") < 20, "too_short")
+          .when(col("uniq_ratio") < 0.3, "low_diversity")
+          .when(col("flagged"), "attack_payload")
+          .otherwise("keep"))
+      .withColumn("keep", col("reason") === "keep")
+      .select("doc_id", "n_tokens", "uniq_ratio", "reason", "keep")
+      .orderBy("doc_id")
+  }
+
+  val filterPipelineOracle: String =
+    s"""SELECT doc_id, n_tokens, uniq_ratio,
+       |  CASE WHEN n_tokens < 20 THEN 'too_short'
+       |       WHEN uniq_ratio < 0.3 THEN 'low_diversity'
+       |       WHEN flagged THEN 'attack_payload'
+       |       ELSE 'keep' END AS reason,
+       |  (CASE WHEN n_tokens < 20 THEN 'too_short'
+       |       WHEN uniq_ratio < 0.3 THEN 'low_diversity'
+       |       WHEN flagged THEN 'attack_payload'
+       |       ELSE 'keep' END) = 'keep' AS keep
+       |FROM (
+       |  SELECT doc_id, len(str_split(text, ' ')) AS n_tokens,
+       |    CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE) /
+       |    CAST(len(str_split(text, ' ')) AS DOUBLE) AS uniq_ratio,
+       |    regexp_matches(upper(text), '$sqliPattern') AS flagged
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("doc_token_stats", tokenStats, Some(tokenStatsOracle)),
     QueryDef("doc_quality", quality, Some(qualityOracle)),
     QueryDef("doc_langid", langId, Some(langIdOracle)),
     QueryDef("doc_sqli_flag", sqliFlag, Some(sqliOracle)),
     QueryDef("doc_fingerprint", fingerprint, Some(fingerprintOracle)),
-    QueryDef("doc_top_bigrams", topBigrams, Some(topBigramsOracle))
+    QueryDef("doc_top_bigrams", topBigrams, Some(topBigramsOracle)),
+    QueryDef("doc_pii_scrub", piiScrub, Some(piiOracle)),
+    QueryDef("doc_repetition", repetition, Some(repetitionOracle)),
+    QueryDef("doc_contamination", contamination, Some(contaminationOracle)),
+    QueryDef("doc_filter_pipeline", filterPipeline, Some(filterPipelineOracle))
   )
 }

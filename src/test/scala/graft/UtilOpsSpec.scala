@@ -29,6 +29,13 @@ class UtilOpsSpec extends SparkSpecBase {
     assert(df(1).isNullAt(df(1).fieldIndex("log_status")))
   }
 
+  test("pii scrubbing replaces emails/urls/phones with placeholders") {
+    val t = "contact me a@b.com or https://x.io/page?q=1 or +1 (555) 123-4567 end"
+    val got = Seq(t).toDF("text")
+      .select(TextOps.scrubPii(col("text"))).first().getString(0)
+    assert(got == "contact me <EMAIL> or <URL> or <PHONE> end")
+  }
+
   test("sanitize + severity mirror the reference action group rules") {
     val df = Seq(
       ("Fragment Attack Detection: Attacker IP 1.2.3.4 Attack ongoing",

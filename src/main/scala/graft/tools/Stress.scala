@@ -22,6 +22,7 @@ object Stress {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val copies = if (args.length > 1) args(1).toInt else 10
+    val eventsOnly = args.contains("--events-only")
     val spark = GraftSession.get("stress")
     import spark.implicits._
     spark.range(100).count()
@@ -30,6 +31,7 @@ object Stress {
     // words preserves within-copy near-dup structure (both twins get the
     // same rewrite) while zeroing cross-copy similarity (every 5-gram
     // shingle spans a marker), so pair counts scale linearly with copies
+    if (!eventsOnly) {
     val docs = Tables.t(spark, dir, "documents")
     def perturb(i: Int) = expr(
       s"concat_ws(' ', flatten(transform(split(text, ' '), " +
@@ -43,6 +45,7 @@ object Stress {
     time(s"minhash-lsh x$copies")(DedupOps.minHashLshOn(docsN).count())
     time(s"jaccard x$copies")(DedupOps.jaccardPairsOn(docsN).count())
     spark.catalog.clearCache()
+    }
 
     // events x copies on distinct user spaces
     val ev = Tables.t(spark, dir, "events")

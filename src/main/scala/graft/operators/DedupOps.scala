@@ -210,10 +210,69 @@ object DedupOps {
       .orderBy("d1", "d2")
   }
 
+  /** Connected components over the near-dup pair graph -> dedup clusters
+    * (cluster id = min doc_id reachable; keep-list = docs equal to their
+    * cluster id). Iterative min-label propagation: each round is one
+    * join + min-aggregate over edges, converging in graph-diameter rounds
+    * (near-dup clusters are shallow; the large-star/small-star variant
+    * drops the diameter to O(log n) if ever needed). The oracle is an
+    * independent DuckDB recursive CTE.
+    */
+  def dupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = jaccardPairsOn(Tables.t(s, dir, "documents")).select("d1", "d2")
+    val edges = pairs
+      .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("d1").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val prop = edges.join(labels, edges("d2") === labels("id"))
+        .groupBy(edges("d1").as("pid"))
+        .agg(min(col("lbl")).as("nlbl"))
+      val next = labels.join(prop, labels("id") === prop("pid"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = next.as("n")
+        .join(labels.select(col("id").as("oid"), col("lbl").as("olbl")),
+          col("id") === col("oid"))
+        .filter(col("lbl") =!= col("olbl")).count()
+      labels = next
+      rounds += 1
+    }
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  val dupClustersOracle: String =
+    s"""WITH RECURSIVE sh AS ($sqlShingles),
+       |inv AS (SELECT doc_id, unnest(shs) AS sh FROM sh),
+       |sz AS (SELECT doc_id, len(shs) AS n_sh FROM sh),
+       |c AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+       |  FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT d1, d2 FROM c JOIN sz x ON x.doc_id = d1 JOIN sz y ON y.doc_id = d2
+       |  WHERE CAST(common AS DOUBLE) / CAST(x.n_sh + y.n_sh - common AS DOUBLE) >= 0.8),
+       |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS id FROM edges),
+       |reach AS (
+       |  SELECT id, id AS r FROM nodes
+       |  UNION
+       |  SELECT e.a AS id, r.r FROM edges e JOIN reach r ON r.id = e.b)
+       |SELECT id AS doc_id, MIN(r) AS cluster_id, id = MIN(r) AS keep
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("doc_exact_dedup", exactDedup, Some(exactOracle)),
     QueryDef("doc_jaccard_pairs", jaccardPairs, Some(jaccardOracle), headline = true),
     QueryDef("doc_minhash_lsh", minHashLsh, None, headline = true),
-    QueryDef("doc_simhash", simHashPairs, None)
+    QueryDef("doc_simhash", simHashPairs, None),
+    QueryDef("doc_dup_clusters", dupClusters, Some(dupClustersOracle))
   )
 }

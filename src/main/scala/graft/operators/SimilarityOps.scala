@@ -189,11 +189,37 @@ object SimilarityOps {
        |WHERE ${sqlQCos("a.embedding", "b.embedding")} >= 0.4
        |ORDER BY v1, v2""".stripMargin
 
+  /** int8 vector quantization (4x storage for ANN indexes): per-vector
+    * absolute-max scale, FLOOR quantization (no tie rule), exact-integer
+    * checksum so the oracle verifies every element.
+    */
+  def quantizeInt8(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "embeddings")
+      .withColumn("scale",
+        expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
+      .withColumn("qsum",
+        when(col("scale") > 0,
+          expr("aggregate(transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) / scale * 127) AS BIGINT)), CAST(0 AS BIGINT), (a, b) -> a + b)"))
+          .otherwise(lit(0L)))
+      .select("vec_id", "scale", "qsum")
+      .orderBy("vec_id")
+
+  val quantizeOracle: String =
+    """SELECT vec_id, scale,
+      |  CASE WHEN scale > 0 THEN CAST(list_sum(list_transform(embedding,
+      |    x -> CAST(FLOOR(CAST(x AS DOUBLE) / scale * 127) AS BIGINT))) AS BIGINT)
+      |  ELSE 0 END AS qsum
+      |FROM (SELECT vec_id, embedding,
+      |        list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+      |      FROM embeddings)
+      |ORDER BY vec_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("emb_knn_brute", knnBrute, Some(knnOracle), headline = true),
     QueryDef("emb_knn_lsh", knnLsh, None),
     QueryDef("emb_knn_ivf", knnIvf, None),
     QueryDef("emb_label_centroids", labelCentroids, Some(centroidsOracle)),
-    QueryDef("emb_cosine_dups", cosineDups, Some(cosineDupsOracle))
+    QueryDef("emb_cosine_dups", cosineDups, Some(cosineDupsOracle)),
+    QueryDef("emb_quantize_int8", quantizeInt8, Some(quantizeOracle))
   )
 }

@@ -218,8 +218,11 @@ object DedupOps {
     * drops the diameter to O(log n) if ever needed). The oracle is an
     * independent DuckDB recursive CTE.
     */
-  def dupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = jaccardPairsOn(Tables.t(s, dir, "documents")).select("d1", "d2")
+  def dupClusters(s: SparkSession, dir: String): DataFrame =
+    clusterPairs(jaccardPairsOn(Tables.t(s, dir, "documents")).select("d1", "d2"))
+
+  /** Min-label propagation over an undirected (d1, d2) pair set. */
+  def clusterPairs(pairs: DataFrame): DataFrame = {
     val edges = pairs
       .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -240,6 +243,7 @@ object DedupOps {
         .join(labels.select(col("id").as("oid"), col("lbl").as("olbl")),
           col("id") === col("oid"))
         .filter(col("lbl") =!= col("olbl")).count()
+      labels.unpersist()
       labels = next
       rounds += 1
     }

@@ -38,6 +38,15 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(pairs.forall(_.getAs[Int]("hamming") <= 3))
   }
 
+  test("dup clusters propagate labels across chains") {
+    // chain 1-2, 2-3, 3-4 plus separate pair 7-9: labels must propagate
+    // transitively (4 hops) to the minimum id of each component
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 9L)).toDF("d1", "d2")
+    val got = DedupOps.clusterPairs(pairs)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
   test("knnBrute top-1 matches a driver-side brute force (sf0.001)") {
     val emb = Tables.t(spark, sf0001, "embeddings")
       .select("vec_id", "embedding").as[(Long, Array[Float])].collect()

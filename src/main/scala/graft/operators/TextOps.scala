@@ -345,6 +345,32 @@ object TextOps {
        |  FROM documents)
        |ORDER BY doc_id""".stripMargin
 
+  /** Deterministic stratified train/val/test split (90/5/5) via a Knuth
+    * multiplicative hash of the stable id — reproducible across engines
+    * and runs, no RNG state. The split assignment is what a 100 TB corpus
+    * pipeline would write back as a partition column.
+    */
+  def splitStats(s: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+    val split = when(bucket < lit(3865470566L), "train")   // 90%
+      .when(bucket < lit(4080218931L), "val")              // +5%
+      .otherwise("test")                                   // +5%
+    Tables.t(s, dir, "documents")
+      .withColumn("split", split)
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"))
+      .orderBy("source", "split")
+  }
+
+  val splitStatsOracle: String =
+    """SELECT source, split, COUNT(*) AS n, MIN(doc_id) AS min_id FROM (
+      |  SELECT *, CASE
+      |    WHEN (doc_id * 2654435761) % 4294967296 < 3865470566 THEN 'train'
+      |    WHEN (doc_id * 2654435761) % 4294967296 < 4080218931 THEN 'val'
+      |    ELSE 'test' END AS split
+      |  FROM documents)
+      |GROUP BY source, split ORDER BY source, split""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("doc_token_stats", tokenStats, Some(tokenStatsOracle)),
     QueryDef("doc_quality", quality, Some(qualityOracle)),
@@ -355,6 +381,7 @@ object TextOps {
     QueryDef("doc_pii_scrub", piiScrub, Some(piiOracle)),
     QueryDef("doc_repetition", repetition, Some(repetitionOracle)),
     QueryDef("doc_contamination", contamination, Some(contaminationOracle)),
-    QueryDef("doc_filter_pipeline", filterPipeline, Some(filterPipelineOracle))
+    QueryDef("doc_filter_pipeline", filterPipeline, Some(filterPipelineOracle)),
+    QueryDef("doc_split_stats", splitStats, Some(splitStatsOracle))
   )
 }

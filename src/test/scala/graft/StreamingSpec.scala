@@ -166,6 +166,19 @@ class StreamingSpec extends SparkSpecBase {
     } finally query.stop()
   }
 
+  test("serde roundtrip: toJson then parse is identity") {
+    val ds = spark.createDataset(events.take(200))(implicitly)
+    val json = StreamingAnomaly.toJson(
+      ds.map(e => graft.model.AttackResult(1L, 2L, e.ip_src, e.ip_dst, 3L, 4.0, 5.0, 6.0)))
+    // roundtrip the event stream itself through its wire format
+    val wire = ds.toDF().select(to_json(struct(ds.toDF().columns.map(col): _*)).as("value"))
+    val back = StreamingAnomaly.parse(wire).collect().sortBy(_.timestamp_start)
+    val orig = events.take(200).sortBy(_.timestamp_start)
+    assert(back.length == orig.length)
+    assert(back.toSeq == orig.toSeq)
+    assert(json.count() == 200)
+  }
+
   test("parse drops malformed json lines") {
     val good = """{"event_type":"GET","ip_src":"1.2.3.4","ip_dst":"5.6.7.8","port_src":"80","port_dst":"443","ip_proto":"TCP","timestamp_start":1000,"timestamp_end":2000,"packets":5,"bytes":100,"writer_id":"w","text":"t"}"""
     val df = Seq(good, "not json at all", "{}").toDF("value")

@@ -86,4 +86,29 @@ object EventGen {
     }
     out.result()
   }
+
+  /** Pure function id -> event for unbounded sources (rate source, soak
+    * tests): each block of 200 ids carries one fragmentation burst
+    * (ids 180-194 of the block) closed by resumed traffic (id 195).
+    */
+  def fromId(id: Long, baseMs: Long = 1700000000000L): NetworkEvent = {
+    val block = id / 200
+    val pos = id % 200
+    val t = baseMs + id * 10
+    val target = s"10.34.${(block % 200).toInt}.${(block % 250 + 1).toInt}"
+    val h = (id * 2654435761L) % 4294967296L
+    if (pos >= 180 && pos < 195) {
+      val attacker = s"192.168.1.${(block % 254 + 1).toInt}"
+      NetworkEvent("GET", attacker, target, "53", "8080", "UDP",
+        t - 10, t, 1, (8 + h % 57).toInt, f"ENI-$block%06x", 
+        s"IP $attacker > $target: frag $block:${(pos - 180) * 8}@ MF proto UDP")
+    } else {
+      val dst = if (pos == 195) target
+        else s"10.${(h % 256).toInt}.${(h / 256 % 256).toInt}.${(h / 65536 % 254 + 1).toInt}"
+      NetworkEvent(eventTypes((h % 5).toInt), s"10.0.0.${(h % 254 + 1).toInt}", dst,
+        ports((h % 5).toInt), ports((h / 5 % 5).toInt), protocols((h % 3).toInt),
+        t - 10, t, (100 + h % 401).toInt, (64 + h % 1437).toInt,
+        f"ENI-$id%08x", "normal traffic")
+    }
+  }
 }

@@ -58,6 +58,25 @@ object Stress {
     time(s"events x$copies count")(evN.count())
     time(s"cep x$copies")(EventOps.cepAttackOn(evN).count())
 
+    // embeddings x copies: brute-force knn corpus scaling
+    if (!eventsOnly) {
+      val emb = Tables.t(spark, dir, "embeddings")
+      val embN = (0 until copies).map { i =>
+        emb.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+          col("embedding"), col("label"))
+      }.reduce(_ unionByName _)
+      time(s"embeddings x$copies count")(embN.count())
+      val q = embN.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val scored = embN.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("sim", graft.functions.GraftFunctions.graftCosine(col("q_emb"), col("embedding")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
+      time(s"knn-brute x$copies")(
+        scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 10).count())
+    }
+
     spark.stop()
   }
 }

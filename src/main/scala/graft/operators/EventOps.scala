@@ -373,8 +373,58 @@ object EventOps {
       |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
       |ORDER BY event_id""".stripMargin
 
+  /** Interval (range) join: enrich each detected attack with the events
+    * that fall inside its window — a non-equi join on
+    * key = key AND start <= ts <= end. The attack side is small by
+    * construction, so it broadcasts and the range predicate evaluates
+    * map-side against the events scan (no cartesian at scale).
+    */
+  def attackContext(s: SparkSession, dir: String): DataFrame = {
+    val attacks = cepAttackOn(Tables.t(s, dir, "events"))
+      .select("target_id", "attack_start_us", "normal_ts_us")
+    val e = Tables.t(s, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("value"))
+    e.join(broadcast(attacks),
+        col("user_id") === col("target_id") &&
+          col("ts_us") >= col("attack_start_us") &&
+          col("ts_us") <= col("normal_ts_us"))
+      .groupBy("target_id", "attack_start_us")
+      .agg(count(lit(1)).as("n_ctx"), dsum(col("value")).as("sum_ctx"))
+      .orderBy("target_id", "attack_start_us")
+  }
+
+  val attackContextOracle: String =
+    s"""WITH e0 AS (
+       |  SELECT user_id, event_id, ts, value,
+       |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+       |  FROM events),
+       |i AS (
+       |  SELECT *, rn - row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS grp
+       |  FROM e0 WHERE value < $LowThresh),
+       |runs AS (
+       |  SELECT user_id, grp, COUNT(*) AS fragment_count, MAX(rn) AS rn_end,
+       |         MIN(epoch_us(ts)) AS attack_start_us,
+       |         MAX(epoch_us(ts)) AS attack_end_us
+       |  FROM i GROUP BY user_id, grp HAVING COUNT(*) >= $MinRun),
+       |attacks AS (
+       |  SELECT r.user_id AS target_id, r.attack_start_us,
+       |         epoch_us(n.ts) AS normal_ts_us
+       |  FROM runs r JOIN e0 n ON n.user_id = r.user_id AND n.rn = r.rn_end + 1
+       |  WHERE n.value > $HighThresh
+       |    AND epoch_us(n.ts) - r.attack_end_us <= $WithinUs)
+       |SELECT a.target_id, a.attack_start_us, COUNT(*) AS n_ctx,
+       |       ${sqlDsum("e.value")} AS sum_ctx
+       |FROM events e JOIN attacks a
+       |  ON e.user_id = a.target_id
+       | AND epoch_us(e.ts) >= a.attack_start_us
+       | AND epoch_us(e.ts) <= a.normal_ts_us
+       |GROUP BY a.target_id, a.attack_start_us
+       |ORDER BY target_id, attack_start_us""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("ev_asof_last_order", asofLastOrder, Some(asofOracle)),
+    QueryDef("ev_attack_context", attackContext, Some(attackContextOracle)),
     QueryDef("ev_tumbling_hourly", tumblingHourly, Some(tumblingOracle)),
     QueryDef("ev_sliding_6h", sliding6h, Some(slidingOracle)),
     QueryDef("ev_sessionize", sessionize, Some(sessionizeOracle)),

@@ -422,9 +422,44 @@ object EventOps {
        |GROUP BY a.target_id, a.attack_start_us
        |ORDER BY target_id, attack_start_us""".stripMargin
 
+  /** Two-step behavioral funnel (signup -> later purchase): first-touch
+    * timestamps per user, then conversions where step 2 strictly follows
+    * step 1. Two aggregations, one broadcast-joined recheck — no per-user
+    * subqueries.
+    */
+  def funnel2Step(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "events")
+    val first = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("t_signup"))
+    val conv = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("t_p"))
+      .join(first, "user_id")
+      .filter(col("t_p") > col("t_signup"))
+      .select("user_id").distinct()
+    val n1 = first.count()
+    val n2 = conv.count()
+    val spark = s
+    import spark.implicits._
+    Seq((n1, n2, n2.toDouble / n1.toDouble))
+      .toDF("n_signup_users", "n_converted_users", "conversion")
+  }
+
+  val funnelOracle: String =
+    """WITH first AS (
+      |  SELECT user_id, MIN(epoch_us(ts)) AS t_signup FROM events
+      |  WHERE event_type = 'signup' GROUP BY user_id),
+      |conv AS (
+      |  SELECT DISTINCT e.user_id FROM events e JOIN first f USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > f.t_signup)
+      |SELECT (SELECT COUNT(*) FROM first) AS n_signup_users,
+      |       (SELECT COUNT(*) FROM conv) AS n_converted_users,
+      |       CAST((SELECT COUNT(*) FROM conv) AS DOUBLE) /
+      |       CAST((SELECT COUNT(*) FROM first) AS DOUBLE) AS conversion""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("ev_asof_last_order", asofLastOrder, Some(asofOracle)),
     QueryDef("ev_attack_context", attackContext, Some(attackContextOracle)),
+    QueryDef("ev_funnel_2step", funnel2Step, Some(funnelOracle)),
     QueryDef("ev_tumbling_hourly", tumblingHourly, Some(tumblingOracle)),
     QueryDef("ev_sliding_6h", sliding6h, Some(slidingOracle)),
     QueryDef("ev_sessionize", sessionize, Some(sessionizeOracle)),

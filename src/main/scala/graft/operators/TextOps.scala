@@ -371,6 +371,23 @@ object TextOps {
       |  FROM documents)
       |GROUP BY source, split ORDER BY source, split""".stripMargin
 
+  /** Corpus vocabulary: top-50 tokens by total occurrences with document
+    * frequency (tokenizer-building / stopword-mining primitive).
+    */
+  def vocabTop(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    tok.groupBy("token")
+      .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occ").desc, col("token").asc)
+      .limit(50)
+  }
+
+  val vocabOracle: String =
+    """SELECT token, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs
+      |FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents)
+      |GROUP BY token ORDER BY n_occ DESC, token ASC LIMIT 50""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("doc_token_stats", tokenStats, Some(tokenStatsOracle)),
     QueryDef("doc_quality", quality, Some(qualityOracle)),
@@ -382,6 +399,7 @@ object TextOps {
     QueryDef("doc_repetition", repetition, Some(repetitionOracle)),
     QueryDef("doc_contamination", contamination, Some(contaminationOracle)),
     QueryDef("doc_filter_pipeline", filterPipeline, Some(filterPipelineOracle)),
-    QueryDef("doc_split_stats", splitStats, Some(splitStatsOracle))
+    QueryDef("doc_split_stats", splitStats, Some(splitStatsOracle)),
+    QueryDef("doc_vocab_top", vocabTop, Some(vocabOracle))
   )
 }

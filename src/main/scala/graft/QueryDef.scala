@@ -17,6 +17,7 @@ object Registry {
   lazy val all: Seq[QueryDef] =
     operators.Analytics.defs ++
       operators.EventOps.defs ++
+      operators.ReportOps.defs ++
       operators.TextOps.defs ++
       operators.DedupOps.defs ++
       operators.SimilarityOps.defs ++

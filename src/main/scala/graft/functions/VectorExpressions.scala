@@ -18,8 +18,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * FLOOR(x*1e9) quantization). The only floating-point ops are the final
   * divide/sqrt/multiply, which are IEEE-deterministic.
   *
-  * Domain: |component| <= 3.0 and dim <= 1024 keep every accumulator well
-  * inside the int64 range (3e9^2 * 1024 < 2^63).
+  * Domain: vectors with L2 NORM <= 3.0 (any dim) keep every accumulator
+  * inside int64: na = 1e18 * ||x||^2 <= 9e18 < 2^63, and |dot| <=
+  * sqrt(na*nb) by Cauchy-Schwarz. (The bound is on the norm, not per
+  * component — a per-component bound would be ~sqrt(9.2/dim).) Unit-norm
+  * embeddings sit at 1e18 with a 9x margin. Outside the domain the
+  * accumulation THROWS (Math.addExact/multiplyExact) instead of silently
+  * wrapping to garbage similarities.
   *
   * Spark-first replacement for per-event model scoring the reference does
   * via an external endpoint (reference: flink-app/.../CallSageMakerTest.java).
@@ -53,13 +58,18 @@ object QuantizedCosine {
     var na = 0L
     var nb = 0L
     var i = 0
-    while (i < n) {
-      val xi = quant(x.getFloat(i))
-      val yi = quant(y.getFloat(i))
-      dot += xi * yi
-      na += xi * xi
-      nb += yi * yi
-      i += 1
+    try {
+      while (i < n) {
+        val xi = quant(x.getFloat(i))
+        val yi = quant(y.getFloat(i))
+        dot = Math.addExact(dot, Math.multiplyExact(xi, yi))
+        na = Math.addExact(na, Math.multiplyExact(xi, xi))
+        nb = Math.addExact(nb, Math.multiplyExact(yi, yi))
+        i += 1
+      }
+    } catch {
+      case _: ArithmeticException => throw new ArithmeticException(
+        "graft_cosine overflow: input vector L2 norm exceeds the safe domain (||x||2 <= 3.0)")
     }
     if (na == 0L || nb == 0L) 0.0
     else dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))

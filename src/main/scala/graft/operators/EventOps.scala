@@ -244,16 +244,26 @@ object EventOps {
     * score for an observed pair = anomalous association. Model-dependent ->
     * rows-only; monotonicity vs raw counts is unit-tested.
     */
+  /** Distributed categorical index assignment for the ALS item column:
+    * dense_rank over the (tiny) distinct type set, broadcast back onto the
+    * co-occurrence pairs. No driver collect, no UDF — the single-partition
+    * window runs on the post-distinct handful of rows only, and the sort
+    * order matches a sorted.zipWithIndex exactly.
+    */
+  private[graft] def indexedPairs(e: DataFrame): DataFrame = {
+    val typeIdx = e.select("event_type").distinct()
+      .withColumn("type_idx",
+        (dense_rank().over(Window.orderBy("event_type")) - 1).cast("int"))
+    e.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n_pair"))
+      .join(broadcast(typeIdx), "event_type")
+      .withColumn("strength", log1p(col("n_pair")))
+  }
+
   def ipinsightsScore(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.ml.recommendation.ALS
     val e = Tables.t(s, dir, "events")
-    val types = e.select("event_type").distinct().collect()
-      .map(_.getString(0)).sorted.zipWithIndex.toMap
-    val toIdx = udf((t: String) => types(t))
-    val pairs = e.groupBy("user_id", "event_type")
-      .agg(count(lit(1)).as("n_pair"))
-      .withColumn("type_idx", toIdx(col("event_type")))
-      .withColumn("strength", log1p(col("n_pair")))
+    val pairs = indexedPairs(e)
     val als = new ALS()
       .setUserCol("user_id").setItemCol("type_idx").setRatingCol("strength")
       .setImplicitPrefs(true).setRank(8).setMaxIter(5).setSeed(42L)
@@ -423,25 +433,31 @@ object EventOps {
        |ORDER BY target_id, attack_start_us""".stripMargin
 
   /** Two-step behavioral funnel (signup -> later purchase): first-touch
-    * timestamps per user, then conversions where step 2 strictly follows
-    * step 1. Two aggregations, one broadcast-joined recheck — no per-user
-    * subqueries.
+    * timestamps per user, conversions where step 2 strictly follows step 1.
+    * One declarative plan, one Spark job: the per-user converted flag and
+    * both funnel counts fold into a single aggregate tree — the signup
+    * first-touch is computed once (no recompute, no separate count() jobs).
     */
   def funnel2Step(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.t(s, dir, "events")
-    val first = e.filter(col("event_type") === "signup")
-      .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("t_signup"))
-    val conv = e.filter(col("event_type") === "purchase")
-      .select(col("user_id"), unix_micros(col("ts")).as("t_p"))
-      .join(first, "user_id")
-      .filter(col("t_p") > col("t_signup"))
-      .select("user_id").distinct()
-    val n1 = first.count()
-    val n2 = conv.count()
-    val spark = s
-    import spark.implicits._
-    Seq((n1, n2, n2.toDouble / n1.toDouble))
-      .toDF("n_signup_users", "n_converted_users", "conversion")
+    // Join-free: "any purchase after the FIRST signup" == "LAST purchase
+    // after the first signup", so both funnel steps fold into one
+    // conditional aggregation — one shuffle on user_id, one Spark job,
+    // the first-touch aggregate computed exactly once.
+    e.filter(col("event_type").isin("signup", "purchase"))
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "signup", unix_micros(col("ts"))))
+          .as("t_signup"),
+        max(when(col("event_type") === "purchase", unix_micros(col("ts"))))
+          .as("t_p_last"))
+      .filter(col("t_signup").isNotNull)
+      .agg(count(lit(1)).as("n_signup_users"),
+        sum(when(col("t_p_last") > col("t_signup"), 1).otherwise(0))
+          .as("n_converted_users"))
+      .select(col("n_signup_users"), col("n_converted_users"),
+        (col("n_converted_users").cast(DoubleType) /
+          col("n_signup_users").cast(DoubleType)).as("conversion"))
   }
 
   val funnelOracle: String =

@@ -12,10 +12,14 @@ import org.apache.spark.sql.functions._
 object SkewJoin {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salt: Int,
       joinType: String = "inner"): DataFrame = {
-    // deterministic pseudo-salt (hash of whole row via monotonic id) rather
-    // than rand(): keeps the operator replayable
+    // salt derived from ROW CONTENT (xxhash64 over all columns), not
+    // rand()/monotonically_increasing_id(): the same row gets the same salt
+    // on any replay regardless of partition layout or scheduling, so both
+    // the salt assignment and the join result are replay-stable. Exact
+    // duplicate rows share a salt — fine for spreading a hot KEY, which is
+    // the failure mode this operator exists for.
     val salted = big.withColumn("__salt",
-      pmod(xxhash64(col(key), monotonically_increasing_id()), lit(salt)).cast("int"))
+      pmod(xxhash64(big.columns.map(col): _*), lit(salt)).cast("int"))
     val replicated = small.withColumn("__salt",
       explode(array((0 until salt).map(lit): _*)))
     salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")

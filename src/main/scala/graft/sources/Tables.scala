@@ -35,7 +35,11 @@ object Tables {
     */
   def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
+    // File count is the static proxy for scan parallelism: the degenerate
+    // layout this guards against is "one single-row-group file". Checking
+    // inputFiles stays on the driver's file index — unlike df.rdd, it never
+    // materializes the physical plan's RDD lineage just to count partitions.
+    if (df.inputFiles.length * 2 < target) df.repartition(target) else df
   }
 
   /** Register every table as a temp view (for spark.sql callers). */

@@ -16,9 +16,14 @@ for t in TABLES:
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 results = {}
-for name in sorted(os.listdir(OUT)):
+# Expected = every oracle key plus every produced dir: a query that crashed
+# in Verify (caught + continued there) has no dir and must show as failing,
+# not be silently skipped.
+produced = {n for n in os.listdir(OUT) if os.path.isdir(os.path.join(OUT, n))}
+for name in sorted(set(oracle) | produced):
     d = os.path.join(OUT, name)
     if not os.path.isdir(d):
+        results[name] = "MISSING OUTPUT: query crashed in Verify (no dir)"
         continue
     files = glob.glob(f"{d}/*.parquet")
     spark_df = con.sql(f"SELECT * FROM read_parquet({files!r})").df()

@@ -61,15 +61,37 @@ object DedupOps {
     * from "share anything" to "share a rare shingle". Verification computes
     * the true Jaccard on the candidates' full shingle arrays.
     */
-  def jaccardPairsOn(documents: DataFrame): DataFrame = {
-    val t = 0.8
-    // shingle arrays are consumed three times (index, verify x2): persist
-    // once instead of recomputing the map phase per consumer. Disk-backed,
-    // so the same plan holds when the corpus does not fit in memory.
-    val sh = withShingles(documents)
+  /** Adversarial-skew guard: shingles with global document frequency above
+    * this never enter the prefix index. A shingle shared by thousands of
+    * docs generates O(df^2) candidate pairs while carrying ~no signal at
+    * t=0.8 (rarity ordering already pushes hot shingles out of prefixes for
+    * any doc that HAS rare shingles — the cap only bites on degenerate docs
+    * whose entire prefix is corpus-hot, where exact candidate generation is
+    * inherently quadratic; such shingles are treated as stop-shingles, the
+    * standard near-dup practice). Far above any organic df in the test data,
+    * so the oracle row stays exact; Stress measures the bound under a
+    * planted common-prefix corpus.
+    */
+  final val DfCap = 1000L
+
+  def jaccardPairsOn(documents: DataFrame): DataFrame =
+    jaccardPairsOn(documents, DfCap)
+
+  private val T = 0.8
+
+  /** Shingle frame, persisted: consumed by the index and twice by verify.
+    * Disk-backed, so the same plan holds when the corpus outgrows memory.
+    */
+  private def shingled(documents: DataFrame): DataFrame =
+    withShingles(documents)
       .select(col("doc_id"), col("shs"))
       .filter(size(col("shs")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** Candidate stage (prefix-index self-join) over a shingle frame —
+    * exposed for stress measurement of the df-cap's candidate bound.
+    */
+  private[graft] def jaccardCandidatesFrom(sh: DataFrame, dfCap: Long): DataFrame = {
     val inv = sh.select(col("doc_id"), size(col("shs")).as("n_sh"),
       explode(col("shs")).as("sh"))
     val freq = inv.groupBy("sh").agg(count(lit(1)).as("df"))
@@ -80,16 +102,26 @@ object DedupOps {
     // at the 20x stress scale
     val prefix = inv.join(freq, "sh")
       .withColumn("rk", row_number().over(byRarity))
-      .filter(col("rk") <= col("n_sh") - ceil(col("n_sh") * t) + 1)
+      .filter(col("rk") <= col("n_sh") - ceil(col("n_sh") * T) + 1 &&
+        col("df") <= dfCap)
       .select("doc_id", "n_sh", "sh")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // size filter: J >= t forces min(|A|,|B|) >= t * max(|A|,|B|)
-    val cands = prefix.as("a")
+    prefix.as("a")
       .join(prefix.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
-          col("a.n_sh") >= col("b.n_sh") * t && col("b.n_sh") >= col("a.n_sh") * t)
+          col("a.n_sh") >= col("b.n_sh") * T && col("b.n_sh") >= col("a.n_sh") * T)
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
+  }
+
+  /** Stress probe: candidate count for a corpus at a given df-cap. */
+  private[graft] def jaccardCandidates(documents: DataFrame, dfCap: Long): DataFrame =
+    jaccardCandidatesFrom(shingled(documents), dfCap)
+
+  def jaccardPairsOn(documents: DataFrame, dfCap: Long): DataFrame = {
+    val sh = shingled(documents)
+    val cands = jaccardCandidatesFrom(sh, dfCap)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cands
       .join(sh.select(col("doc_id").as("d1"), col("shs").as("shs1")), "d1")
@@ -97,7 +129,7 @@ object DedupOps {
       .withColumn("common", size(array_intersect(col("shs1"), col("shs2"))).cast("long"))
       .withColumn("jaccard", col("common").cast(DoubleType) /
         (size(col("shs1")) + size(col("shs2")) - col("common")).cast(DoubleType))
-      .filter(col("jaccard") >= t)
+      .filter(col("jaccard") >= T)
       .select("d1", "d2", "common", "jaccard")
       .orderBy("d1", "d2")
   }
@@ -212,44 +244,101 @@ object DedupOps {
 
   /** Connected components over the near-dup pair graph -> dedup clusters
     * (cluster id = min doc_id reachable; keep-list = docs equal to their
-    * cluster id). Iterative min-label propagation: each round is one
-    * join + min-aggregate over edges, converging in graph-diameter rounds
-    * (near-dup clusters are shallow; the large-star/small-star variant
-    * drops the diameter to O(log n) if ever needed). The oracle is an
-    * independent DuckDB recursive CTE.
+    * cluster id). Alternating large-star/small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC 2014): converges
+    * in O(log n) rounds on ANY graph — vs graph-diameter rounds for naive
+    * label propagation, which silently mislabels deep chains past a round
+    * cap. The oracle is an independent DuckDB recursive CTE.
     */
   def dupClusters(s: SparkSession, dir: String): DataFrame =
     clusterPairs(jaccardPairsOn(Tables.t(s, dir, "documents")).select("d1", "d2"))
 
-  /** Min-label propagation over an undirected (d1, d2) pair set. */
-  def clusterPairs(pairs: DataFrame): DataFrame = {
-    val edges = pairs
-      .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("d1").as("id")).distinct()
-      .withColumn("lbl", col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var changed = 1L
+  def clusterPairs(pairs: DataFrame): DataFrame = clusterPairsWithStats(pairs)._1
+
+  /** Large-star: every node links its LARGER neighbors to the minimum of its
+    * closed neighborhood. Small-star: every node links its smaller-or-equal
+    * neighbors (and itself) to that minimum. Each round is two
+    * groupBy-min + join passes over the edge list; the edge set's fixed
+    * point is a star forest rooted at component minima. Per-round driver
+    * work is one (count, checksum) aggregate to detect the fixed point;
+    * every intermediate is unpersisted as soon as it is superseded, and the
+    * final labels are localCheckpoint'ed so nothing stays pinned after
+    * return. Throws (never silently returns wrong labels) if the round cap
+    * is somehow hit.
+    */
+  private[graft] def clusterPairsWithStats(pairs: DataFrame,
+      maxRounds: Int = 50): (DataFrame, Int) = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // canonical undirected edges, larger id first; self-loops dropped.
+    // Each round ends in localCheckpoint, not persist: persist caches DATA
+    // but the logical plan still nests round-over-round (the self-joins
+    // reference the previous round's subtree several times, so plan SIZE
+    // grows exponentially — OOMs in plan stringification long before the
+    // data is big). Checkpointing makes each round's edges a leaf scan.
+    var edges = pairs
+      .select(greatest(col("d1"), col("d2")).as("u"),
+        least(col("d1"), col("d2")).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    // nodes that appear in any pair (the output domain, fixed up-front)
+    val nodes = edges.select(col("u").as("id"))
+      .union(edges.select(col("v").as("id"))).distinct().persist(lvl)
+
+    def sym(df: DataFrame): DataFrame =
+      df.union(df.select(col("v").as("u"), col("u").as("v")))
+    def minOfNeighborhood(df: DataFrame): DataFrame =
+      sym(df).groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+        .select(col("u").as("mu"), col("m"))
+    def canonical(df: DataFrame): DataFrame =
+      df.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+
+    def checksum(df: DataFrame): (Long, Long) = {
+      // set signature: count + order-independent XOR of row hashes (XOR
+      // cannot overflow; edges are distinct so nothing self-cancels)
+      val row = df.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
+      (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+    }
+
+    var sig = checksum(edges)
     var rounds = 0
-    while (changed > 0 && rounds < 50) {
-      val prop = edges.join(labels, edges("d2") === labels("id"))
-        .groupBy(edges("d1").as("pid"))
-        .agg(min(col("lbl")).as("nlbl"))
-      val next = labels.join(prop, labels("id") === prop("pid"), "left")
-        .select(col("id"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      changed = next.as("n")
-        .join(labels.select(col("id").as("oid"), col("lbl").as("olbl")),
-          col("id") === col("oid"))
-        .filter(col("lbl") =!= col("olbl")).count()
-      labels.unpersist()
-      labels = next
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      // large-star: (v, m(u)) for v in N(u), v > u
+      val large = canonical(
+        sym(edges).join(minOfNeighborhood(edges), col("u") === col("mu"))
+          .filter(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v"))).localCheckpoint(true)
+      // small-star over the large-star output: (v, m(u)) for v <= u, plus u
+      val smallIn = large
+      val small = canonical(
+        sym(smallIn).filter(col("v") < col("u"))
+          .union(smallIn.select(col("u"), col("u").as("v"))) // closed: u itself
+          .groupBy("u").agg(min(col("v")).as("m"))
+          .join(sym(smallIn).filter(col("v") < col("u"))
+            .union(smallIn.select(col("u"), col("u").as("v"))), "u")
+          .select(col("v").as("u"), col("m").as("v"))).localCheckpoint(true)
+      val nsig = checksum(small)
+      edges = small
+      converged = nsig == sig
+      sig = nsig
       rounds += 1
     }
-    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+    if (!converged) throw new IllegalStateException(
+      s"clusterPairs: no fixed point after $maxRounds rounds — refusing to return possibly-wrong labels")
+
+    // fixed point is a star forest: every non-root points at its component
+    // min; roots appear only on the v side (or not at all for... roots are
+    // the m of their own star). Labels: node -> its v, roots -> themselves.
+    val labels = nodes
+      .join(edges.select(col("u").as("id"), col("v").as("root")), Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("root"), col("id")).as("cluster_id"))
       .withColumn("keep", col("doc_id") === col("cluster_id"))
       .orderBy("doc_id")
+      .localCheckpoint(true) // cut the iterative lineage, then unpin inputs
+    nodes.unpersist()
+    (labels, rounds)
   }
 
   val dupClustersOracle: String =

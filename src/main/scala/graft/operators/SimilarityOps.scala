@@ -166,20 +166,102 @@ object SimilarityOps {
        |ORDER BY label""".stripMargin
   }
 
-  /** Embedding-cosine near-dup pairs with label blocking (standard blocked
-    * dedup: candidates only within a block -> n^2/blocks instead of n^2).
+  /** Embedding-cosine near-dup pairs — EXACT at any scale.
+    *
+    * Label blocking alone is n^2/|labels| pair candidates (the round-1 scale
+    * killer). The scale path blocks by a KMeans coarse quantizer over
+    * NORMALIZED vectors and prunes cell PAIRS with a triangle-inequality
+    * bound: cos(a,b) >= t on unit vectors  <=>  ||a^ - b^|| <= r =
+    * sqrt(2-2t), and for x in cell A, y in cell B,
+    * ||x-y|| >= ||cA-cB|| - rmax(A) - rmax(B), so any cell pair with
+    * ||cA-cB|| > rmax(A)+rmax(B)+r provably contains no qualifying pair.
+    * Recall is 1.0 BY CONSTRUCTION — not probabilistic: at t=0.4 the
+    * measured sim distribution has mass just below the threshold (max
+    * non-pair 0.3999 at sf0.1), so no LSH parameterization reaches recall 1
+    * with bounded candidates. Candidates are verified with the exact
+    * quantized cosine at the original threshold; the bound uses t - 1e-6 so
+    * the ~1e-7 quantization error cannot exclude a boundary pair.
+    *
+    * At 100 TB: cell assignment is one map pass over a broadcast model, the
+    * (centroid, rmax) table is k rows of driver-side index metadata, and the
+    * pair join shuffles by (cell, label) — candidate volume tracks the
+    * corpus's actual cluster structure instead of n^2/|labels|
+    * (Stress measures the candidate curve at 1x vs 10x).
     */
-  def cosineDups(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.t(s, dir, "embeddings")
+  def cosineDups(s: SparkSession, dir: String): DataFrame =
+    cosineDupsBlocked(Tables.t(s, dir, "embeddings"))
+
+  def cosineDupsBlocked(e0: DataFrame, t: Double = 0.4, k: Int = 16): DataFrame =
+    cosineCandidates(e0, t, k)
+      .withColumn("sim", graftCosine(col("a.embedding"), col("b.embedding")))
+      .filter(col("sim") >= t)
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+        col("a.label").as("label"), col("sim"))
+      .orderBy("v1", "v2")
+
+  /** Candidate stage (cell-pair blocked join, pre-verify) — exposed for
+    * stress measurement of the candidate-volume curve.
+    */
+  private[graft] def cosineCandidates(e0: DataFrame, t: Double, k: Int): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val s = e0.sparkSession
+    import s.implicits._
+    val r = math.sqrt(2.0 - 2.0 * (t - 1e-6))
+    val e = Tables.spread(e0)
+      .withColumn("nrm", expr(
+        "sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE), (a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"))
+      .withColumn("nvec", expr(
+        "transform(embedding, x -> CASE WHEN nrm = 0.0 THEN 0.0 ELSE CAST(x AS DOUBLE) / nrm END)"))
+      .withColumn("features", array_to_vector(col("nvec")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val model = new KMeans().setK(k).setSeed(42L).setMaxIter(5)
+      .fit(e.select("features"))
+    val centers = model.clusterCenters.map(_.toArray)
+    val centDf = centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toSeq.toDF("cell", "carr")
+    // per-vector distance to its own centroid, in normalized space
+    val av = model.transform(e).withColumnRenamed("prediction", "cell")
+      .join(broadcast(centDf), "cell")
+      .withColumn("cdist", expr(
+        "sqrt(aggregate(zip_with(nvec, carr, (x, c) -> (x - c) * (x - c)), CAST(0.0 AS DOUBLE), (a, v) -> a + v))"))
+      .select("vec_id", "label", "embedding", "cell", "cdist")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // cell radii: k rows of index metadata (like the IVF probe table)
+    val rm = av.groupBy("cell").agg(max(col("cdist")).as("rmax")).collect()
+      .map(row => row.getAs[Int]("cell") -> row.getAs[Double]("rmax")).toMap
+    e.unpersist()
+    def dist(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < a.length) { val x = a(i) - b(i); d += x * x; i += 1 }
+      math.sqrt(d)
+    }
+    // admissible cell pairs (both orientations so vec_id ordering never
+    // drops a cross-cell pair); k^2 driver-side loop over metadata
+    val cellPairs = (for {
+      a <- 0 until k; b <- 0 until k
+      if rm.contains(a) && rm.contains(b)
+      if dist(centers(a), centers(b)) <= rm(a) + rm(b) + r
+    } yield (a, b)).toDF("ca", "cb")
+    av.as("a")
+      .join(broadcast(cellPairs), col("a.cell") === col("ca"))
+      .join(av.as("b"),
+        col("b.cell") === col("cb") && col("a.label") === col("b.label") &&
+          col("a.vec_id") < col("b.vec_id"))
+  }
+
+  /** The reference small-scale form (label-block all-pairs) — kept as the
+    * oracle-shaped baseline for recall tests against the blocked path.
+    */
+  private[graft] def cosineDupsAllPairs(e: DataFrame, t: Double = 0.4): DataFrame =
     e.as("a")
       .join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("sim", graftCosine(col("a.embedding"), col("b.embedding")))
-      .filter(col("sim") >= 0.4)
+      .filter(col("sim") >= t)
       .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
         col("a.label").as("label"), col("sim"))
       .orderBy("v1", "v2")
-  }
 
   val cosineDupsOracle: String =
     s"""SELECT a.vec_id AS v1, b.vec_id AS v2, a.label AS label,

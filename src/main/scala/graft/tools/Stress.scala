@@ -58,6 +58,25 @@ object Stress {
     time(s"events x$copies count")(evN.count())
     time(s"cep x$copies")(EventOps.cepAttackOn(evN).count())
 
+    // adversarial common-prefix corpus: every doc = 25 shared words + a
+    // 2-word unique tail, so every shingle in the shared block has df = n.
+    // Without the df-cap the prefix index joins n docs on those hot
+    // shingles (O(n^2) candidates); with the cap they are stop-shingled
+    // and candidates collapse to ~0. Run capped at full n, uncapped only
+    // at n/10 (the uncapped quadratic at full n would swamp the box).
+    if (!eventsOnly) {
+      val common = (1 to 25).map(w => s"w$w").mkString(" ")
+      def adv(n: Long) = spark.range(n).select(col("id").as("doc_id"),
+        concat_ws(" ", lit(common), concat(lit("u"), col("id"), lit("a")),
+          concat(lit("u"), col("id"), lit("b"))).as("text"))
+      val nAdv = 20000L * copies / 10
+      time(s"jaccard-adv capped n=$nAdv cands")(
+        DedupOps.jaccardCandidates(adv(nAdv), DedupOps.DfCap).count())
+      time(s"jaccard-adv uncapped n=${nAdv / 10} cands")(
+        DedupOps.jaccardCandidates(adv(nAdv / 10), Long.MaxValue).count())
+      spark.catalog.clearCache()
+    }
+
     // embeddings x copies: brute-force knn corpus scaling
     if (!eventsOnly) {
       val emb = Tables.t(spark, dir, "embeddings")
@@ -75,6 +94,26 @@ object Stress {
         .partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
       time(s"knn-brute x$copies")(
         scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 10).count())
+      spark.catalog.clearCache()
+
+      // cosine-dups candidate curve: copies get distinct labels and a
+      // copy-specific SIGN-FLIP perturbation (s_j in {±1}): within-copy
+      // dot products are unchanged ((s⊙a)·(s⊙b) = a·b) while cross-copy
+      // sims decorrelate, so near-dup structure scales linearly and the
+      // cell-blocked candidate count must track it ~linearly (cells scale
+      // with corpus: k grows with copies).
+      val embC = (0 until copies).map { i =>
+        val flip = expr(
+          s"transform(embedding, (x, j) -> CASE WHEN pmod(xxhash64(concat('cp$i', '_', j)), 2) = 0 THEN x ELSE -x END)")
+        emb.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+          flip.as("embedding"), (col("label") + lit(i * 100)).as("label"))
+      }.reduce(_ unionByName _)
+      time(s"cosine-dups x1 cands")(
+        SimilarityOps.cosineCandidates(emb, 0.4, 16).count())
+      time(s"cosine-dups x$copies cands")(
+        SimilarityOps.cosineCandidates(embC, 0.4, 16 * copies).count())
+      time(s"cosine-dups x$copies pairs")(
+        SimilarityOps.cosineDupsBlocked(embC, 0.4, 16 * copies).count())
     }
 
     spark.stop()

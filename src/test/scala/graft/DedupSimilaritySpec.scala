@@ -47,6 +47,46 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("two-phase CC converges in O(log n) rounds on a deep chain") {
+    // 512-node chain: diameter 511 — label propagation would need 511
+    // rounds (and a 50-round cap silently mislabels); large-star/small-star
+    // must land the global min everywhere in ~log2(512)+C rounds.
+    val n = 512
+    val pairs = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("d1", "d2")
+    val (labels, rounds) = DedupOps.clusterPairsWithStats(pairs)
+    val got = labels.select("doc_id", "cluster_id").as[(Long, Long)].collect()
+    assert(got.length == n)
+    assert(got.forall(_._2 == 0L), s"all labels must be the component min")
+    assert(rounds <= 15, s"expected O(log n) convergence, took $rounds rounds")
+  }
+
+  test("two-phase CC throws rather than returning unconverged labels") {
+    val pairs = (0L until 63L).map(i => (i, i + 1)).toDF("d1", "d2")
+    intercept[IllegalStateException] {
+      DedupOps.clusterPairsWithStats(pairs, maxRounds = 1)._1.collect()
+    }
+  }
+
+  test("blocked cosineDups equals label-block all-pairs exactly (sf0.001)") {
+    val e = Tables.t(spark, sf0001, "embeddings")
+    val exact = SimilarityOps.cosineDupsAllPairs(e)
+      .select("v1", "v2").as[(Long, Long)].collect().toSet
+    val blocked = SimilarityOps.cosineDupsBlocked(e)
+      .select("v1", "v2").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "test data should contain cosine near-dup pairs")
+    assert(blocked == exact,
+      s"triangle-bound blocking must be lossless: missed=${exact -- blocked} extra=${blocked -- exact}")
+  }
+
+  test("jaccard df-cap drops hot-shingle candidates but keeps organic pairs (sf0.001)") {
+    val docs = Tables.t(spark, sf0001, "documents")
+    val capped = DedupOps.jaccardPairsOn(docs) // default DfCap
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val uncapped = DedupOps.jaccardPairsOn(docs, Long.MaxValue)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(capped == uncapped, "cap must not bite on organic data")
+  }
+
   test("knnBrute top-1 matches a driver-side brute force (sf0.001)") {
     val emb = Tables.t(spark, sf0001, "embeddings")
       .select("vec_id", "embedding").as[(Long, Array[Float])].collect()

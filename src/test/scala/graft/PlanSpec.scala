@@ -37,4 +37,21 @@ class PlanSpec extends SparkSpecBase {
     val p = plan(SimilarityOps.knnBrute(spark, sf0001))
     assert(p.contains("WindowGroupLimit"))
   }
+
+  test("cep: both event-level passes share ONE shuffle; runs side broadcasts") {
+    // the scale claim: events are exchanged on user_id exactly once — the
+    // second window pass's exchange is AQE-reused, and the (tiny) aggregated
+    // runs side reaches the join as a broadcast, never a full-data shuffle.
+    val df = graft.operators.EventOps.cepAttack(spark, sf0001)
+    df.collect() // adaptive plan finalizes (exchange reuse happens at runtime)
+    val p = plan(df)
+    assert(p.contains("ReusedExchange"), "second event-level exchange must be reused")
+    assert(p.contains("BroadcastExchange"), "aggregated runs side must broadcast")
+  }
+
+  test("jaccard: persisted shingle/prefix intermediates are actually reused") {
+    val p = plan(graft.operators.DedupOps.jaccardPairs(spark, sf0001))
+    assert(p.contains("InMemoryTableScan"),
+      "multi-consumer intermediates must read from cache, not recompute")
+  }
 }

@@ -50,10 +50,20 @@ object Bench {
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val qs = results.map { case (k, v) => jstr(k) + ":" + v.fold("null")(_.toString) }
       .mkString("{", ",", "}")
-    val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
-      .mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    // streaming soak (sustained ev/s + bounded-state evidence) rides along
+    // as its own key — NOT added to the headline total, which stays the sum
+    // of the batch queries above. 0 seconds disables it.
+    val soakSecs = sys.env.getOrElse("SPARK_GRAFT_SOAK_SECS", "45").toInt
+    val soakJson =
+      if (soakSecs <= 0) "null"
+      else try streaming.Soak.json(streaming.Soak.run(spark, soakSecs, 20000))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] soak: $e"); errors("soak") = e.toString.take(200); "null"
+      }
+    val errJson2 = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"soak":$soakJson,"errors":$errJson2,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

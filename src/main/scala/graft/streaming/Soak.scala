@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.model.NetworkEvent
+
+/** Sustained-throughput soak for the streaming CEP pipeline: a rate source
+  * synthesizes continuous traffic with planted fragmentation-attack cycles
+  * (12 low-packet fragments then a high-packet close, per target, forever),
+  * the full detectAttacks topology runs against the live clock, and the
+  * query's own progress metrics answer the two questions that kill
+  * streaming jobs at scale: does steady-state throughput hold, and does the
+  * state store stay BOUNDED under continuous input (watermark + event-time
+  * timeout GC vs. key churn).
+  *
+  * The round-1 pitfall (processAllAvailable against a live rate source
+  * hangs when input outruns processing) is avoided by sizing rowsPerSecond
+  * below batch capacity and stopping on wall-clock, never on drain.
+  */
+object Soak {
+
+  final case class SoakResult(
+      seconds: Double, inputRows: Long, evPerSec: Double,
+      stateRowsMax: Long, stateRowsLast: Long, attacks: Long, batches: Int)
+
+  def run(spark: SparkSession, seconds: Int, rowsPerSecond: Int,
+      nTargets: Int = 1000): SoakResult = {
+    import spark.implicits._
+    val rate = spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond)
+      .option("numPartitions", 8).load()
+    // target t_(value % nTargets); per-target position p = value / nTargets:
+    // 12 fragments (packets 5) then a closing normal event (packets 50) —
+    // every 13th per-target event completes an attack, so detections grow
+    // linearly while per-key state stays O(maxRun).
+    val ev = rate.select(
+      lit("netflow").as("event_type"),
+      concat(lit("10.0."), (col("value") % 250).cast("string"), lit(".9")).as("ip_src"),
+      concat(lit("t"), (col("value") % nTargets).cast("string")).as("ip_dst"),
+      lit("40000").as("port_src"), lit("443").as("port_dst"),
+      lit("6").as("ip_proto"),
+      unix_millis(col("timestamp")).as("timestamp_start"),
+      (unix_millis(col("timestamp")) + 5L).as("timestamp_end"),
+      when((col("value") / nTargets) % 13 < 12, 5).otherwise(50).as("packets"),
+      lit(600).as("bytes"),
+      lit("w1").as("writer_id"), lit("").as("text"))
+      .as[NetworkEvent]
+    val attacks = StreamingAnomaly.detectAttacks(ev)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-soak").toString
+    val q = attacks.writeStream.format("noop")
+      .option("checkpointLocation", ckpt).start()
+    val t0 = System.nanoTime()
+    while ((System.nanoTime() - t0) / 1e9 < seconds) Thread.sleep(500)
+    val wall = (System.nanoTime() - t0) / 1e9
+    val progresses = q.recentProgress.toSeq
+    q.stop()
+    val inputRows = progresses.map(_.numInputRows).sum
+    val stateRows = progresses.flatMap(p =>
+      Option(p.stateOperators).toSeq.flatMap(_.toSeq).map(_.numRowsTotal))
+    val attacksOut = progresses.flatMap(p =>
+      Option(p.sink).map(_.numOutputRows).filter(_ >= 0)).sum
+    SoakResult(
+      seconds = wall,
+      inputRows = inputRows,
+      evPerSec = inputRows / wall,
+      stateRowsMax = if (stateRows.isEmpty) 0 else stateRows.max,
+      stateRowsLast = stateRows.lastOption.getOrElse(0L),
+      attacks = attacksOut,
+      batches = progresses.length)
+  }
+
+  def json(r: SoakResult): String =
+    f"""{"seconds":${r.seconds}%.1f,"input_rows":${r.inputRows},"ev_s":${r.evPerSec}%.0f,""" +
+      s""""state_rows_max":${r.stateRowsMax},"state_rows_last":${r.stateRowsLast},""" +
+      s""""attacks":${r.attacks},"batches":${r.batches}}"""
+
+  /** Standalone long soak: runMain graft.streaming.Soak [seconds] [rows/s]. */
+  def main(args: Array[String]): Unit = {
+    val seconds = args.headOption.map(_.toInt).getOrElse(300)
+    val rps = if (args.length > 1) args(1).toInt else 20000
+    val spark = graft.GraftSession.get("graft-soak")
+    val r = run(spark, seconds, rps)
+    println(s"[soak] ${json(r)}")
+    spark.stop()
+  }
+}

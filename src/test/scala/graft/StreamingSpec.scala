@@ -166,6 +166,92 @@ class StreamingSpec extends SparkSpecBase {
     } finally query.stop()
   }
 
+  private def toWireJson(es: Seq[NetworkEvent]): Seq[String] = es.map { e =>
+    Seq(
+      s""""event_type":"${e.event_type}"""", s""""ip_src":"${e.ip_src}"""",
+      s""""ip_dst":"${e.ip_dst}"""", s""""port_src":"${e.port_src}"""",
+      s""""port_dst":"${e.port_dst}"""", s""""ip_proto":"${e.ip_proto}"""",
+      s""""timestamp_start":${e.timestamp_start}""",
+      s""""timestamp_end":${e.timestamp_end}""",
+      s""""packets":${e.packets}""", s""""bytes":${e.bytes}""",
+      s""""writer_id":"${e.writer_id}"""",
+      s""""text":"${e.text.replace("\\", "\\\\").replace("\"", "\\\"")}""""
+    ).mkString("{", ",", "}")
+  }
+
+  test("kafka frame contract: asKafkaFrames matches the connector's schema") {
+    val frames = graft.streaming.KafkaIO.asKafkaFrames(
+      Seq("x").toDF("value"), "telemetry")
+    val got = frames.schema.fields.map(f => (f.name, f.dataType))
+    val want = graft.streaming.KafkaIO.kafkaFrameSchema.fields.map(f => (f.name, f.dataType))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("CEP pipeline over kafka-shaped frames: source serde + keyed sink frames") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val frames = graft.streaming.KafkaIO.asKafkaFrames(mem.toDF(), "telemetry")
+    val attacks = StreamingAnomaly.detectAttacks(
+      graft.streaming.KafkaIO.fromKafkaFrames(frames))
+    val sinkFrames = graft.streaming.KafkaIO.toKafkaFrames(attacks)
+    val query = sinkFrames.writeStream
+      .format("memory").queryName("kafka_out").outputMode("append").start()
+    try {
+      val (b1, b2) = toWireJson(events).splitAt(events.length / 2)
+      mem.addData(b1); query.processAllAvailable()
+      mem.addData(b2); query.processAllAvailable()
+      val out = spark.table("kafka_out").collect()
+      assert(out.length == expectedAttacks.length)
+      // sink frames carry (key = target_ip, value = full-result JSON)
+      val keys = out.map(_.getAs[String]("key")).toSet
+      assert(keys == expectedAttacks.map(_.target_ip).toSet)
+      val parsed = spark.table("kafka_out")
+        .select(get_json_object(col("value"), "$.target_ip").as("t"),
+          get_json_object(col("value"), "$.fragment_count").cast("long").as("fc"))
+        .collect()
+      assert(parsed.map(r => (r.getString(0), r.getLong(1))).toSet ==
+        expectedAttacks.map(a => (a.target_ip, a.fragment_count)).toSet)
+    } finally query.stop()
+  }
+
+  test("kafka reader/writer guard throws clearly when the connector jar is absent") {
+    if (!graft.streaming.KafkaIO.kafkaAvailable) {
+      val e = intercept[IllegalStateException] {
+        graft.streaming.KafkaIO.readStreamKafka(spark, "broker:9092", "t")
+      }
+      assert(e.getMessage.contains("spark-sql-kafka"))
+    } else {
+      // connector present: the reader must at least build a streaming plan
+      assert(graft.streaming.KafkaIO
+        .readStreamKafka(spark, "broker:9092", "t").isStreaming)
+    }
+  }
+
+  test("firehose-style fan-out: both sinks receive identical batch content, idempotently") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-fanout").toString
+    val (pq, js, ck) = (s"$base/pq", s"$base/js", s"$base/ck")
+    val mem = MemoryStream[NetworkEvent]
+    val query = graft.streaming.FanOut.dualSink(
+      mem.toDS().toDF(), pq, js, ck)
+    try {
+      mem.addData(events.take(100)); query.processAllAvailable()
+      mem.addData(events.slice(100, 250)); query.processAllAvailable()
+    } finally query.stop()
+    def keys(df: org.apache.spark.sql.DataFrame) = df
+      .select("ip_src", "ip_dst", "timestamp_start", "writer_id")
+      .as[(String, String, Long, String)].collect().toSet
+    val fromPq = spark.read.parquet(pq)
+    val fromJs = spark.read.json(js)
+    assert(fromPq.count() == 250 && fromJs.count() == 250)
+    assert(keys(fromPq) == keys(fromJs), "sinks diverged")
+    // replayed batch (e.g. recovery reruns batch 0) must overwrite, not append
+    val replay = spark.createDataset(events.take(100)).toDF()
+    graft.streaming.FanOut.writeBatch(pq, js)(replay, 0L)
+    assert(spark.read.parquet(pq).count() == 250)
+    assert(spark.read.json(js).count() == 250)
+  }
+
   test("serde roundtrip: toJson then parse is identity") {
     val ds = spark.createDataset(events.take(200))(implicitly)
     val json = StreamingAnomaly.toJson(

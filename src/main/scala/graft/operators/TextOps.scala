@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
@@ -388,6 +389,95 @@ object TextOps {
       |FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents)
       |GROUP BY token ORDER BY n_occ DESC, token ASC LIMIT 50""".stripMargin
 
+  /** Per-document top relevance terms — TF-IDF's ranking semantics kept
+    * fully in INTEGER space (rank by tf desc, df asc) so the result is
+    * bit-exact across engines with no float log in sight. Scale: tf is one
+    * (doc, token) shuffle with map-side combine, df one token shuffle, the
+    * rank<=3 window compiles to WindowGroupLimit (per-partition heaps).
+    */
+  def tfidfTop(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tf").desc, col("df").asc, col("token").asc)
+    tf.join(df, "token")
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select("doc_id", "rnk", "token", "tf", "df")
+      .orderBy("doc_id", "rnk")
+  }
+
+  val tfidfOracle: String =
+    """WITH tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents),
+      |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+      |r AS (
+      |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+      |         row_number() OVER (PARTITION BY tf.doc_id
+      |           ORDER BY tf.tf DESC, df.df ASC, tf.token ASC) AS rnk
+      |  FROM tf JOIN df USING (token))
+      |SELECT doc_id, rnk, token, tf, df FROM r WHERE rnk <= 3
+      |ORDER BY doc_id, rnk""".stripMargin
+
+  /** Sequence packing (GPT-style concat-and-chop): documents are laid out
+    * in doc_id order and cut into fixed 256-token training sequences; a
+    * doc belongs to the sequence its first token lands in. Packing is PER
+    * SOURCE SHARD (the window partitions by source), which is both the
+    * real 100 TB design — shards pack independently, no global sort — and
+    * what keeps the window parallel here.
+    */
+  def seqPack(s: SparkSession, dir: String): DataFrame = {
+    val L = 256
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.t(s, dir, "documents")
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("seq_id", expr(s"(cum - n_tok) div $L"))
+      .groupBy("source", "seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy("source", "seq_id")
+  }
+
+  val seqPackOracle: String =
+    """SELECT source, seq_id, COUNT(*) AS n_docs,
+      |       CAST(SUM(n_tok) AS BIGINT) AS n_tokens, MIN(doc_id) AS first_doc
+      |FROM (
+      |  SELECT source, doc_id, n_tok,
+      |         (CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+      |            ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tok) // 256 AS seq_id
+      |  FROM (SELECT source, doc_id,
+      |          CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok
+      |        FROM documents))
+      |GROUP BY source, seq_id ORDER BY source, seq_id""".stripMargin
+
+  /** Deterministic per-source corpus sampling: keep the 5 docs per source
+    * with the smallest multiplicative-hash value — a reproducible,
+    * engine-portable "random" sample with no RNG state (same hash family as
+    * the stratified split). The rank<=k window is the WindowGroupLimit
+    * scale path, so per-shard sampling never materializes the full shard.
+    */
+  def samplePerSource(s: SparkSession, dir: String): DataFrame = {
+    val h = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+    val w = Window.partitionBy("source").orderBy(h.asc, col("doc_id").asc)
+    Tables.t(s, dir, "documents")
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("source"), col("rnk"), col("doc_id"), col("n_chars"))
+      .orderBy("source", "rnk")
+  }
+
+  val samplePerSourceOracle: String =
+    """SELECT source, rnk, doc_id, n_chars FROM (
+      |  SELECT source, doc_id, n_chars,
+      |         row_number() OVER (PARTITION BY source
+      |           ORDER BY (doc_id * 2654435761) % 4294967296 ASC, doc_id ASC) AS rnk
+      |  FROM documents)
+      |WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("doc_token_stats", tokenStats, Some(tokenStatsOracle)),
     QueryDef("doc_quality", quality, Some(qualityOracle)),
@@ -400,6 +490,9 @@ object TextOps {
     QueryDef("doc_contamination", contamination, Some(contaminationOracle)),
     QueryDef("doc_filter_pipeline", filterPipeline, Some(filterPipelineOracle)),
     QueryDef("doc_split_stats", splitStats, Some(splitStatsOracle)),
-    QueryDef("doc_vocab_top", vocabTop, Some(vocabOracle))
+    QueryDef("doc_vocab_top", vocabTop, Some(vocabOracle)),
+    QueryDef("doc_tfidf_top", tfidfTop, Some(tfidfOracle)),
+    QueryDef("doc_seq_pack", seqPack, Some(seqPackOracle)),
+    QueryDef("doc_sample_per_source", samplePerSource, Some(samplePerSourceOracle))
   )
 }

@@ -252,6 +252,38 @@ class StreamingSpec extends SparkSpecBase {
     assert(spark.read.json(js).count() == 250)
   }
 
+  test("checkpoint recovery: restart mid-stream loses and duplicates nothing") {
+    // file source is replayable, so a stopped query restarted on the SAME
+    // checkpoint must resume from recorded offsets: attacks found across
+    // the two runs together == the batch fold over all events, exactly once.
+    val base = java.nio.file.Files.createTempDirectory("graft-recover").toString
+    val (in, out, ck) = (s"$base/in", s"$base/out", s"$base/ck")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    val (half1, half2) = toWireJson(events).splitAt(events.length / 2)
+    def writeFile(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(in, name),
+        lines.mkString("\n").getBytes("UTF-8"))
+    def runOnce(): Unit = {
+      val lines = spark.readStream.format("text").load(in)
+      val attacks = StreamingAnomaly.detectAttacks(StreamingAnomaly.parse(lines))
+      val q = attacks.writeStream.format("json")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    writeFile("part1.jsonl", half1)
+    runOnce() // run 1: first half, then the query stops (simulated failure)
+    writeFile("part2.jsonl", half2)
+    runOnce() // run 2: same checkpoint — must process ONLY the new file
+    val got = spark.read.json(out)
+      .select("attack_start_time", "target_ip", "fragment_count")
+      .as[(Long, String, Long)].collect()
+    val exp = expectedAttacks
+      .map(a => (a.attack_start_time, a.target_ip, a.fragment_count))
+    assert(got.sorted.toSeq == exp.sorted.toSeq,
+      s"recovery must be exactly-once: got ${got.length}, expected ${exp.length}")
+  }
+
   test("serde roundtrip: toJson then parse is identity") {
     val ds = spark.createDataset(events.take(200))(implicitly)
     val json = StreamingAnomaly.toJson(

@@ -59,6 +59,41 @@ class TextAnalyticsSpec extends SparkSpecBase {
     assert(totalRows == expected)
   }
 
+  test("seq packing conserves tokens and numbers sequences contiguously") {
+    val packed = graft.operators.TextOps.seqPack(spark, sf0001).collect()
+    val docs = graft.sources.Tables.t(spark, sf0001, "documents")
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n"))
+      .groupBy("source").agg(sum("n").as("total")).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("total")).toMap
+    val bySource = packed.groupBy(_.getAs[String]("source"))
+    bySource.foreach { case (src, rows) =>
+      // token conservation: every token lands in exactly one sequence
+      assert(rows.map(_.getAs[Long]("n_tokens")).sum == docs(src))
+      // contiguous ids from 0 (no empty sequences skipped or duplicated)
+      val ids = rows.map(_.getAs[Long]("seq_id")).sorted
+      assert(ids.head == 0L && ids.last == ids.length - 1)
+    }
+  }
+
+  test("tfidf top terms: rank 1 matches a driver-side recount for a doc") {
+    val top = graft.operators.TextOps.tfidfTop(spark, sf0001)
+      .filter(col("doc_id") === 3 && col("rnk") === 1).collect()
+    assert(top.length == 1)
+    val text = graft.sources.Tables.t(spark, sf0001, "documents")
+      .filter(col("doc_id") === 3).select("text").first().getString(0)
+    val tf = text.split(" ").groupBy(identity).map { case (t, a) => (t, a.length) }
+    assert(tf(top(0).getAs[String]("token")) == tf.values.max,
+      "rank-1 term must have the maximal in-doc frequency")
+  }
+
+  test("per-source sample is exactly 5 per source and replay-stable") {
+    val a = graft.operators.TextOps.samplePerSource(spark, sf0001).collect()
+    val b = graft.operators.TextOps.samplePerSource(spark, sf0001).collect()
+    assert(a.map(_.getAs[String]("source")).groupBy(identity).values.forall(_.length == 5))
+    assert(a.map(r => (r.getString(0), r.getLong(2))).toSeq ==
+      b.map(r => (r.getString(0), r.getLong(2))).toSeq, "sample must be deterministic")
+  }
+
   test("topk never exceeds 3 per customer and ranks by totalprice desc") {
     val tk = Analytics.qTopkOrdersPerCust(spark, sf0001)
     val bad = tk.groupBy("o_custkey").agg(count(lit(1)).as("n"))

@@ -398,8 +398,13 @@ object TextOps {
   def tfidfTop(s: SparkSession, dir: String): DataFrame = {
     val tok = Tables.t(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    // df derives FROM tf (one row per (doc, token) = document frequency),
+    // not by re-exploding the corpus; tf is persisted because it feeds both
+    // the df aggregation and the join probe — the collapsed pairs are far
+    // smaller than the raw token stream, which is scanned exactly once.
     val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val df = tok.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("tf").desc, col("df").asc, col("token").asc)
     tf.join(df, "token")

@@ -45,20 +45,35 @@ object StreamingDemo {
     import spark.implicits._
     val lines = spark.readStream.format("text").load(inDir)
     val attacks = StreamingAnomaly.detectAttacks(StreamingAnomaly.parse(lines))
-    // file sink takes the typed dataset directly; toJson() is for
-    // Kafka-shaped (key/value) sinks
+    // downstream of detection, mirror the reference's two consumers of the
+    // attack topic: the raw results sink (Kafka JSON sink analog) and the
+    // incident-report generator (generate_report lambda analog) — ONE
+    // foreachBatch fans each micro-batch to both (single source read,
+    // batch_id= overwrite dirs for exactly-once content, like FanOut).
     val query = attacks.writeStream
-      .format("json")
-      .option("path", s"$outDir/attacks")
       .option("checkpointLocation", s"$outDir/checkpoint")
       .trigger(Trigger.AvailableNow())
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[graft.model.AttackResult], id: Long) =>
+          val b = batch.persist()
+          try {
+            b.toDF().write.mode("overwrite").json(s"$outDir/attacks/batch_id=$id")
+            b.map { a =>
+              (a.target_ip, graft.operators.ReportOps.severityOf(a),
+                graft.operators.ReportOps.render(a))
+            }.toDF("target_ip", "severity", "report")
+              .write.mode("overwrite").json(s"$outDir/reports/batch_id=$id")
+          } finally { b.unpersist(); () }
+      }
       .start()
     val t0 = System.nanoTime()
     query.awaitTermination()
     val secs = (System.nanoTime() - t0) / 1e9
     val n = spark.read.json(s"$outDir/attacks").count()
+    val nRep = spark.read.json(s"$outDir/reports")
+      .filter(org.apache.spark.sql.functions.col("severity") >= 1).count()
     val nIn = spark.read.text(inDir).count()
-    println(f"[demo] attacks detected: $n; throughput: ${nIn / secs}%.0f events/s ($nIn events in $secs%.1f s)")
+    println(f"[demo] attacks detected: $n; reports: $nRep; throughput: ${nIn / secs}%.0f events/s ($nIn events in $secs%.1f s)")
     spark.stop()
   }
 }

@@ -38,6 +38,18 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("WindowGroupLimit"))
   }
 
+  test("tfidf: rank<=3 compiles to WindowGroupLimit; corpus exploded once") {
+    val df = graft.operators.TextOps.tfidfTop(spark, sf0001)
+    val p = plan(df)
+    assert(p.contains("WindowGroupLimit"))
+    // df derives from the PERSISTED tf aggregate: BOTH consumers (join
+    // probe + df aggregation) read the cache, so the raw token stream is
+    // computed once. (The explode still prints per cache-scan node — each
+    // InMemoryTableScan renders its cached plan — so count scans, not
+    // explode strings.)
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 2, p.take(3000))
+  }
+
   test("cep: both event-level passes share ONE shuffle; runs side broadcasts") {
     // the scale claim: events are exchanged on user_id exactly once — the
     // second window pass's exchange is AQE-reused, and the (tiny) aggregated

@@ -84,7 +84,41 @@ object MultimodalOps {
       .orderBy("doc_id")
   }
 
+  /** Deterministic payload "embedding" — the codec-output stand-in for a
+    * vision/audio encoder: L2-normalized 16-bucket byte histogram. Same
+    * partition-local, no-shuffle shape a real encoder batch would have.
+    */
+  def embedStub(payload: Array[Byte]): Array[Float] = {
+    val hist = new Array[Float](16)
+    var i = 0
+    while (i < payload.length) { hist((payload(i) & 0xff) >> 4) += 1f; i += 1 }
+    var ss = 0.0
+    hist.foreach(h => ss += h.toDouble * h)
+    val n = math.sqrt(ss)
+    if (n > 0) (0 until 16).foreach(j => hist(j) = (hist(j) / n).toFloat)
+    hist
+  }
+
+  /** End-to-end multimodal asset dedup: binary payload -> partition-local
+    * embed (encoder stand-in) -> EXACT cosine-threshold pair join via the
+    * similarity stack's cell-blocked path (SimilarityOps.cosineDupsBlocked,
+    * triangle-inequality pruning — recall 1.0). This is the composition a
+    * 100 TB media-dedup pipeline runs: decode and embed never shuffle, and
+    * the pair join is bounded by cluster structure, not n^2.
+    */
+  def embedDedup(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val emb = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text").cast("binary").as("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, src, p) => (id, src, embedStub(p)) })
+      .toDF("vec_id", "label", "embedding")
+    SimilarityOps.cosineDupsBlocked(emb, t = 0.999, k = 8)
+  }
+
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("mm_binary_features", binaryFeatures, None)
+    QueryDef("mm_binary_features", binaryFeatures, None),
+    QueryDef("mm_embed_dedup", embedDedup, None)
   )
 }

@@ -57,6 +57,13 @@ object Stress {
     }.reduce(_ unionByName _)
     time(s"events x$copies count")(evN.count())
     time(s"cep x$copies")(EventOps.cepAttackOn(evN).count())
+    // hot-key skew: half of ALL events redirected to one target — the
+    // worst case for the per-key window/sort CEP (one partition carries
+    // half the volume; the pass is linear, so the curve shows the
+    // single-key ceiling rather than a blowup)
+    val hot = evN.withColumn("user_id",
+      when(pmod(col("event_id"), lit(2)) === 0, lit(77L)).otherwise(col("user_id")))
+    time(s"cep hot-key(50%) x$copies")(EventOps.cepAttackOn(hot).count())
 
     // adversarial common-prefix corpus: every doc = 25 shared words + a
     // 2-word unique tail, so every shingle in the shared block has df = n.

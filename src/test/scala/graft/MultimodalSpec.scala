@@ -44,4 +44,24 @@ class MultimodalSpec extends SparkSpecBase {
     val expected = (r.getAs[Int]("n_bytes") + 9) / 10
     assert(r.getAs[Int]("nf") == expected)
   }
+
+  test("embed stub is deterministic, unit-norm, and separates distributions") {
+    import graft.operators.MultimodalOps.embedStub
+    val a = embedStub("hello world hello world".getBytes("UTF-8"))
+    val b = embedStub("hello world hello world".getBytes("UTF-8"))
+    assert(a.toSeq == b.toSeq)
+    val norm = math.sqrt(a.map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-6)
+    val c = embedStub(Array.fill[Byte](64)(0x01))
+    val dot = a.zip(c).map { case (x, y) => x.toDouble * y }.sum
+    assert(dot < 0.999, "disjoint byte distributions must not near-dup")
+  }
+
+  test("multimodal embed-dedup pipeline runs end to end with exact verify") {
+    val pairs = graft.operators.MultimodalOps.embedDedup(spark, sf0001).collect()
+    pairs.foreach { r =>
+      assert(r.getAs[Double]("sim") >= 0.999)
+      assert(r.getAs[Long]("v1") < r.getAs[Long]("v2"))
+    }
+  }
 }

@@ -279,9 +279,11 @@ object DedupOps {
       .select(greatest(col("d1"), col("d2")).as("u"),
         least(col("d1"), col("d2")).as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
-    // nodes that appear in any pair (the output domain, fixed up-front)
-    val nodes = edges.select(col("u").as("id"))
-      .union(edges.select(col("v").as("id"))).distinct().persist(lvl)
+    // output domain = nodes appearing in ANY pair — taken from the RAW
+    // input, so a node only mentioned in a self-pair (d1 = d2) still gets
+    // a (singleton) label even though its edge is dropped above
+    val nodes = pairs.select(col("d1").as("id"))
+      .union(pairs.select(col("d2").as("id"))).distinct().persist(lvl)
 
     def sym(df: DataFrame): DataFrame =
       df.union(df.select(col("v").as("u"), col("u").as("v")))

@@ -60,6 +60,26 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(rounds <= 15, s"expected O(log n) convergence, took $rounds rounds")
   }
 
+  test("two-phase CC matches a driver-side union-find on random graphs") {
+    for (seed <- 1 to 4) {
+      val rng = new scala.util.Random(seed)
+      val n = 200
+      val edges = Seq.fill(150)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+      // driver-side union-find ground truth (min id as root)
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(id => id -> find(id.toInt).toLong).toMap
+      val got = DedupOps.clusterPairs(edges.toDF("d1", "d2"))
+        .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+      assert(got == want, s"seed $seed: CC labels diverge from union-find")
+    }
+  }
+
   test("two-phase CC throws rather than returning unconverged labels") {
     val pairs = (0L until 63L).map(i => (i, i + 1)).toDF("d1", "d2")
     intercept[IllegalStateException] {

@@ -47,7 +47,17 @@ object Bench {
       }
       q.name -> (if (times.nonEmpty) Some(times.min) else None)
     }
-    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // escape ALL control chars too — exception messages routinely contain
+    // newlines (plan fragments), which would break the one-line JSON
+    def jstr(s: String) = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val qs = results.map { case (k, v) => jstr(k) + ":" + v.fold("null")(_.toString) }
       .mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum

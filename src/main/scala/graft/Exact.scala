@@ -37,4 +37,25 @@ object Exact {
     * timestamp annotations differ between writers, epoch integers never do.
     */
   def epochUs(c: Column): Column = unix_micros(c.cast(TimestampType))
+
+  /** Knuth multiplicative hash h(x) = (2654435761 * x) mod 2^32, computed
+    * overflow-free for ANY int64 input: the naive product wraps int64 in
+    * Spark (silent) and errors in DuckDB once x >= ~3.47e9, so the multiply
+    * is split 16/16 — every intermediate stays under 2^50. Identical values
+    * to the naive form wherever that form doesn't overflow, on both engines.
+    */
+  def mulHash(x: Column): Column = {
+    val m = lit(4294967296L)
+    val a = lit(2654435761L)
+    val xm = pmod(x, m)
+    val xh = (xm / 65536L).cast(LongType) // 0 <= xm < 2^32, so this is a floor
+    val xl = pmod(xm, lit(65536L))
+    pmod(pmod(a * xh, m) * 65536L + a * xl, m)
+  }
+
+  /** DuckDB rendering of [[mulHash]] (same split-multiply sequence). */
+  def sqlMulHash(e: String): String = {
+    val x = s"(($e) % 4294967296)"
+    s"(((2654435761 * ($x // 65536)) % 4294967296) * 65536 + 2654435761 * ($x % 65536)) % 4294967296"
+  }
 }

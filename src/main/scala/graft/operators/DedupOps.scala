@@ -62,20 +62,22 @@ object DedupOps {
     * the true Jaccard on the candidates' full shingle arrays.
     */
   /** Adversarial-skew guard: shingles with global document frequency above
-    * this never enter the prefix index. A shingle shared by thousands of
+    * the cap never enter the prefix index. A shingle shared by thousands of
     * docs generates O(df^2) candidate pairs while carrying ~no signal at
     * t=0.8 (rarity ordering already pushes hot shingles out of prefixes for
     * any doc that HAS rare shingles — the cap only bites on degenerate docs
     * whose entire prefix is corpus-hot, where exact candidate generation is
     * inherently quadratic; such shingles are treated as stop-shingles, the
-    * standard near-dup practice). Far above any organic df in the test data,
-    * so the oracle row stays exact; Stress measures the bound under a
-    * planted common-prefix corpus.
+    * standard near-dup practice). The effective cap SCALES WITH THE CORPUS
+    * — max(DfCap, 1% of docs) — so organic boilerplate shared by a fixed
+    * fraction of a growing corpus never silently crosses an absolute
+    * constant; Stress measures the bound under a planted common-prefix
+    * corpus.
     */
   final val DfCap = 1000L
 
   def jaccardPairsOn(documents: DataFrame): DataFrame =
-    jaccardPairsOn(documents, DfCap)
+    jaccardPairsOn(documents, -1L) // adaptive cap
 
   private val T = 0.8
 
@@ -91,7 +93,10 @@ object DedupOps {
   /** Candidate stage (prefix-index self-join) over a shingle frame —
     * exposed for stress measurement of the df-cap's candidate bound.
     */
-  private[graft] def jaccardCandidatesFrom(sh: DataFrame, dfCap: Long): DataFrame = {
+  private[graft] def jaccardCandidatesFrom(sh: DataFrame, dfCap0: Long): DataFrame = {
+    // dfCap <= 0 = adaptive: max(DfCap, 1% of corpus docs). sh is persisted,
+    // so the count is one cheap cache pass.
+    val dfCap = if (dfCap0 > 0) dfCap0 else math.max(DfCap, sh.count() / 100)
     val inv = sh.select(col("doc_id"), size(col("shs")).as("n_sh"),
       explode(col("shs")).as("sh"))
     val freq = inv.groupBy("sh").agg(count(lit(1)).as("df"))

@@ -453,8 +453,10 @@ object EventOps {
           .as("t_p_last"))
       .filter(col("t_signup").isNotNull)
       .agg(count(lit(1)).as("n_signup_users"),
-        sum(when(col("t_p_last") > col("t_signup"), 1).otherwise(0))
-          .as("n_converted_users"))
+        // coalesce: sum over ZERO rows is NULL, but an empty funnel must
+        // report 0 conversions like the oracle's COUNT(*)
+        coalesce(sum(when(col("t_p_last") > col("t_signup"), 1).otherwise(0)),
+          lit(0L)).as("n_converted_users"))
       .select(col("n_signup_users"), col("n_converted_users"),
         (col("n_converted_users").cast(DoubleType) /
           col("n_signup_users").cast(DoubleType)).as("conversion"))

@@ -137,14 +137,20 @@ object ReportOps {
        |FROM cep ORDER BY target_id, attack_start_us""".stripMargin
   }
 
-  /** Full oracle: the cepAttack oracle as a CTE, report rendering on top. */
+  /** Full oracle: the cepAttack oracle as a CTE, report rendering on top.
+    * Built by marker surgery on EventOps.cepOracle — validated loudly so a
+    * reworded cep oracle fails HERE with a clear message, not as a
+    * StringIndexOutOfBounds inside Registry initialization.
+    */
   def reportOracle: String = {
-    // EventOps.cepOracle starts "WITH e AS (...)" — extend its CTE list.
     val cep = EventOps.cepOracle
+    require(cep.startsWith("WITH "), "cepOracle no longer starts with WITH — update ReportOps.reportOracle")
     val body = cep.stripPrefix("WITH ")
-    val noOrder = body.substring(0, body.lastIndexOf("ORDER BY"))
-    // wrap the cep SELECT as one more CTE named `cep`
-    val selStart = noOrder.indexOf("SELECT r.user_id")
+    val orderAt = body.lastIndexOf("ORDER BY")
+    val selStart = body.indexOf("SELECT r.user_id")
+    require(orderAt >= 0 && selStart >= 0 && selStart < orderAt,
+      "cepOracle markers (SELECT r.user_id / trailing ORDER BY) moved — update ReportOps.reportOracle")
+    val noOrder = body.substring(0, orderAt)
     s"WITH ${noOrder.substring(0, selStart)}, cep AS (\n${noOrder.substring(selStart)})\n$oracleReport"
   }
 

@@ -352,7 +352,7 @@ object TextOps {
     * pipeline would write back as a partition column.
     */
   def splitStats(s: SparkSession, dir: String): DataFrame = {
-    val bucket = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+    val bucket = graft.Exact.mulHash(col("doc_id"))
     val split = when(bucket < lit(3865470566L), "train")   // 90%
       .when(bucket < lit(4080218931L), "val")              // +5%
       .otherwise("test")                                   // +5%
@@ -363,14 +363,16 @@ object TextOps {
       .orderBy("source", "split")
   }
 
-  val splitStatsOracle: String =
-    """SELECT source, split, COUNT(*) AS n, MIN(doc_id) AS min_id FROM (
-      |  SELECT *, CASE
-      |    WHEN (doc_id * 2654435761) % 4294967296 < 3865470566 THEN 'train'
-      |    WHEN (doc_id * 2654435761) % 4294967296 < 4080218931 THEN 'val'
-      |    ELSE 'test' END AS split
-      |  FROM documents)
-      |GROUP BY source, split ORDER BY source, split""".stripMargin
+  val splitStatsOracle: String = {
+    val h = graft.Exact.sqlMulHash("doc_id")
+    s"""SELECT source, split, COUNT(*) AS n, MIN(doc_id) AS min_id FROM (
+       |  SELECT *, CASE
+       |    WHEN $h < 3865470566 THEN 'train'
+       |    WHEN $h < 4080218931 THEN 'val'
+       |    ELSE 'test' END AS split
+       |  FROM documents)
+       |GROUP BY source, split ORDER BY source, split""".stripMargin
+  }
 
   /** Corpus vocabulary: top-50 tokens by total occurrences with document
     * frequency (tokenizer-building / stopword-mining primitive).
@@ -466,7 +468,7 @@ object TextOps {
     * scale path, so per-shard sampling never materializes the full shard.
     */
   def samplePerSource(s: SparkSession, dir: String): DataFrame = {
-    val h = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+    val h = graft.Exact.mulHash(col("doc_id"))
     val w = Window.partitionBy("source").orderBy(h.asc, col("doc_id").asc)
     Tables.t(s, dir, "documents")
       .withColumn("rnk", row_number().over(w).cast("long"))
@@ -476,12 +478,12 @@ object TextOps {
   }
 
   val samplePerSourceOracle: String =
-    """SELECT source, rnk, doc_id, n_chars FROM (
-      |  SELECT source, doc_id, n_chars,
-      |         row_number() OVER (PARTITION BY source
-      |           ORDER BY (doc_id * 2654435761) % 4294967296 ASC, doc_id ASC) AS rnk
-      |  FROM documents)
-      |WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin
+    s"""SELECT source, rnk, doc_id, n_chars FROM (
+       |  SELECT source, doc_id, n_chars,
+       |         row_number() OVER (PARTITION BY source
+       |           ORDER BY ${graft.Exact.sqlMulHash("doc_id")} ASC, doc_id ASC) AS rnk
+       |  FROM documents)
+       |WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("doc_token_stats", tokenStats, Some(tokenStatsOracle)),

@@ -39,7 +39,10 @@ object Tables {
     // layout this guards against is "one single-row-group file". Checking
     // inputFiles stays on the driver's file index — unlike df.rdd, it never
     // materializes the physical plan's RDD lineage just to count partitions.
-    if (df.inputFiles.length * 2 < target) df.repartition(target) else df
+    // Non-file-backed frames (ranges, memory tables) report 0 files and are
+    // already parallel — never reshuffle those.
+    val files = df.inputFiles.length
+    if (files > 0 && files * 2 < target) df.repartition(target) else df
   }
 
   /** Register every table as a temp view (for spark.sql callers). */

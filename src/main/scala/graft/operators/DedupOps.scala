@@ -77,7 +77,10 @@ object DedupOps {
   final val DfCap = 1000L
 
   def jaccardPairsOn(documents: DataFrame): DataFrame =
-    jaccardPairsOn(documents, -1L) // adaptive cap
+    // adaptive cap from the RAW doc count: for parquet sources this is a
+    // metadata-only count (no shingling job), and a 1% threshold doesn't
+    // care about the handful of sub-5-token docs it includes
+    jaccardPairsOn(documents, math.max(DfCap, documents.count() / 100))
 
   private val T = 0.8
 
@@ -94,8 +97,8 @@ object DedupOps {
     * exposed for stress measurement of the df-cap's candidate bound.
     */
   private[graft] def jaccardCandidatesFrom(sh: DataFrame, dfCap0: Long): DataFrame = {
-    // dfCap <= 0 = adaptive: max(DfCap, 1% of corpus docs). sh is persisted,
-    // so the count is one cheap cache pass.
+    // dfCap <= 0 = adaptive from the shingle frame (fallback for callers
+    // without a raw doc count; pays one count pass over the persisted sh)
     val dfCap = if (dfCap0 > 0) dfCap0 else math.max(DfCap, sh.count() / 100)
     val inv = sh.select(col("doc_id"), size(col("shs")).as("n_sh"),
       explode(col("shs")).as("sh"))

@@ -201,6 +201,11 @@ object SimilarityOps {
 
   /** Candidate stage (cell-pair blocked join, pre-verify) — exposed for
     * stress measurement of the candidate-volume curve.
+    *
+    * The assigned-vector frame stays persisted (MEMORY_AND_DISK, spillable)
+    * because the returned plan consumes it twice; like the jaccard
+    * intermediates, it is released by the caller's `clearCache()` (Verify/
+    * Bench do this per query) or session end.
     */
   private[graft] def cosineCandidates(e0: DataFrame, t: Double, k: Int): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans

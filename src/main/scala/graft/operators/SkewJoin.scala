@@ -24,7 +24,7 @@ object SkewJoin {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salt: Int,
       joinType: String = "inner", deterministic: Boolean = true): DataFrame = {
     val saltCol =
-      if (deterministic) pmod(xxhash64(big.columns.map(col): _*), lit(salt))
+      if (deterministic) pmod(xxhash64(big.columns.toIndexedSeq.map(col): _*), lit(salt))
       else floor(rand(42L) * salt)
     val salted = big.withColumn("__salt", saltCol.cast("int"))
     val replicated = small.withColumn("__salt",

@@ -83,7 +83,7 @@ object KafkaIO {
   def toKafkaFrames(results: Dataset[AttackResult]): DataFrame =
     results.select(
       col("target_ip").cast(StringType).as("key"),
-      to_json(struct(results.columns.map(col): _*)).as("value"))
+      to_json(struct(results.columns.toIndexedSeq.map(col): _*)).as("value"))
 
   /** writeStream.format("kafka") for a (key, value) frame. */
   def writeStreamKafka(frames: DataFrame, bootstrapServers: String,

@@ -48,7 +48,7 @@ object StreamingAnomaly {
 
   /** Attack results -> JSON lines (reference JsonSerializationSchema). */
   def toJson(results: Dataset[AttackResult]): DataFrame =
-    results.select(to_json(struct(results.columns.map(col): _*)).as("value"))
+    results.select(to_json(struct(results.columns.toIndexedSeq.map(col): _*)).as("value"))
 
   // CEP parameters — the reference pattern (AnomalyDetection.java:126-132):
   // 10..30 events with packets < 10, then one with packets > 10, within 1 min.

@@ -16,11 +16,16 @@ for t in TABLES:
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 results = {}
-# Expected = every oracle key plus every produced dir: a query that crashed
-# in Verify (caught + continued there) has no dir and must show as failing,
-# not be silently skipped.
+# Expected = every declared query (queries.json, covers rows-only ones) plus
+# every oracle key plus every produced dir: a query that crashed in Verify
+# (caught + continued there) has no dir and must show as failing, not be
+# silently skipped.
 produced = {n for n in os.listdir(OUT) if os.path.isdir(os.path.join(OUT, n))}
-for name in sorted(set(oracle) | produced):
+declared = set()
+qpath = os.path.join(OUT, "queries.json")
+if os.path.exists(qpath):
+    declared = set(json.load(open(qpath)))
+for name in sorted(set(oracle) | produced | declared):
     d = os.path.join(OUT, name)
     if not os.path.isdir(d):
         results[name] = "MISSING OUTPUT: query crashed in Verify (no dir)"

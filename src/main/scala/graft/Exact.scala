@@ -53,9 +53,14 @@ object Exact {
     pmod(pmod(a * xh, m) * 65536L + a * xl, m)
   }
 
-  /** DuckDB rendering of [[mulHash]] (same split-multiply sequence). */
+  /** DuckDB rendering of [[mulHash]] (same split-multiply sequence). The
+    * leading reduction is a NON-NEGATIVE mod — DuckDB `%` keeps the sign of
+    * its dividend while Spark's pmod never does, so without the +m fold a
+    * negative input would diverge between the engines. Past that fold every
+    * intermediate is non-negative, so the remaining `%` agree with pmod.
+    */
   def sqlMulHash(e: String): String = {
-    val x = s"(($e) % 4294967296)"
+    val x = s"(((($e) % 4294967296) + 4294967296) % 4294967296)"
     s"(((2654435761 * ($x // 65536)) % 4294967296) * 65536 + 2654435761 * ($x % 65536)) % 4294967296"
   }
 }

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
@@ -62,17 +61,21 @@ object DedupOps {
     * the true Jaccard on the candidates' full shingle arrays.
     */
   /** Adversarial-skew guard: shingles with global document frequency above
-    * the cap never enter the prefix index. A shingle shared by thousands of
-    * docs generates O(df^2) candidate pairs while carrying ~no signal at
-    * t=0.8 (rarity ordering already pushes hot shingles out of prefixes for
-    * any doc that HAS rare shingles — the cap only bites on degenerate docs
-    * whose entire prefix is corpus-hot, where exact candidate generation is
-    * inherently quadratic; such shingles are treated as stop-shingles, the
-    * standard near-dup practice). The effective cap SCALES WITH THE CORPUS
-    * — max(DfCap, 1% of docs) — so organic boilerplate shared by a fixed
-    * fraction of a growing corpus never silently crosses an absolute
-    * constant; Stress measures the bound under a planted common-prefix
-    * corpus.
+    * the cap are STOP-SHINGLES — removed from every document's shingle SET
+    * before anything else happens, exactly like stop-words in classic IR. A
+    * shingle shared by thousands of docs generates O(df^2) candidate pairs
+    * while carrying ~no signal at t=0.8. Because the removal is applied to
+    * the sets themselves (sizes, intersections and the prefix index all see
+    * the capped sets), PPJoin prefix filtering stays LOSSLESS with respect
+    * to the capped-set Jaccard, and the DuckDB oracle computes the
+    * IDENTICAL function — the earlier formulation capped only the index,
+    * which silently lost pairs whose whole prefix was corpus-hot while the
+    * oracle kept them. The effective cap SCALES WITH THE CORPUS — max(DfCap,
+    * 1% of docs) — so organic boilerplate shared by a fixed fraction of a
+    * growing corpus never silently crosses an absolute constant; Stress
+    * measures the candidate bound under a planted common-prefix corpus, and
+    * DedupSimilaritySpec pins the capped semantics against a brute-force
+    * oracle on a corpus where the cap BITES.
     */
   final val DfCap = 1000L
 
@@ -84,36 +87,35 @@ object DedupOps {
 
   private val T = 0.8
 
-  /** Shingle frame, persisted: consumed by the index and twice by verify.
-    * Disk-backed, so the same plan holds when the corpus outgrows memory.
+  /** Per-doc CAPPED shingle sets, rarity-sorted, persisted: (doc_id, shs,
+    * n_sh) where `shs` holds only shingles with df <= cap, ordered by
+    * (df asc, shingle asc) so the PPJoin prefix is a plain `slice`. One
+    * shuffle by shingle (df count + join) and one by doc_id (regroup);
+    * consumed by the candidate self-join and twice by verify — persisted,
+    * disk-backed, so the same plan holds when the corpus outgrows memory.
     */
-  private def shingled(documents: DataFrame): DataFrame =
-    withShingles(documents)
-      .select(col("doc_id"), col("shs"))
-      .filter(size(col("shs")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-  /** Candidate stage (prefix-index self-join) over a shingle frame —
-    * exposed for stress measurement of the df-cap's candidate bound.
-    */
-  private[graft] def jaccardCandidatesFrom(sh: DataFrame, dfCap0: Long): DataFrame = {
-    // dfCap <= 0 = adaptive from the shingle frame (fallback for callers
-    // without a raw doc count; pays one count pass over the persisted sh)
-    val dfCap = if (dfCap0 > 0) dfCap0 else math.max(DfCap, sh.count() / 100)
-    val inv = sh.select(col("doc_id"), size(col("shs")).as("n_sh"),
-      explode(col("shs")).as("sh"))
+  private[graft] def cappedShingles(documents: DataFrame, dfCap: Long): DataFrame = {
+    val inv = withShingles(documents)
+      .select(col("doc_id"), explode(col("shs")).as("sh"))
     val freq = inv.groupBy("sh").agg(count(lit(1)).as("df"))
-    val byRarity = Window.partitionBy("doc_id").orderBy("df", "sh")
-    // the prefix index feeds both sides of the candidate self-join and
-    // the verify chain: persist it (and the candidates) or the whole
-    // freq-join + ranking pipeline re-runs per consumer — 2.4x wall time
-    // at the 20x stress scale
-    val prefix = inv.join(freq, "sh")
-      .withColumn("rk", row_number().over(byRarity))
-      .filter(col("rk") <= col("n_sh") - ceil(col("n_sh") * T) + 1 &&
-        col("df") <= dfCap)
-      .select("doc_id", "n_sh", "sh")
+    inv.join(freq, "sh")
+      .filter(col("df") <= dfCap)
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("df"), col("sh")))).as("sorted"))
+      .select(col("doc_id"),
+        expr("transform(sorted, x -> x.sh)").as("shs"),
+        size(col("sorted")).as("n_sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Candidate stage: prefix-index self-join over capped shingle sets.
+    * Rarest (1 - t)*n + 1 shingles per doc (they lead the rarity-sorted
+    * array); any pair with capped-set J >= t must collide on one of them.
+    */
+  private[graft] def jaccardCandidatesFrom(eff: DataFrame): DataFrame = {
+    val prefix = eff.select(col("doc_id"), col("n_sh"),
+      explode(slice(col("shs"), lit(1),
+        (col("n_sh") - ceil(col("n_sh") * T) + 1).cast("int"))).as("sh"))
     // size filter: J >= t forces min(|A|,|B|) >= t * max(|A|,|B|)
     prefix.as("a")
       .join(prefix.as("b"),
@@ -125,36 +127,50 @@ object DedupOps {
 
   /** Stress probe: candidate count for a corpus at a given df-cap. */
   private[graft] def jaccardCandidates(documents: DataFrame, dfCap: Long): DataFrame =
-    jaccardCandidatesFrom(shingled(documents), dfCap)
+    jaccardCandidatesFrom(cappedShingles(documents, dfCap))
 
   def jaccardPairsOn(documents: DataFrame, dfCap: Long): DataFrame = {
-    val sh = shingled(documents)
-    val cands = jaccardCandidatesFrom(sh, dfCap)
+    val eff = cappedShingles(documents, dfCap)
+    val cands = jaccardCandidatesFrom(eff)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cands
-      .join(sh.select(col("doc_id").as("d1"), col("shs").as("shs1")), "d1")
-      .join(sh.select(col("doc_id").as("d2"), col("shs").as("shs2")), "d2")
+      .join(eff.select(col("doc_id").as("d1"), col("shs").as("shs1"),
+        col("n_sh").as("n1")), "d1")
+      .join(eff.select(col("doc_id").as("d2"), col("shs").as("shs2"),
+        col("n_sh").as("n2")), "d2")
       .withColumn("common", size(array_intersect(col("shs1"), col("shs2"))).cast("long"))
       .withColumn("jaccard", col("common").cast(DoubleType) /
-        (size(col("shs1")) + size(col("shs2")) - col("common")).cast(DoubleType))
+        (col("n1") + col("n2") - col("common")).cast(DoubleType))
       .filter(col("jaccard") >= T)
       .select("d1", "d2", "common", "jaccard")
       .orderBy("d1", "d2")
   }
 
-  val jaccardOracle: String =
-    s"""WITH sh AS ($sqlShingles),
+  /** Shared oracle fragment: capped shingle sets + exact pair computation,
+    * the same function as [[jaccardPairsOn]] (adaptive cap included — the
+    * GREATEST mirrors `max(DfCap, count/100)` with integer division).
+    */
+  private val sqlCappedPairs: String =
+    s"""sh AS ($sqlShingles),
        |inv AS (SELECT doc_id, unnest(shs) AS sh FROM sh),
-       |sz AS (SELECT doc_id, len(shs) AS n_sh FROM sh),
+       |freq AS (SELECT sh, COUNT(*) AS df FROM inv GROUP BY sh),
+       |capv AS (SELECT GREATEST(1000, COUNT(*) // 100) AS cap FROM documents),
+       |invf AS (SELECT i.doc_id, i.sh FROM inv i JOIN freq f ON i.sh = f.sh, capv
+       |         WHERE f.df <= capv.cap),
+       |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM invf GROUP BY doc_id),
        |c AS (
        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
-       |  FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2)
-       |SELECT d1, d2, common,
-       |       CAST(common AS DOUBLE) / CAST(x.n_sh + y.n_sh - common AS DOUBLE) AS jaccard
-       |FROM c JOIN sz x ON x.doc_id = d1 JOIN sz y ON y.doc_id = d2
-       |WHERE CAST(common AS DOUBLE) / CAST(x.n_sh + y.n_sh - common AS DOUBLE) >= 0.8
-       |ORDER BY d1, d2""".stripMargin
+       |  FROM invf a JOIN invf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |jp AS (
+       |  SELECT d1, d2, common,
+       |         CAST(common AS DOUBLE) / CAST(x.n_sh + y.n_sh - common AS DOUBLE) AS jaccard
+       |  FROM c JOIN sz x ON x.doc_id = d1 JOIN sz y ON y.doc_id = d2
+       |  WHERE CAST(common AS DOUBLE) / CAST(x.n_sh + y.n_sh - common AS DOUBLE) >= 0.8)""".stripMargin
+
+  val jaccardOracle: String =
+    s"""WITH $sqlCappedPairs
+       |SELECT d1, d2, common, jaccard FROM jp ORDER BY d1, d2""".stripMargin
 
   // ---- MinHash + LSH ----------------------------------------------------
   // 64 permutations, 16 bands x 4 rows. Signatures come from the native
@@ -352,16 +368,8 @@ object DedupOps {
   }
 
   val dupClustersOracle: String =
-    s"""WITH RECURSIVE sh AS ($sqlShingles),
-       |inv AS (SELECT doc_id, unnest(shs) AS sh FROM sh),
-       |sz AS (SELECT doc_id, len(shs) AS n_sh FROM sh),
-       |c AS (
-       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
-       |  FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2),
-       |pairs AS (
-       |  SELECT d1, d2 FROM c JOIN sz x ON x.doc_id = d1 JOIN sz y ON y.doc_id = d2
-       |  WHERE CAST(common AS DOUBLE) / CAST(x.n_sh + y.n_sh - common AS DOUBLE) >= 0.8),
+    s"""WITH RECURSIVE $sqlCappedPairs,
+       |pairs AS (SELECT d1, d2 FROM jp),
        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
        |nodes AS (SELECT DISTINCT a AS id FROM edges),
        |reach AS (

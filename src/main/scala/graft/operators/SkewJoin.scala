@@ -10,19 +10,23 @@ import org.apache.spark.sql.functions._
   * one hot key spreads over `salt` reducers.
   */
 object SkewJoin {
-  /** `deterministic = true` (default): salt from ROW CONTENT (xxhash64 over
-    * all columns) — the same row gets the same salt on any replay
-    * regardless of partition layout or scheduling, so the salt assignment
-    * itself is replay-stable. The inherent limit: EXACT duplicate rows are
-    * indistinguishable, so no pure content function can separate them — a
-    * hot key whose volume is mostly identical rows stays on one reducer.
-    * For that shape pass `deterministic = false`: `rand()` spreads every
-    * row uniformly (duplicates included); the JOIN RESULT is still correct
-    * and replay-stable (the small side is replicated over all salts), only
-    * the salt assignment varies across replays.
+  /** Default (`deterministic = false`): `rand()` spreads EVERY row of the
+    * hot key uniformly over the salts — duplicates included — which is the
+    * whole point of a skew-mitigation operator. The JOIN RESULT is correct
+    * and replay-stable either way (the small side is replicated over all
+    * salts); only the salt assignment varies across replays.
+    *
+    * `deterministic = true` opts into content-hash salting (xxhash64 over
+    * all columns): the same row gets the same salt on any replay regardless
+    * of partition layout — useful when a downstream stage keys on the salt.
+    * Its inherent limit: EXACT duplicate rows all hash to the same salt, so
+    * a hot key dominated by identical rows stays on one reducer — which is
+    * why it is not the default.
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salt: Int,
-      joinType: String = "inner", deterministic: Boolean = true): DataFrame = {
+      joinType: String = "inner", deterministic: Boolean = false): DataFrame = {
+    require(!big.columns.contains("__salt") && !small.columns.contains("__salt"),
+      "saltedJoin: input already has a __salt column")
     val saltCol =
       if (deterministic) pmod(xxhash64(big.columns.toIndexedSeq.map(col): _*), lit(salt))
       else floor(rand(42L) * salt)

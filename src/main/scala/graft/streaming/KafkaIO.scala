@@ -56,15 +56,21 @@ object KafkaIO {
     */
   def readStreamKafka(spark: SparkSession, bootstrapServers: String,
       topic: String, startingOffsets: String = "earliest",
+      groupId: Option[String] = None,
       extra: Map[String, String] = Map.empty): DataFrame = {
     requireKafka()
-    extra.foldLeft(
-      spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrapServers)
-        .option("subscribe", topic)
-        .option("startingOffsets", startingOffsets)
-        .option("kafka.group.id", "AnomalyDetectorApp")
-    ) { case (r, (k, v)) => r.option(k, v) }.load()
+    // group.id is deliberately UNSET by default: Spark generates a unique
+    // per-query group, and a shared fixed id (the reference's
+    // "AnomalyDetectorApp") breaks when two queries run concurrently and
+    // interacts badly with broker-side offset-commit/ACL assumptions.
+    // Callers that need the reference's name (e.g. broker ACLs keyed on it)
+    // pass it explicitly.
+    val base = spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+    val withGroup = groupId.fold(base)(g => base.option("kafka.group.id", g))
+    extra.foldLeft(withGroup) { case (r, (k, v)) => r.option(k, v) }.load()
   }
 
   /** Kafka frames -> typed events. Value-only JSON deserialization, exactly

@@ -20,6 +20,25 @@ import graft.model.NetworkEvent
   */
 object Soak {
 
+  /** stop() with `spark.sql.streaming.stopTimeout` unset waits FOREVER for
+    * the stream-execution thread to die; a wedged stop turns the whole
+    * bench/soak process into a zombie that overlaps (and pollutes) any
+    * retry. Bound it: 30 s, then give up loudly — the JVM exit reaps the
+    * thread anyway.
+    */
+  private def stopBounded(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val spark = q.sparkSession
+    val prev = spark.conf.getOption("spark.sql.streaming.stopTimeout")
+    spark.conf.set("spark.sql.streaming.stopTimeout", "30s")
+    try q.stop()
+    catch { case _: java.util.concurrent.TimeoutException =>
+      System.err.println(s"[soak] stop() timed out after 30s for query ${q.id}; abandoning")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stopTimeout", v)
+      case None    => spark.conf.unset("spark.sql.streaming.stopTimeout")
+    }
+  }
+
   final case class SoakResult(
       seconds: Double, inputRows: Long, evPerSec: Double,
       stateRowsMax: Long, stateRowsLast: Long, attacks: Long, batches: Int)
@@ -56,32 +75,46 @@ object Soak {
     val batches = new java.util.concurrent.atomic.AtomicInteger(0)
     val stateMax = new java.util.concurrent.atomic.AtomicLong(0)
     val stateLast = new java.util.concurrent.atomic.AtomicLong(0)
+    // Listener events are GLOBAL to the session: scope the counters to THIS
+    // query's id or any concurrently-running stream would inflate every
+    // metric. The id is only known after start(), so the filter reads an
+    // AtomicReference set immediately after start() returns — safely before
+    // the first progress event, which needs a completed micro-batch.
+    val soakId = new java.util.concurrent.atomic.AtomicReference[java.util.UUID](null)
     import org.apache.spark.sql.streaming.StreamingQueryListener
     val listener = new StreamingQueryListener {
       override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
       override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
       override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
         val p = e.progress
-        inputRows.addAndGet(p.numInputRows)
-        batches.incrementAndGet()
-        Option(p.sink).map(_.numOutputRows).filter(_ >= 0).foreach(attacksOut.addAndGet)
-        Option(p.stateOperators).toSeq.flatMap(_.toSeq).map(_.numRowsTotal).foreach { n =>
-          stateLast.set(n)
-          stateMax.getAndUpdate(m => math.max(m, n))
+        if (p.id == soakId.get()) {
+          inputRows.addAndGet(p.numInputRows)
+          batches.incrementAndGet()
+          Option(p.sink).map(_.numOutputRows).filter(_ >= 0).foreach(attacksOut.addAndGet)
+          Option(p.stateOperators).toSeq.flatMap(_.toSeq).map(_.numRowsTotal).foreach { n =>
+            stateLast.set(n)
+            stateMax.getAndUpdate(m => math.max(m, n))
+          }
         }
       }
     }
     spark.streams.addListener(listener)
     val q = attacks.writeStream.format("noop")
       .option("checkpointLocation", ckpt).start()
+    soakId.set(q.id)
     val t0 = System.nanoTime()
     try {
       while ((System.nanoTime() - t0) / 1e9 < seconds) Thread.sleep(500)
-    } finally q.stop()
+    } finally stopBounded(q)
     val wall = (System.nanoTime() - t0) / 1e9
     // let the final progress events drain before reading the counters
     Thread.sleep(1000)
     spark.streams.removeListener(listener)
+    // temp checkpoint dirs accumulate across runs otherwise
+    try {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(ckpt)).deleteRecursively()
+    } catch { case _: Throwable => () }
     SoakResult(
       seconds = wall,
       inputRows = inputRows.get(),

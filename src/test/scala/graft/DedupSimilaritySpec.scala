@@ -107,6 +107,55 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(capped == uncapped, "cap must not bite on organic data")
   }
 
+  test("jaccard capped-set semantics match a brute-force oracle where the cap BITES") {
+    // stop-shingle semantics: shingles with df > cap are removed from the
+    // SETS (sizes, intersections, prefix index all see the capped sets), so
+    // Spark and any independent implementation of "Jaccard over capped
+    // sets" must agree exactly — including on docs made ENTIRELY of
+    // boilerplate, which simply drop out.
+    val boiler = "aa bb cc dd ee ff gg hh ii jj" // shared by every doc -> df > cap
+    val docs: Seq[(Long, String)] =
+      // 30 docs: boilerplate + 5 unique words each
+      (0L until 30L).map(i => i -> s"$boiler u${i}a u${i}b u${i}c u${i}d u${i}e") ++
+      // 3 docs that are ONLY boilerplate: uncapped J = 1.0 pairwise, but
+      // their capped sets are empty -> no pairs under capped semantics
+      Seq(100L -> boiler, 101L -> boiler, 102L -> boiler) ++
+      // genuine near-dup pair through rare content (no boilerplate)
+      Seq(200L -> "k1 k2 k3 k4 k5 k6 k7 k8 k9 k10 k11 k12 k13 k14 k15 k16",
+          201L -> "k1 k2 k3 k4 k5 k6 k7 k8 k9 k10 k11 k12 k13 k14 k15 zz")
+    val cap = 10L
+
+    def shingles(t: String): Set[String] = {
+      val toks = t.split(" ")
+      if (toks.length < 5) Set.empty else toks.sliding(5).map(_.mkString(" ")).toSet
+    }
+    def brute(capV: Long): Set[(Long, Long, Long)] = {
+      val sh = docs.map { case (id, t) => id -> shingles(t) }
+      val dfc = sh.flatMap(_._2).groupBy(identity).map { case (k, v) => k -> v.size }
+      val eff = sh.map { case (id, s) => id -> s.filter(dfc(_) <= capV) }
+        .filter(_._2.nonEmpty)
+      (for {
+        (i, si) <- eff; (j, sj) <- eff if i < j
+        common = (si & sj).size
+        if common.toDouble / (si.size + sj.size - common) >= 0.8
+      } yield (i, j, common.toLong)).toSet
+    }
+
+    val want = brute(cap)
+    val wantUncapped = brute(Long.MaxValue)
+    assert(want != wantUncapped, "fixture must make the cap observable")
+    assert(wantUncapped.exists(p => p._1 == 100L), "boiler-only docs pair uncapped")
+    assert(want.exists(p => p._1 == 200L && p._2 == 201L), "rare-content pair survives the cap")
+    assert(!want.exists(p => p._1 >= 100L && p._1 <= 102L), "boiler-only docs drop out capped")
+
+    val got = DedupOps.jaccardPairsOn(docs.toDF("doc_id", "text"), cap)
+      .select("d1", "d2", "common").as[(Long, Long, Long)].collect().toSet
+    assert(got == want, s"capped semantics diverge: missing=${want -- got} extra=${got -- want}")
+    val gotUncapped = DedupOps.jaccardPairsOn(docs.toDF("doc_id", "text"), Long.MaxValue)
+      .select("d1", "d2", "common").as[(Long, Long, Long)].collect().toSet
+    assert(gotUncapped == wantUncapped)
+  }
+
   test("knnBrute top-1 matches a driver-side brute force (sf0.001)") {
     val emb = Tables.t(spark, sf0001, "embeddings")
       .select("vec_id", "embedding").as[(Long, Array[Float])].collect()

@@ -16,6 +16,18 @@ class UtilOpsSpec extends SparkSpecBase {
     val salted = SkewJoin.saltedJoin(big, small, "k", 8)
       .agg(sum("w"), count(lit(1))).first()
     assert(plain == salted)
+    // rand-based default spreads the hot key's IDENTICAL rows over many
+    // salts (content-hash would pin all 5000 copies to one reducer)
+    val saltSpread = big.withColumn("__s",
+        floor(rand(42L) * 8).cast("int"))
+      .filter(col("k") === "hot").select("__s").distinct().count()
+    assert(saltSpread > 1)
+    val deterministic = SkewJoin.saltedJoin(big, small, "k", 8, deterministic = true)
+      .agg(sum("w"), count(lit(1))).first()
+    assert(plain == deterministic)
+    assertThrows[IllegalArgumentException] {
+      SkewJoin.saltedJoin(big.withColumn("__salt", lit(1)), small, "k", 8)
+    }
   }
 
   test("apache log parse extracts fields from reference-format lines") {
@@ -54,9 +66,13 @@ class UtilOpsSpec extends SparkSpecBase {
   test("mulHash equals the naive multiplicative hash and never overflows") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    // includes ids past the naive form's int64 overflow point (~3.47e9)
+    // includes ids past the naive form's int64 overflow point (~3.47e9) and
+    // NEGATIVE inputs (Spark pmod vs sign-preserving %: sqlMulHash folds the
+    // DuckDB side non-negative to match — this fixture is the Spark half of
+    // that contract)
     val ids = Seq(0L, 1L, 7L, 65535L, 65536L, 4294967295L, 4294967296L,
-      3470000000L, 9000000000L, Long.MaxValue / 3)
+      3470000000L, 9000000000L, Long.MaxValue / 3,
+      -1L, -65536L, -4294967296L, -9000000000L, Long.MinValue / 3)
     val got = ids.toDF("id").select(graft.Exact.mulHash(col("id")).as("h"))
       .as[Long].collect()
     val want = ids.map { x =>

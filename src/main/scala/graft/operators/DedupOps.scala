@@ -95,8 +95,15 @@ object DedupOps {
     * disk-backed, so the same plan holds when the corpus outgrows memory.
     */
   private[graft] def cappedShingles(documents: DataFrame, dfCap: Long): DataFrame = {
-    val inv = withShingles(documents)
-      .select(col("doc_id"), explode(col("shs")).as("sh"))
+    // persist the RAW shingle arrays first: inv feeds both the df count and
+    // the freq-join probe, and without the cache the shingling map phase —
+    // the single most expensive map stage — runs twice (measured +47% on
+    // the 20x stress corpus)
+    val raw = withShingles(documents)
+      .select(col("doc_id"), col("shs"))
+      .filter(size(col("shs")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inv = raw.select(col("doc_id"), explode(col("shs")).as("sh"))
     val freq = inv.groupBy("sh").agg(count(lit(1)).as("df"))
     inv.join(freq, "sh")
       .filter(col("df") <= dfCap)

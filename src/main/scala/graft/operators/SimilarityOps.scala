@@ -276,6 +276,36 @@ object SimilarityOps {
        |WHERE ${sqlQCos("a.embedding", "b.embedding")} >= 0.4
        |ORDER BY v1, v2""".stripMargin
 
+  /** Semantic dedup clusters (SemDeDup-shaped composition, Abbas et al.
+    * 2023: prune groups of embedding-space near-duplicates down to one
+    * representative): exact cosine near-dup pairs from the cell-blocked
+    * join above, connected components over the pair graph
+    * ([[DedupOps.clusterPairs]], large-star/small-star), keeper = min
+    * vec_id per component. Every stage is the scale path — bounded
+    * candidates, O(log n) CC rounds — while the oracle is an independent
+    * DuckDB recursive CTE over the quantized-cosine pair set.
+    */
+  def embDupClusters(s: SparkSession, dir: String): DataFrame =
+    DedupOps.clusterPairs(
+      cosineDups(s, dir).select(col("v1").as("d1"), col("v2").as("d2")))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"), col("keep"))
+      .orderBy("vec_id")
+
+  val embDupClustersOracle: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT a.vec_id AS d1, b.vec_id AS d2
+       |  FROM embeddings a JOIN embeddings b
+       |    ON a.label = b.label AND a.vec_id < b.vec_id
+       |  WHERE ${sqlQCos("a.embedding", "b.embedding")} >= 0.4),
+       |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS id FROM edges),
+       |reach AS (
+       |  SELECT id, id AS r FROM nodes
+       |  UNION
+       |  SELECT e.a AS id, r.r FROM edges e JOIN reach r ON r.id = e.b)
+       |SELECT id AS vec_id, MIN(r) AS cluster_id, id = MIN(r) AS keep
+       |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin
+
   /** int8 vector quantization (4x storage for ANN indexes): per-vector
     * absolute-max scale, FLOOR quantization (no tie rule), exact-integer
     * checksum so the oracle verifies every element.
@@ -307,6 +337,7 @@ object SimilarityOps {
     QueryDef("emb_knn_ivf", knnIvf, None),
     QueryDef("emb_label_centroids", labelCentroids, Some(centroidsOracle)),
     QueryDef("emb_cosine_dups", cosineDups, Some(cosineDupsOracle)),
+    QueryDef("emb_dup_clusters", embDupClusters, Some(embDupClustersOracle)),
     QueryDef("emb_quantize_int8", quantizeInt8, Some(quantizeOracle))
   )
 }

@@ -477,6 +477,39 @@ object TextOps {
       .orderBy("source", "rnk")
   }
 
+  /** Deterministic domain-mixture sampling: each source gets a target KEEP
+    * RATE (here (1 + suffix mod 4)/4 — the rule a mixture config table
+    * would supply) and a doc survives iff mulHash(doc_id) falls under
+    * rate * 2^32. This is how training-data pipelines hit domain weights
+    * ("web 25%, books 100%") reproducibly: no RNG state, any engine
+    * computing the same hash keeps the SAME documents, and re-runs are
+    * byte-stable. The comparison is kept in int64 (hash * 4 < (1+m) * 2^32)
+    * so no float rate ever rounds a boundary doc differently. One
+    * map-side pass + a tiny per-source aggregate; no shuffle of the kept
+    * rows themselves at scale (the filter IS the operator).
+    */
+  def mixSample(s: SparkSession, dir: String): DataFrame = {
+    val m = substring(col("source"), 4, 10).cast("long") % 4
+    val keep = graft.Exact.mulHash(col("doc_id")) * 4 < (m + 1) * 4294967296L
+    Tables.t(s, dir, "documents")
+      .withColumn("rate", (m + 1).cast("double") / 4.0)
+      .withColumn("keep", keep)
+      .groupBy("source", "rate")
+      .agg(count(lit(1)).as("n_total"),
+        count(when(col("keep"), lit(1))).as("n_kept"),
+        min(when(col("keep"), col("doc_id"))).as("min_kept"))
+      .orderBy("source")
+  }
+
+  val mixSampleOracle: String = {
+    val h = graft.Exact.sqlMulHash("doc_id")
+    s"""SELECT source, CAST(m + 1 AS DOUBLE) / 4.0 AS rate, COUNT(*) AS n_total,
+       |       COUNT(CASE WHEN ($h) * 4 < (m + 1) * 4294967296 THEN 1 END) AS n_kept,
+       |       MIN(CASE WHEN ($h) * 4 < (m + 1) * 4294967296 THEN doc_id END) AS min_kept
+       |FROM (SELECT *, CAST(substr(source, 4) AS BIGINT) % 4 AS m FROM documents)
+       |GROUP BY source, m ORDER BY source""".stripMargin
+  }
+
   val samplePerSourceOracle: String =
     s"""SELECT source, rnk, doc_id, n_chars FROM (
        |  SELECT source, doc_id, n_chars,
@@ -500,6 +533,7 @@ object TextOps {
     QueryDef("doc_vocab_top", vocabTop, Some(vocabOracle)),
     QueryDef("doc_tfidf_top", tfidfTop, Some(tfidfOracle)),
     QueryDef("doc_seq_pack", seqPack, Some(seqPackOracle)),
-    QueryDef("doc_sample_per_source", samplePerSource, Some(samplePerSourceOracle))
+    QueryDef("doc_sample_per_source", samplePerSource, Some(samplePerSourceOracle)),
+    QueryDef("doc_mix_sample", mixSample, Some(mixSampleOracle))
   )
 }

@@ -156,6 +156,25 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(gotUncapped == wantUncapped)
   }
 
+  test("emb dup clusters = union-find over exact cosine pairs (sf0.001)") {
+    val pairs = SimilarityOps.cosineDupsAllPairs(Tables.t(spark, sf0001, "embeddings"))
+      .select("v1", "v2").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty, "test data should contain cosine near-dup pairs")
+    // driver-side union-find ground truth
+    val ids = pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val idx = ids.zipWithIndex.toMap
+    val parent = Array.tabulate(ids.length)(identity)
+    def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(idx(a)), find(idx(b)))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = ids.map(id => id -> ids(find(idx(id)))).toMap
+    val got = SimilarityOps.embDupClusters(spark, sf0001)
+      .select("vec_id", "cluster_id").as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
   test("knnBrute top-1 matches a driver-side brute force (sf0.001)") {
     val emb = Tables.t(spark, sf0001, "embeddings")
       .select("vec_id", "embedding").as[(Long, Array[Float])].collect()

@@ -94,6 +94,28 @@ class TextAnalyticsSpec extends SparkSpecBase {
       b.map(r => (r.getString(0), r.getLong(2))).toSeq, "sample must be deterministic")
   }
 
+  test("mixture sample hits per-source rates against a driver-side hash check") {
+    val docs = graft.sources.Tables.t(spark, sf0001, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source")))
+    def mh(x: Long): Long = // same Knuth hash as Exact.mulHash
+      (BigInt(2654435761L) * BigInt(x % 4294967296L) % BigInt(4294967296L)).toLong
+    val want = docs.groupBy(_._2).map { case (src, rows) =>
+      val m = src.drop(3).toLong % 4
+      val kept = rows.map(_._1).filter(id => mh(id) * 4 < (m + 1) * 4294967296L)
+      src -> ((m + 1).toDouble / 4.0, rows.size.toLong, kept.size.toLong,
+        if (kept.isEmpty) None else Some(kept.min))
+    }
+    val got = graft.operators.TextOps.mixSample(spark, sf0001).collect().map { r =>
+      r.getAs[String]("source") -> ((r.getAs[Double]("rate"), r.getAs[Long]("n_total"),
+        r.getAs[Long]("n_kept"),
+        if (r.isNullAt(r.fieldIndex("min_kept"))) None else Some(r.getAs[Long]("min_kept"))))
+    }.toMap
+    assert(got == want)
+    // the mixture must actually differentiate: not all sources share a rate
+    assert(got.values.map(_._1).toSet.size > 1)
+  }
+
   test("topk never exceeds 3 per customer and ranks by totalprice desc") {
     val tk = Analytics.qTopkOrdersPerCust(spark, sf0001)
     val bad = tk.groupBy("o_custkey").agg(count(lit(1)).as("n"))

@@ -1,0 +1,84 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+import graft.Exact._
+import graft.GraftSession
+import graft.sources.Tables
+
+/** Scratch experiment main for decomposing query cost. Not part of the
+  * library surface.
+  */
+object Exp {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.get("exp")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$dir/nation.parquet").count()
+    def time(name: String)(act: => Unit): Unit = {
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); act; (System.nanoTime() - t0) / 1e9
+      }
+      println(f"EXP $name%-30s best ${ts.min}%6.3f  all ${ts.map(t => f"$t%.3f").mkString(" ")}")
+    }
+    val l = Tables.t(spark, dir, "lineitem")
+    time("scan_count") { l.count() }
+    time("scan_all_cols_noop") { l.write.format("noop").mode("overwrite").save() }
+    time("scan_q1_cols") {
+      l.select("l_shipdate", "l_returnflag", "l_linestatus", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax")
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("agg_count_only") {
+      l.filter(col("l_shipdate") <= lit("2000-12-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1))).write.format("noop").mode("overwrite").save()
+    }
+    time("agg_double_sums") {
+      l.filter(col("l_shipdate") <= lit("2000-12-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity").cast(DoubleType)),
+          sum(col("l_extendedprice").cast(DoubleType)))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("agg_long_cents_salted_q1") {
+      def cents(c: org.apache.spark.sql.Column, s: Int) =
+        floor(c * math.pow(10, s) + lit(0.5)).cast(LongType)
+      val base = l.filter(col("l_shipdate") <= lit("2000-12-01"))
+        .withColumn("__salt", pmod(xxhash64(col("l_orderkey")), lit(1024)))
+        .groupBy(col("l_returnflag"), col("l_linestatus"), col("__salt"))
+        .agg(
+          sum(cents(col("l_quantity"), 2)).as("c_qty"),
+          sum(cents(col("l_extendedprice"), 2)).as("c_price"),
+          sum(cents(col("l_extendedprice"), 2) * cents(lit(1) - col("l_discount"), 2)).as("c_disc"),
+          sum(cents(col("l_extendedprice"), 2) *
+            cents((lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 4)).as("c_charge"),
+          count(lit(1)).as("n"))
+      base.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          (sum(col("c_qty").cast(DecimalType(38, 0))).cast(DoubleType) / 100.0).as("sum_qty"),
+          (sum(col("c_price").cast(DecimalType(38, 0))).cast(DoubleType) / 100.0).as("sum_base_price"),
+          (sum(col("c_disc").cast(DecimalType(38, 0))).cast(DoubleType) / 10000.0).as("sum_disc_price"),
+          (sum(col("c_charge").cast(DecimalType(38, 0))).cast(DoubleType) / 1000000.0).as("sum_charge"),
+          sum(col("n")).as("count_order"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("agg_decimal_sums_q1") {
+      l.filter(col("l_shipdate") <= lit("2000-12-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(discPrice(col("l_extendedprice"), col("l_discount")))
+            .cast(DoubleType).as("sum_disc_price"),
+          sum(d2(col("l_extendedprice")) *
+              ((lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).cast(dec4))
+            .cast(DoubleType).as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    spark.stop()
+  }
+}

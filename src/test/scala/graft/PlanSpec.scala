@@ -14,7 +14,9 @@ class PlanSpec extends SparkSpecBase {
   test("q1: shipdate filter reaches the parquet scan; schema pruned") {
     val p = plan(Analytics.q1PricingSummary(spark, sf0001))
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
-    assert(!p.contains("l_orderkey"), "unused column not pruned from scan")
+    // l_orderkey IS read now (it feeds the overflow salt); l_partkey stays
+    // the canary for column pruning
+    assert(!p.contains("l_partkey"), "unused column not pruned from scan")
   }
 
   test("q5: bounded dims broadcast") {

@@ -72,7 +72,7 @@ object Bench {
     val soakSecs = sys.env.getOrElse("SPARK_GRAFT_SOAK_SECS", "45").toInt
     val soakJson =
       if (soakSecs <= 0) "null"
-      else try streaming.Soak.json(streaming.Soak.run(spark, soakSecs, 20000))
+      else try streaming.Soak.json(streaming.Soak.runResilient(spark, soakSecs, 20000))
       catch { case e: Throwable =>
         System.err.println(s"[bench] soak: $e"); errors("soak") = e.toString.take(200); "null"
       }

@@ -1,0 +1,85 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Physical-layout writers — the part of the 100 TB story that lives in the
+  * data, not the plan. Three techniques, composable:
+  *
+  *  - '''Hive-style partition directories''' ([[writeDatePartitioned]]):
+  *    coarse pruning on the one column every time-series query filters on.
+  *    Partition pruning removes whole directories at FILE LISTING time —
+  *    the scan never even stats the skipped days.
+  *  - '''Sorted-within-files layout''' (bucketing spec covers the join
+  *    side; [[zorderWrite]] covers multi-column filters): parquet keeps
+  *    min/max stats per row group, so a file whose sort keys span a narrow
+  *    range is SKIPPED by any selective filter on those keys.
+  *  - '''Z-order clustering''' ([[zorderWrite]]): a lexicographic sort
+  *    prunes only on its prefix column; interleaving the bits of k
+  *    rank-scaled keys gives every file a small hyper-RECTANGLE footprint,
+  *    so min/max skipping works on EVERY z-dimension at once (the Morton
+  *    curve preserves locality in all coordinates).
+  */
+object Layout {
+
+  /** Write `df` partitioned by the date of `tsCol` (one directory per day).
+    * At 100 TB this is the difference between listing 3 directories and
+    * scanning a year: time filters prune partitions before any IO.
+    */
+  def writeDatePartitioned(df: DataFrame, path: String, tsCol: String,
+      partCol: String = "event_date"): Unit =
+    df.withColumn(partCol, to_date(col(tsCol)))
+      .write.partitionBy(partCol).mode("overwrite").parquet(path)
+
+  /** Morton (z-curve) interleave of pre-scaled long columns: bit i of
+    * column j lands at position i*k + j. Static expression tree — 16*k
+    * shift/or terms — stays inside whole-stage codegen.
+    */
+  private[graft] def interleaveBits(cols: Seq[Column], bits: Int = 16): Column =
+    cols.zipWithIndex.map { case (c, j) =>
+      (0 until bits).map { i =>
+        shiftleft(shiftrightunsigned(c, i).bitwiseAND(lit(1L)), i * cols.length + j)
+      }.reduce(_ bitwiseOR _)
+    }.reduce(_ bitwiseOR _)
+
+  /** Scale a numeric column to [0, 2^bits) by linear min/max normalization.
+    * The (min, max) pair is a 2-value driver-side aggregate — metadata
+    * scale, like IVF's centroid pull. Linear scaling assumes roughly
+    * uniform keys; heavily skewed keys would want quantile bucketing
+    * instead (the z-curve itself is agnostic to how ranks are assigned).
+    */
+  private def scaled(df: DataFrame, c: String, bits: Int): Column = {
+    val row = df.agg(min(col(c)).cast("double"), max(col(c)).cast("double")).head()
+    val (lo, hi) = (row.getDouble(0), row.getDouble(1))
+    val span = math.max(hi - lo, java.lang.Double.MIN_VALUE)
+    least(floor((col(c).cast("double") - lit(lo)) / lit(span) * lit(1 << bits)),
+      lit((1 << bits) - 1)).cast(LongType)
+  }
+
+  /** Write `df` clustered on the z-curve over `zCols` into `numFiles`
+    * files: range-partition by z-value (so files tile the curve) and sort
+    * within each partition (so row groups inside a file tile it too).
+    * Every output file then covers a narrow range of EVERY z-column, and
+    * parquet min/max stats prune selective filters on any of them.
+    */
+  def zorderWrite(df: DataFrame, path: String, zCols: Seq[String],
+      numFiles: Int, bits: Int = 16): Unit = {
+    require(zCols.nonEmpty && zCols.size * bits <= 63,
+      s"z-order supports up to ${63 / bits} columns at $bits bits")
+    val z = interleaveBits(zCols.map(scaled(df, _, bits)), bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z") // parquet keeps the physical row order; the helper column has done its job
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Per-file (min, max) of a column across a parquet directory — the
+    * footprint a stats-based reader prunes with. Test/audit helper.
+    */
+  private[graft] def fileRanges(df: DataFrame, c: String): DataFrame =
+    df.withColumn("__file", input_file_name())
+      .groupBy("__file")
+      .agg(min(col(c)).cast("double").as("lo"), max(col(c)).cast("double").as("hi"))
+}

@@ -41,10 +41,59 @@ object Soak {
 
   final case class SoakResult(
       seconds: Double, inputRows: Long, evPerSec: Double,
-      stateRowsMax: Long, stateRowsLast: Long, attacks: Long, batches: Int)
+      stateRowsMax: Long, stateRowsLast: Long, attacks: Long, batches: Int,
+      store: String = "default")
+
+  /** RocksDB-backed state store: the scale path for streaming state. The
+    * default HDFS-backed store keeps every version of every key IN HEAP —
+    * at 100 TB/day key cardinalities that heap pressure, not throughput,
+    * is what kills the job. RocksDB spills state off-heap/on-disk, and
+    * changelog checkpointing ships per-batch deltas instead of full
+    * snapshots, so checkpoint cost stays O(changed keys) as state grows.
+    */
+  final val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  private val ProviderConf = "spark.sql.streaming.stateStore.providerClass"
+  private val ChangelogConf =
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+
+  /** Run the soak on RocksDB state; if the native store cannot start in
+    * this environment, fall back to the default provider rather than
+    * reporting no soak at all.
+    */
+  def runResilient(spark: SparkSession, seconds: Int, rowsPerSecond: Int)
+      : SoakResult =
+    try run(spark, seconds, rowsPerSecond, provider = Some(RocksDbProvider))
+    catch { case e: Throwable =>
+      System.err.println(s"[soak] rocksdb store failed (${e.toString.take(120)}); " +
+        "falling back to default provider")
+      run(spark, seconds, rowsPerSecond, provider = None)
+    }
 
   def run(spark: SparkSession, seconds: Int, rowsPerSecond: Int,
-      nTargets: Int = 1000): SoakResult = {
+      nTargets: Int = 1000, provider: Option[String] = None): SoakResult = {
+    val prevProvider = spark.conf.getOption(ProviderConf)
+    val prevChangelog = spark.conf.getOption(ChangelogConf)
+    provider.foreach { p =>
+      spark.conf.set(ProviderConf, p)
+      spark.conf.set(ChangelogConf, "true")
+    }
+    try runWith(spark, seconds, rowsPerSecond, nTargets,
+      if (provider.contains(RocksDbProvider)) "rocksdb"
+      else provider.fold("default")(_ => "custom"))
+    finally {
+      def restore(k: String, prev: Option[String]): Unit = prev match {
+        case Some(v) => spark.conf.set(k, v)
+        case None    => spark.conf.unset(k)
+      }
+      restore(ProviderConf, prevProvider)
+      restore(ChangelogConf, prevChangelog)
+    }
+  }
+
+  private def runWith(spark: SparkSession, seconds: Int, rowsPerSecond: Int,
+      nTargets: Int, storeName: String): SoakResult = {
     import spark.implicits._
     val rate = spark.readStream.format("rate")
       .option("rowsPerSecond", rowsPerSecond)
@@ -122,7 +171,8 @@ object Soak {
       stateRowsMax = stateMax.get(),
       stateRowsLast = stateLast.get(),
       attacks = attacksOut.get(),
-      batches = batches.get())
+      batches = batches.get(),
+      store = storeName)
   }
 
   def json(r: SoakResult): String = {
@@ -132,7 +182,7 @@ object Soak {
     val evs = math.round(r.evPerSec).toString
     s"""{"seconds":$secs,"input_rows":${r.inputRows},"ev_s":$evs,""" +
       s""""state_rows_max":${r.stateRowsMax},"state_rows_last":${r.stateRowsLast},""" +
-      s""""attacks":${r.attacks},"batches":${r.batches}}"""
+      s""""attacks":${r.attacks},"batches":${r.batches},"store":"${r.store}"}"""
   }
 
   /** Standalone long soak: runMain graft.streaming.Soak [seconds] [rows/s]. */
@@ -140,7 +190,7 @@ object Soak {
     val seconds = args.headOption.map(_.toInt).getOrElse(300)
     val rps = if (args.length > 1) args(1).toInt else 20000
     val spark = graft.GraftSession.get("graft-soak")
-    val r = run(spark, seconds, rps)
+    val r = runResilient(spark, seconds, rps)
     println(s"[soak] ${json(r)}")
     spark.stop()
   }

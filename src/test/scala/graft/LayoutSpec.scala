@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Layout, Tables}
+
+/** Physical-layout assertions: partition pruning actually skips files, and
+  * z-ordering actually gives every file a narrow footprint on EVERY
+  * clustered column (the property parquet min/max row-group skipping
+  * prunes with).
+  */
+class LayoutSpec extends SparkSpecBase {
+
+  private def scanMetrics(df: org.apache.spark.sql.DataFrame): Map[String, Long] = {
+    df.collect()
+    // filter+scan has no exchange, so the plan is non-adaptive and the
+    // scan node is directly collectible
+    val scan = df.queryExecution.executedPlan
+      .collectFirst { case s: FileSourceScanExec => s }
+      .getOrElse(fail("no FileSourceScanExec in plan"))
+    scan.metrics.map { case (k, m) => k -> m.value }.toMap
+  }
+
+  test("date-partitioned layout: a day filter prunes to that day's files") {
+    val path = java.nio.file.Files.createTempDirectory("graft-part").toString + "/events"
+    Layout.writeDatePartitioned(
+      Tables.t(spark, sf0001, "events"), path, tsCol = "ts")
+    val all = spark.read.parquet(path)
+    val days = all.select("event_date").distinct().count()
+    assert(days > 3, s"test data should span days, got $days")
+
+    val day = all.select(max(col("event_date"))).head().getDate(0)
+    val pruned = all.filter(col("event_date") === lit(day))
+    val m = scanMetrics(pruned)
+    val mAll = scanMetrics(all)
+    assert(m("numFiles") < mAll("numFiles"),
+      s"pruned scan read ${m("numFiles")} of ${mAll("numFiles")} files")
+    assert(m("numFiles") >= 1)
+    // and the plan says WHY: the predicate became a partition filter, so
+    // skipped days are dropped at listing time, before any IO
+    val p = pruned.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters:") && p.contains("event_date"), p.take(2000))
+  }
+
+  test("z-order layout: every file spans a narrow range of BOTH z-columns") {
+    val base = java.nio.file.Files.createTempDirectory("graft-z").toString
+    val orders = Tables.t(spark, sf0001, "orders")
+    // 16 files = 2^4 -> the Morton curve splits 4x4, so BOTH dims tile
+    // (an odd power of two gives one dim double the width of the other)
+    Layout.zorderWrite(orders, s"$base/z", Seq("o_custkey", "o_totalprice"), numFiles = 16)
+    // control: a single-column lexicographic sort — perfect on its own
+    // column, but file footprints on the OTHER column stay corpus-wide
+    orders.repartitionByRange(16, col("o_orderdate"))
+      .sortWithinPartitions("o_orderdate")
+      .write.mode("overwrite").parquet(s"$base/bydate")
+
+    def avgWidth(path: String, c: String): Double = {
+      val df = spark.read.parquet(path)
+      val g = df.agg(min(col(c)).cast("double"), max(col(c)).cast("double")).head()
+      val span = g.getDouble(1) - g.getDouble(0)
+      val w = Layout.fileRanges(df, c)
+        .agg(avg(col("hi") - col("lo"))).head().getDouble(0)
+      w / span
+    }
+    val zCust = avgWidth(s"$base/z", "o_custkey")
+    val zPrice = avgWidth(s"$base/z", "o_totalprice")
+    val dateCust = avgWidth(s"$base/bydate", "o_custkey")
+    // 16 files tiling a 2-D Morton curve -> per-file footprint well under
+    // the full span on BOTH dimensions simultaneously; the date-sorted
+    // control shows what "no clustering" looks like on o_custkey
+    assert(zCust < 0.5, s"z-order o_custkey width $zCust")
+    assert(zPrice < 0.5, s"z-order o_totalprice width $zPrice")
+    assert(dateCust > 0.8, s"control should be unclustered, got $dateCust")
+    assert(zCust < dateCust / 2, s"z $zCust vs control $dateCust")
+  }
+
+  test("z-order bit interleave places each input bit at stride k") {
+    import spark.implicits._
+    val df = Seq((3L, 0L), (0L, 3L), (1L, 1L)).toDF("a", "b")
+    val z = df.select(Layout.interleaveBits(Seq(col("a"), col("b")), bits = 2).as("z"))
+      .as[Long].collect().toSeq
+    // a-bits at even positions, b-bits at odd: (3,0)->0b0101=5,
+    // (0,3)->0b1010=10, (1,1)->0b11=3
+    assert(z == Seq(5L, 10L, 3L))
+  }
+}

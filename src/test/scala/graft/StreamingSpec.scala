@@ -284,6 +284,44 @@ class StreamingSpec extends SparkSpecBase {
       s"recovery must be exactly-once: got ${got.length}, expected ${exp.length}")
   }
 
+  test("CEP state on RocksDB store: identical results, rocksdb metrics live") {
+    import scala.jdk.CollectionConverters._
+    import graft.streaming.Soak
+    implicit val sqlCtx = spark.sqlContext
+    val prevP = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", Soak.RocksDbProvider)
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    try {
+      val mem = MemoryStream[String]
+      val results = StreamingAnomaly.detectAttacks(StreamingAnomaly.parse(mem.toDF()))
+      val q = results.writeStream.format("memory")
+        .queryName("attacks_rocks").outputMode("append").start()
+      try {
+        val (b1, b2) = toWireJson(events).splitAt(events.length / 2)
+        mem.addData(b1); q.processAllAvailable()
+        mem.addData(b2); q.processAllAvailable()
+        // the provider conf really took: the state operator reports rocksdb
+        // custom metrics (sst sizes, memtable stats), which the HDFS store
+        // never emits
+        val custom = q.lastProgress.stateOperators.head.customMetrics
+          .keySet.asScala
+        assert(custom.exists(_.toLowerCase.contains("rocksdb")),
+          s"expected rocksdb metrics, got: $custom")
+        val got = spark.table("attacks_rocks")
+          .select("attack_start_time", "target_ip", "fragment_count")
+          .as[(Long, String, Long)].collect()
+        val exp = expectedAttacks
+          .map(a => (a.attack_start_time, a.target_ip, a.fragment_count))
+        assert(got.sorted.toSeq == exp.sorted.toSeq,
+          s"rocksdb store changed results: got ${got.length}, expected ${exp.length}")
+      } finally q.stop()
+    } finally prevP match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("serde roundtrip: toJson then parse is identity") {
     val ds = spark.createDataset(events.take(200))(implicitly)
     val json = StreamingAnomaly.toJson(

@@ -80,10 +80,7 @@ object DedupOps {
   final val DfCap = 1000L
 
   def jaccardPairsOn(documents: DataFrame): DataFrame =
-    // adaptive cap from the RAW doc count: for parquet sources this is a
-    // metadata-only count (no shingling job), and a 1% threshold doesn't
-    // care about the handful of sub-5-token docs it includes
-    jaccardPairsOn(documents, math.max(DfCap, documents.count() / 100))
+    jaccardPairsOn(documents, dfCap = 0L)
 
   private val T = 0.8
 
@@ -94,6 +91,12 @@ object DedupOps {
     * consumed by the candidate self-join and twice by verify — persisted,
     * disk-backed, so the same plan holds when the corpus outgrows memory.
     */
+  /** dfCap = 0 means adaptive: max(DfCap, nDocs/100), with nDocs counted
+    * off the materialized shingle cache (the handful of sub-5-token docs it
+    * excludes vs a raw count can't move a 1% threshold; the count triggers
+    * the caching the freq pass needs anyway, so the old separate
+    * parquet-count job disappears).
+    */
   private[graft] def cappedShingles(documents: DataFrame, dfCap: Long): DataFrame = {
     // persist the RAW shingle arrays first: inv feeds both the df count and
     // the freq-join probe, and without the cache the shingling map phase —
@@ -103,10 +106,11 @@ object DedupOps {
       .select(col("doc_id"), col("shs"))
       .filter(size(col("shs")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cap = if (dfCap > 0) dfCap else math.max(DfCap, raw.count() / 100)
     val inv = raw.select(col("doc_id"), explode(col("shs")).as("sh"))
     val freq = inv.groupBy("sh").agg(count(lit(1)).as("df"))
     inv.join(freq, "sh")
-      .filter(col("df") <= dfCap)
+      .filter(col("df") <= cap)
       .groupBy("doc_id")
       .agg(array_sort(collect_list(struct(col("df"), col("sh")))).as("sorted"))
       .select(col("doc_id"),
@@ -120,13 +124,19 @@ object DedupOps {
     * array); any pair with capped-set J >= t must collide on one of them.
     */
   private[graft] def jaccardCandidatesFrom(eff: DataFrame): DataFrame = {
+    // join on the 64-bit hash of the shingle, not the string: equal
+    // shingles always collide (no lost candidates, so prefix filtering
+    // stays lossless) and a random collision only ADDS a candidate the
+    // exact verification discards — while the self-join shuffles 8-byte
+    // keys instead of ~30-byte strings
     val prefix = eff.select(col("doc_id"), col("n_sh"),
       explode(slice(col("shs"), lit(1),
         (col("n_sh") - ceil(col("n_sh") * T) + 1).cast("int"))).as("sh"))
+      .select(col("doc_id"), col("n_sh"), xxhash64(col("sh")).as("h"))
     // size filter: J >= t forces min(|A|,|B|) >= t * max(|A|,|B|)
     prefix.as("a")
       .join(prefix.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
           col("a.n_sh") >= col("b.n_sh") * T && col("b.n_sh") >= col("a.n_sh") * T)
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
@@ -155,13 +165,14 @@ object DedupOps {
 
   /** Shared oracle fragment: capped shingle sets + exact pair computation,
     * the same function as [[jaccardPairsOn]] (adaptive cap included — the
-    * GREATEST mirrors `max(DfCap, count/100)` with integer division).
+    * GREATEST over the SHINGLED doc count mirrors `max(DfCap,
+    * raw.count()/100)` with integer division).
     */
   private val sqlCappedPairs: String =
     s"""sh AS ($sqlShingles),
        |inv AS (SELECT doc_id, unnest(shs) AS sh FROM sh),
        |freq AS (SELECT sh, COUNT(*) AS df FROM inv GROUP BY sh),
-       |capv AS (SELECT GREATEST(1000, COUNT(*) // 100) AS cap FROM documents),
+       |capv AS (SELECT GREATEST(1000, COUNT(*) // 100) AS cap FROM sh),
        |invf AS (SELECT i.doc_id, i.sh FROM inv i JOIN freq f ON i.sh = f.sh, capv
        |         WHERE f.df <= capv.cap),
        |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM invf GROUP BY doc_id),

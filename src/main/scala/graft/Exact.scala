@@ -88,8 +88,10 @@ object Exact {
     * high-cardinality column works — the salt only spreads the overflow
     * bound and the final answer is salt-independent.
     */
-  def withSalt(df: org.apache.spark.sql.DataFrame, by: Column): org.apache.spark.sql.DataFrame =
+  def withSalt(df: org.apache.spark.sql.DataFrame, by: Column): org.apache.spark.sql.DataFrame = {
+    require(!df.columns.contains("__salt"), "withSalt: input already has a __salt column")
     df.withColumn("__salt", pmod(xxhash64(by), lit(SaltN)))
+  }
 
   /** Level-2 exact roll-up of per-salt long partials -> double (same
     * correctly-rounded decimal unscale as [[lsum]]).

@@ -43,18 +43,22 @@ object Layout {
       }.reduce(_ bitwiseOR _)
     }.reduce(_ bitwiseOR _)
 
-  /** Scale a numeric column to [0, 2^bits) by linear min/max normalization.
-    * The (min, max) pair is a 2-value driver-side aggregate — metadata
-    * scale, like IVF's centroid pull. Linear scaling assumes roughly
-    * uniform keys; heavily skewed keys would want quantile bucketing
-    * instead (the z-curve itself is agnostic to how ranks are assigned).
+  /** Scale numeric columns to [0, 2^bits) by linear min/max normalization.
+    * All bounds come from ONE driver-side aggregate over one scan — 2k
+    * values, metadata scale, like IVF's centroid pull. Linear scaling
+    * assumes roughly uniform keys; heavily skewed keys would want quantile
+    * bucketing instead (the z-curve itself is agnostic to how ranks are
+    * assigned).
     */
-  private def scaled(df: DataFrame, c: String, bits: Int): Column = {
-    val row = df.agg(min(col(c)).cast("double"), max(col(c)).cast("double")).head()
-    val (lo, hi) = (row.getDouble(0), row.getDouble(1))
-    val span = math.max(hi - lo, java.lang.Double.MIN_VALUE)
-    least(floor((col(c).cast("double") - lit(lo)) / lit(span) * lit(1 << bits)),
-      lit((1 << bits) - 1)).cast(LongType)
+  private def scaledAll(df: DataFrame, cs: Seq[String], bits: Int): Seq[Column] = {
+    val bounds = df.select(cs.flatMap(c =>
+      Seq(min(col(c)).cast("double"), max(col(c)).cast("double"))): _*).head()
+    cs.zipWithIndex.map { case (c, i) =>
+      val (lo, hi) = (bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1))
+      val span = math.max(hi - lo, java.lang.Double.MIN_VALUE)
+      least(floor((col(c).cast("double") - lit(lo)) / lit(span) * lit(1 << bits)),
+        lit((1 << bits) - 1)).cast(LongType)
+    }
   }
 
   /** Write `df` clustered on the z-curve over `zCols` into `numFiles`
@@ -67,7 +71,7 @@ object Layout {
       numFiles: Int, bits: Int = 16): Unit = {
     require(zCols.nonEmpty && zCols.size * bits <= 63,
       s"z-order supports up to ${63 / bits} columns at $bits bits")
-    val z = interleaveBits(zCols.map(scaled(df, _, bits)), bits)
+    val z = interleaveBits(scaledAll(df, zCols, bits), bits)
     df.withColumn("__z", z)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")

@@ -270,16 +270,21 @@ object DedupOps {
     simHashPairsOn(Tables.t(s, dir, "documents"))
 
   def simHashPairsOn(documents: DataFrame): DataFrame = {
+    // persist the fingerprints: banding feeds the hot-bucket count, the
+    // anti-join AND both self-join sides — unpersisted, the tokenize +
+    // SimHash64 map pass (the expensive part) ran four times
     val d = documents
       .withColumn("toks", split(col("text"), " "))
       .withColumn("sh64", GraftFunctions.graftSimHash64(col("toks")))
       .select("doc_id", "sh64")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = d.select(col("doc_id"), col("sh64"),
         explode(array((0 until 4).map(i =>
           struct(lit(i).as("band"),
             shiftrightunsigned(col("sh64"), i * 16).bitwiseAND(lit(0xFFFFL)).as("chunk"))): _*)).as("bk"))
       .select(col("doc_id"), col("sh64"), col("bk.band").as("band"), col("bk.chunk").as("chunk"))
     val pruned = pruneHotBuckets(banded, Seq("band", "chunk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pruned.as("a")
       .join(pruned.as("b"),
         col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&

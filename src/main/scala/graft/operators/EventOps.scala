@@ -180,10 +180,17 @@ object EventOps {
     */
   def rarityScore(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.t(s, dir, "events")
+    // ONE scan of the fact table: the (user, type) contingency counts are a
+    // sufficient statistic — every marginal is a tiny roll-up of `pair`
+    // (sums of disjoint counts are counts), so the three extra fact-table
+    // passes the naive form takes collapse into aggregations of an already
+    // user x type sized frame. Persisted: consumed by three derivations +
+    // the final join.
     val pair = e.groupBy("user_id", "event_type").agg(count(lit(1)).as("n_pair"))
-    val byUser = e.groupBy("user_id").agg(count(lit(1)).as("n_user"))
-    val byType = e.groupBy("event_type").agg(count(lit(1)).as("n_type"))
-    val total = e.agg(count(lit(1)).as("n_total"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val byUser = pair.groupBy("user_id").agg(sum(col("n_pair")).as("n_user"))
+    val byType = pair.groupBy("event_type").agg(sum(col("n_pair")).as("n_type"))
+    val total = pair.agg(sum(col("n_pair")).as("n_total"))
     pair
       .join(byUser, "user_id")
       .join(broadcast(byType), "event_type")
@@ -263,7 +270,10 @@ object EventOps {
   def ipinsightsScore(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.ml.recommendation.ALS
     val e = Tables.t(s, dir, "events")
+    // consumed by fit AND transform — without the persist the pair
+    // aggregation (a full fact-table pass) runs twice
     val pairs = indexedPairs(e)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val als = new ALS()
       .setUserCol("user_id").setItemCol("type_idx").setRatingCol("strength")
       .setImplicitPrefs(true).setRank(8).setMaxIter(5).setSeed(42L)

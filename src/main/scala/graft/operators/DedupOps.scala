@@ -79,8 +79,14 @@ object DedupOps {
     */
   final val DfCap = 1000L
 
+  /** Explicit marker for "derive the cap from the corpus" — never a silent
+    * zero: a literal cap of 0 (drop everything) or a negative cap is a
+    * caller bug and is rejected loudly by [[cappedShingles]].
+    */
+  final val AdaptiveCap = -1L
+
   def jaccardPairsOn(documents: DataFrame): DataFrame =
-    jaccardPairsOn(documents, dfCap = 0L)
+    jaccardPairsOn(documents, AdaptiveCap)
 
   private val T = 0.8
 
@@ -91,13 +97,15 @@ object DedupOps {
     * consumed by the candidate self-join and twice by verify — persisted,
     * disk-backed, so the same plan holds when the corpus outgrows memory.
     */
-  /** dfCap = 0 means adaptive: max(DfCap, nDocs/100), with nDocs counted
-    * off the materialized shingle cache (the handful of sub-5-token docs it
-    * excludes vs a raw count can't move a 1% threshold; the count triggers
-    * the caching the freq pass needs anyway, so the old separate
-    * parquet-count job disappears).
+  /** dfCap = [[AdaptiveCap]] means max(DfCap, nDocs/100), with nDocs
+    * counted off the materialized shingle cache (the handful of
+    * sub-5-token docs it excludes vs a raw count can't move a 1%
+    * threshold; the count triggers the caching the freq pass needs anyway,
+    * so the old separate parquet-count job disappears).
     */
   private[graft] def cappedShingles(documents: DataFrame, dfCap: Long): DataFrame = {
+    require(dfCap > 0 || dfCap == AdaptiveCap,
+      s"dfCap must be positive or AdaptiveCap, got $dfCap")
     // persist the RAW shingle arrays first: inv feeds both the df count and
     // the freq-join probe, and without the cache the shingling map phase —
     // the single most expensive map stage — runs twice (measured +47% on
@@ -106,7 +114,7 @@ object DedupOps {
       .select(col("doc_id"), col("shs"))
       .filter(size(col("shs")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cap = if (dfCap > 0) dfCap else math.max(DfCap, raw.count() / 100)
+    val cap = if (dfCap == AdaptiveCap) math.max(DfCap, raw.count() / 100) else dfCap
     val inv = raw.select(col("doc_id"), explode(col("shs")).as("sh"))
     val freq = inv.groupBy("sh").agg(count(lit(1)).as("df"))
     inv.join(freq, "sh")
@@ -227,15 +235,18 @@ object DedupOps {
     // hsh = per-doc shingle set as 64-bit hashes: the verify stage
     // intersects THESE instead of the string arrays (equal strings hash
     // equal, so |A∩B| is preserved up to 64-bit collisions — this query is
-    // sketch-based/rows-only by design), shrinking the persisted frame
-    // ~5x and making long-array intersection the hot loop
+    // sketch-based/rows-only by design). Both hsh and the MinHash
+    // signature are computed BEFORE the persist and the string arrays are
+    // DROPPED, so the cached frame (the thing that must fit at corpus
+    // scale) holds only longs — ~5x smaller than caching the strings.
     val sh = withShingles(documents)
       .select(col("doc_id"), col("shs"))
       .filter(size(col("shs")) > 0)
-      .withColumn("hsh", transform(col("shs"), s => xxhash64(s)))
-      .select("doc_id", "shs", "hsh")
+      .select(col("doc_id"),
+        transform(col("shs"), s => xxhash64(s)).as("hsh"),
+        GraftFunctions.graftMinHashSig(col("shs")).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val withSig = sh.withColumn("sig", GraftFunctions.graftMinHashSig(col("shs")))
+    val withSig = sh
     val bandKeys = (0 until Bands).map { b =>
       val rows = (0 until RowsPerBand).map(r => col("sig").getItem(b * RowsPerBand + r))
       struct(lit(b).as("band"), xxhash64(rows: _*).as("bkey"))

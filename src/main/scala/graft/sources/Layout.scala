@@ -54,10 +54,18 @@ object Layout {
     val bounds = df.select(cs.flatMap(c =>
       Seq(min(col(c)).cast("double"), max(col(c)).cast("double"))): _*).head()
     cs.zipWithIndex.map { case (c, i) =>
+      require(!bounds.isNullAt(2 * i) && !bounds.isNullAt(2 * i + 1),
+        s"z-order column $c has no non-null numeric values")
       val (lo, hi) = (bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1))
       val span = math.max(hi - lo, java.lang.Double.MIN_VALUE)
-      least(floor((col(c).cast("double") - lit(lo)) / lit(span) * lit(1 << bits)),
-        lit((1 << bits) - 1)).cast(LongType)
+      val buckets = 1L << bits // Long shift: Int `1 << 32` wraps to 1
+      // null keys land deterministically in the LOW corner (documented
+      // arbitrary choice) — leaving them null would let least() quietly
+      // put them in the TOP bucket, polluting the max-corner files' stats
+      coalesce(
+        least(floor((col(c).cast("double") - lit(lo)) / lit(span) * lit(buckets)),
+          lit(buckets - 1)),
+        lit(0L)).cast(LongType)
     }
   }
 
@@ -69,6 +77,8 @@ object Layout {
     */
   def zorderWrite(df: DataFrame, path: String, zCols: Seq[String],
       numFiles: Int, bits: Int = 16): Unit = {
+    require(bits >= 1 && bits <= 20,
+      s"bits must be in [1, 20], got $bits") // 2^20 buckets per dim is ample; keeps every intermediate double-exact
     require(zCols.nonEmpty && zCols.size * bits <= 63,
       s"z-order supports up to ${63 / bits} columns at $bits bits")
     val z = interleaveBits(scaledAll(df, zCols, bits), bits)

@@ -148,22 +148,37 @@ object Soak {
       }
     }
     spark.streams.addListener(listener)
-    val q = attacks.writeStream.format("noop")
-      .option("checkpointLocation", ckpt).start()
-    soakId.set(q.id)
     val t0 = System.nanoTime()
-    try {
-      while ((System.nanoTime() - t0) / 1e9 < seconds) Thread.sleep(500)
-    } finally stopBounded(q)
-    val wall = (System.nanoTime() - t0) / 1e9
-    // let the final progress events drain before reading the counters
-    Thread.sleep(1000)
-    spark.streams.removeListener(listener)
-    // temp checkpoint dirs accumulate across runs otherwise
-    try {
-      import scala.reflect.io.Directory
-      new Directory(new java.io.File(ckpt)).deleteRecursively()
-    } catch { case _: Throwable => () }
+    val wall = try {
+      val q = attacks.writeStream.format("noop")
+        .option("checkpointLocation", ckpt).start()
+      soakId.set(q.id)
+      try {
+        while ((System.nanoTime() - t0) / 1e9 < seconds) {
+          // an async query failure (e.g. the state store can't start in
+          // the first micro-batch) must SURFACE, not be slept through —
+          // without this poll the loop would run the full soak against a
+          // dead query, return zero metrics as success, and
+          // runResilient's fallback would never fire
+          q.exception.foreach(e => throw e)
+          if (!q.isActive) throw new IllegalStateException(
+            "soak query terminated early without an exception")
+          Thread.sleep(500)
+        }
+      } finally stopBounded(q)
+      val w = (System.nanoTime() - t0) / 1e9
+      // let the final progress events drain before reading the counters
+      Thread.sleep(1000)
+      w
+    } finally {
+      // on failure too: a leaked listener and checkpoint dir would
+      // pollute the fallback run
+      spark.streams.removeListener(listener)
+      try {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(ckpt)).deleteRecursively()
+      } catch { case _: Throwable => () }
+    }
     SoakResult(
       seconds = wall,
       inputRows = inputRows.get(),

@@ -288,10 +288,13 @@ class StreamingSpec extends SparkSpecBase {
     import scala.jdk.CollectionConverters._
     import graft.streaming.Soak
     implicit val sqlCtx = spark.sqlContext
-    val prevP = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass", Soak.RocksDbProvider)
-    spark.conf.set(
-      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val changelogKey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val prevP = spark.conf.getOption(providerKey)
+    val prevC = spark.conf.getOption(changelogKey)
+    spark.conf.set(providerKey, Soak.RocksDbProvider)
+    spark.conf.set(changelogKey, "true")
     try {
       val mem = MemoryStream[String]
       val results = StreamingAnomaly.detectAttacks(StreamingAnomaly.parse(mem.toDF()))
@@ -316,9 +319,13 @@ class StreamingSpec extends SparkSpecBase {
         assert(got.sorted.toSeq == exp.sorted.toSeq,
           s"rocksdb store changed results: got ${got.length}, expected ${exp.length}")
       } finally q.stop()
-    } finally prevP match {
-      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
-      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    } finally {
+      def restore(k: String, prev: Option[String]): Unit = prev match {
+        case Some(v) => spark.conf.set(k, v)
+        case None => spark.conf.unset(k)
+      }
+      restore(providerKey, prevP)
+      restore(changelogKey, prevC)
     }
   }
 

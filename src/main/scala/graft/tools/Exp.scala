@@ -35,7 +35,11 @@ object Exp {
       time("j_capped_shingles") {
         val eff = DedupOps.cappedShingles(docs, 1000L)
         eff.write.format("noop").mode("overwrite").save()
-        eff.unpersist()
+        // clearCache, not just eff.unpersist: cappedShingles persists the
+        // raw shingle frame internally, and a leaked cache makes every
+        // later rep (and j_full) read warm — this probe's round-4 numbers
+        // were tainted exactly that way before this line existed
+        spark.catalog.clearCache()
       }
       time("j_full") {
         DedupOps.jaccardPairs(spark, dir).write.format("noop").mode("overwrite").save()

@@ -25,6 +25,42 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("PushedFilters: [IsNotNull(r_name), EqualTo(r_name,ASIA)"))
   }
 
+  test("q3/q5: the fact table is never a broadcast build side") {
+    // the scale claim behind the fact-streams-dims join shape: the only
+    // broadcasts these queries REQUEST (hints) are bounded dims, never
+    // lineitem. Stats-based broadcast is disabled for the check — at toy
+    // scale the planner may legitimately broadcast a 6k-row "fact", which
+    // says nothing about the shape — leaving exactly the joins the query
+    // itself pinned.
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    def broadcastsFact(df: org.apache.spark.sql.DataFrame): Boolean = {
+      df.collect() // finalize any adaptive decisions before inspecting
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+        val here = p match {
+          case b: BroadcastExchangeExec => b.toString.contains("lineitem.parquet")
+          case _ => false
+        }
+        val below = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            Seq(a.executedPlan)
+          case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(s.plan)
+          case o => o.children
+        }
+        here || below.exists(walk)
+      }
+      walk(df.queryExecution.executedPlan)
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      assert(!broadcastsFact(Analytics.q3ShippingPriority(spark, sf0001)))
+      assert(!broadcastsFact(Analytics.q5LocalSupplier(spark, sf0001)))
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("optimizer rule collapses array_distinct over graft_word_shingles") {
     import org.apache.spark.sql.functions._
     import graft.functions.GraftFunctions

@@ -96,4 +96,56 @@ object Layout {
     df.withColumn("__file", input_file_name())
       .groupBy("__file")
       .agg(min(col(c)).cast("double").as("lo"), max(col(c)).cast("double").as("hi"))
+
+  // ---- file-level stats manifest (Iceberg/Delta-style pruning) ----------
+  // Parquet min/max stats prune ROW GROUPS once a file is opened; skipping
+  // whole FILES needs stats at listing time. The manifest is one tiny
+  // parquet per table directory: a row per (file, column) with its
+  // [lo, hi] footprint. On a z-ordered layout every clustered column's
+  // footprints are narrow, so a selective filter on ANY of them reduces
+  // the file list before a single data footer is read — at 100 TB this is
+  // the difference between listing 100k objects and opening 200.
+
+  private val ManifestDir = "_graft_manifest"
+
+  /** Scan the written files once (write-time cost, stats-only columns) and
+    * record per-file footprints for `statCols`.
+    */
+  def writeManifest(spark: org.apache.spark.sql.SparkSession, path: String,
+      statCols: Seq[String]): Unit = {
+    val df = spark.read.parquet(path)
+    val perCol = statCols.map(c => fileRanges(df, c).withColumn("col", lit(c)))
+    perCol.reduce(_ unionByName _)
+      .select(col("__file").as("file"), col("col"), col("lo"), col("hi"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/$ManifestDir")
+  }
+
+  /** Read only the files whose manifest footprint intersects [lo, hi] on
+    * `c`; the returned frame still needs the row-level filter (footprints
+    * admit false positives, never false negatives). Files missing from
+    * the manifest are kept — pruning must fail open.
+    */
+  def readPruned(spark: org.apache.spark.sql.SparkSession, path: String,
+      c: String, lo: Double, hi: Double): DataFrame = {
+    val manifest = spark.read.parquet(s"$path/$ManifestDir")
+    // manifest is metadata-scale (a row per file-column): driver-side list
+    val forCol = manifest.filter(col("col") === c)
+      .select("file", "lo", "hi").collect()
+    // input_file_name() and Dataset.inputFiles render the same file as
+    // file:///x vs file:/x — compare on the scheme-free path
+    def norm(s: String): String =
+      try new java.net.URI(s).getPath catch { case _: Exception => s }
+    val known = forCol.map(r => norm(r.getString(0))).toSet
+    val matching = forCol
+      .filter(r => r.getDouble(2) >= lo && r.getDouble(1) <= hi)
+      .map(_.getString(0))
+    // files the manifest doesn't know (written after it, or stats for a
+    // different column set) are KEPT — pruning fails open, never drops data
+    val unknown = spark.read.parquet(path).inputFiles
+      .filterNot(f => known(norm(f)))
+    val keep = (matching ++ unknown).toIndexedSeq
+    if (keep.isEmpty) spark.read.parquet(path).limit(0)
+    else spark.read.parquet(keep: _*)
+  }
 }

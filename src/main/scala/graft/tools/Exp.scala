@@ -56,6 +56,21 @@ object Exp {
       println("PLAN-END")
       spark.stop(); return
     }
+    if (args.contains("cep")) {
+      val e = Tables.t(spark, dir, "events")
+      time("c_scan") { e.write.format("noop").mode("overwrite").save() }
+      time("c_window1") {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        e.withColumn("rn", row_number().over(w))
+          .write.format("noop").mode("overwrite").save()
+      }
+      time("c_full") {
+        graft.operators.EventOps.cepAttack(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+      }
+      spark.stop(); return
+    }
     if (args.contains("minhash")) {
       import graft.operators.DedupOps
       val docs = Tables.t(spark, dir, "documents")

@@ -75,6 +75,40 @@ class LayoutSpec extends SparkSpecBase {
     assert(zCust < dateCust / 2, s"z $zCust vs control $dateCust")
   }
 
+  test("manifest pruning: selective filters on EITHER z-column skip files, lose nothing") {
+    val base = java.nio.file.Files.createTempDirectory("graft-man").toString
+    val orders = Tables.t(spark, sf0001, "orders")
+    val path = s"$base/z"
+    Layout.zorderWrite(orders, path, Seq("o_custkey", "o_totalprice"), numFiles = 16)
+    Layout.writeManifest(spark, path, Seq("o_custkey", "o_totalprice"))
+    val all = spark.read.parquet(path)
+    val nFiles = all.inputFiles.length
+    assert(nFiles >= 8, s"expected a multi-file layout, got $nFiles")
+
+    def check(c: String, lo: Double, hi: Double): Unit = {
+      val pruned = Layout.readPruned(spark, path, c, lo, hi)
+      assert(pruned.inputFiles.length < nFiles,
+        s"$c[$lo,$hi]: read ${pruned.inputFiles.length} of $nFiles files — nothing pruned")
+      val got = pruned.filter(col(c) >= lo && col(c) <= hi)
+        .agg(count(lit(1)), sum(col("o_orderkey"))).head()
+      val exp = all.filter(col(c) >= lo && col(c) <= hi)
+        .agg(count(lit(1)), sum(col("o_orderkey"))).head()
+      assert(got == exp, s"$c[$lo,$hi]: pruned read changed the result")
+    }
+    // a ~10% slice on each clustered dimension
+    val ck = all.agg(min(col("o_custkey")), max(col("o_custkey"))).head()
+    val (cLo, cHi) = (ck.getLong(0).toDouble, ck.getLong(1).toDouble)
+    check("o_custkey", cLo, cLo + (cHi - cLo) * 0.1)
+    val tp = all.agg(min(col("o_totalprice")), max(col("o_totalprice"))).head()
+    check("o_totalprice", tp.getDouble(0), tp.getDouble(0) +
+      (tp.getDouble(1) - tp.getDouble(0)) * 0.1)
+
+    // fail-open: a column the manifest doesn't cover keeps every file
+    val unpruned = Layout.readPruned(spark, path, "o_orderkey", 0, 1)
+    assert(unpruned.inputFiles.length == nFiles,
+      "unknown-column pruning must keep all files")
+  }
+
   test("z-order bit interleave places each input bit at stride k") {
     import spark.implicits._
     val df = Seq((3L, 0L), (0L, 3L), (1L, 1L)).toDF("a", "b")

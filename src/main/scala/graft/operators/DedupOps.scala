@@ -246,12 +246,11 @@ object DedupOps {
         transform(col("shs"), s => xxhash64(s)).as("hsh"),
         GraftFunctions.graftMinHashSig(col("shs")).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val withSig = sh
     val bandKeys = (0 until Bands).map { b =>
       val rows = (0 until RowsPerBand).map(r => col("sig").getItem(b * RowsPerBand + r))
       struct(lit(b).as("band"), xxhash64(rows: _*).as("bkey"))
     }
-    val exploded = withSig
+    val exploded = sh
       .select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
     val pruned = pruneHotBuckets(exploded, Seq("band", "bkey"))

@@ -108,26 +108,40 @@ object Layout {
 
   private val ManifestDir = "_graft_manifest"
 
-  /** Scan the written files once (write-time cost, stats-only columns) and
-    * record per-file footprints for `statCols`.
+  /** Scan the written files ONCE (write-time cost; one aggregation carries
+    * every stat column) and record per-file footprints for `statCols`.
     */
   def writeManifest(spark: org.apache.spark.sql.SparkSession, path: String,
       statCols: Seq[String]): Unit = {
+    require(statCols.nonEmpty, "writeManifest: statCols must be non-empty")
     val df = spark.read.parquet(path)
-    val perCol = statCols.map(c => fileRanges(df, c).withColumn("col", lit(c)))
-    perCol.reduce(_ unionByName _)
-      .select(col("__file").as("file"), col("col"), col("lo"), col("hi"))
-      .coalesce(1)
+    val aggs = statCols.flatMap(c => Seq(
+      min(col(c)).cast("double").as(s"lo_$c"),
+      max(col(c)).cast("double").as(s"hi_$c")))
+    val stats = df.withColumn("__file", input_file_name())
+      .groupBy("__file").agg(aggs.head, aggs.tail: _*)
+    val stacked = stats.select(col("__file").as("file"),
+      explode(array(statCols.map(c =>
+        struct(lit(c).as("col"), col(s"lo_$c").as("lo"), col(s"hi_$c").as("hi"))): _*)).as("s"))
+      .select("file", "s.col", "s.lo", "s.hi")
+    stacked.coalesce(1)
       .write.mode("overwrite").parquet(s"$path/$ManifestDir")
   }
 
   /** Read only the files whose manifest footprint intersects [lo, hi] on
     * `c`; the returned frame still needs the row-level filter (footprints
-    * admit false positives, never false negatives). Files missing from
-    * the manifest are kept — pruning must fail open.
+    * admit false positives, never false negatives). A null footprint
+    * means that file has NO non-null values of `c` — no row in it can
+    * satisfy a range predicate, so it is safely skipped. Files missing
+    * from the manifest entirely (written after it, or a column the
+    * manifest doesn't cover) are KEPT — pruning fails open, never drops
+    * data. `trustManifest = true` skips the fail-open directory listing
+    * and reads exactly the matching manifest files — the true
+    * listing-free path for a manifest known to be complete.
     */
   def readPruned(spark: org.apache.spark.sql.SparkSession, path: String,
-      c: String, lo: Double, hi: Double): DataFrame = {
+      c: String, lo: Double, hi: Double,
+      trustManifest: Boolean = false): DataFrame = {
     val manifest = spark.read.parquet(s"$path/$ManifestDir")
     // manifest is metadata-scale (a row per file-column): driver-side list
     val forCol = manifest.filter(col("col") === c)
@@ -138,13 +152,15 @@ object Layout {
       try new java.net.URI(s).getPath catch { case _: Exception => s }
     val known = forCol.map(r => norm(r.getString(0))).toSet
     val matching = forCol
-      .filter(r => r.getDouble(2) >= lo && r.getDouble(1) <= hi)
+      .filter(r => !r.isNullAt(1) && !r.isNullAt(2) &&
+        r.getDouble(2) >= lo && r.getDouble(1) <= hi)
       .map(_.getString(0))
-    // files the manifest doesn't know (written after it, or stats for a
-    // different column set) are KEPT — pruning fails open, never drops data
-    val unknown = spark.read.parquet(path).inputFiles
-      .filterNot(f => known(norm(f)))
-    val keep = (matching ++ unknown).toIndexedSeq
+    val keep =
+      if (trustManifest) matching.toIndexedSeq
+      else {
+        val allFiles = spark.read.parquet(path).inputFiles // fail-open listing
+        matching.toIndexedSeq ++ allFiles.filterNot(f => known(norm(f)))
+      }
     if (keep.isEmpty) spark.read.parquet(path).limit(0)
     else spark.read.parquet(keep: _*)
   }

@@ -42,7 +42,14 @@ object Audit {
       case _: ReusedExchangeExec | _: InMemoryTableScanExec => Nil
       case other => other.children
     }
-    below.map(tally).foldLeft(self)(_ + _)
+    // scalar-subquery / DPP plans hang off expressions, not children — the
+    // old string count saw them via the explain Subqueries section, so the
+    // tree walk must too
+    val subs = p match {
+      case _: ReusedExchangeExec | _: InMemoryTableScanExec => Nil
+      case other => other.subqueries
+    }
+    (below ++ subs).map(tally).foldLeft(self)(_ + _)
   }
 
   def main(args: Array[String]): Unit = {
@@ -55,10 +62,11 @@ object Audit {
     Registry.all.filter(q => only.isEmpty || only(q.name)).foreach { q =>
       try {
         val df = q.build(spark, dir)
-        // collect() executes THIS df's QueryExecution (a sink write would
-        // run a separate one, leaving df's adaptive plan unfinalized);
-        // results are gate-scale, small enough for the driver here
-        df.collect()
+        // drive THIS df's QueryExecution (a sink write would run a
+        // separate one, leaving df's adaptive plan unfinalized) without
+        // materializing results on the driver — the audit may be pointed
+        // at any scale factor
+        df.queryExecution.toRdd.foreach(_ => ())
         val c = tally(df.queryExecution.executedPlan)
         val plan = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)

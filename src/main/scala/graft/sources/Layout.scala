@@ -69,19 +69,52 @@ object Layout {
     }
   }
 
+  /** Quantile-bucketed rank scaler: bucket boundaries from approxQuantile
+    * (driver-side, metadata-scale, like the min/max pull), bucket lookup
+    * as a BALANCED comparison tree — log2(2^bits) branches per row, a
+    * static codegen'd expression. Unlike linear min/max scaling this stays
+    * meaningful under skew: a key where 90% of rows share one value still
+    * spreads the remaining mass over the bucket range instead of
+    * collapsing every row into one corner of the curve.
+    */
+  private def quantileScaled(df: DataFrame, c: String, bits: Int): Column = {
+    val n = 1 << bits
+    val probs = (1 until n).map(_.toDouble / n).toArray
+    val bounds = df.stat.approxQuantile(c, probs, 0.001)
+    def tree(loIdx: Int, hiIdx: Int): Column =
+      // buckets [loIdx, hiIdx]; boundaries between bucket i and i+1 at bounds(i)
+      if (loIdx == hiIdx) lit(loIdx.toLong)
+      else {
+        val mid = (loIdx + hiIdx) / 2
+        when(col(c).cast("double") <= lit(bounds(mid)), tree(loIdx, mid))
+          .otherwise(tree(mid + 1, hiIdx))
+      }
+    coalesce(tree(0, n - 1), lit(0L)).cast(LongType)
+  }
+
   /** Write `df` clustered on the z-curve over `zCols` into `numFiles`
     * files: range-partition by z-value (so files tile the curve) and sort
     * within each partition (so row groups inside a file tile it too).
     * Every output file then covers a narrow range of EVERY z-column, and
     * parquet min/max stats prune selective filters on any of them.
+    *
+    * `quantile = true` ranks each key by quantile buckets instead of
+    * linear min/max scaling — use it when keys are skewed (bits is capped
+    * at 10 there: 1024 equi-populated buckets per dim is plenty for
+    * file-level clustering, and the per-row lookup stays a 10-branch
+    * tree).
     */
   def zorderWrite(df: DataFrame, path: String, zCols: Seq[String],
-      numFiles: Int, bits: Int = 16): Unit = {
-    require(bits >= 1 && bits <= 20,
-      s"bits must be in [1, 20], got $bits") // 2^20 buckets per dim is ample; keeps every intermediate double-exact
+      numFiles: Int, bits: Int = 16, quantile: Boolean = false): Unit = {
+    val maxBits = if (quantile) 10 else 20
+    require(bits >= 1 && bits <= maxBits,
+      s"bits must be in [1, $maxBits], got $bits") // linear cap 2^20 keeps every intermediate double-exact
     require(zCols.nonEmpty && zCols.size * bits <= 63,
       s"z-order supports up to ${63 / bits} columns at $bits bits")
-    val z = interleaveBits(scaledAll(df, zCols, bits), bits)
+    val scaled =
+      if (quantile) zCols.map(quantileScaled(df, _, bits))
+      else scaledAll(df, zCols, bits)
+    val z = interleaveBits(scaled, bits)
     df.withColumn("__z", z)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")

@@ -109,6 +109,40 @@ class LayoutSpec extends SparkSpecBase {
       "unknown-column pruning must keep all files")
   }
 
+  test("quantile z-order keeps pruning alive under key skew; linear collapses") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-skew").toString
+    // power-law key: most mass near 0, long tail — linear min/max scaling
+    // puts ~every row in bucket 0, so the curve degenerates to the other
+    // column and footprints on `a` go corpus-wide
+    val rnd = new scala.util.Random(7)
+    val df = Seq.tabulate(4000) { i =>
+      (math.floor(1000 * math.pow(rnd.nextDouble(), 8)).toLong,
+        rnd.nextInt(1000).toLong, i.toLong)
+    }.toDF("a", "b", "id")
+    Layout.zorderWrite(df, s"$base/lin", Seq("a", "b"), numFiles = 16)
+    Layout.writeManifest(spark, s"$base/lin", Seq("a", "b"))
+    Layout.zorderWrite(df, s"$base/qnt", Seq("a", "b"), numFiles = 16,
+      bits = 4, quantile = true)
+    Layout.writeManifest(spark, s"$base/qnt", Seq("a", "b"))
+
+    // a selective slice through the DENSE region of `a` (quantile 0.5-0.7)
+    val Array(lo, hi) = df.stat.approxQuantile("a", Array(0.5, 0.7), 0.0)
+    assume(hi > lo, "test data should spread at these quantiles")
+    def filesRead(path: String): Int =
+      Layout.readPruned(spark, path, "a", lo, hi).inputFiles.length
+    val (linN, qntN) = (filesRead(s"$base/lin"), filesRead(s"$base/qnt"))
+    val total = spark.read.parquet(s"$base/qnt").inputFiles.length
+    assert(qntN < linN, s"quantile read $qntN files, linear $linN — no win")
+    assert(qntN <= (total * 3) / 4, s"quantile mode read $qntN of $total files")
+    // and the pruned read still returns exactly the right rows
+    val got = Layout.readPruned(spark, s"$base/qnt", "a", lo, hi)
+      .filter(col("a") >= lo && col("a") <= hi).agg(sum(col("id"))).head().getLong(0)
+    val exp = df.filter(col("a") >= lo && col("a") <= hi)
+      .agg(sum(col("id"))).head().getLong(0)
+    assert(got == exp)
+  }
+
   test("z-order bit interleave places each input bit at stride k") {
     import spark.implicits._
     val df = Seq((3L, 0L), (0L, 3L), (1L, 1L)).toDF("a", "b")

@@ -161,6 +161,43 @@ object Layout {
       .write.mode("overwrite").parquet(s"$path/$ManifestDir")
   }
 
+  /** Incremental append: write `batch` into `path` (plain append — new
+    * part files land beside the old ones) and extend the manifest with
+    * stats computed over the NEW files only, never rescanning the
+    * existing data. This is the steady-state maintenance path: a daily
+    * ingest appends its files and a manifest delta; readers keep pruning
+    * over the whole table. (The appended batch itself is written as-is —
+    * re-clustering is a separate compaction concern.)
+    */
+  def appendWithManifest(batch: DataFrame, path: String,
+      statCols: Seq[String]): Unit = {
+    require(statCols.nonEmpty, "appendWithManifest: statCols must be non-empty")
+    val spark = batch.sparkSession
+    def listData(): Set[String] = spark.read.parquet(path).inputFiles.toSet
+    val before = listData()
+    batch.write.mode("append").parquet(path)
+    val added = (listData() -- before).toIndexedSeq
+    if (added.nonEmpty) {
+      val aggs = statCols.flatMap(c => Seq(
+        min(col(c)).cast("double").as(s"lo_$c"),
+        max(col(c)).cast("double").as(s"hi_$c")))
+      val stats = spark.read.parquet(added: _*)
+        .withColumn("__file", input_file_name())
+        .groupBy("__file").agg(aggs.head, aggs.tail: _*)
+      val delta = stats.select(col("__file").as("file"),
+        explode(array(statCols.map(c =>
+          struct(lit(c).as("col"), col(s"lo_$c").as("lo"), col(s"hi_$c").as("hi"))): _*)).as("s"))
+        .select("file", "s.col", "s.lo", "s.hi")
+      val manifestPath = s"$path/$ManifestDir"
+      val merged = spark.read.parquet(manifestPath).unionByName(delta)
+      // manifests are tiny: rewrite-on-append keeps ONE consistent file
+      // (localCheckpoint first — the new manifest must not lazily read the
+      // directory it is about to overwrite)
+      merged.coalesce(1).localCheckpoint(true)
+        .write.mode("overwrite").parquet(manifestPath)
+    }
+  }
+
   /** Read only the files whose manifest footprint intersects [lo, hi] on
     * `c`; the returned frame still needs the row-level filter (footprints
     * admit false positives, never false negatives). A null footprint

@@ -143,6 +143,30 @@ class LayoutSpec extends SparkSpecBase {
     assert(got == exp)
   }
 
+  test("incremental append extends the manifest without rescanning old data") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-app").toString
+    val path = s"$base/t"
+    val first = (0 until 2000).map(i => (i.toLong, (i * 7 % 1000).toLong)).toDF("k", "v")
+    Layout.zorderWrite(first, path, Seq("k", "v"), numFiles = 8)
+    Layout.writeManifest(spark, path, Seq("k", "v"))
+    // append a batch from a DISJOINT key range — its files must become
+    // prunable immediately via the manifest delta
+    val second = (10000 until 11000).map(i => (i.toLong, (i * 7 % 1000).toLong)).toDF("k", "v")
+    Layout.appendWithManifest(second, path, Seq("k", "v"))
+
+    val all = spark.read.parquet(path)
+    assert(all.count() == 3000)
+    // trustManifest = strict mode: every data file must now be covered
+    val inOld = Layout.readPruned(spark, path, "k", 0, 1999, trustManifest = true)
+    val inNew = Layout.readPruned(spark, path, "k", 10000, 10999, trustManifest = true)
+    assert(inOld.agg(count(lit(1))).head().getLong(0) == 2000)
+    assert(inNew.agg(count(lit(1))).head().getLong(0) == 1000)
+    // and the new-range read doesn't touch the old files (disjoint ranges)
+    assert(inNew.inputFiles.length < all.inputFiles.length,
+      "append batch should be prunable from the old files")
+  }
+
   test("z-order bit interleave places each input bit at stride k") {
     import spark.implicits._
     val df = Seq((3L, 0L), (0L, 3L), (1L, 1L)).toDF("a", "b")

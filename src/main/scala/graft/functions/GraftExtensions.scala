@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.CollapseDistinctShingles)
+    ext.injectOptimizerRule(session => graft.plans.ManifestPrune(session))
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo("graft.functions", "graft_cosine"),

@@ -32,6 +32,9 @@ object GraftFunctions {
     if (!rules.extraOptimizations.contains(graft.plans.CollapseDistinctShingles))
       rules.extraOptimizations =
         rules.extraOptimizations :+ graft.plans.CollapseDistinctShingles
+    if (!rules.extraOptimizations.exists(_.isInstanceOf[graft.plans.ManifestPrune]))
+      rules.extraOptimizations =
+        rules.extraOptimizations :+ graft.plans.ManifestPrune(spark)
   }
 
   // Column-API wrappers (require register() / GraftExtensions on the session).

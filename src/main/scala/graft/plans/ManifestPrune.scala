@@ -1,0 +1,142 @@
+package graft.plans
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.trees.TreeNodeTag
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
+
+/** Transparent listing-time file pruning over `Layout.writeManifest`ed
+  * tables, as a Catalyst optimizer rule: a plain
+  * `spark.read.parquet(path).filter(col >= a && col <= b)` is rewritten so
+  * the relation's file index holds ONLY the files whose manifest footprint
+  * intersects the filter's range envelope — no special reader API, and
+  * every downstream consumer (joins, aggs, SQL) gets the pruning for free.
+  *
+  * Semantics mirror `Layout.readPruned`: null-footprint files are skipped
+  * for range predicates (a null can't satisfy one), manifest-unknown files
+  * are KEPT (fail open), and the row-level Filter stays in the plan —
+  * footprints admit false positives, never false negatives. The rule runs
+  * in the user-provided batch (after predicate pushdown, so the Filter
+  * sits directly on the relation) and tags rewritten relations to stay
+  * idempotent under fixed-point execution.
+  */
+case class ManifestPrune(spark: SparkSession) extends Rule[LogicalPlan] {
+  import ManifestPrune._
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (reentrant.get()) return plan // the manifest read below runs its own tiny query
+    plan.transformDown {
+      case f @ Filter(cond, l: LogicalRelation)
+          if l.getTagValue(PrunedTag).isEmpty && eligible(l) =>
+        val fsRel = l.relation.asInstanceOf[HadoopFsRelation]
+        val envelopes = rangeEnvelopes(cond)
+        if (envelopes.isEmpty) f
+        else prune(fsRel, envelopes) match {
+          case Some(keptIndex) =>
+            val newRel = fsRel.copy(location = keptIndex)(spark)
+            val newL = l.copy(relation = newRel)
+            newL.setTagValue(PrunedTag, true)
+            Filter(cond, newL)
+          case None => f
+        }
+    }
+  }
+
+  private def eligible(l: LogicalRelation): Boolean = l.relation match {
+    case fs: HadoopFsRelation =>
+      fs.location.rootPaths.lengthCompare(1) == 0 && {
+        val root = fs.location.rootPaths.head
+        val m = new Path(root, ManifestDirName)
+        try m.getFileSystem(spark.sessionState.newHadoopConf()).exists(m)
+        catch { case _: Exception => false }
+      }
+    case _ => false
+  }
+
+  /** Conjunct-only range envelopes: col -> [lo, hi] from >=, >, <=, <, =
+    * against numeric literals. Anything else contributes nothing (and so
+    * prunes nothing) — correctness never depends on completeness here.
+    */
+  private def rangeEnvelopes(cond: Expression): Map[String, (Double, Double)] = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(a, b) => conjuncts(a) ++ conjuncts(b)
+      case other => Seq(other)
+    }
+    def num(l: Literal): Option[Double] = l.value match {
+      case n: java.lang.Number => Some(n.doubleValue())
+      case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+      case _ => None
+    }
+    val bounds = conjuncts(cond).flatMap {
+      case GreaterThanOrEqual(a: AttributeReference, lit: Literal) => num(lit).map(v => (a.name, v, PosInf))
+      case GreaterThan(a: AttributeReference, lit: Literal) => num(lit).map(v => (a.name, v, PosInf))
+      case LessThanOrEqual(a: AttributeReference, lit: Literal) => num(lit).map(v => (a.name, NegInf, v))
+      case LessThan(a: AttributeReference, lit: Literal) => num(lit).map(v => (a.name, NegInf, v))
+      case EqualTo(a: AttributeReference, lit: Literal) => num(lit).map(v => (a.name, v, v))
+      case GreaterThanOrEqual(lit: Literal, a: AttributeReference) => num(lit).map(v => (a.name, NegInf, v))
+      case GreaterThan(lit: Literal, a: AttributeReference) => num(lit).map(v => (a.name, NegInf, v))
+      case LessThanOrEqual(lit: Literal, a: AttributeReference) => num(lit).map(v => (a.name, v, PosInf))
+      case LessThan(lit: Literal, a: AttributeReference) => num(lit).map(v => (a.name, v, PosInf))
+      case EqualTo(lit: Literal, a: AttributeReference) => num(lit).map(v => (a.name, v, v))
+      case _ => None
+    }
+    bounds.groupBy(_._1).map { case (c, bs) =>
+      c -> (bs.map(_._2).max, bs.map(_._3).min)
+    }
+  }
+
+  /** Kept-file index, or None when nothing prunes. */
+  private def prune(fsRel: HadoopFsRelation,
+      envelopes: Map[String, (Double, Double)]): Option[InMemoryFileIndex] = {
+    val root = fsRel.location.rootPaths.head
+    val manifest = readManifest(root.toString)
+    if (manifest.isEmpty) return None
+    def norm(s: String): String =
+      try new java.net.URI(s).getPath catch { case _: Exception => s }
+    val allFiles = fsRel.location.inputFiles // already listed by the relation
+    var keep = allFiles.map(norm).toSet
+    envelopes.foreach { case (c, (lo, hi)) =>
+      val forCol = manifest.filter(_.col == c)
+      if (forCol.nonEmpty) {
+        val known = forCol.map(r => norm(r.file)).toSet
+        val matching = forCol.filter(r =>
+          r.lo.exists(_ <= hi) && r.hi.exists(_ >= lo)).map(r => norm(r.file)).toSet
+        keep = keep.filter(f => matching(f) || !known(f))
+      }
+    }
+    if (keep.size >= allFiles.length) None
+    else {
+      val keptPaths = allFiles.filter(f => keep(norm(f))).map(new Path(_)).toIndexedSeq
+      Some(new InMemoryFileIndex(spark, keptPaths, Map.empty, Some(fsRel.dataSchema)))
+    }
+  }
+
+  private final case class ManifestRow(file: String, col: String,
+      lo: Option[Double], hi: Option[Double])
+
+  private def readManifest(root: String): Seq[ManifestRow] = {
+    reentrant.set(true)
+    try {
+      spark.read.parquet(s"$root/$ManifestDirName")
+        .select("file", "col", "lo", "hi").collect().toSeq.map { r =>
+        ManifestRow(r.getString(0), r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+      }
+    } catch { case _: Exception => Nil } // unreadable manifest -> no pruning
+    finally reentrant.set(false)
+  }
+}
+
+object ManifestPrune {
+  private[plans] val ManifestDirName = "_graft_manifest"
+  private[plans] val PrunedTag = TreeNodeTag[Boolean]("graftManifestPruned")
+  private val NegInf = Double.NegativeInfinity
+  private val PosInf = Double.PositiveInfinity
+  private val reentrant = new ThreadLocal[Boolean] {
+    override def initialValue(): Boolean = false
+  }
+}

@@ -167,6 +167,36 @@ class LayoutSpec extends SparkSpecBase {
       "append batch should be prunable from the old files")
   }
 
+  test("ManifestPrune rule: plain filter reads prune files transparently") {
+    val base = java.nio.file.Files.createTempDirectory("graft-rule").toString
+    val path = s"$base/z"
+    val orders = Tables.t(spark, sf0001, "orders")
+    Layout.zorderWrite(orders, path, Seq("o_custkey", "o_totalprice"), numFiles = 16)
+    Layout.writeManifest(spark, path, Seq("o_custkey", "o_totalprice"))
+
+    val ck = spark.read.parquet(path)
+      .agg(min(col("o_custkey")), max(col("o_custkey"))).head()
+    val (lo, hi) = (ck.getLong(0), ck.getLong(0) + (ck.getLong(1) - ck.getLong(0)) / 10)
+    // NO readPruned — the ordinary DataFrame API; the optimizer rule
+    // consults the manifest and swaps in a pruned file index
+    val df = spark.read.parquet(path)
+      .filter(col("o_custkey") >= lo && col("o_custkey") <= hi)
+    val m = scanMetrics(df)
+    val total = spark.read.parquet(path).inputFiles.length
+    assert(m("numFiles") < total,
+      s"rule pruned nothing: ${m("numFiles")} of $total files")
+    // results identical to an unpruned read
+    val exp = spark.read.parquet(path) // fresh relation, filter applied post-hoc
+      .collect().count(r => { val k = r.getAs[Long]("o_custkey"); k >= lo && k <= hi })
+    assert(df.count() == exp)
+    // tables without a manifest are untouched
+    val plain = s"$base/plain"
+    orders.write.mode("overwrite").parquet(plain)
+    val unaffected = spark.read.parquet(plain).filter(col("o_custkey") >= lo)
+    assert(unaffected.count() ==
+      orders.filter(col("o_custkey") >= lo).count())
+  }
+
   test("z-order bit interleave places each input bit at stride k") {
     import spark.implicits._
     val df = Seq((3L, 0L), (0L, 3L), (1L, 1L)).toDF("a", "b")

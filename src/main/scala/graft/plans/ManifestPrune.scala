@@ -47,6 +47,10 @@ case class ManifestPrune(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def eligible(l: LogicalRelation): Boolean = l.relation match {
     case fs: HadoopFsRelation =>
+      // partitioned tables are out of scope: their partition VALUES come
+      // from directory structure the replacement flat file index would not
+      // re-infer (partition pruning already covers them anyway)
+      fs.partitionSchema.isEmpty &&
       fs.location.rootPaths.lengthCompare(1) == 0 && {
         val root = fs.location.rootPaths.head
         val m = new Path(root, ManifestDirName)

@@ -195,6 +195,15 @@ class LayoutSpec extends SparkSpecBase {
     val unaffected = spark.read.parquet(plain).filter(col("o_custkey") >= lo)
     assert(unaffected.count() ==
       orders.filter(col("o_custkey") >= lo).count())
+    // partitioned tables (even with a manifest present) are out of scope —
+    // the rule must skip them, not break their partition-value inference
+    val parted = s"$base/parted"
+    Layout.writeDatePartitioned(
+      Tables.t(spark, sf0001, "events"), parted, tsCol = "ts")
+    Layout.writeManifest(spark, parted, Seq("value"))
+    val pf = spark.read.parquet(parted).filter(col("value") >= 0)
+    assert(pf.count() == Tables.t(spark, sf0001, "events")
+      .filter(col("value") >= 0).count())
   }
 
   test("z-order bit interleave places each input bit at stride k") {

@@ -98,22 +98,23 @@ case class ManifestPrune(spark: SparkSession) extends Rule[LogicalPlan] {
     val root = fsRel.location.rootPaths.head
     val manifest = readManifest(root.toString)
     if (manifest.isEmpty) return None
-    def norm(s: String): String =
-      try new java.net.URI(s).getPath catch { case _: Exception => s }
+    // manifest entries are basenames (rename/compact-stable); compare
+    // the relation's listed files by basename too
+    def base(s: String): String = s.substring(s.lastIndexOf('/') + 1)
     val allFiles = fsRel.location.inputFiles // already listed by the relation
-    var keep = allFiles.map(norm).toSet
+    var keep = allFiles.map(base).toSet
     envelopes.foreach { case (c, (lo, hi)) =>
       val forCol = manifest.filter(_.col == c)
       if (forCol.nonEmpty) {
-        val known = forCol.map(r => norm(r.file)).toSet
+        val known = forCol.map(_.file).toSet
         val matching = forCol.filter(r =>
-          r.lo.exists(_ <= hi) && r.hi.exists(_ >= lo)).map(r => norm(r.file)).toSet
+          r.lo.exists(_ <= hi) && r.hi.exists(_ >= lo)).map(_.file).toSet
         keep = keep.filter(f => matching(f) || !known(f))
       }
     }
     if (keep.size >= allFiles.length) None
     else {
-      val keptPaths = allFiles.filter(f => keep(norm(f))).map(new Path(_)).toIndexedSeq
+      val keptPaths = allFiles.filter(f => keep(base(f))).map(new Path(_)).toIndexedSeq
       Some(new InMemoryFileIndex(spark, keptPaths, Map.empty, Some(fsRel.dataSchema)))
     }
   }

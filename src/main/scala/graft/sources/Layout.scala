@@ -151,7 +151,11 @@ object Layout {
     val aggs = statCols.flatMap(c => Seq(
       min(col(c)).cast("double").as(s"lo_$c"),
       max(col(c)).cast("double").as(s"hi_$c")))
-    val stats = df.withColumn("__file", input_file_name())
+    // the manifest records BASENAMES (unique per directory), not absolute
+    // paths: the table directory can be renamed/compacted/relocated and
+    // the manifest stays valid — readers resolve names against the root
+    val stats = df.withColumn("__file",
+        substring_index(input_file_name(), "/", -1))
       .groupBy("__file").agg(aggs.head, aggs.tail: _*)
     val stacked = stats.select(col("__file").as("file"),
       explode(array(statCols.map(c =>
@@ -182,7 +186,7 @@ object Layout {
         min(col(c)).cast("double").as(s"lo_$c"),
         max(col(c)).cast("double").as(s"hi_$c")))
       val stats = spark.read.parquet(added: _*)
-        .withColumn("__file", input_file_name())
+        .withColumn("__file", substring_index(input_file_name(), "/", -1))
         .groupBy("__file").agg(aggs.head, aggs.tail: _*)
       val delta = stats.select(col("__file").as("file"),
         explode(array(statCols.map(c =>
@@ -196,6 +200,36 @@ object Layout {
       merged.coalesce(1).localCheckpoint(true)
         .write.mode("overwrite").parquet(manifestPath)
     }
+  }
+
+  /** Compaction: re-cluster the whole table (original z-order write +
+    * appended batches) into a fresh z-ordered layout and rebuild the
+    * manifest. Appends preserve pruning via their manifest delta but
+    * fragment the curve; periodic compaction restores one clean tiling.
+    * The rewrite goes through a sibling temp dir + atomic-ish swap so a
+    * reader never sees a half-written table directory.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      zCols: Seq[String], numFiles: Int, bits: Int = 16,
+      quantile: Boolean = false): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new org.apache.hadoop.fs.Path(path + ".compacting")
+    val old = new org.apache.hadoop.fs.Path(path + ".old")
+    // the rewrite reads `path` and writes `tmp`; the live directory is
+    // only touched after the new layout is fully on disk, so no
+    // materialization is needed (and none would fit at table scale)
+    val current = spark.read.parquet(path)
+    zorderWrite(current, tmp.toString, zCols, numFiles, bits, quantile)
+    writeManifest(spark, tmp.toString, zCols)
+    fs.delete(old, true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(path), old))
+      throw new java.io.IOException(s"compact: cannot move $path aside")
+    if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(path))) {
+      fs.rename(old, new org.apache.hadoop.fs.Path(path)) // roll back
+      throw new java.io.IOException(s"compact: cannot move $tmp into place")
+    }
+    fs.delete(old, true)
   }
 
   /** Read only the files whose manifest footprint intersects [lo, hi] on
@@ -216,20 +250,19 @@ object Layout {
     // manifest is metadata-scale (a row per file-column): driver-side list
     val forCol = manifest.filter(col("col") === c)
       .select("file", "lo", "hi").collect()
-    // input_file_name() and Dataset.inputFiles render the same file as
-    // file:///x vs file:/x — compare on the scheme-free path
-    def norm(s: String): String =
-      try new java.net.URI(s).getPath catch { case _: Exception => s }
-    val known = forCol.map(r => norm(r.getString(0))).toSet
+    // manifest entries are basenames; resolve against the table root (and
+    // compare listings by basename — URI scheme variants cancel out)
+    def base(s: String): String = s.substring(s.lastIndexOf('/') + 1)
+    val known = forCol.map(r => r.getString(0)).toSet
     val matching = forCol
       .filter(r => !r.isNullAt(1) && !r.isNullAt(2) &&
         r.getDouble(2) >= lo && r.getDouble(1) <= hi)
-      .map(_.getString(0))
+      .map(r => s"$path/${r.getString(0)}")
     val keep =
       if (trustManifest) matching.toIndexedSeq
       else {
         val allFiles = spark.read.parquet(path).inputFiles // fail-open listing
-        matching.toIndexedSeq ++ allFiles.filterNot(f => known(norm(f)))
+        matching.toIndexedSeq ++ allFiles.filterNot(f => known(base(f)))
       }
     if (keep.isEmpty) spark.read.parquet(path).limit(0)
     else spark.read.parquet(keep: _*)

@@ -206,6 +206,31 @@ class LayoutSpec extends SparkSpecBase {
       .filter(col("value") >= 0).count())
   }
 
+  test("compact re-clusters appends into one tiling; content unchanged") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-cpt").toString
+    val path = s"$base/t"
+    val first = (0 until 2000).map(i => (i.toLong, (i * 13 % 997).toLong)).toDF("k", "v")
+    Layout.zorderWrite(first, path, Seq("k", "v"), numFiles = 8)
+    Layout.writeManifest(spark, path, Seq("k", "v"))
+    (0 until 3).foreach { b =>
+      val batch = (2000 + b * 500 until 2500 + b * 500)
+        .map(i => (i.toLong, (i * 13 % 997).toLong)).toDF("k", "v")
+      Layout.appendWithManifest(batch, path, Seq("k", "v"))
+    }
+    val beforeFiles = spark.read.parquet(path).inputFiles.length
+    val checksum = spark.read.parquet(path)
+      .agg(count(lit(1)), sum(col("k") * col("v"))).head()
+    Layout.compact(spark, path, Seq("k", "v"), numFiles = 8)
+    val after = spark.read.parquet(path)
+    assert(after.inputFiles.length == 8, s"got ${after.inputFiles.length} files")
+    assert(after.inputFiles.length < beforeFiles)
+    assert(after.agg(count(lit(1)), sum(col("k") * col("v"))).head() == checksum)
+    // the rebuilt manifest covers the new files: strict-mode read is whole
+    val strict = Layout.readPruned(spark, path, "k", 0, 4000, trustManifest = true)
+    assert(strict.agg(count(lit(1))).head().getLong(0) == 3500)
+  }
+
   test("z-order bit interleave places each input bit at stride k") {
     import spark.implicits._
     val df = Seq((3L, 0L), (0L, 3L), (1L, 1L)).toDF("a", "b")

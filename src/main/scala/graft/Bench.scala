@@ -26,10 +26,17 @@ object Bench {
     spark.read.parquet(s"$sfDir/nation.parquet").count()
 
     val targets = Registry.all.filter(_.headline)
-    // two timed runs per query, report the better: single-run numbers on a
-    // shared box swing 2-3x from JIT/GC noise; the best run is the
-    // steady-state cost a resident service would see. A query that throws
-    // is reported as null (never a bogus elapsed time) and fails the run.
+    // three timed runs per query, report the best: the steady-state cost a
+    // resident service would see. A query that throws is reported as null
+    // (never a bogus elapsed time) and fails the run.
+    //
+    // The runs are INTERLEAVED as full passes over the suite, not repeated
+    // back-to-back: on a shared box external contention arrives in windows
+    // lasting many seconds (e.g. a concurrent oracle verify), and
+    // back-to-back repeats land every sample of one query inside the same
+    // window — an entire suite pass between samples gives each query three
+    // temporally-separated draws, so min() dodges any window shorter than
+    // the whole bench.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     def timedRun(q: QueryDef): Option[Double] = {
       val t0 = System.nanoTime()
@@ -44,12 +51,12 @@ object Bench {
       spark.catalog.clearCache()
       if (ok) Some(dt) else None
     }
+    val samples = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
+    targets.foreach(q => samples(q.name) = Nil)
+    for (_ <- 1 to 3; q <- targets)
+      timedRun(q).foreach(t => samples(q.name) = t :: samples(q.name))
     val results = targets.map { q =>
-      var times = (1 to 2).flatMap(_ => timedRun(q))
-      // a >2x spread between the two runs means one was hit by external
-      // noise (GC storm, co-tenant load); one tie-breaker run keeps a
-      // single bad draw from ever being the reported best
-      if (times.size == 2 && times.max > 2 * times.min) times ++= timedRun(q)
+      val times = samples(q.name)
       q.name -> (if (times.nonEmpty) Some(times.min) else None)
     }
     // escape ALL control chars too — exception messages routinely contain

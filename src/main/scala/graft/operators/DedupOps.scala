@@ -407,6 +407,128 @@ object DedupOps {
     (labels, rounds)
   }
 
+  // ---- incremental (batch-vs-corpus) dedup ------------------------------
+  // The steady-state shape of a training-data pipeline is NOT "dedup the
+  // whole corpus": it is "a new batch arrived; which of its docs are
+  // already in the corpus?". The scale asymmetry is extreme — the corpus
+  // index is the 100 TB side, the daily batch is ~0.1% of it — so the only
+  // plan that survives is: BROADCAST the batch fingerprints, STREAM the
+  // corpus index past them once. No shuffle of the big side, ever; the
+  // corpus index itself is maintained incrementally (append the batch's
+  // new fingerprints after the check, exactly like Layout.appendWithManifest
+  // maintains file stats).
+  //
+  // Here the "batch" is carved deterministically out of `documents`
+  // (doc_id % 5 == 0 → 20% of docs) so the oracle can compute the identical
+  // function; the operator itself takes any (corpus, batch) pair.
+
+  /** Exact incremental dedup: classify each batch doc as `dup_corpus`
+    * (its content hash exists in the corpus — `dup_of` = the corpus
+    * keeper), `dup_batch` (first seen earlier in this same batch), or
+    * `new`. Corpus hits win over batch hits, matching what an ingest
+    * pipeline does: docs already ingested are dropped first, then the
+    * batch is internally deduped.
+    */
+  def incrementalDedupOn(corpus: DataFrame, batch: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def fp(df: DataFrame) = df.select(col("doc_id"), md5(lower(col("text"))).as("fp"))
+    // corpus-side index: one fingerprint per distinct content, smallest
+    // doc_id as keeper. At scale this frame is precomputed and appended to
+    // per batch — recomputing it here is the self-contained-query form.
+    val corpusIdx = fp(corpus).groupBy("fp").agg(min(col("doc_id")).as("corpus_keeper"))
+    val batchFp = fp(batch)
+    // the ONE join against the big side: corpus index streams, batch
+    // broadcasts. Inner join → only the hit rows come back.
+    val corpusHits = corpusIdx.join(broadcast(batchFp), Seq("fp"))
+      .select(col("doc_id"), col("corpus_keeper"))
+    // batch-internal keeper: a window over the (small) batch only
+    val withBatchKeeper = batchFp.withColumn("batch_keeper",
+      min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+    withBatchKeeper.join(corpusHits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        when(col("corpus_keeper").isNotNull, lit("dup_corpus"))
+          .when(col("batch_keeper") < col("doc_id"), lit("dup_batch"))
+          .otherwise(lit("new")).as("status"),
+        when(col("corpus_keeper").isNotNull, col("corpus_keeper"))
+          .when(col("batch_keeper") < col("doc_id"), col("batch_keeper"))
+          .as("dup_of"))
+      .orderBy("doc_id")
+  }
+
+  def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.t(s, dir, "documents")
+    incrementalDedupOn(
+      docs.filter(col("doc_id") % 5 =!= 0),
+      docs.filter(col("doc_id") % 5 === 0))
+  }
+
+  val incrementalOracle: String =
+    """WITH d AS (SELECT doc_id, md5(lower(text)) AS fp FROM documents),
+      |corpus AS (SELECT fp, MIN(doc_id) AS corpus_keeper FROM d WHERE doc_id % 5 <> 0 GROUP BY fp),
+      |batch AS (SELECT doc_id, fp, MIN(doc_id) OVER (PARTITION BY fp) AS batch_keeper
+      |          FROM d WHERE doc_id % 5 = 0)
+      |SELECT b.doc_id,
+      |       CASE WHEN c.corpus_keeper IS NOT NULL THEN 'dup_corpus'
+      |            WHEN b.batch_keeper < b.doc_id THEN 'dup_batch'
+      |            ELSE 'new' END AS status,
+      |       CASE WHEN c.corpus_keeper IS NOT NULL THEN c.corpus_keeper
+      |            WHEN b.batch_keeper < b.doc_id THEN b.batch_keeper END AS dup_of
+      |FROM batch b LEFT JOIN corpus c ON b.fp = c.fp
+      |ORDER BY b.doc_id""".stripMargin
+
+  /** Incremental NEAR-dup: batch docs probe the corpus's MinHash band
+    * index. Same asymmetric plan — the corpus band index (at scale: a
+    * maintained table, 16 rows per corpus doc) streams past the
+    * broadcast batch band keys; candidates verify with exact Jaccard on
+    * the hashed shingle arrays. Sketch-based → rows-only gate, recall
+    * unit-tested against the exact pair join.
+    */
+  def incrementalMinHashOn(corpus: DataFrame, batch: DataFrame): DataFrame = {
+    def sigs(df: DataFrame): DataFrame = withShingles(df)
+      .select(col("doc_id"), col("shs"))
+      .filter(size(col("shs")) > 0)
+      .select(col("doc_id"),
+        transform(col("shs"), s => xxhash64(s)).as("hsh"),
+        GraftFunctions.graftMinHashSig(col("shs")).as("sig"))
+    def bands(df: DataFrame): DataFrame = {
+      val bandKeys = (0 until Bands).map { b =>
+        val rows = (0 until RowsPerBand).map(r => col("sig").getItem(b * RowsPerBand + r))
+        struct(lit(b).as("band"), xxhash64(rows: _*).as("bkey"))
+      }
+      df.select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    }
+    val corpusSig = sigs(corpus)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val batchSig = sigs(batch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpusBands = pruneHotBuckets(bands(corpusSig), Seq("band", "bkey"))
+    val cands = corpusBands.as("c")
+      .join(broadcast(bands(batchSig).as("b")),
+        col("c.band") === col("b.band") && col("c.bkey") === col("b.bkey"))
+      .select(col("b.doc_id").as("batch_doc"), col("c.doc_id").as("corpus_doc"))
+      .distinct()
+    cands
+      .join(broadcast(batchSig.select(col("doc_id").as("batch_doc"),
+        col("hsh").as("hsh_b"))), "batch_doc")
+      .join(corpusSig.select(col("doc_id").as("corpus_doc"),
+        col("hsh").as("hsh_c")), "corpus_doc")
+      .withColumn("common", size(array_intersect(col("hsh_b"), col("hsh_c"))))
+      .withColumn("jaccard", col("common").cast(DoubleType) /
+        (size(col("hsh_b")) + size(col("hsh_c")) - col("common")).cast(DoubleType))
+      .filter(col("jaccard") >= 0.7)
+      .select("batch_doc", "corpus_doc", "jaccard")
+      .orderBy("batch_doc", "corpus_doc")
+  }
+
+  def incrementalMinHash(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.t(s, dir, "documents")
+    incrementalMinHashOn(
+      docs.filter(col("doc_id") % 5 =!= 0),
+      docs.filter(col("doc_id") % 5 === 0))
+  }
+
   val dupClustersOracle: String =
     s"""WITH RECURSIVE $sqlCappedPairs,
        |pairs AS (SELECT d1, d2 FROM jp),
@@ -424,6 +546,8 @@ object DedupOps {
     QueryDef("doc_jaccard_pairs", jaccardPairs, Some(jaccardOracle), headline = true),
     QueryDef("doc_minhash_lsh", minHashLsh, None, headline = true),
     QueryDef("doc_simhash", simHashPairs, None),
-    QueryDef("doc_dup_clusters", dupClusters, Some(dupClustersOracle))
+    QueryDef("doc_dup_clusters", dupClusters, Some(dupClustersOracle)),
+    QueryDef("doc_incr_dedup", incrementalDedup, Some(incrementalOracle)),
+    QueryDef("doc_incr_minhash", incrementalMinHash, None)
   )
 }

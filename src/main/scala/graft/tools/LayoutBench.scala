@@ -1,0 +1,95 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.sources.{Layout, Tables}
+
+/** Row-group-skip timing evidence for the z-order layout (SURVEY §4/§6).
+  *
+  * LayoutSpec proves the per-file FOOTPRINTS narrow; this tool measures the
+  * thing the footprints buy: wall-clock on a selective two-column range
+  * scan. Three physical layouts of the same rows, written with small parquet
+  * row groups (1 MiB, so one file holds many groups and the reader's
+  * group-level min/max skipping is visible INSIDE files, not just across
+  * them), then the same filter timed against each:
+  *
+  *  - `shuffled`  — random row order (the layout a plain ETL job leaves)
+  *  - `sorted`    — lexicographic sort by the first key only
+  *  - `zorder`    — Morton-curve clustering on both keys
+  *
+  * Expectation at any scale: `sorted` beats `shuffled` only on the prefix
+  * column; `zorder` beats `shuffled` on BOTH columns, because every row
+  * group covers a narrow range of every z-key. The absolute numbers here
+  * are a local[32] scan of a few hundred MB — the point is the RATIO, which
+  * is what survives the 1000-executor scale-up (group skipping is a
+  * per-footer decision, independent of cluster size).
+  */
+object LayoutBench {
+  private def time[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val copies = if (args.length > 1) args(1).toInt else 10
+    val spark = GraftSession.get("layout-bench")
+    val base = "/tmp/graft_layoutbench"
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prevBlock = hc.get("parquet.block.size")
+    hc.setInt("parquet.block.size", 1 << 20) // 1 MiB row groups
+    try run(spark, dir, copies, base)
+    finally {
+      if (prevBlock == null) hc.unset("parquet.block.size")
+      else hc.set("parquet.block.size", prevBlock)
+    }
+    spark.stop()
+  }
+
+  private def run(spark: SparkSession, dir: String, copies: Int,
+      base: String): Unit = {
+    // lineitem x copies on shifted orderkey spaces: l_partkey stays in its
+    // original domain so the filter selectivity is copy-invariant
+    val li = Tables.t(spark, dir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_extendedprice")
+    val big = (0 until copies).map(i =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(i * 100000000L)))
+      .reduce(_ unionByName _)
+    val n = big.count()
+    println(s"[layoutbench] rows: $n ($copies x lineitem from $dir)")
+
+    val files = 16
+    // shuffled control: same file count, random placement
+    big.repartition(files).write.mode("overwrite").parquet(s"$base/shuffled")
+    // single-key sort control
+    big.repartitionByRange(files, col("l_partkey"))
+      .sortWithinPartitions("l_partkey")
+      .write.mode("overwrite").parquet(s"$base/sorted")
+    // z-order on both filter keys
+    Layout.zorderWrite(big, s"$base/zorder", Seq("l_partkey", "l_extendedprice"), files)
+
+    // selective conjunctive range: ~2% of each key's span
+    val (pLo, pHi) = (1000L, 1400L)
+    val (eLo, eHi) = (5000.0, 7000.0)
+    def q(path: String, pred: org.apache.spark.sql.Column): (Long, Double) = {
+      val (r, t) = time(spark.read.parquet(path).filter(pred).count())
+      (r, t)
+    }
+    val predBoth = col("l_partkey").between(pLo, pHi) &&
+      col("l_extendedprice").between(eLo, eHi)
+    val predSecond = col("l_extendedprice").between(eLo, eHi)
+
+    for (layout <- Seq("shuffled", "sorted", "zorder")) {
+      // warm the page cache once per layout so timings compare decode +
+      // group-skip work, not first-touch disk IO
+      spark.read.parquet(s"$base/$layout").count()
+      val (r1, t1) = q(s"$base/$layout", predBoth)
+      val (r2, t2) = q(s"$base/$layout", predSecond)
+      println(f"[layoutbench] $layout%-8s both-keys: $t1%.2f s ($r1 rows)  " +
+        f"second-key-only: $t2%.2f s ($r2 rows)")
+    }
+  }
+}

@@ -87,6 +87,55 @@ class DedupSimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("incremental dedup classifies batch docs against the corpus index") {
+    val corpus = Seq(
+      (1L, "shared content one"), (2L, "shared content one"), // dup inside corpus, keeper 1
+      (3L, "corpus only text")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "SHARED CONTENT ONE"),  // dup of corpus (case-insensitive), keeper 1
+      (11L, "fresh batch text"),    // new
+      (12L, "fresh batch text"),    // dup of 11 within the batch
+      (13L, "another new one")).toDF("doc_id", "text")
+    val got = DedupOps.incrementalDedupOn(corpus, batch)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(got == Seq(
+      (10L, "dup_corpus", 1L),
+      (11L, "new", -1L),
+      (12L, "dup_batch", 11L),
+      (13L, "new", -1L)))
+  }
+
+  test("incremental dedup corpus-vs-batch join is broadcast (batch side)") {
+    val docs = Tables.t(spark, sf0001, "documents")
+    val df = DedupOps.incrementalDedupOn(
+      docs.filter(col("doc_id") % 5 =!= 0), docs.filter(col("doc_id") % 5 === 0))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the probe against the (at scale: 100 TB) corpus index must never
+    // shuffle the index — the batch broadcasts into it
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected a broadcast probe into the corpus index, got:\n$plan")
+  }
+
+  test("incremental minhash recalls the exact cross-split near-dup pairs (sf0.001)") {
+    val docs = Tables.t(spark, sf0001, "documents")
+    val exactCross = DedupOps.jaccardPairsOn(docs)
+      .select("d1", "d2").as[(Long, Long)].collect()
+      .flatMap { case (a, b) =>
+        // orient to (batch_doc, corpus_doc); keep only cross-split pairs
+        if (a % 5 == 0 && b % 5 != 0) Some((a, b))
+        else if (b % 5 == 0 && a % 5 != 0) Some((b, a))
+        else None
+      }.toSet
+    val got = DedupOps.incrementalMinHash(spark, sf0001)
+      .select("batch_doc", "corpus_doc").as[(Long, Long)].collect().toSet
+    assert(exactCross.nonEmpty, "test data should contain cross-split near-dups")
+    val recall = exactCross.count(got.contains).toDouble / exactCross.size
+    assert(recall >= 0.9,
+      s"incremental LSH recall $recall too low (missed ${exactCross -- got})")
+  }
+
   test("blocked cosineDups equals label-block all-pairs exactly (sf0.001)") {
     val e = Tables.t(spark, sf0001, "embeddings")
     val exact = SimilarityOps.cosineDupsAllPairs(e)

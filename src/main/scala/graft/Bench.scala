@@ -15,6 +15,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // interleaved passes run ~15 other queries' stages between two runs
+      // of the same query; the default 100-entry generated-class cache
+      // evicts the first run's classes in between, so every pass would
+      // re-compile (janino) and re-JIT from scratch — steady state never
+      // arrives. Size the cache to hold the whole suite's generated code.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -1,0 +1,43 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Streaming ingest dedup: the continuous form of
+  * `DedupOps.incrementalDedupOn`. A document stream is checked against a
+  * STATIC corpus fingerprint index and against itself, emitting only docs
+  * the corpus has never seen — the shape a continuous training-data ingest
+  * runs 24/7.
+  *
+  * Plan shape (the part that must survive 100 TB):
+  *  - the corpus index joins as a stream-static join — Spark re-plans the
+  *    static side per micro-batch but never shuffles the STREAM by anything
+  *    other than the join key, and a broadcast hint on the index keeps the
+  *    micro-batch shuffle-free when the index fits (at full scale the
+  *    index is itself a table and the join degrades gracefully to
+  *    shuffle);
+  *  - in-stream dedup is `dropDuplicatesWithinWatermark` on the content
+  *    fingerprint: state holds one row per fp seen inside the watermark
+  *    horizon and the engine GCs it as event time advances — BOUNDED
+  *    state, vs plain dropDuplicates whose state grows with every distinct
+  *    fp forever. (Exact replays inside the horizon are caught; a dup
+  *    arriving later than the horizon is the corpus index's job — ingest
+  *    appends each batch's fingerprints to it downstream.)
+  */
+object StreamingDedup {
+
+  /** `docs` must carry (doc_id, text, ts); `corpusFps` is the static
+    * fingerprint index (one `fp` column, md5 of lowercased text —
+    * the same function `DedupOps` indexes).
+    */
+  def dedupStream(docs: DataFrame, corpusFps: DataFrame,
+      watermark: String = "10 minutes"): DataFrame = {
+    val fped = docs
+      .withColumn("fp", md5(lower(col("text"))))
+      .withWatermark("ts", watermark)
+    fped
+      .join(broadcast(corpusFps.select("fp")), Seq("fp"), "left_anti")
+      .dropDuplicatesWithinWatermark("fp")
+      .select("doc_id", "ts", "text", "fp")
+  }
+}

@@ -51,10 +51,12 @@ object LayoutBench {
 
   private def run(spark: SparkSession, dir: String, copies: Int,
       base: String): Unit = {
-    // lineitem x copies on shifted orderkey spaces: l_partkey stays in its
-    // original domain so the filter selectivity is copy-invariant
+    // lineitem x copies on shifted orderkey spaces: the z-keys (suppkey,
+    // extendedprice — statistically independent in TPC-H, unlike partkey
+    // whose price derives from it) stay in their original domains so the
+    // filter selectivity is copy-invariant
     val li = Tables.t(spark, dir, "lineitem")
-      .select("l_orderkey", "l_partkey", "l_extendedprice")
+      .select("l_orderkey", "l_suppkey", "l_extendedprice")
     val big = (0 until copies).map(i =>
       li.withColumn("l_orderkey", col("l_orderkey") + lit(i * 100000000L)))
       .reduce(_ unionByName _)
@@ -65,20 +67,20 @@ object LayoutBench {
     // shuffled control: same file count, random placement
     big.repartition(files).write.mode("overwrite").parquet(s"$base/shuffled")
     // single-key sort control
-    big.repartitionByRange(files, col("l_partkey"))
-      .sortWithinPartitions("l_partkey")
+    big.repartitionByRange(files, col("l_suppkey"))
+      .sortWithinPartitions("l_suppkey")
       .write.mode("overwrite").parquet(s"$base/sorted")
     // z-order on both filter keys
-    Layout.zorderWrite(big, s"$base/zorder", Seq("l_partkey", "l_extendedprice"), files)
+    Layout.zorderWrite(big, s"$base/zorder", Seq("l_suppkey", "l_extendedprice"), files)
 
     // selective conjunctive range: ~2% of each key's span
-    val (pLo, pHi) = (1000L, 1400L)
+    val (pLo, pHi) = (100L, 140L)
     val (eLo, eHi) = (5000.0, 7000.0)
     def q(path: String, pred: org.apache.spark.sql.Column): (Long, Double) = {
       val (r, t) = time(spark.read.parquet(path).filter(pred).count())
       (r, t)
     }
-    val predBoth = col("l_partkey").between(pLo, pHi) &&
+    val predBoth = col("l_suppkey").between(pLo, pHi) &&
       col("l_extendedprice").between(eLo, eHi)
     val predSecond = col("l_extendedprice").between(eLo, eHi)
 

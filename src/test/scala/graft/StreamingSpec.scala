@@ -349,4 +349,31 @@ class StreamingSpec extends SparkSpecBase {
     assert(parsed.length == 1)
     assert(parsed(0).ip_dst == "5.6.7.8")
   }
+
+  test("streaming ingest dedup drops corpus dups and in-stream replays") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val corpusFps = Seq("already ingested text")
+      .toDF("text").select(md5(lower(col("text"))).as("fp"))
+    val docs = mem.toDF().toDF("doc_id", "ts", "text")
+    val out = graft.streaming.StreamingDedup.dedupStream(docs, corpusFps)
+    val q = out.writeStream
+      .format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+      mem.addData(
+        (1L, ts(0), "already ingested text"),  // corpus dup -> dropped
+        (2L, ts(1), "fresh doc one"),          // kept
+        (3L, ts(2), "fresh doc one"),          // in-stream replay -> dropped
+        (4L, ts(3), "fresh doc two"))          // kept
+      q.processAllAvailable()
+      // a second micro-batch replaying an fp inside the watermark horizon
+      mem.addData((5L, ts(4), "FRESH DOC ONE")) // normalized replay -> dropped
+      q.processAllAvailable()
+      val kept = spark.table("dedup_out").select("doc_id")
+        .as[Long].collect().sorted.toSeq
+      assert(kept == Seq(2L, 4L),
+        s"expected only first-seen novel docs, got $kept")
+    } finally q.stop()
+  }
 }

@@ -21,6 +21,10 @@ object GraftSession {
       // events.parquet carries TIMESTAMP(NANOS); read as long, normalized
       // to micros in Tables.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the default 100-entry generated-class cache evicts a multi-query
+      // workload's stages between repeats, forcing janino + JIT from
+      // scratch each time (see Bench); hold the whole engine's code
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
 
   /** Build the session and register graft's native SQL functions. */

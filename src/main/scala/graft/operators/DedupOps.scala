@@ -436,7 +436,12 @@ object DedupOps {
     // doc_id as keeper. At scale this frame is precomputed and appended to
     // per batch — recomputing it here is the self-contained-query form.
     val corpusIdx = fp(corpus).groupBy("fp").agg(min(col("doc_id")).as("corpus_keeper"))
+    // the batch side feeds BOTH the broadcast probe and the in-batch
+    // window; it is small by assumption (it broadcasts), so persist it and
+    // scan the batch input once. The corpus — the 100 TB side — is scanned
+    // exactly once by construction; Audit pins both counts.
     val batchFp = fp(batch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the ONE join against the big side: corpus index streams, batch
     // broadcasts. Inner join → only the hit rows come back.
     val corpusHits = corpusIdx.join(broadcast(batchFp), Seq("fp"))

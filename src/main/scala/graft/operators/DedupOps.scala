@@ -514,11 +514,14 @@ object DedupOps {
         col("c.band") === col("b.band") && col("c.bkey") === col("b.bkey"))
       .select(col("b.doc_id").as("batch_doc"), col("c.doc_id").as("corpus_doc"))
       .distinct()
-    cands
-      .join(broadcast(batchSig.select(col("doc_id").as("batch_doc"),
-        col("hsh").as("hsh_b"))), "batch_doc")
-      .join(corpusSig.select(col("doc_id").as("corpus_doc"),
-        col("hsh").as("hsh_c")), "corpus_doc")
+    // candidates are bounded by the batch (x MaxBucket matches), so BOTH
+    // verify joins keep the corpus side stream-only: the candidate frame
+    // is the broadcast build side against corpusSig, never a shuffle of
+    // the 100 TB signatures by corpus_doc
+    val candB = cands.join(broadcast(batchSig.select(
+      col("doc_id").as("batch_doc"), col("hsh").as("hsh_b"))), "batch_doc")
+    corpusSig.select(col("doc_id").as("corpus_doc"), col("hsh").as("hsh_c"))
+      .join(broadcast(candB), "corpus_doc")
       .withColumn("common", size(array_intersect(col("hsh_b"), col("hsh_c"))))
       .withColumn("jaccard", col("common").cast(DoubleType) /
         (size(col("hsh_b")) + size(col("hsh_c")) - col("common")).cast(DoubleType))

@@ -29,14 +29,23 @@ object StreamingDedup {
   /** `docs` must carry (doc_id, text, ts); `corpusFps` is the static
     * fingerprint index (one `fp` column, md5 of lowercased text —
     * the same function `DedupOps` indexes).
+    *
+    * `broadcastIndex = true` (default) hints the index broadcast — right
+    * while it fits (< the 8 GB broadcast-relation limit and driver heap).
+    * Past that, pass `false`: an explicit hint would OVERRIDE Spark's
+    * size-based planning and kill every micro-batch with a
+    * too-large-to-broadcast error, whereas unhinted the join planner
+    * degrades to a shuffle of the micro-batch against the index table.
     */
   def dedupStream(docs: DataFrame, corpusFps: DataFrame,
-      watermark: String = "10 minutes"): DataFrame = {
+      watermark: String = "10 minutes",
+      broadcastIndex: Boolean = true): DataFrame = {
     val fped = docs
       .withColumn("fp", md5(lower(col("text"))))
       .withWatermark("ts", watermark)
+    val idx = corpusFps.select("fp")
     fped
-      .join(broadcast(corpusFps.select("fp")), Seq("fp"), "left_anti")
+      .join(if (broadcastIndex) broadcast(idx) else idx, Seq("fp"), "left_anti")
       .dropDuplicatesWithinWatermark("fp")
       .select("doc_id", "ts", "text", "fp")
   }

@@ -60,6 +60,10 @@ object LayoutBench {
     val big = (0 until copies).map(i =>
       li.withColumn("l_orderkey", col("l_orderkey") + lit(i * 100000000L)))
       .reduce(_ unionByName _)
+      // consumed by count + three layout writes (zorderWrite scans once
+      // more for its min/max bounds): cache it or the source is re-read
+      // ~5 x copies times during setup
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = big.count()
     println(s"[layoutbench] rows: $n ($copies x lineitem from $dir)")
 
@@ -76,22 +80,44 @@ object LayoutBench {
     // selective conjunctive range: ~2% of each key's span
     val (pLo, pHi) = (100L, 140L)
     val (eLo, eHi) = (5000.0, 7000.0)
-    def q(path: String, pred: org.apache.spark.sql.Column): (Long, Double) = {
-      val (r, t) = time(spark.read.parquet(path).filter(pred).count())
-      (r, t)
-    }
     val predBoth = col("l_suppkey").between(pLo, pHi) &&
       col("l_extendedprice").between(eLo, eHi)
     val predSecond = col("l_extendedprice").between(eLo, eHi)
 
+    // rows the parquet reader actually DECODED = scan-node output rows
+    // (row groups skipped by min/max contribute nothing). This is the
+    // direct measure of group skipping — wall-clock at local sizes is
+    // mostly fixed per-task overhead, but decoded-row reduction is what
+    // scales: at 100 TB the decode + IO it avoids IS the query cost.
+    def decodedRows(df: DataFrame): Long = {
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case s: FileSourceScanExec => s.metrics("numOutputRows").value
+      }.getOrElse(-1L)
+    }
+    def q(path: String, pred: org.apache.spark.sql.Column): (Long, Long, Double) = {
+      val (r, t) = time(spark.read.parquet(path).filter(pred).count())
+      // separate untimed execution to harvest the scan metric (count()
+      // runs its own QueryExecution whose metrics aren't reachable)
+      val probe = spark.read.parquet(path).filter(pred)
+      probe.collect()
+      (r, decodedRows(probe), t)
+    }
+
+    big.unpersist()
     for (layout <- Seq("shuffled", "sorted", "zorder")) {
-      // warm the page cache once per layout so timings compare decode +
-      // group-skip work, not first-touch disk IO
-      spark.read.parquet(s"$base/$layout").count()
-      val (r1, t1) = q(s"$base/$layout", predBoth)
-      val (r2, t2) = q(s"$base/$layout", predSecond)
-      println(f"[layoutbench] $layout%-8s both-keys: $t1%.2f s ($r1 rows)  " +
-        f"second-key-only: $t2%.2f s ($r2 rows)")
+      // untimed runs of the EXACT timed queries first: warms the page
+      // cache with the data pages the filters actually touch AND takes
+      // whole-stage-codegen compilation (janino + JIT) out of the timed
+      // region — a footer-only count() warms neither, and without this
+      // the first layout measured pays one-time compile costs the later
+      // layouts get from the codegen cache, biasing the ratios
+      spark.read.parquet(s"$base/$layout").filter(predBoth).count()
+      spark.read.parquet(s"$base/$layout").filter(predSecond).count()
+      val (r1, d1, t1) = q(s"$base/$layout", predBoth)
+      val (r2, d2, t2) = q(s"$base/$layout", predSecond)
+      println(f"[layoutbench] $layout%-8s both-keys: $t1%.2f s ($r1 rows, $d1 decoded)  " +
+        f"second-key-only: $t2%.2f s ($r2 rows, $d2 decoded)")
     }
   }
 }

@@ -113,9 +113,29 @@ class DedupSimilaritySpec extends SparkSpecBase {
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
     // the probe against the (at scale: 100 TB) corpus index must never
-    // shuffle the index — the batch broadcasts into it
-    assert(plan.contains("BroadcastHashJoin"),
-      s"expected a broadcast probe into the corpus index, got:\n$plan")
+    // shuffle the index: specifically the fp join must be a
+    // BroadcastHashJoin with the BATCH side as the build (right) side —
+    // a generic "some broadcast exists" check would pass even if the fp
+    // probe regressed to sort-merge while an unrelated join broadcast
+    assert("BroadcastHashJoin \\[fp[^\\n]*BuildRight".r.findFirstIn(plan).isDefined,
+      s"expected the fp probe to broadcast the batch side, got:\n$plan")
+    assert(!plan.contains("SortMergeJoin [fp"),
+      s"corpus index must not be shuffled by fp:\n$plan")
+  }
+
+  test("incremental minhash never shuffles the corpus side") {
+    val docs = Tables.t(spark, sf0001, "documents")
+    val df = DedupOps.incrementalMinHashOn(
+      docs.filter(col("doc_id") % 5 =!= 0), docs.filter(col("doc_id") % 5 === 0))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // band probe AND verify join must both broadcast the batch-bounded
+    // side; a shuffle of the corpus signatures by corpus_doc (or a
+    // sort-merge band join) is the 100 TB anti-pattern
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus side must never be sort-merge shuffled:\n$plan")
+    assert("hashpartitioning\\(corpus_doc".r.findFirstIn(plan).isEmpty,
+      s"corpus signatures must not be repartitioned by corpus_doc:\n$plan")
   }
 
   test("incremental minhash recalls the exact cross-split near-dup pairs (sf0.001)") {

@@ -116,8 +116,12 @@ object DedupOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cap = if (dfCap == AdaptiveCap) math.max(DfCap, raw.count() / 100) else dfCap
     val inv = raw.select(col("doc_id"), explode(col("shs")).as("sh"))
-    val freq = inv.groupBy("sh").agg(count(lit(1)).as("df"))
-    inv.join(freq, "sh")
+    // per-shingle document frequency as a whole-partition window count:
+    // identical integers to groupBy+join (one count per sh), but ONE
+    // exchange of inv instead of exchange + freq-aggregate + join — the
+    // join's sort of inv by sh is exactly the sort the window needs
+    val freqW = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
+    inv.withColumn("df", count(lit(1)).over(freqW))
       .filter(col("df") <= cap)
       .groupBy("doc_id")
       .agg(array_sort(collect_list(struct(col("df"), col("sh")))).as("sorted"))

@@ -45,6 +45,24 @@ object Stress {
     time(s"minhash-lsh x$copies")(DedupOps.minHashLshOn(docsN).count())
     time(s"jaccard x$copies")(DedupOps.jaccardPairsOn(docsN).count())
     spark.catalog.clearCache()
+
+    // incremental probe: the corpus grows xN while the daily batch stays
+    // fixed (a 10% slice of copy 0, id-shifted, text identical -> every
+    // batch doc is an exact corpus dup). Probe cost must track ONE corpus
+    // scan (linear in copies) and the result stays batch-bounded.
+    val batch = docs.filter(col("doc_id") % 10 === 3)
+      .select((col("doc_id") + lit(900000000L)).as("doc_id"),
+        perturb(0).as("text"))
+    val docsHalf = (0 until math.max(copies / 2, 1)).map { i =>
+      docs.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+        perturb(i).as("text"))
+    }.reduce(_ unionByName _)
+    time(s"incr-dedup corpus x${math.max(copies / 2, 1)}")(
+      DedupOps.incrementalDedupOn(docsHalf, batch).count())
+    spark.catalog.clearCache()
+    time(s"incr-dedup corpus x$copies")(
+      DedupOps.incrementalDedupOn(docsN, batch).count())
+    spark.catalog.clearCache()
     }
 
     // events x copies on distinct user spaces

@@ -116,12 +116,16 @@ object DedupOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cap = if (dfCap == AdaptiveCap) math.max(DfCap, raw.count() / 100) else dfCap
     val inv = raw.select(col("doc_id"), explode(col("shs")).as("sh"))
-    // per-shingle document frequency as a whole-partition window count:
-    // identical integers to groupBy+join (one count per sh), but ONE
-    // exchange of inv instead of exchange + freq-aggregate + join — the
-    // join's sort of inv by sh is exactly the sort the window needs
-    val freqW = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
-    inv.withColumn("df", count(lit(1)).over(freqW))
+    // df via groupBy + join, NOT a whole-partition window count: the
+    // window form looks cheaper (one exchange of inv) but buffers each
+    // shingle's ENTIRE group in one un-splittable task — a straggler/spill
+    // bomb on precisely the corpus-hot boilerplate shingles the df-cap
+    // exists for. groupBy partial-aggregates map-side (the freq exchange
+    // carries ~one row per distinct shingle per map partition) and the
+    // sort-merge join stays AQE-skew-splittable. Measured equal at sf0.1;
+    // this shape is the one that survives skew at 100 TB.
+    val freq = inv.groupBy("sh").agg(count(lit(1)).as("df"))
+    inv.join(freq, "sh")
       .filter(col("df") <= cap)
       .groupBy("doc_id")
       .agg(array_sort(collect_list(struct(col("df"), col("sh")))).as("sorted"))

@@ -36,11 +36,12 @@ object Stress {
     def perturb(i: Int) = expr(
       s"concat_ws(' ', flatten(transform(split(text, ' '), " +
       s"(t, i) -> CASE WHEN i % 3 = 2 THEN array(t, 'cp$i') ELSE array(t) END)))")
-    val docsN = (0 until copies).map { i =>
+    def corpusOf(n: Int) = (0 until n).map { i =>
       docs.select(
         (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
         perturb(i).as("text"))
     }.reduce(_ unionByName _)
+    val docsN = corpusOf(copies)
     time(s"docs x$copies count")(docsN.count())
     time(s"minhash-lsh x$copies")(DedupOps.minHashLshOn(docsN).count())
     time(s"jaccard x$copies")(DedupOps.jaccardPairsOn(docsN).count())
@@ -53,13 +54,14 @@ object Stress {
     val batch = docs.filter(col("doc_id") % 10 === 3)
       .select((col("doc_id") + lit(900000000L)).as("doc_id"),
         perturb(0).as("text"))
-    val docsHalf = (0 until math.max(copies / 2, 1)).map { i =>
-      docs.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
-        perturb(i).as("text"))
-    }.reduce(_ unionByName _)
-    time(s"incr-dedup corpus x${math.max(copies / 2, 1)}")(
-      DedupOps.incrementalDedupOn(docsHalf, batch).count())
-    spark.catalog.clearCache()
+    // the corpus-doubling comparison needs two DIFFERENT corpus sizes —
+    // at copies <= 1 both probes would time the identical corpus under
+    // identical labels, so skip the half-size leg
+    if (copies >= 2) {
+      time(s"incr-dedup corpus x${copies / 2}")(
+        DedupOps.incrementalDedupOn(corpusOf(copies / 2), batch).count())
+      spark.catalog.clearCache()
+    }
     time(s"incr-dedup corpus x$copies")(
       DedupOps.incrementalDedupOn(docsN, batch).count())
     spark.catalog.clearCache()

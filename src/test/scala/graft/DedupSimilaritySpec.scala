@@ -106,6 +106,38 @@ class DedupSimilaritySpec extends SparkSpecBase {
       (13L, "new", -1L)))
   }
 
+  test("incremental dedup matches a driver-side brute force on random corpora") {
+    // adversarial shapes included by construction: empty corpus slice,
+    // all-dup batch, case-only variants, batch docs duplicating both a
+    // corpus doc AND each other (corpus must win)
+    for (seed <- 1 to 3) {
+      val rng = new scala.util.Random(seed)
+      val texts = Vector("a b c", "A B C", "d e f", "g h i", "j k l", "m n o")
+      def randDocs(ids: Range) = ids.map(i =>
+        (i.toLong, texts(rng.nextInt(texts.length))))
+      val corpus = randDocs(0 until rng.nextInt(8)) // may be EMPTY
+      val batch = randDocs(100 until 100 + 1 + rng.nextInt(8))
+      def norm(t: String) = t.toLowerCase
+      val corpusKeeper = corpus.groupBy(d => norm(d._2))
+        .map { case (k, ds) => k -> ds.map(_._1).min }
+      val batchKeeper = batch.groupBy(d => norm(d._2))
+        .map { case (k, ds) => k -> ds.map(_._1).min }
+      val want = batch.sortBy(_._1).map { case (id, t) =>
+        corpusKeeper.get(norm(t)) match {
+          case Some(k) => (id, "dup_corpus", k)
+          case None =>
+            val bk = batchKeeper(norm(t))
+            if (bk < id) (id, "dup_batch", bk) else (id, "new", -1L)
+        }
+      }
+      val got = DedupOps.incrementalDedupOn(
+        corpus.toDF("doc_id", "text"), batch.toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+      assert(got == want, s"seed $seed: corpus=$corpus batch=$batch")
+    }
+  }
+
   test("incremental dedup corpus-vs-batch join is broadcast (batch side)") {
     val docs = Tables.t(spark, sf0001, "documents")
     val df = DedupOps.incrementalDedupOn(

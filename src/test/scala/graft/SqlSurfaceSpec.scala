@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Analytics
+import graft.sources.Tables
+
+/** The engine's SQL front door: `Tables.registerAll` + the registered
+  * graft_* native functions must let a pure-`spark.sql` user express the
+  * same queries the DataFrame API builds, with identical results — the
+  * reference's users drive everything through a query surface, so parity
+  * here is part of "a user could switch".
+  */
+class SqlSurfaceSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("registered views + SQL reproduce the q1 DataFrame results exactly") {
+    Tables.registerAll(spark, sf0001)
+    // the SQL mirrors the engine's exact-cents arithmetic (Exact.cents /
+    // rollupCents): integer cents summed, decimal-division unscale — the
+    // sums are exact integers either way, so SQL and DataFrame agree
+    // bit-for-bit
+    val sql = spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT))
+        |                 AS DECIMAL(38,0)) / 100 AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_shipdate <= '2000-12-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val df = Analytics.q1PricingSummary(spark, sf0001)
+      .select("l_returnflag", "l_linestatus", "sum_qty")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    assert(sql.toSeq == df.toSeq)
+  }
+
+  test("graft native functions are callable from SQL over registered views") {
+    Tables.registerAll(spark, sf0001)
+    // shingles + minhash signature from pure SQL — the custom Catalyst
+    // expressions resolve through the session FunctionRegistry
+    val n = spark.sql(
+      """SELECT doc_id,
+        |       size(graft_word_shingles(text, 5)) AS n_sh,
+        |       size(graft_minhash_sig(graft_word_shingles(text, 5))) AS n_sig
+        |FROM documents
+        |WHERE size(graft_word_shingles(text, 5)) > 0""".stripMargin)
+    val rows = n.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getInt(2) == graft.functions.MinHashSig.NumPerm))
+    // spot-check against the Column API on the same docs
+    val api = Tables.t(spark, sf0001, "documents")
+      .select(col("doc_id"),
+        size(graft.functions.GraftFunctions.graftWordShingles(col("text"), 5)).as("n_sh"))
+      .filter(col("n_sh") > 0)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(rows.forall(r => api(r.getLong(0)) == r.getInt(1)))
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.DedupOps
+import graft.sources.Layout
+
+/** The steady-state ingest loop, end to end: each arriving batch is
+  * (1) classified against the on-disk corpus with the incremental dedup
+  * probe, (2) reduced to its novel docs, (3) appended to the corpus table
+  * WITH incremental manifest maintenance — so the next batch's probe (and
+  * any manifest-pruned reader) sees the updated corpus without a rescan.
+  * This is the composition a 24/7 training-data pipeline runs; every part
+  * is tested alone elsewhere (DedupSimilaritySpec / LayoutSpec), this
+  * spec pins that they compose.
+  */
+class IngestLoopSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("dedup -> append-with-manifest loop: each batch sees all prior batches") {
+    val root = Files.createTempDirectory("graft-ingest").toString
+    val corpusPath = s"$root/corpus"
+
+    // day 0: seed corpus
+    Seq((1L, "seed doc alpha"), (2L, "seed doc beta"))
+      .toDF("doc_id", "text")
+      .write.parquet(corpusPath)
+    Layout.writeManifest(spark, corpusPath, Seq("doc_id"))
+
+    def ingest(batch: org.apache.spark.sql.DataFrame): Seq[(Long, String)] = {
+      val corpus = spark.read.parquet(corpusPath)
+      val classified = DedupOps.incrementalDedupOn(corpus, batch)
+      val verdicts = classified.select("doc_id", "status")
+        .as[(Long, String)].collect().toSeq
+      val keepIds = verdicts.filter(_._2 == "new").map(_._1)
+      val kept = batch.filter(col("doc_id").isin(keepIds: _*))
+      if (keepIds.nonEmpty)
+        Layout.appendWithManifest(kept, corpusPath, Seq("doc_id"))
+      verdicts
+    }
+
+    // day 1: one corpus dup, two novel docs
+    val v1 = ingest(Seq(
+      (10L, "SEED DOC ALPHA"), (11L, "day one fresh"), (12L, "day one other"))
+      .toDF("doc_id", "text"))
+    assert(v1.toMap == Map(10L -> "dup_corpus", 11L -> "new", 12L -> "new"))
+
+    // day 2: a dup of a DAY-1 doc must now be dup_corpus — the append
+    // made day 1's novel docs part of the corpus index
+    val v2 = ingest(Seq(
+      (20L, "day one fresh"), (21L, "day two novel"))
+      .toDF("doc_id", "text"))
+    assert(v2.toMap == Map(20L -> "dup_corpus", 21L -> "new"))
+
+    // corpus now holds exactly the seed + every novel doc, once each
+    val ids = spark.read.parquet(corpusPath)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 11L, 12L, 21L))
+
+    // the manifest kept pace with the appends: a doc_id-range read prunes
+    // to the matching files and still returns exactly the right rows
+    val pruned = Layout.readPruned(spark, corpusPath, "doc_id", 11, 12,
+      trustManifest = true)
+    assert(pruned.filter(col("doc_id").between(11, 12))
+      .select("doc_id").as[Long].collect().sorted.toSeq == Seq(11L, 12L))
+  }
+}

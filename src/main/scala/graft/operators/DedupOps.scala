@@ -53,12 +53,15 @@ object DedupOps {
     *
     * Scale path: PPJoin-style prefix filtering. A raw inverted-index
     * self-join explodes on hot shingles (every pair sharing ANY shingle
-    * becomes a candidate). Instead, order each doc's shingles rarest-first
-    * (global document frequency) and index only the prefix of length
+    * becomes a candidate). Instead, order each doc's (df-capped) shingles
+    * under a common total order — the sorted xxhash64 image, see
+    * [[cappedShingles]] — and index only the prefix of length
     * n - ceil(t*n) + 1: any pair with J >= t must share a prefix shingle
     * (|A∩B| >= t*|A| when J >= t), so this is exact — candidates collapse
-    * from "share anything" to "share a rare shingle". Verification computes
-    * the true Jaccard on the candidates' full shingle arrays.
+    * from "share anything" to "share a prefix shingle", with the df-cap
+    * stop-shingling the corpus-hot ones out of the sets entirely.
+    * Verification computes the true Jaccard on the candidates' full
+    * (capped) string shingle arrays.
     */
   /** Adversarial-skew guard: shingles with global document frequency above
     * the cap are STOP-SHINGLES — removed from every document's shingle SET
@@ -90,12 +93,25 @@ object DedupOps {
 
   private val T = 0.8
 
-  /** Per-doc CAPPED shingle sets, rarity-sorted, persisted: (doc_id, shs,
-    * n_sh) where `shs` holds only shingles with df <= cap, ordered by
-    * (df asc, shingle asc) so the PPJoin prefix is a plain `slice`. One
-    * shuffle by shingle (df count + join) and one by doc_id (regroup);
-    * consumed by the candidate self-join and twice by verify — persisted,
-    * disk-backed, so the same plan holds when the corpus outgrows memory.
+  /** Per-doc CAPPED shingle sets, persisted: (doc_id, shs, hsorted, n_sh)
+    * where `shs` holds only shingles with df <= cap and `hsorted` is the
+    * sorted xxhash64 image of that set (the PPJoin prefix is its leading
+    * slice). PPJoin's prefix theorem needs only a COMMON TOTAL ORDER on
+    * the shingle universe — rarity order is a candidate-count heuristic,
+    * not a correctness requirement — so ordering by hash lets the whole
+    * per-doc computation stay MAP-SIDE: the only shuffle over shingle
+    * instances is the df partial-aggregate; the old plan's
+    * inverted-index-wide df join + regroup-by-doc (a second full shuffle
+    * of every (doc, shingle) pair plus a struct-array sort) disappears.
+    * The candidate-count heuristic the hash order gives up is mostly
+    * recovered by the df-cap itself: the shingles whose rarity ordering
+    * mattered (corpus-hot ones) are stop-shingled out entirely.
+    *
+    * Stop-shingles are COLLECTED to the driver and removed with a
+    * broadcast `array_except`: by pigeonhole at most
+    * totalShingleInstances / cap shingles can exceed the cap — with the
+    * adaptive cap (1% of docs) that is <= 100 * avgShinglesPerDoc entries
+    * at ANY corpus size, metadata-scale like IVF's centroid pull.
     */
   /** dfCap = [[AdaptiveCap]] means max(DfCap, nDocs/100), with nDocs
     * counted off the materialized shingle cache (the handful of
@@ -106,49 +122,46 @@ object DedupOps {
   private[graft] def cappedShingles(documents: DataFrame, dfCap: Long): DataFrame = {
     require(dfCap > 0 || dfCap == AdaptiveCap,
       s"dfCap must be positive or AdaptiveCap, got $dfCap")
-    // persist the RAW shingle arrays first: inv feeds both the df count and
-    // the freq-join probe, and without the cache the shingling map phase —
-    // the single most expensive map stage — runs twice (measured +47% on
-    // the 20x stress corpus)
+    // persist the RAW shingle arrays first: the df count and the capped
+    // projection below both consume them, and without the cache the
+    // shingling map phase — the single most expensive map stage — runs
+    // twice (measured +47% on the 20x stress corpus)
     val raw = withShingles(documents)
       .select(col("doc_id"), col("shs"))
       .filter(size(col("shs")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cap = if (dfCap == AdaptiveCap) math.max(DfCap, raw.count() / 100) else dfCap
-    val inv = raw.select(col("doc_id"), explode(col("shs")).as("sh"))
-    // df via groupBy + join, NOT a whole-partition window count: the
-    // window form looks cheaper (one exchange of inv) but buffers each
-    // shingle's ENTIRE group in one un-splittable task — a straggler/spill
-    // bomb on precisely the corpus-hot boilerplate shingles the df-cap
-    // exists for. groupBy partial-aggregates map-side (the freq exchange
-    // carries ~one row per distinct shingle per map partition) and the
-    // sort-merge join stays AQE-skew-splittable. Measured equal at sf0.1;
-    // this shape is the one that survives skew at 100 TB.
-    val freq = inv.groupBy("sh").agg(count(lit(1)).as("df"))
-    inv.join(freq, "sh")
-      .filter(col("df") <= cap)
-      .groupBy("doc_id")
-      .agg(array_sort(collect_list(struct(col("df"), col("sh")))).as("sorted"))
-      .select(col("doc_id"),
-        expr("transform(sorted, x -> x.sh)").as("shs"),
-        size(col("sorted")).as("n_sh"))
+    val inv = raw.select(explode(col("shs")).as("sh"))
+    // df via groupBy partial aggregation (map-side combine keeps the
+    // exchange ~one row per distinct shingle per map partition; a
+    // whole-partition window count was tried and reverted — un-splittable
+    // hot groups); only the > cap tail is collected
+    val hot = inv.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap)
+      .collect().map(_.getString(0))
+    val capped =
+      if (hot.isEmpty) col("shs")
+      else array_except(col("shs"), typedLit(hot.toSeq))
+    raw.select(col("doc_id"), capped.as("shs"))
+      .filter(size(col("shs")) > 0)
+      .select(col("doc_id"), col("shs"),
+        array_sort(transform(col("shs"), s => xxhash64(s))).as("hsorted"),
+        size(col("shs")).as("n_sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Candidate stage: prefix-index self-join over capped shingle sets.
-    * Rarest (1 - t)*n + 1 shingles per doc (they lead the rarity-sorted
-    * array); any pair with capped-set J >= t must collide on one of them.
+    * The first (1 - t)*n + 1 entries of each doc's hash-sorted shingle
+    * set; any pair with capped-set J >= t must collide on one of them
+    * (prefix theorem under the common hash order — a 64-bit collision
+    * between distinct shingles only ADDS a candidate, the exact
+    * verification discards it; and the self-join shuffles 8-byte keys
+    * instead of ~30-byte strings).
     */
   private[graft] def jaccardCandidatesFrom(eff: DataFrame): DataFrame = {
-    // join on the 64-bit hash of the shingle, not the string: equal
-    // shingles always collide (no lost candidates, so prefix filtering
-    // stays lossless) and a random collision only ADDS a candidate the
-    // exact verification discards — while the self-join shuffles 8-byte
-    // keys instead of ~30-byte strings
     val prefix = eff.select(col("doc_id"), col("n_sh"),
-      explode(slice(col("shs"), lit(1),
-        (col("n_sh") - ceil(col("n_sh") * T) + 1).cast("int"))).as("sh"))
-      .select(col("doc_id"), col("n_sh"), xxhash64(col("sh")).as("h"))
+      explode(slice(col("hsorted"), lit(1),
+        (col("n_sh") - ceil(col("n_sh") * T) + 1).cast("int"))).as("h"))
     // size filter: J >= t forces min(|A|,|B|) >= t * max(|A|,|B|)
     prefix.as("a")
       .join(prefix.as("b"),

@@ -45,6 +45,9 @@ object Exp {
         DedupOps.jaccardPairs(spark, dir).write.format("noop").mode("overwrite").save()
         spark.catalog.clearCache()
       }
+      val nCand = DedupOps.jaccardCandidates(docs, 1000L).count()
+      spark.catalog.clearCache()
+      println(s"EXP j_candidates $nCand")
       spark.stop(); return
     }
     if (args.contains("plan")) {

@@ -138,6 +138,97 @@ object SimilarityOps {
       .orderBy("q_id", "rnk")
   }
 
+  /** PQ (product-quantization) ANN — the MEMORY-bound scale path.
+    *
+    * IVF cuts how much of the corpus a query touches; PQ cuts how many
+    * bytes per vector the touched part costs. The 64-float vector (256 B)
+    * is encoded as [[PqM]] sub-codes of log2([[PqK]]) bits — 8 codes of 6
+    * bits = 6 B, a ~42x shrink — by running one KMeans codebook per
+    * 8-dim subspace (Jégou et al., "Product Quantization for Nearest
+    * Neighbor Search", TPAMI 2011). A query never decodes: it builds a
+    * (m x k) lookup table of partial dot products against the codebooks
+    * (driver-side metadata, 128 doubles per query) and scores a row by
+    * summing m table lookups — asymmetric distance computation (ADC).
+    * The ADC top-[[PqRerank]] are then re-ranked with the EXACT quantized
+    * cosine over the original vectors (a broadcast point-lookup join), so
+    * returned `sim` values are exact; only the candidate choice is
+    * approximate (rows-only; recall vs brute force unit-tested).
+    *
+    * At 100 TB: codes + norms are a write-once derived table (one map
+    * pass over broadcast codebooks); the ADC scan reads ~4 B/vector
+    * instead of 256 B — the whole corpus's codes fit where 1/64th of the
+    * raw vectors would — and the scoring column is a static 8-term
+    * codegen'd expression (no per-row HOF loop). The re-rank side is
+    * `PqRerank * |queries|` rows, always broadcastable.
+    */
+  final val PqM = 8        // subspaces
+  final val PqSubDim = Dim / PqM
+  final val PqK = 64       // centroids per codebook (6-bit codes)
+  final val PqRerank = 100 // ADC candidates re-ranked exactly per query
+
+  def knnPq(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import s.implicits._
+    val norm = expr(
+      "sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE), (a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
+    // subvector feature columns once; each codebook trains and assigns on its own slice
+    val e = (0 until PqM).foldLeft(
+        Tables.spread(Tables.t(s, dir, "embeddings")).withColumn("nrm", norm)) {
+        case (df, j) =>
+          df.withColumn(s"f$j", array_to_vector(slice(col("embedding"), j * PqSubDim + 1, PqSubDim)))
+      }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val models = (0 until PqM).map { j =>
+      new KMeans().setK(PqK).setSeed(42L + j).setMaxIter(5)
+        .setFeaturesCol(s"f$j").setPredictionCol(s"code$j")
+        .fit(e.select(s"f$j"))
+    }
+    // codebooks: m x k x subdim — driver-side index metadata (4 KB total)
+    val books: Array[Array[Array[Double]]] =
+      models.map(_.clusterCenters.map(_.toArray)).toArray
+    val encoded = models.foldLeft(e: DataFrame)((df, m) => m.transform(df))
+      .select(col("vec_id"), col("nrm"),
+        array((0 until PqM).map(j => col(s"code$j")): _*).as("codes"))
+    // per-query ADC lookup table: lut[j*k + c] = <q_subj, book[j][c]>
+    val qRows = e.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"), col("nrm")).collect()
+    val queryDf = qRows.map { r =>
+      val qid = r.getAs[Long]("vec_id")
+      val emb = r.getAs[scala.collection.Seq[Float]]("embedding").toArray
+      val lut = Array.tabulate(PqM * PqK) { i =>
+        val (j, c) = (i / PqK, i % PqK)
+        var d = 0.0
+        var t = 0
+        while (t < PqSubDim) { d += emb(j * PqSubDim + t).toDouble * books(j)(c)(t); t += 1 }
+        d
+      }
+      (qid, emb.toSeq, lut.toSeq, r.getAs[Double]("nrm"))
+    }.toSeq.toDF("q_id", "q_emb", "lut", "q_nrm")
+    // ADC score: static m-term sum of table lookups — fully codegen'd
+    val adc = (0 until PqM).map(j =>
+      element_at(col("lut"), element_at(col("codes"), j + 1) + lit(j * PqK) + 1))
+      .reduce(_ + _)
+    val scored = encoded.crossJoin(broadcast(queryDf))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adc_sim",
+        when(col("nrm") > 0 && col("q_nrm") > 0, adc / (col("nrm") * col("q_nrm")))
+          .otherwise(lit(0.0)))
+    val wAdc = Window.partitionBy("q_id").orderBy(col("adc_sim").desc, col("vec_id").asc)
+    val cands = scored.withColumn("arnk", row_number().over(wAdc))
+      .filter(col("arnk") <= PqRerank)
+      .select("q_id", "q_emb", "vec_id")
+    // exact re-rank: candidates are tiny (PqRerank x queries) -> broadcast
+    val reranked = Tables.t(s, dir, "embeddings")
+      .join(broadcast(cands), "vec_id")
+      .withColumn("sim", graftCosine(col("q_emb"), col("embedding")))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
+    reranked.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 10)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("rnk"), col("sim"))
+      .orderBy("q_id", "rnk")
+  }
+
   /** Per-label centroids (IVF coarse quantizer building block): exact
     * integer sums of quantized components -> order-independent.
     */
@@ -335,6 +426,7 @@ object SimilarityOps {
     QueryDef("emb_knn_brute", knnBrute, Some(knnOracle), headline = true),
     QueryDef("emb_knn_lsh", knnLsh, None),
     QueryDef("emb_knn_ivf", knnIvf, None),
+    QueryDef("emb_knn_pq", knnPq, None),
     QueryDef("emb_label_centroids", labelCentroids, Some(centroidsOracle)),
     QueryDef("emb_cosine_dups", cosineDups, Some(cosineDupsOracle)),
     QueryDef("emb_dup_clusters", embDupClusters, Some(embDupClustersOracle)),

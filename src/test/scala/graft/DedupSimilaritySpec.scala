@@ -315,6 +315,38 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(ivf.size == brute.size)
   }
 
+  test("PQ ANN recalls brute-force top-10 and returns EXACT sims (sf0.001)") {
+    val brute = SimilarityOps.knnBrute(spark, sf0001)
+      .select(col("q_id"), col("n_id"), col("sim")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val pq = SimilarityOps.knnPq(spark, sf0001)
+      .select(col("q_id"), col("n_id"), col("sim")).collect()
+    assert(pq.nonEmpty)
+    val pqKeys = pq.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.keys.count(pqKeys.contains).toDouble / brute.size
+    // synthetic unclustered vectors are PQ's worst case (quantization
+    // error is large relative to the sim spread); 6-bit codebooks + a
+    // 100-wide exact re-rank still have to find most true neighbors
+    assert(recall >= 0.8, s"PQ recall $recall too low")
+    // returned sims come from the exact re-rank, not the ADC estimate:
+    // recompute the quantized cosine independently for every returned pair
+    val vecs = Tables.t(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Float]](1).map(f => math.floor(f.toDouble * 1e9).toLong).toArray)
+      .toMap
+    def qcos(a: Array[Long], b: Array[Long]): Double = {
+      def dot(x: Array[Long], y: Array[Long]): Double =
+        x.indices.map(i => x(i) * y(i)).sum.toDouble
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    pq.foreach { r =>
+      val expected = qcos(vecs(r.getLong(0)), vecs(r.getLong(1)))
+      assert(r.getDouble(2) == expected,
+        s"PQ sim for (${r.getLong(0)},${r.getLong(1)}) must equal the exact cosine")
+    }
+  }
+
   test("label centroids: n sums to corpus size (sf0.001)") {
     val c = SimilarityOps.labelCentroids(spark, sf0001)
     val total = c.agg(sum("n")).first().getLong(0)

@@ -11,6 +11,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.CollapseDistinctShingles)
     ext.injectOptimizerRule(session => graft.plans.ManifestPrune(session))
+    ext.injectOptimizerRule(session => graft.plans.ManifestAgg(session))
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo("graft.functions", "graft_cosine"),

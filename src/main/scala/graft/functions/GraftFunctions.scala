@@ -35,6 +35,9 @@ object GraftFunctions {
     if (!rules.extraOptimizations.exists(_.isInstanceOf[graft.plans.ManifestPrune]))
       rules.extraOptimizations =
         rules.extraOptimizations :+ graft.plans.ManifestPrune(spark)
+    if (!rules.extraOptimizations.exists(_.isInstanceOf[graft.plans.ManifestAgg]))
+      rules.extraOptimizations =
+        rules.extraOptimizations :+ graft.plans.ManifestAgg(spark)
   }
 
   // Column-API wrappers (require register() / GraftExtensions on the session).

@@ -428,6 +428,46 @@ object TextOps {
       |SELECT doc_id, rnk, token, tf, df FROM r WHERE rnk <= 3
       |ORDER BY doc_id, rnk""".stripMargin
 
+  /** Rare-token ratio (Gopher-style quality rule): the fraction of a
+    * document's token INSTANCES whose corpus document frequency is <=
+    * [[RareDf]]. A high ratio marks OCR junk / mojibake / random-string
+    * spam — vocabulary the rest of the corpus never uses. Exact integer
+    * counts; the ratio is one IEEE double division of exact longs, so the
+    * oracle matches bit-for-bit. Scale shape = the tfidf pipeline: the raw
+    * token stream is scanned once into (doc, token) pairs with map-side
+    * combine, df aggregates those pairs (not a re-explode), and the final
+    * per-doc rollup shuffles by doc_id.
+    */
+  final val RareDf = 5L
+
+  def rareTokenRatio(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    tf.join(df, "token")
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(when(col("df") <= RareDf, col("tf")).otherwise(0L)).as("n_rare"))
+      .withColumn("rare_ratio",
+        col("n_rare").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+      .select("doc_id", "n_tokens", "n_rare", "rare_ratio")
+      .orderBy("doc_id")
+  }
+
+  val rareTokenOracle: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents),
+       |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+       |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1)
+       |SELECT doc_id,
+       |  CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(CASE WHEN df.df <= $RareDf THEN tf.tf ELSE 0 END) AS BIGINT) AS n_rare,
+       |  CAST(CAST(SUM(CASE WHEN df.df <= $RareDf THEN tf.tf ELSE 0 END) AS BIGINT) AS DOUBLE) /
+       |    CAST(CAST(SUM(tf.tf) AS BIGINT) AS DOUBLE) AS rare_ratio
+       |FROM tf JOIN df USING (token)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Sequence packing (GPT-style concat-and-chop): documents are laid out
     * in doc_id order and cut into fixed 256-token training sequences; a
     * doc belongs to the sequence its first token lands in. Packing is PER
@@ -532,6 +572,7 @@ object TextOps {
     QueryDef("doc_split_stats", splitStats, Some(splitStatsOracle)),
     QueryDef("doc_vocab_top", vocabTop, Some(vocabOracle)),
     QueryDef("doc_tfidf_top", tfidfTop, Some(tfidfOracle)),
+    QueryDef("doc_rare_tokens", rareTokenRatio, Some(rareTokenOracle)),
     QueryDef("doc_seq_pack", seqPack, Some(seqPackOracle)),
     QueryDef("doc_sample_per_source", samplePerSource, Some(samplePerSourceOracle)),
     QueryDef("doc_mix_sample", mixSample, Some(mixSampleOracle))

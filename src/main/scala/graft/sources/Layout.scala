@@ -141,27 +141,38 @@ object Layout {
 
   private val ManifestDir = "_graft_manifest"
 
-  /** Scan the written files ONCE (write-time cost; one aggregation carries
-    * every stat column) and record per-file footprints for `statCols`.
+  /** One aggregation over `files` producing the stacked manifest rows:
+    * per (file, col) the [lo, hi] footprint and null count, plus the
+    * file's row count (carried on every row of the file's group). The
+    * row/null counts make the manifest answer global min/max/count
+    * aggregates at LISTING time (see `plans.ManifestAgg`) on top of the
+    * file pruning the footprints already give.
     */
-  def writeManifest(spark: org.apache.spark.sql.SparkSession, path: String,
-      statCols: Seq[String]): Unit = {
-    require(statCols.nonEmpty, "writeManifest: statCols must be non-empty")
-    val df = spark.read.parquet(path)
-    val aggs = statCols.flatMap(c => Seq(
+  private def manifestRows(df: DataFrame, statCols: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("nrows") +: statCols.flatMap(c => Seq(
       min(col(c)).cast("double").as(s"lo_$c"),
-      max(col(c)).cast("double").as(s"hi_$c")))
+      max(col(c)).cast("double").as(s"hi_$c"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c")))
     // the manifest records BASENAMES (unique per directory), not absolute
     // paths: the table directory can be renamed/compacted/relocated and
     // the manifest stays valid — readers resolve names against the root
     val stats = df.withColumn("__file",
         substring_index(input_file_name(), "/", -1))
       .groupBy("__file").agg(aggs.head, aggs.tail: _*)
-    val stacked = stats.select(col("__file").as("file"),
+    stats.select(col("__file").as("file"), col("nrows"),
       explode(array(statCols.map(c =>
-        struct(lit(c).as("col"), col(s"lo_$c").as("lo"), col(s"hi_$c").as("hi"))): _*)).as("s"))
-      .select("file", "s.col", "s.lo", "s.hi")
-    stacked.coalesce(1)
+        struct(lit(c).as("col"), col(s"lo_$c").as("lo"), col(s"hi_$c").as("hi"),
+          col(s"nn_$c").as("nnulls"))): _*)).as("s"))
+      .select("file", "s.col", "s.lo", "s.hi", "s.nnulls", "nrows")
+  }
+
+  /** Scan the written files ONCE (write-time cost; one aggregation carries
+    * every stat column) and record per-file footprints for `statCols`.
+    */
+  def writeManifest(spark: org.apache.spark.sql.SparkSession, path: String,
+      statCols: Seq[String]): Unit = {
+    require(statCols.nonEmpty, "writeManifest: statCols must be non-empty")
+    manifestRows(spark.read.parquet(path), statCols).coalesce(1)
       .write.mode("overwrite").parquet(s"$path/$ManifestDir")
   }
 
@@ -182,18 +193,13 @@ object Layout {
     batch.write.mode("append").parquet(path)
     val added = (listData() -- before).toIndexedSeq
     if (added.nonEmpty) {
-      val aggs = statCols.flatMap(c => Seq(
-        min(col(c)).cast("double").as(s"lo_$c"),
-        max(col(c)).cast("double").as(s"hi_$c")))
-      val stats = spark.read.parquet(added: _*)
-        .withColumn("__file", substring_index(input_file_name(), "/", -1))
-        .groupBy("__file").agg(aggs.head, aggs.tail: _*)
-      val delta = stats.select(col("__file").as("file"),
-        explode(array(statCols.map(c =>
-          struct(lit(c).as("col"), col(s"lo_$c").as("lo"), col(s"hi_$c").as("hi"))): _*)).as("s"))
-        .select("file", "s.col", "s.lo", "s.hi")
+      val delta = manifestRows(spark.read.parquet(added: _*), statCols)
       val manifestPath = s"$path/$ManifestDir"
-      val merged = spark.read.parquet(manifestPath).unionByName(delta)
+      // allowMissingColumns: a pre-row/null-count manifest merges with the
+      // richer delta; unknown stats read back as null and the metadata-agg
+      // path fails open on them
+      val merged = spark.read.parquet(manifestPath)
+        .unionByName(delta, allowMissingColumns = true)
       // manifests are tiny: rewrite-on-append keeps ONE consistent file
       // (localCheckpoint first — the new manifest must not lazily read the
       // directory it is about to overwrite)

@@ -206,6 +206,64 @@ class LayoutSpec extends SparkSpecBase {
       .filter(col("value") >= 0).count())
   }
 
+  test("ManifestAgg rule: global min/max/count answered from metadata, no file scan") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-magg").toString
+    val path = s"$base/t"
+    // include a null-bearing column so count(v) != count(*)
+    val rows = (0 until 3000).map(i =>
+      (i.toLong, if (i % 7 == 0) None else Some((i * 13 % 997).toLong)))
+    rows.toDF("k", "v").repartition(6).write.mode("overwrite").parquet(path)
+    Layout.writeManifest(spark, path, Seq("k", "v"))
+
+    val agg = spark.read.parquet(path)
+      .agg(count(lit(1)).as("n"), count(col("v")).as("nv"),
+        min(col("k")).as("mink"), max(col("k")).as("maxk"),
+        min(col("v")).as("minv"), max(col("v")).as("maxv"))
+    // the optimized plan must be a LocalRelation — zero data files opened
+    val optimized = agg.queryExecution.optimizedPlan
+    assert(optimized.collectFirst {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }.isDefined, s"expected LocalRelation, got:\n$optimized")
+    assert(optimized.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }.isEmpty, "metadata agg must not retain the file relation")
+    val r = agg.head()
+    assert(r.getLong(0) == 3000)
+    assert(r.getLong(1) == rows.count(_._2.isDefined))
+    assert(r.getLong(2) == 0 && r.getLong(3) == 2999)
+    assert(r.getLong(4) == rows.flatMap(_._2).min && r.getLong(5) == rows.flatMap(_._2).max)
+
+    // appendWithManifest keeps the metadata path alive AND exact
+    val batch = (5000 until 5500).map(i => (i.toLong, Some(i.toLong))).toDF("k", "v")
+    Layout.appendWithManifest(batch, path, Seq("k", "v"))
+    val agg2 = spark.read.parquet(path).agg(count(lit(1)), max(col("k")))
+    assert(agg2.queryExecution.optimizedPlan.collectFirst {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }.isDefined, "appended table should still answer from metadata")
+    val r2 = agg2.head()
+    assert(r2.getLong(0) == 3500 && r2.getLong(1) == 5499)
+
+    // fail open: a file appended WITHOUT its manifest delta disables the
+    // rewrite — the scan-based answer must come back, and be right
+    (9000L until 9100L).map(i => (i, Some(i))).toDF("k", "v")
+      .write.mode("append").parquet(path)
+    val agg3 = spark.read.parquet(path).agg(count(lit(1)), max(col("k")))
+    assert(agg3.queryExecution.optimizedPlan.collectFirst {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }.isEmpty, "un-manifested file must disable the metadata answer")
+    val r3 = agg3.head()
+    assert(r3.getLong(0) == 3600 && r3.getLong(1) == 9099)
+
+    // aggregates the manifest can't answer exactly (avg) still work via scan
+    val r4 = spark.read.parquet(path).agg(avg(col("k"))).head()
+    assert(r4.getDouble(0) > 0)
+
+    // grouped aggregates are untouched (rule is global-only)
+    val grouped = spark.read.parquet(path).groupBy(col("k") % 2).count().collect()
+    assert(grouped.map(_.getLong(1)).sum == 3600)
+  }
+
   test("compact re-clusters appends into one tiling; content unchanged") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-cpt").toString

@@ -86,6 +86,26 @@ class TextAnalyticsSpec extends SparkSpecBase {
       "rank-1 term must have the maximal in-doc frequency")
   }
 
+  test("rare-token ratio: bounds hold and a doc recount agrees (sf0.001)") {
+    val out = graft.operators.TextOps.rareTokenRatio(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, rare, ratio) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(rare >= 0 && rare <= n)
+      assert(ratio == rare.toDouble / n.toDouble)
+    }
+    // driver-side recount for one doc against the corpus df
+    val docs = graft.sources.Tables.t(spark, sf0001, "documents")
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1))
+    val dfMap = docs.flatMap { case (id, t) => t.split(" ", -1).distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (tok, xs) => tok -> xs.length.toLong }
+    val (id0, t0) = docs.minBy(_._1)
+    val toks = t0.split(" ", -1)
+    val expRare = toks.count(tok => dfMap(tok) <= graft.operators.TextOps.RareDf).toLong
+    val got = out.find(_.getLong(0) == id0).get
+    assert(got.getLong(1) == toks.length.toLong && got.getLong(2) == expRare)
+  }
+
   test("per-source sample is exactly 5 per source and replay-stable") {
     val a = graft.operators.TextOps.samplePerSource(spark, sf0001).collect()
     val b = graft.operators.TextOps.samplePerSource(spark, sf0001).collect()

@@ -166,15 +166,21 @@ object SimilarityOps {
   final val PqK = 64       // centroids per codebook (6-bit codes)
   final val PqRerank = 100 // ADC candidates re-ranked exactly per query
 
-  def knnPq(s: SparkSession, dir: String): DataFrame = {
+  private val pqNorm = expr(
+    "sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE), (a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
+
+  /** Train the m per-subspace codebooks and encode the corpus. Returns the
+    * codebooks (driver-side index metadata, m*k*subdim doubles ≈ 32 KB)
+    * and the encoded frame (vec_id, nrm, codes[m]). The input frame is
+    * persisted by this method (m KMeans fits + the encode pass all consume
+    * it); callers release it via clearCache/session end like the other
+    * persisted intermediates.
+    */
+  private def pqTrainEncode(raw: DataFrame): (Array[Array[Array[Double]]], DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    import s.implicits._
-    val norm = expr(
-      "sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE), (a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
     // subvector feature columns once; each codebook trains and assigns on its own slice
-    val e = (0 until PqM).foldLeft(
-        Tables.spread(Tables.t(s, dir, "embeddings")).withColumn("nrm", norm)) {
+    val e = (0 until PqM).foldLeft(raw.withColumn("nrm", pqNorm)) {
         case (df, j) =>
           df.withColumn(s"f$j", array_to_vector(slice(col("embedding"), j * PqSubDim + 1, PqSubDim)))
       }
@@ -184,27 +190,41 @@ object SimilarityOps {
         .setFeaturesCol(s"f$j").setPredictionCol(s"code$j")
         .fit(e.select(s"f$j"))
     }
-    // codebooks: m x k x subdim — driver-side index metadata (4 KB total)
     val books: Array[Array[Array[Double]]] =
       models.map(_.clusterCenters.map(_.toArray)).toArray
     val encoded = models.foldLeft(e: DataFrame)((df, m) => m.transform(df))
       .select(col("vec_id"), col("nrm"),
         array((0 until PqM).map(j => col(s"code$j")): _*).as("codes"))
-    // per-query ADC lookup table: lut[j*k + c] = <q_subj, book[j][c]>
-    val qRows = e.filter(col("vec_id") < 10)
-      .select(col("vec_id"), col("embedding"), col("nrm")).collect()
-    val queryDf = qRows.map { r =>
-      val qid = r.getAs[Long]("vec_id")
-      val emb = r.getAs[scala.collection.Seq[Float]]("embedding").toArray
-      val lut = Array.tabulate(PqM * PqK) { i =>
-        val (j, c) = (i / PqK, i % PqK)
-        var d = 0.0
-        var t = 0
-        while (t < PqSubDim) { d += emb(j * PqSubDim + t).toDouble * books(j)(c)(t); t += 1 }
-        d
-      }
-      (qid, emb.toSeq, lut.toSeq, r.getAs[Double]("nrm"))
-    }.toSeq.toDF("q_id", "q_emb", "lut", "q_nrm")
+    (books, encoded)
+  }
+
+  /** Per-query ADC lookup tables against `books`:
+    * lut[j*k + c] = <q_subj, book[j][c]> — 512 doubles per query, driver
+    * metadata like IVF's probe sets.
+    */
+  private def pqQueryDf(s: SparkSession, queries: DataFrame,
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    import s.implicits._
+    queries.select(col("vec_id"), col("embedding"), pqNorm.as("nrm")).collect()
+      .map { r =>
+        val qid = r.getAs[Long]("vec_id")
+        val emb = r.getAs[scala.collection.Seq[Float]]("embedding").toArray
+        val lut = Array.tabulate(PqM * PqK) { i =>
+          val (j, c) = (i / PqK, i % PqK)
+          var d = 0.0
+          var t = 0
+          while (t < PqSubDim) { d += emb(j * PqSubDim + t).toDouble * books(j)(c)(t); t += 1 }
+          d
+        }
+        (qid, emb.toSeq, lut.toSeq, r.getAs[Double]("nrm"))
+      }.toIndexedSeq.toDF("q_id", "q_emb", "lut", "q_nrm")
+  }
+
+  /** ADC scan + exact re-rank (shared by the train-and-search and the
+    * serve-from-index paths).
+    */
+  private def pqSearch(encoded: DataFrame, queryDf: DataFrame,
+      embeddings: DataFrame): DataFrame = {
     // ADC score: static m-term sum of table lookups — fully codegen'd
     val adc = (0 until PqM).map(j =>
       element_at(col("lut"), element_at(col("codes"), j + 1) + lit(j * PqK) + 1))
@@ -219,7 +239,7 @@ object SimilarityOps {
       .filter(col("arnk") <= PqRerank)
       .select("q_id", "q_emb", "vec_id")
     // exact re-rank: candidates are tiny (PqRerank x queries) -> broadcast
-    val reranked = Tables.t(s, dir, "embeddings")
+    val reranked = embeddings
       .join(broadcast(cands), "vec_id")
       .withColumn("sim", graftCosine(col("q_emb"), col("embedding")))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
@@ -227,6 +247,45 @@ object SimilarityOps {
       .filter(col("rnk") <= 10)
       .select(col("q_id"), col("vec_id").as("n_id"), col("rnk"), col("sim"))
       .orderBy("q_id", "rnk")
+  }
+
+  def knnPq(s: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.spread(Tables.t(s, dir, "embeddings"))
+    val (books, encoded) = pqTrainEncode(raw)
+    val queryDf = pqQueryDf(s, raw.filter(col("vec_id") < 10), books)
+    pqSearch(encoded, queryDf, Tables.t(s, dir, "embeddings"))
+  }
+
+  /** Materialize the PQ index: codes (+ norms) as a parquet table and the
+    * codebooks beside them. This is the 100 TB operating mode — train and
+    * encode ONCE at ingest (or per compaction), then every query session
+    * reads ~6 B/vector of codes and a 32 KB codebook table; no KMeans, no
+    * touch of the raw vectors except the point-lookup re-rank.
+    */
+  def writePqIndex(s: SparkSession, dir: String, indexPath: String): Unit = {
+    import s.implicits._
+    val (books, encoded) = pqTrainEncode(Tables.spread(Tables.t(s, dir, "embeddings")))
+    encoded.write.mode("overwrite").parquet(s"$indexPath/codes")
+    books.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (center, c) => (j, c, center.toSeq) }
+    }.toIndexedSeq.toDF("subspace", "code", "center")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/books")
+  }
+
+  /** Serve queries from a [[writePqIndex]]-materialized index: the
+    * codebooks load as driver metadata, the ADC scan runs over the stored
+    * codes, and only the re-rank touches the raw embedding table.
+    */
+  def knnPqFromIndex(s: SparkSession, dir: String, indexPath: String): DataFrame = {
+    val books = Array.ofDim[Array[Double]](PqM, PqK)
+    s.read.parquet(s"$indexPath/books").collect().foreach { r =>
+      books(r.getAs[Int]("subspace"))(r.getAs[Int]("code")) =
+        r.getAs[scala.collection.Seq[Double]]("center").toArray
+    }
+    val encoded = s.read.parquet(s"$indexPath/codes")
+    val queryDf = pqQueryDf(s,
+      Tables.t(s, dir, "embeddings").filter(col("vec_id") < 10), books)
+    pqSearch(encoded, queryDf, Tables.t(s, dir, "embeddings"))
   }
 
   /** Per-label centroids (IVF coarse quantizer building block): exact

@@ -347,6 +347,17 @@ class DedupSimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("PQ serve-from-index equals the train-and-search path exactly") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-pqidx").toString + "/pq"
+    SimilarityOps.writePqIndex(spark, sf0001, idx)
+    val direct = SimilarityOps.knnPq(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val served = SimilarityOps.knnPqFromIndex(spark, sf0001, idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(served.nonEmpty && served.sameElements(direct),
+      "serving from the materialized index must reproduce the direct result")
+  }
+
   test("label centroids: n sums to corpus size (sf0.001)") {
     val c = SimilarityOps.labelCentroids(spark, sf0001)
     val total = c.agg(sum("n")).first().getLong(0)

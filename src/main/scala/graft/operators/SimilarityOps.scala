@@ -272,20 +272,71 @@ object SimilarityOps {
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/books")
   }
 
-  /** Serve queries from a [[writePqIndex]]-materialized index: the
-    * codebooks load as driver metadata, the ADC scan runs over the stored
-    * codes, and only the re-rank touches the raw embedding table.
-    */
-  def knnPqFromIndex(s: SparkSession, dir: String, indexPath: String): DataFrame = {
+  private def readBooks(s: SparkSession, indexPath: String): Array[Array[Array[Double]]] = {
     val books = Array.ofDim[Array[Double]](PqM, PqK)
     s.read.parquet(s"$indexPath/books").collect().foreach { r =>
       books(r.getAs[Int]("subspace"))(r.getAs[Int]("code")) =
         r.getAs[scala.collection.Seq[Double]]("center").toArray
     }
+    books
+  }
+
+  /** Serve queries from a [[writePqIndex]]-materialized index: the
+    * codebooks load as driver metadata, the ADC scan runs over the stored
+    * codes, and only the re-rank touches the raw embedding table.
+    * `corpus` is the raw-vector table the re-rank resolves against (it
+    * must cover every vec_id in the index).
+    */
+  def knnPqServe(s: SparkSession, corpus: DataFrame, indexPath: String): DataFrame = {
+    val books = readBooks(s, indexPath)
     val encoded = s.read.parquet(s"$indexPath/codes")
-    val queryDf = pqQueryDf(s,
-      Tables.t(s, dir, "embeddings").filter(col("vec_id") < 10), books)
-    pqSearch(encoded, queryDf, Tables.t(s, dir, "embeddings"))
+    val queryDf = pqQueryDf(s, corpus.filter(col("vec_id") < 10), books)
+    pqSearch(encoded, queryDf, corpus)
+  }
+
+  def knnPqFromIndex(s: SparkSession, dir: String, indexPath: String): DataFrame =
+    knnPqServe(s, Tables.t(s, dir, "embeddings"), indexPath)
+
+  /** Incremental-ingest form: encode a NEW batch against the FROZEN
+    * codebooks and append its codes — no retraining, no touch of the
+    * existing corpus or its codes. The codebooks are index metadata
+    * exactly like IVF centroids: they broadcast, and the encode is one
+    * map pass over the batch (nearest centroid per subspace). Codebook
+    * drift under a shifting distribution is a compaction concern
+    * ([[writePqIndex]] re-trains), not an ingest concern.
+    */
+  def appendToPqIndex(batch: DataFrame, indexPath: String): Unit = {
+    val s = batch.sparkSession
+    import s.implicits._
+    val bcast = s.sparkContext.broadcast(readBooks(s, indexPath))
+    val encoded = batch.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, emb) =>
+        val books = bcast.value
+        var n2 = 0.0
+        var i = 0
+        while (i < emb.length) { n2 += emb(i).toDouble * emb(i).toDouble; i += 1 }
+        val codes = Array.tabulate(PqM) { j =>
+          var best = 0
+          var bestD = Double.MaxValue
+          var c = 0
+          while (c < PqK) {
+            val cen = books(j)(c)
+            var d = 0.0
+            var t = 0
+            while (t < PqSubDim) {
+              val diff = emb(j * PqSubDim + t).toDouble - cen(t)
+              d += diff * diff
+              t += 1
+            }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          best
+        }
+        (id, math.sqrt(n2), codes)
+      }.toDF("vec_id", "nrm", "codes")
+    encoded.write.mode("append").parquet(s"$indexPath/codes")
   }
 
   /** Per-label centroids (IVF coarse quantizer building block): exact

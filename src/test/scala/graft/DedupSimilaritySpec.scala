@@ -358,6 +358,28 @@ class DedupSimilaritySpec extends SparkSpecBase {
       "serving from the materialized index must reproduce the direct result")
   }
 
+  test("PQ incremental append: new vectors are retrievable without retraining") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-pqinc").toString + "/pq"
+    SimilarityOps.writePqIndex(spark, sf0001, idx)
+    val base = Tables.t(spark, sf0001, "embeddings")
+    // batch = exact clones of the query vectors under fresh ids: after an
+    // encode-append against the FROZEN codebooks, each query's top-1 must
+    // be its clone at exactly sim 1.0
+    val clones = base.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"), col("label"))
+    SimilarityOps.appendToPqIndex(clones, idx)
+    val corpus = base.unionByName(clones)
+    val top1 = SimilarityOps.knnPqServe(spark, corpus, idx)
+      .filter(col("rnk") === 1).collect()
+    assert(top1.length == 10)
+    top1.foreach { r =>
+      assert(r.getLong(1) == r.getLong(0) + 100000L,
+        s"query ${r.getLong(0)}: top-1 should be its appended clone, got ${r.getLong(1)}")
+      // sqrt(L)*sqrt(L) is one ulp off L, so "identical" lands at 1.0-ε
+      assert(r.getDouble(3) >= 1.0 - 1e-12)
+    }
+  }
+
   test("label centroids: n sums to corpus size (sf0.001)") {
     val c = SimilarityOps.labelCentroids(spark, sf0001)
     val total = c.agg(sum("n")).first().getLong(0)

@@ -249,12 +249,15 @@ object SimilarityOps {
       .orderBy("q_id", "rnk")
   }
 
-  def knnPq(s: SparkSession, dir: String): DataFrame = {
-    val raw = Tables.spread(Tables.t(s, dir, "embeddings"))
+  def knnPqOn(corpus: DataFrame): DataFrame = {
+    val raw = Tables.spread(corpus)
     val (books, encoded) = pqTrainEncode(raw)
-    val queryDf = pqQueryDf(s, raw.filter(col("vec_id") < 10), books)
-    pqSearch(encoded, queryDf, Tables.t(s, dir, "embeddings"))
+    val queryDf = pqQueryDf(corpus.sparkSession, raw.filter(col("vec_id") < 10), books)
+    pqSearch(encoded, queryDf, corpus)
   }
+
+  def knnPq(s: SparkSession, dir: String): DataFrame =
+    knnPqOn(Tables.t(s, dir, "embeddings"))
 
   /** Materialize the PQ index: codes (+ norms) as a parquet table and the
     * codebooks beside them. This is the 100 TB operating mode — train and

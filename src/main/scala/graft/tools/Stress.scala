@@ -123,6 +123,15 @@ object Stress {
         scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 10).count())
       spark.catalog.clearCache()
 
+      // PQ ANN: train+encode+ADC-scan+re-rank over the replicated corpus.
+      // Encode is a map pass and the ADC scan is linear in rows, so the
+      // curve must stay ~linear in copies (training cost is fixed: m
+      // seeded KMeans on a corpus sample-scale input).
+      time(s"knn-pq x1")(SimilarityOps.knnPqOn(emb).count())
+      spark.catalog.clearCache()
+      time(s"knn-pq x$copies")(SimilarityOps.knnPqOn(embN).count())
+      spark.catalog.clearCache()
+
       // cosine-dups candidate curve: copies get distinct labels and a
       // copy-specific SIGN-FLIP perturbation (s_j in {±1}): within-copy
       // dot products are unchanged ((s⊙a)·(s⊙b) = a·b) while cross-copy

@@ -155,11 +155,15 @@ object SimilarityOps {
     * approximate (rows-only; recall vs brute force unit-tested).
     *
     * At 100 TB: codes + norms are a write-once derived table (one map
-    * pass over broadcast codebooks); the ADC scan reads ~4 B/vector
-    * instead of 256 B — the whole corpus's codes fit where 1/64th of the
+    * pass over broadcast codebooks); the ADC scan reads ~6 B/vector
+    * instead of 256 B — the whole corpus's codes fit where 1/42nd of the
     * raw vectors would — and the scoring column is a static 8-term
     * codegen'd expression (no per-row HOF loop). The re-rank side is
-    * `PqRerank * |queries|` rows, always broadcastable.
+    * `PqRerank * |queries|` rows, always broadcastable. The raw table is
+    * touched twice by design (encode pass at build time, candidate
+    * re-rank at query time — the Audit's `embeddings x2`); with the
+    * corpus bucketed by vec_id the re-rank pass becomes a point-lookup
+    * join instead of a second full scan.
     */
   final val PqM = 8        // subspaces
   final val PqSubDim = Dim / PqM
@@ -170,13 +174,15 @@ object SimilarityOps {
     "sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE), (a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
 
   /** Train the m per-subspace codebooks and encode the corpus. Returns the
-    * codebooks (driver-side index metadata, m*k*subdim doubles ≈ 32 KB)
-    * and the encoded frame (vec_id, nrm, codes[m]). The input frame is
-    * persisted by this method (m KMeans fits + the encode pass all consume
-    * it); callers release it via clearCache/session end like the other
-    * persisted intermediates.
+    * codebooks (driver-side index metadata, m*k*subdim doubles ≈ 32 KB),
+    * the encoded frame (vec_id, nrm, codes[m]), and the PERSISTED
+    * featurized corpus the encode ran over (m KMeans fits + the encode
+    * pass all consume it) — callers take queries from the cached frame
+    * instead of re-scanning the raw table, and terminal callers unpersist
+    * it when their outputs are materialized.
     */
-  private def pqTrainEncode(raw: DataFrame): (Array[Array[Array[Double]]], DataFrame) = {
+  private def pqTrainEncode(raw: DataFrame)
+      : (Array[Array[Array[Double]]], DataFrame, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     // subvector feature columns once; each codebook trains and assigns on its own slice
@@ -195,7 +201,7 @@ object SimilarityOps {
     val encoded = models.foldLeft(e: DataFrame)((df, m) => m.transform(df))
       .select(col("vec_id"), col("nrm"),
         array((0 until PqM).map(j => col(s"code$j")): _*).as("codes"))
-    (books, encoded)
+    (books, encoded, e)
   }
 
   /** Per-query ADC lookup tables against `books`:
@@ -250,9 +256,9 @@ object SimilarityOps {
   }
 
   def knnPqOn(corpus: DataFrame): DataFrame = {
-    val raw = Tables.spread(corpus)
-    val (books, encoded) = pqTrainEncode(raw)
-    val queryDf = pqQueryDf(corpus.sparkSession, raw.filter(col("vec_id") < 10), books)
+    val (books, encoded, cached) = pqTrainEncode(Tables.spread(corpus))
+    // queries come off the persisted featurized frame — no raw re-scan
+    val queryDf = pqQueryDf(corpus.sparkSession, cached.filter(col("vec_id") < 10), books)
     pqSearch(encoded, queryDf, corpus)
   }
 
@@ -267,12 +273,15 @@ object SimilarityOps {
     */
   def writePqIndex(s: SparkSession, dir: String, indexPath: String): Unit = {
     import s.implicits._
-    val (books, encoded) = pqTrainEncode(Tables.spread(Tables.t(s, dir, "embeddings")))
+    val (books, encoded, cached) =
+      pqTrainEncode(Tables.spread(Tables.t(s, dir, "embeddings")))
     encoded.write.mode("overwrite").parquet(s"$indexPath/codes")
     books.zipWithIndex.flatMap { case (book, j) =>
       book.zipWithIndex.map { case (center, c) => (j, c, center.toSeq) }
     }.toIndexedSeq.toDF("subspace", "code", "center")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/books")
+    // terminal API: both outputs are on disk, nothing can reuse the cache
+    cached.unpersist()
   }
 
   private def readBooks(s: SparkSession, indexPath: String): Array[Array[Array[Double]]] = {

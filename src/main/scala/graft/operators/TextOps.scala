@@ -391,6 +391,24 @@ object TextOps {
       |FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents)
       |GROUP BY token ORDER BY n_occ DESC, token ASC LIMIT 50""".stripMargin
 
+  /** Shared tokenize → (doc, token) term frequencies → document
+    * frequencies. df derives FROM tf (one row per (doc, token) = document
+    * frequency), not by re-exploding the corpus; tf is persisted because
+    * it feeds both the df aggregation and the downstream join probe — the
+    * collapsed pairs are far smaller than the raw token stream, which is
+    * scanned exactly once. A session running several consumers
+    * (tfidf/rare-tokens) shares ONE cache: persist keys on the analyzed
+    * plan, which is identical across calls.
+    */
+  private def tokenTfDf(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val tok = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    (tf, df)
+  }
+
   /** Per-document top relevance terms — TF-IDF's ranking semantics kept
     * fully in INTEGER space (rank by tf desc, df asc) so the result is
     * bit-exact across engines with no float log in sight. Scale: tf is one
@@ -398,15 +416,7 @@ object TextOps {
     * rank<=3 window compiles to WindowGroupLimit (per-partition heaps).
     */
   def tfidfTop(s: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.t(s, dir, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-    // df derives FROM tf (one row per (doc, token) = document frequency),
-    // not by re-exploding the corpus; tf is persisted because it feeds both
-    // the df aggregation and the join probe — the collapsed pairs are far
-    // smaller than the raw token stream, which is scanned exactly once.
-    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val (tf, df) = tokenTfDf(s, dir)
     val w = Window.partitionBy("doc_id")
       .orderBy(col("tf").desc, col("df").asc, col("token").asc)
     tf.join(df, "token")
@@ -441,11 +451,7 @@ object TextOps {
   final val RareDf = 5L
 
   def rareTokenRatio(s: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.t(s, dir, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val (tf, df) = tokenTfDf(s, dir)
     tf.join(df, "token")
       .groupBy("doc_id")
       .agg(sum(col("tf")).as("n_tokens"),

@@ -1,6 +1,5 @@
 package graft.plans
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
@@ -60,16 +59,8 @@ case class ManifestAgg(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  private def eligible(l: LogicalRelation): Boolean = l.relation match {
-    case fs: HadoopFsRelation =>
-      fs.partitionSchema.isEmpty &&
-      fs.location.rootPaths.lengthCompare(1) == 0 && {
-        val m = new Path(fs.location.rootPaths.head, ManifestPrune.ManifestDirName)
-        try m.getFileSystem(spark.sessionState.newHadoopConf()).exists(m)
-        catch { case _: Exception => false }
-      }
-    case _ => false
-  }
+  private def eligible(l: LogicalRelation): Boolean =
+    ManifestPrune.manifestEligible(spark, l)
 
   private def supported(e: NamedExpression): Boolean = e match {
     case Alias(ae: AggregateExpression, _) => supportedAgg(ae)
@@ -89,8 +80,7 @@ case class ManifestAgg(spark: SparkSession) extends Rule[LogicalPlan] {
     val fsRel = l.relation.asInstanceOf[HadoopFsRelation]
     val manifest = readManifest(fsRel.location.rootPaths.head.toString)
     if (manifest.isEmpty) return None
-    def base(s: String): String = s.substring(s.lastIndexOf('/') + 1)
-    val listed = fsRel.location.inputFiles.map(base).toIndexedSeq
+    val listed = fsRel.location.inputFiles.map(ManifestPrune.baseName).toIndexedSeq
 
     // per-file row counts: every listed file must be covered, exactly once
     // per column group, with a known row count — else no rewrite
@@ -145,7 +135,10 @@ case class ManifestAgg(spark: SparkSession) extends Rule[LogicalPlan] {
     case DoubleType => Some(v)
     case FloatType => val f = v.toFloat; if (f.toDouble == v) Some(f) else None
     case LongType =>
-      if (math.abs(v) <= DoubleExactInt && v == v.toLong.toDouble) Some(v.toLong) else None
+      // STRICTLY below 2^53: at exactly ±2^53 a neighboring long (2^53+1)
+      // collapses onto the same double and still round-trips, so equality
+      // there no longer proves the manifest value is the true extremum
+      if (math.abs(v) < DoubleExactInt && v == v.toLong.toDouble) Some(v.toLong) else None
     case IntegerType => if (v == v.toInt.toDouble) Some(v.toInt) else None
     case ShortType => if (v == v.toShort.toDouble) Some(v.toShort) else None
     case ByteType => if (v == v.toByte.toDouble) Some(v.toByte) else None
@@ -173,8 +166,8 @@ case class ManifestAgg(spark: SparkSession) extends Rule[LogicalPlan] {
 object ManifestAgg {
   private[plans] final case class ManifestStatsRow(file: String, col: String,
       lo: Option[Double], hi: Option[Double], nnulls: Option[Long], nrows: Option[Long])
-  /** Largest magnitude at which every integer is exactly representable as
-    * a double (2^53).
+  /** 2^53: every integer of magnitude STRICTLY below this is exactly
+    * representable as a double AND has no neighbor collapsing onto it.
     */
   private val DoubleExactInt = 9007199254740992.0
   private val reentrant = new ThreadLocal[Boolean] {

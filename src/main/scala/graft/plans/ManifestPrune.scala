@@ -45,20 +45,8 @@ case class ManifestPrune(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  private def eligible(l: LogicalRelation): Boolean = l.relation match {
-    case fs: HadoopFsRelation =>
-      // partitioned tables are out of scope: their partition VALUES come
-      // from directory structure the replacement flat file index would not
-      // re-infer (partition pruning already covers them anyway)
-      fs.partitionSchema.isEmpty &&
-      fs.location.rootPaths.lengthCompare(1) == 0 && {
-        val root = fs.location.rootPaths.head
-        val m = new Path(root, ManifestDirName)
-        try m.getFileSystem(spark.sessionState.newHadoopConf()).exists(m)
-        catch { case _: Exception => false }
-      }
-    case _ => false
-  }
+  private def eligible(l: LogicalRelation): Boolean =
+    ManifestPrune.manifestEligible(spark, l)
 
   /** Conjunct-only range envelopes: col -> [lo, hi] from >=, >, <=, <, =
     * against numeric literals. Anything else contributes nothing (and so
@@ -100,7 +88,7 @@ case class ManifestPrune(spark: SparkSession) extends Rule[LogicalPlan] {
     if (manifest.isEmpty) return None
     // manifest entries are basenames (rename/compact-stable); compare
     // the relation's listed files by basename too
-    def base(s: String): String = s.substring(s.lastIndexOf('/') + 1)
+    def base(s: String): String = ManifestPrune.baseName(s)
     val allFiles = fsRel.location.inputFiles // already listed by the relation
     var keep = allFiles.map(base).toSet
     envelopes.foreach { case (c, (lo, hi)) =>
@@ -138,6 +126,27 @@ case class ManifestPrune(spark: SparkSession) extends Rule[LogicalPlan] {
 
 object ManifestPrune {
   private[plans] val ManifestDirName = "_graft_manifest"
+
+  /** Shared manifest-rule eligibility: a bare, single-root,
+    * NON-partitioned parquet relation with a manifest beside it.
+    * Partitioned tables are out of scope: their partition VALUES come
+    * from directory structure a replacement flat file index would not
+    * re-infer (partition pruning already covers them anyway).
+    */
+  private[plans] def manifestEligible(spark: SparkSession, l: LogicalRelation): Boolean =
+    l.relation match {
+      case fs: HadoopFsRelation =>
+        fs.partitionSchema.isEmpty &&
+        fs.location.rootPaths.lengthCompare(1) == 0 && {
+          val m = new Path(fs.location.rootPaths.head, ManifestDirName)
+          try m.getFileSystem(spark.sessionState.newHadoopConf()).exists(m)
+          catch { case _: Exception => false }
+        }
+      case _ => false
+    }
+
+  /** Manifest entries are basenames; listings compare by basename too. */
+  private[plans] def baseName(s: String): String = s.substring(s.lastIndexOf('/') + 1)
   private[plans] val PrunedTag = TreeNodeTag[Boolean]("graftManifestPruned")
   private val NegInf = Double.NegativeInfinity
   private val PosInf = Double.PositiveInfinity

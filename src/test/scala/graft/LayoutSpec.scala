@@ -262,6 +262,24 @@ class LayoutSpec extends SparkSpecBase {
     // grouped aggregates are untouched (rule is global-only)
     val grouped = spark.read.parquet(path).groupBy(col("k") % 2).count().collect()
     assert(grouped.map(_.getLong(1)).sum == 3600)
+
+    // 2^53 boundary: (2^53 + 1) stores as the double 2^53, which still
+    // round-trips to a long — the rule must refuse the min/max rewrite
+    // (a metadata answer would be off by one) and fall back to the scan
+    val big = s"$base/big"
+    val edge = (1L << 53) + 1L
+    Seq(0L, edge).toDF("k").coalesce(1).write.mode("overwrite").parquet(big)
+    Layout.writeManifest(spark, big, Seq("k"))
+    val aggBig = spark.read.parquet(big).agg(max(col("k")))
+    assert(aggBig.queryExecution.optimizedPlan.collectFirst {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }.isEmpty, "beyond-2^53 extremum must not be answered from metadata")
+    assert(aggBig.head().getLong(0) == edge)
+    // count(*) has no precision hazard — still metadata-answered
+    assert(spark.read.parquet(big).agg(count(lit(1)))
+      .queryExecution.optimizedPlan.collectFirst {
+        case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+      }.isDefined)
   }
 
   test("compact re-clusters appends into one tiling; content unchanged") {

@@ -181,7 +181,7 @@ object SimilarityOps {
     * instead of re-scanning the raw table, and terminal callers unpersist
     * it when their outputs are materialized.
     */
-  private def pqTrainEncode(raw: DataFrame)
+  private def pqTrainEncode(raw: DataFrame, keep: Seq[String] = Nil)
       : (Array[Array[Array[Double]]], DataFrame, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
@@ -199,8 +199,9 @@ object SimilarityOps {
     val books: Array[Array[Array[Double]]] =
       models.map(_.clusterCenters.map(_.toArray)).toArray
     val encoded = models.foldLeft(e: DataFrame)((df, m) => m.transform(df))
-      .select(col("vec_id"), col("nrm"),
-        array((0 until PqM).map(j => col(s"code$j")): _*).as("codes"))
+      .select((Seq(col("vec_id"), col("nrm"),
+        array((0 until PqM).map(j => col(s"code$j")): _*).as("codes")) ++
+        keep.map(col)): _*)
     (books, encoded, e)
   }
 
@@ -226,16 +227,16 @@ object SimilarityOps {
       }.toIndexedSeq.toDF("q_id", "q_emb", "lut", "q_nrm")
   }
 
-  /** ADC scan + exact re-rank (shared by the train-and-search and the
-    * serve-from-index paths).
+  /** ADC scoring + exact re-rank over a frame that already pairs encoded
+    * rows with their query columns (q_id, q_emb, lut, q_nrm) — shared by
+    * the full-scan, serve-from-index, and IVF-probed paths.
     */
-  private def pqSearch(encoded: DataFrame, queryDf: DataFrame,
-      embeddings: DataFrame): DataFrame = {
+  private def pqScoreRerank(paired: DataFrame, embeddings: DataFrame): DataFrame = {
     // ADC score: static m-term sum of table lookups — fully codegen'd
     val adc = (0 until PqM).map(j =>
       element_at(col("lut"), element_at(col("codes"), j + 1) + lit(j * PqK) + 1))
       .reduce(_ + _)
-    val scored = encoded.crossJoin(broadcast(queryDf))
+    val scored = paired
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("adc_sim",
         when(col("nrm") > 0 && col("q_nrm") > 0, adc / (col("nrm") * col("q_nrm")))
@@ -254,6 +255,11 @@ object SimilarityOps {
       .select(col("q_id"), col("vec_id").as("n_id"), col("rnk"), col("sim"))
       .orderBy("q_id", "rnk")
   }
+
+  /** Full-corpus ADC scan (no cell probing). */
+  private def pqSearch(encoded: DataFrame, queryDf: DataFrame,
+      embeddings: DataFrame): DataFrame =
+    pqScoreRerank(encoded.crossJoin(broadcast(queryDf)), embeddings)
 
   def knnPqOn(corpus: DataFrame): DataFrame = {
     val (books, encoded, cached) = pqTrainEncode(Tables.spread(corpus))
@@ -282,6 +288,49 @@ object SimilarityOps {
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/books")
     // terminal API: both outputs are on disk, nothing can reuse the cache
     cached.unpersist()
+  }
+
+  /** IVF-PQ — the canonical composed ANN design (Jégou et al. 2011, the
+    * layout FAISS calls IVFPQ): the coarse quantizer bounds WHAT is
+    * scanned (a query touches nprobe of k cells) and PQ bounds the BYTES
+    * per scanned row (~6 B codes instead of 256 B floats). At 100 TB the
+    * codes table is written bucketed by cell id, so a probe reads
+    * nprobe/k of a table that is already ~42x smaller than the raw
+    * vectors — the two reductions multiply. Probe sets are driver-side
+    * index metadata exactly like [[knnIvf]]'s; everything downstream of
+    * the cell join reuses the PQ scoring + exact re-rank stages.
+    */
+  def knnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val nprobe = 4
+    val e0 = Tables.spread(Tables.t(s, dir, "embeddings"))
+      .withColumn("features", array_to_vector(col("embedding")))
+    val cellModel = new KMeans().setK(16).setSeed(42L).setMaxIter(5)
+      .fit(e0.select("features"))
+    val assigned = cellModel.transform(e0)
+      .withColumnRenamed("prediction", "cell").drop("features")
+    val (books, encoded, cached) = pqTrainEncode(assigned, keep = Seq("cell"))
+    val queryDf = pqQueryDf(s, cached.filter(col("vec_id") < 10), books)
+    // nprobe nearest cell centroids per query — driver-side metadata
+    val centroids = cellModel.clusterCenters
+    val qVecs = cached.filter(col("vec_id") < 10)
+      .select("vec_id", "embedding").collect().map(r =>
+        (r.getAs[Long]("vec_id"), r.getAs[scala.collection.Seq[Float]]("embedding").toArray))
+    val probes = qVecs.flatMap { case (qid, v) =>
+      centroids.zipWithIndex.map { case (c, ci) =>
+        var d = 0.0
+        val ca = c.toArray
+        for (i <- ca.indices) { val t = ca(i) - v(i); d += t * t }
+        (ci, d)
+      }.sortBy(_._2).take(nprobe).map { case (ci, _) => (qid, ci) }
+    }.toIndexedSeq
+    import s.implicits._
+    val probeDf = probes.toDF("q_id", "cell").join(queryDf, "q_id")
+    // the cell join IS the probe: only nprobe/k of the codes pair with
+    // each query, vs the full cross join of the flat PQ scan
+    val paired = encoded.join(broadcast(probeDf), Seq("cell"))
+    pqScoreRerank(paired, Tables.t(s, dir, "embeddings"))
   }
 
   private def readBooks(s: SparkSession, indexPath: String): Array[Array[Array[Double]]] = {
@@ -549,6 +598,7 @@ object SimilarityOps {
     QueryDef("emb_knn_lsh", knnLsh, None),
     QueryDef("emb_knn_ivf", knnIvf, None),
     QueryDef("emb_knn_pq", knnPq, None),
+    QueryDef("emb_knn_ivfpq", knnIvfPq, None),
     QueryDef("emb_label_centroids", labelCentroids, Some(centroidsOracle)),
     QueryDef("emb_cosine_dups", cosineDups, Some(cosineDupsOracle)),
     QueryDef("emb_dup_clusters", embDupClusters, Some(embDupClustersOracle)),

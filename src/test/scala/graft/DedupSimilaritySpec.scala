@@ -347,6 +347,24 @@ class DedupSimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("IVF-PQ recalls a sane share of brute-force top-10; sims exact (sf0.001)") {
+    val brute = SimilarityOps.knnBrute(spark, sf0001)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val ivfpq = SimilarityOps.knnIvfPq(spark, sf0001)
+      .select(col("q_id"), col("n_id"), col("rnk"), col("sim")).collect()
+    assert(ivfpq.nonEmpty)
+    val keys = ivfpq.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // recall is bounded by the nprobe/k cell probing (like knnIvf), not by
+    // the PQ codes — the exact re-rank recovers everything the probe saw
+    val recall = brute.count(keys.contains).toDouble / brute.size
+    assert(recall >= 0.3, s"IVF-PQ recall $recall implausibly low")
+    // per-query rankings must be non-increasing in exact sim
+    ivfpq.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sims = rows.sortBy(_.getLong(2)).map(_.getDouble(3))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("PQ serve-from-index equals the train-and-search path exactly") {
     val idx = java.nio.file.Files.createTempDirectory("graft-pqidx").toString + "/pq"
     SimilarityOps.writePqIndex(spark, sf0001, idx)

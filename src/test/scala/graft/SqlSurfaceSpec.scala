@@ -35,6 +35,24 @@ class SqlSurfaceSpec extends SparkSpecBase {
     assert(sql.toSeq == df.toSeq)
   }
 
+  test("SQL over parquet.`path` gets the metadata-only aggregate answer") {
+    import graft.sources.Layout
+    val base = java.nio.file.Files.createTempDirectory("graft-sqlmagg").toString
+    val path = s"$base/t"
+    (0 until 2000).map(i => (i.toLong, (i * 3 % 101).toLong)).toDF("k", "v")
+      .repartition(4).write.mode("overwrite").parquet(path)
+    Layout.writeManifest(spark, path, Seq("k", "v"))
+    val q = spark.sql(
+      s"SELECT count(*) AS n, min(k) AS mink, max(v) AS maxv FROM parquet.`$path`")
+    // the SQL route builds the same LogicalRelation shape, so ManifestAgg
+    // must answer it from the manifest — LocalRelation, no file relation
+    assert(q.queryExecution.optimizedPlan.collectFirst {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }.isDefined, s"expected metadata answer, got:\n${q.queryExecution.optimizedPlan}")
+    val r = q.head()
+    assert(r.getLong(0) == 2000 && r.getLong(1) == 0 && r.getLong(2) == 100)
+  }
+
   test("graft native functions are callable from SQL over registered views") {
     Tables.registerAll(spark, sf0001)
     // shingles + minhash signature from pure SQL — the custom Catalyst

@@ -76,6 +76,18 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("WindowGroupLimit"))
   }
 
+  test("pq: ADC top-k is a WindowGroupLimit; both rerank-side joins broadcast") {
+    val p = plan(SimilarityOps.knnPq(spark, sf0001))
+    // the ADC candidate cut and the final top-10 both rank via row_number
+    // <= k — per-partition heaps, not a global sort of the scored corpus
+    assert(p.contains("WindowGroupLimit"))
+    // query table (with LUTs) and the candidate list are hint-broadcast:
+    // the corpus-sized sides are never a build side
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"),
+      "PQ path must not shuffle corpus-sized sides into a sort-merge join")
+  }
+
   test("tfidf: rank<=3 compiles to WindowGroupLimit; corpus exploded once") {
     val df = graft.operators.TextOps.tfidfTop(spark, sf0001)
     val p = plan(df)

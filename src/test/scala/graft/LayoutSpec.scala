@@ -282,6 +282,45 @@ class LayoutSpec extends SparkSpecBase {
       }.isDefined)
   }
 
+  test("ManifestAgg fuzz: metadata answers equal scan answers on random tables") {
+    import spark.implicits._
+    val rng = new scala.util.Random(20260812L)
+    val base = java.nio.file.Files.createTempDirectory("graft-mfuzz").toString
+    (0 until 6).foreach { t =>
+      val n = 1 + rng.nextInt(4000)
+      val nullFrac = rng.nextDouble() * 0.6
+      val scale = math.pow(10, rng.nextInt(12)).toLong
+      val rows = (0 until n).map { _ =>
+        val v = if (rng.nextDouble() < nullFrac) None
+                else Some(rng.nextLong() % scale - scale / 3)
+        val d = if (rng.nextDouble() < nullFrac) None
+                else Some((rng.nextDouble() - 0.5) * scale)
+        (v, d)
+      }
+      val path = s"$base/t$t"
+      rows.toDF("v", "d").repartition(1 + rng.nextInt(7))
+        .write.mode("overwrite").parquet(path)
+      Layout.writeManifest(spark, path, Seq("v", "d"))
+      val got = spark.read.parquet(path)
+        .agg(count(lit(1)), count(col("v")), min(col("v")), max(col("v")),
+          min(col("d")), max(col("d"))).head()
+      // expected values from the generated rows, not from Spark — whether
+      // the rule rewrote or bailed, the ANSWER must be the scan's
+      val vs = rows.flatMap(_._1)
+      val ds = rows.flatMap(_._2)
+      assert(got.getLong(0) == n, s"table $t count(*)")
+      assert(got.getLong(1) == vs.size, s"table $t count(v)")
+      assert((if (got.isNullAt(2)) None else Some(got.getLong(2))) == vs.minOption,
+        s"table $t min(v)")
+      assert((if (got.isNullAt(3)) None else Some(got.getLong(3))) == vs.maxOption,
+        s"table $t max(v)")
+      assert((if (got.isNullAt(4)) None else Some(got.getDouble(4))) == ds.minOption,
+        s"table $t min(d)")
+      assert((if (got.isNullAt(5)) None else Some(got.getDouble(5))) == ds.maxOption,
+        s"table $t max(d)")
+    }
+  }
+
   test("compact re-clusters appends into one tiling; content unchanged") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-cpt").toString

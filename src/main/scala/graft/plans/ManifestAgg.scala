@@ -10,12 +10,12 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
 import org.apache.spark.sql.types._
 
 /** Metadata-only aggregates over `Layout.writeManifest`ed tables: a global
-  * `min` / `max` / `count` on a manifest-covered parquet directory is
-  * answered from the manifest's per-file stats WITHOUT opening a single
-  * data file — the listing-time analog of Iceberg's scan-less aggregate
-  * pushdown. At 100 TB, `SELECT count(*), max(ts) FROM table` goes from a
-  * full scan (or at best a footer sweep of 100k objects) to one read of a
-  * kilobyte-scale manifest.
+  * `min` / `max` / `count` / integral `sum` on a manifest-covered parquet
+  * directory is answered from the manifest's per-file stats WITHOUT
+  * opening a single data file — the listing-time analog of Iceberg's
+  * scan-less aggregate pushdown. At 100 TB, `SELECT count(*), sum(qty),
+  * max(ts) FROM table` goes from a full scan (or at best a footer sweep
+  * of 100k objects) to one read of a kilobyte-scale manifest.
   *
   * The rewrite fires only when it is PROVABLY exact:
   *  - global aggregate (no grouping), no DISTINCT, no agg filters, over a
@@ -73,8 +73,18 @@ case class ManifestAgg(spark: SparkSession) extends Rule[LogicalPlan] {
       case Count(Seq(_: AttributeReference)) => true
       case Min(_: AttributeReference) => true
       case Max(_: AttributeReference) => true
+      case Sum(a: AttributeReference, _) => integral(a.dataType)
       case _ => false
     })
+
+  /** Sum is answered only for integral columns: the per-file DECIMAL(38,0)
+    * sums are lossless there, while float sums are order-dependent and a
+    * metadata answer could differ from the scan's.
+    */
+  private def integral(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
 
   private def answer(agg: Aggregate, l: LogicalRelation): Option[LogicalPlan] = {
     val fsRel = l.relation.asInstanceOf[HadoopFsRelation]
@@ -120,6 +130,28 @@ case class ManifestAgg(spark: SparkSession) extends Rule[LogicalPlan] {
             if (his.isEmpty) Some(null)
             else exactAt(his.max, a.dataType)
           }
+        case Sum(a: AttributeReference, _) if integral(a.dataType) =>
+          colRows(a.name).flatMap { rs =>
+            var total = java.math.BigDecimal.ZERO
+            var any = false
+            var trusted = true
+            rs.foreach { r =>
+              r.sm match {
+                case Some(s) => total = total.add(s); any = true
+                case None =>
+                  // a null per-file sum is only trustworthy when the file's
+                  // column is ALL null; otherwise (pre-sum manifest) bail
+                  if (!r.nnulls.contains(rowsOf(r.file))) trusted = false
+              }
+            }
+            if (!trusted) None
+            else if (!any) Some(null) // SQL sum over no non-null values
+            else
+              // Sum over integral inputs is LongType; a total outside long
+              // would make the scan throw/wrap instead — bail to the scan
+              try Some(java.lang.Long.valueOf(total.toBigIntegerExact.longValueExact))
+              catch { case _: ArithmeticException => None }
+          }
         case _ => None
       }
       case _ => None
@@ -151,12 +183,17 @@ case class ManifestAgg(spark: SparkSession) extends Rule[LogicalPlan] {
       val df = spark.read.parquet(s"$root/${ManifestPrune.ManifestDirName}")
       if (!Seq("file", "col", "lo", "hi", "nnulls", "nrows")
           .forall(df.columns.contains)) return Nil // pre-stats manifest
-      df.select("file", "col", "lo", "hi", "nnulls", "nrows").collect().toSeq.map { r =>
+      val hasSum = df.columns.contains("sm")
+      val cols = Seq("file", "col", "lo", "hi", "nnulls", "nrows") ++
+        (if (hasSum) Seq("sm") else Nil)
+      df.select(cols.head, cols.tail: _*).collect().toSeq.map { r =>
         ManifestStatsRow(r.getString(0), r.getString(1),
           if (r.isNullAt(2)) None else Some(r.getDouble(2)),
           if (r.isNullAt(3)) None else Some(r.getDouble(3)),
           if (r.isNullAt(4)) None else Some(r.getLong(4)),
-          if (r.isNullAt(5)) None else Some(r.getLong(5)))
+          if (r.isNullAt(5)) None else Some(r.getLong(5)),
+          if (!hasSum || r.isNullAt(6)) None
+          else Some(r.getDecimal(6)))
       }
     } catch { case _: Exception => Nil }
     finally reentrant.set(false)
@@ -165,7 +202,8 @@ case class ManifestAgg(spark: SparkSession) extends Rule[LogicalPlan] {
 
 object ManifestAgg {
   private[plans] final case class ManifestStatsRow(file: String, col: String,
-      lo: Option[Double], hi: Option[Double], nnulls: Option[Long], nrows: Option[Long])
+      lo: Option[Double], hi: Option[Double], nnulls: Option[Long],
+      nrows: Option[Long], sm: Option[java.math.BigDecimal])
   /** 2^53: every integer of magnitude STRICTLY below this is exactly
     * representable as a double AND has no neighbor collapsing onto it.
     */

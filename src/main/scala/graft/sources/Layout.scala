@@ -149,10 +149,14 @@ object Layout {
     * file pruning the footprints already give.
     */
   private def manifestRows(df: DataFrame, statCols: Seq[String]): DataFrame = {
+    // per-file exact sums ride along as DECIMAL(38,0) — only meaningful
+    // (and only consumed by ManifestAgg) for INTEGRAL columns, where the
+    // cast is lossless; 38 digits cannot overflow on any file of longs
     val aggs = count(lit(1)).as("nrows") +: statCols.flatMap(c => Seq(
       min(col(c)).cast("double").as(s"lo_$c"),
       max(col(c)).cast("double").as(s"hi_$c"),
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c")))
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+      sum(col(c).cast(org.apache.spark.sql.types.DecimalType(38, 0))).as(s"sm_$c")))
     // the manifest records BASENAMES (unique per directory), not absolute
     // paths: the table directory can be renamed/compacted/relocated and
     // the manifest stays valid — readers resolve names against the root
@@ -162,8 +166,8 @@ object Layout {
     stats.select(col("__file").as("file"), col("nrows"),
       explode(array(statCols.map(c =>
         struct(lit(c).as("col"), col(s"lo_$c").as("lo"), col(s"hi_$c").as("hi"),
-          col(s"nn_$c").as("nnulls"))): _*)).as("s"))
-      .select("file", "s.col", "s.lo", "s.hi", "s.nnulls", "nrows")
+          col(s"nn_$c").as("nnulls"), col(s"sm_$c").as("sm"))): _*)).as("s"))
+      .select("file", "s.col", "s.lo", "s.hi", "s.nnulls", "s.sm", "nrows")
   }
 
   /** Scan the written files ONCE (write-time cost; one aggregation carries

@@ -219,7 +219,8 @@ class LayoutSpec extends SparkSpecBase {
     val agg = spark.read.parquet(path)
       .agg(count(lit(1)).as("n"), count(col("v")).as("nv"),
         min(col("k")).as("mink"), max(col("k")).as("maxk"),
-        min(col("v")).as("minv"), max(col("v")).as("maxv"))
+        min(col("v")).as("minv"), max(col("v")).as("maxv"),
+        sum(col("k")).as("sumk"), sum(col("v")).as("sumv"))
     // the optimized plan must be a LocalRelation — zero data files opened
     val optimized = agg.queryExecution.optimizedPlan
     assert(optimized.collectFirst {
@@ -233,6 +234,8 @@ class LayoutSpec extends SparkSpecBase {
     assert(r.getLong(1) == rows.count(_._2.isDefined))
     assert(r.getLong(2) == 0 && r.getLong(3) == 2999)
     assert(r.getLong(4) == rows.flatMap(_._2).min && r.getLong(5) == rows.flatMap(_._2).max)
+    assert(r.getLong(6) == (0L until 3000L).sum)
+    assert(r.getLong(7) == rows.flatMap(_._2).sum)
 
     // appendWithManifest keeps the metadata path alive AND exact
     val batch = (5000 until 5500).map(i => (i.toLong, Some(i.toLong))).toDF("k", "v")
@@ -303,7 +306,7 @@ class LayoutSpec extends SparkSpecBase {
       Layout.writeManifest(spark, path, Seq("v", "d"))
       val got = spark.read.parquet(path)
         .agg(count(lit(1)), count(col("v")), min(col("v")), max(col("v")),
-          min(col("d")), max(col("d"))).head()
+          min(col("d")), max(col("d")), sum(col("v")), sum(col("d"))).head()
       // expected values from the generated rows, not from Spark — whether
       // the rule rewrote or bailed, the ANSWER must be the scan's
       val vs = rows.flatMap(_._1)
@@ -318,6 +321,24 @@ class LayoutSpec extends SparkSpecBase {
         s"table $t min(d)")
       assert((if (got.isNullAt(5)) None else Some(got.getDouble(5))) == ds.maxOption,
         s"table $t max(d)")
+      // integral sum is metadata-answerable; the double sum always takes
+      // the scan (order-dependent float) — both must equal the row truth
+      val expSumV = if (vs.isEmpty) None else Some(vs.map(BigInt(_)).sum)
+      assert((if (got.isNullAt(6)) None else Some(BigInt(got.getLong(6)))) == expSumV,
+        s"table $t sum(v)")
+      assert(got.isNullAt(7) == ds.isEmpty, s"table $t sum(d) nullness")
+      // the mixed agg above contains a float sum, so it must take the
+      // scan whole-hog (rewrite is all-or-nothing); an integral-only agg
+      // must take the METADATA path and still match the row truth
+      val gi = spark.read.parquet(path)
+        .agg(count(lit(1)), count(col("v")), min(col("v")), max(col("v")), sum(col("v")))
+      assert(gi.queryExecution.optimizedPlan.collectFirst {
+        case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+      }.isDefined, s"table $t integral-only agg should be metadata-answered")
+      val gir = gi.head()
+      assert(gir.getLong(0) == n && gir.getLong(1) == vs.size)
+      assert((if (gir.isNullAt(4)) None else Some(BigInt(gir.getLong(4)))) == expSumV,
+        s"table $t metadata sum(v)")
     }
   }
 

@@ -99,24 +99,12 @@ object SimilarityOps {
     * data. Approximate -> rows-only checked; recall vs brute force is
     * unit-tested.
     */
-  def knnIvf(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val nprobe = 4
-    val e = Tables.spread(Tables.t(s, dir, "embeddings"))
-      .withColumn("features", array_to_vector(col("embedding")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val model = new KMeans().setK(16).setSeed(42L).setMaxIter(5)
-      .fit(e.select("features"))
-    val assigned = model.transform(e).withColumnRenamed("prediction", "cell")
-    val centroids = model.clusterCenters
-    // probe sets: nprobe nearest centroids per query (k x q distances —
-    // metadata-sized, computed on the driver like any index lookup)
-    val queries = assigned.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val qVecs = queries.collect().map(r =>
-      (r.getAs[Long]("q_id"), r.getAs[scala.collection.Seq[Float]]("q_emb").toArray))
-    val probes = qVecs.flatMap { case (qid, v) =>
+  /** nprobe nearest coarse centroids per query — k x q squared distances,
+    * driver-side index metadata (shared by the IVF and IVF-PQ paths).
+    */
+  private def probeSets(centroids: Array[org.apache.spark.ml.linalg.Vector],
+      qVecs: Seq[(Long, Array[Float])], nprobe: Int): Seq[(Long, Int)] =
+    qVecs.flatMap { case (qid, v) =>
       centroids.zipWithIndex
         .map { case (c, ci) =>
           var d = 0.0
@@ -125,8 +113,28 @@ object SimilarityOps {
           (ci, d)
         }
         .sortBy(_._2).take(nprobe).map { case (ci, _) => (qid, ci) }
-    }.toSeq
-    val probeDf = s.createDataFrame(probes).toDF("q_id", "cell")
+    }
+
+  /** The shared coarse quantizer (k=16, seeded) over a `features` column. */
+  private def coarseQuantizer(features: DataFrame) = {
+    import org.apache.spark.ml.clustering.KMeans
+    new KMeans().setK(16).setSeed(42L).setMaxIter(5).fit(features)
+  }
+
+  def knnIvf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val nprobe = 4
+    val e = Tables.spread(Tables.t(s, dir, "embeddings"))
+      .withColumn("features", array_to_vector(col("embedding")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val model = coarseQuantizer(e.select("features"))
+    val assigned = model.transform(e).withColumnRenamed("prediction", "cell")
+    val queries = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val qVecs = queries.collect().map(r =>
+      (r.getAs[Long]("q_id"), r.getAs[scala.collection.Seq[Float]]("q_emb").toArray))
+    val probeDf = s.createDataFrame(probeSets(model.clusterCenters, qVecs.toIndexedSeq, nprobe))
+      .toDF("q_id", "cell")
       .join(queries, "q_id")
     val scored = assigned.join(broadcast(probeDf), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
@@ -205,17 +213,21 @@ object SimilarityOps {
     (books, encoded, e)
   }
 
+  /** One collect of the (tiny) query set — shared by the LUT frame and
+    * the IVF-PQ probe computation.
+    */
+  private def pqQueryRows(queries: DataFrame): IndexedSeq[(Long, Array[Float])] =
+    queries.select("vec_id", "embedding").collect().toIndexedSeq.map(r =>
+      (r.getAs[Long]("vec_id"), r.getAs[scala.collection.Seq[Float]]("embedding").toArray))
+
   /** Per-query ADC lookup tables against `books`:
     * lut[j*k + c] = <q_subj, book[j][c]> — 512 doubles per query, driver
     * metadata like IVF's probe sets.
     */
-  private def pqQueryDf(s: SparkSession, queries: DataFrame,
+  private def pqQueryDf(s: SparkSession, qRows: Seq[(Long, Array[Float])],
       books: Array[Array[Array[Double]]]): DataFrame = {
     import s.implicits._
-    queries.select(col("vec_id"), col("embedding"), pqNorm.as("nrm")).collect()
-      .map { r =>
-        val qid = r.getAs[Long]("vec_id")
-        val emb = r.getAs[scala.collection.Seq[Float]]("embedding").toArray
+    qRows.map { case (qid, emb) =>
         val lut = Array.tabulate(PqM * PqK) { i =>
           val (j, c) = (i / PqK, i % PqK)
           var d = 0.0
@@ -223,7 +235,12 @@ object SimilarityOps {
           while (t < PqSubDim) { d += emb(j * PqSubDim + t).toDouble * books(j)(c)(t); t += 1 }
           d
         }
-        (qid, emb.toSeq, lut.toSeq, r.getAs[Double]("nrm"))
+        // same left-to-right accumulation as the pqNorm SQL expression, so
+        // the driver-computed norm is bit-identical to the encoded side's
+        var n2 = 0.0
+        var i = 0
+        while (i < emb.length) { n2 += emb(i).toDouble * emb(i).toDouble; i += 1 }
+        (qid, emb.toSeq, lut.toSeq, math.sqrt(n2))
       }.toIndexedSeq.toDF("q_id", "q_emb", "lut", "q_nrm")
   }
 
@@ -264,8 +281,8 @@ object SimilarityOps {
   def knnPqOn(corpus: DataFrame): DataFrame = {
     val (books, encoded, cached) = pqTrainEncode(Tables.spread(corpus))
     // queries come off the persisted featurized frame — no raw re-scan
-    val queryDf = pqQueryDf(corpus.sparkSession, cached.filter(col("vec_id") < 10), books)
-    pqSearch(encoded, queryDf, corpus)
+    val qRows = pqQueryRows(cached.filter(col("vec_id") < 10))
+    pqSearch(encoded, pqQueryDf(corpus.sparkSession, qRows, books), corpus)
   }
 
   def knnPq(s: SparkSession, dir: String): DataFrame =
@@ -301,32 +318,20 @@ object SimilarityOps {
     * the cell join reuses the PQ scoring + exact re-rank stages.
     */
   def knnIvfPq(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    import s.implicits._
     val nprobe = 4
     val e0 = Tables.spread(Tables.t(s, dir, "embeddings"))
       .withColumn("features", array_to_vector(col("embedding")))
-    val cellModel = new KMeans().setK(16).setSeed(42L).setMaxIter(5)
-      .fit(e0.select("features"))
+    val cellModel = coarseQuantizer(e0.select("features"))
     val assigned = cellModel.transform(e0)
       .withColumnRenamed("prediction", "cell").drop("features")
     val (books, encoded, cached) = pqTrainEncode(assigned, keep = Seq("cell"))
-    val queryDf = pqQueryDf(s, cached.filter(col("vec_id") < 10), books)
-    // nprobe nearest cell centroids per query — driver-side metadata
-    val centroids = cellModel.clusterCenters
-    val qVecs = cached.filter(col("vec_id") < 10)
-      .select("vec_id", "embedding").collect().map(r =>
-        (r.getAs[Long]("vec_id"), r.getAs[scala.collection.Seq[Float]]("embedding").toArray))
-    val probes = qVecs.flatMap { case (qid, v) =>
-      centroids.zipWithIndex.map { case (c, ci) =>
-        var d = 0.0
-        val ca = c.toArray
-        for (i <- ca.indices) { val t = ca(i) - v(i); d += t * t }
-        (ci, d)
-      }.sortBy(_._2).take(nprobe).map { case (ci, _) => (qid, ci) }
-    }.toIndexedSeq
-    import s.implicits._
-    val probeDf = probes.toDF("q_id", "cell").join(queryDf, "q_id")
+    // ONE collect of the query set feeds both the LUTs and the probe sets
+    val qRows = pqQueryRows(cached.filter(col("vec_id") < 10))
+    val queryDf = pqQueryDf(s, qRows, books)
+    val probeDf = probeSets(cellModel.clusterCenters, qRows, nprobe)
+      .toDF("q_id", "cell").join(queryDf, "q_id")
     // the cell join IS the probe: only nprobe/k of the codes pair with
     // each query, vs the full cross join of the flat PQ scan
     val paired = encoded.join(broadcast(probeDf), Seq("cell"))
@@ -351,8 +356,8 @@ object SimilarityOps {
   def knnPqServe(s: SparkSession, corpus: DataFrame, indexPath: String): DataFrame = {
     val books = readBooks(s, indexPath)
     val encoded = s.read.parquet(s"$indexPath/codes")
-    val queryDf = pqQueryDf(s, corpus.filter(col("vec_id") < 10), books)
-    pqSearch(encoded, queryDf, corpus)
+    val qRows = pqQueryRows(corpus.filter(col("vec_id") < 10))
+    pqSearch(encoded, pqQueryDf(s, qRows, books), corpus)
   }
 
   def knnPqFromIndex(s: SparkSession, dir: String, indexPath: String): DataFrame =

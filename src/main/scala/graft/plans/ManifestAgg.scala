@@ -135,6 +135,14 @@ case class ManifestAgg(spark: SparkSession) extends Rule[LogicalPlan] {
             var total = java.math.BigDecimal.ZERO
             var any = false
             var trusted = true
+            // worst-case ABSOLUTE accumulation: Σ over files of
+            // (non-null rows) * max(|lo|, |hi|). If this stays below
+            // Long.Max, NO row ordering can overflow a long mid-scan, so
+            // plain / ANSI / try_sum all return exactly this total — the
+            // final-total-fits check alone would not catch a scan that
+            // overflows transiently (e.g. +2^62 +2^62 -2^62) and throws
+            // under ANSI where the metadata answer would silently differ.
+            var bound = BigDecimal(0)
             rs.foreach { r =>
               r.sm match {
                 case Some(s) => total = total.add(s); any = true
@@ -143,12 +151,21 @@ case class ManifestAgg(spark: SparkSession) extends Rule[LogicalPlan] {
                   // column is ALL null; otherwise (pre-sum manifest) bail
                   if (!r.nnulls.contains(rowsOf(r.file))) trusted = false
               }
+              val nonNull = rowsOf(r.file) - r.nnulls.getOrElse(0L)
+              if (nonNull > 0) (r.lo, r.hi) match {
+                case (Some(lo), Some(hi)) =>
+                  bound += BigDecimal(nonNull) * BigDecimal(math.max(math.abs(lo), math.abs(hi)))
+                case _ => trusted = false // non-null values but no footprint
+              }
             }
-            if (!trusted) None
+            // the 1e-9 slack absorbs the <=1-ulp (2^-52 relative) rounding
+            // of the double-typed footprints the bound is built from
+            if (!trusted || bound >= BigDecimal(Long.MaxValue) * BigDecimal("0.999999999")) None
             else if (!any) Some(null) // SQL sum over no non-null values
             else
-              // Sum over integral inputs is LongType; a total outside long
-              // would make the scan throw/wrap instead — bail to the scan
+              // the bound makes overflow impossible for a CONSISTENT
+              // manifest; a corrupt one (sums disagreeing with footprints)
+              // still bails instead of crashing the query
               try Some(java.lang.Long.valueOf(total.toBigIntegerExact.longValueExact))
               catch { case _: ArithmeticException => None }
           }

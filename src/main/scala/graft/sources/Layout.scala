@@ -149,14 +149,25 @@ object Layout {
     * file pruning the footprints already give.
     */
   private def manifestRows(df: DataFrame, statCols: Seq[String]): DataFrame = {
-    // per-file exact sums ride along as DECIMAL(38,0) — only meaningful
-    // (and only consumed by ManifestAgg) for INTEGRAL columns, where the
-    // cast is lossless; 38 digits cannot overflow on any file of longs
+    import org.apache.spark.sql.types._
+    // per-file exact sums ride along as DECIMAL(38,0) — ONLY for integral
+    // columns, where the cast is lossless and 38 digits cannot overflow on
+    // any file of longs. Non-integral columns record a null sum instead:
+    // ManifestAgg never consumes it, and casting doubles would both store
+    // a wrong (per-value-rounded) sum and THROW under ANSI mode (Spark 4's
+    // default) on NaN/Infinity/|v|>=1e38 values.
+    def integral(c: String): Boolean = df.schema(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val decSum: String => Column = c =>
+      if (integral(c)) sum(col(c).cast(DecimalType(38, 0)))
+      else max(lit(null).cast(DecimalType(38, 0))) // typed null, still an agg expr
     val aggs = count(lit(1)).as("nrows") +: statCols.flatMap(c => Seq(
       min(col(c)).cast("double").as(s"lo_$c"),
       max(col(c)).cast("double").as(s"hi_$c"),
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
-      sum(col(c).cast(org.apache.spark.sql.types.DecimalType(38, 0))).as(s"sm_$c")))
+      decSum(c).as(s"sm_$c")))
     // the manifest records BASENAMES (unique per directory), not absolute
     // paths: the table directory can be renamed/compacted/relocated and
     // the manifest stays valid — readers resolve names against the root

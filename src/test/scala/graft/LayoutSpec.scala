@@ -285,6 +285,25 @@ class LayoutSpec extends SparkSpecBase {
       }.isDefined)
   }
 
+  test("manifest write survives NaN/Infinity doubles (no ANSI decimal cast)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-mnan").toString
+    val path = s"$base/t"
+    Seq((1L, 1.5), (2L, Double.NaN), (3L, Double.PositiveInfinity), (4L, -1e40))
+      .toDF("k", "d").coalesce(1).write.mode("overwrite").parquet(path)
+    // regression: the per-file sum must not cast doubles to decimal —
+    // under Spark 4's default ANSI mode that throws on NaN/Inf/|v|>=1e38
+    Layout.writeManifest(spark, path, Seq("k", "d"))
+    val q = spark.read.parquet(path).agg(count(lit(1)), sum(col("k")))
+    assert(q.queryExecution.optimizedPlan.collectFirst {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }.isDefined, "integral aggs still metadata-answered beside a NaN column")
+    val r = q.head()
+    assert(r.getLong(0) == 4 && r.getLong(1) == 10L)
+    // float sums always scan — and agree with a direct recompute
+    assert(spark.read.parquet(path).agg(sum(col("d"))).head().getDouble(0).isNaN)
+  }
+
   test("ManifestAgg fuzz: metadata answers equal scan answers on random tables") {
     import spark.implicits._
     val rng = new scala.util.Random(20260812L)

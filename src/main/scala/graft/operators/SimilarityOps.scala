@@ -317,11 +317,12 @@ object SimilarityOps {
     * index metadata exactly like [[knnIvf]]'s; everything downstream of
     * the cell join reuses the PQ scoring + exact re-rank stages.
     */
-  def knnIvfPq(s: SparkSession, dir: String): DataFrame = {
+  def knnIvfPqOn(corpus: DataFrame): DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector
+    val s = corpus.sparkSession
     import s.implicits._
     val nprobe = 4
-    val e0 = Tables.spread(Tables.t(s, dir, "embeddings"))
+    val e0 = Tables.spread(corpus)
       .withColumn("features", array_to_vector(col("embedding")))
     val cellModel = coarseQuantizer(e0.select("features"))
     val assigned = cellModel.transform(e0)
@@ -335,8 +336,11 @@ object SimilarityOps {
     // the cell join IS the probe: only nprobe/k of the codes pair with
     // each query, vs the full cross join of the flat PQ scan
     val paired = encoded.join(broadcast(probeDf), Seq("cell"))
-    pqScoreRerank(paired, Tables.t(s, dir, "embeddings"))
+    pqScoreRerank(paired, corpus)
   }
+
+  def knnIvfPq(s: SparkSession, dir: String): DataFrame =
+    knnIvfPqOn(Tables.t(s, dir, "embeddings"))
 
   private def readBooks(s: SparkSession, indexPath: String): Array[Array[Array[Double]]] = {
     val books = Array.ofDim[Array[Double]](PqM, PqK)

@@ -104,6 +104,24 @@ object LayoutBench {
       (r, decodedRows(probe), t)
     }
 
+    // metadata-only aggregates: manifest the z-ordered copy and compare a
+    // count+sum+min+max dashboard aggregate answered from the manifest
+    // (LocalRelation, zero files opened) against the same aggregate
+    // scanning the shuffled copy — the decoded-row analog here is "files
+    // opened": 0 vs all of them
+    Layout.writeManifest(spark, s"$base/zorder", Seq("l_suppkey", "l_extendedprice"))
+    val dash = (p: String) => spark.read.parquet(p)
+      .agg(count(lit(1)), sum(col("l_suppkey")), min(col("l_suppkey")), max(col("l_suppkey")))
+    dash(s"$base/shuffled").collect() // warm codegen for the scan side
+    val (rScan, tScan) = time(dash(s"$base/shuffled").head().getLong(0))
+    val (rMeta, tMeta) = time(dash(s"$base/zorder").head().getLong(0))
+    val metaPlan = dash(s"$base/zorder").queryExecution.optimizedPlan
+    val isLocal = metaPlan.collectFirst {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }.isDefined
+    println(f"[layoutbench] dashboard-agg scan: $tScan%.3f s ($rScan rows)  " +
+      f"metadata: $tMeta%.3f s ($rMeta rows, localRelation=$isLocal)")
+
     big.unpersist()
     for (layout <- Seq("shuffled", "sorted", "zorder")) {
       // untimed runs of the EXACT timed queries first: warms the page

@@ -131,6 +131,8 @@ object Stress {
       spark.catalog.clearCache()
       time(s"knn-pq x$copies")(SimilarityOps.knnPqOn(embN).count())
       spark.catalog.clearCache()
+      time(s"knn-ivfpq x$copies")(SimilarityOps.knnIvfPqOn(embN).count())
+      spark.catalog.clearCache()
 
       // cosine-dups candidate curve: copies get distinct labels and a
       // copy-specific SIGN-FLIP perturbation (s_j in {±1}): within-copy

@@ -24,5 +24,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_rolling_hash"),
       new ExpressionInfo("graft.functions", "graft_rolling_hash"),
       args => RollingHash(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_pq_adc"),
+      new ExpressionInfo("graft.functions", "graft_pq_adc"),
+      args => PqAdc(args(0), args(1))))
   }
 }

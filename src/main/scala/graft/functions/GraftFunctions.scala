@@ -17,7 +17,8 @@ object GraftFunctions {
     "graft_rolling_hash" -> { args => RollingHash(args(0)) },
     "graft_minhash_sig" -> { args => MinHashSig(args(0)) },
     "graft_word_shingles" -> { args =>
-      WordShingles(args(0), args(1).eval().asInstanceOf[Int]) }
+      WordShingles(args(0), args(1).eval().asInstanceOf[Int]) },
+    "graft_pq_adc" -> { args => PqAdc(args(0), args(1)) }
   )
 
   def register(spark: SparkSession): Unit = {
@@ -47,4 +48,6 @@ object GraftFunctions {
   def graftMinHashSig(tokens: Column): Column = call_function("graft_minhash_sig", tokens)
   def graftWordShingles(text: Column, k: Int): Column =
     call_function("graft_word_shingles", text, org.apache.spark.sql.functions.lit(k))
+  def graftPqAdc(codes: Column, lut: Column): Column =
+    call_function("graft_pq_adc", codes, lut)
 }

@@ -261,3 +261,52 @@ object WordShingles {
     new GenericArrayData(out)
   }
 }
+
+/** ADC (asymmetric distance computation) table-lookup sum for
+  * product-quantized scoring: for m sub-codes and a flat (m x k) query
+  * lookup table, result = sum over j of lut[j*k + codes[j]]. m = |codes|,
+  * k = |lut| / m — both derived from the inputs, so one expression serves
+  * any PQ geometry.
+  *
+  * This is the per-row hot loop of the PQ ANN scan (SimilarityOps.knnPq /
+  * knnIvfPq). The composed form — m element_at(+lit arithmetic) nodes —
+  * stays inside codegen but costs ~3m expression nodes per row; this
+  * single expression is one call with a tight primitive loop. Out-of-range
+  * codes throw rather than silently reading a neighboring subspace's
+  * table entries.
+  */
+case class PqAdc(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_pq_adc"
+
+  override protected def nullSafeEval(codes: Any, lut: Any): Any =
+    PqAdc.compute(codes.asInstanceOf[ArrayData], lut.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, l) =>
+      s"${ev.value} = graft.functions.PqAdc.compute($c, $l);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqAdc {
+  def compute(codes: ArrayData, lut: ArrayData): Double = {
+    val m = codes.numElements()
+    if (m == 0) return 0.0
+    val k = lut.numElements() / m
+    var s = 0.0
+    var j = 0
+    while (j < m) {
+      val c = codes.getInt(j)
+      if (c < 0 || c >= k) throw new ArrayIndexOutOfBoundsException(
+        s"graft_pq_adc: code $c out of range [0, $k) in subspace $j")
+      s += lut.getDouble(j * k + c)
+      j += 1
+    }
+    s
+  }
+}

@@ -249,10 +249,9 @@ object SimilarityOps {
     * the full-scan, serve-from-index, and IVF-probed paths.
     */
   private def pqScoreRerank(paired: DataFrame, embeddings: DataFrame): DataFrame = {
-    // ADC score: static m-term sum of table lookups — fully codegen'd
-    val adc = (0 until PqM).map(j =>
-      element_at(col("lut"), element_at(col("codes"), j + 1) + lit(j * PqK) + 1))
-      .reduce(_ + _)
+    // ADC score: ONE native expression per row (tight primitive loop over
+    // the m codes) instead of ~3m composed element_at/arithmetic nodes
+    val adc = graft.functions.GraftFunctions.graftPqAdc(col("codes"), col("lut"))
     val scored = paired
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("adc_sim",

@@ -66,4 +66,38 @@ class VectorExpressionsSpec extends SparkSpecBase {
     val ab = RollingHash.hash("ab".getBytes)
     assert(ab == ('a'.toLong * 257 + 'b'.toLong) % RollingHash.Mod)
   }
+
+  test("graft_pq_adc equals the composed element_at sum, same IEEE order") {
+    val rng = new scala.util.Random(99)
+    val m = 8
+    val k = 16
+    val rows = (0 until 50).map { _ =>
+      (Seq.fill(m)(rng.nextInt(k)), Seq.fill(m * k)(rng.nextGaussian()))
+    }
+    val df = rows.toDF("codes", "lut")
+    val composed = (0 until m).map(j =>
+      element_at(col("lut"), element_at(col("codes"), j + 1) + lit(j * k) + 1))
+      .reduce(_ + _)
+    val got = df.select(
+      GraftFunctions.graftPqAdc(col("codes"), col("lut")).as("native"),
+      composed.as("composed")).collect()
+    // bit-identical: both accumulate j ascending left-to-right
+    got.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    // driver-side recompute for one row
+    val (c0, l0) = rows.head
+    val exp = (0 until m).map(j => l0(j * k + c0(j))).sum
+    assert(got.head.getDouble(0) == exp)
+    // null propagation
+    val withNull = Seq((null.asInstanceOf[Seq[Int]], Seq.fill(m * k)(1.0)))
+      .toDF("codes", "lut")
+      .select(GraftFunctions.graftPqAdc(col("codes"), col("lut"))).first()
+    assert(withNull.isNullAt(0))
+    // out-of-range code fails loud instead of reading a neighbor's entry
+    val bad = Seq((Seq.fill(m)(k), Seq.fill(m * k)(1.0))).toDF("codes", "lut")
+      .select(GraftFunctions.graftPqAdc(col("codes"), col("lut")))
+    val e = intercept[Exception](bad.collect())
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.isInstanceOf[ArrayIndexOutOfBoundsException]))
+  }
 }

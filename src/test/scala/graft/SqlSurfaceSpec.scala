@@ -66,6 +66,11 @@ class SqlSurfaceSpec extends SparkSpecBase {
     val rows = n.collect()
     assert(rows.nonEmpty)
     assert(rows.forall(_.getInt(2) == graft.functions.MinHashSig.NumPerm))
+    // the ADC lookup expression resolves from SQL too
+    val adc = spark.sql(
+      "SELECT graft_pq_adc(array(1, 0), array(CAST(10.0 AS DOUBLE), 20.0, 30.0, 40.0))")
+      .first().getDouble(0)
+    assert(adc == 20.0 + 30.0) // lut[0*2+1] + lut[1*2+0]
     // spot-check against the Column API on the same docs
     val api = Tables.t(spark, sf0001, "documents")
       .select(col("doc_id"),

@@ -285,6 +285,36 @@ class LayoutSpec extends SparkSpecBase {
       }.isDefined)
   }
 
+  test("pre-sum manifest schema: append merges, sum fails open, min/max/count still answer") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-mold").toString
+    val path = s"$base/t"
+    (0 until 1000).map(i => (i.toLong, (i % 53).toLong)).toDF("k", "v")
+      .coalesce(2).write.mode("overwrite").parquet(path)
+    Layout.writeManifest(spark, path, Seq("k", "v"))
+    // simulate a manifest written before per-file sums existed
+    val mPath = s"$path/_graft_manifest"
+    val old = spark.read.parquet(mPath).drop("sm").localCheckpoint(true)
+    old.coalesce(1).write.mode("overwrite").parquet(mPath)
+    // append with the CURRENT writer: schemas merge via allowMissingColumns
+    Layout.appendWithManifest(
+      (5000 until 5200).map(i => (i.toLong, 1L)).toDF("k", "v"), path, Seq("k", "v"))
+    val noSum = spark.read.parquet(path).agg(count(lit(1)), min(col("k")), max(col("k")))
+    assert(noSum.queryExecution.optimizedPlan.collectFirst {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }.isDefined, "count/min/max must still answer from the merged manifest")
+    val r = noSum.head()
+    assert(r.getLong(0) == 1200 && r.getLong(1) == 0 && r.getLong(2) == 5199)
+    // sum: the old files carry no per-file sums and have non-null values,
+    // so the metadata answer must refuse — and the scan must be right
+    val sumQ = spark.read.parquet(path).agg(sum(col("v")))
+    assert(sumQ.queryExecution.optimizedPlan.collectFirst {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }.isEmpty, "sum over a pre-sum manifest must fall back to the scan")
+    assert(sumQ.head().getLong(0) ==
+      (0 until 1000).map(_ % 53).sum.toLong + 200L)
+  }
+
   test("manifest write survives NaN/Infinity doubles (no ANSI decimal cast)") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-mnan").toString

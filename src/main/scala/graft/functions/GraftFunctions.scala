@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions.call_function
   */
 object GraftFunctions {
 
-  private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+  private[functions] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_cosine" -> { args => QuantizedCosine(args(0), args(1)) },
     "graft_simhash64" -> { args => SimHash64(args(0)) },
     "graft_rolling_hash" -> { args => RollingHash(args(0)) },

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -276,17 +276,29 @@ object WordShingles {
   * table entries.
   */
 case class PqAdc(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_pq_adc"
+
+  /** Declared input types make the SQL surface safe: without them, an
+    * array<bigint> codes column would pass analysis and then be misread
+    * byte-wise by getInt. With them, Catalyst coerces what it can and
+    * rejects the rest at analysis time.
+    */
+  override def inputTypes = Seq(ArrayType(IntegerType), ArrayType(DoubleType))
 
   override protected def nullSafeEval(codes: Any, lut: Any): Any =
     PqAdc.compute(codes.asInstanceOf[ArrayData], lut.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (c, l) =>
-      s"${ev.value} = graft.functions.PqAdc.compute($c, $l);")
+    nullSafeCodeGen(ctx, ev, { (c, l) =>
+      val tmp = ctx.freshName("adc")
+      s"""java.lang.Double $tmp = graft.functions.PqAdc.compute($c, $l);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.doubleValue(); }""".stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -294,17 +306,28 @@ case class PqAdc(left: Expression, right: Expression)
 }
 
 object PqAdc {
-  def compute(codes: ArrayData, lut: ArrayData): Double = {
+  /** Boxed result: null when any array ELEMENT is null (matching the SQL
+    * semantics of the composed element_at form — a null code or table
+    * entry poisons the sum, it does not silently contribute 0).
+    */
+  def compute(codes: ArrayData, lut: ArrayData): java.lang.Double = {
     val m = codes.numElements()
     if (m == 0) return 0.0
-    val k = lut.numElements() / m
+    val nLut = lut.numElements()
+    if (nLut % m != 0) throw new IllegalArgumentException(
+      s"graft_pq_adc: |lut| = $nLut is not a multiple of |codes| = $m — " +
+        "codes and lookup table disagree on the PQ geometry")
+    val k = nLut / m
     var s = 0.0
     var j = 0
     while (j < m) {
+      if (codes.isNullAt(j)) return null
       val c = codes.getInt(j)
       if (c < 0 || c >= k) throw new ArrayIndexOutOfBoundsException(
         s"graft_pq_adc: code $c out of range [0, $k) in subspace $j")
-      s += lut.getDouble(j * k + c)
+      val idx = j * k + c
+      if (lut.isNullAt(idx)) return null
+      s += lut.getDouble(idx)
       j += 1
     }
     s

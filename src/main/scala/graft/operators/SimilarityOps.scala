@@ -165,8 +165,9 @@ object SimilarityOps {
     * At 100 TB: codes + norms are a write-once derived table (one map
     * pass over broadcast codebooks); the ADC scan reads ~6 B/vector
     * instead of 256 B — the whole corpus's codes fit where 1/42nd of the
-    * raw vectors would — and the scoring column is a static 8-term
-    * codegen'd expression (no per-row HOF loop). The re-rank side is
+    * raw vectors would — and the scoring column is the single native
+    * `PqAdc` expression (one codegen'd call with a tight primitive loop
+    * over the m codes). The re-rank side is
     * `PqRerank * |queries|` rows, always broadcastable. The raw table is
     * touched twice by design (encode pass at build time, candidate
     * re-rank at query time — the Audit's `embeddings x2`); with the

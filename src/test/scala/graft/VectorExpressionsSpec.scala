@@ -87,17 +87,32 @@ class VectorExpressionsSpec extends SparkSpecBase {
     val (c0, l0) = rows.head
     val exp = (0 until m).map(j => l0(j * k + c0(j))).sum
     assert(got.head.getDouble(0) == exp)
-    // null propagation
+    // null propagation: whole-array null AND element null both poison
     val withNull = Seq((null.asInstanceOf[Seq[Int]], Seq.fill(m * k)(1.0)))
       .toDF("codes", "lut")
       .select(GraftFunctions.graftPqAdc(col("codes"), col("lut"))).first()
     assert(withNull.isNullAt(0))
+    val elemNull = Seq((Seq[Option[Int]](Some(1), None), Seq.fill(32)(1.0)))
+      .toDF("codes", "lut")
+      .select(GraftFunctions.graftPqAdc(col("codes"), col("lut"))).first()
+    assert(elemNull.isNullAt(0), "a null code element must yield null, not 0")
+    // geometry mismatch (|lut| not a multiple of |codes|) fails loud
+    val mism = Seq((Seq(0, 1), Seq.fill(5)(1.0))).toDF("codes", "lut")
+      .select(GraftFunctions.graftPqAdc(col("codes"), col("lut")))
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    val gm = intercept[Exception](mism.collect())
+    assert(causes(gm).exists(_.isInstanceOf[IllegalArgumentException]))
+    // declared input types: array<bigint> codes gets a REAL element-wise
+    // cast inserted by Catalyst (correct values), not the silent byte-wise
+    // misread an undeclared-type getInt would produce
+    val widened = Seq((Seq(1L, 0L), Seq.fill(32)(1.0))).toDF("codes", "lut")
+      .select(GraftFunctions.graftPqAdc(col("codes"), col("lut"))).first().getDouble(0)
+    assert(widened == 2.0)
     // out-of-range code fails loud instead of reading a neighbor's entry
     val bad = Seq((Seq.fill(m)(k), Seq.fill(m * k)(1.0))).toDF("codes", "lut")
       .select(GraftFunctions.graftPqAdc(col("codes"), col("lut")))
     val e = intercept[Exception](bad.collect())
-    def causes(t: Throwable): Seq[Throwable] =
-      if (t == null) Nil else t +: causes(t.getCause)
     assert(causes(e).exists(_.isInstanceOf[ArrayIndexOutOfBoundsException]))
   }
 }

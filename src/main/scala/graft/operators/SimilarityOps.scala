@@ -526,6 +526,75 @@ object SimilarityOps {
           col("a.vec_id") < col("b.vec_id"))
   }
 
+  /** Incremental embedding near-dup: a NEW batch of vectors against the
+    * existing corpus — the ingest-shape member of the cosine family,
+    * completing the incremental trio (exact fingerprint probe, MinHash
+    * band probe, and this). EXACT at the emb_cosine_dups threshold via
+    * the same triangle-inequality machinery: corpus cells (KMeans over
+    * normalized vectors) + per-cell radius act as the frozen index, and a
+    * batch vector probes only cells with dist(b, cell) <= rmax + r —
+    * for x in cell B, ||b - x|| >= ||b - cB|| - rmax(B), so skipped
+    * cells provably hold no qualifying pair (lossless; the oracle is the
+    * plain cross-split threshold join). The PLAN carries the incremental
+    * asymmetry: probe pairs (batch x admissible cells) BROADCAST and the
+    * assigned corpus streams past them ONCE — no corpus shuffle, no
+    * corpus hash-build, the same shape as `DedupOps.incrementalDedup`.
+    */
+  def incrementalCosineOn(corpus: DataFrame, batch: DataFrame,
+      t: Double = 0.4, k: Int = 16): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val s = corpus.sparkSession
+    import s.implicits._
+    val r = math.sqrt(2.0 - 2.0 * (t - 1e-6))
+    def normed(df: DataFrame): DataFrame = df
+      .withColumn("nrm", expr(
+        "sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE), (a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"))
+      .withColumn("nvec", expr(
+        "transform(embedding, x -> CASE WHEN nrm = 0.0 THEN 0.0 ELSE CAST(x AS DOUBLE) / nrm END)"))
+    val c = normed(Tables.spread(corpus))
+      .withColumn("features", array_to_vector(col("nvec")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val model = coarseQuantizer(c.select("features"))
+    val centDf = model.clusterCenters.map(_.toArray).zipWithIndex
+      .map { case (cA, i) => (i, cA.toSeq) }.toIndexedSeq.toDF("cell", "carr")
+    val distToCent = expr(
+      "sqrt(aggregate(zip_with(nvec, carr, (x, c) -> (x - c) * (x - c)), CAST(0.0 AS DOUBLE), (a, v) -> a + v))")
+    val assigned = model.transform(c).withColumnRenamed("prediction", "cell")
+      .join(broadcast(centDf), "cell")
+      .withColumn("cdist", distToCent)
+      .select("vec_id", "embedding", "cell", "cdist")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // (cell, centroid, radius): k rows of frozen index metadata
+    val cellIdx = centDf.join(assigned.groupBy("cell").agg(max(col("cdist")).as("rmax")), "cell")
+    // batch probes: distance to every centroid (k per batch row,
+    // map-side against the broadcast index), keep admissible cells only
+    val probes = normed(batch).crossJoin(broadcast(cellIdx))
+      .withColumn("bdist", distToCent)
+      .filter(col("bdist") <= col("rmax") + lit(r))
+      .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("cell"))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .withColumn("sim", graftCosine(col("b_emb"), col("embedding")))
+      .filter(col("sim") >= t)
+      .select(col("b_id"), col("vec_id").as("c_id"), col("sim"))
+      .orderBy("b_id", "c_id")
+  }
+
+  /** Driver split: batch = vec_id < 50 (the "daily ingest"), corpus = the
+    * rest — mirrors the doc_incr_* conventions.
+    */
+  def incrementalCosine(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "embeddings")
+    incrementalCosineOn(e.filter(col("vec_id") >= 50), e.filter(col("vec_id") < 50))
+  }
+
+  val incrementalCosineOracle: String =
+    s"""SELECT b.vec_id AS b_id, c.vec_id AS c_id,
+       |       ${sqlQCos("b.embedding", "c.embedding")} AS sim
+       |FROM embeddings b JOIN embeddings c
+       |  ON b.vec_id < 50 AND c.vec_id >= 50
+       |WHERE ${sqlQCos("b.embedding", "c.embedding")} >= 0.4
+       |ORDER BY b_id, c_id""".stripMargin
+
   /** The reference small-scale form (label-block all-pairs) — kept as the
     * oracle-shaped baseline for recall tests against the blocked path.
     */
@@ -610,6 +679,7 @@ object SimilarityOps {
     QueryDef("emb_knn_ivfpq", knnIvfPq, None),
     QueryDef("emb_label_centroids", labelCentroids, Some(centroidsOracle)),
     QueryDef("emb_cosine_dups", cosineDups, Some(cosineDupsOracle)),
+    QueryDef("emb_incr_cosine", incrementalCosine, Some(incrementalCosineOracle)),
     QueryDef("emb_dup_clusters", embDupClusters, Some(embDupClustersOracle)),
     QueryDef("emb_quantize_int8", quantizeInt8, Some(quantizeOracle))
   )

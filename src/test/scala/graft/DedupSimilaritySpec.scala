@@ -347,6 +347,35 @@ class DedupSimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("incremental cosine: exact vs driver brute force; corpus never sort-merged") {
+    val e = Tables.t(spark, sf0001, "embeddings")
+    val df = SimilarityOps.incrementalCosine(spark, sf0001)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // driver-side brute force over the same split at the same quantized cosine
+    val vecs = e.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Float]](1).map(f => math.floor(f.toDouble * 1e9).toLong).toArray)
+    def qcos(a: Array[Long], b: Array[Long]): Double = {
+      def dot(x: Array[Long], y: Array[Long]): Double =
+        x.indices.map(i => x(i) * y(i)).sum.toDouble
+      val na = dot(a, a); val nb = dot(b, b)
+      if (na == 0 || nb == 0) 0.0 else dot(a, b) / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val exp = (for {
+      (bi, bv) <- vecs if bi < 50
+      (ci, cv) <- vecs if ci >= 50
+      s = qcos(bv, cv) if s >= 0.4
+    } yield (bi, ci) -> s).toMap
+    assert(got.keySet == exp.keySet,
+      s"cell-bound probe must be lossless (missing ${exp.keySet -- got.keySet})")
+    exp.foreach { case (k2, v) => assert(got(k2) == v) }
+    // plan shape: the corpus side streams through broadcast joins only
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus side must never be sort-merge shuffled:\n$plan")
+  }
+
   test("IVF-PQ recalls a sane share of brute-force top-10; sims exact (sf0.001)") {
     val brute = SimilarityOps.knnBrute(spark, sf0001)
       .select("q_id", "n_id").as[(Long, Long)].collect().toSet

@@ -152,6 +152,26 @@ object Stress {
         SimilarityOps.cosineCandidates(embC, 0.4, 16 * copies).count())
       time(s"cosine-dups x$copies pairs")(
         SimilarityOps.cosineDupsBlocked(embC, 0.4, 16 * copies).count())
+      spark.catalog.clearCache()
+
+      // incremental cosine: FIXED batch (copy 0's first 50 vectors) vs a
+      // corpus that grows by sign-flip copies. Each copy carries a flip
+      // twin of every batch vector (vectors with concentrated mass keep
+      // |sim| >= t under many flip patterns), so TRUE matches grow
+      // linearly with copies — the invariants to watch are result count
+      // ~linear (262 -> 505 at x5 -> x10) and probe TIME ~flat (one
+      // corpus pass; the batch side is the broadcast)
+      val batchE = embC.filter(col("vec_id") < 50)
+      if (copies >= 2) {
+        val embHalf = embC.filter(col("vec_id") < (copies / 2) * 10000000L)
+        time(s"incr-cosine corpus x${copies / 2}")(
+          SimilarityOps.incrementalCosineOn(
+            embHalf.filter(col("vec_id") >= 50), batchE).count())
+        spark.catalog.clearCache()
+      }
+      time(s"incr-cosine corpus x$copies")(
+        SimilarityOps.incrementalCosineOn(
+          embC.filter(col("vec_id") >= 50), batchE).count())
     }
 
     spark.stop()

@@ -115,10 +115,35 @@ object SimilarityOps {
         .sortBy(_._2).take(nprobe).map { case (ci, _) => (qid, ci) }
     }
 
-  /** The shared coarse quantizer (k=16, seeded) over a `features` column. */
-  private def coarseQuantizer(features: DataFrame) = {
+  /** The shared coarse quantizer (seeded) over a `features` column. */
+  private def coarseQuantizer(features: DataFrame, k: Int = 16) = {
     import org.apache.spark.ml.clustering.KMeans
-    new KMeans().setK(16).setSeed(42L).setMaxIter(5).fit(features)
+    new KMeans().setK(k).setSeed(42L).setMaxIter(5).fit(features)
+  }
+
+  // ---- shared cosine-cell machinery (cosineCandidates + incremental) ----
+  // Every fragment below is load-bearing for the EXACTNESS guarantee of
+  // both cell-blocked cosine paths, so each exists exactly once.
+
+  /** Unit-normalized copy of `embedding` (zero vectors stay zero). */
+  private def withNormalized(df: DataFrame): DataFrame = df
+    .withColumn("nrm", pqNorm)
+    .withColumn("nvec", expr(
+      "transform(embedding, x -> CASE WHEN nrm = 0.0 THEN 0.0 ELSE CAST(x AS DOUBLE) / nrm END)"))
+
+  /** Distance of `nvec` to the joined centroid array `carr`. */
+  private val distToCentroid = expr(
+    "sqrt(aggregate(zip_with(nvec, carr, (x, c) -> (x - c) * (x - c)), CAST(0.0 AS DOUBLE), (a, v) -> a + v))")
+
+  /** Euclidean radius equivalent to cosine >= t on unit vectors; the 1e-6
+    * slack absorbs the ~1e-7 error of the quantized-cosine grid so a
+    * boundary pair can never be excluded.
+    */
+  private def cosineRadius(t: Double): Double = math.sqrt(2.0 - 2.0 * (t - 1e-6))
+
+  private def centroidsDf(s: SparkSession, centers: Array[Array[Double]]): DataFrame = {
+    import s.implicits._
+    centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toIndexedSeq.toDF("cell", "carr")
   }
 
   def knnIvf(s: SparkSession, dir: String): DataFrame = {
@@ -479,28 +504,20 @@ object SimilarityOps {
     * Bench do this per query) or session end.
     */
   private[graft] def cosineCandidates(e0: DataFrame, t: Double, k: Int): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val s = e0.sparkSession
     import s.implicits._
-    val r = math.sqrt(2.0 - 2.0 * (t - 1e-6))
-    val e = Tables.spread(e0)
-      .withColumn("nrm", expr(
-        "sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE), (a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"))
-      .withColumn("nvec", expr(
-        "transform(embedding, x -> CASE WHEN nrm = 0.0 THEN 0.0 ELSE CAST(x AS DOUBLE) / nrm END)"))
+    val r = cosineRadius(t)
+    val e = withNormalized(Tables.spread(e0))
       .withColumn("features", array_to_vector(col("nvec")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val model = new KMeans().setK(k).setSeed(42L).setMaxIter(5)
-      .fit(e.select("features"))
+    val model = coarseQuantizer(e.select("features"), k)
     val centers = model.clusterCenters.map(_.toArray)
-    val centDf = centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
-      .toSeq.toDF("cell", "carr")
+    val centDf = centroidsDf(s, centers)
     // per-vector distance to its own centroid, in normalized space
     val av = model.transform(e).withColumnRenamed("prediction", "cell")
       .join(broadcast(centDf), "cell")
-      .withColumn("cdist", expr(
-        "sqrt(aggregate(zip_with(nvec, carr, (x, c) -> (x - c) * (x - c)), CAST(0.0 AS DOUBLE), (a, v) -> a + v))"))
+      .withColumn("cdist", distToCentroid)
       .select("vec_id", "label", "embedding", "cell", "cdist")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // cell radii: k rows of index metadata (like the IVF probe table)
@@ -545,31 +562,31 @@ object SimilarityOps {
     import org.apache.spark.ml.functions.array_to_vector
     val s = corpus.sparkSession
     import s.implicits._
-    val r = math.sqrt(2.0 - 2.0 * (t - 1e-6))
-    def normed(df: DataFrame): DataFrame = df
-      .withColumn("nrm", expr(
-        "sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE), (a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"))
-      .withColumn("nvec", expr(
-        "transform(embedding, x -> CASE WHEN nrm = 0.0 THEN 0.0 ELSE CAST(x AS DOUBLE) / nrm END)"))
-    val c = normed(Tables.spread(corpus))
+    val r = cosineRadius(t)
+    val c = withNormalized(Tables.spread(corpus))
       .withColumn("features", array_to_vector(col("nvec")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val model = coarseQuantizer(c.select("features"))
-    val centDf = model.clusterCenters.map(_.toArray).zipWithIndex
-      .map { case (cA, i) => (i, cA.toSeq) }.toIndexedSeq.toDF("cell", "carr")
-    val distToCent = expr(
-      "sqrt(aggregate(zip_with(nvec, carr, (x, c) -> (x - c) * (x - c)), CAST(0.0 AS DOUBLE), (a, v) -> a + v))")
+    val model = coarseQuantizer(c.select("features"), k)
+    val centers = model.clusterCenters.map(_.toArray)
     val assigned = model.transform(c).withColumnRenamed("prediction", "cell")
-      .join(broadcast(centDf), "cell")
-      .withColumn("cdist", distToCent)
+      .join(broadcast(centroidsDf(s, centers)), "cell")
+      .withColumn("cdist", distToCentroid)
       .select("vec_id", "embedding", "cell", "cdist")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // (cell, centroid, radius): k rows of frozen index metadata
-    val cellIdx = centDf.join(assigned.groupBy("cell").agg(max(col("cdist")).as("rmax")), "cell")
+    // cell radii collected (k rows of index metadata) — this forces
+    // `assigned` to materialize, after which the featurized corpus cache
+    // is dead weight and is released immediately
+    val rm = assigned.groupBy("cell").agg(max(col("cdist")).as("rmax")).collect()
+      .map(row => row.getAs[Int]("cell") -> row.getAs[Double]("rmax")).toMap
+    c.unpersist()
+    // (cell, centroid, radius): empty cells get -inf so no probe admits them
+    val cellIdx = centers.indices
+      .map(i => (i, centers(i).toSeq, rm.getOrElse(i, Double.NegativeInfinity)))
+      .toDF("cell", "carr", "rmax")
     // batch probes: distance to every centroid (k per batch row,
     // map-side against the broadcast index), keep admissible cells only
-    val probes = normed(batch).crossJoin(broadcast(cellIdx))
-      .withColumn("bdist", distToCent)
+    val probes = withNormalized(batch).crossJoin(broadcast(cellIdx))
+      .withColumn("bdist", distToCentroid)
       .filter(col("bdist") <= col("rmax") + lit(r))
       .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("cell"))
     assigned.join(broadcast(probes), Seq("cell"))

@@ -166,12 +166,15 @@ object Stress {
         val embHalf = embC.filter(col("vec_id") < (copies / 2) * 10000000L)
         time(s"incr-cosine corpus x${copies / 2}")(
           SimilarityOps.incrementalCosineOn(
-            embHalf.filter(col("vec_id") >= 50), batchE).count())
+            embHalf.filter(col("vec_id") >= 50), batchE,
+            k = 16 * (copies / 2)).count())
         spark.catalog.clearCache()
       }
+      // cells scale with the corpus (as for cosine-dups) so per-cell radii
+      // stay tight and the admissible-cell count tracks cluster structure
       time(s"incr-cosine corpus x$copies")(
         SimilarityOps.incrementalCosineOn(
-          embC.filter(col("vec_id") >= 50), batchE).count())
+          embC.filter(col("vec_id") >= 50), batchE, k = 16 * copies).count())
     }
 
     spark.stop()

@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
@@ -21,27 +21,38 @@ import org.apache.spark.sql.types._
   *  - global aggregate (no grouping), no DISTINCT, no agg filters, over a
   *    bare non-partitioned single-root parquet relation (optionally under
   *    a column-pruning Project);
-  *  - every aggregate is min/max/count over a plain column (or count(*));
+  *  - every aggregate is min/max/count over a plain column (or count(*)),
+  *    with min/max restricted to types whose values the double-typed
+  *    footprint can reconstruct exactly (integral + float/double);
   *  - EVERY file listed by the relation has manifest rows with non-null
   *    row counts (and null counts / footprints for the referenced
   *    columns) — a file appended without its manifest delta disables the
   *    rewrite (fail open) rather than undercounting;
+  *  - a null footprint is only trusted as "all-null file" when the null
+  *    count PROVES it (nnulls == nrows); a null lo/hi beside non-null
+  *    data (e.g. a stat column a cast could not represent) disables the
+  *    rewrite instead of fabricating a NULL extremum;
   *  - min/max values reconstruct EXACTLY at the column's type from the
   *    manifest's double-typed footprint (integral values guarded to the
   *    2^53 double-exact range) — otherwise no rewrite.
   *
   * Per-file min/max ignore nulls (so their min/max over files is the true
-  * column min/max), a null footprint means an all-null file (skipped, like
-  * the aggregate itself would), `count(c)` = Σ (rows - nulls(c)), and
-  * `count(*)` = Σ rows. The manifest stats are computed from the data by
+  * column min/max), `count(c)` = Σ (rows - nulls(c)), and `count(*)` =
+  * Σ rows. The manifest stats are computed from the data by
   * `Layout.manifestRows`, not inferred from parquet footers, so equality
   * with the scan-based answer is by construction.
+  *
+  * Manifests load through [[ManifestStore]]: small ones fold on the
+  * driver; large ones are combined distributively IN Spark (per-column
+  * partial aggregates over the executor-cached manifest) and only the
+  * handful of final stat rows reach the driver — bounded driver memory at
+  * any manifest size.
   */
 case class ManifestAgg(spark: SparkSession) extends Rule[LogicalPlan] {
   import ManifestAgg._
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (reentrant.get()) return plan
+    if (ManifestStore.isReentrant) return plan
     plan.transformDown {
       case agg @ Aggregate(Nil, aggExprs, PrunableRelation(l), _)
           if eligible(l) && aggExprs.forall(supported) =>
@@ -71,8 +82,8 @@ case class ManifestAgg(spark: SparkSession) extends Rule[LogicalPlan] {
     !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
       case Count(Seq(_: Literal)) => true
       case Count(Seq(_: AttributeReference)) => true
-      case Min(_: AttributeReference) => true
-      case Max(_: AttributeReference) => true
+      case Min(a: AttributeReference) => exactCapable(a.dataType)
+      case Max(a: AttributeReference) => exactCapable(a.dataType)
       case Sum(a: AttributeReference, _) => integral(a.dataType)
       case _ => false
     })
@@ -86,12 +97,31 @@ case class ManifestAgg(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** Min/max only for types `exactAt` can reconstruct from a double
+    * footprint. Decimals/strings/temporals never qualify — their
+    * footprints are null-by-cast, which must not read as "all null".
+    */
+  private def exactCapable(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType => true
+    case _ => false
+  }
+
   private def answer(agg: Aggregate, l: LogicalRelation): Option[LogicalPlan] = {
     val fsRel = l.relation.asInstanceOf[HadoopFsRelation]
-    val manifest = readManifest(fsRel.location.rootPaths.head.toString)
-    if (manifest.isEmpty) return None
-    val listed = fsRel.location.inputFiles.map(ManifestPrune.baseName).toIndexedSeq
+    val root = fsRel.location.rootPaths.head.toString
+    val listed = fsRel.location.inputFiles.map(ManifestStore.baseName).toIndexedSeq
+    val values = ManifestStore.get(spark, root).flatMap {
+      case ManifestStore.Small(rows) => answerSmall(agg, rows, listed)
+      case lg: ManifestStore.Large => answerLarge(agg, lg.df, listed)
+    }
+    values.map(vs => LocalRelation(agg.output, Seq(InternalRow.fromSeq(vs))))
+  }
 
+  // ---- small manifests: fold on the driver (bounded by driverMaxRows) ---
+
+  private def answerSmall(agg: Aggregate,
+      manifest: IndexedSeq[ManifestStore.StatsRow],
+      listed: IndexedSeq[String]): Option[Seq[Any]] = {
     // per-file row counts: every listed file must be covered, exactly once
     // per column group, with a known row count — else no rewrite
     val byFile = manifest.groupBy(_.file)
@@ -101,7 +131,7 @@ case class ManifestAgg(spark: SparkSession) extends Rule[LogicalPlan] {
     if (!listed.forall(rowsOf.contains)) return None
     val totalRows = listed.map(rowsOf).sum
 
-    def colRows(c: String): Option[Seq[ManifestStatsRow]] = {
+    def colRows(c: String): Option[Seq[ManifestStore.StatsRow]] = {
       val forCol = manifest.filter(_.col == c)
       val m = forCol.map(r => r.file -> r).toMap
       if (listed.forall(m.contains)) Some(listed.map(m)) else None
@@ -120,15 +150,24 @@ case class ManifestAgg(spark: SparkSession) extends Rule[LogicalPlan] {
           }
         case Min(a: AttributeReference) =>
           colRows(a.name).flatMap { rs =>
-            val los = rs.flatMap(_.lo)
-            if (los.isEmpty) Some(null) // all-null (or empty) column
-            else exactAt(los.min, a.dataType)
+            // a null lo is only "all-null file" when nnulls proves it;
+            // otherwise the footprint is untrustworthy — bail (mirrors
+            // the sum path's trust check)
+            if (!rs.forall(r => r.lo.isDefined || r.nnulls.contains(rowsOf(r.file)))) None
+            else {
+              val los = rs.flatMap(_.lo)
+              if (los.isEmpty) Some(null) // provably all-null (or empty) column
+              else exactAt(los.min, a.dataType)
+            }
           }
         case Max(a: AttributeReference) =>
           colRows(a.name).flatMap { rs =>
-            val his = rs.flatMap(_.hi)
-            if (his.isEmpty) Some(null)
-            else exactAt(his.max, a.dataType)
+            if (!rs.forall(r => r.hi.isDefined || r.nnulls.contains(rowsOf(r.file)))) None
+            else {
+              val his = rs.flatMap(_.hi)
+              if (his.isEmpty) Some(null)
+              else exactAt(his.max, a.dataType)
+            }
           }
         case Sum(a: AttributeReference, _) if integral(a.dataType) =>
           colRows(a.name).flatMap { rs =>
@@ -173,9 +212,147 @@ case class ManifestAgg(spark: SparkSession) extends Rule[LogicalPlan] {
       }
       case _ => None
     }
-    if (values.exists(_.isEmpty)) return None
-    Some(LocalRelation(agg.output, Seq(InternalRow.fromSeq(values.map(_.orNull)))))
+    if (values.exists(_.isEmpty)) None else Some(values.map(_.orNull))
   }
+
+  // ---- large manifests: combine per-file stats IN Spark ----------------
+
+  /** Distributed fold: restrict the cached manifest to the listed files,
+    * verify coverage with one tiny aggregate, then collapse each
+    * referenced column's per-file stats into ONE row (with the same trust
+    * flags the driver path checks). Driver traffic: 1 + #columns rows.
+    */
+  private def answerLarge(agg: Aggregate, mdf: DataFrame,
+      listed: IndexedSeq[String]): Option[Seq[Any]] = ManifestStore.withGuard {
+    import org.apache.spark.sql.functions._
+    val session = mdf.sparkSession
+    import session.implicits._
+    try {
+      if (listed.isEmpty) {
+        val vs = emptyTableValues(agg)
+        if (vs.exists(_.isEmpty)) None else Some(vs.map(_.orNull))
+      } else {
+        val listedDF = listed.toDF("file")
+        val m = mdf.join(listedDF, Seq("file")) // listed files only
+
+        // coverage: every listed file known, with one consistent row count
+        val cov = listedDF.join(
+            m.groupBy("file").agg(max(col("nrows")).as("nrhi"),
+              min(col("nrows")).as("nrlo"),
+              count(col("nrows")).as("nrn"), count(lit(1)).as("nent")),
+            Seq("file"), "left")
+          .agg(count(lit(1)).as("nlisted"),
+            min(when(col("nrhi").isNotNull && col("nrhi") === col("nrlo") &&
+              col("nrn") === col("nent"), 1).otherwise(0)).as("consistent"),
+            sum(col("nrhi")).as("total"))
+          .head()
+        val nlisted = cov.getAs[Long]("nlisted")
+        if (cov.getAs[Int]("consistent") != 1) None
+        else {
+          val totalRows = cov.getAs[Long]("total")
+          val needed = agg.aggregateExpressions.flatMap {
+            case Alias(ae: AggregateExpression, _) => ae.aggregateFunction match {
+              case Count(Seq(a: AttributeReference)) => Some(a.name)
+              case Min(a: AttributeReference) => Some(a.name)
+              case Max(a: AttributeReference) => Some(a.name)
+              case Sum(a: AttributeReference, _) => Some(a.name)
+              case _ => None
+            }
+            case _ => None
+          }.distinct
+          val nonNullRows = col("nrows") - coalesce(col("nnulls"), lit(0L))
+          val statsByCol: Map[String, Row] =
+            if (needed.isEmpty) Map.empty
+            else m.filter(col("col").isin(needed: _*))
+              .groupBy("col").agg(
+                count(lit(1)).as("n"),
+                countDistinct(col("file")).as("nfd"),
+                count(col("lo")).as("nlo"), min(col("lo")).as("minlo"),
+                count(col("hi")).as("nhi"), max(col("hi")).as("maxhi"),
+                min(when(col("lo").isNotNull || col("nnulls") === col("nrows"), 1)
+                  .otherwise(0)).as("lotrust"),
+                min(when(col("hi").isNotNull || col("nnulls") === col("nrows"), 1)
+                  .otherwise(0)).as("hitrust"),
+                min(when(col("nnulls").isNotNull, 1).otherwise(0)).as("nullsknown"),
+                sum(col("nrows") - col("nnulls")).as("cnt"),
+                count(col("sm")).as("nsm"), sum(col("sm")).as("smsum"),
+                min(when(col("sm").isNotNull || col("nnulls") === col("nrows"), 1)
+                  .otherwise(0)).as("smtrust"),
+                min(when(nonNullRows <= 0 ||
+                  (col("lo").isNotNull && col("hi").isNotNull), 1)
+                  .otherwise(0)).as("bndtrust"),
+                sum(when(nonNullRows > 0,
+                  nonNullRows.cast("double") * greatest(abs(col("lo")), abs(col("hi"))))
+                  .otherwise(lit(0.0))).as("bound"))
+              .collect().map(r => r.getAs[String]("col") -> r).toMap
+
+          // a column's stats are usable only when exactly the listed files
+          // contribute, once each
+          def covered(r: Row): Boolean =
+            r.getAs[Long]("n") == nlisted && r.getAs[Long]("nfd") == nlisted
+
+          val values = agg.aggregateExpressions.map {
+            case Alias(ae: AggregateExpression, _) => ae.aggregateFunction match {
+              case Count(Seq(lit0: Literal)) =>
+                if (lit0.value == null) None else Some(totalRows)
+              case Count(Seq(a: AttributeReference)) =>
+                statsByCol.get(a.name)
+                  .filter(r => covered(r) && r.getAs[Int]("nullsknown") == 1)
+                  .map(_.getAs[Long]("cnt"))
+              case Min(a: AttributeReference) =>
+                statsByCol.get(a.name)
+                  .filter(r => covered(r) && r.getAs[Int]("lotrust") == 1)
+                  .flatMap { r =>
+                    if (r.getAs[Long]("nlo") == 0L) Some(null)
+                    else exactAt(r.getAs[Double]("minlo"), a.dataType)
+                  }
+              case Max(a: AttributeReference) =>
+                statsByCol.get(a.name)
+                  .filter(r => covered(r) && r.getAs[Int]("hitrust") == 1)
+                  .flatMap { r =>
+                    if (r.getAs[Long]("nhi") == 0L) Some(null)
+                    else exactAt(r.getAs[Double]("maxhi"), a.dataType)
+                  }
+              case Sum(a: AttributeReference, _) if integral(a.dataType) =>
+                statsByCol.get(a.name).filter { r =>
+                  val b = r.getAs[Double]("bound")
+                  covered(r) && r.getAs[Int]("smtrust") == 1 &&
+                    r.getAs[Int]("bndtrust") == 1 && !b.isNaN &&
+                    // the double-accumulated bound gets a wider (1e-7)
+                    // slack than the driver path's BigDecimal bound
+                    b < Long.MaxValue.toDouble * 0.9999999
+                }.flatMap { r =>
+                  if (r.getAs[Long]("nsm") == 0L) Some(null)
+                  else {
+                    val bd = r.getAs[java.math.BigDecimal]("smsum")
+                    try Some(java.lang.Long.valueOf(bd.toBigIntegerExact.longValueExact))
+                    catch { case _: ArithmeticException => None }
+                  }
+                }
+              case _ => None
+            }
+            case _ => None
+          }
+          if (values.exists(_.isEmpty)) None else Some(values.map(_.orNull))
+        }
+      }
+    } catch { case _: Exception => None } // corrupt manifest / ANSI overflow: fail open
+  }
+
+  /** Zero listed files: count(*) and count(c) are 0, min/max/sum NULL —
+    * same as the scan would answer.
+    */
+  private def emptyTableValues(agg: Aggregate): Seq[Option[Any]] =
+    agg.aggregateExpressions.map {
+      case Alias(ae: AggregateExpression, _) => ae.aggregateFunction match {
+        case Count(Seq(lit0: Literal)) =>
+          if (lit0.value == null) None else Some(0L)
+        case Count(_) => Some(0L)
+        case _: Min | _: Max | _: Sum => Some(null)
+        case _ => None
+      }
+      case _ => None
+    }
 
   /** The manifest stores footprints as doubles; reconstruct the column's
     * native value only when the round trip is provably exact.
@@ -193,39 +370,11 @@ case class ManifestAgg(spark: SparkSession) extends Rule[LogicalPlan] {
     case ByteType => if (v == v.toByte.toDouble) Some(v.toByte) else None
     case _ => None // decimals/strings/temporals: doubles can't carry them exactly
   }
-
-  private def readManifest(root: String): Seq[ManifestStatsRow] = {
-    reentrant.set(true)
-    try {
-      val df = spark.read.parquet(s"$root/${ManifestPrune.ManifestDirName}")
-      if (!Seq("file", "col", "lo", "hi", "nnulls", "nrows")
-          .forall(df.columns.contains)) return Nil // pre-stats manifest
-      val hasSum = df.columns.contains("sm")
-      val cols = Seq("file", "col", "lo", "hi", "nnulls", "nrows") ++
-        (if (hasSum) Seq("sm") else Nil)
-      df.select(cols.head, cols.tail: _*).collect().toSeq.map { r =>
-        ManifestStatsRow(r.getString(0), r.getString(1),
-          if (r.isNullAt(2)) None else Some(r.getDouble(2)),
-          if (r.isNullAt(3)) None else Some(r.getDouble(3)),
-          if (r.isNullAt(4)) None else Some(r.getLong(4)),
-          if (r.isNullAt(5)) None else Some(r.getLong(5)),
-          if (!hasSum || r.isNullAt(6)) None
-          else Some(r.getDecimal(6)))
-      }
-    } catch { case _: Exception => Nil }
-    finally reentrant.set(false)
-  }
 }
 
 object ManifestAgg {
-  private[plans] final case class ManifestStatsRow(file: String, col: String,
-      lo: Option[Double], hi: Option[Double], nnulls: Option[Long],
-      nrows: Option[Long], sm: Option[java.math.BigDecimal])
   /** 2^53: every integer of magnitude STRICTLY below this is exactly
     * representable as a double AND has no neighbor collapsing onto it.
     */
   private val DoubleExactInt = 9007199254740992.0
-  private val reentrant = new ThreadLocal[Boolean] {
-    override def initialValue(): Boolean = false
-  }
 }

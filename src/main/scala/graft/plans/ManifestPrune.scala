@@ -22,12 +22,18 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFil
   * in the user-provided batch (after predicate pushdown, so the Filter
   * sits directly on the relation) and tags rewritten relations to stay
   * idempotent under fixed-point execution.
+  *
+  * Manifests load through [[ManifestStore]]: small ones are a cached
+  * driver-side list; large ones stay cached in the executors and the
+  * envelope intersection runs as a Spark job that collects ONLY the kept
+  * file names — driver memory is bounded by the pruning RESULT (which the
+  * file index needs anyway), never by manifest size.
   */
 case class ManifestPrune(spark: SparkSession) extends Rule[LogicalPlan] {
   import ManifestPrune._
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (reentrant.get()) return plan // the manifest read below runs its own tiny query
+    if (ManifestStore.isReentrant) return plan // nested manifest queries stay plain
     plan.transformDown {
       case f @ Filter(cond, l: LogicalRelation)
           if l.getTagValue(PrunedTag).isEmpty && eligible(l) =>
@@ -84,13 +90,25 @@ case class ManifestPrune(spark: SparkSession) extends Rule[LogicalPlan] {
   private def prune(fsRel: HadoopFsRelation,
       envelopes: Map[String, (Double, Double)]): Option[InMemoryFileIndex] = {
     val root = fsRel.location.rootPaths.head
-    val manifest = readManifest(root.toString)
-    if (manifest.isEmpty) return None
-    // manifest entries are basenames (rename/compact-stable); compare
-    // the relation's listed files by basename too
-    def base(s: String): String = ManifestPrune.baseName(s)
     val allFiles = fsRel.location.inputFiles // already listed by the relation
-    var keep = allFiles.map(base).toSet
+    val keepBase: Set[String] = ManifestStore.get(spark, root.toString) match {
+      case None => return None // unreadable/absent manifest -> no pruning
+      case Some(ManifestStore.Small(rows)) => smallKeep(rows, envelopes, allFiles)
+      case Some(lg: ManifestStore.Large) => largeKeep(lg.df, envelopes, allFiles)
+    }
+    if (keepBase.size >= allFiles.length) None
+    else {
+      val keptPaths = allFiles.filter(f => keepBase(ManifestStore.baseName(f)))
+        .map(new Path(_)).toIndexedSeq
+      Some(new InMemoryFileIndex(spark, keptPaths, Map.empty, Some(fsRel.dataSchema)))
+    }
+  }
+
+  /** Driver-side intersection for small (bounded) manifests. */
+  private def smallKeep(manifest: IndexedSeq[ManifestStore.StatsRow],
+      envelopes: Map[String, (Double, Double)],
+      allFiles: Array[String]): Set[String] = {
+    var keep = allFiles.map(ManifestStore.baseName).toSet
     envelopes.foreach { case (c, (lo, hi)) =>
       val forCol = manifest.filter(_.col == c)
       if (forCol.nonEmpty) {
@@ -100,32 +118,36 @@ case class ManifestPrune(spark: SparkSession) extends Rule[LogicalPlan] {
         keep = keep.filter(f => matching(f) || !known(f))
       }
     }
-    if (keep.size >= allFiles.length) None
-    else {
-      val keptPaths = allFiles.filter(f => keep(base(f))).map(new Path(_)).toIndexedSeq
-      Some(new InMemoryFileIndex(spark, keptPaths, Map.empty, Some(fsRel.dataSchema)))
-    }
+    keep
   }
 
-  private final case class ManifestRow(file: String, col: String,
-      lo: Option[Double], hi: Option[Double])
-
-  private def readManifest(root: String): Seq[ManifestRow] = {
-    reentrant.set(true)
-    try {
-      spark.read.parquet(s"$root/$ManifestDirName")
-        .select("file", "col", "lo", "hi").collect().toSeq.map { r =>
-        ManifestRow(r.getString(0), r.getString(1),
-          if (r.isNullAt(2)) None else Some(r.getDouble(2)),
-          if (r.isNullAt(3)) None else Some(r.getDouble(3)))
-      }
-    } catch { case _: Exception => Nil } // unreadable manifest -> no pruning
-    finally reentrant.set(false)
+  /** Executor-side intersection: join the (cached) manifest against the
+    * tiny envelope table, fold per file, keep a file iff every known
+    * envelope-column footprint intersects (unknown files keep — fail
+    * open). Only the surviving basenames reach the driver.
+    */
+  private def largeKeep(manifest: org.apache.spark.sql.DataFrame,
+      envelopes: Map[String, (Double, Double)],
+      allFiles: Array[String]): Set[String] = ManifestStore.withGuard {
+    val session = manifest.sparkSession
+    import org.apache.spark.sql.functions.{broadcast, col, lit, min, when}
+    import session.implicits._
+    val envs = envelopes.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) }
+      .toDF("__c", "__elo", "__ehi")
+    val verdict = manifest.join(broadcast(envs), manifest("col") === col("__c"))
+      .groupBy(manifest("file"))
+      .agg(min(when(col("lo").isNotNull && col("hi").isNotNull &&
+        col("lo") <= col("__ehi") && col("hi") >= col("__elo"), 1)
+        .otherwise(0)).as("__keep"))
+    val listed = allFiles.map(ManifestStore.baseName).toSeq.toDF("file")
+    listed.join(verdict, Seq("file"), "left")
+      .filter(col("__keep").isNull || col("__keep") === lit(1))
+      .select("file").as[String].collect().toSet
   }
 }
 
 object ManifestPrune {
-  private[plans] val ManifestDirName = "_graft_manifest"
+  private[plans] val ManifestDirName = ManifestStore.DirName
 
   /** Shared manifest-rule eligibility: a bare, single-root,
     * NON-partitioned parquet relation with a manifest beside it.
@@ -138,7 +160,7 @@ object ManifestPrune {
       case fs: HadoopFsRelation =>
         fs.partitionSchema.isEmpty &&
         fs.location.rootPaths.lengthCompare(1) == 0 && {
-          val m = new Path(fs.location.rootPaths.head, ManifestDirName)
+          val m = new Path(fs.location.rootPaths.head, ManifestStore.DirName)
           try m.getFileSystem(spark.sessionState.newHadoopConf()).exists(m)
           catch { case _: Exception => false }
         }
@@ -146,11 +168,8 @@ object ManifestPrune {
     }
 
   /** Manifest entries are basenames; listings compare by basename too. */
-  private[plans] def baseName(s: String): String = s.substring(s.lastIndexOf('/') + 1)
+  private[plans] def baseName(s: String): String = ManifestStore.baseName(s)
   private[plans] val PrunedTag = TreeNodeTag[Boolean]("graftManifestPruned")
   private val NegInf = Double.NegativeInfinity
   private val PosInf = Double.PositiveInfinity
-  private val reentrant = new ThreadLocal[Boolean] {
-    override def initialValue(): Boolean = false
-  }
 }

@@ -1,0 +1,164 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** Session-shared loader/cache for `_graft_manifest` stats tables, used by
+  * [[ManifestPrune]], [[ManifestAgg]] and `Layout.readPruned`.
+  *
+  * Two loaded forms, chosen by manifest size against
+  * `spark.graft.manifest.driverMaxRows` (default 100k rows):
+  *
+  *  - '''Small''': the parsed rows live on the driver. Bounded by the
+  *    threshold, so this is the fast path for ordinary tables — repeated
+  *    queries touch no filesystem and run no jobs.
+  *  - '''Large''': the manifest stays in the EXECUTORS as a cached
+  *    DataFrame; consumers push their range conjuncts / per-file combines
+  *    into Spark and collect only final results (kept file names, one
+  *    aggregate row). At 100 TB (~10^6 files x several stat columns) the
+  *    driver never materializes the manifest — the exact driver-side
+  *    bottleneck this metadata machinery exists to remove.
+  *
+  * Entries are validated per lookup against a directory signature (part
+  * file names + lengths + mtimes, one listing of a one-file directory), so
+  * manifest rewrites — `writeManifest`, `appendWithManifest`, `compact` —
+  * invalidate naturally with no explicit hook and no stale reads; repeated
+  * queries between rewrites never re-read or re-parse the manifest.
+  */
+object ManifestStore {
+  val DirName = "_graft_manifest"
+
+  /** One manifest entry: per-(file, col) footprint and counts. Fields the
+    * manifest file does not carry (pre-stats schemas) read back as None and
+    * consumers fail open on them.
+    */
+  final case class StatsRow(file: String, col: String,
+      lo: Option[Double], hi: Option[Double], nnulls: Option[Long],
+      nrows: Option[Long], sm: Option[java.math.BigDecimal])
+
+  sealed trait Manifest { def rows: Long }
+  /** Driver-resident parsed manifest (rows <= driverMaxRows). */
+  final case class Small(data: IndexedSeq[StatsRow]) extends Manifest {
+    def rows: Long = data.length.toLong
+  }
+  /** Executor-cached manifest; consumers compute in Spark. */
+  final case class Large(df: DataFrame, rows: Long) extends Manifest
+
+  private final case class Entry(spark: SparkSession, sig: String, m: Manifest)
+  private val cache = mutable.LinkedHashMap.empty[String, Entry]
+  private val MaxEntries = 8
+
+  /** Test-visible: number of actual manifest loads (parquet read + parse
+    * or persist). Cache hits do not increment it.
+    */
+  @volatile private[graft] var loads: Long = 0L
+
+  /** Re-entrance guard shared by the optimizer rules: the nested manifest
+    * queries this object (and its consumers) run must not themselves be
+    * rewritten by ManifestPrune/ManifestAgg mid-optimization.
+    */
+  private val reentrant = new ThreadLocal[Boolean] {
+    override def initialValue(): Boolean = false
+  }
+  def isReentrant: Boolean = reentrant.get()
+  def withGuard[T](f: => T): T = {
+    val prev = reentrant.get()
+    reentrant.set(true)
+    try f finally reentrant.set(prev)
+  }
+
+  private def driverMaxRows(spark: SparkSession): Long =
+    spark.conf.get("spark.graft.manifest.driverMaxRows", "100000").toLong
+
+  /** Directory signature: sorted name:length:mtime of the manifest's data
+    * files. Part names are write-unique (UUID-based), so any rewrite or
+    * append produces a new signature even within mtime granularity.
+    */
+  private def signature(spark: SparkSession, root: String): Option[String] = {
+    val dir = new Path(s"$root/$DirName")
+    try {
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(dir)) return None
+      val parts = fs.listStatus(dir).filter(_.isFile)
+        .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+        .sorted
+      Some(parts.mkString(","))
+    } catch { case _: Exception => None }
+  }
+
+  /** The manifest for table `root`, loaded or cached; None when absent or
+    * unreadable (consumers fail open — no pruning, no rewrite).
+    */
+  def get(spark: SparkSession, root: String): Option[Manifest] = synchronized {
+    val sig = signature(spark, root).getOrElse {
+      evict(root); return None
+    }
+    val threshold = driverMaxRows(spark)
+    cache.get(root) match {
+      case Some(e) if e.sig == sig && (e.spark eq spark) && formOk(e.m, threshold) =>
+        // LRU touch
+        cache.remove(root); cache.put(root, e)
+        Some(e.m)
+      case _ =>
+        evict(root)
+        load(spark, root, threshold).map { m =>
+          if (cache.size >= MaxEntries) cache.headOption.foreach(h => evict(h._1))
+          cache.put(root, Entry(spark, sig, m))
+          m
+        }
+    }
+  }
+
+  private def formOk(m: Manifest, threshold: Long): Boolean = m match {
+    case _: Small => m.rows <= threshold
+    case _: Large => m.rows > threshold
+  }
+
+  private def evict(root: String): Unit =
+    cache.remove(root).foreach {
+      case Entry(_, _, Large(df, _)) =>
+        try df.unpersist(blocking = false) catch { case _: Exception => () }
+      case _ => ()
+    }
+
+  private def load(spark: SparkSession, root: String,
+      threshold: Long): Option[Manifest] = withGuard {
+    try {
+      val raw = spark.read.parquet(s"$root/$DirName")
+      if (!Seq("file", "col", "lo", "hi").forall(raw.columns.contains)) return None
+      // normalize optional stat columns (pre-row/null-count or pre-sum
+      // manifests) to typed nulls so one schema flows everywhere
+      import org.apache.spark.sql.functions.{col, lit}
+      import org.apache.spark.sql.types._
+      def opt(name: String, dt: DataType) =
+        if (raw.columns.contains(name)) col(name).cast(dt) else lit(null).cast(dt)
+      val df = raw.select(col("file").cast(StringType), col("col").cast(StringType),
+        col("lo").cast(DoubleType), col("hi").cast(DoubleType),
+        opt("nnulls", LongType).as("nnulls"), opt("nrows", LongType).as("nrows"),
+        opt("sm", DecimalType(38, 0)).as("sm"))
+      val n = df.count()
+      loads += 1
+      if (n <= threshold) {
+        val rows = df.collect().toIndexedSeq.map { r =>
+          StatsRow(r.getString(0), r.getString(1),
+            if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+            if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+            if (r.isNullAt(4)) None else Some(r.getLong(4)),
+            if (r.isNullAt(5)) None else Some(r.getLong(5)),
+            if (r.isNullAt(6)) None else Some(r.getDecimal(6)))
+        }
+        Some(Small(rows))
+      } else {
+        val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+        cached.count() // materialize now, inside the guard
+        Some(Large(cached, n))
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** Manifest entries are basenames; listings compare by basename too. */
+  def baseName(s: String): String = s.substring(s.lastIndexOf('/') + 1)
+}

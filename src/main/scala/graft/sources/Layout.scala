@@ -267,24 +267,49 @@ object Layout {
   def readPruned(spark: org.apache.spark.sql.SparkSession, path: String,
       c: String, lo: Double, hi: Double,
       trustManifest: Boolean = false): DataFrame = {
-    val manifest = spark.read.parquet(s"$path/$ManifestDir")
-    // manifest is metadata-scale (a row per file-column): driver-side list
-    val forCol = manifest.filter(col("col") === c)
-      .select("file", "lo", "hi").collect()
-    // manifest entries are basenames; resolve against the table root (and
-    // compare listings by basename — URI scheme variants cancel out)
-    def base(s: String): String = s.substring(s.lastIndexOf('/') + 1)
-    val known = forCol.map(r => r.getString(0)).toSet
-    val matching = forCol
-      .filter(r => !r.isNullAt(1) && !r.isNullAt(2) &&
-        r.getDouble(2) >= lo && r.getDouble(1) <= hi)
-      .map(r => s"$path/${r.getString(0)}")
-    val keep =
-      if (trustManifest) matching.toIndexedSeq
-      else {
-        val allFiles = spark.read.parquet(path).inputFiles // fail-open listing
-        matching.toIndexedSeq ++ allFiles.filterNot(f => known(base(f)))
+    import graft.plans.ManifestStore
+    def base(s: String): String = ManifestStore.baseName(s)
+    // manifest loads through the shared store: small ones are a cached
+    // driver-side list; large ones stay in the executors and only the
+    // MATCHING file names (plus any manifest-unknown files) reach the
+    // driver — bounded by the pruning result, never by manifest size
+    val keep: Seq[String] = ManifestStore.get(spark, path) match {
+      case None => return spark.read.parquet(path) // no/unreadable manifest: fail open
+      case Some(ManifestStore.Small(rows)) =>
+        val forCol = rows.filter(_.col == c)
+        val known = forCol.map(_.file).toSet
+        val matching = forCol
+          .filter(r => r.lo.exists(_ <= hi) && r.hi.exists(_ >= lo))
+          .map(r => s"$path/${r.file}")
+        if (trustManifest) matching
+        else {
+          // fail-open listing; also drop manifest matches for files no
+          // longer on disk (stale entries after a delete/compaction)
+          val allFiles = spark.read.parquet(path).inputFiles
+          val listedB = allFiles.map(base).toSet
+          matching.filter(f => listedB(base(f))) ++
+            allFiles.filterNot(f => known(base(f)))
+        }
+      case Some(lg: ManifestStore.Large) => ManifestStore.withGuard {
+        import spark.implicits._
+        val forCol = lg.df.filter(col("col") === c)
+        val matching = forCol
+          .filter(col("lo").isNotNull && col("hi").isNotNull &&
+            col("hi") >= lo && col("lo") <= hi)
+          .select("file").as[String].collect().toIndexedSeq
+          .map(f => s"$path/$f")
+        if (trustManifest) matching
+        else {
+          val allFiles = spark.read.parquet(path).inputFiles
+          val listedB = allFiles.map(base).toSet
+          val unknownBase = allFiles.map(base).toSeq.toDF("file")
+            .join(forCol.select("file").distinct(), Seq("file"), "left_anti")
+            .as[String].collect().toSet // bounded by the unknown-file count
+          matching.filter(f => listedB(base(f))) ++
+            allFiles.filter(f => unknownBase(base(f)))
+        }
       }
+    }
     if (keep.isEmpty) spark.read.parquet(path).limit(0)
     else spark.read.parquet(keep: _*)
   }

@@ -416,6 +416,79 @@ class LayoutSpec extends SparkSpecBase {
     assert(strict.agg(count(lit(1))).head().getLong(0) == 3500)
   }
 
+  test("manifest store: distributed path matches driver path at 10k+ entries; cache avoids re-reads") {
+    import spark.implicits._
+    import graft.plans.ManifestStore
+    val base = java.nio.file.Files.createTempDirectory("graft-mstore").toString
+    val path = s"$base/t"
+    val rows = (0 until 4000).map(i =>
+      (i.toLong, if (i % 11 == 0) None else Some((i * 13 % 997).toLong)))
+    rows.toDF("k", "v").repartitionByRange(8, col("k"))
+      .write.mode("overwrite").parquet(path)
+    Layout.writeManifest(spark, path, Seq("k", "v"))
+    // inflate the manifest with 10k synthetic entries for files that are
+    // NOT in the directory listing: both paths must ignore them (known but
+    // never listed), and their bulk stands in for a ~10k-file table
+    val mPath = s"$path/_graft_manifest"
+    val real = spark.read.parquet(mPath).localCheckpoint(true)
+    val fake = spark.range(10000).select(
+      concat(lit("part-fake-"), col("id")).as("file"),
+      when(col("id") % 2 === 0, "k").otherwise("v").as("col"),
+      (col("id") % 1000).cast("double").as("lo"),
+      (col("id") % 1000 + 50).cast("double").as("hi"),
+      lit(0L).as("nnulls"),
+      (col("id") % 1000).cast("decimal(38,0)").as("sm"),
+      lit(10L).as("nrows"))
+    real.unionByName(fake).coalesce(1).write.mode("overwrite").parquet(mPath)
+
+    def runAll(): (Seq[Any], Long, Long, Long, Long) = {
+      val agg = spark.read.parquet(path)
+        .agg(count(lit(1)), count(col("v")), min(col("k")), max(col("k")),
+          min(col("v")), max(col("v")), sum(col("k")), sum(col("v")))
+      assert(agg.queryExecution.optimizedPlan.collectFirst {
+        case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+      }.isDefined, "agg must stay metadata-answered")
+      val aggRow = agg.head().toSeq
+      val pruned = spark.read.parquet(path)
+        .filter(col("k") >= 0 && col("k") <= 400)
+      val prunedFiles = scanMetrics(pruned)("numFiles")
+      val prunedCount = pruned.count()
+      val rp = Layout.readPruned(spark, path, "k", 0, 400)
+      val rpFiles = rp.inputFiles.length.toLong
+      val rpCount = rp.filter(col("k").between(0, 400)).count()
+      (aggRow, prunedFiles, prunedCount, rpFiles, rpCount)
+    }
+
+    val total = spark.read.parquet(path).inputFiles.length
+    try {
+      // distributed path: manifest larger than the driver cap
+      spark.conf.set("spark.graft.manifest.driverMaxRows", "0")
+      val dist = runAll()
+      // driver path: same manifest, folded on the driver
+      spark.conf.set("spark.graft.manifest.driverMaxRows", "1000000")
+      val drv = runAll()
+      assert(dist == drv, s"distributed vs driver path diverged:\n$dist\n$drv")
+      // both actually pruned, and the answers are the row truth
+      assert(dist._2 < total && dist._4 < total,
+        s"nothing pruned: ${dist._2}/${dist._4} of $total files")
+      val vs = rows.flatMap(_._2)
+      assert(dist._1 == Seq(4000L, vs.size.toLong, 0L, 3999L, vs.min, vs.max,
+        (0L until 4000L).sum, vs.sum))
+      assert(dist._3 == 401L && dist._5 == 401L)
+      // cache: a repeated query re-loads nothing (signature unchanged)
+      val l0 = ManifestStore.loads
+      runAll(); runAll()
+      assert(ManifestStore.loads == l0,
+        s"repeated queries re-loaded the manifest (${ManifestStore.loads - l0} times)")
+      // a manifest rewrite invalidates by signature: answers follow
+      Layout.appendWithManifest(Seq((9000L, Some(9000L))).toDF("k", "v"),
+        path, Seq("k", "v"))
+      val agg2 = spark.read.parquet(path).agg(count(lit(1)), max(col("k"))).head()
+      assert(agg2.getLong(0) == 4001L && agg2.getLong(1) == 9000L)
+      assert(ManifestStore.loads > l0, "rewritten manifest must re-load")
+    } finally spark.conf.unset("spark.graft.manifest.driverMaxRows")
+  }
+
   test("z-order bit interleave places each input bit at stride k") {
     import spark.implicits._
     val df = Seq((3L, 0L), (0L, 3L), (1L, 1L)).toDF("a", "b")

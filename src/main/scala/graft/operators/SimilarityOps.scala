@@ -115,10 +115,31 @@ object SimilarityOps {
         .sortBy(_._2).take(nprobe).map { case (ci, _) => (qid, ci) }
     }
 
-  /** The shared coarse quantizer (seeded) over a `features` column. */
-  private def coarseQuantizer(features: DataFrame, k: Int = 16) = {
+  /** Deterministic bounded training sample (FAISS practice: quantizers and
+    * codebooks fit on ~1e5 vectors, never the corpus — training cost must
+    * not grow with table size). Rows whose hashed vec_id falls in the
+    * smallest fraction targeting `spark.graft.train.sampleCap` rows
+    * (default 100k) are kept; the filter is a pure function of vec_id, so
+    * the sample — and every seeded model fit on it — is identical across
+    * runs and cluster layouts. `transform`/encode still maps the FULL
+    * corpus; only `fit` sees the sample.
+    */
+  private def trainSample(df: DataFrame): DataFrame = {
+    val cap = df.sparkSession.conf
+      .get("spark.graft.train.sampleCap", "100000").toLong
+    val n = df.count()
+    if (n <= cap) df
+    else df.filter(pmod(xxhash64(col("vec_id")), lit(1000000L)) <
+      lit(math.max(1L, cap * 1000000L / n)))
+  }
+
+  /** The shared coarse quantizer (seeded), fit on a bounded deterministic
+    * sample of `withFeatures` (which must carry vec_id + features).
+    */
+  private def coarseQuantizer(withFeatures: DataFrame, k: Int = 16) = {
     import org.apache.spark.ml.clustering.KMeans
-    new KMeans().setK(k).setSeed(42L).setMaxIter(5).fit(features)
+    new KMeans().setK(k).setSeed(42L).setMaxIter(5)
+      .fit(trainSample(withFeatures).select("features"))
   }
 
   // ---- shared cosine-cell machinery (cosineCandidates + incremental) ----
@@ -152,12 +173,15 @@ object SimilarityOps {
     val e = Tables.spread(Tables.t(s, dir, "embeddings"))
       .withColumn("features", array_to_vector(col("embedding")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val model = coarseQuantizer(e.select("features"))
+    val model = coarseQuantizer(e)
     val assigned = model.transform(e).withColumnRenamed("prediction", "cell")
     val queries = assigned.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val qVecs = queries.collect().map(r =>
       (r.getAs[Long]("q_id"), r.getAs[scala.collection.Seq[Float]]("q_emb").toArray))
+    // eager consumers (quantizer fit + query collect) done: release the
+    // cache; the one lazy probe pass recomputes the map-side assignment
+    e.unpersist(blocking = false)
     val probeDf = s.createDataFrame(probeSets(model.clusterCenters, qVecs.toIndexedSeq, nprobe))
       .toDF("q_id", "cell")
       .join(queries, "q_id")
@@ -225,10 +249,13 @@ object SimilarityOps {
           df.withColumn(s"f$j", array_to_vector(slice(col("embedding"), j * PqSubDim + 1, PqSubDim)))
       }
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // codebooks fit on the bounded deterministic sample — training cost
+    // stays flat as the corpus grows; the encode below maps the full frame
+    val trainE = trainSample(e)
     val models = (0 until PqM).map { j =>
       new KMeans().setK(PqK).setSeed(42L + j).setMaxIter(5)
         .setFeaturesCol(s"f$j").setPredictionCol(s"code$j")
-        .fit(e.select(s"f$j"))
+        .fit(trainE.select(s"f$j"))
     }
     val books: Array[Array[Array[Double]]] =
       models.map(_.clusterCenters.map(_.toArray)).toArray
@@ -237,6 +264,17 @@ object SimilarityOps {
         array((0 until PqM).map(j => col(s"code$j")): _*).as("codes")) ++
         keep.map(col)): _*)
     (books, encoded, e)
+  }
+
+  /** Train-only hook (stress/test): fit the codebooks — on the bounded
+    * deterministic sample — and release the featurized cache without
+    * encoding, so callers can time the FIT cost alone. With the 100k-row
+    * cap, this must stay ~flat as the corpus grows.
+    */
+  private[graft] def pqTrain(corpus: DataFrame): Int = {
+    val (books, _, cached) = pqTrainEncode(Tables.spread(corpus))
+    cached.unpersist(blocking = false)
+    books.length
   }
 
   /** One collect of the (tiny) query set — shared by the LUT frame and
@@ -307,6 +345,8 @@ object SimilarityOps {
     val (books, encoded, cached) = pqTrainEncode(Tables.spread(corpus))
     // queries come off the persisted featurized frame — no raw re-scan
     val qRows = pqQueryRows(cached.filter(col("vec_id") < 10))
+    // eager consumers done: release the cache (see knnIvfPqOn note)
+    cached.unpersist(blocking = false)
     pqSearch(encoded, pqQueryDf(corpus.sparkSession, qRows, books), corpus)
   }
 
@@ -349,12 +389,16 @@ object SimilarityOps {
     val nprobe = 4
     val e0 = Tables.spread(corpus)
       .withColumn("features", array_to_vector(col("embedding")))
-    val cellModel = coarseQuantizer(e0.select("features"))
+    val cellModel = coarseQuantizer(e0)
     val assigned = cellModel.transform(e0)
       .withColumnRenamed("prediction", "cell").drop("features")
     val (books, encoded, cached) = pqTrainEncode(assigned, keep = Seq("cell"))
     // ONE collect of the query set feeds both the LUTs and the probe sets
     val qRows = pqQueryRows(cached.filter(col("vec_id") < 10))
+    // eager consumers (codebook fits + query collect) are done: release
+    // the featurized cache now so long-lived sessions don't accumulate
+    // pinned corpora — the single ADC encode pass recomputes map-side
+    cached.unpersist(blocking = false)
     val queryDf = pqQueryDf(s, qRows, books)
     val probeDf = probeSets(cellModel.clusterCenters, qRows, nprobe)
       .toDF("q_id", "cell").join(queryDf, "q_id")
@@ -407,31 +451,146 @@ object SimilarityOps {
     val encoded = batch.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .map { case (id, emb) =>
-        val books = bcast.value
-        var n2 = 0.0
-        var i = 0
-        while (i < emb.length) { n2 += emb(i).toDouble * emb(i).toDouble; i += 1 }
-        val codes = Array.tabulate(PqM) { j =>
-          var best = 0
-          var bestD = Double.MaxValue
-          var c = 0
-          while (c < PqK) {
-            val cen = books(j)(c)
-            var d = 0.0
-            var t = 0
-            while (t < PqSubDim) {
-              val diff = emb(j * PqSubDim + t).toDouble - cen(t)
-              d += diff * diff
-              t += 1
-            }
-            if (d < bestD) { bestD = d; best = c }
-            c += 1
-          }
-          best
-        }
-        (id, math.sqrt(n2), codes)
+        val (nrm, codes) = pqEncodeOne(emb, bcast.value)
+        (id, nrm, codes)
       }.toDF("vec_id", "nrm", "codes")
     encoded.write.mode("append").parquet(s"$indexPath/codes")
+  }
+
+  /** (norm, m sub-codes) of one vector against frozen codebooks — the
+    * executor-side encode kernel of the append paths (tight primitive
+    * loops; called from map closures, captures nothing).
+    */
+  private def pqEncodeOne(emb: Array[Float],
+      books: Array[Array[Array[Double]]]): (Double, Array[Int]) = {
+    var n2 = 0.0
+    var i = 0
+    while (i < emb.length) { n2 += emb(i).toDouble * emb(i).toDouble; i += 1 }
+    val codes = Array.tabulate(PqM) { j =>
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < PqK) {
+        val cen = books(j)(c)
+        var d = 0.0
+        var t = 0
+        while (t < PqSubDim) {
+          val diff = emb(j * PqSubDim + t).toDouble - cen(t)
+          d += diff * diff
+          t += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    (math.sqrt(n2), codes)
+  }
+
+  /** Nearest coarse centroid (full-dim L2) — frozen-quantizer cell
+    * assignment for the IVF append path.
+    */
+  private def nearestCenter(emb: Array[Float], centers: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var ci = 0
+    while (ci < centers.length) {
+      val cen = centers(ci)
+      var d = 0.0
+      var i = 0
+      while (i < cen.length) { val diff = emb(i).toDouble - cen(i); d += diff * diff; i += 1 }
+      if (d < bestD) { bestD = d; best = ci }
+      ci += 1
+    }
+    best
+  }
+
+  /** Materialize the IVF-PQ index ([[knnIvfPqOn]]'s frozen form): coarse
+    * centroids and per-subspace codebooks as driver-metadata tables, and
+    * the PQ codes PARTITIONED BY CELL ID — a probe lists only its nprobe
+    * `cell=` directories, so the nprobe/k read bound lands at FILE-LISTING
+    * time and multiplies with the ~42x byte cut of the codes themselves.
+    * Train and encode ONCE at ingest (or per compaction); every query
+    * session serves retrain-free ([[knnIvfPqFromIndex]]) and daily
+    * batches land with [[appendToIvfIndex]].
+    */
+  def writeIvfIndex(s: SparkSession, dir: String, indexPath: String): Unit = {
+    import org.apache.spark.ml.functions.array_to_vector
+    import s.implicits._
+    val e0 = Tables.spread(Tables.t(s, dir, "embeddings"))
+      .withColumn("features", array_to_vector(col("embedding")))
+    val cellModel = coarseQuantizer(e0)
+    val assigned = cellModel.transform(e0)
+      .withColumnRenamed("prediction", "cell").drop("features")
+    val (books, encoded, cached) = pqTrainEncode(assigned, keep = Seq("cell"))
+    encoded.write.partitionBy("cell").mode("overwrite").parquet(s"$indexPath/codes")
+    books.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (center, c) => (j, c, center.toSeq) }
+    }.toIndexedSeq.toDF("subspace", "code", "center")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/books")
+    cellModel.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }.toIndexedSeq
+      .toDF("cell", "center")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/cells")
+    // terminal API: all outputs are on disk, nothing can reuse the cache
+    cached.unpersist()
+  }
+
+  private def readCells(s: SparkSession, indexPath: String): Array[Array[Double]] = {
+    val rows = s.read.parquet(s"$indexPath/cells").collect()
+    val centers = Array.ofDim[Array[Double]](rows.length)
+    rows.foreach { r =>
+      centers(r.getAs[Int]("cell")) = r.getAs[scala.collection.Seq[Double]]("center").toArray
+    }
+    centers
+  }
+
+  /** Serve IVF-PQ from a [[writeIvfIndex]] materialization: centroids and
+    * codebooks load as driver metadata (NO KMeans anywhere in this path),
+    * the probe scans only the matching cell partitions of the codes
+    * table (partition pruning), and the exact re-rank resolves against
+    * `corpus` (which must cover every vec_id in the index).
+    */
+  def knnIvfPqServe(s: SparkSession, corpus: DataFrame, indexPath: String,
+      nprobe: Int = 4): DataFrame = {
+    import s.implicits._
+    val books = readBooks(s, indexPath)
+    val centers = readCells(s, indexPath)
+    val mlCenters = centers.map(org.apache.spark.ml.linalg.Vectors.dense)
+    val qRows = pqQueryRows(corpus.filter(col("vec_id") < 10))
+    val queryDf = pqQueryDf(s, qRows, books)
+    val probes = probeSets(mlCenters, qRows, nprobe)
+    val probeDf = probes.toDF("q_id", "cell").join(queryDf, "q_id")
+    val probedCells = probes.map(_._2).distinct
+    // only the probed cell=... directories are listed, let alone read
+    val encoded = s.read.parquet(s"$indexPath/codes")
+      .filter(col("cell").isin(probedCells: _*))
+    pqScoreRerank(encoded.join(broadcast(probeDf), Seq("cell")), corpus)
+  }
+
+  def knnIvfPqFromIndex(s: SparkSession, dir: String, indexPath: String): DataFrame =
+    knnIvfPqServe(s, Tables.t(s, dir, "embeddings"), indexPath)
+
+  /** Incremental ingest for the IVF-PQ index: assign each new vector to
+    * its nearest FROZEN coarse cell and encode against the FROZEN
+    * codebooks — one map pass over broadcast metadata, no retraining, no
+    * touch of existing codes; new part files land under their matching
+    * `cell=` partitions. Centroid/codebook drift under a shifting
+    * distribution is a compaction concern ([[writeIvfIndex]] re-trains),
+    * not an ingest concern.
+    */
+  def appendToIvfIndex(batch: DataFrame, indexPath: String): Unit = {
+    val s = batch.sparkSession
+    import s.implicits._
+    val bBooks = s.sparkContext.broadcast(readBooks(s, indexPath))
+    val bCells = s.sparkContext.broadcast(readCells(s, indexPath))
+    val encoded = batch.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, emb) =>
+        val (nrm, codes) = pqEncodeOne(emb, bBooks.value)
+        (id, nrm, codes, nearestCenter(emb, bCells.value))
+      }.toDF("vec_id", "nrm", "codes", "cell")
+    encoded.write.partitionBy("cell").mode("append").parquet(s"$indexPath/codes")
   }
 
   /** Per-label centroids (IVF coarse quantizer building block): exact
@@ -511,7 +670,7 @@ object SimilarityOps {
     val e = withNormalized(Tables.spread(e0))
       .withColumn("features", array_to_vector(col("nvec")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val model = coarseQuantizer(e.select("features"), k)
+    val model = coarseQuantizer(e, k)
     val centers = model.clusterCenters.map(_.toArray)
     val centDf = centroidsDf(s, centers)
     // per-vector distance to its own centroid, in normalized space
@@ -566,7 +725,7 @@ object SimilarityOps {
     val c = withNormalized(Tables.spread(corpus))
       .withColumn("features", array_to_vector(col("nvec")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val model = coarseQuantizer(c.select("features"), k)
+    val model = coarseQuantizer(c, k)
     val centers = model.clusterCenters.map(_.toArray)
     val assigned = model.transform(c).withColumnRenamed("prediction", "cell")
       .join(broadcast(centroidsDf(s, centers)), "cell")
@@ -579,6 +738,11 @@ object SimilarityOps {
     val rm = assigned.groupBy("cell").agg(max(col("cdist")).as("rmax")).collect()
       .map(row => row.getAs[Int]("cell") -> row.getAs[Double]("rmax")).toMap
     c.unpersist()
+    // all eager consumers are done and the returned plan streams the
+    // corpus side exactly once — release the cache rather than pinning a
+    // per-call corpus copy for the session's lifetime (the one lazy pass
+    // recomputes the map-side assignment)
+    assigned.unpersist(blocking = false)
     // (cell, centroid, radius): empty cells get -inf so no probe admits them
     val cellIdx = centers.indices
       .map(i => (i, centers(i).toSeq, rm.getOrElse(i, Double.NegativeInfinity)))

@@ -123,6 +123,15 @@ object Stress {
         scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 10).count())
       spark.catalog.clearCache()
 
+      // codebook FIT cost alone: the bounded deterministic sample (cap
+      // 100k rows) must hold it ~flat as the corpus grows — at sf0.1 the
+      // x1 corpus (50k) is under the cap and the xN corpus is over it, so
+      // a growing curve here means the cap is not biting
+      time(s"pq-train x1")(SimilarityOps.pqTrain(emb))
+      spark.catalog.clearCache()
+      time(s"pq-train x$copies")(SimilarityOps.pqTrain(embN))
+      spark.catalog.clearCache()
+
       // PQ ANN: train+encode+ADC-scan+re-rank over the replicated corpus.
       // Encode is a map pass and the ADC scan is linear in rows, so the
       // curve must stay ~linear in copies (training cost is fixed: m

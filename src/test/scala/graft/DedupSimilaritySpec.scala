@@ -427,6 +427,67 @@ class DedupSimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("IVF-PQ serve-from-index equals the train-and-search path; probes prune partitions") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfidx").toString + "/ivfpq"
+    SimilarityOps.writeIvfIndex(spark, sf0001, idx)
+    val direct = SimilarityOps.knnIvfPq(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val served = SimilarityOps.knnIvfPqFromIndex(spark, sf0001, idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(served.nonEmpty && served.sameElements(direct),
+      "serving from the materialized IVF-PQ index must reproduce the direct result")
+    // the codes table is partitioned by cell: a probe-shaped filter reads
+    // only its cells' files (pruned at listing time, before any IO)
+    val codes = spark.read.parquet(s"$idx/codes")
+    val one = codes.filter(col("cell") === 0)
+    one.collect()
+    val scan = one.queryExecution.executedPlan.collectFirst {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+    }.getOrElse(fail("no scan in single-cell plan"))
+    assert(scan.metrics("numFiles").value < codes.inputFiles.length,
+      "single-cell read must not touch other cells' files")
+  }
+
+  test("IVF-PQ incremental append: clones land in their cells, retrievable without retraining") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfinc").toString + "/ivfpq"
+    SimilarityOps.writeIvfIndex(spark, sf0001, idx)
+    val base = Tables.t(spark, sf0001, "embeddings")
+    // batch = exact clones of the query vectors under fresh ids: frozen
+    // cell assignment puts each clone in its query's nearest cell (always
+    // probed), so after the append each query's top-1 must be its clone
+    val clones = base.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"), col("label"))
+    SimilarityOps.appendToIvfIndex(clones, idx)
+    val corpus = base.unionByName(clones)
+    val top1 = SimilarityOps.knnIvfPqServe(spark, corpus, idx)
+      .filter(col("rnk") === 1).collect()
+    assert(top1.length == 10)
+    top1.foreach { r =>
+      assert(r.getLong(1) == r.getLong(0) + 100000L,
+        s"query ${r.getLong(0)}: top-1 should be its appended clone, got ${r.getLong(1)}")
+      assert(r.getDouble(3) >= 1.0 - 1e-12)
+    }
+  }
+
+  test("sampled codebook training: recall parity with the full fit (sf0.01)") {
+    val sf001 = "/root/testdata/sf0.01"
+    val brute = SimilarityOps.knnBrute(spark, sf001)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val keys = df.select("q_id", "n_id").as[(Long, Long)].collect().toSet
+      brute.count(keys.contains).toDouble / brute.size
+    }
+    val full = recall(SimilarityOps.knnPq(spark, sf001))
+    // force the bounded-sample path (1000 of 5000 vectors feed the fits;
+    // the encode still maps the full corpus)
+    spark.conf.set("spark.graft.train.sampleCap", "1000")
+    val sampled =
+      try recall(SimilarityOps.knnPq(spark, sf001))
+      finally spark.conf.unset("spark.graft.train.sampleCap")
+    assert(sampled >= full - 0.15, s"sampled-fit recall $sampled vs full-fit $full")
+    assert(sampled >= 0.5, s"sampled-fit recall $sampled implausibly low")
+  }
+
   test("label centroids: n sums to corpus size (sf0.001)") {
     val c = SimilarityOps.labelCentroids(spark, sf0001)
     val total = c.agg(sum("n")).first().getLong(0)

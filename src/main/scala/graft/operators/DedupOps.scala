@@ -510,35 +510,43 @@ object DedupOps {
     * the hashed shingle arrays. Sketch-based → rows-only gate, recall
     * unit-tested against the exact pair join.
     */
-  def incrementalMinHashOn(corpus: DataFrame, batch: DataFrame): DataFrame = {
-    def sigs(df: DataFrame): DataFrame = withShingles(df)
-      .select(col("doc_id"), col("shs"))
-      .filter(size(col("shs")) > 0)
-      .select(col("doc_id"),
-        transform(col("shs"), s => xxhash64(s)).as("hsh"),
-        GraftFunctions.graftMinHashSig(col("shs")).as("sig"))
-    def bands(df: DataFrame): DataFrame = {
-      val bandKeys = (0 until Bands).map { b =>
-        val rows = (0 until RowsPerBand).map(r => col("sig").getItem(b * RowsPerBand + r))
-        struct(lit(b).as("band"), xxhash64(rows: _*).as("bkey"))
-      }
-      df.select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+  /** Per-doc index rows — doc_id, hashed shingle set, MinHash signature —
+    * shared by the one-shot and index-backed incremental paths.
+    */
+  private def minhashSigs(df: DataFrame): DataFrame = withShingles(df)
+    .select(col("doc_id"), col("shs"))
+    .filter(size(col("shs")) > 0)
+    .select(col("doc_id"),
+      transform(col("shs"), s => xxhash64(s)).as("hsh"),
+      GraftFunctions.graftMinHashSig(col("shs")).as("sig"))
+
+  /** (doc_id, band, bkey) band-bucket rows of a signature frame. */
+  private def bandRows(df: DataFrame): DataFrame = {
+    val bandKeys = (0 until Bands).map { b =>
+      val rows = (0 until RowsPerBand).map(r => col("sig").getItem(b * RowsPerBand + r))
+      struct(lit(b).as("band"), xxhash64(rows: _*).as("bkey"))
     }
-    val corpusSig = sigs(corpus)
+    df.select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+  }
+
+  /** The probe core: batch band keys broadcast against the corpus band
+    * rows (hot buckets pruned), candidates verified with exact Jaccard on
+    * the hashed shingle arrays. The corpus side — band rows AND signature
+    * rows — only ever streams: candidates are bounded by the batch
+    * (x MaxBucket matches), so both verify joins broadcast the candidate
+    * frame, never a shuffle of the 100 TB signatures by corpus_doc.
+    */
+  private def minhashProbe(corpusSig: DataFrame, corpusBands: DataFrame,
+      batch: DataFrame): DataFrame = {
+    val batchSig = minhashSigs(batch)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val batchSig = sigs(batch)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val corpusBands = pruneHotBuckets(bands(corpusSig), Seq("band", "bkey"))
-    val cands = corpusBands.as("c")
-      .join(broadcast(bands(batchSig).as("b")),
+    val pruned = pruneHotBuckets(corpusBands, Seq("band", "bkey"))
+    val cands = pruned.as("c")
+      .join(broadcast(bandRows(batchSig).as("b")),
         col("c.band") === col("b.band") && col("c.bkey") === col("b.bkey"))
       .select(col("b.doc_id").as("batch_doc"), col("c.doc_id").as("corpus_doc"))
       .distinct()
-    // candidates are bounded by the batch (x MaxBucket matches), so BOTH
-    // verify joins keep the corpus side stream-only: the candidate frame
-    // is the broadcast build side against corpusSig, never a shuffle of
-    // the 100 TB signatures by corpus_doc
     val candB = cands.join(broadcast(batchSig.select(
       col("doc_id").as("batch_doc"), col("hsh").as("hsh_b"))), "batch_doc")
     corpusSig.select(col("doc_id").as("corpus_doc"), col("hsh").as("hsh_c"))
@@ -549,6 +557,53 @@ object DedupOps {
       .filter(col("jaccard") >= 0.7)
       .select("batch_doc", "corpus_doc", "jaccard")
       .orderBy("batch_doc", "corpus_doc")
+  }
+
+  def incrementalMinHashOn(corpus: DataFrame, batch: DataFrame): DataFrame = {
+    // self-contained form: the corpus signatures are recomputed here (and
+    // persisted — band building and candidate verify both consume them);
+    // the steady-state ingest path serves them from a maintained table
+    // instead ([[writeMinHashIndex]] / [[incrementalMinHashFromIndex]])
+    val corpusSig = minhashSigs(corpus)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    minhashProbe(corpusSig, bandRows(corpusSig), batch)
+  }
+
+  /** Materialize the MinHash band index: the per-doc signature table and
+    * the exploded band-bucket table, both write-once parquet. This is the
+    * steady-state ingest form — corpus shingling/hashing happens ONCE at
+    * index build; every subsequent batch probes the stored tables and
+    * appends its own rows ([[appendToMinHashIndex]]) without touching any
+    * existing corpus document.
+    */
+  def writeMinHashIndex(corpus: DataFrame, indexPath: String): Unit = {
+    val sig = minhashSigs(corpus)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sig.write.mode("overwrite").parquet(s"$indexPath/sigs")
+    bandRows(sig).write.mode("overwrite").parquet(s"$indexPath/bands")
+    sig.unpersist()
+  }
+
+  /** Probe a stored index: identical semantics to
+    * [[incrementalMinHashOn]] over whatever corpus the index covers, with
+    * zero corpus recomputation (hot-bucket pruning runs over the stored
+    * band table, so appended hot clusters stay capped).
+    */
+  def incrementalMinHashFromIndex(s: SparkSession, batch: DataFrame,
+      indexPath: String): DataFrame =
+    minhashProbe(s.read.parquet(s"$indexPath/sigs"),
+      s.read.parquet(s"$indexPath/bands"), batch)
+
+  /** Extend the index with a new batch: compute the batch's signatures and
+    * band rows (one map pass over the batch only) and append both tables.
+    * The next batch's probe sees these docs as corpus.
+    */
+  def appendToMinHashIndex(batch: DataFrame, indexPath: String): Unit = {
+    val sig = minhashSigs(batch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sig.write.mode("append").parquet(s"$indexPath/sigs")
+    bandRows(sig).write.mode("append").parquet(s"$indexPath/bands")
+    sig.unpersist()
   }
 
   def incrementalMinHash(s: SparkSession, dir: String): DataFrame = {

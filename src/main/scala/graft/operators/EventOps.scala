@@ -23,6 +23,7 @@ object EventOps {
   final val LowThresh = 50.0
   final val HighThresh = 100.0
   final val MinRun = 3L
+  final val MaxRun = 8L // times(min,max) upper bound for the bounded variant
   final val WithinUs = 24L * 3600 * 1000000 // gap run-end -> normal event
 
   /** Tumbling event-time window (1 hour) per event type. */
@@ -174,6 +175,94 @@ object EventOps {
        |  AND epoch_us(n.ts) - r.attack_end_us <= $WithinUs
        |ORDER BY target_id, attack_start_us""".stripMargin
 
+  /** Bounded-run CEP — the reference pattern 1:1
+    * (AnomalyDetection.java:126-132: `times(min, max)` + `consecutive()` +
+    * `skipPastLastEvent`, `within` over the whole match): greedy
+    * `times(min,max)` with skip-past-last yields ONE match per maximal
+    * low-run, built from the run's LAST `min(L, maxRun)` fragments (the
+    * truncation `StreamingAnomaly.step` implements with its ring buffer),
+    * and the match window runs from the FIRST KEPT fragment to the closing
+    * high event. `ev_cep_attack` keeps the unbounded maximal-run analog;
+    * this is the exact-Flink batch form, oracle-gated.
+    *
+    * Shape: same single exchange on user_id; the truncation is one extra
+    * windowed max over the (user, run) islands of the LOW rows only —
+    * partitioned finer than user_id, linear per partition.
+    */
+  def cepAttackBounded(s: SparkSession, dir: String): DataFrame =
+    cepAttackBoundedOn(Tables.t(s, dir, "events"))
+
+  def cepAttackBoundedOn(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val e = events
+      .select("user_id", "event_id", "ts", "value")
+      .withColumn("rn", row_number().over(byUser))
+
+    val lows = e
+      .filter(col("value") < LowThresh)
+      .withColumn("grp", col("rn") - row_number().over(byUser))
+    // times(min,max) truncation: keep only the LAST MaxRun fragments of
+    // each island (run rns are consecutive, so a max-rn window suffices —
+    // no per-run sort)
+    val kept = lows
+      .withColumn("rn_last", max(col("rn")).over(Window.partitionBy("user_id", "grp")))
+      .filter(col("rn") > col("rn_last") - MaxRun)
+
+    val runs = kept
+      .groupBy("user_id", "grp")
+      .agg(
+        count(lit(1)).as("fragment_count"),
+        max(col("rn")).as("rn_end"),
+        min(unix_micros(col("ts"))).as("attack_start_us"),
+        max(unix_micros(col("ts"))).as("attack_end_us"),
+        dsum(col("value")).as("sum_low"))
+      .filter(col("fragment_count") >= MinRun)
+
+    val nxt = e.select(
+      col("user_id").as("n_user"), col("rn").as("n_rn"),
+      unix_micros(col("ts")).as("normal_ts_us"), col("value").as("avg_packets"))
+
+    runs
+      .join(nxt, col("user_id") === col("n_user") && col("n_rn") === col("rn_end") + 1)
+      .filter(col("avg_packets") > HighThresh &&
+        col("normal_ts_us") - col("attack_start_us") <= WithinUs) // Flink `within`: whole-match window
+      .withColumn("avg_fragment_size", col("sum_low") / col("fragment_count"))
+      .withColumn("size_reduction_percent",
+        (col("avg_packets") - col("avg_fragment_size")) / col("avg_packets") * 100)
+      .select(col("user_id").as("target_id"), col("attack_start_us"),
+        col("attack_end_us"), col("normal_ts_us"), col("fragment_count"),
+        col("avg_fragment_size"), col("avg_packets"), col("size_reduction_percent"))
+      .orderBy("target_id", "attack_start_us")
+  }
+
+  val cepBoundedOracle: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, ts, value,
+       |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+       |  FROM events),
+       |i AS (
+       |  SELECT *, rn - row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS grp
+       |  FROM e WHERE value < $LowThresh),
+       |k AS (
+       |  SELECT * FROM (
+       |    SELECT *, MAX(rn) OVER (PARTITION BY user_id, grp) AS rn_last FROM i)
+       |  WHERE rn > rn_last - $MaxRun),
+       |runs AS (
+       |  SELECT user_id, grp, COUNT(*) AS fragment_count, MAX(rn) AS rn_end,
+       |         MIN(epoch_us(ts)) AS attack_start_us,
+       |         MAX(epoch_us(ts)) AS attack_end_us,
+       |         ${sqlDsum("value")} AS sum_low
+       |  FROM k GROUP BY user_id, grp HAVING COUNT(*) >= $MinRun)
+       |SELECT r.user_id AS target_id, r.attack_start_us, r.attack_end_us,
+       |       epoch_us(n.ts) AS normal_ts_us, r.fragment_count,
+       |       r.sum_low / r.fragment_count AS avg_fragment_size,
+       |       n.value AS avg_packets,
+       |       (n.value - r.sum_low / r.fragment_count) / n.value * 100 AS size_reduction_percent
+       |FROM runs r JOIN e n ON n.user_id = r.user_id AND n.rn = r.rn_end + 1
+       |WHERE n.value > $HighThresh
+       |  AND epoch_us(n.ts) - r.attack_start_us <= $WithinUs
+       |ORDER BY target_id, attack_start_us""".stripMargin
+
   /** IPInsights analog (reference sagemaker notebook: entity<->IP
     * co-occurrence scoring). Rarity = expected/observed co-occurrence of
     * (user, event_type): integer-exact counts, one final IEEE division.
@@ -216,16 +305,26 @@ object EventOps {
   /** Exact rank-based quantiles per group (value at rank ceil(q*n) — the
     * "lower" quantile, no interpolation, so it is deterministic and
     * oracle-checkable; the sketch path for 100 TB is approx_percentile).
-    * One shuffle; the rank window and the count window share it.
+    *
+    * Scale shape: the raw events NEVER enter a per-type sort — a full sort
+    * of one type is an un-splittable single task, and at 100 TB with a
+    * handful of types that task holds the biggest type's entire volume.
+    * Instead the fact table collapses to (type, value) COUNTS first (a
+    * splittable, map-side-combined aggregate), and only the distinct-value
+    * frame — bounded by the value cardinality, not the event count — is
+    * ranked: value at rank r = the smallest value whose running count
+    * reaches r.
     */
   def quantilesByType(s: SparkSession, dir: String): DataFrame = {
-    val byTypeVal = Window.partitionBy("event_type").orderBy("value", "event_id")
+    val byVal = Window.partitionBy("event_type").orderBy("value")
     val byType = Window.partitionBy("event_type")
     def pick(q: Double) =
-      max(when(col("rn") === ceil(lit(q) * col("n")).cast(LongType), col("value")))
+      min(when(col("cum") >= ceil(lit(q) * col("n")).cast(LongType), col("value")))
     Tables.t(s, dir, "events")
-      .withColumn("rn", row_number().over(byTypeVal).cast(LongType))
-      .withColumn("n", count(lit(1)).over(byType))
+      .groupBy("event_type", "value")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(byVal))
+      .withColumn("n", sum(col("cnt")).over(byType))
       .groupBy("event_type")
       .agg(pick(0.5).as("p50"), pick(0.95).as("p95"), pick(0.99).as("p99"))
       .orderBy("event_type")
@@ -267,9 +366,14 @@ object EventOps {
       .withColumn("strength", log1p(col("n_pair")))
   }
 
-  def ipinsightsScore(s: SparkSession, dir: String): DataFrame = {
+  def ipinsightsScore(s: SparkSession, dir: String): DataFrame =
+    ipinsightsScoreOn(Tables.t(s, dir, "events"))
+
+  /** Same, over any (user_id, event_type) frame — the trained-model table
+    * a serving layer (e.g. `StreamingAnomaly.scoreStream`) consumes.
+    */
+  def ipinsightsScoreOn(e: DataFrame): DataFrame = {
     import org.apache.spark.ml.recommendation.ALS
-    val e = Tables.t(s, dir, "events")
     // consumed by fit AND transform — without the persist the pair
     // aggregation (a full fact-table pass) runs twice
     val pairs = indexedPairs(e)
@@ -492,6 +596,7 @@ object EventOps {
     QueryDef("ev_sliding_6h", sliding6h, Some(slidingOracle)),
     QueryDef("ev_sessionize", sessionize, Some(sessionizeOracle)),
     QueryDef("ev_cep_attack", cepAttack, Some(cepOracle), headline = true),
+    QueryDef("ev_cep_bounded", cepAttackBounded, Some(cepBoundedOracle)),
     QueryDef("ev_rarity_score", rarityScore, Some(rarityOracle)),
     QueryDef("ev_ipinsights_score", ipinsightsScore, None),
     QueryDef("ev_quantiles_by_type", quantilesByType, Some(quantilesOracle)),

@@ -40,6 +40,28 @@ class EventOpsSpec extends SparkSpecBase {
     assert(EventOps.cepAttackOn(e).count() == 0)
   }
 
+  test("cepAttackBoundedOn truncates long runs to the last MaxRun fragments") {
+    // user 1: 12 lows then a high — greedy times(min,max) + skip-past-last
+    // matches the LAST 8 (MaxRun) fragments; values ramp so the truncation
+    // is visible in the averages. user 2: short run (4) passes untruncated.
+    val e = mkEvents(
+      (0 until 12).map(i => (1L, i.toLong, 10.0 + i)) ++ Seq((1L, 12L, 200.0)) ++
+        (0 until 4).map(i => (2L, i.toLong, 5.0)) ++ Seq((2L, 4L, 150.0)))
+    val rows = EventOps.cepAttackBoundedOn(e).collect()
+    assert(rows.length == 2, rows.mkString("\n"))
+    val r1 = rows.find(_.getAs[Long]("target_id") == 1L).get
+    assert(r1.getAs[Long]("fragment_count") == EventOps.MaxRun)
+    // kept fragments = lows 4..11 (values 14..21): start moves forward
+    assert(math.abs(r1.getAs[Double]("avg_fragment_size") - (14 to 21).sum / 8.0) < 1e-9)
+    assert(r1.getAs[Long]("attack_start_us") == 1700000000000L * 1000 + 4L * 60000000L)
+    val r2 = rows.find(_.getAs[Long]("target_id") == 2L).get
+    assert(r2.getAs[Long]("fragment_count") == 4L)
+    // within bound measured from the KEPT run's start (whole-match window)
+    val far = mkEvents(
+      (0 until 4).map(i => (7L, i.toLong, 5.0)) ++ Seq((7L, 3L + 25 * 60, 150.0)))
+    assert(EventOps.cepAttackBoundedOn(far).count() == 0)
+  }
+
   test("sessionizeOn splits on gaps > 12h") {
     val e = mkEvents(Seq(
       (1L, 0L, 1.0), (1L, 10L, 1.0),       // session 1 (10 min apart)

@@ -66,4 +66,39 @@ class IngestLoopSpec extends SparkSpecBase {
     assert(pruned.filter(col("doc_id").between(11, 12))
       .select("doc_id").as[Long].collect().sorted.toSeq == Seq(11L, 12L))
   }
+
+  test("minhash band index: probe-from-index == recompute; appends seen without recomputation") {
+    val docs = graft.sources.Tables.t(spark, sf0001, "documents")
+    val idx = Files.createTempDirectory("graft-mhidx").toString + "/mh"
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch1 = docs.filter(col("doc_id") % 10 === 0)
+    val batch2 = docs.filter(col("doc_id") % 10 === 5)
+
+    def key(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.select("batch_doc", "corpus_doc", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+
+    // build once; batch-1 probe must equal the self-contained recompute
+    DedupOps.writeMinHashIndex(corpus, idx)
+    val served = key(DedupOps.incrementalMinHashFromIndex(spark, batch1, idx))
+    val direct = key(DedupOps.incrementalMinHashOn(corpus, batch1))
+    assert(served == direct,
+      s"index probe diverged from recompute (${(served -- direct) ++ (direct -- served)})")
+
+    // append batch 1; batch 2's probe must see it as corpus — identical to
+    // a recompute over corpus+batch1, with zero corpus recomputation
+    DedupOps.appendToMinHashIndex(batch1, idx)
+    spark.catalog.clearCache()
+    val served2 = key(DedupOps.incrementalMinHashFromIndex(spark, batch2, idx))
+    val direct2 = key(DedupOps.incrementalMinHashOn(corpus.unionByName(batch1), batch2))
+    assert(served2 == direct2)
+    // guaranteed hits against the APPENDED rows: exact clones of batch-1
+    // docs must match their originals (jaccard 1.0) via the index alone
+    val clones = batch1.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val served3 = key(DedupOps.incrementalMinHashFromIndex(spark, clones, idx))
+    val cloneHits = served3.filter(t => t._1 == t._2 + 1000000L)
+    assert(cloneHits.nonEmpty && cloneHits.forall(_._3 == 1.0),
+      s"clones must match their appended originals at jaccard 1.0 (got ${cloneHits.size})")
+    spark.catalog.clearCache()
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Analytics, SimilarityOps}
+import graft.operators.{Analytics, EventOps, SimilarityOps}
 
 /** Plan-shape assertions: the scale claims (pushdown, pruning, broadcast,
   * rank-limit pushdown) hold in the compiled physical plan, not just in
@@ -115,5 +115,34 @@ class PlanSpec extends SparkSpecBase {
     val p = plan(graft.operators.DedupOps.jaccardPairs(spark, sf0001))
     assert(p.contains("InMemoryTableScan"),
       "multi-consumer intermediates must read from cache, not recompute")
+  }
+
+  test("quantiles: raw events never enter a per-type sort (windows rank the distinct-value frame)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = EventOps.quantilesByType(spark, sf0001)
+    df.collect() // finalize adaptive decisions
+    def children(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case s: QueryStageExec => Seq(s.plan)
+      case o => o.children
+    }
+    def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] =
+      (if (pf.isDefinedAt(p)) Seq(pf(p)) else Nil) ++ children(p).flatMap(collectAll(_)(pf))
+    val root = df.queryExecution.executedPlan
+    val windows = collectAll(root) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, s"expected rank windows in the quantile plan:\n$root")
+    // every window (the un-splittable per-type stage) must consume the
+    // (type, value) count aggregate, never the raw event stream — the
+    // single-task sort is bounded by value cardinality, not event volume
+    windows.foreach { w =>
+      val aggBelow = collectAll(w.child) {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }
+      assert(aggBelow.nonEmpty,
+        s"window must rank the pre-aggregated frame, not raw events:\n$root")
+    }
   }
 }

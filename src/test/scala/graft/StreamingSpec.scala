@@ -166,6 +166,52 @@ class StreamingSpec extends SparkSpecBase {
     } finally query.stop()
   }
 
+  test("trained ALS scorer serves the stream: rare/unseen associations flagged, frequent pass") {
+    implicit val sqlCtx = spark.sqlContext
+    // history: users 1..4 pair heavily with TCP (20x each); user 1 pairs
+    // with UDP exactly once — the rare association the trained model must
+    // rank anomalous (the reference scores each event against its trained
+    // IPInsights endpoint; here the trained ev_ipinsights_score table IS
+    // the model the stream joins against)
+    val hist = (for { u <- 1L to 4L; _ <- 1 to 20 } yield (u, "TCP")) ++ Seq((1L, "UDP"))
+    val als = graft.operators.EventOps.ipinsightsScoreOn(
+      hist.toDF("user_id", "event_type"))
+    // serving form: invert affinity to an anomaly score in [0,1] (1 = the
+    // weakest observed association); unseen pairs default to 1.0 inside
+    // scoreStream
+    val b = als.agg(min(col("score")).as("lo"), max(col("score")).as("hi")).head()
+    val (lo, hi) = (b.getDouble(0), b.getDouble(1))
+    val model = als.select(
+      concat(lit("10.0.0."), col("user_id")).as("ip_dst"),
+      col("event_type").as("ip_proto"),
+      ((lit(hi) - col("score")) / lit(hi - lo)).as("score"))
+    val mem = MemoryStream[NetworkEvent]
+    val scored = StreamingAnomaly.scoreStream(mem.toDS(), model, threshold = 0.9)
+    val query = scored.writeStream
+      .format("memory").queryName("als_scored").outputMode("append").start()
+    try {
+      def ev(dst: String, proto: String) = NetworkEvent(
+        "netflow", "192.168.0.1", dst, "1", "2", proto, 1000L, 1001L, 50, 500, "w0", "t")
+      mem.addData(Seq(
+        ev("10.0.0.1", "TCP"),  // frequent association -> benign
+        ev("10.0.0.1", "UDP"),  // planted rare association -> anomalous
+        ev("10.0.0.9", "TCP"))) // unseen entity -> max anomaly
+      query.processAllAvailable()
+      val out = spark.table("als_scored").collect()
+      assert(out.length == 3)
+      def rowFor(dst: String, proto: String) = out.find(r =>
+        r.getAs[String]("ip_dst") == dst && r.getAs[String]("ip_proto") == proto).get
+      val freq = rowFor("10.0.0.1", "TCP")
+      val rare = rowFor("10.0.0.1", "UDP")
+      val unseen = rowFor("10.0.0.9", "TCP")
+      assert(unseen.getAs[Boolean]("flagged") && unseen.getAs[Double]("score") == 1.0)
+      assert(rare.getAs[Boolean]("flagged"),
+        s"rare association score ${rare.getAs[Double]("score")} should flag at 0.9")
+      assert(!freq.getAs[Boolean]("flagged"),
+        s"frequent association score ${freq.getAs[Double]("score")} must pass")
+    } finally query.stop()
+  }
+
   private def toWireJson(es: Seq[NetworkEvent]): Seq[String] = es.map { e =>
     Seq(
       s""""event_type":"${e.event_type}"""", s""""ip_src":"${e.ip_src}"""",

@@ -123,14 +123,21 @@ object Stress {
         scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 10).count())
       spark.catalog.clearCache()
 
-      // codebook FIT cost alone: the bounded deterministic sample (cap
-      // 100k rows) must hold it ~flat as the corpus grows — at sf0.1 the
-      // x1 corpus (50k) is under the cap and the xN corpus is over it, so
-      // a growing curve here means the cap is not biting
+      // codebook FIT cost alone: bounded-sample training must hold it
+      // ~flat as the corpus grows. The prod cap (100k) is far above this
+      // box's corpus, so pin the cap at the x1 corpus size — then the xN
+      // leg trains on the SAME sample volume and a growing curve here
+      // means the cap is not biting
+      val prevCap = spark.conf.getOption("spark.graft.train.sampleCap")
+      spark.conf.set("spark.graft.train.sampleCap", emb.count().toString)
       time(s"pq-train x1")(SimilarityOps.pqTrain(emb))
       spark.catalog.clearCache()
       time(s"pq-train x$copies")(SimilarityOps.pqTrain(embN))
       spark.catalog.clearCache()
+      prevCap match {
+        case Some(v) => spark.conf.set("spark.graft.train.sampleCap", v)
+        case None => spark.conf.unset("spark.graft.train.sampleCap")
+      }
 
       // PQ ANN: train+encode+ADC-scan+re-rank over the replicated corpus.
       // Encode is a map pass and the ADC scan is linear in rows, so the

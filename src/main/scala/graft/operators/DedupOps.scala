@@ -300,20 +300,29 @@ object DedupOps {
   def simHashPairs(s: SparkSession, dir: String): DataFrame =
     simHashPairsOn(Tables.t(s, dir, "documents"))
 
+  /** doc_id -> 64-bit SimHash fingerprint (tokenize + native SimHash64). */
+  private def simhashFps(df: DataFrame): DataFrame = df
+    .withColumn("toks", split(col("text"), " "))
+    .withColumn("sh64", GraftFunctions.graftSimHash64(col("toks")))
+    .select("doc_id", "sh64")
+
+  /** Pigeonhole banding of fingerprints: 4 x 16-bit chunks — any pair at
+    * hamming <= 3 shares at least one chunk.
+    */
+  private def simhashBands(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), col("sh64"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("band"),
+          shiftrightunsigned(col("sh64"), i * 16).bitwiseAND(lit(0xFFFFL)).as("chunk"))): _*)).as("bk"))
+      .select(col("doc_id"), col("sh64"), col("bk.band").as("band"), col("bk.chunk").as("chunk"))
+
   def simHashPairsOn(documents: DataFrame): DataFrame = {
     // persist the fingerprints: banding feeds the hot-bucket count, the
     // anti-join AND both self-join sides — unpersisted, the tokenize +
     // SimHash64 map pass (the expensive part) ran four times
-    val d = documents
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("sh64", GraftFunctions.graftSimHash64(col("toks")))
-      .select("doc_id", "sh64")
+    val d = simhashFps(documents)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = d.select(col("doc_id"), col("sh64"),
-        explode(array((0 until 4).map(i =>
-          struct(lit(i).as("band"),
-            shiftrightunsigned(col("sh64"), i * 16).bitwiseAND(lit(0xFFFFL)).as("chunk"))): _*)).as("bk"))
-      .select(col("doc_id"), col("sh64"), col("bk.band").as("band"), col("bk.chunk").as("chunk"))
+    val banded = simhashBands(d)
     val pruned = pruneHotBuckets(banded, Seq("band", "chunk"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pruned.as("a")
@@ -613,6 +622,34 @@ object DedupOps {
       docs.filter(col("doc_id") % 5 === 0))
   }
 
+  /** Incremental SimHash near-dup — the fourth member of the incremental
+    * family (exact fingerprint, MinHash band, cosine cell, and this):
+    * batch fingerprints probe the corpus's pigeonhole bands with the same
+    * asymmetric plan (batch bands BROADCAST, corpus bands stream once,
+    * hot buckets capped), candidates verified with bit_count(xor) <= 3.
+    */
+  def incrementalSimHashOn(corpus: DataFrame, batch: DataFrame): DataFrame = {
+    val batchFp = simhashFps(batch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpusBands = pruneHotBuckets(simhashBands(simhashFps(corpus)),
+      Seq("band", "chunk"))
+    corpusBands.as("c")
+      .join(broadcast(simhashBands(batchFp).as("b")),
+        col("c.band") === col("b.band") && col("c.chunk") === col("b.chunk"))
+      .select(col("b.doc_id").as("batch_doc"), col("c.doc_id").as("corpus_doc"),
+        bit_count(col("c.sh64").bitwiseXOR(col("b.sh64"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy("batch_doc", "corpus_doc")
+  }
+
+  def incrementalSimHash(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.t(s, dir, "documents")
+    incrementalSimHashOn(
+      docs.filter(col("doc_id") % 5 =!= 0),
+      docs.filter(col("doc_id") % 5 === 0))
+  }
+
   val dupClustersOracle: String =
     s"""WITH RECURSIVE $sqlCappedPairs,
        |pairs AS (SELECT d1, d2 FROM jp),
@@ -632,6 +669,7 @@ object DedupOps {
     QueryDef("doc_simhash", simHashPairs, None),
     QueryDef("doc_dup_clusters", dupClusters, Some(dupClustersOracle)),
     QueryDef("doc_incr_dedup", incrementalDedup, Some(incrementalOracle)),
-    QueryDef("doc_incr_minhash", incrementalMinHash, None)
+    QueryDef("doc_incr_minhash", incrementalMinHash, None),
+    QueryDef("doc_incr_simhash", incrementalSimHash, None)
   )
 }

@@ -662,7 +662,8 @@ object SimilarityOps {
     * intermediates, it is released by the caller's `clearCache()` (Verify/
     * Bench do this per query) or session end.
     */
-  private[graft] def cosineCandidates(e0: DataFrame, t: Double, k: Int): DataFrame = {
+  private[graft] def cosineCandidates(e0: DataFrame, t: Double, k: Int,
+      sameLabel: Boolean = true): DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector
     val s = e0.sparkSession
     import s.implicits._
@@ -695,12 +696,56 @@ object SimilarityOps {
       if rm.contains(a) && rm.contains(b)
       if dist(centers(a), centers(b)) <= rm(a) + rm(b) + r
     } yield (a, b)).toDF("ca", "cb")
+    val bCond = col("b.cell") === col("cb") && col("a.vec_id") < col("b.vec_id")
     av.as("a")
       .join(broadcast(cellPairs), col("a.cell") === col("ca"))
       .join(av.as("b"),
-        col("b.cell") === col("cb") && col("a.label") === col("b.label") &&
-          col("a.vec_id") < col("b.vec_id"))
+        if (sameLabel) bCond && col("a.label") === col("b.label") else bCond)
   }
+
+  /** Exact threshold-bounded kNN JOIN — EVERY vector's top-k neighbors
+    * with sim >= t, corpus-wide (no label blocking): the graph-building
+    * op a clustering/near-dup pipeline runs over the whole table, vs the
+    * query-set kNN of the `emb_knn_*` family. EXACT by the same
+    * triangle-inequality cell machinery as [[cosineDupsBlocked]] (recall
+    * 1.0 by construction — a bounded-similarity graph, so candidates
+    * track cluster structure, never n^2); the per-vector top-k is a
+    * rank-k cut (WindowGroupLimit: per-partition heaps) over the
+    * symmetrized qualifying pairs.
+    */
+  def knnJoinOn(e0: DataFrame, t: Double = 0.4, cells: Int = 16,
+      topK: Int = 5): DataFrame = {
+    val pairs = cosineCandidates(e0, t, cells, sameLabel = false)
+      .withColumn("sim", graftCosine(col("a.embedding"), col("b.embedding")))
+      .filter(col("sim") >= t)
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"), col("sim"))
+    // candidates were generated once per unordered pair; each qualifying
+    // pair feeds BOTH endpoints' neighbor lists
+    val sym = pairs.union(
+      pairs.select(col("v2").as("v1"), col("v1").as("v2"), col("sim")))
+    val w = Window.partitionBy("v1").orderBy(col("sim").desc, col("v2").asc)
+    sym.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= topK)
+      .select(col("v1").as("vec_id"), col("v2").as("n_id"), col("rnk"), col("sim"))
+      .orderBy("vec_id", "rnk")
+  }
+
+  def knnJoin(s: SparkSession, dir: String): DataFrame =
+    knnJoinOn(Tables.t(s, dir, "embeddings"))
+
+  val knnJoinOracle: String =
+    s"""WITH p AS (
+       |  SELECT a.vec_id AS v1, b.vec_id AS v2,
+       |         ${sqlQCos("a.embedding", "b.embedding")} AS sim
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+       |q AS (SELECT * FROM p WHERE sim >= 0.4),
+       |sym AS (SELECT v1, v2, sim FROM q UNION ALL SELECT v2, v1, sim FROM q),
+       |ranked AS (
+       |  SELECT v1 AS vec_id, v2 AS n_id, sim,
+       |         row_number() OVER (PARTITION BY v1 ORDER BY sim DESC, v2 ASC) AS rnk
+       |  FROM sym)
+       |SELECT vec_id, n_id, rnk, sim FROM ranked WHERE rnk <= 5
+       |ORDER BY vec_id, rnk""".stripMargin
 
   /** Incremental embedding near-dup: a NEW batch of vectors against the
     * existing corpus — the ingest-shape member of the cosine family,
@@ -858,6 +903,7 @@ object SimilarityOps {
     QueryDef("emb_knn_ivf", knnIvf, None),
     QueryDef("emb_knn_pq", knnPq, None),
     QueryDef("emb_knn_ivfpq", knnIvfPq, None),
+    QueryDef("emb_knn_join", knnJoin, Some(knnJoinOracle)),
     QueryDef("emb_label_centroids", labelCentroids, Some(centroidsOracle)),
     QueryDef("emb_cosine_dups", cosineDups, Some(cosineDupsOracle)),
     QueryDef("emb_incr_cosine", incrementalCosine, Some(incrementalCosineOracle)),

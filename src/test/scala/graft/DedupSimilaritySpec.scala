@@ -188,6 +188,34 @@ class DedupSimilaritySpec extends SparkSpecBase {
       s"incremental LSH recall $recall too low (missed ${exactCross -- got})")
   }
 
+  test("incremental simhash recalls the cross-split simhash pairs (sf0.001)") {
+    val docs = Tables.t(spark, sf0001, "documents")
+    val fullCross = DedupOps.simHashPairsOn(docs)
+      .select("d1", "d2").as[(Long, Long)].collect()
+      .flatMap { case (a, b) =>
+        if (a % 5 == 0 && b % 5 != 0) Some((a, b))
+        else if (b % 5 == 0 && a % 5 != 0) Some((b, a))
+        else None
+      }.toSet
+    val got = DedupOps.incrementalSimHash(spark, sf0001)
+      .select("batch_doc", "corpus_doc").as[(Long, Long)].collect().toSet
+    // every cross-split pair the full pass finds, the probe must find too
+    // (same pigeonhole guarantee, same hot-bucket cap)
+    assert(fullCross.subsetOf(got),
+      s"probe missed ${fullCross -- got}")
+    // planted guarantee independent of the data's split: clones of corpus
+    // docs (hamming 0) must always hit
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val clones = corpus.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val hits = DedupOps.incrementalSimHashOn(corpus, clones)
+      .select("batch_doc", "corpus_doc", "hamming")
+      .as[(Long, Long, Int)].collect()
+    val selfHits = hits.filter(t => t._1 == t._2 + 1000000L)
+    assert(selfHits.nonEmpty && selfHits.forall(_._3 == 0),
+      "clones must hit their originals at hamming 0")
+  }
+
   test("blocked cosineDups equals label-block all-pairs exactly (sf0.001)") {
     val e = Tables.t(spark, sf0001, "embeddings")
     val exact = SimilarityOps.cosineDupsAllPairs(e)
@@ -469,20 +497,20 @@ class DedupSimilaritySpec extends SparkSpecBase {
     }
   }
 
-  test("sampled codebook training: recall parity with the full fit (sf0.01)") {
-    val sf001 = "/root/testdata/sf0.01"
-    val brute = SimilarityOps.knnBrute(spark, sf001)
+  test("sampled codebook training: recall parity with the full fit (sf0.1)") {
+    val sf01 = "/root/testdata/sf0.1"
+    val brute = SimilarityOps.knnBrute(spark, sf01)
       .select("q_id", "n_id").as[(Long, Long)].collect().toSet
     def recall(df: org.apache.spark.sql.DataFrame): Double = {
       val keys = df.select("q_id", "n_id").as[(Long, Long)].collect().toSet
       brute.count(keys.contains).toDouble / brute.size
     }
-    val full = recall(SimilarityOps.knnPq(spark, sf001))
-    // force the bounded-sample path (1000 of 5000 vectors feed the fits;
-    // the encode still maps the full corpus)
-    spark.conf.set("spark.graft.train.sampleCap", "1000")
+    val full = recall(SimilarityOps.knnPq(spark, sf01))
+    // force the bounded-sample path (500 of the 2000 vectors feed the
+    // fits; the encode still maps the full corpus)
+    spark.conf.set("spark.graft.train.sampleCap", "500")
     val sampled =
-      try recall(SimilarityOps.knnPq(spark, sf001))
+      try recall(SimilarityOps.knnPq(spark, sf01))
       finally spark.conf.unset("spark.graft.train.sampleCap")
     assert(sampled >= full - 0.15, s"sampled-fit recall $sampled vs full-fit $full")
     assert(sampled >= 0.5, s"sampled-fit recall $sampled implausibly low")

@@ -761,12 +761,16 @@ object SimilarityOps {
     * assigned corpus streams past them ONCE — no corpus shuffle, no
     * corpus hash-build, the same shape as `DedupOps.incrementalDedup`.
     */
-  def incrementalCosineOn(corpus: DataFrame, batch: DataFrame,
-      t: Double = 0.4, k: Int = 16): DataFrame = {
+  /** Build the corpus cell index: KMeans cells over normalized vectors
+    * (sampled fit) + per-cell radius metadata. Returns the PERSISTED
+    * assigned frame (vec_id, embedding, cell, cdist) — caller unpersists —
+    * and the (cell, carr, rmax) metadata frame (k rows; empty cells get
+    * -inf so no probe admits them).
+    */
+  private def buildCellIndex(corpus: DataFrame, k: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.ml.functions.array_to_vector
     val s = corpus.sparkSession
     import s.implicits._
-    val r = cosineRadius(t)
     val c = withNormalized(Tables.spread(corpus))
       .withColumn("features", array_to_vector(col("nvec")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -783,15 +787,20 @@ object SimilarityOps {
     val rm = assigned.groupBy("cell").agg(max(col("cdist")).as("rmax")).collect()
       .map(row => row.getAs[Int]("cell") -> row.getAs[Double]("rmax")).toMap
     c.unpersist()
-    // all eager consumers are done and the returned plan streams the
-    // corpus side exactly once — release the cache rather than pinning a
-    // per-call corpus copy for the session's lifetime (the one lazy pass
-    // recomputes the map-side assignment)
-    assigned.unpersist(blocking = false)
-    // (cell, centroid, radius): empty cells get -inf so no probe admits them
     val cellIdx = centers.indices
       .map(i => (i, centers(i).toSeq, rm.getOrElse(i, Double.NegativeInfinity)))
       .toDF("cell", "carr", "rmax")
+    (assigned, cellIdx)
+  }
+
+  /** The probe stage shared by the self-contained and index-backed forms:
+    * batch vectors against (assigned corpus rows, cell metadata). Probe
+    * pairs (batch x admissible cells) BROADCAST; the corpus side streams
+    * past them once.
+    */
+  private def cosineProbe(assigned: DataFrame, cellIdx: DataFrame,
+      batch: DataFrame, t: Double): DataFrame = {
+    val r = cosineRadius(t)
     // batch probes: distance to every centroid (k per batch row,
     // map-side against the broadcast index), keep admissible cells only
     val probes = withNormalized(batch).crossJoin(broadcast(cellIdx))
@@ -803,6 +812,84 @@ object SimilarityOps {
       .filter(col("sim") >= t)
       .select(col("b_id"), col("vec_id").as("c_id"), col("sim"))
       .orderBy("b_id", "c_id")
+  }
+
+  def incrementalCosineOn(corpus: DataFrame, batch: DataFrame,
+      t: Double = 0.4, k: Int = 16): DataFrame = {
+    val (assigned, cellIdx) = buildCellIndex(corpus, k)
+    // all eager consumers are done and the returned plan streams the
+    // corpus side exactly once — release the cache rather than pinning a
+    // per-call corpus copy for the session's lifetime (the one lazy pass
+    // recomputes the map-side assignment)
+    assigned.unpersist(blocking = false)
+    cosineProbe(assigned, cellIdx, batch, t)
+  }
+
+  /** Materialize the cosine cell index — the steady-state form of
+    * [[incrementalCosineOn]]'s frozen corpus side: assigned corpus rows
+    * PARTITIONED BY CELL (a probe's broadcast-join benefits from dynamic
+    * partition pruning on the admissible cells) and the (cell, centroid,
+    * radius) metadata table. Build once at ingest; every daily batch
+    * probes retrain-free ([[incrementalCosineFromIndex]]) and appends
+    * itself with [[appendToCosineCellIndex]] — no KMeans, no corpus
+    * rescan, ever again until a rebuild compaction.
+    */
+  def writeCosineCellIndex(corpus: DataFrame, indexPath: String,
+      k: Int = 16): Unit = {
+    val (assigned, cellIdx) = buildCellIndex(corpus, k)
+    assigned.select("vec_id", "embedding", "cell")
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$indexPath/corpus")
+    cellIdx.coalesce(1).write.mode("overwrite").parquet(s"$indexPath/cells")
+    assigned.unpersist()
+  }
+
+  /** Probe a stored cell index: identical semantics (and, for the same
+    * corpus, identical output) to [[incrementalCosineOn]] — still
+    * lossless, because the stored radii are upper bounds on every cell's
+    * true radius (appends only GROW them).
+    */
+  def incrementalCosineFromIndex(s: SparkSession, batch: DataFrame,
+      indexPath: String, t: Double = 0.4): DataFrame =
+    cosineProbe(s.read.parquet(s"$indexPath/corpus"),
+      s.read.parquet(s"$indexPath/cells"), batch, t)
+
+  /** Append a batch to the cell index: assign each vector to its nearest
+    * FROZEN cell (normalized space, one map pass against the broadcast
+    * metadata) and append under the matching cell partitions. The stored
+    * radii are grown by the batch's per-cell max distance FIRST — the
+    * radius must remain an upper bound or probing silently loses pairs
+    * (an appended outlier past its cell's old radius would be
+    * unreachable). Conservative union only; tightening radii is a
+    * rebuild concern ([[writeCosineCellIndex]]).
+    */
+  def appendToCosineCellIndex(batch: DataFrame, indexPath: String): Unit = {
+    val s = batch.sparkSession
+    import s.implicits._
+    val cellIdx = s.read.parquet(s"$indexPath/cells")
+    val withD = withNormalized(batch).crossJoin(broadcast(cellIdx))
+      .withColumn("cdist", distToCentroid)
+    // argmin via lexicographic struct-min: nearest cell, ties -> smallest id
+    val assigned = withD.groupBy("vec_id")
+      .agg(min(struct(col("cdist"), col("cell"))).as("m"))
+      .select(col("vec_id"), col("m.cell").as("cell"), col("m.cdist").as("cdist"))
+      .join(batch.select("vec_id", "embedding"), "vec_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grow = assigned.groupBy("cell").agg(max(col("cdist")).as("grown")).collect()
+      .map(r => r.getAs[Int]("cell") -> r.getAs[Double]("grown")).toMap
+    // radii first (collected to the driver above, so the overwrite below
+    // cannot feed itself), corpus rows second: a probe between the two
+    // writes sees grown radii without the new rows — safe; the reverse
+    // order could miss pairs
+    val updated = cellIdx.collect().map { r =>
+      val cell = r.getAs[Int]("cell")
+      (cell, r.getAs[scala.collection.Seq[Double]]("carr").toSeq,
+        math.max(r.getAs[Double]("rmax"), grow.getOrElse(cell, Double.NegativeInfinity)))
+    }
+    updated.toIndexedSeq.toDF("cell", "carr", "rmax")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/cells")
+    assigned.select("vec_id", "embedding", "cell")
+      .write.partitionBy("cell").mode("append").parquet(s"$indexPath/corpus")
+    assigned.unpersist()
   }
 
   /** Driver split: batch = vec_id < 50 (the "daily ingest"), corpus = the

@@ -516,6 +516,38 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(sampled >= 0.5, s"sampled-fit recall $sampled implausibly low")
   }
 
+  test("cosine cell index: serve == direct; appended outliers stay reachable (radii grow)") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-cosidx").toString + "/cos"
+    val e = Tables.t(spark, sf0001, "embeddings")
+    val corpus = e.filter(col("vec_id") >= 50)
+    val batch = e.filter(col("vec_id") < 50)
+    def key(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.select("b_id", "c_id", "sim").as[(Long, Long, Double)].collect().toSet
+    SimilarityOps.writeCosineCellIndex(corpus, idx)
+    val direct = key(SimilarityOps.incrementalCosineOn(corpus, batch))
+    val served = key(SimilarityOps.incrementalCosineFromIndex(spark, batch, idx))
+    assert(served == direct,
+      s"index probe diverged (${(served -- direct) ++ (direct -- served)})")
+    // append an out-of-manifold direction; its exact clone must then be
+    // reachable through the STORED index — this is what the radius growth
+    // guarantees (an ungrown radius could leave the outlier's cell
+    // unprobed), and the recompute over corpus+outlier is the lossless
+    // ground truth the served answer must still equal
+    def unitVec(id: Long) = spark.range(1).select(lit(id).as("vec_id"),
+      expr("transform(sequence(1, 64), i -> CAST(CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END AS FLOAT))")
+        .as("embedding"),
+      lit(99L).as("label"))
+    SimilarityOps.appendToCosineCellIndex(unitVec(900000L), idx)
+    val probe = unitVec(900001L).unionByName(batch.filter(col("vec_id") < 10))
+    val served2 = key(SimilarityOps.incrementalCosineFromIndex(spark, probe, idx))
+    assert(served2.contains((900001L, 900000L, 1.0)),
+      s"clone must reach its appended outlier: $served2")
+    val direct2 = key(SimilarityOps.incrementalCosineOn(
+      corpus.unionByName(unitVec(900000L)), probe))
+    assert(served2 == direct2)
+    spark.catalog.clearCache()
+  }
+
   test("label centroids: n sums to corpus size (sf0.001)") {
     val c = SimilarityOps.labelCentroids(spark, sf0001)
     val total = c.agg(sum("n")).first().getLong(0)

@@ -353,6 +353,11 @@ class LayoutSpec extends SparkSpecBase {
       rows.toDF("v", "d").repartition(1 + rng.nextInt(7))
         .write.mode("overwrite").parquet(path)
       Layout.writeManifest(spark, path, Seq("v", "d"))
+      // alternate tables between the driver-side fold and the distributed
+      // combine (driverMaxRows=0 forces the executor path) — both must
+      // produce the scan's answers on the same random tables
+      if (t % 2 == 0) spark.conf.set("spark.graft.manifest.driverMaxRows", "0")
+      else spark.conf.unset("spark.graft.manifest.driverMaxRows")
       val got = spark.read.parquet(path)
         .agg(count(lit(1)), count(col("v")), min(col("v")), max(col("v")),
           min(col("d")), max(col("d")), sum(col("v")), sum(col("d"))).head()
@@ -389,6 +394,7 @@ class LayoutSpec extends SparkSpecBase {
       assert((if (gir.isNullAt(4)) None else Some(BigInt(gir.getLong(4)))) == expSumV,
         s"table $t metadata sum(v)")
     }
+    spark.conf.unset("spark.graft.manifest.driverMaxRows")
   }
 
   test("compact re-clusters appends into one tiling; content unchanged") {

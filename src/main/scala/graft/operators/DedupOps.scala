@@ -631,7 +631,13 @@ object DedupOps {
   def incrementalSimHashOn(corpus: DataFrame, batch: DataFrame): DataFrame = {
     val batchFp = simhashFps(batch)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val corpusBands = pruneHotBuckets(simhashBands(simhashFps(corpus)),
+    // corpus fingerprints persist because pruneHotBuckets consumes the
+    // band frame twice (hot-bucket count + anti-join) — unpersisted, the
+    // expensive tokenize+SimHash64 corpus pass would run twice; the band
+    // re-explode off the cache is cheap (same rationale as simHashPairsOn)
+    val corpusFp = simhashFps(corpus)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpusBands = pruneHotBuckets(simhashBands(corpusFp),
       Seq("band", "chunk"))
     corpusBands.as("c")
       .join(broadcast(simhashBands(batchFp).as("b")),

@@ -127,10 +127,18 @@ object SimilarityOps {
   private def trainSample(df: DataFrame): DataFrame = {
     val cap = df.sparkSession.conf
       .get("spark.graft.train.sampleCap", "100000").toLong
+    // count() is column-pruned to a bare row-count scan (no featurize
+    // work) — one cheap metadata-ish pass to size the keep fraction
     val n = df.count()
     if (n <= cap) df
-    else df.filter(pmod(xxhash64(col("vec_id")), lit(1000000L)) <
-      lit(math.max(1L, cap * 1000000L / n)))
+    else {
+      // 2^40 hash buckets keep the fraction exact down to cap/n = 2^-40
+      // (a 1e6 modulus would floor the fraction at 1e-6 and let the
+      // sample grow linearly again past n = cap * 1e6)
+      val buckets = 1L << 40
+      val thresh = math.max(1L, (cap.toDouble / n * buckets).toLong)
+      df.filter(pmod(xxhash64(col("vec_id")), lit(buckets)) < lit(thresh))
+    }
   }
 
   /** The shared coarse quantizer (seeded), fit on a bounded deterministic
@@ -360,16 +368,24 @@ object SimilarityOps {
     * touch of the raw vectors except the point-lookup re-rank.
     */
   def writePqIndex(s: SparkSession, dir: String, indexPath: String): Unit = {
-    import s.implicits._
     val (books, encoded, cached) =
       pqTrainEncode(Tables.spread(Tables.t(s, dir, "embeddings")))
     encoded.write.mode("overwrite").parquet(s"$indexPath/codes")
+    writeBooks(s, books, indexPath)
+    // terminal API: both outputs are on disk, nothing can reuse the cache
+    cached.unpersist()
+  }
+
+  /** Codebook serialization shared by the PQ and IVF-PQ index writers —
+    * the schema [[readBooks]] deserializes.
+    */
+  private def writeBooks(s: SparkSession, books: Array[Array[Array[Double]]],
+      indexPath: String): Unit = {
+    import s.implicits._
     books.zipWithIndex.flatMap { case (book, j) =>
       book.zipWithIndex.map { case (center, c) => (j, c, center.toSeq) }
     }.toIndexedSeq.toDF("subspace", "code", "center")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/books")
-    // terminal API: both outputs are on disk, nothing can reuse the cache
-    cached.unpersist()
   }
 
   /** IVF-PQ — the canonical composed ANN design (Jégou et al. 2011, the
@@ -524,10 +540,7 @@ object SimilarityOps {
       .withColumnRenamed("prediction", "cell").drop("features")
     val (books, encoded, cached) = pqTrainEncode(assigned, keep = Seq("cell"))
     encoded.write.partitionBy("cell").mode("overwrite").parquet(s"$indexPath/codes")
-    books.zipWithIndex.flatMap { case (book, j) =>
-      book.zipWithIndex.map { case (center, c) => (j, c, center.toSeq) }
-    }.toIndexedSeq.toDF("subspace", "code", "center")
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/books")
+    writeBooks(s, books, indexPath)
     cellModel.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray.toSeq) }.toIndexedSeq
       .toDF("cell", "center")
@@ -720,9 +733,13 @@ object SimilarityOps {
       .filter(col("sim") >= t)
       .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"), col("sim"))
     // candidates were generated once per unordered pair; each qualifying
-    // pair feeds BOTH endpoints' neighbor lists
-    val sym = pairs.union(
-      pairs.select(col("v2").as("v1"), col("v1").as("v2"), col("sim")))
+    // pair feeds BOTH endpoints' neighbor lists. Single-pass
+    // symmetrization (explode both orientations) — a self-union would
+    // re-run the candidate join + cosine verify once per branch
+    val sym = pairs.select(explode(array(
+        struct(col("v1"), col("v2"), col("sim")),
+        struct(col("v2").as("v1"), col("v1").as("v2"), col("sim")))).as("p"))
+      .select(col("p.v1").as("v1"), col("p.v2").as("v2"), col("p.sim").as("sim"))
     val w = Window.partitionBy("v1").orderBy(col("sim").desc, col("v2").asc)
     sym.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= topK)

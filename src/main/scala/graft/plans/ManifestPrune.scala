@@ -94,7 +94,12 @@ case class ManifestPrune(spark: SparkSession) extends Rule[LogicalPlan] {
     val keepBase: Set[String] = ManifestStore.get(spark, root.toString) match {
       case None => return None // unreadable/absent manifest -> no pruning
       case Some(ManifestStore.Small(rows)) => smallKeep(rows, envelopes, allFiles)
-      case Some(lg: ManifestStore.Large) => largeKeep(lg.df, envelopes, allFiles)
+      case Some(lg: ManifestStore.Large) =>
+        // fail open like every other manifest consumer: a failing nested
+        // job (e.g. a concurrent manifest rewrite invalidating cached
+        // blocks) must degrade to "no pruning", never crash the query
+        try largeKeep(lg.df, envelopes, allFiles)
+        catch { case _: Exception => return None }
     }
     if (keepBase.size >= allFiles.length) None
     else {

@@ -91,26 +91,43 @@ object ManifestStore {
 
   /** The manifest for table `root`, loaded or cached; None when absent or
     * unreadable (consumers fail open — no pruning, no rewrite).
+    *
+    * Locking: cache lookups hold the (cheap) global monitor; the LOAD —
+    * real Spark jobs, possibly seconds — runs outside it under a per-root
+    * lock, so one table's load never stalls another table's cache hit.
     */
-  def get(spark: SparkSession, root: String): Option[Manifest] = synchronized {
+  def get(spark: SparkSession, root: String): Option[Manifest] = {
     val sig = signature(spark, root).getOrElse {
-      evict(root); return None
+      synchronized { evict(root) }; return None
     }
     val threshold = driverMaxRows(spark)
-    cache.get(root) match {
-      case Some(e) if e.sig == sig && (e.spark eq spark) && formOk(e.m, threshold) =>
-        // LRU touch
-        cache.remove(root); cache.put(root, e)
-        Some(e.m)
-      case _ =>
-        evict(root)
-        load(spark, root, threshold).map { m =>
-          if (cache.size >= MaxEntries) cache.headOption.foreach(h => evict(h._1))
-          cache.put(root, Entry(spark, sig, m))
-          m
+    def hit(): Option[Manifest] = synchronized {
+      cache.get(root) match {
+        case Some(e) if e.sig == sig && (e.spark eq spark) && formOk(e.m, threshold) =>
+          cache.remove(root); cache.put(root, e) // LRU touch
+          Some(e.m)
+        case _ => None
+      }
+    }
+    hit().orElse {
+      val lock = rootLocks.computeIfAbsent(root, _ => new Object)
+      lock.synchronized {
+        // another thread may have loaded this root while we waited
+        hit().orElse {
+          load(spark, root, threshold).map { m =>
+            synchronized {
+              evict(root)
+              if (cache.size >= MaxEntries) cache.headOption.foreach(h => evict(h._1))
+              cache.put(root, Entry(spark, sig, m))
+            }
+            m
+          }
         }
+      }
     }
   }
+
+  private val rootLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   private def formOk(m: Manifest, threshold: Long): Boolean = m match {
     case _: Small => m.rows <= threshold

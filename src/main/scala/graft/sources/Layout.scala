@@ -290,7 +290,7 @@ object Layout {
           matching.filter(f => listedB(base(f))) ++
             allFiles.filterNot(f => known(base(f)))
         }
-      case Some(lg: ManifestStore.Large) => ManifestStore.withGuard {
+      case Some(lg: ManifestStore.Large) => try ManifestStore.withGuard {
         import spark.implicits._
         val forCol = lg.df.filter(col("col") === c)
         val matching = forCol
@@ -308,6 +308,8 @@ object Layout {
           matching.filter(f => listedB(base(f))) ++
             allFiles.filter(f => unknownBase(base(f)))
         }
+      } catch { // fail open: a failed nested manifest job -> unpruned read
+        case _: Exception => return spark.read.parquet(path)
       }
     }
     if (keep.isEmpty) spark.read.parquet(path).limit(0)

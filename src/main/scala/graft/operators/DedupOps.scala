@@ -238,7 +238,7 @@ object DedupOps {
   /** Drop rows in overflowing buckets. Hot buckets are few by construction,
     * so the overflow list broadcasts.
     */
-  private def pruneHotBuckets(exploded: DataFrame, keys: Seq[String]): DataFrame = {
+  private[graft] def pruneHotBuckets(exploded: DataFrame, keys: Seq[String]): DataFrame = {
     val hot = exploded.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") > MaxBucket)
@@ -520,23 +520,26 @@ object DedupOps {
     * unit-tested against the exact pair join.
     */
   /** Per-doc index rows — doc_id, hashed shingle set, MinHash signature —
-    * shared by the one-shot and index-backed incremental paths.
+    * shared by the one-shot, index-backed and streaming probe paths.
+    * `keep` columns ride along (e.g. the stream's event-time column).
     */
-  private def minhashSigs(df: DataFrame): DataFrame = withShingles(df)
-    .select(col("doc_id"), col("shs"))
-    .filter(size(col("shs")) > 0)
-    .select(col("doc_id"),
-      transform(col("shs"), s => xxhash64(s)).as("hsh"),
-      GraftFunctions.graftMinHashSig(col("shs")).as("sig"))
+  private[graft] def minhashSigs(df: DataFrame, keep: Seq[String] = Nil): DataFrame =
+    withShingles(df)
+      .select(col("doc_id") +: col("shs") +: keep.map(col): _*)
+      .filter(size(col("shs")) > 0)
+      .select(col("doc_id") +:
+        transform(col("shs"), s => xxhash64(s)).as("hsh") +:
+        GraftFunctions.graftMinHashSig(col("shs")).as("sig") +: keep.map(col): _*)
 
   /** (doc_id, band, bkey) band-bucket rows of a signature frame. */
-  private def bandRows(df: DataFrame): DataFrame = {
+  private[graft] def bandRows(df: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     val bandKeys = (0 until Bands).map { b =>
       val rows = (0 until RowsPerBand).map(r => col("sig").getItem(b * RowsPerBand + r))
       struct(lit(b).as("band"), xxhash64(rows: _*).as("bkey"))
     }
-    df.select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    df.select(col("doc_id") +: explode(array(bandKeys: _*)).as("bk") +: keep.map(col): _*)
+      .select(col("doc_id") +: col("bk.band").as("band") +:
+        col("bk.bkey").as("bkey") +: keep.map(col): _*)
   }
 
   /** The probe core: batch band keys broadcast against the corpus band

@@ -34,6 +34,9 @@ object Tables {
     * layout this is a no-op.
     */
   def spread(df: DataFrame): DataFrame = {
+    // streaming frames have no file listing (inputFiles throws) and their
+    // parallelism is the source's concern — pass them through untouched
+    if (df.isStreaming) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     // File count is the static proxy for scan parallelism: the degenerate
     // layout this guards against is "one single-row-group file". Checking

@@ -49,4 +49,46 @@ object StreamingDedup {
       .dropDuplicatesWithinWatermark("fp")
       .select("doc_id", "ts", "text", "fp")
   }
+
+  /** Streaming NEAR-dup probe: the continuous form of
+    * `DedupOps.incrementalMinHashFromIndex` over a
+    * `DedupOps.writeMinHashIndex` materialization. Stream docs compute
+    * their MinHash band keys map-side; candidates come from a
+    * stream-static join against the stored band table; verification joins
+    * the stored signature table and keeps exact Jaccard >= `threshold`.
+    * Every stage is stream-static (stateless) except the final
+    * within-watermark pair dedup (several bands can surface one pair).
+    *
+    * The stored band table goes through the hot-bucket cap once and is
+    * PERSISTED at stream setup, so micro-batches probe the cached pruned
+    * index instead of re-deriving it (at full scale the pruned bands are
+    * themselves a maintained table; the cache is this demo's stand-in).
+    * `broadcastIndex` follows [[dedupStream]]'s contract.
+    */
+  def nearDupStream(docs: DataFrame, indexPath: String,
+      watermark: String = "10 minutes", threshold: Double = 0.7,
+      broadcastIndex: Boolean = true): DataFrame = {
+    import graft.operators.DedupOps
+    val s = docs.sparkSession
+    val bandsIdx = DedupOps.pruneHotBuckets(
+        s.read.parquet(s"$indexPath/bands"), Seq("band", "bkey"))
+      .withColumnRenamed("doc_id", "corpus_doc")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigsIdx = s.read.parquet(s"$indexPath/sigs")
+      .select(col("doc_id").as("corpus_doc"), col("hsh").as("hsh_c"))
+    def maybeB(df: DataFrame) = if (broadcastIndex) broadcast(df) else df
+    val streamBands = DedupOps.bandRows(
+      DedupOps.minhashSigs(docs, keep = Seq("ts")).withWatermark("ts", watermark),
+      keep = Seq("ts", "hsh"))
+    streamBands
+      .join(maybeB(bandsIdx), Seq("band", "bkey"))
+      .select(col("doc_id"), col("ts"), col("hsh"), col("corpus_doc"))
+      .join(maybeB(sigsIdx), Seq("corpus_doc"))
+      .withColumn("common", size(array_intersect(col("hsh"), col("hsh_c"))))
+      .withColumn("jaccard", col("common").cast("double") /
+        (size(col("hsh")) + size(col("hsh_c")) - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .dropDuplicatesWithinWatermark("doc_id", "corpus_doc")
+      .select("doc_id", "ts", "corpus_doc", "jaccard")
+  }
 }

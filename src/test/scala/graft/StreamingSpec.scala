@@ -212,6 +212,39 @@ class StreamingSpec extends SparkSpecBase {
     } finally query.stop()
   }
 
+  test("streaming near-dup probe flags stream docs against the stored band index") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.sources.Tables.t(spark, sf0001, "documents")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val idx = java.nio.file.Files.createTempDirectory("graft-smh").toString + "/mh"
+    graft.operators.DedupOps.writeMinHashIndex(corpus, idx)
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val stream = mem.toDF().toDF("doc_id", "text", "ts")
+    val out = graft.streaming.StreamingDedup.nearDupStream(stream, idx)
+    val query = out.writeStream
+      .format("memory").queryName("neardup_out").outputMode("append").start()
+    try {
+      // clones of corpus docs (guaranteed jaccard 1.0 against their
+      // original) plus one novel doc that must not surface
+      val clones = corpus.filter(col("doc_id") < 20)
+        .select("doc_id", "text").as[(Long, String)].collect().toSeq
+      val now = new java.sql.Timestamp(1700000000000L)
+      mem.addData(clones.map { case (id, t) => (id + 500000L, t, now) } :+
+        ((999999L, "utterly novel text that matches nothing in the corpus at all", now)))
+      query.processAllAvailable()
+      val rows = spark.table("neardup_out").collect()
+      val selfHits = rows.filter(r =>
+        r.getAs[Long]("corpus_doc") == r.getAs[Long]("doc_id") - 500000L)
+      assert(selfHits.nonEmpty, "clones must surface their corpus originals")
+      assert(selfHits.forall(_.getAs[Double]("jaccard") == 1.0))
+      assert(!rows.exists(_.getAs[Long]("doc_id") == 999999L),
+        "novel doc must not be flagged")
+      // pair dedup: several bands surface the same (doc, corpus_doc) once
+      val keys = rows.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("corpus_doc")))
+      assert(keys.distinct.length == keys.length, "pairs must be deduped")
+    } finally query.stop()
+  }
+
   private def toWireJson(es: Seq[NetworkEvent]): Seq[String] = es.map { e =>
     Seq(
       s""""event_type":"${e.event_type}"""", s""""ip_src":"${e.ip_src}"""",

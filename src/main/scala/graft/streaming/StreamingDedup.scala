@@ -50,45 +50,72 @@ object StreamingDedup {
       .select("doc_id", "ts", "text", "fp")
   }
 
-  /** Streaming NEAR-dup probe: the continuous form of
-    * `DedupOps.incrementalMinHashFromIndex` over a
-    * `DedupOps.writeMinHashIndex` materialization. Stream docs compute
-    * their MinHash band keys map-side; candidates come from a
-    * stream-static join against the stored band table; verification joins
-    * the stored signature table and keeps exact Jaccard >= `threshold`.
-    * Every stage is stream-static (stateless) except the final
-    * within-watermark pair dedup (several bands can surface one pair).
-    *
-    * The stored band table goes through the hot-bucket cap once and is
-    * PERSISTED at stream setup, so micro-batches probe the cached pruned
-    * index instead of re-deriving it (at full scale the pruned bands are
-    * themselves a maintained table; the cache is this demo's stand-in).
-    * `broadcastIndex` follows [[dedupStream]]'s contract.
+  /** Load + prepare a `DedupOps.writeMinHashIndex` materialization for
+    * streaming probes: the band table goes through the hot-bucket cap
+    * once, and BOTH tables persist so micro-batches probe caches instead
+    * of re-deriving/re-reading the index every batch. The CALLER owns the
+    * caches — unpersist both frames when the stream stops (repeated
+    * setup without release would pin one index copy per call).
     */
-  def nearDupStream(docs: DataFrame, indexPath: String,
-      watermark: String = "10 minutes", threshold: Double = 0.7,
-      broadcastIndex: Boolean = true): DataFrame = {
+  def prepareNearDupIndex(s: org.apache.spark.sql.SparkSession,
+      indexPath: String): (DataFrame, DataFrame) = {
     import graft.operators.DedupOps
-    val s = docs.sparkSession
-    val bandsIdx = DedupOps.pruneHotBuckets(
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val bands = DedupOps.pruneHotBuckets(
         s.read.parquet(s"$indexPath/bands"), Seq("band", "bkey"))
       .withColumnRenamed("doc_id", "corpus_doc")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sigsIdx = s.read.parquet(s"$indexPath/sigs")
+      .persist(lvl)
+    val sigs = s.read.parquet(s"$indexPath/sigs")
       .select(col("doc_id").as("corpus_doc"), col("hsh").as("hsh_c"))
-    def maybeB(df: DataFrame) = if (broadcastIndex) broadcast(df) else df
+      .persist(lvl)
+    (bands, sigs)
+  }
+
+  /** Streaming NEAR-dup probe: the continuous form of
+    * `DedupOps.incrementalMinHashFromIndex`. Stream docs compute their
+    * MinHash band keys map-side; candidates come from a stream-static
+    * join against the prepared band table, are DEDUPED within the
+    * watermark BEFORE verification (several bands surface one pair — the
+    * batch probe's cands.distinct(), so the expensive signature join +
+    * array intersection runs once per pair, not once per matching band),
+    * then verified against the signature table at exact Jaccard >=
+    * `threshold`.
+    *
+    * Plan shape: `broadcastBands` (default true) hints only the pruned
+    * BAND table — two longs per row, the light side — under
+    * [[dedupStream]]'s fits-in-memory contract. The SIGNATURE table (full
+    * hashed-shingle arrays, corpus-text-scale) is NEVER broadcast — the
+    * batch probe's asymmetric-plan invariant; the per-batch join against
+    * it degrades to shuffle, and at full scale the sigs table is bucketed
+    * by doc id so that join is a point lookup.
+    */
+  def nearDupStream(docs: DataFrame, bandsIdx: DataFrame, sigsIdx: DataFrame,
+      watermark: String, threshold: Double,
+      broadcastBands: Boolean): DataFrame = {
+    import graft.operators.DedupOps
     val streamBands = DedupOps.bandRows(
       DedupOps.minhashSigs(docs, keep = Seq("ts")).withWatermark("ts", watermark),
       keep = Seq("ts", "hsh"))
     streamBands
-      .join(maybeB(bandsIdx), Seq("band", "bkey"))
+      .join(if (broadcastBands) broadcast(bandsIdx) else bandsIdx, Seq("band", "bkey"))
       .select(col("doc_id"), col("ts"), col("hsh"), col("corpus_doc"))
-      .join(maybeB(sigsIdx), Seq("corpus_doc"))
+      .dropDuplicatesWithinWatermark("doc_id", "corpus_doc")
+      .join(sigsIdx, Seq("corpus_doc"))
       .withColumn("common", size(array_intersect(col("hsh"), col("hsh_c"))))
       .withColumn("jaccard", col("common").cast("double") /
         (size(col("hsh")) + size(col("hsh_c")) - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)
-      .dropDuplicatesWithinWatermark("doc_id", "corpus_doc")
       .select("doc_id", "ts", "corpus_doc", "jaccard")
+  }
+
+  /** Convenience form: prepares the index itself. The two index caches
+    * then live until session end / `spark.catalog.clearCache()` — use
+    * [[prepareNearDupIndex]] + the explicit overload to control release.
+    */
+  def nearDupStream(docs: DataFrame, indexPath: String,
+      watermark: String = "10 minutes", threshold: Double = 0.7,
+      broadcastBands: Boolean = true): DataFrame = {
+    val (bands, sigs) = prepareNearDupIndex(docs.sparkSession, indexPath)
+    nearDupStream(docs, bands, sigs, watermark, threshold, broadcastBands)
   }
 }

@@ -220,7 +220,10 @@ class StreamingSpec extends SparkSpecBase {
     graft.operators.DedupOps.writeMinHashIndex(corpus, idx)
     val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
     val stream = mem.toDF().toDF("doc_id", "text", "ts")
-    val out = graft.streaming.StreamingDedup.nearDupStream(stream, idx)
+    // caller-owned index caches (released in finally)
+    val (bands, sigs) = graft.streaming.StreamingDedup.prepareNearDupIndex(spark, idx)
+    val out = graft.streaming.StreamingDedup.nearDupStream(
+      stream, bands, sigs, "10 minutes", 0.7, broadcastBands = true)
     val query = out.writeStream
       .format("memory").queryName("neardup_out").outputMode("append").start()
     try {
@@ -242,7 +245,10 @@ class StreamingSpec extends SparkSpecBase {
       // pair dedup: several bands surface the same (doc, corpus_doc) once
       val keys = rows.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("corpus_doc")))
       assert(keys.distinct.length == keys.length, "pairs must be deduped")
-    } finally query.stop()
+    } finally {
+      query.stop()
+      bands.unpersist(); sigs.unpersist()
+    }
   }
 
   private def toWireJson(es: Seq[NetworkEvent]): Seq[String] = es.map { e =>

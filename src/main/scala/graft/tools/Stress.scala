@@ -65,6 +65,21 @@ object Stress {
     time(s"incr-dedup corpus x$copies")(
       DedupOps.incrementalDedupOn(docsN, batch).count())
     spark.catalog.clearCache()
+
+    // index-backed minhash probe: the write-once band index removes the
+    // per-batch corpus shingling — probe cost must drop well under the
+    // self-contained form at the same corpus size
+    val mhIdx = java.nio.file.Files.createTempDirectory("graft-stress-mh")
+      .toString + "/mh"
+    time(s"minhash-index build x$copies")(
+      { DedupOps.writeMinHashIndex(docsN, mhIdx); "ok" })
+    spark.catalog.clearCache()
+    time(s"incr-minhash self-contained x$copies")(
+      DedupOps.incrementalMinHashOn(docsN, batch).count())
+    spark.catalog.clearCache()
+    time(s"incr-minhash from-index x$copies")(
+      DedupOps.incrementalMinHashFromIndex(spark, batch, mhIdx).count())
+    spark.catalog.clearCache()
     }
 
     // events x copies on distinct user spaces
@@ -191,6 +206,19 @@ object Stress {
       time(s"incr-cosine corpus x$copies")(
         SimilarityOps.incrementalCosineOn(
           embC.filter(col("vec_id") >= 50), batchE, k = 16 * copies).count())
+      spark.catalog.clearCache()
+
+      // index-backed cosine probe: the stored cell index removes the
+      // per-batch KMeans fit AND the corpus assignment pass — the serve
+      // cost is one partitioned-corpus pass against broadcast probes
+      val cosIdx = java.nio.file.Files.createTempDirectory("graft-stress-cos")
+        .toString + "/cos"
+      time(s"cosine-index build x$copies")(
+        { SimilarityOps.writeCosineCellIndex(
+            embC.filter(col("vec_id") >= 50), cosIdx, k = 16 * copies); "ok" })
+      spark.catalog.clearCache()
+      time(s"incr-cosine from-index x$copies")(
+        SimilarityOps.incrementalCosineFromIndex(spark, batchE, cosIdx).count())
     }
 
     spark.stop()

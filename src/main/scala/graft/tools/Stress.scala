@@ -208,6 +208,18 @@ object Stress {
           embC.filter(col("vec_id") >= 50), batchE, k = 16 * copies).count())
       spark.catalog.clearCache()
 
+      // threshold-bounded kNN JOIN (label-free cell blocking): output is
+      // CAPPED at topK x n rows, so it stays linear in the corpus even
+      // when the sign-flip twins push most vectors past topK qualifying
+      // neighbors (the x10 run saturates the cap: ~99k of the 100k max);
+      // time tracks candidate volume, which follows cluster structure
+      time(s"knn-join x1")(
+        SimilarityOps.knnJoinOn(emb, cells = 16).count())
+      spark.catalog.clearCache()
+      time(s"knn-join x$copies")(
+        SimilarityOps.knnJoinOn(embC, cells = 16 * copies).count())
+      spark.catalog.clearCache()
+
       // index-backed cosine probe: the stored cell index removes the
       // per-batch KMeans fit AND the corpus assignment pass — the serve
       // cost is one partitioned-corpus pass against broadcast probes

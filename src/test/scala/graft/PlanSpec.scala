@@ -117,6 +117,16 @@ class PlanSpec extends SparkSpecBase {
       "multi-consumer intermediates must read from cache, not recompute")
   }
 
+  test("knn-join: per-vector top-k compiles to WindowGroupLimit; cell pairs broadcast") {
+    val p = plan(SimilarityOps.knnJoin(spark, sf0001))
+    // rank <= k over the symmetrized pairs = per-partition heaps, not a
+    // global sort of the whole neighbor graph
+    assert(p.contains("WindowGroupLimit"))
+    // the admissible cell-pair table (k^2 metadata rows) broadcasts; the
+    // corpus sides meet only through it
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("quantiles: raw events never enter a per-type sort (windows rank the distinct-value frame)") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}

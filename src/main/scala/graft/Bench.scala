@@ -61,6 +61,15 @@ object Bench {
     targets.foreach(q => samples(q.name) = Nil)
     for (_ <- 1 to 3; q <- targets)
       timedRun(q).foreach(t => samples(q.name) = t :: samples(q.name))
+    // queries whose spread exceeds 2x caught at least one contention
+    // window — give them two extra temporally-separated draws so the
+    // reported min is less likely to be a contaminated sample itself
+    val noisy = targets.filter { q =>
+      val ts = samples(q.name)
+      ts.nonEmpty && ts.max / ts.min > 2.0
+    }
+    for (_ <- 1 to 2; q <- noisy)
+      timedRun(q).foreach(t => samples(q.name) = t :: samples(q.name))
     val results = targets.map { q =>
       val times = samples(q.name)
       q.name -> (if (times.nonEmpty) Some(times.min) else None)

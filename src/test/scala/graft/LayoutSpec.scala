@@ -495,6 +495,67 @@ class LayoutSpec extends SparkSpecBase {
     } finally spark.conf.unset("spark.graft.manifest.driverMaxRows")
   }
 
+  test("manifest corruption fuzz: information LOSS always degrades to the scan answer, both paths") {
+    import spark.implicits._
+    val rng = new scala.util.Random(20260813L)
+    val base = java.nio.file.Files.createTempDirectory("graft-mcorrupt").toString
+    val path = s"$base/t"
+    val rows = (0 until 2000).map(i =>
+      (i.toLong, if (i % 9 == 0) None else Some((i * 31 % 701).toLong)))
+    rows.toDF("k", "v").repartition(4).write.mode("overwrite").parquet(path)
+    Layout.writeManifest(spark, path, Seq("k", "v"))
+    val mPath = s"$path/_graft_manifest"
+    val pristine = spark.read.parquet(mPath).localCheckpoint(true)
+    val vs = rows.flatMap(_._2)
+    val expected = Seq[Any](2000L, vs.size.toLong, 0L, 1999L, vs.min, vs.max,
+      (0L until 2000L).sum, vs.sum)
+
+    def checkAnswers(): Unit = Seq("0", "1000000").foreach { cap =>
+      spark.conf.set("spark.graft.manifest.driverMaxRows", cap)
+      val got = spark.read.parquet(path)
+        .agg(count(lit(1)), count(col("v")), min(col("k")), max(col("k")),
+          min(col("v")), max(col("v")), sum(col("k")), sum(col("v"))).head()
+      assert(got.toSeq == expected, s"cap=$cap: $got")
+    }
+
+    try {
+      (0 until 8).foreach { trial =>
+        // one information-LOSING mutation per trial: drop a row, null a
+        // stat field, duplicate a row, or add a row for a ghost file.
+        // The contract under test: the rewrite either proves exactness
+        // and fires, or bails to the scan — a lossy manifest must NEVER
+        // change an answer (value corruption is out of contract; the
+        // manifest is system-maintained)
+        val withIdx = pristine.withColumn("__i",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy("file", "col")))
+        val nRows = withIdx.count()
+        val pick = 1 + rng.nextInt(nRows.toInt)
+        val corrupted = trial % 4 match {
+          case 0 => withIdx.filter(col("__i") =!= pick)
+          case 1 =>
+            val field = Seq("nnulls", "nrows", "lo", "hi", "sm")(rng.nextInt(5))
+            withIdx.withColumn(field,
+              when(col("__i") === pick, lit(null)).otherwise(col(field)))
+          case 2 => withIdx.unionByName(withIdx.filter(col("__i") === pick))
+          case 3 => withIdx.unionByName(withIdx.filter(col("__i") === pick)
+            .withColumn("file", lit("part-ghost-file.parquet")))
+        }
+        corrupted.drop("__i").localCheckpoint(true)
+          .coalesce(1).write.mode("overwrite").parquet(mPath)
+        checkAnswers()
+      }
+      // and the pristine manifest still answers from metadata afterwards
+      pristine.coalesce(1).write.mode("overwrite").parquet(mPath)
+      checkAnswers()
+      spark.conf.set("spark.graft.manifest.driverMaxRows", "1000000")
+      val agg = spark.read.parquet(path).agg(count(lit(1)), min(col("k")))
+      assert(agg.queryExecution.optimizedPlan.collectFirst {
+        case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+      }.isDefined, "pristine manifest must still metadata-answer")
+    } finally spark.conf.unset("spark.graft.manifest.driverMaxRows")
+  }
+
   test("z-order bit interleave places each input bit at stride k") {
     import spark.implicits._
     val df = Seq((3L, 0L), (0L, 3L), (1L, 1L)).toDF("a", "b")

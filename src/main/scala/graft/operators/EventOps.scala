@@ -175,15 +175,18 @@ object EventOps {
        |  AND epoch_us(n.ts) - r.attack_end_us <= $WithinUs
        |ORDER BY target_id, attack_start_us""".stripMargin
 
-  /** Bounded-run CEP — the reference pattern 1:1
-    * (AnomalyDetection.java:126-132: `times(min, max)` + `consecutive()` +
-    * `skipPastLastEvent`, `within` over the whole match): greedy
-    * `times(min,max)` with skip-past-last yields ONE match per maximal
-    * low-run, built from the run's LAST `min(L, maxRun)` fragments (the
-    * truncation `StreamingAnomaly.step` implements with its ring buffer),
-    * and the match window runs from the FIRST KEPT fragment to the closing
-    * high event. `ev_cep_attack` keeps the unbounded maximal-run analog;
-    * this is the exact-Flink batch form, oracle-gated.
+  /** Bounded-run CEP — the batch form of `StreamingAnomaly.step`'s
+    * ring-buffer truncation: one match per maximal low-run, built from the
+    * run's LAST `min(L, maxRun)` fragments (the fragments closest to the
+    * closing high event), match window from the first KEPT fragment to the
+    * closing high event, skip-past-last (one match per run). NOTE this is
+    * the repo's own bounded-run semantics, oracle-gated — NOT a literal
+    * replay of the reference's Flink pattern
+    * (AnomalyDetection.java:126-132), which uses non-greedy `times(10,30)`
+    * with no `consecutive()` and under skip-past-last would emit the FIRST
+    * `min` repetitions of a run instead of the last ones the streaming
+    * ring buffer keeps. `ev_cep_attack` keeps the unbounded maximal-run
+    * analog.
     *
     * Shape: same single exchange on user_id; the truncation is one extra
     * windowed max over the (user, run) islands of the LOW rows only —

@@ -26,7 +26,12 @@ import org.apache.spark.storage.StorageLevel
   * file names + lengths + mtimes, one listing of a one-file directory), so
   * manifest rewrites — `writeManifest`, `appendWithManifest`, `compact` —
   * invalidate naturally with no explicit hook and no stale reads; repeated
-  * queries between rewrites never re-read or re-parse the manifest.
+  * queries between rewrites never re-read or re-parse the manifest. A
+  * stale entry is evicted the moment the mismatch is OBSERVED (not only on
+  * successful reload), so a failed re-load mid-rewrite can't leave a dead
+  * Large df pinned in executor memory. Entries are keyed per
+  * (root, session) — concurrent sessions over one table cache
+  * independently instead of evicting each other.
   */
 object ManifestStore {
   val DirName = "_graft_manifest"
@@ -47,8 +52,12 @@ object ManifestStore {
   /** Executor-cached manifest; consumers compute in Spark. */
   final case class Large(df: DataFrame, rows: Long) extends Manifest
 
-  private final case class Entry(spark: SparkSession, sig: String, m: Manifest)
-  private val cache = mutable.LinkedHashMap.empty[String, Entry]
+  private final case class Entry(sig: String, m: Manifest)
+  // Keyed by (root, session): concurrent sessions over one table each keep
+  // their own entry instead of evicting each other's on every lookup (the
+  // Large form's cached df is session-planned, so entries can't be shared).
+  private type Key = (String, SparkSession)
+  private val cache = mutable.LinkedHashMap.empty[Key, Entry]
   private val MaxEntries = 8
 
   /** Test-visible: number of actual manifest loads (parquet read + parse
@@ -97,28 +106,33 @@ object ManifestStore {
     * lock, so one table's load never stalls another table's cache hit.
     */
   def get(spark: SparkSession, root: String): Option[Manifest] = {
+    val key: Key = (root, spark)
     val sig = signature(spark, root).getOrElse {
-      synchronized { evict(root) }; return None
+      synchronized { evict(key) }; return None
     }
     val threshold = driverMaxRows(spark)
     def hit(): Option[Manifest] = synchronized {
-      cache.get(root) match {
-        case Some(e) if e.sig == sig && (e.spark eq spark) && formOk(e.m, threshold) =>
-          cache.remove(root); cache.put(root, e) // LRU touch
+      cache.get(key) match {
+        case Some(e) if e.sig == sig && formOk(e.m, threshold) =>
+          cache.remove(key); cache.put(key, e) // LRU touch
           Some(e.m)
-        case _ => None
+        case Some(_) =>
+          // stale (rewritten manifest / threshold change): evict NOW so a
+          // subsequently failing load can't leave a dead Large df persisted
+          evict(key); None
+        case None => None
       }
     }
     hit().orElse {
-      val lock = rootLocks.computeIfAbsent(root, _ => new Object)
+      val lock = keyLocks.computeIfAbsent(key, _ => new Object)
       lock.synchronized {
-        // another thread may have loaded this root while we waited
+        // another thread may have loaded this key while we waited
         hit().orElse {
           load(spark, root, threshold).map { m =>
             synchronized {
-              evict(root)
+              evict(key)
               if (cache.size >= MaxEntries) cache.headOption.foreach(h => evict(h._1))
-              cache.put(root, Entry(spark, sig, m))
+              cache.put(key, Entry(sig, m))
             }
             m
           }
@@ -127,16 +141,16 @@ object ManifestStore {
     }
   }
 
-  private val rootLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private val keyLocks = new java.util.concurrent.ConcurrentHashMap[Key, Object]()
 
   private def formOk(m: Manifest, threshold: Long): Boolean = m match {
     case _: Small => m.rows <= threshold
     case _: Large => m.rows > threshold
   }
 
-  private def evict(root: String): Unit =
-    cache.remove(root).foreach {
-      case Entry(_, _, Large(df, _)) =>
+  private def evict(key: Key): Unit =
+    cache.remove(key).foreach {
+      case Entry(_, Large(df, _)) =>
         try df.unpersist(blocking = false) catch { case _: Exception => () }
       case _ => ()
     }

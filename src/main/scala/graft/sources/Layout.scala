@@ -312,7 +312,10 @@ object Layout {
         case _: Exception => return spark.read.parquet(path)
       }
     }
-    if (keep.isEmpty) spark.read.parquet(path).limit(0)
-    else spark.read.parquet(keep: _*)
+    // a duplicated manifest row (in-contract: the corruption fuzz asserts
+    // duplicates never change answers) must not read its file twice
+    val uniq = keep.distinct
+    if (uniq.isEmpty) spark.read.parquet(path).limit(0)
+    else spark.read.parquet(uniq: _*)
   }
 }

@@ -81,13 +81,17 @@ object StreamingDedup {
     * then verified against the signature table at exact Jaccard >=
     * `threshold`.
     *
-    * Plan shape: `broadcastBands` (default true) hints only the pruned
-    * BAND table — two longs per row, the light side — under
-    * [[dedupStream]]'s fits-in-memory contract. The SIGNATURE table (full
-    * hashed-shingle arrays, corpus-text-scale) is NEVER broadcast — the
-    * batch probe's asymmetric-plan invariant; the per-batch join against
-    * it degrades to shuffle, and at full scale the sigs table is bucketed
-    * by doc id so that join is a point lookup.
+    * Plan shape: `broadcastBands = true` FORCES a broadcast hint on the
+    * pruned BAND table — two longs per row, the light side — an explicit
+    * opt-in for indexes known to fit. The default (`false`) leaves the
+    * join unhinted: the planner picks broadcast vs shuffle from the cached
+    * band table's OWN size stats, so a corpus-scale band index (the 100 TB
+    * regime, where even two longs per corpus row exceed executor memory)
+    * degrades to a shuffle join instead of OOMing on a forced hint. The
+    * SIGNATURE table (full hashed-shingle arrays, corpus-text-scale) is
+    * NEVER broadcast — the batch probe's asymmetric-plan invariant; the
+    * per-batch join against it degrades to shuffle, and at full scale the
+    * sigs table is bucketed by doc id so that join is a point lookup.
     */
   def nearDupStream(docs: DataFrame, bandsIdx: DataFrame, sigsIdx: DataFrame,
       watermark: String, threshold: Double,
@@ -114,7 +118,7 @@ object StreamingDedup {
     */
   def nearDupStream(docs: DataFrame, indexPath: String,
       watermark: String = "10 minutes", threshold: Double = 0.7,
-      broadcastBands: Boolean = true): DataFrame = {
+      broadcastBands: Boolean = false): DataFrame = {
     val (bands, sigs) = prepareNearDupIndex(docs.sparkSession, indexPath)
     nearDupStream(docs, bands, sigs, watermark, threshold, broadcastBands)
   }

@@ -495,6 +495,29 @@ class LayoutSpec extends SparkSpecBase {
     } finally spark.conf.unset("spark.graft.manifest.driverMaxRows")
   }
 
+  test("manifest store: concurrent sessions cache independently (keyed by root+session)") {
+    import spark.implicits._
+    import graft.plans.ManifestStore
+    val base = java.nio.file.Files.createTempDirectory("graft-msess").toString
+    val path = s"$base/t"
+    (0 until 1000).map(i => (i.toLong, i * 3L)).toDF("k", "v")
+      .repartitionByRange(4, col("k")).write.mode("overwrite").parquet(path)
+    Layout.writeManifest(spark, path, Seq("k", "v"))
+    val s2 = spark.newSession()
+    val l0 = ManifestStore.loads
+    def q(s: org.apache.spark.sql.SparkSession): Long =
+      Layout.readPruned(s, path, "k", 0, 100)
+        .filter(col("k").between(0, 100)).count()
+    // alternate sessions: with root-only keys each lookup evicted the other
+    // session's entry (load per query); per-(root, session) keys load once each
+    (0 until 3).foreach { _ =>
+      assert(q(spark) == 101L)
+      assert(q(s2) == 101L)
+    }
+    assert(ManifestStore.loads == l0 + 2,
+      s"expected 2 loads (one per session), got ${ManifestStore.loads - l0}")
+  }
+
   test("manifest corruption fuzz: information LOSS always degrades to the scan answer, both paths") {
     import spark.implicits._
     val rng = new scala.util.Random(20260813L)

@@ -550,7 +550,7 @@ object DedupOps {
     * frame, never a shuffle of the 100 TB signatures by corpus_doc.
     */
   private def minhashProbe(corpusSig: DataFrame, corpusBands: DataFrame,
-      batch: DataFrame): DataFrame = {
+      batch: DataFrame, sigLookupKey: Option[String] = None): DataFrame = {
     val batchSig = minhashSigs(batch)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pruned = pruneHotBuckets(corpusBands, Seq("band", "bkey"))
@@ -559,9 +559,28 @@ object DedupOps {
         col("c.band") === col("b.band") && col("c.bkey") === col("b.bkey"))
       .select(col("b.doc_id").as("batch_doc"), col("c.doc_id").as("corpus_doc"))
       .distinct()
-    val candB = cands.join(broadcast(batchSig.select(
+    val candB0 = cands.join(broadcast(batchSig.select(
       col("doc_id").as("batch_doc"), col("hsh").as("hsh_b"))), "batch_doc")
-    corpusSig.select(col("doc_id").as("corpus_doc"), col("hsh").as("hsh_c"))
+    // lookup mode consumes the candidate frame twice (id collect + join)
+    val candB = if (sigLookupKey.isDefined)
+      candB0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else candB0
+    // verify resolution: when the signature table is a BUCKETED serving
+    // layout (writeMinHashIndex), push the candidate corpus ids — bounded
+    // by |batch| x MaxBucket — down as an IN predicate on the bucket key:
+    // the scan reads only the buckets they hash to instead of streaming
+    // the whole corpus signature table. Fall back to the full stream past
+    // the lookup cap (or for legacy plain-parquet indexes).
+    val sigSide = sigLookupKey.flatMap { key =>
+      graft.sources.Bucketed
+        .boundedKeys(candB, "corpus_doc",
+          graft.sources.Bucketed.lookupMax(corpusSig.sparkSession))
+        .map { ids =>
+          if (ids.isEmpty) corpusSig.limit(0)
+          else corpusSig.filter(col(key).isin(ids: _*))
+        }
+    }.getOrElse(corpusSig)
+    sigSide.select(col("doc_id").as("corpus_doc"), col("hsh").as("hsh_c"))
       .join(broadcast(candB), "corpus_doc")
       .withColumn("common", size(array_intersect(col("hsh_b"), col("hsh_c"))))
       .withColumn("jaccard", col("common").cast(DoubleType) /
@@ -591,7 +610,12 @@ object DedupOps {
   def writeMinHashIndex(corpus: DataFrame, indexPath: String): Unit = {
     val sig = minhashSigs(corpus)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sig.write.mode("overwrite").parquet(s"$indexPath/sigs")
+    // signatures are the POINT-LOOKUP side of every probe's verify join:
+    // write them bucketed by doc_id so a probe reads only the buckets its
+    // candidate ids hash to, and a stream-static verify needs no exchange
+    // on the corpus side
+    graft.sources.Bucketed.write(sig, s"$indexPath/sigs", "doc_id",
+      graft.sources.Bucketed.indexBuckets(corpus.sparkSession))
     bandRows(sig).write.mode("overwrite").parquet(s"$indexPath/bands")
     sig.unpersist()
   }
@@ -599,12 +623,20 @@ object DedupOps {
   /** Probe a stored index: identical semantics to
     * [[incrementalMinHashOn]] over whatever corpus the index covers, with
     * zero corpus recomputation (hot-bucket pruning runs over the stored
-    * band table, so appended hot clusters stay capped).
+    * band table, so appended hot clusters stay capped). Against a
+    * bucketed signature table the verify join is a bucket-pruned point
+    * lookup (see [[minhashProbe]]).
     */
   def incrementalMinHashFromIndex(s: SparkSession, batch: DataFrame,
       indexPath: String): DataFrame =
-    minhashProbe(s.read.parquet(s"$indexPath/sigs"),
-      s.read.parquet(s"$indexPath/bands"), batch)
+    graft.sources.Bucketed.read(s, s"$indexPath/sigs") match {
+      case Some((sigs, key, _)) =>
+        minhashProbe(sigs, s.read.parquet(s"$indexPath/bands"), batch,
+          sigLookupKey = Some(key))
+      case None =>
+        minhashProbe(s.read.parquet(s"$indexPath/sigs"),
+          s.read.parquet(s"$indexPath/bands"), batch)
+    }
 
   /** Extend the index with a new batch: compute the batch's signatures and
     * band rows (one map pass over the batch only) and append both tables.
@@ -613,7 +645,8 @@ object DedupOps {
   def appendToMinHashIndex(batch: DataFrame, indexPath: String): Unit = {
     val sig = minhashSigs(batch)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sig.write.mode("append").parquet(s"$indexPath/sigs")
+    if (!graft.sources.Bucketed.append(sig, s"$indexPath/sigs"))
+      sig.write.mode("append").parquet(s"$indexPath/sigs")
     bandRows(sig).write.mode("append").parquet(s"$indexPath/bands")
     sig.unpersist()
   }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
@@ -225,11 +225,13 @@ object SimilarityOps {
     * raw vectors would — and the scoring column is the single native
     * `PqAdc` expression (one codegen'd call with a tight primitive loop
     * over the m codes). The re-rank side is
-    * `PqRerank * |queries|` rows, always broadcastable. The raw table is
-    * touched twice by design (encode pass at build time, candidate
-    * re-rank at query time — the Audit's `embeddings x2`); with the
-    * corpus bucketed by vec_id the re-rank pass becomes a point-lookup
-    * join instead of a second full scan.
+    * `PqRerank * |queries|` rows, always broadcastable. In the
+    * self-contained query form the raw table is touched twice (encode
+    * pass + candidate re-rank — the Audit's `embeddings x2`); the SERVED
+    * form materializes the corpus BUCKETED by vec_id
+    * ([[writePqIndex]]/`raw`), so the re-rank is a bucket-pruned
+    * point-lookup join instead of a second full scan
+    * ([[pqRerankResolve]]).
     */
   final val PqM = 8        // subspaces
   final val PqSubDim = Dim / PqM
@@ -316,11 +318,12 @@ object SimilarityOps {
       }.toIndexedSeq.toDF("q_id", "q_emb", "lut", "q_nrm")
   }
 
-  /** ADC scoring + exact re-rank over a frame that already pairs encoded
-    * rows with their query columns (q_id, q_emb, lut, q_nrm) — shared by
-    * the full-scan, serve-from-index, and IVF-probed paths.
+  /** ADC top-[[PqRerank]] candidates per query over a frame that already
+    * pairs encoded rows with their query columns (q_id, q_emb, lut,
+    * q_nrm) — shared by the full-scan, serve-from-index, and IVF-probed
+    * paths.
     */
-  private def pqScoreRerank(paired: DataFrame, embeddings: DataFrame): DataFrame = {
+  private def pqAdcCands(paired: DataFrame): DataFrame = {
     // ADC score: ONE native expression per row (tight primitive loop over
     // the m codes) instead of ~3m composed element_at/arithmetic nodes
     val adc = graft.functions.GraftFunctions.graftPqAdc(col("codes"), col("lut"))
@@ -330,11 +333,17 @@ object SimilarityOps {
         when(col("nrm") > 0 && col("q_nrm") > 0, adc / (col("nrm") * col("q_nrm")))
           .otherwise(lit(0.0)))
     val wAdc = Window.partitionBy("q_id").orderBy(col("adc_sim").desc, col("vec_id").asc)
-    val cands = scored.withColumn("arnk", row_number().over(wAdc))
+    scored.withColumn("arnk", row_number().over(wAdc))
       .filter(col("arnk") <= PqRerank)
       .select("q_id", "q_emb", "vec_id")
-    // exact re-rank: candidates are tiny (PqRerank x queries) -> broadcast
-    val reranked = embeddings
+  }
+
+  /** Exact re-rank of the ADC candidates against a raw-vector frame.
+    * Candidates are tiny (PqRerank x queries) -> always the broadcast
+    * side; `resolve` is whatever slice of the raw table covers them.
+    */
+  private def pqExactRerank(cands: DataFrame, resolve: DataFrame): DataFrame = {
+    val reranked = resolve
       .join(broadcast(cands), "vec_id")
       .withColumn("sim", graftCosine(col("q_emb"), col("embedding")))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
@@ -343,6 +352,34 @@ object SimilarityOps {
       .select(col("q_id"), col("vec_id").as("n_id"), col("rnk"), col("sim"))
       .orderBy("q_id", "rnk")
   }
+
+  private def pqScoreRerank(paired: DataFrame, embeddings: DataFrame): DataFrame =
+    pqExactRerank(pqAdcCands(paired), embeddings)
+
+  /** Serve-path re-rank resolution. When the index carries its bucketed
+    * raw-vector table (`indexPath/raw`, written by [[writePqIndex]] /
+    * [[writeIvfIndex]]), the re-rank is a POINT LOOKUP: the candidate ids
+    * — bounded at PqRerank x |queries| — push down as an IN predicate on
+    * the bucket key, so only the files of the buckets they hash to are
+    * read (`SelectedBucketsCount` in the scan) instead of a second full
+    * corpus scan. Falls back to scanning `fallback` for indexes without a
+    * raw table, or past the [[Bucketed.lookupMax]] id cap.
+    */
+  private def pqRerankResolve(s: SparkSession, cands: DataFrame,
+      indexPath: String, fallback: DataFrame): DataFrame =
+    graft.sources.Bucketed.read(s, s"$indexPath/raw") match {
+      case Some((raw, key, _)) =>
+        // the candidate frame feeds the id collect AND the re-rank join
+        val candsP = cands.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        graft.sources.Bucketed.boundedKeys(candsP, "vec_id",
+            graft.sources.Bucketed.lookupMax(s)) match {
+          case Some(ids) if ids.nonEmpty =>
+            pqExactRerank(candsP, raw.filter(col(key).isin(ids: _*)))
+          case Some(_) => pqExactRerank(candsP, raw.limit(0))
+          case None => pqExactRerank(candsP, raw) // too many ids: stream the table
+        }
+      case None => pqExactRerank(cands, fallback)
+    }
 
   /** Full-corpus ADC scan (no cell probing). */
   private def pqSearch(encoded: DataFrame, queryDf: DataFrame,
@@ -361,18 +398,26 @@ object SimilarityOps {
   def knnPq(s: SparkSession, dir: String): DataFrame =
     knnPqOn(Tables.t(s, dir, "embeddings"))
 
-  /** Materialize the PQ index: codes (+ norms) as a parquet table and the
-    * codebooks beside them. This is the 100 TB operating mode — train and
-    * encode ONCE at ingest (or per compaction), then every query session
-    * reads ~6 B/vector of codes and a 32 KB codebook table; no KMeans, no
-    * touch of the raw vectors except the point-lookup re-rank.
+  /** Materialize the PQ index: codes (+ norms) as a parquet table, the
+    * codebooks beside them, AND the raw vectors as a serving table
+    * BUCKETED by vec_id — so the exact re-rank of every subsequent query
+    * is a bucket-pruned point lookup instead of a second full corpus scan.
+    * This is the 100 TB operating mode — train and encode ONCE at ingest
+    * (or per compaction), then every query session reads ~6 B/vector of
+    * codes, a 32 KB codebook table, and |cands|/|buckets| of the raw
+    * table.
     */
-  def writePqIndex(s: SparkSession, dir: String, indexPath: String): Unit = {
-    val (books, encoded, cached) =
-      pqTrainEncode(Tables.spread(Tables.t(s, dir, "embeddings")))
+  def writePqIndex(s: SparkSession, dir: String, indexPath: String): Unit =
+    writePqIndexOn(Tables.t(s, dir, "embeddings"), indexPath)
+
+  def writePqIndexOn(corpus: DataFrame, indexPath: String): Unit = {
+    val s = corpus.sparkSession
+    val (books, encoded, cached) = pqTrainEncode(Tables.spread(corpus))
     encoded.write.mode("overwrite").parquet(s"$indexPath/codes")
     writeBooks(s, books, indexPath)
-    // terminal API: both outputs are on disk, nothing can reuse the cache
+    graft.sources.Bucketed.write(cached.select("vec_id", "embedding"),
+      s"$indexPath/raw", "vec_id", graft.sources.Bucketed.indexBuckets(s))
+    // terminal API: all outputs are on disk, nothing can reuse the cache
     cached.unpersist()
   }
 
@@ -438,15 +483,19 @@ object SimilarityOps {
 
   /** Serve queries from a [[writePqIndex]]-materialized index: the
     * codebooks load as driver metadata, the ADC scan runs over the stored
-    * codes, and only the re-rank touches the raw embedding table.
-    * `corpus` is the raw-vector table the re-rank resolves against (it
-    * must cover every vec_id in the index).
+    * codes, and the exact re-rank resolves against the index's own
+    * bucketed raw table as a point lookup (see [[pqRerankResolve]]).
+    * `corpus` supplies the query set, and the re-rank fallback for
+    * legacy indexes written without a raw table.
     */
-  def knnPqServe(s: SparkSession, corpus: DataFrame, indexPath: String): DataFrame = {
+  def knnPqServe(s: SparkSession, corpus: DataFrame, indexPath: String,
+      queryFilter: Column = col("vec_id") < 10): DataFrame = {
     val books = readBooks(s, indexPath)
     val encoded = s.read.parquet(s"$indexPath/codes")
-    val qRows = pqQueryRows(corpus.filter(col("vec_id") < 10))
-    pqSearch(encoded, pqQueryDf(s, qRows, books), corpus)
+    val qRows = pqQueryRows(corpus.filter(queryFilter))
+    val queryDf = pqQueryDf(s, qRows, books)
+    pqRerankResolve(s, pqAdcCands(encoded.crossJoin(broadcast(queryDf))),
+      indexPath, corpus)
   }
 
   def knnPqFromIndex(s: SparkSession, dir: String, indexPath: String): DataFrame =
@@ -471,6 +520,10 @@ object SimilarityOps {
         (id, nrm, codes)
       }.toDF("vec_id", "nrm", "codes")
     encoded.write.mode("append").parquet(s"$indexPath/codes")
+    // the serving raw table must cover appended vectors too (the re-rank
+    // resolves against it); no-op for legacy indexes without one
+    graft.sources.Bucketed.append(
+      batch.select("vec_id", "embedding"), s"$indexPath/raw")
   }
 
   /** (norm, m sub-codes) of one vector against frozen codebooks — the
@@ -530,10 +583,14 @@ object SimilarityOps {
     * session serves retrain-free ([[knnIvfPqFromIndex]]) and daily
     * batches land with [[appendToIvfIndex]].
     */
-  def writeIvfIndex(s: SparkSession, dir: String, indexPath: String): Unit = {
+  def writeIvfIndex(s: SparkSession, dir: String, indexPath: String): Unit =
+    writeIvfIndexOn(Tables.t(s, dir, "embeddings"), indexPath)
+
+  def writeIvfIndexOn(corpus: DataFrame, indexPath: String): Unit = {
     import org.apache.spark.ml.functions.array_to_vector
+    val s = corpus.sparkSession
     import s.implicits._
-    val e0 = Tables.spread(Tables.t(s, dir, "embeddings"))
+    val e0 = Tables.spread(corpus)
       .withColumn("features", array_to_vector(col("embedding")))
     val cellModel = coarseQuantizer(e0)
     val assigned = cellModel.transform(e0)
@@ -545,6 +602,8 @@ object SimilarityOps {
       .map { case (c, i) => (i, c.toArray.toSeq) }.toIndexedSeq
       .toDF("cell", "center")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/cells")
+    graft.sources.Bucketed.write(cached.select("vec_id", "embedding"),
+      s"$indexPath/raw", "vec_id", graft.sources.Bucketed.indexBuckets(s))
     // terminal API: all outputs are on disk, nothing can reuse the cache
     cached.unpersist()
   }
@@ -562,15 +621,17 @@ object SimilarityOps {
     * codebooks load as driver metadata (NO KMeans anywhere in this path),
     * the probe scans only the matching cell partitions of the codes
     * table (partition pruning), and the exact re-rank resolves against
-    * `corpus` (which must cover every vec_id in the index).
+    * the index's own bucketed raw table as a point lookup
+    * ([[pqRerankResolve]]; `corpus` supplies the query set and the
+    * legacy-index fallback).
     */
   def knnIvfPqServe(s: SparkSession, corpus: DataFrame, indexPath: String,
-      nprobe: Int = 4): DataFrame = {
+      nprobe: Int = 4, queryFilter: Column = col("vec_id") < 10): DataFrame = {
     import s.implicits._
     val books = readBooks(s, indexPath)
     val centers = readCells(s, indexPath)
     val mlCenters = centers.map(org.apache.spark.ml.linalg.Vectors.dense)
-    val qRows = pqQueryRows(corpus.filter(col("vec_id") < 10))
+    val qRows = pqQueryRows(corpus.filter(queryFilter))
     val queryDf = pqQueryDf(s, qRows, books)
     val probes = probeSets(mlCenters, qRows, nprobe)
     val probeDf = probes.toDF("q_id", "cell").join(queryDf, "q_id")
@@ -578,7 +639,8 @@ object SimilarityOps {
     // only the probed cell=... directories are listed, let alone read
     val encoded = s.read.parquet(s"$indexPath/codes")
       .filter(col("cell").isin(probedCells: _*))
-    pqScoreRerank(encoded.join(broadcast(probeDf), Seq("cell")), corpus)
+    pqRerankResolve(s, pqAdcCands(encoded.join(broadcast(probeDf), Seq("cell"))),
+      indexPath, corpus)
   }
 
   def knnIvfPqFromIndex(s: SparkSession, dir: String, indexPath: String): DataFrame =
@@ -604,6 +666,10 @@ object SimilarityOps {
         (id, nrm, codes, nearestCenter(emb, bCells.value))
       }.toDF("vec_id", "nrm", "codes", "cell")
     encoded.write.partitionBy("cell").mode("append").parquet(s"$indexPath/codes")
+    // keep the serving raw table covering appended vectors (see
+    // [[appendToPqIndex]]); no-op for legacy indexes without one
+    graft.sources.Bucketed.append(
+      batch.select("vec_id", "embedding"), s"$indexPath/raw")
   }
 
   /** Per-label centroids (IVF coarse quantizer building block): exact

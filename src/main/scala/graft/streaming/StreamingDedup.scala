@@ -65,7 +65,12 @@ object StreamingDedup {
         s.read.parquet(s"$indexPath/bands"), Seq("band", "bkey"))
       .withColumnRenamed("doc_id", "corpus_doc")
       .persist(lvl)
-    val sigs = s.read.parquet(s"$indexPath/sigs")
+    // read the signature table through its bucketed registration when the
+    // index carries one (writeMinHashIndex): the bucketed scan's hash
+    // partitioning on doc_id survives the alias, so the per-batch verify
+    // join shuffles only the micro-batch — the corpus side never moves
+    val sigs = graft.sources.Bucketed.read(s, s"$indexPath/sigs")
+      .map(_._1).getOrElse(s.read.parquet(s"$indexPath/sigs"))
       .select(col("doc_id").as("corpus_doc"), col("hsh").as("hsh_c"))
       .persist(lvl)
     (bands, sigs)

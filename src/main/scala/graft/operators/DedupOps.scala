@@ -651,6 +651,19 @@ object DedupOps {
     sig.unpersist()
   }
 
+  /** Rewrite the index's append deltas into one fresh tiling — same
+    * probe results, a bounded file count (daily appends otherwise
+    * accumulate part files forever). The sigs table keeps its bucket spec
+    * (probes keep bucket-pruning on doc_id); bands re-sort by (band,
+    * bkey) so row groups cluster by bucket.
+    */
+  def compactMinHashIndex(s: SparkSession, indexPath: String): Unit = {
+    import graft.sources.IndexCompact
+    if (!IndexCompact.rewriteBucketed(s, s"$indexPath/sigs"))
+      IndexCompact.rewritePlain(s, s"$indexPath/sigs", Seq("doc_id"))
+    IndexCompact.rewritePlain(s, s"$indexPath/bands", Seq("band", "bkey"))
+  }
+
   def incrementalMinHash(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.t(s, dir, "documents")
     incrementalMinHashOn(

@@ -975,6 +975,57 @@ object SimilarityOps {
     assigned.unpersist()
   }
 
+  /** Compact the PQ index's append deltas: codes back to size-targeted
+    * files sorted by vec_id, the bucketed raw re-rank table back to one
+    * file per bucket. Codebooks are a single tiny file — nothing to do.
+    */
+  def compactPqIndex(s: SparkSession, indexPath: String): Unit = {
+    import graft.sources.IndexCompact
+    IndexCompact.rewritePlain(s, s"$indexPath/codes", Seq("vec_id"))
+    IndexCompact.rewriteBucketed(s, s"$indexPath/raw")
+  }
+
+  /** Compact the IVF-PQ index: codes back to one file per cell partition
+    * (probe pruning keeps working on the `cell=` directories), raw table
+    * back to one file per bucket.
+    */
+  def compactIvfIndex(s: SparkSession, indexPath: String): Unit = {
+    import graft.sources.IndexCompact
+    IndexCompact.rewritePartitioned(s, s"$indexPath/codes", "cell")
+    IndexCompact.rewriteBucketed(s, s"$indexPath/raw")
+  }
+
+  /** Compact the cosine cell index AND re-tighten its radii — the rebuild
+    * concern [[appendToCosineCellIndex]] defers. Appends only ever GROW
+    * the stored radii (they must stay upper bounds), so after many
+    * batches a cell's radius can far exceed its true extent and probes
+    * admit cells they no longer need to. The exact per-cell max distance
+    * recomputed from the stored assignment is still an upper bound —
+    * the tightest one — so probing stays lossless while admitting fewer
+    * cells. Radii shrink-only by construction (every stored radius was an
+    * upper bound on the same rows). Cells keep their frozen centroids:
+    * this is maintenance, not a re-clustering rebuild.
+    */
+  def compactCosineCellIndex(s: SparkSession, indexPath: String): Unit = {
+    import s.implicits._
+    graft.sources.IndexCompact.rewritePartitioned(s, s"$indexPath/corpus", "cell")
+    val cells = s.read.parquet(s"$indexPath/cells")
+    val exact = withNormalized(s.read.parquet(s"$indexPath/corpus"))
+      .join(broadcast(cells.select("cell", "carr")), "cell")
+      .withColumn("cdist", distToCentroid)
+      .groupBy("cell").agg(max(col("cdist")).as("rmax")).collect()
+      .map(r => r.getAs[Int]("cell") -> r.getAs[Double]("rmax")).toMap
+    // collected before the overwrite below, so the write cannot feed
+    // itself; k rows of metadata either way
+    val tightened = cells.collect().map { r =>
+      val cell = r.getAs[Int]("cell")
+      (cell, r.getAs[scala.collection.Seq[Double]]("carr").toSeq,
+        exact.getOrElse(cell, Double.NegativeInfinity))
+    }
+    tightened.toIndexedSeq.toDF("cell", "carr", "rmax")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/cells")
+  }
+
   /** Driver split: batch = vec_id < 50 (the "daily ingest"), corpus = the
     * rest — mirrors the doc_incr_* conventions.
     */

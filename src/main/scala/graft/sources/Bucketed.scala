@@ -125,6 +125,20 @@ object Bucketed {
     }
   }
 
+  /** Drop the catalog registration for `path` (the files stay): used for
+    * the transient side-directory entries a compaction rewrite creates.
+    */
+  def dropRegistration(s: SparkSession, path: String): Unit =
+    s.sql(s"DROP TABLE IF EXISTS ${tableName(path)}")
+
+  /** Invalidate cached listings/metadata for `path`'s registration after
+    * its files were rewritten in place (compaction swap).
+    */
+  def refresh(s: SparkSession, path: String): Unit = {
+    val name = tableName(path)
+    if (s.catalog.tableExists(name)) s.catalog.refreshTable(name)
+  }
+
   /** The distinct values of long column `key` in `df`, provided there are
     * at most `cap` of them — None past the cap, so a caller never
     * materializes an unbounded id list on the driver and falls back to

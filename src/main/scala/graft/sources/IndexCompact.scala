@@ -1,0 +1,125 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+/** Small-file hygiene for the append-maintained index tables.
+  *
+  * Every `appendTo*Index` lands one file set per batch; at a daily ingest
+  * cadence that is 365 deltas/year per table — the classic small-files
+  * decay (listing cost, per-file open overhead, row-group stats too
+  * fragmented to prune). These helpers rewrite an index subdirectory into
+  * one fresh tiling with the SAME on-read semantics, using the
+  * write-aside-then-rename pattern of `Layout.compact`: readers either see
+  * the old complete layout or the new complete layout, never a partial
+  * directory.
+  *
+  * Three layout shapes cover all four index families (minhash, PQ, IVF-PQ,
+  * cosine cells):
+  *  - plain parquet       -> size-targeted file count, sorted within files
+  *  - bucketed ([[Bucketed]]) -> same bucket spec, back to one file/bucket
+  *  - partition-column dirs   -> back to one file per partition value
+  */
+object IndexCompact {
+
+  /** Rewrite `path` atomically: `write` produces the replacement layout in
+    * a side directory, which is renamed into place only when complete.
+    * Mirrors `Layout.compact`'s swap (no data materialization — the
+    * rewrite streams from the live directory into the side one).
+    */
+  private def swapInto(s: SparkSession, path: String)(write: String => Unit): Unit = {
+    val fs = new Path(path).getFileSystem(s.sessionState.newHadoopConf())
+    val tmp = new Path(path + ".compacting")
+    val old = new Path(path + ".old")
+    fs.delete(tmp, true)
+    write(tmp.toString)
+    fs.delete(old, true)
+    if (!fs.rename(new Path(path), old))
+      throw new java.io.IOException(s"compact: cannot move $path aside")
+    if (!fs.rename(tmp, new Path(path))) {
+      fs.rename(old, new Path(path)) // roll back
+      throw new java.io.IOException(s"compact: cannot move $tmp into place")
+    }
+    fs.delete(old, true)
+  }
+
+  /** Total data bytes under `path` (recursive, metadata files excluded) —
+    * drives the compacted file count so output files land near the target
+    * size regardless of how many deltas accumulated.
+    */
+  private def dataBytes(s: SparkSession, path: String): Long = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    val it = fs.listFiles(p, true)
+    var total = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (!f.getPath.getName.startsWith("_")) total += f.getLen
+    }
+    total
+  }
+
+  /** Target compacted file size; local default is test-friendly, size it
+    * to ~128 MB-1 GB in production.
+    */
+  def targetFileBytes(s: SparkSession): Long =
+    s.conf.get("spark.graft.index.targetFileBytes", (128L * 1024 * 1024).toString).toLong
+
+  private def autoFiles(s: SparkSession, path: String): Int =
+    math.max(1L, (dataBytes(s, path) + targetFileBytes(s) - 1) / targetFileBytes(s)).toInt
+
+  /** Compact a plain parquet directory into a size-targeted number of
+    * files, sorted by `sortCols` within each file so row-group stats can
+    * prune inside the compacted files.
+    */
+  def rewritePlain(s: SparkSession, path: String, sortCols: Seq[String]): Unit = {
+    val n = autoFiles(s, path)
+    swapInto(s, path) { tmp =>
+      val df = s.read.parquet(path)
+      val sorted =
+        if (sortCols.isEmpty) df.repartition(n)
+        else df.repartition(n).sortWithinPartitions(sortCols.map(col): _*)
+      sorted.write.parquet(tmp)
+    }
+  }
+
+  /** Compact a [[Bucketed]] layout back to one sorted file per bucket,
+    * preserving the bucket spec (probes keep pruning on the same key).
+    * Returns false when `path` is not a bucketed layout.
+    */
+  def rewriteBucketed(s: SparkSession, path: String): Boolean =
+    Bucketed.spec(s, path) match {
+      case None => false
+      case Some((key, n)) =>
+        val df = Bucketed.read(s, path).get._1
+        swapInto(s, path) { tmp => Bucketed.write(df, tmp, key, n) }
+        Bucketed.dropRegistration(s, path + ".compacting") // side-dir entry
+        Bucketed.refresh(s, path) // live registration must see the new files
+        true
+    }
+
+  /** Compact a partition-column directory layout (e.g. `cell=K` dirs)
+    * back to one file per partition value — hash-repartitioning on the
+    * partition column puts each value in exactly one write task.
+    */
+  def rewritePartitioned(s: SparkSession, path: String, partCol: String): Unit =
+    swapInto(s, path) { tmp =>
+      s.read.parquet(path)
+        .repartition(col(partCol))
+        .write.partitionBy(partCol).parquet(tmp)
+    }
+
+  /** Data files (not `_` metadata) under `path`, recursively — the
+    * "small-files" census compaction tests assert on.
+    */
+  def dataFileCount(s: SparkSession, path: String): Int = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    val it = fs.listFiles(p, true)
+    var n = 0
+    while (it.hasNext)
+      if (!it.next().getPath.getName.startsWith("_")) n += 1
+    n
+  }
+}

@@ -98,6 +98,16 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] soak: $e"); errors("soak") = e.toString.take(200); "null"
       }
+    // near-dup streaming soak: docs/s + bounded pair-dedup state for the
+    // stream probe topology, same reporting shape. 0 seconds disables it.
+    val ndSecs = sys.env.getOrElse("SPARK_GRAFT_NEARDUP_SOAK_SECS", "30").toInt
+    val ndJson =
+      if (ndSecs <= 0) "null"
+      else try streaming.Soak.json(streaming.Soak.runNearDup(spark, sfDir, ndSecs, 2000))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] neardup_soak: $e")
+        errors("neardup_soak") = e.toString.take(200); "null"
+      }
     // no stream may outlive the bench: a leaked soak query in a retried run
     // competes with the retry's timed queries and poisons its numbers
     spark.streams.active.foreach { s =>
@@ -106,7 +116,7 @@ object Bench {
     }
     val errJson2 = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"soak":$soakJson,"errors":$errJson2,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"soak":$soakJson,"neardup_soak":$ndJson,"errors":$errJson2,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

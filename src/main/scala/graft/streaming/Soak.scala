@@ -114,7 +114,15 @@ object Soak {
       lit(600).as("bytes"),
       lit("w1").as("writer_id"), lit("").as("text"))
       .as[NetworkEvent]
-    val attacks = StreamingAnomaly.detectAttacks(ev)
+    measure(spark, seconds, storeName, StreamingAnomaly.detectAttacks(ev).toDF())
+  }
+
+  /** Run `out` against the live clock for `seconds`, reporting throughput /
+    * state metrics from the query's own progress events — the measurement
+    * harness shared by the CEP soak and the near-dup soak.
+    */
+  private def measure(spark: SparkSession, seconds: Int, storeName: String,
+      out: org.apache.spark.sql.DataFrame): SoakResult = {
     val ckpt = java.nio.file.Files.createTempDirectory("graft-soak").toString
     // accumulate via a listener: q.recentProgress is a ring buffer capped at
     // spark.sql.streaming.numRecentProgressUpdates (default 100) — a long
@@ -158,7 +166,7 @@ object Soak {
     spark.streams.addListener(listener)
     val t0 = System.nanoTime()
     val wall = try {
-      val q = attacks.writeStream.format("noop")
+      val q = out.writeStream.format("noop")
         .option("checkpointLocation", ckpt).start()
       soakId.set(q.id)
       try {
@@ -197,6 +205,55 @@ object Soak {
       batches = batches.get(),
       store = storeName,
       peakEvPerSec = java.lang.Double.longBitsToDouble(peakRate.get()))
+  }
+
+  /** Sustained-throughput soak for the streaming NEAR-DUP probe
+    * ([[StreamingDedup.nearDupStream]]): a minhash index is materialized
+    * from `sfDir`'s documents once, then a rate source synthesizes a
+    * continuous doc stream — half exact clones of indexed docs (guaranteed
+    * band hits + signature verifies), half novel docs (the value-unique
+    * text defeats shingle collisions) — through the full
+    * band-match/pair-dedup/verify topology. The SHORT watermark is the
+    * bounded-state half of the evidence: every stream doc_id is unique, so
+    * the pair-dedup state would otherwise grow for the whole run; with
+    * event time riding the rate source's live clock, rows older than the
+    * horizon GC continuously and `state_rows_max` plateaus at
+    * ~rate x horizon instead of rate x runtime. (A row lands in state at
+    * its event time and leaves when the watermark passes ts + horizon,
+    * and the watermark itself lags one batch — so eviction starts around
+    * 2x the horizon into the run; the soak window must comfortably exceed
+    * that for the plateau to be visible.)
+    */
+  def runNearDup(spark: SparkSession, sfDir: String, seconds: Int,
+      docsPerSecond: Int, watermark: String = "5 seconds"): SoakResult = {
+    import graft.operators.DedupOps
+    val docs = graft.sources.Tables.t(spark, sfDir, "documents")
+    val idx = java.nio.file.Files.createTempDirectory("graft-ndsoak").toString + "/mh"
+    DedupOps.writeMinHashIndex(docs, idx)
+    val (bands, sigs) = StreamingDedup.prepareNearDupIndex(spark, idx)
+    try {
+      val texts = docs.select("text").limit(16).collect().map(_.getString(0))
+      val textArr = array(texts.map(lit): _*)
+      val rate = spark.readStream.format("rate")
+        .option("rowsPerSecond", docsPerSecond)
+        .option("numPartitions", 8).load()
+      val stream = rate.select(
+        col("value").as("doc_id"),
+        col("timestamp").as("ts"),
+        when(col("value") % 2 === 0,
+          element_at(textArr, ((col("value") / 2) % texts.length).cast("int") + 1))
+          .otherwise(concat(lit("novel shard "), col("value"),
+            lit(" alpha beta gamma delta epsilon zeta eta theta"))).as("text"))
+      val out = StreamingDedup.nearDupStream(
+        stream, bands, sigs, watermark, 0.7, broadcastBands = true)
+      measure(spark, seconds, "neardup", out)
+    } finally {
+      bands.unpersist(); sigs.unpersist()
+      try {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(idx).getParentFile).deleteRecursively()
+      } catch { case _: Throwable => () }
+    }
   }
 
   def json(r: SoakResult): String = {

@@ -127,4 +127,110 @@ object StreamingDedup {
     val (bands, sigs) = prepareNearDupIndex(docs.sparkSession, indexPath)
     nearDupStream(docs, bands, sigs, watermark, threshold, broadcastBands)
   }
+
+  /** A refresh-aware handle on a `writeMinHashIndex` materialization, for
+    * LONG-LIVED streams serving a GROWING index. [[prepareNearDupIndex]]'s
+    * caches are frozen at setup: `DedupOps.appendToMinHashIndex` during a
+    * live stream would keep serving the stale snapshot forever. This
+    * handle re-checks a cheap directory signature (one file listing of the
+    * two index subdirs — names, lengths, mtimes) on every [[probe]] and
+    * atomically swaps the caches when the layout changed, so the NEXT
+    * micro-batch probes the appended corpus; unchanged layouts pay only
+    * the listing.
+    *
+    * Compose with `foreachBatch`:
+    * {{{
+    * val idx = NearDupIndex(spark, indexPath)
+    * docs.writeStream.foreachBatch { (b, _) => sink(idx.probe(b)) }...
+    * }}}
+    * (Within one micro-batch each doc appears once, so the cross-batch
+    * watermark dedup of [[nearDupStream]] isn't needed — candidate pairs
+    * dedup per batch before the signature verify, same as the batch
+    * probe.) Call [[close]] when the stream stops.
+    */
+  final class NearDupIndex private[streaming] (
+      s: org.apache.spark.sql.SparkSession, indexPath: String) {
+    @volatile private var state: (DataFrame, DataFrame, String) = null
+
+    /** Cheap change detector: every append rewrites or adds files under
+      * sigs/ or bands/, so (sorted names, lengths, mtimes) shifts. At
+      * production file counts (post-compaction: ~one file per bucket)
+      * this is one RPC-cheap listing per micro-batch.
+      */
+    private def dirSignature(): String = {
+      val conf = s.sessionState.newHadoopConf()
+      val parts = Seq(s"$indexPath/sigs", s"$indexPath/bands").flatMap { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        val fs = p.getFileSystem(conf)
+        if (!fs.exists(p)) Seq(s"$d:absent")
+        else {
+          val it = fs.listFiles(p, true)
+          val b = scala.collection.mutable.ArrayBuffer.empty[String]
+          while (it.hasNext) {
+            val f = it.next()
+            b += s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}"
+          }
+          b.sorted
+        }
+      }
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(parts.mkString("\n").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }
+
+    /** The current (bands, sigs) caches, reloading iff the index layout
+      * changed since the last call. Micro-batches of one query run
+      * serially; the lock only guards overlapping queries sharing a
+      * handle.
+      */
+    def current(): (DataFrame, DataFrame) = synchronized {
+      val sig = dirSignature()
+      if (state == null || state._3 != sig) {
+        if (state != null) {
+          state._1.unpersist(blocking = false)
+          state._2.unpersist(blocking = false)
+        }
+        // a cross-session append through the bucketed catalog table won't
+        // have invalidated THIS session's listing cache — drop it first
+        graft.sources.Bucketed.refresh(s, s"$indexPath/sigs")
+        val (bands, sigs) = prepareNearDupIndex(s, indexPath)
+        state = (bands, sigs, sig)
+      }
+      (state._1, state._2)
+    }
+
+    /** Probe one micro-batch against the LATEST index state: the batch
+      * analog of [[nearDupStream]]'s join pipeline (bands match, pair
+      * dedup, signature verify at exact Jaccard >= `threshold`).
+      */
+    def probe(batch: DataFrame, threshold: Double = 0.7,
+        broadcastBands: Boolean = false): DataFrame = {
+      import graft.operators.DedupOps
+      val (bands, sigs) = current()
+      DedupOps.bandRows(DedupOps.minhashSigs(batch), keep = Seq("hsh"))
+        .join(if (broadcastBands) broadcast(bands) else bands, Seq("band", "bkey"))
+        .select(col("doc_id"), col("hsh"), col("corpus_doc"))
+        .distinct()
+        .join(sigs, Seq("corpus_doc"))
+        .withColumn("common", size(array_intersect(col("hsh"), col("hsh_c"))))
+        .withColumn("jaccard", col("common").cast("double") /
+          (size(col("hsh")) + size(col("hsh_c")) - col("common")).cast("double"))
+        .filter(col("jaccard") >= threshold)
+        .select("doc_id", "corpus_doc", "jaccard")
+    }
+
+    /** Release the caches (idempotent). */
+    def close(): Unit = synchronized {
+      if (state != null) {
+        state._1.unpersist(blocking = false)
+        state._2.unpersist(blocking = false)
+        state = null
+      }
+    }
+  }
+
+  object NearDupIndex {
+    def apply(s: org.apache.spark.sql.SparkSession,
+        indexPath: String): NearDupIndex = new NearDupIndex(s, indexPath)
+  }
 }

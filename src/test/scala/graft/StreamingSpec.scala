@@ -251,6 +251,55 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("refreshing near-dup index: an append mid-stream is probed by the next micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.sources.Tables.t(spark, sf0001, "documents")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val idx = java.nio.file.Files.createTempDirectory("graft-rmh").toString + "/mh"
+    graft.operators.DedupOps.writeMinHashIndex(corpus, idx)
+
+    // a doc the index has NOT seen yet (appended mid-stream below) —
+    // synthetic text, so it cannot near-dup any planted corpus cluster
+    val lateId = 777777L
+    val lateText = "orbital marmalade synthesizer quietly debates the " +
+      "crystalline aqueduct while seventeen improbable walruses audit the " +
+      "lighthouse ledger beneath a tangerine monsoon of punctual geometry"
+    val (seenId, seenText) = corpus
+      .select("doc_id", "text").as[(Long, String)].head()
+
+    val index = graft.streaming.StreamingDedup.NearDupIndex(spark, idx)
+    val hitQ = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Double)]
+    def hits: Seq[(Long, Long, Double)] = {
+      import scala.jdk.CollectionConverters._
+      hitQ.iterator().asScala.toSeq
+    }
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = mem.toDF().toDF("doc_id", "text", "ts").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        index.probe(b, 0.7, broadcastBands = true)
+          .as[(Long, Long, Double)](implicitly).collect().foreach(hitQ.add)
+      }.start()
+    try {
+      val now = new java.sql.Timestamp(1700000000000L)
+      // batch 1: a clone of an indexed doc hits; a clone of the
+      // not-yet-appended doc cannot
+      mem.addData((600001L, seenText, now), (600002L, lateText, now))
+      q.processAllAvailable()
+      assert(hits.exists(h => h._1 == 600001L && h._2 == seenId))
+      assert(!hits.exists(_._1 == 600002L),
+        "doc absent from the index must not hit yet")
+
+      // the ingest loop appends the late doc WHILE the stream is live...
+      graft.operators.DedupOps.appendToMinHashIndex(
+        Seq((lateId, lateText)).toDF("doc_id", "text"), idx)
+      // ...and the very next micro-batch probes the grown corpus
+      mem.addData((600003L, lateText, now))
+      q.processAllAvailable()
+      assert(hits.exists(h => h._1 == 600003L && h._2 == lateId && h._3 == 1.0),
+        s"post-append clone must hit the appended doc, got $hits")
+    } finally { q.stop(); index.close() }
+  }
+
   private def toWireJson(es: Seq[NetworkEvent]): Seq[String] = es.map { e =>
     Seq(
       s""""event_type":"${e.event_type}"""", s""""ip_src":"${e.ip_src}"""",

@@ -175,6 +175,17 @@ object SimilarityOps {
     centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toIndexedSeq.toDF("cell", "carr")
   }
 
+  /** Self-contained IVF ANN — the PEDAGOGICAL baseline of the IVF family,
+    * deliberately kept in its one-shot form: it fits the coarse quantizer
+    * in-query (bounded-sample fit, so the cost is flat in corpus size) and
+    * probes raw vectors, which isolates the "cells cut what a query
+    * touches" idea from everything PQ adds. It is superseded for any
+    * repeated-serving use by the persisted family — [[writeIvfIndex]] +
+    * [[knnIvfPqServe]] (NO quantizer fit anywhere in that serve path:
+    * centroids and codebooks load as stored metadata, the probe prunes
+    * `cell=` partitions, the re-rank is a bucketed point lookup). A user
+    * serving more than one query session should hold that pair, not this.
+    */
   def knnIvf(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector
     val nprobe = 4
@@ -725,8 +736,29 @@ object SimilarityOps {
   def cosineDups(s: SparkSession, dir: String): DataFrame =
     cosineDupsBlocked(Tables.t(s, dir, "embeddings"))
 
-  def cosineDupsBlocked(e0: DataFrame, t: Double = 0.4, k: Int = 16): DataFrame =
-    cosineCandidates(e0, t, k)
+  /** Cell count for the triangle-inequality blocking family when the
+    * caller doesn't pass one: corpus count / `spark.graft.cells.targetRows`
+    * (default 128 — reproducing the hand-tuned 16 cells at the 2k-row
+    * bench scale and the stress tool's 16-per-copy curve), clamped to
+    * [4, 4096]. The top clamp is NOT arbitrary: admissible cell pairs are
+    * enumerated in a k^2 driver-side loop over the centroid metadata, so
+    * k must stay ~10^3; past ~4096 x targetRows rows, raise targetRows
+    * (cells get denser but stay exact) — a hierarchical split is a
+    * different operator. Exactness never depends on k; only the
+    * candidate volume does.
+    */
+  private[graft] def autoCells(e: DataFrame): Int = {
+    val target = e.sparkSession.conf
+      .get("spark.graft.cells.targetRows", "128").toLong
+    val n = e.count()
+    math.max(4L, math.min(4096L, (n + target - 1) / target)).toInt
+  }
+
+  private def resolveCells(e: DataFrame, k: Int): Int =
+    if (k > 0) k else autoCells(e)
+
+  def cosineDupsBlocked(e0: DataFrame, t: Double = 0.4, k: Int = 0): DataFrame =
+    cosineCandidates(e0, t, resolveCells(e0, k))
       .withColumn("sim", graftCosine(col("a.embedding"), col("b.embedding")))
       .filter(col("sim") >= t)
       .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
@@ -792,9 +824,9 @@ object SimilarityOps {
     * rank-k cut (WindowGroupLimit: per-partition heaps) over the
     * symmetrized qualifying pairs.
     */
-  def knnJoinOn(e0: DataFrame, t: Double = 0.4, cells: Int = 16,
+  def knnJoinOn(e0: DataFrame, t: Double = 0.4, cells: Int = 0,
       topK: Int = 5): DataFrame = {
-    val pairs = cosineCandidates(e0, t, cells, sameLabel = false)
+    val pairs = cosineCandidates(e0, t, resolveCells(e0, cells), sameLabel = false)
       .withColumn("sim", graftCosine(col("a.embedding"), col("b.embedding")))
       .filter(col("sim") >= t)
       .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"), col("sim"))
@@ -898,8 +930,8 @@ object SimilarityOps {
   }
 
   def incrementalCosineOn(corpus: DataFrame, batch: DataFrame,
-      t: Double = 0.4, k: Int = 16): DataFrame = {
-    val (assigned, cellIdx) = buildCellIndex(corpus, k)
+      t: Double = 0.4, k: Int = 0): DataFrame = {
+    val (assigned, cellIdx) = buildCellIndex(corpus, resolveCells(corpus, k))
     // all eager consumers are done and the returned plan streams the
     // corpus side exactly once — release the cache rather than pinning a
     // per-call corpus copy for the session's lifetime (the one lazy pass
@@ -918,8 +950,8 @@ object SimilarityOps {
     * rescan, ever again until a rebuild compaction.
     */
   def writeCosineCellIndex(corpus: DataFrame, indexPath: String,
-      k: Int = 16): Unit = {
-    val (assigned, cellIdx) = buildCellIndex(corpus, k)
+      k: Int = 0): Unit = {
+    val (assigned, cellIdx) = buildCellIndex(corpus, resolveCells(corpus, k))
     assigned.select("vec_id", "embedding", "cell")
       .write.partitionBy("cell").mode("overwrite").parquet(s"$indexPath/corpus")
     cellIdx.coalesce(1).write.mode("overwrite").parquet(s"$indexPath/cells")

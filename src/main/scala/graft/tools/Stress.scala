@@ -185,6 +185,16 @@ object Stress {
         SimilarityOps.cosineDupsBlocked(embC, 0.4, 16 * copies).count())
       spark.catalog.clearCache()
 
+      // AUTO cell sizing must track the hand-scaled curve above: a real
+      // user won't pass k = 16 x copies, the default derives it from the
+      // corpus count (x1 -> 16, x10 -> 157 at the 128-rows/cell target)
+      println(s"[stress] auto-k: x1 -> ${SimilarityOps.autoCells(emb)}, " +
+        s"x$copies -> ${SimilarityOps.autoCells(embC)} (manual: 16, ${16 * copies})")
+      time(s"cosine-dups x$copies cands auto-k")(
+        SimilarityOps.cosineCandidates(embC, 0.4,
+          SimilarityOps.autoCells(embC)).count())
+      spark.catalog.clearCache()
+
       // incremental cosine: FIXED batch (copy 0's first 50 vectors) vs a
       // corpus that grows by sign-flip copies. Each copy carries a flip
       // twin of every batch vector (vectors with concentrated mass keep

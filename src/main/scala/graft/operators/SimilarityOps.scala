@@ -962,11 +962,28 @@ object SimilarityOps {
     * corpus, identical output) to [[incrementalCosineOn]] — still
     * lossless, because the stored radii are upper bounds on every cell's
     * true radius (appends only GROW them).
+    *
+    * The stored corpus is PARTITIONED BY CELL, and the admissible cell
+    * set is bounded by the cell count (<= 4096, driver metadata scale) —
+    * so it is pre-computed here (one map pass over batch x broadcast
+    * cells, the same admission test the probe re-applies) and pushed down
+    * as a partition filter: the scan lists and reads ONLY the admissible
+    * `cell=` directories, the IVF-PQ treatment for the raw-vector index.
+    * A batch that admits few cells reads a corresponding fraction of a
+    * 100 TB corpus instead of streaming all of it.
     */
   def incrementalCosineFromIndex(s: SparkSession, batch: DataFrame,
-      indexPath: String, t: Double = 0.4): DataFrame =
-    cosineProbe(s.read.parquet(s"$indexPath/corpus"),
-      s.read.parquet(s"$indexPath/cells"), batch, t)
+      indexPath: String, t: Double = 0.4): DataFrame = {
+    val cellIdx = s.read.parquet(s"$indexPath/cells")
+    val r = cosineRadius(t)
+    val admissible = withNormalized(batch).crossJoin(broadcast(cellIdx))
+      .withColumn("bdist", distToCentroid)
+      .filter(col("bdist") <= col("rmax") + lit(r))
+      .select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    val corpus = s.read.parquet(s"$indexPath/corpus")
+      .filter(col("cell").isin(admissible: _*))
+    cosineProbe(corpus, cellIdx, batch, t)
+  }
 
   /** Append a batch to the cell index: assign each vector to its nearest
     * FROZEN cell (normalized space, one map pass against the broadcast

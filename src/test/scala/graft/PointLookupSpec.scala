@@ -131,6 +131,31 @@ class PointLookupSpec extends SparkSpecBase {
     corpus.unpersist()
   }
 
+  test("cosine cell probe: stored corpus scan is partition-pruned to the admissible cells") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-cpl").toString + "/cos"
+    val e = Tables.t(spark, sf0001, "embeddings")
+    val corpus = e.filter(col("vec_id") >= 50)
+    SimilarityOps.writeCosineCellIndex(corpus, idx, k = 8)
+
+    // one probe vector (a clone of a corpus vector): its admissible set
+    // is a strict subset of the 8 cells at the 0.4 threshold
+    val probe = e.filter(col("vec_id") === 60L)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+    val served = SimilarityOps.incrementalCosineFromIndex(spark, probe, idx)
+    val got = served.collect().toIndexedSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty, "clone probe should hit its original")
+    val scans = scansUnder(served, "/corpus")
+    assert(scans.nonEmpty, "no scan over the stored corpus in the plan")
+    assert(scans.forall(_.partitionFilters.nonEmpty),
+      "corpus scan lost its cell partition filter")
+    // identical to the self-contained recompute on the same corpus (the
+    // deterministic sampled KMeans fit yields the same cells)
+    val direct = SimilarityOps.incrementalCosineOn(corpus, probe, k = 8)
+      .collect().toIndexedSeq.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got == direct, "partition-pruned probe diverged from the recompute")
+  }
+
   test("minhash probe: verify join is a bucket-pruned point lookup on the sigs table") {
     val idx = java.nio.file.Files.createTempDirectory("graft-mhl").toString + "/mh"
     val docs = Tables.t(spark, sf0001, "documents")

@@ -150,7 +150,10 @@ object StreamingDedup {
     */
   final class NearDupIndex private[streaming] (
       s: org.apache.spark.sql.SparkSession, indexPath: String) {
-    @volatile private var state: (DataFrame, DataFrame, String) = null
+    // (cached pruned bands, cached sigs, raw sigs + bucket key, signature)
+    private final case class State(bands: DataFrame, sigs: DataFrame,
+        sigLookup: Option[(DataFrame, String)], sig: String)
+    @volatile private var state: State = null
 
     /** Cheap change detector: every append rewrites or adds files under
       * sigs/ or bands/, so (sorted names, lengths, mtimes) shifts. At
@@ -185,33 +188,57 @@ object StreamingDedup {
       */
     def current(): (DataFrame, DataFrame) = synchronized {
       val sig = dirSignature()
-      if (state == null || state._3 != sig) {
+      if (state == null || state.sig != sig) {
         if (state != null) {
-          state._1.unpersist(blocking = false)
-          state._2.unpersist(blocking = false)
+          state.bands.unpersist(blocking = false)
+          state.sigs.unpersist(blocking = false)
         }
         // a cross-session append through the bucketed catalog table won't
         // have invalidated THIS session's listing cache — drop it first
         graft.sources.Bucketed.refresh(s, s"$indexPath/sigs")
         val (bands, sigs) = prepareNearDupIndex(s, indexPath)
-        state = (bands, sigs, sig)
+        val lookup = graft.sources.Bucketed.read(s, s"$indexPath/sigs")
+          .map { case (raw, key, _) => (raw, key) }
+        state = State(bands, sigs, lookup, sig)
       }
-      (state._1, state._2)
+      (state.bands, state.sigs)
     }
 
     /** Probe one micro-batch against the LATEST index state: the batch
       * analog of [[nearDupStream]]'s join pipeline (bands match, pair
       * dedup, signature verify at exact Jaccard >= `threshold`).
+      *
+      * Against a BUCKETED signature table the verify is a per-batch POINT
+      * LOOKUP: the candidate corpus ids (bounded by batch x MaxBucket)
+      * push down as an IN on the bucket key, so each micro-batch reads
+      * only the sig buckets its candidates hash to — never the whole
+      * (at scale, corpus-sized) signature table, and never a
+      * corpus-sized cache. The candidate frame is intentionally built
+      * twice (id collect + verify join) rather than persisted: it is one
+      * map pass + broadcast join over the MICRO-BATCH, and a per-batch
+      * persist with no unpersist point would leak one cache entry per
+      * batch for the stream's lifetime.
       */
     def probe(batch: DataFrame, threshold: Double = 0.7,
         broadcastBands: Boolean = false): DataFrame = {
       import graft.operators.DedupOps
       val (bands, sigs) = current()
-      DedupOps.bandRows(DedupOps.minhashSigs(batch), keep = Seq("hsh"))
+      val lookup = state.sigLookup
+      def cands() = DedupOps.bandRows(DedupOps.minhashSigs(batch), keep = Seq("hsh"))
         .join(if (broadcastBands) broadcast(bands) else bands, Seq("band", "bkey"))
         .select(col("doc_id"), col("hsh"), col("corpus_doc"))
         .distinct()
-        .join(sigs, Seq("corpus_doc"))
+      val sigSide = lookup.flatMap { case (raw, key) =>
+        graft.sources.Bucketed
+          .boundedKeys(cands(), "corpus_doc", graft.sources.Bucketed.lookupMax(s))
+          .map { ids =>
+            val slice = if (ids.isEmpty) raw.limit(0)
+              else raw.filter(col(key).isin(ids: _*))
+            slice.select(col("doc_id").as("corpus_doc"), col("hsh").as("hsh_c"))
+          }
+      }.getOrElse(sigs)
+      cands()
+        .join(sigSide, Seq("corpus_doc"))
         .withColumn("common", size(array_intersect(col("hsh"), col("hsh_c"))))
         .withColumn("jaccard", col("common").cast("double") /
           (size(col("hsh")) + size(col("hsh_c")) - col("common")).cast("double"))
@@ -222,8 +249,8 @@ object StreamingDedup {
     /** Release the caches (idempotent). */
     def close(): Unit = synchronized {
       if (state != null) {
-        state._1.unpersist(blocking = false)
-        state._2.unpersist(blocking = false)
+        state.bands.unpersist(blocking = false)
+        state.sigs.unpersist(blocking = false)
         state = null
       }
     }

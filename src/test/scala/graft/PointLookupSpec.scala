@@ -131,6 +131,30 @@ class PointLookupSpec extends SparkSpecBase {
     corpus.unpersist()
   }
 
+  test("NearDupIndex.probe: per-batch verify is a bucket-pruned point lookup") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ndl").toString + "/mh"
+    val docs = Tables.t(spark, sf0001, "documents")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    spark.conf.set("spark.graft.index.buckets", "128")
+    try DedupOps.writeMinHashIndex(corpus, idx)
+    finally spark.conf.unset("spark.graft.index.buckets")
+
+    val index = graft.streaming.StreamingDedup.NearDupIndex(spark, idx)
+    try {
+      val batch = corpus.limit(5)
+        .select((col("doc_id") + 70000L).as("doc_id"), col("text"))
+      val probed = index.probe(batch, 0.7, broadcastBands = true)
+      val got = probed.collect().toIndexedSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(got.nonEmpty, "clone batch should hit its originals")
+      assert(got.forall(h => h._1 - 70000L == h._2 || h._3 >= 0.7))
+      val (sel, total) = selectedBuckets(probed, "/sigs")
+      assert(total == 128 && sel < total,
+        s"probe verify should read a minority of sig buckets, got $sel of $total")
+      assertNoExchangeOver(probed, "/sigs")
+    } finally index.close()
+  }
+
   test("cosine cell probe: stored corpus scan is partition-pruned to the admissible cells") {
     val idx = java.nio.file.Files.createTempDirectory("graft-cpl").toString + "/cos"
     val e = Tables.t(spark, sf0001, "embeddings")

@@ -559,12 +559,14 @@ object DedupOps {
         col("c.band") === col("b.band") && col("c.bkey") === col("b.bkey"))
       .select(col("b.doc_id").as("batch_doc"), col("c.doc_id").as("corpus_doc"))
       .distinct()
-    val candB0 = cands.join(broadcast(batchSig.select(
+    // lookup mode consumes the candidate frame twice (id collect + verify
+    // join); it is deliberately NOT persisted — a per-probe persist with
+    // no unpersist point would leak one cache entry per probe in a
+    // steady-state ingest session. The recompute is one more pass of the
+    // (2-longs-per-row) band table against the already-persisted batch
+    // signatures.
+    val candB = cands.join(broadcast(batchSig.select(
       col("doc_id").as("batch_doc"), col("hsh").as("hsh_b"))), "batch_doc")
-    // lookup mode consumes the candidate frame twice (id collect + join)
-    val candB = if (sigLookupKey.isDefined)
-      candB0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else candB0
     // verify resolution: when the signature table is a BUCKETED serving
     // layout (writeMinHashIndex), push the candidate corpus ids — bounded
     // by |batch| x MaxBucket — down as an IN predicate on the bucket key:

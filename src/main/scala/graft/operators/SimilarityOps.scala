@@ -380,14 +380,18 @@ object SimilarityOps {
       indexPath: String, fallback: DataFrame): DataFrame =
     graft.sources.Bucketed.read(s, s"$indexPath/raw") match {
       case Some((raw, key, _)) =>
-        // the candidate frame feeds the id collect AND the re-rank join
-        val candsP = cands.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        graft.sources.Bucketed.boundedKeys(candsP, "vec_id",
+        // the candidate frame feeds the id collect AND the re-rank join;
+        // it is deliberately NOT persisted — a per-query persist with no
+        // unpersist point would leak one cache entry per query in a
+        // long-lived serving session. The recompute is one more pass of
+        // the ~6 B/row ADC scan, mirroring the family's documented
+        // scan-twice shape.
+        graft.sources.Bucketed.boundedKeys(cands, "vec_id",
             graft.sources.Bucketed.lookupMax(s)) match {
           case Some(ids) if ids.nonEmpty =>
-            pqExactRerank(candsP, raw.filter(col(key).isin(ids: _*)))
-          case Some(_) => pqExactRerank(candsP, raw.limit(0))
-          case None => pqExactRerank(candsP, raw) // too many ids: stream the table
+            pqExactRerank(cands, raw.filter(col(key).isin(ids: _*)))
+          case Some(_) => pqExactRerank(cands, raw.limit(0))
+          case None => pqExactRerank(cands, raw) // too many ids: stream the table
         }
       case None => pqExactRerank(cands, fallback)
     }

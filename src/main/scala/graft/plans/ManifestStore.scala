@@ -124,7 +124,7 @@ object ManifestStore {
       }
     }
     hit().orElse {
-      val lock = keyLocks.computeIfAbsent(key, _ => new Object)
+      val lock = lockFor(key)
       lock.synchronized {
         // another thread may have loaded this key while we waited
         hit().orElse {
@@ -141,7 +141,19 @@ object ManifestStore {
     }
   }
 
+  // Lock entries are a de-duplication optimization (one load per key at a
+  // time), not a correctness guarantee — the cache writes under the global
+  // monitor either way, so a duplicate concurrent load is merely wasted
+  // work. That makes them safe to drop wholesale, which bounds the map:
+  // entries strongly reference their SparkSession, and an application
+  // creating short-lived sessions (one per request) would otherwise pin
+  // every dead session's state here forever.
   private val keyLocks = new java.util.concurrent.ConcurrentHashMap[Key, Object]()
+  private val MaxLocks = 64
+  private def lockFor(key: Key): Object = {
+    if (keyLocks.size > MaxLocks) keyLocks.clear()
+    keyLocks.computeIfAbsent(key, _ => new Object)
+  }
 
   private def formOk(m: Manifest, threshold: Long): Boolean = m match {
     case _: Small => m.rows <= threshold

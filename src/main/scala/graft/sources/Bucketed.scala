@@ -30,6 +30,16 @@ import org.apache.spark.sql.functions.col
   * HashPartitioning, so each task holds exactly one bucket) and sorted by
   * the key within the bucket, so parquet row-group stats cut further
   * inside each file.
+  *
+  * SESSION CONTRACT: the first [[read]] pins
+  * `spark.sql.sources.bucketing.autoBucketedScan.enabled=false` for the
+  * session (see `registered`) — the planner's heuristic would otherwise
+  * turn bucketed scans off exactly where this library needs bucket
+  * PRUNING (the corpus side of broadcast verify joins). In a session
+  * that ALSO serves its own non-graft bucketed catalog tables, those
+  * tables then always scan bucketed (pre-Spark-3.1 behavior: correct,
+  * possibly fewer read tasks than optimal); embed in such an application
+  * with a dedicated serving session if that matters.
   */
 object Bucketed {
 
@@ -82,10 +92,21 @@ object Bucketed {
   /** The bucketed table at `path` as (frame, key, nBuckets) — registering
     * the external table from the marker if this session hasn't seen it
     * yet. None when `path` carries no marker.
+    *
+    * The catalog caches a registered table's file listing for the
+    * session's lifetime, which would make a CROSS-session append
+    * invisible here (a plain `s.read.parquet` re-lists on every call) —
+    * so an already-registered table is refreshed per read: same freshness
+    * contract as the plain-parquet path it replaces, at the cost of the
+    * same one listing per call.
     */
   def read(s: SparkSession, path: String): Option[(DataFrame, String, Int)] =
     spec(s, path).map { case (key, n) =>
-      (registered(s, path, key, n), key, n)
+      val name = tableName(path)
+      val existed = s.catalog.tableExists(name)
+      val df = registered(s, path, key, n)
+      if (existed) s.catalog.refreshTable(name)
+      (df, key, n)
     }
 
   private def registered(s: SparkSession, path: String, key: String,

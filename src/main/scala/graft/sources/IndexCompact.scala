@@ -27,8 +27,19 @@ object IndexCompact {
     * a side directory, which is renamed into place only when complete.
     * Mirrors `Layout.compact`'s swap (no data materialization — the
     * rewrite streams from the live directory into the side one).
+    *
+    * Concurrency contract: a rename-based swap is atomic per rename but
+    * not across the pair — a reader racing the swap (listing in the
+    * instant the directory is absent, or executing a plan built from the
+    * pre-swap listing) fails that one query and succeeds on re-plan; a
+    * live stream's next micro-batch re-plans automatically. Compaction is
+    * a single-writer maintenance operation. `beforeCleanup` runs the
+    * moment the new layout is live — the earliest point cached listings
+    * (catalog registrations) can be invalidated, minimizing the window in
+    * which a NEW plan could still pick up the dead pre-swap listing.
     */
-  private def swapInto(s: SparkSession, path: String)(write: String => Unit): Unit = {
+  private def swapInto(s: SparkSession, path: String,
+      beforeCleanup: () => Unit = () => ())(write: String => Unit): Unit = {
     val fs = new Path(path).getFileSystem(s.sessionState.newHadoopConf())
     val tmp = new Path(path + ".compacting")
     val old = new Path(path + ".old")
@@ -41,6 +52,7 @@ object IndexCompact {
       fs.rename(old, new Path(path)) // roll back
       throw new java.io.IOException(s"compact: cannot move $tmp into place")
     }
+    beforeCleanup()
     fs.delete(old, true)
   }
 
@@ -93,9 +105,10 @@ object IndexCompact {
       case None => false
       case Some((key, n)) =>
         val df = Bucketed.read(s, path).get._1
-        swapInto(s, path) { tmp => Bucketed.write(df, tmp, key, n) }
+        swapInto(s, path, () => Bucketed.refresh(s, path)) { tmp =>
+          Bucketed.write(df, tmp, key, n)
+        }
         Bucketed.dropRegistration(s, path + ".compacting") // side-dir entry
-        Bucketed.refresh(s, path) // live registration must see the new files
         true
     }
 

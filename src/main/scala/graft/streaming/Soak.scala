@@ -249,6 +249,10 @@ object Soak {
       measure(spark, seconds, "neardup", out)
     } finally {
       bands.unpersist(); sigs.unpersist()
+      // drop the bucketed catalog registration BEFORE deleting its files —
+      // a dangling table over a deleted path would outlive the soak
+      try graft.sources.Bucketed.dropRegistration(spark, s"$idx/sigs")
+      catch { case _: Throwable => () }
       try {
         import scala.reflect.io.Directory
         new Directory(new java.io.File(idx).getParentFile).deleteRecursively()

@@ -186,7 +186,17 @@ object StreamingDedup {
       * serially; the lock only guards overlapping queries sharing a
       * handle.
       */
-    def current(): (DataFrame, DataFrame) = synchronized {
+    def current(): (DataFrame, DataFrame) = {
+      val st = snapshot()
+      (st.bands, st.sigs)
+    }
+
+    /** One consistent generation of the index caches — callers must take
+      * the whole snapshot and use only it (reading the field again after
+      * returning could observe a concurrent refresh's or close()'s
+      * replacement: mixed generations or null).
+      */
+    private def snapshot(): State = synchronized {
       val sig = dirSignature()
       if (state == null || state.sig != sig) {
         if (state != null) {
@@ -201,7 +211,7 @@ object StreamingDedup {
           .map { case (raw, key, _) => (raw, key) }
         state = State(bands, sigs, lookup, sig)
       }
-      (state.bands, state.sigs)
+      state
     }
 
     /** Probe one micro-batch against the LATEST index state: the batch
@@ -222,8 +232,8 @@ object StreamingDedup {
     def probe(batch: DataFrame, threshold: Double = 0.7,
         broadcastBands: Boolean = false): DataFrame = {
       import graft.operators.DedupOps
-      val (bands, sigs) = current()
-      val lookup = state.sigLookup
+      val st = snapshot()
+      val (bands, sigs, lookup) = (st.bands, st.sigs, st.sigLookup)
       def cands() = DedupOps.bandRows(DedupOps.minhashSigs(batch), keep = Seq("hsh"))
         .join(if (broadcastBands) broadcast(bands) else bands, Seq("band", "bkey"))
         .select(col("doc_id"), col("hsh"), col("corpus_doc"))

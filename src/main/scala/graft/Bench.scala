@@ -117,6 +117,18 @@ object Bench {
         System.err.println(s"[bench] neardup_soak: $e")
         errors("neardup_soak") = e.toString.take(200); "null"
       }
+    // index-serving stage: per family (pq/ivfpq/minhash/cosine), the
+    // one-time build cost vs the per-query direct-recompute vs the stored
+    // serve path — the measured form of the write/serve/append story.
+    // Rides along like the soaks (never in the headline total). 0 disables.
+    val serveOn = sys.env.getOrElse("SPARK_GRAFT_SERVE", "1") != "0"
+    val serveJson =
+      if (!serveOn) "null"
+      else try tools.ServeBench.run(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] index_serve: $e")
+        errors("index_serve") = e.toString.take(200); "null"
+      }
     // no stream may outlive the bench: a leaked soak query in a retried run
     // competes with the retry's timed queries and poisons its numbers
     spark.streams.active.foreach { s =>
@@ -125,7 +137,7 @@ object Bench {
     }
     val errJson2 = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"soak":$soakJson,"neardup_soak":$ndJson,"errors":$errJson2,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"soak":$soakJson,"neardup_soak":$ndJson,"index_serve":$serveJson,"errors":$errJson2,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -559,29 +559,43 @@ object DedupOps {
         col("c.band") === col("b.band") && col("c.bkey") === col("b.bkey"))
       .select(col("b.doc_id").as("batch_doc"), col("c.doc_id").as("corpus_doc"))
       .distinct()
-    // lookup mode consumes the candidate frame twice (id collect + verify
-    // join); it is deliberately NOT persisted — a per-probe persist with
-    // no unpersist point would leak one cache entry per probe in a
-    // steady-state ingest session. The recompute is one more pass of the
-    // (2-longs-per-row) band table against the already-persisted batch
-    // signatures.
-    val candB = cands.join(broadcast(batchSig.select(
-      col("doc_id").as("batch_doc"), col("hsh").as("hsh_b"))), "batch_doc")
     // verify resolution: when the signature table is a BUCKETED serving
-    // layout (writeMinHashIndex), push the candidate corpus ids — bounded
-    // by |batch| x MaxBucket — down as an IN predicate on the bucket key:
-    // the scan reads only the buckets they hash to instead of streaming
-    // the whole corpus signature table. Fall back to the full stream past
-    // the lookup cap (or for legacy plain-parquet indexes).
-    val sigSide = sigLookupKey.flatMap { key =>
-      graft.sources.Bucketed
-        .boundedKeys(candB, "corpus_doc",
-          graft.sources.Bucketed.lookupMax(corpusSig.sparkSession))
-        .map { ids =>
-          if (ids.isEmpty) corpusSig.limit(0)
-          else corpusSig.filter(col(key).isin(ids: _*))
-        }
-    }.getOrElse(corpusSig)
+    // layout (writeMinHashIndex), the candidate PAIRS — bounded by
+    // |batch| x MaxBucket — are collected ONCE (two longs per pair, the
+    // same driver-scale bound as the id IN-list they imply) and drive
+    // both sides of the verify: the corpus ids push down as an IN on the
+    // bucket key (the scan reads only the buckets they hash to instead of
+    // streaming the whole corpus signature table), and the verify join
+    // rebuilds the candidate frame from the DRIVER-LOCAL pairs — the
+    // corpus band table is scanned exactly once per probe, and nothing
+    // needs a per-probe persist. Past the lookup cap (or for legacy
+    // plain-parquet indexes) fall back to the single-plan streaming form:
+    // full signature scan, candidate subtree shared inside one plan.
+    val s = corpusSig.sparkSession
+    val lookupPairs: Option[Array[org.apache.spark.sql.Row]] =
+      sigLookupKey.flatMap { _ =>
+        val cap = graft.sources.Bucketed.lookupMax(s)
+        val rows = cands.limit(cap + 1).collect()
+        if (rows.length > cap) None else Some(rows)
+      }
+    val candB = lookupPairs match {
+      case Some(rows) =>
+        import s.implicits._
+        val local = rows.map(r => (r.getLong(0), r.getLong(1))).toIndexedSeq
+          .toDF("batch_doc", "corpus_doc")
+        local.join(broadcast(batchSig.select(
+          col("doc_id").as("batch_doc"), col("hsh").as("hsh_b"))), "batch_doc")
+      case None =>
+        cands.join(broadcast(batchSig.select(
+          col("doc_id").as("batch_doc"), col("hsh").as("hsh_b"))), "batch_doc")
+    }
+    val sigSide = (sigLookupKey, lookupPairs) match {
+      case (Some(key), Some(rows)) =>
+        val ids = rows.map(_.getLong(1)).distinct.toIndexedSeq
+        if (ids.isEmpty) corpusSig.limit(0)
+        else corpusSig.filter(col(key).isin(ids: _*))
+      case _ => corpusSig
+    }
     sigSide.select(col("doc_id").as("corpus_doc"), col("hsh").as("hsh_c"))
       .join(broadcast(candB), "corpus_doc")
       .withColumn("common", size(array_intersect(col("hsh_b"), col("hsh_c"))))

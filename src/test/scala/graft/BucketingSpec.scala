@@ -43,4 +43,32 @@ class BucketingSpec extends SparkSpecBase {
       spark.sql("DROP TABLE IF EXISTS lineitem_b")
     }
   }
+
+  test("Bucketed.read serves a foreign session's append (fresh listing per read)") {
+    import graft.sources.Bucketed
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bucket-fresh")
+      .toString + "/sigs"
+    val base = Tables.t(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("label")).limit(100)
+    Bucketed.write(base, tmp, "vec_id", 8)
+    try {
+      // this session reads (and caches) the registration + file listing
+      val before = Bucketed.read(spark, tmp).get._1.count()
+      // a DIFFERENT session (own relation cache, shared external catalog —
+      // the shape of a separate ingest writer) appends a batch
+      val other = spark.newSession()
+      val batch = Tables.t(other, sf0001, "embeddings")
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("label")).limit(10)
+      assert(Bucketed.append(batch, tmp), "append must take the bucketed path")
+      // the reader session's NEXT read must see the appended rows even
+      // though its cached listing predates them
+      val after = Bucketed.read(spark, tmp).get._1.count()
+      assert(after == before + 10,
+        s"stale listing: read $after rows, expected ${before + 10}")
+    } finally {
+      Bucketed.dropRegistration(spark, tmp)
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(tmp).getParentFile).deleteRecursively()
+    }
+  }
 }

@@ -550,7 +550,7 @@ object DedupOps {
     * frame, never a shuffle of the 100 TB signatures by corpus_doc.
     */
   private def minhashProbe(corpusSig: DataFrame, corpusBands: DataFrame,
-      batch: DataFrame, sigLookupKey: Option[String] = None): DataFrame = {
+      batch: DataFrame, sigLookup: Option[(String, Int)] = None): DataFrame = {
     val batchSig = minhashSigs(batch)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pruned = pruneHotBuckets(corpusBands, Seq("band", "bkey"))
@@ -573,7 +573,7 @@ object DedupOps {
     // full signature scan, candidate subtree shared inside one plan.
     val s = corpusSig.sparkSession
     val lookupPairs: Option[Array[org.apache.spark.sql.Row]] =
-      sigLookupKey.flatMap { _ =>
+      sigLookup.flatMap { _ =>
         val cap = graft.sources.Bucketed.lookupMax(s)
         val rows = cands.limit(cap + 1).collect()
         if (rows.length > cap) None else Some(rows)
@@ -589,11 +589,16 @@ object DedupOps {
         cands.join(broadcast(batchSig.select(
           col("doc_id").as("batch_doc"), col("hsh").as("hsh_b"))), "batch_doc")
     }
-    val sigSide = (sigLookupKey, lookupPairs) match {
-      case (Some(key), Some(rows)) =>
+    val sigSide = (sigLookup, lookupPairs) match {
+      case (Some((key, n)), Some(rows)) =>
         val ids = rows.map(_.getLong(1)).distinct.toIndexedSeq
         if (ids.isEmpty) corpusSig.limit(0)
-        else corpusSig.filter(col(key).isin(ids: _*))
+        // an id set that would select ~every bucket anyway makes the IN
+        // pure overhead — stream the table instead (the driver-local
+        // pairs still replace the candidate subtree either way)
+        else if (graft.sources.Bucketed.lookupWorthwhile(s, ids.length, n))
+          corpusSig.filter(col(key).isin(ids: _*))
+        else corpusSig
       case _ => corpusSig
     }
     sigSide.select(col("doc_id").as("corpus_doc"), col("hsh").as("hsh_c"))
@@ -646,9 +651,9 @@ object DedupOps {
   def incrementalMinHashFromIndex(s: SparkSession, batch: DataFrame,
       indexPath: String): DataFrame =
     graft.sources.Bucketed.read(s, s"$indexPath/sigs") match {
-      case Some((sigs, key, _)) =>
+      case Some((sigs, key, n)) =>
         minhashProbe(sigs, s.read.parquet(s"$indexPath/bands"), batch,
-          sigLookupKey = Some(key))
+          sigLookup = Some((key, n)))
       case None =>
         minhashProbe(s.read.parquet(s"$indexPath/sigs"),
           s.read.parquet(s"$indexPath/bands"), batch)

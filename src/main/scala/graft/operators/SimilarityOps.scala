@@ -374,12 +374,15 @@ object SimilarityOps {
     * the bucket key, so only the files of the buckets they hash to are
     * read (`SelectedBucketsCount` in the scan) instead of a second full
     * corpus scan. Falls back to scanning `fallback` for indexes without a
-    * raw table, or past the [[Bucketed.lookupMax]] id cap.
+    * raw table, past the [[Bucketed.lookupMax]] id cap, or when the id
+    * set would select ~every bucket anyway
+    * ([[Bucketed.lookupWorthwhile]] — a corpus-scale IN is pure planning
+    * and per-row predicate cost once the bucket cut is gone).
     */
   private def pqRerankResolve(s: SparkSession, cands: DataFrame,
       indexPath: String, fallback: DataFrame): DataFrame =
     graft.sources.Bucketed.read(s, s"$indexPath/raw") match {
-      case Some((raw, key, _)) =>
+      case Some((raw, key, n)) =>
         // the candidate frame feeds the id collect AND the re-rank join;
         // it is deliberately NOT persisted — a per-query persist with no
         // unpersist point would leak one cache entry per query in a
@@ -388,10 +391,11 @@ object SimilarityOps {
         // scan-twice shape.
         graft.sources.Bucketed.boundedKeys(cands, "vec_id",
             graft.sources.Bucketed.lookupMax(s)) match {
-          case Some(ids) if ids.nonEmpty =>
+          case Some(ids) if ids.nonEmpty &&
+              graft.sources.Bucketed.lookupWorthwhile(s, ids.length, n) =>
             pqExactRerank(cands, raw.filter(col(key).isin(ids: _*)))
-          case Some(_) => pqExactRerank(cands, raw.limit(0))
-          case None => pqExactRerank(cands, raw) // too many ids: stream the table
+          case Some(ids) if ids.isEmpty => pqExactRerank(cands, raw.limit(0))
+          case _ => pqExactRerank(cands, raw) // id set ~covers the table: stream it
         }
       case None => pqExactRerank(cands, fallback)
     }

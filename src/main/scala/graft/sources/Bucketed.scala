@@ -177,6 +177,20 @@ object Bucketed {
   def lookupMax(s: SparkSession): Int =
     s.conf.get("spark.graft.index.lookupMax", "100000").toInt
 
+  /** Is a `key IN (ids)` point lookup WORTH IT against an `nBuckets`
+    * table? k ids drawn across the key space select ~n(1-(1-1/n)^k)
+    * buckets — by k = 4n that is ~98% of them, so the scan reads the
+    * whole table anyway and the k-literal predicate is pure planning +
+    * per-row evaluation cost (measured: ~3 s for a 5k-id IN against a
+    * 64-bucket table the streaming join covers in a fraction of that).
+    * Below ~n ids the bucket cut is real and the predicate is small. The
+    * per-bucket factor is `spark.graft.index.lookupPerBucket` (default
+    * 4); at production bucket counts (~10^5) the [[lookupMax]] driver
+    * bound binds first.
+    */
+  def lookupWorthwhile(s: SparkSession, nIds: Int, nBuckets: Int): Boolean =
+    nIds <= s.conf.get("spark.graft.index.lookupPerBucket", "4").toInt * nBuckets
+
   /** Bucket count for index serving tables. Local default is test-sized;
     * at 100 TB size it so a bucket holds ~100 MB-1 GB (e.g. ~10^5 buckets)
     * — the point-lookup read fraction is |probe ids| / buckets.

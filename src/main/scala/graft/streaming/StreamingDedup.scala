@@ -152,7 +152,7 @@ object StreamingDedup {
       s: org.apache.spark.sql.SparkSession, indexPath: String) {
     // (cached pruned bands, cached sigs, raw sigs + bucket key, signature)
     private final case class State(bands: DataFrame, sigs: DataFrame,
-        sigLookup: Option[(DataFrame, String)], sig: String)
+        sigLookup: Option[(DataFrame, String, Int)], sig: String)
     @volatile private var state: State = null
 
     /** Cheap change detector: every append rewrites or adds files under
@@ -208,7 +208,6 @@ object StreamingDedup {
         graft.sources.Bucketed.refresh(s, s"$indexPath/sigs")
         val (bands, sigs) = prepareNearDupIndex(s, indexPath)
         val lookup = graft.sources.Bucketed.read(s, s"$indexPath/sigs")
-          .map { case (raw, key, _) => (raw, key) }
         state = State(bands, sigs, lookup, sig)
       }
       state
@@ -238,9 +237,13 @@ object StreamingDedup {
         .join(if (broadcastBands) broadcast(bands) else bands, Seq("band", "bkey"))
         .select(col("doc_id"), col("hsh"), col("corpus_doc"))
         .distinct()
-      val sigSide = lookup.flatMap { case (raw, key) =>
+      val sigSide = lookup.flatMap { case (raw, key, n) =>
         graft.sources.Bucketed
           .boundedKeys(cands(), "corpus_doc", graft.sources.Bucketed.lookupMax(s))
+          // an id set selecting ~every bucket makes the IN pure overhead
+          // (Bucketed.lookupWorthwhile) — fall through to the cached sigs
+          .filter(ids => ids.isEmpty ||
+            graft.sources.Bucketed.lookupWorthwhile(s, ids.length, n))
           .map { ids =>
             val slice = if (ids.isEmpty) raw.limit(0)
               else raw.filter(col(key).isin(ids: _*))

@@ -90,6 +90,72 @@ object Exp {
       }
       spark.stop(); return
     }
+    if (args.contains("probe")) {
+      // decompose the from-index minhash probe at the Stress xN corpus
+      // shape: where does serve latency go once corpus shingling is gone?
+      import graft.operators.DedupOps
+      val copies = 10
+      val docs = Tables.t(spark, dir, "documents")
+      def perturb(i: Int) = expr(
+        s"concat(text, ' v$i tail ', repeat('pad$i ', ${i % 3}))")
+      val docsN = (0 until copies).map { i =>
+        docs.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+          perturb(i).as("text"))
+      }.reduce(_ unionByName _)
+      val batch = docs.filter(col("doc_id") % 10 === 3)
+        .select((col("doc_id") + lit(900000000L)).as("doc_id"),
+          perturb(0).as("text"))
+      val idx = java.nio.file.Files.createTempDirectory("graft-exp-mh")
+        .toString + "/mh"
+      DedupOps.writeMinHashIndex(docsN, idx)
+      spark.catalog.clearCache()
+      time("p_batch_sig") {
+        DedupOps.minhashSigs(batch).write.format("noop").mode("overwrite").save()
+      }
+      time("p_bands_scan") {
+        spark.read.parquet(s"$idx/bands").write.format("noop").mode("overwrite").save()
+      }
+      time("p_bands_pruned") {
+        DedupOps.pruneHotBuckets(spark.read.parquet(s"$idx/bands"),
+          Seq("band", "bkey")).write.format("noop").mode("overwrite").save()
+      }
+      time("p_cand_join") {
+        val bs = DedupOps.minhashSigs(batch)
+        DedupOps.pruneHotBuckets(spark.read.parquet(s"$idx/bands"),
+            Seq("band", "bkey")).as("c")
+          .join(broadcast(DedupOps.bandRows(bs).as("b")),
+            col("c.band") === col("b.band") && col("c.bkey") === col("b.bkey"))
+          .select(col("b.doc_id").as("batch_doc"), col("c.doc_id").as("corpus_doc"))
+          .distinct().limit(100001).collect()
+      }
+      time("p_from_index") {
+        DedupOps.incrementalMinHashFromIndex(spark, batch, idx).count()
+        spark.catalog.clearCache()
+      }
+      time("p_self_contained") {
+        DedupOps.incrementalMinHashOn(docsN, batch).count()
+        spark.catalog.clearCache()
+      }
+      val nCand = {
+        val bs = DedupOps.minhashSigs(batch)
+        DedupOps.pruneHotBuckets(spark.read.parquet(s"$idx/bands"),
+            Seq("band", "bkey")).as("c")
+          .join(broadcast(DedupOps.bandRows(bs).as("b")),
+            col("c.band") === col("b.band") && col("c.bkey") === col("b.bkey"))
+          .select(col("c.doc_id")).distinct().count()
+      }
+      println(s"EXP p_distinct_corpus_ids $nCand")
+      spark.conf.set("spark.graft.index.lookupMax", "1")
+      time("p_from_index_stream") {
+        DedupOps.incrementalMinHashFromIndex(spark, batch, idx).count()
+        spark.catalog.clearCache()
+      }
+      spark.conf.unset("spark.graft.index.lookupMax")
+      graft.sources.Bucketed.dropRegistration(spark, s"$idx/sigs")
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(idx).getParentFile).deleteRecursively()
+      spark.stop(); return
+    }
     val l = Tables.t(spark, dir, "lineitem")
     time("scan_count") { l.count() }
     time("scan_all_cols_noop") { l.write.format("noop").mode("overwrite").save() }

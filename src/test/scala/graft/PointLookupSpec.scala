@@ -216,5 +216,18 @@ class PointLookupSpec extends SparkSpecBase {
       "clone probe should hit the appended batch docs")
     val (sel2, total2) = selectedBuckets(probe2, "/sigs")
     assert(total2 == 128 && sel2 < total2)
+
+    // profitability gate: when the candidate id set would select ~every
+    // bucket anyway (forced here by zeroing the per-bucket allowance),
+    // the probe streams the sig table — no IN, same answer
+    spark.conf.set("spark.graft.index.lookupPerBucket", "0")
+    try {
+      val gated = DedupOps.incrementalMinHashFromIndex(spark, clones, idx)
+      assert(key(gated) == hits, "gated-off lookup changed the answer")
+      val (selG, totalG) = selectedBuckets(gated, "/sigs")
+      assert(selG == totalG, "gated-off probe still bucket-pruned")
+      assert(!scansUnder(gated, "/sigs").exists(_.toString.contains("In(doc_id")),
+        "gated-off probe still pushed an id IN predicate")
+    } finally spark.conf.unset("spark.graft.index.lookupPerBucket")
   }
 }

@@ -1,0 +1,215 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.plans.ManifestStore
+
+/** Merge-on-read deletes + targeted copy-on-write purge — the corpus
+  * MAINTENANCE half of the dedup pipeline (a near-dup pass produces a
+  * drop-list of doc ids; a takedown/GDPR request produces another). At
+  * 100 TB neither can afford a full-table rewrite per request, and that is
+  * exactly the public lakehouse recipe (Delta deletion vectors / Iceberg
+  * merge-on-read): a delete WRITES only its key list, reads subtract it,
+  * and the physical rewrite is deferred, batched, and targeted.
+  *
+  *  - [[delete]]: append the drop-keys to a `_graft_deletes/<keyCol>`
+  *    sidecar — O(keys) IO, no data file touched.
+  *  - [[readClean]]: the table minus pending deletes, as one left-anti
+  *    join. The delete list is bounded by purge cadence (days of
+  *    drop-lists, not corpus scale), so the planner broadcasts it and the
+  *    corpus side streams — the same asymmetric shape as the incremental
+  *    dedup probes.
+  *  - [[purge]]: physically rewrite ONLY the files whose manifest
+  *    footprint on the key column can contain a pending key (plus
+  *    manifest-unknown files — fail open). On an id-clustered layout
+  *    (`zorderWrite`/sort on the id) that is a handful of files; with no
+  *    manifest it degrades to a full rewrite, loudly reported in the
+  *    returned stats. Untouched files are MOVED (metadata rename, no IO)
+  *    into the replacement directory, the manifest keeps their rows as-is
+  *    and gets fresh rows for the rewritten files, and the directory swap
+  *    is the same write-aside-then-rename as `Layout.compact`.
+  *
+  * Concurrency contract: `delete`/`readClean` compose with live readers
+  * (the sidecar append is invisible until the reader's next plan); `purge`
+  * is a single-writer MAINTENANCE operation like compaction — its
+  * untouched-file moves mutate the live listing before the final swap, so
+  * it must not race readers. A transaction log would remove that caveat;
+  * directory listings are the snapshot mechanism this library uses.
+  */
+object Deletes {
+
+  val DeletesDir = "_graft_deletes"
+
+  /** Purge outcome: `filesRewritten`/`filesTotal` is the targeting ratio
+    * (1.0 means the layout gave no pruning — compact on the key first).
+    */
+  final case class PurgeStats(filesTotal: Int, filesRewritten: Int,
+      rowsDeleted: Long)
+
+  private def fsFor(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** The key column pending deletes are recorded against, if any. One key
+    * column per table: the first `delete` fixes it (it is the table's
+    * primary id; mixing id spaces in one drop list has no use case).
+    */
+  def pendingKeyCol(spark: SparkSession, path: String): Option[String] = {
+    val dir = new Path(s"$path/$DeletesDir")
+    val fs = fsFor(spark, path)
+    if (!fs.exists(dir)) None
+    else fs.listStatus(dir).filter(_.isDirectory).map(_.getPath.getName).headOption
+  }
+
+  /** Record `keys` (a one-column frame of non-null ids) as pending deletes
+    * on `keyCol`. Append-only and O(keys) — no data file is touched.
+    */
+  def delete(keys: DataFrame, path: String, keyCol: String): Unit = {
+    val spark = keys.sparkSession
+    require(keys.columns.length == 1,
+      s"delete: keys must be a single-column frame, got ${keys.columns.mkString(",")}")
+    pendingKeyCol(spark, path).foreach(existing =>
+      require(existing == keyCol,
+        s"delete: table already has pending deletes on '$existing', got '$keyCol'"))
+    keys.toDF("k").filter(col("k").isNotNull)
+      .write.mode("append").parquet(s"$path/$DeletesDir/$keyCol")
+  }
+
+  /** Distinct pending delete keys, as (keyCol, keys-frame). */
+  def pending(spark: SparkSession, path: String): Option[(String, DataFrame)] =
+    pendingKeyCol(spark, path).map { c =>
+      (c, spark.read.parquet(s"$path/$DeletesDir/$c").select("k").distinct())
+    }
+
+  /** The table minus pending deletes. With no pending deletes this is the
+    * plain parquet read (same plan, no join inserted).
+    */
+  def readClean(spark: SparkSession, path: String): DataFrame = {
+    val base = spark.read.parquet(path)
+    pending(spark, path) match {
+      case None => base
+      case Some((keyCol, keys)) =>
+        base.join(keys, base(keyCol) === keys("k"), "left_anti")
+    }
+  }
+
+  /** Data part files under `path` (top level, metadata dirs excluded). */
+  private def dataFiles(spark: SparkSession, path: String): Seq[String] = {
+    val fs = fsFor(spark, path)
+    fs.listStatus(new Path(path)).toIndexedSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
+        && !s.getPath.getName.startsWith("."))
+      .map(_.getPath.toString)
+  }
+
+  /** Basenames of files whose manifest [lo, hi] footprint on `keyCol` can
+    * contain at least one pending key, plus every manifest-unknown file
+    * (fail open — an appended-but-unmanifested file might hold the key).
+    * The interval check runs as a Spark range join (manifest rows x keys),
+    * collecting only matching file names — bounded by the file count.
+    */
+  private def candidateBasenames(spark: SparkSession, path: String,
+      keyCol: String, keys: DataFrame, onDisk: Seq[String]): Set[String] = {
+    import spark.implicits._
+    val onDiskBase = onDisk.map(ManifestStore.baseName)
+    val intervals: Option[DataFrame] = ManifestStore.get(spark, path) match {
+      case None => None
+      case Some(ManifestStore.Small(rows)) =>
+        Some(rows.filter(_.col == keyCol)
+          .map(r => (r.file, r.lo, r.hi)).toDF("file", "lo", "hi"))
+      case Some(lg: ManifestStore.Large) =>
+        Some(lg.df.filter(col("col") === keyCol).select("file", "lo", "hi"))
+    }
+    // manifest footprints are numeric [lo, hi] doubles — they can target
+    // numeric ids only; string-keyed tables fall open to a full rewrite
+    val numericKey = keys.schema.head.dataType match {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case _ => false
+    }
+    intervals match {
+      case Some(iv) if numericKey => try ManifestStore.withGuard {
+        // a null footprint = no non-null key values in that file; a
+        // (non-null) delete key cannot live there, so it is NOT a candidate
+        val matched = iv.join(keys,
+            col("k").cast("double") >= col("lo") &&
+            col("k").cast("double") <= col("hi"), "left_semi")
+          .select("file").as[String].collect().toSet
+        val known = iv.select("file").as[String].collect().toSet
+        onDiskBase.filter(b => matched(b) || !known(b)).toSet
+      } catch { case _: Exception => onDiskBase.toSet } // fail open
+      case _ => onDiskBase.toSet // no manifest / non-numeric key: all files
+    }
+  }
+
+  /** Apply pending deletes physically: rewrite only candidate files, move
+    * the rest, swap, refresh the manifest, clear the sidecar. No-op (None)
+    * when nothing is pending. Single-writer maintenance — see class doc.
+    */
+  def purge(spark: SparkSession, path: String): Option[PurgeStats] =
+    pending(spark, path).map { case (keyCol, keysRaw) =>
+      val keys = keysRaw.localCheckpoint(true) // survives the dir swap below
+      val onDisk = dataFiles(spark, path)
+      val candB = candidateBasenames(spark, path, keyCol, keys, onDisk)
+      val (cand, untouched) =
+        onDisk.partition(f => candB(ManifestStore.baseName(f)))
+      val fs = fsFor(spark, path)
+
+      if (cand.isEmpty) { // keys match no file: just clear the sidecar
+        fs.delete(new Path(s"$path/$DeletesDir"), true)
+        PurgeStats(onDisk.size, 0, 0L)
+      } else {
+        // manifest rows for untouched files survive as-is; rewritten files
+        // get fresh rows over the same stat columns (absent manifest: none)
+        val manifestPath = s"$path/${ManifestStore.DirName}"
+        val oldManifest: Option[DataFrame] =
+          if (fs.exists(new Path(manifestPath)))
+            Some(spark.read.parquet(manifestPath).localCheckpoint(true))
+          else None
+        val statCols = oldManifest.map(m => m.select("col").distinct()
+          .collect().map(_.getString(0)).toSeq.sorted).getOrElse(Nil)
+
+        val before = spark.read.parquet(cand: _*)
+        val beforeCount = before.count()
+        val kept = before.join(keys, before(keyCol) === keys("k"), "left_anti")
+        val keptCount = kept.count()
+
+        val tmp = new Path(path + ".purging")
+        val old = new Path(path + ".old")
+        fs.delete(tmp, true)
+        fs.mkdirs(tmp)
+        // rewritten rows keep the candidate files' granularity; restoring
+        // the clustered tiling afterwards is compact's job, as with appends
+        // (keptCount == 0 writes nothing: an empty parquet dir isn't readable)
+        if (keptCount > 0)
+          kept.repartition(cand.size).write.mode("overwrite").parquet(tmp.toString)
+        if (statCols.nonEmpty) {
+          val keptRows = oldManifest.get
+            .filter(!col("file").isin(candB.toSeq: _*))
+          val merged =
+            if (keptCount > 0)
+              keptRows.unionByName(
+                Layout.manifestRows(spark.read.parquet(tmp.toString), statCols),
+                allowMissingColumns = true)
+            else keptRows
+          merged.coalesce(1).localCheckpoint(true)
+            .write.mode("overwrite").parquet(s"${tmp.toString}/${ManifestStore.DirName}")
+        }
+        // metadata moves: untouched data files change directory, not content
+        untouched.foreach { f =>
+          val src = new Path(f)
+          if (!fs.rename(src, new Path(tmp, src.getName)))
+            throw new java.io.IOException(s"purge: cannot move $f into $tmp")
+        }
+        fs.delete(old, true)
+        if (!fs.rename(new Path(path), old))
+          throw new java.io.IOException(s"purge: cannot move $path aside")
+        if (!fs.rename(tmp, new Path(path))) {
+          fs.rename(old, new Path(path)) // roll back
+          throw new java.io.IOException(s"purge: cannot move $tmp into place")
+        }
+        fs.delete(old, true) // old candidates + old manifest + cleared sidecar
+        PurgeStats(onDisk.size, cand.size, beforeCount - keptCount)
+      }
+    }
+}

@@ -148,7 +148,7 @@ object Layout {
     * aggregates at LISTING time (see `plans.ManifestAgg`) on top of the
     * file pruning the footprints already give.
     */
-  private def manifestRows(df: DataFrame, statCols: Seq[String]): DataFrame = {
+  private[sources] def manifestRows(df: DataFrame, statCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.types._
     // per-file exact sums ride along as DECIMAL(38,0) — ONLY for integral
     // columns, where the cast is lossless and 38 digits cannot overflow on

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Deletes, Layout, Tables}
+
+/** Merge-on-read deletes + targeted purge: reads subtract pending keys, a
+  * purge rewrites ONLY the files whose manifest footprint can hold a key,
+  * and the manifest stays exact afterwards (metadata aggregates included).
+  */
+class DeleteSpec extends SparkSpecBase {
+
+  private def freshTable(clustered: Boolean = true): (String, org.apache.spark.sql.DataFrame) = {
+    val base = java.nio.file.Files.createTempDirectory("graft-del").toString
+    val path = s"$base/orders"
+    val orders = Tables.t(spark, sf0001, "orders")
+    if (clustered) {
+      Layout.zorderWrite(orders, path, Seq("o_orderkey"), numFiles = 16)
+      Layout.writeManifest(spark, path, Seq("o_orderkey", "o_custkey"))
+    } else orders.repartition(16).write.mode("overwrite").parquet(path)
+    (path, orders)
+  }
+
+  private def someKeys(df: org.apache.spark.sql.DataFrame, n: Int): Seq[Long] =
+    df.select("o_orderkey").orderBy("o_orderkey").limit(n)
+      .collect().map(_.getLong(0)).toIndexedSeq
+
+  test("merge-on-read: readClean subtracts pending keys, raw read keeps them") {
+    import spark.implicits._
+    val (path, orders) = freshTable()
+    val total = orders.count()
+    val ks = someKeys(orders, 5)
+    Deletes.delete(ks.toDF("o_orderkey"), path, "o_orderkey")
+
+    assert(spark.read.parquet(path).count() == total) // no data file touched
+    val clean = Deletes.readClean(spark, path)
+    assert(clean.count() == total - ks.size)
+    assert(clean.filter(col("o_orderkey").isin(ks: _*)).count() == 0)
+
+    // deletes accumulate across batches (overlap stays a single delete)
+    val more = someKeys(orders, 8).drop(3) // 3..7: overlaps ks in 5 values... no: ks=0..4, more=3..7
+    Deletes.delete(more.toDF("o_orderkey"), path, "o_orderkey")
+    val all = (ks ++ more).distinct
+    assert(Deletes.readClean(spark, path).count() == total - all.size)
+
+    // one key column per table — a second id space is a caller bug
+    intercept[IllegalArgumentException] {
+      Deletes.delete(Seq(1L).toDF("o_custkey"), path, "o_custkey")
+    }
+  }
+
+  test("purge: rewrites only manifest-candidate files, result and manifest exact") {
+    import spark.implicits._
+    val (path, orders) = freshTable()
+    val total = orders.count()
+    val before = spark.read.parquet(path).inputFiles.map(f =>
+      f.substring(f.lastIndexOf('/') + 1)).toSet
+    // smallest ids: on the id-clustered layout they live in few files
+    val ks = someKeys(orders, 10)
+    Deletes.delete(ks.toDF("o_orderkey"), path, "o_orderkey")
+
+    val st = Deletes.purge(spark, path).get
+    assert(st.rowsDeleted == ks.size, st.toString)
+    assert(st.filesRewritten >= 1 && st.filesRewritten < st.filesTotal,
+      s"clustered layout should localize the keys: $st")
+    assert(Deletes.pending(spark, path).isEmpty, "sidecar must be cleared")
+
+    // physical truth: the raw read now equals the filtered table
+    val raw = spark.read.parquet(path)
+    assert(raw.count() == total - ks.size)
+    assert(raw.filter(col("o_orderkey").isin(ks: _*)).count() == 0)
+    // untouched files were MOVED, not rewritten: their basenames survive
+    val after = raw.inputFiles.map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
+    assert((after & before).size == st.filesTotal - st.filesRewritten)
+
+    // the maintained manifest stays exact: metadata-only agg, right answer
+    val agg = raw.agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("mn"))
+    val opt = agg.queryExecution.optimizedPlan
+    assert(opt.collectFirst {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }.isDefined, s"expected metadata-only plan after purge, got:\n$opt")
+    val r = agg.head()
+    assert(r.getLong(0) == total - ks.size)
+    assert(r.getLong(1) == orders.filter(!col("o_orderkey").isin(ks: _*))
+      .agg(min("o_orderkey")).head().getLong(0))
+    // and range pruning still agrees with the data
+    val lo = r.getLong(1).toDouble
+    val pruned = Layout.readPruned(spark, path, "o_orderkey", lo, lo + 100)
+    assert(pruned.filter(col("o_orderkey").between(lo, lo + 100)).count() ==
+      raw.filter(col("o_orderkey").between(lo, lo + 100)).count())
+  }
+
+  test("purge: keys matching nothing clear the sidecar and rewrite no file") {
+    import spark.implicits._
+    val (path, orders) = freshTable()
+    val total = orders.count()
+    Deletes.delete(Seq(-1L, -2L).toDF("k"), path, "o_orderkey")
+    val st = Deletes.purge(spark, path).get
+    assert(st.filesRewritten == 0 && st.rowsDeleted == 0L, st.toString)
+    assert(Deletes.pending(spark, path).isEmpty)
+    assert(spark.read.parquet(path).count() == total)
+    assert(Deletes.purge(spark, path).isEmpty) // nothing pending: no-op
+  }
+
+  test("purge without a manifest fails open to a full rewrite, still exact") {
+    import spark.implicits._
+    val (path, orders) = freshTable(clustered = false)
+    val total = orders.count()
+    val ks = someKeys(orders, 7)
+    Deletes.delete(ks.toDF("k"), path, "o_orderkey")
+    val st = Deletes.purge(spark, path).get
+    assert(st.filesRewritten == st.filesTotal, st.toString) // no targeting info
+    assert(st.rowsDeleted == ks.size)
+    assert(spark.read.parquet(path).count() == total - ks.size)
+  }
+}

@@ -268,6 +268,111 @@ object TextOps {
       |       CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE) AS rep_ratio
       |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** One-scan corpus profiler: every per-document signal the separate
+    * profiling queries compute — token counts, quality ratios, language
+    * ID, attack-payload flag, repetition ratio — in a SINGLE pass with
+    * zero shuffle before the output sort. At 100 TB the profiling cost is
+    * the corpus scan itself, so five signals must not mean five scans;
+    * every signal here is a map-side expression, including the
+    * most-repeated-bigram count, which replaces `repetition`'s
+    * groupBy(doc_id, bigram) with a sorted-run-length `aggregate` HOF
+    * over the doc's own bigram array (equal bigrams are adjacent after
+    * array_sort, so the longest run IS the max group count).
+    */
+  def profile(s: SparkSession, dir: String): DataFrame = {
+    val maxRepExpr =
+      """CASE WHEN size(toks) < 2 THEN CAST(0 AS BIGINT) ELSE
+        |  aggregate(
+        |    array_sort(transform(sequence(0, size(toks)-2),
+        |      i -> concat(toks[i], ' ', toks[i+1]))),
+        |    named_struct('prev', CAST(NULL AS STRING),
+        |                 'run', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT)),
+        |    (acc, x) -> named_struct(
+        |      'prev', x,
+        |      'run', CASE WHEN acc.prev IS NOT NULL AND x = acc.prev
+        |               THEN acc.run + 1 ELSE CAST(1 AS BIGINT) END,
+        |      'best', greatest(acc.best,
+        |        CASE WHEN acc.prev IS NOT NULL AND x = acc.prev
+        |          THEN acc.run + 1 ELSE CAST(1 AS BIGINT) END)),
+        |    acc -> acc.best) END""".stripMargin
+    val scored = langProfiles.foldLeft(
+      Tables.t(s, dir, "documents").withColumn("toks", split(col("text"), " "))) {
+      case (df, (lang, markers)) =>
+        val arr = array(markers.map(lit): _*)
+        df.withColumn(s"c_$lang", size(filter(col("toks"), t => array_contains(arr, t))))
+    }
+    val best = langProfiles.map(_._1).map(l => col(s"c_$l"))
+    val pred = langProfiles.map(_._1).foldRight(lit("und")) {
+      case (lang, other) =>
+        when(col(s"c_$lang") > 0 && col(s"c_$lang") === greatest(best: _*),
+          lit(lang)).otherwise(other)
+    }
+    scored
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_ws_tokens"),
+        regexp_count(col("text"), lit(tokPat)).cast("long").as("n_bpe_tokens"),
+        length(col("text")).cast("long").as("n_chars_calc"),
+        size(filter(col("toks"), t => array_contains(stopArr, t))).cast("long").as("n_stop"),
+        size(array_distinct(col("toks"))).cast("long").as("n_uniq"),
+        (length(col("text")) - (size(col("toks")) - lit(1))).cast("long").as("n_letter"),
+        pred.as("pred_lang"),
+        upper(col("text")).rlike(sqliPattern).cast("int").as("sqli_flag"),
+        greatest(size(col("toks")) - lit(1), lit(0)).cast("long").as("n_bigrams"),
+        expr(maxRepExpr).as("max_rep"))
+      .withColumn("stop_ratio", col("n_stop").cast(DoubleType) / col("n_ws_tokens"))
+      .withColumn("uniq_ratio", col("n_uniq").cast(DoubleType) / col("n_ws_tokens"))
+      .withColumn("mean_word_len", col("n_letter").cast(DoubleType) / col("n_ws_tokens"))
+      .withColumn("rep_ratio", when(col("n_bigrams") > 0,
+        col("max_rep").cast(DoubleType) / col("n_bigrams").cast(DoubleType)))
+      .orderBy("doc_id")
+  }
+
+  /** The oracle recomputes max_rep with the grouped form `repetition`
+    * uses — an independent derivation of the same value.
+    */
+  val profileOracle: String = {
+    val stopList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    def cnt(markers: Seq[String]): String = {
+      val l = markers.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(toks, t -> list_contains($l, t)))"
+    }
+    val cols = langProfiles.map { case (lang, m) => s"${cnt(m)} AS c_$lang" }.mkString(",\n    ")
+    val gl = langProfiles.map { case (l, _) => s"c_$l" }.mkString("greatest(", ", ", ")")
+    val cascade = langProfiles.foldRight("'und'") {
+      case ((lang, _), other) =>
+        s"CASE WHEN c_$lang > 0 AND c_$lang = $gl THEN '$lang' ELSE $other END"
+    }
+    s"""WITH base AS (
+       |  SELECT doc_id, text, str_split(text, ' ') AS toks FROM documents),
+       |b AS (
+       |  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bigram
+       |  FROM base, UNNEST(range(1, len(toks))) AS r(i)),
+       |c AS (SELECT doc_id, bigram, COUNT(*) AS c FROM b GROUP BY 1, 2),
+       |rep AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS max_rep FROM c GROUP BY doc_id),
+       |q AS (
+       |  SELECT doc_id,
+       |    len(toks) AS n_ws_tokens,
+       |    len(regexp_extract_all(text, '$tokPat')) AS n_bpe_tokens,
+       |    length(text) AS n_chars_calc,
+       |    len(list_filter(toks, t -> list_contains($stopList, t))) AS n_stop,
+       |    len(list_distinct(toks)) AS n_uniq,
+       |    length(text) - (len(toks) - 1) AS n_letter,
+       |    $cols,
+       |    CAST(regexp_matches(upper(text), '$sqliPattern') AS INTEGER) AS sqli_flag,
+       |    greatest(len(toks) - 1, 0) AS n_bigrams
+       |  FROM base)
+       |SELECT doc_id, n_ws_tokens, n_bpe_tokens, n_chars_calc, n_stop, n_uniq,
+       |  n_letter, $cascade AS pred_lang, sqli_flag, n_bigrams,
+       |  COALESCE(max_rep, 0) AS max_rep,
+       |  CAST(n_stop AS DOUBLE) / n_ws_tokens AS stop_ratio,
+       |  CAST(n_uniq AS DOUBLE) / n_ws_tokens AS uniq_ratio,
+       |  CAST(n_letter AS DOUBLE) / n_ws_tokens AS mean_word_len,
+       |  CASE WHEN n_bigrams > 0
+       |    THEN CAST(max_rep AS DOUBLE) / CAST(n_bigrams AS DOUBLE) END AS rep_ratio
+       |FROM q LEFT JOIN rep USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Benchmark-contamination check: corpus docs sharing >= 30% of their
     * 5-gram shingles with any "benchmark" doc (here: doc_id < 25) are
     * flagged. Inverted-index join on shingles, benchmark side broadcast —
@@ -573,6 +678,7 @@ object TextOps {
     QueryDef("doc_top_bigrams", topBigrams, Some(topBigramsOracle)),
     QueryDef("doc_pii_scrub", piiScrub, Some(piiOracle)),
     QueryDef("doc_repetition", repetition, Some(repetitionOracle)),
+    QueryDef("doc_profile", profile, Some(profileOracle)),
     QueryDef("doc_contamination", contamination, Some(contaminationOracle)),
     QueryDef("doc_filter_pipeline", filterPipeline, Some(filterPipelineOracle)),
     QueryDef("doc_split_stats", splitStats, Some(splitStatsOracle)),

@@ -155,4 +155,25 @@ class PlanSpec extends SparkSpecBase {
         s"window must rank the pre-aggregated frame, not raw events:\n$root")
     }
   }
+
+  test("profile: five signals, ONE corpus scan, no shuffle before the output sort") {
+    val df = operators.TextOps.profile(spark, sf0001)
+    val p = df.queryExecution.sparkPlan // pre-AQE: structure visible directly
+    val scans = p.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size == 1, s"profiler must read the corpus once, got ${scans.size}")
+    // the only exchange is the range partitioning of the deterministic
+    // output sort — no hash shuffle, no aggregate, no window anywhere
+    val shuffles = p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.forall(_.outputPartitioning.toString.contains("rangepartitioning")),
+      s"profile must not hash-shuffle:\n$p")
+    assert(p.collectFirst {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+      case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+    }.isEmpty, "per-doc signals must stay map-side (no aggregation operator)")
+  }
 }

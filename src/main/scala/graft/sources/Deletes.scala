@@ -142,6 +142,75 @@ object Deletes {
     }
   }
 
+  /** Shared targeted-rewrite core: replace the candidate files' rows with
+    * `rewrite(candidateRows)`, move every other data file by metadata
+    * rename, refresh the manifest (untouched rows kept as-is, fresh rows
+    * for the replacement files), and swap the directory write-aside-style.
+    * `keepSidecar` carries a pending-deletes sidecar across the swap (an
+    * UPDATE must not silently discard queued deletes; a purge retires
+    * them). Returns the number of rows in the rewritten region before and
+    * after.
+    */
+  private def rewriteTargeted(spark: SparkSession, path: String,
+      cand: Seq[String], candB: Set[String], untouched: Seq[String],
+      keepSidecar: Boolean)(rewrite: DataFrame => DataFrame): (Long, Long) = {
+    val fs = fsFor(spark, path)
+    // manifest rows for untouched files survive as-is; rewritten files
+    // get fresh rows over the same stat columns (absent manifest: none)
+    val manifestPath = s"$path/${ManifestStore.DirName}"
+    val oldManifest: Option[DataFrame] =
+      if (fs.exists(new Path(manifestPath)))
+        Some(spark.read.parquet(manifestPath).localCheckpoint(true))
+      else None
+    val statCols = oldManifest.map(m => m.select("col").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted).getOrElse(Nil)
+
+    val before = spark.read.parquet(cand: _*)
+    val beforeCount = before.count()
+    val replacement = rewrite(before)
+    val afterCount = replacement.count()
+
+    val tmp = new Path(path + ".rewriting")
+    val old = new Path(path + ".old")
+    fs.delete(tmp, true)
+    fs.mkdirs(tmp)
+    // rewritten rows keep the candidate files' granularity; restoring
+    // the clustered tiling afterwards is compact's job, as with appends
+    // (afterCount == 0 writes nothing: an empty parquet dir isn't readable)
+    if (afterCount > 0)
+      replacement.repartition(cand.size).write.mode("overwrite").parquet(tmp.toString)
+    if (statCols.nonEmpty) {
+      val keptRows = oldManifest.get
+        .filter(!col("file").isin(candB.toSeq: _*))
+      val merged =
+        if (afterCount > 0)
+          keptRows.unionByName(
+            Layout.manifestRows(spark.read.parquet(tmp.toString), statCols),
+            allowMissingColumns = true)
+        else keptRows
+      merged.coalesce(1).localCheckpoint(true)
+        .write.mode("overwrite").parquet(s"${tmp.toString}/${ManifestStore.DirName}")
+    }
+    // metadata moves: untouched data files change directory, not content
+    untouched.foreach { f =>
+      val src = new Path(f)
+      if (!fs.rename(src, new Path(tmp, src.getName)))
+        throw new java.io.IOException(s"rewrite: cannot move $f into $tmp")
+    }
+    if (keepSidecar && fs.exists(new Path(s"$path/$DeletesDir")))
+      if (!fs.rename(new Path(s"$path/$DeletesDir"), new Path(tmp, DeletesDir)))
+        throw new java.io.IOException(s"rewrite: cannot carry $DeletesDir into $tmp")
+    fs.delete(old, true)
+    if (!fs.rename(new Path(path), old))
+      throw new java.io.IOException(s"rewrite: cannot move $path aside")
+    if (!fs.rename(tmp, new Path(path))) {
+      fs.rename(old, new Path(path)) // roll back
+      throw new java.io.IOException(s"rewrite: cannot move $tmp into place")
+    }
+    fs.delete(old, true) // old candidates + old manifest (+ retired sidecar)
+    (beforeCount, afterCount)
+  }
+
   /** Apply pending deletes physically: rewrite only candidate files, move
     * the rest, swap, refresh the manifest, clear the sidecar. No-op (None)
     * when nothing is pending. Single-writer maintenance — see class doc.
@@ -153,63 +222,61 @@ object Deletes {
       val candB = candidateBasenames(spark, path, keyCol, keys, onDisk)
       val (cand, untouched) =
         onDisk.partition(f => candB(ManifestStore.baseName(f)))
-      val fs = fsFor(spark, path)
 
       if (cand.isEmpty) { // keys match no file: just clear the sidecar
-        fs.delete(new Path(s"$path/$DeletesDir"), true)
+        fsFor(spark, path).delete(new Path(s"$path/$DeletesDir"), true)
         PurgeStats(onDisk.size, 0, 0L)
       } else {
-        // manifest rows for untouched files survive as-is; rewritten files
-        // get fresh rows over the same stat columns (absent manifest: none)
-        val manifestPath = s"$path/${ManifestStore.DirName}"
-        val oldManifest: Option[DataFrame] =
-          if (fs.exists(new Path(manifestPath)))
-            Some(spark.read.parquet(manifestPath).localCheckpoint(true))
-          else None
-        val statCols = oldManifest.map(m => m.select("col").distinct()
-          .collect().map(_.getString(0)).toSeq.sorted).getOrElse(Nil)
-
-        val before = spark.read.parquet(cand: _*)
-        val beforeCount = before.count()
-        val kept = before.join(keys, before(keyCol) === keys("k"), "left_anti")
-        val keptCount = kept.count()
-
-        val tmp = new Path(path + ".purging")
-        val old = new Path(path + ".old")
-        fs.delete(tmp, true)
-        fs.mkdirs(tmp)
-        // rewritten rows keep the candidate files' granularity; restoring
-        // the clustered tiling afterwards is compact's job, as with appends
-        // (keptCount == 0 writes nothing: an empty parquet dir isn't readable)
-        if (keptCount > 0)
-          kept.repartition(cand.size).write.mode("overwrite").parquet(tmp.toString)
-        if (statCols.nonEmpty) {
-          val keptRows = oldManifest.get
-            .filter(!col("file").isin(candB.toSeq: _*))
-          val merged =
-            if (keptCount > 0)
-              keptRows.unionByName(
-                Layout.manifestRows(spark.read.parquet(tmp.toString), statCols),
-                allowMissingColumns = true)
-            else keptRows
-          merged.coalesce(1).localCheckpoint(true)
-            .write.mode("overwrite").parquet(s"${tmp.toString}/${ManifestStore.DirName}")
+        val (bef, aft) = rewriteTargeted(spark, path, cand, candB, untouched,
+          keepSidecar = false) { before =>
+          before.join(keys, before(keyCol) === keys("k"), "left_anti")
         }
-        // metadata moves: untouched data files change directory, not content
-        untouched.foreach { f =>
-          val src = new Path(f)
-          if (!fs.rename(src, new Path(tmp, src.getName)))
-            throw new java.io.IOException(s"purge: cannot move $f into $tmp")
-        }
-        fs.delete(old, true)
-        if (!fs.rename(new Path(path), old))
-          throw new java.io.IOException(s"purge: cannot move $path aside")
-        if (!fs.rename(tmp, new Path(path))) {
-          fs.rename(old, new Path(path)) // roll back
-          throw new java.io.IOException(s"purge: cannot move $tmp into place")
-        }
-        fs.delete(old, true) // old candidates + old manifest + cleared sidecar
-        PurgeStats(onDisk.size, cand.size, beforeCount - keptCount)
+        PurgeStats(onDisk.size, cand.size, bef - aft)
       }
     }
+
+  /** Targeted in-place UPDATE: apply `set` (column -> new-value expression,
+    * evaluated against the row) to the rows whose `keyCol` is in `keys`,
+    * rewriting only the files that can hold one — the reference's
+    * sanitize/redact action applied to a takedown list, without a
+    * full-table rewrite. Same candidate selection, manifest refresh, and
+    * swap as [[purge]]; a pending-deletes sidecar rides across untouched.
+    * Returns (filesTotal, filesRewritten, rowsMatched).
+    */
+  def update(keys: DataFrame, path: String, keyCol: String,
+      set: Map[String, org.apache.spark.sql.Column]): PurgeStats = {
+    val spark = keys.sparkSession
+    require(keys.columns.length == 1,
+      s"update: keys must be a single-column frame, got ${keys.columns.mkString(",")}")
+    require(set.nonEmpty, "update: no columns to set")
+    require(!set.contains(keyCol), "update: rewriting the key itself is a delete+insert")
+    val ks = keys.toDF("k").filter(col("k").isNotNull)
+      .distinct().localCheckpoint(true)
+    val onDisk = dataFiles(spark, path)
+    val candB = candidateBasenames(spark, path, keyCol, ks, onDisk)
+    val (cand, untouched) =
+      onDisk.partition(f => candB(ManifestStore.baseName(f)))
+    if (cand.isEmpty) PurgeStats(onDisk.size, 0, 0L)
+    else {
+      val candidateRows = spark.read.parquet(cand: _*)
+      val rowsMatched = candidateRows
+        .join(ks, candidateRows(keyCol) === ks("k"), "left_semi").count()
+      rewriteTargeted(spark, path, cand, candB, untouched,
+        keepSidecar = true) { before =>
+        // membership via broadcast join (an IN over a driver list would
+        // cap at lookup-list sizes; the join scales with the key frame)
+        val flagged = before.join(ks.withColumn("__hit", lit(1)),
+          before(keyCol) === col("k"), "left")
+        val updated = set.foldLeft(flagged) { case (df, (c, v)) =>
+          // cast back to the column's existing type: a widening expression
+          // (decimal arithmetic, int promotion) must not fork the schema
+          // between rewritten and untouched files
+          df.withColumn(c, when(col("__hit") === 1,
+            v.cast(before.schema(c).dataType)).otherwise(col(c)))
+        }
+        updated.drop("k", "__hit")
+      }
+      PurgeStats(onDisk.size, cand.size, rowsMatched)
+    }
+  }
 }

@@ -102,6 +102,43 @@ class DeleteSpec extends SparkSpecBase {
     assert(Deletes.purge(spark, path).isEmpty) // nothing pending: no-op
   }
 
+  test("update: targeted in-place rewrite, pending deletes survive the swap") {
+    import spark.implicits._
+    val (path, orders) = freshTable()
+    val total = orders.count()
+    val uks = someKeys(orders, 6)
+    // queue an unrelated delete first: update must carry it across
+    val dks = someKeys(orders, 20).takeRight(2)
+    Deletes.delete(dks.toDF("o_orderkey"), path, "o_orderkey")
+
+    val st = Deletes.update(uks.toDF("k"), path, "o_orderkey",
+      Map("o_orderpriority" -> lit("[REDACTED]"),
+          "o_totalprice" -> (col("o_totalprice") * 0)))
+    assert(st.rowsDeleted == uks.size, st.toString) // rowsMatched
+    assert(st.filesRewritten >= 1 && st.filesRewritten < st.filesTotal, st.toString)
+
+    val raw = spark.read.parquet(path)
+    assert(raw.count() == total) // update never changes cardinality
+    val touched = raw.filter(col("o_orderkey").isin(uks: _*))
+    assert(touched.filter(col("o_orderpriority") === "[REDACTED]").count() == uks.size)
+    assert(touched.agg(max(abs(col("o_totalprice")))).head().getDouble(0) == 0.0)
+    // untouched rows bit-identical to the original table
+    val restNow = raw.filter(!col("o_orderkey").isin(uks: _*))
+      .orderBy("o_orderkey").collect()
+    val restWas = orders.filter(!col("o_orderkey").isin(uks: _*))
+      .orderBy("o_orderkey").collect()
+    assert(restNow.sameElements(restWas))
+    // the queued delete is still pending and still applies
+    assert(Deletes.pending(spark, path).nonEmpty)
+    assert(Deletes.readClean(spark, path).count() == total - dks.size)
+    // manifest still exact: metadata count agrees post-update
+    val agg = spark.read.parquet(path).agg(count(lit(1)))
+    assert(agg.queryExecution.optimizedPlan.collectFirst {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }.isDefined)
+    assert(agg.head().getLong(0) == total)
+  }
+
   test("purge without a manifest fails open to a full rewrite, still exact") {
     import spark.implicits._
     val (path, orders) = freshTable(clustered = false)

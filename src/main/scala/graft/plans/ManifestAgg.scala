@@ -82,8 +82,10 @@ case class ManifestAgg(spark: SparkSession) extends Rule[LogicalPlan] {
     !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
       case Count(Seq(_: Literal)) => true
       case Count(Seq(_: AttributeReference)) => true
-      case Min(a: AttributeReference) => exactCapable(a.dataType)
-      case Max(a: AttributeReference) => exactCapable(a.dataType)
+      case Min(a: AttributeReference) =>
+        exactCapable(a.dataType) || a.dataType == StringType
+      case Max(a: AttributeReference) =>
+        exactCapable(a.dataType) || a.dataType == StringType
       case Sum(a: AttributeReference, _) => integral(a.dataType)
       case _ => false
     })
@@ -98,11 +100,15 @@ case class ManifestAgg(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /** Min/max only for types `exactAt` can reconstruct from a double
-    * footprint. Decimals/strings/temporals never qualify — their
-    * footprints are null-by-cast, which must not read as "all null".
+    * footprint: integrals + float/double, and temporals, whose footprints
+    * are epoch days (always int-exact) / epoch micros (2^53-guarded).
+    * Strings travel in the separate [slo, shi] bounds; decimals never
+    * qualify — their footprints are null-by-cast, which must not read as
+    * "all null".
     */
   private def exactCapable(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType => true
+    case DateType | TimestampType | TimestampNTZType => true
     case _ => false
   }
 
@@ -147,6 +153,28 @@ case class ManifestAgg(spark: SparkSession) extends Rule[LogicalPlan] {
             if (rs.forall(_.nnulls.isDefined))
               Some(rs.map(r => rowsOf(r.file) - r.nnulls.get).sum)
             else None
+          }
+        case Min(a: AttributeReference) if a.dataType == StringType =>
+          colRows(a.name).flatMap { rs =>
+            // string bounds live in [slo, shi]; a null slo is trusted only
+            // with the all-null proof (pre-slo manifests bail here)
+            if (!rs.forall(r => r.slo.isDefined || r.nnulls.contains(rowsOf(r.file)))) None
+            else {
+              val los = rs.flatMap(_.slo)
+              if (los.isEmpty) Some(null)
+              else Some(org.apache.spark.unsafe.types.UTF8String.fromString(
+                los.reduce((x, y) => if (ManifestStore.utf8Cmp(x, y) <= 0) x else y)))
+            }
+          }
+        case Max(a: AttributeReference) if a.dataType == StringType =>
+          colRows(a.name).flatMap { rs =>
+            if (!rs.forall(r => r.shi.isDefined || r.nnulls.contains(rowsOf(r.file)))) None
+            else {
+              val his = rs.flatMap(_.shi)
+              if (his.isEmpty) Some(null)
+              else Some(org.apache.spark.unsafe.types.UTF8String.fromString(
+                his.reduce((x, y) => if (ManifestStore.utf8Cmp(x, y) >= 0) x else y)))
+            }
           }
         case Min(a: AttributeReference) =>
           colRows(a.name).flatMap { rs =>
@@ -273,6 +301,12 @@ case class ManifestAgg(spark: SparkSession) extends Rule[LogicalPlan] {
                   .otherwise(0)).as("lotrust"),
                 min(when(col("hi").isNotNull || col("nnulls") === col("nrows"), 1)
                   .otherwise(0)).as("hitrust"),
+                count(col("slo")).as("nslo"), min(col("slo")).as("minslo"),
+                count(col("shi")).as("nshi"), max(col("shi")).as("maxshi"),
+                min(when(col("slo").isNotNull || col("nnulls") === col("nrows"), 1)
+                  .otherwise(0)).as("slotrust"),
+                min(when(col("shi").isNotNull || col("nnulls") === col("nrows"), 1)
+                  .otherwise(0)).as("shitrust"),
                 min(when(col("nnulls").isNotNull, 1).otherwise(0)).as("nullsknown"),
                 sum(col("nrows") - col("nnulls")).as("cnt"),
                 count(col("sm")).as("nsm"), sum(col("sm")).as("smsum"),
@@ -299,6 +333,22 @@ case class ManifestAgg(spark: SparkSession) extends Rule[LogicalPlan] {
                 statsByCol.get(a.name)
                   .filter(r => covered(r) && r.getAs[Int]("nullsknown") == 1)
                   .map(_.getAs[Long]("cnt"))
+              case Min(a: AttributeReference) if a.dataType == StringType =>
+                statsByCol.get(a.name)
+                  .filter(r => covered(r) && r.getAs[Int]("slotrust") == 1)
+                  .flatMap { r =>
+                    if (r.getAs[Long]("nslo") == 0L) Some(null)
+                    else Some(org.apache.spark.unsafe.types.UTF8String
+                      .fromString(r.getAs[String]("minslo")))
+                  }
+              case Max(a: AttributeReference) if a.dataType == StringType =>
+                statsByCol.get(a.name)
+                  .filter(r => covered(r) && r.getAs[Int]("shitrust") == 1)
+                  .flatMap { r =>
+                    if (r.getAs[Long]("nshi") == 0L) Some(null)
+                    else Some(org.apache.spark.unsafe.types.UTF8String
+                      .fromString(r.getAs[String]("maxshi")))
+                  }
               case Min(a: AttributeReference) =>
                 statsByCol.get(a.name)
                   .filter(r => covered(r) && r.getAs[Int]("lotrust") == 1)
@@ -368,7 +418,11 @@ case class ManifestAgg(spark: SparkSession) extends Rule[LogicalPlan] {
     case IntegerType => if (v == v.toInt.toDouble) Some(v.toInt) else None
     case ShortType => if (v == v.toShort.toDouble) Some(v.toShort) else None
     case ByteType => if (v == v.toByte.toDouble) Some(v.toByte) else None
-    case _ => None // decimals/strings/temporals: doubles can't carry them exactly
+    case DateType => // footprint = epoch days; internal value = Int days
+      if (v == v.toInt.toDouble) Some(v.toInt) else None
+    case TimestampType | TimestampNTZType => // epoch micros; internal = Long
+      if (math.abs(v) < DoubleExactInt && v == v.toLong.toDouble) Some(v.toLong) else None
+    case _ => None // decimals: doubles can't carry them exactly
   }
 }
 

@@ -39,8 +39,9 @@ case class ManifestPrune(spark: SparkSession) extends Rule[LogicalPlan] {
           if l.getTagValue(PrunedTag).isEmpty && eligible(l) =>
         val fsRel = l.relation.asInstanceOf[HadoopFsRelation]
         val envelopes = rangeEnvelopes(cond)
-        if (envelopes.isEmpty) f
-        else prune(fsRel, envelopes) match {
+        val strEnvs = stringEnvelopes(cond)
+        if (envelopes.isEmpty && strEnvs.isEmpty) f
+        else prune(fsRel, envelopes, strEnvs) match {
           case Some(keptIndex) =>
             val newRel = fsRel.copy(location = keptIndex)(spark)
             val newL = l.copy(relation = newRel)
@@ -86,19 +87,60 @@ case class ManifestPrune(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
+  /** String-typed range envelopes: col -> (lo, hi) in UTF8 binary order
+    * (None = unbounded on that side). Same conjunct-only extraction as the
+    * numeric path; exclusion later requires footprint PROOF, because
+    * pre-slo manifests read back null string bounds beside real data.
+    */
+  private def stringEnvelopes(cond: Expression): Map[String, (Option[String], Option[String])] = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(a, b) => conjuncts(a) ++ conjuncts(b)
+      case other => Seq(other)
+    }
+    def str(a: AttributeReference, l: Literal): Option[String] =
+      if (a.dataType == org.apache.spark.sql.types.StringType && l.value != null)
+        Some(l.value.toString)
+      else None
+    val bounds: Seq[(String, Option[String], Option[String])] = conjuncts(cond).flatMap {
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) => str(a, l).map(v => (a.name, Some(v), None))
+      case GreaterThan(a: AttributeReference, l: Literal) => str(a, l).map(v => (a.name, Some(v), None))
+      case LessThanOrEqual(a: AttributeReference, l: Literal) => str(a, l).map(v => (a.name, None, Some(v)))
+      case LessThan(a: AttributeReference, l: Literal) => str(a, l).map(v => (a.name, None, Some(v)))
+      case EqualTo(a: AttributeReference, l: Literal) => str(a, l).map(v => (a.name, Some(v), Some(v)))
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) => str(a, l).map(v => (a.name, None, Some(v)))
+      case GreaterThan(l: Literal, a: AttributeReference) => str(a, l).map(v => (a.name, None, Some(v)))
+      case LessThanOrEqual(l: Literal, a: AttributeReference) => str(a, l).map(v => (a.name, Some(v), None))
+      case LessThan(l: Literal, a: AttributeReference) => str(a, l).map(v => (a.name, Some(v), None))
+      case EqualTo(l: Literal, a: AttributeReference) => str(a, l).map(v => (a.name, Some(v), Some(v)))
+      case _ => None
+    }
+    bounds.groupBy(_._1).map { case (c, bs) =>
+      val los = bs.flatMap(_._2)
+      val his = bs.flatMap(_._3)
+      c -> (
+        if (los.isEmpty) None
+        else Some(los.reduce((x, y) => if (ManifestStore.utf8Cmp(x, y) >= 0) x else y)),
+        if (his.isEmpty) None
+        else Some(his.reduce((x, y) => if (ManifestStore.utf8Cmp(x, y) <= 0) x else y)))
+    }
+  }
+
   /** Kept-file index, or None when nothing prunes. */
   private def prune(fsRel: HadoopFsRelation,
-      envelopes: Map[String, (Double, Double)]): Option[InMemoryFileIndex] = {
+      envelopes: Map[String, (Double, Double)],
+      strEnvs: Map[String, (Option[String], Option[String])]): Option[InMemoryFileIndex] = {
     val root = fsRel.location.rootPaths.head
     val allFiles = fsRel.location.inputFiles // already listed by the relation
     val keepBase: Set[String] = ManifestStore.get(spark, root.toString) match {
       case None => return None // unreadable/absent manifest -> no pruning
-      case Some(ManifestStore.Small(rows)) => smallKeep(rows, envelopes, allFiles)
+      case Some(ManifestStore.Small(rows)) =>
+        smallKeep(rows, envelopes, allFiles) &
+          smallKeepStr(rows, strEnvs, allFiles)
       case Some(lg: ManifestStore.Large) =>
         // fail open like every other manifest consumer: a failing nested
         // job (e.g. a concurrent manifest rewrite invalidating cached
         // blocks) must degrade to "no pruning", never crash the query
-        try largeKeep(lg.df, envelopes, allFiles)
+        try largeKeep(lg.df, envelopes, strEnvs, allFiles)
         catch { case _: Exception => return None }
     }
     if (keepBase.size >= allFiles.length) None
@@ -126,24 +168,70 @@ case class ManifestPrune(spark: SparkSession) extends Rule[LogicalPlan] {
     keep
   }
 
+  /** Driver-side string-envelope intersection. A file is excluded only
+    * with PROOF: its [slo, shi] bounds exist and miss the envelope, or
+    * its null counts prove the column all-null (a null never satisfies a
+    * range predicate). Absent bounds without proof keep the file — a
+    * pre-slo manifest must not drop data.
+    */
+  private def smallKeepStr(manifest: IndexedSeq[ManifestStore.StatsRow],
+      strEnvs: Map[String, (Option[String], Option[String])],
+      allFiles: Array[String]): Set[String] = {
+    var keep = allFiles.map(ManifestStore.baseName).toSet
+    strEnvs.foreach { case (c, (elo, ehi)) =>
+      val excludable = manifest.filter(_.col == c).filter { r =>
+        val allNull = r.nnulls.isDefined && r.nnulls == r.nrows
+        val boundsMiss = (r.slo, r.shi) match {
+          case (Some(slo), Some(shi)) =>
+            ehi.exists(h => ManifestStore.utf8Cmp(slo, h) > 0) ||
+            elo.exists(l => ManifestStore.utf8Cmp(shi, l) < 0)
+          case _ => false
+        }
+        allNull || boundsMiss
+      }.map(_.file).toSet
+      keep = keep.filterNot(excludable)
+    }
+    keep
+  }
+
   /** Executor-side intersection: join the (cached) manifest against the
-    * tiny envelope table, fold per file, keep a file iff every known
+    * tiny envelope tables, fold per file, keep a file iff every known
     * envelope-column footprint intersects (unknown files keep — fail
-    * open). Only the surviving basenames reach the driver.
+    * open; string exclusion additionally needs bounds or all-null PROOF).
+    * Only the surviving basenames reach the driver.
     */
   private def largeKeep(manifest: org.apache.spark.sql.DataFrame,
       envelopes: Map[String, (Double, Double)],
+      strEnvs: Map[String, (Option[String], Option[String])],
       allFiles: Array[String]): Set[String] = ManifestStore.withGuard {
     val session = manifest.sparkSession
     import org.apache.spark.sql.functions.{broadcast, col, lit, min, when}
     import session.implicits._
-    val envs = envelopes.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) }
-      .toDF("__c", "__elo", "__ehi")
-    val verdict = manifest.join(broadcast(envs), manifest("col") === col("__c"))
-      .groupBy(manifest("file"))
-      .agg(min(when(col("lo").isNotNull && col("hi").isNotNull &&
-        col("lo") <= col("__ehi") && col("hi") >= col("__elo"), 1)
-        .otherwise(0)).as("__keep"))
+    val verdicts = Seq(
+      if (envelopes.isEmpty) None else Some {
+        val envs = envelopes.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) }
+          .toDF("__c", "__elo", "__ehi")
+        manifest.join(broadcast(envs), manifest("col") === col("__c"))
+          .select(manifest("file"),
+            when(col("lo").isNotNull && col("hi").isNotNull &&
+              col("lo") <= col("__ehi") && col("hi") >= col("__elo"), 1)
+              .otherwise(0).as("__keep"))
+      },
+      if (strEnvs.isEmpty) None else Some {
+        val envs = strEnvs.toSeq.map { case (c, (lo, hi)) => (c, lo.orNull, hi.orNull) }
+          .toDF("__c", "__selo", "__sehi")
+        manifest.join(broadcast(envs), manifest("col") === col("__c"))
+          .select(manifest("file"),
+            when(col("nnulls").isNotNull && col("nnulls") === col("nrows"), 0)
+              .when(col("slo").isNotNull && col("shi").isNotNull &&
+                (col("__sehi").isNull || col("slo") <= col("__sehi")) &&
+                (col("__selo").isNull || col("shi") >= col("__selo")), 1)
+              .when(col("slo").isNotNull && col("shi").isNotNull, 0)
+              .otherwise(1) // no bounds, no proof: keep (pre-slo manifest)
+              .as("__keep"))
+      }).flatten
+    val verdict = verdicts.reduce(_ unionByName _)
+      .groupBy("file").agg(min(col("__keep")).as("__keep"))
     val listed = allFiles.map(ManifestStore.baseName).toSeq.toDF("file")
     listed.join(verdict, Seq("file"), "left")
       .filter(col("__keep").isNull || col("__keep") === lit(1))

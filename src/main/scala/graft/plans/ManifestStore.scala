@@ -42,7 +42,17 @@ object ManifestStore {
     */
   final case class StatsRow(file: String, col: String,
       lo: Option[Double], hi: Option[Double], nnulls: Option[Long],
-      nrows: Option[Long], sm: Option[java.math.BigDecimal])
+      nrows: Option[Long], sm: Option[java.math.BigDecimal],
+      slo: Option[String] = None, shi: Option[String] = None)
+
+  /** Driver-side string comparison matching Spark's own (UTF8String binary)
+    * string ordering — java.lang.String.compareTo (UTF-16 code units)
+    * disagrees with it above the BMP, and footprint comparisons must use
+    * the SAME order the bounds were computed under.
+    */
+  def utf8Cmp(a: String, b: String): Int =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
 
   sealed trait Manifest { def rows: Long }
   /** Driver-resident parsed manifest (rows <= driverMaxRows). */
@@ -181,7 +191,8 @@ object ManifestStore {
       val df = raw.select(col("file").cast(StringType), col("col").cast(StringType),
         col("lo").cast(DoubleType), col("hi").cast(DoubleType),
         opt("nnulls", LongType).as("nnulls"), opt("nrows", LongType).as("nrows"),
-        opt("sm", DecimalType(38, 0)).as("sm"))
+        opt("sm", DecimalType(38, 0)).as("sm"),
+        opt("slo", StringType).as("slo"), opt("shi", StringType).as("shi"))
       val n = df.count()
       loads += 1
       if (n <= threshold) {
@@ -191,7 +202,9 @@ object ManifestStore {
             if (r.isNullAt(3)) None else Some(r.getDouble(3)),
             if (r.isNullAt(4)) None else Some(r.getLong(4)),
             if (r.isNullAt(5)) None else Some(r.getLong(5)),
-            if (r.isNullAt(6)) None else Some(r.getDecimal(6)))
+            if (r.isNullAt(6)) None else Some(r.getDecimal(6)),
+            if (r.isNullAt(7)) None else Some(r.getString(7)),
+            if (r.isNullAt(8)) None else Some(r.getString(8)))
         }
         Some(Small(rows))
       } else {

@@ -117,18 +117,23 @@ object Deletes {
       case None => None
       case Some(ManifestStore.Small(rows)) =>
         Some(rows.filter(_.col == keyCol)
-          .map(r => (r.file, r.lo, r.hi)).toDF("file", "lo", "hi"))
+          .map(r => (r.file, r.lo, r.hi, r.slo, r.shi, r.nnulls, r.nrows))
+          .toDF("file", "lo", "hi", "slo", "shi", "nnulls", "nrows"))
       case Some(lg: ManifestStore.Large) =>
-        Some(lg.df.filter(col("col") === keyCol).select("file", "lo", "hi"))
+        Some(lg.df.filter(col("col") === keyCol)
+          .select("file", "lo", "hi", "slo", "shi", "nnulls", "nrows"))
     }
-    // manifest footprints are numeric [lo, hi] doubles — they can target
-    // numeric ids only; string-keyed tables fall open to a full rewrite
-    val numericKey = keys.schema.head.dataType match {
-      case _: org.apache.spark.sql.types.NumericType => true
-      case _ => false
+    // numeric ids target through the [lo, hi] double footprints, string
+    // ids through the [slo, shi] bounds; other key types fall open
+    sealed trait KeyKind
+    object NumKey extends KeyKind; object StrKey extends KeyKind; object Other extends KeyKind
+    val kind = keys.schema.head.dataType match {
+      case _: org.apache.spark.sql.types.NumericType => NumKey
+      case org.apache.spark.sql.types.StringType => StrKey
+      case _ => Other
     }
     intervals match {
-      case Some(iv) if numericKey => try ManifestStore.withGuard {
+      case Some(iv) if kind == NumKey => try ManifestStore.withGuard {
         // a null footprint = no non-null key values in that file; a
         // (non-null) delete key cannot live there, so it is NOT a candidate
         val matched = iv.join(keys,
@@ -138,7 +143,19 @@ object Deletes {
         val known = iv.select("file").as[String].collect().toSet
         onDiskBase.filter(b => matched(b) || !known(b)).toSet
       } catch { case _: Exception => onDiskBase.toSet } // fail open
-      case _ => onDiskBase.toSet // no manifest / non-numeric key: all files
+      case Some(iv) if kind == StrKey => try ManifestStore.withGuard {
+        // exclusion needs PROOF: string bounds that miss every key, or an
+        // all-null column (pre-slo manifests have neither — every file
+        // stays a candidate, degrading to the full rewrite, never losing
+        // a delete)
+        val excl = iv.filter(
+            (col("slo").isNotNull && col("shi").isNotNull) ||
+            (col("nnulls").isNotNull && col("nnulls") === col("nrows")))
+          .join(keys, col("k") >= col("slo") && col("k") <= col("shi"), "left_anti")
+          .select("file").as[String].collect().toSet
+        onDiskBase.filterNot(excl).toSet
+      } catch { case _: Exception => onDiskBase.toSet } // fail open
+      case _ => onDiskBase.toSet // no manifest / untargetable key: all files
     }
   }
 

@@ -163,11 +163,40 @@ object Layout {
     val decSum: String => Column = c =>
       if (integral(c)) sum(col(c).cast(DecimalType(38, 0)))
       else max(lit(null).cast(DecimalType(38, 0))) // typed null, still an agg expr
-    val aggs = count(lit(1)).as("nrows") +: statCols.flatMap(c => Seq(
-      min(col(c)).cast("double").as(s"lo_$c"),
-      max(col(c)).cast("double").as(s"hi_$c"),
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
-      decSum(c).as(s"sm_$c")))
+    // typed footprints: numerics land in [lo, hi] doubles directly;
+    // temporals as epoch numbers (days / micros — the SAME units Catalyst
+    // literals carry, so range predicates compare without conversion);
+    // strings in the [slo, shi] STRING bounds (a double cannot carry
+    // them, and under ANSI the cast would throw); anything else records
+    // null footprints and every consumer fails open on them
+    def loHi(c: String): (Column, Column) = df.schema(c).dataType match {
+      case DateType =>
+        (min(unix_date(col(c))).cast("double"), max(unix_date(col(c))).cast("double"))
+      case TimestampType =>
+        (min(unix_micros(col(c))).cast("double"), max(unix_micros(col(c))).cast("double"))
+      case TimestampNTZType =>
+        // no unix_micros for NTZ; microseconds-since-epoch via a
+        // tz-INDEPENDENT diff (a session-tz cast would bake the zone into
+        // the stored bound while NTZ literals carry plain micros)
+        val m = expr(
+          s"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', `$c`)")
+        (min(m).cast("double"), max(m).cast("double"))
+      case _: NumericType =>
+        (min(col(c)).cast("double"), max(col(c)).cast("double"))
+      case _ =>
+        (max(lit(null).cast("double")), max(lit(null).cast("double")))
+    }
+    def sloShi(c: String): (Column, Column) = df.schema(c).dataType match {
+      case StringType => (min(col(c)), max(col(c)))
+      case _ => (max(lit(null).cast("string")), max(lit(null).cast("string")))
+    }
+    val aggs = count(lit(1)).as("nrows") +: statCols.flatMap { c =>
+      val (lo, hi) = loHi(c)
+      val (slo, shi) = sloShi(c)
+      Seq(lo.as(s"lo_$c"), hi.as(s"hi_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+        decSum(c).as(s"sm_$c"), slo.as(s"slo_$c"), shi.as(s"shi_$c"))
+    }
     // the manifest records BASENAMES (unique per directory), not absolute
     // paths: the table directory can be renamed/compacted/relocated and
     // the manifest stays valid — readers resolve names against the root
@@ -177,8 +206,10 @@ object Layout {
     stats.select(col("__file").as("file"), col("nrows"),
       explode(array(statCols.map(c =>
         struct(lit(c).as("col"), col(s"lo_$c").as("lo"), col(s"hi_$c").as("hi"),
-          col(s"nn_$c").as("nnulls"), col(s"sm_$c").as("sm"))): _*)).as("s"))
-      .select("file", "s.col", "s.lo", "s.hi", "s.nnulls", "s.sm", "nrows")
+          col(s"nn_$c").as("nnulls"), col(s"sm_$c").as("sm"),
+          col(s"slo_$c").as("slo"), col(s"shi_$c").as("shi"))): _*)).as("s"))
+      .select("file", "s.col", "s.lo", "s.hi", "s.nnulls", "s.sm",
+        "s.slo", "s.shi", "nrows")
   }
 
   /** Scan the written files ONCE (write-time cost; one aggregation carries

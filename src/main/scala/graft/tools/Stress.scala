@@ -243,6 +243,50 @@ object Stress {
         SimilarityOps.incrementalCosineFromIndex(spark, batchE, cosIdx).count())
     }
 
+    // targeted purge: the same drop-list against an id-CLUSTERED layout
+    // and a shuffled control (both manifested). Clustered must rewrite a
+    // small candidate set; shuffled degrades to a full rewrite — the
+    // measured gap is what clustering buys corpus maintenance, and it
+    // widens with table size because the candidate set tracks the
+    // DROP-LIST footprint while the control tracks the TABLE
+    if (!eventsOnly) {
+      import graft.sources.{Deletes, Layout}
+      val orders = Tables.t(spark, dir, "orders")
+      val ordersN = (0 until copies).map { i =>
+        orders.select((col("o_orderkey") + lit(i * 100000000L)).as("o_orderkey"),
+          col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+          col("o_orderdate"), col("o_orderpriority"))
+      }.reduce(_ unionByName _)
+      val delBase = java.nio.file.Files.createTempDirectory("graft-stress-del").toString
+      val clustered = s"$delBase/clustered"
+      val shuffled = s"$delBase/shuffled"
+      time(s"purge-prep x$copies (write 2 layouts)") {
+        Layout.zorderWrite(ordersN, clustered, Seq("o_orderkey"), numFiles = 64)
+        Layout.writeManifest(spark, clustered, Seq("o_orderkey"))
+        ordersN.repartition(64).write.mode("overwrite").parquet(shuffled)
+        Layout.writeManifest(spark, shuffled, Seq("o_orderkey"))
+        "ok"
+      }
+      // drop-list: 200 ids from one narrow key range (a takedown batch)
+      val dropIds = ordersN.filter(col("o_orderkey").between(1L, 4000L))
+        .select(col("o_orderkey")).limit(200).localCheckpoint(true)
+      time(s"readClean overhead x$copies (pending deletes)") {
+        Deletes.delete(dropIds, clustered, "o_orderkey")
+        Deletes.delete(dropIds, shuffled, "o_orderkey")
+        val t0 = System.nanoTime()
+        val plain = spark.read.parquet(clustered).count()
+        val tPlain = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val clean = Deletes.readClean(spark, clustered).count()
+        val tClean = (System.nanoTime() - t1) / 1e9
+        f"plain $plain in $tPlain%.2f s, clean $clean in $tClean%.2f s"
+      }
+      time(s"purge clustered x$copies")(Deletes.purge(spark, clustered).get)
+      time(s"purge shuffled-control x$copies")(Deletes.purge(spark, shuffled).get)
+      assert(spark.read.parquet(clustered).count() ==
+        spark.read.parquet(shuffled).count(), "purge results must agree")
+    }
+
     spark.stop()
   }
 }

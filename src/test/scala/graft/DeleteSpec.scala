@@ -139,6 +139,32 @@ class DeleteSpec extends SparkSpecBase {
     assert(agg.head().getLong(0) == total)
   }
 
+  test("string-keyed purge targets files through the [slo, shi] bounds") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-sdel").toString
+    val path = s"$base/t"
+    val rows = (0 until 4000).map(i => (f"id$i%05d", i.toLong))
+    rows.toDF("sid", "v").repartitionByRange(16, col("sid"))
+      .sortWithinPartitions("sid").write.mode("overwrite").parquet(path)
+    Layout.writeManifest(spark, path, Seq("sid"))
+
+    val ks = (100 until 110).map(i => f"id$i%05d")
+    Deletes.delete(ks.toDF("sid"), path, "sid")
+    val st = Deletes.purge(spark, path).get
+    assert(st.rowsDeleted == ks.size, st.toString)
+    assert(st.filesRewritten >= 1 && st.filesRewritten < st.filesTotal,
+      s"string bounds should localize the keys: $st")
+    val raw = spark.read.parquet(path)
+    assert(raw.count() == 4000 - ks.size)
+    assert(raw.filter(col("sid").isin(ks: _*)).count() == 0)
+    // min over the maintained string bounds is still metadata-exact
+    val agg = raw.agg(min(col("sid")).as("mn"))
+    assert(agg.queryExecution.optimizedPlan.collectFirst {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }.isDefined)
+    assert(agg.head().getString(0) == "id00000")
+  }
+
   test("purge without a manifest fails open to a full rewrite, still exact") {
     import spark.implicits._
     val (path, orders) = freshTable(clustered = false)

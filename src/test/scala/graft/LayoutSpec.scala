@@ -445,7 +445,8 @@ class LayoutSpec extends SparkSpecBase {
       lit(0L).as("nnulls"),
       (col("id") % 1000).cast("decimal(38,0)").as("sm"),
       lit(10L).as("nrows"))
-    real.unionByName(fake).coalesce(1).write.mode("overwrite").parquet(mPath)
+    real.unionByName(fake, allowMissingColumns = true) // fake rows: no slo/shi
+      .coalesce(1).write.mode("overwrite").parquet(mPath)
 
     def runAll(): (Seq[Any], Long, Long, Long, Long) = {
       val agg = spark.read.parquet(path)
@@ -577,6 +578,102 @@ class LayoutSpec extends SparkSpecBase {
         case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
       }.isDefined, "pristine manifest must still metadata-answer")
     } finally spark.conf.unset("spark.graft.manifest.driverMaxRows")
+  }
+
+  test("typed bounds: temporal min/max and range pruning from metadata") {
+    val base = java.nio.file.Files.createTempDirectory("graft-tb").toString
+    val path = s"$base/ev"
+    val ev = Tables.t(spark, sf0001, "events")
+    ev.repartitionByRange(8, col("ts")).sortWithinPartitions("ts")
+      .write.mode("overwrite").parquet(path)
+    Layout.writeManifest(spark, path, Seq("ts"))
+
+    // min/max(ts) answer from the manifest: LocalRelation, values exact
+    val agg = spark.read.parquet(path)
+      .agg(min(col("ts")).as("mn"), max(col("ts")).as("mx"), count(lit(1)).as("n"))
+    assert(agg.queryExecution.optimizedPlan.collectFirst {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }.isDefined, s"expected metadata-only plan:\n${agg.queryExecution.optimizedPlan}")
+    val meta = agg.head()
+    val scan = ev.agg(min(col("ts")), max(col("ts")), count(lit(1))).head()
+    assert(meta.getTimestamp(0) == scan.getTimestamp(0))
+    assert(meta.getTimestamp(1) == scan.getTimestamp(1))
+    assert(meta.getLong(2) == scan.getLong(2))
+
+    // a time-range filter prunes files at listing time, loses nothing
+    val Array(lo, hi) = ev.selectExpr(
+      "timestampadd(HOUR, 2, min(ts))", "timestampadd(HOUR, 6, min(ts))")
+      .head().toSeq.map(_.asInstanceOf[java.sql.Timestamp]).toArray
+    val all = spark.read.parquet(path)
+    val pruned = all.filter(col("ts") >= lit(lo) && col("ts") <= lit(hi))
+    val m = scanMetrics(pruned)
+    assert(m("numFiles") < scanMetrics(all)("numFiles"),
+      s"time filter should skip files: ${m("numFiles")}")
+    assert(pruned.count() ==
+      ev.filter(col("ts") >= lit(lo) && col("ts") <= lit(hi)).count())
+
+    // DateType and TimestampNTZ bounds reconstruct exactly too
+    // (o_orderdate is NTZ in the driver data; o_date derives a true date)
+    val opath = s"$base/ord"
+    val ord = Tables.t(spark, sf0001, "orders")
+      .withColumn("o_date", to_date(col("o_orderdate")))
+    ord.repartition(4).write.mode("overwrite").parquet(opath)
+    Layout.writeManifest(spark, opath, Seq("o_orderdate", "o_date"))
+    val dagg = spark.read.parquet(opath)
+      .agg(min(col("o_orderdate")).as("mn"), max(col("o_orderdate")).as("mx"),
+        min(col("o_date")).as("dmn"), max(col("o_date")).as("dmx"))
+    assert(dagg.queryExecution.optimizedPlan.collectFirst {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }.isDefined, s"expected metadata-only plan:\n${dagg.queryExecution.optimizedPlan}")
+    val dmeta = dagg.head()
+    val dscan = ord.agg(min(col("o_orderdate")), max(col("o_orderdate")),
+      min(col("o_date")), max(col("o_date"))).head()
+    assert((0 until 4).forall(i => dmeta.get(i) == dscan.get(i)),
+      s"meta $dmeta != scan $dscan")
+  }
+
+  test("typed bounds: string min/max + pruning; pre-slo manifests fail open") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-sb").toString
+    val path = s"$base/t"
+    val rows = (0 until 4000).map(i => (f"id$i%05d", i.toLong))
+    val df = rows.toDF("sid", "v")
+    df.repartitionByRange(8, col("sid")).sortWithinPartitions("sid")
+      .write.mode("overwrite").parquet(path)
+    Layout.writeManifest(spark, path, Seq("sid"))
+
+    val agg = spark.read.parquet(path)
+      .agg(min(col("sid")).as("mn"), max(col("sid")).as("mx"))
+    assert(agg.queryExecution.optimizedPlan.collectFirst {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }.isDefined, s"string min/max should answer from metadata:\n${agg.queryExecution.optimizedPlan}")
+    val r = agg.head()
+    assert(r.getString(0) == "id00000" && r.getString(1) == "id03999")
+
+    val all = spark.read.parquet(path)
+    val pruned = all.filter(col("sid") >= "id00100" && col("sid") <= "id00299")
+    assert(scanMetrics(pruned)("numFiles") < scanMetrics(all)("numFiles"),
+      "string range should skip files")
+    assert(pruned.count() == 200)
+
+    // strip slo/shi (a pre-typed-bounds manifest): the string agg must
+    // BAIL (scan answer, no LocalRelation) and the filter must keep every
+    // file — exclusion without proof would lose rows
+    val mpath = s"$path/_graft_manifest"
+    val legacy = spark.read.parquet(mpath).drop("slo", "shi").localCheckpoint(true)
+    legacy.coalesce(1).write.mode("overwrite").parquet(mpath)
+    val agg2 = spark.read.parquet(path).agg(min(col("sid")).as("mn"))
+    assert(agg2.queryExecution.optimizedPlan.collectFirst {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }.isEmpty, "pre-slo manifest must not answer string aggs")
+    assert(agg2.head().getString(0) == "id00000") // scan answer still right
+    val unpruned = spark.read.parquet(path)
+      .filter(col("sid") >= "id00100" && col("sid") <= "id00299")
+    // fresh unfiltered df: a reused one reports stale metric values
+    assert(scanMetrics(unpruned)("numFiles") ==
+      scanMetrics(spark.read.parquet(path))("numFiles"),
+      "no string bounds, no proof -> no pruning")
+    assert(unpruned.count() == 200)
   }
 
   test("z-order bit interleave places each input bit at stride k") {

@@ -38,10 +38,14 @@ case class ManifestPrune(spark: SparkSession) extends Rule[LogicalPlan] {
       case f @ Filter(cond, l: LogicalRelation)
           if l.getTagValue(PrunedTag).isEmpty && eligible(l) =>
         val fsRel = l.relation.asInstanceOf[HadoopFsRelation]
-        val envelopes = rangeEnvelopes(cond)
-        val strEnvs = stringEnvelopes(cond)
-        if (envelopes.isEmpty && strEnvs.isEmpty) f
-        else prune(fsRel, envelopes, strEnvs) match {
+        val (numPts, strPts, numEnvFb, strEnvFb) = pointSets(cond)
+        // over-cap IN lists degrade to their min/max RANGE (a 2-point check
+        // would wrongly exclude files covering interior values), folded
+        // into the envelope maps by intersection
+        val envelopes = mergeEnv(rangeEnvelopes(cond), numEnvFb)
+        val strEnvs = mergeStrEnv(stringEnvelopes(cond), strEnvFb)
+        if (envelopes.isEmpty && strEnvs.isEmpty && numPts.isEmpty && strPts.isEmpty) f
+        else prune(fsRel, envelopes, strEnvs, numPts, strPts) match {
           case Some(keptIndex) =>
             val newRel = fsRel.copy(location = keptIndex)(spark)
             val newL = l.copy(relation = newRel)
@@ -125,22 +129,122 @@ case class ManifestPrune(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
+  /** Intersect two envelope maps (conjuncts tighten). */
+  private def mergeEnv(a: Map[String, (Double, Double)],
+      b: Map[String, (Double, Double)]): Map[String, (Double, Double)] =
+    (a.keySet ++ b.keySet).map { c =>
+      (a.get(c), b.get(c)) match {
+        case (Some((l1, h1)), Some((l2, h2))) => c -> (math.max(l1, l2), math.min(h1, h2))
+        case (Some(e), None) => c -> e
+        case (None, Some(e)) => c -> e
+        case _ => throw new IllegalStateException("unreachable")
+      }
+    }.toMap
+
+  private def mergeStrEnv(a: Map[String, (Option[String], Option[String])],
+      b: Map[String, (Option[String], Option[String])])
+      : Map[String, (Option[String], Option[String])] =
+    (a.keySet ++ b.keySet).map { c =>
+      def hiMin(x: Option[String], y: Option[String]) = (x, y) match {
+        case (Some(p), Some(q)) => Some(if (ManifestStore.utf8Cmp(p, q) <= 0) p else q)
+        case _ => x.orElse(y)
+      }
+      def loMax(x: Option[String], y: Option[String]) = (x, y) match {
+        case (Some(p), Some(q)) => Some(if (ManifestStore.utf8Cmp(p, q) >= 0) p else q)
+        case _ => x.orElse(y)
+      }
+      val (l1, h1) = a.getOrElse(c, (None, None))
+      val (l2, h2) = b.getOrElse(c, (None, None))
+      c -> (loMax(l1, l2), hiMin(h1, h2))
+    }.toMap
+
+  /** IN-list point sets: col -> distinct non-null values from In/InSet
+    * conjuncts (a null in the list can never make the predicate TRUE, so
+    * it contributes nothing). Numeric/temporal attributes yield doubles in
+    * footprint units (Catalyst internal values are already epoch numbers);
+    * string attributes yield strings for the [slo, shi] bounds. Lists
+    * above MaxPoints return as RANGE-envelope fallbacks instead (3rd/4th
+    * maps) — bounded driver work, still sound for interior values.
+    */
+  private def pointSets(cond: Expression)
+      : (Map[String, Seq[Double]], Map[String, Seq[String]],
+         Map[String, (Double, Double)], Map[String, (Option[String], Option[String])]) = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(a, b) => conjuncts(a) ++ conjuncts(b)
+      case other => Seq(other)
+    }
+    def values(e: Expression): Option[(AttributeReference, Seq[Any])] = e match {
+      case In(a: AttributeReference, list) if list.forall(_.isInstanceOf[Literal]) =>
+        Some((a, list.map(_.asInstanceOf[Literal].value).filter(_ != null)))
+      case InSet(a: AttributeReference, hset) =>
+        Some((a, hset.toSeq.filter(_ != null)))
+      case _ => None
+    }
+    val num = scala.collection.mutable.Map.empty[String, Seq[Double]]
+    val str = scala.collection.mutable.Map.empty[String, Seq[String]]
+    val numEnv = scala.collection.mutable.Map.empty[String, (Double, Double)]
+    val strEnv = scala.collection.mutable.Map.empty[String, (Option[String], Option[String])]
+    conjuncts(cond).flatMap(values).foreach { case (a, vs0) =>
+      val over = vs0.lengthCompare(MaxPoints) > 0
+      a.dataType match {
+        case org.apache.spark.sql.types.StringType =>
+          val ss = vs0.map(_.toString)
+          if (ss.nonEmpty) {
+            if (over) {
+              val lo = ss.reduce((x, y) => if (ManifestStore.utf8Cmp(x, y) <= 0) x else y)
+              val hi = ss.reduce((x, y) => if (ManifestStore.utf8Cmp(x, y) >= 0) x else y)
+              strEnv(a.name) = strEnv.get(a.name) match {
+                case Some(e) => mergeStrEnv(Map(a.name -> e),
+                  Map(a.name -> (Some(lo), Some(hi))))(a.name)
+                case None => (Some(lo), Some(hi))
+              }
+            } else {
+              val cur = str.getOrElse(a.name, null)
+              // conjunct IN-lists intersect; keeping the smaller is sound
+              if (cur == null || ss.size < cur.size) str(a.name) = ss.distinct
+            }
+          }
+        case _ =>
+          val ds = vs0.flatMap {
+            case n: java.lang.Number => Some(n.doubleValue())
+            case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+            case _ => None
+          }
+          if (ds.size == vs0.size && ds.nonEmpty) { // every value understood
+            if (over) {
+              val e = (ds.min, ds.max)
+              numEnv(a.name) = numEnv.get(a.name)
+                .map(p => (math.max(p._1, e._1), math.min(p._2, e._2))).getOrElse(e)
+            } else {
+              val cur = num.getOrElse(a.name, null)
+              if (cur == null || ds.size < cur.size) num(a.name) = ds.distinct
+            }
+          }
+      }
+    }
+    (num.toMap, str.toMap, numEnv.toMap, strEnv.toMap)
+  }
+
   /** Kept-file index, or None when nothing prunes. */
   private def prune(fsRel: HadoopFsRelation,
       envelopes: Map[String, (Double, Double)],
-      strEnvs: Map[String, (Option[String], Option[String])]): Option[InMemoryFileIndex] = {
+      strEnvs: Map[String, (Option[String], Option[String])],
+      numPts: Map[String, Seq[Double]],
+      strPts: Map[String, Seq[String]]): Option[InMemoryFileIndex] = {
     val root = fsRel.location.rootPaths.head
     val allFiles = fsRel.location.inputFiles // already listed by the relation
     val keepBase: Set[String] = ManifestStore.get(spark, root.toString) match {
       case None => return None // unreadable/absent manifest -> no pruning
       case Some(ManifestStore.Small(rows)) =>
         smallKeep(rows, envelopes, allFiles) &
-          smallKeepStr(rows, strEnvs, allFiles)
+          smallKeepStr(rows, strEnvs, allFiles) &
+          smallKeepPoints(rows, numPts, allFiles) &
+          smallKeepStrPoints(rows, strPts, allFiles)
       case Some(lg: ManifestStore.Large) =>
         // fail open like every other manifest consumer: a failing nested
         // job (e.g. a concurrent manifest rewrite invalidating cached
         // blocks) must degrade to "no pruning", never crash the query
-        try largeKeep(lg.df, envelopes, strEnvs, allFiles)
+        try largeKeep(lg.df, envelopes, strEnvs, numPts, strPts, allFiles)
         catch { case _: Exception => return None }
     }
     if (keepBase.size >= allFiles.length) None
@@ -194,18 +298,66 @@ case class ManifestPrune(spark: SparkSession) extends Rule[LogicalPlan] {
     keep
   }
 
+  /** Driver-side numeric point-set intersection: keep a file iff ANY
+    * listed value lands inside its [lo, hi] footprint (unknown files keep
+    * — fail open; a null footprint means no non-null values, which no
+    * point can match).
+    */
+  private def smallKeepPoints(manifest: IndexedSeq[ManifestStore.StatsRow],
+      numPts: Map[String, Seq[Double]],
+      allFiles: Array[String]): Set[String] = {
+    var keep = allFiles.map(ManifestStore.baseName).toSet
+    numPts.foreach { case (c, vs) =>
+      val forCol = manifest.filter(_.col == c)
+      if (forCol.nonEmpty) {
+        val known = forCol.map(_.file).toSet
+        val matching = forCol.filter(r => (r.lo, r.hi) match {
+          case (Some(lo), Some(hi)) => vs.exists(v => v >= lo && v <= hi)
+          case _ => false
+        }).map(_.file).toSet
+        keep = keep.filter(f => matching(f) || !known(f))
+      }
+    }
+    keep
+  }
+
+  /** Driver-side string point-set intersection — proof-based exclusion
+    * like [[smallKeepStr]].
+    */
+  private def smallKeepStrPoints(manifest: IndexedSeq[ManifestStore.StatsRow],
+      strPts: Map[String, Seq[String]],
+      allFiles: Array[String]): Set[String] = {
+    var keep = allFiles.map(ManifestStore.baseName).toSet
+    strPts.foreach { case (c, vs) =>
+      val excludable = manifest.filter(_.col == c).filter { r =>
+        val allNull = r.nnulls.isDefined && r.nnulls == r.nrows
+        val boundsMiss = (r.slo, r.shi) match {
+          case (Some(slo), Some(shi)) =>
+            !vs.exists(v => ManifestStore.utf8Cmp(v, slo) >= 0 &&
+              ManifestStore.utf8Cmp(v, shi) <= 0)
+          case _ => false
+        }
+        allNull || boundsMiss
+      }.map(_.file).toSet
+      keep = keep.filterNot(excludable)
+    }
+    keep
+  }
+
   /** Executor-side intersection: join the (cached) manifest against the
-    * tiny envelope tables, fold per file, keep a file iff every known
-    * envelope-column footprint intersects (unknown files keep — fail
-    * open; string exclusion additionally needs bounds or all-null PROOF).
-    * Only the surviving basenames reach the driver.
+    * tiny envelope/point tables, fold per file, keep a file iff every
+    * known predicate-column footprint intersects (unknown files keep —
+    * fail open; string exclusion additionally needs bounds or all-null
+    * PROOF). Only the surviving basenames reach the driver.
     */
   private def largeKeep(manifest: org.apache.spark.sql.DataFrame,
       envelopes: Map[String, (Double, Double)],
       strEnvs: Map[String, (Option[String], Option[String])],
+      numPts: Map[String, Seq[Double]],
+      strPts: Map[String, Seq[String]],
       allFiles: Array[String]): Set[String] = ManifestStore.withGuard {
     val session = manifest.sparkSession
-    import org.apache.spark.sql.functions.{broadcast, col, lit, min, when}
+    import org.apache.spark.sql.functions.{broadcast, col, lit, max, min, when}
     import session.implicits._
     val verdicts = Seq(
       if (envelopes.isEmpty) None else Some {
@@ -228,6 +380,39 @@ case class ManifestPrune(spark: SparkSession) extends Rule[LogicalPlan] {
                 (col("__selo").isNull || col("shi") >= col("__selo")), 1)
               .when(col("slo").isNotNull && col("shi").isNotNull, 0)
               .otherwise(1) // no bounds, no proof: keep (pre-slo manifest)
+              .as("__keep"))
+      },
+      if (numPts.isEmpty) None else Some {
+        val pts = numPts.toSeq.flatMap { case (c, vs) => vs.map(v => (c, v)) }
+          .toDF("__c", "__v")
+        // left join on footprint containment, then per (file, col): keep
+        // iff ANY value landed inside — null footprints never match
+        manifest.join(broadcast(pts), manifest("col") === col("__c") &&
+            col("lo").isNotNull && col("hi").isNotNull &&
+            col("__v") >= col("lo") && col("__v") <= col("hi"), "left")
+          .filter(col("col").isin(numPts.keys.toSeq: _*))
+          .groupBy(manifest("file"), manifest("col"))
+          .agg(min(when(col("__v").isNotNull, 1).otherwise(0)).as("__anyhit"))
+          .select(col("file"),
+            // min==max here (hit rows duplicate, miss groups are all-0):
+            // a group with any hit aggregates rows that ALL joined -> 1
+            when(col("__anyhit") === 1, 1).otherwise(0).as("__keep"))
+      },
+      if (strPts.isEmpty) None else Some {
+        val pts = strPts.toSeq.flatMap { case (c, vs) => vs.map(v => (c, v)) }
+          .toDF("__c", "__sv")
+        manifest.join(broadcast(pts), manifest("col") === col("__c") &&
+            col("slo").isNotNull && col("shi").isNotNull &&
+            col("__sv") >= col("slo") && col("__sv") <= col("shi"), "left")
+          .filter(col("col").isin(strPts.keys.toSeq: _*))
+          .groupBy(manifest("file"), manifest("col"),
+            col("nnulls"), col("nrows"), col("slo"), col("shi"))
+          .agg(max(when(col("__sv").isNotNull, 1).otherwise(0)).as("__anyhit"))
+          .select(col("file"),
+            when(col("nnulls").isNotNull && col("nnulls") === col("nrows"), 0)
+              .when(col("__anyhit") === 1, 1)
+              .when(col("slo").isNotNull && col("shi").isNotNull, 0)
+              .otherwise(1) // no bounds, no proof: keep
               .as("__keep"))
       }).flatten
     val verdict = verdicts.reduce(_ unionByName _)
@@ -265,4 +450,8 @@ object ManifestPrune {
   private[plans] val PrunedTag = TreeNodeTag[Boolean]("graftManifestPruned")
   private val NegInf = Double.NegativeInfinity
   private val PosInf = Double.PositiveInfinity
+  /** IN lists above this size prune via their range envelope instead of
+    * per-value checks — bounds driver/executor work on huge literal sets.
+    */
+  private val MaxPoints = 10000
 }

@@ -676,6 +676,43 @@ class LayoutSpec extends SparkSpecBase {
     assert(unpruned.count() == 200)
   }
 
+  test("IN-list predicates prune per-value on both manifest paths") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-in").toString
+    val path = s"$base/t"
+    val rows = (0 until 8000).map(i => (i.toLong, f"id$i%05d"))
+    rows.toDF("k", "sid").repartitionByRange(16, col("k"))
+      .sortWithinPartitions("k").write.mode("overwrite").parquet(path)
+    Layout.writeManifest(spark, path, Seq("k", "sid"))
+
+    // two ids from OPPOSITE ends: a range envelope spans every file, so
+    // any pruning observed is the per-value check working
+    def checkNum(): Unit = {
+      val all = scanMetrics(spark.read.parquet(path))("numFiles")
+      val q = spark.read.parquet(path).filter(col("k").isin(3L, 7997L))
+      val m = scanMetrics(q)("numFiles")
+      assert(m == 2, s"point-set should keep exactly 2 of $all files, kept $m")
+      assert(q.count() == 2)
+    }
+    def checkStr(): Unit = {
+      val q = spark.read.parquet(path).filter(col("sid").isin("id00003", "id07997"))
+      assert(scanMetrics(q)("numFiles") == 2)
+      assert(q.count() == 2)
+    }
+    try {
+      checkNum(); checkStr()
+      spark.conf.set("spark.graft.manifest.driverMaxRows", "0") // distributed path
+      checkNum(); checkStr()
+    } finally spark.conf.unset("spark.graft.manifest.driverMaxRows")
+
+    // a big IN list (beyond the point cap) still prunes via its envelope
+    val bigIds = (0L until 20000L).map(i => i % 500) // all in the low range
+    val qEnv = spark.read.parquet(path).filter(col("k").isin(bigIds: _*))
+    assert(scanMetrics(qEnv)("numFiles") < scanMetrics(spark.read.parquet(path))("numFiles"),
+      "over-cap IN should fall back to envelope pruning")
+    assert(qEnv.count() == 500)
+  }
+
   test("z-order bit interleave places each input bit at stride k") {
     import spark.implicits._
     val df = Seq((3L, 0L), (0L, 3L), (1L, 1L)).toDF("a", "b")

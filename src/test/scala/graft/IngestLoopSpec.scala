@@ -67,6 +67,55 @@ class IngestLoopSpec extends SparkSpecBase {
       .select("doc_id").as[Long].collect().sorted.toSeq == Seq(11L, 12L))
   }
 
+  test("retroactive dedup: drop-list -> delete -> purge keeps probes and manifest readers exact") {
+    import graft.sources.Deletes
+    val root = Files.createTempDirectory("graft-retro").toString
+    val corpusPath = s"$root/corpus"
+    // a corpus that ingested NEAR-dups (exact dedup let them through):
+    // docs 100.. are case-mangled twins of docs 1..; a later near-dup
+    // sweep finds them and emits a drop-list of the younger ids
+    val docs = (1 to 40).map(i => (i.toLong, s"corpus document number $i body")) ++
+      (1 to 10).map(i => (100L + i, s"CORPUS DOCUMENT NUMBER $i BODY"))
+    docs.toDF("doc_id", "text").repartitionByRange(8, col("doc_id"))
+      .sortWithinPartitions("doc_id").write.parquet(corpusPath)
+    Layout.writeManifest(spark, corpusPath, Seq("doc_id"))
+
+    // the sweep: exact dedup on the normalized fingerprint, keeper = min id
+    val corpus = spark.read.parquet(corpusPath)
+    val fp = corpus.withColumn("fp", md5(lower(col("text"))))
+    val keepers = fp.groupBy("fp").agg(min(col("doc_id")).as("keeper"))
+    val dropList = fp.join(keepers, "fp")
+      .filter(col("doc_id") =!= col("keeper")).select("doc_id")
+    assert(dropList.count() == 10)
+
+    // merge-on-read first: probes against readClean see no dups, while
+    // the physical table still holds them
+    Deletes.delete(dropList, corpusPath, "doc_id")
+    val clean = Deletes.readClean(spark, corpusPath)
+    assert(clean.count() == 40)
+    val probe = graft.operators.DedupOps.incrementalDedupOn(
+      clean, Seq((500L, "CORPUS DOCUMENT NUMBER 3 BODY")).toDF("doc_id", "text"))
+    // the twin of doc 3 was dropped, but doc 3 itself remains: still a dup
+    assert(probe.select("status").head().getString(0) == "dup_corpus")
+
+    // physical purge: targeted (ids 101..110 cluster in the tail files),
+    // manifest stays metadata-exact for the pruned readers that follow
+    val st = Deletes.purge(spark, corpusPath).get
+    assert(st.rowsDeleted == 10 && st.filesRewritten < st.filesTotal, st.toString)
+    val after = spark.read.parquet(corpusPath)
+    assert(after.count() == 40)
+    val agg = after.agg(count(lit(1)).as("n"), max(col("doc_id")).as("mx"))
+    assert(agg.queryExecution.optimizedPlan.collectFirst {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }.isDefined, "manifest must stay metadata-exact after the purge")
+    val r = agg.head()
+    assert(r.getLong(0) == 40L && r.getLong(1) == 40L)
+    // and the next day's ingest composes on the purged corpus as usual
+    Layout.appendWithManifest(
+      Seq((200L, "day after purge")).toDF("doc_id", "text"), corpusPath, Seq("doc_id"))
+    assert(spark.read.parquet(corpusPath).count() == 41)
+  }
+
   test("minhash band index: probe-from-index == recompute; appends seen without recomputation") {
     val docs = graft.sources.Tables.t(spark, sf0001, "documents")
     val idx = Files.createTempDirectory("graft-mhidx").toString + "/mh"

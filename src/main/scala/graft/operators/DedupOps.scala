@@ -685,6 +685,17 @@ object DedupOps {
     IndexCompact.rewritePlain(s, s"$indexPath/bands", Seq("band", "bkey"))
   }
 
+  /** Index-side delete: drop `ids` (one-column frame of doc ids) from the
+    * stored signature and band tables, preserving their layouts — the
+    * index counterpart of a corpus `Deletes.purge`, without re-shingling
+    * anything. Probes stop returning the dropped docs immediately.
+    */
+  def removeFromMinHashIndex(s: SparkSession, indexPath: String,
+      ids: DataFrame): Unit = {
+    graft.sources.IndexCompact.removeKeys(s, s"$indexPath/sigs", "doc_id", ids)
+    graft.sources.IndexCompact.removeKeys(s, s"$indexPath/bands", "doc_id", ids)
+  }
+
   def incrementalMinHash(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.t(s, dir, "documents")
     incrementalMinHashOn(

@@ -1042,6 +1042,34 @@ object SimilarityOps {
     IndexCompact.rewriteBucketed(s, s"$indexPath/raw")
   }
 
+  /** Index-side delete for the PQ family: drop `ids` from the code table
+    * and the bucketed exact re-rank table (codebooks are id-free). The
+    * served top-k stops returning the dropped vectors with no re-encode.
+    */
+  def removeFromPqIndex(s: SparkSession, indexPath: String,
+      ids: DataFrame): Unit = {
+    graft.sources.IndexCompact.removeKeys(s, s"$indexPath/codes", "vec_id", ids)
+    graft.sources.IndexCompact.removeKeys(s, s"$indexPath/raw", "vec_id", ids)
+  }
+
+  /** Index-side delete for IVF-PQ: cell-partitioned codes keep their
+    * `cell=` tiling, the re-rank table its bucket spec.
+    */
+  def removeFromIvfIndex(s: SparkSession, indexPath: String,
+      ids: DataFrame): Unit = {
+    graft.sources.IndexCompact.removeKeys(s, s"$indexPath/codes", "vec_id", ids)
+    graft.sources.IndexCompact.removeKeys(s, s"$indexPath/raw", "vec_id", ids)
+  }
+
+  /** Index-side delete for the cosine cell index. Removal only SHRINKS a
+    * cell's true extent, so the stored radii remain valid upper bounds —
+    * probes stay lossless (they admit at most a few extra cells) until
+    * [[compactCosineCellIndex]] re-tightens them.
+    */
+  def removeFromCosineCellIndex(s: SparkSession, indexPath: String,
+      ids: DataFrame): Unit =
+    graft.sources.IndexCompact.removeKeys(s, s"$indexPath/corpus", "vec_id", ids)
+
   /** Compact the IVF-PQ index: codes back to one file per cell partition
     * (probe pruning keeps working on the `cell=` directories), raw table
     * back to one file per bucket.

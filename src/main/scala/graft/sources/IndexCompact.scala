@@ -123,6 +123,60 @@ object IndexCompact {
         .write.partitionBy(partCol).parquet(tmp)
     }
 
+  /** Hive-style partition column of `path`, if its children are `c=v`
+    * directories (the IVF-code / cosine-cell layout shape).
+    */
+  private def partitionCol(s: SparkSession, path: String): Option[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    fs.listStatus(p).collectFirst {
+      case d if d.isDirectory && d.getPath.getName.contains("=") &&
+          !d.getPath.getName.startsWith("_") =>
+        d.getPath.getName.takeWhile(_ != '=')
+    }
+  }
+
+  /** Remove the rows whose `keyCol` is in `keys` from an index
+    * subdirectory, PRESERVING its layout shape — bucketed tables keep
+    * their bucket spec, partition-dir tables their `c=v` tiling, plain
+    * tables a size-targeted file count. The corpus-side counterpart of
+    * `Deletes.purge`: after a takedown/dedup purge of the corpus, the
+    * served index tables must stop returning the dropped ids, and a full
+    * index rebuild (re-shingling / re-encoding the surviving 100 TB) is
+    * exactly what this avoids. Same atomic swap as compaction.
+    *
+    * Cosine-cell note: removal only SHRINKS a cell's true radius, so the
+    * stored radii remain valid upper bounds — probes stay lossless and
+    * merely admit a few extra cells until the next `compact` re-tightens.
+    */
+  def removeKeys(s: SparkSession, path: String, keyCol: String,
+      keys: org.apache.spark.sql.DataFrame): Unit = {
+    import org.apache.spark.sql.functions.broadcast
+    val ks = broadcast(keys.toDF("__k").filter(col("__k").isNotNull).distinct())
+    def filtered(df: org.apache.spark.sql.DataFrame) =
+      df.join(ks, df(keyCol) === col("__k"), "left_anti")
+    Bucketed.spec(s, path) match {
+      case Some((key, n)) =>
+        val df = Bucketed.read(s, path).get._1
+        swapInto(s, path, () => Bucketed.refresh(s, path)) { tmp =>
+          Bucketed.write(filtered(df), tmp, key, n)
+        }
+        Bucketed.dropRegistration(s, path + ".compacting")
+      case None => partitionCol(s, path) match {
+        case Some(pc) =>
+          swapInto(s, path) { tmp =>
+            filtered(s.read.parquet(path))
+              .repartition(col(pc)).write.partitionBy(pc).parquet(tmp)
+          }
+        case None =>
+          val n = autoFiles(s, path)
+          swapInto(s, path) { tmp =>
+            filtered(s.read.parquet(path)).repartition(n).write.parquet(tmp)
+          }
+      }
+    }
+  }
+
   /** Data files (not `_` metadata) under `path`, recursively — the
     * "small-files" census compaction tests assert on.
     */

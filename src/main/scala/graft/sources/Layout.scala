@@ -274,6 +274,13 @@ object Layout {
     val current = spark.read.parquet(path)
     zorderWrite(current, tmp.toString, zCols, numFiles, bits, quantile)
     writeManifest(spark, tmp.toString, zCols)
+    // a pending-deletes sidecar (Deletes.delete) must survive the swap:
+    // the compacted rows still include the pending keys, and dropping the
+    // sidecar would silently resurrect them for readClean readers
+    val sidecar = new org.apache.hadoop.fs.Path(path, Deletes.DeletesDir)
+    if (fs.exists(sidecar) &&
+        !fs.rename(sidecar, new org.apache.hadoop.fs.Path(tmp, Deletes.DeletesDir)))
+      throw new java.io.IOException(s"compact: cannot carry ${Deletes.DeletesDir}")
     fs.delete(old, true)
     if (!fs.rename(new org.apache.hadoop.fs.Path(path), old))
       throw new java.io.IOException(s"compact: cannot move $path aside")

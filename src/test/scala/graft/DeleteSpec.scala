@@ -165,6 +165,20 @@ class DeleteSpec extends SparkSpecBase {
     assert(agg.head().getString(0) == "id00000")
   }
 
+  test("Layout.compact carries a pending-deletes sidecar across its swap") {
+    import spark.implicits._
+    val (path, orders) = freshTable()
+    val total = orders.count()
+    val ks = someKeys(orders, 4)
+    Deletes.delete(ks.toDF("o_orderkey"), path, "o_orderkey")
+    Layout.compact(spark, path, Seq("o_orderkey"), numFiles = 8)
+    assert(spark.read.parquet(path).count() == total) // compact keeps pending rows
+    assert(Deletes.pending(spark, path).nonEmpty, "sidecar lost in compact swap")
+    assert(Deletes.readClean(spark, path).count() == total - ks.size)
+    val st = Deletes.purge(spark, path).get // and the purge still applies
+    assert(st.rowsDeleted == ks.size, st.toString)
+  }
+
   test("purge without a manifest fails open to a full rewrite, still exact") {
     import spark.implicits._
     val (path, orders) = freshTable(clustered = false)

@@ -693,7 +693,7 @@ object DedupOps {
   def removeFromMinHashIndex(s: SparkSession, indexPath: String,
       ids: DataFrame): Unit = {
     graft.sources.IndexCompact.removeKeys(s, s"$indexPath/sigs", "doc_id", ids)
-    graft.sources.IndexCompact.removeKeys(s, s"$indexPath/bands", "doc_id", ids)
+    graft.sources.IndexCompact.removeKeys(s, s"$indexPath/bands", "doc_id", ids, Seq("band", "bkey"))
   }
 
   def incrementalMinHash(s: SparkSession, dir: String): DataFrame = {

@@ -1048,7 +1048,8 @@ object SimilarityOps {
     */
   def removeFromPqIndex(s: SparkSession, indexPath: String,
       ids: DataFrame): Unit = {
-    graft.sources.IndexCompact.removeKeys(s, s"$indexPath/codes", "vec_id", ids)
+    graft.sources.IndexCompact.removeKeys(s, s"$indexPath/codes", "vec_id", ids,
+      sortCols = Seq("vec_id"))
     graft.sources.IndexCompact.removeKeys(s, s"$indexPath/raw", "vec_id", ids)
   }
 

@@ -99,6 +99,11 @@ case class ManifestAgg(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  private def temporal(dt: DataType): Boolean = dt match {
+    case DateType | TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+
   /** Min/max only for types `exactAt` can reconstruct from a double
     * footprint: integrals + float/double, and temporals, whose footprints
     * are epoch days (always int-exact) / epoch micros (2^53-guarded).
@@ -180,8 +185,13 @@ case class ManifestAgg(spark: SparkSession) extends Rule[LogicalPlan] {
           colRows(a.name).flatMap { rs =>
             // a null lo is only "all-null file" when nnulls proves it;
             // otherwise the footprint is untrustworthy — bail (mirrors
-            // the sum path's trust check)
+            // the sum path's trust check). Temporal footprints further
+            // need the epoch-units marker: a pre-marker manifest stored
+            // SECONDS, and reading them as micros would be silent garbage.
             if (!rs.forall(r => r.lo.isDefined || r.nnulls.contains(rowsOf(r.file)))) None
+            else if (temporal(a.dataType) && !rs.forall(r =>
+              r.tsu.contains(ManifestStore.EpochUnits) ||
+              r.nnulls.contains(rowsOf(r.file)))) None
             else {
               val los = rs.flatMap(_.lo)
               if (los.isEmpty) Some(null) // provably all-null (or empty) column
@@ -191,6 +201,9 @@ case class ManifestAgg(spark: SparkSession) extends Rule[LogicalPlan] {
         case Max(a: AttributeReference) =>
           colRows(a.name).flatMap { rs =>
             if (!rs.forall(r => r.hi.isDefined || r.nnulls.contains(rowsOf(r.file)))) None
+            else if (temporal(a.dataType) && !rs.forall(r =>
+              r.tsu.contains(ManifestStore.EpochUnits) ||
+              r.nnulls.contains(rowsOf(r.file)))) None
             else {
               val his = rs.flatMap(_.hi)
               if (his.isEmpty) Some(null)
@@ -307,6 +320,9 @@ case class ManifestAgg(spark: SparkSession) extends Rule[LogicalPlan] {
                   .otherwise(0)).as("slotrust"),
                 min(when(col("shi").isNotNull || col("nnulls") === col("nrows"), 1)
                   .otherwise(0)).as("shitrust"),
+                min(when(col("tsu") === ManifestStore.EpochUnits ||
+                  col("nnulls") === col("nrows"), 1)
+                  .otherwise(0)).as("tsutrust"),
                 min(when(col("nnulls").isNotNull, 1).otherwise(0)).as("nullsknown"),
                 sum(col("nrows") - col("nnulls")).as("cnt"),
                 count(col("sm")).as("nsm"), sum(col("sm")).as("smsum"),
@@ -351,14 +367,16 @@ case class ManifestAgg(spark: SparkSession) extends Rule[LogicalPlan] {
                   }
               case Min(a: AttributeReference) =>
                 statsByCol.get(a.name)
-                  .filter(r => covered(r) && r.getAs[Int]("lotrust") == 1)
+                  .filter(r => covered(r) && r.getAs[Int]("lotrust") == 1 &&
+                    (!temporal(a.dataType) || r.getAs[Int]("tsutrust") == 1))
                   .flatMap { r =>
                     if (r.getAs[Long]("nlo") == 0L) Some(null)
                     else exactAt(r.getAs[Double]("minlo"), a.dataType)
                   }
               case Max(a: AttributeReference) =>
                 statsByCol.get(a.name)
-                  .filter(r => covered(r) && r.getAs[Int]("hitrust") == 1)
+                  .filter(r => covered(r) && r.getAs[Int]("hitrust") == 1 &&
+                    (!temporal(a.dataType) || r.getAs[Int]("tsutrust") == 1))
                   .flatMap { r =>
                     if (r.getAs[Long]("nhi") == 0L) Some(null)
                     else exactAt(r.getAs[Double]("maxhi"), a.dataType)

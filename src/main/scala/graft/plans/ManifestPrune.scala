@@ -45,7 +45,7 @@ case class ManifestPrune(spark: SparkSession) extends Rule[LogicalPlan] {
         val envelopes = mergeEnv(rangeEnvelopes(cond), numEnvFb)
         val strEnvs = mergeStrEnv(stringEnvelopes(cond), strEnvFb)
         if (envelopes.isEmpty && strEnvs.isEmpty && numPts.isEmpty && strPts.isEmpty) f
-        else prune(fsRel, envelopes, strEnvs, numPts, strPts) match {
+        else prune(fsRel, envelopes, strEnvs, numPts, strPts, temporalCols(cond)) match {
           case Some(keptIndex) =>
             val newRel = fsRel.copy(location = keptIndex)(spark)
             val newL = l.copy(relation = newRel)
@@ -59,20 +59,44 @@ case class ManifestPrune(spark: SparkSession) extends Rule[LogicalPlan] {
   private def eligible(l: LogicalRelation): Boolean =
     ManifestPrune.manifestEligible(spark, l)
 
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => conjuncts(a) ++ conjuncts(b)
+    case other => Seq(other)
+  }
+
+  /** Column names with a temporal dataType anywhere in the predicate:
+    * their manifest footprints are trusted only when the epoch-units
+    * marker is present (pre-marker manifests stored seconds — see
+    * ManifestStore.EpochUnits). Over-marking is harmless: it only adds
+    * the trust requirement.
+    */
+  private def temporalCols(cond: Expression): Set[String] = {
+    val out = scala.collection.mutable.Set.empty[String]
+    cond.foreach {
+      case a: AttributeReference => a.dataType match {
+        case org.apache.spark.sql.types.DateType |
+             org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType => out += a.name
+        case _ => ()
+      }
+      case _ => ()
+    }
+    out.toSet
+  }
+
   /** Conjunct-only range envelopes: col -> [lo, hi] from >=, >, <=, <, =
     * against numeric literals. Anything else contributes nothing (and so
     * prunes nothing) — correctness never depends on completeness here.
     */
   private def rangeEnvelopes(cond: Expression): Map[String, (Double, Double)] = {
-    def conjuncts(e: Expression): Seq[Expression] = e match {
-      case And(a, b) => conjuncts(a) ++ conjuncts(b)
-      case other => Seq(other)
-    }
-    def num(l: Literal): Option[Double] = l.value match {
+    // a NaN literal never builds an envelope: Spark's NaN ordering
+    // (greatest, NaN = NaN) has no faithful interval form, so such
+    // predicates simply don't prune
+    def num(l: Literal): Option[Double] = (l.value match {
       case n: java.lang.Number => Some(n.doubleValue())
       case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
       case _ => None
-    }
+    }).filterNot(_.isNaN)
     val bounds = conjuncts(cond).flatMap {
       case GreaterThanOrEqual(a: AttributeReference, lit: Literal) => num(lit).map(v => (a.name, v, PosInf))
       case GreaterThan(a: AttributeReference, lit: Literal) => num(lit).map(v => (a.name, v, PosInf))
@@ -97,10 +121,6 @@ case class ManifestPrune(spark: SparkSession) extends Rule[LogicalPlan] {
     * pre-slo manifests read back null string bounds beside real data.
     */
   private def stringEnvelopes(cond: Expression): Map[String, (Option[String], Option[String])] = {
-    def conjuncts(e: Expression): Seq[Expression] = e match {
-      case And(a, b) => conjuncts(a) ++ conjuncts(b)
-      case other => Seq(other)
-    }
     def str(a: AttributeReference, l: Literal): Option[String] =
       if (a.dataType == org.apache.spark.sql.types.StringType && l.value != null)
         Some(l.value.toString)
@@ -122,10 +142,8 @@ case class ManifestPrune(spark: SparkSession) extends Rule[LogicalPlan] {
       val los = bs.flatMap(_._2)
       val his = bs.flatMap(_._3)
       c -> (
-        if (los.isEmpty) None
-        else Some(los.reduce((x, y) => if (ManifestStore.utf8Cmp(x, y) >= 0) x else y)),
-        if (his.isEmpty) None
-        else Some(his.reduce((x, y) => if (ManifestStore.utf8Cmp(x, y) <= 0) x else y)))
+        if (los.isEmpty) None else Some(los.reduce(ManifestStore.utf8Max)),
+        if (his.isEmpty) None else Some(his.reduce(ManifestStore.utf8Min)))
     }
   }
 
@@ -146,11 +164,11 @@ case class ManifestPrune(spark: SparkSession) extends Rule[LogicalPlan] {
       : Map[String, (Option[String], Option[String])] =
     (a.keySet ++ b.keySet).map { c =>
       def hiMin(x: Option[String], y: Option[String]) = (x, y) match {
-        case (Some(p), Some(q)) => Some(if (ManifestStore.utf8Cmp(p, q) <= 0) p else q)
+        case (Some(p), Some(q)) => Some(ManifestStore.utf8Min(p, q))
         case _ => x.orElse(y)
       }
       def loMax(x: Option[String], y: Option[String]) = (x, y) match {
-        case (Some(p), Some(q)) => Some(if (ManifestStore.utf8Cmp(p, q) >= 0) p else q)
+        case (Some(p), Some(q)) => Some(ManifestStore.utf8Max(p, q))
         case _ => x.orElse(y)
       }
       val (l1, h1) = a.getOrElse(c, (None, None))
@@ -169,10 +187,6 @@ case class ManifestPrune(spark: SparkSession) extends Rule[LogicalPlan] {
   private def pointSets(cond: Expression)
       : (Map[String, Seq[Double]], Map[String, Seq[String]],
          Map[String, (Double, Double)], Map[String, (Option[String], Option[String])]) = {
-    def conjuncts(e: Expression): Seq[Expression] = e match {
-      case And(a, b) => conjuncts(a) ++ conjuncts(b)
-      case other => Seq(other)
-    }
     def values(e: Expression): Option[(AttributeReference, Seq[Any])] = e match {
       case In(a: AttributeReference, list) if list.forall(_.isInstanceOf[Literal]) =>
         Some((a, list.map(_.asInstanceOf[Literal].value).filter(_ != null)))
@@ -191,8 +205,8 @@ case class ManifestPrune(spark: SparkSession) extends Rule[LogicalPlan] {
           val ss = vs0.map(_.toString)
           if (ss.nonEmpty) {
             if (over) {
-              val lo = ss.reduce((x, y) => if (ManifestStore.utf8Cmp(x, y) <= 0) x else y)
-              val hi = ss.reduce((x, y) => if (ManifestStore.utf8Cmp(x, y) >= 0) x else y)
+              val lo = ss.reduce(ManifestStore.utf8Min)
+              val hi = ss.reduce(ManifestStore.utf8Max)
               strEnv(a.name) = strEnv.get(a.name) match {
                 case Some(e) => mergeStrEnv(Map(a.name -> e),
                   Map(a.name -> (Some(lo), Some(hi))))(a.name)
@@ -210,7 +224,12 @@ case class ManifestPrune(spark: SparkSession) extends Rule[LogicalPlan] {
             case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
             case _ => None
           }
-          if (ds.size == vs0.size && ds.nonEmpty) { // every value understood
+          // NaN never prunes: Spark orders NaN greatest (a NaN-bearing
+          // file's hi IS NaN) while Scala comparisons on NaN are all
+          // false — the two paths would disagree and the driver side
+          // would wrongly exclude the file. Dropping the column keeps
+          // both paths sound and identical.
+          if (ds.size == vs0.size && ds.nonEmpty && !ds.exists(_.isNaN)) {
             if (over) {
               val e = (ds.min, ds.max)
               numEnv(a.name) = numEnv.get(a.name)
@@ -225,17 +244,25 @@ case class ManifestPrune(spark: SparkSession) extends Rule[LogicalPlan] {
     (num.toMap, str.toMap, numEnv.toMap, strEnv.toMap)
   }
 
-  /** Kept-file index, or None when nothing prunes. */
+  /** Kept-file index, or None when nothing prunes. Temporal-column
+    * manifest rows WITHOUT the epoch-units marker are dropped before any
+    * intersection — their files then count as manifest-unknown and are
+    * KEPT (fail open), instead of having seconds-era footprints compared
+    * against micros envelopes.
+    */
   private def prune(fsRel: HadoopFsRelation,
       envelopes: Map[String, (Double, Double)],
       strEnvs: Map[String, (Option[String], Option[String])],
       numPts: Map[String, Seq[Double]],
-      strPts: Map[String, Seq[String]]): Option[InMemoryFileIndex] = {
+      strPts: Map[String, Seq[String]],
+      temporal: Set[String]): Option[InMemoryFileIndex] = {
     val root = fsRel.location.rootPaths.head
     val allFiles = fsRel.location.inputFiles // already listed by the relation
     val keepBase: Set[String] = ManifestStore.get(spark, root.toString) match {
       case None => return None // unreadable/absent manifest -> no pruning
-      case Some(ManifestStore.Small(rows)) =>
+      case Some(ManifestStore.Small(rows0)) =>
+        val rows = rows0.filter(r =>
+          !temporal(r.col) || r.tsu.contains(ManifestStore.EpochUnits))
         smallKeep(rows, envelopes, allFiles) &
           smallKeepStr(rows, strEnvs, allFiles) &
           smallKeepPoints(rows, numPts, allFiles) &
@@ -244,8 +271,14 @@ case class ManifestPrune(spark: SparkSession) extends Rule[LogicalPlan] {
         // fail open like every other manifest consumer: a failing nested
         // job (e.g. a concurrent manifest rewrite invalidating cached
         // blocks) must degrade to "no pruning", never crash the query
-        try largeKeep(lg.df, envelopes, strEnvs, numPts, strPts, allFiles)
-        catch { case _: Exception => return None }
+        try {
+          import org.apache.spark.sql.functions.{col, lit}
+          val mdf =
+            if (temporal.isEmpty) lg.df
+            else lg.df.filter(!col("col").isin(temporal.toSeq: _*) ||
+              col("tsu") === lit(ManifestStore.EpochUnits))
+          largeKeep(mdf, envelopes, strEnvs, numPts, strPts, allFiles)
+        } catch { case _: Exception => return None }
     }
     if (keepBase.size >= allFiles.length) None
     else {
@@ -264,8 +297,13 @@ case class ManifestPrune(spark: SparkSession) extends Rule[LogicalPlan] {
       val forCol = manifest.filter(_.col == c)
       if (forCol.nonEmpty) {
         val known = forCol.map(_.file).toSet
+        // a NaN stored bound reads as +inf: Spark orders NaN greatest, so
+        // a NaN-bearing file's max IS NaN while its rows span anything up
+        // to it — a Scala NaN comparison (always false) would wrongly
+        // exclude the file where the executor-side path keeps it
         val matching = forCol.filter(r =>
-          r.lo.exists(_ <= hi) && r.hi.exists(_ >= lo)).map(_.file).toSet
+          r.lo.map(ManifestStore.nanAsPosInf).exists(_ <= hi) &&
+          r.hi.map(ManifestStore.nanAsPosInf).exists(_ >= lo)).map(_.file).toSet
         keep = keep.filter(f => matching(f) || !known(f))
       }
     }
@@ -312,7 +350,8 @@ case class ManifestPrune(spark: SparkSession) extends Rule[LogicalPlan] {
       if (forCol.nonEmpty) {
         val known = forCol.map(_.file).toSet
         val matching = forCol.filter(r => (r.lo, r.hi) match {
-          case (Some(lo), Some(hi)) => vs.exists(v => v >= lo && v <= hi)
+          case (Some(lo), Some(hi)) => vs.exists(v =>
+            v >= ManifestStore.nanAsPosInf(lo) && v <= ManifestStore.nanAsPosInf(hi))
           case _ => false
         }).map(_.file).toSet
         keep = keep.filter(f => matching(f) || !known(f))

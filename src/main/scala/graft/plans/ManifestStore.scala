@@ -40,10 +40,20 @@ object ManifestStore {
     * manifest file does not carry (pre-stats schemas) read back as None and
     * consumers fail open on them.
     */
+  /** Marker value in the `tsu` column of temporal manifest rows: the
+    * [lo, hi] footprint is in epoch units (days for dates, micros for
+    * timestamps). Rows without it (pre-typed-bounds manifests stored
+    * SECONDS via a plain timestamp cast) are untrusted by every temporal
+    * consumer — reinterpreting seconds as micros would silently corrupt
+    * metadata answers and pruning decisions.
+    */
+  val EpochUnits = "epoch"
+
   final case class StatsRow(file: String, col: String,
       lo: Option[Double], hi: Option[Double], nnulls: Option[Long],
       nrows: Option[Long], sm: Option[java.math.BigDecimal],
-      slo: Option[String] = None, shi: Option[String] = None)
+      slo: Option[String] = None, shi: Option[String] = None,
+      tsu: Option[String] = None)
 
   /** Driver-side string comparison matching Spark's own (UTF8String binary)
     * string ordering — java.lang.String.compareTo (UTF-16 code units)
@@ -53,6 +63,18 @@ object ManifestStore {
   def utf8Cmp(a: String, b: String): Int =
     org.apache.spark.unsafe.types.UTF8String.fromString(a)
       .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+
+  def utf8Min(a: String, b: String): String = if (utf8Cmp(a, b) <= 0) a else b
+  def utf8Max(a: String, b: String): String = if (utf8Cmp(a, b) >= 0) a else b
+
+  /** Driver-side reading of a stored NaN footprint bound: Spark orders NaN
+    * greatest (a NaN-bearing file's max IS NaN), so for interval checks it
+    * behaves as +inf. Scala's NaN comparisons (always false) would instead
+    * wrongly EXCLUDE such files — diverging from the executor-side path,
+    * which compares under Spark semantics.
+    */
+  def nanAsPosInf(v: Double): Double =
+    if (v.isNaN) Double.PositiveInfinity else v
 
   sealed trait Manifest { def rows: Long }
   /** Driver-resident parsed manifest (rows <= driverMaxRows). */
@@ -192,7 +214,8 @@ object ManifestStore {
         col("lo").cast(DoubleType), col("hi").cast(DoubleType),
         opt("nnulls", LongType).as("nnulls"), opt("nrows", LongType).as("nrows"),
         opt("sm", DecimalType(38, 0)).as("sm"),
-        opt("slo", StringType).as("slo"), opt("shi", StringType).as("shi"))
+        opt("slo", StringType).as("slo"), opt("shi", StringType).as("shi"),
+        opt("tsu", StringType).as("tsu"))
       val n = df.count()
       loads += 1
       if (n <= threshold) {
@@ -204,7 +227,8 @@ object ManifestStore {
             if (r.isNullAt(5)) None else Some(r.getLong(5)),
             if (r.isNullAt(6)) None else Some(r.getDecimal(6)),
             if (r.isNullAt(7)) None else Some(r.getString(7)),
-            if (r.isNullAt(8)) None else Some(r.getString(8)))
+            if (r.isNullAt(8)) None else Some(r.getString(8)),
+            if (r.isNullAt(9)) None else Some(r.getString(9)))
         }
         Some(Small(rows))
       } else {

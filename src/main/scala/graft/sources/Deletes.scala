@@ -94,13 +94,24 @@ object Deletes {
     }
   }
 
-  /** Data part files under `path` (top level, metadata dirs excluded). */
+  /** Data part files under `path` (top level, metadata dirs excluded).
+    * Throws on nested (partition-directory) layouts: targeted rewrite
+    * operates on flat manifest-covered tables, and silently treating a
+    * partitioned table as empty would clear the sidecar WITHOUT removing
+    * any row — the worst possible failure for a takedown list.
+    */
   private def dataFiles(spark: SparkSession, path: String): Seq[String] = {
     val fs = fsFor(spark, path)
-    fs.listStatus(new Path(path)).toIndexedSeq
-      .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
+    val entries = fs.listStatus(new Path(path)).toIndexedSeq
+      .filter(s => !s.getPath.getName.startsWith("_")
         && !s.getPath.getName.startsWith("."))
-      .map(_.getPath.toString)
+    val nested = entries.filter(_.isDirectory)
+    if (nested.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"purge/update support flat table layouts; $path has data " +
+        s"directories (${nested.take(3).map(_.getPath.getName).mkString(", ")}…) " +
+        "— partitioned tables keep merge-on-read (delete/readClean) only")
+    entries.filter(_.isFile).map(_.getPath.toString)
   }
 
   /** Basenames of files whose manifest [lo, hi] footprint on `keyCol` can
@@ -183,24 +194,26 @@ object Deletes {
       .collect().map(_.getString(0)).toSeq.sorted).getOrElse(Nil)
 
     val before = spark.read.parquet(cand: _*)
-    val beforeCount = before.count()
-    val replacement = rewrite(before)
-    val afterCount = replacement.count()
+    val beforeCount = before.count() // parquet count: row-group metadata only
 
     val tmp = new Path(path + ".rewriting")
     val old = new Path(path + ".old")
     fs.delete(tmp, true)
     fs.mkdirs(tmp)
-    // rewritten rows keep the candidate files' granularity; restoring
-    // the clustered tiling afterwards is compact's job, as with appends
-    // (afterCount == 0 writes nothing: an empty parquet dir isn't readable)
-    if (afterCount > 0)
-      replacement.repartition(cand.size).write.mode("overwrite").parquet(tmp.toString)
+    // ONE execution of the rewrite plan: write, then count the written
+    // files (again metadata-only). Rewritten rows keep the candidate
+    // files' granularity; restoring the clustered tiling afterwards is
+    // compact's job, as with appends.
+    rewrite(before).repartition(cand.size).write.mode("overwrite").parquet(tmp.toString)
+    val wroteData = fs.listStatus(tmp).exists(s => s.isFile &&
+      !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+    val afterCount =
+      if (wroteData) spark.read.parquet(tmp.toString).count() else 0L
     if (statCols.nonEmpty) {
       val keptRows = oldManifest.get
         .filter(!col("file").isin(candB.toSeq: _*))
       val merged =
-        if (afterCount > 0)
+        if (wroteData)
           keptRows.unionByName(
             Layout.manifestRows(spark.read.parquet(tmp.toString), statCols),
             allowMissingColumns = true)
@@ -208,20 +221,39 @@ object Deletes {
       merged.coalesce(1).localCheckpoint(true)
         .write.mode("overwrite").parquet(s"${tmp.toString}/${ManifestStore.DirName}")
     }
-    // metadata moves: untouched data files change directory, not content
-    untouched.foreach { f =>
-      val src = new Path(f)
-      if (!fs.rename(src, new Path(tmp, src.getName)))
-        throw new java.io.IOException(s"rewrite: cannot move $f into $tmp")
+    // metadata moves: untouched data files change directory, not content.
+    // Track them so ANY later failure can move them back — without the
+    // rollback, a failed swap would leave the table split across `path`
+    // and `tmp` with the bulk of its rows stranded in the side directory.
+    val moved = scala.collection.mutable.ArrayBuffer.empty[Path]
+    def rollbackMoves(into: Path): Unit = moved.reverse.foreach { src =>
+      fs.rename(new Path(tmp, src.getName), new Path(into, src.getName))
     }
-    if (keepSidecar && fs.exists(new Path(s"$path/$DeletesDir")))
-      if (!fs.rename(new Path(s"$path/$DeletesDir"), new Path(tmp, DeletesDir)))
-        throw new java.io.IOException(s"rewrite: cannot carry $DeletesDir into $tmp")
+    try {
+      untouched.foreach { f =>
+        val src = new Path(f)
+        if (!fs.rename(src, new Path(tmp, src.getName)))
+          throw new java.io.IOException(s"rewrite: cannot move $f into $tmp")
+        moved += src
+      }
+      if (keepSidecar && fs.exists(new Path(s"$path/$DeletesDir")))
+        if (!fs.rename(new Path(s"$path/$DeletesDir"), new Path(tmp, DeletesDir)))
+          throw new java.io.IOException(s"rewrite: cannot carry $DeletesDir into $tmp")
+    } catch {
+      case e: Exception =>
+        rollbackMoves(new Path(path)) // restore the live table, keep tmp for debris
+        throw e
+    }
     fs.delete(old, true)
-    if (!fs.rename(new Path(path), old))
+    if (!fs.rename(new Path(path), old)) {
+      rollbackMoves(new Path(path))
+      if (keepSidecar) fs.rename(new Path(tmp, DeletesDir), new Path(path, DeletesDir))
       throw new java.io.IOException(s"rewrite: cannot move $path aside")
+    }
     if (!fs.rename(tmp, new Path(path))) {
-      fs.rename(old, new Path(path)) // roll back
+      fs.rename(old, new Path(path)) // restore the candidates...
+      rollbackMoves(new Path(path)) // ...and the untouched bulk
+      if (keepSidecar) fs.rename(new Path(tmp, DeletesDir), new Path(path, DeletesDir))
       throw new java.io.IOException(s"rewrite: cannot move $tmp into place")
     }
     fs.delete(old, true) // old candidates + old manifest (+ retired sidecar)
@@ -281,17 +313,19 @@ object Deletes {
       rewriteTargeted(spark, path, cand, candB, untouched,
         keepSidecar = true) { before =>
         // membership via broadcast join (an IN over a driver list would
-        // cap at lookup-list sizes; the join scales with the key frame)
-        val flagged = before.join(ks.withColumn("__hit", lit(1)),
-          before(keyCol) === col("k"), "left")
+        // cap at lookup-list sizes; the join scales with the key frame).
+        // Every key-frame reference is dataframe-QUALIFIED so a table
+        // whose own schema contains a column named "k" still resolves.
+        val flagged = before.join(ks, before(keyCol) === ks("k"), "left")
+        val hit = ks("k").isNotNull
         val updated = set.foldLeft(flagged) { case (df, (c, v)) =>
           // cast back to the column's existing type: a widening expression
           // (decimal arithmetic, int promotion) must not fork the schema
           // between rewritten and untouched files
-          df.withColumn(c, when(col("__hit") === 1,
-            v.cast(before.schema(c).dataType)).otherwise(col(c)))
+          df.withColumn(c, when(hit,
+            v.cast(before.schema(c).dataType)).otherwise(before(c)))
         }
-        updated.drop("k", "__hit")
+        updated.drop(ks("k"))
       }
       PurgeStats(onDisk.size, cand.size, rowsMatched)
     }

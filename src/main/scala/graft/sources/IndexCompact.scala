@@ -150,7 +150,8 @@ object IndexCompact {
     * merely admit a few extra cells until the next `compact` re-tightens.
     */
   def removeKeys(s: SparkSession, path: String, keyCol: String,
-      keys: org.apache.spark.sql.DataFrame): Unit = {
+      keys: org.apache.spark.sql.DataFrame,
+      sortCols: Seq[String] = Nil): Unit = {
     import org.apache.spark.sql.functions.broadcast
     val ks = broadcast(keys.toDF("__k").filter(col("__k").isNotNull).distinct())
     def filtered(df: org.apache.spark.sql.DataFrame) =
@@ -171,7 +172,14 @@ object IndexCompact {
         case None =>
           val n = autoFiles(s, path)
           swapInto(s, path) { tmp =>
-            filtered(s.read.parquet(path)).repartition(n).write.parquet(tmp)
+            // keep the sorted-within-files property the table was
+            // maintained with (rewritePlain) — row-group stats keep
+            // pruning probes after the removal, not just after compact
+            val base = filtered(s.read.parquet(path)).repartition(n)
+            val sorted =
+              if (sortCols.isEmpty) base
+              else base.sortWithinPartitions(sortCols.map(col): _*)
+            sorted.write.parquet(tmp)
           }
       }
     }

@@ -190,12 +190,22 @@ object Layout {
       case StringType => (min(col(c)), max(col(c)))
       case _ => (max(lit(null).cast("string")), max(lit(null).cast("string")))
     }
+    // temporal rows carry a units marker: a manifest written before the
+    // epoch-unit footprints (when a timestamp cast-to-double stored
+    // SECONDS) has no marker, and every temporal consumer fails open on
+    // its absence instead of reinterpreting seconds as micros
+    def tsu(c: String): Column = df.schema(c).dataType match {
+      case DateType | TimestampType | TimestampNTZType =>
+        max(lit(graft.plans.ManifestStore.EpochUnits))
+      case _ => max(lit(null).cast("string"))
+    }
     val aggs = count(lit(1)).as("nrows") +: statCols.flatMap { c =>
       val (lo, hi) = loHi(c)
       val (slo, shi) = sloShi(c)
       Seq(lo.as(s"lo_$c"), hi.as(s"hi_$c"),
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
-        decSum(c).as(s"sm_$c"), slo.as(s"slo_$c"), shi.as(s"shi_$c"))
+        decSum(c).as(s"sm_$c"), slo.as(s"slo_$c"), shi.as(s"shi_$c"),
+        tsu(c).as(s"tsu_$c"))
     }
     // the manifest records BASENAMES (unique per directory), not absolute
     // paths: the table directory can be renamed/compacted/relocated and
@@ -207,9 +217,10 @@ object Layout {
       explode(array(statCols.map(c =>
         struct(lit(c).as("col"), col(s"lo_$c").as("lo"), col(s"hi_$c").as("hi"),
           col(s"nn_$c").as("nnulls"), col(s"sm_$c").as("sm"),
-          col(s"slo_$c").as("slo"), col(s"shi_$c").as("shi"))): _*)).as("s"))
+          col(s"slo_$c").as("slo"), col(s"shi_$c").as("shi"),
+          col(s"tsu_$c").as("tsu"))): _*)).as("s"))
       .select("file", "s.col", "s.lo", "s.hi", "s.nnulls", "s.sm",
-        "s.slo", "s.shi", "nrows")
+        "s.slo", "s.shi", "s.tsu", "nrows")
   }
 
   /** Scan the written files ONCE (write-time cost; one aggregation carries
@@ -274,13 +285,6 @@ object Layout {
     val current = spark.read.parquet(path)
     zorderWrite(current, tmp.toString, zCols, numFiles, bits, quantile)
     writeManifest(spark, tmp.toString, zCols)
-    // a pending-deletes sidecar (Deletes.delete) must survive the swap:
-    // the compacted rows still include the pending keys, and dropping the
-    // sidecar would silently resurrect them for readClean readers
-    val sidecar = new org.apache.hadoop.fs.Path(path, Deletes.DeletesDir)
-    if (fs.exists(sidecar) &&
-        !fs.rename(sidecar, new org.apache.hadoop.fs.Path(tmp, Deletes.DeletesDir)))
-      throw new java.io.IOException(s"compact: cannot carry ${Deletes.DeletesDir}")
     fs.delete(old, true)
     if (!fs.rename(new org.apache.hadoop.fs.Path(path), old))
       throw new java.io.IOException(s"compact: cannot move $path aside")
@@ -288,6 +292,17 @@ object Layout {
       fs.rename(old, new org.apache.hadoop.fs.Path(path)) // roll back
       throw new java.io.IOException(s"compact: cannot move $tmp into place")
     }
+    // a pending-deletes sidecar (Deletes.delete) must survive the swap:
+    // the compacted rows still include the pending keys, and dropping the
+    // sidecar would silently resurrect them for readClean readers. It
+    // moves AFTER the swap (from the retired dir into the live one) so a
+    // failed swap needs no sidecar rollback; if THIS move fails, the old
+    // dir is retained so the keys are never lost.
+    val sidecarOld = new org.apache.hadoop.fs.Path(old, Deletes.DeletesDir)
+    if (fs.exists(sidecarOld) &&
+        !fs.rename(sidecarOld, new org.apache.hadoop.fs.Path(path, Deletes.DeletesDir)))
+      throw new java.io.IOException(
+        s"compact: cannot carry ${Deletes.DeletesDir}; keys retained in $old")
     fs.delete(old, true)
   }
 
@@ -316,8 +331,11 @@ object Layout {
       case Some(ManifestStore.Small(rows)) =>
         val forCol = rows.filter(_.col == c)
         val known = forCol.map(_.file).toSet
+        // NaN stored bounds read as +inf (Spark NaN-greatest ordering);
+        // Scala NaN comparisons would wrongly exclude NaN-bearing files
         val matching = forCol
-          .filter(r => r.lo.exists(_ <= hi) && r.hi.exists(_ >= lo))
+          .filter(r => r.lo.map(ManifestStore.nanAsPosInf).exists(_ <= hi) &&
+            r.hi.map(ManifestStore.nanAsPosInf).exists(_ >= lo))
           .map(r => s"$path/${r.file}")
         if (trustManifest) matching
         else {

@@ -179,6 +179,38 @@ class DeleteSpec extends SparkSpecBase {
     assert(st.rowsDeleted == ks.size, st.toString)
   }
 
+  test("partitioned tables: purge refuses loudly, sidecar and rows intact") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-pdel").toString
+    val path = s"$base/ev"
+    Layout.writeDatePartitioned(
+      Tables.t(spark, sf0001, "events").limit(2000), path, tsCol = "ts")
+    val total = spark.read.parquet(path).count()
+    Deletes.delete(Seq(1L, 2L).toDF("user_id"), path, "user_id")
+    // merge-on-read still composes on partitioned layouts
+    assert(Deletes.readClean(spark, path).count() ==
+      spark.read.parquet(path).filter(!col("user_id").isin(1L, 2L)).count())
+    // physical purge must refuse, NOT clear the sidecar over zero rows
+    intercept[UnsupportedOperationException] { Deletes.purge(spark, path) }
+    assert(Deletes.pending(spark, path).nonEmpty, "sidecar must survive the refusal")
+    assert(spark.read.parquet(path).count() == total)
+  }
+
+  test("update resolves against tables whose own schema contains a column named k") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-kcol").toString
+    val path = s"$base/t"
+    (0 until 100).map(i => (i.toLong, s"k$i", i * 2L)).toDF("id", "k", "v")
+      .repartition(4).write.parquet(path)
+    val st = Deletes.update(Seq(5L, 6L).toDF("id"), path, "id",
+      Map("v" -> lit(-1L)))
+    assert(st.rowsDeleted == 2)
+    val t = spark.read.parquet(path)
+    assert(t.columns.sorted.toSeq == Seq("id", "k", "v")) // no schema pollution
+    assert(t.filter(col("id").isin(5L, 6L) && col("v") === -1L).count() == 2)
+    assert(t.filter(col("k") === "k5").count() == 1) // own "k" column intact
+  }
+
   test("purge without a manifest fails open to a full rewrite, still exact") {
     import spark.implicits._
     val (path, orders) = freshTable(clustered = false)

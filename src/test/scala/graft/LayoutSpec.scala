@@ -676,6 +676,35 @@ class LayoutSpec extends SparkSpecBase {
     assert(unpruned.count() == 200)
   }
 
+  test("pre-epoch temporal manifests are distrusted: no agg rewrite, no pruning") {
+    val base = java.nio.file.Files.createTempDirectory("graft-legacyts").toString
+    val path = s"$base/ev"
+    val ev = Tables.t(spark, sf0001, "events")
+    ev.repartitionByRange(8, col("ts")).sortWithinPartitions("ts")
+      .write.mode("overwrite").parquet(path)
+    Layout.writeManifest(spark, path, Seq("ts"))
+    // simulate a manifest from before the epoch-units change: same rows,
+    // units marker stripped (the old format stored SECONDS in lo/hi —
+    // reinterpreting them as micros must never happen)
+    val mpath = s"$path/_graft_manifest"
+    val legacy = spark.read.parquet(mpath).drop("tsu").localCheckpoint(true)
+    legacy.coalesce(1).write.mode("overwrite").parquet(mpath)
+
+    val agg = spark.read.parquet(path).agg(max(col("ts")).as("mx"))
+    assert(agg.queryExecution.optimizedPlan.collectFirst {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }.isEmpty, "unmarked temporal footprints must not answer aggregates")
+    assert(agg.head().getTimestamp(0) == // scan answer still right
+      ev.agg(max(col("ts"))).head().getTimestamp(0))
+
+    val lo = ev.selectExpr("timestampadd(HOUR, 2, min(ts))").head().getTimestamp(0)
+    val q = spark.read.parquet(path).filter(col("ts") >= lit(lo))
+    assert(scanMetrics(q)("numFiles") ==
+      scanMetrics(spark.read.parquet(path))("numFiles"),
+      "unmarked temporal footprints must not prune")
+    assert(q.count() == ev.filter(col("ts") >= lit(lo)).count())
+  }
+
   test("IN-list predicates prune per-value on both manifest paths") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-in").toString
@@ -711,6 +740,26 @@ class LayoutSpec extends SparkSpecBase {
     assert(scanMetrics(qEnv)("numFiles") < scanMetrics(spark.read.parquet(path))("numFiles"),
       "over-cap IN should fall back to envelope pruning")
     assert(qEnv.count() == 500)
+
+    // NaN in an IN list: Spark orders NaN greatest and treats NaN = NaN,
+    // so the NaN rows match — the driver path must not prune them away
+    val npath = s"$base/nan"
+    (0 until 100).map(i =>
+      (i.toLong, if (i % 10 == 0) Double.NaN else i.toDouble)).toDF("id", "d")
+      .repartition(4).write.parquet(npath)
+    Layout.writeManifest(spark, npath, Seq("d"))
+    val nq = spark.read.parquet(npath).filter(col("d").isin(Double.NaN))
+    assert(nq.count() == 10, "NaN-bearing files must never be pruned")
+    // ranges over NaN-bearing files: NaN rows match d >= x under Spark's
+    // NaN-greatest ordering, and the driver path must agree with an
+    // unmanifested control (stored NaN bounds read as +inf, not "false")
+    val ctl = s"$base/nanctl"
+    spark.read.parquet(npath).write.parquet(ctl) // same rows, no manifest
+    for (pred <- Seq(col("d") >= 50.0, col("d") === 7.0,
+        col("d").isin(7.0, Double.NaN))) {
+      assert(spark.read.parquet(npath).filter(pred).count() ==
+        spark.read.parquet(ctl).filter(pred).count(), s"diverged on $pred")
+    }
   }
 
   test("z-order bit interleave places each input bit at stride k") {

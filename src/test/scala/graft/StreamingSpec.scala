@@ -297,6 +297,17 @@ class StreamingSpec extends SparkSpecBase {
       q.processAllAvailable()
       assert(hits.exists(h => h._1 == 600003L && h._2 == lateId && h._3 == 1.0),
         s"post-append clone must hit the appended doc, got $hits")
+
+      // ...and an index-side REMOVAL (takedown propagated by
+      // removeFromMinHashIndex) is seen the same way: the swap changes
+      // the directory signature, the next probe reloads, and the removed
+      // doc stops matching
+      graft.operators.DedupOps.removeFromMinHashIndex(
+        spark, idx, Seq(seenId).toDF("doc_id"))
+      mem.addData((600004L, seenText, now))
+      q.processAllAvailable()
+      assert(!hits.exists(h => h._1 == 600004L && h._2 == seenId),
+        s"removed doc must stop matching, got ${hits.filter(_._1 == 600004L)}")
     } finally { q.stop(); index.close() }
   }
 

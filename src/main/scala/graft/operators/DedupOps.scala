@@ -692,8 +692,12 @@ object DedupOps {
     */
   def removeFromMinHashIndex(s: SparkSession, indexPath: String,
       ids: DataFrame): Unit = {
-    graft.sources.IndexCompact.removeKeys(s, s"$indexPath/sigs", "doc_id", ids)
-    graft.sources.IndexCompact.removeKeys(s, s"$indexPath/bands", "doc_id", ids, Seq("band", "bkey"))
+    // sortCols apply only when a table is in the plain (non-bucketed)
+    // fallback layout — mirrors what compactMinHashIndex maintains
+    graft.sources.IndexCompact.removeKeys(s, s"$indexPath/sigs", "doc_id", ids,
+      Seq("doc_id"))
+    graft.sources.IndexCompact.removeKeys(s, s"$indexPath/bands", "doc_id", ids,
+      Seq("band", "bkey"))
   }
 
   def incrementalMinHash(s: SparkSession, dir: String): DataFrame = {

@@ -99,10 +99,7 @@ case class ManifestAgg(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  private def temporal(dt: DataType): Boolean = dt match {
-    case DateType | TimestampType | TimestampNTZType => true
-    case _ => false
-  }
+  private def temporal(dt: DataType): Boolean = ManifestStore.isTemporal(dt)
 
   /** Min/max only for types `exactAt` can reconstruct from a double
     * footprint: integrals + float/double, and temporals, whose footprints
@@ -195,7 +192,10 @@ case class ManifestAgg(spark: SparkSession) extends Rule[LogicalPlan] {
             else {
               val los = rs.flatMap(_.lo)
               if (los.isEmpty) Some(null) // provably all-null (or empty) column
-              else exactAt(los.min, a.dataType)
+              // Spark ordering, not Scala's IEEE Seq.min: with a NaN bound
+              // present the IEEE fold is order-dependent and can diverge
+              // from the scan's NaN-greatest answer
+              else exactAt(ManifestStore.sparkMin(los), a.dataType)
             }
           }
         case Max(a: AttributeReference) =>
@@ -207,7 +207,7 @@ case class ManifestAgg(spark: SparkSession) extends Rule[LogicalPlan] {
             else {
               val his = rs.flatMap(_.hi)
               if (his.isEmpty) Some(null)
-              else exactAt(his.max, a.dataType)
+              else exactAt(ManifestStore.sparkMax(his), a.dataType)
             }
           }
         case Sum(a: AttributeReference, _) if integral(a.dataType) =>

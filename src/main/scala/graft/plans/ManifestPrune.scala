@@ -73,12 +73,8 @@ case class ManifestPrune(spark: SparkSession) extends Rule[LogicalPlan] {
   private def temporalCols(cond: Expression): Set[String] = {
     val out = scala.collection.mutable.Set.empty[String]
     cond.foreach {
-      case a: AttributeReference => a.dataType match {
-        case org.apache.spark.sql.types.DateType |
-             org.apache.spark.sql.types.TimestampType |
-             org.apache.spark.sql.types.TimestampNTZType => out += a.name
-        case _ => ()
-      }
+      case a: AttributeReference if ManifestStore.isTemporal(a.dataType) =>
+        out += a.name
       case _ => ()
     }
     out.toSet
@@ -396,16 +392,22 @@ case class ManifestPrune(spark: SparkSession) extends Rule[LogicalPlan] {
       strPts: Map[String, Seq[String]],
       allFiles: Array[String]): Set[String] = ManifestStore.withGuard {
     val session = manifest.sparkSession
-    import org.apache.spark.sql.functions.{broadcast, col, lit, max, min, when}
+    import org.apache.spark.sql.functions.{broadcast, col, lit, max, min, nanvl, when}
     import session.implicits._
     val verdicts = Seq(
       if (envelopes.isEmpty) None else Some {
         val envs = envelopes.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) }
           .toDF("__c", "__elo", "__ehi")
+        // nanvl: a stored NaN bound reads as +inf here exactly as on the
+        // driver path (smallKeep) — Spark evaluates NaN <= x as FALSE
+        // (NaN greatest), which would wrongly prune an all-NaN file for
+        // lower-bounded predicates
+        val flo = nanvl(col("lo"), lit(Double.PositiveInfinity))
+        val fhi = nanvl(col("hi"), lit(Double.PositiveInfinity))
         manifest.join(broadcast(envs), manifest("col") === col("__c"))
           .select(manifest("file"),
             when(col("lo").isNotNull && col("hi").isNotNull &&
-              col("lo") <= col("__ehi") && col("hi") >= col("__elo"), 1)
+              flo <= col("__ehi") && fhi >= col("__elo"), 1)
               .otherwise(0).as("__keep"))
       },
       if (strEnvs.isEmpty) None else Some {
@@ -425,10 +427,12 @@ case class ManifestPrune(spark: SparkSession) extends Rule[LogicalPlan] {
         val pts = numPts.toSeq.flatMap { case (c, vs) => vs.map(v => (c, v)) }
           .toDF("__c", "__v")
         // left join on footprint containment, then per (file, col): keep
-        // iff ANY value landed inside — null footprints never match
+        // iff ANY value landed inside — null footprints never match;
+        // NaN bounds read as +inf (same as the envelope verdict above)
         manifest.join(broadcast(pts), manifest("col") === col("__c") &&
             col("lo").isNotNull && col("hi").isNotNull &&
-            col("__v") >= col("lo") && col("__v") <= col("hi"), "left")
+            col("__v") >= nanvl(col("lo"), lit(Double.PositiveInfinity)) &&
+            col("__v") <= nanvl(col("hi"), lit(Double.PositiveInfinity)), "left")
           .filter(col("col").isin(numPts.keys.toSeq: _*))
           .groupBy(manifest("file"), manifest("col"))
           .agg(min(when(col("__v").isNotNull, 1).otherwise(0)).as("__anyhit"))

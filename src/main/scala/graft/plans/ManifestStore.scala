@@ -76,6 +76,26 @@ object ManifestStore {
   def nanAsPosInf(v: Double): Double =
     if (v.isNaN) Double.PositiveInfinity else v
 
+  /** The types whose footprints are epoch numbers guarded by [[EpochUnits]]
+    * — single point of truth for writer marking (Layout.manifestRows) and
+    * consumer trust checks (ManifestAgg / ManifestPrune).
+    */
+  def isTemporal(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.DateType |
+         org.apache.spark.sql.types.TimestampType |
+         org.apache.spark.sql.types.TimestampNTZType => true
+    case _ => false
+  }
+
+  /** min/max over footprint doubles under SPARK's ordering (NaN greatest),
+    * not Scala's IEEE ordering, whose Seq.min/max are order-dependent when
+    * NaN is present — a metadata fold must agree with the scan.
+    */
+  def sparkMin(vs: Seq[Double]): Double =
+    vs.reduce((a, b) => if (java.lang.Double.compare(a, b) <= 0) a else b)
+  def sparkMax(vs: Seq[Double]): Double =
+    vs.reduce((a, b) => if (java.lang.Double.compare(a, b) >= 0) a else b)
+
   sealed trait Manifest { def rows: Long }
   /** Driver-resident parsed manifest (rows <= driverMaxRows). */
   final case class Small(data: IndexedSeq[StatsRow]) extends Manifest {

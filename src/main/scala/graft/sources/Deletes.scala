@@ -205,10 +205,18 @@ object Deletes {
     // files' granularity; restoring the clustered tiling afterwards is
     // compact's job, as with appends.
     rewrite(before).repartition(cand.size).write.mode("overwrite").parquet(tmp.toString)
-    val wroteData = fs.listStatus(tmp).exists(s => s.isFile &&
+    def tmpDataFiles() = fs.listStatus(tmp).filter(s => s.isFile &&
       !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
     val afterCount =
-      if (wroteData) spark.read.parquet(tmp.toString).count() else 0L
+      if (tmpDataFiles().nonEmpty) spark.read.parquet(tmp.toString).count() else 0L
+    if (afterCount == 0L)
+      // a rewrite that drops every candidate row can still land
+      // schema-only part files (writers open outputs eagerly); they would
+      // be manifest-UNKNOWN files that disable every metadata aggregate's
+      // coverage check — remove them so the manifest exactly covers the
+      // table again
+      tmpDataFiles().foreach(s => fs.delete(s.getPath, false))
+    val wroteData = afterCount > 0L
     if (statCols.nonEmpty) {
       val keptRows = oldManifest.get
         .filter(!col("file").isin(candB.toSeq: _*))
@@ -299,25 +307,31 @@ object Deletes {
       s"update: keys must be a single-column frame, got ${keys.columns.mkString(",")}")
     require(set.nonEmpty, "update: no columns to set")
     require(!set.contains(keyCol), "update: rewriting the key itself is a delete+insert")
-    val ks = keys.toDF("k").filter(col("k").isNotNull)
+    // the key frame joins under a reserved name: withColumn below replaces
+    // EVERY attribute matching a set-column's name, so the key column must
+    // never collide with any table column (including one literally named
+    // "k" that a caller might be setting)
+    val KeyName = "__graft_upd_k"
+    val ks = keys.toDF(KeyName).filter(col(KeyName).isNotNull)
       .distinct().localCheckpoint(true)
     val onDisk = dataFiles(spark, path)
-    val candB = candidateBasenames(spark, path, keyCol, ks, onDisk)
+    val candB = candidateBasenames(spark, path, keyCol,
+      ks.toDF("k"), onDisk)
     val (cand, untouched) =
       onDisk.partition(f => candB(ManifestStore.baseName(f)))
     if (cand.isEmpty) PurgeStats(onDisk.size, 0, 0L)
     else {
       val candidateRows = spark.read.parquet(cand: _*)
+      require(!candidateRows.columns.contains(KeyName),
+        s"update: table column $KeyName shadows the reserved key name")
       val rowsMatched = candidateRows
-        .join(ks, candidateRows(keyCol) === ks("k"), "left_semi").count()
+        .join(ks, candidateRows(keyCol) === ks(KeyName), "left_semi").count()
       rewriteTargeted(spark, path, cand, candB, untouched,
         keepSidecar = true) { before =>
         // membership via broadcast join (an IN over a driver list would
-        // cap at lookup-list sizes; the join scales with the key frame).
-        // Every key-frame reference is dataframe-QUALIFIED so a table
-        // whose own schema contains a column named "k" still resolves.
-        val flagged = before.join(ks, before(keyCol) === ks("k"), "left")
-        val hit = ks("k").isNotNull
+        // cap at lookup-list sizes; the join scales with the key frame)
+        val flagged = before.join(ks, before(keyCol) === ks(KeyName), "left")
+        val hit = ks(KeyName).isNotNull
         val updated = set.foldLeft(flagged) { case (df, (c, v)) =>
           // cast back to the column's existing type: a widening expression
           // (decimal arithmetic, int promotion) must not fork the schema
@@ -325,7 +339,7 @@ object Deletes {
           df.withColumn(c, when(hit,
             v.cast(before.schema(c).dataType)).otherwise(before(c)))
         }
-        updated.drop(ks("k"))
+        updated.drop(KeyName)
       }
       PurgeStats(onDisk.size, cand.size, rowsMatched)
     }

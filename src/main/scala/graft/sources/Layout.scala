@@ -285,6 +285,19 @@ object Layout {
     val current = spark.read.parquet(path)
     zorderWrite(current, tmp.toString, zCols, numFiles, bits, quantile)
     writeManifest(spark, tmp.toString, zCols)
+    // a pending-deletes sidecar (Deletes.delete) must survive the swap:
+    // the compacted rows still include the pending keys, and dropping the
+    // sidecar would silently resurrect them for readClean readers. COPY
+    // it into tmp before the swap — inert (the live dir is not mutated,
+    // so no rollback path is needed), no post-swap window where readClean
+    // misses it, and key lists are O(pending keys) small. A delete queued
+    // between this copy and the swap is the single-writer race compaction
+    // already excludes.
+    val sidecar = new org.apache.hadoop.fs.Path(path, Deletes.DeletesDir)
+    if (fs.exists(sidecar) && !org.apache.hadoop.fs.FileUtil.copy(
+        fs, sidecar, fs, new org.apache.hadoop.fs.Path(tmp, Deletes.DeletesDir),
+        false, spark.sessionState.newHadoopConf()))
+      throw new java.io.IOException(s"compact: cannot copy ${Deletes.DeletesDir}")
     fs.delete(old, true)
     if (!fs.rename(new org.apache.hadoop.fs.Path(path), old))
       throw new java.io.IOException(s"compact: cannot move $path aside")
@@ -292,17 +305,6 @@ object Layout {
       fs.rename(old, new org.apache.hadoop.fs.Path(path)) // roll back
       throw new java.io.IOException(s"compact: cannot move $tmp into place")
     }
-    // a pending-deletes sidecar (Deletes.delete) must survive the swap:
-    // the compacted rows still include the pending keys, and dropping the
-    // sidecar would silently resurrect them for readClean readers. It
-    // moves AFTER the swap (from the retired dir into the live one) so a
-    // failed swap needs no sidecar rollback; if THIS move fails, the old
-    // dir is retained so the keys are never lost.
-    val sidecarOld = new org.apache.hadoop.fs.Path(old, Deletes.DeletesDir)
-    if (fs.exists(sidecarOld) &&
-        !fs.rename(sidecarOld, new org.apache.hadoop.fs.Path(path, Deletes.DeletesDir)))
-      throw new java.io.IOException(
-        s"compact: cannot carry ${Deletes.DeletesDir}; keys retained in $old")
     fs.delete(old, true)
   }
 
@@ -349,9 +351,12 @@ object Layout {
       case Some(lg: ManifestStore.Large) => try ManifestStore.withGuard {
         import spark.implicits._
         val forCol = lg.df.filter(col("col") === c)
+        // NaN bounds read as +inf, matching the Small branch and Spark's
+        // NaN-greatest row semantics
         val matching = forCol
           .filter(col("lo").isNotNull && col("hi").isNotNull &&
-            col("hi") >= lo && col("lo") <= hi)
+            nanvl(col("hi"), lit(Double.PositiveInfinity)) >= lo &&
+            nanvl(col("lo"), lit(Double.PositiveInfinity)) <= hi)
           .select("file").as[String].collect().toIndexedSeq
           .map(f => s"$path/$f")
         if (trustManifest) matching

@@ -209,6 +209,40 @@ class DeleteSpec extends SparkSpecBase {
     assert(t.columns.sorted.toSeq == Seq("id", "k", "v")) // no schema pollution
     assert(t.filter(col("id").isin(5L, 6L) && col("v") === -1L).count() == 2)
     assert(t.filter(col("k") === "k5").count() == 1) // own "k" column intact
+    // SETTING the table's own "k" column works too (the join key lives
+    // under a reserved name, so withColumn("k") touches only the table's)
+    val st2 = Deletes.update(Seq(7L).toDF("id"), path, "id",
+      Map("k" -> lit("zz")))
+    assert(st2.rowsDeleted == 1)
+    val t2 = spark.read.parquet(path)
+    assert(t2.columns.sorted.toSeq == Seq("id", "k", "v"))
+    assert(t2.filter(col("id") === 7L).select("k").head().getString(0) == "zz")
+    assert(t2.filter(col("k") === "k8").count() == 1) // others untouched
+  }
+
+  test("purge that empties its candidate files keeps the manifest covering the table") {
+    import spark.implicits._
+    val (path, orders) = freshTable()
+    val total = orders.count()
+    // every id in the lowest z-file: deleting ALL of them empties the
+    // candidate rewrite — no stray schema-only part files may survive
+    val fileOfMin = {
+      val firstFile = Layout.readPruned(spark, path, "o_orderkey", 0, 50)
+        .inputFiles.head
+      spark.read.parquet(firstFile).select("o_orderkey")
+        .collect().map(_.getLong(0)).toSeq
+    }
+    Deletes.delete(fileOfMin.toDF("o_orderkey"), path, "o_orderkey")
+    val st = Deletes.purge(spark, path).get
+    assert(st.rowsDeleted == fileOfMin.size, st.toString)
+    val raw = spark.read.parquet(path)
+    assert(raw.count() == total - fileOfMin.size)
+    // the metadata path must still answer: every file manifest-covered
+    val agg = raw.agg(count(lit(1)).as("n"))
+    assert(agg.queryExecution.optimizedPlan.collectFirst {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }.isDefined, "empty rewrite left manifest-unknown files behind")
+    assert(agg.head().getLong(0) == total - fileOfMin.size)
   }
 
   test("purge without a manifest fails open to a full rewrite, still exact") {

@@ -755,11 +755,29 @@ class LayoutSpec extends SparkSpecBase {
     // unmanifested control (stored NaN bounds read as +inf, not "false")
     val ctl = s"$base/nanctl"
     spark.read.parquet(npath).write.parquet(ctl) // same rows, no manifest
-    for (pred <- Seq(col("d") >= 50.0, col("d") === 7.0,
-        col("d").isin(7.0, Double.NaN))) {
-      assert(spark.read.parquet(npath).filter(pred).count() ==
-        spark.read.parquet(ctl).filter(pred).count(), s"diverged on $pred")
-    }
+    try {
+      for (mode <- Seq("1000000", "0")) { // driver and distributed paths
+        spark.conf.set("spark.graft.manifest.driverMaxRows", mode)
+        for (pred <- Seq(col("d") >= 50.0, col("d") === 7.0,
+            col("d").isin(7.0, Double.NaN))) {
+          assert(spark.read.parquet(npath).filter(pred).count() ==
+            spark.read.parquet(ctl).filter(pred).count(),
+            s"diverged on $pred (driverMaxRows=$mode)")
+        }
+        // metadata min/max must fold under SPARK's NaN-greatest ordering:
+        // max is NaN (some file's hi is NaN), min is the finite minimum
+        val agg = spark.read.parquet(npath)
+          .agg(min(col("d")).as("mn"), max(col("d")).as("mx"))
+        assert(agg.queryExecution.optimizedPlan.collectFirst {
+          case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+        }.isDefined, s"agg must stay metadata-answered (driverMaxRows=$mode)")
+        val r = agg.head()
+        val s = spark.read.parquet(ctl).agg(min(col("d")), max(col("d"))).head()
+        assert(r.getDouble(0) == s.getDouble(0), "min diverged")
+        assert(r.getDouble(1).isNaN == s.getDouble(1).isNaN &&
+          (r.getDouble(1).isNaN || r.getDouble(1) == s.getDouble(1)), "max diverged")
+      }
+    } finally spark.conf.unset("spark.graft.manifest.driverMaxRows")
   }
 
   test("z-order bit interleave places each input bit at stride k") {

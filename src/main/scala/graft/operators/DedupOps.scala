@@ -741,6 +741,161 @@ object DedupOps {
       docs.filter(col("doc_id") % 5 === 0))
   }
 
+  // ------------------------------------------------------- substring spans
+
+  /** Window length for exact duplicated-substring detection. Lee et al.
+    * ("Deduplicating Training Data Makes Language Models Better", ACL
+    * 2022) use 50-token spans over web corpora; the synthetic docs here
+    * average ~50 tokens TOTAL, so 8 keeps the same "long enough that
+    * chance repeats are negligible" property at test scale.
+    */
+  private[graft] final val SpanK = 8
+
+  /** (doc_id, toks, n_tokens) — token array stays array-local. */
+  private def spanToks(docs: DataFrame): DataFrame =
+    Tables.spread(docs)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+
+  /** One row per k-token window: (doc_id, pos, gram). Window construction
+    * is a transform HOF over each doc's OWN token array (no row-per-token
+    * explode ever exists); the per-window rows that do explode are exactly
+    * the units the global duplicate count groups.
+    */
+  private def spanGrams(toks: DataFrame): DataFrame =
+    toks.filter(col("n_tokens") >= SpanK)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(toks) - $SpanK)," +
+          s" i -> concat_ws(' ', slice(toks, i + 1, $SpanK)))")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("gram"))
+
+  /** Exact duplicated-SUBSTRING coverage (re-derivation of the exact-match
+    * half of Lee et al. 2022, the span-level dedup family the doc-level
+    * ops cannot see): a k-token window is duplicated iff its exact token
+    * sequence occurs MORE THAN ONCE in the corpus (within or across
+    * documents — a boilerplate header shared by a million otherwise-unique
+    * pages never reaches doc-level Jaccard 0.8, yet every copy of it is
+    * pure duplication). Per document: how many token positions sit under
+    * at least one duplicated window.
+    *
+    * Scale shape: the paper's suffix array is a single-machine structure;
+    * the distributed equivalent is this windowed-fingerprint plan. One
+    * corpus scan builds windows array-locally; the windows shuffle ONCE by
+    * gram (count-over-window, no self-join); duplicated hits shuffle by
+    * doc (bounded by corpus window count); the per-doc interval union is
+    * an aggregate HOF over each doc's own sorted hit positions (list
+    * bounded by doc length). The gram strings themselves are the shuffle
+    * key here for oracle parity — at 100 TB you'd key on a 128-bit
+    * fingerprint of the window (collision odds ~n²/2¹²⁸) to cut shuffle
+    * bytes; the plan is otherwise unchanged.
+    */
+  def substringDupOn(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = spanToks(docs)
+    val hits = spanGrams(toks)
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("gram")))
+      .filter(col("n") >= 2)
+      .select("doc_id", "pos")
+    // union of [p, p+k-1] intervals over the doc's sorted hit positions:
+    // each window adds its length minus the overlap with the covered
+    // prefix ending at `e` (positions are distinct, so the contribution
+    // stays in [1, k])
+    val covered = hits.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+      .select(col("doc_id"), expr(
+        s"""aggregate(ps,
+           |  named_struct('cov', CAST(0 AS BIGINT), 'e', CAST(-1 AS BIGINT)),
+           |  (acc, p) -> named_struct(
+           |    'cov', acc.cov + p + ${SpanK - 1} - greatest(acc.e, p - 1),
+           |    'e', greatest(acc.e, p + ${SpanK - 1})),
+           |  acc -> acc.cov)""".stripMargin).as("dup_tokens"))
+    toks.select("doc_id", "n_tokens")
+      .join(covered, Seq("doc_id"), "left")
+      .withColumn("dup_tokens", coalesce(col("dup_tokens"), lit(0L)))
+      .withColumn("dup_ratio",
+        col("dup_tokens").cast(DoubleType) / col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  def substringDup(s: SparkSession, dir: String): DataFrame =
+    substringDupOn(Tables.t(s, dir, "documents"))
+
+  private val sqlSpanGrams: String =
+    """tok AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+      |base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks FROM tok),
+      |gi AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS i
+      |       FROM base WHERE n_tokens >= 8),
+      |grams AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+      |                 array_to_string(toks[i:i+7], ' ') AS gram FROM gi)""".stripMargin
+
+  val substringDupOracle: String =
+    s"""WITH $sqlSpanGrams,
+       |dup AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2),
+       |hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)),
+       |cov AS (SELECT doc_id, pos,
+       |  pos + 7 - greatest(coalesce(max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1), pos - 1) AS contrib
+       |  FROM hits),
+       |agg AS (SELECT doc_id, SUM(contrib) AS dup_tokens FROM cov GROUP BY doc_id)
+       |SELECT b.doc_id, b.n_tokens, CAST(coalesce(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       |       CAST(coalesce(a.dup_tokens, 0) AS DOUBLE) / b.n_tokens AS dup_ratio
+       |FROM base b LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** The ACTION the detector feeds (Lee et al. drop all but one occurrence
+    * of each duplicated span): rank every occurrence of a duplicated
+    * window under a global total order (doc_id, pos) and scrub the token
+    * positions covered only by NON-first occurrences — the corpus keeps
+    * exactly one copy of every duplicated span, preserving it where it
+    * appears first. Same plan as [[substringDupOn]] with the count-window
+    * swapped for a rank-window (identical exchange); the rebuild is a
+    * per-doc filter HOF over the token array against the doc's own sorted
+    * scrub positions (O(len · hits) per doc, both bounded by doc length).
+    */
+  def substringScrubOn(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = spanToks(docs)
+    val scrubHits = spanGrams(toks)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("gram").orderBy(col("doc_id"), col("pos"))))
+      .filter(col("rn") > 1)
+      .select("doc_id", "pos")
+    val ps = scrubHits.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+    toks.join(ps, Seq("doc_id"), "left")
+      .withColumn("ps", coalesce(col("ps"), expr("CAST(array() AS ARRAY<BIGINT>)")))
+      .withColumn("kept", expr(
+        s"filter(transform(toks, (t, q) -> named_struct('t', t, 'q', CAST(q AS BIGINT)))," +
+          s" x -> NOT exists(ps, p -> p <= x.q AND x.q <= p + ${SpanK - 1}))"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - size(col("kept")).cast("long")).as("n_removed"),
+        concat_ws(" ", expr("transform(kept, x -> x.t)")).as("text_clean"))
+      .orderBy("doc_id")
+  }
+
+  def substringScrub(s: SparkSession, dir: String): DataFrame =
+    substringScrubOn(Tables.t(s, dir, "documents"))
+
+  val substringScrubOracle: String =
+    s"""WITH $sqlSpanGrams,
+       |dup AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2),
+       |hits AS (SELECT g.doc_id, g.pos, g.gram FROM grams g JOIN dup USING (gram)),
+       |ranked AS (SELECT doc_id, pos,
+       |    row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn FROM hits),
+       |scrub AS (SELECT DISTINCT doc_id, pos FROM ranked WHERE rn > 1),
+       |tp AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS q1 FROM base),
+       |keepq AS (
+       |  SELECT t.doc_id, t.q1, t.toks[t.q1] AS token
+       |  FROM tp t
+       |  WHERE NOT EXISTS (SELECT 1 FROM scrub s
+       |                    WHERE s.doc_id = t.doc_id AND s.pos <= t.q1 - 1 AND t.q1 - 1 <= s.pos + 7)),
+       |cleaned AS (SELECT doc_id, string_agg(token, ' ' ORDER BY q1) AS text_clean,
+       |                   COUNT(*) AS n_kept FROM keepq GROUP BY doc_id)
+       |SELECT b.doc_id, b.n_tokens,
+       |       CAST(b.n_tokens - coalesce(c.n_kept, 0) AS BIGINT) AS n_removed,
+       |       coalesce(c.text_clean, '') AS text_clean
+       |FROM base b LEFT JOIN cleaned c USING (doc_id) ORDER BY doc_id""".stripMargin
+
   val dupClustersOracle: String =
     s"""WITH RECURSIVE $sqlCappedPairs,
        |pairs AS (SELECT d1, d2 FROM jp),
@@ -759,6 +914,8 @@ object DedupOps {
     QueryDef("doc_minhash_lsh", minHashLsh, None, headline = true),
     QueryDef("doc_simhash", simHashPairs, None),
     QueryDef("doc_dup_clusters", dupClusters, Some(dupClustersOracle)),
+    QueryDef("doc_substring_dup", substringDup, Some(substringDupOracle)),
+    QueryDef("doc_substring_scrub", substringScrub, Some(substringScrubOracle)),
     QueryDef("doc_incr_dedup", incrementalDedup, Some(incrementalOracle)),
     QueryDef("doc_incr_minhash", incrementalMinHash, None),
     QueryDef("doc_incr_simhash", incrementalSimHash, None)

@@ -553,4 +553,84 @@ class DedupSimilaritySpec extends SparkSpecBase {
     val total = c.agg(sum("n")).first().getLong(0)
     assert(total == Tables.t(spark, sf0001, "embeddings").count())
   }
+
+  // tokens "a0 a1 ... a(n-1)" with an optional shared span spliced in
+  private def spanDoc(id: Long, n: Int, shared: Seq[String] = Nil, at: Int = 0)
+      : (Long, String) = {
+    val base = (0 until n).map(i => s"d${id}t$i")
+    val toks =
+      if (shared.isEmpty) base
+      else base.take(at) ++ shared ++ base.drop(at)
+    (id, toks.mkString(" "))
+  }
+
+  test("substring dup: planted 10-token shared span covers exactly its union") {
+    // 10 shared tokens = three overlapping 8-grams per doc; the interval
+    // union must report 10 covered positions, not 3*8
+    val shared = (0 until 10).map(i => s"sh$i")
+    val docs = Seq(
+      spanDoc(1L, 20, shared, at = 5),
+      spanDoc(2L, 15, shared, at = 0),
+      spanDoc(3L, 25)).toDF("doc_id", "text")
+    val byDoc = DedupOps.substringDupOn(docs)
+      .select("doc_id", "dup_tokens").as[(Long, Long)].collect().toMap
+    assert(byDoc == Map(1L -> 10L, 2L -> 10L, 3L -> 0L))
+    val ratios = DedupOps.substringDupOn(docs)
+      .select("doc_id", "dup_ratio").as[(Long, Double)].collect().toMap
+    assert(ratios(2L) == 10.0 / 25.0 && ratios(3L) == 0.0)
+  }
+
+  test("substring dup: WITHIN-doc repeats count as duplication") {
+    val span = (0 until 8).map(i => s"r$i")
+    val toks = span ++ (0 until 6).map(i => s"u$i") ++ span
+    val docs = Seq((1L, toks.mkString(" ")), spanDoc(2L, 30))
+      .toDF("doc_id", "text")
+    val got = DedupOps.substringDupOn(docs)
+      .select("doc_id", "dup_tokens").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 16L, 2L -> 0L))
+  }
+
+  test("substring dup: docs shorter than the window are reported uncovered") {
+    val docs = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    val got = DedupOps.substringDupOn(docs)
+      .select("doc_id", "n_tokens", "dup_tokens")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 3L, 0L), (2L, 3L, 0L)))
+  }
+
+  test("substring scrub keeps the FIRST occurrence and empties later clones") {
+    val shared = (0 until 12).map(i => s"sh$i")
+    val docs = Seq(
+      spanDoc(1L, 10, shared, at = 4), // first occurrence (doc order)
+      spanDoc(2L, 6, shared, at = 2), // later occurrence -> scrubbed
+      spanDoc(3L, 20)).toDF("doc_id", "text")
+    val got = DedupOps.substringScrubOn(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_removed"), r.getAs[String]("text_clean")))).toMap
+    assert(got(1L)._1 == 0L, "keeper doc must be untouched")
+    assert(got(2L)._1 == 12L)
+    assert(got(2L)._2 == ((0 until 2).map(i => s"d2t$i") ++
+      (2 until 6).map(i => s"d2t$i")).mkString(" "))
+    assert(got(3L)._1 == 0L)
+    // after the scrub no duplicated span remains anywhere
+    val again = DedupOps.substringDupOn(
+      DedupOps.substringScrubOn(docs)
+        .select(col("doc_id"), col("text_clean").as("text")))
+    assert(again.agg(sum("dup_tokens")).first().getLong(0) == 0L)
+  }
+
+  test("substring scrub on the real corpus removes all residual duplication (sf0.001)") {
+    val docs = Tables.t(spark, sf0001, "documents")
+    val before = DedupOps.substringDupOn(docs)
+      .agg(sum("dup_tokens")).first().getLong(0)
+    assert(before > 0L, "test corpus should contain duplicated spans")
+    val scrubbed = DedupOps.substringScrubOn(docs)
+      .select(col("doc_id"), col("text_clean").as("text"))
+    val after = DedupOps.substringDupOn(scrubbed)
+      .agg(sum("dup_tokens")).first().getLong(0)
+    // scrubbing can in principle create NEW adjacencies; it must at least
+    // eliminate the original duplication almost entirely
+    assert(after <= before / 20,
+      s"scrub left $after of $before duplicated positions")
+  }
 }

@@ -669,6 +669,75 @@ object TextOps {
        |  FROM documents)
        |WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin
 
+  /** Hashed n-gram feature buckets for DSIR (unigrams + bigrams, one
+    * array-local HOF pass — no row-per-token explode on the scoring side).
+    */
+  private def dsirFeats(buckets: Int): Column = expr(
+    s"""concat(
+       |  transform(toks, t -> pmod(xxhash64(t), $buckets)),
+       |  transform(sequence(1, greatest(size(toks) - 1, 0)),
+       |    i -> pmod(xxhash64(concat(element_at(toks, i), ' ',
+       |                              element_at(toks, i + 1))), $buckets)))""".stripMargin)
+
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling" — re-derived): score every
+    * raw document by how target-like its hashed n-gram profile is. Fit two
+    * bag-of-buckets multinomials — p_target over the target (domain)
+    * corpus, p_raw over the raw pool, unigram+bigram features hashed into
+    * `buckets` buckets, add-one smoothing — and weight each doc by
+    * sum over its feature instances of log p_target(b) - log p_raw(b).
+    * Resampling the pool by these weights shifts it toward the target
+    * domain; the weight itself is the per-doc log importance ratio.
+    *
+    * Scale shape: the two count fits are B-bounded aggregates with
+    * map-side combine (feature instances collapse to at most `buckets`
+    * rows each — driver pull bounded by 2B, the codebook pattern). The
+    * scoring pass is then ZERO-shuffle: the log-ratio table rides along
+    * as one broadcast map literal and each doc folds its own feature
+    * array through it — corpus scanned once, nothing corpus-sized moves.
+    * Weight gaps ARE float log sums (engine-order-deterministic per doc:
+    * the fold follows document order), so the query is rows-only gated
+    * and the ranking semantics are unit-tested.
+    */
+  def dsirWeightsOn(raw: DataFrame, target: DataFrame,
+      buckets: Int = 4096): DataFrame = {
+    val spark = raw.sparkSession
+    def counts(df: DataFrame): Map[Long, Long] =
+      Tables.spread(df)
+        .select(split(col("text"), " ").as("toks"))
+        .select(explode(dsirFeats(buckets)).as("b"))
+        .groupBy("b").agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (ct, cr) = (counts(target), counts(raw))
+    val (tt, tr) = (ct.values.sum.toDouble, cr.values.sum.toDouble)
+    def logp(c: Long, tot: Double): Double =
+      math.log((c + 1).toDouble / (tot + buckets))
+    val lr: Map[Long, Double] = (ct.keySet ++ cr.keySet).iterator
+      .map(b => b -> (logp(ct.getOrElse(b, 0L), tt) - logp(cr.getOrElse(b, 0L), tr)))
+      .toMap
+    // a bucket unseen in BOTH fits still needs a defined ratio when a
+    // foreign frame is scored against these models
+    val unseen = logp(0L, tt) - logp(0L, tr)
+    val lrMap = typedLit(lr)
+    Tables.spread(raw)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("fs", dsirFeats(buckets))
+      .withColumn("m", lrMap) // ONE map literal in the plan, not per-row data
+      .select(col("doc_id"), size(col("fs")).cast("long").as("n_feats"),
+        expr(s"aggregate(fs, CAST(0.0 AS DOUBLE)," +
+          s" (acc, f) -> acc + coalesce(element_at(m, f), CAST($unseen AS DOUBLE))," +
+          " acc -> acc)").as("weight"))
+      .orderBy("doc_id")
+  }
+
+  /** `doc_dsir_weight`: target domain = the `src0` slice of the corpus,
+    * pool = the whole corpus.
+    */
+  def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.t(s, dir, "documents")
+    dsirWeightsOn(docs, docs.filter(col("source") === "src0"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("doc_token_stats", tokenStats, Some(tokenStatsOracle)),
     QueryDef("doc_quality", quality, Some(qualityOracle)),
@@ -687,6 +756,7 @@ object TextOps {
     QueryDef("doc_rare_tokens", rareTokenRatio, Some(rareTokenOracle)),
     QueryDef("doc_seq_pack", seqPack, Some(seqPackOracle)),
     QueryDef("doc_sample_per_source", samplePerSource, Some(samplePerSourceOracle)),
-    QueryDef("doc_mix_sample", mixSample, Some(mixSampleOracle))
+    QueryDef("doc_mix_sample", mixSample, Some(mixSampleOracle)),
+    QueryDef("doc_dsir_weight", dsirWeights, None)
   )
 }

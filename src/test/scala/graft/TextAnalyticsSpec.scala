@@ -136,6 +136,30 @@ class TextAnalyticsSpec extends SparkSpecBase {
     assert(got.values.map(_._1).toSet.size > 1)
   }
 
+  test("dsir weights rank target-like docs above off-domain docs") {
+    import graft.operators.TextOps
+    val target = Seq(
+      (100L, "apple orange pear apple plum orange"),
+      (101L, "pear plum apple orange pear apple")).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "apple orange pear plum apple orange"), // target-like
+      (2L, "apple orange zx1 zx2 zx3 zx4"), // half target-like
+      (3L, "qq1 qq2 qq3 qq4 qq5 qq6")) // off-domain
+      .toDF("doc_id", "text")
+    val w = TextOps.dsirWeightsOn(raw, target)
+      .select("doc_id", "n_feats", "weight")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // unigrams + bigrams: 6 tokens -> 11 feature instances
+    assert(w.values.forall(_._1 == 11L))
+    assert(w(1L)._2 > w(2L)._2 && w(2L)._2 > w(3L)._2,
+      s"expected monotone target-likeness, got $w")
+    // the fold order is document order -> byte-stable across runs
+    val again = TextOps.dsirWeightsOn(raw, target)
+      .select("doc_id", "weight").as[(Long, Double)].collect().toMap
+    assert(w.forall { case (id, (_, wt)) => again(id) == wt })
+  }
+
   test("topk never exceeds 3 per customer and ranks by totalprice desc") {
     val tk = Analytics.qTopkOrdersPerCust(spark, sf0001)
     val bad = tk.groupBy("o_custkey").agg(count(lit(1)).as("n"))

@@ -47,6 +47,13 @@ object Stress {
     time(s"jaccard x$copies")(DedupOps.jaccardPairsOn(docsN).count())
     spark.catalog.clearCache()
 
+    // substring-span dedup: the marker interleave kills every cross-copy
+    // 8-gram (each window spans a marker), so total duplicated-token
+    // coverage must be EXACTLY linear in copies
+    time(s"substring-dup x$copies coverage")(
+      DedupOps.substringDupOn(docsN).agg(sum("dup_tokens")).first().getLong(0))
+    spark.catalog.clearCache()
+
     // incremental probe: the corpus grows xN while the daily batch stays
     // fixed (a 10% slice of copy 0, id-shifted, text identical -> every
     // batch doc is an exact corpus dup). Probe cost must track ONE corpus

@@ -18,7 +18,8 @@ object GraftFunctions {
     "graft_minhash_sig" -> { args => MinHashSig(args(0)) },
     "graft_word_shingles" -> { args =>
       WordShingles(args(0), args(1).eval().asInstanceOf[Int]) },
-    "graft_pq_adc" -> { args => PqAdc(args(0), args(1)) }
+    "graft_pq_adc" -> { args => PqAdc(args(0), args(1)) },
+    "graft_ln" -> { args => PortableLn(args(0)) }
   )
 
   def register(spark: SparkSession): Unit = {
@@ -50,4 +51,5 @@ object GraftFunctions {
     call_function("graft_word_shingles", text, org.apache.spark.sql.functions.lit(k))
   def graftPqAdc(codes: Column, lut: Column): Column =
     call_function("graft_pq_adc", codes, lut)
+  def graftLn(x: Column): Column = call_function("graft_ln", x)
 }

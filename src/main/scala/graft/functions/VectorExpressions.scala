@@ -333,3 +333,33 @@ object PqAdc {
     s
   }
 }
+
+/** Engine-portable natural log: calls `java.lang.Math.log`, which HotSpot
+  * compiles to its dlog stub — bit-identical to the platform libm (and so
+  * to DuckDB's `ln`) on every input the gate corpus produces. Spark's
+  * built-in `log()` routes through `StrictMath.log` (fdlibm), which is a
+  * last-ulp OFF libm on some inputs (measured: ln(1.269...) for the
+  * doc_bm25 idf at df=394/N=500 — fdlibm ...a376 vs libm ...a377), so a
+  * gated float query using built-in log hash-mismatches the oracle. Only
+  * expressions whose remaining ops are IEEE-correctly-rounded (+,-,*,/,
+  * sqrt) should rely on this for cross-engine bit-exactness, and the gate
+  * still verifies the agreement on the corpus it runs.
+  */
+case class PortableLn(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == DoubleType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_ln expects DOUBLE, got ${child.dataType.catalogString}")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_ln"
+
+  override protected def nullSafeEval(x: Any): Any =
+    java.lang.Math.log(x.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"java.lang.Math.log($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -669,6 +669,81 @@ object TextOps {
        |  FROM documents)
        |WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin
 
+  /** BM25 relevance of every document against a fixed query-term set
+    * (Robertson/Sparck-Jones idf, k1/b from the Okapi defaults) — the
+    * retrieval scorer a training-data pipeline uses for targeted corpus
+    * search and retrieval-based decontamination. Shape: per-term tf is an
+    * array-local filter count (the query is a tiny literal set, so there is
+    * NO token explode and NO per-token shuffle); the corpus-level constants
+    * (N, total length, per-term df) are ONE global aggregate row broadcast
+    * back; scoring is then map-side. At 100 TB the plan is two corpus
+    * scans (one for the 1-row stats agg, one scoring) and nothing else
+    * moves. Float discipline: idf's ln() and the length-normalized tf
+    * ratio are computed from exact integer aggregates with the SAME
+    * literals and association order in both engines; every op in the
+    * score is IEEE-correctly-rounded except ln, whose cross-engine
+    * bit-agreement the gate verifies on this corpus (Java fdlibm and
+    * DuckDB libm agree on these inputs; if a platform ever disagrees the
+    * query degrades to rows-only, not wrong).
+    */
+  private val bm25Terms = Seq("spark", "vector", "customer")
+
+  def bm25(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val base = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), toks.as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val withTf = bm25Terms.zipWithIndex.foldLeft(base) { case (df, (t, i)) =>
+      df.withColumn(s"tf_$i",
+        size(filter(col("toks"), x => x === lit(t))).cast("long"))
+    }
+    val statCols = Seq(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl")) ++
+      bm25Terms.indices.map(i =>
+        sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    val stats = withTf.agg(statCols.head, statCols.tail: _*)
+    val avgdl = col("total_dl").cast(DoubleType) / col("n_docs").cast(DoubleType)
+    def termScore(i: Int): Column = {
+      val tf = col(s"tf_$i").cast(DoubleType)
+      val dfT = col(s"df_$i").cast(DoubleType)
+      val idf = graft.functions.GraftFunctions.graftLn(
+        (col("n_docs").cast(DoubleType) - dfT + lit(0.5)) /
+          (dfT + lit(0.5)) + lit(1.0))
+      idf * tf * lit(2.2) /
+        (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast(DoubleType) / avgdl))
+    }
+    withTf.crossJoin(broadcast(stats))
+      .select(Seq(col("doc_id"), col("dl")) ++
+        bm25Terms.indices.map(i => col(s"tf_$i")) :+
+        bm25Terms.indices.map(termScore).reduce(_ + _).as("bm25"): _*)
+      .filter(bm25Terms.indices.map(i => col(s"tf_$i") > 0).reduce(_ || _))
+      .orderBy("doc_id")
+  }
+
+  val bm25Oracle: String = {
+    val tfCols = bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(str_split(text, ' '), x -> x = '$t')) AS tf_$i"
+    }.mkString(",\n  ")
+    val dfCols = bm25Terms.indices.map(i =>
+      s"CAST(COUNT(CASE WHEN tf_$i > 0 THEN 1 END) AS BIGINT) AS df_$i").mkString(", ")
+    def termScore(i: Int): String =
+      s"""(ln((CAST(n_docs AS DOUBLE) - CAST(df_$i AS DOUBLE) + 0.5) /
+         |    (CAST(df_$i AS DOUBLE) + 0.5) + 1.0)
+         |  * CAST(tf_$i AS DOUBLE) * 2.2
+         |  / (CAST(tf_$i AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+         |      / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))""".stripMargin
+    val score = bm25Terms.indices.map(termScore).mkString("(", " + ", ")")
+    val tfSel = bm25Terms.indices.map(i => s"tf_$i").mkString(", ")
+    val anyTf = bm25Terms.indices.map(i => s"tf_$i > 0").mkString(" OR ")
+    s"""WITH d AS (
+       |  SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS dl,
+       |  $tfCols
+       |  FROM documents),
+       |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |             CAST(SUM(dl) AS BIGINT) AS total_dl, $dfCols FROM d)
+       |SELECT doc_id, dl, $tfSel, $score AS bm25
+       |FROM d, s WHERE $anyTf ORDER BY doc_id""".stripMargin
+  }
+
   /** Hashed n-gram feature buckets for DSIR (unigrams + bigrams, one
     * array-local HOF pass — no row-per-token explode on the scoring side).
     */
@@ -757,6 +832,7 @@ object TextOps {
     QueryDef("doc_seq_pack", seqPack, Some(seqPackOracle)),
     QueryDef("doc_sample_per_source", samplePerSource, Some(samplePerSourceOracle)),
     QueryDef("doc_mix_sample", mixSample, Some(mixSampleOracle)),
-    QueryDef("doc_dsir_weight", dsirWeights, None)
+    QueryDef("doc_dsir_weight", dsirWeights, None),
+    QueryDef("doc_bm25", bm25, Some(bm25Oracle))
   )
 }

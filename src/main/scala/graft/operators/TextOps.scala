@@ -744,6 +744,110 @@ object TextOps {
        |FROM d, s WHERE $anyTf ORDER BY doc_id""".stripMargin
   }
 
+  /** Bigram language-model quality score (the CCNet signal, re-derived:
+    * Wenzek et al. 2020 score documents by the perplexity of a pruned
+    * KenLM; here the LM is a stupid-backoff bigram model trained on the
+    * corpus itself). Per document: avg negative log-prob of its bigram
+    * sequence under p(w2|w1) = c(w1 w2)/c(w1), backing off to
+    * 0.4 * c(w2)/T for unseen bigrams (and an OOV floor 0.4 * 1/T) —
+    * high avg_nll marks incoherent token salad, low marks repetitive
+    * boilerplate; the mid-band is what survives a CCNet-style filter.
+    *
+    * Scale shape mirrors the production design (a pruned LM BROADCAST to
+    * executors, CCNet ships ~GB KenLM files the same way): the two count
+    * fits collapse map-side to at most vocabCap rows each (top-V by
+    * count, deterministic token tiebreak — driver pull bounded by 2V, the
+    * codebook pattern), ride the plan as two map literals, and the
+    * scoring pass is ZERO-shuffle — each doc folds its own bigram array
+    * in document order, so the float sum has ONE deterministic
+    * association order in any engine and stays gate-exact (ln via
+    * graft_ln, everything else correctly-rounded IEEE).
+    */
+  def lmScore(s: SparkSession, dir: String): DataFrame = {
+    val vocabCap = s.conf.get("spark.graft.lm.vocabCap", "100000").toInt
+    val docs = Tables.t(s, dir, "documents")
+    val tok = Tables.spread(docs)
+      .select(explode(split(col("text"), " ")).as("token"))
+    def topV(counts: DataFrame): Map[String, Long] =
+      counts.orderBy(col("c").desc, col("k").asc).limit(vocabCap)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val uni = topV(tok.groupBy(col("token").as("k")).agg(count(lit(1)).as("c")))
+    val big = topV(Tables.spread(docs)
+      .select(split(col("text"), " ").as("toks"))
+      .select(explode(expr(
+        "transform(sequence(1, greatest(size(toks) - 1, 0))," +
+          " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))")).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("c")))
+    val total = docs.agg(sum(size(split(col("text"), " "))).cast("long")).head.getLong(0)
+    val scored = Tables.spread(docs)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("bgs", expr(
+        "transform(sequence(1, greatest(size(toks) - 1, 0))," +
+          " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+      .withColumn("um", typedLit(uni))
+      .withColumn("bm", typedLit(big))
+      .select(col("doc_id"),
+        size(col("bgs")).cast("long").as("n_bigrams"),
+        expr(
+          s"""aggregate(bgs, CAST(0.0 AS DOUBLE), (acc, b) -> acc - graft_ln(
+             |  CASE WHEN element_at(bm, b) IS NOT NULL
+             |            AND element_at(um, substring_index(b, ' ', 1)) IS NOT NULL
+             |    THEN CAST(element_at(bm, b) AS DOUBLE)
+             |         / CAST(element_at(um, substring_index(b, ' ', 1)) AS DOUBLE)
+             |    ELSE 0.4 * CAST(coalesce(element_at(um, substring_index(b, ' ', -1)), 1)
+             |               AS DOUBLE) / CAST($total AS DOUBLE)
+             |  END))""".stripMargin).as("nll"))
+      .withColumn("avg_nll",
+        when(col("n_bigrams") > 0, col("nll") / col("n_bigrams").cast(DoubleType)))
+      .orderBy("doc_id")
+    scored
+  }
+
+  val lmScoreOracle: String =
+    """WITH uni AS (
+      |  SELECT token AS k, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM (SELECT unnest(str_split(text, ' ')) AS token FROM documents)
+      |  GROUP BY token
+      |  QUALIFY row_number() OVER (ORDER BY c DESC, k ASC) <= 100000),
+      |t AS (SELECT CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS total FROM documents),
+      |d AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+      |bgl AS (
+      |  SELECT doc_id,
+      |    list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+      |      i -> toks[i] || ' ' || toks[i + 1]) AS bgs
+      |  FROM d),
+      |big AS (
+      |  SELECT b AS k, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM (SELECT unnest(bgs) AS b FROM bgl) GROUP BY b
+      |  QUALIFY row_number() OVER (ORDER BY c DESC, k ASC) <= 100000),
+      |pos AS (
+      |  SELECT bgl.doc_id, i AS pos, bgl.bgs[i] AS b
+      |  FROM bgl, unnest(generate_series(1, len(bgl.bgs))) AS s(i)),
+      |nlls AS (
+      |  SELECT pos.doc_id, pos.pos,
+      |    -ln(CASE WHEN big.c IS NOT NULL AND u1.c IS NOT NULL
+      |          THEN CAST(big.c AS DOUBLE) / CAST(u1.c AS DOUBLE)
+      |          ELSE 0.4 * CAST(coalesce(u2.c, 1) AS DOUBLE)
+      |               / CAST((SELECT total FROM t) AS DOUBLE)
+      |        END) AS nll
+      |  FROM pos
+      |  LEFT JOIN big ON big.k = pos.b
+      |  LEFT JOIN uni u1 ON u1.k = split_part(pos.b, ' ', 1)
+      |  LEFT JOIN uni u2 ON u2.k = split_part(pos.b, ' ', 2)),
+      |agg AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list(nll ORDER BY pos)), (a, b) -> a + b) AS nll
+      |  FROM nlls GROUP BY doc_id)
+      |SELECT d2.doc_id,
+      |  CAST(greatest(len(d2.toks) - 1, 0) AS BIGINT) AS n_bigrams,
+      |  coalesce(agg.nll, 0.0) AS nll,
+      |  CASE WHEN greatest(len(d2.toks) - 1, 0) > 0
+      |    THEN coalesce(agg.nll, 0.0) / CAST(greatest(len(d2.toks) - 1, 0) AS DOUBLE)
+      |  END AS avg_nll
+      |FROM d d2 LEFT JOIN agg USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   /** Hashed n-gram feature buckets for DSIR (unigrams + bigrams, one
     * array-local HOF pass — no row-per-token explode on the scoring side).
     */
@@ -833,6 +937,7 @@ object TextOps {
     QueryDef("doc_sample_per_source", samplePerSource, Some(samplePerSourceOracle)),
     QueryDef("doc_mix_sample", mixSample, Some(mixSampleOracle)),
     QueryDef("doc_dsir_weight", dsirWeights, None),
-    QueryDef("doc_bm25", bm25, Some(bm25Oracle))
+    QueryDef("doc_bm25", bm25, Some(bm25Oracle)),
+    QueryDef("doc_lm_score", lmScore, Some(lmScoreOracle))
   )
 }

@@ -822,6 +822,59 @@ object SimilarityOps {
         if (sameLabel) bCond && col("a.label") === col("b.label") else bCond)
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication" — re-derived): cluster the
+    * corpus embeddings and remove, within each cluster, every vector that
+    * has a semantic duplicate (cosine >= tau) kept over it. Keep rule =
+    * the paper's: among duplicates the vector FARTHEST from its cluster
+    * centroid survives (the most atypical representative), ties by lowest
+    * vec_id; the greedy pairwise form marks b removed when any same-cell
+    * witness a with sim(a,b) >= tau ranks better. Unlike
+    * [[cosineDupsBlocked]] this is deliberately APPROXIMATE: pairs
+    * crossing a cluster boundary are never examined — the published trade
+    * that makes semantic-level dedup affordable at web scale (recall < 1
+    * is the point; the exact family exists for near-dup thresholds).
+    *
+    * Shape at 100 TB: assignment is one map pass over the broadcast
+    * bounded-sample KMeans model; the only shuffle is the per-cell
+    * self-join, whose per-cell cost is (targetRows)^2 at the [[autoCells]]
+    * sizing — linear total at fixed cell density, no cell-pair expansion,
+    * no radii metadata. Removal is one aggregation over qualifying pairs.
+    */
+  def semDeDupOn(e0: DataFrame, tau: Double = 0.4, k: Int = 0): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val s = e0.sparkSession
+    val kk = resolveCells(e0, k)
+    val e = withNormalized(Tables.spread(e0))
+      .withColumn("features", array_to_vector(col("nvec")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val model = coarseQuantizer(e, kk)
+    val centDf = centroidsDf(s, model.clusterCenters.map(_.toArray))
+    val av = model.transform(e).withColumnRenamed("prediction", "cell")
+      .join(broadcast(centDf), "cell")
+      .withColumn("cdist", distToCentroid)
+      .select("vec_id", "embedding", "cell", "cdist")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    e.unpersist(blocking = false)
+    val better = (col("a.cdist") > col("b.cdist")) ||
+      (col("a.cdist") === col("b.cdist") && col("a.vec_id") < col("b.vec_id"))
+    av.as("a")
+      .join(av.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id") && better)
+      .withColumn("sim", graftCosine(col("a.embedding"), col("b.embedding")))
+      .filter(col("sim") >= tau)
+      .groupBy(col("b.vec_id").as("vec_id"), col("b.cell").as("cell"))
+      .agg(count(lit(1)).as("n_better_dups"), max(col("sim")).as("max_sim"))
+      .orderBy("vec_id")
+  }
+
+  /** `emb_semdedup`: the removal list over the embeddings table (model-
+    * dependent clustering -> rows-only gate; semantics unit-tested with
+    * planted clones).
+    */
+  def semDeDup(s: SparkSession, dir: String): DataFrame =
+    semDeDupOn(Tables.t(s, dir, "embeddings"))
+
   /** Exact threshold-bounded kNN JOIN — EVERY vector's top-k neighbors
     * with sim >= t, corpus-wide (no label blocking): the graph-building
     * op a clustering/near-dup pipeline runs over the whole table, vs the
@@ -1215,6 +1268,7 @@ object SimilarityOps {
     QueryDef("emb_cosine_dups", cosineDups, Some(cosineDupsOracle)),
     QueryDef("emb_incr_cosine", incrementalCosine, Some(incrementalCosineOracle)),
     QueryDef("emb_dup_clusters", embDupClusters, Some(embDupClustersOracle)),
-    QueryDef("emb_quantize_int8", quantizeInt8, Some(quantizeOracle))
+    QueryDef("emb_quantize_int8", quantizeInt8, Some(quantizeOracle)),
+    QueryDef("emb_semdedup", semDeDup, None)
   )
 }

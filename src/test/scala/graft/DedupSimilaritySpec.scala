@@ -633,4 +633,23 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(after <= before / 20,
       s"scrub left $after of $before duplicated positions")
   }
+
+  test("semdedup removes planted clones, keeps originals and singletons") {
+    val base = Tables.t(spark, sf0001, "embeddings")
+    // clones of vectors 0-9 under fresh ids: identical vectors land in the
+    // same cell with identical centroid distance, so the tie-break keeps
+    // the LOWER id and the clone is the one removed
+    val clones = base.filter(col("vec_id") < 10)
+      .withColumn("vec_id", col("vec_id") + 1000L)
+    val corpus = base.unionByName(clones)
+    val removed = SimilarityOps.semDeDupOn(corpus, tau = 0.999)
+      .select("vec_id").as[Long].collect().toSet
+    val cloneIds = (1000L until 1010L).toSet
+    assert(cloneIds.subsetOf(removed),
+      s"every planted clone must be removed (missing ${cloneIds -- removed})")
+    assert((0L until 10L).forall(!removed.contains(_)),
+      "the kept side of each clone pair must be the original")
+    assert(removed == cloneIds,
+      s"no distinct vector reaches cos >= 0.999 in this corpus (extra: ${removed -- cloneIds})")
+  }
 }

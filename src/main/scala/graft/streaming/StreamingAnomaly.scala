@@ -217,6 +217,38 @@ object StreamingAnomaly {
       .withColumn("flagged", col("score") >= threshold)
   }
 
+  /** Stream-stream interval join — the streaming counterpart of the batch
+    * range join `ev_attack_context`: each attack (from [[detectAttacks]]
+    * or a replayed attack log) is enriched with the context events of the
+    * SAME attacker ip whose event time falls in [attack_time - before,
+    * attack_time + after]. Both inputs carry watermarks and the join
+    * condition time-bounds each side against the other — exactly the two
+    * things Spark needs to EXPIRE the join buffers: buffered rows age out
+    * at watermark + range, so join state is bounded by rate x horizon,
+    * never by stream length. Inner join, so matches emit in the
+    * micro-batch that completes them (append mode).
+    */
+  def attackContextStream(attacks: Dataset[AttackResult],
+      events: Dataset[NetworkEvent],
+      before: String = "30 seconds", after: String = "30 seconds"): DataFrame = {
+    val a = attacks.toDF()
+      .withColumn("attack_time", timestamp_millis(col("attack_start_time")))
+      .withWatermark("attack_time", "2 minutes")
+      .select("attack_time", "attack_start_time", "attacker_id", "target_ip",
+        "fragment_count")
+    val e = events.toDF()
+      .withColumn("event_time", timestamp_millis(col("timestamp_start")))
+      .withWatermark("event_time", "2 minutes")
+      .select("event_time", "ip_src", "ip_dst", "event_type", "packets", "bytes")
+    a.join(e,
+      col("attacker_id") === col("ip_src") &&
+        col("event_time") >= col("attack_time") - expr(s"INTERVAL $before") &&
+        col("event_time") <= col("attack_time") + expr(s"INTERVAL $after"))
+      .select(col("attack_start_time"), col("attacker_id"), col("target_ip"),
+        col("fragment_count"), col("event_time"), col("ip_dst"),
+        col("event_type"), col("packets"), col("bytes"))
+  }
+
   /** Session windows on the stream (gap-based, like EventOps.sessionize):
     * Spark's native session_window merges windows as events arrive; the
     * watermark closes and emits sessions.

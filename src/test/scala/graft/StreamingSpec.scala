@@ -521,4 +521,33 @@ class StreamingSpec extends SparkSpecBase {
         s"expected only first-seen novel docs, got $kept")
     } finally q.stop()
   }
+
+  test("stream-stream interval join enriches attacks with in-range context") {
+    import graft.model.AttackResult
+    implicit val sqlCtx = spark.sqlContext
+    val attackMem = MemoryStream[AttackResult]
+    val eventMem = MemoryStream[NetworkEvent]
+    val joined = StreamingAnomaly.attackContextStream(
+      attackMem.toDS(), eventMem.toDS())
+    val q = joined.writeStream
+      .format("memory").queryName("ctx_out").outputMode("append").start()
+    def ev(ip: String, ts: Long) = NetworkEvent("flow", ip, "192.168.0.9",
+      "1234", "80", "udp", ts, ts + 10, 3, 900, "w1", "ctx")
+    try {
+      val t0 = 100000L
+      attackMem.addData(AttackResult(t0, t0 + 5000, "10.0.0.1", "192.168.0.9",
+        15, 3.0, 50.0, 60.0))
+      eventMem.addData(
+        ev("10.0.0.1", t0 - 20000), // in range (20 s before)
+        ev("10.0.0.1", t0 + 25000), // in range (25 s after)
+        ev("10.0.0.1", t0 + 90000), // out of range (90 s after)
+        ev("10.0.0.7", t0))         // other ip -> no match
+      q.processAllAvailable()
+      val got = spark.table("ctx_out")
+        .select("attacker_id", "event_time").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime)).sorted.toSeq
+      assert(got == Seq(("10.0.0.1", t0 - 20000), ("10.0.0.1", t0 + 25000)),
+        s"expected exactly the two in-range same-ip events, got $got")
+    } finally q.stop()
+  }
 }

@@ -176,4 +176,51 @@ class PlanSpec extends SparkSpecBase {
       case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
     }.isEmpty, "per-doc signals must stay map-side (no aggregation operator)")
   }
+
+  test("bm25: no token explode; stats ride a broadcast, not a shuffle join") {
+    val df = operators.TextOps.bm25(spark, sf0001)
+    val p = df.queryExecution.sparkPlan
+    assert(p.collectFirst {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }.isEmpty, "per-term tf must be array-local filter counts, never an explode")
+    val scans = p.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size == 2,
+      s"one stats pass + one scoring pass over the corpus, got ${scans.size} scans")
+    // the single-row stats side joins via broadcast; the only shuffles are
+    // the 1-row global aggregate and the output sort's range partitioning
+    assert(p.toString.contains("BroadcastNestedLoopJoin") ||
+      p.toString.contains("BroadcastExchange"), s"stats row must broadcast:\n$p")
+    val shuffles = p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.forall(e =>
+      e.outputPartitioning.toString.contains("rangepartitioning") ||
+        e.outputPartitioning.numPartitions == 1),
+      s"no corpus-keyed hash shuffle allowed:\n$p")
+  }
+
+  test("lm_score: the scoring pass is zero-shuffle (model rides as map literals)") {
+    val df = operators.TextOps.lmScore(spark, sf0001)
+    val p = df.queryExecution.sparkPlan
+    val scans = p.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size == 1, s"scoring must read the corpus once, got ${scans.size}")
+    val shuffles = p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // allowed exchanges: the output sort's range partitioning and the
+    // degenerate-layout round-robin spread() — neither is keyed on data
+    assert(shuffles.forall(e =>
+      e.outputPartitioning.toString.contains("rangepartitioning") ||
+        e.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning]),
+      s"scoring must not hash-shuffle (counts are broadcast literals):\n$p")
+    assert(p.collectFirst {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+      case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+    }.isEmpty, "per-doc nll folds array-locally (no aggregation operator)")
+  }
 }

@@ -855,6 +855,9 @@ object SimilarityOps {
       .withColumn("cdist", distToCentroid)
       .select("vec_id", "embedding", "cell", "cdist")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // populate av's cache while e's is still alive: the assignment pass
+    // reads the cached featurized frame instead of re-normalizing from raw
+    av.count()
     e.unpersist(blocking = false)
     val better = (col("a.cdist") > col("b.cdist")) ||
       (col("a.cdist") === col("b.cdist") && col("a.vec_id") < col("b.vec_id"))

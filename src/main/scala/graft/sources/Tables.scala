@@ -1,8 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table loaders for the driver-generated star schema.
   * One file per table; a 100 TB deployment would point `dir` at a
@@ -15,15 +15,24 @@ object Tables {
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     val raw = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS): read as nanos-long (see
-    // spark.sql.legacy.parquet.nanosAsLong) and normalize to a micros
-    // timestamp with integer `div` (a double division would lose precision
-    // above 2^53 ns).
-    val df =
-      if (name == "events" && raw.schema("ts").dataType == LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
-    df
+    // Normalize every temporal column to a session-TZ (UTC) TIMESTAMP so
+    // downstream operators can rely on instant semantics (`unix_micros`,
+    // `window()`), whichever parquet writer produced the table:
+    //  - TIMESTAMP(NANOS) reads as nanos-long under
+    //    spark.sql.legacy.parquet.nanosAsLong — integer `div` to micros (a
+    //    double division would lose precision above 2^53 ns);
+    //  - TIMESTAMP(MICROS, isAdjustedToUTC=false) reads as TIMESTAMP_NTZ —
+    //    cast reinterprets the wall clock in the session TZ (pinned UTC),
+    //    the same instant DuckDB's naive epoch_us(ts) computes.
+    raw.schema.fields.foldLeft(raw) { (df, f) =>
+      f.dataType match {
+        case LongType if name == "events" && f.name == "ts" =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType =>
+          df.withColumn(f.name, col(f.name).cast(TimestampType))
+        case _ => df
+      }
+    }
   }
 
   /** The driver's tables are single-file/single-row-group parquet, which

@@ -40,4 +40,20 @@ object IO {
 
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** ORC with the same 100 TB defaults as parquet (zstd, optional
+    * hive-style partition dirs). ORC is the interchange format for
+    * Hive-ecosystem consumers; predicate pushdown and column pruning
+    * work the same as parquet (IOSpec asserts the pruned scan).
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String,
+      partitionBy: Seq[String] = Nil): Unit = {
+    val w: DataFrameWriter[Row] = df.write
+      .mode("overwrite")
+      .option("compression", "zstd")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
+  }
 }

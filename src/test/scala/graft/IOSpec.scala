@@ -35,4 +35,21 @@ class IOSpec extends SparkSpecBase {
     assert(j.agg(sum("n_nationkey")).first().getLong(0) ==
       c.agg(sum("n_nationkey")).first().getLong(0))
   }
+
+  test("orc roundtrip preserves rows, pushes filters, prunes partitions") {
+    val tmp = Files.createTempDirectory("graft-io3").toString
+    val orders = Tables.t(spark, sf0001, "orders")
+    IO.writeOrc(orders, s"$tmp/orders_orc", partitionBy = Seq("o_orderpriority"))
+    val back = IO.readOrc(spark, s"$tmp/orders_orc")
+    assert(back.count() == orders.count())
+    val pruned = back.filter(col("o_orderpriority") === "1-URGENT" &&
+      col("o_custkey") > 100)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters:") && plan.contains("o_orderpriority"),
+      s"no partition pruning in:\n$plan")
+    assert(plan.contains("PushedFilters:") && plan.contains("o_custkey"),
+      s"no predicate pushdown in:\n$plan")
+    assert(pruned.count() == orders.filter(
+      col("o_orderpriority") === "1-URGENT" && col("o_custkey") > 100).count())
+  }
 }

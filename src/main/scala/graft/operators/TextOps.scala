@@ -775,15 +775,19 @@ object TextOps {
     val big = topV(Tables.spread(docs)
       .select(split(col("text"), " ").as("toks"))
       .select(explode(expr(
-        "transform(sequence(1, greatest(size(toks) - 1, 0))," +
-          " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))")).as("k"))
+        // sequence(1, 0) is DESCENDING in Spark: guard 0/1-token docs
+        "CASE WHEN size(toks) > 1 THEN transform(sequence(1, size(toks) - 1)," +
+          " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))" +
+          " ELSE CAST(array() AS ARRAY<STRING>) END")).as("k"))
       .groupBy("k").agg(count(lit(1)).as("c")))
     val total = docs.agg(sum(size(split(col("text"), " "))).cast("long")).head.getLong(0)
     val scored = Tables.spread(docs)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("bgs", expr(
-        "transform(sequence(1, greatest(size(toks) - 1, 0))," +
-          " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+        // sequence(1, 0) is DESCENDING in Spark: guard 0/1-token docs
+        "CASE WHEN size(toks) > 1 THEN transform(sequence(1, size(toks) - 1)," +
+          " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))" +
+          " ELSE CAST(array() AS ARRAY<STRING>) END"))
       .withColumn("um", typedLit(uni))
       .withColumn("bm", typedLit(big))
       .select(col("doc_id"),
@@ -854,9 +858,10 @@ object TextOps {
   private def dsirFeats(buckets: Int): Column = expr(
     s"""concat(
        |  transform(toks, t -> pmod(xxhash64(t), $buckets)),
-       |  transform(sequence(1, greatest(size(toks) - 1, 0)),
+       |  CASE WHEN size(toks) > 1 THEN transform(sequence(1, size(toks) - 1),
        |    i -> pmod(xxhash64(concat(element_at(toks, i), ' ',
-       |                              element_at(toks, i + 1))), $buckets)))""".stripMargin)
+       |                              element_at(toks, i + 1))), $buckets))
+       |  ELSE CAST(array() AS ARRAY<BIGINT>) END)""".stripMargin)
 
   /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling" — re-derived): score every
@@ -917,6 +922,152 @@ object TextOps {
     dsirWeightsOn(docs, docs.filter(col("source") === "src0"))
   }
 
+  /** Temperature-scaled source mixing weights (the multi-corpus sampling
+    * recipe from T5/LLaMA-style training mixes, alpha = 0.5): each source's
+    * sampling weight is (T_s / T)^alpha renormalized, which upweights small
+    * sources relative to proportional sampling; `epochs` is how many passes
+    * over source s a `mixBudget`-token draw implies (epochs > 1 flags
+    * sources the mix would repeat). Shape: ONE partial-agg shuffle of
+    * |sources| rows; the normalizer is a driver-side fold over the sorted
+    * per-source rows (bounded by the source count, the codebook pattern)
+    * so the float sum has one deterministic association order in any
+    * engine — alpha = 0.5 makes the power a correctly-rounded sqrt, so the
+    * whole query is oracle-exact. At 100 TB nothing corpus-sized moves:
+    * the corpus scan collapses map-side to per-source partial counts.
+    */
+  def mixWeights(s: SparkSession, dir: String): DataFrame = {
+    val budget = s.conf.get("spark.graft.mix.budget", "1000000").toLong
+    val perSrc = Tables.t(s, dir, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " "))).cast("long").as("n_tokens"))
+    val rows = perSrc.select("source", "n_tokens").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val total = rows.map(_._2).sum
+    val denom = rows.foldLeft(0.0) { case (a, (_, t)) =>
+      a + math.sqrt(t.toDouble / total.toDouble)
+    }
+    perSrc
+      .withColumn("share",
+        sqrt(col("n_tokens").cast(DoubleType) / lit(total.toDouble)))
+      .withColumn("weight", col("share") / lit(denom))
+      .withColumn("epochs",
+        col("weight") * lit(budget.toDouble) / col("n_tokens").cast(DoubleType))
+      .orderBy("source")
+  }
+
+  val mixWeightsOracle: String =
+    """WITH s AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |         CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM s),
+      |d AS (
+      |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |    list(sqrt(CAST(n_tokens AS DOUBLE) / CAST((SELECT total FROM t) AS DOUBLE))
+      |         ORDER BY source)), (a, b) -> a + b) AS denom
+      |  FROM s)
+      |SELECT source, n_docs, n_tokens,
+      |  sqrt(CAST(n_tokens AS DOUBLE) / CAST((SELECT total FROM t) AS DOUBLE)) AS share,
+      |  sqrt(CAST(n_tokens AS DOUBLE) / CAST((SELECT total FROM t) AS DOUBLE))
+      |    / (SELECT denom FROM d) AS weight,
+      |  sqrt(CAST(n_tokens AS DOUBLE) / CAST((SELECT total FROM t) AS DOUBLE))
+      |    / (SELECT denom FROM d) * 1000000.0 / CAST(n_tokens AS DOUBLE) AS epochs
+      |FROM s ORDER BY source""".stripMargin
+
+  /** Per-doc top n-gram construction: sorted gram array folded through a
+    * run-length accumulator — O(L log L) array-local, no corpus-wide
+    * (doc, gram) groupBy. Strictly-greater keeps the FIRST (= smallest)
+    * gram among count ties, matching the oracle's (count DESC, gram ASC)
+    * rank; empty/short docs yield (run 0, gram '').
+    */
+  private def topGram(n: Int): Column = {
+    val gram = (1 to n).map(j =>
+      if (j == 1) "element_at(toks, i)" else s"element_at(toks, i + ${j - 1})")
+      .mkString("concat(", ", ' ', ", ")")
+    // sequence(1, 0) is DESCENDING [1, 0] in Spark — guard short docs
+    // explicitly instead of greatest-clamping the stop bound
+    val grams =
+      s"""array_sort(CASE WHEN size(toks) > ${n - 1}
+         |  THEN transform(sequence(1, size(toks) - ${n - 1}), i -> $gram)
+         |  ELSE CAST(array() AS ARRAY<STRING>) END)""".stripMargin
+    val run = "CASE WHEN g = a.prev THEN a.run + 1 ELSE CAST(1 AS BIGINT) END"
+    expr(
+      s"""aggregate($grams,
+         |  named_struct('prev', '', 'run', CAST(0 AS BIGINT),
+         |               'best', CAST(0 AS BIGINT), 'bg', ''),
+         |  (a, g) -> named_struct(
+         |    'prev', g,
+         |    'run', $run,
+         |    'best', IF(($run) > a.best, $run, a.best),
+         |    'bg',   IF(($run) > a.best, g, a.bg)),
+         |  a -> named_struct('n', a.best, 'g', a.bg))""".stripMargin)
+  }
+
+  /** Gopher-style repetition rules (Rae et al. 2021 §A1.1, re-derived):
+    * the fraction of a document's characters covered by its single most
+    * frequent 2-gram / 3-gram (count x gram length / doc length — the
+    * published upper-bound approximation, overlapping occurrences counted
+    * fully). Docs above the published thresholds (0.20 / 0.18) are token
+    * loops the per-doc dedup family cannot see. Shape: ZERO shuffle before
+    * the output sort — gram construction, sort, and the run-length argmax
+    * are HOFs over each doc's own array, so the corpus is scanned once and
+    * nothing row-per-gram ever moves; the oracle recomputes the argmax
+    * with a grouped (doc, gram) rank — an independent derivation that must
+    * agree gram-for-gram, tie-for-tie.
+    */
+  def gopherRep(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"),
+        length(col("text")).cast("long").as("n_chars_d"))
+      .withColumn("t2", topGram(2))
+      .withColumn("t3", topGram(3))
+      .select(col("doc_id"),
+        col("t2.g").as("top2"), col("t2.n").as("n2"),
+        (col("t2.n") * length(col("t2.g"))).cast(DoubleType)
+          ./(col("n_chars_d").cast(DoubleType)).as("frac2"),
+        col("t3.g").as("top3"), col("t3.n").as("n3"),
+        (col("t3.n") * length(col("t3.g"))).cast(DoubleType)
+          ./(col("n_chars_d").cast(DoubleType)).as("frac3"),
+        ((col("t2.n") * length(col("t2.g"))).cast(DoubleType)
+          / col("n_chars_d").cast(DoubleType) <= lit(0.20) &&
+          (col("t3.n") * length(col("t3.g"))).cast(DoubleType)
+            / col("n_chars_d").cast(DoubleType) <= lit(0.18)).as("keep"))
+      .orderBy("doc_id")
+
+  val gopherRepOracle: String = {
+    def gramCte(n: Int): String = {
+      val gram = (1 to n).map(j =>
+        if (j == 1) "toks[i]" else s"toks[i + ${j - 1}]").mkString(" || ' ' || ")
+      s"""g$n AS (
+         |  SELECT doc_id, unnest(list_transform(
+         |    generate_series(1, greatest(len(toks) - ${n - 1}, 0)),
+         |    i -> $gram)) AS g
+         |  FROM d),
+         |t$n AS (
+         |  SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM g$n GROUP BY doc_id, g
+         |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) = 1)"""
+        .stripMargin
+    }
+    s"""WITH d AS (
+       |  SELECT doc_id, str_split(text, ' ') AS toks,
+       |         CAST(length(text) AS BIGINT) AS nc
+       |  FROM documents),
+       |${gramCte(2)},
+       |${gramCte(3)}
+       |SELECT d.doc_id,
+       |  coalesce(t2.g, '') AS top2, CAST(coalesce(t2.c, 0) AS BIGINT) AS n2,
+       |  CAST(coalesce(t2.c * length(t2.g), 0) AS DOUBLE) / CAST(d.nc AS DOUBLE) AS frac2,
+       |  coalesce(t3.g, '') AS top3, CAST(coalesce(t3.c, 0) AS BIGINT) AS n3,
+       |  CAST(coalesce(t3.c * length(t3.g), 0) AS DOUBLE) / CAST(d.nc AS DOUBLE) AS frac3,
+       |  (CAST(coalesce(t2.c * length(t2.g), 0) AS DOUBLE) / CAST(d.nc AS DOUBLE) <= 0.20
+       |   AND CAST(coalesce(t3.c * length(t3.g), 0) AS DOUBLE) / CAST(d.nc AS DOUBLE) <= 0.18)
+       |  AS keep
+       |FROM d LEFT JOIN t2 ON t2.doc_id = d.doc_id
+       |       LEFT JOIN t3 ON t3.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("doc_token_stats", tokenStats, Some(tokenStatsOracle)),
     QueryDef("doc_quality", quality, Some(qualityOracle)),
@@ -938,6 +1089,8 @@ object TextOps {
     QueryDef("doc_mix_sample", mixSample, Some(mixSampleOracle)),
     QueryDef("doc_dsir_weight", dsirWeights, None),
     QueryDef("doc_bm25", bm25, Some(bm25Oracle)),
-    QueryDef("doc_lm_score", lmScore, Some(lmScoreOracle))
+    QueryDef("doc_lm_score", lmScore, Some(lmScoreOracle)),
+    QueryDef("doc_mix_weights", mixWeights, Some(mixWeightsOracle)),
+    QueryDef("doc_gopher_rep", gopherRep, Some(gopherRepOracle))
   )
 }

@@ -1035,6 +1035,134 @@ object TextOps {
             / col("n_chars_d").cast(DoubleType) <= lit(0.18)).as("keep"))
       .orderBy("doc_id")
 
+  /** Multinomial Naive Bayes document classifier, trained AND served in
+    * one query (the fastText-style quality/language classifier slot of a
+    * training-data pipeline, re-derived as the counts-based member so the
+    * whole train+serve path is oracle-exact — no SGD, no float
+    * nondeterminism in training). Fixed class set like `bm25Terms` (the
+    * oracle is a static string): the corpus `lang` label.
+    *
+    * Train: per-class doc counts/token totals are ONE tiny aggregate
+    * (driver pull bounded by |classes|); per-class token likelihoods are
+    * the codebook pattern — one (lang, token) count shuffle that collapses
+    * map-side, top-V per class by (count, token) rank, collected bounded
+    * by |classes| x V and shipped back as map literals (fastText ships its
+    * quantized embedding matrix to workers the same way). Serve: ZERO
+    * shuffle — each doc folds its own token array through the broadcast
+    * maps in document order (one deterministic float association order, so
+    * even the log-likelihood sums gate hash-exact; ln via graft_ln), and
+    * argmax is a fixed-order CASE cascade. At 100 TB the scoring pass is
+    * one corpus scan; nothing corpus-sized moves. Add-one smoothing over
+    * the exact global vocabulary size (one integer distinct-count — the
+    * smoothing mass MUST be small relative to per-class token totals, or
+    * every shared token votes for the largest class and the classifier
+    * collapses to the prior).
+    */
+  private val nbClasses = Seq("de", "en", "es", "fr", "zh")
+
+  def nbClassify(s: SparkSession, dir: String): DataFrame =
+    nbClassifyOn(s, Tables.t(s, dir, "documents"), nbClasses)
+
+  /** Generalized train+serve over any (doc_id, lang, text) frame — the
+    * corpus labels are unlearnable word salad (zero marker tokens; the
+    * gate checks engine parity), so the LEARNING property is unit-tested
+    * on a planted-signal frame through this entry point.
+    */
+  def nbClassifyOn(s: SparkSession, docsIn: DataFrame,
+      classes: Seq[String]): DataFrame = {
+    val nbClasses = classes
+    val vocabCap = s.conf.get("spark.graft.nb.vocabCap", "100000").toInt
+    val docs = docsIn
+    val stats = docs.groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum(size(split(col("text"), " "))).cast("long").as("t"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val nTotal = nbClasses.map(c => stats.get(c).map(_._1).getOrElse(0L)).sum
+    val vocabSize = docs
+      .select(explode(split(col("text"), " ")).as("t")).distinct().count()
+    val w = Window.partitionBy("lang").orderBy(col("c").desc, col("t").asc)
+    val capped = Tables.spread(docs)
+      .select(col("lang"), explode(split(col("text"), " ")).as("t"))
+      .groupBy("lang", "t").agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= vocabCap)
+      .select("lang", "t", "c").collect()
+      .groupBy(_.getString(0))
+      .map { case (l, rows) =>
+        l -> rows.map(r => r.getString(1) -> r.getLong(2)).toMap
+      }
+    val base = Tables.spread(docs).select(col("doc_id"),
+      col("lang").as("labeled_lang"), split(col("text"), " ").as("toks"))
+    val scored = nbClasses.zipWithIndex.foldLeft(base) { case (df, (cls, i)) =>
+      val (nC, tC) = stats.getOrElse(cls, (0L, 0L))
+      val denom = tC + vocabSize
+      df.withColumn(s"m_$i",
+          typedLit(capped.getOrElse(cls, Map.empty[String, Long])))
+        .withColumn(s"score_$cls",
+          graft.functions.GraftFunctions.graftLn(
+            lit(nC.toDouble) / lit(nTotal.toDouble)) +
+            expr(s"aggregate(toks, CAST(0.0 AS DOUBLE), (acc, tk) -> acc + " +
+              s"graft_ln((CAST(coalesce(element_at(m_$i, tk), 0) AS DOUBLE) + 1.0)" +
+              s" / CAST($denom AS DOUBLE)))"))
+    }
+    val scoreCols = nbClasses.map(c => col(s"score_$c"))
+    val pred = nbClasses.foldRight(lit("und")) { case (cls, other) =>
+      when(col(s"score_$cls") === greatest(scoreCols: _*), lit(cls)).otherwise(other)
+    }
+    scored.select(Seq(col("doc_id"), col("labeled_lang")) ++
+      nbClasses.map(c => col(s"score_$c")) :+ pred.as("pred_lang"): _*)
+      .orderBy("doc_id")
+  }
+
+  val nbClassifyOracle: String = {
+    val clsList = nbClasses.map(c => s"'$c'").mkString(", ")
+    val termCols = nbClasses.map { c =>
+      s"""ln((CAST(coalesce(c_$c.c, 0) AS DOUBLE) + 1.0) /
+         |      CAST((SELECT T FROM cls WHERE lang = '$c') + (SELECT v FROM voc)
+         |           AS DOUBLE)) AS t_$c""".stripMargin
+    }.mkString(",\n    ")
+    val joins = nbClasses.map(c =>
+      s"  LEFT JOIN ct c_$c ON c_$c.lang = '$c' AND c_$c.t = pos.t").mkString("\n")
+    val folds = nbClasses.map(c =>
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(t_$c ORDER BY pos)),
+         |      (a, b) -> a + b) AS f_$c""".stripMargin).mkString(",\n    ")
+    val scores = nbClasses.map(c =>
+      s"""ln(CAST((SELECT n_docs FROM cls WHERE lang = '$c') AS DOUBLE)
+         |     / CAST((SELECT total FROM n) AS DOUBLE)) + coalesce(agg.f_$c, 0.0) AS score_$c"""
+        .stripMargin).mkString(",\n  ")
+    val gl = nbClasses.map(c => s"score_$c").mkString("greatest(", ", ", ")")
+    val cascade = nbClasses.foldRight("'und'") { case (c, other) =>
+      s"CASE WHEN score_$c = $gl THEN '$c' ELSE $other END"
+    }
+    s"""WITH d AS (SELECT doc_id, lang, str_split(text, ' ') AS toks FROM documents),
+       |cls AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |               CAST(SUM(len(toks)) AS BIGINT) AS T
+       |        FROM d GROUP BY lang),
+       |n AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM cls
+       |      WHERE lang IN ($clsList)),
+       |voc AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS v
+       |        FROM (SELECT unnest(toks) AS t FROM d)),
+       |ct AS (SELECT lang, t, CAST(COUNT(*) AS BIGINT) AS c
+       |       FROM (SELECT lang, unnest(toks) AS t FROM d) GROUP BY lang, t
+       |       QUALIFY row_number() OVER (PARTITION BY lang ORDER BY c DESC, t ASC) <= 100000),
+       |pos AS (SELECT d.doc_id, i AS pos, d.toks[i] AS t
+       |        FROM d, unnest(generate_series(1, len(d.toks))) s(i)),
+       |terms AS (
+       |  SELECT pos.doc_id, pos.pos,
+       |    $termCols
+       |  FROM pos
+       |$joins),
+       |agg AS (
+       |  SELECT doc_id,
+       |    $folds
+       |  FROM terms GROUP BY doc_id),
+       |sc AS (
+       |  SELECT d.doc_id, d.lang AS labeled_lang,
+       |  $scores
+       |  FROM d LEFT JOIN agg USING (doc_id))
+       |SELECT doc_id, labeled_lang, ${nbClasses.map(c => s"score_$c").mkString(", ")},
+       |  $cascade AS pred_lang
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
   val gopherRepOracle: String = {
     def gramCte(n: Int): String = {
       val gram = (1 to n).map(j =>
@@ -1091,6 +1219,7 @@ object TextOps {
     QueryDef("doc_bm25", bm25, Some(bm25Oracle)),
     QueryDef("doc_lm_score", lmScore, Some(lmScoreOracle)),
     QueryDef("doc_mix_weights", mixWeights, Some(mixWeightsOracle)),
-    QueryDef("doc_gopher_rep", gopherRep, Some(gopherRepOracle))
+    QueryDef("doc_gopher_rep", gopherRep, Some(gopherRepOracle)),
+    QueryDef("doc_nb_classify", nbClassify, Some(nbClassifyOracle))
   )
 }

@@ -160,6 +160,22 @@ class TextAnalyticsSpec extends SparkSpecBase {
     assert(w.forall { case (id, (_, wt)) => again(id) == wt })
   }
 
+  test("naive bayes classifier learns planted class-specific vocabulary") {
+    import spark.implicits._
+    // 3 classes, each with a distinctive token mixed into shared filler;
+    // training on the labeled frame must recover every label, including
+    // for docs where the marker appears just once among shared tokens
+    val mk = Map("aa" -> "zork", "bb" -> "quux", "cc" -> "flarp")
+    val docs = (0 until 90).map { i =>
+      val cls = Seq("aa", "bb", "cc")(i % 3)
+      val filler = Seq.fill(8 + i % 5)("common word filler text").mkString(" ")
+      (i.toLong, cls, s"$filler ${mk(cls)} $filler")
+    }.toDF("doc_id", "lang", "text")
+    val out = TextOps.nbClassifyOn(spark, docs, Seq("aa", "bb", "cc"))
+    val acc = out.filter(col("labeled_lang") === col("pred_lang")).count()
+    assert(acc == 90L, s"expected 90/90 recovered, got $acc")
+  }
+
   test("topk never exceeds 3 per customer and ranks by totalprice desc") {
     val tk = Analytics.qTopkOrdersPerCust(spark, sf0001)
     val bad = tk.groupBy("o_custkey").agg(count(lit(1)).as("n"))

@@ -201,6 +201,49 @@ class PlanSpec extends SparkSpecBase {
       s"no corpus-keyed hash shuffle allowed:\n$p")
   }
 
+  test("gopher_rep: one corpus scan, argmax stays array-local (no explode, no agg)") {
+    val df = operators.TextOps.gopherRep(spark, sf0001)
+    val p = df.queryExecution.sparkPlan
+    val scans = p.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size == 1, s"must read the corpus once, got ${scans.size}")
+    assert(p.collectFirst {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }.isEmpty, "grams must never explode into rows")
+    val shuffles = p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.forall(_.outputPartitioning.toString.contains("rangepartitioning")),
+      s"no corpus-keyed hash shuffle allowed (run-length argmax is a HOF):\n$p")
+    assert(p.collectFirst {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+      case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+    }.isEmpty, "per-doc top-gram must not use an aggregation operator")
+  }
+
+  test("nb_classify: the serving pass is zero-shuffle (model rides as map literals)") {
+    val df = operators.TextOps.nbClassify(spark, sf0001)
+    val p = df.queryExecution.sparkPlan
+    val scans = p.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size == 1, s"scoring must read the corpus once, got ${scans.size}")
+    val shuffles = p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.forall(e =>
+      e.outputPartitioning.toString.contains("rangepartitioning") ||
+        e.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning]),
+      s"serving must not hash-shuffle (likelihoods are broadcast literals):\n$p")
+    assert(p.collectFirst {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+      case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+    }.isEmpty, "per-doc log-likelihood folds array-locally (no aggregation operator)")
+  }
+
   test("lm_score: the scoring pass is zero-shuffle (model rides as map literals)") {
     val df = operators.TextOps.lmScore(spark, sf0001)
     val p = df.queryExecution.sparkPlan

@@ -1196,6 +1196,131 @@ object TextOps {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** BPE merge-table induction (Sennrich et al. 2016 re-derived —
+    * tokenizer training as a corpus operator). The distributed part is the
+    * part that scales with data: ONE word-count shuffle that collapses
+    * map-side to the vocabulary (top-V by (count, word) — the codebook
+    * pattern, driver pull bounded by `spark.graft.bpe.vocabCap`). The
+    * merge loop itself runs over that BOUNDED (word, freq) table on the
+    * driver — the standard algorithm: pair counts are weighted by word
+    * frequency, the argmax tiebreak is (count DESC, pair ASC), so the
+    * merge sequence is deterministic for a given corpus at any
+    * parallelism. This is exactly how production tokenizer training
+    * treats 100 TB: the corpus pass produces vocab counts; training never
+    * touches raw text again.
+    */
+  def bpeTrain(wordCounts: Seq[(String, Long)],
+      nMerges: Int): Seq[(String, String, Long)] = {
+    var vocab: Vector[(Vector[String], Long)] = wordCounts.map {
+      case (w, c) => (w.map(_.toString).toVector, c)
+    }.toVector
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    var done = false
+    while (!done && merges.size < nMerges) {
+      val pc = scala.collection.mutable.HashMap[(String, String), Long]()
+      vocab.foreach { case (syms, c) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          val k = (syms(i), syms(i + 1))
+          pc(k) = pc.getOrElse(k, 0L) + c
+          i += 1
+        }
+      }
+      if (pc.isEmpty) done = true
+      else {
+        val ((a, b), cnt) = pc.toSeq.minBy { case ((x, y), c) => (-c, x, y) }
+        merges += ((a, b, cnt))
+        val ab = a + b
+        vocab = vocab.map { case (syms, c) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              out += ab; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.result(), c)
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Capped corpus word counts + the trained merge list + the final
+    * per-word symbol segmentation (the serving artifact).
+    */
+  private def bpeFit(s: SparkSession, docs: DataFrame,
+      nMerges: Int): (Seq[(String, Long)], Seq[(String, String, Long)], Map[String, Int]) = {
+    val vocabCap = s.conf.get("spark.graft.bpe.vocabCap", "100000").toInt
+    val wc = Tables.spread(docs)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc).limit(vocabCap)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val merges = bpeTrain(wc, nMerges)
+    // re-derive each word's final segmentation by replaying the merges —
+    // the broadcastable word -> n_subtokens serving table
+    val segLen: Map[String, Int] = wc.map { case (w, _) =>
+      var syms: Vector[String] = w.map(_.toString).toVector
+      merges.foreach { case (a, b, _) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      w -> syms.length
+    }.toMap
+    (wc, merges, segLen)
+  }
+
+  /** `doc_bpe_merges`: the first 20 merges trained on the corpus —
+    * (rank, left, right, merged, pair_count). Deterministic but not
+    * SQL-expressible (iterative argmax), so rows-only gated; the merge
+    * sequence itself is unit-tested against the worked example from the
+    * published algorithm.
+    */
+  def bpeMerges(s: SparkSession, dir: String): DataFrame = {
+    val (_, merges, _) = bpeFit(s, Tables.t(s, dir, "documents"), 20)
+    import s.implicits._
+    merges.zipWithIndex.map { case ((a, b, c), i) =>
+      (i.toLong + 1, a, b, a + b, c)
+    }.toDF("rank", "left", "right", "merged", "pair_count")
+      .orderBy("rank")
+  }
+
+  /** `doc_bpe_tokens`: serve the trained tokenizer — per doc, subtoken
+    * count under the merge table and the chars-per-subtoken compression
+    * ratio (the tokenizer-efficiency metric that decides whether a
+    * tokenizer suits a corpus). ZERO-shuffle serving: the vocabulary's
+    * segmentation lengths ride as ONE broadcast map literal and each doc
+    * folds its own word array through it (capped-out words fall back to
+    * char count = the untrained segmentation); at 100 TB this is one
+    * corpus scan, the production shape for shipping a tokenizer to
+    * workers.
+    */
+  def bpeTokens(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.t(s, dir, "documents")
+    val (_, _, segLen) = bpeFit(s, docs, 20)
+    Tables.spread(docs)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars_d"),
+        split(col("text"), " ").as("ws"))
+      .withColumn("m", typedLit(segLen))
+      .select(col("doc_id"), col("n_chars_d"),
+        size(col("ws")).cast("long").as("n_ws_tokens"),
+        expr("aggregate(ws, CAST(0 AS BIGINT), (acc, w) -> acc + " +
+          "CAST(coalesce(element_at(m, w), length(w)) AS BIGINT))")
+          .as("n_bpe_subtokens"))
+      .withColumn("chars_per_subtoken",
+        when(col("n_bpe_subtokens") > 0,
+          col("n_chars_d").cast(DoubleType) / col("n_bpe_subtokens").cast(DoubleType)))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("doc_token_stats", tokenStats, Some(tokenStatsOracle)),
     QueryDef("doc_quality", quality, Some(qualityOracle)),
@@ -1220,6 +1345,8 @@ object TextOps {
     QueryDef("doc_lm_score", lmScore, Some(lmScoreOracle)),
     QueryDef("doc_mix_weights", mixWeights, Some(mixWeightsOracle)),
     QueryDef("doc_gopher_rep", gopherRep, Some(gopherRepOracle)),
-    QueryDef("doc_nb_classify", nbClassify, Some(nbClassifyOracle))
+    QueryDef("doc_nb_classify", nbClassify, Some(nbClassifyOracle)),
+    QueryDef("doc_bpe_merges", bpeMerges, None),
+    QueryDef("doc_bpe_tokens", bpeTokens, None)
   )
 }

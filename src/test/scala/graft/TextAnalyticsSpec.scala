@@ -176,6 +176,53 @@ class TextAnalyticsSpec extends SparkSpecBase {
     assert(acc == 90L, s"expected 90/90 recovered, got $acc")
   }
 
+  test("bpe training reproduces the published worked example, tiebreak deterministic") {
+    // Sennrich et al. 2016 §3.2-style vocab (no end-of-word marker):
+    // pair counts -> (e,s)=9, then (es,t)=9, then the (l,o)/(o,w) tie at 7
+    // resolves lexicographically to (l,o), after which (lo,w)=7
+    val wc = Seq("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val merges = TextOps.bpeTrain(wc, 4)
+    assert(merges == Seq(("e", "s", 9L), ("es", "t", 9L),
+      ("l", "o", 7L), ("lo", "w", 7L)), s"got $merges")
+    // exhausted vocab stops early instead of looping
+    val tiny = TextOps.bpeTrain(Seq("ab" -> 1L), 10)
+    assert(tiny == Seq(("a", "b", 1L)))
+  }
+
+  test("bpe serving counts subtokens under the trained merges, zero-shuffle") {
+    import spark.implicits._
+    val docs = Seq((1L, "low lower low", "en", "srcA", 13L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextOps.bpeTokens(spark, tmp).collect()
+    assert(out.length == 1)
+    val r = out.head
+    // replay the merge/segmentation driver-side for the exact expectation
+    val expected = {
+      val wcs = Map("low" -> 2L, "lower" -> 1L)
+      val merges = TextOps.bpeTrain(wcs.toSeq.sortBy(-_._2), 20)
+      def enc(w: String): Int = {
+        var syms = w.map(_.toString).toVector
+        merges.foreach { case (a, b, _) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              out += (a + b); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          syms = out.result()
+        }
+        syms.length
+      }
+      2 * enc("low") + enc("lower")
+    }
+    assert(r.getAs[Long]("n_bpe_subtokens") == expected.toLong,
+      s"expected $expected subtokens, got $r")
+    assert(r.getAs[Long]("n_ws_tokens") == 3L)
+  }
+
   test("topk never exceeds 3 per customer and ranks by totalprice desc") {
     val tk = Analytics.qTopkOrdersPerCust(spark, sf0001)
     val bad = tk.groupBy("o_custkey").agg(count(lit(1)).as("n"))

@@ -1260,6 +1260,100 @@ object SimilarityOps {
       |      FROM embeddings)
       |ORDER BY vec_id""".stripMargin
 
+  /** Matryoshka-style head truncation (Kusupati et al. 2022 re-derived):
+    * ANN serving cost scales with dimension and MRL-trained embeddings
+    * concentrate energy in a short prefix, so a truncated index stores the
+    * renormalized k-dim head. Per vector: full vs head L2 norm, the
+    * retained-energy fraction (the metric that decides whether truncation
+    * is safe for a corpus), and the first renormalized coordinate (the
+    * value the truncated index would store). Map-side only — the
+    * sum-of-squares folds run in index order over each vector's own array
+    * (one deterministic float association order per engine), sqrt/divide
+    * are correctly-rounded IEEE, so the whole query is oracle-exact. One
+    * corpus scan at any scale.
+    */
+  def matryoshka(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "embeddings")
+      .withColumn("ss_full", expr("aggregate(embedding, CAST(0.0 AS DOUBLE)," +
+        " (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
+      .withColumn("ss_head", expr("aggregate(slice(embedding, 1, 16)," +
+        " CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
+      .select(col("vec_id"),
+        sqrt(col("ss_full")).as("norm_full"),
+        sqrt(col("ss_head")).as("norm_head"),
+        when(col("ss_full") > 0, col("ss_head") / col("ss_full")).as("energy_kept"),
+        when(col("ss_head") > 0,
+          expr("CAST(element_at(embedding, 1) AS DOUBLE)") / sqrt(col("ss_head")))
+          .as("e0_renorm"))
+      .orderBy("vec_id")
+
+  val matryoshkaOracle: String =
+    """SELECT vec_id, sqrt(ssf) AS norm_full, sqrt(ssh) AS norm_head,
+      |  CASE WHEN ssf > 0 THEN ssh / ssf END AS energy_kept,
+      |  CASE WHEN ssh > 0 THEN CAST(embedding[1] AS DOUBLE) / sqrt(ssh) END AS e0_renorm
+      |FROM (
+      |  SELECT vec_id, embedding,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+      |      (a, b) -> a + b) AS ssf,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(embedding[1:16], x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+      |      (a, b) -> a + b) AS ssh
+      |  FROM embeddings)
+      |ORDER BY vec_id""".stripMargin
+
+  /** Per-dimension whitening statistics (the standardization fit an
+    * embedding pipeline applies before cosine/clustering when dimensions
+    * have unequal scales). Corpus-order float sums are nondeterministic,
+    * so the fit runs in QUANTIZED integer space: q = floor(x * 2^20)
+    * (floor has no tie rule — identical in any engine), per-dim sums of q
+    * and q^2 as DECIMAL(38,0) (exact, overflow-safe at any corpus size,
+    * order-independent — the ManifestAgg discipline), then mean/std as
+    * one IEEE division/sqrt each at the end. The explode collapses
+    * map-side to d rows per partition, so the single shuffle moves
+    * d x partitions rows at any corpus size; the serve path applies
+    * (x - mean)/std map-side against the broadcast 64-row table.
+    */
+  def whitenStats(s: SparkSession, dir: String): DataFrame = {
+    val q = lit(1048576L) // 2^20
+    Tables.t(s, dir, "embeddings")
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select((col("pos") + 1).cast("long").as("dim"),
+        expr("CAST(FLOOR(CAST(x AS DOUBLE) * 1048576) AS BIGINT)").as("qx"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        sum(col("qx").cast("decimal(38,0)")).as("sum_q"),
+        sum((col("qx") * col("qx")).cast("decimal(38,0)")).as("sum_q2"))
+      .withColumn("mean",
+        col("sum_q").cast(DoubleType) / col("n").cast(DoubleType) / q.cast(DoubleType))
+      .withColumn("variance",
+        (col("sum_q2").cast(DoubleType) / col("n").cast(DoubleType) -
+          (col("sum_q").cast(DoubleType) / col("n").cast(DoubleType)) *
+            (col("sum_q").cast(DoubleType) / col("n").cast(DoubleType))) /
+          q.cast(DoubleType) / q.cast(DoubleType))
+      .withColumn("std", sqrt(col("variance")))
+      .select("dim", "n", "sum_q", "sum_q2", "mean", "std")
+      .orderBy("dim")
+  }
+
+  val whitenStatsOracle: String =
+    """SELECT dim, n, sum_q, sum_q2,
+      |  CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE) / 1048576.0 AS mean,
+      |  sqrt((CAST(sum_q2 AS DOUBLE) / CAST(n AS DOUBLE) -
+      |        (CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE)) *
+      |        (CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE)))
+      |       / 1048576.0 / 1048576.0) AS std
+      |FROM (
+      |  SELECT i AS dim, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(FLOOR(CAST(e.embedding[i] AS DOUBLE) * 1048576) AS BIGINT))
+      |         AS DECIMAL(38,0)) AS sum_q,
+      |    CAST(SUM(CAST(FLOOR(CAST(e.embedding[i] AS DOUBLE) * 1048576) AS BIGINT)
+      |           * CAST(FLOOR(CAST(e.embedding[i] AS DOUBLE) * 1048576) AS BIGINT))
+      |         AS DECIMAL(38,0)) AS sum_q2
+      |  FROM embeddings e, unnest(generate_series(1, len(e.embedding))) s(i)
+      |  GROUP BY i)
+      |ORDER BY dim""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("emb_knn_brute", knnBrute, Some(knnOracle), headline = true),
     QueryDef("emb_knn_lsh", knnLsh, None),
@@ -1272,6 +1366,8 @@ object SimilarityOps {
     QueryDef("emb_incr_cosine", incrementalCosine, Some(incrementalCosineOracle)),
     QueryDef("emb_dup_clusters", embDupClusters, Some(embDupClustersOracle)),
     QueryDef("emb_quantize_int8", quantizeInt8, Some(quantizeOracle)),
+    QueryDef("emb_matryoshka", matryoshka, Some(matryoshkaOracle)),
+    QueryDef("emb_whiten_stats", whitenStats, Some(whitenStatsOracle)),
     QueryDef("emb_semdedup", semDeDup, None)
   )
 }

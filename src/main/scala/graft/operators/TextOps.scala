@@ -1063,20 +1063,20 @@ object TextOps {
   def nbClassify(s: SparkSession, dir: String): DataFrame =
     nbClassifyOn(s, Tables.t(s, dir, "documents"), nbClasses)
 
-  /** Generalized train+serve over any (doc_id, lang, text) frame — the
-    * corpus labels are unlearnable word salad (zero marker tokens; the
-    * gate checks engine parity), so the LEARNING property is unit-tested
-    * on a planted-signal frame through this entry point.
+  /** A trained NB model: everything the serving pass needs, all bounded —
+    * per-class (doc count, token total), the prior denominator, the
+    * smoothing vocab size, and the capped per-class likelihood maps.
     */
-  def nbClassifyOn(s: SparkSession, docsIn: DataFrame,
-      classes: Seq[String]): DataFrame = {
-    val nbClasses = classes
+  final case class NbModel(classes: Seq[String],
+      stats: Map[String, (Long, Long)], nTotal: Long, vocabSize: Long,
+      likelihood: Map[String, Map[String, Long]])
+
+  def nbFit(s: SparkSession, docs: DataFrame, classes: Seq[String]): NbModel = {
     val vocabCap = s.conf.get("spark.graft.nb.vocabCap", "100000").toInt
-    val docs = docsIn
     val stats = docs.groupBy("lang")
       .agg(count(lit(1)).as("n"), sum(size(split(col("text"), " "))).cast("long").as("t"))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    val nTotal = nbClasses.map(c => stats.get(c).map(_._1).getOrElse(0L)).sum
+    val nTotal = classes.map(c => stats.get(c).map(_._1).getOrElse(0L)).sum
     val vocabSize = docs
       .select(explode(split(col("text"), " ")).as("t")).distinct().count()
     val w = Window.partitionBy("lang").orderBy(col("c").desc, col("t").asc)
@@ -1089,28 +1089,46 @@ object TextOps {
       .map { case (l, rows) =>
         l -> rows.map(r => r.getString(1) -> r.getLong(2)).toMap
       }
-    val base = Tables.spread(docs).select(col("doc_id"),
+    NbModel(classes, stats, nTotal, vocabSize, capped)
+  }
+
+  /** Score ANY (doc_id, lang, text) frame against a trained model — the
+    * model rides as literals, so the very same columns apply to a
+    * STREAMING frame as a stateless per-micro-batch map (StreamingSpec
+    * pins a planted-vocabulary model classifying a live MemoryStream).
+    * No sort here: batch callers order, streams can't.
+    */
+  def nbApply(frame: DataFrame, m: NbModel): DataFrame = {
+    val base = Tables.spread(frame).select(col("doc_id"),
       col("lang").as("labeled_lang"), split(col("text"), " ").as("toks"))
-    val scored = nbClasses.zipWithIndex.foldLeft(base) { case (df, (cls, i)) =>
-      val (nC, tC) = stats.getOrElse(cls, (0L, 0L))
-      val denom = tC + vocabSize
+    val scored = m.classes.zipWithIndex.foldLeft(base) { case (df, (cls, i)) =>
+      val (nC, tC) = m.stats.getOrElse(cls, (0L, 0L))
+      val denom = tC + m.vocabSize
       df.withColumn(s"m_$i",
-          typedLit(capped.getOrElse(cls, Map.empty[String, Long])))
+          typedLit(m.likelihood.getOrElse(cls, Map.empty[String, Long])))
         .withColumn(s"score_$cls",
           graft.functions.GraftFunctions.graftLn(
-            lit(nC.toDouble) / lit(nTotal.toDouble)) +
+            lit(nC.toDouble) / lit(m.nTotal.toDouble)) +
             expr(s"aggregate(toks, CAST(0.0 AS DOUBLE), (acc, tk) -> acc + " +
               s"graft_ln((CAST(coalesce(element_at(m_$i, tk), 0) AS DOUBLE) + 1.0)" +
               s" / CAST($denom AS DOUBLE)))"))
     }
-    val scoreCols = nbClasses.map(c => col(s"score_$c"))
-    val pred = nbClasses.foldRight(lit("und")) { case (cls, other) =>
+    val scoreCols = m.classes.map(c => col(s"score_$c"))
+    val pred = m.classes.foldRight(lit("und")) { case (cls, other) =>
       when(col(s"score_$cls") === greatest(scoreCols: _*), lit(cls)).otherwise(other)
     }
     scored.select(Seq(col("doc_id"), col("labeled_lang")) ++
-      nbClasses.map(c => col(s"score_$c")) :+ pred.as("pred_lang"): _*)
-      .orderBy("doc_id")
+      m.classes.map(c => col(s"score_$c")) :+ pred.as("pred_lang"): _*)
   }
+
+  /** Generalized train+serve over any (doc_id, lang, text) frame — the
+    * corpus labels are unlearnable word salad (zero marker tokens; the
+    * gate checks engine parity), so the LEARNING property is unit-tested
+    * on a planted-signal frame through this entry point.
+    */
+  def nbClassifyOn(s: SparkSession, docsIn: DataFrame,
+      classes: Seq[String]): DataFrame =
+    nbApply(docsIn, nbFit(s, docsIn, classes)).orderBy("doc_id")
 
   val nbClassifyOracle: String = {
     val clsList = nbClasses.map(c => s"'$c'").mkString(", ")

@@ -550,4 +550,30 @@ class StreamingSpec extends SparkSpecBase {
         s"expected exactly the two in-range same-ip events, got $got")
     } finally q.stop()
   }
+
+  test("trained NB model classifies a live document stream statelessly") {
+    implicit val sqlCtx = spark.sqlContext
+    // train on a tiny planted-vocabulary batch corpus...
+    val mk = Map("aa" -> "zork", "bb" -> "quux")
+    val train = (0 until 40).map { i =>
+      val cls = Seq("aa", "bb")(i % 2)
+      (i.toLong, cls, s"common word filler ${mk(cls)} common word")
+    }.toDF("doc_id", "lang", "text")
+    val model = operators.TextOps.nbFit(spark, train, Seq("aa", "bb"))
+    // ...then serve it over a MemoryStream: same columns, stateless map
+    val mem = MemoryStream[(Long, String, String)]
+    val scored = operators.TextOps.nbApply(
+      mem.toDF().toDF("doc_id", "lang", "text"), model)
+    val q = scored.writeStream.format("memory").queryName("nb_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((100L, "?", "filler zork word"), (101L, "?", "quux filler"))
+      q.processAllAvailable()
+      mem.addData((102L, "?", "word quux common"))
+      q.processAllAvailable()
+      val got = spark.table("nb_out").select("doc_id", "pred_lang")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == Map(100L -> "aa", 101L -> "bb", 102L -> "bb"), s"got $got")
+    } finally q.stop()
+  }
 }

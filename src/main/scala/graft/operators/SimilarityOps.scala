@@ -1260,6 +1260,142 @@ object SimilarityOps {
       |      FROM embeddings)
       |ORDER BY vec_id""".stripMargin
 
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix (Golub & Van
+    * Loan §8.5 — the textbook algorithm, re-implemented): returns
+    * (eigenvalues, eigenvectors-as-rows), both in the matrix's original
+    * basis order (caller sorts). Fixed sweep order + fixed convergence
+    * threshold = bit-deterministic for a given input on any JVM.
+    */
+  private[graft] def jacobiEigen(
+      aIn: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = aIn.length
+    val a = aIn.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    def off(): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < d) { var j = i + 1; while (j < d) { s += a(i)(j) * a(i)(j); j += 1 }; i += 1 }
+      s
+    }
+    var sweep = 0
+    while (sweep < 64 && off() > 1e-20) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t =
+              if (theta >= 0) 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+              else 1.0 / (theta - math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var k = 0
+            while (k < d) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq
+              a(k)(q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - s * aqk
+              a(q)(k) = s * apk + c * aqk
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)),
+      Array.tabulate(d)(j => Array.tabulate(d)(i => v(i)(j))))
+  }
+
+  /** Deterministic PCA fit: mean + top-k principal axes + eigenvalues.
+    * The fit pulls the BOUNDED deterministic train sample (the 34e
+    * pattern, `spark.graft.train.sampleCap`) sorted by vec_id and runs
+    * mean/covariance/Jacobi on the DRIVER in that fixed order — a d x d
+    * eigenproblem is driver-sized at any corpus size (d=64 here; the
+    * corpus-scale work is only ever the projection pass). Sign convention:
+    * each axis's largest-|coordinate| entry is made positive, so the fit
+    * is unique, replayable, and append-stable.
+    */
+  def pcaFit(s: SparkSession, emb: DataFrame,
+      k: Int): (Array[Double], Array[Array[Double]], Array[Double]) = {
+    val rows = trainSample(emb).select("vec_id", "embedding").orderBy("vec_id")
+      .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val n = rows.length
+    require(n > 1, s"PCA needs >1 sample rows, got $n")
+    val d = rows.head.length
+    val mean = new Array[Double](d)
+    rows.foreach { r => var i = 0; while (i < d) { mean(i) += r(i); i += 1 } }
+    var i = 0
+    while (i < d) { mean(i) /= n; i += 1 }
+    val cov = Array.ofDim[Double](d, d)
+    rows.foreach { r =>
+      var a = 0
+      while (a < d) {
+        val xa = r(a) - mean(a)
+        var b = a
+        while (b < d) { cov(a)(b) += xa * (r(b) - mean(b)); b += 1 }
+        a += 1
+      }
+    }
+    i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        cov(i)(j) /= (n - 1); cov(j)(i) = cov(i)(j); j += 1
+      }
+      i += 1
+    }
+    val (eigs, vecs) = jacobiEigen(cov)
+    val order = eigs.indices.sortBy(j => (-eigs(j), j)).take(k)
+    val comps = order.map { j =>
+      val vrow = vecs(j)
+      val m = vrow.indices.maxBy(x => (math.abs(vrow(x)), -x))
+      if (vrow(m) < 0) vrow.map(-_) else vrow.clone()
+    }.toArray
+    (mean, comps, order.map(eigs(_)).toArray)
+  }
+
+  /** Map-side PCA projection: the fitted axes ride as array literals,
+    * centering + each coordinate is one zip_with/aggregate fold — one
+    * corpus scan, zero shuffle before the output sort, streaming-safe
+    * (stateless). Output: top-4 coordinates per vector. rows-only gated
+    * (an eigenproblem is not SQL-expressible); determinism + variance
+    * ordering + orthonormality are unit-tested.
+    */
+  def pcaProject(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.t(s, dir, "embeddings")
+    val (mean, comps, _) = pcaFit(s, emb, 4)
+    val base = Tables.spread(emb)
+      .withColumn("mu", typedLit(mean.toSeq))
+      .withColumn("centered", expr(
+        "zip_with(embedding, mu, (x, m) -> CAST(x AS DOUBLE) - m)"))
+    val withCoords = comps.zipWithIndex.foldLeft(base) { case (df, (c, j)) =>
+      df.withColumn(s"ax_$j", typedLit(c.toSeq))
+        .withColumn(s"p${j + 1}", expr(
+          s"aggregate(zip_with(centered, ax_$j, (x, c) -> x * c)," +
+            " CAST(0.0 AS DOUBLE), (a, v) -> a + v)"))
+    }
+    withCoords.select(Seq(col("vec_id"), col("label")) ++
+      comps.indices.map(j => col(s"p${j + 1}")): _*)
+      .orderBy("vec_id")
+  }
+
   /** Matryoshka-style head truncation (Kusupati et al. 2022 re-derived):
     * ANN serving cost scales with dimension and MRL-trained embeddings
     * concentrate energy in a short prefix, so a truncated index stores the
@@ -1368,6 +1504,7 @@ object SimilarityOps {
     QueryDef("emb_quantize_int8", quantizeInt8, Some(quantizeOracle)),
     QueryDef("emb_matryoshka", matryoshka, Some(matryoshkaOracle)),
     QueryDef("emb_whiten_stats", whitenStats, Some(whitenStatsOracle)),
+    QueryDef("emb_pca_project", pcaProject, None),
     QueryDef("emb_semdedup", semDeDup, None)
   )
 }

@@ -652,4 +652,46 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(removed == cloneIds,
       s"no distinct vector reaches cos >= 0.999 in this corpus (extra: ${removed -- cloneIds})")
   }
+
+  test("jacobi eigensolver recovers a known spectrum") {
+    // [[2,1],[1,2]] -> eigenvalues {3, 1}, eigenvectors (1,1)/sqrt2, (1,-1)/sqrt2
+    val (eigs, vecs) = SimilarityOps.jacobiEigen(
+      Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    val byVal = eigs.zip(vecs).sortBy(-_._1)
+    assert(math.abs(byVal(0)._1 - 3.0) < 1e-12 && math.abs(byVal(1)._1 - 1.0) < 1e-12)
+    val s2 = 1.0 / math.sqrt(2.0)
+    val v0 = byVal(0)._2.map(math.abs)
+    assert(math.abs(v0(0) - s2) < 1e-12 && math.abs(v0(1) - s2) < 1e-12)
+  }
+
+  test("pca fit: orthonormal axes, descending variance, deterministic replay") {
+    val emb = Tables.t(spark, sf0001, "embeddings")
+    val (mean, comps, eigs) = SimilarityOps.pcaFit(spark, emb, 4)
+    assert(mean.length == 64 && comps.length == 4)
+    // axes orthonormal
+    for (i <- comps.indices; j <- comps.indices) {
+      val dot = comps(i).zip(comps(j)).map { case (a, b) => a * b }.sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-9, s"axes $i,$j dot=$dot")
+    }
+    // eigenvalues sorted descending and non-negative
+    assert(eigs.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+    assert(eigs.forall(_ >= -1e-12))
+    // bit-deterministic replay (fixed sample order + fixed sweep order)
+    val (mean2, comps2, eigs2) = SimilarityOps.pcaFit(spark, emb, 4)
+    assert(mean.sameElements(mean2) && eigs.sameElements(eigs2) &&
+      comps.zip(comps2).forall { case (a, b) => a.sameElements(b) })
+  }
+
+  test("pca projection: per-coordinate variance follows the eigenvalue order") {
+    val out = SimilarityOps.pcaProject(spark, sf0001).collect()
+    def variance(vals: Array[Double]): Double = {
+      val m = vals.sum / vals.length
+      vals.map(v => (v - m) * (v - m)).sum / (vals.length - 1)
+    }
+    val vars = (1 to 4).map(j =>
+      variance(out.map(_.getAs[Double](s"p$j"))))
+    assert(vars.sliding(2).forall { case Seq(a, b) => a >= b * 0.98 },
+      s"projected variances must track the eigenvalue order, got $vars")
+  }
 }

@@ -1267,7 +1267,7 @@ object TextOps {
   /** Capped corpus word counts + the trained merge list + the final
     * per-word symbol segmentation (the serving artifact).
     */
-  private def bpeFit(s: SparkSession, docs: DataFrame,
+  private[graft] def bpeFit(s: SparkSession, docs: DataFrame,
       nMerges: Int): (Seq[(String, Long)], Seq[(String, String, Long)], Map[String, Int]) = {
     val vocabCap = s.conf.get("spark.graft.bpe.vocabCap", "100000").toInt
     val wc = Tables.spread(docs)

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table loaders for the driver-generated star schema.
   * One file per table; a 100 TB deployment would point `dir` at a
@@ -30,6 +30,11 @@ object Tables {
           df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
         case TimestampNTZType =>
           df.withColumn(f.name, col(f.name).cast(TimestampType))
+        // the float-typed vector surface (encoders, codegen expressions)
+        // assumes array<float>; a regenerated double-array table would
+        // crash it the way the NTZ change crashed unix_micros
+        case ArrayType(DoubleType, n) if name == "embeddings" && f.name == "embedding" =>
+          df.withColumn(f.name, col(f.name).cast(ArrayType(FloatType, n)))
         case _ => df
       }
     }

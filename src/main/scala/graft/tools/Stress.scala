@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.GraftSession
-import graft.operators.{DedupOps, EventOps, SimilarityOps}
+import graft.operators.{DedupOps, EventOps, SimilarityOps, TextOps}
 import graft.sources.Tables
 
 /** Scale stress: replicate the sf0.1 tables 10-20x with key offsets (and
@@ -52,6 +52,17 @@ object Stress {
     // coverage must be EXACTLY linear in copies
     time(s"substring-dup x$copies coverage")(
       DedupOps.substringDupOn(docsN).agg(sum("dup_tokens")).first().getLong(0))
+    spark.catalog.clearCache()
+
+    // BPE fit: the distributed cost is the word-count pass (linear in
+    // corpus); the merge loop runs on the CAPPED vocab (grows only by the
+    // `cpN` marker tokens here), so the x1 -> xN curve must track the
+    // scan, not the corpus x vocab product
+    time(s"bpe-fit x1")(
+      TextOps.bpeFit(spark, corpusOf(1), 20)._2.length)
+    spark.catalog.clearCache()
+    time(s"bpe-fit x$copies")(
+      TextOps.bpeFit(spark, docsN, 20)._2.length)
     spark.catalog.clearCache()
 
     // incremental probe: the corpus grows xN while the daily batch stays

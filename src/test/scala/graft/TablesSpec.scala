@@ -54,6 +54,20 @@ class TablesSpec extends SparkSpecBase {
     assert(us == wantUs)
   }
 
+  test("double-array embedding column normalizes to array<float>") {
+    val tmp = Files.createTempDirectory("graft-tables3").toString
+    spark.range(1).select(lit(7L).as("vec_id"),
+      array(lit(0.5d), lit(0.25d)).as("embedding"), lit(1).as("label"))
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val got = Tables.t(spark, tmp, "embeddings")
+    got.schema("embedding").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => ()
+      case other => fail(s"embedding not normalized to array<float>: $other")
+    }
+    assert(got.selectExpr("element_at(embedding, 1)").head.getFloat(0) == 0.5f)
+  }
+
   test("non-events tables normalize NTZ columns too") {
     val tmp = Files.createTempDirectory("graft-tables2").toString
     spark.range(1).select(lit(1L).as("l_orderkey"),

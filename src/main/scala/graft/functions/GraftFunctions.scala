@@ -19,7 +19,8 @@ object GraftFunctions {
     "graft_word_shingles" -> { args =>
       WordShingles(args(0), args(1).eval().asInstanceOf[Int]) },
     "graft_pq_adc" -> { args => PqAdc(args(0), args(1)) },
-    "graft_ln" -> { args => PortableLn(args(0)) }
+    "graft_ln" -> { args => PortableLn(args(0)) },
+    "graft_nfc" -> { args => NfcNormalize(args(0)) }
   )
 
   def register(spark: SparkSession): Unit = {
@@ -52,4 +53,5 @@ object GraftFunctions {
   def graftPqAdc(codes: Column, lut: Column): Column =
     call_function("graft_pq_adc", codes, lut)
   def graftLn(x: Column): Column = call_function("graft_ln", x)
+  def graftNfc(s: Column): Column = call_function("graft_nfc", s)
 }

@@ -363,3 +363,49 @@ case class PortableLn(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Unicode NFC normalization (canonical composition) — the first step of
+  * every text-ingest pipeline (combining sequences like "e"+U+0301 and
+  * compatibility leftovers otherwise make byte-identical text hash as
+  * distinct, silently defeating exact dedup and fingerprinting). Spark has
+  * no built-in; this calls the JDK's ICU-derived java.text.Normalizer,
+  * which matches DuckDB's utf8proc `nfc_normalize` on NFC output (both
+  * implement UAX #15 canonical composition). Skips the (allocating) JDK
+  * call entirely when the string is pure ASCII — ASCII is NFC-invariant —
+  * so the common-case hot loop is one byte scan.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_nfc"
+
+  override protected def nullSafeEval(input: Any): Any =
+    NfcNormalize.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NfcNormalize.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NfcNormalize {
+  def compute(s: UTF8String): UTF8String = {
+    // ASCII fast path: NFC(ascii) == ascii, return the input buffer as-is
+    val n = s.numBytes()
+    var i = 0
+    var ascii = true
+    while (ascii && i < n) {
+      if ((s.getByte(i) & 0x80) != 0) ascii = false
+      i += 1
+    }
+    if (ascii) s
+    else {
+      val str = s.toString
+      val norm = java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC)
+      if (norm.equals(str)) s else UTF8String.fromString(norm)
+    }
+  }
+}

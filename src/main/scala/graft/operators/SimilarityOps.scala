@@ -58,6 +58,44 @@ object SimilarityOps {
        |SELECT q_id, n_id, rnk, sim FROM ranked WHERE rnk <= 10
        |ORDER BY q_id, rnk""".stripMargin
 
+  /** Metadata-FILTERED vector search — the production retrieval shape
+    * (every real vector store call carries a predicate: tenant, language,
+    * date range, label). The filter composes BEFORE ranking, so top-k is
+    * over the qualifying subset, not post-filtered (post-filtering returns
+    * < k rows whenever the filter is selective — the classic filtered-ANN
+    * bug). Here the predicate lands in the parquet scan (PushedFilters:
+    * the corpus side reads only qualifying row groups); on the served IVF
+    * layouts the same predicate applies to the probed cells' code rows
+    * before the ADC cut, preserving per-cell pruning.
+    */
+  def knnFiltered(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val scored = e.filter(col("label") === 1) // the metadata predicate
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", graftCosine(col("q_emb"), col("embedding")))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 10)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("rnk"), col("sim"))
+      .orderBy("q_id", "rnk")
+  }
+
+  val knnFilteredOracle: String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT q.q_id, e.vec_id AS n_id,
+       |         ${sqlQCos("q.q_emb", "e.embedding")} AS sim
+       |  FROM embeddings e CROSS JOIN q
+       |  WHERE e.label = 1 AND e.vec_id <> q.q_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rnk
+       |  FROM scored)
+       |SELECT q_id, n_id, rnk, sim FROM ranked WHERE rnk <= 10
+       |ORDER BY q_id, rnk""".stripMargin
+
   /** Random-hyperplane LSH ANN (the scale path): 16-bit signatures computed
     * map-side from a broadcast hyperplane matrix; probing joins only the
     * query's bucket instead of scanning the corpus. Approximate -> rows-only.
@@ -1492,6 +1530,7 @@ object SimilarityOps {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("emb_knn_brute", knnBrute, Some(knnOracle), headline = true),
+    QueryDef("emb_knn_filtered", knnFiltered, Some(knnFilteredOracle)),
     QueryDef("emb_knn_lsh", knnLsh, None),
     QueryDef("emb_knn_ivf", knnIvf, None),
     QueryDef("emb_knn_pq", knnPq, None),

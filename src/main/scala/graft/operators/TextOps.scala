@@ -148,6 +148,117 @@ object TextOps {
   val fingerprintOracle: String =
     "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id"
 
+  /** Text canonicalization — the pass every ingest pipeline runs BEFORE
+    * hashing/dedup, because un-normalized text makes semantically identical
+    * bytes hash apart: Unicode NFC (the native `graft_nfc` expression —
+    * Spark has no built-in; DuckDB's `nfc_normalize` is the oracle),
+    * control-character strip, whitespace-run collapse, trim. Map-side only;
+    * output is the canonical fingerprint + change evidence, so the gate
+    * pins the exact normalized bytes without shipping full text.
+    */
+  def normalizeCanon(c: Column): Column =
+    trim(regexp_replace(regexp_replace(graft.functions.GraftFunctions.graftNfc(c),
+      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""), "[ \\t\\r\\n]+", " "))
+
+  def normalize(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "documents")
+      .withColumn("norm", normalizeCanon(col("text")))
+      .select(col("doc_id"),
+        md5(col("norm")).as("norm_fp"),
+        (col("norm") =!= col("text")).as("changed"),
+        (length(col("text")) - length(col("norm"))).cast("long").as("len_delta"))
+      .orderBy("doc_id")
+
+  val normalizeOracle: String =
+    """SELECT doc_id, md5(norm) AS norm_fp, norm <> text AS changed,
+      |       CAST(length(text) - length(norm) AS BIGINT) AS len_delta
+      |FROM (SELECT doc_id, text,
+      |        trim(regexp_replace(regexp_replace(nfc_normalize(text),
+      |          '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+      |          '[ \t\r\n]+', ' ', 'g')) AS norm
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken 2003 —
+    * the MOSS local fingerprinting algorithm, re-derived): per document,
+    * fingerprint every k-token gram, slide a window of `w` consecutive gram
+    * fingerprints, select the window minimum (rightmost on ties), and keep
+    * the DISTINCT selected (position, fingerprint) pairs as the document's
+    * sketch. The local guarantee random sampling cannot give: any shared
+    * token run of length >= k+w-1 contributes at least one shared selected
+    * fingerprint, at expected density 2/(w+1) of all grams.
+    *
+    * Scale shape: every stage is a higher-order fold over the doc's own
+    * token array — one corpus scan, zero shuffle, no explode; the sketch
+    * metrics (count, position sum, min/max fingerprint) pin the exact
+    * selection set against the oracle. Gram fingerprints use md5 so the
+    * oracle is engine-portable; `graft_rolling_hash` is the cheaper
+    * non-cryptographic production swap (same plan).
+    *
+    * Docs with 0 < n < w grams winnow one window of all n grams, so every
+    * tokenizable doc yields >= 1 fingerprint.
+    */
+  final val WinnowK = 4
+  final val WinnowW = 4
+
+  /** doc_id + the selected (position, fingerprint) pairs — the sketch
+    * itself, for join-based matching and the guarantee property test.
+    */
+  def winnowSketch(df: DataFrame, k: Int = WinnowK, w: Int = WinnowW): DataFrame =
+    df.withColumn("toks", split(col("text"), " "))
+      .withColumn("fps", when(size(col("toks")) >= k,
+        expr(s"transform(sequence(1, size(toks) - ${k - 1}), i -> md5(array_join(slice(toks, i, $k), ' ')))"))
+        .otherwise(array().cast("array<string>")))
+      .withColumn("sel", expr(
+        s"""CASE WHEN size(fps) = 0 THEN array()
+           |ELSE array_distinct(transform(
+           |  transform(sequence(1, size(fps) - least($w, size(fps)) + 1),
+           |    i -> named_struct('i', i, 's', slice(fps, i, least($w, size(fps))))),
+           |  t -> named_struct(
+           |    'p', CAST(t.i + least($w, size(fps)) - array_position(reverse(t.s), array_min(t.s)) AS BIGINT),
+           |    'f', array_min(t.s))))
+           |END""".stripMargin))
+
+  def winnow(s: SparkSession, dir: String): DataFrame =
+    winnowSketch(Tables.t(s, dir, "documents"))
+      .select(col("doc_id"),
+        size(col("fps")).cast("long").as("n_grams"),
+        size(col("sel")).cast("long").as("n_selected"),
+        expr("CAST(coalesce(aggregate(sel, CAST(0 AS BIGINT), (a, x) -> a + x.p), 0) AS BIGINT)").as("pos_sum"),
+        coalesce(expr("array_min(transform(sel, x -> x.f))"), lit("")).as("min_fp"),
+        coalesce(expr("array_max(transform(sel, x -> x.f))"), lit("")).as("max_fp"))
+      .orderBy("doc_id")
+
+  /** DuckDB mirror. `list_distinct` is unimplemented over STRUCTs there, so
+    * the (position, fingerprint) pair is string-encoded (zero-padded
+    * position ':' fingerprint) for the distinct step and decoded for the
+    * metrics — same pair set, same numbers.
+    */
+  val winnowOracle: String = {
+    val (k, w) = (WinnowK, WinnowW)
+    s"""WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+       |g AS (SELECT doc_id,
+       |        CASE WHEN len(toks) >= $k THEN
+       |          list_transform(generate_series(1, len(toks) - ${k - 1}),
+       |            i -> md5(array_to_string(toks[i:i+${k - 1}], ' ')))
+       |        ELSE []::VARCHAR[] END AS fps FROM t),
+       |s AS (SELECT doc_id, fps,
+       |        CASE WHEN len(fps) = 0 THEN []::VARCHAR[]
+       |        ELSE list_distinct(list_transform(
+       |          list_transform(generate_series(1, len(fps) - least($w, len(fps)) + 1),
+       |            i -> {'i': i, 's': fps[i:i+least($w, len(fps))-1]}),
+       |          t -> lpad(CAST(t.i + least($w, len(fps)) - list_position(list_reverse(t.s), list_aggregate(t.s, 'min')) AS VARCHAR), 8, '0')
+       |               || ':' || list_aggregate(t.s, 'min'))) END AS sel
+       |      FROM g)
+       |SELECT doc_id,
+       |  CAST(len(fps) AS BIGINT) AS n_grams,
+       |  CAST(len(sel) AS BIGINT) AS n_selected,
+       |  CAST(coalesce(list_sum(list_transform(sel, x -> CAST(x[1:8] AS BIGINT))), 0) AS BIGINT) AS pos_sum,
+       |  coalesce(list_aggregate(list_transform(sel, x -> x[10:]), 'min'), '') AS min_fp,
+       |  coalesce(list_aggregate(list_transform(sel, x -> x[10:]), 'max'), '') AS max_fp
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
   /** Top-20 bigrams: array-local bigram construction (no posexplode
     * self-join), one aggregation shuffle.
     */
@@ -477,6 +588,52 @@ object TextOps {
        |    ELSE 'test' END AS split
        |  FROM documents)
        |GROUP BY source, split ORDER BY source, split""".stripMargin
+  }
+
+  /** Deterministic global shuffle into ordered training shards — the step
+    * between selection and the sequence packer: every epoch reader needs
+    * the corpus in a fixed pseudorandom order, split into S shard files,
+    * reproducible with no RNG state. Shard = multiplicative hash mod S;
+    * within-shard order = (hash, doc_id) — i.e. the corpus permuted by an
+    * order-2 universal hash.
+    *
+    * The plan IS the physical shard-write shape at 100 TB: one shuffle
+    * keyed by shard, an in-partition sort (the window's rank realizes the
+    * within-file record order — Spark plans partitionBy(shard) windows as
+    * sortWithinPartitions, no global sort), then a per-shard fold. The gate
+    * output pins the full permutation: the rank-weighted hash sum diverges
+    * if ANY document lands in the wrong shard or position.
+    */
+  final val Shards = 8
+  def shardAssign(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .withColumn("h", graft.Exact.mulHash(col("doc_id")))
+      .withColumn("shard", pmod(col("h"), lit(Shards.toLong)))
+    val w = Window.partitionBy("shard").orderBy(col("h").asc, col("doc_id").asc)
+    d.withColumn("rnk", row_number().over(w).cast("long"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_toks").as("n_tokens"),
+        sum(col("rnk") * pmod(col("h"), lit(1000003L))).as("order_check"),
+        min(when(col("rnk") === 1, col("doc_id"))).as("first_doc"),
+        expr("max_by(doc_id, rnk)").as("last_doc"))
+      .orderBy("shard")
+  }
+
+  val shardAssignOracle: String = {
+    val h = graft.Exact.sqlMulHash("doc_id")
+    s"""WITH d AS (SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS n_toks,
+       |             $h AS h FROM documents),
+       |r AS (SELECT *, h % $Shards AS shard,
+       |        row_number() OVER (PARTITION BY h % $Shards ORDER BY h, doc_id) AS rnk
+       |      FROM d)
+       |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(rnk * (h % 1000003)) AS BIGINT) AS order_check,
+       |  MIN(CASE WHEN rnk = 1 THEN doc_id END) AS first_doc,
+       |  max_by(doc_id, rnk) AS last_doc
+       |FROM r GROUP BY shard ORDER BY shard""".stripMargin
   }
 
   /** Corpus vocabulary: top-50 tokens by total occurrences with document
@@ -1345,6 +1502,9 @@ object TextOps {
     QueryDef("doc_langid", langId, Some(langIdOracle)),
     QueryDef("doc_sqli_flag", sqliFlag, Some(sqliOracle)),
     QueryDef("doc_fingerprint", fingerprint, Some(fingerprintOracle)),
+    QueryDef("doc_winnow", winnow, Some(winnowOracle)),
+    QueryDef("doc_normalize", normalize, Some(normalizeOracle)),
+    QueryDef("doc_shard_assign", shardAssign, Some(shardAssignOracle)),
     QueryDef("doc_top_bigrams", topBigrams, Some(topBigramsOracle)),
     QueryDef("doc_pii_scrub", piiScrub, Some(piiOracle)),
     QueryDef("doc_repetition", repetition, Some(repetitionOracle)),

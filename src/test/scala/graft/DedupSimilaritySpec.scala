@@ -694,4 +694,22 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(vars.sliding(2).forall { case Seq(a, b) => a >= b * 0.98 },
       s"projected variances must track the eigenvalue order, got $vars")
   }
+
+  test("filtered kNN: predicate composes before ranking, not after") {
+    val filtered = SimilarityOps.knnFiltered(spark, sf0001)
+    // every returned neighbor satisfies the predicate, k full rows per query
+    val e = Tables.t(spark, sf0001, "embeddings")
+      .select(col("vec_id").as("n_id"), col("label"))
+    assert(filtered.join(e, "n_id").filter(col("label") =!= 1).count() == 0)
+    val perQ = filtered.groupBy("q_id").count().collect()
+    assert(perQ.forall(_.getLong(1) == 10), "filtered search must return full k")
+    // post-filtering the UNfiltered top-k under-returns for at least one
+    // query (the filtered-ANN bug compose-before-rank avoids): with 10
+    // uniform labels, ~1 of 10 brute neighbors is label 1
+    val postFiltered = SimilarityOps.knnBrute(spark, sf0001)
+      .join(e, "n_id").filter(col("label") === 1)
+      .groupBy("q_id").count().collect()
+    assert(postFiltered.exists(_.getLong(1) < 10),
+      "post-filter should under-return; if not, this corpus stopped exercising the case")
+  }
 }

@@ -234,4 +234,59 @@ class TextAnalyticsSpec extends SparkSpecBase {
       .filter(col("p2").isNotNull && col("p1") < col("p2")).count()
     assert(monotone == 0)
   }
+
+  test("winnowing guarantee: any shared run of k+w-1 tokens shares a fingerprint") {
+    import spark.implicits._
+    // two docs share exactly one 7-token (k+w-1 = 4+4-1) run embedded in
+    // otherwise-disjoint vocabulary; a third doc is fully disjoint
+    val shared = "alpha beta gamma delta epsilon zeta eta"
+    val docs = Seq(
+      (1L, s"aa bb cc dd $shared ee ff gg hh"),
+      (2L, s"pp qq rr $shared ss tt uu vv ww xx"),
+      (3L, "k1 k2 k3 k4 k5 k6 k7 k8 k9 k10 k11 k12")).toDF("doc_id", "text")
+    val sk = TextOps.winnowSketch(docs)
+      .select(col("doc_id"), explode(col("sel")).as("s"))
+      .select(col("doc_id"), col("s.f").as("f"))
+    val overlap12 = sk.filter(col("doc_id") === 1).select("f")
+      .intersect(sk.filter(col("doc_id") === 2).select("f")).count()
+    val overlap13 = sk.filter(col("doc_id") === 1).select("f")
+      .intersect(sk.filter(col("doc_id") === 3).select("f")).count()
+    assert(overlap12 >= 1, "shared 7-token run must share a selected fingerprint")
+    assert(overlap13 == 0, "disjoint docs must not collide")
+  }
+
+  test("winnowing density and short-doc edge cases") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, ""),                         // 1 empty-string token, < k -> no grams
+      (2L, "a b c"),                    // 3 tokens < k -> no grams
+      (3L, "a b c d"),                  // exactly k -> 1 gram, 1 window of size 1
+      (4L, "a b c d e f"),              // 3 grams < w -> one window of all 3
+      (5L, Seq.tabulate(200)(i => s"t$i").mkString(" "))) // long unique doc
+      .toDF("doc_id", "text")
+    val m = TextOps.winnowSketch(docs)
+      .select(col("doc_id"), size(col("fps")).as("ng"), size(col("sel")).as("ns"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(m(1L) == ((0, 0)) && m(2L) == ((0, 0)))
+    assert(m(3L) == ((1, 1)))
+    assert(m(4L)._1 == 3 && m(4L)._2 == 1)
+    // density: winnowing selects ~2/(w+1) of grams on random-ish content;
+    // also every selection gap is <= w by construction (positions sorted)
+    val (ng5, ns5) = m(5L)
+    assert(ns5 >= ng5 / 5 && ns5 <= ng5 * 3 / 5, s"density off: $ns5 of $ng5")
+    val pos = TextOps.winnowSketch(docs).filter(col("doc_id") === 5)
+      .select(explode(col("sel")).as("s")).select(col("s.p")).as[Long].collect().sorted
+    assert(pos.zip(pos.tail).forall { case (a, b) => b - a <= TextOps.WinnowW },
+      "no gap between consecutive selected positions may exceed w")
+  }
+
+  test("shard assignment covers the corpus exactly once with stable order") {
+    val out = TextOps.shardAssign(spark, sf0001).collect()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == 500L)
+    assert(out.length == TextOps.Shards)
+    // replay-stable: same checksum on a rerun
+    val again = TextOps.shardAssign(spark, sf0001).collect()
+    assert(out.map(_.getAs[Long]("order_check")).toSeq ==
+      again.map(_.getAs[Long]("order_check")).toSeq)
+  }
 }

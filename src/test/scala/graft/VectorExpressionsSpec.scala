@@ -115,4 +115,32 @@ class VectorExpressionsSpec extends SparkSpecBase {
     val e = intercept[Exception](bad.collect())
     assert(causes(e).exists(_.isInstanceOf[ArrayIndexOutOfBoundsException]))
   }
+
+  test("graft_nfc: UAX #15 canonical composition, ASCII identity, null") {
+    // expectations cross-checked against DuckDB's utf8proc nfc_normalize
+    // (the oracle's engine) and python unicodedata: decomposed sequences
+    // compose, compatibility chars (ligature fi, halfwidth kana) survive,
+    // Hangul jamo compose to the precomposed syllable
+    val cases = Seq(
+      "e\u0301clair" -> "\u00e9clair",
+      "A\u030angstr\u00f6m" -> "\u00c5ngstr\u00f6m",
+      "\ufb01le" -> "\ufb01le",
+      "caf\u00e9" -> "caf\u00e9",
+      "\u1100\u1161" -> "\uac00",
+      "plain ascii 123" -> "plain ascii 123",
+      "" -> "")
+    val got = cases.map(_._1).toDF("s")
+      .select(GraftFunctions.graftNfc(col("s"))).collect().map(_.getString(0))
+    cases.map(_._2).zip(got).foreach { case (want, g) => assert(g == want) }
+    // idempotent: NFC(NFC(x)) == NFC(x)
+    val twice = cases.map(_._1).toDF("s")
+      .select(GraftFunctions.graftNfc(GraftFunctions.graftNfc(col("s")))).collect().map(_.getString(0))
+    assert(twice.toSeq == got.toSeq)
+    // null propagates
+    assert(spark.sql("SELECT graft_nfc(CAST(NULL AS STRING)) AS x").first().isNullAt(0))
+    // the ASCII fast path returns identical bytes (hash-stable)
+    val ascii = Seq("just ascii").toDF("s")
+      .select(GraftFunctions.graftNfc(col("s")) === col("s")).first().getBoolean(0)
+    assert(ascii)
+  }
 }

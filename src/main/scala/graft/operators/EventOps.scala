@@ -421,6 +421,59 @@ object EventOps {
        |      2.5 * SQRT(s.sxx / s.n - (s.sx / s.n) * (s.sx / s.n))
        |ORDER BY event_id""".stripMargin
 
+  /** CUSUM drift detection per key (Page 1954 re-derived for SQL windows):
+    * the sequential changepoint statistic the z-score filter cannot
+    * replace — z-score flags single outliers, CUSUM accumulates SMALL
+    * sustained shifts (a slow-ramp exfiltration that never trips a
+    * per-event threshold). The recursion S_i = max(0, S_{i-1} + dev_i) is
+    * not window-expressible directly, but its closed form is:
+    * S_i = cum_i - min(0, min_{j<=i} cum_j) over the running sum of
+    * deviations — two stacked running windows, exactly one shuffle by key.
+    *
+    * Everything is integer math: values quantize to floor(value*1e6),
+    * deviations scale by the key's event count n (dev = n*x - S_tot -
+    * S_tot div 10, i.e. 10% slack over the key's own mean) so no division
+    * ever happens. Overflow bound: n^2 * max_x * 1e6 < 2^63 holds to ~4M
+    * events per key; beyond that a production deployment windows the
+    * statistic by day (same plan, one more group key).
+    */
+  def cusumDrift(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+    val ord = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        floor(col("value") * lit(1e6)).cast("long").as("x"))
+      .withColumn("n", count(lit(1)).over(byUser))
+      .withColumn("s_tot", sum(col("x")).over(byUser))
+      .withColumn("dev", col("n") * col("x") - col("s_tot") - expr("s_tot div 10"))
+      .withColumn("cum", sum(col("dev")).over(run))
+      .withColumn("runmin", min(col("cum")).over(run))
+      .withColumn("cusum", col("cum") - least(lit(0L), col("runmin")))
+      .groupBy("user_id")
+      .agg(max(col("n")).as("n_events"),
+        max(col("cusum")).as("max_cusum"),
+        sum(when(col("cusum") > lit(2L) * col("s_tot"), 1L).otherwise(0L)).as("n_breach"),
+        min(when(col("cusum") > lit(2L) * col("s_tot"), col("ts_us"))).as("first_breach_us"))
+      .orderBy("user_id")
+  }
+
+  val cusumOracle: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |             CAST(FLOOR(value * 1e6) AS BIGINT) AS x FROM events),
+      |w AS (SELECT *, COUNT(*) OVER (PARTITION BY user_id) AS n,
+      |        CAST(SUM(x) OVER (PARTITION BY user_id) AS BIGINT) AS s_tot FROM e),
+      |c AS (SELECT *, n * x - s_tot - s_tot // 10 AS dev FROM w),
+      |r AS (SELECT *, CAST(SUM(dev) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM c),
+      |m AS (SELECT *, MIN(cum) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |        ROWS UNBOUNDED PRECEDING) AS runmin FROM r),
+      |f AS (SELECT *, cum - LEAST(0, runmin) AS cusum FROM m)
+      |SELECT user_id, MAX(n) AS n_events, MAX(cusum) AS max_cusum,
+      |  CAST(COALESCE(SUM(CASE WHEN cusum > 2 * s_tot THEN 1 END), 0) AS BIGINT) AS n_breach,
+      |  MIN(CASE WHEN cusum > 2 * s_tot THEN ts_us END) AS first_breach_us
+      |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Exactly-once replay semantics: deterministic dedup on (user_id, ts),
     * keeping the lowest event_id (dropDuplicates would be nondeterministic).
     */
@@ -604,6 +657,7 @@ object EventOps {
     QueryDef("ev_ipinsights_score", ipinsightsScore, None),
     QueryDef("ev_quantiles_by_type", quantilesByType, Some(quantilesOracle)),
     QueryDef("ev_zscore_outliers", zscoreOutliers, Some(zscoreOracle)),
+    QueryDef("ev_cusum_drift", cusumDrift, Some(cusumOracle)),
     QueryDef("ev_dedup_replay", dedupReplay, Some(dedupReplayOracle)),
     QueryDef("ev_json_extract", jsonExtract, Some(jsonExtractOracle))
   )

@@ -546,14 +546,28 @@ object SimilarityOps {
     * legacy indexes written without a raw table.
     */
   def knnPqServe(s: SparkSession, corpus: DataFrame, indexPath: String,
-      queryFilter: Column = col("vec_id") < 10): DataFrame = {
+      queryFilter: Column = col("vec_id") < 10,
+      allow: Option[DataFrame] = None): DataFrame = {
     val books = readBooks(s, indexPath)
-    val encoded = s.read.parquet(s"$indexPath/codes")
+    val encoded = filterAllowed(s.read.parquet(s"$indexPath/codes"), allow)
     val qRows = pqQueryRows(corpus.filter(queryFilter))
     val queryDf = pqQueryDf(s, qRows, books)
     pqRerankResolve(s, pqAdcCands(encoded.crossJoin(broadcast(queryDf))),
       indexPath, corpus)
   }
+
+  /** Metadata-filtered serving: restrict a served index to an id
+    * allow-list (any metadata predicate evaluated on the corpus/attribute
+    * table reduces to one) BEFORE the ADC cut, so top-k ranks over the
+    * qualifying subset — never post-filtered (a selective predicate would
+    * otherwise under-return; see [[knnFiltered]]). The list semi-joins
+    * the codes scan: broadcast when it fits, shuffled semi-join at 100 TB
+    * — either way the filter lands before any ranking work, and cell
+    * partition pruning in the IVF path still applies first.
+    */
+  private def filterAllowed(codes: DataFrame, allow: Option[DataFrame]): DataFrame =
+    allow.fold(codes)(a =>
+      codes.join(broadcast(a.select("vec_id")), Seq("vec_id"), "left_semi"))
 
   def knnPqFromIndex(s: SparkSession, dir: String, indexPath: String): DataFrame =
     knnPqServe(s, Tables.t(s, dir, "embeddings"), indexPath)
@@ -683,7 +697,8 @@ object SimilarityOps {
     * legacy-index fallback).
     */
   def knnIvfPqServe(s: SparkSession, corpus: DataFrame, indexPath: String,
-      nprobe: Int = 4, queryFilter: Column = col("vec_id") < 10): DataFrame = {
+      nprobe: Int = 4, queryFilter: Column = col("vec_id") < 10,
+      allow: Option[DataFrame] = None): DataFrame = {
     import s.implicits._
     val books = readBooks(s, indexPath)
     val centers = readCells(s, indexPath)
@@ -694,8 +709,8 @@ object SimilarityOps {
     val probeDf = probes.toDF("q_id", "cell").join(queryDf, "q_id")
     val probedCells = probes.map(_._2).distinct
     // only the probed cell=... directories are listed, let alone read
-    val encoded = s.read.parquet(s"$indexPath/codes")
-      .filter(col("cell").isin(probedCells: _*))
+    val encoded = filterAllowed(s.read.parquet(s"$indexPath/codes")
+      .filter(col("cell").isin(probedCells: _*)), allow)
     pqRerankResolve(s, pqAdcCands(encoded.join(broadcast(probeDf), Seq("cell"))),
       indexPath, corpus)
   }

@@ -266,4 +266,30 @@ class PlanSpec extends SparkSpecBase {
       case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
     }.isEmpty, "per-doc nll folds array-locally (no aggregation operator)")
   }
+
+  test("winnow: sketch + metrics are one scan, zero shuffle before the output sort") {
+    val df = operators.TextOps.winnow(spark, sf0001)
+    val p = df.queryExecution.sparkPlan
+    val scans = p.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size == 1, s"winnow must read the corpus once, got ${scans.size}")
+    val shuffles = p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.forall(_.outputPartitioning.toString.contains("rangepartitioning")),
+      s"winnow must not hash-shuffle (sketch is per-doc HOFs):\n$p")
+    assert(p.collectFirst {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+      case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+    }.isEmpty, "winnow metrics must stay map-side (no aggregation operator)")
+  }
+
+  test("cusum: both running windows and the final fold share ONE hash shuffle") {
+    // executedPlan: exchanges are inserted by EnsureRequirements, so the
+    // sparkPlan (pre-preparation) shows none at all
+    val p = plan(graft.operators.EventOps.cusumDrift(spark, sf0001))
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n == 1, s"cusum must exchange events on user_id exactly once, got $n:\n$p")
+  }
 }

@@ -230,4 +230,21 @@ class PointLookupSpec extends SparkSpecBase {
         "gated-off probe still pushed an id IN predicate")
     } finally spark.conf.unset("spark.graft.index.lookupPerBucket")
   }
+
+  test("served ANN honors an id allow-list composed before the ADC cut") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-fserve").toString + "/pq"
+    val corpus = Tables.t(spark, sf0001, "embeddings")
+    SimilarityOps.writePqIndexOn(corpus, idx)
+    val allow = corpus.filter(col("label") === 1).select("vec_id")
+    val allowed = allow.collect().map(_.getLong(0)).toSet
+    val served = SimilarityOps.knnPqServe(spark, corpus, idx, allow = Some(allow))
+    val got = rows(served)
+    assert(got.nonEmpty)
+    assert(got.forall(r => allowed(r._2)), "served a vector outside the allow-list")
+    // with |allow| > k and the flat-PQ ADC cut (top-100) admitting every
+    // qualifying candidate on this corpus, the exact re-rank makes the
+    // filtered serve IDENTICAL to the exact filtered search
+    val brute = rows(SimilarityOps.knnFiltered(spark, sf0001))
+    assert(got == brute, "filtered serve diverged from exact filtered search")
+  }
 }

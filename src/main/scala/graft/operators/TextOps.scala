@@ -229,6 +229,55 @@ object TextOps {
         coalesce(expr("array_max(transform(sel, x -> x.f))"), lit("")).as("max_fp"))
       .orderBy("doc_id")
 
+  /** Winnow MATCHING — what the sketch exists for (MOSS's detection step):
+    * candidate near-dup pairs ranked by shared selected fingerprints,
+    * touching ~2/(w+1) of the grams instead of all of them (vs the
+    * all-shingle jaccard join), with the local guarantee that no shared
+    * (k+w-1)-token run is ever missed. Plan mirrors the jaccard pipeline's
+    * skew discipline: fingerprints hotter than `dfCap` docs are dropped as
+    * boilerplate (the df-cap is part of the FUNCTION, oracle computes the
+    * same), pair fan-out per fingerprint is then <= dfCap^2, one shuffle
+    * by fingerprint + one by pair.
+    */
+  def winnowPairsOn(docs: DataFrame, minShared: Int = 3, dfCap: Int = 50): DataFrame = {
+    val sk = winnowSketch(Tables.spread(docs))
+      .select(col("doc_id"), explode(expr("transform(sel, x -> x.f)")).as("f"))
+      .distinct()
+    val keptFps = sk.groupBy("f").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select("f")
+    val kept = sk.join(keptFps, "f")
+    val a = kept.select(col("f"), col("doc_id").as("d1"))
+    val b = kept.select(col("f"), col("doc_id").as("d2"))
+    a.join(b, "f").filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy("d1", "d2")
+  }
+
+  def winnowPairs(s: SparkSession, dir: String): DataFrame =
+    winnowPairsOn(Tables.t(s, dir, "documents"))
+
+  val winnowPairsOracle: String = {
+    val (k, w) = (WinnowK, WinnowW)
+    s"""WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+       |g AS (SELECT doc_id,
+       |        CASE WHEN len(toks) >= $k THEN
+       |          list_transform(generate_series(1, len(toks) - ${k - 1}),
+       |            i -> md5(array_to_string(toks[i:i+${k - 1}], ' ')))
+       |        ELSE []::VARCHAR[] END AS fps FROM t),
+       |s AS (SELECT doc_id, unnest(CASE WHEN len(fps) = 0 THEN []::VARCHAR[]
+       |        ELSE list_distinct(list_transform(
+       |          list_transform(generate_series(1, len(fps) - least($w, len(fps)) + 1),
+       |            i -> {'i': i, 's': fps[i:i+least($w, len(fps))-1]}),
+       |          t -> list_aggregate(t.s, 'min'))) END) AS f FROM g),
+       |d AS (SELECT DISTINCT doc_id, f FROM s),
+       |c AS (SELECT f FROM d GROUP BY f HAVING COUNT(*) <= 50),
+       |k AS (SELECT d.doc_id, d.f FROM d JOIN c USING (f))
+       |SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS n_shared
+       |FROM k a JOIN k b ON a.f = b.f AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING COUNT(*) >= 3 ORDER BY d1, d2""".stripMargin
+  }
+
   /** DuckDB mirror. `list_distinct` is unimplemented over STRUCTs there, so
     * the (position, fingerprint) pair is string-encoded (zero-padded
     * position ':' fingerprint) for the distinct step and decoded for the
@@ -1504,6 +1553,7 @@ object TextOps {
     QueryDef("doc_fingerprint", fingerprint, Some(fingerprintOracle)),
     QueryDef("doc_winnow", winnow, Some(winnowOracle)),
     QueryDef("doc_normalize", normalize, Some(normalizeOracle)),
+    QueryDef("doc_winnow_pairs", winnowPairs, Some(winnowPairsOracle)),
     QueryDef("doc_shard_assign", shardAssign, Some(shardAssignOracle)),
     QueryDef("doc_top_bigrams", topBigrams, Some(topBigramsOracle)),
     QueryDef("doc_pii_scrub", piiScrub, Some(piiOracle)),

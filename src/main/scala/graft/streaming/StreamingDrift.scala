@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming CUSUM drift serving — the continuous form of
+  * [[graft.operators.EventOps.cusumDrift]], completing the train→serve
+  * pattern the ALS scorer established: the per-key baseline (event count,
+  * value sum) is a trained artifact computed offline by the batch side and
+  * BROADCAST to the stream; the online statistic needs only the closed-form
+  * pair (running sum, running min) — state is TWO longs per key, O(1) no
+  * matter how long the stream runs, no watermark eviction pressure.
+  *
+  * Same integer math as the batch query (dev = n·x − Σx − Σx div 10), so a
+  * stream replay of the same events produces the identical breach sequence
+  * — parity is unit-tested, not assumed. Reference analog: the per-event
+  * scoring loop `CallSageMakerTest.java` runs against a trained model;
+  * here the "model" is the baseline table and the statistic is sequential
+  * rather than per-event, which is the point — CUSUM sees slow ramps that
+  * per-event scores cannot.
+  */
+object StreamingDrift {
+
+  final case class DriftEvent(user_id: Long, event_id: Long, ts_us: Long, x: Long)
+  final case class DriftState(cum: Long, runmin: Long)
+  final case class Breach(user_id: Long, ts_us: Long, cusum: Long)
+
+  /** `baseline`: (user_id, n, s_tot) — the batch stats over the training
+    * window, values pre-quantized to the same floor(v·1e6) grid. Events
+    * for keys absent from the baseline are dropped by the inner join (an
+    * unseen key has no drift definition; route those to the rarity scorer).
+    */
+  def cusumStream(events: Dataset[DriftEvent], baseline: DataFrame,
+      thresholdFactor: Long = 2L): Dataset[Breach] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val joined = events.toDF()
+      .join(broadcast(baseline.select("user_id", "n", "s_tot")), Seq("user_id"))
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("x"),
+        col("n"), col("s_tot"))
+      .as[(Long, Long, Long, Long, Long, Long)]
+    joined.groupByKey(_._1)
+      .flatMapGroupsWithState[DriftState, Breach](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, it, state: GroupState[DriftState]) =>
+          // deterministic within-batch order = the batch query's sort key
+          val rows = it.toArray.sortBy(r => (r._3, r._2))
+          var st = state.getOption.getOrElse(DriftState(0L, Long.MaxValue))
+          val out = Seq.newBuilder[Breach]
+          rows.foreach { case (_, _, tsUs, x, n, sTot) =>
+            // s_tot >= 0 (values are non-negative), so / matches `div`
+            val dev = n * x - sTot - sTot / 10
+            val cum = st.cum + dev
+            val runmin = math.min(
+              if (st.runmin == Long.MaxValue) cum else st.runmin, cum)
+            st = DriftState(cum, runmin)
+            val cusum = cum - math.min(0L, runmin)
+            if (cusum > thresholdFactor * sTot) out += Breach(uid, tsUs, cusum)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** The baseline-training side: per-key (n, s_tot) on the same quantized
+    * grid the batch query uses — run over yesterday's table, feed today's
+    * stream.
+    */
+  def fitBaseline(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), floor(col("value") * lit(1e6)).cast("long").as("x"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s_tot"))
+}

@@ -65,6 +65,17 @@ object Stress {
       TextOps.bpeFit(spark, docsN, 20)._2.length)
     spark.catalog.clearCache()
 
+    // winnowing sketch: pure per-doc folds, so selected-fingerprint totals
+    // must be EXACTLY linear in copies (identical docs modulo markers, and
+    // the markers perturb every copy identically) and cost must track the
+    // single scan
+    time(s"winnow x1 selected")(
+      TextOps.winnowSketch(corpusOf(1)).agg(sum(size(col("sel")))).first().getLong(0))
+    spark.catalog.clearCache()
+    time(s"winnow x$copies selected")(
+      TextOps.winnowSketch(docsN).agg(sum(size(col("sel")))).first().getLong(0))
+    spark.catalog.clearCache()
+
     // incremental probe: the corpus grows xN while the daily batch stays
     // fixed (a 10% slice of copy 0, id-shifted, text identical -> every
     // batch doc is an exact corpus dup). Probe cost must track ONE corpus

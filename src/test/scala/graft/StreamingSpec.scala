@@ -576,4 +576,42 @@ class StreamingSpec extends SparkSpecBase {
       assert(got == Map(100L -> "aa", 101L -> "bb", 102L -> "bb"), s"got $got")
     } finally q.stop()
   }
+
+  test("cusumStream: stream replay matches the batch CUSUM breach-for-breach") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingDrift
+    import graft.streaming.StreamingDrift.{Breach, DriftEvent}
+    val ev = graft.sources.Tables.t(spark, sf0001, "events")
+    val baseline = StreamingDrift.fitBaseline(ev).persist()
+    // replay the table through a MemoryStream in event order, three batches
+    val ordered = ev.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        floor(col("value") * lit(1e6)).cast("long").as("x"))
+      .orderBy("ts_us", "event_id")
+      .as[DriftEvent].collect()
+    val mem = MemoryStream[DriftEvent]
+    val out = StreamingDrift.cusumStream(mem.toDS(), baseline)
+    val query = out.writeStream.format("memory").queryName("cusum_out")
+      .outputMode("append").start()
+    try {
+      ordered.grouped((ordered.length + 2) / 3).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        query.processAllAvailable()
+      }
+      val got = spark.table("cusum_out").as[Breach].collect()
+      val batch = graft.operators.EventOps.cusumDrift(spark, sf0001).collect()
+        .map(r => (r.getAs[Long]("user_id"),
+          (r.getAs[Long]("n_breach"), r.getAs[Long]("first_breach_us")))).toMap
+      val gotByUser = got.groupBy(_.user_id)
+      // breach count and first-breach time agree per key
+      batch.foreach { case (uid, (nb, first)) =>
+        val g = gotByUser.getOrElse(uid, Array.empty[Breach])
+        assert(g.length == nb, s"user $uid: stream ${g.length} breaches, batch $nb")
+        if (nb > 0) assert(g.map(_.ts_us).min == first,
+          s"user $uid: first breach diverged")
+      }
+      assert(gotByUser.keySet == batch.filter(_._2._1 > 0).keySet)
+    } finally { query.stop(); baseline.unpersist() }
+  }
 }

@@ -433,9 +433,12 @@ object EventOps {
     * Everything is integer math: values quantize to floor(value*1e6),
     * deviations scale by the key's event count n (dev = n*x - S_tot -
     * S_tot div 10, i.e. 10% slack over the key's own mean) so no division
-    * ever happens. Overflow bound: n^2 * max_x * 1e6 < 2^63 holds to ~4M
-    * events per key; beyond that a production deployment windows the
-    * statistic by day (same plan, one more group key).
+    * ever happens. (`div`, Scala `/` and DuckDB `//` all truncate toward
+    * zero — verified, so the slack term agrees across engines for any
+    * sign.) Overflow bound: |cum| <= n^2 * vmax * 1e6 must stay under
+    * 2^63 — at vmax ~ 600 that is ~1.2e5 events per key; a deployment
+    * with hotter keys windows the statistic by day (same plan, one more
+    * group key), which also caps n.
     */
   def cusumDrift(s: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy("user_id")

@@ -566,8 +566,18 @@ object SimilarityOps {
     * partition pruning in the IVF path still applies first.
     */
   private def filterAllowed(codes: DataFrame, allow: Option[DataFrame]): DataFrame =
-    allow.fold(codes)(a =>
-      codes.join(broadcast(a.select("vec_id")), Seq("vec_id"), "left_semi"))
+    allow.fold(codes) { a =>
+      val ids = a.select("vec_id")
+      // broadcast only when the list is proven bounded: a weakly selective
+      // predicate at 100 TB yields billions of ids, and an unconditional
+      // hint would force-collect them to the driver. The limit probe costs
+      // one early-terminating job; past the cap the planner keeps its
+      // (shuffled or stats-driven) semi-join.
+      val cap = codes.sparkSession.conf
+        .get("spark.graft.filter.broadcastMaxIds", "1000000").toLong
+      val small = ids.limit(cap.toInt + 1).count() <= cap
+      codes.join(if (small) broadcast(ids) else ids, Seq("vec_id"), "left_semi")
+    }
 
   def knnPqFromIndex(s: SparkSession, dir: String, indexPath: String): DataFrame =
     knnPqServe(s, Tables.t(s, dir, "embeddings"), indexPath)

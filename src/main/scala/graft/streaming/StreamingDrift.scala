@@ -49,7 +49,9 @@ object StreamingDrift {
           var st = state.getOption.getOrElse(DriftState(0L, Long.MaxValue))
           val out = Seq.newBuilder[Breach]
           rows.foreach { case (_, _, tsUs, x, n, sTot) =>
-            // s_tot >= 0 (values are non-negative), so / matches `div`
+            // Scala `/`, Spark `div` and DuckDB `//` all truncate toward
+            // zero (verified), so this matches the batch query's slack
+            // term for any sign of s_tot
             val dev = n * x - sTot - sTot / 10
             val cum = st.cum + dev
             val runmin = math.min(

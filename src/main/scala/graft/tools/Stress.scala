@@ -65,15 +65,29 @@ object Stress {
       TextOps.bpeFit(spark, docsN, 20)._2.length)
     spark.catalog.clearCache()
 
-    // winnowing sketch: pure per-doc folds, so selected-fingerprint totals
-    // must be EXACTLY linear in copies (identical docs modulo markers, and
-    // the markers perturb every copy identically) and cost must track the
-    // single scan
-    time(s"winnow x1 selected")(
-      TextOps.winnowSketch(corpusOf(1)).agg(sum(size(col("sel")))).first().getLong(0))
+    // winnowing sketch: pure per-doc folds. Linearity needs TEXT-identical
+    // copies (corpusOf's per-copy markers change the gram hashes and thus
+    // which gram each window selects), so this stage replicates copy 0
+    // verbatim under shifted ids — then xN selected-count must be EXACTLY
+    // N x the x1 count, and the check is a hard require, not a printout.
+    def sameTextCorpus(n: Int) = (0 until n).map { i =>
+      docs.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+        perturb(0).as("text"))
+    }.reduce(_ unionByName _)
+    var winnow1 = 0L
+    time(s"winnow x1 selected") {
+      winnow1 = TextOps.winnowSketch(sameTextCorpus(1))
+        .agg(sum(size(col("sel")))).first().getLong(0)
+      winnow1
+    }
     spark.catalog.clearCache()
-    time(s"winnow x$copies selected")(
-      TextOps.winnowSketch(docsN).agg(sum(size(col("sel")))).first().getLong(0))
+    time(s"winnow x$copies selected") {
+      val wN = TextOps.winnowSketch(sameTextCorpus(copies))
+        .agg(sum(size(col("sel")))).first().getLong(0)
+      require(wN == copies * winnow1,
+        s"winnow selection not linear: x1=$winnow1, x$copies=$wN")
+      wN
+    }
     spark.catalog.clearCache()
 
     // incremental probe: the corpus grows xN while the daily batch stays

@@ -164,12 +164,12 @@ class PlanSpec extends SparkSpecBase {
     }
     assert(scans.size == 1, s"profiler must read the corpus once, got ${scans.size}")
     // the only exchange is the range partitioning of the deterministic
-    // output sort — no hash shuffle, no aggregate, no window anywhere
-    val shuffles = p.collect {
-      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
-    }
-    assert(shuffles.forall(_.outputPartitioning.toString.contains("rangepartitioning")),
-      s"profile must not hash-shuffle:\n$p")
+    // output sort — no hash shuffle, no aggregate, no window anywhere.
+    // Exchanges only exist post-EnsureRequirements, so this must look at
+    // executedPlan (collecting from sparkPlan finds none and passes
+    // vacuously).
+    assert(!plan(df).contains("Exchange hashpartitioning"),
+      s"profile must not hash-shuffle:\n${plan(df)}")
     assert(p.collectFirst {
       case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
       case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
@@ -274,11 +274,11 @@ class PlanSpec extends SparkSpecBase {
       case s: org.apache.spark.sql.execution.FileSourceScanExec => s
     }
     assert(scans.size == 1, s"winnow must read the corpus once, got ${scans.size}")
-    val shuffles = p.collect {
-      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
-    }
-    assert(shuffles.forall(_.outputPartitioning.toString.contains("rangepartitioning")),
-      s"winnow must not hash-shuffle (sketch is per-doc HOFs):\n$p")
+    // exchanges only exist post-EnsureRequirements: assert on executedPlan
+    // (sparkPlan contains none at all, which would pass vacuously)
+    val ep = plan(df)
+    assert(!ep.contains("Exchange hashpartitioning"),
+      s"winnow must not hash-shuffle (sketch is per-doc HOFs):\n$ep")
     assert(p.collectFirst {
       case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
       case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a

@@ -240,9 +240,13 @@ object TextOps {
     * by fingerprint + one by pair.
     */
   def winnowPairsOn(docs: DataFrame, minShared: Int = 3, dfCap: Int = 50): DataFrame = {
+    // persist the (doc, fingerprint) frame: it feeds the df count and BOTH
+    // self-join sides — unpersisted, the tokenize + md5-gram + window-min
+    // fold chain runs four times (4 corpus scans measured in the plan)
     val sk = winnowSketch(Tables.spread(docs))
       .select(col("doc_id"), explode(expr("transform(sel, x -> x.f)")).as("f"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keptFps = sk.groupBy("f").agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap).select("f")
     val kept = sk.join(keptFps, "f")
@@ -1058,6 +1062,53 @@ object TextOps {
       |FROM d d2 LEFT JOIN agg USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** CCNet's selection step (Wenzek et al. 2020 §4.4 re-derived): per
+    * source, split documents into head/middle/tail terciles by LM score —
+    * head (lowest perplexity) feeds training, tail is dropped, middle is
+    * the judgment call. Composes the [[lmScore]] signal exactly as
+    * published (CCNet buckets per language dump by KenLM perplexity).
+    *
+    * The tercile is an ntile over (avg_nll, doc_id) — deterministic
+    * because the underlying scores are engine-exact and the tiebreak is
+    * total. Plan: the zero-shuffle scoring pass, one join shuffle to pick
+    * up (source, length), one range-sort per source for the ntile, a tiny
+    * agg. At 100 TB the per-source sort is the statement's honest cost
+    * (CCNet sorts each dump by perplexity); the counts-then-rank plan of
+    * `ev_quantiles_by_type` is the drop-in replacement once exact tercile
+    * BOUNDARIES (not labels) suffice.
+    */
+  def ccnetBuckets(s: SparkSession, dir: String): DataFrame = {
+    val scored = lmScore(s, dir).select("doc_id", "avg_nll")
+    val docs = Tables.t(s, dir, "documents").select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_toks"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("avg_nll").asc_nulls_last, col("doc_id").asc)
+    scored.join(docs, "doc_id")
+      .withColumn("bucket", ntile(3).over(w))
+      .withColumn("bucket_name", when(col("bucket") === 1, "head")
+        .when(col("bucket") === 2, "middle").otherwise("tail"))
+      .groupBy("source", "bucket_name")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"),
+        sum("doc_id").as("id_sum"))
+      .orderBy("source", "bucket_name")
+  }
+
+  val ccnetBucketsOracle: String =
+    s"""WITH lm AS (SELECT * FROM ($lmScoreOracle) t),
+       |d AS (SELECT doc_id, source,
+       |        CAST(len(str_split(text, ' ')) AS BIGINT) AS n_toks FROM documents),
+       |j AS (SELECT lm.doc_id, lm.avg_nll, d.source, d.n_toks
+       |      FROM lm JOIN d USING (doc_id)),
+       |b AS (SELECT *, ntile(3) OVER (PARTITION BY source
+       |        ORDER BY avg_nll ASC NULLS LAST, doc_id ASC) AS bucket FROM j)
+       |SELECT source,
+       |  CASE WHEN bucket = 1 THEN 'head' WHEN bucket = 2 THEN 'middle'
+       |       ELSE 'tail' END AS bucket_name,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+       |FROM b GROUP BY 1, 2 ORDER BY source, bucket_name""".stripMargin
+
   /** Hashed n-gram feature buckets for DSIR (unigrams + bigrams, one
     * array-local HOF pass — no row-per-token explode on the scoring side).
     */
@@ -1571,6 +1622,7 @@ object TextOps {
     QueryDef("doc_dsir_weight", dsirWeights, None),
     QueryDef("doc_bm25", bm25, Some(bm25Oracle)),
     QueryDef("doc_lm_score", lmScore, Some(lmScoreOracle)),
+    QueryDef("doc_ccnet_buckets", ccnetBuckets, Some(ccnetBucketsOracle)),
     QueryDef("doc_mix_weights", mixWeights, Some(mixWeightsOracle)),
     QueryDef("doc_gopher_rep", gopherRep, Some(gopherRepOracle)),
     QueryDef("doc_nb_classify", nbClassify, Some(nbClassifyOracle)),

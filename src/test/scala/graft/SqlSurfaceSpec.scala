@@ -79,4 +79,28 @@ class SqlSurfaceSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
     assert(rows.forall(r => api(r.getLong(0)) == r.getInt(1)))
   }
+
+  test("graft_nfc and graft_ln resolve from pure SQL with Column-API parity") {
+    Tables.registerAll(spark, sf0001)
+    // NFC from SQL: decomposed sequence composes, ASCII is identity
+    val r = spark.sql(
+      "SELECT graft_nfc('e\\u0301clair') AS a, graft_nfc('plain') AS b")
+      .first()
+    assert(r.getString(0) == "\u00e9clair" && r.getString(1) == "plain")
+    // the doc_normalize canonical fingerprint agrees between SQL and the
+    // Column API on the real corpus
+    val sqlFp = spark.sql(
+      """SELECT doc_id, md5(trim(regexp_replace(regexp_replace(graft_nfc(text),
+        |  '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', ''), '[ \\t\\r\\n]+', ' '))) AS fp
+        |FROM documents""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val api = graft.sources.Tables.t(spark, sf0001, "documents")
+      .select(col("doc_id"),
+        md5(graft.operators.TextOps.normalizeCanon(col("text"))).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sqlFp == api)
+    // graft_ln parity with the expression API
+    val ln = spark.sql("SELECT graft_ln(CAST(2.5 AS DOUBLE)) AS l").first().getDouble(0)
+    assert(ln == java.lang.Math.log(2.5))
+  }
 }

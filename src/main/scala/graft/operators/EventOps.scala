@@ -421,6 +421,38 @@ object EventOps {
        |      2.5 * SQRT(s.sxx / s.n - (s.sx / s.n) * (s.sx / s.n))
        |ORDER BY event_id""".stripMargin
 
+  /** Seasonality-aware deviation detection — the diurnal-baseline member
+    * of the anomaly family: the z-score filter compares against a GLOBAL
+    * per-type mean, so normal nightly troughs and daily peaks both read as
+    * outliers; here the baseline is per (event_type, hour-of-day) — 24
+    * profiles per type — and an event flags only when it exceeds its own
+    * hour's seasonal mean by the factor. Baseline means use the exact
+    * decimal-sum discipline (one IEEE division at the end); the stats side
+    * is at most 24 x |types| rows, so it reaches the flagging pass as a
+    * broadcast — events are scanned once, never reshuffled.
+    */
+  def seasonalBaseline(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "events")
+      .withColumn("hod", hour(col("ts")).cast("long"))
+    val stats = e.groupBy("event_type", "hod").agg(
+      count(lit(1)).as("n"), dsum(col("value")).as("sx"))
+    val mean = col("sx") / col("n")
+    e.join(broadcast(stats), Seq("event_type", "hod"))
+      .filter(col("value") > lit(3.0) * mean)
+      .select("event_id", "event_type", "hod", "value")
+      .orderBy("event_id")
+  }
+
+  val seasonalOracle: String =
+    s"""WITH s AS (
+       |  SELECT event_type, hour(ts) AS hod, COUNT(*) AS n,
+       |         ${sqlDsum("value")} AS sx
+       |  FROM events GROUP BY event_type, hour(ts))
+       |SELECT e.event_id, e.event_type, CAST(hour(e.ts) AS BIGINT) AS hod, e.value
+       |FROM events e JOIN s ON s.event_type = e.event_type AND s.hod = hour(e.ts)
+       |WHERE e.value > 3.0 * (s.sx / s.n)
+       |ORDER BY event_id""".stripMargin
+
   /** CUSUM drift detection per key (Page 1954 re-derived for SQL windows):
     * the sequential changepoint statistic the z-score filter cannot
     * replace — z-score flags single outliers, CUSUM accumulates SMALL
@@ -661,6 +693,7 @@ object EventOps {
     QueryDef("ev_quantiles_by_type", quantilesByType, Some(quantilesOracle)),
     QueryDef("ev_zscore_outliers", zscoreOutliers, Some(zscoreOracle)),
     QueryDef("ev_cusum_drift", cusumDrift, Some(cusumOracle)),
+    QueryDef("ev_seasonal_outliers", seasonalBaseline, Some(seasonalOracle)),
     QueryDef("ev_dedup_replay", dedupReplay, Some(dedupReplayOracle)),
     QueryDef("ev_json_extract", jsonExtract, Some(jsonExtractOracle))
   )

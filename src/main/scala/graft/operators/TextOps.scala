@@ -1062,6 +1062,48 @@ object TextOps {
       |FROM d d2 LEFT JOIN agg USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** Character-entropy quality signal — the cheap detector for the junk
+    * classes the token-level rules miss: base64/hex blobs and binary
+    * spills read as HIGH entropy, single-character runs and template
+    * padding as LOW; natural text sits in a narrow mid-band. Per doc:
+    * Shannon entropy of the character distribution, computed as a fold
+    * over the SORTED distinct characters so the float sum has one
+    * deterministic association order in either engine (the lm_score
+    * discipline; ln via graft_ln). O(distinct x len) per doc via
+    * array-local filter counts — no explode, no shuffle.
+    */
+  def charEntropy(s: SparkSession, dir: String): DataFrame =
+    charEntropyOn(Tables.t(s, dir, "documents"))
+
+  def charEntropyOn(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("cs", split(col("text"), ""))
+      .withColumn("n", size(col("cs")))
+      .withColumn("dist", array_sort(array_distinct(col("cs"))))
+      .select(col("doc_id"),
+        col("n").cast("long").as("n_chars"),
+        size(col("dist")).cast("long").as("n_distinct"),
+        expr(
+          """CASE WHEN n > 0 THEN -aggregate(dist, CAST(0.0 AS DOUBLE),
+            |  (acc, c) -> acc + (CAST(size(filter(cs, x -> x = c)) AS DOUBLE) / n)
+            |    * graft_ln(CAST(size(filter(cs, x -> x = c)) AS DOUBLE) / n))
+            |END""".stripMargin).as("entropy"))
+      .orderBy("doc_id")
+
+  val charEntropyOracle: String =
+    """WITH d AS (SELECT doc_id, string_split(text, '') AS cs FROM documents),
+      |e AS (SELECT doc_id, cs, len(cs) AS n,
+      |        list_sort(list_distinct(cs)) AS dist FROM d)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+      |  CAST(len(dist) AS BIGINT) AS n_distinct,
+      |  CASE WHEN n > 0 THEN -list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |    list_transform(dist, c ->
+      |      (CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE) / n)
+      |        * ln(CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE) / n))),
+      |    (a, b) -> a + b)
+      |  END AS entropy
+      |FROM e ORDER BY doc_id""".stripMargin
+
   /** CCNet's selection step (Wenzek et al. 2020 §4.4 re-derived): per
     * source, split documents into head/middle/tail terciles by LM score —
     * head (lowest perplexity) feeds training, tail is dropped, middle is
@@ -1623,6 +1665,7 @@ object TextOps {
     QueryDef("doc_bm25", bm25, Some(bm25Oracle)),
     QueryDef("doc_lm_score", lmScore, Some(lmScoreOracle)),
     QueryDef("doc_ccnet_buckets", ccnetBuckets, Some(ccnetBucketsOracle)),
+    QueryDef("doc_char_entropy", charEntropy, Some(charEntropyOracle)),
     QueryDef("doc_mix_weights", mixWeights, Some(mixWeightsOracle)),
     QueryDef("doc_gopher_rep", gopherRep, Some(gopherRepOracle)),
     QueryDef("doc_nb_classify", nbClassify, Some(nbClassifyOracle)),

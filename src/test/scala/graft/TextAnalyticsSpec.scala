@@ -289,4 +289,55 @@ class TextAnalyticsSpec extends SparkSpecBase {
     assert(out.map(_.getAs[Long]("order_check")).toSeq ==
       again.map(_.getAs[Long]("order_check")).toSeq)
   }
+
+  test("winnow sketch matches an independent reference fold on adversarial tie-heavy docs") {
+    import spark.implicits._
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(x.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def refWinnow(tokens: IndexedSeq[String], k: Int, w: Int): Set[(Long, String)] = {
+      if (tokens.length < k) return Set.empty
+      val fps = tokens.sliding(k).map(g => md5hex(g.mkString(" "))).toVector
+      val wEff = math.min(w, fps.length)
+      (0 to fps.length - wEff).map { i =>
+        val win = fps.slice(i, i + wEff)
+        val m = win.min
+        ((i + win.lastIndexOf(m) + 1).toLong, m) // rightmost min, 1-based
+      }.toSet
+    }
+    // vocab of 3 tokens forces repeated grams -> constant fingerprint runs
+    // -> the rightmost-on-tie rule decides most selections
+    val rng = new scala.util.Random(11)
+    val vocab = Vector("aa", "bb", "cc")
+    val docs = (0 until 60).map { i =>
+      (i.toLong, IndexedSeq.fill(rng.nextInt(30))(vocab(rng.nextInt(3))))
+    }
+    val got = TextOps.winnowSketch(
+        docs.map { case (id, ts) => (id, ts.mkString(" ")) }.toDF("doc_id", "text"))
+      .select(col("doc_id"), expr("transform(sel, x -> struct(x.p, x.f))").as("sel"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(x => (x.getLong(0), x.getString(1))).toSet).toMap
+    docs.foreach { case (id, ts) =>
+      // empty-string docs tokenize to one "" token (split semantics), so
+      // mirror that in the reference input
+      val toks = if (ts.isEmpty) IndexedSeq("") else ts
+      assert(got(id) == refWinnow(toks, TextOps.WinnowK, TextOps.WinnowW),
+        s"doc $id diverged (len ${toks.length})")
+    }
+  }
+
+  test("char entropy separates junk classes from natural text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aGVsbG8gd29ybGQgdGhpcyBpcyBiYXNlNjQgZGF0YSBibG9iIHRoYXQgcnVucyBsb25nIGVub3VnaA=="),
+      (2L, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),
+      (3L, "the quick brown fox jumps over the lazy dog and keeps on running home"))
+      .toDF("doc_id", "text")
+    val m = TextOps.charEntropyOn(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(m(2L) == 0.0, "single-char run must have zero entropy")
+    assert(m(1L) > m(3L), "base64 blob must out-entropy natural text")
+    assert(m(3L) > 2.0 && m(3L) < 4.5, s"natural text should sit mid-band, got ${m(3L)}")
+  }
 }

@@ -429,7 +429,9 @@ object EventOps {
     * hour's seasonal mean by the factor. Baseline means use the exact
     * decimal-sum discipline (one IEEE division at the end); the stats side
     * is at most 24 x |types| rows, so it reaches the flagging pass as a
-    * broadcast — events are scanned once, never reshuffled.
+    * broadcast — the fact table is never reshuffled, though it IS scanned
+    * twice (stats pass + probe pass; Spark reuses exchanges, not scans),
+    * the same shape as [[zscoreOutliers]].
     */
   def seasonalBaseline(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.t(s, dir, "events")

@@ -242,7 +242,11 @@ object TextOps {
   def winnowPairsOn(docs: DataFrame, minShared: Int = 3, dfCap: Int = 50): DataFrame = {
     // persist the (doc, fingerprint) frame: it feeds the df count and BOTH
     // self-join sides — unpersisted, the tokenize + md5-gram + window-min
-    // fold chain runs four times (4 corpus scans measured in the plan)
+    // fold chain runs four times (4 corpus scans measured in the plan).
+    // Lifecycle follows the jaccard/cappedShingles batch-query convention
+    // (NOT the serving-path no-persist rule): the gate/bench harnesses
+    // clearCache between queries, and the ContextCleaner reclaims the
+    // entry once the returned frame is unreachable.
     val sk = winnowSketch(Tables.spread(docs))
       .select(col("doc_id"), explode(expr("transform(sel, x -> x.f)")).as("f"))
       .distinct()
@@ -1070,7 +1074,11 @@ object TextOps {
     * over the SORTED distinct characters so the float sum has one
     * deterministic association order in either engine (the lm_score
     * discipline; ln via graft_ln). O(distinct x len) per doc via
-    * array-local filter counts — no explode, no shuffle.
+    * array-local filter counts, each count evaluated ONCE — no explode,
+    * no shuffle. (Character-diverse text — CJK prose, where distinct
+    * approaches len — degrades toward O(len^2) per doc; the sorted
+    * run-length fold of doc_profile's max_rep is the O(len log len)
+    * swap if that corpus class ever dominates.)
     */
   def charEntropy(s: SparkSession, dir: String): DataFrame =
     charEntropyOn(Tables.t(s, dir, "documents"))
@@ -1080,29 +1088,34 @@ object TextOps {
       .withColumn("cs", split(col("text"), ""))
       .withColumn("n", size(col("cs")))
       .withColumn("dist", array_sort(array_distinct(col("cs"))))
+      // counts materialize once (sorted-char order), then the fold only
+      // touches them — the filter scan per distinct char runs 1x, not 2x
+      .withColumn("cnts", expr("transform(dist, c -> size(filter(cs, x -> x = c)))"))
       .select(col("doc_id"),
         col("n").cast("long").as("n_chars"),
         size(col("dist")).cast("long").as("n_distinct"),
         expr(
-          """CASE WHEN n > 0 THEN -aggregate(dist, CAST(0.0 AS DOUBLE),
-            |  (acc, c) -> acc + (CAST(size(filter(cs, x -> x = c)) AS DOUBLE) / n)
-            |    * graft_ln(CAST(size(filter(cs, x -> x = c)) AS DOUBLE) / n))
+          """CASE WHEN n > 0 THEN -aggregate(cnts, CAST(0.0 AS DOUBLE),
+            |  (acc, k) -> acc + (CAST(k AS DOUBLE) / n)
+            |    * graft_ln(CAST(k AS DOUBLE) / n))
             |END""".stripMargin).as("entropy"))
       .orderBy("doc_id")
 
   val charEntropyOracle: String =
     """WITH d AS (SELECT doc_id, string_split(text, '') AS cs FROM documents),
       |e AS (SELECT doc_id, cs, len(cs) AS n,
-      |        list_sort(list_distinct(cs)) AS dist FROM d)
+      |        list_sort(list_distinct(cs)) AS dist FROM d),
+      |f AS (SELECT doc_id, n, dist,
+      |        list_transform(dist, c -> len(list_filter(cs, x -> x = c))) AS cnts
+      |      FROM e)
       |SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
       |  CAST(len(dist) AS BIGINT) AS n_distinct,
       |  CASE WHEN n > 0 THEN -list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-      |    list_transform(dist, c ->
-      |      (CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE) / n)
-      |        * ln(CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE) / n))),
+      |    list_transform(cnts, k ->
+      |      (CAST(k AS DOUBLE) / n) * ln(CAST(k AS DOUBLE) / n))),
       |    (a, b) -> a + b)
       |  END AS entropy
-      |FROM e ORDER BY doc_id""".stripMargin
+      |FROM f ORDER BY doc_id""".stripMargin
 
   /** CCNet's selection step (Wenzek et al. 2020 §4.4 re-derived): per
     * source, split documents into head/middle/tail terciles by LM score —

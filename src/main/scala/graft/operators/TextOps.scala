@@ -1069,19 +1069,32 @@ object TextOps {
   /** Character-entropy quality signal — the cheap detector for the junk
     * classes the token-level rules miss: base64/hex blobs and binary
     * spills read as HIGH entropy, single-character runs and template
-    * padding as LOW; natural text sits in a narrow mid-band. Per doc:
-    * Shannon entropy of the character distribution, computed as a fold
-    * over the SORTED distinct characters so the float sum has one
-    * deterministic association order in either engine (the lm_score
-    * discipline; ln via graft_ln). O(distinct x len) per doc via
-    * array-local filter counts, each count evaluated ONCE — no explode,
-    * no shuffle. (Character-diverse text — CJK prose, where distinct
-    * approaches len — degrades toward O(len^2) per doc; the sorted
-    * run-length fold of doc_profile's max_rep is the O(len log len)
-    * swap if that corpus class ever dominates.)
+    * padding as LOW; natural text sits in a narrow mid-band.
+    *
+    * The GATED columns are integer-exact: character count, distinct
+    * count, and the collision statistic sum_k2 = Σ count² — Rényi-2
+    * entropy is −ln(sum_k2/n²), a monotone transform, so sum_k2 carries
+    * the same junk/natural ordering with zero float ops. The Shannon
+    * entropy itself ([[charEntropyOn]]) stays API + unit-tested surface:
+    * per-term folds through ANY transcendental cannot be float-gated
+    * across engines — even with one association order, ln itself is not
+    * bitwise-portable (HotSpot's Math.log(24.0/325) is 1 ulp off glibc's,
+    * found by this query's own sf0.1 gate — the one caveat to the
+    * `graft_ln` = libm premise measured so far, which the bm25/lm gates'
+    * argument sets happen to avoid).
+    *
+    * O(distinct x len) per doc via array-local filter counts, each count
+    * evaluated ONCE — no explode, no shuffle. (Character-diverse text —
+    * CJK prose, where distinct approaches len — degrades toward
+    * O(len^2); the sorted run-length fold of doc_profile's max_rep is
+    * the O(len log len) swap if that corpus class ever dominates.)
     */
   def charEntropy(s: SparkSession, dir: String): DataFrame =
     charEntropyOn(Tables.t(s, dir, "documents"))
+      .select(col("doc_id"), col("n_chars"), col("n_distinct"),
+        expr("CAST(aggregate(cnts, CAST(0 AS BIGINT), (a, k) -> a + CAST(k AS BIGINT) * k) AS BIGINT)")
+          .as("sum_k2"))
+      .orderBy("doc_id")
 
   def charEntropyOn(docs: DataFrame): DataFrame =
     docs
@@ -1094,6 +1107,7 @@ object TextOps {
       .select(col("doc_id"),
         col("n").cast("long").as("n_chars"),
         size(col("dist")).cast("long").as("n_distinct"),
+        col("cnts"),
         expr(
           """CASE WHEN n > 0 THEN -aggregate(cnts, CAST(0.0 AS DOUBLE),
             |  (acc, k) -> acc + (CAST(k AS DOUBLE) / n)
@@ -1110,11 +1124,7 @@ object TextOps {
       |      FROM e)
       |SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
       |  CAST(len(dist) AS BIGINT) AS n_distinct,
-      |  CASE WHEN n > 0 THEN -list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-      |    list_transform(cnts, k ->
-      |      (CAST(k AS DOUBLE) / n) * ln(CAST(k AS DOUBLE) / n))),
-      |    (a, b) -> a + b)
-      |  END AS entropy
+      |  CAST(coalesce(list_sum(list_transform(cnts, k -> k * k)), 0) AS BIGINT) AS sum_k2
       |FROM f ORDER BY doc_id""".stripMargin
 
   /** CCNet's selection step (Wenzek et al. 2020 §4.4 re-derived): per

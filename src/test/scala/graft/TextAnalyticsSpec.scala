@@ -334,8 +334,15 @@ class TextAnalyticsSpec extends SparkSpecBase {
       (2L, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),
       (3L, "the quick brown fox jumps over the lazy dog and keeps on running home"))
       .toDF("doc_id", "text")
-    val m = TextOps.charEntropyOn(docs).collect()
-      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val rows = TextOps.charEntropyOn(docs).collect()
+    val m = rows.map(r => r.getLong(0) -> r.getAs[Double]("entropy")).toMap
+    // the gated integer surrogate (collision statistic) orders the same
+    // classes inversely: runs maximal, blobs minimal relative to length
+    val k2 = rows.map(r => r.getLong(0) ->
+      r.getAs[scala.collection.Seq[Int]]("cnts").map(k => k.toLong * k).sum).toMap
+    assert(k2(2L) == {
+      val n = rows.find(_.getLong(0) == 2L).get.getAs[Long]("n_chars"); n * n
+    }, "a single-char run's collision statistic must be n^2")
     assert(m(2L) == 0.0, "single-char run must have zero entropy")
     assert(m(1L) > m(3L), "base64 blob must out-entropy natural text")
     assert(m(3L) > 2.0 && m(3L) < 4.5, s"natural text should sit mid-band, got ${m(3L)}")

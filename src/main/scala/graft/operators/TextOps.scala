@@ -209,14 +209,19 @@ object TextOps {
       .withColumn("fps", when(size(col("toks")) >= k,
         expr(s"transform(sequence(1, size(toks) - ${k - 1}), i -> md5(array_join(slice(toks, i, $k), ' ')))"))
         .otherwise(array().cast("array<string>")))
+      // one rightmost-argmin fold per window over index arithmetic — no
+      // slice/reverse/array_min triple pass, no per-window array allocs
+      // (<= keeps the RIGHTMOST position on fingerprint ties)
       .withColumn("sel", expr(
         s"""CASE WHEN size(fps) = 0 THEN array()
            |ELSE array_distinct(transform(
-           |  transform(sequence(1, size(fps) - least($w, size(fps)) + 1),
-           |    i -> named_struct('i', i, 's', slice(fps, i, least($w, size(fps))))),
-           |  t -> named_struct(
-           |    'p', CAST(t.i + least($w, size(fps)) - array_position(reverse(t.s), array_min(t.s)) AS BIGINT),
-           |    'f', array_min(t.s))))
+           |  sequence(1, size(fps) - least($w, size(fps)) + 1),
+           |  i -> aggregate(
+           |    sequence(i, i + least($w, size(fps)) - 1),
+           |    named_struct('p', CAST(0 AS BIGINT), 'f', CAST(NULL AS STRING)),
+           |    (acc, j) -> CASE WHEN acc.f IS NULL OR element_at(fps, j) <= acc.f
+           |                THEN named_struct('p', CAST(j AS BIGINT), 'f', element_at(fps, j))
+           |                ELSE acc END)))
            |END""".stripMargin))
 
   def winnow(s: SparkSession, dir: String): DataFrame =

@@ -154,6 +154,39 @@ object Analytics {
        |GROUP BY n_name
        |ORDER BY n_name""".stripMargin
 
+  /** TPC-H Q10 shape — returned-item revenue ranking: who cost us the
+    * most in returns last period. 3-way fact chain + broadcast nation
+    * dim, exact-cents revenue, global top-20 (TakeOrdered at the
+    * physical level — no full sort materializes at any scale). The
+    * per-customer long-cents sum keeps the q3 overflow argument: bound
+    * is per GROUP, and a single customer's returned-revenue cents sit
+    * far under 2^63 at any plausible scale.
+    */
+  def q10ReturnedItems(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+    val o = Tables.t(s, dir, "orders")
+    val c = Tables.t(s, dir, "customer")
+    val n = Tables.t(s, dir, "nation")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+      .agg(lsum(centsDisc(col("l_extendedprice"), col("l_discount")), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
+  val q10Oracle: String =
+    s"""SELECT c_custkey, c_name, n_name, c_acctbal,
+       |       CAST(SUM($sqlDiscPrice) AS DOUBLE) AS revenue
+       |FROM lineitem
+       |JOIN orders   ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation   ON c_nationkey = n_nationkey
+       |WHERE l_returnflag = 'R'
+       |GROUP BY c_custkey, c_name, n_name, c_acctbal
+       |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin
+
   /** Multi-level aggregation in one pass (ROLLUP). */
   def qRollupRevenue(s: SparkSession, dir: String): DataFrame =
     Tables.t(s, dir, "orders")
@@ -300,6 +333,7 @@ object Analytics {
     QueryDef("q1_pricing_summary", q1PricingSummary, Some(q1Oracle), headline = true),
     QueryDef("q3_shipping_priority", q3ShippingPriority, Some(q3Oracle), headline = true),
     QueryDef("q5_local_supplier", q5LocalSupplier, Some(q5Oracle), headline = true),
+    QueryDef("q10_returned_items", q10ReturnedItems, Some(q10Oracle)),
     QueryDef("q_rollup_revenue", qRollupRevenue, Some(qRollupOracle)),
     QueryDef("q_topk_orders_per_cust", qTopkOrdersPerCust, Some(qTopkOracle)),
     QueryDef("q_distinct_custs", qDistinctCusts, Some(qDistinctOracle)),

@@ -421,6 +421,38 @@ object EventOps {
        |      2.5 * SQRT(s.sxx / s.n - (s.sx / s.n) * (s.sx / s.n))
        |ORDER BY event_id""".stripMargin
 
+  /** Weekly cohort retention matrix — the product-analytics staple over
+    * event streams: users cohorted by their FIRST active week, each later
+    * week counted as (cohort, weeks-since) actives. Two shuffles
+    * total: the (user, week) distinct (which also feeds the per-user min
+    * as a reuse of the same exchange) and the final (cohort, k) fold —
+    * the fact table itself collapses to at most users x weeks rows at
+    * the first aggregation, so everything downstream is tiny at any
+    * scale. Integer week arithmetic (epoch-us div), no calendar
+    * functions, so the cohort keys are engine-exact.
+    */
+  def retentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val wkUs = 7L * 86400L * 1000000L
+    val active = Tables.t(s, dir, "events")
+      .select(col("user_id"), expr(s"unix_micros(ts) div $wkUs").as("wk"))
+      .distinct()
+    val firsts = active.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+    active.join(firsts, "user_id")
+      .withColumn("k", col("wk") - col("cohort_wk"))
+      .groupBy("cohort_wk", "k")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_wk", "k")
+  }
+
+  val retentionOracle: String = {
+    val wkUs = 7L * 86400L * 1000000L
+    s"""WITH a AS (SELECT DISTINCT user_id, epoch_us(ts) // $wkUs AS wk FROM events),
+       |f AS (SELECT user_id, MIN(wk) AS cohort_wk FROM a GROUP BY user_id)
+       |SELECT f.cohort_wk, a.wk - f.cohort_wk AS k, CAST(COUNT(*) AS BIGINT) AS n_users
+       |FROM a JOIN f USING (user_id)
+       |GROUP BY 1, 2 ORDER BY cohort_wk, k""".stripMargin
+  }
+
   /** Seasonality-aware deviation detection — the diurnal-baseline member
     * of the anomaly family: the z-score filter compares against a GLOBAL
     * per-type mean, so normal nightly troughs and daily peaks both read as
@@ -696,6 +728,7 @@ object EventOps {
     QueryDef("ev_zscore_outliers", zscoreOutliers, Some(zscoreOracle)),
     QueryDef("ev_cusum_drift", cusumDrift, Some(cusumOracle)),
     QueryDef("ev_seasonal_outliers", seasonalBaseline, Some(seasonalOracle)),
+    QueryDef("ev_retention_cohorts", retentionCohorts, Some(retentionOracle)),
     QueryDef("ev_dedup_replay", dedupReplay, Some(dedupReplayOracle)),
     QueryDef("ev_json_extract", jsonExtract, Some(jsonExtractOracle))
   )

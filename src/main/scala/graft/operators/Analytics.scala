@@ -155,16 +155,20 @@ object Analytics {
        |ORDER BY n_name""".stripMargin
 
   /** TPC-H Q10 shape — returned-item revenue ranking: who cost us the
-    * most in returns last period. 3-way fact chain + broadcast nation
-    * dim, exact-cents revenue, global top-20 (TakeOrdered at the
+    * most in returns in the period (Q10's quarter window — the order-date
+    * predicate reaches the orders scan as a pushed filter, so the join
+    * sees a slice, not the full history). 3-way fact chain + broadcast
+    * nation dim, exact-cents revenue, global top-20 (TakeOrdered at the
     * physical level — no full sort materializes at any scale). The
     * per-customer long-cents sum keeps the q3 overflow argument: bound
-    * is per GROUP, and a single customer's returned-revenue cents sit
-    * far under 2^63 at any plausible scale.
+    * is per GROUP, and a single customer's one-quarter returned-revenue
+    * cents sit far under 2^63 at any plausible scale.
     */
   def q10ReturnedItems(s: SparkSession, dir: String): DataFrame = {
     val l = Tables.t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
     val o = Tables.t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-10-01") &&
+        col("o_orderdate") < lit("1998-01-01"))
     val c = Tables.t(s, dir, "customer")
     val n = Tables.t(s, dir, "nation")
     l.join(o, col("l_orderkey") === col("o_orderkey"))
@@ -184,6 +188,8 @@ object Analytics {
        |JOIN customer ON o_custkey = c_custkey
        |JOIN nation   ON c_nationkey = n_nationkey
        |WHERE l_returnflag = 'R'
+       |  AND o_orderdate >= TIMESTAMP '1997-10-01'
+       |  AND o_orderdate <  TIMESTAMP '1998-01-01'
        |GROUP BY c_custkey, c_name, n_name, c_acctbal
        |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin
 

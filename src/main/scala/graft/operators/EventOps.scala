@@ -423,21 +423,25 @@ object EventOps {
 
   /** Weekly cohort retention matrix — the product-analytics staple over
     * event streams: users cohorted by their FIRST active week, each later
-    * week counted as (cohort, weeks-since) actives. Two shuffles
-    * total: the (user, week) distinct (which also feeds the per-user min
-    * as a reuse of the same exchange) and the final (cohort, k) fold —
-    * the fact table itself collapses to at most users x weeks rows at
-    * the first aggregation, so everything downstream is tiny at any
-    * scale. Integer week arithmetic (epoch-us div), no calendar
-    * functions, so the cohort keys are engine-exact.
+    * week counted as (cohort, weeks-since) actives. ONE fact scan and
+    * two hash shuffles (plan-asserted): the per-user fold collects the
+    * user's distinct active weeks as a set — bounded by calendar weeks
+    * (~52/year), so the "array per key" is a few hundred ints at ANY
+    * scale, with map-side partial merge — cohort = its min; the second
+    * shuffle is the tiny (cohort, k) fold. (A distinct + min + join
+    * formulation costs three shuffles and two scans: (user, wk) and
+    * (user) partitionings don't align, and the optimizer computes the
+    * min off a second scan.) Integer week arithmetic (epoch-us div), no
+    * calendar functions, so the cohort keys are engine-exact.
     */
   def retentionCohorts(s: SparkSession, dir: String): DataFrame = {
     val wkUs = 7L * 86400L * 1000000L
-    val active = Tables.t(s, dir, "events")
+    Tables.t(s, dir, "events")
       .select(col("user_id"), expr(s"unix_micros(ts) div $wkUs").as("wk"))
-      .distinct()
-    val firsts = active.groupBy("user_id").agg(min("wk").as("cohort_wk"))
-    active.join(firsts, "user_id")
+      .groupBy("user_id")
+      .agg(expr("array_sort(collect_set(wk))").as("wks"))
+      .select(explode(col("wks")).as("wk"),
+        expr("element_at(wks, 1)").as("cohort_wk"))
       .withColumn("k", col("wk") - col("cohort_wk"))
       .groupBy("cohort_wk", "k")
       .agg(count(lit(1)).as("n_users"))

@@ -292,4 +292,15 @@ class PlanSpec extends SparkSpecBase {
     val n = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(n == 1, s"cusum must exchange events on user_id exactly once, got $n:\n$p")
   }
+
+  test("retention: one fact scan, exactly two hash shuffles") {
+    val df = graft.operators.EventOps.retentionCohorts(spark, sf0001)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size == 1, s"retention must read events once, got ${scans.size}")
+    val p = plan(df)
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n == 2, s"retention must hash-shuffle exactly twice (user fold, cohort fold), got $n:\n$p")
+  }
 }

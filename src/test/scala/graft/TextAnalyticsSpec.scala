@@ -340,9 +340,15 @@ class TextAnalyticsSpec extends SparkSpecBase {
     // classes inversely: runs maximal, blobs minimal relative to length
     val k2 = rows.map(r => r.getLong(0) ->
       r.getAs[scala.collection.Seq[Int]]("cnts").map(k => k.toLong * k).sum).toMap
-    assert(k2(2L) == {
-      val n = rows.find(_.getLong(0) == 2L).get.getAs[Long]("n_chars"); n * n
-    }, "a single-char run's collision statistic must be n^2")
+    val nOf = rows.map(r => r.getLong(0) -> r.getAs[Long]("n_chars")).toMap
+    assert(k2(2L) == nOf(2L) * nOf(2L),
+      "a single-char run's collision statistic must be n^2")
+    // the normalized surrogate k2/n^2 must order the classes inversely to
+    // entropy: run (1.0) > natural > blob — the property that justifies
+    // gating sum_k2 in the entropy query's place
+    def norm(id: Long) = k2(id).toDouble / (nOf(id).toDouble * nOf(id))
+    assert(norm(2L) > norm(3L) && norm(3L) > norm(1L),
+      s"collision surrogate lost the class ordering: ${norm(2L)} ${norm(3L)} ${norm(1L)}")
     assert(m(2L) == 0.0, "single-char run must have zero entropy")
     assert(m(1L) > m(3L), "base64 blob must out-entropy natural text")
     assert(m(3L) > 2.0 && m(3L) < 4.5, s"natural text should sit mid-band, got ${m(3L)}")

@@ -1510,8 +1510,13 @@ object SimilarityOps {
     * order-independent — the ManifestAgg discipline), then mean/std as
     * one IEEE division/sqrt each at the end. The explode collapses
     * map-side to d rows per partition, so the single shuffle moves
-    * d x partitions rows at any corpus size; the serve path applies
-    * (x - mean)/std map-side against the broadcast 64-row table.
+    * d x partitions rows at any corpus size; the serve path is
+    * [[whitenApply]] — (x - mean)/std map-side against the broadcast
+    * d-row table. The DECIMAL(38,0) accumulators stay INTERNAL: the
+    * round-8 driver gate showed raw decimal columns are not
+    * hash-portable across readers (rows+schema matched, hash did not),
+    * so the gated surface is the contract columns dim/n/mean/std only
+    * (enforced by DriverContractSpec).
     */
   def whitenStats(s: SparkSession, dir: String): DataFrame = {
     val q = lit(1048576L) // 2^20
@@ -1531,12 +1536,12 @@ object SimilarityOps {
             (col("sum_q").cast(DoubleType) / col("n").cast(DoubleType))) /
           q.cast(DoubleType) / q.cast(DoubleType))
       .withColumn("std", sqrt(col("variance")))
-      .select("dim", "n", "sum_q", "sum_q2", "mean", "std")
+      .select("dim", "n", "mean", "std")
       .orderBy("dim")
   }
 
   val whitenStatsOracle: String =
-    """SELECT dim, n, sum_q, sum_q2,
+    """SELECT dim, n,
       |  CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE) / 1048576.0 AS mean,
       |  sqrt((CAST(sum_q2 AS DOUBLE) / CAST(n AS DOUBLE) -
       |        (CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE)) *

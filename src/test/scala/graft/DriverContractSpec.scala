@@ -25,4 +25,21 @@ class DriverContractSpec extends SparkSpecBase {
     assert(headline.nonEmpty)
     assert(headline.toSet.subsetOf(SparkEntry.queries.keySet))
   }
+
+  // Round-8 lesson: raw DECIMAL output is not hash-portable across the
+  // gate's readers (emb_whiten_stats: rows+schema matched, hash did not —
+  // decimal renderings differ where float64 comparison collapses them).
+  // Decimals are the right ACCUMULATOR type (exact, order-independent);
+  // they must be cast to long/double/string before reaching a gated SELECT.
+  test("no oracle-gated query emits a raw DECIMAL column") {
+    import org.apache.spark.sql.types.DecimalType
+    val offenders = Registry.all.filter(_.oracle.isDefined).flatMap { q =>
+      val schema = SparkEntry.queries(q.name)(spark, sf0001).schema
+      schema.fields.collect { case f if f.dataType.isInstanceOf[DecimalType] =>
+        s"${q.name}.${f.name}: ${f.dataType.simpleString}"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"gated queries exposing hash-unportable DECIMAL columns: ${offenders.mkString(", ")}")
+  }
 }

@@ -575,7 +575,10 @@ object SimilarityOps {
       // (shuffled or stats-driven) semi-join.
       val cap = codes.sparkSession.conf
         .get("spark.graft.filter.broadcastMaxIds", "1000000").toLong
-      val small = ids.limit(cap.toInt + 1).count() <= cap
+      // clamp before the Int conversion: a cap configured at/above
+      // Int.MaxValue would otherwise overflow to a negative limit
+      val probe = math.min(cap, Int.MaxValue - 1L).toInt + 1
+      val small = ids.limit(probe).count() <= cap
       codes.join(if (small) broadcast(ids) else ids, Seq("vec_id"), "left_semi")
     }
 

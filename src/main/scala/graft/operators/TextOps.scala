@@ -1277,23 +1277,27 @@ object TextOps {
     * the corpus scan collapses map-side to per-source partial counts.
     */
   def mixWeights(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val budget = s.conf.get("spark.graft.mix.budget", "1000000").toLong
-    val perSrc = Tables.t(s, dir, "documents")
+    val rows = Tables.t(s, dir, "documents")
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split(col("text"), " "))).cast("long").as("n_tokens"))
-    val rows = perSrc.select("source", "n_tokens").collect()
-      .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
-    val total = rows.map(_._2).sum
-    val denom = rows.foldLeft(0.0) { case (a, (_, t)) =>
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val total = rows.map(_._3).sum
+    val denom = rows.foldLeft(0.0) { case (a, (_, _, t)) =>
       a + math.sqrt(t.toDouble / total.toDouble)
     }
-    perSrc
-      .withColumn("share",
-        sqrt(col("n_tokens").cast(DoubleType) / lit(total.toDouble)))
-      .withColumn("weight", col("share") / lit(denom))
-      .withColumn("epochs",
-        col("weight") * lit(budget.toDouble) / col("n_tokens").cast(DoubleType))
+    // the per-source table IS the collected row set (bounded by |sources|),
+    // so the output is built driver-side from those rows — exactly one
+    // corpus scan; sqrt/division driver-side are the same correctly-rounded
+    // IEEE ops the engines produce, so the gate stays exact
+    rows.toSeq.map { case (src, nDocs, t) =>
+      val share = math.sqrt(t.toDouble / total.toDouble)
+      val weight = share / denom
+      (src, nDocs, t, share, weight, weight * budget.toDouble / t.toDouble)
+    }.toDF("source", "n_docs", "n_tokens", "share", "weight", "epochs")
       .orderBy("source")
   }
 
@@ -1413,10 +1417,17 @@ object TextOps {
       likelihood: Map[String, Map[String, Long]])
 
   def nbFit(s: SparkSession, docs: DataFrame, classes: Seq[String]): NbModel = {
+    // a 1-class model makes the argmax's greatest() unbuildable, and a
+    // class with zero training docs has ln(0) = -Inf prior (where a SQL
+    // scalar subquery yields NULL) — both are fit errors, not serve cases
+    require(classes.size >= 2, s"nbFit needs >= 2 classes, got $classes")
     val vocabCap = s.conf.get("spark.graft.nb.vocabCap", "100000").toInt
     val stats = docs.groupBy("lang")
       .agg(count(lit(1)).as("n"), sum(size(split(col("text"), " "))).cast("long").as("t"))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val absent = classes.filterNot(stats.contains)
+    require(absent.isEmpty,
+      s"nbFit: classes with zero training docs: ${absent.mkString(", ")}")
     val nTotal = classes.map(c => stats.get(c).map(_._1).getOrElse(0L)).sum
     val vocabSize = docs
       .select(explode(split(col("text"), " ")).as("t")).distinct().count()

@@ -614,4 +614,38 @@ class StreamingSpec extends SparkSpecBase {
       assert(gotByUser.keySet == batch.filter(_._2._1 > 0).keySet)
     } finally { query.stop(); baseline.unpersist() }
   }
+
+  test("cusumStream: a cross-batch late event is dropped and counted, not folded") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingDrift
+    import graft.streaming.StreamingDrift.{Breach, DriftEvent}
+    // n=2, s_tot=10 → dev = 2x − 11: x=5 gives −1, x=100 gives 189
+    val baseline = Seq((1L, 2L, 10L)).toDF("user_id", "n", "s_tot")
+    val acc = spark.sparkContext.longAccumulator("cusum_ooo_dropped")
+    val mem = MemoryStream[DriftEvent]
+    val out = StreamingDrift.cusumStream(mem.toDS(), baseline,
+      droppedAcc = Some(acc))
+    val query = out.writeStream.format("memory").queryName("cusum_ooo")
+      .outputMode("append").start()
+    try {
+      // batch 1 advances the cursor to ts=300
+      mem.addData(DriftEvent(1L, 1L, 100L, 5L), DriftEvent(1L, 3L, 300L, 5L))
+      query.processAllAvailable()
+      // batch 2: one late big-dev event (ts=200 < 300), one exact replay
+      // of (300, 3), one in-order small event — only the last may fold
+      mem.addData(DriftEvent(1L, 2L, 200L, 100L), DriftEvent(1L, 3L, 300L, 5L),
+        DriftEvent(1L, 4L, 400L, 5L))
+      query.processAllAvailable()
+      assert(acc.value == 2L, s"expected 2 dropped, got ${acc.value}")
+      // a breach probe whose cusum VALUE proves the fold history: with
+      // events 1,3,4 folded (cum=-3, runmin=-3) this event yields
+      // 1986-(-3)=1989; had the late x=100 event been folded the value
+      // would be 2176 (and events 3/4 would already have breached)
+      mem.addData(DriftEvent(1L, 5L, 500L, 1000L))
+      query.processAllAvailable()
+      val breaches = spark.table("cusum_ooo").as[Breach].collect().toSeq
+      assert(breaches == Seq(Breach(1L, 500L, 1989L)), s"got $breaches")
+    } finally query.stop()
+  }
 }

@@ -176,6 +176,20 @@ class TextAnalyticsSpec extends SparkSpecBase {
     assert(acc == 90L, s"expected 90/90 recovered, got $acc")
   }
 
+  test("nbFit rejects single-class and zero-training-doc configurations") {
+    // a 1-class argmax is unbuildable (greatest needs >= 2 columns) and an
+    // absent class would score ln(0) = -Inf where a SQL oracle yields NULL
+    val docs = Seq((0L, "aa", "zork word"), (1L, "bb", "quux word"))
+      .toDF("doc_id", "lang", "text")
+    intercept[IllegalArgumentException] {
+      TextOps.nbFit(spark, docs, Seq("aa"))
+    }
+    val e = intercept[IllegalArgumentException] {
+      TextOps.nbFit(spark, docs, Seq("aa", "bb", "cc"))
+    }
+    assert(e.getMessage.contains("cc"))
+  }
+
   test("bpe training reproduces the published worked example, tiebreak deterministic") {
     // Sennrich et al. 2016 §3.2-style vocab (no end-of-word marker):
     // pair counts -> (e,s)=9, then (es,t)=9, then the (l,o)/(o,w) tie at 7

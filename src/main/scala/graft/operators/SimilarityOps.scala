@@ -297,13 +297,27 @@ object SimilarityOps {
     * pass all consume it) — callers take queries from the cached frame
     * instead of re-scanning the raw table, and terminal callers unpersist
     * it when their outputs are materialized.
+    *
+    * `headDim` < [[Dim]] quantizes only the leading headDim components —
+    * the Matryoshka geometry ([[matryoshka]] measures whether the corpus
+    * earns it): m = headDim/subdim codebooks, `nrm` is the HEAD norm (so
+    * ADC approximates head-cosine), and the stored codes shrink by
+    * Dim/headDim on top of PQ's own cut. Every serve path derives the
+    * geometry from the books table, so head and full indexes share all
+    * code downstream of this function.
     */
-  private def pqTrainEncode(raw: DataFrame, keep: Seq[String] = Nil)
-      : (Array[Array[Array[Double]]], DataFrame, DataFrame) = {
+  private def pqTrainEncode(raw: DataFrame, keep: Seq[String] = Nil,
+      headDim: Int = Dim): (Array[Array[Array[Double]]], DataFrame, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    require(headDim > 0 && headDim <= Dim && headDim % PqSubDim == 0,
+      s"headDim $headDim must be a positive multiple of $PqSubDim, <= $Dim")
+    val m = headDim / PqSubDim
+    val nrmCol = if (headDim == Dim) pqNorm else expr(
+      s"sqrt(aggregate(slice(embedding, 1, $headDim), CAST(0.0 AS DOUBLE), " +
+        "(a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
     // subvector feature columns once; each codebook trains and assigns on its own slice
-    val e = (0 until PqM).foldLeft(raw.withColumn("nrm", pqNorm)) {
+    val e = (0 until m).foldLeft(raw.withColumn("nrm", nrmCol)) {
         case (df, j) =>
           df.withColumn(s"f$j", array_to_vector(slice(col("embedding"), j * PqSubDim + 1, PqSubDim)))
       }
@@ -311,16 +325,16 @@ object SimilarityOps {
     // codebooks fit on the bounded deterministic sample — training cost
     // stays flat as the corpus grows; the encode below maps the full frame
     val trainE = trainSample(e)
-    val models = (0 until PqM).map { j =>
+    val models = (0 until m).map { j =>
       new KMeans().setK(PqK).setSeed(42L + j).setMaxIter(5)
         .setFeaturesCol(s"f$j").setPredictionCol(s"code$j")
         .fit(trainE.select(s"f$j"))
     }
     val books: Array[Array[Array[Double]]] =
       models.map(_.clusterCenters.map(_.toArray)).toArray
-    val encoded = models.foldLeft(e: DataFrame)((df, m) => m.transform(df))
+    val encoded = models.foldLeft(e: DataFrame)((df, mdl) => mdl.transform(df))
       .select((Seq(col("vec_id"), col("nrm"),
-        array((0 until PqM).map(j => col(s"code$j")): _*).as("codes")) ++
+        array((0 until m).map(j => col(s"code$j")): _*).as("codes")) ++
         keep.map(col)): _*)
     (books, encoded, e)
   }
@@ -344,25 +358,32 @@ object SimilarityOps {
       (r.getAs[Long]("vec_id"), r.getAs[scala.collection.Seq[Float]]("embedding").toArray))
 
   /** Per-query ADC lookup tables against `books`:
-    * lut[j*k + c] = <q_subj, book[j][c]> — 512 doubles per query, driver
-    * metadata like IVF's probe sets.
+    * lut[j*k + c] = <q_subj, book[j][c]> — m*k doubles per query, driver
+    * metadata like IVF's probe sets. The geometry (m, k, subdim) comes
+    * from the books themselves, so a truncated-head index's LUT — and its
+    * q_nrm, the HEAD norm matching the encoded side's — fall out with no
+    * separate code path; q_emb stays full-dim for the exact re-rank.
     */
   private def pqQueryDf(s: SparkSession, qRows: Seq[(Long, Array[Float])],
       books: Array[Array[Array[Double]]]): DataFrame = {
     import s.implicits._
+    val m = books.length
+    val k = books(0).length
+    val subDim = books(0)(0).length
+    val headDim = m * subDim
     qRows.map { case (qid, emb) =>
-        val lut = Array.tabulate(PqM * PqK) { i =>
-          val (j, c) = (i / PqK, i % PqK)
+        val lut = Array.tabulate(m * k) { i =>
+          val (j, c) = (i / k, i % k)
           var d = 0.0
           var t = 0
-          while (t < PqSubDim) { d += emb(j * PqSubDim + t).toDouble * books(j)(c)(t); t += 1 }
+          while (t < subDim) { d += emb(j * subDim + t).toDouble * books(j)(c)(t); t += 1 }
           d
         }
-        // same left-to-right accumulation as the pqNorm SQL expression, so
-        // the driver-computed norm is bit-identical to the encoded side's
+        // same left-to-right accumulation as the encoded side's norm
+        // expression, so the driver-computed norm is bit-identical to it
         var n2 = 0.0
         var i = 0
-        while (i < emb.length) { n2 += emb(i).toDouble * emb(i).toDouble; i += 1 }
+        while (i < headDim) { n2 += emb(i).toDouble * emb(i).toDouble; i += 1 }
         (qid, emb.toSeq, lut.toSeq, math.sqrt(n2))
       }.toIndexedSeq.toDF("q_id", "q_emb", "lut", "q_nrm")
   }
@@ -455,6 +476,30 @@ object SimilarityOps {
   def knnPq(s: SparkSession, dir: String): DataFrame =
     knnPqOn(Tables.t(s, dir, "embeddings"))
 
+  /** Matryoshka retrieval (Kusupati et al. 2022, "Matryoshka
+    * Representation Learning"): candidate generation over the leading
+    * [[MrlHeadDim]] components only — the decision [[matryoshka]]'s
+    * `energy_kept` metric exists to justify — then the EXACT full-dim
+    * re-rank the PQ family always runs. The head is PQ-encoded
+    * (headDim/subdim codes), so the ADC scan costs headDim/Dim of the
+    * full index's bytes ON TOP of PQ's ~42x cut; returned `sim` is exact
+    * full-dim cosine either way, only candidate choice degrades — and by
+    * how much is a measured recall test, not a hope. Approximate →
+    * rows-only; serve==direct and recall are unit-tested.
+    */
+  final val MrlHeadDim = 16
+
+  def knnMrlOn(corpus: DataFrame): DataFrame = {
+    val (books, encoded, cached) =
+      pqTrainEncode(Tables.spread(corpus), headDim = MrlHeadDim)
+    val qRows = pqQueryRows(cached.filter(col("vec_id") < 10))
+    cached.unpersist(blocking = false)
+    pqSearch(encoded, pqQueryDf(corpus.sparkSession, qRows, books), corpus)
+  }
+
+  def knnMrl(s: SparkSession, dir: String): DataFrame =
+    knnMrlOn(Tables.t(s, dir, "embeddings"))
+
   /** Materialize the PQ index: codes (+ norms) as a parquet table, the
     * codebooks beside them, AND the raw vectors as a serving table
     * BUCKETED by vec_id — so the exact re-rank of every subsequent query
@@ -464,12 +509,22 @@ object SimilarityOps {
     * codes, a 32 KB codebook table, and |cands|/|buckets| of the raw
     * table.
     */
-  def writePqIndex(s: SparkSession, dir: String, indexPath: String): Unit =
-    writePqIndexOn(Tables.t(s, dir, "embeddings"), indexPath)
+  def writePqIndex(s: SparkSession, dir: String, indexPath: String,
+      headDim: Int = Dim): Unit =
+    writePqIndexOn(Tables.t(s, dir, "embeddings"), indexPath, headDim)
 
-  def writePqIndexOn(corpus: DataFrame, indexPath: String): Unit = {
+  /** `headDim` < [[Dim]] writes a TRUNCATED-HEAD (Matryoshka) index: the
+    * ADC scan covers only the leading headDim components — headDim/Dim of
+    * the already ~42x-cut code bytes — while the raw serving table stays
+    * full-dim, so the exact re-rank (and the returned `sim`) is unchanged.
+    * Run [[matryoshka]] first: `energy_kept` is the go/no-go — a corpus
+    * that concentrates its energy in the head keeps its ADC ranking
+    * nearly intact at a quarter of the scan bytes.
+    */
+  def writePqIndexOn(corpus: DataFrame, indexPath: String,
+      headDim: Int = Dim): Unit = {
     val s = corpus.sparkSession
-    val (books, encoded, cached) = pqTrainEncode(Tables.spread(corpus))
+    val (books, encoded, cached) = pqTrainEncode(Tables.spread(corpus), headDim = headDim)
     encoded.write.mode("overwrite").parquet(s"$indexPath/codes")
     writeBooks(s, books, indexPath)
     graft.sources.Bucketed.write(cached.select("vec_id", "embedding"),
@@ -530,8 +585,13 @@ object SimilarityOps {
     knnIvfPqOn(Tables.t(s, dir, "embeddings"))
 
   private def readBooks(s: SparkSession, indexPath: String): Array[Array[Array[Double]]] = {
-    val books = Array.ofDim[Array[Double]](PqM, PqK)
-    s.read.parquet(s"$indexPath/books").collect().foreach { r =>
+    val rows = s.read.parquet(s"$indexPath/books").collect()
+    // geometry is a property of the stored index (a head index has
+    // headDim/subdim subspaces), not a compile-time constant
+    val m = rows.map(_.getAs[Int]("subspace")).max + 1
+    val k = rows.map(_.getAs[Int]("code")).max + 1
+    val books = Array.ofDim[Array[Double]](m, k)
+    rows.foreach { r =>
       books(r.getAs[Int]("subspace"))(r.getAs[Int]("code")) =
         r.getAs[scala.collection.Seq[Double]]("center").toArray
     }
@@ -616,19 +676,24 @@ object SimilarityOps {
     */
   private def pqEncodeOne(emb: Array[Float],
       books: Array[Array[Array[Double]]]): (Double, Array[Int]) = {
+    val m = books.length
+    val k = books(0).length
+    val subDim = books(0)(0).length
+    // the stored norm spans exactly what the codes cover (the head, for a
+    // truncated index) — appended rows must match the build-time encode
     var n2 = 0.0
     var i = 0
-    while (i < emb.length) { n2 += emb(i).toDouble * emb(i).toDouble; i += 1 }
-    val codes = Array.tabulate(PqM) { j =>
+    while (i < m * subDim) { n2 += emb(i).toDouble * emb(i).toDouble; i += 1 }
+    val codes = Array.tabulate(m) { j =>
       var best = 0
       var bestD = Double.MaxValue
       var c = 0
-      while (c < PqK) {
+      while (c < k) {
         val cen = books(j)(c)
         var d = 0.0
         var t = 0
-        while (t < PqSubDim) {
-          val diff = emb(j * PqSubDim + t).toDouble - cen(t)
+        while (t < subDim) {
+          val diff = emb(j * subDim + t).toDouble - cen(t)
           d += diff * diff
           t += 1
         }
@@ -667,10 +732,16 @@ object SimilarityOps {
     * session serves retrain-free ([[knnIvfPqFromIndex]]) and daily
     * batches land with [[appendToIvfIndex]].
     */
-  def writeIvfIndex(s: SparkSession, dir: String, indexPath: String): Unit =
-    writeIvfIndexOn(Tables.t(s, dir, "embeddings"), indexPath)
+  def writeIvfIndex(s: SparkSession, dir: String, indexPath: String,
+      headDim: Int = Dim): Unit =
+    writeIvfIndexOn(Tables.t(s, dir, "embeddings"), indexPath, headDim)
 
-  def writeIvfIndexOn(corpus: DataFrame, indexPath: String): Unit = {
+  /** `headDim` as in [[writePqIndexOn]]: the cell assignment stays
+    * full-dim (coarse geometry is cheap — one centroid row per cell), the
+    * PQ codes cover only the head.
+    */
+  def writeIvfIndexOn(corpus: DataFrame, indexPath: String,
+      headDim: Int = Dim): Unit = {
     import org.apache.spark.ml.functions.array_to_vector
     val s = corpus.sparkSession
     import s.implicits._
@@ -679,7 +750,8 @@ object SimilarityOps {
     val cellModel = coarseQuantizer(e0)
     val assigned = cellModel.transform(e0)
       .withColumnRenamed("prediction", "cell").drop("features")
-    val (books, encoded, cached) = pqTrainEncode(assigned, keep = Seq("cell"))
+    val (books, encoded, cached) =
+      pqTrainEncode(assigned, keep = Seq("cell"), headDim = headDim)
     encoded.write.partitionBy("cell").mode("overwrite").parquet(s"$indexPath/codes")
     writeBooks(s, books, indexPath)
     cellModel.clusterCenters.zipWithIndex
@@ -1568,6 +1640,7 @@ object SimilarityOps {
     QueryDef("emb_knn_ivf", knnIvf, None),
     QueryDef("emb_knn_pq", knnPq, None),
     QueryDef("emb_knn_ivfpq", knnIvfPq, None),
+    QueryDef("emb_knn_mrl", knnMrl, None),
     QueryDef("emb_knn_join", knnJoin, Some(knnJoinOracle)),
     QueryDef("emb_label_centroids", labelCentroids, Some(centroidsOracle)),
     QueryDef("emb_cosine_dups", cosineDups, Some(cosineDupsOracle)),

@@ -53,6 +53,14 @@ object ServeBench {
         () => SimilarityOps.writeIvfIndex(s, sfDir, s"$idx/ivf"),
         () => graft.Registry.byName("emb_knn_ivfpq").build(s, sfDir),
         () => SimilarityOps.knnIvfPqFromIndex(s, sfDir, s"$idx/ivf")),
+      // truncated-head (Matryoshka) PQ: the serve must beat the full PQ
+      // serve's ADC bytes by headDim/Dim — same serve code path, smaller
+      // stored geometry
+      Family("mrl",
+        () => SimilarityOps.writePqIndex(s, sfDir, s"$idx/mrl",
+          headDim = SimilarityOps.MrlHeadDim),
+        () => graft.Registry.byName("emb_knn_mrl").build(s, sfDir),
+        () => SimilarityOps.knnPqFromIndex(s, sfDir, s"$idx/mrl")),
       Family("minhash",
         () => DedupOps.writeMinHashIndex(docCorpus, s"$idx/mh"),
         () => graft.Registry.byName("doc_incr_minhash").build(s, sfDir),
@@ -90,7 +98,7 @@ object ServeBench {
     } finally {
       // bucketed serving tables registered in the catalog must not outlive
       // their files
-      Seq(s"$idx/pq/raw", s"$idx/ivf/raw", s"$idx/mh/sigs").foreach { p =>
+      Seq(s"$idx/pq/raw", s"$idx/ivf/raw", s"$idx/mrl/raw", s"$idx/mh/sigs").foreach { p =>
         try graft.sources.Bucketed.dropRegistration(s, p)
         catch { case _: Throwable => () }
       }

@@ -455,6 +455,46 @@ class DedupSimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("MRL head index: serve==direct, quarter-size codes, recall measured, appends work") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-mrlidx").toString + "/mrl"
+    SimilarityOps.writePqIndex(spark, sf0001, idx, headDim = SimilarityOps.MrlHeadDim)
+    // geometry is stored, not assumed: 2 subspaces x 64 codes (vs 8 x 64
+    // full-dim) and 2-entry code arrays — the ADC scan bytes drop by
+    // headDim/Dim = 4x on top of PQ's cut
+    assert(spark.read.parquet(s"$idx/books").count() == 2L * 64)
+    val codeLen = spark.read.parquet(s"$idx/codes")
+      .select(size(col("codes"))).distinct().collect().map(_.getInt(0)).toSeq
+    assert(codeLen == Seq(2), s"head codes must be 2 subcodes, got $codeLen")
+    // the serve path derives the head geometry from the books table alone
+    val direct = SimilarityOps.knnMrl(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val served = SimilarityOps.knnPqFromIndex(spark, sf0001, idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(served.nonEmpty && served.sameElements(direct),
+      "serving the head index must reproduce the direct head-PQ result")
+    // candidate choice is head-approximate but the re-rank is exact
+    // full-dim cosine, so recall vs brute force is the honest metric
+    val brute = SimilarityOps.knnBrute(spark, sf0001)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val keys = served.map(r => (r._1, r._2)).toSet
+    val recall = brute.count(keys.contains).toDouble / brute.size
+    info(f"MRL head recall vs brute force: $recall%.2f")
+    assert(recall >= 0.3, s"head-index recall $recall implausibly low")
+    // appends encode against the stored head geometry (frozen books)
+    val base = Tables.t(spark, sf0001, "embeddings")
+    val clones = base.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"), col("label"))
+    SimilarityOps.appendToPqIndex(clones, idx)
+    val top1 = SimilarityOps.knnPqServe(spark, base.unionByName(clones), idx)
+      .filter(col("rnk") === 1).collect()
+    assert(top1.length == 10)
+    top1.foreach { r =>
+      assert(r.getLong(1) == r.getLong(0) + 100000L,
+        s"query ${r.getLong(0)}: top-1 should be its appended clone, got ${r.getLong(1)}")
+      assert(r.getDouble(3) >= 1.0 - 1e-12)
+    }
+  }
+
   test("IVF-PQ serve-from-index equals the train-and-search path; probes prune partitions") {
     val idx = java.nio.file.Files.createTempDirectory("graft-ivfidx").toString + "/ivfpq"
     SimilarityOps.writeIvfIndex(spark, sf0001, idx)

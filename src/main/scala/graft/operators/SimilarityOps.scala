@@ -1509,6 +1509,33 @@ object SimilarityOps {
     (mean, comps, order.map(eigs(_)).toArray)
   }
 
+  /** PCA as a TRANSFORM consumed by the dedup/ANN family: replace
+    * `embedding` with its k-dim projection (float array) so the frame
+    * drops straight into [[cosineDupsBlocked]]/[[semDeDupOn]]/the ANN
+    * writers — the reduced-dimension serve path [[pcaFit]] exists for.
+    * Same map-side shape as [[pcaProject]]: axes ride as literals, one
+    * scan, zero shuffle, stateless. Projected coordinates of a centered
+    * ~unit-norm corpus stay well inside QuantizedCosine's ||x|| <= 3
+    * domain (each |coord| <= ||centered|| by Cauchy-Schwarz).
+    */
+  def pcaApplyOn(df: DataFrame, mean: Array[Double],
+      comps: Array[Array[Double]]): DataFrame = {
+    val base = df.withColumn("p_mu", typedLit(mean.toSeq))
+      .withColumn("p_ctr", expr(
+        "zip_with(embedding, p_mu, (x, m) -> CAST(x AS DOUBLE) - m)"))
+    val withCoords = comps.zipWithIndex.foldLeft(base) { case (d2, (c, j)) =>
+      d2.withColumn(s"p_ax_$j", typedLit(c.toSeq))
+        .withColumn(s"p_c_$j", expr(
+          s"aggregate(zip_with(p_ctr, p_ax_$j, (x, c) -> x * c)," +
+            " CAST(0.0 AS DOUBLE), (a, v) -> a + v)"))
+    }
+    withCoords
+      .withColumn("embedding",
+        array(comps.indices.map(j => col(s"p_c_$j").cast("float")): _*))
+      .drop(Seq("p_mu", "p_ctr") ++ comps.indices.flatMap(j =>
+        Seq(s"p_ax_$j", s"p_c_$j")): _*)
+  }
+
   /** Map-side PCA projection: the fitted axes ride as array literals,
     * centering + each coordinate is one zip_with/aggregate fold — one
     * corpus scan, zero shuffle before the output sort, streaming-safe
@@ -1586,16 +1613,19 @@ object SimilarityOps {
     * one IEEE division/sqrt each at the end. The explode collapses
     * map-side to d rows per partition, so the single shuffle moves
     * d x partitions rows at any corpus size; the serve path is
-    * [[whitenApply]] — (x - mean)/std map-side against the broadcast
-    * d-row table. The DECIMAL(38,0) accumulators stay INTERNAL: the
+    * [[whitenApplyOn]] — (x - mean)/std map-side against the broadcast
+    * d-row table, consumed by [[whitenDups]]. The DECIMAL(38,0) accumulators stay INTERNAL: the
     * round-8 driver gate showed raw decimal columns are not
     * hash-portable across readers (rows+schema matched, hash did not),
     * so the gated surface is the contract columns dim/n/mean/std only
     * (enforced by DriverContractSpec).
     */
-  def whitenStats(s: SparkSession, dir: String): DataFrame = {
+  def whitenStats(s: SparkSession, dir: String): DataFrame =
+    whitenStatsOn(Tables.t(s, dir, "embeddings"))
+
+  def whitenStatsOn(emb: DataFrame): DataFrame = {
     val q = lit(1048576L) // 2^20
-    Tables.t(s, dir, "embeddings")
+    emb
       .select(posexplode(col("embedding")).as(Seq("pos", "x")))
       .select((col("pos") + 1).cast("long").as("dim"),
         expr("CAST(FLOOR(CAST(x AS DOUBLE) * 1048576) AS BIGINT)").as("qx"))
@@ -1633,6 +1663,93 @@ object SimilarityOps {
       |  GROUP BY i)
       |ORDER BY dim""".stripMargin
 
+  /** Collect the d-row whitening table to driver arrays (mean, std by
+    * dim) — index metadata exactly like PQ codebooks: d doubles, not a
+    * corpus-sized structure.
+    */
+  def whitenFit(emb: DataFrame): (Array[Double], Array[Double]) = {
+    val rows = whitenStatsOn(emb).select("dim", "mean", "std").collect()
+      .sortBy(_.getLong(0))
+    (rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
+  }
+
+  /** The serve path [[whitenStatsOn]]'s doc promises: replace `embedding`
+    * with its standardized form, map-side against the broadcast d-entry
+    * literals — one scan, zero shuffle, streaming-safe (stateless).
+    *
+    * Two deliberate choices keep the output inside the engine's exactness
+    * machinery: (1) a zero-std dimension (constant across the corpus)
+    * maps to 0.0 — it carries no information and would otherwise divide
+    * by zero; (2) the whitened value is scaled by 1/sqrt(d) (exact 8.0 at
+    * d=64). Whitening makes per-dim variance ~1, so the vector norm
+    * lands near sqrt(d) — OUTSIDE QuantizedCosine's int64-safe
+    * ||x|| <= 3 domain. Cosine is scale-invariant, so the uniform
+    * rescale changes nothing semantically while putting the norm back
+    * near 1. The result is cast to float: every downstream consumer
+    * ([[cosineDupsBlocked]], [[semDeDupOn]], the ANN family) reads float
+    * arrays, and the oracle mirrors the same cast, so gates stay exact.
+    */
+  def whitenApplyOn(df: DataFrame, means: Array[Double],
+      stds: Array[Double]): DataFrame = {
+    val scale = math.sqrt(means.length.toDouble)
+    df.withColumn("w_mu", typedLit(means.toSeq))
+      .withColumn("w_sd", typedLit(stds.toSeq))
+      .withColumn("embedding", expr(
+        "zip_with(zip_with(embedding, w_mu, (x, m) -> CAST(x AS DOUBLE) - m), " +
+          s"w_sd, (cx, sd) -> CAST(CASE WHEN sd = 0.0D THEN 0.0D " +
+          s"ELSE (cx / sd) / ${scale}D END AS FLOAT))"))
+      .drop("w_mu", "w_sd")
+  }
+
+  /** Whitened near-duplicate detection — the fitted transform CONSUMED:
+    * standardize every dimension ([[whitenFit]] → [[whitenApplyOn]]),
+    * then run the exact cell-blocked cosine join. Whitening is NOT a
+    * similarity transform — a dimension with 10x the variance dominates
+    * raw cosine and is down-weighted to parity here — so this finds a
+    * genuinely different (scale-robust) duplicate set than
+    * [[cosineDups]]; the divergence is pinned by a planted-vector unit
+    * test. Fully oracle-exact: integer-quantized fit, IEEE standardize,
+    * float cast, quantized cosine — every step bit-reproducible in
+    * DuckDB.
+    */
+  def whitenDups(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "embeddings")
+    val (means, stds) = whitenFit(e)
+    cosineDupsBlocked(whitenApplyOn(e, means, stds), 0.4)
+  }
+
+  val whitenDupsOracle: String =
+    s"""WITH st AS (
+       |  SELECT dim,
+       |    CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE) / 1048576.0 AS mean,
+       |    sqrt((CAST(sum_q2 AS DOUBLE) / CAST(n AS DOUBLE) -
+       |          (CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE)) *
+       |          (CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE)))
+       |         / 1048576.0 / 1048576.0) AS std
+       |  FROM (
+       |    SELECT i AS dim, CAST(COUNT(*) AS BIGINT) AS n,
+       |      CAST(SUM(CAST(FLOOR(CAST(e.embedding[i] AS DOUBLE) * 1048576) AS BIGINT))
+       |           AS DECIMAL(38,0)) AS sum_q,
+       |      CAST(SUM(CAST(FLOOR(CAST(e.embedding[i] AS DOUBLE) * 1048576) AS BIGINT)
+       |             * CAST(FLOOR(CAST(e.embedding[i] AS DOUBLE) * 1048576) AS BIGINT))
+       |           AS DECIMAL(38,0)) AS sum_q2
+       |    FROM embeddings e, unnest(generate_series(1, len(e.embedding))) s(i)
+       |    GROUP BY i)),
+       |w AS (
+       |  SELECT e.vec_id, e.label,
+       |    list(CAST(CASE WHEN st.std = 0.0 THEN 0.0
+       |              ELSE ((CAST(e.embedding[i] AS DOUBLE) - st.mean) / st.std) / 8.0
+       |              END AS FLOAT) ORDER BY i) AS wv
+       |  FROM embeddings e, unnest(generate_series(1, len(e.embedding))) s(i), st
+       |  WHERE st.dim = i
+       |  GROUP BY e.vec_id, e.label)
+       |SELECT a.vec_id AS v1, b.vec_id AS v2, a.label AS label,
+       |       ${sqlQCos("a.wv", "b.wv")} AS sim
+       |FROM w a JOIN w b
+       |  ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE ${sqlQCos("a.wv", "b.wv")} >= 0.4
+       |ORDER BY v1, v2""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("emb_knn_brute", knnBrute, Some(knnOracle), headline = true),
     QueryDef("emb_knn_filtered", knnFiltered, Some(knnFilteredOracle)),
@@ -1649,6 +1766,7 @@ object SimilarityOps {
     QueryDef("emb_quantize_int8", quantizeInt8, Some(quantizeOracle)),
     QueryDef("emb_matryoshka", matryoshka, Some(matryoshkaOracle)),
     QueryDef("emb_whiten_stats", whitenStats, Some(whitenStatsOracle)),
+    QueryDef("emb_whiten_dups", whitenDups, Some(whitenDupsOracle)),
     QueryDef("emb_pca_project", pcaProject, None),
     QueryDef("emb_semdedup", semDeDup, None)
   )

@@ -735,6 +735,55 @@ class DedupSimilaritySpec extends SparkSpecBase {
       s"projected variances must track the eigenvalue order, got $vars")
   }
 
+  test("whitening provably changes the duplicate set (scale-dominant dim down-weighted)") {
+    import spark.implicits._
+    // dim 0 carries 40x the variance of the rest: u and v share a big
+    // dim-0 value but have ORTHOGONAL patterns in the other 63 dims, so
+    // raw cosine sees near-duplicates while whitened cosine sees
+    // near-orthogonal vectors. Background rows spread dim 0 in [-2, 2]
+    // with small deterministic noise elsewhere (std > 0 for every dim).
+    val rng = new scala.util.Random(11)
+    val bg = (2 until 42).map { i =>
+      val v = Array.fill(64)((rng.nextDouble() - 0.5) * 0.02f)
+      v(0) = -2.0 + 4.0 * ((i - 2) / 39.0)
+      (i.toLong, 0, v.map(_.toFloat).toSeq)
+    }
+    // the planted patterns sit at ~2 sigma of the background noise so the
+    // whitened values stay inside QuantizedCosine's ||x|| <= 3 domain
+    val u = { val a = Array.fill(64)(0.0f); a(0) = 2.0f
+      (1 to 31).foreach(j => a(2 * j) = 0.01f); (0L, 0, a.toSeq) }
+    val v = { val a = Array.fill(64)(0.0f); a(0) = 2.0f
+      (1 to 31).foreach(j => a(2 * j + 1) = 0.01f); (1L, 0, a.toSeq) }
+    val corpus = (Seq(u, v) ++ bg).toDF("vec_id", "label", "embedding")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      SimilarityOps.cosineDupsBlocked(df, 0.4)
+        .select("v1", "v2").as[(Long, Long)].collect().toSet
+    assert(pairs(corpus).contains((0L, 1L)),
+      "raw cosine must see the dim-0-dominated pair as a duplicate")
+    val (means, stds) = SimilarityOps.whitenFit(corpus)
+    assert(stds.forall(_ > 0.0))
+    assert(!pairs(SimilarityOps.whitenApplyOn(corpus, means, stds)).contains((0L, 1L)),
+      "whitened cosine must NOT see the orthogonal-pattern pair as a duplicate")
+  }
+
+  test("pca projection feeds semdedup: planted clone found in projected space") {
+    import spark.implicits._
+    val emb = Tables.t(spark, sf0001, "embeddings")
+    val (mean, comps, _) = SimilarityOps.pcaFit(spark, emb, 4)
+    // clone vec 7 under a fresh id: identical vectors project identically,
+    // so the projected-space semdedup must flag one of the two (the one
+    // ranked worse by the farthest-from-centroid keep rule, ties by id)
+    val clone = emb.filter(col("vec_id") === 7L)
+      .select(lit(900000L).as("vec_id"), col("embedding"), col("label"))
+    val projected = SimilarityOps.pcaApplyOn(
+      emb.unionByName(clone).select("vec_id", "embedding"), mean, comps)
+    val removed = SimilarityOps.semDeDupOn(projected, tau = 0.99)
+      .select("vec_id", "max_sim").as[(Long, Double)].collect().toMap
+    val flagged = removed.keySet.intersect(Set(7L, 900000L))
+    assert(flagged.nonEmpty, "one of the clone pair must be flagged in projected space")
+    assert(flagged.forall(id => removed(id) >= 1.0 - 1e-9))
+  }
+
   test("filtered kNN: predicate composes before ranking, not after") {
     val filtered = SimilarityOps.knnFiltered(spark, sf0001)
     // every returned neighbor satisfies the predicate, k full rows per query

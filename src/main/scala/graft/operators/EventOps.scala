@@ -506,15 +506,19 @@ object EventOps {
     * ever happens. (`div`, Scala `/` and DuckDB `//` all truncate toward
     * zero — verified, so the slack term agrees across engines for any
     * sign.) Overflow bound: |cum| <= n^2 * vmax * 1e6 must stay under
-    * 2^63 — at vmax ~ 600 that is ~1.2e5 events per key; a deployment
-    * with hotter keys windows the statistic by day (same plan, one more
-    * group key), which also caps n.
+    * 2^63 — at vmax ~ 600 that is ~1.2e5 events per key; past that,
+    * [[cusumDriftWindowedOn]] (`ev_cusum_windowed`) IS the default scale
+    * form — same plan with day in the group key, which caps n by
+    * construction.
     */
-  def cusumDrift(s: SparkSession, dir: String): DataFrame = {
+  def cusumDrift(s: SparkSession, dir: String): DataFrame =
+    cusumDriftOn(Tables.t(s, dir, "events"))
+
+  def cusumDriftOn(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy("user_id")
     val ord = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
     val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.t(s, dir, "events")
+    events
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
         floor(col("value") * lit(1e6)).cast("long").as("x"))
       .withColumn("n", count(lit(1)).over(byUser))
@@ -546,6 +550,67 @@ object EventOps {
       |  CAST(COALESCE(SUM(CASE WHEN cusum > 2 * s_tot THEN 1 END), 0) AS BIGINT) AS n_breach,
       |  MIN(CASE WHEN cusum > 2 * s_tot THEN ts_us END) AS first_breach_us
       |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Day-windowed CUSUM — the DEFAULT form at scale, the window the
+    * unwindowed query's overflow note prescribes: the statistic (and its
+    * baseline n / S_tot) resets per (user_id, day), which caps n at one
+    * day's events per key, so the |cum| <= n^2 * x_max bound is enforced
+    * by construction instead of by hoping keys stay cold. Same plan
+    * shape: ONE exchange on (user_id, day) shared by both running windows
+    * and the final fold (the group key grew, the shuffle count did not),
+    * and each day's partition is independent — hot keys parallelize
+    * across days instead of serializing into one window. A drift that
+    * spans a day boundary shows up in the next day's statistic against
+    * that day's own baseline (the standard rolling-reset trade).
+    * [[CusumWindowedSpec]] pins integer-exactness against a BigInt driver
+    * fold AT the overflow boundary where the unwindowed form wraps.
+    */
+  def cusumDriftWindowedOn(events: DataFrame): DataFrame = {
+    val byKey = Window.partitionBy("user_id", "day_us")
+    val ord = Window.partitionBy("user_id", "day_us")
+      .orderBy(col("ts_us"), col("event_id"))
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      // day as epoch-micros of the day boundary (the tumbling-hourly
+      // pattern): DATE columns are not canonicalization-stable across the
+      // gate's readers, longs are
+      .select(col("user_id"), col("event_id"),
+        unix_micros(date_trunc("day", col("ts"))).as("day_us"),
+        unix_micros(col("ts")).as("ts_us"),
+        floor(col("value") * lit(1e6)).cast("long").as("x"))
+      .withColumn("n", count(lit(1)).over(byKey))
+      .withColumn("s_tot", sum(col("x")).over(byKey))
+      .withColumn("dev", col("n") * col("x") - col("s_tot") - expr("s_tot div 10"))
+      .withColumn("cum", sum(col("dev")).over(run))
+      .withColumn("runmin", min(col("cum")).over(run))
+      .withColumn("cusum", col("cum") - least(lit(0L), col("runmin")))
+      .groupBy("user_id", "day_us")
+      .agg(max(col("n")).as("n_events"),
+        max(col("cusum")).as("max_cusum"),
+        sum(when(col("cusum") > lit(2L) * col("s_tot"), 1L).otherwise(0L)).as("n_breach"),
+        min(when(col("cusum") > lit(2L) * col("s_tot"), col("ts_us"))).as("first_breach_us"))
+      .orderBy("user_id", "day_us")
+  }
+
+  def cusumDriftWindowed(s: SparkSession, dir: String): DataFrame =
+    cusumDriftWindowedOn(Tables.t(s, dir, "events"))
+
+  val cusumWindowedOracle: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(date_trunc('day', ts)) AS day_us,
+      |             epoch_us(ts) AS ts_us,
+      |             CAST(FLOOR(value * 1e6) AS BIGINT) AS x FROM events),
+      |w AS (SELECT *, COUNT(*) OVER (PARTITION BY user_id, day_us) AS n,
+      |        CAST(SUM(x) OVER (PARTITION BY user_id, day_us) AS BIGINT) AS s_tot FROM e),
+      |c AS (SELECT *, n * x - s_tot - s_tot // 10 AS dev FROM w),
+      |r AS (SELECT *, CAST(SUM(dev) OVER (PARTITION BY user_id, day_us ORDER BY ts_us, event_id
+      |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM c),
+      |m AS (SELECT *, MIN(cum) OVER (PARTITION BY user_id, day_us ORDER BY ts_us, event_id
+      |        ROWS UNBOUNDED PRECEDING) AS runmin FROM r),
+      |f AS (SELECT *, cum - LEAST(0, runmin) AS cusum FROM m)
+      |SELECT user_id, day_us, MAX(n) AS n_events, MAX(cusum) AS max_cusum,
+      |  CAST(COALESCE(SUM(CASE WHEN cusum > 2 * s_tot THEN 1 END), 0) AS BIGINT) AS n_breach,
+      |  MIN(CASE WHEN cusum > 2 * s_tot THEN ts_us END) AS first_breach_us
+      |FROM f GROUP BY user_id, day_us ORDER BY user_id, day_us""".stripMargin
 
   /** Exactly-once replay semantics: deterministic dedup on (user_id, ts),
     * keeping the lowest event_id (dropDuplicates would be nondeterministic).
@@ -731,6 +796,7 @@ object EventOps {
     QueryDef("ev_quantiles_by_type", quantilesByType, Some(quantilesOracle)),
     QueryDef("ev_zscore_outliers", zscoreOutliers, Some(zscoreOracle)),
     QueryDef("ev_cusum_drift", cusumDrift, Some(cusumOracle)),
+    QueryDef("ev_cusum_windowed", cusumDriftWindowed, Some(cusumWindowedOracle)),
     QueryDef("ev_seasonal_outliers", seasonalBaseline, Some(seasonalOracle)),
     QueryDef("ev_retention_cohorts", retentionCohorts, Some(retentionOracle)),
     QueryDef("ev_dedup_replay", dedupReplay, Some(dedupReplayOracle)),

@@ -293,6 +293,13 @@ class PlanSpec extends SparkSpecBase {
     assert(n == 1, s"cusum must exchange events on user_id exactly once, got $n:\n$p")
   }
 
+  test("windowed cusum: the day group key grows, the shuffle count does not") {
+    val p = plan(graft.operators.EventOps.cusumDriftWindowed(spark, sf0001))
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n == 1,
+      s"windowed cusum must exchange events on (user_id, day_us) exactly once, got $n:\n$p")
+  }
+
   test("retention: one fact scan, exactly two hash shuffles") {
     val df = graft.operators.EventOps.retentionCohorts(spark, sf0001)
     val scans = df.queryExecution.sparkPlan.collect {

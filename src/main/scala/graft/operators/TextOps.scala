@@ -1152,23 +1152,50 @@ object TextOps {
     * the judgment call. Composes the [[lmScore]] signal exactly as
     * published (CCNet buckets per language dump by KenLM perplexity).
     *
-    * The tercile is an ntile over (avg_nll, doc_id) — deterministic
+    * The tercile is ntile(3) over (avg_nll, doc_id) — deterministic
     * because the underlying scores are engine-exact and the tiebreak is
-    * total. Plan: the zero-shuffle scoring pass, one join shuffle to pick
-    * up (source, length), one range-sort per source for the ntile, a tiny
-    * agg. At 100 TB the per-source sort is the statement's honest cost
-    * (CCNet sorts each dump by perplexity); the counts-then-rank plan of
-    * `ev_quantiles_by_type` is the drop-in replacement once exact tercile
-    * BOUNDARIES (not labels) suffice.
+    * total — but NOT computed by an ntile window: that window hashes on
+    * source alone, so every row of a source serializes through ONE
+    * partition (a 10-billion-doc dump on one executor is the classic
+    * CCNet scale wall). Instead, the `ev_quantiles_by_type`
+    * counts-then-rank shape: (1) aggregate per (source, score) counts —
+    * map-side combine, the only pass that moves raw cardinality; (2) one
+    * tiny window over the AGGREGATED table yields each score's
+    * cumulative predecessor count and the source total; (3) each raw row
+    * rebuilds its exact global rank as cum_before + its row_number
+    * WITHIN its tie group — a window hashed on (source, score), so no
+    * partition ever holds more than a tie group; (4) the ntile bucket is
+    * closed-form arithmetic over (rank, n). Identical assignments to the
+    * ntile oracle by construction — the gate proves it — at one more
+    * raw-row exchange in place of the per-source sort. [[PlanSpec]]
+    * asserts no ntile and no raw-row sort partitioned by source alone.
     */
   def ccnetBuckets(s: SparkSession, dir: String): DataFrame = {
-    val scored = lmScore(s, dir).select("doc_id", "avg_nll")
+    // nulls-last of the ntile ordering, as a total order on a plain column
+    val scored = lmScore(s, dir).select(col("doc_id"),
+      coalesce(col("avg_nll"), lit(Double.MaxValue)).as("score"))
     val docs = Tables.t(s, dir, "documents").select(col("doc_id"), col("source"),
       size(split(col("text"), " ")).cast("long").as("n_toks"))
-    val w = Window.partitionBy("source")
-      .orderBy(col("avg_nll").asc_nulls_last, col("doc_id").asc)
-    scored.join(docs, "doc_id")
-      .withColumn("bucket", ntile(3).over(w))
+    val j = scored.join(docs, "doc_id")
+    val counts = j.groupBy("source", "score").agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("source").orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts
+      .withColumn("cum_before", sum(col("c")).over(wCum) - col("c"))
+      .withColumn("n_src", sum(col("c")).over(Window.partitionBy("source")))
+      .drop("c")
+    val wTie = Window.partitionBy("source", "score").orderBy("doc_id")
+    val ranked = j.join(cum, Seq("source", "score"))
+      .withColumn("r", col("cum_before") + row_number().over(wTie))
+      // ntile(3) closed form: the first (n mod 3) buckets hold
+      // ceil(n/3) = q+1 rows, the rest hold q = n div 3
+      .withColumn("q", expr("n_src div 3"))
+      .withColumn("rem", expr("n_src % 3"))
+      .withColumn("bucket",
+        when(col("r") <= col("rem") * (col("q") + 1),
+          expr("(r - 1) div (q + 1) + 1"))
+          .otherwise(expr("rem + (r - rem * (q + 1) - 1) div q + 1")))
+    ranked
       .withColumn("bucket_name", when(col("bucket") === 1, "head")
         .when(col("bucket") === 2, "middle").otherwise("tail"))
       .groupBy("source", "bucket_name")

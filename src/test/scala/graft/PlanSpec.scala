@@ -293,6 +293,20 @@ class PlanSpec extends SparkSpecBase {
     assert(n == 1, s"cusum must exchange events on user_id exactly once, got $n:\n$p")
   }
 
+  test("ccnet buckets: counts-then-rank — no ntile, raw-row sorts only within tie groups") {
+    val p = plan(graft.operators.TextOps.ccnetBuckets(spark, sf0001))
+    assert(!p.contains("ntile"),
+      s"ccnet must not compute terciles via an ntile window (per-source serialization):\n$p")
+    // the only sort touching raw doc rows (doc_id in its keys) must be the
+    // tie-group sort — keyed by score too, so no partition ever holds a
+    // whole source's rows
+    val rawSorts = p.linesIterator.filter(l =>
+      l.contains("Sort [") && l.contains("doc_id#")).toSeq
+    assert(rawSorts.nonEmpty, "expected the tie-group rank sort in the plan")
+    rawSorts.foreach(l => assert(l.contains("score#"),
+      s"raw-row sort not keyed by tie group (per-source sort resurfaced): $l"))
+  }
+
   test("windowed cusum: the day group key grows, the shuffle count does not") {
     val p = plan(graft.operators.EventOps.cusumDriftWindowed(spark, sf0001))
     val n = "Exchange hashpartitioning".r.findAllIn(p).size

@@ -1658,22 +1658,49 @@ object TextOps {
     val merges = bpeTrain(wc, nMerges)
     // re-derive each word's final segmentation by replaying the merges —
     // the broadcastable word -> n_subtokens serving table
-    val segLen: Map[String, Int] = wc.map { case (w, _) =>
-      var syms: Vector[String] = w.map(_.toString).toVector
-      merges.foreach { case (a, b, _) =>
-        val out = Vector.newBuilder[String]
-        var i = 0
-        while (i < syms.length) {
-          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
-            out += (a + b); i += 2
-          } else { out += syms(i); i += 1 }
-        }
-        syms = out.result()
-      }
-      w -> syms.length
-    }.toMap
+    val segLen: Map[String, Int] =
+      wc.map { case (w, _) => w -> bpeSegment(w, merges).length }.toMap
     (wc, merges, segLen)
   }
+
+  /** Driver-side reference segmentation: replay the ranked merges over a
+    * word's character sequence, each pass a non-overlapping left-to-right
+    * scan — the defining BPE apply step (Sennrich et al. 2016 §3.1).
+    * Shared by the fit's serving table and the tests that pin the
+    * executor-side [[bpeSegmentCol]] to it.
+    */
+  private[graft] def bpeSegment(w: String,
+      merges: Seq[(String, String, Long)]): Vector[String] = {
+    var syms: Vector[String] = w.map(_.toString).toVector
+    merges.foreach { case (a, b, _) =>
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      syms = out.result()
+    }
+    syms
+  }
+
+  /** The same ranked-merge replay as ONE Column expression (no UDF): each
+    * merge is an array fold — append the symbol, or coalesce it with the
+    * accumulator's tail when the (a, b) pair matches. A left fold merges
+    * left-to-right without overlap ("aaa" + (a,a) -> [aa, a]), exactly the
+    * reference scan; chaining the m merges in rank order gives the full
+    * tokenizer. Strings ride as `lit` Columns, never spliced into SQL
+    * text, so arbitrary corpus tokens are safe.
+    */
+  private[graft] def bpeSegmentCol(word: Column,
+      merges: Seq[(String, String, Long)]): Column =
+    merges.foldLeft(split(word, "")) { case (syms, (a, b, _)) =>
+      aggregate(syms, array().cast("array<string>"), (acc, s) =>
+        when(size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(s))))
+    }
 
   /** `doc_bpe_merges`: the first 20 merges trained on the corpus —
     * (rank, left, right, merged, pair_count). Deterministic but not
@@ -1694,24 +1721,29 @@ object TextOps {
     * count under the merge table and the chars-per-subtoken compression
     * ratio (the tokenizer-efficiency metric that decides whether a
     * tokenizer suits a corpus). ZERO-shuffle serving: the vocabulary's
-    * segmentation lengths ride as ONE broadcast map literal and each doc
-    * folds its own word array through it (capped-out words fall back to
-    * char count = the untrained segmentation); at 100 TB this is one
-    * corpus scan, the production shape for shipping a tokenizer to
+    * segmentation lengths ride as ONE broadcast map literal; a word
+    * BEYOND the capped vocabulary gets the real tokenizer semantics —
+    * the ranked merge table applied to its characters via
+    * [[bpeSegmentCol]] (unit-pinned to the driver replay), evaluated
+    * lazily so in-vocabulary words never pay for it. At 100 TB this is
+    * one corpus scan, the production shape for shipping a tokenizer to
     * workers.
     */
   def bpeTokens(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.t(s, dir, "documents")
-    val (_, _, segLen) = bpeFit(s, docs, 20)
+    val (_, merges, segLen) = bpeFit(s, docs, 20)
+    val subtok = aggregate(col("ws"), lit(0L), (acc, w) =>
+      acc + when(length(w) === 0, lit(0L))
+        .when(element_at(col("m"), w).isNotNull,
+          element_at(col("m"), w).cast("long"))
+        .otherwise(size(bpeSegmentCol(w, merges)).cast("long")))
     Tables.spread(docs)
       .select(col("doc_id"), length(col("text")).cast("long").as("n_chars_d"),
         split(col("text"), " ").as("ws"))
       .withColumn("m", typedLit(segLen))
       .select(col("doc_id"), col("n_chars_d"),
         size(col("ws")).cast("long").as("n_ws_tokens"),
-        expr("aggregate(ws, CAST(0 AS BIGINT), (acc, w) -> acc + " +
-          "CAST(coalesce(element_at(m, w), length(w)) AS BIGINT))")
-          .as("n_bpe_subtokens"))
+        subtok.as("n_bpe_subtokens"))
       .withColumn("chars_per_subtoken",
         when(col("n_bpe_subtokens") > 0,
           col("n_chars_d").cast(DoubleType) / col("n_bpe_subtokens").cast(DoubleType)))

@@ -237,6 +237,26 @@ class TextAnalyticsSpec extends SparkSpecBase {
     assert(r.getAs[Long]("n_ws_tokens") == 3L)
   }
 
+  test("bpe OOV serving: merge ranks applied to unseen words match the driver replay") {
+    import spark.implicits._
+    // the worked-example tokenizer: merges (e,s)(es,t)(l,o)(lo,w)
+    val wc = Seq("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val merges = TextOps.bpeTrain(wc, 4)
+    // none of these words is in the training vocab; 'lowest' must reuse
+    // BOTH the (lo,w) and (es,t) merges, 'aaa' pins the non-overlap scan
+    val oov = Seq("lowest", "wider", "news", "aaa", "x", "estest")
+    val got = oov.toDF("w")
+      .select(col("w"), TextOps.bpeSegmentCol(col("w"), merges).as("segs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toVector).toMap
+    oov.foreach { w =>
+      val want = TextOps.bpeSegment(w, merges)
+      assert(got(w) == want, s"'$w': executor ${got(w)} vs driver $want")
+    }
+    // spot-pin the semantics, not just self-consistency
+    assert(got("lowest") == Vector("low", "est"))
+    assert(got("aaa") == Vector("a", "a", "a"))
+  }
+
   test("topk never exceeds 3 per customer and ranks by totalprice desc") {
     val tk = Analytics.qTopkOrdersPerCust(spark, sf0001)
     val bad = tk.groupBy("o_custkey").agg(count(lit(1)).as("n"))

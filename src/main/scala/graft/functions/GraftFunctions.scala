@@ -20,7 +20,10 @@ object GraftFunctions {
       WordShingles(args(0), args(1).eval().asInstanceOf[Int]) },
     "graft_pq_adc" -> { args => PqAdc(args(0), args(1)) },
     "graft_ln" -> { args => PortableLn(args(0)) },
-    "graft_nfc" -> { args => NfcNormalize(args(0)) }
+    "graft_nfc" -> { args => NfcNormalize(args(0)) },
+    "graft_mg_topk" -> { args =>
+      MisraGriesTopK(args(0), args(1).eval().asInstanceOf[Int])
+        .toAggregateExpression() }
   )
 
   def register(spark: SparkSession): Unit = {
@@ -54,4 +57,6 @@ object GraftFunctions {
     call_function("graft_pq_adc", codes, lut)
   def graftLn(x: Column): Column = call_function("graft_ln", x)
   def graftNfc(s: Column): Column = call_function("graft_nfc", s)
+  def graftMgTopK(tokens: Column, k: Int): Column =
+    call_function("graft_mg_topk", tokens, org.apache.spark.sql.functions.lit(k))
 }

@@ -1702,6 +1702,45 @@ object TextOps {
           .otherwise(concat(acc, array(s))))
     }
 
+  /** Corpus-wide heavy tokens by sketch-candidates + exact-verify: the
+    * [[graft.functions.MisraGriesTopK]] native aggregate streams every
+    * doc's token array through at most `cap` counters per partition and
+    * merges k-entry summaries (NOTHING token-shaped shuffles — compare
+    * vocabTop, which moves every distinct (token, count) row), then ONE
+    * exact count pass restricted to the ≤ cap candidates — filtered
+    * BEFORE its shuffle — applies the guarantee threshold
+    * c·(cap+1) > n. MG promises every token above n/(cap+1) is among
+    * the candidates, so the final output is EXACT and
+    * partition-independent even though the sketch contents aren't:
+    * the standard way to make a sketch gateable. Two corpus scans, both
+    * map-collapsing; driver traffic is one (cands, n) row.
+    */
+  def heavyTokens(s: SparkSession, dir: String): DataFrame = {
+    val cap = 200
+    val base = Tables.spread(Tables.t(s, dir, "documents"))
+      .select(expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
+    val row = base.agg(
+      graft.functions.GraftFunctions.graftMgTopK(col("toks"), cap).as("cands"),
+      sum(size(col("toks"))).cast("long").as("n")).collect()(0)
+    val cands = row.getSeq[String](0)
+    val n = row.getLong(1)
+    base.select(explode(col("toks")).as("tok"))
+      .filter(col("tok").isin(cands: _*))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .filter(col("c") * lit((cap + 1).toLong) > lit(n))
+      .withColumn("n_total", lit(n))
+      .orderBy("tok")
+  }
+
+  val heavyTokensOracle: String =
+    """WITH t AS (SELECT unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS tok
+      |           FROM documents),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM t),
+      |c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY tok)
+      |SELECT tok, c, (SELECT total FROM n) AS n_total
+      |FROM c WHERE c * 201 > (SELECT total FROM n)
+      |ORDER BY tok""".stripMargin
+
   /** `doc_bpe_merges`: the first 20 merges trained on the corpus —
     * (rank, left, right, merged, pair_count). Deterministic but not
     * SQL-expressible (iterative argmax), so rows-only gated; the merge
@@ -1782,6 +1821,7 @@ object TextOps {
     QueryDef("doc_gopher_rep", gopherRep, Some(gopherRepOracle)),
     QueryDef("doc_nb_classify", nbClassify, Some(nbClassifyOracle)),
     QueryDef("doc_bpe_merges", bpeMerges, None),
-    QueryDef("doc_bpe_tokens", bpeTokens, None)
+    QueryDef("doc_bpe_tokens", bpeTokens, None),
+    QueryDef("doc_heavy_tokens", heavyTokens, Some(heavyTokensOracle))
   )
 }

@@ -143,4 +143,40 @@ class VectorExpressionsSpec extends SparkSpecBase {
       .select(GraftFunctions.graftNfc(col("s")) === col("s")).first().getBoolean(0)
     assert(ascii)
   }
+
+  test("graft_mg_topk: heavy-hitter guarantee holds under adversarial partitioning") {
+    // 100k instances over ~5000 distinct tokens with k = 20 counters:
+    // decrements and merge-shrinks both fire constantly. The guarantee is
+    // that every token with freq > n/(k+1) survives ANY partitioning.
+    val heavy = Seq("alpha" -> 20000, "beta" -> 12000, "gamma" -> 6000)
+    val noiseCount = 100000 - heavy.map(_._2).sum
+    val rng = new scala.util.Random(3)
+    val items = rng.shuffle(
+      heavy.flatMap { case (t, c) => Seq.fill(c)(t) } ++
+        (0 until noiseCount).map(i => s"noise${rng.nextInt(5000)}"))
+    val n = items.size
+    val k = 20
+    val mustKeep = items.groupBy(identity).view.mapValues(_.size)
+      .filter(_._2 > n / (k + 1)).keySet.toSet
+    assert(mustKeep == Set("alpha", "beta", "gamma"), s"setup: $mustKeep")
+    // rows are token ARRAYS (50 instances each), like doc token columns
+    for (parts <- Seq(1, 7, 32)) {
+      val df = items.grouped(50).map(_.toSeq).toSeq.toDF("toks").repartition(parts)
+      val cands = df.agg(GraftFunctions.graftMgTopK(col("toks"), k).as("c"))
+        .first().getSeq[String](0).toSet
+      assert(cands.size <= k, s"parts=$parts: ${cands.size} candidates exceed capacity")
+      assert(mustKeep.subsetOf(cands),
+        s"parts=$parts: guarantee violated — missing ${mustKeep -- cands}")
+    }
+    // exact-count regime: fewer distinct tokens than counters -> the
+    // summary IS the exact distinct set
+    val small = Seq(Seq("a", "b", "a"), Seq("c", "a")).toDF("toks")
+    val exact = small.agg(GraftFunctions.graftMgTopK(col("toks"), 10))
+      .first().getSeq[String](0)
+    assert(exact == Seq("a", "b", "c"))
+    // SQL surface parity
+    val viaSql = spark.sql(
+      "SELECT graft_mg_topk(array('x', 'y', 'x'), 5) AS c").first().getSeq[String](0)
+    assert(viaSql == Seq("x", "y"))
+  }
 }

@@ -89,6 +89,62 @@ object StreamingDrift {
       }
   }
 
+  final case class DriftDayState(dayUs: Long, cum: Long, runmin: Long,
+      lastTs: Long, lastId: Long, dropped: Long)
+
+  /** Day-windowed streaming CUSUM — the serving twin of the batch
+    * [[graft.operators.EventOps.cusumDriftWindowedOn]] scale form: the
+    * accumulated pair (cum, runmin) RESETS at each key's day boundary, so
+    * the statistic's magnitude is bounded by one day's events no matter
+    * how long the stream runs — the same int64-ceiling enforcement the
+    * batch form gets from its extra group key. The baseline stays the
+    * frozen per-key artifact (a stream scores against what was trained,
+    * it does not refit daily); the ordering cursor and drop counter
+    * carry ACROSS the reset, so a late event from yesterday is still
+    * dropped, never folded into today's fresh statistic. State: seven
+    * longs per key, O(1) forever.
+    */
+  def cusumStreamDaily(events: Dataset[DriftEvent], baseline: DataFrame,
+      thresholdFactor: Long = 2L,
+      droppedAcc: Option[LongAccumulator] = None): Dataset[Breach] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val dayUsLen = 86400000000L
+    val joined = events.toDF()
+      .join(broadcast(baseline.select("user_id", "n", "s_tot")), Seq("user_id"))
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("x"),
+        col("n"), col("s_tot"))
+      .as[(Long, Long, Long, Long, Long, Long)]
+    joined.groupByKey(_._1)
+      .flatMapGroupsWithState[DriftDayState, Breach](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, it, state: GroupState[DriftDayState]) =>
+          val rows = it.toArray.sortBy(r => (r._3, r._2))
+          var st = state.getOption.getOrElse(DriftDayState(
+            Long.MinValue, 0L, Long.MaxValue, Long.MinValue, Long.MinValue, 0L))
+          val out = Seq.newBuilder[Breach]
+          rows.foreach { case (_, eventId, tsUs, x, n, sTot) =>
+            if (tsUs < st.lastTs || (tsUs == st.lastTs && eventId <= st.lastId)) {
+              droppedAcc.foreach(_.add(1L))
+              st = st.copy(dropped = st.dropped + 1L)
+            } else {
+              val day = Math.floorDiv(tsUs, dayUsLen)
+              val (cum0, runmin0) =
+                if (day != st.dayUs) (0L, Long.MaxValue) else (st.cum, st.runmin)
+              val dev = n * x - sTot - sTot / 10
+              val cum = cum0 + dev
+              val runmin = math.min(
+                if (runmin0 == Long.MaxValue) cum else runmin0, cum)
+              st = DriftDayState(day, cum, runmin, tsUs, eventId, st.dropped)
+              val cusum = cum - math.min(0L, runmin)
+              if (cusum > thresholdFactor * sTot) out += Breach(uid, tsUs, cusum)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** The baseline-training side: per-key (n, s_tot) on the same quantized
     * grid the batch query uses — run over yesterday's table, feed today's
     * stream.

@@ -648,4 +648,81 @@ class StreamingSpec extends SparkSpecBase {
       assert(breaches == Seq(Breach(1L, 500L, 1989L)), s"got $breaches")
     } finally query.stop()
   }
+
+  test("cusumStreamDaily: statistic resets at the day boundary, matching a driver fold") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingDrift
+    import graft.streaming.StreamingDrift.{Breach, DriftEvent}
+    val dayUs = 86400000000L
+    // n=2, s_tot=10: dev = 2x - 11. Day 1 ends with a big positive ramp
+    // whose breach run must NOT leak into day 2 — the un-windowed stream
+    // would open day 2 with cusum still high; the daily form starts at 0.
+    val evs =
+      (0 until 5).map(i => DriftEvent(9L, i.toLong, i * 1000L, 100L)) ++ // day 1 ramp
+        (0 until 3).map(i => DriftEvent(9L, 100L + i, dayUs + i * 1000L, 5L)) // day 2 quiet
+    val baseline = Seq((9L, 2L, 10L)).toDF("user_id", "n", "s_tot")
+    val mem = MemoryStream[DriftEvent]
+    val out = StreamingDrift.cusumStreamDaily(mem.toDS(), baseline)
+    val query = out.writeStream.format("memory").queryName("cusum_daily")
+      .outputMode("append").start()
+    try {
+      // two micro-batches split INSIDE day 1, proving state carries within
+      // a day and resets only at the boundary
+      mem.addData(evs.take(3): _*)
+      query.processAllAvailable()
+      mem.addData(evs.drop(3): _*)
+      query.processAllAvailable()
+      val got = spark.table("cusum_daily").as[Breach].collect().toSeq.sortBy(_.ts_us)
+      // driver fold of the same semantics
+      val expected = {
+        var (day, cum, runmin) = (Long.MinValue, 0L, Long.MaxValue)
+        evs.flatMap { e =>
+          val d = Math.floorDiv(e.ts_us, dayUs)
+          if (d != day) { day = d; cum = 0L; runmin = Long.MaxValue }
+          val dev = 2L * e.x - 10L - 1L
+          cum += dev
+          runmin = math.min(if (runmin == Long.MaxValue) cum else runmin, cum)
+          val cusum = cum - math.min(0L, runmin)
+          if (cusum > 2L * 10L) Some(Breach(9L, e.ts_us, cusum)) else None
+        }
+      }
+      assert(got == expected, s"stream $got vs fold $expected")
+      // day 1 breached (ramp), day 2 must NOT (fresh statistic)
+      assert(expected.exists(_.ts_us < dayUs) && !expected.exists(_.ts_us >= dayUs),
+        "setup must place all breaches in day 1")
+    } finally query.stop()
+  }
+
+  test("whitenApplyOn standardizes a live stream statelessly, matching the batch apply") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // fit on a batch corpus (3 dims, distinct scales)...
+    val corpus = Seq(
+      (1L, Seq(1.0f, 10.0f, 0.5f)), (2L, Seq(2.0f, 30.0f, 0.5f)),
+      (3L, Seq(3.0f, 50.0f, 0.5f)), (4L, Seq(4.0f, 70.0f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val (means, stds) = operators.SimilarityOps.whitenFit(corpus)
+    assert(stds(2) == 0.0, "constant dim must fit std 0")
+    val batch = operators.SimilarityOps.whitenApplyOn(corpus, means, stds)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toMap
+    // ...then serve the SAME transform over a MemoryStream: the literals
+    // ride in the plan, no state, no shuffle — append mode just works
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val served = operators.SimilarityOps.whitenApplyOn(
+      mem.toDF().toDF("vec_id", "embedding"), means, stds)
+    val q = served.writeStream.format("memory").queryName("whiten_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, Seq(1.0f, 10.0f, 0.5f)), (3L, Seq(3.0f, 50.0f, 0.5f)))
+      q.processAllAvailable()
+      val got = spark.table("whiten_out")
+        .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toMap
+      assert(got.keySet == Set(1L, 3L))
+      got.foreach { case (id, v) => assert(v == batch(id),
+        s"stream whitening diverged from batch for vec $id: $v vs ${batch(id)}") }
+      // the zero-std dim maps to 0, not Inf/NaN
+      assert(got.values.forall(_.last == 0.0f))
+    } finally q.stop()
+  }
 }

@@ -495,6 +495,36 @@ class DedupSimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("MRL head geometry composes with IVF: head codes in cells, serve + appends work") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-mrlivf").toString + "/ivfmrl"
+    SimilarityOps.writeIvfIndex(spark, sf0001, idx, headDim = SimilarityOps.MrlHeadDim)
+    // head geometry persisted: 2 subspaces, 2-entry codes under cell dirs
+    assert(spark.read.parquet(s"$idx/books").count() == 2L * 64)
+    val codeLen = spark.read.parquet(s"$idx/codes")
+      .select(size(col("codes"))).distinct().collect().map(_.getInt(0)).toSeq
+    assert(codeLen == Seq(2), s"head IVF codes must be 2 subcodes, got $codeLen")
+    val base = Tables.t(spark, sf0001, "embeddings")
+    val served = SimilarityOps.knnIvfPqServe(spark, base, idx).collect()
+    assert(served.nonEmpty)
+    // full k rows per query, exact sims non-increasing per rank
+    served.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sims = rows.sortBy(_.getLong(2)).map(_.getDouble(3))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+    // frozen head books + frozen cells: clone appends land retrievable
+    val clones = base.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"), col("label"))
+    SimilarityOps.appendToIvfIndex(clones, idx)
+    val top1 = SimilarityOps.knnIvfPqServe(spark, base.unionByName(clones), idx)
+      .filter(col("rnk") === 1).collect()
+    assert(top1.length == 10)
+    top1.foreach { r =>
+      assert(r.getLong(1) == r.getLong(0) + 100000L,
+        s"query ${r.getLong(0)}: top-1 should be its appended clone, got ${r.getLong(1)}")
+      assert(r.getDouble(3) >= 1.0 - 1e-12)
+    }
+  }
+
   test("IVF-PQ serve-from-index equals the train-and-search path; probes prune partitions") {
     val idx = java.nio.file.Files.createTempDirectory("graft-ivfidx").toString + "/ivfpq"
     SimilarityOps.writeIvfIndex(spark, sf0001, idx)

@@ -907,35 +907,62 @@ object TextOps {
     */
   private val bm25Terms = Seq("spark", "vector", "customer")
 
-  def bm25(s: SparkSession, dir: String): DataFrame = {
-    val toks = split(col("text"), " ")
-    val base = Tables.t(s, dir, "documents")
-      .select(col("doc_id"), toks.as("toks"))
+  /** The frozen corpus-stats artifact: one aggregate row, collected —
+    * index metadata like PQ codebooks. A production retrieval setup fits
+    * this once per corpus (or compaction) and scores every later query
+    * frame — including a live STREAM — without touching the corpus again.
+    */
+  final case class Bm25Model(terms: Seq[String], nDocs: Long,
+      totalDl: Long, dfs: IndexedSeq[Long])
+
+  private def withTermTf(df: DataFrame, terms: Seq[String]): DataFrame = {
+    val base = df.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("dl", size(col("toks")).cast("long"))
-    val withTf = bm25Terms.zipWithIndex.foldLeft(base) { case (df, (t, i)) =>
-      df.withColumn(s"tf_$i",
+    terms.zipWithIndex.foldLeft(base) { case (d, (t, i)) =>
+      d.withColumn(s"tf_$i",
         size(filter(col("toks"), x => x === lit(t))).cast("long"))
     }
+  }
+
+  def bm25Fit(docs: DataFrame, terms: Seq[String] = bm25Terms): Bm25Model = {
+    val withTf = withTermTf(docs, terms)
     val statCols = Seq(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl")) ++
-      bm25Terms.indices.map(i =>
+      terms.indices.map(i =>
         sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
-    val stats = withTf.agg(statCols.head, statCols.tail: _*)
-    val avgdl = col("total_dl").cast(DoubleType) / col("n_docs").cast(DoubleType)
+    val r = withTf.agg(statCols.head, statCols.tail: _*).collect()(0)
+    Bm25Model(terms, r.getAs[Long]("n_docs"), r.getAs[Long]("total_dl"),
+      terms.indices.map(i => r.getAs[Long](s"df_$i")).toIndexedSeq)
+  }
+
+  /** Score ANY (doc_id, text) frame against the frozen stats — the model
+    * rides as literals, so the pass is one scan, zero shuffle, stateless
+    * (a streaming frame scores per micro-batch with the very same
+    * columns; StreamingSpec pins stream == batch). Identical arithmetic
+    * to the one-shot query: the stats columns became constants, the IEEE
+    * op sequence did not change, so the gate stays bit-exact.
+    */
+  def bm25Apply(frame: DataFrame, m: Bm25Model): DataFrame = {
+    val withTf = withTermTf(frame, m.terms)
+    val avgdl = lit(m.totalDl.toDouble) / lit(m.nDocs.toDouble)
     def termScore(i: Int): Column = {
       val tf = col(s"tf_$i").cast(DoubleType)
-      val dfT = col(s"df_$i").cast(DoubleType)
+      val dfT = lit(m.dfs(i).toDouble)
       val idf = graft.functions.GraftFunctions.graftLn(
-        (col("n_docs").cast(DoubleType) - dfT + lit(0.5)) /
+        (lit(m.nDocs.toDouble) - dfT + lit(0.5)) /
           (dfT + lit(0.5)) + lit(1.0))
       idf * tf * lit(2.2) /
         (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast(DoubleType) / avgdl))
     }
-    withTf.crossJoin(broadcast(stats))
+    withTf
       .select(Seq(col("doc_id"), col("dl")) ++
-        bm25Terms.indices.map(i => col(s"tf_$i")) :+
-        bm25Terms.indices.map(termScore).reduce(_ + _).as("bm25"): _*)
-      .filter(bm25Terms.indices.map(i => col(s"tf_$i") > 0).reduce(_ || _))
-      .orderBy("doc_id")
+        m.terms.indices.map(i => col(s"tf_$i")) :+
+        m.terms.indices.map(termScore).reduce(_ + _).as("bm25"): _*)
+      .filter(m.terms.indices.map(i => col(s"tf_$i") > 0).reduce(_ || _))
+  }
+
+  def bm25(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.t(s, dir, "documents")
+    bm25Apply(docs, bm25Fit(docs)).orderBy("doc_id")
   }
 
   val bm25Oracle: String = {

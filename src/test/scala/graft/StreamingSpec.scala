@@ -694,6 +694,114 @@ class StreamingSpec extends SparkSpecBase {
     } finally query.stop()
   }
 
+  test("sessionStream: event-time replay matches batch sessionize session-for-session") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingSessions
+    import graft.streaming.StreamingSessions.Session
+    // replay three users' real events in event order over three batches,
+    // then push the watermark far past the horizon so timeouts close the
+    // final open sessions
+    val ev = graft.sources.Tables.t(spark, sf0001, "events")
+      .filter(col("user_id") < 3)
+    val batchSessions = operators.EventOps.sessionizeOn(ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    val ordered = ev.select(col("user_id"), col("event_id"), col("ts"),
+        col("value")).orderBy("ts", "event_id")
+      .as[(Long, Long, java.sql.Timestamp, Double)].collect()
+    val mem = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    val out = StreamingSessions.sessionStream(
+      mem.toDF().toDF("user_id", "event_id", "ts", "value"))
+    val q = out.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      ordered.grouped((ordered.length + 2) / 3).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      // sentinel user far in the future advances the watermark past every
+      // open session's end + gap; a second batch lets the timeouts fire
+      val horizon = java.sql.Timestamp.from(
+        ordered.map(_._3.toInstant).max.plusSeconds(30L * 24 * 3600))
+      mem.addData((999L, 0L, horizon, 0.0))
+      q.processAllAvailable()
+      mem.addData((999L, 1L, java.sql.Timestamp.from(
+        horizon.toInstant.plusSeconds(60)), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sess_out").as[Session].collect()
+        .filter(_.user_id < 3)
+        .map(s => (s.user_id, s.sid) ->
+          (s.s_start_us, s.s_end_us, s.n_events, s.sum_value)).toMap
+      assert(got == batchSessions,
+        s"stream sessions diverged from batch: ${got.size} vs ${batchSessions.size}")
+      assert(batchSessions.nonEmpty && batchSessions.keys.exists(_._2 > 1),
+        "setup must cover multi-session users")
+    } finally q.stop()
+  }
+
+  test("sessionStream: a late event after its session closed is dropped, not folded") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingSessions
+    import graft.streaming.StreamingSessions.Session
+    // offset from epoch: the initial watermark is 0 and FMGWS filters
+    // rows at/below it, so h0 must not sit exactly on the epoch
+    def ts(h: Long) = new java.sql.Timestamp((h + 24) * 3600 * 1000L)
+    val mem = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    // generous delay: the late event must pass Spark's own watermark
+    // filter so it is the GUARD that drops it, not the engine
+    val out = StreamingSessions.sessionStream(
+      mem.toDF().toDF("user_id", "event_id", "ts", "value"),
+      watermarkDelay = "48 hours")
+    val q = out.writeStream.format("memory").queryName("sess_late")
+      .outputMode("append").start()
+    try {
+      // session A at h0-h1, then h20 opens session B (gap 12h) closing A
+      mem.addData((1L, 0L, ts(0), 1.0), (1L, 1L, ts(1), 2.0))
+      q.processAllAvailable()
+      mem.addData((1L, 2L, ts(20), 4.0))
+      q.processAllAvailable()
+      // h2 arrives late: it belonged to emitted session A — must NOT
+      // reopen it or leak into B
+      mem.addData((1L, 3L, ts(2), 100.0))
+      q.processAllAvailable()
+      mem.addData((1L, 4L, ts(21), 8.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sess_late").as[Session].collect().toSeq
+      assert(sessions == Seq(Session(1L, 1L,
+        24L * 3600000000L, 25L * 3600000000L, 2L, 3.0)), s"got $sessions")
+    } finally q.stop()
+  }
+
+  test("bm25Apply scores a live stream against frozen corpus stats, matching batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // the frozen artifact comes from the real corpus fit...
+    val docs = graft.sources.Tables.t(spark, sf0001, "documents")
+    val model = operators.TextOps.bm25Fit(docs)
+    val batch = operators.TextOps.bm25Apply(docs, model)
+      .select("doc_id", "bm25").as[(Long, Double)].collect().toMap
+    assert(batch.nonEmpty)
+    val probeIds = batch.keys.take(3).toSeq
+    val probeDocs = docs.filter(col("doc_id").isin(probeIds: _*))
+      .select("doc_id", "text").as[(Long, String)].collect()
+    // ...and the SAME apply columns score a MemoryStream per micro-batch
+    val mem = MemoryStream[(Long, String)]
+    val scored = operators.TextOps.bm25Apply(
+      mem.toDF().toDF("doc_id", "text"), model)
+    val q = scored.writeStream.format("memory").queryName("bm25_out")
+      .outputMode("append").start()
+    try {
+      probeDocs.foreach { d => mem.addData(d); q.processAllAvailable() }
+      val got = spark.table("bm25_out")
+        .select("doc_id", "bm25").as[(Long, Double)].collect().toMap
+      assert(got.keySet == probeIds.toSet)
+      got.foreach { case (id, s) =>
+        assert(s == batch(id), s"stream bm25 diverged for doc $id") }
+    } finally q.stop()
+  }
+
   test("whitenApplyOn standardizes a live stream statelessly, matching the batch apply") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

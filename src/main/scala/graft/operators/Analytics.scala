@@ -193,6 +193,80 @@ object Analytics {
        |GROUP BY c_custkey, c_name, n_name, c_acctbal
        |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin
 
+  /** TPC-H Q17 shape — small-quantity-order revenue: lineitems of one
+    * brand whose quantity sits under 20% of that part's corpus-wide mean
+    * quantity, summed to the would-be yearly revenue loss. The classic
+    * correlated-aggregate decorrelation: the per-part mean becomes ONE
+    * partial-agg pass over lineitem (shuffle on l_partkey), re-joined to
+    * the brand-filtered lineitems on the same key — Catalyst reuses the
+    * l_partkey partitioning for both sides of the self-join, and the
+    * brand filter reaches the part scan. The sub-mean comparison runs in
+    * INTEGER space (5 * cents(qty) * cnt < sum_cents_qty — the 0.2 factor
+    * cleared of division), so the predicate has no float boundary to
+    * diverge on; the final sum is one exact decimal fold.
+    *
+    * At 100 TB: both sides shuffle once on l_partkey (AQE can pick a
+    * shuffle-hash join), part is pruned to one brand before its broadcast,
+    * and the output is a single row — nothing materializes a full sort.
+    */
+  def q17SmallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.t(s, dir, "lineitem")
+    val p = Tables.t(s, dir, "part").filter(col("p_brand") === "Brand#4")
+    val perPart = l.groupBy(col("l_partkey").as("a_partkey"))
+      .agg(sum(cents(col("l_quantity"))).as("sq"), count(lit(1)).as("cnt"))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(perPart, col("l_partkey") === col("a_partkey"))
+      .filter(cents(col("l_quantity")) * lit(5L) * col("cnt") < col("sq"))
+      .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q17Oracle: String =
+    s"""WITH agg AS (
+       |  SELECT l_partkey AS a_partkey,
+       |         SUM(CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT)) AS sq,
+       |         COUNT(*) AS cnt
+       |  FROM lineitem GROUP BY 1)
+       |SELECT ${sqlDsum("l_extendedprice")} / 7.0 AS avg_yearly,
+       |       COUNT(*) AS n_items
+       |FROM lineitem
+       |JOIN part ON p_partkey = l_partkey
+       |JOIN agg  ON a_partkey = l_partkey
+       |WHERE p_brand = 'Brand#4'
+       |  AND CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT) * 5 * cnt < sq""".stripMargin
+
+  /** TPC-H Q18 shape — large-volume orders: orders whose total quantity
+    * crosses a threshold, ranked by order value. The HAVING-on-sum
+    * pre-aggregate runs FIRST and keeps only qualifying order keys, so the
+    * customer join sees the reduced set, not the fact table; top-100 is a
+    * TakeOrdered, no global sort. Per-order quantity sums are exact
+    * decimals (and per-GROUP bounded, q3's overflow argument).
+    */
+  def q18VolumeCustomers(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("b_orderkey"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 250.0)
+    Tables.t(s, dir, "orders")
+      .join(big, col("o_orderkey") === col("b_orderkey"))
+      .join(Tables.t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        epochUs(col("o_orderdate")).as("odate_us"), col("o_totalprice"),
+        col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+  }
+
+  val q18Oracle: String =
+    s"""SELECT c_custkey, c_name, o_orderkey, epoch_us(o_orderdate) AS odate_us,
+       |       o_totalprice, sum_qty
+       |FROM (SELECT l_orderkey, ${sqlDsum("l_quantity")} AS sum_qty
+       |      FROM lineitem GROUP BY l_orderkey
+       |      HAVING sum_qty > 250.0)
+       |JOIN orders   ON o_orderkey = l_orderkey
+       |JOIN customer ON c_custkey = o_custkey
+       |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin
+
   /** Multi-level aggregation in one pass (ROLLUP). */
   def qRollupRevenue(s: SparkSession, dir: String): DataFrame =
     Tables.t(s, dir, "orders")
@@ -340,6 +414,8 @@ object Analytics {
     QueryDef("q3_shipping_priority", q3ShippingPriority, Some(q3Oracle), headline = true),
     QueryDef("q5_local_supplier", q5LocalSupplier, Some(q5Oracle), headline = true),
     QueryDef("q10_returned_items", q10ReturnedItems, Some(q10Oracle)),
+    QueryDef("q17_small_qty_revenue", q17SmallQtyRevenue, Some(q17Oracle)),
+    QueryDef("q18_volume_customers", q18VolumeCustomers, Some(q18Oracle)),
     QueryDef("q_rollup_revenue", qRollupRevenue, Some(qRollupOracle)),
     QueryDef("q_topk_orders_per_cust", qTopkOrdersPerCust, Some(qTopkOracle)),
     QueryDef("q_distinct_custs", qDistinctCusts, Some(qDistinctOracle)),

@@ -782,6 +782,72 @@ object EventOps {
       |       CAST((SELECT COUNT(*) FROM conv) AS DOUBLE) /
       |       CAST((SELECT COUNT(*) FROM first) AS DOUBLE) AS conversion""".stripMargin
 
+  /** Event-type transition counts — the Markov-bigram fold behind
+    * next-action prediction and anomalous-sequence scoring: every user's
+    * time-ordered stream contributes its (previous type, type) edges,
+    * counted corpus-wide. ONE shuffle on user_id feeds the lag window
+    * (frame = 1 preceding row, so state per key is a single value no
+    * matter how long the stream), then the edge count collapses map-side —
+    * the second exchange carries at most |types|² rows per partition.
+    * Tiebreak (ts_us, event_id) makes the sequence — and therefore every
+    * edge — engine-exact.
+    */
+  def transitionCounts(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    Tables.t(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy("prev_type", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("prev_type", "event_type")
+  }
+
+  val transitionOracle: String =
+    """SELECT prev_type, event_type, COUNT(*) AS n
+      |FROM (SELECT event_type,
+      |             lag(event_type) OVER (PARTITION BY user_id
+      |                                   ORDER BY epoch_us(ts), event_id) AS prev_type
+      |      FROM events)
+      |WHERE prev_type IS NOT NULL
+      |GROUP BY prev_type, event_type
+      |ORDER BY prev_type, event_type""".stripMargin
+
+  /** Rolling 1-hour per-user aggregate via a RANGE frame over epoch-micros
+    * — the event-time sibling of the ROWS cumulative window (q_cumsum):
+    * each row sees exactly the trailing hour regardless of event density,
+    * which is the semantics a rate limiter / burst detector needs. One
+    * exchange on user_id; the frame is evaluated with a sliding two-pointer
+    * pass inside each partition, so cost is O(events) not O(events ×
+    * frame). RANGE peers (tied timestamps) enter the frame atomically in
+    * both engines, and the summed values are exact decimals, so no
+    * ordering ambiguity can leak into the output.
+    */
+  def valueRolling1h(s: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+      .rangeBetween(-hourUs, 0)
+    Tables.t(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      .withColumn("rolling_sum", sum(d2(col("value"))).over(w).cast(DoubleType))
+      .withColumn("rolling_n", count(lit(1)).over(w))
+      .select("user_id", "event_id", "ts_us", "rolling_sum", "rolling_n")
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
+  val rollingOracle: String =
+    """SELECT user_id, event_id, ts_us,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY user_id ORDER BY ts_us
+      |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_sum,
+      |  COUNT(*) OVER (
+      |    PARTITION BY user_id ORDER BY ts_us
+      |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS rolling_n
+      |FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events)
+      |ORDER BY user_id, ts_us, event_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("ev_asof_last_order", asofLastOrder, Some(asofOracle)),
     QueryDef("ev_attack_context", attackContext, Some(attackContextOracle)),
@@ -800,6 +866,8 @@ object EventOps {
     QueryDef("ev_seasonal_outliers", seasonalBaseline, Some(seasonalOracle)),
     QueryDef("ev_retention_cohorts", retentionCohorts, Some(retentionOracle)),
     QueryDef("ev_dedup_replay", dedupReplay, Some(dedupReplayOracle)),
-    QueryDef("ev_json_extract", jsonExtract, Some(jsonExtractOracle))
+    QueryDef("ev_json_extract", jsonExtract, Some(jsonExtractOracle)),
+    QueryDef("ev_transition_counts", transitionCounts, Some(transitionOracle)),
+    QueryDef("ev_value_rolling_1h", valueRolling1h, Some(rollingOracle))
   )
 }

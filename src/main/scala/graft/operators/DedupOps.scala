@@ -908,6 +908,62 @@ object DedupOps {
        |SELECT id AS doc_id, MIN(r) AS cluster_id, id = MIN(r) AS keep
        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
+  /** Canonical-document selection over near-dup clusters — the step after
+    * clustering that decides WHICH copy survives: rather than keep-min-id,
+    * each cluster keeps its highest-quality member (lexical-diversity
+    * score; ties broken by doc_id so selection is total). This is the
+    * published pipeline shape (RefinedWeb/FineWeb keep the best/longest
+    * representative, not an arbitrary one). Plan: cluster labels (already
+    * a star forest over only the docs that appear in some pair — a small
+    * frame relative to the corpus) join the per-doc quality signals on
+    * doc_id, then ONE window per cluster picks the argmax; cluster sizes
+    * bound the window partitions, and the quality scan never shuffles raw
+    * text — only (doc_id, two longs). The ranking key is a ratio of two
+    * engine-exact integers, so the IEEE division — and therefore the
+    * ranking — is bit-identical in both engines.
+    */
+  def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.t(s, dir, "documents")
+    val labels = clusterPairs(jaccardPairsOn(d).select("d1", "d2"))
+      .select("doc_id", "cluster_id")
+    val toks = split(col("text"), " ")
+    val q = d.select(col("doc_id"),
+      (size(array_distinct(toks)).cast(DoubleType) / size(toks)).as("q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(col("q").desc, col("doc_id").asc)
+    labels.join(q, "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_docs", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
+      .filter(col("rk") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keeper"),
+        col("q").as("keeper_quality"), col("n_docs"))
+      .orderBy("cluster_id")
+  }
+
+  val keepBestOracle: String =
+    s"""WITH RECURSIVE $sqlCappedPairs,
+       |pairs AS (SELECT d1, d2 FROM jp),
+       |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS id FROM edges),
+       |reach AS (
+       |  SELECT id, id AS r FROM nodes
+       |  UNION
+       |  SELECT e.a AS id, r.r FROM edges e JOIN reach r ON r.id = e.b),
+       |lab AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+       |qual AS (SELECT doc_id,
+       |           CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE) /
+       |           len(str_split(text, ' ')) AS q
+       |         FROM documents),
+       |scored AS (
+       |  SELECT cluster_id, l.doc_id, q,
+       |         row_number() OVER (PARTITION BY cluster_id
+       |                            ORDER BY q DESC, l.doc_id) AS rk,
+       |         COUNT(*) OVER (PARTITION BY cluster_id) AS n_docs
+       |  FROM lab l JOIN qual USING (doc_id))
+       |SELECT cluster_id, doc_id AS keeper, q AS keeper_quality, n_docs
+       |FROM scored WHERE rk = 1 ORDER BY cluster_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("doc_exact_dedup", exactDedup, Some(exactOracle)),
     QueryDef("doc_jaccard_pairs", jaccardPairs, Some(jaccardOracle), headline = true),
@@ -918,6 +974,7 @@ object DedupOps {
     QueryDef("doc_substring_scrub", substringScrub, Some(substringScrubOracle)),
     QueryDef("doc_incr_dedup", incrementalDedup, Some(incrementalOracle)),
     QueryDef("doc_incr_minhash", incrementalMinHash, None),
-    QueryDef("doc_incr_simhash", incrementalSimHash, None)
+    QueryDef("doc_incr_simhash", incrementalSimHash, None),
+    QueryDef("doc_dedup_keep_best", dedupKeepBest, Some(keepBestOracle))
   )
 }

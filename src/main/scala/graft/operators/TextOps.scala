@@ -1816,6 +1816,106 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // ---- hashed-feature logistic regression ------------------------------
+  // The DISCRIMINATIVE member of the classifier family (NB above is the
+  // counts-based one): a fastText-shaped quality/domain filter — hashed
+  // bag-of-tokens features, binary logistic loss, full-batch gradient
+  // descent. This is the GPT-3/LLaMA-class "quality classifier" pipeline
+  // stage re-derived for Spark: the model is d+1 doubles (the codebook
+  // pattern — driver holds the weights, workers see them as ONE literal),
+  // each training iteration is ONE corpus pass whose aggregation collapses
+  // map-side to <= d+1 rows per partition, and serving is a zero-shuffle
+  // stateless map (so the same Column applies to a stream).
+  //
+  // Determinism discipline: float gradient sums over an unordered corpus
+  // are partition-order-dependent, so — like the whitening fit — each
+  // doc's per-token gradient contribution quantizes to an INTEGER
+  // (floor(g·2^30)) and the shuffle sums DECIMAL(38,0) (exact,
+  // order-independent, overflow-safe at any corpus size). The driver does
+  // the one IEEE update step per iteration from those exact integers, so
+  // the fitted weights are bit-identical under ANY partitioning
+  // (spec-pinned at 1 vs 8 partitions).
+
+  /** A fitted model: hashed dim, bias, per-bucket weights. Bounded by
+    * construction (d+1 doubles) — never corpus-shaped.
+    */
+  final case class LrModel(dim: Int, bias: Double, weights: Vector[Double])
+
+  /** Train by full-batch GD over binary PRESENCE features (the fastText
+    * bag shape: a token votes once however often it repeats — robust to
+    * the repetition pathologies the Gopher rules flag): `iters` passes,
+    * each ONE scan of the persisted (y, hashed-buckets) projection + ONE
+    * partial-agg shuffle bounded by d+1 rows/partition. labelCol must be
+    * 0/1. The per-doc residual quantizes ONCE (floor(r·2^30)) and that
+    * same integer is the doc's contribution to every present bucket and
+    * to the bias, so the whole gradient is exact integer sums.
+    */
+  def lrFit(s: SparkSession, docs: DataFrame, labelCol: Column,
+      dim: Int = 1024, iters: Int = 10, rate: Double = 2.0,
+      l2: Double = 1e-4): LrModel = {
+    val Q = 1L << 30
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val feats = Tables.spread(docs)
+      .select(labelCol.cast(DoubleType).as("y"),
+        expr(s"array_sort(array_distinct(transform(split(text, ' '), " +
+          s"t -> CAST(pmod(xxhash64(t), $dim) AS INT))))").as("hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs = feats.count().toDouble
+    require(nDocs > 0, "lrFit: empty training frame")
+    var w = Vector.fill(dim)(0.0)
+    var b = 0.0
+    (1 to iters).foreach { _ =>
+      // margin/residual per doc, then (bucket, quantized-residual) pairs:
+      // every present bucket carries the doc's floor(r * Q), the sentinel
+      // bucket -1 carries the same integer for the bias
+      val g = feats
+        .withColumn("wl", typedLit(w))
+        .withColumn("margin", lit(b) +
+          expr("aggregate(hs, CAST(0.0 AS DOUBLE), (acc, h) -> acc + element_at(wl, h + 1))"))
+        .withColumn("qr", floor((lit(1.0) / (lit(1.0) + exp(-col("margin")))
+          - col("y")) * Q).cast("long"))
+        .select(explode(concat(col("hs"), array(lit(-1)))).as("h"), col("qr"))
+        .groupBy("h").agg(sum(col("qr").cast(dec)).as("gq"))
+        .collect()
+      val grad = g.map(r => r.getInt(0) ->
+        (BigDecimal(r.getDecimal(1)).toDouble / Q / nDocs)).toMap
+      b -= rate * grad.getOrElse(-1, 0.0)
+      w = Vector.tabulate(dim)(f =>
+        w(f) - rate * (grad.getOrElse(f, 0.0) + l2 * w(f)))
+    }
+    feats.unpersist()
+    LrModel(dim, b, w)
+  }
+
+  /** Score any (doc_id, text, ...) frame: the model rides as one literal,
+    * the scoring pass is a zero-shuffle stateless map — identical Columns
+    * serve a live stream.
+    */
+  def lrApply(frame: DataFrame, m: LrModel, labelCol: Column): DataFrame =
+    Tables.spread(frame)
+      .select(col("doc_id"), labelCol.cast("long").as("label"),
+        expr(s"array_sort(array_distinct(transform(split(text, ' '), " +
+          s"t -> CAST(pmod(xxhash64(t), ${m.dim}) AS INT))))").as("hs"))
+      .withColumn("wl", typedLit(m.weights))
+      .withColumn("margin", lit(m.bias) +
+        expr("aggregate(hs, CAST(0.0 AS DOUBLE), (acc, h) -> acc + element_at(wl, h + 1))"))
+      .withColumn("prob", lit(1.0) / (lit(1.0) + exp(-col("margin"))))
+      .withColumn("pred", (col("prob") >= 0.5).cast("long"))
+      .select("doc_id", "label", "margin", "prob", "pred")
+
+  /** Gate query: train on the corpus `lang = 'en'` label and score the
+    * corpus (word-salad text, so learning is unit-tested on a
+    * planted-signal frame instead — `LrSpec`; the gate checks the
+    * train+serve plumbing end-to-end and the row surface).
+    */
+  def lrQuality(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.t(s, dir, "documents")
+    val m = lrFit(s, docs, (col("lang") === "en").cast(DoubleType),
+      dim = s.conf.get("spark.graft.lr.dim", "1024").toInt,
+      iters = s.conf.get("spark.graft.lr.iters", "10").toInt)
+    lrApply(docs, m, (col("lang") === "en").cast("long")).orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("doc_token_stats", tokenStats, Some(tokenStatsOracle)),
     QueryDef("doc_quality", quality, Some(qualityOracle)),
@@ -1847,6 +1947,7 @@ object TextOps {
     QueryDef("doc_mix_weights", mixWeights, Some(mixWeightsOracle)),
     QueryDef("doc_gopher_rep", gopherRep, Some(gopherRepOracle)),
     QueryDef("doc_nb_classify", nbClassify, Some(nbClassifyOracle)),
+    QueryDef("doc_lr_quality", lrQuality, None),
     QueryDef("doc_bpe_merges", bpeMerges, None),
     QueryDef("doc_bpe_tokens", bpeTokens, None),
     QueryDef("doc_heavy_tokens", heavyTokens, Some(heavyTokensOracle))

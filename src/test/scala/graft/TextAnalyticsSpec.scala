@@ -176,6 +176,34 @@ class TextAnalyticsSpec extends SparkSpecBase {
     assert(acc == 90L, s"expected 90/90 recovered, got $acc")
   }
 
+  test("logistic regression separates planted vocabulary; fit is partition-independent") {
+    import spark.implicits._
+    // positives carry marker tokens among shared filler, negatives only
+    // filler + their own distractors: a linear separator exists over the
+    // hashed bag-of-tokens, and 8 full-batch GD steps must find it
+    val docs = (0 until 200).map { i =>
+      val pos = i % 2 == 0
+      val filler = Seq.fill(6 + i % 4)("common shared background words").mkString(" ")
+      val marker = if (pos) "signalA signalB signalA" else "noiseX noiseY"
+      (i.toLong, if (pos) "en" else "xx", s"$filler $marker $filler")
+    }.toDF("doc_id", "lang", "text")
+    val label = (col("lang") === "en").cast("double")
+    val m = TextOps.lrFit(spark, docs, label, dim = 256, iters = 10)
+    val out = TextOps.lrApply(docs, m, (col("lang") === "en").cast("long"))
+      .select("label", "pred").as[(Long, Long)].collect()
+    val acc = out.count { case (y, p) => y == p }
+    assert(acc >= 195, s"expected >=195/200 separated, got $acc")
+
+    // determinism: quantized-integer gradient sums make the fit exact and
+    // order-independent — weights must be BIT-identical under different
+    // partition layouts (the whitening-fit discipline applied to GD)
+    val m1 = TextOps.lrFit(spark, docs.repartition(1), label, dim = 256, iters = 3)
+    val m8 = TextOps.lrFit(spark, docs.repartition(8), label, dim = 256, iters = 3)
+    assert(m1.bias == m8.bias)
+    assert(m1.weights == m8.weights,
+      "fitted weights diverged across partition layouts")
+  }
+
   test("nbFit rejects single-class and zero-training-doc configurations") {
     // a 1-class argmax is unbuildable (greatest needs >= 2 columns) and an
     // absent class would score ln(0) = -Inf where a SQL oracle yields NULL

@@ -23,7 +23,10 @@ object GraftFunctions {
     "graft_nfc" -> { args => NfcNormalize(args(0)) },
     "graft_mg_topk" -> { args =>
       MisraGriesTopK(args(0), args(1).eval().asInstanceOf[Int])
-        .toAggregateExpression() }
+        .toAggregateExpression() },
+    "graft_bloom" -> { args =>
+      BloomAgg(args(0), args(1).eval().asInstanceOf[Int],
+        args(2).eval().asInstanceOf[Int]).toAggregateExpression() }
   )
 
   def register(spark: SparkSession): Unit = {
@@ -59,4 +62,7 @@ object GraftFunctions {
   def graftNfc(s: Column): Column = call_function("graft_nfc", s)
   def graftMgTopK(tokens: Column, k: Int): Column =
     call_function("graft_mg_topk", tokens, org.apache.spark.sql.functions.lit(k))
+  def graftBloom(c: Column, m: Int, k: Int): Column =
+    call_function("graft_bloom", c, org.apache.spark.sql.functions.lit(m),
+      org.apache.spark.sql.functions.lit(k))
 }

@@ -308,6 +308,78 @@ object Layout {
     fs.delete(old, true)
   }
 
+  // ---- per-file Bloom sidecar (point-lookup file skipping) --------------
+  // Min/max footprints prune RANGE predicates, but on a high-cardinality
+  // column that is not clustered (the usual "fetch by id" column of an
+  // append-ordered table) every file's [lo, hi] spans everything and the
+  // manifest keeps all of them. Iceberg/Delta answer this with per-file
+  // Bloom filters: a fixed m-bit summary per (file, column), built
+  // distributedly (BloomAgg partials merge by OR — nothing value-shaped
+  // shuffles), probed at LISTING time. A clear bit is a PROOF of absence,
+  // so pruning never drops data; false positives only cost an extra file
+  // read. Size m to ~10 bits per expected distinct per file (~1% fp at
+  // k=7); the sidecar is m/8 bytes per file per column — 16 KiB at the
+  // default, metadata-scale next to any data file.
+
+  private val BloomDir = "_graft_bloom"
+
+  /** Scan the table once and write the Bloom sidecar for `cols` (long or
+    * string columns). One aggregation carries every column's filter.
+    */
+  def writeBloomSidecar(spark: org.apache.spark.sql.SparkSession, path: String,
+      cols: Seq[String], m: Int = 1 << 17, k: Int = 7): Unit = {
+    require(cols.nonEmpty, "writeBloomSidecar: cols must be non-empty")
+    val df = spark.read.parquet(path)
+    val aggs = cols.map(c =>
+      graft.functions.GraftFunctions.graftBloom(col(c), m, k).as(s"bf_$c"))
+    df.withColumn("__file", substring_index(input_file_name(), "/", -1))
+      .groupBy("__file").agg(aggs.head, aggs.tail: _*)
+      .select(col("__file").as("file"), explode(array(cols.map(c =>
+        struct(lit(c).as("col"), lit(m).as("m"), lit(k).as("k"),
+          col(s"bf_$c").as("words"))): _*)).as("s"))
+      .select("file", "s.col", "s.m", "s.k", "s.words")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/$BloomDir")
+  }
+
+  /** Point lookup `c = value` reading only the files whose Bloom filter
+    * might contain the value (plus, fail-open, any file the sidecar does
+    * not know — appended after the sidecar was written). The caller still
+    * applies the row filter: Bloom admits false positives, never false
+    * negatives. `value` must be a Long or a String, matching the build.
+    */
+  def readPrunedPoint(spark: org.apache.spark.sql.SparkSession, path: String,
+      c: String, value: Any): DataFrame = {
+    import graft.functions.Bloom
+    val side = try {
+      spark.read.parquet(s"$path/$BloomDir")
+        .filter(col("col") === c)
+        .select("file", "m", "k", "words").collect()
+    } catch { case _: Exception => return spark.read.parquet(path) } // no sidecar: fail open
+    val h = value match {
+      case l: Long => Bloom.hashesOfLong(l)
+      case i: Int => Bloom.hashesOfLong(i.toLong)
+      case s: String => Bloom.hashesOfString(s)
+      case other => throw new IllegalArgumentException(
+        s"readPrunedPoint supports Long/String values, got ${other.getClass}")
+    }
+    val known = side.map(_.getString(0)).toSet
+    val matching = side.filter { r =>
+      val words = r.getSeq[Long](3).toArray
+      Bloom.mightContain(words, r.getInt(1), r.getInt(2), h)
+    }.map(r => s"$path/${r.getString(0)}").toIndexedSeq
+    // fail-open: keep files the sidecar has no entry for; drop sidecar
+    // entries whose file is gone (post-compaction staleness)
+    val allFiles = spark.read.parquet(path).inputFiles
+    val listedB = allFiles.map(graft.plans.ManifestStore.baseName).toSet
+    val keep = (matching.filter(f =>
+      listedB(graft.plans.ManifestStore.baseName(f))) ++
+      allFiles.filterNot(f =>
+        known(graft.plans.ManifestStore.baseName(f)))).distinct
+    if (keep.isEmpty) spark.read.parquet(path).limit(0)
+    else spark.read.parquet(keep: _*)
+  }
+
   /** Read only the files whose manifest footprint intersects [lo, hi] on
     * `c`; the returned frame still needs the row-level filter (footprints
     * admit false positives, never false negatives). A null footprint

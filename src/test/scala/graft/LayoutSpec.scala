@@ -22,6 +22,54 @@ class LayoutSpec extends SparkSpecBase {
     scan.metrics.map { case (k, m) => k -> m.value }.toMap
   }
 
+  test("bloom sidecar: point lookups skip files; absence is proven; fail-open on unknown files") {
+    val base = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+    val path = s"$base/docs"
+    // hash-distribute doc_id across files: every file's [lo, hi] spans the
+    // whole id range, so min/max footprints would keep ALL files — exactly
+    // the layout where only a Bloom filter can skip
+    Tables.t(spark, sf0001, "documents").select("doc_id", "text", "lang")
+      .repartition(8, hash(col("doc_id")))
+      .write.parquet(path)
+    Layout.writeBloomSidecar(spark, path, Seq("doc_id", "text"))
+    val nFiles = spark.read.parquet(path).inputFiles.length
+    assert(nFiles >= 8)
+
+    // present long key: pruned read touches ~1 file (fp can add a stray
+    // file; at m=2^17 over ~10 ids/file the chance is ~0) and agrees with
+    // the full-scan answer
+    val id = 7L
+    val pruned = Layout.readPrunedPoint(spark, path, "doc_id", id)
+    assert(pruned.inputFiles.length <= 2,
+      s"expected <=2 files for a point lookup, got ${pruned.inputFiles.length} of $nFiles")
+    val got = pruned.filter(col("doc_id") === id).count()
+    val want = spark.read.parquet(path).filter(col("doc_id") === id).count()
+    assert(got == want && want == 1L)
+
+    // absent key: the filter PROVES absence — zero files read
+    val absent = Layout.readPrunedPoint(spark, path, "doc_id", 10L * 1000 * 1000)
+    assert(absent.inputFiles.length <= 1, // fp allowance
+      s"absent key read ${absent.inputFiles.length} files")
+    assert(absent.filter(col("doc_id") === 10L * 1000 * 1000).count() == 0L)
+
+    // string column probe: a whole document's text is a unique key
+    val txt = spark.read.parquet(path).filter(col("doc_id") === 11L)
+      .select("text").head().getString(0)
+    val prunedS = Layout.readPrunedPoint(spark, path, "text", txt)
+    assert(prunedS.inputFiles.length <= 2)
+    assert(prunedS.filter(col("text") === txt).count() ==
+      spark.read.parquet(path).filter(col("text") === txt).count())
+
+    // fail-open: a file appended AFTER the sidecar was written must be
+    // read by every lookup until the sidecar is refreshed
+    import spark.implicits._
+    Seq((999999L, "appended row text", "xx")).toDF("doc_id", "text", "lang")
+      .coalesce(1).write.mode("append").parquet(path)
+    val afterAppend = Layout.readPrunedPoint(spark, path, "doc_id", 999999L)
+    assert(afterAppend.filter(col("doc_id") === 999999L).count() == 1L,
+      "appended (sidecar-unknown) file must be kept by fail-open")
+  }
+
   test("date-partitioned layout: a day filter prunes to that day's files") {
     val path = java.nio.file.Files.createTempDirectory("graft-part").toString + "/events"
     Layout.writeDatePartitioned(

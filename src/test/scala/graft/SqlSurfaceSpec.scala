@@ -80,6 +80,26 @@ class SqlSurfaceSpec extends SparkSpecBase {
     assert(rows.forall(r => api(r.getLong(0)) == r.getInt(1)))
   }
 
+  test("graft_bloom resolves from SQL; distributed build equals single-partition build") {
+    Tables.registerAll(spark, sf0001)
+    // the OR-merge is associative, so the filter must be IDENTICAL no
+    // matter how many partials built it
+    def words(df: org.apache.spark.sql.DataFrame): Seq[Long] = df
+      .selectExpr("graft_bloom(doc_id, 4096, 7) AS w")
+      .head().getSeq[Long](0)
+    val docs = Tables.t(spark, sf0001, "documents")
+    val w1 = words(docs.repartition(1))
+    val w8 = words(docs.repartition(8))
+    assert(w1 == w8, "bloom words diverged across partition layouts")
+    // every inserted key probes positive; a far-away key probes negative
+    val arr = w1.toArray
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    assert(ids.forall(id => graft.functions.Bloom.mightContain(
+      arr, 4096, 7, graft.functions.Bloom.hashesOfLong(id))))
+    assert(!graft.functions.Bloom.mightContain(
+      arr, 4096, 7, graft.functions.Bloom.hashesOfLong(987654321L)))
+  }
+
   test("graft_nfc and graft_ln resolve from pure SQL with Column-API parity") {
     Tables.registerAll(spark, sf0001)
     // NFC from SQL: decomposed sequence composes, ASCII is identity

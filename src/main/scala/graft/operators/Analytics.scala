@@ -281,6 +281,26 @@ object Analytics {
        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
 
+  /** CUBE — all 2^k grouping combinations in ONE pass (rollup's superset:
+    * adds the (priority-only) marginals a rollup skips). Spark expands the
+    * grouping sets before the shuffle and partial-aggregates each, so the
+    * exchange still carries only group rows — at 100 TB the cost is the
+    * same single shuffle as a flat group-by, times the (tiny) grouping-set
+    * multiplicity, never a second scan per level.
+    */
+  def qCubeRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+
+  val qCubeOracle: String =
+    s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       |       ${sqlDsum("o_totalprice")} AS total_price
+       |FROM orders
+       |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+       |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
   /** Top-k per group via ranking window; deterministic tiebreak on the key. */
   def qTopkOrdersPerCust(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_custkey")
@@ -417,6 +437,7 @@ object Analytics {
     QueryDef("q17_small_qty_revenue", q17SmallQtyRevenue, Some(q17Oracle)),
     QueryDef("q18_volume_customers", q18VolumeCustomers, Some(q18Oracle)),
     QueryDef("q_rollup_revenue", qRollupRevenue, Some(qRollupOracle)),
+    QueryDef("q_cube_revenue", qCubeRevenue, Some(qCubeOracle)),
     QueryDef("q_topk_orders_per_cust", qTopkOrdersPerCust, Some(qTopkOracle)),
     QueryDef("q_distinct_custs", qDistinctCusts, Some(qDistinctOracle)),
     QueryDef("q_semi_ordered_custs", qSemiOrderedCusts, Some(qSemiOracle)),

@@ -833,4 +833,53 @@ class StreamingSpec extends SparkSpecBase {
       assert(got.values.forall(_.last == 0.0f))
     } finally q.stop()
   }
+
+  test("heavyTokensStream: MG guarantee holds after every micro-batch, state stays k counters") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // 3 micro-batches; 'hot' is heavy from the start, 'warm' only becomes
+    // heavy once batch 3 lands; the long unique-token tail can never crowd
+    // the summary past k counters
+    val k = 8
+    def doc(i: Int, words: Seq[String]) = (i.toLong, words)
+    val b1 = (0 until 20).map(i => doc(i, Seq("hot", "hot", s"uniq_a$i")))
+    val b2 = (20 until 40).map(i => doc(i, Seq("hot", s"uniq_b$i")))
+    val b3 = (40 until 60).map(i => doc(i, Seq("warm", "warm", "warm", "hot", s"uniq_c$i")))
+    val mem = MemoryStream[(Long, Seq[String])]
+    val out = streaming.StreamingHeavy.heavyTokensStream(
+      mem.toDF().toDF("doc_id", "toks"), k)
+    val q = out.writeStream.format("memory").queryName("heavy_out")
+      .outputMode("complete").start()
+    try {
+      def snapshot(): (Seq[String], Long) = {
+        val r = spark.table("heavy_out").head()
+        (r.getSeq[String](0), r.getLong(1))
+      }
+      def exactHeavy(batches: Seq[Seq[(Long, Seq[String])]]): Set[String] = {
+        val toks = batches.flatten.flatMap(_._2)
+        val n = toks.size
+        toks.groupBy(identity).collect {
+          case (t, xs) if xs.size.toLong * (k + 1) > n => t
+        }.toSet
+      }
+      mem.addData(b1); q.processAllAvailable()
+      val (c1, n1) = snapshot()
+      assert(n1 == b1.map(_._2.size).sum)
+      assert(exactHeavy(Seq(b1)).subsetOf(c1.toSet),
+        s"batch-1 heavy set not in candidates: $c1")
+      assert(c1.size <= k)
+      mem.addData(b2); q.processAllAvailable()
+      val (c2, _) = snapshot()
+      assert(exactHeavy(Seq(b1, b2)).subsetOf(c2.toSet))
+      assert(c2.size <= k)
+      mem.addData(b3); q.processAllAvailable()
+      val (c3, n3) = snapshot()
+      assert(n3 == (b1 ++ b2 ++ b3).map(_._2.size).sum)
+      val heavy3 = exactHeavy(Seq(b1, b2, b3))
+      assert(Set("hot", "warm").subsetOf(heavy3), s"test setup drifted: $heavy3")
+      assert(heavy3.subsetOf(c3.toSet),
+        s"final heavy set $heavy3 not in candidates $c3")
+      assert(c3.size <= k, s"summary exceeded k counters: $c3")
+    } finally q.stop()
+  }
 }

@@ -68,7 +68,15 @@ object ServeBench {
       Family("cosine",
         () => SimilarityOps.writeCosineCellIndex(embCorpus, s"$idx/cos"),
         () => graft.Registry.byName("emb_incr_cosine").build(s, sfDir),
-        () => SimilarityOps.incrementalCosineFromIndex(s, embBatch, s"$idx/cos")))
+        () => SimilarityOps.incrementalCosineFromIndex(s, embBatch, s"$idx/cos")),
+      // sparse retrieval: direct = the gated full-scan BM25; serve = the
+      // same scores off the bucket-pruned posting lists (SearchIndexSpec
+      // pins bit-parity — here we pin that serve never carries the scan)
+      Family("search",
+        () => graft.sources.SearchIndex.write(docs, s"$idx/search"),
+        () => graft.Registry.byName("doc_bm25").build(s, sfDir),
+        () => graft.sources.SearchIndex.search(s, s"$idx/search",
+          Seq("spark", "vector", "customer"), 25)))
 
     def elapsed(f: () => Unit): Double = {
       val t0 = System.nanoTime()
@@ -98,7 +106,8 @@ object ServeBench {
     } finally {
       // bucketed serving tables registered in the catalog must not outlive
       // their files
-      Seq(s"$idx/pq/raw", s"$idx/ivf/raw", s"$idx/mrl/raw", s"$idx/mh/sigs").foreach { p =>
+      Seq(s"$idx/pq/raw", s"$idx/ivf/raw", s"$idx/mrl/raw", s"$idx/mh/sigs",
+        s"$idx/search").foreach { p =>
         try graft.sources.Bucketed.dropRegistration(s, p)
         catch { case _: Throwable => () }
       }

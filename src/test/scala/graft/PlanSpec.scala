@@ -177,7 +177,12 @@ class PlanSpec extends SparkSpecBase {
     }.isEmpty, "per-doc signals must stay map-side (no aggregation operator)")
   }
 
-  test("bm25: no token explode; stats ride a broadcast, not a shuffle join") {
+  test("bm25: no token explode; frozen stats ride as literals — one scoring scan, no join") {
+    // since the bm25Fit/bm25Apply split, the stats pass runs EAGERLY at
+    // fit time (one collected aggregate row — index metadata); the gated
+    // query's lazy plan is the scoring pass alone: one corpus scan, the
+    // model as literals, no join of any kind, no shuffle but the output
+    // sort's range partitioning
     val df = operators.TextOps.bm25(spark, sf0001)
     val p = df.queryExecution.sparkPlan
     assert(p.collectFirst {
@@ -186,12 +191,10 @@ class PlanSpec extends SparkSpecBase {
     val scans = p.collect {
       case s: org.apache.spark.sql.execution.FileSourceScanExec => s
     }
-    assert(scans.size == 2,
-      s"one stats pass + one scoring pass over the corpus, got ${scans.size} scans")
-    // the single-row stats side joins via broadcast; the only shuffles are
-    // the 1-row global aggregate and the output sort's range partitioning
-    assert(p.toString.contains("BroadcastNestedLoopJoin") ||
-      p.toString.contains("BroadcastExchange"), s"stats row must broadcast:\n$p")
+    assert(scans.size == 1,
+      s"the lazy plan is the scoring pass alone, got ${scans.size} scans")
+    assert(!p.toString.contains("Join"),
+      s"frozen stats must be literals, not a joined side:\n$p")
     val shuffles = p.collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
     }

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Snapshots
+
+/** Snapshot isolation + time travel: a version read sees exactly one
+  * commit's file set, history expires without touching kept versions or
+  * uncommitted files.
+  */
+class SnapshotSpec extends SparkSpecBase {
+
+  test("version reads are frozen file sets; time travel picks by commit time; expire vacuums") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-snap").toString + "/t"
+    (0L until 100L).map(i => (i, s"r$i")).toDF("id", "payload")
+      .repartition(3).write.parquet(path)
+    val v1 = Snapshots.commit(spark, path)
+    assert(v1 == 1L)
+    val t1 = Snapshots.versions(spark, path).last._2
+
+    // append lands new files; v1 must NOT see them even after commit of v2
+    (100L until 150L).map(i => (i, s"r$i")).toDF("id", "payload")
+      .repartition(2).write.mode("append").parquet(path)
+    val v2 = Snapshots.commit(spark, path)
+    assert(v2 == 2L)
+    assert(Snapshots.readVersion(spark, path, 1).count() == 100L)
+    assert(Snapshots.readVersion(spark, path, 2).count() == 150L)
+    assert(Snapshots.readVersion(spark, path, 1)
+      .agg(max(col("id"))).head().getLong(0) == 99L,
+      "v1 leaked post-commit rows")
+
+    // time travel: at t1 the table had 100 rows
+    assert(Snapshots.readAsOf(spark, path, t1).count() == 100L)
+    assert(Snapshots.readAsOf(spark, path, System.currentTimeMillis() + 1000)
+      .count() == 150L)
+
+    // an uncommitted (in-flight) batch is invisible to EVERY version and
+    // survives expire
+    (999L to 999L).map(i => (i, "uncommitted")).toDF("id", "payload")
+      .coalesce(1).write.mode("append").parquet(path)
+    assert(Snapshots.readVersion(spark, path, 2).count() == 150L)
+
+    Snapshots.expire(spark, path, keepLast = 1)
+    // v1 is gone — loudly
+    intercept[IllegalArgumentException] {
+      Snapshots.readVersion(spark, path, 1)
+    }
+    // v2 still intact after the vacuum; the uncommitted file still on disk
+    assert(Snapshots.readVersion(spark, path, 2).count() == 150L)
+    assert(spark.read.parquet(path).filter(col("payload") === "uncommitted")
+      .count() == 1L, "expire must not delete uncommitted files")
+  }
+
+  test("racing commits: the loser fails loudly, never merges silently") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-snap2").toString + "/t"
+    Seq((1L, "a")).toDF("id", "p").write.parquet(path)
+    Snapshots.commit(spark, path)
+    // the race window is between choosing the next number and the rename:
+    // both writers picked v2; the first rename wins, the second must throw
+    // (a late full commit() would correctly land at v3 — that's not a race)
+    Snapshots.commitAt(spark, path, 2L)
+    intercept[java.io.IOException] {
+      Snapshots.commitAt(spark, path, 2L)
+    }
+    // the loser left no wreckage: v3 commits cleanly and reads back
+    val v3 = Snapshots.commit(spark, path)
+    assert(v3 == 3L)
+    assert(Snapshots.readVersion(spark, path, 3).count() == 1L)
+  }
+}

@@ -281,6 +281,32 @@ object Analytics {
        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
 
+  /** TPC-H Q13 shape — customer order-count distribution: the two-level
+    * aggregate over a LEFT OUTER join (the outer side matters — customers
+    * with zero orders are the histogram's head, and an inner join silently
+    * drops them). Level 1 shuffles once on the join/group key (Catalyst
+    * reuses the c_custkey partitioning for join AND count); level 2 is a
+    * tiny histogram fold over ≤ max-order-count rows per partition. At
+    * 100 TB both sides shuffle once; nothing else moves.
+    */
+  def q13CustDist(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "customer")
+      .join(Tables.t(s, dir, "orders"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  val q13Oracle: String =
+    """SELECT c_count, COUNT(*) AS custdist
+      |FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |      FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      |      GROUP BY c_custkey)
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
   /** CUBE — all 2^k grouping combinations in ONE pass (rollup's superset:
     * adds the (priority-only) marginals a rollup skips). Spark expands the
     * grouping sets before the shuffle and partial-aggregates each, so the
@@ -436,6 +462,7 @@ object Analytics {
     QueryDef("q10_returned_items", q10ReturnedItems, Some(q10Oracle)),
     QueryDef("q17_small_qty_revenue", q17SmallQtyRevenue, Some(q17Oracle)),
     QueryDef("q18_volume_customers", q18VolumeCustomers, Some(q18Oracle)),
+    QueryDef("q13_custdist", q13CustDist, Some(q13Oracle)),
     QueryDef("q_rollup_revenue", qRollupRevenue, Some(qRollupOracle)),
     QueryDef("q_cube_revenue", qCubeRevenue, Some(qCubeOracle)),
     QueryDef("q_topk_orders_per_cust", qTopkOrdersPerCust, Some(qTopkOracle)),

@@ -782,6 +782,26 @@ object EventOps {
       |       CAST((SELECT COUNT(*) FROM conv) AS DOUBLE) /
       |       CAST((SELECT COUNT(*) FROM first) AS DOUBLE) AS conversion""".stripMargin
 
+  /** Hourly active users — exact DISTINCT keys per event-time window, the
+    * composition the engagement dashboards run. Spark plans the distinct
+    * as a two-level aggregate: partial distinct per (window, user) on the
+    * map side, then one shuffle keyed by the window — the per-partition
+    * state is bounded by the ACTIVE-user count per hour, not the event
+    * count (the HLL sketch variant q_approx_distinct covers the case
+    * where even that is too much).
+    */
+  def hourlyActiveUsers(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "events")
+      .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("hour_us"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("hour_us")
+
+  val hourlyActiveOracle: String =
+    """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us,
+      |       COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+      |FROM events GROUP BY 1 ORDER BY hour_us""".stripMargin
+
   /** Event-type transition counts — the Markov-bigram fold behind
     * next-action prediction and anomalous-sequence scoring: every user's
     * time-ordered stream contributes its (previous type, type) edges,
@@ -868,6 +888,7 @@ object EventOps {
     QueryDef("ev_dedup_replay", dedupReplay, Some(dedupReplayOracle)),
     QueryDef("ev_json_extract", jsonExtract, Some(jsonExtractOracle)),
     QueryDef("ev_transition_counts", transitionCounts, Some(transitionOracle)),
+    QueryDef("ev_hourly_active", hourlyActiveUsers, Some(hourlyActiveOracle)),
     QueryDef("ev_value_rolling_1h", valueRolling1h, Some(rollingOracle))
   )
 }

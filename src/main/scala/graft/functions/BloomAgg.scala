@@ -65,6 +65,85 @@ object Bloom {
   }
 }
 
+/** Scalar probe of a built filter: `graft_bloom_contains(words, value, k)`
+  * — true iff all k double-hashed bits of `value` are set in `words`
+  * (m = 64·len(words), so the filter is self-describing and the literal-k
+  * is the only parameter that must match the build). The codegen is one
+  * static call like every other graft expression, so a Bloom pre-filter
+  * on a join's stream side stays inside WholeStageCodegen — the runtime-
+  * filter pattern ([[graft.operators.BloomJoin]]): rows whose key the
+  * build side provably lacks die BEFORE the shuffle.
+  */
+case class BloomMightContain(
+    words: org.apache.spark.sql.catalyst.expressions.Expression,
+    value: org.apache.spark.sql.catalyst.expressions.Expression,
+    k: Int)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  require(k > 0 && k <= 16, s"graft_bloom_contains k must be in [1, 16], got $k")
+
+  override def left: Expression = words
+  override def right: Expression = value
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_bloom_contains"
+
+  private val isString = value.dataType == StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = (words.dataType, value.dataType) match {
+    case (ArrayType(LongType, _), LongType | IntegerType | ShortType | ByteType | StringType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (w, v) => TypeCheckResult.TypeCheckFailure(
+      s"graft_bloom_contains expects (array<long>, integral|string), got (${w.simpleString}, ${v.simpleString})")
+  }
+
+  override protected def nullSafeEval(w: Any, v: Any): Any =
+    if (isString)
+      BloomMightContain.computeString(
+        w.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k,
+        v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    else
+      BloomMightContain.computeLong(
+        w.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k,
+        v.asInstanceOf[Number].longValue())
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (w, v) =>
+      if (isString)
+        s"${ev.value} = graft.functions.BloomMightContain.computeString($w, $k, $v);"
+      else
+        s"${ev.value} = graft.functions.BloomMightContain.computeLong($w, $k, (long) $v);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(words = newLeft, value = newRight)
+}
+
+object BloomMightContain {
+
+  private def contains(w: org.apache.spark.sql.catalyst.util.ArrayData,
+      k: Int, h: (Long, Long)): Boolean = {
+    val m = w.numElements() * 64
+    var i = 0
+    while (i < k) {
+      val pos = java.lang.Long.remainderUnsigned(h._1 + i.toLong * h._2, m.toLong).toInt
+      if ((w.getLong(pos >>> 6) & (1L << (pos & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  def computeLong(w: org.apache.spark.sql.catalyst.util.ArrayData,
+      k: Int, v: Long): Boolean =
+    contains(w, k, Bloom.hashesOfLong(v))
+
+  def computeString(w: org.apache.spark.sql.catalyst.util.ArrayData,
+      k: Int, v: org.apache.spark.unsafe.types.UTF8String): Boolean =
+    contains(w, k, Bloom.hashesOfString(v.toString))
+}
+
 /** Bloom-filter build as a native `TypedImperativeAggregate`: per group
   * (in the manifest use, per FILE) a fixed m-bit array; update sets k bits
   * per non-null value, partials merge by OR — fully associative, nothing

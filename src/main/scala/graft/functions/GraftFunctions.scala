@@ -26,7 +26,9 @@ object GraftFunctions {
         .toAggregateExpression() },
     "graft_bloom" -> { args =>
       BloomAgg(args(0), args(1).eval().asInstanceOf[Int],
-        args(2).eval().asInstanceOf[Int]).toAggregateExpression() }
+        args(2).eval().asInstanceOf[Int]).toAggregateExpression() },
+    "graft_bloom_contains" -> { args =>
+      BloomMightContain(args(0), args(1), args(2).eval().asInstanceOf[Int]) }
   )
 
   def register(spark: SparkSession): Unit = {
@@ -64,5 +66,8 @@ object GraftFunctions {
     call_function("graft_mg_topk", tokens, org.apache.spark.sql.functions.lit(k))
   def graftBloom(c: Column, m: Int, k: Int): Column =
     call_function("graft_bloom", c, org.apache.spark.sql.functions.lit(m),
+      org.apache.spark.sql.functions.lit(k))
+  def graftBloomContains(words: Column, value: Column, k: Int): Column =
+    call_function("graft_bloom_contains", words, value,
       org.apache.spark.sql.functions.lit(k))
 }

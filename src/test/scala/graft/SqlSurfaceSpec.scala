@@ -100,6 +100,31 @@ class SqlSurfaceSpec extends SparkSpecBase {
       arr, 4096, 7, graft.functions.Bloom.hashesOfLong(987654321L)))
   }
 
+  test("bloom-filtered join: exact result, probe side cut before the shuffle") {
+    import spark.implicits._
+    import graft.operators.BloomJoin
+    // probe: 20k rows over 2k keys; build: 50 keys -> a selective join
+    val probe = spark.range(20000)
+      .select((col("id") % 2000).as("key"), col("id").as("payload"))
+    val build = spark.range(50).select(col("id").as("key"), (col("id") * 10).as("attr"))
+    val plain = probe.join(build, Seq("key"))
+      .select("key", "payload", "attr").as[(Long, Long, Long)].collect().toSet
+    val bloomed = BloomJoin.bloomFilteredJoin(probe, build, "key")
+      .select("key", "payload", "attr").as[(Long, Long, Long)].collect().toSet
+    assert(bloomed == plain, "bloom-filtered join changed the join result")
+    // the measurable point: the pre-filter kills non-matching rows before
+    // any exchange — ~50/2000 of the probe survives (+ fp slack)
+    val cut = BloomJoin.filterSide(probe, build.select("key"), "key").count()
+    val matching = 20000L * 50 / 2000
+    assert(cut >= matching && cut <= matching * 2,
+      s"expected ~$matching probe rows after the bloom cut, got $cut")
+    // string keys run the same path
+    val probeS = spark.range(5000).select(concat(lit("k"), col("id") % 500).as("key"))
+    val buildS = spark.range(20).select(concat(lit("k"), col("id")).as("key"))
+    val cutS = BloomJoin.filterSide(probeS, buildS, "key").count()
+    assert(cutS >= 200 && cutS <= 400, s"string-key cut: $cutS")
+  }
+
   test("graft_nfc and graft_ln resolve from pure SQL with Column-API parity") {
     Tables.registerAll(spark, sf0001)
     // NFC from SQL: decomposed sequence composes, ASCII is identity

@@ -802,6 +802,108 @@ object EventOps {
       |       COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
       |FROM events GROUP BY 1 ORDER BY hour_us""".stripMargin
 
+  /** Inter-arrival gap statistics per user — the signal session-gap and
+    * rate-limit thresholds are tuned from. ONE exchange on user_id serves
+    * both the lag window and the per-user aggregate (Catalyst reuses the
+    * partitioning; the window's per-key state is one previous timestamp).
+    * Gaps are integer micros; the mean is the single IEEE division both
+    * engines share.
+    */
+  def gapStats(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    Tables.t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("gap_us")).as("min_gap_us"),
+        max(col("gap_us")).as("max_gap_us"),
+        sum(col("gap_us")).as("sum_gap_us"))
+      .withColumn("mean_gap_us",
+        col("sum_gap_us").cast(DoubleType) / col("n_gaps"))
+      .orderBy("user_id")
+  }
+
+  val gapStatsOracle: String =
+    """SELECT user_id, COUNT(*) AS n_gaps,
+      |       MIN(gap_us) AS min_gap_us, MAX(gap_us) AS max_gap_us,
+      |       CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us,
+      |       CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) AS mean_gap_us
+      |FROM (SELECT user_id,
+      |             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      |               PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+      |      FROM events)
+      |WHERE gap_us IS NOT NULL
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Median/MAD robust outliers per event type — the z-score member's
+    * robust sibling: a heavy-tailed burst inflates mean AND stddev until
+    * the z-score goes blind to itself, while the median and the median
+    * absolute deviation barely move. Exact medians at scale via the
+    * counts-then-rank discipline (`ev_quantiles_by_type`): the fact table
+    * collapses ONCE to (type, value) counts; the lower median (smallest
+    * value whose running count reaches ceil(n/2) — stated explicitly, no
+    * engine percentile function) ranks over that tiny frame; deviation
+    * counts derive from the SAME counts frame (|v − med| with the value's
+    * own count — no second corpus scan), and MAD ranks them the same way.
+    * The only second pass over raw events is the final flagging join
+    * against the broadcast (med, mad) row set. Deviations are |a − b| of
+    * two ≤2-decimal doubles — one correctly-rounded IEEE op, identical in
+    * both engines, so even the double-keyed dev grouping is engine-exact.
+    */
+  def madOutliers(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "events")
+    val counts = e.groupBy("event_type", "value").agg(count(lit(1)).as("cnt"))
+    val wRank = Window.partitionBy("event_type").orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("event_type")
+    val ranked = counts
+      .withColumn("cum", sum(col("cnt")).over(wRank))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+    val med = ranked.filter(col("cum") * 2 >= col("n") + (col("n") % 2))
+      .groupBy("event_type").agg(min(col("value")).as("med"))
+    val devRanked = counts.join(broadcast(med), "event_type")
+      .select(col("event_type"), abs(col("value") - col("med")).as("dev"), col("cnt"))
+      .groupBy("event_type", "dev").agg(sum(col("cnt")).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy("event_type").orderBy("dev")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+    val mad = devRanked.filter(col("cum") * 2 >= col("n") + (col("n") % 2))
+      .groupBy("event_type").agg(min(col("dev")).as("mad"))
+    e.join(broadcast(med), "event_type").join(broadcast(mad), "event_type")
+      .filter(abs(col("value") - col("med")) > lit(5.0) * col("mad"))
+      .select("event_id", "event_type", "value", "med", "mad")
+      .orderBy("event_id")
+  }
+
+  val madOracle: String =
+    """WITH c AS (SELECT event_type, value, CAST(COUNT(*) AS BIGINT) AS cnt
+      |           FROM events GROUP BY event_type, value),
+      |r AS (SELECT event_type, value, cnt,
+      |             SUM(cnt) OVER (PARTITION BY event_type ORDER BY value
+      |                            ROWS UNBOUNDED PRECEDING) AS cum,
+      |             SUM(cnt) OVER (PARTITION BY event_type) AS n
+      |      FROM c),
+      |med AS (SELECT event_type, MIN(value) AS med FROM r
+      |        WHERE cum * 2 >= n + (n % 2) GROUP BY event_type),
+      |dc AS (SELECT c.event_type, ABS(c.value - med.med) AS dev,
+      |              SUM(c.cnt) AS cnt
+      |       FROM c JOIN med USING (event_type)
+      |       GROUP BY c.event_type, ABS(c.value - med.med)),
+      |dr AS (SELECT event_type, dev, cnt,
+      |              SUM(cnt) OVER (PARTITION BY event_type ORDER BY dev
+      |                             ROWS UNBOUNDED PRECEDING) AS cum,
+      |              SUM(cnt) OVER (PARTITION BY event_type) AS n
+      |       FROM dc),
+      |mad AS (SELECT event_type, MIN(dev) AS mad FROM dr
+      |        WHERE cum * 2 >= n + (n % 2) GROUP BY event_type)
+      |SELECT e.event_id, e.event_type, e.value, med.med, mad.mad
+      |FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)
+      |WHERE ABS(e.value - med.med) > 5.0 * mad.mad
+      |ORDER BY event_id""".stripMargin
+
   /** Event-type transition counts — the Markov-bigram fold behind
     * next-action prediction and anomalous-sequence scoring: every user's
     * time-ordered stream contributes its (previous type, type) edges,
@@ -889,6 +991,8 @@ object EventOps {
     QueryDef("ev_json_extract", jsonExtract, Some(jsonExtractOracle)),
     QueryDef("ev_transition_counts", transitionCounts, Some(transitionOracle)),
     QueryDef("ev_hourly_active", hourlyActiveUsers, Some(hourlyActiveOracle)),
+    QueryDef("ev_gap_stats", gapStats, Some(gapStatsOracle)),
+    QueryDef("ev_mad_outliers", madOutliers, Some(madOracle)),
     QueryDef("ev_value_rolling_1h", valueRolling1h, Some(rollingOracle))
   )
 }

@@ -834,6 +834,41 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("trained LR model scores a live document stream statelessly, matching batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // fit on a planted-signal corpus (the LrSpec frame), then serve the
+    // SAME columns over a MemoryStream — zero state, zero shuffle, and
+    // the margins are bit-equal to the batch apply
+    val docs = (0 until 60).map { i =>
+      val pos = i % 2 == 0
+      val filler = Seq.fill(5)("common shared background words").mkString(" ")
+      val marker = if (pos) "signalA signalB" else "noiseX noiseY"
+      (i.toLong, if (pos) "en" else "xx", s"$filler $marker")
+    }.toDF("doc_id", "lang", "text")
+    val m = operators.TextOps.lrFit(spark, docs,
+      (col("lang") === "en").cast("double"), dim = 128, iters = 6)
+    val batch = operators.TextOps.lrApply(docs, m, (col("lang") === "en").cast("long"))
+      .select("doc_id", "margin", "pred").as[(Long, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val mem = MemoryStream[(Long, String, String)]
+    val served = operators.TextOps.lrApply(
+      mem.toDF().toDF("doc_id", "lang", "text"), m,
+      (col("lang") === "en").cast("long"))
+    val q = served.writeStream.format("memory").queryName("lr_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((0L, "en", docs.filter(col("doc_id") === 0).head().getString(2)),
+        (1L, "xx", docs.filter(col("doc_id") === 1).head().getString(2)))
+      q.processAllAvailable()
+      val got = spark.table("lr_out")
+        .select("doc_id", "margin", "pred").as[(Long, Double, Long)].collect()
+      assert(got.length == 2)
+      got.foreach { case (id, mg, p) =>
+        assert((mg, p) == batch(id), s"stream LR diverged for doc $id") }
+    } finally q.stop()
+  }
+
   test("heavyTokensStream: MG guarantee holds after every micro-batch, state stays k counters") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -116,6 +116,25 @@ object TextOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Classifier evaluation — the confusion matrix over (labeled, predicted)
+    * pairs, the op every pipeline model (langid, NB, LR) is judged by
+    * before its scores gate data. The per-doc scoring pass is the langId
+    * map (zero shuffle), and the matrix collapses map-side to
+    * ≤ ǀclassesǀ² rows per partition — evaluation costs one scan at any
+    * corpus size.
+    */
+  def langIdEval(s: SparkSession, dir: String): DataFrame =
+    langId(s, dir)
+      .groupBy("labeled_lang", "pred_lang")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("labeled_lang", "pred_lang")
+
+  val langIdEvalOracle: String =
+    s"""SELECT labeled_lang, pred_lang, COUNT(*) AS n FROM (
+       |$langIdOracle
+       |) GROUP BY labeled_lang, pred_lang
+       |ORDER BY labeled_lang, pred_lang""".stripMargin
+
   /** Attack-payload detection: SQLi markers from the reference producers
     * (code/lambdas/fragmentation_attack/lambda_handler.py:24-29,
     * code/lambdas/producer/lambda_function.py:100-107).
@@ -1920,6 +1939,7 @@ object TextOps {
     QueryDef("doc_token_stats", tokenStats, Some(tokenStatsOracle)),
     QueryDef("doc_quality", quality, Some(qualityOracle)),
     QueryDef("doc_langid", langId, Some(langIdOracle)),
+    QueryDef("doc_langid_eval", langIdEval, Some(langIdEvalOracle)),
     QueryDef("doc_sqli_flag", sqliFlag, Some(sqliOracle)),
     QueryDef("doc_fingerprint", fingerprint, Some(fingerprintOracle)),
     QueryDef("doc_winnow", winnow, Some(winnowOracle)),

@@ -854,7 +854,11 @@ object EventOps {
     */
   def madOutliers(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.t(s, dir, "events")
+    // the sufficient statistic, persisted: median, deviations AND mad all
+    // derive from it — without the persist each derivation re-scans the
+    // fact table (PlanSpec pins exactly two raw-event scans)
     val counts = e.groupBy("event_type", "value").agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wRank = Window.partitionBy("event_type").orderBy("value")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy("event_type")

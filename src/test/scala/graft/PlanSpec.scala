@@ -327,4 +327,64 @@ class PlanSpec extends SparkSpecBase {
     val n = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(n == 2, s"retention must hash-shuffle exactly twice (user fold, cohort fold), got $n:\n$p")
   }
+
+  test("q17: decorrelated mean is one extra lineitem pass; brand filter pushed to part") {
+    val df = Analytics.q17SmallQtyRevenue(spark, sf0001)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    val lineitem = scans.count(_.toString.contains("lineitem.parquet"))
+    assert(lineitem == 2,
+      s"q17 is the self-join of lineitem with its per-part aggregate — exactly 2 scans, got $lineitem")
+    val p = plan(df)
+    assert(p.contains("EqualTo(p_brand,Brand#4)"),
+      "brand filter must reach the part scan")
+    assert(!p.contains("CartesianProduct"), "no cartesian anywhere in q17")
+  }
+
+  test("mad outliers: counts-then-rank — exactly two raw-event scans (counts + flag)") {
+    val df = EventOps.madOutliers(spark, sf0001)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    val events = scans.count(_.toString.contains("events.parquet"))
+    // one collapse to (type, value) counts — PERSISTED, so median,
+    // deviations and mad all read the cache; the only raw file scan in
+    // the lazy plan is the flagging join's (cache build adds one more at
+    // materialization: two corpus passes total)
+    assert(events == 1,
+      s"mad must leave one raw scan (flag) outside the cached counts, got $events")
+    val p = plan(df)
+    assert(p.contains("InMemoryTableScan"),
+      "median/dev/mad derivations must consume the persisted counts frame")
+    assert(p.contains("BroadcastHashJoin"),
+      "the (med, mad) row set must broadcast into the flagging join")
+  }
+
+  test("transition counts: lag window and edge fold — one scan, bounded second exchange") {
+    val df = EventOps.transitionCounts(spark, sf0001)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size == 1, s"one events scan, got ${scans.size}")
+    val p = plan(df)
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    // user_id for the lag window + (prev, type) for the edge count — the
+    // second carries at most |types|^2 rows per partition (map-side
+    // partial agg collapses first)
+    assert(n == 2, s"expected the window exchange + the tiny edge-fold exchange, got $n:\n$p")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      "edge counts must partial-aggregate map-side")
+  }
+
+  test("rolling 1h: RANGE frame rides one user exchange; no extra aggregation pass") {
+    val df = EventOps.valueRolling1h(spark, sf0001)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size == 1, s"one events scan, got ${scans.size}")
+    val p = plan(df)
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n == 1, s"the RANGE window needs exactly the user_id exchange, got $n:\n$p")
+  }
 }

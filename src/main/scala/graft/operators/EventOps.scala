@@ -802,6 +802,36 @@ object EventOps {
       |       COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
       |FROM events GROUP BY 1 ORDER BY hour_us""".stripMargin
 
+  /** Calendar densification — the time-series gap fill every dashboard
+    * and training join needs before resampling: one row per day across
+    * the OBSERVED span, zero-filled where no events landed (a groupBy
+    * alone silently omits empty days and every downstream moving average
+    * is wrong). The span is a 2-value aggregate broadcast into a
+    * `sequence` explode — the calendar frame is ǀdaysǀ rows at any corpus
+    * size, so the left join against the per-day counts is a broadcast of
+    * metadata, never a shuffle of the fact table.
+    */
+  def dailyDense(s: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val e = Tables.t(s, dir, "events")
+      .select(expr(s"unix_micros(ts) div $dayUs").as("day"))
+    val counts = e.groupBy("day").agg(count(lit(1)).as("n"))
+    val cal = e.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    cal.join(counts, Seq("day"), "left")
+      .select((col("day") * dayUs).as("day_us"),
+        coalesce(col("n"), lit(0L)).as("n_events"))
+      .orderBy("day_us")
+  }
+
+  val dailyDenseOracle: String =
+    """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day FROM events),
+      |c AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY day),
+      |span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM d),
+      |cal AS (SELECT unnest(generate_series(d0, d1)) AS day FROM span)
+      |SELECT day * 86400000000 AS day_us, coalesce(n, 0) AS n_events
+      |FROM cal LEFT JOIN c USING (day) ORDER BY day_us""".stripMargin
+
   /** Inter-arrival gap statistics per user — the signal session-gap and
     * rate-limit thresholds are tuned from. ONE exchange on user_id serves
     * both the lag window and the per-user aggregate (Catalyst reuses the
@@ -996,6 +1026,7 @@ object EventOps {
     QueryDef("ev_transition_counts", transitionCounts, Some(transitionOracle)),
     QueryDef("ev_hourly_active", hourlyActiveUsers, Some(hourlyActiveOracle)),
     QueryDef("ev_gap_stats", gapStats, Some(gapStatsOracle)),
+    QueryDef("ev_daily_dense", dailyDense, Some(dailyDenseOracle)),
     QueryDef("ev_mad_outliers", madOutliers, Some(madOracle)),
     QueryDef("ev_value_rolling_1h", valueRolling1h, Some(rollingOracle))
   )

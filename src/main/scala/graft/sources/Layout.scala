@@ -363,10 +363,19 @@ object Layout {
       case other => throw new IllegalArgumentException(
         s"readPrunedPoint supports Long/String values, got ${other.getClass}")
     }
+    // corruption discipline (the manifest-fuzz contract): an entry whose
+    // geometry is inconsistent (m != 64*len(words), nonsensical k) cannot
+    // prove absence — KEEP its file (fail open) instead of throwing or,
+    // worse, probing out-of-range bits
+    def consistent(m: Int, k: Int, words: Array[Long]): Boolean =
+      m > 0 && m == words.length * 64 && k >= 1 && k <= 16
     val known = side.map(_.getString(0)).toSet
     val matching = side.filter { r =>
-      val words = r.getSeq[Long](3).toArray
-      Bloom.mightContain(words, r.getInt(1), r.getInt(2), h)
+      r.isNullAt(1) || r.isNullAt(2) || r.isNullAt(3) || {
+        val words = r.getSeq[Long](3).toArray
+        !consistent(r.getInt(1), r.getInt(2), words) ||
+          Bloom.mightContain(words, r.getInt(1), r.getInt(2), h)
+      }
     }.map(r => s"$path/${r.getString(0)}").toIndexedSeq
     // fail-open: keep files the sidecar has no entry for; drop sidecar
     // entries whose file is gone (post-compaction staleness)

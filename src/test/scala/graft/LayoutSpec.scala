@@ -68,6 +68,25 @@ class LayoutSpec extends SparkSpecBase {
     val afterAppend = Layout.readPrunedPoint(spark, path, "doc_id", 999999L)
     assert(afterAppend.filter(col("doc_id") === 999999L).count() == 1L,
       "appended (sidecar-unknown) file must be kept by fail-open")
+
+    // corruption: a sidecar entry with inconsistent geometry (m that does
+    // not match its words) cannot PROVE absence — its file is kept, the
+    // lookup answer unchanged, no exception
+    val sidePath = s"$path/_graft_bloom"
+    val side = spark.read.parquet(sidePath).collect()
+    val corrupted = side.map { r =>
+      if (r.getString(1) == "doc_id")
+        org.apache.spark.sql.Row(r.getString(0), r.getString(1),
+          128, r.getInt(3), r.getSeq[Long](4)) // m lies about the words
+      else r
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(corrupted.toIndexedSeq),
+      spark.read.parquet(sidePath).schema)
+      .coalesce(1).write.mode("overwrite").parquet(sidePath)
+    val afterCorrupt = Layout.readPrunedPoint(spark, path, "doc_id", id)
+    assert(afterCorrupt.filter(col("doc_id") === id).count() == want,
+      "corrupt geometry must fail open to the same answer")
   }
 
   test("date-partitioned layout: a day filter prunes to that day's files") {

@@ -869,6 +869,36 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("transitionStream: edges across micro-batches fold to the batch counts; late events dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val events = graft.sources.Tables.t(spark, sf0001, "events")
+    val want = operators.EventOps.transitionCounts(spark, sf0001)
+      .select("prev_type", "event_type", "n").as[(String, String, Long)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    val rows = events.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      .as[(Long, Long, Long, String)].collect().sortBy(r => (r._3, r._2))
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val edges = streaming.StreamingTransitions.transitionStream(
+      streaming.StreamingTransitions.asEvents(
+        mem.toDF().toDF("user_id", "event_id", "ts_us", "event_type")))
+    val q = edges.writeStream.format("memory").queryName("trans_out")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+      // a replayed old event must not fabricate an edge
+      mem.addData(Seq(rows.head)); q.processAllAvailable()
+      val got = spark.table("trans_out")
+        .groupBy("prev_type", "event_type").agg(count(lit(1)).as("n"))
+        .as[(String, String, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+      assert(want.nonEmpty && got == want,
+        s"stream edge counts diverged from batch: ${got.size} vs ${want.size} keys")
+    } finally q.stop()
+  }
+
   test("heavyTokensStream: MG guarantee holds after every micro-batch, state stays k counters") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

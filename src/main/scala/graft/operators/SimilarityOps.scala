@@ -607,13 +607,31 @@ object SimilarityOps {
     */
   def knnPqServe(s: SparkSession, corpus: DataFrame, indexPath: String,
       queryFilter: Column = col("vec_id") < 10,
-      allow: Option[DataFrame] = None): DataFrame = {
+      allow: Option[DataFrame] = None): DataFrame =
+    knnPqProbeWith(s, corpus.filter(queryFilter), indexPath, corpus, allow)
+
+  /** Probe the index with an EXPLICIT query frame — the continuous-serving
+    * entry: a `foreachBatch` stream hands each micro-batch of query
+    * vectors here and gets the same answer the batch serve computes (spec-
+    * pinned), with the re-rank fallback read from the index's own raw
+    * table. Plain per-probe reads re-list the index directories, so an
+    * append between micro-batches is visible to the next probe with no
+    * cache-invalidation machinery.
+    */
+  def knnPqProbe(s: SparkSession, queries: DataFrame, indexPath: String,
+      allow: Option[DataFrame] = None): DataFrame =
+    knnPqProbeWith(s, queries, indexPath,
+      s.read.parquet(s"$indexPath/raw"), allow)
+
+  private def knnPqProbeWith(s: SparkSession, queries: DataFrame,
+      indexPath: String, fallback: DataFrame,
+      allow: Option[DataFrame]): DataFrame = {
     val books = readBooks(s, indexPath)
     val encoded = filterAllowed(s.read.parquet(s"$indexPath/codes"), allow)
-    val qRows = pqQueryRows(corpus.filter(queryFilter))
+    val qRows = pqQueryRows(queries)
     val queryDf = pqQueryDf(s, qRows, books)
     pqRerankResolve(s, pqAdcCands(encoded.crossJoin(broadcast(queryDf))),
-      indexPath, corpus)
+      indexPath, fallback)
   }
 
   /** Metadata-filtered serving: restrict a served index to an id

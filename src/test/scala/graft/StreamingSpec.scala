@@ -869,6 +869,50 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("continuous ANN: per-micro-batch PQ probe == batch serve, sees appends between batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.SimilarityOps
+    val emb = graft.sources.Tables.t(spark, sf0001, "embeddings")
+    val idx = java.nio.file.Files.createTempDirectory("graft-sknn").toString + "/pq"
+    SimilarityOps.writePqIndexOn(emb, idx)
+    try {
+      def key(df: org.apache.spark.sql.DataFrame) = df
+        .select("q_id", "n_id", "rnk", "sim")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      val want = key(SimilarityOps.knnPqServe(spark, emb, idx, col("vec_id") < 6))
+      assert(want.nonEmpty)
+      // the stream: two micro-batches of query vectors through foreachBatch,
+      // each probing the index with the SAME code path the batch serve uses
+      val qRows = emb.filter(col("vec_id") < 6)
+        .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+      val got = scala.collection.mutable.Set[(Long, Long, Long, Double)]()
+      val mem = MemoryStream[(Long, Seq[Float])]
+      val q = mem.toDF().toDF("vec_id", "embedding").writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          got ++= key(SimilarityOps.knnPqProbe(spark, batch, idx))
+          () // the Scala overload needs Unit, not the mutated set
+        }.start()
+      try {
+        val (b1, b2) = qRows.splitAt(3)
+        mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+        mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+        assert(got.toSet == want,
+          s"streamed probes diverged from batch serve: missing ${want -- got}")
+        // an append between micro-batches is visible to the NEXT probe
+        // with no cache machinery: a clone of query 0 must become its top-1
+        val clone = emb.filter(col("vec_id") === 0L)
+          .select((col("vec_id") + 777000L).as("vec_id"), col("embedding"), col("label"))
+        SimilarityOps.appendToPqIndex(clone, idx)
+        got.clear()
+        mem.addData(Seq(qRows.find(_._1 == 0L).get)); q.processAllAvailable()
+        val top1 = got.toSeq.filter(r => r._1 == 0L && r._3 == 1L)
+        assert(top1.map(_._2) == Seq(777000L),
+          s"appended clone must be the next probe's top-1, got $top1")
+      } finally q.stop()
+    } finally graft.sources.Bucketed.dropRegistration(spark, s"$idx/raw")
+  }
+
   test("transitionStream: edges across micro-batches fold to the batch counts; late events dropped") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -899,6 +899,47 @@ object TextOps {
        |GROUP BY source, m ORDER BY source""".stripMargin
   }
 
+  /** WEIGHTED sampling without replacement per source (Efraimidis &
+    * Spirakis 2006, the A-ES one-pass scheme): each doc draws its
+    * deterministic uniform u from the mulHash grid and competes on
+    * ln(u)/w — taking the top-k per source IS a weighted sample without
+    * replacement under weights w. Here w = lexical diversity, making this
+    * the quality-weighted data-selection step (uniform sampling keeps
+    * junk at its corpus rate; weighting keeps the good tail): one
+    * map-side pass + the rank window, no RNG state, byte-stable re-runs.
+    * The only non-integer op is ln — routed through `graft_ln`, the
+    * documented libm-parity discipline (see doc_bm25).
+    */
+  def weightedSample(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val u = (graft.Exact.mulHash(col("doc_id")) + 1).cast(DoubleType) /
+      lit(4294967296.0)
+    val base = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        (size(array_distinct(toks)).cast(DoubleType) / size(toks)).as("w"))
+      .withColumn("skey", graft.functions.GraftFunctions.graftLn(u) / col("w"))
+    val wnd = Window.partitionBy("source")
+      .orderBy(col("skey").desc, col("doc_id").asc)
+    base.withColumn("rk", row_number().over(wnd).cast("long"))
+      .filter(col("rk") <= 5)
+      .select("source", "rk", "doc_id", "w")
+      .orderBy("source", "rk")
+  }
+
+  val weightedSampleOracle: String = {
+    val h = graft.Exact.sqlMulHash("doc_id")
+    s"""SELECT source, rk, doc_id, w FROM (
+       |  SELECT source, doc_id, w,
+       |         row_number() OVER (PARTITION BY source
+       |           ORDER BY ln((CAST(($h) AS DOUBLE) + 1) / 4294967296.0) / w DESC,
+       |                    doc_id ASC) AS rk
+       |  FROM (SELECT doc_id, source,
+       |          CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE) /
+       |          len(str_split(text, ' ')) AS w
+       |        FROM documents))
+       |WHERE rk <= 5 ORDER BY source, rk""".stripMargin
+  }
+
   val samplePerSourceOracle: String =
     s"""SELECT source, rnk, doc_id, n_chars FROM (
        |  SELECT source, doc_id, n_chars,
@@ -1958,6 +1999,7 @@ object TextOps {
     QueryDef("doc_rare_tokens", rareTokenRatio, Some(rareTokenOracle)),
     QueryDef("doc_seq_pack", seqPack, Some(seqPackOracle)),
     QueryDef("doc_sample_per_source", samplePerSource, Some(samplePerSourceOracle)),
+    QueryDef("doc_weighted_sample", weightedSample, Some(weightedSampleOracle)),
     QueryDef("doc_mix_sample", mixSample, Some(mixSampleOracle)),
     QueryDef("doc_dsir_weight", dsirWeights, None),
     QueryDef("doc_bm25", bm25, Some(bm25Oracle)),

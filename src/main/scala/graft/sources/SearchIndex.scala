@@ -57,6 +57,37 @@ object SearchIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/$StatsDir")
   }
 
+  /** Incremental ingest — the steady-state maintenance path every index
+    * family here has: explode the NEW docs only, append their postings
+    * into the bucketed layout (each appended file is again one sorted
+    * bucket — [[Bucketed.append]]), and fold the batch's (n_docs,
+    * total_dl) into the one-row stats sidecar. Per-term df needs no
+    * maintenance at all: serving derives it from the postings it reads,
+    * so an append is correct by construction (spec pins serve-after-append
+    * == full rebuild bit-for-bit). The df cap is deliberately NOT applied
+    * to deltas — a term's corpus-wide df isn't known per batch; capping
+    * belongs to the next compaction (rebuild), like z-order re-clustering.
+    */
+  def append(docs: DataFrame, path: String): Unit = {
+    val s = docs.sparkSession
+    val postings = Tables.spread(docs)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term", "doc_id", "dl").agg(count(lit(1)).cast("long").as("tf"))
+      .select("term", "doc_id", "tf", "dl")
+    require(Bucketed.append(postings, path),
+      s"$path is not a graft search index (no bucket marker)")
+    val old = s.read.parquet(s"$path/$StatsDir").head()
+    val add = docs.agg(count(lit(1)).cast("long").as("n_docs"),
+      sum(size(split(col("text"), " "))).cast("long").as("total_dl")).head()
+    import s.implicits._
+    Seq((old.getLong(0) + add.getLong(0), old.getLong(1) + add.getLong(1)))
+      .toDF("n_docs", "total_dl")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/$StatsDir")
+  }
+
   /** Top-k BM25 over the query `terms`, touching only the probed buckets.
     * Output: (doc_id, bm25), ranked (bm25 desc, doc_id asc).
     */

@@ -67,6 +67,25 @@ class SearchIndexSpec extends SparkSpecBase {
     assert(sel <= terms.length, s"$sel buckets for ${terms.length} terms")
   }
 
+  test("append: serve after incremental ingest == full rebuild, bit-for-bit") {
+    import spark.implicits._
+    val docs = Tables.t(spark, sf0001, "documents")
+    val terms = Seq("spark", "vector", "customer")
+    val base = java.nio.file.Files.createTempDirectory("graft-search3").toString
+    val (incr, full) = (s"$base/incr", s"$base/full")
+    // incremental: 80% at build, 20% appended later
+    SearchIndex.write(docs.filter(col("doc_id") % 5 =!= 0), incr, nBuckets = 16)
+    SearchIndex.append(docs.filter(col("doc_id") % 5 === 0), incr)
+    // rebuild over everything
+    SearchIndex.write(docs, full, nBuckets = 16)
+    val a = SearchIndex.search(spark, incr, terms, 25)
+      .as[(Long, Double)].collect().toSeq
+    val b = SearchIndex.search(spark, full, terms, 25)
+      .as[(Long, Double)].collect().toSeq
+    assert(a.nonEmpty && a == b,
+      "incrementally-maintained index must serve the rebuilt index's answer")
+  }
+
   test("df cap drops stopword-class terms at build time") {
     import spark.implicits._
     // 'the' is in every doc; 'rare' in one

@@ -20,6 +20,7 @@ object Registry {
       operators.ReportOps.defs ++
       operators.TextOps.defs ++
       operators.DedupOps.defs ++
+      operators.GraphOps.defs ++
       operators.SimilarityOps.defs ++
       operators.MultimodalOps.defs
 

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.sources.Tables
+
+/** Graph analytics over pair lists — the layer on top of the near-dup
+  * graph that connected components ([[DedupOps.clusterPairs]]) started:
+  * centrality ranks WITHIN the duplicate neighborhoods, answering "which
+  * document is the hub of this near-dup cluster" (the doc every variant
+  * points at — a better canonical pick than min-id when quality signals
+  * tie, and the shape web-graph dedup uses at corpus scale).
+  */
+object GraphOps {
+
+  /** Rank quantization grid: integer ranks make every iteration an exact,
+    * order-independent sum — the whitening/LR determinism discipline
+    * applied to power iteration. Initial rank = Q per node; mass leaks
+    * only through floor (documented, bounded by 1 per edge per iter).
+    */
+  final val Q = 1000000000L
+
+  /** Deterministic PageRank over an UNDIRECTED pair list (d1, d2), damping
+    * 0.85, `iters` fixed power-iteration steps. Every step is ONE shuffle
+    * join (ranks ⋈ edges on the source node) + ONE aggregation by target —
+    * the canonical distributed PR plan; per-iteration localCheckpoint cuts
+    * the lineage exactly like the CC loop. All arithmetic is int64
+    * (contribution = floor(85·r / (100·deg))), so the fixed ranks are
+    * bit-identical under ANY partitioning (spec-pinned).
+    */
+  def pageRank(pairs: DataFrame, iters: Int = 10): DataFrame = {
+    require(iters >= 1, "pageRank needs at least one iteration")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val und = pairs.select(col("d1").as("u"), col("d2").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val edges = und.union(und.select(col("v").as("u"), col("u").as("v")))
+      .distinct().persist(lvl)
+    val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
+    val withDeg = edges.join(deg, "u")
+      .select(col("u"), col("v"), col("deg")).persist(lvl)
+    val nodes = deg.select(col("u").as("id")).persist(lvl)
+    val base = Q * 15L / 100L
+    var ranks = nodes.select(col("id"), lit(Q).as("r")).localCheckpoint(true)
+    (1 to iters).foreach { _ =>
+      val contrib = withDeg
+        .join(ranks, col("u") === col("id"))
+        .select(col("v"),
+          // integer div, not `/` (which is a double in Spark): the floor
+          // keeps every contribution exact int64
+          expr("(r * 85L) div (deg * 100L)").as("c"))
+        .groupBy("v").agg(sum(col("c")).as("in_mass"))
+      ranks = nodes
+        .join(contrib, col("id") === col("v"), "left")
+        .select(col("id"),
+          (lit(base) + coalesce(col("in_mass"), lit(0L))).as("r"))
+        .localCheckpoint(true)
+    }
+    edges.unpersist(); withDeg.unpersist(); nodes.unpersist()
+    ranks
+  }
+
+  /** Hub ranking of the near-dup graph: PR over the exact Jaccard pairs,
+    * reported per cluster so the rank is readable (rows-only gate — the
+    * power iteration is not SQL-expressible; invariants + partition
+    * independence are spec-pinned in `GraphSpec`).
+    */
+  def dupRank(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val pairs = DedupOps.jaccardPairsOn(Tables.t(s, dir, "documents"))
+      .select("d1", "d2").persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val ranks = pageRank(pairs)
+      val clusters = DedupOps.clusterPairs(pairs).select("doc_id", "cluster_id")
+      ranks.join(clusters, col("id") === col("doc_id"))
+        .select(col("cluster_id"), col("doc_id"), col("r").as("rank_q"))
+        .orderBy(col("cluster_id").asc, col("rank_q").desc, col("doc_id").asc)
+    } finally pairs.unpersist()
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("doc_dup_rank", dupRank, None)
+  )
+}

@@ -117,8 +117,52 @@ object MultimodalOps {
     SimilarityOps.cosineDupsBlocked(emb, t = 0.999, k = 8)
   }
 
+  /** Frame-level near-dup across binary assets — the video-dedup shape:
+    * two assets sharing enough FRAMES share content even when their
+    * containers differ. Frames are strided fixed-length slices of the
+    * payload (the [[frameSample]] idea made pairwise): per asset the
+    * distinct frames, hot frames df-capped away (a frame in half the
+    * corpus is a codec header, not content — the Jaccard hot-shingle
+    * argument on bytes), then the inverted-index self-join counts shared
+    * frames per pair. All on the `binary` column — no decode needed to
+    * find container-level dups, which is why pipelines run this BEFORE
+    * any expensive codec pass.
+    */
+  def frameDedup(s: SparkSession, dir: String): DataFrame = {
+    val (frameLen, stride, dfCap, minShared) = (32, 16, 20L, 2L)
+    val frames = asBinaryTable(s, dir)
+      .select(col("doc_id"), explode(array_distinct(
+        when(octet_length(col("payload")) >= frameLen,
+          expr(s"transform(sequence(1, octet_length(payload) - ${frameLen - 1}, $stride), " +
+            s"i -> substring(payload, i, $frameLen))"))
+          .otherwise(expr("CAST(array() AS array<binary>)")))).as("frame"))
+    val kept = frames.join(
+      frames.groupBy("frame").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= dfCap).select("frame"),
+      Seq("frame"), "left_semi")
+    kept.as("a").join(kept.as("b"),
+        col("a.frame") === col("b.frame") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy("d1", "d2")
+  }
+
+  val frameDedupOracle: String =
+    """WITH f AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, greatest(length(text) - 32 + 1, 0) + 1, 16),
+      |    i -> substr(text, i, 32)))) AS frame
+      |  FROM documents),
+      |caps AS (SELECT frame FROM f GROUP BY frame HAVING COUNT(*) <= 20),
+      |fk AS (SELECT f.doc_id, f.frame FROM f JOIN caps USING (frame))
+      |SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS n_shared
+      |FROM fk a JOIN fk b ON a.frame = b.frame AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY d1, d2""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("mm_binary_features", binaryFeatures, None),
-    QueryDef("mm_embed_dedup", embedDedup, None)
+    QueryDef("mm_embed_dedup", embedDedup, None),
+    QueryDef("mm_frame_dedup", frameDedup, Some(frameDedupOracle))
   )
 }

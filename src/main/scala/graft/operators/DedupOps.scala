@@ -964,6 +964,82 @@ object DedupOps {
        |SELECT cluster_id, doc_id AS keeper, q AS keeper_quality, n_docs
        |FROM scored WHERE rk = 1 ORDER BY cluster_id""".stripMargin
 
+  /** The dedup CAPSTONE — the published pipeline order run end-to-end in
+    * one query: exact dedup first (hash groups, keep min id — cheap, kills
+    * byte-identical copies), then NEAR-dup clustering over the SURVIVORS
+    * only (fuzzy matching never pays for rows exact dedup already
+    * removed), then keep-best canonical selection within each cluster.
+    * Reported as the per-source yield funnel (raw → after-exact →
+    * clean) — the number a data-curation run is judged by. Every stage is
+    * the already-gated operator; the composition itself is what this
+    * query pins (the oracle recomputes the whole funnel independently,
+    * recursive-CTE clustering included).
+    */
+  def corpusClean(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.t(s, dir, "documents")
+    val survIds = d.groupBy(md5(lower(col("text"))).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val surv = d.join(survIds, Seq("doc_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val labels = clusterPairs(jaccardPairsOn(surv).select("d1", "d2"))
+        .select("doc_id", "cluster_id")
+      val toks = split(col("text"), " ")
+      val q = surv.select(col("doc_id"),
+        (size(array_distinct(toks)).cast(DoubleType) / size(toks)).as("q"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cluster_id").orderBy(col("q").desc, col("doc_id").asc)
+      val fuzzyDrops = labels.join(q, "doc_id")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") > 1).select("doc_id")
+      val dropsBySrc = surv.join(fuzzyDrops, Seq("doc_id"), "left_semi")
+        .groupBy("source").agg(count(lit(1)).as("n_dropped"))
+      d.groupBy("source").agg(count(lit(1)).as("n_raw"))
+        .join(surv.groupBy("source").agg(count(lit(1)).as("n_after_exact")), Seq("source"))
+        .join(dropsBySrc, Seq("source"), "left")
+        .select(col("source"), col("n_raw"), col("n_after_exact"),
+          (col("n_after_exact") - coalesce(col("n_dropped"), lit(0L))).as("n_clean"))
+        .orderBy("source")
+    } finally surv.unpersist()
+  }
+
+  val corpusCleanOracle: String = {
+    val overSurv = sqlCappedPairs.replace("FROM documents", "FROM surv")
+    s"""WITH RECURSIVE keepers AS (
+       |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(lower(text))),
+       |surv AS (SELECT d.* FROM documents d JOIN keepers USING (doc_id)),
+       |$overSurv,
+       |pairs AS (SELECT d1, d2 FROM jp),
+       |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS id FROM edges),
+       |reach AS (
+       |  SELECT id, id AS r FROM nodes
+       |  UNION
+       |  SELECT e.a AS id, r.r FROM edges e JOIN reach r ON r.id = e.b),
+       |lab AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+       |qual AS (SELECT doc_id,
+       |           CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE) /
+       |           len(str_split(text, ' ')) AS q
+       |         FROM surv),
+       |drops AS (
+       |  SELECT doc_id FROM (
+       |    SELECT l.doc_id,
+       |           row_number() OVER (PARTITION BY cluster_id
+       |                              ORDER BY q DESC, l.doc_id) AS rk
+       |    FROM lab l JOIN qual USING (doc_id))
+       |  WHERE rk > 1),
+       |raw AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_raw
+       |        FROM documents GROUP BY source),
+       |ex AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_after_exact
+       |       FROM surv GROUP BY source),
+       |dr AS (SELECT s.source, CAST(COUNT(*) AS BIGINT) AS n_dropped
+       |       FROM surv s JOIN drops USING (doc_id) GROUP BY s.source)
+       |SELECT source, n_raw, n_after_exact,
+       |       n_after_exact - coalesce(n_dropped, 0) AS n_clean
+       |FROM raw JOIN ex USING (source) LEFT JOIN dr USING (source)
+       |ORDER BY source""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("doc_exact_dedup", exactDedup, Some(exactOracle)),
     QueryDef("doc_jaccard_pairs", jaccardPairs, Some(jaccardOracle), headline = true),
@@ -975,6 +1051,7 @@ object DedupOps {
     QueryDef("doc_incr_dedup", incrementalDedup, Some(incrementalOracle)),
     QueryDef("doc_incr_minhash", incrementalMinHash, None),
     QueryDef("doc_incr_simhash", incrementalSimHash, None),
-    QueryDef("doc_dedup_keep_best", dedupKeepBest, Some(keepBestOracle))
+    QueryDef("doc_dedup_keep_best", dedupKeepBest, Some(keepBestOracle)),
+    QueryDef("doc_corpus_clean", corpusClean, Some(corpusCleanOracle))
   )
 }

@@ -912,6 +912,52 @@ object EventOps {
       .orderBy("event_id")
   }
 
+  /** The (median, MAD) table as a frozen artifact — the robust sibling of
+    * the z-score baseline, fitted once offline. Driver pull bounded by
+    * ǀtypesǀ rows (codebook pattern).
+    */
+  def madFit(events: DataFrame): Seq[(String, Double, Double)] = {
+    val counts = events.groupBy("event_type", "value").agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val wRank = Window.partitionBy("event_type").orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("event_type")
+      val ranked = counts
+        .withColumn("cum", sum(col("cnt")).over(wRank))
+        .withColumn("n", sum(col("cnt")).over(wAll))
+      val med = ranked.filter(col("cum") * 2 >= col("n") + (col("n") % 2))
+        .groupBy("event_type").agg(min(col("value")).as("med"))
+      val mad = counts.join(broadcast(med), "event_type")
+        .select(col("event_type"), abs(col("value") - col("med")).as("dev"), col("cnt"))
+        .groupBy("event_type", "dev").agg(sum(col("cnt")).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(
+          Window.partitionBy("event_type").orderBy("dev")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum(col("cnt")).over(wAll))
+        .filter(col("cum") * 2 >= col("n") + (col("n") % 2))
+        .groupBy("event_type").agg(min(col("dev")).as("mad"))
+      med.join(mad, "event_type").collect().toIndexedSeq
+        .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    } finally counts.unpersist()
+  }
+
+  /** Score ANY (event_id, event_type, value) frame against the frozen
+    * (med, mad) table — the stats ride as TWO map literals, so the pass
+    * is stateless/zero-shuffle and serves a live stream unchanged
+    * (StreamingSpec pins stream == the batch query's flag set).
+    */
+  def madApply(frame: DataFrame, fit: Seq[(String, Double, Double)]): DataFrame = {
+    val medMap = typedLit(fit.map(t => t._1 -> t._2).toMap)
+    val madMap = typedLit(fit.map(t => t._1 -> t._3).toMap)
+    frame
+      .withColumn("med", element_at(medMap, col("event_type")))
+      .withColumn("mad", element_at(madMap, col("event_type")))
+      .filter(col("med").isNotNull &&
+        abs(col("value") - col("med")) > lit(5.0) * col("mad"))
+      .select("event_id", "event_type", "value", "med", "mad")
+  }
+
   val madOracle: String =
     """WITH c AS (SELECT event_type, value, CAST(COUNT(*) AS BIGINT) AS cnt
       |           FROM events GROUP BY event_type, value),

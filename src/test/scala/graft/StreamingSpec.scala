@@ -869,6 +869,36 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("frozen MAD stats serve a live stream: flags == the batch query's, statelessly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ev = graft.sources.Tables.t(spark, sf0001, "events")
+    val fit = operators.EventOps.madFit(ev)
+    assert(fit.nonEmpty)
+    // batch apply against the frozen stats == the one-shot gated query
+    val applied = operators.EventOps.madApply(ev, fit)
+      .select("event_id").as[Long].collect().toSet
+    val gated = operators.EventOps.madOutliers(spark, sf0001)
+      .select("event_id").as[Long].collect().toSet
+    assert(applied == gated, "frozen-stats apply diverged from the one-shot query")
+    // the same columns score a MemoryStream per micro-batch
+    val probe = ev.select("event_id", "event_type", "value")
+      .as[(Long, String, Double)].collect().take(500)
+    val mem = MemoryStream[(Long, String, Double)]
+    val served = operators.EventOps.madApply(
+      mem.toDF().toDF("event_id", "event_type", "value"), fit)
+    val q = served.writeStream.format("memory").queryName("mad_out")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = probe.splitAt(250)
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+      val got = spark.table("mad_out").select("event_id").as[Long].collect().toSet
+      val want = probe.map(_._1).toSet.intersect(gated)
+      assert(got == want, s"stream flags diverged: ${got.size} vs ${want.size}")
+    } finally q.stop()
+  }
+
   test("continuous ANN: per-micro-batch PQ probe == batch serve, sees appends between batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

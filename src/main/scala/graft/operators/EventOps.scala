@@ -491,6 +491,76 @@ object EventOps {
        |WHERE e.value > 3.0 * (s.sx / s.n)
        |ORDER BY event_id""".stripMargin
 
+  /** Detector ENSEMBLE — the production anomaly surface is never one
+    * statistic: each detector has a blind spot (z-score goes blind under
+    * heavy tails, MAD has no seasonal model, the diurnal baseline misses
+    * global shifts), so events are flagged on AGREEMENT — at least 2 of
+    * the 3 per-event detectors. Each member runs its own already-gated
+    * plan; the vote is a union of three (event_id) streams folded by one
+    * tiny aggregate, and the detail join recovers the event row. The
+    * composition costs the members' documented passes plus one
+    * id-sized fold — nothing new touches the fact table.
+    */
+  def anomalyEnsemble(s: SparkSession, dir: String): DataFrame = {
+    val votes = zscoreOutliers(s, dir).select("event_id")
+      .union(madOutliers(s, dir).select("event_id"))
+      .union(seasonalBaseline(s, dir).select("event_id"))
+      .groupBy("event_id").agg(count(lit(1)).as("votes"))
+      .filter(col("votes") >= 2)
+    Tables.t(s, dir, "events")
+      .join(broadcast(votes), "event_id")
+      .select("event_id", "event_type", "value", "votes")
+      .orderBy("event_id")
+  }
+
+  val ensembleOracle: String =
+    s"""WITH zs AS (
+       |  SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS sx,
+       |         CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+       |  FROM events GROUP BY event_type),
+       |zf AS (
+       |  SELECT e.event_id FROM events e JOIN zs USING (event_type)
+       |  WHERE ABS(e.value - zs.sx / zs.n) >
+       |        2.5 * SQRT(zs.sxx / zs.n - (zs.sx / zs.n) * (zs.sx / zs.n))),
+       |mc AS (SELECT event_type, value, CAST(COUNT(*) AS BIGINT) AS cnt
+       |       FROM events GROUP BY event_type, value),
+       |mr AS (SELECT event_type, value, cnt,
+       |              SUM(cnt) OVER (PARTITION BY event_type ORDER BY value
+       |                             ROWS UNBOUNDED PRECEDING) AS cum,
+       |              SUM(cnt) OVER (PARTITION BY event_type) AS n
+       |       FROM mc),
+       |mmed AS (SELECT event_type, MIN(value) AS med FROM mr
+       |         WHERE cum * 2 >= n + (n % 2) GROUP BY event_type),
+       |mdc AS (SELECT mc.event_type, ABS(mc.value - mmed.med) AS dev,
+       |               SUM(mc.cnt) AS cnt
+       |        FROM mc JOIN mmed USING (event_type)
+       |        GROUP BY mc.event_type, ABS(mc.value - mmed.med)),
+       |mdr AS (SELECT event_type, dev, cnt,
+       |               SUM(cnt) OVER (PARTITION BY event_type ORDER BY dev
+       |                              ROWS UNBOUNDED PRECEDING) AS cum,
+       |               SUM(cnt) OVER (PARTITION BY event_type) AS n
+       |        FROM mdc),
+       |mmad AS (SELECT event_type, MIN(dev) AS mad FROM mdr
+       |         WHERE cum * 2 >= n + (n % 2) GROUP BY event_type),
+       |mf AS (
+       |  SELECT e.event_id FROM events e
+       |  JOIN mmed USING (event_type) JOIN mmad USING (event_type)
+       |  WHERE ABS(e.value - mmed.med) > 5.0 * mmad.mad),
+       |ss AS (
+       |  SELECT event_type, hour(ts) AS hod, COUNT(*) AS n,
+       |         ${sqlDsum("value")} AS sx
+       |  FROM events GROUP BY event_type, hour(ts)),
+       |sf AS (
+       |  SELECT e.event_id FROM events e
+       |  JOIN ss ON ss.event_type = e.event_type AND ss.hod = hour(e.ts)
+       |  WHERE e.value > 3.0 * (ss.sx / ss.n)),
+       |u AS (SELECT * FROM zf UNION ALL SELECT * FROM mf UNION ALL SELECT * FROM sf),
+       |v AS (SELECT event_id, CAST(COUNT(*) AS BIGINT) AS votes
+       |      FROM u GROUP BY event_id HAVING COUNT(*) >= 2)
+       |SELECT e.event_id, e.event_type, e.value, v.votes
+       |FROM events e JOIN v USING (event_id)
+       |ORDER BY event_id""".stripMargin
+
   /** CUSUM drift detection per key (Page 1954 re-derived for SQL windows):
     * the sequential changepoint statistic the z-score filter cannot
     * replace — z-score flags single outliers, CUSUM accumulates SMALL
@@ -1074,6 +1144,7 @@ object EventOps {
     QueryDef("ev_gap_stats", gapStats, Some(gapStatsOracle)),
     QueryDef("ev_daily_dense", dailyDense, Some(dailyDenseOracle)),
     QueryDef("ev_mad_outliers", madOutliers, Some(madOracle)),
+    QueryDef("ev_anomaly_ensemble", anomalyEnsemble, Some(ensembleOracle)),
     QueryDef("ev_value_rolling_1h", valueRolling1h, Some(rollingOracle))
   )
 }

@@ -281,6 +281,105 @@ object Analytics {
        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
 
+  /** TPC-H Q6 shape — the forecast-revenue filter aggregate: a pure
+    * scan-filter-sum with EVERY predicate pushed to the parquet scan
+    * (plan-asserted) — the query whose entire cost at 100 TB is decided
+    * by how much the scan skips, which is why it pairs with the
+    * date-partitioned / z-ordered layouts. Revenue = Σ price·discount as
+    * exact scale-4 integer cents under the q1 salt discipline (global
+    * single group ⇒ salted level 1, wide-decimal level 2).
+    */
+  def q6ForecastRevenue(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+    withSalt(l, col("l_orderkey"))
+      .groupBy("__salt")
+      .agg(sum(cents(col("l_extendedprice"), 2) * cents(col("l_discount"), 2))
+        .as("c_rev"), count(lit(1)).as("n"))
+      .agg(rollupCents(col("c_rev"), 4).as("revenue"),
+        sum(col("n")).as("n_items"))
+  }
+
+  val q6Oracle: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |                CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |       COUNT(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  /** TPC-H Q14 shape — promo revenue share: the conditional-aggregate
+    * ratio over a month's lineitem⋈part join. Both sums ride ONE salted
+    * pass; the part side prunes to (partkey, type) at the scan. The final
+    * share is one IEEE division of two exactly-summed decimals — both
+    * engines compute the identical double.
+    */
+  def q14PromoShare(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-03-01") &&
+        col("l_shipdate") < lit("1997-04-01"))
+    val p = Tables.t(s, dir, "part").select("p_partkey", "p_type")
+    val joined = l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    withSalt(joined, col("l_orderkey"))
+      .groupBy("__salt")
+      .agg(
+        sum(when(col("p_type") === "PROMO",
+          centsDisc(col("l_extendedprice"), col("l_discount")))
+          .otherwise(0L)).as("c_promo"),
+        sum(centsDisc(col("l_extendedprice"), col("l_discount"))).as("c_all"))
+      .agg(rollupCents(col("c_promo"), 4).as("promo_revenue"),
+        rollupCents(col("c_all"), 4).as("total_revenue"))
+      .withColumn("promo_share_pct",
+        lit(100.0) * col("promo_revenue") / col("total_revenue"))
+  }
+
+  val q14Oracle: String =
+    s"""SELECT promo_revenue, total_revenue,
+       |       100.0 * promo_revenue / total_revenue AS promo_share_pct
+       |FROM (
+       |  SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN $sqlDiscPrice
+       |                       ELSE CAST(0 AS DECIMAL(36,4)) END) AS DOUBLE) AS promo_revenue,
+       |         CAST(SUM($sqlDiscPrice) AS DOUBLE) AS total_revenue
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+       |    AND l_shipdate <  TIMESTAMP '1997-04-01')""".stripMargin
+
+  /** TPC-H Q19 shape — disjunctive bracket predicates: three (brand, size,
+    * quantity) branches OR'ed together, the stress test for predicate
+    * handling — a planner that can't push a disjunction reads everything.
+    * Spark pushes the OR of conjunctions into BOTH scans (part: brand/size
+    * brackets; lineitem: the quantity envelope), then the residual filter
+    * runs post-join. Exact-cents revenue, per-group bound (q3 argument).
+    */
+  def q19BracketRevenue(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.t(s, dir, "lineitem")
+    val p = Tables.t(s, dir, "part")
+    val joined = l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    val branch1 = col("p_brand") === "Brand#1" &&
+      col("p_size").between(1, 15) && col("l_quantity").between(1, 11)
+    val branch2 = col("p_brand") === "Brand#2" &&
+      col("p_size").between(1, 25) && col("l_quantity").between(10, 20)
+    val branch3 = col("p_brand") === "Brand#3" &&
+      col("p_size").between(1, 35) && col("l_quantity").between(20, 30)
+    withSalt(joined.filter(branch1 || branch2 || branch3), col("l_orderkey"))
+      .groupBy("__salt")
+      .agg(sum(centsDisc(col("l_extendedprice"), col("l_discount"))).as("c_rev"),
+        count(lit(1)).as("n"))
+      .agg(rollupCents(col("c_rev"), 4).as("revenue"), sum(col("n")).as("n_items"))
+  }
+
+  val q19Oracle: String =
+    s"""SELECT CAST(SUM($sqlDiscPrice) AS DOUBLE) AS revenue, COUNT(*) AS n_items
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+       |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+       |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
   /** TPC-H Q13 shape — customer order-count distribution: the two-level
     * aggregate over a LEFT OUTER join (the outer side matters — customers
     * with zero orders are the histogram's head, and an inner join silently
@@ -463,6 +562,9 @@ object Analytics {
     QueryDef("q17_small_qty_revenue", q17SmallQtyRevenue, Some(q17Oracle)),
     QueryDef("q18_volume_customers", q18VolumeCustomers, Some(q18Oracle)),
     QueryDef("q13_custdist", q13CustDist, Some(q13Oracle)),
+    QueryDef("q6_forecast_revenue", q6ForecastRevenue, Some(q6Oracle)),
+    QueryDef("q14_promo_share", q14PromoShare, Some(q14Oracle)),
+    QueryDef("q19_bracket_revenue", q19BracketRevenue, Some(q19Oracle)),
     QueryDef("q_rollup_revenue", qRollupRevenue, Some(qRollupOracle)),
     QueryDef("q_cube_revenue", qCubeRevenue, Some(qCubeOracle)),
     QueryDef("q_topk_orders_per_cust", qTopkOrdersPerCust, Some(qTopkOracle)),

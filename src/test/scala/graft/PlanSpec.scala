@@ -328,6 +328,29 @@ class PlanSpec extends SparkSpecBase {
     assert(n == 2, s"retention must hash-shuffle exactly twice (user fold, cohort fold), got $n:\n$p")
   }
 
+  private def pushedFilters(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metadata.getOrElse("PushedFilters", "")
+    }.mkString("\n")
+
+  test("q6: every predicate reaches the scan — the whole query is the skip rate") {
+    val f = pushedFilters(Analytics.q6ForecastRevenue(spark, sf0001))
+    assert(f.contains("GreaterThanOrEqual(l_shipdate") &&
+      f.contains("LessThan(l_shipdate"), s"date range must push:\n$f")
+    assert(f.contains("GreaterThanOrEqual(l_discount") &&
+      f.contains("LessThanOrEqual(l_discount"), s"discount bracket must push:\n$f")
+    assert(f.contains("LessThan(l_quantity"), s"quantity bound must push:\n$f")
+  }
+
+  test("q19: the OR-of-conjunctions pushes into both scans") {
+    val f = pushedFilters(Analytics.q19BracketRevenue(spark, sf0001))
+    // Spark renders pushed disjunctions as Or(And(...)...) in PushedFilters
+    assert(f.contains("Or(And("), s"disjunction must reach a scan:\n$f")
+    assert(f.contains("p_brand"),
+      s"brand branches must appear in the part scan's pushed filters:\n$f")
+  }
+
   test("q17: decorrelated mean is one extra lineitem pass; brand filter pushed to part") {
     val df = Analytics.q17SmallQtyRevenue(spark, sf0001)
     val scans = df.queryExecution.sparkPlan.collect {

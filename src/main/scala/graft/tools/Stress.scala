@@ -123,6 +123,43 @@ object Stress {
     time(s"incr-minhash from-index x$copies")(
       DedupOps.incrementalMinHashFromIndex(spark, batch, mhIdx).count())
     spark.catalog.clearCache()
+
+    // keyword-search serving: the probe reads ONLY the query terms'
+    // buckets, so while the posting lists for those terms grow linearly
+    // with copies, the probe never touches the rest of the index — the
+    // comparison to watch is probe vs the full-scan BM25 at the SAME
+    // corpus size (the full scan pays the whole corpus each query).
+    // Text-identical copies (sameTextCorpus) keep per-doc scores constant.
+    val sIdx = java.nio.file.Files.createTempDirectory("graft-stress-se")
+      .toString + "/search"
+    val terms = Seq("spark", "vector", "customer")
+    val docsSame = sameTextCorpus(copies)
+    time(s"search-index build x$copies")(
+      { graft.sources.SearchIndex.write(docsSame, sIdx); "ok" })
+    spark.catalog.clearCache()
+    time(s"search full-scan x$copies")(
+      TextOps.bm25Apply(docsSame, TextOps.bm25Fit(docsSame, terms)).count())
+    spark.catalog.clearCache()
+    time(s"search probe x$copies")(
+      graft.sources.SearchIndex.search(spark, sIdx, terms, 25).count())
+    graft.sources.Bucketed.dropRegistration(spark, sIdx)
+    spark.catalog.clearCache()
+
+    // bloom runtime-filter join: fixed selective build side, probe side
+    // grows xN. The invariant is the CUT — rows surviving the map-side
+    // bloom filter track the true matches (+fp slack), so the exchange
+    // carries ~matches at every scale instead of the whole probe side.
+    val probeN = docsN.select(col("doc_id"), pmod(col("doc_id"), lit(50000L)).as("key"))
+    val buildSide = spark.range(500).select((col("id") * 100L).as("key"))
+    time(s"bloom-join cut x$copies") {
+      val cut = graft.operators.BloomJoin.filterSide(probeN, buildSide, "key").count()
+      val matches = graft.operators.BloomJoin
+        .bloomFilteredJoin(probeN, buildSide, "key").count()
+      require(cut <= matches * 2 + 1000,
+        s"bloom cut not tracking matches: cut=$cut matches=$matches")
+      s"cut=$cut matches=$matches"
+    }
+    spark.catalog.clearCache()
     }
 
     // events x copies on distinct user spaces

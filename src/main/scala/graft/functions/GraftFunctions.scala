@@ -49,6 +49,7 @@ object GraftFunctions {
     if (!rules.extraOptimizations.exists(_.isInstanceOf[graft.plans.ManifestAgg]))
       rules.extraOptimizations =
         rules.extraOptimizations :+ graft.plans.ManifestAgg(spark)
+    graft.plans.IntervalJoins.ensureStrategy(spark)
   }
 
   // Column-API wrappers (require register() / GraftExtensions on the session).

@@ -782,6 +782,27 @@ object EventOps {
       .orderBy("target_id", "attack_start_us")
   }
 
+  /** The same context enrichment through the CUSTOM SWEEP OPERATOR
+    * ([[graft.plans.IntervalJoins]]) — the scale form for when the
+    * interval side outgrows a broadcast (the declarative `between` join
+    * above degrades to nested-loop then): co-partition by key, sort by
+    * time, one linear sweep. Gated against the IDENTICAL oracle as the
+    * declarative query, so the custom physical operator's semantics are
+    * hash-checked end-to-end, not just spec'd.
+    */
+  def attackContextSweep(s: SparkSession, dir: String): DataFrame = {
+    val attacks = cepAttackOn(Tables.t(s, dir, "events"))
+      .select(col("target_id"), col("attack_start_us"),
+        col("normal_ts_us").as("attack_end_win_us"))
+    val e = Tables.t(s, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+    graft.plans.IntervalJoins.pointInInterval(e, attacks,
+        "user_id", "ts_us", "target_id", "attack_start_us", "attack_end_win_us")
+      .groupBy("target_id", "attack_start_us")
+      .agg(count(lit(1)).as("n_ctx"), dsum(col("value")).as("sum_ctx"))
+      .orderBy("target_id", "attack_start_us")
+  }
+
   val attackContextOracle: String =
     s"""WITH e0 AS (
        |  SELECT user_id, event_id, ts, value,
@@ -1123,6 +1144,7 @@ object EventOps {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("ev_asof_last_order", asofLastOrder, Some(asofOracle)),
     QueryDef("ev_attack_context", attackContext, Some(attackContextOracle)),
+    QueryDef("ev_attack_context_sweep", attackContextSweep, Some(attackContextOracle)),
     QueryDef("ev_funnel_2step", funnel2Step, Some(funnelOracle)),
     QueryDef("ev_tumbling_hourly", tumblingHourly, Some(tumblingOracle)),
     QueryDef("ev_sliding_6h", sliding6h, Some(slidingOracle)),

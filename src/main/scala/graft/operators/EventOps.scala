@@ -923,6 +923,47 @@ object EventOps {
       |SELECT day * 86400000000 AS day_us, coalesce(n, 0) AS n_events
       |FROM cal LEFT JOIN c USING (day) ORDER BY day_us""".stripMargin
 
+  /** Time-weighted average value per user (TWAP — the metrics/finance
+    * aggregate where COUNT-weighted means lie: a value held for an hour
+    * must weigh 3600x one held a second). Each event's value is weighted
+    * by its holding time (until the next event); one exchange on user_id
+    * serves the lead window and the fold. Exact arithmetic end-to-end:
+    * value quantizes to integer cents, holding times are integer micros,
+    * per-event products stay under 2^63 (600·100 cents × months of
+    * micros ≈ 1.6e17) and the per-user sum accumulates as DECIMAL(38,0)
+    * — overflow-safe at any event density — with ONE shared IEEE
+    * division sequence at the end.
+    */
+  def twap(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    Tables.t(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      .withColumn("dt_us", lead(col("ts_us"), 1).over(w) - col("ts_us"))
+      .filter(col("dt_us").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_held"),
+        sum(col("dt_us")).as("total_us"),
+        sum((cents(col("value")) * col("dt_us")).cast(dec)).as("sum_vdt"))
+      .select(col("user_id"), col("n_held"), col("total_us"),
+        (col("sum_vdt").cast(DoubleType) / col("total_us").cast(DoubleType)
+          / lit(100.0)).as("twap"))
+      .orderBy("user_id")
+  }
+
+  val twapOracle: String =
+    """SELECT user_id, COUNT(*) AS n_held,
+      |       CAST(SUM(dt_us) AS BIGINT) AS total_us,
+      |       CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT) * dt_us) AS DOUBLE)
+      |         / CAST(SUM(dt_us) AS DOUBLE) / 100.0 AS twap
+      |FROM (SELECT user_id, value,
+      |             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+      |               ORDER BY epoch_us(ts), event_id) - epoch_us(ts) AS dt_us
+      |      FROM events)
+      |WHERE dt_us IS NOT NULL
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Inter-arrival gap statistics per user — the signal session-gap and
     * rate-limit thresholds are tuned from. ONE exchange on user_id serves
     * both the lag window and the per-user aggregate (Catalyst reuses the
@@ -1165,6 +1206,7 @@ object EventOps {
     QueryDef("ev_hourly_active", hourlyActiveUsers, Some(hourlyActiveOracle)),
     QueryDef("ev_gap_stats", gapStats, Some(gapStatsOracle)),
     QueryDef("ev_daily_dense", dailyDense, Some(dailyDenseOracle)),
+    QueryDef("ev_twap", twap, Some(twapOracle)),
     QueryDef("ev_mad_outliers", madOutliers, Some(madOracle)),
     QueryDef("ev_anomaly_ensemble", anomalyEnsemble, Some(ensembleOracle)),
     QueryDef("ev_value_rolling_1h", valueRolling1h, Some(rollingOracle))

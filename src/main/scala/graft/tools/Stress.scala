@@ -162,6 +162,34 @@ object Stress {
     spark.catalog.clearCache()
     }
 
+    // interval-join scale: a per-key interval side far too big to
+    // broadcast (copies x 2000 intervals). The declarative between-join
+    // without a broadcast hint degrades toward nested-loop work per key;
+    // the sweep operator's cost is the two sorts + the linear merge.
+    // Both forms must agree exactly (hard require), the curve is the point.
+    if (!eventsOnly) {
+      val nK = 200L
+      val pts = spark.range(100000L * copies).select(
+        (col("id") % nK).as("k"), ((col("id") * 37) % 1000000L).as("ts"),
+        col("id").as("pid"))
+      val ivs = spark.range(2000L * copies).select(
+        (col("id") % nK).as("ik"), ((col("id") * 53) % 999000L).as("s"),
+        (((col("id") * 53) % 999000L) + 500L).as("e"), col("id").as("iid"))
+      var sweepN = 0L
+      time(s"interval-sweep x$copies") {
+        sweepN = graft.plans.IntervalJoins
+          .pointInInterval(pts, ivs, "k", "ts", "ik", "s", "e").count()
+        sweepN
+      }
+      time(s"interval-declarative x$copies") {
+        val d = pts.join(ivs, col("k") === col("ik") &&
+          col("ts").between(col("s"), col("e"))).count()
+        require(d == sweepN, s"sweep != declarative: $sweepN vs $d")
+        d
+      }
+      spark.catalog.clearCache()
+    }
+
     // events x copies on distinct user spaces
     val ev = Tables.t(spark, dir, "events")
     val evN = (0 until copies).map { i =>

@@ -1040,6 +1040,36 @@ object DedupOps {
        |ORDER BY source""".stripMargin
   }
 
+  /** Cross-source duplication matrix — WHO copies from WHOM: near-dup
+    * pairs cross-tabbed by their source pair (canonical order). The
+    * curation signal behind source-level dedup decisions (a source that
+    * is mostly near-dups of another adds tokens, not information, and
+    * its mixing weight should say so). Pair volume is the already-capped
+    * Jaccard output; the source join touches only (doc_id, source).
+    */
+  def dupSourceMatrix(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.t(s, dir, "documents").select("doc_id", "source")
+    val pairs = jaccardPairsOn(Tables.t(s, dir, "documents")).select("d1", "d2")
+    pairs
+      .join(d.select(col("doc_id").as("d1"), col("source").as("src_a")), "d1")
+      .join(d.select(col("doc_id").as("d2"), col("source").as("src_b")), "d2")
+      .select(least(col("src_a"), col("src_b")).as("s1"),
+        greatest(col("src_a"), col("src_b")).as("s2"))
+      .groupBy("s1", "s2").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("s1", "s2")
+  }
+
+  val dupSourceMatrixOracle: String =
+    s"""WITH $sqlCappedPairs,
+       |m AS (
+       |  SELECT LEAST(a.source, b.source) AS s1,
+       |         GREATEST(a.source, b.source) AS s2
+       |  FROM jp
+       |  JOIN documents a ON a.doc_id = jp.d1
+       |  JOIN documents b ON b.doc_id = jp.d2)
+       |SELECT s1, s2, CAST(COUNT(*) AS BIGINT) AS n_pairs
+       |FROM m GROUP BY s1, s2 ORDER BY s1, s2""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("doc_exact_dedup", exactDedup, Some(exactOracle)),
     QueryDef("doc_jaccard_pairs", jaccardPairs, Some(jaccardOracle), headline = true),
@@ -1052,6 +1082,7 @@ object DedupOps {
     QueryDef("doc_incr_minhash", incrementalMinHash, None),
     QueryDef("doc_incr_simhash", incrementalSimHash, None),
     QueryDef("doc_dedup_keep_best", dedupKeepBest, Some(keepBestOracle)),
-    QueryDef("doc_corpus_clean", corpusClean, Some(corpusCleanOracle))
+    QueryDef("doc_corpus_clean", corpusClean, Some(corpusCleanOracle)),
+    QueryDef("doc_dup_source_matrix", dupSourceMatrix, Some(dupSourceMatrixOracle))
   )
 }

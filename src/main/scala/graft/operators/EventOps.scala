@@ -923,6 +923,48 @@ object EventOps {
       |SELECT day * 86400000000 AS day_us, coalesce(n, 0) AS n_events
       |FROM cal LEFT JOIN c USING (day) ORDER BY day_us""".stripMargin
 
+  /** Key-skew diagnostics — the measurement that DECIDES the salting/
+    * AQE-skew-join question instead of guessing: per-key event counts
+    * collapse map-side, then the tiny per-key frame ranks by count and
+    * reports the concentration numbers that matter for a shuffle (share
+    * of the top key, of the top 10, distinct keys, max/mean ratio). At
+    * 100 TB this reads the fact table once and shuffles ≤ ǀkeysǀ rows —
+    * run it BEFORE picking join strategies, feed the answer to
+    * [[SkewJoin]].
+    */
+  def keySkew(s: SparkSession, dir: String): DataFrame = {
+    val perKey = Tables.t(s, dir, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("n").desc, col("user_id").asc)
+    perKey.withColumn("rk", row_number().over(w))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("n")).as("n_events"),
+        max(col("n")).as("max_key"),
+        sum(when(col("rk") <= 1, col("n")).otherwise(0L)).as("top1"),
+        sum(when(col("rk") <= 10, col("n")).otherwise(0L)).as("top10"))
+      .select(col("n_keys"), col("n_events"), col("max_key"),
+        (col("top1").cast(DoubleType) / col("n_events")).as("top1_share"),
+        (col("top10").cast(DoubleType) / col("n_events")).as("top10_share"),
+        (col("max_key").cast(DoubleType) * col("n_keys") / col("n_events"))
+          .as("max_over_mean"))
+  }
+
+  val keySkewOracle: String =
+    """SELECT n_keys, n_events, max_key,
+      |       CAST(top1 AS DOUBLE) / n_events AS top1_share,
+      |       CAST(top10 AS DOUBLE) / n_events AS top10_share,
+      |       CAST(max_key AS DOUBLE) * n_keys / n_events AS max_over_mean
+      |FROM (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+      |         CAST(SUM(n) AS BIGINT) AS n_events,
+      |         CAST(MAX(n) AS BIGINT) AS max_key,
+      |         CAST(SUM(CASE WHEN rk <= 1 THEN n ELSE 0 END) AS BIGINT) AS top1,
+      |         CAST(SUM(CASE WHEN rk <= 10 THEN n ELSE 0 END) AS BIGINT) AS top10
+      |  FROM (SELECT n, row_number() OVER (ORDER BY n DESC, user_id) AS rk
+      |        FROM (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+      |              FROM events GROUP BY user_id)))""".stripMargin
+
   /** Time-weighted average value per user (TWAP — the metrics/finance
     * aggregate where COUNT-weighted means lie: a value held for an hour
     * must weigh 3600x one held a second). Each event's value is weighted
@@ -1207,6 +1249,7 @@ object EventOps {
     QueryDef("ev_gap_stats", gapStats, Some(gapStatsOracle)),
     QueryDef("ev_daily_dense", dailyDense, Some(dailyDenseOracle)),
     QueryDef("ev_twap", twap, Some(twapOracle)),
+    QueryDef("ev_key_skew", keySkew, Some(keySkewOracle)),
     QueryDef("ev_mad_outliers", madOutliers, Some(madOracle)),
     QueryDef("ev_anomaly_ensemble", anomalyEnsemble, Some(ensembleOracle)),
     QueryDef("ev_value_rolling_1h", valueRolling1h, Some(rollingOracle))

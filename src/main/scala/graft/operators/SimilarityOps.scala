@@ -1768,6 +1768,69 @@ object SimilarityOps {
        |WHERE ${sqlQCos("a.wv", "b.wv")} >= 0.4
        |ORDER BY v1, v2""".stripMargin
 
+  /** Nearest-centroid classification + its confusion matrix — the
+    * embedding-space evaluation twin of the text-side `doc_langid_eval`:
+    * fit one centroid per label (the codebook pattern: quantized-integer
+    * per-dim sums — order-independent, exact — one IEEE division per
+    * coordinate, float-cast mirrored by the oracle), broadcast the ≤
+    * ǀlabelsǀ centroid literals, score every vector map-side with the
+    * quantized cosine, argmax with the smallest-label tiebreak, and
+    * cross-tab predictions against true labels. One corpus scan for the
+    * fit's tiny aggregate, one for scoring; the matrix collapses
+    * map-side to ≤ ǀlabelsǀ² rows per partition.
+    */
+  def centroidEval(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "embeddings")
+    val dims = 0 until Dim
+    val aggs = dims.map(d =>
+      sum(floor(element_at(col("embedding"), d + 1).cast(DoubleType) * 1e9)
+        .cast("long")).as(s"s$d"))
+    val cents = e.groupBy("label").agg(count(lit(1)).as("n"), aggs: _*)
+      .collect().map { r =>
+        val n = r.getLong(1)
+        r.getInt(0) -> dims.map(d =>
+          (r.getLong(2 + d).toDouble / 1e9 / n).toFloat).toArray
+      }.sortBy(_._1)
+    val scored = cents.foldLeft(e.select(col("vec_id"), col("label"), col("embedding"))) {
+      case (df, (l, c)) => df.withColumn(s"sim_$l",
+        graftCosine(col("embedding"), typedLit(c.toSeq)))
+    }
+    val simCols = cents.map { case (l, _) => col(s"sim_$l") }
+    val pred = cents.foldRight(lit(-1)) { case ((l, _), other) =>
+      when(col(s"sim_$l") === greatest(simCols: _*), lit(l)).otherwise(other)
+    }
+    scored.withColumn("pred_label", pred)
+      .groupBy("label", "pred_label").agg(count(lit(1)).as("n"))
+      .orderBy("label", "pred_label")
+  }
+
+  val centroidEvalOracle: String = {
+    val dims = 0 until Dim
+    val sums = dims.map(d =>
+      s"SUM(CAST(FLOOR(CAST(embedding[${d + 1}] AS DOUBLE) * 1e9) AS BIGINT)) AS s$d")
+      .mkString(",\n    ")
+    val coords = dims.map(d => s"CAST(CAST(s$d AS BIGINT) AS DOUBLE) / 1e9 / n")
+      .mkString(", ")
+    s"""WITH cent AS (
+       |  SELECT label AS clabel,
+       |         CAST(list_value($coords) AS FLOAT[]) AS cf
+       |  FROM (SELECT label, COUNT(*) AS n,
+       |    $sums
+       |  FROM embeddings GROUP BY label)),
+       |scored AS (
+       |  SELECT e.vec_id, e.label, c.clabel,
+       |         ${sqlQCos("e.embedding", "c.cf")} AS sim
+       |  FROM embeddings e CROSS JOIN cent c),
+       |pred AS (
+       |  SELECT vec_id, label, clabel AS pred_label,
+       |         row_number() OVER (PARTITION BY vec_id
+       |                            ORDER BY sim DESC, clabel ASC) AS rk
+       |  FROM scored)
+       |SELECT label, pred_label, CAST(COUNT(*) AS BIGINT) AS n
+       |FROM pred WHERE rk = 1
+       |GROUP BY label, pred_label ORDER BY label, pred_label""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("emb_knn_brute", knnBrute, Some(knnOracle), headline = true),
     QueryDef("emb_knn_filtered", knnFiltered, Some(knnFilteredOracle)),
@@ -1778,6 +1841,7 @@ object SimilarityOps {
     QueryDef("emb_knn_mrl", knnMrl, None),
     QueryDef("emb_knn_join", knnJoin, Some(knnJoinOracle)),
     QueryDef("emb_label_centroids", labelCentroids, Some(centroidsOracle)),
+    QueryDef("emb_centroid_eval", centroidEval, Some(centroidEvalOracle)),
     QueryDef("emb_cosine_dups", cosineDups, Some(cosineDupsOracle)),
     QueryDef("emb_incr_cosine", incrementalCosine, Some(incrementalCosineOracle)),
     QueryDef("emb_dup_clusters", embDupClusters, Some(embDupClustersOracle)),

@@ -545,6 +545,30 @@ object Analytics {
       |FROM orders
       |ORDER BY o_custkey, odate_us, o_orderkey""".stripMargin
 
+  /** Percent-of-total — the share-of-business rollup: per-group exact
+    * revenue against the exact global total. The total is NOT a window
+    * over the per-group doubles (a float fold whose association order is
+    * partition-dependent): it is its own decimal aggregate, broadcast as
+    * one row, so group/total/share are all engine-exact. Two aggregates
+    * over one scan's exchange reuse; share is one shared IEEE division.
+    */
+  def qPriorityShare(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.t(s, dir, "orders")
+    val per = o.groupBy("o_orderpriority").agg(dsum(col("o_totalprice")).as("rev"))
+    val total = o.agg(dsum(col("o_totalprice")).as("total"))
+    per.crossJoin(broadcast(total))
+      .select(col("o_orderpriority"), col("rev"), col("total"),
+        (lit(100.0) * col("rev") / col("total")).as("share_pct"))
+      .orderBy("o_orderpriority")
+  }
+
+  val qShareOracle: String =
+    s"""SELECT o_orderpriority, ${sqlDsum("o_totalprice")} AS rev,
+       |       (SELECT ${sqlDsum("o_totalprice")} FROM orders) AS total,
+       |       100.0 * ${sqlDsum("o_totalprice")} /
+       |         (SELECT ${sqlDsum("o_totalprice")} FROM orders) AS share_pct
+       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   /** HLL sketch distinct — the 100 TB answer to COUNT(DISTINCT): no exact
     * shuffle of the full key set. Approximate, so rows-only checked.
     */
@@ -574,6 +598,7 @@ object Analytics {
     QueryDef("q_above_avg_price_parts", qAboveAvgPriceParts, Some(qAboveAvgOracle)),
     QueryDef("q_pivot_status_counts", qPivotStatusCounts, Some(qPivotOracle)),
     QueryDef("q_cumsum_cust", qCumsumCust, Some(qCumsumOracle)),
+    QueryDef("q_priority_share", qPriorityShare, Some(qShareOracle)),
     QueryDef("q_approx_distinct_custs", qApproxDistinctCusts, None)
   )
 }

@@ -1058,11 +1058,15 @@ object EventOps {
     */
   def madOutliers(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.t(s, dir, "events")
-    // the sufficient statistic, persisted: median, deviations AND mad all
-    // derive from it — without the persist each derivation re-scans the
-    // fact table (PlanSpec pins exactly two raw-event scans)
+    // the sufficient statistic, materialized ONCE: median, deviations AND
+    // mad all derive from it — without this each derivation re-scans the
+    // fact table (PlanSpec pins the shape). localCheckpoint, NOT persist:
+    // a persist left registered in the cache manager substitutes into any
+    // LATER query whose plan contains the same (type, value) aggregate
+    // subtree (it silently rewrote ev_quantiles' plan in the full suite),
+    // while a checkpointed RDD is private to this query's lineage.
     val counts = e.groupBy("event_type", "value").agg(count(lit(1)).as("cnt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val wRank = Window.partitionBy("event_type").orderBy("value")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy("event_type")

@@ -116,6 +116,24 @@ object TextOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Length histogram — the first profiling cut of any new corpus drop
+    * (a length distribution that suddenly grows a short-doc spike is an
+    * extraction bug upstream): 100-char buckets by integer division, so
+    * bucketing is exact arithmetic; counts collapse map-side to one row
+    * per bucket per partition.
+    */
+  def lenHistogram(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "documents")
+      .groupBy((col("n_chars").cast("long") / 100L).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+      .orderBy("bucket")
+
+  val lenHistogramOracle: String =
+    """SELECT n_chars // 100 AS bucket, COUNT(*) AS n_docs,
+      |       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+      |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin
+
   /** Classifier evaluation — the confusion matrix over (labeled, predicted)
     * pairs, the op every pipeline model (langid, NB, LR) is judged by
     * before its scores gate data. The per-doc scoring pass is the langId
@@ -1981,6 +1999,7 @@ object TextOps {
     QueryDef("doc_quality", quality, Some(qualityOracle)),
     QueryDef("doc_langid", langId, Some(langIdOracle)),
     QueryDef("doc_langid_eval", langIdEval, Some(langIdEvalOracle)),
+    QueryDef("doc_len_histogram", lenHistogram, Some(lenHistogramOracle)),
     QueryDef("doc_sqli_flag", sqliFlag, Some(sqliOracle)),
     QueryDef("doc_fingerprint", fingerprint, Some(fingerprintOracle)),
     QueryDef("doc_winnow", winnow, Some(winnowOracle)),

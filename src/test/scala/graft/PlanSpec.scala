@@ -371,15 +371,15 @@ class PlanSpec extends SparkSpecBase {
       case s: org.apache.spark.sql.execution.FileSourceScanExec => s
     }
     val events = scans.count(_.toString.contains("events.parquet"))
-    // one collapse to (type, value) counts — PERSISTED, so median,
-    // deviations and mad all read the cache; the only raw file scan in
-    // the lazy plan is the flagging join's (cache build adds one more at
-    // materialization: two corpus passes total)
+    // one collapse to (type, value) counts — locally CHECKPOINTED, so
+    // median, deviations and mad all read the materialized RDD; the only
+    // raw file scan in the lazy plan is the flagging join's (the
+    // checkpoint build is the other corpus pass: two total)
     assert(events == 1,
-      s"mad must leave one raw scan (flag) outside the cached counts, got $events")
+      s"mad must leave one raw scan (flag) outside the checkpointed counts, got $events")
     val p = plan(df)
-    assert(p.contains("InMemoryTableScan"),
-      "median/dev/mad derivations must consume the persisted counts frame")
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      "median/dev/mad derivations must consume the checkpointed counts frame")
     assert(p.contains("BroadcastHashJoin"),
       "the (med, mad) row set must broadcast into the flagging join")
   }

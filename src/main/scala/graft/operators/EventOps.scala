@@ -923,6 +923,39 @@ object EventOps {
       |SELECT day * 86400000000 AS day_us, coalesce(n, 0) AS n_events
       |FROM cal LEFT JOIN c USING (day) ORDER BY day_us""".stripMargin
 
+  /** Longest consecutive-day activity streak per user — the engagement
+    * gaps-and-islands (CEP's island fold applied to calendar days): the
+    * fact table collapses FIRST to distinct (user, day) — bounded by
+    * users × days at any event volume — then day − row_number labels each
+    * run and two tiny folds take the longest. One exchange on user_id
+    * serves the distinct, the window and the fold.
+    */
+  def activeStreak(s: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val w = Window.partitionBy("user_id").orderBy("day")
+    Tables.t(s, dir, "events")
+      .select(col("user_id"), expr(s"unix_micros(ts) div $dayUs").as("day"))
+      .distinct()
+      .withColumn("grp", col("day") - row_number().over(w))
+      .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(max(col("len")).as("longest_streak"),
+        sum(col("len")).as("n_active_days"))
+      .orderBy("user_id")
+  }
+
+  val streakOracle: String =
+    """SELECT user_id, MAX(len) AS longest_streak,
+      |       CAST(SUM(len) AS BIGINT) AS n_active_days
+      |FROM (
+      |  SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len
+      |  FROM (SELECT user_id, day,
+      |               day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      |        FROM (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      |              FROM events))
+      |  GROUP BY user_id, grp)
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Key-skew diagnostics — the measurement that DECIDES the salting/
     * AQE-skew-join question instead of guessing: per-key event counts
     * collapse map-side, then the tiny per-key frame ranks by count and
@@ -1254,6 +1287,7 @@ object EventOps {
     QueryDef("ev_daily_dense", dailyDense, Some(dailyDenseOracle)),
     QueryDef("ev_twap", twap, Some(twapOracle)),
     QueryDef("ev_key_skew", keySkew, Some(keySkewOracle)),
+    QueryDef("ev_active_streak", activeStreak, Some(streakOracle)),
     QueryDef("ev_mad_outliers", madOutliers, Some(madOracle)),
     QueryDef("ev_anomaly_ensemble", anomalyEnsemble, Some(ensembleOracle)),
     QueryDef("ev_value_rolling_1h", valueRolling1h, Some(rollingOracle))

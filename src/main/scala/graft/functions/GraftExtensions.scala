@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.CollapseDistinctShingles)
     ext.injectOptimizerRule(session => graft.plans.ManifestPrune(session))
     ext.injectOptimizerRule(session => graft.plans.ManifestAgg(session))
+    ext.injectOptimizerRule(session => graft.plans.BloomPrune(session))
     ext.injectPlannerStrategy(_ => graft.plans.IntervalJoinStrategy)
     GraftFunctions.builders.foreach { case (name, builder) =>
       ext.injectFunction((

@@ -49,6 +49,9 @@ object GraftFunctions {
     if (!rules.extraOptimizations.exists(_.isInstanceOf[graft.plans.ManifestAgg]))
       rules.extraOptimizations =
         rules.extraOptimizations :+ graft.plans.ManifestAgg(spark)
+    if (!rules.extraOptimizations.exists(_.isInstanceOf[graft.plans.BloomPrune]))
+      rules.extraOptimizations =
+        rules.extraOptimizations :+ graft.plans.BloomPrune(spark)
     graft.plans.IntervalJoins.ensureStrategy(spark)
   }
 

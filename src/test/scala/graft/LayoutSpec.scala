@@ -89,6 +89,40 @@ class LayoutSpec extends SparkSpecBase {
       "corrupt geometry must fail open to the same answer")
   }
 
+  test("BloomPrune rule: a plain filter reader gets point-lookup file skipping for free") {
+    val base = java.nio.file.Files.createTempDirectory("graft-bprune").toString
+    val path = s"$base/docs"
+    Tables.t(spark, sf0001, "documents").select("doc_id", "text", "lang")
+      .repartition(6, hash(col("doc_id")))
+      .write.parquet(path)
+    Layout.writeBloomSidecar(spark, path, Seq("doc_id"))
+    val nFiles = spark.read.parquet(path).inputFiles.length
+
+    // NO special API — the rule rewrites the plain read's file index
+    val df = spark.read.parquet(path).filter(col("doc_id") === 7L)
+    val m = scanMetrics(df)
+    assert(m("numFiles") <= 2,
+      s"rule must skip bloom-excluded files: read ${m("numFiles")} of $nFiles")
+    assert(df.count() == 1L)
+
+    // absent key: zero (or fp-stray) files, empty result, no error
+    val absent = spark.read.parquet(path).filter(col("doc_id") === 987654321L)
+    assert(scanMetrics(absent)("numFiles") <= 1)
+    assert(absent.count() == 0L)
+
+    // a range predicate is NOT a point: the rule must not touch it and
+    // the answer stays complete (compare against a collect-side recount)
+    val range = spark.read.parquet(path)
+      .filter(col("doc_id") >= 0L && col("doc_id") <= 100L)
+    val want = spark.read.parquet(path).select("doc_id").collect()
+      .count(r => r.getLong(0) >= 0L && r.getLong(0) <= 100L)
+    assert(range.count() == want, "range predicates must pass through un-pruned")
+    // disjunctions contribute nothing — full answer preserved
+    val disj = spark.read.parquet(path)
+      .filter(col("doc_id") === 7L || col("doc_id") === 11L)
+    assert(disj.count() == 2L)
+  }
+
   test("date-partitioned layout: a day filter prunes to that day's files") {
     val path = java.nio.file.Files.createTempDirectory("graft-part").toString + "/events"
     Layout.writeDatePartitioned(

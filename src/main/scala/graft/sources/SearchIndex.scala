@@ -88,6 +88,54 @@ object SearchIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/$StatsDir")
   }
 
+  /** Compaction — where deferred maintenance lands (the Layout.compact
+    * pattern): rebuild the index from its OWN raw postings (no source
+    * corpus needed — dl rides on every posting, so documents reconstruct
+    * as (doc_id, dl) and term instances as tf-weighted postings), apply
+    * the df cap with CORPUS-WIDE df knowledge the append path lacks, and
+    * swap directories atomically so a serving session never sees a
+    * half-built index. Appends fragment buckets (one file per bucket per
+    * append); compaction restores one sorted file per bucket.
+    */
+  def compact(s: SparkSession, path: String, nBuckets: Int = 64,
+      dfCap: Long = Long.MaxValue): Unit = {
+    val (posts, _, _) = Bucketed.read(s, path).getOrElse(
+      throw new IllegalArgumentException(s"$path is not a graft search index"))
+    val kept =
+      if (dfCap == Long.MaxValue) posts
+      else {
+        val dfs = posts.groupBy("term").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= dfCap)
+        posts.join(dfs.select("term"), Seq("term"), "left_semi")
+      }
+    // a cap that kills EVERY posting is a config error, not a compaction:
+    // an empty bucketed layout cannot re-register (no files to infer a
+    // schema from) and an index that can answer nothing serves nobody
+    require(kept.limit(1).count() == 1,
+      s"compact: dfCap=$dfCap leaves zero postings — refusing to replace $path with an empty index")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    val tmp = path + ".compacting"
+    val old = path + ".old"
+    Bucketed.write(kept.select("term", "doc_id", "tf", "dl"), tmp, "term", nBuckets)
+    // stats carry over unchanged: compaction rewrites postings, not docs
+    s.read.parquet(s"$path/$StatsDir")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/$StatsDir")
+    Bucketed.dropRegistration(s, path)
+    Bucketed.dropRegistration(s, tmp)
+    fs.delete(new org.apache.hadoop.fs.Path(old), true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(path),
+        new org.apache.hadoop.fs.Path(old)))
+      throw new java.io.IOException(s"compact: cannot move $path aside")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp),
+        new org.apache.hadoop.fs.Path(path))) {
+      fs.rename(new org.apache.hadoop.fs.Path(old),
+        new org.apache.hadoop.fs.Path(path))
+      throw new java.io.IOException(s"compact: cannot move $tmp into place")
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(old), true)
+  }
+
   /** Top-k BM25 over the query `terms`, touching only the probed buckets.
     * Output: (doc_id, bm25), ranked (bm25 desc, doc_id asc).
     */

@@ -796,6 +796,30 @@ class DedupSimilaritySpec extends SparkSpecBase {
       "whitened cosine must NOT see the orthogonal-pattern pair as a duplicate")
   }
 
+  test("whitened corpus feeds the PQ index: fit -> apply -> write -> serve == direct") {
+    import spark.implicits._
+    // the full preprocessing -> index composition: whitening the corpus
+    // BEFORE indexing (the transform changes which neighbors are near —
+    // whitenDups pins that) must flow through the unchanged PQ machinery:
+    // the index is written over the whitened vectors and the serve answers
+    // exactly the direct recompute over the same whitened frame
+    val emb = graft.sources.Tables.t(spark, sf0001, "embeddings")
+    val (means, stds) = SimilarityOps.whitenFit(emb)
+    val white = SimilarityOps.whitenApplyOn(emb, means, stds)
+    val idx = java.nio.file.Files.createTempDirectory("graft-wpq").toString + "/pq"
+    try {
+      SimilarityOps.writePqIndexOn(white, idx)
+      val served = SimilarityOps.knnPqServe(spark, white, idx)
+        .select("q_id", "n_id", "rnk", "sim")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      val direct = SimilarityOps.knnPqOn(white)
+        .select("q_id", "n_id", "rnk", "sim")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(served.nonEmpty && served == direct,
+        "whitened serve diverged from whitened direct")
+    } finally graft.sources.Bucketed.dropRegistration(spark, s"$idx/raw")
+  }
+
   test("pca projection feeds semdedup: planted clone found in projected space") {
     import spark.implicits._
     val emb = Tables.t(spark, sf0001, "embeddings")

@@ -86,6 +86,36 @@ class SearchIndexSpec extends SparkSpecBase {
       "incrementally-maintained index must serve the rebuilt index's answer")
   }
 
+  test("compact: rebuild-from-own-postings == fresh build; df cap applies corpus-wide") {
+    import spark.implicits._
+    val docs = Tables.t(spark, sf0001, "documents")
+    val terms = Seq("spark", "vector", "customer")
+    val base = java.nio.file.Files.createTempDirectory("graft-search4").toString
+    val (idx, fresh) = (s"$base/idx", s"$base/fresh")
+    // fragmented lifecycle: build 80%, append 20%, then compact
+    SearchIndex.write(docs.filter(col("doc_id") % 5 =!= 0), idx, nBuckets = 16)
+    SearchIndex.append(docs.filter(col("doc_id") % 5 === 0), idx)
+    val before = spark.read.parquet(idx).inputFiles.length
+    SearchIndex.compact(spark, idx, nBuckets = 16)
+    val after = spark.read.parquet(idx).inputFiles.length
+    assert(after < before,
+      s"compaction must defragment the buckets: $before -> $after files")
+    SearchIndex.write(docs, fresh, nBuckets = 16)
+    val a = SearchIndex.search(spark, idx, terms, 25).as[(Long, Double)].collect().toSeq
+    val b = SearchIndex.search(spark, fresh, terms, 25).as[(Long, Double)].collect().toSeq
+    assert(a.nonEmpty && a == b, "compacted index must serve the fresh build's answer")
+    // a df cap at compaction uses corpus-wide df (append-time caps can't):
+    // the probe terms sit in ~480 of 500 docs, so dfCap=100 kills exactly
+    // them while rarer terms keep the index alive
+    SearchIndex.compact(spark, idx, nBuckets = 16, dfCap = 100)
+    assert(SearchIndex.search(spark, idx, terms, 25).count() == 0,
+      "capped-out terms must serve empty, not wrong")
+    // and a cap that would empty the whole index refuses loudly
+    intercept[IllegalArgumentException] {
+      SearchIndex.compact(spark, idx, nBuckets = 16, dfCap = 0)
+    }
+  }
+
   test("df cap drops stopword-class terms at build time") {
     import spark.implicits._
     // 'the' is in every doc; 'rare' in one

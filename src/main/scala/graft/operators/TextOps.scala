@@ -1846,6 +1846,35 @@ object TextOps {
       |FROM c WHERE c * 201 > (SELECT total FROM n)
       |ORDER BY tok""".stripMargin
 
+  /** Tokenizer ARTIFACT persistence — a tokenizer is trained once and
+    * shipped everywhere, so the merge table and the vocab segmentation
+    * must round-trip disk: two tiny parquet tables (rank-ordered merges;
+    * word → subtoken count), loaded back in rank order. A serving session
+    * that never saw the corpus reconstructs exactly the fit's behavior —
+    * spec pins loaded == fit for both the merge list and the serve counts
+    * (in-vocab via the map, OOV via the replayed merges).
+    */
+  def saveBpe(s: SparkSession, path: String,
+      merges: Seq[(String, String, Long)], segLen: Map[String, Int]): Unit = {
+    import s.implicits._
+    merges.zipWithIndex
+      .map { case ((a, b, c), i) => (i.toLong, a, b, c) }
+      .toDF("rank", "left", "right", "pair_count")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/merges")
+    segLen.toSeq.toDF("word", "n_sub")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/vocab")
+  }
+
+  def loadBpe(s: SparkSession,
+      path: String): (Seq[(String, String, Long)], Map[String, Int]) = {
+    val merges = s.read.parquet(s"$path/merges")
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val segLen = s.read.parquet(s"$path/vocab").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    (merges, segLen)
+  }
+
   /** `doc_bpe_merges`: the first 20 merges trained on the corpus —
     * (rank, left, right, merged, pair_count). Deterministic but not
     * SQL-expressible (iterative argmax), so rows-only gated; the merge

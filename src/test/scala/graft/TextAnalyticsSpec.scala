@@ -204,6 +204,20 @@ class TextAnalyticsSpec extends SparkSpecBase {
       "fitted weights diverged across partition layouts")
   }
 
+  test("bpe artifact round-trips disk: loaded tokenizer == fit, incl. OOV segmentation") {
+    val docs = graft.sources.Tables.t(spark, sf0001, "documents")
+    val (_, merges, segLen) = TextOps.bpeFit(spark, docs, 20)
+    val path = java.nio.file.Files.createTempDirectory("graft-bpe").toString + "/tok"
+    TextOps.saveBpe(spark, path, merges, segLen)
+    val (m2, s2) = TextOps.loadBpe(spark, path)
+    assert(m2 == merges, "merge table must round-trip in rank order")
+    assert(s2 == segLen, "vocab segmentation must round-trip")
+    // a session that never saw the corpus serves identically: replay an
+    // OOV word through the loaded merges vs the fit's
+    val oov = "zzquxlowestish"
+    assert(TextOps.bpeSegment(oov, m2) == TextOps.bpeSegment(oov, merges))
+  }
+
   test("nbFit rejects single-class and zero-training-doc configurations") {
     // a 1-class argmax is unbuildable (greatest needs >= 2 columns) and an
     // absent class would score ln(0) = -Inf where a SQL oracle yields NULL

@@ -569,6 +569,125 @@ object Analytics {
        |         (SELECT ${sqlDsum("o_totalprice")} FROM orders) AS share_pct
        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** TPC-H Q7 shape — bilateral trade volume: revenue shipped between two
+    * specific nations per ship-year, in both directions. The nation pair
+    * predicate collapses supplier and customer to slices BEFORE the fact
+    * joins (both nation dims broadcast; the filtered supplier/customer
+    * sides stay small enough that Catalyst broadcasts them too at any SF —
+    * only the lineitem⋈orders fact join shuffles). The symmetric
+    * "(A,B) or (B,A)" condition is applied on the joined slice, exactly
+    * TPC-H's form. Per-(supp_nation, cust_nation, year) long-cents sums:
+    * a two-nation-pair year group is bounded far under the 2^63 ceiling.
+    */
+  def q7NationTrade(s: SparkSession, dir: String): DataFrame = {
+    val n1 = Tables.t(s, dir, "nation")
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val n2 = Tables.t(s, dir, "nation")
+      .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+    val l = Tables.t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+    val o = Tables.t(s, dir, "orders")
+    val c = Tables.t(s, dir, "customer")
+    val sup = Tables.t(s, dir, "supplier")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("sn_key"))
+      .join(broadcast(n2), col("c_nationkey") === col("cn_key"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .withColumn("l_year", year(col("l_shipdate")).cast("long"))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg(lsum(centsDisc(col("l_extendedprice"), col("l_discount")), 4).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  val q7Oracle: String =
+    s"""SELECT supp_nation, cust_nation, l_year,
+       |       CAST(SUM(volume) AS DOUBLE) AS revenue
+       |FROM (
+       |  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       |         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       |         $sqlDiscPrice AS volume
+       |  FROM lineitem
+       |  JOIN orders   ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation ns ON s_nationkey = ns.n_nationkey
+       |  JOIN nation nc ON c_nationkey = nc.n_nationkey
+       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+       |    AND l_shipdate <  TIMESTAMP '1998-01-01'
+       |    AND ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+       |      OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1')))
+       |GROUP BY supp_nation, cust_nation, l_year
+       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** TPC-H Q8 shape — national market share: of all PROMO-part revenue
+    * sold into the ASIA market per order-year, what fraction came from one
+    * nation's suppliers. Share math is exact end-to-end: numerator and
+    * denominator are each one decimal sum over the same joined slice (the
+    * numerator a conditional CASE inside the same aggregate — one shuffle,
+    * not two scans), divided once in IEEE double, so both engines agree
+    * bit-for-bit. Part/nation/region/supplier broadcast; the fact chain
+    * shuffles on its join keys only.
+    */
+  def q8MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.t(s, dir, "part").filter(col("p_type") === "PROMO")
+    val r = Tables.t(s, dir, "region").filter(col("r_name") === "ASIA")
+    val n1 = Tables.t(s, dir, "nation")
+      .select(col("n_nationkey").as("cn_key"), col("n_regionkey").as("cn_region"))
+    val n2 = Tables.t(s, dir, "nation")
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val sup = Tables.t(s, dir, "supplier")
+    val l = Tables.t(s, dir, "lineitem")
+    val o = Tables.t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1998-01-01"))
+    val c = Tables.t(s, dir, "customer")
+    val vol = centsDisc(col("l_extendedprice"), col("l_discount"))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("c_nationkey") === col("cn_key"))
+      .join(broadcast(r), col("cn_region") === col("r_regionkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n2), col("s_nationkey") === col("sn_key"))
+      .withColumn("o_year", year(col("o_orderdate")).cast("long"))
+      .groupBy("o_year")
+      .agg(
+        lsum(when(col("supp_nation") === "NATION_8", vol).otherwise(lit(0L)), 4)
+          .as("nation_volume"),
+        lsum(vol, 4).as("total_volume"))
+      .withColumn("mkt_share", col("nation_volume") / col("total_volume"))
+      .orderBy("o_year")
+  }
+
+  val q8Oracle: String =
+    s"""SELECT o_year,
+       |  CAST(SUM(CASE WHEN supp_nation = 'NATION_8' THEN volume
+       |                ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS nation_volume,
+       |  CAST(SUM(volume) AS DOUBLE) AS total_volume,
+       |  CAST(SUM(CASE WHEN supp_nation = 'NATION_8' THEN volume
+       |                ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+       |    / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+       |FROM (
+       |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       |         $sqlDiscPrice AS volume, ns.n_name AS supp_nation
+       |  FROM lineitem
+       |  JOIN part     ON l_partkey = p_partkey
+       |  JOIN orders   ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation nc ON c_nationkey = nc.n_nationkey
+       |  JOIN region   ON nc.n_regionkey = r_regionkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation ns ON s_nationkey = ns.n_nationkey
+       |  WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+       |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+       |    AND o_orderdate <  TIMESTAMP '1998-01-01')
+       |GROUP BY o_year
+       |ORDER BY o_year""".stripMargin
+
   /** HLL sketch distinct — the 100 TB answer to COUNT(DISTINCT): no exact
     * shuffle of the full key set. Approximate, so rows-only checked.
     */
@@ -588,6 +707,8 @@ object Analytics {
     QueryDef("q13_custdist", q13CustDist, Some(q13Oracle)),
     QueryDef("q6_forecast_revenue", q6ForecastRevenue, Some(q6Oracle)),
     QueryDef("q14_promo_share", q14PromoShare, Some(q14Oracle)),
+    QueryDef("q7_nation_trade", q7NationTrade, Some(q7Oracle)),
+    QueryDef("q8_market_share", q8MarketShare, Some(q8Oracle)),
     QueryDef("q19_bracket_revenue", q19BracketRevenue, Some(q19Oracle)),
     QueryDef("q_rollup_revenue", qRollupRevenue, Some(qRollupOracle)),
     QueryDef("q_cube_revenue", qCubeRevenue, Some(qCubeOracle)),

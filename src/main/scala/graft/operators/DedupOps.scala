@@ -197,7 +197,7 @@ object DedupOps {
     * GREATEST over the SHINGLED doc count mirrors `max(DfCap,
     * raw.count()/100)` with integer division).
     */
-  private val sqlCappedPairs: String =
+  private[operators] val sqlCappedPairs: String =
     s"""sh AS ($sqlShingles),
        |inv AS (SELECT doc_id, unnest(shs) AS sh FROM sh),
        |freq AS (SELECT sh, COUNT(*) AS df FROM inv GROUP BY sh),

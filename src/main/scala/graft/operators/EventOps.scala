@@ -1261,8 +1261,60 @@ object EventOps {
       |FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events)
       |ORDER BY user_id, ts_us, event_id""".stripMargin
 
+  /** Exponentially-WEIGHTED moving average per key, integer-exact: the
+    * true EWMA recursion s_t = αx + (1−α)s_{t−1} is a float fold whose
+    * association order is partition-dependent — ungateable (the Math.log
+    * lesson applies to any per-row transcendental OR long float chain).
+    * The gateable form every monitoring pipeline actually ships: a
+    * FINITE geometric kernel — weights 8/4/2/1 over the last 4 events
+    * (α = 1/2 truncated at 4 taps), values quantized to micro-units, so
+    * numerator and denominator are exact int64 and the single IEEE
+    * division at the end agrees bit-for-bit on both engines. Ramp-in
+    * uses the weights of the taps PRESENT (denominator 15/7/3/1), not
+    * zero-padding — the standard bias correction. ONE shuffle by key;
+    * lag frames are O(1) state per row at any scale.
+    */
+  def weightedMa(s: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    Tables.t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        floor(col("value") * lit(1e6)).cast("long").as("x"))
+      .withColumn("x1", lag(col("x"), 1).over(ord))
+      .withColumn("x2", lag(col("x"), 2).over(ord))
+      .withColumn("x3", lag(col("x"), 3).over(ord))
+      .withColumn("wsum",
+        lit(8L) * col("x") + lit(4L) * coalesce(col("x1"), lit(0L)) +
+          lit(2L) * coalesce(col("x2"), lit(0L)) + coalesce(col("x3"), lit(0L)))
+      .withColumn("wden",
+        lit(8L) + when(col("x1").isNotNull, 4L).otherwise(0L) +
+          when(col("x2").isNotNull, 2L).otherwise(0L) +
+          when(col("x3").isNotNull, 1L).otherwise(0L))
+      .withColumn("wma",
+        col("wsum").cast(DoubleType) / (col("wden") * lit(1000000L)).cast(DoubleType))
+      .select("user_id", "event_id", "ts_us", "wsum", "wden", "wma")
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
+  val weightedMaOracle: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |             CAST(FLOOR(value * 1e6) AS BIGINT) AS x FROM events),
+      |l AS (SELECT *,
+      |        lag(x, 1) OVER w AS x1, lag(x, 2) OVER w AS x2, lag(x, 3) OVER w AS x3
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+      |SELECT user_id, event_id, ts_us,
+      |  8 * x + 4 * COALESCE(x1, 0) + 2 * COALESCE(x2, 0) + COALESCE(x3, 0) AS wsum,
+      |  CAST(8 + CASE WHEN x1 IS NOT NULL THEN 4 ELSE 0 END
+      |    + CASE WHEN x2 IS NOT NULL THEN 2 ELSE 0 END
+      |    + CASE WHEN x3 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS wden,
+      |  CAST(8 * x + 4 * COALESCE(x1, 0) + 2 * COALESCE(x2, 0) + COALESCE(x3, 0) AS DOUBLE)
+      |    / CAST((8 + CASE WHEN x1 IS NOT NULL THEN 4 ELSE 0 END
+      |              + CASE WHEN x2 IS NOT NULL THEN 2 ELSE 0 END
+      |              + CASE WHEN x3 IS NOT NULL THEN 1 ELSE 0 END) * 1000000 AS DOUBLE) AS wma
+      |FROM l ORDER BY user_id, ts_us, event_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("ev_asof_last_order", asofLastOrder, Some(asofOracle)),
+    QueryDef("ev_weighted_ma", weightedMa, Some(weightedMaOracle)),
     QueryDef("ev_attack_context", attackContext, Some(attackContextOracle)),
     QueryDef("ev_attack_context_sweep", attackContextSweep, Some(attackContextOracle)),
     QueryDef("ev_funnel_2step", funnel2Step, Some(funnelOracle)),

@@ -78,7 +78,45 @@ object GraphOps {
     } finally pairs.unpersist()
   }
 
+  /** Triangle enumeration over the near-dup graph — the graph-density
+    * signal cluster auditing needs (a triangle means three documents that
+    * all pairwise near-duplicate: a tight clique seed, vs a star which is
+    * one hub with unrelated satellites; template-generated spam shows up
+    * as triangle-dense neighborhoods). The classic oriented-edge-list
+    * plan: edges already arrive as a < b from the Jaccard pair builder,
+    * so each triangle {a<b<c} is produced EXACTLY once by joining
+    * (a,b)⋈(b,c) on the shared middle vertex and closing with (a,c) —
+    * no permutation dedup pass. Two shuffle joins on vertex ids over the
+    * (df-capped, so bounded-density) pair list; wedge fan-out per vertex
+    * is deg², the published cost of any exact triangle count — the
+    * hot-bucket/df caps upstream are precisely what bound deg here.
+    * All-integer output, hash-exact gated.
+    */
+  def dupTriangles(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val e = DedupOps.jaccardPairsOn(Tables.t(s, dir, "documents"))
+      .select("d1", "d2").persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val wedges = e.select(col("d1").as("a"), col("d2").as("b"))
+        .join(e.select(col("d1").as("b"), col("d2").as("c")), "b")
+      val tri = wedges.join(
+        e.select(col("d1").as("a"), col("d2").as("c")), Seq("a", "c"))
+      // count() before unpersist so the persisted edges back all three scans
+      tri.select("a", "b", "c").orderBy("a", "b", "c").localCheckpoint(true)
+    } finally e.unpersist()
+  }
+
+  val dupTrianglesOracle: String =
+    s"""WITH ${DedupOps.sqlCappedPairs},
+       |e AS (SELECT d1, d2 FROM jp),
+       |tri AS (
+       |  SELECT e1.d1 AS a, e1.d2 AS b, e2.d2 AS c
+       |  FROM e e1
+       |  JOIN e e2 ON e2.d1 = e1.d2
+       |  JOIN e e3 ON e3.d1 = e1.d1 AND e3.d2 = e2.d2)
+       |SELECT a, b, c FROM tri ORDER BY a, b, c""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("doc_dup_rank", dupRank, None)
+    QueryDef("doc_dup_rank", dupRank, None),
+    QueryDef("doc_dup_triangles", dupTriangles, Some(dupTrianglesOracle))
   )
 }

@@ -1831,8 +1831,67 @@ object SimilarityOps {
        |GROUP BY label, pred_label ORDER BY label, pred_label""".stripMargin
   }
 
+  /** Binary (1-bit) embedding search: sign-binarize each 64-dim vector
+    * into two 32-bit sign words map-side (HOF folds, stays in codegen),
+    * rank by Hamming distance = popcount(xor) — the 64x-compression
+    * retrieval path (Yu et al.'s binary embeddings; every production
+    * vector store ships it as the cheap first tier). All-integer end to
+    * end, so unlike cosine scores the gate has NO float surface at all.
+    * At 100 TB the signature build is one scan; the 8-byte signatures
+    * (vs 256-byte floats) are what a memory-resident first-pass index
+    * stores, and the ranking join is the same broadcast-query shape as
+    * [[knnBrute]] — per-partition top-k heaps, tiny global merge.
+    * Two 32-bit words rather than one 64-bit word keep bit 63 out of the
+    * sign position: `1L << 63` is negative in Spark and engine-defined in
+    * DuckDB — split words make every intermediate non-negative on both.
+    */
+  def hammingTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "embeddings")
+    def word(lo: Int): Column = expr(
+      s"""aggregate(zip_with(slice(embedding, ${lo + 1}, 32), sequence(0, 31),
+         |  (x, i) -> IF(CAST(x AS DOUBLE) > 0.0D,
+         |            shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),
+         |  CAST(0 AS BIGINT), (a, v) -> a + v)""".stripMargin)
+    val sig = e.select(col("vec_id"), word(0).as("w0"), word(32).as("w1"))
+    val q = sig.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("w0").as("qw0"), col("w1").as("qw1"))
+    val scored = sig.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("hamming",
+        (bit_count(col("qw0").bitwiseXOR(col("w0"))) +
+          bit_count(col("qw1").bitwiseXOR(col("w1")))).cast("long"))
+    val w = Window.partitionBy("q_id").orderBy(col("hamming").asc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 10)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("rnk"), col("hamming"))
+      .orderBy("q_id", "rnk")
+  }
+
+  val hammingOracle: String =
+    """WITH sig AS (
+      |  SELECT vec_id,
+      |    CAST(list_sum(list_transform(list_zip(embedding[1:32], range(0,32)),
+      |      z -> CASE WHEN CAST(z[1] AS DOUBLE) > 0 THEN (CAST(1 AS BIGINT) << z[2])
+      |                ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS w0,
+      |    CAST(list_sum(list_transform(list_zip(embedding[33:64], range(0,32)),
+      |      z -> CASE WHEN CAST(z[1] AS DOUBLE) > 0 THEN (CAST(1 AS BIGINT) << z[2])
+      |                ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS w1
+      |  FROM embeddings),
+      |scored AS (
+      |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+      |    CAST(bit_count(xor(q.w0, e.w0)) + bit_count(xor(q.w1, e.w1)) AS BIGINT) AS hamming
+      |  FROM sig q JOIN sig e ON e.vec_id <> q.vec_id
+      |  WHERE q.vec_id < 10),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id
+      |            ORDER BY hamming ASC, n_id ASC) AS rnk
+      |  FROM scored)
+      |SELECT q_id, n_id, rnk, hamming FROM ranked WHERE rnk <= 10
+      |ORDER BY q_id, rnk""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("emb_knn_brute", knnBrute, Some(knnOracle), headline = true),
+    QueryDef("emb_hamming_topk", hammingTopk, Some(hammingOracle)),
     QueryDef("emb_knn_filtered", knnFiltered, Some(knnFilteredOracle)),
     QueryDef("emb_knn_lsh", knnLsh, None),
     QueryDef("emb_knn_ivf", knnIvf, None),

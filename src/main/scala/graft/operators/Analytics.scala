@@ -688,6 +688,48 @@ object Analytics {
        |GROUP BY o_year
        |ORDER BY o_year""".stripMargin
 
+  /** TPC-H Q15 shape — top supplier(s) by quarterly revenue: the classic
+    * view + MAX-equality pattern (ALL suppliers achieving the maximum —
+    * ties kept, which a LIMIT 1 silently breaks). The revenue view is one
+    * partial-agg pass over the quarter's lineitem slice (date filter
+    * pushed to the scan); the max is a one-row aggregate of the view
+    * broadcast back against it — no second lineitem scan, no sort.
+    * Revenue doubles come from exact cents sums, so the `= max` equality
+    * is safe on both engines (identical bit patterns, not approximately-
+    * equal floats). Supplier dim broadcast for the name join.
+    */
+  def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1996-04-01"))
+      .groupBy("l_suppkey")
+      .agg(lsum(centsDisc(col("l_extendedprice"), col("l_discount")), 4)
+        .as("total_revenue"))
+      .persist()
+    val mx = rev.agg(max(col("total_revenue")).as("max_rev"))
+    val out = rev.crossJoin(broadcast(mx))
+      .filter(col("total_revenue") === col("max_rev"))
+      .join(broadcast(Tables.t(s, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select("s_suppkey", "s_name", "total_revenue")
+      .orderBy("s_suppkey")
+      .localCheckpoint(true)
+    rev.unpersist()
+    out
+  }
+
+  val q15Oracle: String =
+    s"""WITH rev AS (
+       |  SELECT l_suppkey, CAST(SUM($sqlDiscPrice) AS DOUBLE) AS total_revenue
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+       |    AND l_shipdate <  TIMESTAMP '1996-04-01'
+       |  GROUP BY l_suppkey)
+       |SELECT s_suppkey, s_name, total_revenue
+       |FROM rev JOIN supplier ON s_suppkey = l_suppkey
+       |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+       |ORDER BY s_suppkey""".stripMargin
+
   /** HLL sketch distinct — the 100 TB answer to COUNT(DISTINCT): no exact
     * shuffle of the full key set. Approximate, so rows-only checked.
     */
@@ -709,6 +751,7 @@ object Analytics {
     QueryDef("q14_promo_share", q14PromoShare, Some(q14Oracle)),
     QueryDef("q7_nation_trade", q7NationTrade, Some(q7Oracle)),
     QueryDef("q8_market_share", q8MarketShare, Some(q8Oracle)),
+    QueryDef("q15_top_supplier", q15TopSupplier, Some(q15Oracle)),
     QueryDef("q19_bracket_revenue", q19BracketRevenue, Some(q19Oracle)),
     QueryDef("q_rollup_revenue", qRollupRevenue, Some(qRollupOracle)),
     QueryDef("q_cube_revenue", qCubeRevenue, Some(qCubeOracle)),

@@ -1070,8 +1070,48 @@ object DedupOps {
        |SELECT s1, s2, CAST(COUNT(*) AS BIGINT) AS n_pairs
        |FROM m GROUP BY s1, s2 ORDER BY s1, s2""".stripMargin
 
+  /** First-occurrence NOVELTY score per document: the fraction of a doc's
+    * distinct 5-gram shingles never seen in any LOWER-doc_id document —
+    * the continuous generalization of keep-first dedup (novelty 1.0 =
+    * fully novel; near 0 = assembled from text the corpus already has;
+    * substring-scrub removes spans, this SCORES docs for selection /
+    * dedup-aware sampling, the signal train-data pipelines weight by).
+    * Plan: the same inverted-index shape as the df pass — one shuffle of
+    * (gram, doc_id) to take min(doc_id) per gram (an exact, cheap partial
+    * agg: hot grams need NO cap because min combines map-side to one row
+    * per gram per partition), one shuffle back by doc for the two counts.
+    * Ratio is one IEEE division of two exact longs — engine-exact.
+    */
+  def noveltyScore(s: SparkSession, dir: String): DataFrame =
+    noveltyScoreOn(Tables.t(s, dir, "documents"))
+
+  def noveltyScoreOn(documents: DataFrame): DataFrame = {
+    val inv = withShingles(documents)
+      .select(col("doc_id"), explode(col("shs")).as("sh"))
+    val firstSeen = inv.groupBy("sh").agg(min(col("doc_id")).as("first_doc"))
+    inv.join(firstSeen, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast(DoubleType) / col("n_grams").cast(DoubleType))
+      .orderBy("doc_id")
+  }
+
+  val noveltyOracle: String =
+    s"""WITH sh AS ($sqlShingles),
+       |inv AS (SELECT doc_id, unnest(shs) AS sh FROM sh),
+       |f AS (SELECT sh, MIN(doc_id) AS first_doc FROM inv GROUP BY sh)
+       |SELECT i.doc_id, COUNT(*) AS n_grams,
+       |  CAST(COALESCE(SUM(CASE WHEN i.doc_id = f.first_doc THEN 1 END), 0) AS BIGINT) AS n_novel,
+       |  CAST(COALESCE(SUM(CASE WHEN i.doc_id = f.first_doc THEN 1 END), 0) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS novelty
+       |FROM inv i JOIN f USING (sh)
+       |GROUP BY i.doc_id ORDER BY i.doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("doc_exact_dedup", exactDedup, Some(exactOracle)),
+    QueryDef("doc_novelty", noveltyScore, Some(noveltyOracle)),
     QueryDef("doc_jaccard_pairs", jaccardPairs, Some(jaccardOracle), headline = true),
     QueryDef("doc_minhash_lsh", minHashLsh, None, headline = true),
     QueryDef("doc_simhash", simHashPairs, None),

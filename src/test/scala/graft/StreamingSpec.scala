@@ -1021,4 +1021,71 @@ class StreamingSpec extends SparkSpecBase {
       assert(c3.size <= k, s"summary exceeded k counters: $c3")
     } finally q.stop()
   }
+
+  test("weightedMaStream: stream replay matches the batch weighted MA row-for-row") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingSmooth
+    import graft.streaming.StreamingSmooth.{SmoothEvent, Smoothed}
+    val ordered = graft.sources.Tables.t(spark, sf0001, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        floor(col("value") * lit(1e6)).cast("long").as("x"))
+      .orderBy("ts_us", "event_id")
+      .as[SmoothEvent].collect()
+    val mem = MemoryStream[SmoothEvent]
+    val out = StreamingSmooth.weightedMaStream(mem.toDS())
+    val query = out.writeStream.format("memory").queryName("wma_out")
+      .outputMode("append").start()
+    try {
+      ordered.grouped((ordered.length + 2) / 3).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        query.processAllAvailable()
+      }
+      val got = spark.table("wma_out").as[Smoothed].collect()
+        .map(s => s.event_id -> s).toMap
+      val batch = graft.operators.EventOps.weightedMa(spark, sf0001).collect()
+      assert(got.size == batch.length, s"stream ${got.size} vs batch ${batch.length}")
+      batch.foreach { r =>
+        val s = got(r.getAs[Long]("event_id"))
+        assert(s.user_id == r.getAs[Long]("user_id"))
+        assert(s.ts_us == r.getAs[Long]("ts_us"))
+        assert(s.wsum == r.getAs[Long]("wsum"), s"wsum diverged at ${s.event_id}")
+        assert(s.wden == r.getAs[Long]("wden"), s"wden diverged at ${s.event_id}")
+        // bit-identical, not approximately equal: same int64 inputs, one
+        // identically-associated IEEE division on both sides
+        assert(java.lang.Double.doubleToLongBits(s.wma) ==
+          java.lang.Double.doubleToLongBits(r.getAs[Double]("wma")),
+          s"wma diverged at ${s.event_id}")
+      }
+    } finally query.stop()
+  }
+
+  test("weightedMaStream: a cross-batch late event is dropped, not folded into the taps") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingSmooth
+    import graft.streaming.StreamingSmooth.{SmoothEvent, Smoothed}
+    val acc = spark.sparkContext.longAccumulator("wma_ooo_dropped")
+    val mem = MemoryStream[SmoothEvent]
+    val out = StreamingSmooth.weightedMaStream(mem.toDS(), droppedAcc = Some(acc))
+    val query = out.writeStream.format("memory").queryName("wma_ooo")
+      .outputMode("append").start()
+    try {
+      mem.addData(SmoothEvent(1L, 1L, 100L, 1000000L),
+        SmoothEvent(1L, 3L, 300L, 3000000L))
+      query.processAllAvailable()
+      // late (ts=200 < cursor 300) and an exact replay of (300, 3): both
+      // must drop; the in-order event folds against taps [3e6, 1e6] only
+      mem.addData(SmoothEvent(1L, 2L, 200L, 9000000L),
+        SmoothEvent(1L, 3L, 300L, 3000000L),
+        SmoothEvent(1L, 4L, 400L, 2000000L))
+      query.processAllAvailable()
+      assert(acc.value == 2L, s"expected 2 dropped, got ${acc.value}")
+      val got = spark.table("wma_ooo").as[Smoothed].collect()
+        .map(s => s.event_id -> s).toMap
+      // had the late x=9e6 folded, event 4's taps would be [3e6, 9e6, 1e6]
+      // (wsum = 16e6+12e6+18e6+1e6); dropped means [3e6, 1e6] only
+      assert(got(4L).wsum == 8L * 2000000L + 4L * 3000000L + 2L * 1000000L,
+        s"late event leaked into the tap history: ${got(4L)}")
+      assert(got(4L).wden == 14L)
+    } finally query.stop()
+  }
 }

@@ -104,6 +104,66 @@ object EventOps {
        |       ${sqlDsum("value")} AS sum_value
        |FROM g GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin
 
+  /** Top session PATHS — the clickstream path-mining step on top of the
+    * 14's session boundaries: the most common 3-step event-type sequences
+    * executed WITHIN a session (transition counts are lag-1 Markov edges;
+    * paths are the order-3 generalization product analytics ranks —
+    * "what do users actually do in a sitting"). ALL windows — the
+    * boundary lag, the session-id running sum, and both leads — partition
+    * by user_id alone (the leads deliberately do NOT partition by the
+    * derived (user_id, sid) key, which would cost a second exchange);
+    * session containment is enforced by leading sid alongside the types
+    * and keeping only rows whose next-two sids match — so no path crosses
+    * a session boundary, and the whole derivation rides ONE exchange.
+    * The path count is a second, tiny exchange on the path key (bounded
+    * by |event_type|^3, map-side-combined to almost nothing); global
+    * top-20 with full deterministic tiebreak is a TakeOrdered, no sort.
+    */
+  def topPaths(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapUs = 12L * 3600 * 1000000
+    Tables.t(s, dir, "events")
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_s",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("e2", lead(col("event_type"), 1).over(byUser))
+      .withColumn("e3", lead(col("event_type"), 2).over(byUser))
+      .withColumn("sid2", lead(col("sid"), 1).over(byUser))
+      .withColumn("sid3", lead(col("sid"), 2).over(byUser))
+      .filter(col("sid2") === col("sid") && col("sid3") === col("sid"))
+      .groupBy(col("event_type").as("step1"), col("e2").as("step2"),
+        col("e3").as("step3"))
+      .agg(count(lit(1)).as("n_paths"))
+      .orderBy(col("n_paths").desc, col("step1").asc, col("step2").asc,
+        col("step3").asc)
+      .limit(20)
+  }
+
+  val topPathsOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      |  FROM events),
+      |f AS (
+      |  SELECT *, CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 43200000000
+      |                 THEN 1 ELSE 0 END AS new_s FROM e),
+      |g AS (
+      |  SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid FROM f),
+      |p AS (
+      |  SELECT event_type AS step1,
+      |         lead(event_type, 1) OVER w AS step2,
+      |         lead(event_type, 2) OVER w AS step3
+      |  FROM g WINDOW w AS (PARTITION BY user_id, sid ORDER BY ts, event_id))
+      |SELECT step1, step2, step3, COUNT(*) AS n_paths
+      |FROM p WHERE step2 IS NOT NULL AND step3 IS NOT NULL
+      |GROUP BY step1, step2, step3
+      |ORDER BY n_paths DESC, step1, step2, step3
+      |LIMIT 20""".stripMargin
+
   /** CEP fragmentation-attack analog (reference AnomalyDetection.java:126-167):
     * per key, a maximal run of >= MinRun consecutive low-value events
     * immediately followed by a high-value event within WithinUs. Islands are
@@ -1321,6 +1381,7 @@ object EventOps {
     QueryDef("ev_tumbling_hourly", tumblingHourly, Some(tumblingOracle)),
     QueryDef("ev_sliding_6h", sliding6h, Some(slidingOracle)),
     QueryDef("ev_sessionize", sessionize, Some(sessionizeOracle)),
+    QueryDef("ev_top_paths", topPaths, Some(topPathsOracle)),
     QueryDef("ev_cep_attack", cepAttack, Some(cepOracle), headline = true),
     QueryDef("ev_cep_bounded", cepAttackBounded, Some(cepBoundedOracle)),
     QueryDef("ev_rarity_score", rarityScore, Some(rarityOracle)),

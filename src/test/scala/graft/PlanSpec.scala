@@ -410,4 +410,60 @@ class PlanSpec extends SparkSpecBase {
     val n = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(n == 1, s"the RANGE window needs exactly the user_id exchange, got $n:\n$p")
   }
+
+  test("top paths: all four windows share ONE user exchange; path fold is the tiny second") {
+    val df = EventOps.topPaths(spark, sf0001)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size == 1, s"one events scan, got ${scans.size}")
+    val p = plan(df)
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    // the boundary lag, the sid running sum and BOTH leads partition by
+    // user_id alone (leading sid instead of re-partitioning by the derived
+    // (user_id, sid) key is exactly what keeps this at one exchange);
+    // the second exchange carries <= |event_type|^3 partial path counts
+    assert(n == 2, s"expected user window exchange + tiny path-count exchange, got $n:\n$p")
+  }
+
+  test("q7: nation dims broadcast; the symmetric pair predicate survives to the plan") {
+    val p = plan(Analytics.q7NationTrade(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"))
+    assert("BroadcastExchange".r.findAllIn(p).size >= 3,
+      "supplier + both nation dims must broadcast")
+  }
+
+  test("q8: numerator and denominator ride one aggregate — a single lineitem scan") {
+    val df = Analytics.q8MarketShare(spark, sf0001)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.map(_.toString)
+    assert(scans.count(_.contains("lineitem.parquet")) == 1,
+      s"market share must not scan lineitem twice: $scans")
+  }
+
+  test("hamming topk: signature build is map-side (one scan, no shuffle before ranking)") {
+    val df = SimilarityOps.hammingTopk(spark, sf0001)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    // corpus side + broadcast query side read the same file: two scans max
+    assert(scans.size == 2, s"corpus + query scans only, got ${scans.size}")
+    val p = plan(df)
+    // the only hash exchange feeds the per-query ranking window
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n == 1, s"sign words must build map-side, got $n exchanges:\n$p")
+  }
+
+  test("novelty: inverted-index shape — gram exchange + doc exchange, nothing else") {
+    val df = graft.operators.DedupOps.noveltyScoreOn(
+      graft.sources.Tables.t(spark, sf0001, "documents"))
+    val p = plan(df)
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    // min(doc_id) by gram (map-side combined), then counts by doc; the
+    // join rides the gram partitioning of the first exchange
+    assert(n <= 3, s"novelty must stay at the df-pass shuffle budget, got $n:\n$p")
+    assert(p.contains("partial_min") || p.contains("HashAggregate"),
+      "first-seen must partial-aggregate map-side")
+  }
 }

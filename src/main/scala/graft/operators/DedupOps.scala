@@ -1070,6 +1070,68 @@ object DedupOps {
        |SELECT s1, s2, CAST(COUNT(*) AS BIGINT) AS n_pairs
        |FROM m GROUP BY s1, s2 ORDER BY s1, s2""".stripMargin
 
+  /** CONTAINMENT near-dup pairs (Broder's asymmetric measure):
+    * C(A→B) = |A∩B| / |A| for the smaller set A — the signal Jaccard
+    * structurally misses when sizes differ (a 30-gram doc fully embedded
+    * in a 600-gram doc has J ≈ 0.05 but C = 1.0: quote farms, boilerplate
+    * wrappers, copy-paste expansion). Same capped-shingle substrate as
+    * the Jaccard family; the candidate stage is the containment variant
+    * of the prefix theorem — only the CONTAINED side explodes a prefix
+    * (length n − ⌈t·n⌉ + 2; the +2 over the theorem's +1 makes the slice
+    * immune to the float product rounding up at integer t·n, which would
+    * shorten the prefix and silently lose exact-boundary pairs), the
+    * container side indexes all its hashes. Size orientation (smaller =
+    * contained, doc_id tiebreak) halves the join; sets under 5 grams are
+    * excluded — a 1-gram set is "contained" anywhere its gram occurs.
+    * Verification is exact on the capped string sets, so 64-bit prefix
+    * collisions only ever ADD candidates.
+    */
+  final private val Tc = 0.9
+
+  def containmentPairs(s: SparkSession, dir: String): DataFrame =
+    containmentPairsOn(Tables.t(s, dir, "documents"))
+
+  def containmentPairsOn(documents: DataFrame): DataFrame = {
+    val eff = cappedShingles(documents, AdaptiveCap)
+    val prefix = eff.select(col("doc_id"), col("n_sh"),
+      explode(slice(col("hsorted"), lit(1),
+        (col("n_sh") - ceil(col("n_sh") * Tc) + 2).cast("int"))).as("h"))
+    val full = eff.select(col("doc_id"), col("n_sh"), explode(col("hsorted")).as("h"))
+    val cands = prefix.as("a")
+      .join(full.as("b"),
+        col("a.h") === col("b.h") &&
+          (col("a.n_sh") < col("b.n_sh") ||
+            (col("a.n_sh") === col("b.n_sh") && col("a.doc_id") < col("b.doc_id"))))
+      .select(col("a.doc_id").as("d_small"), col("b.doc_id").as("d_big"))
+      .distinct()
+    cands
+      .join(eff.select(col("doc_id").as("d_small"), col("shs").as("shs1"),
+        col("n_sh").cast("long").as("n_small")), "d_small")
+      .join(eff.select(col("doc_id").as("d_big"), col("shs").as("shs2")), "d_big")
+      .withColumn("common", size(array_intersect(col("shs1"), col("shs2"))).cast("long"))
+      .withColumn("containment",
+        col("common").cast(DoubleType) / col("n_small").cast(DoubleType))
+      .filter(col("containment") >= Tc && col("n_small") >= 5)
+      .select("d_small", "d_big", "common", "n_small", "containment")
+      .orderBy("d_small", "d_big")
+  }
+
+  val containmentOracle: String =
+    s"""WITH $sqlCappedPairs,
+       |pairs AS (
+       |  SELECT c.d1, c.d2, c.common, x.n_sh AS n1, y.n_sh AS n2
+       |  FROM c JOIN sz x ON x.doc_id = c.d1 JOIN sz y ON y.doc_id = c.d2),
+       |oriented AS (
+       |  SELECT CASE WHEN n1 < n2 OR (n1 = n2 AND d1 < d2) THEN d1 ELSE d2 END AS d_small,
+       |         CASE WHEN n1 < n2 OR (n1 = n2 AND d1 < d2) THEN d2 ELSE d1 END AS d_big,
+       |         common, LEAST(n1, n2) AS n_small
+       |  FROM pairs)
+       |SELECT d_small, d_big, common, n_small,
+       |       CAST(common AS DOUBLE) / CAST(n_small AS DOUBLE) AS containment
+       |FROM oriented
+       |WHERE CAST(common AS DOUBLE) / CAST(n_small AS DOUBLE) >= $Tc AND n_small >= 5
+       |ORDER BY d_small, d_big""".stripMargin
+
   /** First-occurrence NOVELTY score per document: the fraction of a doc's
     * distinct 5-gram shingles never seen in any LOWER-doc_id document —
     * the continuous generalization of keep-first dedup (novelty 1.0 =
@@ -1113,6 +1175,7 @@ object DedupOps {
     QueryDef("doc_exact_dedup", exactDedup, Some(exactOracle)),
     QueryDef("doc_novelty", noveltyScore, Some(noveltyOracle)),
     QueryDef("doc_jaccard_pairs", jaccardPairs, Some(jaccardOracle), headline = true),
+    QueryDef("doc_containment_pairs", containmentPairs, Some(containmentOracle)),
     QueryDef("doc_minhash_lsh", minHashLsh, None, headline = true),
     QueryDef("doc_simhash", simHashPairs, None),
     QueryDef("doc_dup_clusters", dupClusters, Some(dupClustersOracle)),

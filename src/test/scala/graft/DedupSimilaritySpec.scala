@@ -855,4 +855,38 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(postFiltered.exists(_.getLong(1) < 10),
       "post-filter should under-return; if not, this corpus stopped exercising the case")
   }
+
+  test("containment finds the small-doc-inside-big-doc pair that jaccard misses") {
+    // doc 1 = 34 distinct-ish words -> 30 shingles, all embedded verbatim
+    // inside doc 2's ~300-word body: C(1->2) = 1.0 while J ~ 0.1 << 0.8
+    val core = (1 to 34).map(i => s"w$i").mkString(" ")
+    val filler = (1 to 270).map(i => s"f$i").mkString(" ")
+    val docs = Seq(
+      (1L, core),
+      (2L, filler + " " + core),
+      (3L, (1 to 40).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    val cont = DedupOps.containmentPairsOn(docs).collect()
+    assert(cont.length == 1, s"expected exactly the planted pair, got ${cont.toSeq}")
+    val r = cont.head
+    assert(r.getAs[Long]("d_small") == 1L && r.getAs[Long]("d_big") == 2L)
+    assert(r.getAs[Double]("containment") == 1.0)
+    val jac = DedupOps.jaccardPairsOn(docs).collect()
+    assert(jac.isEmpty, s"jaccard at t=0.8 must miss the asymmetric pair: ${jac.toSeq}")
+  }
+
+  test("containment excludes sub-5-gram sets and respects the orientation tiebreak") {
+    // doc 10 has 8 words -> 4 shingles (< 5: excluded even though fully
+    // contained); docs 20/21 are same-size mutual dups -> oriented by id
+    val tiny = (1 to 8).map(i => s"t$i").mkString(" ")
+    val big = tiny + " " + (1 to 200).map(i => s"g$i").mkString(" ")
+    val twin = (1 to 30).map(i => s"m$i").mkString(" ")
+    val docs = Seq((10L, tiny), (11L, big), (20L, twin), (21L, twin))
+      .toDF("doc_id", "text")
+    val cont = DedupOps.containmentPairsOn(docs).collect()
+    val pairs = cont.map(r => (r.getAs[Long]("d_small"), r.getAs[Long]("d_big"))).toSet
+    assert(!pairs.exists(p => p._1 == 10L || p._2 == 10L),
+      s"sub-5-gram set must be excluded: $pairs")
+    assert(pairs.contains((20L, 21L)) && !pairs.contains((21L, 20L)),
+      s"equal-size twins must orient by doc_id exactly once: $pairs")
+  }
 }

@@ -54,6 +54,38 @@ object Stress {
       DedupOps.substringDupOn(docsN).agg(sum("dup_tokens")).first().getLong(0))
     spark.catalog.clearCache()
 
+    // novelty + containment: the marker interleave makes every copy's
+    // 5-grams copy-unique, so first-occurrence structure and containment
+    // pairs are both strictly within-copy — totals must be EXACTLY linear
+    // in copies (hard require, the winnow discipline)
+    var novel1 = 0L
+    time("novelty x1 n_novel") {
+      novel1 = DedupOps.noveltyScoreOn(corpusOf(1))
+        .agg(sum("n_novel")).first().getLong(0)
+      novel1
+    }
+    spark.catalog.clearCache()
+    time(s"novelty x$copies n_novel") {
+      val nN = DedupOps.noveltyScoreOn(docsN)
+        .agg(sum("n_novel")).first().getLong(0)
+      require(nN == copies * novel1,
+        s"novelty not linear: x1=$novel1, x$copies=$nN")
+      nN
+    }
+    spark.catalog.clearCache()
+    var cont1 = 0L
+    time("containment x1 pairs") {
+      cont1 = DedupOps.containmentPairsOn(corpusOf(1)).count(); cont1
+    }
+    spark.catalog.clearCache()
+    time(s"containment x$copies pairs") {
+      val cN = DedupOps.containmentPairsOn(docsN).count()
+      require(cN == copies * cont1,
+        s"containment pairs not linear: x1=$cont1, x$copies=$cN")
+      cN
+    }
+    spark.catalog.clearCache()
+
     // BPE fit: the distributed cost is the word-count pass (linear in
     // corpus); the merge loop runs on the CAPPED vocab (grows only by the
     // `cpN` marker tokens here), so the x1 -> xN curve must track the

@@ -1160,6 +1160,95 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** INCREMENTAL novelty — the serving form of [[noveltyScoreOn]] for an
+    * ingest pipeline: each batch doc scored against the FROZEN corpus
+    * gram set, order-free (batch-internal first occurrences do NOT count
+    * as seen: two batch docs sharing a brand-new gram are both fully
+    * novel on it — the batch is appended afterwards and the NEXT batch
+    * sees it; same contract as the rest of the incremental family).
+    * Plan: corpus streams ONCE, batch broadcasts — `seen` is the corpus
+    * gram table inner-joined to the batch's (broadcast) distinct grams,
+    * bounded by the batch's gram count; per-doc totals and the anti-join
+    * novel counts both fold over the persisted batch inversion. No
+    * corpus-side shuffle of anything doc-sized.
+    */
+  def incrementalNoveltyOn(corpus: DataFrame, batch: DataFrame): DataFrame = {
+    val corpusGrams = withShingles(corpus)
+      .select(explode(col("shs")).as("sh")).distinct()
+    noveltyProbeAgainst(corpusGrams, batch)
+  }
+
+  private def noveltyProbeAgainst(corpusGrams: DataFrame, batch: DataFrame): DataFrame = {
+    val inv = withShingles(batch)
+      .select(col("doc_id"), explode(col("shs")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seen = corpusGrams
+      .join(broadcast(inv.select("sh").distinct()), Seq("sh"))
+      .select("sh").distinct()
+    val totals = inv.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val novel = inv.join(broadcast(seen), Seq("sh"), "left_anti")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+    totals.join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast(DoubleType) / col("n_grams").cast(DoubleType))
+      .orderBy("doc_id")
+  }
+
+  def incrementalNovelty(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.t(s, dir, "documents")
+    incrementalNoveltyOn(
+      docs.filter(col("doc_id") % 5 =!= 0),
+      docs.filter(col("doc_id") % 5 === 0))
+  }
+
+  val incrementalNoveltyOracle: String =
+    """WITH toks AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 3),
+      |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) AS shs
+      |       FROM toks WHERE len(toks) >= 5),
+      |cg AS (SELECT DISTINCT unnest(shs) AS sh FROM sh WHERE doc_id % 5 <> 0),
+      |inv AS (SELECT doc_id, unnest(shs) AS sh FROM sh WHERE doc_id % 5 = 0)
+      |SELECT i.doc_id, COUNT(*) AS n_grams,
+      |  CAST(COALESCE(SUM(CASE WHEN cg.sh IS NULL THEN 1 END), 0) AS BIGINT) AS n_novel,
+      |  CAST(COALESCE(SUM(CASE WHEN cg.sh IS NULL THEN 1 END), 0) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS novelty
+      |FROM inv i LEFT JOIN cg ON i.sh = cg.sh
+      |GROUP BY i.doc_id ORDER BY i.doc_id""".stripMargin
+
+  /** First-seen gram index: write / probe / append. The stored table is
+    * (sh, df) bucketed by gram; PRESENCE is the probe contract (append
+    * may re-emit a gram with its batch-local df — probing only asks "was
+    * this gram ever seen", so duplicate rows are harmless and appends
+    * stay one map pass over the batch, no index rewrite).
+    */
+  def writeNoveltyIndex(corpus: DataFrame, indexPath: String): Unit = {
+    val grams = withShingles(corpus)
+      .select(explode(col("shs")).as("sh"))
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+    graft.sources.Bucketed.write(grams, s"$indexPath/grams", "sh",
+      graft.sources.Bucketed.indexBuckets(corpus.sparkSession))
+  }
+
+  /** Probe: identical semantics to [[incrementalNoveltyOn]] over whatever
+    * corpus the index covers, zero corpus re-shingling.
+    */
+  def noveltyFromIndex(s: SparkSession, batch: DataFrame,
+      indexPath: String): DataFrame = {
+    val grams = graft.sources.Bucketed.read(s, s"$indexPath/grams")
+      .map(_._1).getOrElse(s.read.parquet(s"$indexPath/grams"))
+    noveltyProbeAgainst(grams.select("sh"), batch)
+  }
+
+  def appendToNoveltyIndex(batch: DataFrame, indexPath: String): Unit = {
+    val grams = withShingles(batch)
+      .select(explode(col("shs")).as("sh"))
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+    if (!graft.sources.Bucketed.append(grams, s"$indexPath/grams"))
+      grams.write.mode("append").parquet(s"$indexPath/grams")
+  }
+
   val noveltyOracle: String =
     s"""WITH sh AS ($sqlShingles),
        |inv AS (SELECT doc_id, unnest(shs) AS sh FROM sh),
@@ -1174,6 +1263,7 @@ object DedupOps {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("doc_exact_dedup", exactDedup, Some(exactOracle)),
     QueryDef("doc_novelty", noveltyScore, Some(noveltyOracle)),
+    QueryDef("doc_incr_novelty", incrementalNovelty, Some(incrementalNoveltyOracle)),
     QueryDef("doc_jaccard_pairs", jaccardPairs, Some(jaccardOracle), headline = true),
     QueryDef("doc_containment_pairs", containmentPairs, Some(containmentOracle)),
     QueryDef("doc_minhash_lsh", minHashLsh, None, headline = true),

@@ -1889,9 +1889,92 @@ object SimilarityOps {
       |SELECT q_id, n_id, rnk, hamming FROM ranked WHERE rnk <= 10
       |ORDER BY q_id, rnk""".stripMargin
 
+  /** TWO-TIER retrieval: Hamming shortlist → exact cosine re-rank — the
+    * production binary-index pattern [[hammingTopk]] is the first tier
+    * of. Tier 1 ranks the corpus by sign-bit Hamming distance and keeps
+    * a 100-candidate shortlist per query (at scale this pass reads ONLY
+    * the 8-byte signature column — 32x less IO than raw vectors, the
+    * memory-resident first pass); tier 2 computes exact quantized cosine
+    * on just the shortlist (at scale a bucketed point-lookup by vec_id,
+    * here the join IS that lookup) and re-ranks to the final top-10.
+    * The whole composition is deterministic — shortlist tiebreak by id,
+    * re-rank tiebreak by id — so unlike classic ANN this approximate
+    * TWO-STAGE pipeline is still hash-exact gateable end to end, and the
+    * oracle recomputes it independently in DuckDB. The gated surface
+    * carries BOTH tiers' scores (hamming + sim), which is also the
+    * recall diagnostic: rows where tier-1 rank and tier-2 rank disagree
+    * are exactly the sign-quantization error.
+    */
+  def hammingRerank(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "embeddings")
+    def word(lo: Int): Column = expr(
+      s"""aggregate(zip_with(slice(embedding, ${lo + 1}, 32), sequence(0, 31),
+         |  (x, i) -> IF(CAST(x AS DOUBLE) > 0.0D,
+         |            shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),
+         |  CAST(0 AS BIGINT), (a, v) -> a + v)""".stripMargin)
+    val sig = e.select(col("vec_id"), word(0).as("w0"), word(32).as("w1"))
+    val q = sig.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("w0").as("qw0"), col("w1").as("qw1"))
+    val w1 = Window.partitionBy("q_id").orderBy(col("hamming").asc, col("vec_id").asc)
+    val shortlist = sig.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("hamming",
+        (bit_count(col("qw0").bitwiseXOR(col("w0"))) +
+          bit_count(col("qw1").bitwiseXOR(col("w1")))).cast("long"))
+      .withColumn("t1", row_number().over(w1))
+      .filter(col("t1") <= 100)
+      .select("q_id", "vec_id", "hamming")
+    val qv = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val w2 = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
+    shortlist
+      .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(qv), "q_id")
+      .withColumn("sim", graftCosine(col("q_emb"), col("embedding")))
+      .withColumn("rnk", row_number().over(w2).cast("long"))
+      .filter(col("rnk") <= 10)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("rnk"),
+        col("hamming"), col("sim"))
+      .orderBy("q_id", "rnk")
+  }
+
+  val hammingRerankOracle: String =
+    s"""WITH sig AS (
+       |  SELECT vec_id,
+       |    CAST(list_sum(list_transform(list_zip(embedding[1:32], range(0,32)),
+       |      z -> CASE WHEN CAST(z[1] AS DOUBLE) > 0 THEN (CAST(1 AS BIGINT) << z[2])
+       |                ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS w0,
+       |    CAST(list_sum(list_transform(list_zip(embedding[33:64], range(0,32)),
+       |      z -> CASE WHEN CAST(z[1] AS DOUBLE) > 0 THEN (CAST(1 AS BIGINT) << z[2])
+       |                ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS w1
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+       |    CAST(bit_count(xor(q.w0, e.w0)) + bit_count(xor(q.w1, e.w1)) AS BIGINT) AS hamming
+       |  FROM sig q JOIN sig e ON e.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 10),
+       |shortlist AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |              ORDER BY hamming ASC, n_id ASC) AS t1
+       |    FROM scored) WHERE t1 <= 100),
+       |rer AS (
+       |  SELECT s.q_id, s.n_id, s.hamming,
+       |         ${sqlQCos("qe.embedding", "ne.embedding")} AS sim
+       |  FROM shortlist s
+       |  JOIN embeddings qe ON qe.vec_id = s.q_id
+       |  JOIN embeddings ne ON ne.vec_id = s.n_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |            ORDER BY sim DESC, n_id ASC) AS rnk
+       |  FROM rer)
+       |SELECT q_id, n_id, rnk, hamming, sim FROM ranked WHERE rnk <= 10
+       |ORDER BY q_id, rnk""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("emb_knn_brute", knnBrute, Some(knnOracle), headline = true),
     QueryDef("emb_hamming_topk", hammingTopk, Some(hammingOracle)),
+    QueryDef("emb_hamming_rerank", hammingRerank, Some(hammingRerankOracle)),
     QueryDef("emb_knn_filtered", knnFiltered, Some(knnFilteredOracle)),
     QueryDef("emb_knn_lsh", knnLsh, None),
     QueryDef("emb_knn_ivf", knnIvf, None),

@@ -889,4 +889,43 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(pairs.contains((20L, 21L)) && !pairs.contains((21L, 20L)),
       s"equal-size twins must orient by doc_id exactly once: $pairs")
   }
+
+  test("novelty index: probe == self-contained recompute, appends become visible") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-novidx").toString + "/nov"
+    val corpus = Tables.t(spark, sf0001, "documents")
+      .filter(col("doc_id") % 5 =!= 0).select("doc_id", "text")
+    val batch1 = Tables.t(spark, sf0001, "documents")
+      .filter(col("doc_id") % 5 === 0 && col("doc_id") % 10 === 0)
+      .select("doc_id", "text")
+    val batch2 = Tables.t(spark, sf0001, "documents")
+      .filter(col("doc_id") % 10 === 5).select("doc_id", "text")
+    DedupOps.writeNoveltyIndex(corpus, dir)
+    val probe1 = DedupOps.noveltyFromIndex(spark, batch1, dir).collect()
+    val direct1 = DedupOps.incrementalNoveltyOn(corpus, batch1).collect()
+    assert(probe1.map(_.toSeq).toSeq == direct1.map(_.toSeq).toSeq,
+      "stored-index probe must equal the self-contained form")
+    // append batch1; batch2 must now be scored against corpus UNION batch1
+    DedupOps.appendToNoveltyIndex(batch1, dir)
+    val probe2 = DedupOps.noveltyFromIndex(spark, batch2, dir).collect()
+    val direct2 = DedupOps.incrementalNoveltyOn(
+      corpus.unionByName(batch1), batch2).collect()
+    assert(probe2.map(_.toSeq).toSeq == direct2.map(_.toSeq).toSeq,
+      "post-append probe must see the appended grams as corpus")
+  }
+
+  test("novelty probe semantics: clone scores 0.0, unseen doc 1.0, batch twins both novel") {
+    val corpus = Seq((1L, (1 to 40).map(i => s"c$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val novelTxt = (1 to 40).map(i => s"n$i").mkString(" ")
+    val batch = Seq(
+      (10L, (1 to 40).map(i => s"c$i").mkString(" ")), // exact corpus clone
+      (11L, novelTxt),                                 // fully novel
+      (12L, novelTxt))                                 // batch-internal twin
+      .toDF("doc_id", "text")
+    val got = DedupOps.incrementalNoveltyOn(corpus, batch).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("novelty")).toMap
+    assert(got(10L) == 0.0, s"corpus clone must be 0-novel: $got")
+    assert(got(11L) == 1.0 && got(12L) == 1.0,
+      s"batch-internal twins are BOTH novel vs the frozen corpus: $got")
+  }
 }

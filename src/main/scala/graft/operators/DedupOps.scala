@@ -1148,8 +1148,13 @@ object DedupOps {
     noveltyScoreOn(Tables.t(s, dir, "documents"))
 
   def noveltyScoreOn(documents: DataFrame): DataFrame = {
+    // persist the inverted frame: it feeds BOTH the first-seen fold and
+    // the join side, and without the cache the shingling map — the
+    // expensive stage — runs twice (the jaccard/winnow discipline;
+    // caught by the Audit rescan tally)
     val inv = withShingles(documents)
       .select(col("doc_id"), explode(col("shs")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val firstSeen = inv.groupBy("sh").agg(min(col("doc_id")).as("first_doc"))
     inv.join(firstSeen, "sh")
       .groupBy("doc_id")

@@ -1372,9 +1372,57 @@ object EventOps {
       |              + CASE WHEN x3 IS NOT NULL THEN 1 ELSE 0 END) * 1000000 AS DOUBLE) AS wma
       |FROM l ORDER BY user_id, ts_us, event_id""".stripMargin
 
+  /** RFM segmentation — the user-value rollup every growth/analytics
+    * stack ships: per user recency (last event time), frequency (event
+    * count) and monetary (exact integer-cents value sum), each scored
+    * into quintiles, users counted per (r, f, m) segment. Scoring uses
+    * ntile(5) with a FULLY deterministic order (metric, then user_id —
+    * a bare metric order makes tied users' buckets engine-dependent);
+    * ntile's standard fill (first buckets take the remainder) is the
+    * same rule in Spark and DuckDB, so the gate is all-integer exact.
+    * Scale note: the three global ntiles sort the PER-USER frame (one
+    * row per user — orders of magnitude under the event count); the
+    * event-scale work is the one partial-agg shuffle. If even the user
+    * frame outgrows a sort, the counts-then-rank discipline
+    * (`ev_quantiles_by_type`) computes the same quintile boundaries
+    * from (metric, count) pre-aggregates — the named drop-in.
+    */
+  def rfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(max(unix_micros(col("ts"))).as("recency_us"),
+        count(lit(1)).as("freq"),
+        sum(cents(col("value"))).as("monetary_c"))
+    val r = ntile(5).over(Window.orderBy(col("recency_us").asc, col("user_id").asc))
+    val f = ntile(5).over(Window.orderBy(col("freq").asc, col("user_id").asc))
+    val m = ntile(5).over(Window.orderBy(col("monetary_c").asc, col("user_id").asc))
+    per
+      .withColumn("r_score", r.cast("long"))
+      .withColumn("f_score", f.cast("long"))
+      .withColumn("m_score", m.cast("long"))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
+  val rfmOracle: String =
+    """WITH per AS (
+      |  SELECT user_id, MAX(epoch_us(ts)) AS recency_us, COUNT(*) AS freq,
+      |         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS monetary_c
+      |  FROM events GROUP BY user_id),
+      |scored AS (
+      |  SELECT CAST(ntile(5) OVER (ORDER BY recency_us, user_id) AS BIGINT) AS r_score,
+      |         CAST(ntile(5) OVER (ORDER BY freq, user_id) AS BIGINT) AS f_score,
+      |         CAST(ntile(5) OVER (ORDER BY monetary_c, user_id) AS BIGINT) AS m_score
+      |  FROM per)
+      |SELECT r_score, f_score, m_score, COUNT(*) AS n_users
+      |FROM scored GROUP BY r_score, f_score, m_score
+      |ORDER BY r_score, f_score, m_score""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("ev_asof_last_order", asofLastOrder, Some(asofOracle)),
     QueryDef("ev_weighted_ma", weightedMa, Some(weightedMaOracle)),
+    QueryDef("ev_rfm_segments", rfmSegments, Some(rfmOracle)),
     QueryDef("ev_attack_context", attackContext, Some(attackContextOracle)),
     QueryDef("ev_attack_context_sweep", attackContextSweep, Some(attackContextOracle)),
     QueryDef("ev_funnel_2step", funnel2Step, Some(funnelOracle)),

@@ -69,6 +69,15 @@ object ServeBench {
         () => SimilarityOps.writeCosineCellIndex(embCorpus, s"$idx/cos"),
         () => graft.Registry.byName("emb_incr_cosine").build(s, sfDir),
         () => SimilarityOps.incrementalCosineFromIndex(s, embBatch, s"$idx/cos")),
+      // first-seen gram index: direct = the self-contained incremental
+      // novelty (re-shingles the whole corpus per call); serve = the same
+      // scores probing the stored gram table (DedupSimilaritySpec pins
+      // equality — here we pin that serve never carries the corpus
+      // shingling term)
+      Family("novelty",
+        () => DedupOps.writeNoveltyIndex(docCorpus, s"$idx/nov"),
+        () => graft.Registry.byName("doc_incr_novelty").build(s, sfDir),
+        () => DedupOps.noveltyFromIndex(s, docBatch, s"$idx/nov")),
       // sparse retrieval: direct = the gated full-scan BM25; serve = the
       // same scores off the bucket-pruned posting lists (SearchIndexSpec
       // pins bit-parity — here we pin that serve never carries the scan)
@@ -107,7 +116,7 @@ object ServeBench {
       // bucketed serving tables registered in the catalog must not outlive
       // their files
       Seq(s"$idx/pq/raw", s"$idx/ivf/raw", s"$idx/mrl/raw", s"$idx/mh/sigs",
-        s"$idx/search").foreach { p =>
+        s"$idx/nov/grams", s"$idx/search").foreach { p =>
         try graft.sources.Bucketed.dropRegistration(s, p)
         catch { case _: Throwable => () }
       }

@@ -688,6 +688,44 @@ object Analytics {
        |GROUP BY o_year
        |ORDER BY o_year""".stripMargin
 
+  /** TPC-H Q12 shape — shipping-delay service levels: per delay bucket
+    * (on-time / late = shipped >90 days after order), how many high- vs
+    * low-priority orders landed there — Q12's pivot of a derived shipping
+    * attribute against order priority (the reference schema has no
+    * l_shipmode; the delay bucket is the same two-class derived
+    * dimension). One fact-fact join on the order key (both sides shuffle
+    * once), conditional counts in ONE aggregate, date arithmetic in
+    * integer days on both engines.
+    */
+  def q12LateShipments(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.t(s, dir, "lineitem")
+    val o = Tables.t(s, dir, "orders")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("bucket",
+        when(datediff(col("l_shipdate"), col("o_orderdate")) > 90, "LATE")
+          .otherwise("ONTIME"))
+      .groupBy("bucket")
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("low_line_count"))
+      .orderBy("bucket")
+  }
+
+  val q12Oracle: String =
+    """SELECT bucket,
+      |  CAST(COALESCE(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |                         THEN 1 END), 0) AS BIGINT) AS high_line_count,
+      |  CAST(COALESCE(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+      |                         THEN 1 END), 0) AS BIGINT) AS low_line_count
+      |FROM (
+      |  SELECT o_orderpriority,
+      |         CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 90
+      |              THEN 'LATE' ELSE 'ONTIME' END AS bucket
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+      |GROUP BY bucket ORDER BY bucket""".stripMargin
+
   /** TPC-H Q15 shape — top supplier(s) by quarterly revenue: the classic
     * view + MAX-equality pattern (ALL suppliers achieving the maximum —
     * ties kept, which a LIMIT 1 silently breaks). The revenue view is one
@@ -752,6 +790,7 @@ object Analytics {
     QueryDef("q7_nation_trade", q7NationTrade, Some(q7Oracle)),
     QueryDef("q8_market_share", q8MarketShare, Some(q8Oracle)),
     QueryDef("q15_top_supplier", q15TopSupplier, Some(q15Oracle)),
+    QueryDef("q12_late_shipments", q12LateShipments, Some(q12Oracle)),
     QueryDef("q19_bracket_revenue", q19BracketRevenue, Some(q19Oracle)),
     QueryDef("q_rollup_revenue", qRollupRevenue, Some(qRollupOracle)),
     QueryDef("q_cube_revenue", qCubeRevenue, Some(qCubeOracle)),

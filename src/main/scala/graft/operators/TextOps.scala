@@ -378,6 +378,65 @@ object TextOps {
       |     UNNEST(range(1, len(toks))) AS r(i)
       |GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin
 
+  /** PMI collocations — bigrams ranked by pointwise mutual information,
+    * the classic association-mining step (collocation extraction: "fast
+    * spark" matters because it co-occurs MORE than its parts' frequencies
+    * predict; raw bigram counts just echo the head of the unigram
+    * distribution). The gate ships the monotone RATIO
+    * (c_xy·N²)/(M·c_x·c_y) instead of its log: PMI's log is a per-row
+    * transcendental — the measured Math.log/libm trap (§ graft_ln) —
+    * while the ratio is a float product/division chain of exact integer
+    * counts with a fixed association order, bit-identical on both
+    * engines. Ranking (and any thresholding) is identical under the
+    * monotone transform. Two count shuffles (unigrams, bigrams) + two
+    * joins of the bigram frame against the unigram counts on the word
+    * key; totals broadcast as one-row aggregates. Count floor ≥ 5 kills
+    * the PMI-loves-hapax pathology.
+    */
+  def pmiBigrams(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.t(s, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val uni = d.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c_w"))
+    val totals = d.agg(
+      sum(size(col("toks"))).as("n_toks"),
+      sum(greatest(size(col("toks")) - 1, lit(0))).as("n_bi"))
+    val bi = d.select(explode(when(size(col("toks")) >= 2,
+        expr("transform(sequence(0, size(toks)-2), i -> struct(toks[i] AS w1, toks[i+1] AS w2))"))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_xy"))
+      .filter(col("n_xy") >= 5)
+    bi
+      .join(uni.select(col("w").as("w1"), col("c_w").as("n_x")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c_w").as("n_y")), "w2")
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi_ratio",
+        col("n_xy").cast(DoubleType) * col("n_toks") * col("n_toks") /
+          (col("n_bi").cast(DoubleType) * col("n_x") * col("n_y")))
+      .select(concat_ws(" ", col("w1"), col("w2")).as("bigram"),
+        col("n_xy"), col("n_x"), col("n_y"), col("pmi_ratio"))
+      .orderBy(col("pmi_ratio").desc, col("bigram").asc)
+      .limit(30)
+  }
+
+  val pmiOracle: String =
+    """WITH toks AS (SELECT str_split(text, ' ') AS toks FROM documents),
+      |uni AS (SELECT t.w, COUNT(*) AS c_w
+      |        FROM (SELECT unnest(toks) AS w FROM toks) t GROUP BY t.w),
+      |tot AS (SELECT CAST(SUM(len(toks)) AS BIGINT) AS n_toks,
+      |               CAST(SUM(GREATEST(len(toks) - 1, 0)) AS BIGINT) AS n_bi
+      |        FROM toks),
+      |bi AS (SELECT toks[i] AS w1, toks[i+1] AS w2, COUNT(*) AS n_xy
+      |       FROM toks, UNNEST(range(1, len(toks))) AS r(i)
+      |       GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+      |SELECT bi.w1 || ' ' || bi.w2 AS bigram, bi.n_xy, x.c_w AS n_x, y.c_w AS n_y,
+      |       CAST(bi.n_xy AS DOUBLE) * tot.n_toks * tot.n_toks
+      |         / (CAST(tot.n_bi AS DOUBLE) * x.c_w * y.c_w) AS pmi_ratio
+      |FROM bi JOIN uni x ON x.w = bi.w1 JOIN uni y ON y.w = bi.w2, tot
+      |ORDER BY pmi_ratio DESC, bigram ASC LIMIT 30""".stripMargin
+
   /** Apache combined-log parsing (the reference producers emit this format
     * in `text`: producer/lambda_function.py:115-119). regexp_extract stays
     * in codegen; one pass, no UDF.
@@ -2036,6 +2095,7 @@ object TextOps {
     QueryDef("doc_winnow_pairs", winnowPairs, Some(winnowPairsOracle)),
     QueryDef("doc_shard_assign", shardAssign, Some(shardAssignOracle)),
     QueryDef("doc_top_bigrams", topBigrams, Some(topBigramsOracle)),
+    QueryDef("doc_pmi_bigrams", pmiBigrams, Some(pmiOracle)),
     QueryDef("doc_pii_scrub", piiScrub, Some(piiOracle)),
     QueryDef("doc_repetition", repetition, Some(repetitionOracle)),
     QueryDef("doc_profile", profile, Some(profileOracle)),

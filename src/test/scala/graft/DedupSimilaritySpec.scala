@@ -928,4 +928,62 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(got(11L) == 1.0 && got(12L) == 1.0,
       s"batch-internal twins are BOTH novel vs the frozen corpus: $got")
   }
+
+  test("novelty matches a driver-side first-occurrence fold on random corpora") {
+    for (seed <- 1 to 3) {
+      val rng = new scala.util.Random(seed)
+      val vocab = Vector("a", "b", "c", "d", "e")
+      // 6-12 word docs over a 5-word vocab: dense 5-gram collisions by
+      // construction, plus some sub-5-token docs (excluded by contract)
+      val docs = (0 until 12 + rng.nextInt(8)).map { i =>
+        val len = 3 + rng.nextInt(10)
+        (i.toLong, Vector.fill(len)(vocab(rng.nextInt(vocab.length))).mkString(" "))
+      }
+      def grams(t: String): Set[String] = {
+        val w = t.split(" ")
+        if (w.length < 5) Set.empty
+        else w.sliding(5).map(_.mkString(" ")).toSet
+      }
+      val firstSeen = scala.collection.mutable.Map[String, Long]()
+      docs.sortBy(_._1).foreach { case (id, t) =>
+        grams(t).foreach(g => if (!firstSeen.contains(g)) firstSeen(g) = id)
+      }
+      val want = docs.sortBy(_._1).flatMap { case (id, t) =>
+        val g = grams(t)
+        if (g.isEmpty) None
+        else Some((id, g.size.toLong, g.count(firstSeen(_) == id).toLong))
+      }
+      val got = DedupOps.noveltyScoreOn(docs.toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == want, s"seed $seed: docs=$docs")
+    }
+  }
+
+  test("containment matches a driver-side brute force on random corpora") {
+    for (seed <- 1 to 3) {
+      val rng = new scala.util.Random(seed)
+      val vocab = Vector("a", "b", "c", "d", "e", "f")
+      val docs = (0 until 10 + rng.nextInt(6)).map { i =>
+        val len = 5 + rng.nextInt(12)
+        (i.toLong, Vector.fill(len)(vocab(rng.nextInt(vocab.length))).mkString(" "))
+      }
+      def grams(t: String): Set[String] = {
+        val w = t.split(" ")
+        if (w.length < 5) Set.empty
+        else w.sliding(5).map(_.mkString(" ")).toSet
+      }
+      val gs = docs.map { case (id, t) => id -> grams(t) }.toMap
+      // df-cap can't bite here (adaptive cap = max(1000, n/100) >> any df)
+      val want = (for {
+        (a, ga) <- gs.toSeq; (b, gb) <- gs.toSeq
+        if ga.nonEmpty && gb.nonEmpty
+        if ga.size < gb.size || (ga.size == gb.size && a < b)
+        common = (ga intersect gb).size
+        if ga.size >= 5 && common.toDouble / ga.size >= 0.9
+      } yield (a, b, common.toLong, ga.size.toLong)).sortBy(p => (p._1, p._2))
+      val got = DedupOps.containmentPairsOn(docs.toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(got == want, s"seed $seed: docs=$docs")
+    }
+  }
 }

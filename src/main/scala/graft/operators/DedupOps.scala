@@ -1165,6 +1165,50 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Containment REDUCTION — the corpus-level consumer of
+    * [[containmentPairsOn]]: drop every document that is ≥90% contained
+    * in some other document (the d_small of any pair), keep the
+    * containers — the "delete the quote, keep the source" pass a
+    * training corpus runs after span-level scrubbing. One-shot rule, not
+    * a fixpoint: a doc contained ONLY in docs that are themselves
+    * dropped still drops (conservative over-drop on >2-deep ≥0.9 chains
+    * — at threshold 1.0 containment is transitive so nothing is lost;
+    * below 1.0 the transitive container may fall under threshold, and
+    * the one-shot rule trades that corner for determinism and a single
+    * anti-join instead of an iterative closure). Output is the kept
+    * corpus' ids with per-doc capped-gram counts — the anti-join is
+    * against the (bounded) distinct d_small set, broadcast.
+    */
+  def keepContainers(s: SparkSession, dir: String): DataFrame =
+    keepContainersOn(Tables.t(s, dir, "documents"))
+
+  def keepContainersOn(documents: DataFrame): DataFrame = {
+    val pairs = containmentPairsOn(documents)
+    val contained = pairs.select(col("d_small").as("doc_id")).distinct()
+    val eff = cappedShingles(documents, AdaptiveCap)
+    eff.select(col("doc_id"), col("n_sh").cast("long").as("n_grams"))
+      .join(broadcast(contained), Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
+  val keepContainersOracle: String =
+    s"""WITH $sqlCappedPairs,
+       |pairs AS (
+       |  SELECT c.d1, c.d2, c.common, x.n_sh AS n1, y.n_sh AS n2
+       |  FROM c JOIN sz x ON x.doc_id = c.d1 JOIN sz y ON y.doc_id = c.d2),
+       |oriented AS (
+       |  SELECT CASE WHEN n1 < n2 OR (n1 = n2 AND d1 < d2) THEN d1 ELSE d2 END AS d_small,
+       |         common, LEAST(n1, n2) AS n_small
+       |  FROM pairs),
+       |dropped AS (
+       |  SELECT DISTINCT d_small AS doc_id FROM oriented
+       |  WHERE CAST(common AS DOUBLE) / CAST(n_small AS DOUBLE) >= 0.9
+       |    AND n_small >= 5)
+       |SELECT s.doc_id, s.n_sh AS n_grams
+       |FROM sz s LEFT JOIN dropped d ON s.doc_id = d.doc_id
+       |WHERE d.doc_id IS NULL
+       |ORDER BY s.doc_id""".stripMargin
+
   /** INCREMENTAL novelty — the serving form of [[noveltyScoreOn]] for an
     * ingest pipeline: each batch doc scored against the FROZEN corpus
     * gram set, order-free (batch-internal first occurrences do NOT count
@@ -1271,6 +1315,7 @@ object DedupOps {
     QueryDef("doc_incr_novelty", incrementalNovelty, Some(incrementalNoveltyOracle)),
     QueryDef("doc_jaccard_pairs", jaccardPairs, Some(jaccardOracle), headline = true),
     QueryDef("doc_containment_pairs", containmentPairs, Some(containmentOracle)),
+    QueryDef("doc_keep_containers", keepContainers, Some(keepContainersOracle)),
     QueryDef("doc_minhash_lsh", minHashLsh, None, headline = true),
     QueryDef("doc_simhash", simHashPairs, None),
     QueryDef("doc_dup_clusters", dupClusters, Some(dupClustersOracle)),

@@ -1088,4 +1088,43 @@ class StreamingSpec extends SparkSpecBase {
       assert(got(4L).wden == 14L)
     } finally query.stop()
   }
+
+  test("novelty index serves a document stream via foreachBatch, appends between batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-novstream").toString + "/nov"
+    val corpus = graft.sources.Tables.t(spark, sf0001, "documents")
+      .filter(col("doc_id") % 5 =!= 0).select("doc_id", "text")
+    graft.operators.DedupOps.writeNoveltyIndex(corpus, dir)
+    val mem = MemoryStream[(Long, String)]
+    val scores = scala.collection.mutable.ArrayBuffer[(Long, Double)]()
+    // the stateless stream form IS the batch probe per micro-batch — the
+    // foreachBatch-composable contract the incremental family documents;
+    // appending each scored batch makes the NEXT batch see it as corpus
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val scored = graft.operators.DedupOps
+          .noveltyFromIndex(spark, batch, dir).collect()
+        scores.synchronized {
+          scores ++= scored.map(r =>
+            (r.getAs[Long]("doc_id"), r.getAs[Double]("novelty")))
+        }
+        graft.operators.DedupOps.appendToNoveltyIndex(batch, dir)
+        ()
+      }.start()
+    try {
+      val clone = corpus.orderBy("doc_id").limit(1).collect().head.getString(1)
+      val novelTxt = (1 to 40).map(i => s"stream$i").mkString(" ")
+      mem.addData((9001L, clone), (9002L, novelTxt))
+      q.processAllAvailable()
+      // batch 2 replays the batch-1 novel doc: the append must have made
+      // it corpus, so the replay scores 0.0
+      mem.addData((9003L, novelTxt))
+      q.processAllAvailable()
+      val byId = scores.toMap
+      assert(byId(9001L) == 0.0, s"corpus clone must be 0-novel: $byId")
+      assert(byId(9002L) == 1.0, s"unseen doc must be fully novel: $byId")
+      assert(byId(9003L) == 0.0,
+        s"batch-2 replay must see batch 1 appended as corpus: $byId")
+    } finally q.stop()
+  }
 }

@@ -768,6 +768,45 @@ object Analytics {
        |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
        |ORDER BY s_suppkey""".stripMargin
 
+  /** TPC-H Q22 shape — the global sales opportunity: customers with
+    * above-average positive account balance and no RECENT order (lapsed
+    * since 1999 — the strict never-ordered form is vacuous on this data:
+    * every rich customer has SOME order at gate scale; the windowed
+    * lapse is the form a retention team actually runs, and the anti-join
+    * build side shrinks to the window's slice with the date filter
+    * pushed to the orders scan), rolled up by nation-key prefix class
+    * (the schema has no phone; nation key modulo 5 plays the
+    * country-code bucket). Q22's two signature moves survive intact:
+    * the scalar subquery (average over a FILTERED slice, broadcast back
+    * — no driver collect) and the NOT EXISTS anti join against orders.
+    * Exact decimal sums both engines agree on; the anti join shuffles
+    * each side once on the key.
+    */
+  def q22SalesOpportunity(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.t(s, dir, "customer")
+    val avgBal = c.filter(col("c_acctbal") > 0)
+      .agg((dsum(col("c_acctbal")) / count(lit(1))).as("avg_bal"))
+    c.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(Tables.t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1999-01-01")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .withColumn("cntrycode", pmod(col("c_nationkey"), lit(5)).cast("long"))
+      .groupBy("cntrycode")
+      .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+      .orderBy("cntrycode")
+  }
+
+  val q22Oracle: String =
+    s"""SELECT CAST(c_nationkey % 5 AS BIGINT) AS cntrycode,
+       |       COUNT(*) AS numcust, ${sqlDsum("c_acctbal")} AS totacctbal
+       |FROM customer
+       |WHERE c_acctbal > (SELECT ${sqlDsum("c_acctbal")} / COUNT(*)
+       |                   FROM customer WHERE c_acctbal > 0)
+       |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+       |                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+       |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin
+
   /** HLL sketch distinct — the 100 TB answer to COUNT(DISTINCT): no exact
     * shuffle of the full key set. Approximate, so rows-only checked.
     */
@@ -791,6 +830,7 @@ object Analytics {
     QueryDef("q8_market_share", q8MarketShare, Some(q8Oracle)),
     QueryDef("q15_top_supplier", q15TopSupplier, Some(q15Oracle)),
     QueryDef("q12_late_shipments", q12LateShipments, Some(q12Oracle)),
+    QueryDef("q22_sales_opportunity", q22SalesOpportunity, Some(q22Oracle)),
     QueryDef("q19_bracket_revenue", q19BracketRevenue, Some(q19Oracle)),
     QueryDef("q_rollup_revenue", qRollupRevenue, Some(qRollupOracle)),
     QueryDef("q_cube_revenue", qCubeRevenue, Some(qCubeOracle)),

@@ -57,4 +57,30 @@ class GraphSpec extends SparkSpecBase {
       .select("doc_id").as[Long].collect().toSet
     assert(rows.map(_._2).toSet == clustered && rows.length == clustered.size)
   }
+
+  test("triangle enumeration matches a driver-side brute force on random graphs") {
+    import spark.implicits._
+    // exercises the oriented-edge join directly (dupTriangles composes it
+    // with the jaccard pair builder; the graph step is what needs pinning)
+    for (seed <- 1 to 3) {
+      val rng = new scala.util.Random(seed)
+      val n = 8 + rng.nextInt(5)
+      val edges = (for {
+        a <- 0 until n; b <- a + 1 until n
+        if rng.nextDouble() < 0.35
+      } yield (a.toLong, b.toLong)).toVector
+      val eset = edges.toSet
+      val want = (for {
+        (a, b) <- edges; c <- (b + 1) until n
+        if eset.contains((b, c.toLong)) && eset.contains((a, c.toLong))
+      } yield (a, b, c.toLong)).sorted
+      val e = edges.toDF("d1", "d2")
+      val wedges = e.select(col("d1").as("a"), col("d2").as("b"))
+        .join(e.select(col("d1").as("b"), col("d2").as("c")), "b")
+      val got = wedges
+        .join(e.select(col("d1").as("a"), col("d2").as("c")), Seq("a", "c"))
+        .select("a", "b", "c").as[(Long, Long, Long)].collect().toVector.sorted
+      assert(got == want, s"seed $seed: edges=$edges")
+    }
+  }
 }

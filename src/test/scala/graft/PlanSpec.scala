@@ -466,4 +466,31 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("partial_min") || p.contains("HashAggregate"),
       "first-seen must partial-aggregate map-side")
   }
+
+  test("q15: the revenue view is computed once (persisted), quarter filter pushed") {
+    val df = Analytics.q15TopSupplier(spark, sf0001)
+    val p = plan(df)
+    // the max-equality probe must reuse the persisted view, not rescan
+    // lineitem for the scalar max
+    val scans = "lineitem.parquet".r.findAllIn(p).size
+    assert(scans <= 1, s"the revenue view must not rescan lineitem: $scans scans\n$p")
+  }
+
+  test("q22: the lapse window reaches the orders scan; anti join present") {
+    val p = plan(Analytics.q22SalesOpportunity(spark, sf0001))
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
+      s"date filter must reach the orders scan:\n$p")
+    assert(p.contains("LeftAnti"), "NOT EXISTS must compile to an anti join")
+  }
+
+  test("q12: one fact-fact join, conditional counts in a single aggregate") {
+    val df = Analytics.q12LateShipments(spark, sf0001)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size == 2, s"exactly lineitem + orders, got ${scans.size}")
+    val aggs = "HashAggregate".r.findAllIn(plan(df)).size
+    // partial + final of ONE aggregate (both conditional sums inside it)
+    assert(aggs == 2, s"both counts must ride one aggregate, got $aggs HashAggregates")
+  }
 }

@@ -1127,4 +1127,58 @@ class StreamingSpec extends SparkSpecBase {
         s"batch-2 replay must see batch 1 appended as corpus: $byId")
     } finally q.stop()
   }
+
+  test("pathStream: folded stream paths match the batch top-20 exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingPaths
+    import graft.streaming.StreamingPaths.{Path, PathEvent}
+    val ordered = graft.sources.Tables.t(spark, sf0001, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"))
+      .orderBy("ts_us", "event_id")
+      .as[PathEvent].collect()
+    val mem = MemoryStream[PathEvent]
+    val out = StreamingPaths.pathStream(mem.toDS())
+    val q = out.writeStream.format("memory").queryName("paths_out")
+      .outputMode("append").start()
+    try {
+      ordered.grouped((ordered.length + 2) / 3).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val streamTop = spark.table("paths_out").as[Path]
+        .groupBy("step1", "step2", "step3").agg(count(lit(1)).as("n_paths"))
+        .orderBy(col("n_paths").desc, col("step1").asc, col("step2").asc,
+          col("step3").asc)
+        .limit(20).collect().map(_.toSeq).toSeq
+      val batchTop = graft.operators.EventOps.topPaths(spark, sf0001)
+        .collect().map(_.toSeq).toSeq
+      assert(streamTop == batchTop,
+        s"stream-folded top-20 diverged from the batch query")
+    } finally q.stop()
+  }
+
+  test("pathStream: a session gap clears the tap history; no path crosses the boundary") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingPaths
+    import graft.streaming.StreamingPaths.{GapUs, Path, PathEvent}
+    val mem = MemoryStream[PathEvent]
+    val out = StreamingPaths.pathStream(mem.toDS())
+    val q = out.writeStream.format("memory").queryName("paths_gap")
+      .outputMode("append").start()
+    try {
+      // a-b-c in session 1; gap > 12h; d-e-f in session 2: exactly two
+      // paths (a,b,c) and (d,e,f) — never (b,c,d) or (c,d,e)
+      mem.addData(
+        PathEvent(1L, 1L, 1000L, "a"), PathEvent(1L, 2L, 2000L, "b"),
+        PathEvent(1L, 3L, 3000L, "c"),
+        PathEvent(1L, 4L, 3000L + GapUs + 1L, "d"),
+        PathEvent(1L, 5L, 4000L + GapUs + 1L, "e"),
+        PathEvent(1L, 6L, 5000L + GapUs + 1L, "f"))
+      q.processAllAvailable()
+      val got = spark.table("paths_gap").as[Path].collect()
+        .map(p => (p.step1, p.step2, p.step3)).toSet
+      assert(got == Set(("a", "b", "c"), ("d", "e", "f")), s"got $got")
+    } finally q.stop()
+  }
 }

@@ -1845,8 +1845,10 @@ object SimilarityOps {
     * sign position: `1L << 63` is negative in Spark and engine-defined in
     * DuckDB — split words make every intermediate non-negative on both.
     */
-  def hammingTopk(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.t(s, dir, "embeddings")
+  def hammingTopk(s: SparkSession, dir: String): DataFrame =
+    hammingTopkOn(Tables.t(s, dir, "embeddings"))
+
+  def hammingTopkOn(e: DataFrame): DataFrame = {
     def word(lo: Int): Column = expr(
       s"""aggregate(zip_with(slice(embedding, ${lo + 1}, 32), sequence(0, 31),
          |  (x, i) -> IF(CAST(x AS DOUBLE) > 0.0D,

@@ -317,6 +317,18 @@ object Stress {
         emb.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
           flip.as("embedding"), (col("label") + lit(i * 100)).as("label"))
       }.reduce(_ unionByName _)
+      // binary Hamming top-k: one signature map pass + a rank cut — the
+      // whole cost is the corpus scan, so the x1 -> xN curve must stay
+      // ~linear (fixed 10-query broadcast; output pinned at 100 rows)
+      time("hamming-topk x1")(SimilarityOps.hammingTopkOn(emb).count())
+      spark.catalog.clearCache()
+      time(s"hamming-topk x$copies") {
+        val n = SimilarityOps.hammingTopkOn(embC).count()
+        require(n == 100L, s"top-10 x 10 queries must stay 100 rows, got $n")
+        n
+      }
+      spark.catalog.clearCache()
+
       time(s"cosine-dups x1 cands")(
         SimilarityOps.cosineCandidates(emb, 0.4, 16).count())
       time(s"cosine-dups x$copies cands")(

@@ -1372,6 +1372,38 @@ object EventOps {
       |              + CASE WHEN x3 IS NOT NULL THEN 1 ELSE 0 END) * 1000000 AS DOUBLE) AS wma
       |FROM l ORDER BY user_id, ts_us, event_id""".stripMargin
 
+  /** Mergeable-sketch distinct serving — THE 100 TB distinct-count
+    * pattern: per-day HLL sketches materialize in ONE pass over each
+    * day's events; any period's distinct-user count is then a
+    * metadata-scale union-merge of the daily sketches (sketch bytes, not
+    * events — no fact rescan, spans composable after the fact), which is
+    * exactly what `approx_count_distinct` alone cannot give you (its
+    * per-group results don't merge). Output: per-day exact vs sketch
+    * estimate, plus the ALL row whose estimate comes from the union
+    * merge (the exact total is a second scan here ONLY as the gate's
+    * ground truth — production serves the merge and never rescans).
+    * HLL register maxima are order-independent, so the estimates are
+    * deterministic at any partitioning — but engine-specific, so the
+    * gate is rows-only; the 5% accuracy and the merge==direct
+    * associativity property are spec-pinned instead.
+    */
+  def hllDailyUnion(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.t(s, dir, "events")
+    val daily = ev
+      .groupBy(unix_micros(date_trunc("DAY", col("ts"))).as("day_us"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .persist()
+    val perDay = daily.select(col("day_us"), col("exact_users"),
+      hll_sketch_estimate(col("sk")).as("est_users"))
+    val total = daily
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
+      .crossJoin(broadcast(
+        ev.agg(countDistinct(col("user_id")).as("exact_users"))))
+      .select(lit(-1L).as("day_us"), col("exact_users"), col("est_users"))
+    perDay.unionByName(total).orderBy("day_us")
+  }
+
   /** RFM segmentation — the user-value rollup every growth/analytics
     * stack ships: per user recency (last event time), frequency (event
     * count) and monetary (exact integer-cents value sum), each scored
@@ -1423,6 +1455,7 @@ object EventOps {
     QueryDef("ev_asof_last_order", asofLastOrder, Some(asofOracle)),
     QueryDef("ev_weighted_ma", weightedMa, Some(weightedMaOracle)),
     QueryDef("ev_rfm_segments", rfmSegments, Some(rfmOracle)),
+    QueryDef("ev_hll_daily_union", hllDailyUnion, None),
     QueryDef("ev_attack_context", attackContext, Some(attackContextOracle)),
     QueryDef("ev_attack_context_sweep", attackContextSweep, Some(attackContextOracle)),
     QueryDef("ev_funnel_2step", funnel2Step, Some(funnelOracle)),

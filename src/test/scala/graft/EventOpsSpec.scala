@@ -131,4 +131,29 @@ class EventOpsSpec extends SparkSpecBase {
       col("avg_packets") <= EventOps.HighThresh).count()
     assert(bad == 0)
   }
+
+  test("hll daily union: 5% accuracy per day; merged estimate == direct whole-corpus sketch") {
+    import org.apache.spark.sql.functions.{hll_sketch_agg, hll_sketch_estimate}
+    val out = graft.operators.EventOps.hllDailyUnion(spark, sf0001).collect()
+    val days = out.filter(_.getLong(0) >= 0)
+    assert(days.nonEmpty)
+    days.foreach { r =>
+      val exact = r.getLong(1).toDouble
+      val est = r.getLong(2).toDouble
+      assert(math.abs(est - exact) / exact < 0.05,
+        s"day ${r.getLong(0)}: est $est vs exact $exact")
+    }
+    val all = out.filter(_.getLong(0) == -1L)
+    assert(all.length == 1)
+    // the associativity property the pattern rests on: the union of the
+    // daily sketches must estimate EXACTLY what one whole-corpus sketch
+    // estimates (register maxima are order- and grouping-independent)
+    val direct = graft.sources.Tables.t(spark, sf0001, "events")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("e"))
+      .collect().head.getLong(0)
+    assert(all.head.getLong(2) == direct,
+      s"merge-of-parts ${all.head.getLong(2)} != direct sketch $direct")
+    val exactAll = all.head.getLong(1).toDouble
+    assert(math.abs(direct - exactAll) / exactAll < 0.05)
+  }
 }

@@ -1404,6 +1404,39 @@ object EventOps {
     perDay.unionByName(total).orderBy("day_us")
   }
 
+  /** Audience-overlap matrix — distinct users active on BOTH day A and
+    * day B, for every ordered day pair in the span: the retention/
+    * cross-exposure question sketch UNIONS cannot answer (HLL merges
+    * give |A∪B|; the intersection needs either exact sets or a theta-
+    * style intersectable sketch — exact is the gate-scale form here, and
+    * the inclusion-exclusion |A∩B| = |A|+|B|−|A∪B| route loses all
+    * precision when the overlap is small, which is exactly when you
+    * care). Plan: events collapse ONCE to distinct (day, user) pairs —
+    * one shuffle, map-side combined; the pair matrix is a self-join on
+    * user (each user contributes |days-active|² rows — bounded by the
+    * span, not the event count) + a count by day pair (≤ |days|² rows).
+    * All-integer, hash-exact.
+    */
+  def audienceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val du = Tables.t(s, dir, "events")
+      .select(unix_micros(date_trunc("DAY", col("ts"))).as("day_us"),
+        col("user_id"))
+      .distinct()
+    du.as("a")
+      .join(du.as("b"), Seq("user_id"))
+      .filter(col("a.day_us") < col("b.day_us"))
+      .groupBy(col("a.day_us").as("day_a"), col("b.day_us").as("day_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .orderBy("day_a", "day_b")
+  }
+
+  val audienceOverlapOracle: String =
+    """WITH du AS (SELECT DISTINCT epoch_us(date_trunc('day', ts)) AS day_us, user_id
+      |            FROM events)
+      |SELECT a.day_us AS day_a, b.day_us AS day_b, COUNT(*) AS n_both
+      |FROM du a JOIN du b ON a.user_id = b.user_id AND a.day_us < b.day_us
+      |GROUP BY day_a, day_b ORDER BY day_a, day_b""".stripMargin
+
   /** RFM segmentation — the user-value rollup every growth/analytics
     * stack ships: per user recency (last event time), frequency (event
     * count) and monetary (exact integer-cents value sum), each scored
@@ -1456,6 +1489,7 @@ object EventOps {
     QueryDef("ev_weighted_ma", weightedMa, Some(weightedMaOracle)),
     QueryDef("ev_rfm_segments", rfmSegments, Some(rfmOracle)),
     QueryDef("ev_hll_daily_union", hllDailyUnion, None),
+    QueryDef("ev_audience_overlap", audienceOverlap, Some(audienceOverlapOracle)),
     QueryDef("ev_attack_context", attackContext, Some(attackContextOracle)),
     QueryDef("ev_attack_context_sweep", attackContextSweep, Some(attackContextOracle)),
     QueryDef("ev_funnel_2step", funnel2Step, Some(funnelOracle)),

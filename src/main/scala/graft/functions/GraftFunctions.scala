@@ -28,7 +28,13 @@ object GraftFunctions {
       BloomAgg(args(0), args(1).eval().asInstanceOf[Int],
         args(2).eval().asInstanceOf[Int]).toAggregateExpression() },
     "graft_bloom_contains" -> { args =>
-      BloomMightContain(args(0), args(1), args(2).eval().asInstanceOf[Int]) }
+      BloomMightContain(args(0), args(1), args(2).eval().asInstanceOf[Int]) },
+    "graft_theta" -> { args =>
+      ThetaSketchAgg(args(0), args(1).eval().asInstanceOf[Int])
+        .toAggregateExpression() },
+    "graft_theta_est" -> { args => ThetaEstimate(args(0)) },
+    "graft_theta_intersect_est" -> { args =>
+      ThetaIntersectEstimate(args(0), args(1)) }
   )
 
   def register(spark: SparkSession): Unit = {
@@ -74,4 +80,9 @@ object GraftFunctions {
   def graftBloomContains(words: Column, value: Column, k: Int): Column =
     call_function("graft_bloom_contains", words, value,
       org.apache.spark.sql.functions.lit(k))
+  def graftTheta(c: Column, nominalEntries: Int): Column =
+    call_function("graft_theta", c, org.apache.spark.sql.functions.lit(nominalEntries))
+  def graftThetaEst(sk: Column): Column = call_function("graft_theta_est", sk)
+  def graftThetaIntersectEst(a: Column, b: Column): Column =
+    call_function("graft_theta_intersect_est", a, b)
 }

@@ -1437,6 +1437,31 @@ object EventOps {
       |FROM du a JOIN du b ON a.user_id = b.user_id AND a.day_us < b.day_us
       |GROUP BY day_a, day_b ORDER BY day_a, day_b""".stripMargin
 
+  /** Sketch-served audience overlap — [[audienceOverlap]]'s scale path
+    * made concrete with the native `graft_theta` aggregate: per-day
+    * theta sketches materialize in one pass (partials are ≤ k hashes, a
+    * few KB per day regardless of event count), then EVERY day-pair
+    * intersection is answered from sketch bytes — the exact query's
+    * per-user self-join fan-out disappears; what remains event-scale is
+    * one distinct-ish aggregate. At gate scale the per-day distinct
+    * counts sit under nominalEntries, so the sketches are in EXACT mode
+    * and the spec pins this query EQUAL to the exact matrix (plus
+    * partitioning-independence); at corpus scale the same plan degrades
+    * gracefully to estimates with theta's published error bounds.
+    */
+  def thetaOverlap(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.{graftTheta, graftThetaIntersectEst}
+    val daily = Tables.t(s, dir, "events")
+      .groupBy(unix_micros(date_trunc("DAY", col("ts"))).as("day_us"))
+      .agg(graftTheta(col("user_id"), 4096).as("sk"))
+    daily.select(col("day_us").as("day_a"), col("sk").as("sk_a"))
+      .join(daily.select(col("day_us").as("day_b"), col("sk").as("sk_b")),
+        col("day_a") < col("day_b"))
+      .select(col("day_a"), col("day_b"),
+        graftThetaIntersectEst(col("sk_a"), col("sk_b")).as("est_both"))
+      .orderBy("day_a", "day_b")
+  }
+
   /** RFM segmentation — the user-value rollup every growth/analytics
     * stack ships: per user recency (last event time), frequency (event
     * count) and monetary (exact integer-cents value sum), each scored
@@ -1490,6 +1515,7 @@ object EventOps {
     QueryDef("ev_rfm_segments", rfmSegments, Some(rfmOracle)),
     QueryDef("ev_hll_daily_union", hllDailyUnion, None),
     QueryDef("ev_audience_overlap", audienceOverlap, Some(audienceOverlapOracle)),
+    QueryDef("ev_theta_overlap", thetaOverlap, None),
     QueryDef("ev_attack_context", attackContext, Some(attackContextOracle)),
     QueryDef("ev_attack_context_sweep", attackContextSweep, Some(attackContextOracle)),
     QueryDef("ev_funnel_2step", funnel2Step, Some(funnelOracle)),

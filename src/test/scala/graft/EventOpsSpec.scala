@@ -156,4 +156,26 @@ class EventOpsSpec extends SparkSpecBase {
     val exactAll = all.head.getLong(1).toDouble
     assert(math.abs(direct - exactAll) / exactAll < 0.05)
   }
+
+  test("theta overlap: exact-mode sketches equal the exact matrix; partitioning-independent") {
+    import graft.functions.GraftFunctions.{graftTheta, graftThetaEst}
+    val exact = graft.operators.EventOps.audienceOverlap(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val est = graft.operators.EventOps.thetaOverlap(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // pairs with zero overlap are absent from the exact matrix but present
+    // (est 0.0) in the sketch one
+    est.foreach { case (k, e) =>
+      assert(e == exact.getOrElse(k, 0L).toDouble,
+        s"pair $k: sketch $e vs exact ${exact.get(k)} — sub-k sketches must be exact")
+    }
+    assert(exact.keySet.subsetOf(est.keySet))
+    // retained hashes are the k smallest of the distinct values: the
+    // sketch (hence every estimate) must not depend on partitioning
+    val ev = graft.sources.Tables.t(spark, sf0001, "events")
+    def skOf(parts: Int): Double = ev.repartition(parts)
+      .agg(graftThetaEst(graftTheta(col("user_id"), 4096)).as("e"))
+      .collect().head.getDouble(0)
+    assert(skOf(1) == skOf(8), "theta estimate diverged across partitionings")
+  }
 }

@@ -148,4 +148,23 @@ class SqlSurfaceSpec extends SparkSpecBase {
     val ln = spark.sql("SELECT graft_ln(CAST(2.5 AS DOUBLE)) AS l").first().getDouble(0)
     assert(ln == java.lang.Math.log(2.5))
   }
+
+  test("graft_theta resolves from SQL; intersect estimate matches the Column API") {
+    import graft.functions.GraftFunctions.{graftTheta, graftThetaIntersectEst}
+    val docs = graft.sources.Tables.t(spark, sf0001, "documents")
+      .select(col("doc_id"), (col("doc_id") % 2).as("half"))
+    docs.createOrReplaceTempView("theta_in")
+    val sql = spark.sql(
+      """SELECT graft_theta_intersect_est(a.sk, b.sk) AS est FROM
+        |  (SELECT graft_theta(doc_id, 256) AS sk FROM theta_in WHERE half = 0) a,
+        |  (SELECT graft_theta(doc_id, 256) AS sk FROM theta_in WHERE half = 1) b
+        |""".stripMargin).collect().head.getDouble(0)
+    val a = docs.filter(col("half") === 0).agg(graftTheta(col("doc_id"), 256).as("sk"))
+    val b = docs.filter(col("half") === 1).agg(graftTheta(col("doc_id"), 256).as("sk"))
+    val api = a.crossJoin(b.withColumnRenamed("sk", "sk2"))
+      .select(graftThetaIntersectEst(col("sk"), col("sk2")).as("est"))
+      .collect().head.getDouble(0)
+    assert(sql == api, s"SQL $sql vs Column API $api")
+    assert(sql == 0.0, "disjoint halves must intersect to exactly zero in exact mode")
+  }
 }

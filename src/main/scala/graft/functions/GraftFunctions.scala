@@ -34,7 +34,9 @@ object GraftFunctions {
         .toAggregateExpression() },
     "graft_theta_est" -> { args => ThetaEstimate(args(0)) },
     "graft_theta_intersect_est" -> { args =>
-      ThetaIntersectEstimate(args(0), args(1)) }
+      ThetaIntersectEstimate(args(0), args(1)) },
+    "graft_theta_anotb_est" -> { args =>
+      ThetaANotBEstimate(args(0), args(1)) }
   )
 
   def register(spark: SparkSession): Unit = {
@@ -85,4 +87,6 @@ object GraftFunctions {
   def graftThetaEst(sk: Column): Column = call_function("graft_theta_est", sk)
   def graftThetaIntersectEst(a: Column, b: Column): Column =
     call_function("graft_theta_intersect_est", a, b)
+  def graftThetaANotBEst(a: Column, b: Column): Column =
+    call_function("graft_theta_anotb_est", a, b)
 }

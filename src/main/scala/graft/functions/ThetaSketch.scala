@@ -117,6 +117,38 @@ case class ThetaIntersectEstimate(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `graft_theta_anotb_est(a, b)` — estimated |A \ B|: the CHURN
+  * question (active in period A and NOT in period B), the third set
+  * operation the theta family uniquely serves from sketch bytes —
+  * unions can't subtract and intersections can't negate, and computing
+  * churn exactly means an anti join over the raw key sets. Same
+  * aggregated-rows CodegenFallback rationale as the intersection.
+  */
+case class ThetaANotBEstimate(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_theta_anotb_est"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case (a, b) => TypeCheckResult.TypeCheckFailure(
+        s"graft_theta_anotb_est expects (binary, binary), got (${a.simpleString}, ${b.simpleString})")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val op = SetOperation.builder().buildANotB()
+    op.setA(Sketches.wrapCompactSketch(Memory.wrap(a.asInstanceOf[Array[Byte]])))
+    op.notB(Sketches.wrapCompactSketch(Memory.wrap(b.asInstanceOf[Array[Byte]])))
+    op.getResult(true).getEstimate
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `graft_theta_est(sk)` — estimated distinct count of one sketch. */
 case class ThetaEstimate(child: Expression)
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression

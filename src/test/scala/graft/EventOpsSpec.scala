@@ -178,4 +178,26 @@ class EventOpsSpec extends SparkSpecBase {
       .collect().head.getDouble(0)
     assert(skOf(1) == skOf(8), "theta estimate diverged across partitionings")
   }
+
+  test("theta A-not-B: churn estimate equals the exact anti-join count in exact mode") {
+    import graft.functions.GraftFunctions.{graftTheta, graftThetaANotBEst}
+    val ev = graft.sources.Tables.t(spark, sf0001, "events")
+      .select(unix_micros(date_trunc("DAY", col("ts"))).as("day_us"), col("user_id"))
+    val days = ev.select("day_us").distinct().orderBy("day_us")
+      .limit(2).collect().map(_.getLong(0))
+    val (dA, dB) = (days(0), days(1))
+    val exact = ev.filter(col("day_us") === dA).select("user_id").distinct()
+      .join(ev.filter(col("day_us") === dB).select("user_id").distinct(),
+        Seq("user_id"), "left_anti")
+      .count()
+    val skA = ev.filter(col("day_us") === dA)
+      .agg(graftTheta(col("user_id"), 4096).as("sk"))
+    val skB = ev.filter(col("day_us") === dB)
+      .agg(graftTheta(col("user_id"), 4096).as("sk"))
+    val est = skA.crossJoin(skB.withColumnRenamed("sk", "sk2"))
+      .select(graftThetaANotBEst(col("sk"), col("sk2")).as("e"))
+      .collect().head.getDouble(0)
+    assert(est == exact.toDouble,
+      s"exact-mode A-not-B must equal the anti join: sketch $est vs exact $exact")
+  }
 }

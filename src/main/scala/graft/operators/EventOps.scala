@@ -1437,6 +1437,66 @@ object EventOps {
       |FROM du a JOIN du b ON a.user_id = b.user_id AND a.day_us < b.day_us
       |GROUP BY day_a, day_b ORDER BY day_a, day_b""".stripMargin
 
+  /** Growth accounting — the canonical daily RETAINED / CHURNED / NEW
+    * decomposition (every DAU dashboard's second page): for each day,
+    * how many of its actives were active the previous calendar day
+    * (retained), how many of the previous day's actives went silent
+    * (churned), how many actives weren't there yesterday (new). One
+    * collapse of events to distinct (day, user) — the only event-scale
+    * shuffle — then a self-join on (user, day = day−1): each user row
+    * meets at most one predecessor row, so the join output is bounded by
+    * the (day, user) frame itself, never quadratic. FULL outer keeps the
+    * asymmetric cases (a user present only yesterday must count as
+    * churned on today's row). All-integer, hash-exact. First day
+    * reports only `new` (no predecessor baseline — rows with no
+    * previous day are excluded rather than fabricating zero churn).
+    */
+  def growthAccounting(s: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val du = Tables.t(s, dir, "events")
+      .select(unix_micros(date_trunc("DAY", col("ts"))).as("day_us"),
+        col("user_id"))
+      .distinct()
+    val prev = du.select((col("day_us") + lit(dayUs)).as("day_us"),
+      col("user_id"), lit(1L).as("was_active"))
+    val cur = du.withColumn("is_active", lit(1L))
+    val days = du.select("day_us").distinct()
+    cur.join(prev, Seq("day_us", "user_id"), "full_outer")
+      // keep only day rows that HAVE a predecessor day in the data —
+      // the semi join is against the tiny distinct-day frame
+      .join(broadcast(days.select((col("day_us") + lit(dayUs)).as("day_us"))),
+        Seq("day_us"), "left_semi")
+      .groupBy("day_us")
+      .agg(
+        sum(when(col("is_active").isNotNull && col("was_active").isNotNull, 1L)
+          .otherwise(0L)).as("retained"),
+        sum(when(col("is_active").isNotNull && col("was_active").isNull, 1L)
+          .otherwise(0L)).as("new_users"),
+        sum(when(col("is_active").isNull && col("was_active").isNotNull, 1L)
+          .otherwise(0L)).as("churned"))
+      .orderBy("day_us")
+  }
+
+  val growthOracle: String =
+    """WITH du AS (SELECT DISTINCT epoch_us(date_trunc('day', ts)) AS day_us, user_id
+      |            FROM events),
+      |prev AS (SELECT day_us + 86400000000 AS day_us, user_id, 1 AS was_active FROM du),
+      |cur AS (SELECT day_us, user_id, 1 AS is_active FROM du),
+      |j AS (SELECT COALESCE(c.day_us, p.day_us) AS day_us,
+      |             c.is_active, p.was_active
+      |      FROM cur c FULL OUTER JOIN prev p
+      |        ON c.day_us = p.day_us AND c.user_id = p.user_id),
+      |days AS (SELECT DISTINCT day_us + 86400000000 AS day_us FROM du)
+      |SELECT j.day_us,
+      |  CAST(COALESCE(SUM(CASE WHEN is_active IS NOT NULL AND was_active IS NOT NULL
+      |                         THEN 1 END), 0) AS BIGINT) AS retained,
+      |  CAST(COALESCE(SUM(CASE WHEN is_active IS NOT NULL AND was_active IS NULL
+      |                         THEN 1 END), 0) AS BIGINT) AS new_users,
+      |  CAST(COALESCE(SUM(CASE WHEN is_active IS NULL AND was_active IS NOT NULL
+      |                         THEN 1 END), 0) AS BIGINT) AS churned
+      |FROM j SEMI JOIN days ON j.day_us = days.day_us
+      |GROUP BY j.day_us ORDER BY j.day_us""".stripMargin
+
   /** Sketch-served audience overlap — [[audienceOverlap]]'s scale path
     * made concrete with the native `graft_theta` aggregate: per-day
     * theta sketches materialize in one pass (partials are ≤ k hashes, a
@@ -1516,6 +1576,7 @@ object EventOps {
     QueryDef("ev_hll_daily_union", hllDailyUnion, None),
     QueryDef("ev_audience_overlap", audienceOverlap, Some(audienceOverlapOracle)),
     QueryDef("ev_theta_overlap", thetaOverlap, None),
+    QueryDef("ev_growth_accounting", growthAccounting, Some(growthOracle)),
     QueryDef("ev_attack_context", attackContext, Some(attackContextOracle)),
     QueryDef("ev_attack_context_sweep", attackContextSweep, Some(attackContextOracle)),
     QueryDef("ev_funnel_2step", funnel2Step, Some(funnelOracle)),

@@ -437,6 +437,52 @@ object TextOps {
       |FROM bi JOIN uni x ON x.w = bi.w1 JOIN uni y ON y.w = bi.w2, tot
       |ORDER BY pmi_ratio DESC, bigram ASC LIMIT 30""".stripMargin
 
+  /** Cross-source VOCABULARY overlap — the corpus-composition audit run
+    * before mixing sources: pairwise Jaccard of the distinct token sets
+    * of every source pair (a new crawl whose vocabulary is near-disjoint
+    * from the base mix needs its own quality calibration; near-identical
+    * vocabulary means the source adds volume, not coverage). Events
+    * collapse ONCE to distinct (source, token) — one map-side-combined
+    * shuffle; per-source sizes are a tiny aggregate; the intersection
+    * join fans out per token by sources-containing-it² (bounded by
+    * ǀsourcesǀ², ~20 here — corpus-hot tokens cost ǀsourcesǀ², never
+    * n²); ≤ ǀsourcesǀ² output rows. Counts integer-exact, Jaccard one
+    * IEEE division.
+    */
+  def sourceVocabOverlap(s: SparkSession, dir: String): DataFrame = {
+    val st = Tables.t(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = st.groupBy("source").agg(count(lit(1)).as("n_vocab"))
+    val common = st.select(col("source").as("src_a"), col("tok"))
+      .join(st.select(col("source").as("src_b"), col("tok")), "tok")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("n_vocab").as("n_a"))), "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("n_vocab").as("n_b"))), "src_b")
+      .withColumn("jaccard", col("n_common").cast(DoubleType) /
+        (col("n_a") + col("n_b") - col("n_common")).cast(DoubleType))
+      .select("src_a", "src_b", "n_common", "n_a", "n_b", "jaccard")
+      .orderBy("src_a", "src_b")
+  }
+
+  val sourceVocabOracle: String =
+    """WITH st AS (SELECT DISTINCT source, unnest(str_split(text, ' ')) AS tok
+      |            FROM documents),
+      |sizes AS (SELECT source, COUNT(*) AS n_vocab FROM st GROUP BY source),
+      |common AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+      |  FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT src_a, src_b, n_common, x.n_vocab AS n_a, y.n_vocab AS n_b,
+      |       CAST(n_common AS DOUBLE)
+      |         / CAST(x.n_vocab + y.n_vocab - n_common AS DOUBLE) AS jaccard
+      |FROM common JOIN sizes x ON x.source = src_a JOIN sizes y ON y.source = src_b
+      |ORDER BY src_a, src_b""".stripMargin
+
   /** Apache combined-log parsing (the reference producers emit this format
     * in `text`: producer/lambda_function.py:115-119). regexp_extract stays
     * in codegen; one pass, no UDF.
@@ -2096,6 +2142,7 @@ object TextOps {
     QueryDef("doc_shard_assign", shardAssign, Some(shardAssignOracle)),
     QueryDef("doc_top_bigrams", topBigrams, Some(topBigramsOracle)),
     QueryDef("doc_pmi_bigrams", pmiBigrams, Some(pmiOracle)),
+    QueryDef("doc_source_vocab_overlap", sourceVocabOverlap, Some(sourceVocabOracle)),
     QueryDef("doc_pii_scrub", piiScrub, Some(piiOracle)),
     QueryDef("doc_repetition", repetition, Some(repetitionOracle)),
     QueryDef("doc_profile", profile, Some(profileOracle)),

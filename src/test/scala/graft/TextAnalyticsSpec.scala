@@ -429,4 +429,27 @@ class TextAnalyticsSpec extends SparkSpecBase {
     assert(m(1L) > m(3L), "base64 blob must out-entropy natural text")
     assert(m(3L) > 2.0 && m(3L) < 4.5, s"natural text should sit mid-band, got ${m(3L)}")
   }
+
+  test("theta sketches serve the source-vocab overlap: exact mode equals the exact matrix") {
+    import graft.functions.GraftFunctions.{graftTheta, graftThetaIntersectEst}
+    // the sketch-served twin of doc_source_vocab_overlap's intersection
+    // counts: per-source token sketches built once, every pair answered
+    // from sketch bytes. Vocab per source sits under nominalEntries at
+    // this SF, so exact mode lets the spec pin EQUALITY, not tolerance.
+    val st = graft.sources.Tables.t(spark, sf0001, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+    val daily = st.groupBy("source").agg(graftTheta(col("tok"), 8192).as("sk"))
+    val est = daily.select(col("source").as("src_a"), col("sk").as("sk_a"))
+      .join(daily.select(col("source").as("src_b"), col("sk").as("sk_b")),
+        col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        graftThetaIntersectEst(col("sk_a"), col("sk_b")).as("e"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val exact = TextOps.sourceVocabOverlap(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(est.nonEmpty && exact.nonEmpty)
+    exact.foreach { case (k, n) =>
+      assert(est(k) == n.toDouble, s"pair $k: sketch ${est(k)} vs exact $n")
+    }
+  }
 }

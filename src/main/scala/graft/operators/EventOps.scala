@@ -1437,6 +1437,61 @@ object EventOps {
       |FROM du a JOIN du b ON a.user_id = b.user_id AND a.day_us < b.day_us
       |GROUP BY day_a, day_b ORDER BY day_a, day_b""".stripMargin
 
+  /** DAU/WAU stickiness — the engagement ratio every consumer dashboard
+    * headlines: daily actives over trailing-7-day actives, per day.
+    * Distinct-over-a-sliding-window is not window-expressible (COUNT
+    * (DISTINCT) OVER a frame is unsupported for exactly the reason it
+    * would be wrong — the set doesn't decompose); the scale-safe exact
+    * form CONTRIBUTES instead: each distinct (day, user) row feeds the 7
+    * WAU days it participates in (a 7-row explode of the already-
+    * collapsed per-day frame, NOT of raw events), and WAU = distinct
+    * (target_day, user). Output keeps only days with a full 7-day
+    * lookback inside the observed span (a partial window inflates
+    * stickiness exactly when the dashboard is newest). One event-scale
+    * shuffle (the collapse); everything after runs on (days x users)
+    * rows. Ratio is one IEEE division of exact longs.
+    */
+  def stickiness(s: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val du = Tables.t(s, dir, "events")
+      .select(unix_micros(date_trunc("DAY", col("ts"))).as("day_us"),
+        col("user_id"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dau = du.groupBy("day_us").agg(count(lit(1)).as("dau"))
+    val wau = du
+      .select(explode(sequence(col("day_us"),
+        col("day_us") + lit(6L * dayUs), lit(dayUs))).as("day_us"),
+        col("user_id"))
+      .distinct()
+      .groupBy("day_us").agg(count(lit(1)).as("wau"))
+    val span = du.agg(min(col("day_us")).as("first_day"),
+      max(col("day_us")).as("last_day"))
+    dau.join(wau, "day_us")
+      .crossJoin(broadcast(span))
+      .filter(col("day_us") >= col("first_day") + lit(6L * dayUs) &&
+        col("day_us") <= col("last_day"))
+      .select(col("day_us"), col("dau"), col("wau"),
+        (col("dau").cast(DoubleType) / col("wau").cast(DoubleType))
+          .as("stickiness"))
+      .orderBy("day_us")
+  }
+
+  val stickinessOracle: String =
+    """WITH du AS (SELECT DISTINCT epoch_us(date_trunc('day', ts)) AS day_us, user_id
+      |            FROM events),
+      |dau AS (SELECT day_us, COUNT(*) AS dau FROM du GROUP BY day_us),
+      |contrib AS (SELECT DISTINCT du.day_us + i * 86400000000 AS day_us, user_id
+      |            FROM du, UNNEST(range(0, 7)) AS r(i)),
+      |wau AS (SELECT day_us, COUNT(*) AS wau FROM contrib GROUP BY day_us),
+      |span AS (SELECT MIN(day_us) AS first_day, MAX(day_us) AS last_day FROM du)
+      |SELECT d.day_us, d.dau, w.wau,
+      |       CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE) AS stickiness
+      |FROM dau d JOIN wau w ON d.day_us = w.day_us, span
+      |WHERE d.day_us >= span.first_day + 6 * 86400000000
+      |  AND d.day_us <= span.last_day
+      |ORDER BY d.day_us""".stripMargin
+
   /** Growth accounting — the canonical daily RETAINED / CHURNED / NEW
     * decomposition (every DAU dashboard's second page): for each day,
     * how many of its actives were active the previous calendar day
@@ -1577,6 +1632,7 @@ object EventOps {
     QueryDef("ev_audience_overlap", audienceOverlap, Some(audienceOverlapOracle)),
     QueryDef("ev_theta_overlap", thetaOverlap, None),
     QueryDef("ev_growth_accounting", growthAccounting, Some(growthOracle)),
+    QueryDef("ev_stickiness", stickiness, Some(stickinessOracle)),
     QueryDef("ev_attack_context", attackContext, Some(attackContextOracle)),
     QueryDef("ev_attack_context_sweep", attackContextSweep, Some(attackContextOracle)),
     QueryDef("ev_funnel_2step", funnel2Step, Some(funnelOracle)),

@@ -1437,6 +1437,78 @@ object EventOps {
       |FROM du a JOIN du b ON a.user_id = b.user_id AND a.day_us < b.day_us
       |GROUP BY day_a, day_b ORDER BY day_a, day_b""".stripMargin
 
+  /** 3-step WINDOWED funnel (view → click → purchase, each step within
+    * 24h of the previous) — the product-analytics semantics the 2-step
+    * query deliberately simplifies away: ORDERED first-touch progression
+    * with per-step conversion windows (first view; first click AFTER it
+    * within the window; first purchase after THAT within the window —
+    * later views never reopen the funnel, the first-touch rule every
+    * funnel tool defaults to). One conditional aggregate collapses each
+    * user's three step-streams to first-touch candidates... except step
+    * ordering is data-dependent, so steps 2/3 need the events of their
+    * type AFTER a per-user timestamp: two more user-keyed joins against
+    * the (already type-filtered) slices — three event-scale passes
+    * total, each filtered to one type before its shuffle, all keyed on
+    * user_id so the exchange layout is shared. Summary row: stage
+    * counts + stepwise/overall conversion (IEEE ratios of exact longs).
+    */
+  def funnel3Step(s: SparkSession, dir: String): DataFrame = {
+    val winUs = 86400000000L
+    val e = Tables.t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"))
+    val s1 = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("t")).as("t1"))
+    val s2 = e.filter(col("event_type") === "click")
+      .join(s1, "user_id")
+      .filter(col("t") > col("t1") && col("t") <= col("t1") + lit(winUs))
+      .groupBy("user_id").agg(min(col("t")).as("t2"))
+    val s3 = e.filter(col("event_type") === "purchase")
+      .join(s2, "user_id")
+      .filter(col("t") > col("t2") && col("t") <= col("t2") + lit(winUs))
+      .groupBy("user_id").agg(min(col("t")).as("t3"))
+    // stage counts as one-row aggregates composed with broadcasts — no
+    // driver-side action inside the operator; s1/s2 persist because each
+    // feeds BOTH its own count and the next stage's join
+    s1.persist(); s2.persist()
+    val c1 = s1.agg(count(lit(1)).as("n_view"))
+    val c2 = s2.agg(count(lit(1)).as("n_click"))
+    val c3 = s3.agg(count(lit(1)).as("n_purchase"))
+    c1.crossJoin(broadcast(c2)).crossJoin(broadcast(c3))
+      .select(col("n_view"), col("n_click"), col("n_purchase"),
+        when(col("n_view") === 0, 0.0).otherwise(
+          col("n_click").cast(DoubleType) / col("n_view").cast(DoubleType))
+          .as("conv_click"),
+        when(col("n_click") === 0, 0.0).otherwise(
+          col("n_purchase").cast(DoubleType) / col("n_click").cast(DoubleType))
+          .as("conv_purchase"),
+        when(col("n_view") === 0, 0.0).otherwise(
+          col("n_purchase").cast(DoubleType) / col("n_view").cast(DoubleType))
+          .as("conv_overall"))
+  }
+
+  val funnel3Oracle: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+      |s1 AS (SELECT user_id, MIN(t) AS t1 FROM e WHERE event_type = 'view'
+      |       GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, MIN(t) AS t2 FROM e JOIN s1 USING (user_id)
+      |       WHERE event_type = 'click' AND t > t1 AND t <= t1 + 86400000000
+      |       GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, MIN(t) AS t3 FROM e JOIN s2 USING (user_id)
+      |       WHERE event_type = 'purchase' AND t > t2 AND t <= t2 + 86400000000
+      |       GROUP BY e.user_id)
+      |SELECT (SELECT COUNT(*) FROM s1) AS n_view,
+      |       (SELECT COUNT(*) FROM s2) AS n_click,
+      |       (SELECT COUNT(*) FROM s3) AS n_purchase,
+      |       CASE WHEN (SELECT COUNT(*) FROM s1) = 0 THEN 0.0
+      |            ELSE CAST((SELECT COUNT(*) FROM s2) AS DOUBLE)
+      |                 / CAST((SELECT COUNT(*) FROM s1) AS DOUBLE) END AS conv_click,
+      |       CASE WHEN (SELECT COUNT(*) FROM s2) = 0 THEN 0.0
+      |            ELSE CAST((SELECT COUNT(*) FROM s3) AS DOUBLE)
+      |                 / CAST((SELECT COUNT(*) FROM s2) AS DOUBLE) END AS conv_purchase,
+      |       CASE WHEN (SELECT COUNT(*) FROM s1) = 0 THEN 0.0
+      |            ELSE CAST((SELECT COUNT(*) FROM s3) AS DOUBLE)
+      |                 / CAST((SELECT COUNT(*) FROM s1) AS DOUBLE) END AS conv_overall""".stripMargin
+
   /** DAU/WAU stickiness — the engagement ratio every consumer dashboard
     * headlines: daily actives over trailing-7-day actives, per day.
     * Distinct-over-a-sliding-window is not window-expressible (COUNT
@@ -1633,6 +1705,7 @@ object EventOps {
     QueryDef("ev_theta_overlap", thetaOverlap, None),
     QueryDef("ev_growth_accounting", growthAccounting, Some(growthOracle)),
     QueryDef("ev_stickiness", stickiness, Some(stickinessOracle)),
+    QueryDef("ev_funnel_3step", funnel3Step, Some(funnel3Oracle)),
     QueryDef("ev_attack_context", attackContext, Some(attackContextOracle)),
     QueryDef("ev_attack_context_sweep", attackContextSweep, Some(attackContextOracle)),
     QueryDef("ev_funnel_2step", funnel2Step, Some(funnelOracle)),

@@ -36,7 +36,9 @@ object GraftFunctions {
     "graft_theta_intersect_est" -> { args =>
       ThetaIntersectEstimate(args(0), args(1)) },
     "graft_theta_anotb_est" -> { args =>
-      ThetaANotBEstimate(args(0), args(1)) }
+      ThetaANotBEstimate(args(0), args(1)) },
+    "graft_theta_union" -> { args =>
+      ThetaUnionAgg(args(0)).toAggregateExpression() }
   )
 
   def register(spark: SparkSession): Unit = {
@@ -89,4 +91,5 @@ object GraftFunctions {
     call_function("graft_theta_intersect_est", a, b)
   def graftThetaANotBEst(a: Column, b: Column): Column =
     call_function("graft_theta_anotb_est", a, b)
+  def graftThetaUnion(sk: Column): Column = call_function("graft_theta_union", sk)
 }

@@ -1564,6 +1564,45 @@ object EventOps {
       |  AND d.day_us <= span.last_day
       |ORDER BY d.day_us""".stripMargin
 
+  /** Persisted theta sketch table — [[thetaOverlap]] upgraded to the
+    * artifact-store pattern the index family uses: per-day sketches
+    * materialize ONCE to parquet (day_us, sk); any later overlap/churn
+    * question is answered from the stored bytes with zero event rescans;
+    * appends land as NEW (day, sketch) rows (one pass over the batch
+    * only) and the probe folds duplicate day rows with `graft_theta_union`
+    * — theta merge is associative/commutative, so the stored partials
+    * compose under ANY append history (spec: write split A, append
+    * overlapping split B, probe == the self-contained query on A∪B,
+    * exact-mode EQUAL).
+    */
+  def writeThetaDaily(events: DataFrame, path: String): Unit = {
+    import graft.functions.GraftFunctions.graftTheta
+    events
+      .groupBy(unix_micros(date_trunc("DAY", col("ts"))).as("day_us"))
+      .agg(graftTheta(col("user_id"), 4096).as("sk"))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  def appendThetaDaily(batch: DataFrame, path: String): Unit = {
+    import graft.functions.GraftFunctions.graftTheta
+    batch
+      .groupBy(unix_micros(date_trunc("DAY", col("ts"))).as("day_us"))
+      .agg(graftTheta(col("user_id"), 4096).as("sk"))
+      .write.mode("append").parquet(path)
+  }
+
+  def thetaOverlapFromStore(s: SparkSession, path: String): DataFrame = {
+    import graft.functions.GraftFunctions.{graftThetaIntersectEst, graftThetaUnion}
+    val daily = s.read.parquet(path)
+      .groupBy("day_us").agg(graftThetaUnion(col("sk")).as("sk"))
+    daily.select(col("day_us").as("day_a"), col("sk").as("sk_a"))
+      .join(daily.select(col("day_us").as("day_b"), col("sk").as("sk_b")),
+        col("day_a") < col("day_b"))
+      .select(col("day_a"), col("day_b"),
+        graftThetaIntersectEst(col("sk_a"), col("sk_b")).as("est_both"))
+      .orderBy("day_a", "day_b")
+  }
+
   /** Growth accounting — the canonical daily RETAINED / CHURNED / NEW
     * decomposition (every DAU dashboard's second page): for each day,
     * how many of its actives were active the previous calendar day
@@ -1636,9 +1675,12 @@ object EventOps {
     * partitioning-independence); at corpus scale the same plan degrades
     * gracefully to estimates with theta's published error bounds.
     */
-  def thetaOverlap(s: SparkSession, dir: String): DataFrame = {
+  def thetaOverlap(s: SparkSession, dir: String): DataFrame =
+    thetaOverlapOn(Tables.t(s, dir, "events"))
+
+  def thetaOverlapOn(events: DataFrame): DataFrame = {
     import graft.functions.GraftFunctions.{graftTheta, graftThetaIntersectEst}
-    val daily = Tables.t(s, dir, "events")
+    val daily = events
       .groupBy(unix_micros(date_trunc("DAY", col("ts"))).as("day_us"))
       .agg(graftTheta(col("user_id"), 4096).as("sk"))
     daily.select(col("day_us").as("day_a"), col("sk").as("sk_a"))

@@ -200,4 +200,25 @@ class EventOpsSpec extends SparkSpecBase {
     assert(est == exact.toDouble,
       s"exact-mode A-not-B must equal the anti join: sketch $est vs exact $exact")
   }
+
+  test("theta store: probe == self-contained overlap; overlapping appends fold via union") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-theta-store")
+      .toString + "/theta"
+    val ev = graft.sources.Tables.t(spark, sf0001, "events")
+    // split by user parity: BOTH splits cover the same days, so every day
+    // row is duplicated after the append and the probe MUST union-fold
+    val a = ev.filter(col("user_id") % 2 === 0)
+    val b = ev.filter(col("user_id") % 2 === 1)
+    graft.operators.EventOps.writeThetaDaily(a, dir)
+    graft.operators.EventOps.appendThetaDaily(b, dir)
+    val stored = spark.read.parquet(dir)
+    assert(stored.count() > stored.select("day_us").distinct().count(),
+      "test setup must produce duplicate day rows for the union fold to matter")
+    val probe = graft.operators.EventOps.thetaOverlapFromStore(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val direct = graft.operators.EventOps.thetaOverlapOn(ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(probe == direct,
+      s"stored probe diverged from the self-contained query on the union corpus")
+  }
 }

@@ -167,4 +167,28 @@ class SqlSurfaceSpec extends SparkSpecBase {
     assert(sql == api, s"SQL $sql vs Column API $api")
     assert(sql == 0.0, "disjoint halves must intersect to exactly zero in exact mode")
   }
+
+  test("graft_theta_union and graft_theta_anotb_est resolve from SQL") {
+    graft.sources.Tables.t(spark, sf0001, "documents")
+      .select(col("doc_id"), (col("doc_id") % 3).as("seg"))
+      .createOrReplaceTempView("theta_u_in")
+    // build per-segment sketches, re-merge two of them via the union
+    // aggregate, and subtract the third — pure SQL end to end
+    val est = spark.sql(
+      """WITH per AS (SELECT seg, graft_theta(doc_id, 256) AS sk
+        |             FROM theta_u_in GROUP BY seg),
+        |merged AS (SELECT graft_theta_union(sk) AS sk FROM per WHERE seg < 2),
+        |third AS (SELECT sk FROM per WHERE seg = 2)
+        |SELECT graft_theta_est(merged.sk) AS n01,
+        |       graft_theta_anotb_est(merged.sk, third.sk) AS diff
+        |FROM merged, third
+        |""".stripMargin).collect().head
+    val n01 = est.getDouble(0)
+    val diff = est.getDouble(1)
+    val exact01 = graft.sources.Tables.t(spark, sf0001, "documents")
+      .filter(col("doc_id") % 3 < 2).count()
+    assert(n01 == exact01.toDouble, s"union-merged estimate $n01 vs exact $exact01")
+    // segments are disjoint, so A \ B == A in exact mode
+    assert(diff == n01, s"disjoint A-not-B must equal |A|: $diff vs $n01")
+  }
 }

@@ -437,6 +437,55 @@ object TextOps {
       |FROM bi JOIN uni x ON x.w = bi.w1 JOIN uni y ON y.w = bi.w2, tot
       |ORDER BY pmi_ratio DESC, bigram ASC LIMIT 30""".stripMargin
 
+  /** Vocabulary HEAD coverage — the Zipf head-heaviness audit that sizes
+    * tokenizer vocabularies: what fraction of all token INSTANCES the
+    * top-k most frequent types cover, at the standard checkpoints
+    * (k = 5/10/20 here — scaled to this corpus's 31-type synthetic
+    * vocabulary; production checkpoints are 10/100/1000). The coverage
+    * curve's knee is the empirical
+    * answer to "how big must the vocab be" (BPE merges past the knee buy
+    * ~nothing), and a corpus whose head share shifts between snapshots
+    * has drifted. One (token) count shuffle; ranking runs on the
+    * distinct-TYPE frame (≪ instances; rank by (count desc, token) is
+    * fully deterministic); the running sum rides the same ordering
+    * window. Integer counts + one IEEE division per checkpoint.
+    */
+  def headCoverage(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("n").desc, col("tok").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = counts
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("n").desc, col("tok").asc)).cast("long"))
+      .withColumn("cum", sum(col("n")).over(w))
+    val total = counts.agg(sum(col("n")).as("n_total"))
+    ranked.filter(col("rnk").isin(5L, 10L, 20L))
+      .crossJoin(broadcast(total))
+      .select(col("rnk").as("top_k"), col("cum").as("covered"),
+        col("n_total"),
+        (col("cum").cast(DoubleType) / col("n_total").cast(DoubleType))
+          .as("coverage"))
+      .orderBy("top_k")
+  }
+
+  val headCoverageOracle: String =
+    """WITH counts AS (
+      |  SELECT tok, COUNT(*) AS n
+      |  FROM (SELECT unnest(str_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY tok),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (ORDER BY n DESC, tok ASC) AS rnk,
+      |         CAST(SUM(n) OVER (ORDER BY n DESC, tok ASC
+      |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM counts),
+      |total AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM counts)
+      |SELECT rnk AS top_k, cum AS covered, n_total,
+      |       CAST(cum AS DOUBLE) / CAST(n_total AS DOUBLE) AS coverage
+      |FROM ranked, total WHERE rnk IN (5, 10, 20)
+      |ORDER BY top_k""".stripMargin
+
   /** Cross-source VOCABULARY overlap — the corpus-composition audit run
     * before mixing sources: pairwise Jaccard of the distinct token sets
     * of every source pair (a new crawl whose vocabulary is near-disjoint
@@ -2143,6 +2192,7 @@ object TextOps {
     QueryDef("doc_top_bigrams", topBigrams, Some(topBigramsOracle)),
     QueryDef("doc_pmi_bigrams", pmiBigrams, Some(pmiOracle)),
     QueryDef("doc_source_vocab_overlap", sourceVocabOverlap, Some(sourceVocabOracle)),
+    QueryDef("doc_head_coverage", headCoverage, Some(headCoverageOracle)),
     QueryDef("doc_pii_scrub", piiScrub, Some(piiOracle)),
     QueryDef("doc_repetition", repetition, Some(repetitionOracle)),
     QueryDef("doc_profile", profile, Some(profileOracle)),

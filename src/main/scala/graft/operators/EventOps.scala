@@ -1509,6 +1509,40 @@ object EventOps {
       |            ELSE CAST((SELECT COUNT(*) FROM s3) AS DOUBLE)
       |                 / CAST((SELECT COUNT(*) FROM s1) AS DOUBLE) END AS conv_overall""".stripMargin
 
+  /** Behavioral diversity per user — the bot signal: accounts that repeat
+    * ONE action dominate abuse traffic, organic users mix types. Shannon
+    * entropy over the per-user type distribution is the textbook score
+    * but its log is float-ungateable (the measured Math.log/libm trap —
+    * doc_char_entropy's lesson); the gate ships the Rényi-2 surrogate:
+    * the integer COLLISION statistic Σ n_t² against n² (collision
+    * probability = Σn_t²/n², a strictly monotone transform of Rényi-2
+    * entropy — ranking and thresholding are unchanged). collision = 1.0
+    * ⇔ single-type account. One shuffle to (user, type) counts, a tiny
+    * per-user fold (≤ ǀtypesǀ rows each), one IEEE division.
+    */
+  def behaviorCollision(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "events")
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n_t"))
+      .groupBy("user_id")
+      .agg(sum(col("n_t")).as("n_events"),
+        sum(col("n_t") * col("n_t")).as("sum_sq"),
+        count(lit(1)).as("n_types"))
+      .withColumn("collision",
+        col("sum_sq").cast(DoubleType) /
+          (col("n_events").cast(DoubleType) * col("n_events").cast(DoubleType)))
+      .orderBy("user_id")
+
+  val behaviorCollisionOracle: String =
+    """WITH t AS (SELECT user_id, event_type, COUNT(*) AS n_t
+      |           FROM events GROUP BY user_id, event_type)
+      |SELECT user_id, CAST(SUM(n_t) AS BIGINT) AS n_events,
+      |       CAST(SUM(n_t * n_t) AS BIGINT) AS sum_sq,
+      |       COUNT(*) AS n_types,
+      |       CAST(SUM(n_t * n_t) AS DOUBLE)
+      |         / (CAST(SUM(n_t) AS DOUBLE) * CAST(SUM(n_t) AS DOUBLE)) AS collision
+      |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** DAU/WAU stickiness — the engagement ratio every consumer dashboard
     * headlines: daily actives over trailing-7-day actives, per day.
     * Distinct-over-a-sliding-window is not window-expressible (COUNT
@@ -1748,6 +1782,7 @@ object EventOps {
     QueryDef("ev_growth_accounting", growthAccounting, Some(growthOracle)),
     QueryDef("ev_stickiness", stickiness, Some(stickinessOracle)),
     QueryDef("ev_funnel_3step", funnel3Step, Some(funnel3Oracle)),
+    QueryDef("ev_behavior_collision", behaviorCollision, Some(behaviorCollisionOracle)),
     QueryDef("ev_attack_context", attackContext, Some(attackContextOracle)),
     QueryDef("ev_attack_context_sweep", attackContextSweep, Some(attackContextOracle)),
     QueryDef("ev_funnel_2step", funnel2Step, Some(funnelOracle)),

@@ -1509,6 +1509,49 @@ object EventOps {
       |            ELSE CAST((SELECT COUNT(*) FROM s3) AS DOUBLE)
       |                 / CAST((SELECT COUNT(*) FROM s1) AS DOUBLE) END AS conv_overall""".stripMargin
 
+  /** Event-MIX drift per day — distribution-shift detection on the type
+    * mix (a day whose click/error/purchase proportions depart from the
+    * corpus-wide mix signals an incident or a traffic-source change even
+    * when VOLUME looks normal — the complement of the per-key volume
+    * and per-value outlier detectors). The comparison is cleared of
+    * division into integer space: observed-vs-expected for (day d, type
+    * t) is the exact cross-product deviation n_dt·n − n_d·n_t (zero ⇔
+    * the day's share of t exactly matches the corpus share; the ± sign
+    * says over/under). Bound: each factor ≤ total events, so the
+    * product sits under 2^63 until ~3e9 events — past that, scale the
+    * shares first (documented). Two tiny aggregates (day totals, type
+    * totals) broadcast back over the (day, type) counts; ONE event-scale
+    * shuffle total. All-integer, hash-exact.
+    */
+  def mixDrift(s: SparkSession, dir: String): DataFrame = {
+    val dt = Tables.t(s, dir, "events")
+      .groupBy(unix_micros(date_trunc("DAY", col("ts"))).as("day_us"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_dt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dayTot = dt.groupBy("day_us").agg(sum(col("n_dt")).as("n_d"))
+    val typeTot = dt.groupBy("event_type").agg(sum(col("n_dt")).as("n_t"))
+    val total = dt.agg(sum(col("n_dt")).as("n"))
+    dt.join(broadcast(dayTot), "day_us")
+      .join(broadcast(typeTot), "event_type")
+      .crossJoin(broadcast(total))
+      .withColumn("deviation", col("n_dt") * col("n") - col("n_d") * col("n_t"))
+      .select("day_us", "event_type", "n_dt", "n_d", "n_t", "n", "deviation")
+      .orderBy("day_us", "event_type")
+  }
+
+  val mixDriftOracle: String =
+    """WITH dt AS (SELECT epoch_us(date_trunc('day', ts)) AS day_us, event_type,
+      |                   COUNT(*) AS n_dt
+      |            FROM events GROUP BY 1, 2),
+      |d AS (SELECT day_us, CAST(SUM(n_dt) AS BIGINT) AS n_d FROM dt GROUP BY day_us),
+      |t AS (SELECT event_type, CAST(SUM(n_dt) AS BIGINT) AS n_t FROM dt GROUP BY event_type),
+      |tot AS (SELECT CAST(SUM(n_dt) AS BIGINT) AS n FROM dt)
+      |SELECT dt.day_us, dt.event_type, dt.n_dt, d.n_d, t.n_t, tot.n,
+      |       dt.n_dt * tot.n - d.n_d * t.n_t AS deviation
+      |FROM dt JOIN d USING (day_us) JOIN t USING (event_type), tot
+      |ORDER BY dt.day_us, dt.event_type""".stripMargin
+
   /** Behavioral diversity per user — the bot signal: accounts that repeat
     * ONE action dominate abuse traffic, organic users mix types. Shannon
     * entropy over the per-user type distribution is the textbook score
@@ -1783,6 +1826,7 @@ object EventOps {
     QueryDef("ev_stickiness", stickiness, Some(stickinessOracle)),
     QueryDef("ev_funnel_3step", funnel3Step, Some(funnel3Oracle)),
     QueryDef("ev_behavior_collision", behaviorCollision, Some(behaviorCollisionOracle)),
+    QueryDef("ev_mix_drift", mixDrift, Some(mixDriftOracle)),
     QueryDef("ev_attack_context", attackContext, Some(attackContextOracle)),
     QueryDef("ev_attack_context_sweep", attackContextSweep, Some(attackContextOracle)),
     QueryDef("ev_funnel_2step", funnel2Step, Some(funnelOracle)),

@@ -1070,6 +1070,41 @@ object DedupOps {
        |SELECT s1, s2, CAST(COUNT(*) AS BIGINT) AS n_pairs
        |FROM m GROUP BY s1, s2 ORDER BY s1, s2""".stripMargin
 
+  /** Corpus dedup-inflation stats — the one-row headline every dedup run
+    * reports first: how many documents (and token instances) survive
+    * exact dedup, and the inflation factor the duplicates added. ONE
+    * pass to (fingerprint → copies, tokens-per-copy) partial aggregates;
+    * keeper tokens count each distinct content once. Integer counts +
+    * one IEEE division — the number quoted in every dataset card
+    * ("N docs, M after dedup, inflation 1.07x").
+    */
+  def dedupStats(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "documents")
+      .select(md5(lower(col("text"))).as("fp"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("copies"), min(col("n_toks")).as("toks_one"))
+      .agg(
+        sum(col("copies")).as("n_docs"),
+        count(lit(1)).as("n_unique"),
+        sum(col("copies") * col("toks_one")).as("tokens_total"),
+        sum(col("toks_one")).as("tokens_unique"))
+      .withColumn("inflation",
+        col("tokens_total").cast(DoubleType) / col("tokens_unique").cast(DoubleType))
+
+  val dedupStatsOracle: String =
+    """WITH g AS (
+      |  SELECT md5(lower(text)) AS fp, COUNT(*) AS copies,
+      |         MIN(len(str_split(text, ' '))) AS toks_one
+      |  FROM documents GROUP BY md5(lower(text)))
+      |SELECT CAST(SUM(copies) AS BIGINT) AS n_docs,
+      |       COUNT(*) AS n_unique,
+      |       CAST(SUM(copies * toks_one) AS BIGINT) AS tokens_total,
+      |       CAST(SUM(toks_one) AS BIGINT) AS tokens_unique,
+      |       CAST(SUM(copies * toks_one) AS DOUBLE)
+      |         / CAST(SUM(toks_one) AS DOUBLE) AS inflation
+      |FROM g""".stripMargin
+
   /** CONTAINMENT near-dup pairs (Broder's asymmetric measure):
     * C(A→B) = |A∩B| / |A| for the smaller set A — the signal Jaccard
     * structurally misses when sizes differ (a 30-gram doc fully embedded
@@ -1311,6 +1346,7 @@ object DedupOps {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("doc_exact_dedup", exactDedup, Some(exactOracle)),
+    QueryDef("doc_dedup_stats", dedupStats, Some(dedupStatsOracle)),
     QueryDef("doc_novelty", noveltyScore, Some(noveltyOracle)),
     QueryDef("doc_incr_novelty", incrementalNovelty, Some(incrementalNoveltyOracle)),
     QueryDef("doc_jaccard_pairs", jaccardPairs, Some(jaccardOracle), headline = true),

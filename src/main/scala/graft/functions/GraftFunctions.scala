@@ -38,7 +38,11 @@ object GraftFunctions {
     "graft_theta_anotb_est" -> { args =>
       ThetaANotBEstimate(args(0), args(1)) },
     "graft_theta_union" -> { args =>
-      ThetaUnionAgg(args(0)).toAggregateExpression() }
+      // optional k: pass the STORE's nominalEntries when re-merging
+      // sketches built with k > 4096 (a smaller union downsamples them)
+      ThetaUnionAgg(args(0),
+        if (args.length > 1) args(1).eval().asInstanceOf[Int]
+        else ThetaSketches.DefaultNominal).toAggregateExpression() }
   )
 
   def register(spark: SparkSession): Unit = {
@@ -92,4 +96,7 @@ object GraftFunctions {
   def graftThetaANotBEst(a: Column, b: Column): Column =
     call_function("graft_theta_anotb_est", a, b)
   def graftThetaUnion(sk: Column): Column = call_function("graft_theta_union", sk)
+  def graftThetaUnion(sk: Column, nominalEntries: Int): Column =
+    call_function("graft_theta_union", sk,
+      org.apache.spark.sql.functions.lit(nominalEntries))
 }

@@ -33,9 +33,6 @@ case class ThetaSketchAgg(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Union] {
 
-  require(nominalEntries >= 16 && (nominalEntries & (nominalEntries - 1)) == 0,
-    s"graft_theta nominalEntries must be a power of two >= 16, got $nominalEntries")
-
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
@@ -43,12 +40,20 @@ case class ThetaSketchAgg(
 
   private val isString = child.dataType == StringType
 
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case LongType | IntegerType | ShortType | ByteType | StringType =>
-      TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"graft_theta expects an integral or string column, got ${other.simpleString}")
-  }
+  // nominalEntries is validated HERE, not in a constructor require: an
+  // invalid SQL argument (graft_theta(c, 100)) then surfaces through the
+  // same analysis-time TypeCheckFailure path as a wrong child type,
+  // instead of a raw IllegalArgumentException out of the builder
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!ThetaSketches.validNominal(nominalEntries))
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_theta nominalEntries must be a power of two >= 16, got $nominalEntries")
+    else child.dataType match {
+      case LongType | IntegerType | ShortType | ByteType | StringType =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_theta expects an integral or string column, got ${other.simpleString}")
+    }
 
   override def createAggregationBuffer(): Union =
     SetOperation.builder().setNominalEntries(nominalEntries).buildUnion()
@@ -117,17 +122,24 @@ case class ThetaIntersectEstimate(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** `graft_theta_union(sk)` — union-merge of ALREADY-BUILT compact
-  * sketches (binary column → one merged sketch): the aggregate that
-  * makes PERSISTED sketch tables incremental — appends land as new
-  * (segment, sketch) rows, and the probe folds duplicate segment rows
-  * back into one sketch without touching raw data. Same Union buffer
-  * and serialization as [[ThetaSketchAgg]]; the merge of theta sketches
-  * is associative and commutative, so stored partials compose under any
-  * append/compaction history.
+/** `graft_theta_union(sk[, nominalEntries])` — union-merge of
+  * ALREADY-BUILT compact sketches (binary column → one merged sketch):
+  * the aggregate that makes PERSISTED sketch tables incremental —
+  * appends land as new (segment, sketch) rows, and the probe folds
+  * duplicate segment rows back into one sketch without touching raw
+  * data. Same Union buffer and serialization as [[ThetaSketchAgg]]; the
+  * merge of theta sketches is associative and commutative, so stored
+  * partials compose under any append/compaction history.
+  *
+  * `nominalEntries` must be >= the k the stored sketches were BUILT
+  * with (default 4096 = the library default): a Union's k caps its
+  * result, so re-merging k=8192 sketches through a k=4096 union would
+  * silently downsample them and break the exact-mode == exact contract
+  * larger-k sketch stores rely on. Pass the store's k.
   */
 case class ThetaUnionAgg(
     child: Expression,
+    nominalEntries: Int = ThetaSketches.DefaultNominal,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Union] {
@@ -137,14 +149,18 @@ case class ThetaUnionAgg(
   override def dataType: DataType = BinaryType
   override def prettyName: String = "graft_theta_union"
 
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case BinaryType => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"graft_theta_union expects binary sketches, got ${other.simpleString}")
-  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!ThetaSketches.validNominal(nominalEntries))
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_theta_union nominalEntries must be a power of two >= 16, got $nominalEntries")
+    else child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_theta_union expects binary sketches, got ${other.simpleString}")
+    }
 
   override def createAggregationBuffer(): Union =
-    SetOperation.builder().buildUnion()
+    SetOperation.builder().setNominalEntries(nominalEntries).buildUnion()
 
   override def update(buf: Union, input: InternalRow): Union = {
     val v = child.eval(input)
@@ -227,4 +243,12 @@ case class ThetaEstimate(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Shared theta-family parameter rules. */
+object ThetaSketches {
+  /** The DataSketches library default k — what argless unions get. */
+  final val DefaultNominal = 4096
+
+  def validNominal(k: Int): Boolean = k >= 16 && (k & (k - 1)) == 0
 }

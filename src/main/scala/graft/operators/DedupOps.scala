@@ -1190,14 +1190,17 @@ object DedupOps {
     val inv = withShingles(documents)
       .select(col("doc_id"), explode(col("shs")).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val firstSeen = inv.groupBy("sh").agg(min(col("doc_id")).as("first_doc"))
-    inv.join(firstSeen, "sh")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L)).as("n_novel"))
-      .withColumn("novelty",
-        col("n_novel").cast(DoubleType) / col("n_grams").cast(DoubleType))
-      .orderBy("doc_id")
+    try {
+      val firstSeen = inv.groupBy("sh").agg(min(col("doc_id")).as("first_doc"))
+      inv.join(firstSeen, "sh")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L)).as("n_novel"))
+        .withColumn("novelty",
+          col("n_novel").cast(DoubleType) / col("n_grams").cast(DoubleType))
+        .orderBy("doc_id")
+        .localCheckpoint(true)
+    } finally inv.unpersist()
   }
 
   /** Containment REDUCTION — the corpus-level consumer of
@@ -1266,18 +1269,21 @@ object DedupOps {
     val inv = withShingles(batch)
       .select(col("doc_id"), explode(col("shs")).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val seen = corpusGrams
-      .join(broadcast(inv.select("sh").distinct()), Seq("sh"))
-      .select("sh").distinct()
-    val totals = inv.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-    val novel = inv.join(broadcast(seen), Seq("sh"), "left_anti")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
-    totals.join(novel, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_grams"),
-        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
-      .withColumn("novelty",
-        col("n_novel").cast(DoubleType) / col("n_grams").cast(DoubleType))
-      .orderBy("doc_id")
+    try {
+      val seen = corpusGrams
+        .join(broadcast(inv.select("sh").distinct()), Seq("sh"))
+        .select("sh").distinct()
+      val totals = inv.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      val novel = inv.join(broadcast(seen), Seq("sh"), "left_anti")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+      totals.join(novel, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+        .withColumn("novelty",
+          col("n_novel").cast(DoubleType) / col("n_grams").cast(DoubleType))
+        .orderBy("doc_id")
+        .localCheckpoint(true)
+    } finally inv.unpersist()
   }
 
   def incrementalNovelty(s: SparkSession, dir: String): DataFrame = {

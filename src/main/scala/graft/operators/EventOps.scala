@@ -1394,14 +1394,19 @@ object EventOps {
       .agg(hll_sketch_agg(col("user_id")).as("sk"),
         countDistinct(col("user_id")).as("exact_users"))
       .persist()
-    val perDay = daily.select(col("day_us"), col("exact_users"),
-      hll_sketch_estimate(col("sk")).as("est_users"))
-    val total = daily
-      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
-      .crossJoin(broadcast(
-        ev.agg(countDistinct(col("user_id")).as("exact_users"))))
-      .select(lit(-1L).as("day_us"), col("exact_users"), col("est_users"))
-    perDay.unionByName(total).orderBy("day_us")
+    // materialize-then-unpersist (the dupTriangles discipline): the cache
+    // backs both scans only until the result exists, never outliving the
+    // call in a long-lived Bench/serving session
+    try {
+      val perDay = daily.select(col("day_us"), col("exact_users"),
+        hll_sketch_estimate(col("sk")).as("est_users"))
+      val total = daily
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
+        .crossJoin(broadcast(
+          ev.agg(countDistinct(col("user_id")).as("exact_users"))))
+        .select(lit(-1L).as("day_us"), col("exact_users"), col("est_users"))
+      perDay.unionByName(total).orderBy("day_us").localCheckpoint(true)
+    } finally daily.unpersist()
   }
 
   /** Audience-overlap matrix — distinct users active on BOTH day A and
@@ -1470,20 +1475,23 @@ object EventOps {
     // driver-side action inside the operator; s1/s2 persist because each
     // feeds BOTH its own count and the next stage's join
     s1.persist(); s2.persist()
-    val c1 = s1.agg(count(lit(1)).as("n_view"))
-    val c2 = s2.agg(count(lit(1)).as("n_click"))
-    val c3 = s3.agg(count(lit(1)).as("n_purchase"))
-    c1.crossJoin(broadcast(c2)).crossJoin(broadcast(c3))
-      .select(col("n_view"), col("n_click"), col("n_purchase"),
-        when(col("n_view") === 0, 0.0).otherwise(
-          col("n_click").cast(DoubleType) / col("n_view").cast(DoubleType))
-          .as("conv_click"),
-        when(col("n_click") === 0, 0.0).otherwise(
-          col("n_purchase").cast(DoubleType) / col("n_click").cast(DoubleType))
-          .as("conv_purchase"),
-        when(col("n_view") === 0, 0.0).otherwise(
-          col("n_purchase").cast(DoubleType) / col("n_view").cast(DoubleType))
-          .as("conv_overall"))
+    try {
+      val c1 = s1.agg(count(lit(1)).as("n_view"))
+      val c2 = s2.agg(count(lit(1)).as("n_click"))
+      val c3 = s3.agg(count(lit(1)).as("n_purchase"))
+      c1.crossJoin(broadcast(c2)).crossJoin(broadcast(c3))
+        .select(col("n_view"), col("n_click"), col("n_purchase"),
+          when(col("n_view") === 0, 0.0).otherwise(
+            col("n_click").cast(DoubleType) / col("n_view").cast(DoubleType))
+            .as("conv_click"),
+          when(col("n_click") === 0, 0.0).otherwise(
+            col("n_purchase").cast(DoubleType) / col("n_click").cast(DoubleType))
+            .as("conv_purchase"),
+          when(col("n_view") === 0, 0.0).otherwise(
+            col("n_purchase").cast(DoubleType) / col("n_view").cast(DoubleType))
+            .as("conv_overall"))
+        .localCheckpoint(true)
+    } finally { s1.unpersist(); s2.unpersist() }
   }
 
   val funnel3Oracle: String =
@@ -1518,8 +1526,10 @@ object EventOps {
     * t) is the exact cross-product deviation n_dt·n − n_d·n_t (zero ⇔
     * the day's share of t exactly matches the corpus share; the ± sign
     * says over/under). Bound: each factor ≤ total events, so the
-    * product sits under 2^63 until ~3e9 events — past that, scale the
-    * shares first (documented). Two tiny aggregates (day totals, type
+    * product sits under 2^63 until ~3e9 events — past that the query
+    * RAISES (runtime guard on the one-row total) instead of silently
+    * wrapping; compute on scaled shares beyond the bound.
+    * Two tiny aggregates (day totals, type
     * totals) broadcast back over the (day, type) counts; ONE event-scale
     * shuffle total. All-integer, hash-exact.
     */
@@ -1529,15 +1539,30 @@ object EventOps {
         col("event_type"))
       .agg(count(lit(1)).as("n_dt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dayTot = dt.groupBy("day_us").agg(sum(col("n_dt")).as("n_d"))
-    val typeTot = dt.groupBy("event_type").agg(sum(col("n_dt")).as("n_t"))
-    val total = dt.agg(sum(col("n_dt")).as("n"))
-    dt.join(broadcast(dayTot), "day_us")
-      .join(broadcast(typeTot), "event_type")
-      .crossJoin(broadcast(total))
-      .withColumn("deviation", col("n_dt") * col("n") - col("n_d") * col("n_t"))
-      .select("day_us", "event_type", "n_dt", "n_d", "n_t", "n", "deviation")
-      .orderBy("day_us", "event_type")
+    try {
+      val dayTot = dt.groupBy("day_us").agg(sum(col("n_dt")).as("n_d"))
+      val typeTot = dt.groupBy("event_type").agg(sum(col("n_dt")).as("n_t"))
+      val total = dt.agg(sum(col("n_dt")).as("n"))
+      // int64 overflow guard: every factor is <= n, so the cross products
+      // stay exact while n <= floor(sqrt(2^63 - 1)). Past that the column
+      // would silently wrap — fail LOUDLY instead and tell the caller to
+      // scale the shares (the documented 100 TB path).
+      val maxSafeN = 3037000499L
+      dt.join(broadcast(dayTot), "day_us")
+        .join(broadcast(typeTot), "event_type")
+        .crossJoin(broadcast(total))
+        .withColumn("deviation",
+          when(col("n") <= maxSafeN,
+            col("n_dt") * col("n") - col("n_d") * col("n_t"))
+            .otherwise(raise_error(concat(lit(
+              s"mixDrift: total events exceed $maxSafeN; " +
+                "n_dt*n - n_d*n_t would overflow int64 - " +
+                "compute on scaled shares instead (n="), col("n"), lit(")")))
+              .cast(LongType)))
+        .select("day_us", "event_type", "n_dt", "n_d", "n_t", "n", "deviation")
+        .orderBy("day_us", "event_type")
+        .localCheckpoint(true)
+    } finally dt.unpersist()
   }
 
   val mixDriftOracle: String =
@@ -1607,23 +1632,26 @@ object EventOps {
         col("user_id"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dau = du.groupBy("day_us").agg(count(lit(1)).as("dau"))
-    val wau = du
-      .select(explode(sequence(col("day_us"),
-        col("day_us") + lit(6L * dayUs), lit(dayUs))).as("day_us"),
-        col("user_id"))
-      .distinct()
-      .groupBy("day_us").agg(count(lit(1)).as("wau"))
-    val span = du.agg(min(col("day_us")).as("first_day"),
-      max(col("day_us")).as("last_day"))
-    dau.join(wau, "day_us")
-      .crossJoin(broadcast(span))
-      .filter(col("day_us") >= col("first_day") + lit(6L * dayUs) &&
-        col("day_us") <= col("last_day"))
-      .select(col("day_us"), col("dau"), col("wau"),
-        (col("dau").cast(DoubleType) / col("wau").cast(DoubleType))
-          .as("stickiness"))
-      .orderBy("day_us")
+    try {
+      val dau = du.groupBy("day_us").agg(count(lit(1)).as("dau"))
+      val wau = du
+        .select(explode(sequence(col("day_us"),
+          col("day_us") + lit(6L * dayUs), lit(dayUs))).as("day_us"),
+          col("user_id"))
+        .distinct()
+        .groupBy("day_us").agg(count(lit(1)).as("wau"))
+      val span = du.agg(min(col("day_us")).as("first_day"),
+        max(col("day_us")).as("last_day"))
+      dau.join(wau, "day_us")
+        .crossJoin(broadcast(span))
+        .filter(col("day_us") >= col("first_day") + lit(6L * dayUs) &&
+          col("day_us") <= col("last_day"))
+        .select(col("day_us"), col("dau"), col("wau"),
+          (col("dau").cast(DoubleType) / col("wau").cast(DoubleType))
+            .as("stickiness"))
+        .orderBy("day_us")
+        .localCheckpoint(true)
+    } finally du.unpersist()
   }
 
   val stickinessOracle: String =

@@ -397,28 +397,31 @@ object TextOps {
     val d = Tables.t(s, dir, "documents")
       .withColumn("toks", split(col("text"), " "))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val uni = d.select(explode(col("toks")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("c_w"))
-    val totals = d.agg(
-      sum(size(col("toks"))).as("n_toks"),
-      sum(greatest(size(col("toks")) - 1, lit(0))).as("n_bi"))
-    val bi = d.select(explode(when(size(col("toks")) >= 2,
-        expr("transform(sequence(0, size(toks)-2), i -> struct(toks[i] AS w1, toks[i+1] AS w2))"))
-        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
-      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .groupBy("w1", "w2").agg(count(lit(1)).as("n_xy"))
-      .filter(col("n_xy") >= 5)
-    bi
-      .join(uni.select(col("w").as("w1"), col("c_w").as("n_x")), "w1")
-      .join(uni.select(col("w").as("w2"), col("c_w").as("n_y")), "w2")
-      .crossJoin(broadcast(totals))
-      .withColumn("pmi_ratio",
-        col("n_xy").cast(DoubleType) * col("n_toks") * col("n_toks") /
-          (col("n_bi").cast(DoubleType) * col("n_x") * col("n_y")))
-      .select(concat_ws(" ", col("w1"), col("w2")).as("bigram"),
-        col("n_xy"), col("n_x"), col("n_y"), col("pmi_ratio"))
-      .orderBy(col("pmi_ratio").desc, col("bigram").asc)
-      .limit(30)
+    try {
+      val uni = d.select(explode(col("toks")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c_w"))
+      val totals = d.agg(
+        sum(size(col("toks"))).as("n_toks"),
+        sum(greatest(size(col("toks")) - 1, lit(0))).as("n_bi"))
+      val bi = d.select(explode(when(size(col("toks")) >= 2,
+          expr("transform(sequence(0, size(toks)-2), i -> struct(toks[i] AS w1, toks[i+1] AS w2))"))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("n_xy"))
+        .filter(col("n_xy") >= 5)
+      bi
+        .join(uni.select(col("w").as("w1"), col("c_w").as("n_x")), "w1")
+        .join(uni.select(col("w").as("w2"), col("c_w").as("n_y")), "w2")
+        .crossJoin(broadcast(totals))
+        .withColumn("pmi_ratio",
+          col("n_xy").cast(DoubleType) * col("n_toks") * col("n_toks") /
+            (col("n_bi").cast(DoubleType) * col("n_x") * col("n_y")))
+        .select(concat_ws(" ", col("w1"), col("w2")).as("bigram"),
+          col("n_xy"), col("n_x"), col("n_y"), col("pmi_ratio"))
+        .orderBy(col("pmi_ratio").desc, col("bigram").asc)
+        .limit(30)
+        .localCheckpoint(true)
+    } finally d.unpersist()
   }
 
   val pmiOracle: String =
@@ -503,19 +506,22 @@ object TextOps {
       .select(col("source"), explode(split(col("text"), " ")).as("tok"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = st.groupBy("source").agg(count(lit(1)).as("n_vocab"))
-    val common = st.select(col("source").as("src_a"), col("tok"))
-      .join(st.select(col("source").as("src_b"), col("tok")), "tok")
-      .filter(col("src_a") < col("src_b"))
-      .groupBy("src_a", "src_b")
-      .agg(count(lit(1)).as("n_common"))
-    common
-      .join(broadcast(sizes.select(col("source").as("src_a"), col("n_vocab").as("n_a"))), "src_a")
-      .join(broadcast(sizes.select(col("source").as("src_b"), col("n_vocab").as("n_b"))), "src_b")
-      .withColumn("jaccard", col("n_common").cast(DoubleType) /
-        (col("n_a") + col("n_b") - col("n_common")).cast(DoubleType))
-      .select("src_a", "src_b", "n_common", "n_a", "n_b", "jaccard")
-      .orderBy("src_a", "src_b")
+    try {
+      val sizes = st.groupBy("source").agg(count(lit(1)).as("n_vocab"))
+      val common = st.select(col("source").as("src_a"), col("tok"))
+        .join(st.select(col("source").as("src_b"), col("tok")), "tok")
+        .filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(count(lit(1)).as("n_common"))
+      common
+        .join(broadcast(sizes.select(col("source").as("src_a"), col("n_vocab").as("n_a"))), "src_a")
+        .join(broadcast(sizes.select(col("source").as("src_b"), col("n_vocab").as("n_b"))), "src_b")
+        .withColumn("jaccard", col("n_common").cast(DoubleType) /
+          (col("n_a") + col("n_b") - col("n_common")).cast(DoubleType))
+        .select("src_a", "src_b", "n_common", "n_a", "n_b", "jaccard")
+        .orderBy("src_a", "src_b")
+        .localCheckpoint(true)
+    } finally st.unpersist()
   }
 
   val sourceVocabOracle: String =

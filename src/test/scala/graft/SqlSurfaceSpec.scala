@@ -191,4 +191,30 @@ class SqlSurfaceSpec extends SparkSpecBase {
     // segments are disjoint, so A \ B == A in exact mode
     assert(diff == n01, s"disjoint A-not-B must equal |A|: $diff vs $n01")
   }
+
+  test("graft_theta_union(sk, k) re-merges a large-k sketch store without downsampling") {
+    import graft.functions.GraftFunctions.{graftTheta, graftThetaEst, graftThetaUnion}
+    // 6000 distinct keys split into two stored k=8192 sketches: each half
+    // is exact-mode, and ONLY a union at the store's k keeps the re-merge
+    // exact — the default k=4096 union drops into estimation mode, the
+    // silent-downsample hazard the optional parameter exists to close
+    val halves = spark.range(6000)
+      .select(col("id"), (col("id") % 2).as("half"))
+      .groupBy("half").agg(graftTheta(col("id"), 8192).as("sk"))
+    def estOf(merge: org.apache.spark.sql.Column): Double =
+      halves.agg(graftThetaEst(merge).as("e")).collect().head.getDouble(0)
+    val atStoreK = estOf(graftThetaUnion(col("sk"), 8192))
+    val atDefault = estOf(graftThetaUnion(col("sk")))
+    assert(atStoreK == 6000.0,
+      s"k=8192 union of exact-mode halves must stay exact, got $atStoreK")
+    assert(atDefault != 6000.0,
+      "default-k union over 6000 distincts should downsample (estimation " +
+        s"mode), got exact $atDefault — the hazard this test documents")
+    // SQL surface takes the same optional argument
+    halves.createOrReplaceTempView("theta_k_in")
+    val sql = spark.sql(
+      "SELECT graft_theta_est(graft_theta_union(sk, 8192)) AS e FROM theta_k_in")
+      .collect().head.getDouble(0)
+    assert(sql == 6000.0, s"SQL graft_theta_union(sk, 8192) gave $sql")
+  }
 }

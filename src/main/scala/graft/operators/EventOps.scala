@@ -246,7 +246,8 @@ object EventOps {
     * with no `consecutive()` and under skip-past-last would emit the FIRST
     * `min` repetitions of a run instead of the last ones the streaming
     * ring buffer keeps. `ev_cep_attack` keeps the unbounded maximal-run
-    * analog.
+    * analog; [[cepAttackFlink]] (`ev_cep_flink`) is the literal
+    * relaxed-contiguity replay.
     *
     * Shape: same single exchange on user_id; the truncation is one extra
     * windowed max over the (user, run) islands of the LOW rows only —
@@ -324,6 +325,66 @@ object EventOps {
        |FROM runs r JOIN e n ON n.user_id = r.user_id AND n.rn = r.rn_end + 1
        |WHERE n.value > $HighThresh
        |  AND epoch_us(n.ts) - r.attack_start_us <= $WithinUs
+       |ORDER BY target_id, attack_start_us""".stripMargin
+
+  /** LITERAL Flink-semantics CEP — the reference pattern
+    * (AnomalyDetection.java:126-132) replayed with ITS contiguity and
+    * match-selection rules rather than the repo's strict-run variants:
+    * non-greedy `times(min,max)`, relaxed `followedBy` (neither-predicate
+    * events — here value in [LowThresh, HighThresh] — do NOT break the
+    * run), `AfterMatchSkipStrategy.skipPastLastEvent()`. Under those
+    * rules a long fragment run matches on its FIRST `min` repetitions
+    * from the earliest `within`-alive start — vs `ev_cep_bounded`'s
+    * last-`max` truncation — and the closing high event both completes
+    * and consumes the island. Compiled through [[CepPattern]]'s
+    * `followedBy` mode (the DSL's literal path; semantics + the one
+    * documented divergence in `Cep.scala`'s class doc); the spec pins
+    * DSL == this gated query == the streaming twin.
+    */
+  def cepAttackFlink(s: SparkSession, dir: String): DataFrame =
+    cepAttackFlinkOn(Tables.t(s, dir, "events"))
+
+  def cepAttackFlinkOn(events: DataFrame): DataFrame =
+    CepPattern.on("user_id")
+      .where(col("value") < LowThresh)
+      .times(MinRun, MaxRun)
+      .followedBy(col("value") > HighThresh)
+      .within(WithinUs)
+      .detect(events.select("user_id", "event_id", "ts", "value"))
+      .select(col("user_id").as("target_id"),
+        col("run_start_us").as("attack_start_us"),
+        col("run_end_us").as("attack_end_us"),
+        col("next_ts_us").as("normal_ts_us"),
+        col("run_count").as("fragment_count"))
+      .orderBy("target_id", "attack_start_us")
+
+  val cepFlinkOracle: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, ts, value,
+       |         CASE WHEN value > $HighThresh THEN 1 ELSE 0 END AS is_next
+       |  FROM events),
+       |g AS (
+       |  SELECT *, SUM(is_next) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - is_next AS isl
+       |  FROM e),
+       |runs AS (
+       |  SELECT user_id, isl, epoch_us(ts) AS t,
+       |         ROW_NUMBER() OVER w AS j,
+       |         LEAD(epoch_us(ts), ${MinRun - 1}) OVER w AS t_end
+       |  FROM g WHERE value < $LowThresh AND is_next = 0
+       |  WINDOW w AS (PARTITION BY user_id, isl ORDER BY ts, event_id)),
+       |nx AS (
+       |  SELECT user_id, isl, epoch_us(ts) AS next_t FROM g WHERE is_next = 1),
+       |cand AS (
+       |  SELECT r.user_id, r.t, r.t_end, n.next_t, r.isl, r.j
+       |  FROM runs r JOIN nx n ON n.user_id = r.user_id AND n.isl = r.isl
+       |  WHERE r.t_end IS NOT NULL AND n.next_t - r.t <= $WithinUs),
+       |pick AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, isl ORDER BY j) AS pk
+       |  FROM cand)
+       |SELECT user_id AS target_id, t AS attack_start_us, t_end AS attack_end_us,
+       |       next_t AS normal_ts_us, CAST($MinRun AS BIGINT) AS fragment_count
+       |FROM pick WHERE pk = 1
        |ORDER BY target_id, attack_start_us""".stripMargin
 
   /** IPInsights analog (reference sagemaker notebook: entity<->IP
@@ -1864,6 +1925,7 @@ object EventOps {
     QueryDef("ev_top_paths", topPaths, Some(topPathsOracle)),
     QueryDef("ev_cep_attack", cepAttack, Some(cepOracle), headline = true),
     QueryDef("ev_cep_bounded", cepAttackBounded, Some(cepBoundedOracle)),
+    QueryDef("ev_cep_flink", cepAttackFlink, Some(cepFlinkOracle)),
     QueryDef("ev_rarity_score", rarityScore, Some(rarityOracle)),
     QueryDef("ev_ipinsights_score", ipinsightsScore, None),
     QueryDef("ev_quantiles_by_type", quantilesByType, Some(quantilesOracle)),

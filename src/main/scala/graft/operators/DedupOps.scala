@@ -1247,6 +1247,71 @@ object DedupOps {
        |WHERE d.doc_id IS NULL
        |ORDER BY s.doc_id""".stripMargin
 
+  /** Containment-reduction FIXPOINT — [[keepContainersOn]] without the
+    * one-shot rule's over-drop: a document drops only if it is
+    * ≥t-contained in a SURVIVING document. On the containment DAG
+    * (edges d_small → d_big, strictly increasing (size, id), so acyclic)
+    * that labeling is UNIQUE — kept(d) ⟺ no container of d is kept
+    * (induction up the topological order) — and resolves chains the way
+    * a curator expects: in A ⊆ B ⊆ C with A ⊄ C, the one-shot rule
+    * drops both A and B; the fixpoint drops B (contained in surviving
+    * C) but KEEPS A, whose only container is gone.
+    *
+    * Computed as the CC-style bounded iteration: pure containers decide
+    * kept immediately; each round decides every pending doc whose
+    * containers are all decided (dropped if any kept container exists,
+    * kept if all containers dropped). The (n, id)-maximal pending doc
+    * always qualifies, so rounds ≤ the longest containment chain — tiny
+    * in practice, hard-capped at 64 with a loud failure. Per-round work
+    * is two joins + one aggregate over the REMAINING pair list (bounded
+    * by the gated pair count, not the corpus); per-round
+    * localCheckpoint cuts lineage exactly like the CC loop. Gate is
+    * rows-only (the iterative closure is not SQL-expressible); the spec
+    * pins the two properties that uniquely determine the output — no
+    * surviving doc is contained in a surviving doc, every dropped doc
+    * is contained in a surviving doc — plus the planted 3-chain.
+    */
+  def keepContainersFix(s: SparkSession, dir: String): DataFrame =
+    keepContainersFixOn(Tables.t(s, dir, "documents"))
+
+  def keepContainersFixOn(documents: DataFrame): DataFrame = {
+    val pairs = containmentPairsOn(documents)
+      .select(col("d_small"), col("d_big")).localCheckpoint(true)
+    val eff = cappedShingles(documents, AdaptiveCap)
+      .select(col("doc_id"), col("n_sh").cast("long").as("n_grams"))
+    val containedIds = pairs.select(col("d_small").as("id")).distinct()
+    // graph nodes that are never contained start decided-kept; docs
+    // outside the pair graph entirely are kept and never enter the loop
+    var decided = pairs.select(col("d_big").as("id")).distinct()
+      .join(containedIds, Seq("id"), "left_anti")
+      .select(col("id"), lit(true).as("kept"))
+      .localCheckpoint(true)
+    var pending = pairs // edges whose d_small is still undecided
+    var rounds = 0
+    while (pending.count() > 0) {
+      rounds += 1
+      require(rounds <= 64,
+        "keepContainersFix: containment chain deeper than 64 — not a DAG?")
+      val cls = pending.join(
+        decided.select(col("id").as("d_big"), col("kept")), Seq("d_big"), "left")
+      val agg = cls.groupBy("d_small").agg(
+        max(when(col("kept") === true, 1).otherwise(0)).as("any_kept"),
+        max(when(col("kept").isNull, 1).otherwise(0)).as("any_open"))
+      val newDecided = agg
+        .filter(col("any_kept") === 1 || col("any_open") === 0)
+        .select(col("d_small").as("id"), (col("any_kept") === 0).as("kept"))
+        .localCheckpoint(true)
+      require(newDecided.count() > 0,
+        "keepContainersFix: no progress — containment graph is not a DAG?")
+      decided = decided.unionByName(newDecided).localCheckpoint(true)
+      pending = pending.join(
+        newDecided.select(col("id").as("d_small")), Seq("d_small"), "left_anti")
+        .localCheckpoint(true)
+    }
+    val dropped = decided.filter(!col("kept")).select(col("id").as("doc_id"))
+    eff.join(dropped, Seq("doc_id"), "left_anti").orderBy("doc_id")
+  }
+
   /** INCREMENTAL novelty — the serving form of [[noveltyScoreOn]] for an
     * ingest pipeline: each batch doc scored against the FROZEN corpus
     * gram set, order-free (batch-internal first occurrences do NOT count
@@ -1358,6 +1423,7 @@ object DedupOps {
     QueryDef("doc_jaccard_pairs", jaccardPairs, Some(jaccardOracle), headline = true),
     QueryDef("doc_containment_pairs", containmentPairs, Some(containmentOracle)),
     QueryDef("doc_keep_containers", keepContainers, Some(keepContainersOracle)),
+    QueryDef("doc_keep_containers_fix", keepContainersFix, None),
     QueryDef("doc_minhash_lsh", minHashLsh, None, headline = true),
     QueryDef("doc_simhash", simHashPairs, None),
     QueryDef("doc_dup_clusters", dupClusters, Some(dupClustersOracle)),

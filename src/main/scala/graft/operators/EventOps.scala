@@ -1578,6 +1578,52 @@ object EventOps {
       |            ELSE CAST((SELECT COUNT(*) FROM s3) AS DOUBLE)
       |                 / CAST((SELECT COUNT(*) FROM s1) AS DOUBLE) END AS conv_overall""".stripMargin
 
+  /** 4-step funnel (signup → view → click → purchase, 1 day per step)
+    * through the [[Funnel]] DSL — the N-step generalization consumed as
+    * a gated query: the DSL must compile an arbitrary ordered step list
+    * to the same filtered-join-per-stage plan the hand-built 3-step
+    * query uses (spec-pinned equal on the 3-step instance).
+    */
+  def funnel4Step(s: SparkSession, dir: String): DataFrame = {
+    val winUs = 86400000000L
+    Funnel(Seq(
+      Funnel.Step("signup", col("event_type") === "signup"),
+      Funnel.Step("view", col("event_type") === "view", winUs),
+      Funnel.Step("click", col("event_type") === "click", winUs),
+      Funnel.Step("purchase", col("event_type") === "purchase", winUs)))
+      .counts(Tables.t(s, dir, "events"))
+  }
+
+  val funnel4Oracle: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+      |s1 AS (SELECT user_id, MIN(t) AS t1 FROM e WHERE event_type = 'signup'
+      |       GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, MIN(t) AS t2 FROM e JOIN s1 USING (user_id)
+      |       WHERE event_type = 'view' AND t > t1 AND t <= t1 + 86400000000
+      |       GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, MIN(t) AS t3 FROM e JOIN s2 USING (user_id)
+      |       WHERE event_type = 'click' AND t > t2 AND t <= t2 + 86400000000
+      |       GROUP BY e.user_id),
+      |s4 AS (SELECT e.user_id, MIN(t) AS t4 FROM e JOIN s3 USING (user_id)
+      |       WHERE event_type = 'purchase' AND t > t3 AND t <= t3 + 86400000000
+      |       GROUP BY e.user_id)
+      |SELECT (SELECT COUNT(*) FROM s1) AS n_signup,
+      |       (SELECT COUNT(*) FROM s2) AS n_view,
+      |       (SELECT COUNT(*) FROM s3) AS n_click,
+      |       (SELECT COUNT(*) FROM s4) AS n_purchase,
+      |       CASE WHEN (SELECT COUNT(*) FROM s1) = 0 THEN 0.0
+      |            ELSE CAST((SELECT COUNT(*) FROM s2) AS DOUBLE)
+      |                 / CAST((SELECT COUNT(*) FROM s1) AS DOUBLE) END AS conv_view,
+      |       CASE WHEN (SELECT COUNT(*) FROM s2) = 0 THEN 0.0
+      |            ELSE CAST((SELECT COUNT(*) FROM s3) AS DOUBLE)
+      |                 / CAST((SELECT COUNT(*) FROM s2) AS DOUBLE) END AS conv_click,
+      |       CASE WHEN (SELECT COUNT(*) FROM s3) = 0 THEN 0.0
+      |            ELSE CAST((SELECT COUNT(*) FROM s4) AS DOUBLE)
+      |                 / CAST((SELECT COUNT(*) FROM s3) AS DOUBLE) END AS conv_purchase,
+      |       CASE WHEN (SELECT COUNT(*) FROM s1) = 0 THEN 0.0
+      |            ELSE CAST((SELECT COUNT(*) FROM s4) AS DOUBLE)
+      |                 / CAST((SELECT COUNT(*) FROM s1) AS DOUBLE) END AS conv_overall""".stripMargin
+
   /** Event-MIX drift per day — distribution-shift detection on the type
     * mix (a day whose click/error/purchase proportions depart from the
     * corpus-wide mix signals an incident or a traffic-source change even
@@ -1914,6 +1960,7 @@ object EventOps {
     QueryDef("ev_growth_accounting", growthAccounting, Some(growthOracle)),
     QueryDef("ev_stickiness", stickiness, Some(stickinessOracle)),
     QueryDef("ev_funnel_3step", funnel3Step, Some(funnel3Oracle)),
+    QueryDef("ev_funnel_4step", funnel4Step, Some(funnel4Oracle)),
     QueryDef("ev_behavior_collision", behaviorCollision, Some(behaviorCollisionOracle)),
     QueryDef("ev_mix_drift", mixDrift, Some(mixDriftOracle)),
     QueryDef("ev_attack_context", attackContext, Some(attackContextOracle)),

@@ -237,6 +237,18 @@ object Deletes {
     def rollbackMoves(into: Path): Unit = moved.reverse.foreach { src =>
       fs.rename(new Path(tmp, src.getName), new Path(into, src.getName))
     }
+    // metadata DIRS that ride across the swap: the snapshot commit log
+    // and retired-file area always (a rewrite must never orphan version
+    // history), the pending-deletes sidecar only when the caller is not
+    // retiring it (purge retires; update carries)
+    val snapshotted = Snapshots.isSnapshotted(spark, path)
+    val carried = (Seq(graft.sources.Snapshots.RetiredDir, "_graft_versions")
+      .filter(d => fs.exists(new Path(s"$path/$d")))) ++
+      (if (keepSidecar && fs.exists(new Path(s"$path/$DeletesDir")))
+        Seq(DeletesDir) else Nil)
+    def restoreCarried(): Unit = carried.foreach { d =>
+      fs.rename(new Path(tmp, d), new Path(path, d))
+    }
     try {
       untouched.foreach { f =>
         val src = new Path(f)
@@ -244,27 +256,40 @@ object Deletes {
           throw new java.io.IOException(s"rewrite: cannot move $f into $tmp")
         moved += src
       }
-      if (keepSidecar && fs.exists(new Path(s"$path/$DeletesDir")))
-        if (!fs.rename(new Path(s"$path/$DeletesDir"), new Path(tmp, DeletesDir)))
-          throw new java.io.IOException(s"rewrite: cannot carry $DeletesDir into $tmp")
+      carried.foreach { d =>
+        if (!fs.rename(new Path(s"$path/$d"), new Path(tmp, d)))
+          throw new java.io.IOException(s"rewrite: cannot carry $d into $tmp")
+      }
     } catch {
       case e: Exception =>
+        restoreCarried()
         rollbackMoves(new Path(path)) // restore the live table, keep tmp for debris
         throw e
     }
     fs.delete(old, true)
     if (!fs.rename(new Path(path), old)) {
       rollbackMoves(new Path(path))
-      if (keepSidecar) fs.rename(new Path(tmp, DeletesDir), new Path(path, DeletesDir))
+      restoreCarried()
       throw new java.io.IOException(s"rewrite: cannot move $path aside")
     }
     if (!fs.rename(tmp, new Path(path))) {
       fs.rename(old, new Path(path)) // restore the candidates...
       rollbackMoves(new Path(path)) // ...and the untouched bulk
-      if (keepSidecar) fs.rename(new Path(tmp, DeletesDir), new Path(path, DeletesDir))
+      restoreCarried()
       throw new java.io.IOException(s"rewrite: cannot move $tmp into place")
     }
-    fs.delete(old, true) // old candidates + old manifest (+ retired sidecar)
+    if (snapshotted) {
+      // committed versions still list the replaced candidate files:
+      // retire them (metadata renames) instead of deleting, then commit
+      // the rewritten file set as the next version — the composition
+      // that lets a reader pinned at v(n) survive this rewrite
+      val replaced = candB.toSeq.map(b => new Path(old, b))
+        .filter(fs.exists(_))
+      Snapshots.retire(spark, path, replaced)
+      fs.delete(old, true) // old manifest (+ retired sidecar on purge)
+      Snapshots.commit(spark, path)
+    } else
+      fs.delete(old, true) // old candidates + old manifest (+ retired sidecar)
     (beforeCount, afterCount)
   }
 

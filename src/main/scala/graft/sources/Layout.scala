@@ -298,6 +298,16 @@ object Layout {
         fs, sidecar, fs, new org.apache.hadoop.fs.Path(tmp, Deletes.DeletesDir),
         false, spark.sessionState.newHadoopConf()))
       throw new java.io.IOException(s"compact: cannot copy ${Deletes.DeletesDir}")
+    // the snapshot commit log rides across the swap the same COPY-style
+    // way (tiny name lists; the live dir stays untouched pre-swap, so no
+    // rollback path is needed)
+    val snapshotted = Snapshots.isSnapshotted(spark, path)
+    val versionsDir = new org.apache.hadoop.fs.Path(path, "_graft_versions")
+    if (fs.exists(versionsDir) && !org.apache.hadoop.fs.FileUtil.copy(
+        fs, versionsDir, fs,
+        new org.apache.hadoop.fs.Path(tmp, "_graft_versions"),
+        false, spark.sessionState.newHadoopConf()))
+      throw new java.io.IOException("compact: cannot copy _graft_versions")
     fs.delete(old, true)
     if (!fs.rename(new org.apache.hadoop.fs.Path(path), old))
       throw new java.io.IOException(s"compact: cannot move $path aside")
@@ -305,7 +315,21 @@ object Layout {
       fs.rename(old, new org.apache.hadoop.fs.Path(path)) // roll back
       throw new java.io.IOException(s"compact: cannot move $tmp into place")
     }
-    fs.delete(old, true)
+    if (snapshotted) {
+      // committed versions reference the pre-compaction files: carry the
+      // already-retired area across, retire the whole replaced file set
+      // (metadata renames), and commit the new tiling as the next version
+      val oldRetired = new org.apache.hadoop.fs.Path(old, Snapshots.RetiredDir)
+      val newRetired = new org.apache.hadoop.fs.Path(path, Snapshots.RetiredDir)
+      if (fs.exists(oldRetired) && !fs.rename(oldRetired, newRetired))
+        throw new java.io.IOException(s"compact: cannot carry ${Snapshots.RetiredDir}")
+      val replaced = fs.listStatus(old).toSeq.filter(st => st.isFile &&
+        !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+        .map(_.getPath)
+      Snapshots.retire(spark, path, replaced)
+      fs.delete(old, true)
+      Snapshots.commit(spark, path)
+    } else fs.delete(old, true)
   }
 
   // ---- per-file Bloom sidecar (point-lookup file skipping) --------------

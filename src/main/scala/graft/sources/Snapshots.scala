@@ -13,6 +13,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * plain directory read sees half-appended batches; a version read sees
   * exactly one commit's file set, metadata-scale driver cost).
   *
+  * MAINTENANCE composition: `Deletes.purge`/`update` and `Layout.compact`
+  * replace data files. On a snapshotted table they do not DELETE the
+  * replaced files — they [[retire]] them into `_graft_retired/` (a
+  * metadata rename; the `_`-prefix hides them from plain directory
+  * reads) and commit the rewritten file set as the next version.
+  * [[readVersion]] resolves each listed basename against the live
+  * directory first, then the retired directory, so a reader pinned at
+  * v(n) keeps getting bit-identical results across a concurrent
+  * purge+compact that produced v(n+1). Retired files are reclaimed by
+  * [[expire]]'s vacuum once no kept version references them.
+  *
+  * PINS: [[pin]] drops a `pin_v<n>` marker next to the version file;
+  * [[expire]] always keeps pinned versions (and their files) regardless
+  * of `keepLast` — the mechanism a long-running training job uses to
+  * hold its input frozen across nightly maintenance.
+  *
   * Single-writer contract (same as Layout.compact): concurrent commits
   * race on the next version number and the LOSER fails loudly on the
   * rename — never a silent merge. Readers need no lock at any version.
@@ -20,11 +36,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * At 100 TB the version file is ~file-count × ~40 bytes of names — the
   * listing the reader was going to pay anyway, frozen; [[readVersion]]
   * hands Spark the explicit file list, so no directory listing happens at
-  * all on the read path.
+  * all on the read path (one listing of live + retired resolves names).
   */
 object Snapshots {
 
   private val VersionsDir = "_graft_versions"
+  private[graft] val RetiredDir = "_graft_retired"
 
   private def fs(s: SparkSession, path: String) =
     new Path(path).getFileSystem(s.sessionState.newHadoopConf())
@@ -34,7 +51,8 @@ object Snapshots {
     val f = fs(s, path)
     if (!f.exists(dir)) Nil
     else f.listStatus(dir).toSeq
-      .filter(st => st.getPath.getName.startsWith("v"))
+      .filter(st => st.getPath.getName.startsWith("v") &&
+        st.getPath.getName.drop(1).forall(_.isDigit))
       .map(st => (st.getPath.getName.drop(1).toLong, st.getPath))
       .sortBy(_._1)
   }
@@ -44,6 +62,12 @@ object Snapshots {
     val f = fs(s, path)
     versionsOf(s, path).map { case (v, p) => (v, f.getFileStatus(p).getModificationTime) }
   }
+
+  /** Whether the table carries a commit log — the flag maintenance
+    * actions consult to decide retire-vs-delete for replaced files.
+    */
+  def isSnapshotted(s: SparkSession, path: String): Boolean =
+    versionsOf(s, path).nonEmpty
 
   /** Snapshot the CURRENT file set as the next version; returns its
     * number. Call after every append/compaction batch that should be a
@@ -89,14 +113,46 @@ object Snapshots {
     new String(bytes, "UTF-8").split("\n").toSeq.filter(_.nonEmpty)
   }
 
+  /** Move replaced data files into the retired area (metadata renames,
+    * no IO) so committed versions that list them stay readable. Called
+    * by the maintenance rewrites on snapshotted tables.
+    */
+  private[graft] def retire(s: SparkSession, path: String, files: Seq[Path]): Unit = {
+    if (files.isEmpty) return
+    val f = fs(s, path)
+    val dir = new Path(s"$path/$RetiredDir")
+    f.mkdirs(dir)
+    files.foreach { src =>
+      val dst = new Path(dir, src.getName)
+      if (f.exists(dst) || !f.rename(src, dst))
+        throw new java.io.IOException(s"Snapshots.retire: cannot move $src to $dst")
+    }
+  }
+
   /** The table exactly as committed at `v` — an explicit file list, no
-    * directory listing on the read path. Fails loudly if the version was
-    * expired (a silent fallback to "current" would be a correctness bug).
+    * directory listing on the read path (one listing of live + retired
+    * resolves each name: live first, then retired — a maintenance pass
+    * between commit and read moves files, never duplicates them).
+    * Fails loudly if the version was expired or a listed file is gone
+    * (a silent fallback to "current" would be a correctness bug).
     */
   def readVersion(s: SparkSession, path: String, v: Long): DataFrame = {
     val names = fileList(s, path, v)
-    if (names.isEmpty) s.read.parquet(path).limit(0)
-    else s.read.parquet(names.map(n => s"$path/$n"): _*)
+    if (names.isEmpty) return s.read.parquet(path).limit(0)
+    val f = fs(s, path)
+    def namesIn(dir: Path): Set[String] =
+      if (!f.exists(dir)) Set.empty
+      else f.listStatus(dir).filter(_.isFile).map(_.getPath.getName).toSet
+    val live = namesIn(new Path(path))
+    val retired = namesIn(new Path(s"$path/$RetiredDir"))
+    val resolved = names.map { n =>
+      if (live(n)) s"$path/$n"
+      else if (retired(n)) s"$path/$RetiredDir/$n"
+      else throw new IllegalStateException(
+        s"version $v of $path lists $n but the file is gone — vacuumed " +
+          "outside expire, or a non-snapshot-aware rewrite deleted it")
+    }
+    s.read.parquet(resolved: _*)
   }
 
   /** Time travel: the latest version committed at or before `tsMillis`. */
@@ -106,20 +162,62 @@ object Snapshots {
     readVersion(s, path, vs.last._1)
   }
 
-  /** Drop all but the newest `keepLast` versions and DELETE data files no
-    * kept version references (the vacuum step). Files outside every
-    * version (a half-appended batch never committed) are left alone —
-    * expiring history must not eat an in-flight write.
+  /** Pin a version: [[expire]] keeps it (and every file it references)
+    * until [[unpin]], whatever `keepLast` says.
+    */
+  def pin(s: SparkSession, path: String, v: Long): Unit = {
+    val f = fs(s, path)
+    require(f.exists(new Path(s"$path/$VersionsDir/v$v")),
+      s"cannot pin version $v of $path: no such version")
+    f.create(new Path(s"$path/$VersionsDir/pin_v$v"), true).close()
+  }
+
+  def unpin(s: SparkSession, path: String, v: Long): Unit = {
+    val f = fs(s, path)
+    f.delete(new Path(s"$path/$VersionsDir/pin_v$v"), false)
+  }
+
+  /** Currently pinned version numbers. */
+  def pins(s: SparkSession, path: String): Set[Long] = {
+    val dir = new Path(s"$path/$VersionsDir")
+    val f = fs(s, path)
+    if (!f.exists(dir)) Set.empty
+    else f.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("pin_v") && n.drop(5).forall(_.isDigit))
+      .map(_.drop(5).toLong).toSet
+  }
+
+  /** Drop all but the newest `keepLast` versions — pinned versions are
+    * always kept — and DELETE data files (live or retired) no kept
+    * version references (the vacuum step). Files outside every version
+    * (a half-appended batch never committed) are left alone — expiring
+    * history must not eat an in-flight write.
     */
   def expire(s: SparkSession, path: String, keepLast: Int): Unit = {
     require(keepLast >= 1, "expire must keep at least the newest version")
     val f = fs(s, path)
     val all = versionsOf(s, path)
-    if (all.size <= keepLast) return
-    val (drop, keep) = all.splitAt(all.size - keepLast)
+    val pinned = pins(s, path)
+    val keepNewest = all.takeRight(keepLast).map(_._1).toSet
+    val (drop, keep) = all.partition { case (v, _) =>
+      !keepNewest(v) && !pinned(v)
+    }
+    if (drop.isEmpty) return
     val keptFiles = keep.map(_._1).flatMap(fileList(s, path, _)).toSet
     val droppedOnly = drop.map(_._1).flatMap(fileList(s, path, _)).toSet -- keptFiles
-    droppedOnly.foreach(n => f.delete(new Path(s"$path/$n"), false))
+    val retiredDir = new Path(s"$path/$RetiredDir")
+    droppedOnly.foreach { n =>
+      val live = new Path(s"$path/$n")
+      if (f.exists(live)) f.delete(live, false)
+      else f.delete(new Path(retiredDir, n), false)
+    }
+    // a retired file referenced by NO remaining version is unreachable
+    // debris (e.g. retired under a version that was itself expired
+    // first) — reclaim it too
+    if (f.exists(retiredDir))
+      f.listStatus(retiredDir).filter(_.isFile)
+        .map(_.getPath).filterNot(p => keptFiles(p.getName))
+        .foreach(p => f.delete(p, false))
     drop.foreach { case (_, p) => f.delete(p, false) }
   }
 }

@@ -23,18 +23,23 @@ import graft.sources.Tables
   *
   * Reported by [[graft.Bench]] under the `"index_serve"` key; timing
   * protocol mirrors Bench (noop-sink materialization, interleaved passes,
-  * best-of-N per target so one contention window can't set a number).
+  * best-of-N per target so one contention window can't set a number) —
+  * INCLUDING the builds: each family builds twice, into a warm tree and
+  * the serving tree, and the reported build time is the min. A one-shot
+  * build draw is exactly where a contention window once fabricated a 36x
+  * phantom regression in the round record; min-of-2 closes that.
   */
 object ServeBench {
 
   private case class Family(
       name: String,
-      build: () => Unit,
+      build: String => Unit,
       direct: () => DataFrame,
       serve: () => DataFrame)
 
   def run(s: SparkSession, sfDir: String, draws: Int = 2): String = {
     val idx = java.nio.file.Files.createTempDirectory("graft_serve").toString
+    val serveRoot = s"$idx/r" // serve() reads here; the warm tree is w
     val docs = Tables.t(s, sfDir, "documents")
     val emb = Tables.t(s, sfDir, "embeddings")
     // the incremental families mirror their gated queries' corpus/batch
@@ -46,45 +51,45 @@ object ServeBench {
 
     val families = Seq(
       Family("pq",
-        () => SimilarityOps.writePqIndex(s, sfDir, s"$idx/pq"),
+        root => SimilarityOps.writePqIndex(s, sfDir, s"$root/pq"),
         () => graft.Registry.byName("emb_knn_pq").build(s, sfDir),
-        () => SimilarityOps.knnPqFromIndex(s, sfDir, s"$idx/pq")),
+        () => SimilarityOps.knnPqFromIndex(s, sfDir, s"$serveRoot/pq")),
       Family("ivfpq",
-        () => SimilarityOps.writeIvfIndex(s, sfDir, s"$idx/ivf"),
+        root => SimilarityOps.writeIvfIndex(s, sfDir, s"$root/ivf"),
         () => graft.Registry.byName("emb_knn_ivfpq").build(s, sfDir),
-        () => SimilarityOps.knnIvfPqFromIndex(s, sfDir, s"$idx/ivf")),
+        () => SimilarityOps.knnIvfPqFromIndex(s, sfDir, s"$serveRoot/ivf")),
       // truncated-head (Matryoshka) PQ: the serve must beat the full PQ
       // serve's ADC bytes by headDim/Dim — same serve code path, smaller
       // stored geometry
       Family("mrl",
-        () => SimilarityOps.writePqIndex(s, sfDir, s"$idx/mrl",
+        root => SimilarityOps.writePqIndex(s, sfDir, s"$root/mrl",
           headDim = SimilarityOps.MrlHeadDim),
         () => graft.Registry.byName("emb_knn_mrl").build(s, sfDir),
-        () => SimilarityOps.knnPqFromIndex(s, sfDir, s"$idx/mrl")),
+        () => SimilarityOps.knnPqFromIndex(s, sfDir, s"$serveRoot/mrl")),
       Family("minhash",
-        () => DedupOps.writeMinHashIndex(docCorpus, s"$idx/mh"),
+        root => DedupOps.writeMinHashIndex(docCorpus, s"$root/mh"),
         () => graft.Registry.byName("doc_incr_minhash").build(s, sfDir),
-        () => DedupOps.incrementalMinHashFromIndex(s, docBatch, s"$idx/mh")),
+        () => DedupOps.incrementalMinHashFromIndex(s, docBatch, s"$serveRoot/mh")),
       Family("cosine",
-        () => SimilarityOps.writeCosineCellIndex(embCorpus, s"$idx/cos"),
+        root => SimilarityOps.writeCosineCellIndex(embCorpus, s"$root/cos"),
         () => graft.Registry.byName("emb_incr_cosine").build(s, sfDir),
-        () => SimilarityOps.incrementalCosineFromIndex(s, embBatch, s"$idx/cos")),
+        () => SimilarityOps.incrementalCosineFromIndex(s, embBatch, s"$serveRoot/cos")),
       // first-seen gram index: direct = the self-contained incremental
       // novelty (re-shingles the whole corpus per call); serve = the same
       // scores probing the stored gram table (DedupSimilaritySpec pins
       // equality — here we pin that serve never carries the corpus
       // shingling term)
       Family("novelty",
-        () => DedupOps.writeNoveltyIndex(docCorpus, s"$idx/nov"),
+        root => DedupOps.writeNoveltyIndex(docCorpus, s"$root/nov"),
         () => graft.Registry.byName("doc_incr_novelty").build(s, sfDir),
-        () => DedupOps.noveltyFromIndex(s, docBatch, s"$idx/nov")),
+        () => DedupOps.noveltyFromIndex(s, docBatch, s"$serveRoot/nov")),
       // sparse retrieval: direct = the gated full-scan BM25; serve = the
       // same scores off the bucket-pruned posting lists (SearchIndexSpec
       // pins bit-parity — here we pin that serve never carries the scan)
       Family("search",
-        () => graft.sources.SearchIndex.write(docs, s"$idx/search"),
+        root => graft.sources.SearchIndex.write(docs, s"$root/search"),
         () => graft.Registry.byName("doc_bm25").build(s, sfDir),
-        () => graft.sources.SearchIndex.search(s, s"$idx/search",
+        () => graft.sources.SearchIndex.search(s, s"$serveRoot/search",
           Seq("spark", "vector", "customer"), 25)))
 
     def elapsed(f: () => Unit): Double = {
@@ -97,8 +102,19 @@ object ServeBench {
     def timedQuery(build: () => DataFrame): Double =
       elapsed(() => build().write.format("noop").mode("overwrite").save())
 
+    // every registered bucketed table under either tree must be dropped
+    // before the files go away
+    def registrations(root: String) = Seq(
+      s"$root/pq/raw", s"$root/ivf/raw", s"$root/mrl/raw", s"$root/mh/sigs",
+      s"$root/nov/grams", s"$root/search")
+
     try {
-      val builds = families.map(f => f.name -> elapsed(f.build)).toMap
+      // two interleaved build passes: warm tree first (all families),
+      // serving tree second; report the min per family
+      val warm = families.map(f => f.name -> elapsed(() => f.build(s"$idx/w"))).toMap
+      val real = families.map(f => f.name -> elapsed(() => f.build(serveRoot))).toMap
+      val builds = families.map(f =>
+        f.name -> math.min(warm(f.name), real(f.name))).toMap
       // interleaved passes: every (family, form) gets `draws` temporally
       // separated samples; report the min (steady-state serving cost)
       val samples = scala.collection.mutable.Map[(String, String), List[Double]]()
@@ -115,8 +131,7 @@ object ServeBench {
     } finally {
       // bucketed serving tables registered in the catalog must not outlive
       // their files
-      Seq(s"$idx/pq/raw", s"$idx/ivf/raw", s"$idx/mrl/raw", s"$idx/mh/sigs",
-        s"$idx/nov/grams", s"$idx/search").foreach { p =>
+      (registrations(s"$idx/w") ++ registrations(serveRoot)).foreach { p =>
         try graft.sources.Bucketed.dropRegistration(s, p)
         catch { case _: Throwable => () }
       }

@@ -986,4 +986,64 @@ class DedupSimilaritySpec extends SparkSpecBase {
       assert(got == want, s"seed $seed: docs=$docs")
     }
   }
+
+  test("containment fixpoint resolves planted chains to the survivor-contained labeling") {
+    import spark.implicits._
+    // chain construction: each level's shingle set is ~95% the next
+    // level's block, so every ADJACENT pair is >= 0.9-contained but no
+    // skip-level pair is (disjoint blocks) — the exact case the one-shot
+    // rule documents over-dropping.
+    def words(p: String, n: Int) = (1 to n).map(i => s"$p$i")
+    // chain 1 (3 deep): A ⊂ B ⊂ C, A ⊄ C
+    val a = words("xa", 24); val b = words("xb", 404); val c = words("xc", 4004)
+    // chain 2 (4 deep): E ⊂ F ⊂ G ⊂ H, no skip-level containment
+    val e = words("ye", 24); val f = words("yf", 404)
+    val g = words("yg", 4004); val h = words("yh", 1004)
+    val docs = Seq(
+      1L -> a, 2L -> (a ++ b), 3L -> (b ++ c),
+      11L -> e, 12L -> (e ++ f), 13L -> (f ++ g), 14L -> (g ++ h)
+    ).map { case (id, ws) => (id, ws.mkString(" ")) }.toDF("doc_id", "text")
+
+    val pairs = DedupOps.containmentPairsOn(docs)
+      .select("d_small", "d_big").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (2L, 3L), (11L, 12L), (12L, 13L), (13L, 14L)),
+      s"planted graph came out as $pairs")
+
+    // one-shot drops every contained doc — only the chain tops survive
+    val oneShot = DedupOps.keepContainersOn(docs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(oneShot == Set(3L, 14L), s"one-shot kept $oneShot")
+
+    // fixpoint: C kept -> B dropped -> A kept (its only container died);
+    // H kept -> G dropped -> F kept -> E dropped (contained in kept F)
+    val fix = DedupOps.keepContainersFixOn(docs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(fix == Set(1L, 3L, 12L, 14L), s"fixpoint kept $fix")
+  }
+
+  test("containment fixpoint on the gate corpus: the two uniqueness properties hold") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.t(spark, sf0001, "documents")
+    val kept = DedupOps.keepContainersFixOn(docs)
+      .select("doc_id").as[Long].collect().toSet
+    val pairs = DedupOps.containmentPairsOn(docs)
+      .select("d_small", "d_big").as[(Long, Long)].collect().toSeq
+    assert(kept.nonEmpty && pairs.nonEmpty, "gate corpus must exercise the loop")
+    // P1 (soundness): no surviving doc is >= t-contained in a surviving doc
+    val bad1 = pairs.filter { case (s_, b_) => kept(s_) && kept(b_) }
+    assert(bad1.isEmpty, s"surviving contained pairs: ${bad1.take(5)}")
+    // P2 (minimality): every dropped doc is contained in some SURVIVOR
+    val contained = pairs.map(_._1).toSet
+    val dropped = contained -- kept
+    val bad2 = dropped.filterNot(d =>
+      pairs.exists { case (s_, b_) => s_ == d && kept(b_) })
+    assert(bad2.isEmpty, s"docs dropped with no surviving container: ${bad2.take(5)}")
+    // P1 + P2 determine the labeling uniquely on a DAG, so together with
+    // the planted-chain test this pins the operator without an oracle.
+    // The fixpoint can only widen the one-shot survivor set:
+    val oneShot = DedupOps.keepContainersOn(docs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(oneShot.subsetOf(kept),
+      s"fixpoint lost one-shot survivors: ${(oneShot -- kept).take(5)}")
+  }
 }

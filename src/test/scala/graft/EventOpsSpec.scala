@@ -221,4 +221,70 @@ class EventOpsSpec extends SparkSpecBase {
     assert(probe == direct,
       s"stored probe diverged from the self-contained query on the union corpus")
   }
+
+  test("Funnel DSL 3-step instance reproduces the gated funnel3Step bit-for-bit") {
+    import graft.operators.Funnel
+    val winUs = 86400000000L
+    val dsl = Funnel(Seq(
+      Funnel.Step("view", col("event_type") === "view"),
+      Funnel.Step("click", col("event_type") === "click", winUs),
+      Funnel.Step("purchase", col("event_type") === "purchase", winUs)))
+      .counts(graft.sources.Tables.t(spark, sf0001, "events"))
+    val hand = EventOps.funnel3Step(spark, sf0001)
+    assert(dsl.columns.toSeq == hand.columns.toSeq,
+      s"column scheme diverged: ${dsl.columns.toSeq} vs ${hand.columns.toSeq}")
+    val (d, h) = (dsl.collect().head.toSeq, hand.collect().head.toSeq)
+    assert(d == h, s"DSL $d vs hand-built $h")
+    assert(d.head.asInstanceOf[Long] > 0L, "gate corpus must enter the funnel")
+  }
+
+  test("Funnel DSL 4-step: first-touch chain on a hand-checked sequence") {
+    import graft.operators.Funnel
+    val minUs = 60000000L
+    // user 1 completes all four steps in order within the windows;
+    // user 2 signs up and views but clicks BEFORE the view (order broken);
+    // user 3 completes but the purchase lands outside its step window;
+    // user 4 re-signs up later — first-touch must NOT reopen the funnel
+    //   (the second signup is ignored; their view 10 min after signup 1
+    //   counts, the click never comes)
+    val ev = Seq(
+      (1L, "signup", 0L), (1L, "view", 1L), (1L, "click", 2L), (1L, "purchase", 3L),
+      (2L, "signup", 0L), (2L, "click", 1L), (2L, "view", 2L),
+      (3L, "signup", 0L), (3L, "view", 1L), (3L, "click", 2L), (3L, "purchase", 200L),
+      (4L, "signup", 0L), (4L, "view", 10L), (4L, "signup", 20L)
+    ).zipWithIndex.map { case ((u, t, m), i) =>
+      (u, i.toLong, t, 1700000000000000L + m * minUs)
+    }.toDF("user_id", "event_id", "event_type", "us")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val win = 60L * minUs
+    val got = Funnel(Seq(
+      Funnel.Step("signup", col("event_type") === "signup"),
+      Funnel.Step("view", col("event_type") === "view", win),
+      Funnel.Step("click", col("event_type") === "click", win),
+      Funnel.Step("purchase", col("event_type") === "purchase", win)))
+      .counts(ev).collect().head
+    assert(got.getAs[Long]("n_signup") == 4L)
+    assert(got.getAs[Long]("n_view") == 4L) // user 2's later view still follows signup
+    assert(got.getAs[Long]("n_click") == 2L) // users 1, 3 (user 2 clicked pre-view)
+    assert(got.getAs[Long]("n_purchase") == 1L) // user 3's is window-late
+    assert(got.getAs[Double]("conv_view") == 1.0)
+    assert(got.getAs[Double]("conv_click") == 0.5)
+    assert(got.getAs[Double]("conv_purchase") == 0.5)
+    assert(got.getAs[Double]("conv_overall") == 0.25)
+  }
+
+  test("Funnel DSL reports zeros, not nulls, when the corpus never enters") {
+    import graft.operators.Funnel
+    val ev = Seq((1L, 1L, "view", 1700000000000000L))
+      .toDF("user_id", "event_id", "event_type", "us")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val got = Funnel(Seq(
+      Funnel.Step("signup", col("event_type") === "signup"),
+      Funnel.Step("view", col("event_type") === "view", 1000000L)))
+      .counts(ev).collect().head
+    assert(got.getAs[Long]("n_signup") == 0L)
+    assert(got.getAs[Long]("n_view") == 0L)
+    assert(got.getAs[Double]("conv_view") == 0.0)
+    assert(got.getAs[Double]("conv_overall") == 0.0)
+  }
 }

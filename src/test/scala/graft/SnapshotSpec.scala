@@ -69,4 +69,80 @@ class SnapshotSpec extends SparkSpecBase {
     assert(v3 == 3L)
     assert(Snapshots.readVersion(spark, path, 3).count() == 1L)
   }
+
+  test("pinned reader survives purge + compact; expire respects pins, vacuums retired files") {
+    import spark.implicits._
+    import graft.sources.{Deletes, Layout, Tables}
+    val base = java.nio.file.Files.createTempDirectory("graft-snapm").toString
+    val path = s"$base/orders"
+    val orders = Tables.t(spark, sf0001, "orders")
+    val total = orders.count()
+    Layout.zorderWrite(orders, path, Seq("o_orderkey"), numFiles = 16)
+    Layout.writeManifest(spark, path, Seq("o_orderkey"))
+    val v1 = Snapshots.commit(spark, path)
+    def snap(v: Long): Seq[Seq[Any]] = Snapshots.readVersion(spark, path, v)
+      .orderBy("o_orderkey").collect().map(_.toSeq).toSeq
+    val r1 = snap(v1)
+    assert(r1.size == total)
+
+    // PURGE under the snapshot: replaced files retire instead of dying,
+    // and the rewritten file set commits as v2
+    val ks = orders.select("o_orderkey").orderBy("o_orderkey").limit(10)
+      .collect().map(_.getLong(0)).toIndexedSeq
+    Deletes.delete(ks.toDF("o_orderkey"), path, "o_orderkey")
+    val stats = Deletes.purge(spark, path).get
+    assert(stats.rowsDeleted == ks.size)
+    assert(Snapshots.versions(spark, path).map(_._1) == Seq(1L, 2L))
+    assert(snap(v1) == r1, "pinned v1 reader diverged across purge")
+    assert(Snapshots.readVersion(spark, path, 2).count() == total - ks.size)
+
+    // COMPACT on top: full rewrite, v1 and v2 still bit-identical
+    Layout.compact(spark, path, Seq("o_orderkey"), numFiles = 4)
+    assert(Snapshots.versions(spark, path).map(_._1) == Seq(1L, 2L, 3L))
+    assert(snap(v1) == r1, "pinned v1 reader diverged across compact")
+    assert(Snapshots.readVersion(spark, path, 2).count() == total - ks.size)
+    assert(spark.read.parquet(path).count() == total - ks.size)
+
+    // EXPIRE respects pins: v1 pinned stays past keepLast=1, v2 dies
+    Snapshots.pin(spark, path, v1)
+    Snapshots.expire(spark, path, keepLast = 1)
+    intercept[IllegalArgumentException] {
+      Snapshots.readVersion(spark, path, 2)
+    }
+    assert(snap(v1) == r1, "pinned v1 lost files to the vacuum")
+    assert(Snapshots.readVersion(spark, path, 3).count() == total - ks.size)
+
+    // unpin + expire reclaims every retired file; the live table is whole
+    Snapshots.unpin(spark, path, v1)
+    Snapshots.expire(spark, path, keepLast = 1)
+    intercept[IllegalArgumentException] {
+      Snapshots.readVersion(spark, path, v1)
+    }
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val retired = new org.apache.hadoop.fs.Path(s"$path/_graft_retired")
+    assert(!fs.exists(retired) || fs.listStatus(retired).isEmpty,
+      "vacuum left unreachable retired files behind")
+    assert(Snapshots.readVersion(spark, path, 3).count() == total - ks.size)
+    assert(spark.read.parquet(path).count() == total - ks.size)
+  }
+
+  test("maintenance on an UNsnapshotted table neither retires nor commits") {
+    import spark.implicits._
+    import graft.sources.{Deletes, Layout, Tables}
+    val base = java.nio.file.Files.createTempDirectory("graft-snapn").toString
+    val path = s"$base/orders"
+    val orders = Tables.t(spark, sf0001, "orders")
+    Layout.zorderWrite(orders, path, Seq("o_orderkey"), numFiles = 8)
+    Layout.writeManifest(spark, path, Seq("o_orderkey"))
+    Deletes.delete(Seq(1L).toDF("o_orderkey"), path, "o_orderkey")
+    Deletes.purge(spark, path)
+    Layout.compact(spark, path, Seq("o_orderkey"), numFiles = 4)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_graft_retired")),
+      "no-snapshot maintenance must not create a retired area")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_graft_versions")),
+      "no-snapshot maintenance must not fabricate a commit log")
+  }
 }

@@ -16,6 +16,7 @@ final case class QueryDef(
 object Registry {
   lazy val all: Seq[QueryDef] =
     operators.Analytics.defs ++
+      operators.AnalyticsNested.defs ++
       operators.EventOps.defs ++
       operators.ReportOps.defs ++
       operators.TextOps.defs ++

@@ -92,15 +92,21 @@ object GraphOps {
     * hot-bucket/df caps upstream are precisely what bound deg here.
     * All-integer output, hash-exact gated.
     */
-  def dupTriangles(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    val e = DedupOps.jaccardPairsOn(Tables.t(s, dir, "documents"))
+  def dupTriangles(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    trianglesOn(DedupOps.jaccardPairsOn(Tables.t(s, dir, "documents")))
+
+  /** The triangle core over any oriented (d1 < d2) pair list — factored
+    * so the Stress harness can drive it on planted clone corpora.
+    */
+  def trianglesOn(pairs: DataFrame): DataFrame = {
+    val e = pairs
       .select("d1", "d2").persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val wedges = e.select(col("d1").as("a"), col("d2").as("b"))
         .join(e.select(col("d1").as("b"), col("d2").as("c")), "b")
       val tri = wedges.join(
         e.select(col("d1").as("a"), col("d2").as("c")), Seq("a", "c"))
-      // count() before unpersist so the persisted edges back all three scans
+      // materialize before unpersist so the persisted edges back all three scans
       tri.select("a", "b", "c").orderBy("a", "b", "c").localCheckpoint(true)
     } finally e.unpersist()
   }

@@ -47,6 +47,42 @@ object Stress {
     time(s"jaccard x$copies")(DedupOps.jaccardPairsOn(docsN).count())
     spark.catalog.clearCache()
 
+    // graph layer over the near-dup pairs: the marker interleave keeps
+    // every cluster strictly within-copy, so triangle counts AND the
+    // integer PageRank value histogram must be EXACTLY linear in copies
+    // (each copy's subgraph is isomorphic to copy 0's; integer ranks are
+    // partition-independent, so the multiset of ranks just replicates).
+    // Hard requires, the winnow discipline; per-iteration PR wall time
+    // is the printed curve.
+    var tri1 = 0L
+    var prHist1 = Map.empty[Long, Long]
+    time("graph x1 triangles+pagerank") {
+      val p1 = DedupOps.jaccardPairsOn(corpusOf(1)).select("d1", "d2")
+        .localCheckpoint(true)
+      tri1 = graft.operators.GraphOps.trianglesOn(p1).count()
+      prHist1 = graft.operators.GraphOps.pageRank(p1, iters = 5)
+        .groupBy("r").count()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      s"tri=$tri1 nodes=${prHist1.values.sum}"
+    }
+    spark.catalog.clearCache()
+    time(s"graph x$copies triangles+pagerank") {
+      val pN = DedupOps.jaccardPairsOn(docsN).select("d1", "d2")
+        .localCheckpoint(true)
+      val triN = graft.operators.GraphOps.trianglesOn(pN).count()
+      require(triN == copies * tri1,
+        s"triangles not linear: x1=$tri1, x$copies=$triN")
+      val t0 = System.nanoTime()
+      val prHistN = graft.operators.GraphOps.pageRank(pN, iters = 5)
+        .groupBy("r").count()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val perIter = (System.nanoTime() - t0) / 1e9 / 5
+      require(prHistN == prHist1.map { case (r, n) => (r, n * copies) },
+        s"pagerank histogram not a $copies-fold replica of x1")
+      f"tri=$triN nodes=${prHistN.values.sum} pr_iter=$perIter%.2f s"
+    }
+    spark.catalog.clearCache()
+
     // substring-span dedup: the marker interleave kills every cross-copy
     // 8-gram (each window spans a marker), so total duplicated-token
     // coverage must be EXACTLY linear in copies

@@ -1190,17 +1190,29 @@ object DedupOps {
     val inv = withShingles(documents)
       .select(col("doc_id"), explode(col("shs")).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val firstSeen = inv.groupBy("sh").agg(min(col("doc_id")).as("first_doc"))
-      inv.join(firstSeen, "sh")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_grams"),
-          sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L)).as("n_novel"))
-        .withColumn("novelty",
-          col("n_novel").cast(DoubleType) / col("n_grams").cast(DoubleType))
-        .orderBy("doc_id")
-        .localCheckpoint(true)
-    } finally inv.unpersist()
+    try noveltyFold(inv).localCheckpoint(true)
+    finally inv.unpersist()
+  }
+
+  /** The un-checkpointed novelty pipeline — the PLAN the public path
+    * executes before its localCheckpoint hygiene opaquifies it into a
+    * `Scan ExistingRDD`. PlanSpec asserts the inverted-index shape
+    * (gram exchange + doc exchange, map-side partial min) on THIS,
+    * keeping the cache hygiene on the gated path.
+    */
+  private[graft] def noveltyPlanOn(documents: DataFrame): DataFrame =
+    noveltyFold(withShingles(documents)
+      .select(col("doc_id"), explode(col("shs")).as("sh")))
+
+  private def noveltyFold(inv: DataFrame): DataFrame = {
+    val firstSeen = inv.groupBy("sh").agg(min(col("doc_id")).as("first_doc"))
+    inv.join(firstSeen, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast(DoubleType) / col("n_grams").cast(DoubleType))
+      .orderBy("doc_id")
   }
 
   /** Containment REDUCTION — the corpus-level consumer of

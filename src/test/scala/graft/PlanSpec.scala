@@ -456,7 +456,10 @@ class PlanSpec extends SparkSpecBase {
   }
 
   test("novelty: inverted-index shape — gram exchange + doc exchange, nothing else") {
-    val df = graft.operators.DedupOps.noveltyScoreOn(
+    // assert on the pre-checkpoint builder: the public noveltyScoreOn
+    // localCheckpoints (cache hygiene), which hides the plan behind a
+    // Scan ExistingRDD — the executed shape is this frame's
+    val df = graft.operators.DedupOps.noveltyPlanOn(
       graft.sources.Tables.t(spark, sf0001, "documents"))
     val p = plan(df)
     val n = "Exchange hashpartitioning".r.findAllIn(p).size

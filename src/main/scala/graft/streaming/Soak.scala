@@ -42,7 +42,16 @@ object Soak {
   final case class SoakResult(
       seconds: Double, inputRows: Long, evPerSec: Double,
       stateRowsMax: Long, stateRowsLast: Long, attacks: Long, batches: Int,
-      store: String = "default", peakEvPerSec: Double = 0.0)
+      store: String = "default", peakEvPerSec: Double = 0.0,
+      firstBatchSec: Double = 0.0) {
+    /** A multi-second soak that completed ≤1 micro-batch measured the
+      * BOX, not the topology (BENCH_r10's neardup_soak recorded
+      * 0 rows / 1 batch as a silent success on a contended driver — the
+      * first batch starved past the whole window). Flag it so the record
+      * self-diagnoses instead of reading as a breakage.
+      */
+    def contended: Boolean = seconds >= 5 && batches <= 1
+  }
 
   /** RocksDB-backed state store: the scale path for streaming state. The
     * default HDFS-backed store keeps every version of every key IN HEAP —
@@ -142,6 +151,9 @@ object Soak {
     // AtomicReference set immediately after start() returns — safely before
     // the first progress event, which needs a completed micro-batch.
     val soakId = new java.util.concurrent.atomic.AtomicReference[java.util.UUID](null)
+    // first completed micro-batch latency (0 until set): the contention
+    // diagnostic — a healthy soak sees it well under a second
+    val firstBatchNanos = new java.util.concurrent.atomic.AtomicLong(0)
     import org.apache.spark.sql.streaming.StreamingQueryListener
     val listener = new StreamingQueryListener {
       override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -149,6 +161,7 @@ object Soak {
       override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
         val p = e.progress
         if (p.id == soakId.get()) {
+          firstBatchNanos.compareAndSet(0, System.nanoTime())
           inputRows.addAndGet(p.numInputRows)
           batches.incrementAndGet()
           Option(p.sink).map(_.numOutputRows).filter(_ >= 0).foreach(attacksOut.addAndGet)
@@ -204,7 +217,10 @@ object Soak {
       attacks = attacksOut.get(),
       batches = batches.get(),
       store = storeName,
-      peakEvPerSec = java.lang.Double.longBitsToDouble(peakRate.get()))
+      peakEvPerSec = java.lang.Double.longBitsToDouble(peakRate.get()),
+      firstBatchSec =
+        if (firstBatchNanos.get() == 0) wall // never completed a batch
+        else (firstBatchNanos.get() - t0) / 1e9)
   }
 
   /** Sustained-throughput soak for the streaming NEAR-DUP probe
@@ -266,9 +282,11 @@ object Soak {
     val secs = (math.round(r.seconds * 10) / 10.0).toString
     val evs = math.round(r.evPerSec).toString
     val peak = math.round(r.peakEvPerSec).toString
+    val fb = (math.round(r.firstBatchSec * 100) / 100.0).toString
     s"""{"seconds":$secs,"input_rows":${r.inputRows},"ev_s":$evs,"peak_ev_s":$peak,""" +
       s""""state_rows_max":${r.stateRowsMax},"state_rows_last":${r.stateRowsLast},""" +
-      s""""attacks":${r.attacks},"batches":${r.batches},"store":"${r.store}"}"""
+      s""""attacks":${r.attacks},"batches":${r.batches},"store":"${r.store}",""" +
+      s""""first_batch_s":$fb,"contended":${r.contended}}"""
   }
 
   /** Standalone long soak: runMain graft.streaming.Soak [seconds] [rows/s]. */

@@ -1181,4 +1181,20 @@ class StreamingSpec extends SparkSpecBase {
       assert(got == Set(("a", "b", "c"), ("d", "e", "f")), s"got $got")
     } finally q.stop()
   }
+
+  test("soak record self-diagnoses a starved run (batches<=1 on a multi-second soak)") {
+    import graft.streaming.Soak
+    // BENCH_r10 regression: 0 rows / 1 batch recorded as silent success
+    val starved = Soak.SoakResult(seconds = 30.0, inputRows = 0, evPerSec = 0,
+      stateRowsMax = 0, stateRowsLast = 0, attacks = 0, batches = 1,
+      firstBatchSec = 30.0)
+    assert(starved.contended)
+    assert(Soak.json(starved).contains("\"contended\":true"))
+    assert(Soak.json(starved).contains("\"first_batch_s\":30.0"))
+    val healthy = starved.copy(inputRows = 56000, batches = 40, firstBatchSec = 0.8)
+    assert(!healthy.contended)
+    assert(Soak.json(healthy).contains("\"contended\":false"))
+    // a deliberately tiny smoke soak (seconds < 5) is not "contended"
+    assert(!starved.copy(seconds = 2.0).contended)
+  }
 }

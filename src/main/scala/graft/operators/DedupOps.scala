@@ -1324,6 +1324,58 @@ object DedupOps {
     eff.join(dropped, Seq("doc_id"), "left_anti").orderBy("doc_id")
   }
 
+  /** One unrolled fixpoint round: decide every still-open contained doc
+    * whose containers are all decided (kept iff no kept container) —
+    * EXACTLY the Spark loop's any_kept/any_open rule. Extra rounds past
+    * the actual chain depth are no-ops (fn_i empty), so the unroll count
+    * only needs to be ≥ depth, not equal.
+    */
+  private def fixRound(i: Int): String = {
+    val prev = s"fd${i - 1}"
+    // AS MATERIALIZED is load-bearing: each round references the previous
+    // decided set 3×, and DuckDB's default inlining re-expands the whole
+    // chain exponentially (observed as a file-handle explosion at 24 rounds)
+    s"""fn$i AS MATERIALIZED (
+       |  SELECT p.d_small AS id,
+       |         MAX(CASE WHEN d.kept THEN 1 ELSE 0 END) = 0 AS kept
+       |  FROM pr p LEFT JOIN $prev d ON d.id = p.d_big
+       |  WHERE p.d_small NOT IN (SELECT id FROM $prev)
+       |  GROUP BY p.d_small
+       |  HAVING MAX(CASE WHEN d.kept THEN 1 ELSE 0 END) = 1
+       |      OR MAX(CASE WHEN d.id IS NULL THEN 1 ELSE 0 END) = 0),
+       |fd$i AS MATERIALIZED (SELECT * FROM $prev UNION ALL SELECT * FROM fn$i)""".stripMargin
+  }
+
+  /** The containment fixpoint IS SQL-expressible once the bounded
+    * iteration is unrolled (the kernel labeling is non-monotone, so a
+    * recursive CTE can't carry it — but rounds ≤ the longest containment
+    * chain, and each round is plain SQL over the cumulative decided set).
+    * 24 rounds comfortably exceeds any chain the capped-shingle pair
+    * builder admits (Spark's own loop hard-fails at 64; observed depth on
+    * the fixtures is ≤3) — a shortfall would surface as a LOUD gate
+    * mismatch, never a silent wrong answer.
+    */
+  val keepContainersFixOracle: String = {
+    val rounds = 24
+    s"""WITH $sqlCappedPairs,
+       |prj AS (
+       |  SELECT c.d1, c.d2, c.common, x.n_sh AS n1, y.n_sh AS n2
+       |  FROM c JOIN sz x ON x.doc_id = c.d1 JOIN sz y ON y.doc_id = c.d2),
+       |pr AS MATERIALIZED (
+       |  SELECT CASE WHEN n1 < n2 OR (n1 = n2 AND d1 < d2) THEN d1 ELSE d2 END AS d_small,
+       |         CASE WHEN n1 < n2 OR (n1 = n2 AND d1 < d2) THEN d2 ELSE d1 END AS d_big
+       |  FROM prj
+       |  WHERE CAST(common AS DOUBLE) / CAST(LEAST(n1, n2) AS DOUBLE) >= $Tc
+       |    AND LEAST(n1, n2) >= 5),
+       |fd0 AS MATERIALIZED (SELECT d_big AS id, TRUE AS kept FROM pr
+       |        WHERE d_big NOT IN (SELECT d_small FROM pr) GROUP BY d_big),
+       |${(1 to rounds).map(fixRound).mkString(",\n")}
+       |SELECT s.doc_id, s.n_sh AS n_grams
+       |FROM sz s
+       |WHERE s.doc_id NOT IN (SELECT id FROM fd$rounds WHERE NOT kept)
+       |ORDER BY s.doc_id""".stripMargin
+  }
+
   /** INCREMENTAL novelty — the serving form of [[noveltyScoreOn]] for an
     * ingest pipeline: each batch doc scored against the FROZEN corpus
     * gram set, order-free (batch-internal first occurrences do NOT count
@@ -1435,7 +1487,7 @@ object DedupOps {
     QueryDef("doc_jaccard_pairs", jaccardPairs, Some(jaccardOracle), headline = true),
     QueryDef("doc_containment_pairs", containmentPairs, Some(containmentOracle)),
     QueryDef("doc_keep_containers", keepContainers, Some(keepContainersOracle)),
-    QueryDef("doc_keep_containers_fix", keepContainersFix, None),
+    QueryDef("doc_keep_containers_fix", keepContainersFix, Some(keepContainersFixOracle)),
     QueryDef("doc_minhash_lsh", minHashLsh, None, headline = true),
     QueryDef("doc_simhash", simHashPairs, None),
     QueryDef("doc_dup_clusters", dupClusters, Some(dupClustersOracle)),

@@ -111,6 +111,43 @@ object GraphOps {
     } finally e.unpersist()
   }
 
+  /** One unrolled power-iteration step: contributions by target, then the
+    * teleport base + in-mass. `SUM` over BIGINT widens to HUGEINT in
+    * DuckDB, so each round casts back — every value is exact int64 by the
+    * same floor-division argument as the Spark side.
+    */
+  private def prRound(i: Int): String = {
+    val prev = s"r${i - 1}"
+    s"""c$i AS (SELECT e.v AS id, SUM((p.r * 85) // (e.deg * 100)) AS m
+       |        FROM dege e JOIN $prev p ON p.id = e.u GROUP BY e.v),
+       |r$i AS (SELECT n.id, CAST(${Q * 15L / 100L} + COALESCE(c.m, 0) AS BIGINT) AS r
+       |        FROM nodes n LEFT JOIN c$i c USING (id))""".stripMargin
+  }
+
+  /** The integer power iteration IS SQL-expressible once the fixed
+    * iteration count is unrolled: 10 chained CTE rounds of the exact
+    * same int64 arithmetic ((r*85) // (deg*100), teleport base 0.15·Q),
+    * plus the recursive-CTE cluster labels the dup_clusters oracle
+    * already uses. Bit-equality holds because every op is integer.
+    */
+  val dupRankOracle: String =
+    s"""WITH RECURSIVE ${DedupOps.sqlCappedPairs},
+       |prs AS (SELECT d1, d2 FROM jp),
+       |edges AS (SELECT d1 AS u, d2 AS v FROM prs UNION SELECT d2, d1 FROM prs),
+       |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY u),
+       |dege AS (SELECT e.u, e.v, d.deg FROM edges e JOIN deg d USING (u)),
+       |nodes AS (SELECT DISTINCT u AS id FROM edges),
+       |r0 AS (SELECT id, CAST($Q AS BIGINT) AS r FROM nodes),
+       |${(1 to 10).map(prRound).mkString(",\n")},
+       |reach AS (
+       |  SELECT id, id AS rt FROM nodes
+       |  UNION
+       |  SELECT e.u AS id, r.rt FROM edges e JOIN reach r ON r.id = e.v),
+       |clusters AS (SELECT id AS doc_id, MIN(rt) AS cluster_id FROM reach GROUP BY id)
+       |SELECT cl.cluster_id, cl.doc_id, rk.r AS rank_q
+       |FROM r10 rk JOIN clusters cl ON cl.doc_id = rk.id
+       |ORDER BY cluster_id ASC, rank_q DESC, doc_id ASC""".stripMargin
+
   val dupTrianglesOracle: String =
     s"""WITH ${DedupOps.sqlCappedPairs},
        |e AS (SELECT d1, d2 FROM jp),
@@ -122,7 +159,7 @@ object GraphOps {
        |SELECT a, b, c FROM tri ORDER BY a, b, c""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("doc_dup_rank", dupRank, None),
+    QueryDef("doc_dup_rank", dupRank, Some(dupRankOracle)),
     QueryDef("doc_dup_triangles", dupTriangles, Some(dupTrianglesOracle))
   )
 }

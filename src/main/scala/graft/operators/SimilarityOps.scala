@@ -1554,16 +1554,23 @@ object SimilarityOps {
         Seq(s"p_ax_$j", s"p_c_$j")): _*)
   }
 
-  /** Map-side PCA projection: the fitted axes ride as array literals,
-    * centering + each coordinate is one zip_with/aggregate fold — one
-    * corpus scan, zero shuffle before the output sort, streaming-safe
-    * (stateless). Output: top-4 coordinates per vector. rows-only gated
-    * (an eigenproblem is not SQL-expressible); determinism + variance
-    * ordering + orthonormality are unit-tested.
+  /** Map-side PCA projection: the axes ride as array literals, centering +
+    * each coordinate is one zip_with/aggregate fold — one corpus scan,
+    * zero shuffle before the output sort, streaming-safe (stateless).
+    * Output: top-4 coordinates per vector.
+    *
+    * The projection is the FROZEN reference fit ([[graft.model.PcaRef]] —
+    * fitted once on the sf0.001 fixture by [[pcaFit]], shipped as
+    * literals, regenerated by `tools/PcaFreeze`, pinned to a fresh fit
+    * replay by spec). Freezing is what makes this query hash-exact
+    * gateable: the eigenproblem is not SQL-expressible, but the apply
+    * pass over fixed literals is — both engines run the identical
+    * centering + left-fold dot product (the BPE-artifact ship-the-model
+    * shape; live fits compose through [[pcaApplyOn]]).
     */
   def pcaProject(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.t(s, dir, "embeddings")
-    val (mean, comps, _) = pcaFit(s, emb, 4)
+    val (mean, comps) = (graft.model.PcaRef.Mean, graft.model.PcaRef.Axes)
     val base = Tables.spread(emb)
       .withColumn("mu", typedLit(mean.toSeq))
       .withColumn("centered", expr(
@@ -1577,6 +1584,37 @@ object SimilarityOps {
     withCoords.select(Seq(col("vec_id"), col("label")) ++
       comps.indices.map(j => col(s"p${j + 1}")): _*)
       .orderBy("vec_id")
+  }
+
+  /** DuckDB replay of [[pcaProject]]: the same frozen literals, the same
+    * IEEE sequence — (CAST(x AS DOUBLE) - mu[i]) * ax[i] per element, then
+    * a left fold seeded with 0.0 (list_prepend pins the Spark `aggregate`
+    * init, the lm_score fold discipline).
+    */
+  val pcaProjectOracle: String = {
+    val d = graft.model.PcaRef.Mean.length
+    // E-notation is load-bearing: DuckDB parses a PLAIN decimal literal as
+    // DECIMAL and then double-rounds on the cast to DOUBLE (measured
+    // off-by-1-ulp on 5 of 64 axis entries); an exponent literal goes
+    // through strtod — correctly rounded, bit-identical to the Scala side
+    def dbl(x: Double): String = {
+      val s = x.toString
+      if (s.contains('E') || s.contains('e')) s else s + "E0"
+    }
+    def lst(a: Array[Double]) = a.map(dbl).mkString("CAST([", ", ", s"] AS DOUBLE[$d])")
+    val coords = graft.model.PcaRef.Axes.zipWithIndex.map { case (ax, j) =>
+      s"""  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list_transform(generate_series(1, $d),
+         |      i -> (CAST(e.embedding[i] AS DOUBLE) - r.mu[i]) * r.ax${j + 1}[i])),
+         |    (a, b) -> a + b) AS p${j + 1}""".stripMargin
+    }.mkString(",\n")
+    s"""WITH refc AS (SELECT ${lst(graft.model.PcaRef.Mean)} AS mu,
+       |${graft.model.PcaRef.Axes.zipWithIndex
+        .map { case (ax, j) => s"  ${lst(ax)} AS ax${j + 1}" }.mkString(",\n")})
+       |SELECT e.vec_id, e.label,
+       |$coords
+       |FROM embeddings e, refc r
+       |ORDER BY e.vec_id""".stripMargin
   }
 
   /** Matryoshka-style head truncation (Kusupati et al. 2022 re-derived):
@@ -1993,7 +2031,7 @@ object SimilarityOps {
     QueryDef("emb_matryoshka", matryoshka, Some(matryoshkaOracle)),
     QueryDef("emb_whiten_stats", whitenStats, Some(whitenStatsOracle)),
     QueryDef("emb_whiten_dups", whitenDups, Some(whitenDupsOracle)),
-    QueryDef("emb_pca_project", pcaProject, None),
+    QueryDef("emb_pca_project", pcaProject, Some(pcaProjectOracle)),
     QueryDef("emb_semdedup", semDeDup, None)
   )
 }

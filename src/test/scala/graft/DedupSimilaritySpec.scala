@@ -753,6 +753,19 @@ class DedupSimilaritySpec extends SparkSpecBase {
       comps.zip(comps2).forall { case (a, b) => a.sameElements(b) })
   }
 
+  test("frozen PcaRef literals replay the deterministic fit bit-for-bit") {
+    // the gate projects through graft.model.PcaRef (frozen so the apply
+    // pass is DuckDB-expressible); this pin is what stops the shipped
+    // constants from rotting away from pcaFit's actual output
+    val emb = Tables.t(spark, sf0001, "embeddings")
+    val (mean, comps, _) = SimilarityOps.pcaFit(spark, emb, 4)
+    assert(graft.model.PcaRef.Mean.sameElements(mean),
+      "PcaRef.Mean diverged from a fresh fit — rerun tools/PcaFreeze")
+    assert(graft.model.PcaRef.Axes.length == comps.length &&
+      graft.model.PcaRef.Axes.zip(comps).forall { case (a, b) => a.sameElements(b) },
+      "PcaRef.Axes diverged from a fresh fit — rerun tools/PcaFreeze")
+  }
+
   test("pca projection: per-coordinate variance follows the eigenvalue order") {
     val out = SimilarityOps.pcaProject(spark, sf0001).collect()
     def variance(vals: Array[Double]): Double = {

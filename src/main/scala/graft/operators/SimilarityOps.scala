@@ -224,10 +224,19 @@ object SimilarityOps {
     * `cell=` partitions, the re-rank is a bucketed point lookup). A user
     * serving more than one query session should hold that pair, not this.
     */
-  def knnIvf(s: SparkSession, dir: String): DataFrame = {
+  def knnIvf(s: SparkSession, dir: String): DataFrame =
+    knnIvfOn(Tables.spread(Tables.t(s, dir, "embeddings")))
+
+  /** The IVF core over any (vec_id, embedding) frame — factored so the
+    * planted-cluster recall spec can drive it on a corpus with real
+    * cluster structure (the sf fixtures are uniform random, where a
+    * high recall bar is unenforceable).
+    */
+  def knnIvfOn(corpus: DataFrame): DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector
+    val s = corpus.sparkSession
     val nprobe = 4
-    val e = Tables.spread(Tables.t(s, dir, "embeddings"))
+    val e = corpus
       .withColumn("features", array_to_vector(col("embedding")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val model = coarseQuantizer(e)

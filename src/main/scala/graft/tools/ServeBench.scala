@@ -125,9 +125,28 @@ object ServeBench {
       }
       def obj(m: String => Double): String =
         families.map(f => s""""${f.name}":${m(f.name)}""").mkString("{", ",", "}")
+      // recall@10 of each ANN family's SERVED answer vs the exact brute
+      // top-10 — the quality column next to the latency columns (a probe
+      // that silently lost neighbors would show fast AND wrong; r10's
+      // audit flagged that nothing in the record would catch it). The sf
+      // fixtures are uniform random, so these are measured degradation
+      // numbers, not a bar — the >=0.9 bar lives on planted clusters in
+      // DedupSimilaritySpec.
+      val brute = SimilarityOps.knnBrute(s, sfDir).select("q_id", "n_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      def recallOf(name: String): Double = {
+        val got = families.find(_.name == name).get.serve()
+          .select("q_id", "n_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val r = brute.count(got.contains).toDouble / brute.size
+        math.round(r * 1000) / 1000.0
+      }
+      val recalls = Seq("pq", "ivfpq", "mrl")
+        .map(n => s""""$n":${recallOf(n)}""").mkString("{", ",", "}")
       s"""{"build":${obj(builds)},""" +
         s""""direct":${obj(n => samples((n, "direct")).min)},""" +
-        s""""serve":${obj(n => samples((n, "serve")).min)}}"""
+        s""""serve":${obj(n => samples((n, "serve")).min)},""" +
+        s""""recall":$recalls}"""
     } finally {
       // bucketed serving tables registered in the catalog must not outlive
       // their files

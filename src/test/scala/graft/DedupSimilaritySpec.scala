@@ -333,6 +333,49 @@ class DedupSimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("planted clusters: IVF / IVFPQ / MRL recall@10 >= 0.9") {
+    import spark.implicits._
+    // The sf fixtures are uniform random vectors — no cluster structure,
+    // so a high recall bar is unenforceable there (the old >=0.3 floor
+    // could not catch a broken probe). Plant 32 well-separated clusters
+    // of 40 members; interleaved ids put the 10 queries in 10 DIFFERENT
+    // clusters, so each query's true top-10 is its own cluster's core and
+    // a probe that loses its cell fails loudly.
+    val rng = new scala.util.Random(7)
+    val centers = Array.fill(32)(Array.fill(64)(rng.nextGaussian()))
+    // the /10 scale keeps ||x||2 ~ 0.8, inside QuantizedCosine's <= 3.0
+    // domain; cosine (and therefore recall truth) is scale-invariant
+    val rows = for (m <- 0 until 40; c <- 0 until 32) yield {
+      val id = (m * 32 + c).toLong
+      val v = centers(c).map(x => ((x + rng.nextGaussian() * 0.15) / 10.0).toFloat).toSeq
+      (id, c, v)
+    }
+    val corpus = rows.toDF("vec_id", "label", "embedding")
+      .repartition(8).localCheckpoint(true)
+    // independent exact truth: driver-side double cosine (1280 x 64)
+    val all = rows.map { case (id, _, v) => id -> v.map(_.toDouble).toArray }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val truth: Set[(Long, Long)] = (0L until 10L).flatMap { q =>
+      all.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(all(q), v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(10).map(p => (q, p._1))
+    }.toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("q_id", "n_id").as[(Long, Long)].collect().toSet
+      truth.count(got.contains).toDouble / truth.size
+    }
+    val ivf = recallOf(SimilarityOps.knnIvfOn(corpus))
+    assert(ivf >= 0.9, s"IVF recall@10 on planted clusters: $ivf")
+    val ivfpq = recallOf(SimilarityOps.knnIvfPqOn(corpus))
+    assert(ivfpq >= 0.9, s"IVFPQ recall@10 on planted clusters: $ivfpq")
+    val mrl = recallOf(SimilarityOps.knnMrlOn(corpus))
+    assert(mrl >= 0.9, s"MRL recall@10 on planted clusters: $mrl")
+  }
+
   test("IVF ANN recalls most brute-force top-10 neighbors (sf0.001)") {
     val brute = SimilarityOps.knnBrute(spark, sf0001)
       .select("q_id", "n_id").as[(Long, Long)].collect().toSet

@@ -305,10 +305,19 @@ object AnalyticsNested {
     * Date equality compares stored timestamps (no arithmetic), so every
     * predicate is engine-exact.
     */
-  def q21WaitingSupplier(s: SparkSession, dir: String): DataFrame = {
-    val l = Tables.t(s, dir, "lineitem")
-      .select("l_orderkey", "l_suppkey", "l_shipdate")
-    val fOrders = Tables.t(s, dir, "orders")
+  def q21WaitingSupplier(s: SparkSession, dir: String): DataFrame =
+    q21On(Tables.t(s, dir, "lineitem"), Tables.t(s, dir, "orders"),
+      Tables.t(s, dir, "supplier"), Tables.t(s, dir, "nation"))
+
+  /** The q21 core over explicit frames — factored so the Stress harness
+    * can drive the three-pass lineitem chain on a replicated fact table
+    * (isomorphic order spaces over a FIXED supplier set make numwait
+    * exactly linear in copies).
+    */
+  def q21On(lineitem: DataFrame, orders: DataFrame,
+      supplier: DataFrame, nation: DataFrame): DataFrame = {
+    val l = lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+    val fOrders = orders
       .filter(col("o_orderstatus") === "F").select("o_orderkey")
     // per-order max over ALL lineitems of F orders (the correlated MAX
     // ranges over the whole order, not just the nation's rows)
@@ -316,9 +325,8 @@ object AnalyticsNested {
     val withMax = l.join(fOrders, col("l_orderkey") === col("o_orderkey"),
         "left_semi")
       .withColumn("max_ship", max(col("l_shipdate")).over(w))
-    val natSupp = Tables.t(s, dir, "supplier")
-      .join(broadcast(Tables.t(s, dir, "nation")
-        .filter(col("n_name") === "NATION_5")),
+    val natSupp = supplier
+      .join(broadcast(nation.filter(col("n_name") === "NATION_5")),
         col("s_nationkey") === col("n_nationkey"))
     val cand = withMax.filter(col("l_shipdate") === col("max_ship"))
       .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))

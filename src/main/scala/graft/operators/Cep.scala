@@ -21,8 +21,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * to the gaps-and-islands fold + a run_end+1 join; the streaming twin
   * keeps a ring buffer of at most `max` run timestamps per key.
   *
-  * '''`followedBy` — relaxed contiguity''' (the literal replay of the
-  * reference's own pattern): non-greedy `times(min,max)` + relaxed
+  * '''`followedBy` — relaxed contiguity''' (the replay of the
+  * reference's own pattern CONFIGURATION, under the two documented
+  * assumptions below): non-greedy `times(min,max)` + relaxed
   * `followedBy` under `AfterMatchSkipStrategy.skipPastLastEvent()`.
   * Semantics, per key in (ts, id) order:
   *  - events that satisfy NEITHER predicate are transparent — they do
@@ -40,15 +41,23 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *    differ exactly as Flink does from the bounded form: first-`min`
   *    vs last-`max` truncation, different run_start/run_count;
   *  - skip-past-last: one match per island.
-  *  Known divergence from a byte-level Flink NFA replay, documented
-  *  rather than hidden: a `followedBy`-event that completes NO branch
-  *  (its island has fewer than `min` run events in `within`) still ends
-  *  the island here, while Flink's relaxed loop would carry those
-  *  partial repetitions across it. On the workshop's own traffic
-  *  (fragments arrive in >= min bursts between normal packets) the two
-  *  agree; the carry-over case requires a sub-min fragment dribble
-  *  split by a normal event. An event satisfying BOTH predicates acts
-  *  as the `followedBy` terminator (next-precedence).
+  *  TWO known assumptions vs a byte-level Flink NFA replay, documented
+  *  rather than hidden (neither has been validated against a live Flink
+  *  run — no Flink runtime exists in this environment):
+  *  1. sub-min carry-over: a `followedBy`-event that completes NO branch
+  *     (its island has fewer than `min` run events in `within`) still
+  *     ends the island here, while Flink's relaxed loop would carry
+  *     those partial repetitions across it;
+  *  2. match selection: "earliest-viable start, first-`min` events, one
+  *     match per island" is an INFERENCE from non-greedy times +
+  *     skipPastLastEvent, not a replayed trace — Flink's own skip-
+  *     strategy doc examples for looping patterns retain the maximal
+  *     match in some configurations, so run_count/run_end could differ
+  *     on runs longer than `min` even where assumption 1 never fires.
+  *  On the workshop's own traffic (fragments arrive in >= min bursts
+  *  between normal packets) both assumptions are inert and the two
+  *  engines agree. An event satisfying BOTH predicates acts as the
+  *  `followedBy` terminator (next-precedence).
   *
   * Both modes compile batch-side to windows + one join (Catalyst sees
   * ordinary operators; one exchange on the key, reused by the stacked

@@ -283,11 +283,31 @@ object Deletes {
       // retire them (metadata renames) instead of deleting, then commit
       // the rewritten file set as the next version — the composition
       // that lets a reader pinned at v(n) survive this rewrite
-      val replaced = candB.toSeq.map(b => new Path(old, b))
-        .filter(fs.exists(_))
-      Snapshots.retire(spark, path, replaced)
-      fs.delete(old, true) // old manifest (+ retired sidecar on purge)
-      Snapshots.commit(spark, path)
+      try {
+        val replaced = candB.toSeq.map(b => new Path(old, b))
+          .filter(fs.exists(_))
+        Snapshots.retire(spark, path, replaced)
+        fs.delete(old, true) // old manifest (+ retired sidecar on purge)
+        Snapshots.commit(spark, path)
+      } catch {
+        case e: Exception =>
+          // the swap already succeeded: without salvage a retire/commit
+          // failure strands the replaced candidates under path+".old"
+          // where no reader resolves them, breaking every committed
+          // version that lists one. Move whatever is still there into
+          // the retired area (retire is per-file; already-moved files
+          // are filtered out) so prior versions STAY readable, then
+          // surface the original failure
+          candB.toSeq.map(b => new Path(old, b)).filter(fs.exists(_))
+            .foreach { p =>
+              try Snapshots.retire(spark, path, Seq(p))
+              catch { case _: Exception => () }
+            }
+          throw new java.io.IOException(
+            s"rewrite of $path: swap committed but retire/commit failed; " +
+              s"replaced files salvaged into ${Snapshots.RetiredDir} where " +
+              "possible, version NOT advanced — re-run the maintenance", e)
+      }
     } else
       fs.delete(old, true) // old candidates + old manifest (+ retired sidecar)
     (beforeCount, afterCount)

@@ -323,12 +323,27 @@ object Layout {
       val newRetired = new org.apache.hadoop.fs.Path(path, Snapshots.RetiredDir)
       if (fs.exists(oldRetired) && !fs.rename(oldRetired, newRetired))
         throw new java.io.IOException(s"compact: cannot carry ${Snapshots.RetiredDir}")
-      val replaced = fs.listStatus(old).toSeq.filter(st => st.isFile &&
+      def replacedLeft() = fs.listStatus(old).toSeq.filter(st => st.isFile &&
         !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
         .map(_.getPath)
-      Snapshots.retire(spark, path, replaced)
-      fs.delete(old, true)
-      Snapshots.commit(spark, path)
+      try {
+        Snapshots.retire(spark, path, replacedLeft())
+        fs.delete(old, true)
+        Snapshots.commit(spark, path)
+      } catch {
+        case e: Exception =>
+          // same salvage as Deletes.rewriteTargeted: the swap already
+          // happened, so strand-free recovery means moving whatever is
+          // still under old/ into the retired area before surfacing
+          replacedLeft().foreach { p =>
+            try Snapshots.retire(spark, path, Seq(p))
+            catch { case _: Exception => () }
+          }
+          throw new java.io.IOException(
+            s"compact of $path: swap committed but retire/commit failed; " +
+              s"replaced files salvaged into ${Snapshots.RetiredDir} where " +
+              "possible, version NOT advanced — re-run the compaction", e)
+      }
     } else fs.delete(old, true)
   }
 

@@ -83,9 +83,16 @@ object Snapshots {
     * out where the spec can drive both racers onto one number.
     */
   private[graft] def commitAt(s: SparkSession, path: String, next: Long): Long = {
-    val files = s.read.parquet(path).inputFiles.toSeq
-      .map(graft.plans.ManifestStore.baseName).sorted
     val f = fs(s, path)
+    // each entry records the file LENGTH beside the basename: resolution
+    // verifies it, so a later live file that happens to reuse a listed
+    // basename (possible for non-UUID writers) can never be silently
+    // served in the original's place
+    val files = s.read.parquet(path).inputFiles.toSeq
+      .map { u =>
+        val p = new Path(u)
+        s"${graft.plans.ManifestStore.baseName(u)}\t${f.getFileStatus(p).getLen}"
+      }.sorted
     val dir = new Path(s"$path/$VersionsDir")
     f.mkdirs(dir)
     val tmp = new Path(dir, s".v$next.tmp")
@@ -102,7 +109,11 @@ object Snapshots {
     next
   }
 
-  private def fileList(s: SparkSession, path: String, v: Long): Seq[String] = {
+  /** Parsed version entries: (basename, recorded length). Length is None
+    * for version files written before lengths were recorded — resolution
+    * then falls back to location preference alone.
+    */
+  private def fileEntries(s: SparkSession, path: String, v: Long): Seq[(String, Option[Long])] = {
     val f = fs(s, path)
     val p = new Path(s"$path/$VersionsDir/v$v")
     if (!f.exists(p)) throw new IllegalArgumentException(
@@ -110,8 +121,16 @@ object Snapshots {
     val in = f.open(p)
     val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
     finally in.close()
-    new String(bytes, "UTF-8").split("\n").toSeq.filter(_.nonEmpty)
+    new String(bytes, "UTF-8").split("\n").toSeq.filter(_.nonEmpty).map { ln =>
+      ln.split('\t') match {
+        case Array(n, l) if l.nonEmpty && l.forall(_.isDigit) => (n, Some(l.toLong))
+        case _ => (ln, None)
+      }
+    }
   }
+
+  private def fileList(s: SparkSession, path: String, v: Long): Seq[String] =
+    fileEntries(s, path, v).map(_._1)
 
   /** Move replaced data files into the retired area (metadata renames,
     * no IO) so committed versions that list them stay readable. Called
@@ -137,20 +156,47 @@ object Snapshots {
     * (a silent fallback to "current" would be a correctness bug).
     */
   def readVersion(s: SparkSession, path: String, v: Long): DataFrame = {
-    val names = fileList(s, path, v)
-    if (names.isEmpty) return s.read.parquet(path).limit(0)
+    val entries = fileEntries(s, path, v)
+    if (entries.isEmpty) return s.read.parquet(path).limit(0)
     val f = fs(s, path)
-    def namesIn(dir: Path): Set[String] =
-      if (!f.exists(dir)) Set.empty
-      else f.listStatus(dir).filter(_.isFile).map(_.getPath.getName).toSet
-    val live = namesIn(new Path(path))
-    val retired = namesIn(new Path(s"$path/$RetiredDir"))
-    val resolved = names.map { n =>
-      if (live(n)) s"$path/$n"
-      else if (retired(n)) s"$path/$RetiredDir/$n"
-      else throw new IllegalStateException(
-        s"version $v of $path lists $n but the file is gone — vacuumed " +
-          "outside expire, or a non-snapshot-aware rewrite deleted it")
+    def lensIn(dir: Path): Map[String, Long] =
+      if (!f.exists(dir)) Map.empty
+      else f.listStatus(dir).filter(_.isFile)
+        .map(st => st.getPath.getName -> st.getLen).toMap
+    val live = lensIn(new Path(path))
+    val retired = lensIn(new Path(s"$path/$RetiredDir"))
+    def gone(n: String) = throw new IllegalStateException(
+      s"version $v of $path lists $n but the file is gone — vacuumed " +
+        "outside expire, or a non-snapshot-aware rewrite deleted it")
+    def replaced(n: String, want: Long, have: Long) =
+      throw new IllegalStateException(
+        s"version $v of $path lists $n at $want bytes but the surviving " +
+          s"copy is $have bytes — the original was replaced by a " +
+          "non-snapshot-aware rewrite; refusing a silently wrong read")
+    val resolved = entries.map { case (n, lenOpt) =>
+      val livePath = s"$path/$n"
+      val retPath = s"$path/$RetiredDir/$n"
+      (live.get(n), retired.get(n), lenOpt) match {
+        case (None, None, _) => gone(n)
+        // single location + recorded length: verify, never serve a
+        // same-name impostor
+        case (Some(ll), None, Some(len)) =>
+          if (ll == len) livePath else replaced(n, len, ll)
+        case (None, Some(rl), Some(len)) =>
+          if (rl == len) retPath else replaced(n, len, rl)
+        // BOTH locations hold the name (a later write reused a retired
+        // basename): the recorded length picks the right incarnation
+        case (Some(ll), Some(rl), Some(len)) =>
+          if (rl == len) retPath // retire() keeps originals: prefer it on a tie
+          else if (ll == len) livePath
+          else replaced(n, len, rl)
+        // legacy entries (no recorded length): retired names are always
+        // the originals of the versions that listed them live, so on a
+        // collision the retired copy is the safe pick
+        case (Some(_), Some(_), None) => retPath
+        case (Some(_), None, None) => livePath
+        case (None, Some(_), None) => retPath
+      }
     }
     s.read.parquet(resolved: _*)
   }
@@ -202,18 +248,21 @@ object Snapshots {
     val (drop, keep) = all.partition { case (v, _) =>
       !keepNewest(v) && !pinned(v)
     }
-    if (drop.isEmpty) return
     val keptFiles = keep.map(_._1).flatMap(fileList(s, path, _)).toSet
-    val droppedOnly = drop.map(_._1).flatMap(fileList(s, path, _)).toSet -- keptFiles
     val retiredDir = new Path(s"$path/$RetiredDir")
-    droppedOnly.foreach { n =>
-      val live = new Path(s"$path/$n")
-      if (f.exists(live)) f.delete(live, false)
-      else f.delete(new Path(retiredDir, n), false)
+    if (drop.nonEmpty) {
+      val droppedOnly = drop.map(_._1).flatMap(fileList(s, path, _)).toSet -- keptFiles
+      droppedOnly.foreach { n =>
+        val live = new Path(s"$path/$n")
+        if (f.exists(live)) f.delete(live, false)
+        else f.delete(new Path(retiredDir, n), false)
+      }
     }
     // a retired file referenced by NO remaining version is unreachable
-    // debris (e.g. retired under a version that was itself expired
-    // first) — reclaim it too
+    // debris (e.g. retired under a version that was itself expired first,
+    // or stranded by a maintenance failure) — reclaim it even when this
+    // expire dropped nothing (drop.isEmpty used to return early and leave
+    // orphans collectible only by a version-dropping expire)
     if (f.exists(retiredDir))
       f.listStatus(retiredDir).filter(_.isFile)
         .map(_.getPath).filterNot(p => keptFiles(p.getName))

@@ -268,6 +268,40 @@ object Stress {
     }.reduce(_ unionByName _)
     time(s"events x$copies count")(evN.count())
     time(s"cep x$copies")(EventOps.cepAttackOn(evN).count())
+
+    // N-step funnel (r10 DSL) at xN: copies live in DISJOINT user spaces,
+    // so each copy's funnel is isomorphic to copy 0's — every stage count
+    // must be EXACTLY linear in copies and every conversion ratio
+    // IDENTICAL (hard require, the winnow discipline). Each stage's
+    // exchange carries only its own step's events; superlinearity here
+    // means a stage started carrying the whole table.
+    {
+      val winUs = 86400000000L
+      val funnel = graft.operators.Funnel(Seq(
+        graft.operators.Funnel.Step("signup", col("event_type") === "signup"),
+        graft.operators.Funnel.Step("view", col("event_type") === "view", winUs),
+        graft.operators.Funnel.Step("click", col("event_type") === "click", winUs),
+        graft.operators.Funnel.Step("purchase", col("event_type") === "purchase", winUs)))
+      var r1: org.apache.spark.sql.Row = null
+      time("funnel-4step x1") {
+        r1 = funnel.counts(ev).first()
+        s"n=${(0 until 4).map(r1.getLong).mkString("/")}"
+      }
+      spark.catalog.clearCache()
+      time(s"funnel-4step x$copies") {
+        val rN = funnel.counts(evN).first()
+        (0 until 4).foreach { i =>
+          require(rN.getLong(i) == copies * r1.getLong(i),
+            s"funnel stage $i not linear: x1=${r1.getLong(i)}, x$copies=${rN.getLong(i)}")
+        }
+        (4 until rN.length).foreach { i =>
+          require(rN.getDouble(i) == r1.getDouble(i),
+            s"funnel conversion col $i drifted: x1=${r1.getDouble(i)}, x$copies=${rN.getDouble(i)}")
+        }
+        s"n=${(0 until 4).map(rN.getLong).mkString("/")}"
+      }
+      spark.catalog.clearCache()
+    }
     // hot-key skew: half of ALL events redirected to one target — the
     // worst case for the per-key window/sort CEP (one partition carries
     // half the volume; the pass is linear, so the curve shows the
@@ -429,6 +463,45 @@ object Stress {
       spark.catalog.clearCache()
       time(s"incr-cosine from-index x$copies")(
         SimilarityOps.incrementalCosineFromIndex(spark, batchE, cosIdx).count())
+    }
+
+    // q21's three-pass lineitem chain (r10 unblock) at xN: orders and
+    // lineitem replicate with offset orderkeys over the FIXED supplier
+    // set, so every copy is an isomorphic order space and each supplier's
+    // numwait must be EXACTLY linear in copies (hard require). The chain
+    // is window + semi + anti all keyed on l_orderkey — superlinearity
+    // would mean one of the passes degraded off the order-key shuffle.
+    if (!eventsOnly) {
+      import graft.operators.AnalyticsNested
+      val li = Tables.t(spark, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+      val ord = Tables.t(spark, dir, "orders")
+        .select("o_orderkey", "o_orderstatus")
+      val supp = Tables.t(spark, dir, "supplier")
+      val nat = Tables.t(spark, dir, "nation")
+      def liOf(n: Int) = (0 until n).map { i =>
+        li.select((col("l_orderkey") + lit(i * 100000000L)).as("l_orderkey"),
+          col("l_suppkey"), col("l_shipdate"))
+      }.reduce(_ unionByName _)
+      def ordOf(n: Int) = (0 until n).map { i =>
+        ord.select((col("o_orderkey") + lit(i * 100000000L)).as("o_orderkey"),
+          col("o_orderstatus"))
+      }.reduce(_ unionByName _)
+      var wait1 = Map.empty[String, Long]
+      time("q21-chain x1") {
+        wait1 = AnalyticsNested.q21On(liOf(1), ordOf(1), supp, nat)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+        s"suppliers=${wait1.size} numwait=${wait1.values.sum}"
+      }
+      spark.catalog.clearCache()
+      time(s"q21-chain x$copies") {
+        val waitN = AnalyticsNested.q21On(liOf(copies), ordOf(copies), supp, nat)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+        require(waitN == wait1.map { case (k, v) => (k, v * copies) },
+          s"q21 numwait not a $copies-fold replica of x1")
+        s"suppliers=${waitN.size} numwait=${waitN.values.sum}"
+      }
+      spark.catalog.clearCache()
     }
 
     // targeted purge: the same drop-list against an id-CLUSTERED layout

@@ -145,4 +145,90 @@ class SnapshotSpec extends SparkSpecBase {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_graft_versions")),
       "no-snapshot maintenance must not fabricate a commit log")
   }
+
+  test("basename collision: recorded lengths pick the right incarnation for every version") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val path = java.nio.file.Files.createTempDirectory("graft-snap4").toString + "/t"
+    (0L until 40L).map(i => (i, s"orig$i")).toDF("id", "p")
+      .coalesce(1).write.parquet(path)
+    Snapshots.commit(spark, path) // v1 lists the original file + length
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    val orig = fs.listStatus(new Path(path)).filter(_.isFile)
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    // a maintenance pass retires the original...
+    Snapshots.retire(spark, path, Seq(orig))
+    // ...and a NON-UUID writer later produces a live file with the SAME
+    // basename but different content (more rows -> different length)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-snap4b").toString + "/w"
+    (0L until 90L).map(i => (i, s"new$i")).toDF("id", "p")
+      .coalesce(1).write.parquet(tmp)
+    val fresh = fs.listStatus(new Path(tmp)).filter(_.isFile)
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    assert(fs.rename(fresh, new Path(path, orig.getName)))
+    val v2 = Snapshots.commit(spark, path) // v2 lists the impostor's length
+    // v1 resolves the RETIRED original, never the same-name live file
+    val got1 = Snapshots.readVersion(spark, path, 1)
+    assert(got1.count() == 40L &&
+      got1.filter(col("p").startsWith("orig")).count() == 40L,
+      "v1 must serve the retired original, not the same-basename live file")
+    // v2 resolves the live incarnation
+    val got2 = Snapshots.readVersion(spark, path, v2)
+    assert(got2.count() == 90L &&
+      got2.filter(col("p").startsWith("new")).count() == 90L)
+  }
+
+  test("vacuum racing an in-flight version read: loud failure or the right rows, never silent corruption") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val path = java.nio.file.Files.createTempDirectory("graft-snap5").toString + "/t"
+    (0L until 60L).map(i => (i, s"r$i")).toDF("id", "p")
+      .repartition(2).write.parquet(path)
+    Snapshots.commit(spark, path)
+    val before = Snapshots.readVersion(spark, path, 1)
+      .orderBy("id").collect().toSeq
+    // an in-flight reader RESOLVES v1 to concrete live paths...
+    val inflight = Snapshots.readVersion(spark, path, 1)
+    // ...then maintenance retires one of those files mid-read (the
+    // metadata rename a concurrent purge/compact performs)
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    val victim = fs.listStatus(new Path(path)).filter(_.isFile)
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    Snapshots.retire(spark, path, Seq(victim))
+    // the race contract: the stale resolution either still returns the
+    // exact rows (a cached/committed scan) or fails LOUDLY — what it can
+    // never do is return silently wrong data
+    val raced = try Some(inflight.orderBy("id").collect().toSeq)
+    catch { case _: Exception => None }
+    raced.foreach(rows => assert(rows == before,
+      "stale resolution returned different rows than the committed version"))
+    // a re-resolved read after the race is bit-identical (retired-area
+    // resolution) — no lost reads once the reader re-enters readVersion
+    val after = Snapshots.readVersion(spark, path, 1)
+      .orderBy("id").collect().toSeq
+    assert(after == before, "re-resolved pinned read lost rows across the vacuum race")
+  }
+
+  test("no-op expire reclaims orphaned retired debris") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val path = java.nio.file.Files.createTempDirectory("graft-snap6").toString + "/t"
+    (0L until 20L).map(i => (i, s"r$i")).toDF("id", "p")
+      .coalesce(1).write.parquet(path)
+    Snapshots.commit(spark, path)
+    // debris: a retired file no version references (stranded by an
+    // earlier partial failure)
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    val retired = new Path(s"$path/_graft_retired")
+    fs.mkdirs(retired)
+    val debris = new Path(retired, "part-orphan-deadbeef.snappy.parquet")
+    fs.create(debris, true).close()
+    // keepLast far above the version count: this expire drops NOTHING —
+    // it must still sweep the unreferenced debris (the old early return
+    // left it collectible only by a version-dropping expire)
+    Snapshots.expire(spark, path, keepLast = 10)
+    assert(!fs.exists(debris), "no-op expire must reclaim unreferenced retired files")
+    assert(Snapshots.readVersion(spark, path, 1).count() == 20L,
+      "the sweep must not touch referenced files")
+  }
 }

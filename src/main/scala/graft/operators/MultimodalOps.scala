@@ -160,9 +160,73 @@ object MultimodalOps {
       |FROM fk a JOIN fk b ON a.frame = b.frame AND a.doc_id < b.doc_id
       |GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY d1, d2""".stripMargin
 
+  /** DuckDB replay of [[binaryFeatures]] (hash-exact since r11): the
+    * decode stub is byte-level integer arithmetic, so the oracle rebuilds
+    * the byte array from hex(encode(text)) and replays the identical
+    * (c·31 + b) mod 2³² fold — every op exact int64, independent of the
+    * Spark mapPartitions path it checks.
+    */
+  val binaryFeaturesOracle: String =
+    """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+      |                  octet_length(encode(text)) AS n FROM documents),
+      |y AS (SELECT doc_id, n, list_transform(generate_series(1, n), i ->
+      |        CAST((strpos('0123456789ABCDEF', substr(hx, 2*i - 1, 1)) - 1) * 16
+      |           + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1) AS BIGINT)) AS bytes
+      |      FROM b)
+      |SELECT doc_id,
+      |  CAST(n AS INTEGER) AS n_bytes,
+      |  CAST(CASE WHEN n > 0 THEN bytes[1] ELSE -1 END AS INTEGER) AS head_byte,
+      |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), bytes),
+      |       (a, x) -> (a * 31 + x) % 4294967296) AS BIGINT) AS checksum,
+      |  CAST(len(list_distinct(bytes)) AS INTEGER) AS n_distinct_bytes
+      |FROM y ORDER BY doc_id""".stripMargin
+
+  /** DuckDB replay of [[embedDedup]] (hash-exact since r11): the embed
+    * stub is exact integer byte-histogram counts + one IEEE
+    * sqrt/divide/float-narrow per bucket, so the oracle rebuilds the
+    * 16-dim embedding bit-for-bit (same fold order, same REAL narrowing)
+    * and verifies ALL pairs with the same quantized cosine the
+    * similarity family gates on — independent of the cell-blocked
+    * candidate stage it checks (which is exact by construction).
+    */
+  val embedDedupOracle: String = {
+    def qdot(a: String, b: String): String =
+      s"""CAST(list_sum(list_transform(list_zip($a, $b),
+         |  z -> CAST(FLOOR(CAST(z[1] AS DOUBLE) * 1e9) AS BIGINT) *
+         |       CAST(FLOOR(CAST(z[2] AS DOUBLE) * 1e9) AS BIGINT))) AS BIGINT)""".stripMargin
+    def qcos(a: String, b: String): String =
+      s"""(CAST(${qdot(a, b)} AS DOUBLE) /
+         |  (SQRT(CAST(${qdot(a, a)} AS DOUBLE)) * SQRT(CAST(${qdot(b, b)} AS DOUBLE))))""".stripMargin
+    """WITH raw AS (SELECT doc_id, source, hex(encode(text)) AS hx,
+      |                    octet_length(encode(text)) AS n FROM documents),
+      |byt AS (SELECT doc_id, source, list_transform(generate_series(1, n), i ->
+      |          CAST((strpos('0123456789ABCDEF', substr(hx, 2*i - 1, 1)) - 1) * 16
+      |             + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1) AS BIGINT)) AS bytes
+      |        FROM raw),
+      |hist AS (SELECT doc_id, source,
+      |           list_transform(generate_series(0, 15), j ->
+      |             CAST(len(list_filter(bytes, x -> x // 16 = j)) AS DOUBLE)) AS h
+      |         FROM byt),
+      |nrm AS (SELECT doc_id, source, h,
+      |          SQRT(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |            list_transform(h, v -> v * v)), (a, b) -> a + b)) AS nn
+      |        FROM hist),
+      |emb AS (SELECT doc_id, source,
+      |          CASE WHEN nn > 0 THEN list_transform(h, v -> CAST(v / nn AS REAL))
+      |               ELSE list_transform(h, v -> CAST(v AS REAL)) END AS e
+      |        FROM nrm)
+      |""".stripMargin +
+      s"""SELECT a.doc_id AS v1, b.doc_id AS v2, a.source AS label,
+         |       ${qcos("a.e", "b.e")} AS sim
+         |FROM emb a JOIN emb b
+         |  ON a.source = b.source AND a.doc_id < b.doc_id
+         |WHERE ${qcos("a.e", "b.e")} >= 0.999
+         |ORDER BY v1, v2""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("mm_binary_features", binaryFeatures, None),
-    QueryDef("mm_embed_dedup", embedDedup, None),
+    QueryDef("mm_binary_features", binaryFeatures, Some(binaryFeaturesOracle)),
+    QueryDef("mm_embed_dedup", embedDedup, Some(embedDedupOracle)),
     QueryDef("mm_frame_dedup", frameDedup, Some(frameDedupOracle))
   )
 }

@@ -1487,13 +1487,21 @@ object TextOps {
 
   /** Hashed n-gram feature buckets for DSIR (unigrams + bigrams, one
     * array-local HOF pass — no row-per-token explode on the scoring side).
+    * The bucket hash is md5-based so it is ENGINE-PORTABLE (both Spark and
+    * DuckDB ship standard md5 over UTF-8 bytes; xxhash64 exists only in
+    * Spark) — what turned this query's gate from rows-only into
+    * hash-exact. Uniformity is md5's; 8 hex chars = 32 bits, plenty for a
+    * 4096-way bucket space.
     */
+  private def dsirBucket(e: String, buckets: Int): String =
+    s"pmod(CAST(conv(substring(md5($e), 1, 8), 16, 10) AS BIGINT), $buckets)"
+
   private def dsirFeats(buckets: Int): Column = expr(
     s"""concat(
-       |  transform(toks, t -> pmod(xxhash64(t), $buckets)),
+       |  transform(toks, t -> ${dsirBucket("t", buckets)}),
        |  CASE WHEN size(toks) > 1 THEN transform(sequence(1, size(toks) - 1),
-       |    i -> pmod(xxhash64(concat(element_at(toks, i), ' ',
-       |                              element_at(toks, i + 1))), $buckets))
+       |    i -> ${dsirBucket(
+        "concat(element_at(toks, i), ' ', element_at(toks, i + 1))", buckets)})
        |  ELSE CAST(array() AS ARRAY<BIGINT>) END)""".stripMargin)
 
   /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
@@ -1527,14 +1535,21 @@ object TextOps {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val (ct, cr) = (counts(target), counts(raw))
     val (tt, tr) = (ct.values.sum.toDouble, cr.values.sum.toDouble)
-    def logp(c: Long, tot: Double): Double =
-      math.log((c + 1).toDouble / (tot + buckets))
+    // ln only ever takes INTEGER-valued doubles (c+1, tot+B): the one
+    // measured Math.log-vs-libm divergence (doc_char_entropy's
+    // ln(24/325)) was a ratio input, so the restructured form
+    // (ln a − ln b) + (ln d − ln c) keeps the gate's cross-engine
+    // bit-parity premise on the safest input class; the DuckDB oracle
+    // replays the identical op sequence
+    val adj = math.log(tr + buckets) - math.log(tt + buckets)
+    def lrOf(ctb: Long, crb: Long): Double =
+      (math.log((ctb + 1).toDouble) - math.log((crb + 1).toDouble)) + adj
     val lr: Map[Long, Double] = (ct.keySet ++ cr.keySet).iterator
-      .map(b => b -> (logp(ct.getOrElse(b, 0L), tt) - logp(cr.getOrElse(b, 0L), tr)))
+      .map(b => b -> lrOf(ct.getOrElse(b, 0L), cr.getOrElse(b, 0L)))
       .toMap
     // a bucket unseen in BOTH fits still needs a defined ratio when a
     // foreign frame is scored against these models
-    val unseen = logp(0L, tt) - logp(0L, tr)
+    val unseen = lrOf(0L, 0L)
     val lrMap = typedLit(lr)
     Tables.spread(raw)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
@@ -1553,6 +1568,57 @@ object TextOps {
   def dsirWeights(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.t(s, dir, "documents")
     dsirWeightsOn(docs, docs.filter(col("source") === "src0"))
+  }
+
+  /** DuckDB replay of [[dsirWeights]] (hash-exact since r11): the md5
+    * bucket hash is engine-portable — and because 4096 = 16³, the
+    * first-8-hex-chars-mod-4096 bucket is exactly the value of hex chars
+    * 6-8, extracted with a 3-term strpos polynomial. The fit is two
+    * grouped counts; the log-ratio replays the identical op sequence on
+    * identical INTEGER ln arguments; the per-doc fold is
+    * list_prepend(0.0)+list_reduce in Spark's feature order (unigrams in
+    * doc order, then bigrams).
+    */
+  val dsirWeightsOracle: String = {
+    val B = 4096
+    def bucket(e: String) =
+      s"""((strpos('0123456789abcdef', substr(md5($e), 6, 1)) - 1) * 256
+         | + (strpos('0123456789abcdef', substr(md5($e), 7, 1)) - 1) * 16
+         | + (strpos('0123456789abcdef', substr(md5($e), 8, 1)) - 1))""".stripMargin
+    s"""WITH base AS (SELECT doc_id, source, str_split(text, ' ') AS toks FROM documents),
+       |uni AS (
+       |  SELECT doc_id, source, i AS pos, ${bucket("toks[i]")} AS b
+       |  FROM base, unnest(generate_series(1, len(toks))) AS s(i)),
+       |big AS (
+       |  SELECT doc_id, source, len(toks) + i AS pos,
+       |         ${bucket("toks[i] || ' ' || toks[i + 1]")} AS b
+       |  FROM base, unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS s(i)),
+       |inst AS (SELECT * FROM uni UNION ALL SELECT * FROM big),
+       |ctt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM inst
+       |        WHERE source = 'src0' GROUP BY b),
+       |crr AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM inst GROUP BY b),
+       |tots AS (SELECT (SELECT CAST(COALESCE(SUM(c), 0) AS DOUBLE) FROM ctt) AS tt,
+       |                (SELECT CAST(COALESCE(SUM(c), 0) AS DOUBLE) FROM crr) AS tr),
+       |lr AS (
+       |  SELECT crr.b,
+       |    (ln(CAST(COALESCE(ctt.c, 0) + 1 AS DOUBLE)) - ln(CAST(crr.c + 1 AS DOUBLE)))
+       |      + (ln(tr + $B) - ln(tt + $B)) AS w
+       |  FROM crr LEFT JOIN ctt USING (b), tots),
+       |scored AS (
+       |  SELECT i.doc_id, i.pos,
+       |    COALESCE(l.w, (ln(CAST(1 AS DOUBLE)) - ln(CAST(1 AS DOUBLE)))
+       |      + (SELECT ln(tr + $B) - ln(tt + $B) FROM tots)) AS w
+       |  FROM inst i LEFT JOIN lr l USING (b)),
+       |agg AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(w ORDER BY pos)),
+       |      (a, b) -> a + b) AS weight
+       |  FROM scored GROUP BY doc_id)
+       |SELECT b2.doc_id,
+       |  CAST(len(b2.toks) + greatest(len(b2.toks) - 1, 0) AS BIGINT) AS n_feats,
+       |  agg.weight
+       |FROM base b2 JOIN agg USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** Temperature-scaled source mixing weights (the multi-corpus sampling
@@ -2212,7 +2278,7 @@ object TextOps {
     QueryDef("doc_sample_per_source", samplePerSource, Some(samplePerSourceOracle)),
     QueryDef("doc_weighted_sample", weightedSample, Some(weightedSampleOracle)),
     QueryDef("doc_mix_sample", mixSample, Some(mixSampleOracle)),
-    QueryDef("doc_dsir_weight", dsirWeights, None),
+    QueryDef("doc_dsir_weight", dsirWeights, Some(dsirWeightsOracle)),
     QueryDef("doc_bm25", bm25, Some(bm25Oracle)),
     QueryDef("doc_lm_score", lmScore, Some(lmScoreOracle)),
     QueryDef("doc_ccnet_buckets", ccnetBuckets, Some(ccnetBucketsOracle)),

@@ -179,6 +179,16 @@ object SimilarityOps {
     }
   }
 
+  /** One-time centroid fit for the FROZEN reference quantizer
+    * (tools/QuantFreeze): the same seeded bounded-sample KMeans the live
+    * paths use, returned as plain arrays for literal freezing.
+    */
+  private[graft] def fitCoarseCentroids(emb: DataFrame): Array[Array[Double]] = {
+    import org.apache.spark.ml.functions.array_to_vector
+    coarseQuantizer(emb.withColumn("features", array_to_vector(col("embedding"))))
+      .clusterCenters.map(_.toArray)
+  }
+
   /** The shared coarse quantizer (seeded), fit on a bounded deterministic
     * sample of `withFeatures` (which must carry vec_id + features).
     */
@@ -224,8 +234,106 @@ object SimilarityOps {
     * `cell=` partitions, the re-rank is a bucketed point lookup). A user
     * serving more than one query session should hold that pair, not this.
     */
+  /** The GATED IVF query (hash-exact since r11): serves with the FROZEN
+    * reference quantizer ([[graft.model.IvfRef]] — fitted once by
+    * `tools/QuantFreeze`, shipped as literals; the PcaRef ship-the-model
+    * shape). With the centroids frozen, every step is deterministic
+    * arithmetic both engines replay bit-for-bit: assignment is an argmin
+    * over literal centroids with a defined fold order (first-min on
+    * ties), probing is a per-query (distance, cell) rank over the SAME
+    * distances, and the ranking cosine is the quantized-integer native
+    * expression. This also deletes the live path's driver-side probe
+    * collect — probes are computed inside the plan. Live fits remain on
+    * [[knnIvfOn]] (specs, stress, planted-cluster recall) and the
+    * persisted-index family ([[writeIvfIndex]]/[[knnIvfPqServe]]).
+    */
   def knnIvf(s: SparkSession, dir: String): DataFrame =
-    knnIvfOn(Tables.spread(Tables.t(s, dir, "embeddings")))
+    knnIvfFrozenOn(Tables.spread(Tables.t(s, dir, "embeddings")))
+
+  def knnIvfFrozenOn(corpus: DataFrame): DataFrame = {
+    val nprobe = 4
+    val cents = typedLit(graft.model.IvfRef.Centroids.map(_.toSeq).toSeq)
+    // squared distance to every frozen centroid: zip_with products then a
+    // 0.0-seeded left fold — the exact op sequence the oracle replays
+    val withD2 = corpus
+      .withColumn("cents", cents)
+      .withColumn("d2s", expr(
+        "transform(cents, c -> aggregate(zip_with(embedding, c," +
+          " (x, m) -> (CAST(x AS DOUBLE) - m) * (CAST(x AS DOUBLE) - m))," +
+          " CAST(0.0 AS DOUBLE), (a, v) -> a + v))"))
+    val assigned = withD2
+      .withColumn("cell", expr("array_position(d2s, array_min(d2s))"))
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val qw = Window.partitionBy("q_id").orderBy(col("d2").asc, col("ci").asc)
+    val probe = withD2.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        posexplode(col("d2s")).as(Seq("ci0", "d2")))
+      .withColumn("ci", col("ci0") + 1) // align with array_position's 1-base
+      .withColumn("rk", row_number().over(qw))
+      .filter(col("rk") <= nprobe)
+      .select(col("q_id"), col("q_emb"), col("ci").as("cell"))
+    val scored = assigned.join(broadcast(probe), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", graftCosine(col("q_emb"), col("embedding")))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 10)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("rnk"), col("sim"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** DuckDB replay of [[knnIvf]]: same frozen literals (E-notation — see
+    * pcaProjectOracle), same distance fold, first-min assignment as
+    * MIN(ci) over the min-distance ties, same (d2, ci) probe rank, same
+    * quantized cosine.
+    */
+  val knnIvfOracle: String = {
+    def dbl(x: Double): String = {
+      val s = x.toString
+      if (s.contains('E') || s.contains('e')) s else s + "E0"
+    }
+    val k = graft.model.IvfRef.Centroids.length
+    val d = graft.model.IvfRef.Centroids.head.length
+    // DOUBLE[][] (variable-size lists), not DOUBLE[d][k]: DuckDB's
+    // LIST_EXTRACT is unimplemented for nested fixed-size ARRAY types
+    val cents = graft.model.IvfRef.Centroids
+      .map(_.map(dbl).mkString("[", ", ", "]"))
+      .mkString(s"CAST([", ",\n", s"] AS DOUBLE[][])")
+    s"""WITH cents AS (SELECT $cents AS cs),
+       |d2 AS (
+       |  SELECT e.vec_id, ci,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(generate_series(1, $d),
+       |        i -> (CAST(e.embedding[i] AS DOUBLE) - cs[ci][i])
+       |           * (CAST(e.embedding[i] AS DOUBLE) - cs[ci][i]))),
+       |      (a, b) -> a + b) AS dd
+       |  FROM embeddings e, cents, unnest(generate_series(1, $k)) AS t(ci)),
+       |asg AS (
+       |  SELECT d2.vec_id, MIN(d2.ci) AS cell
+       |  FROM d2 JOIN (SELECT vec_id, MIN(dd) AS md FROM d2 GROUP BY vec_id) m
+       |    ON d2.vec_id = m.vec_id AND d2.dd = m.md
+       |  GROUP BY d2.vec_id),
+       |probe AS (
+       |  SELECT vec_id AS q_id, ci AS cell
+       |  FROM (SELECT vec_id, ci, row_number() OVER (
+       |          PARTITION BY vec_id ORDER BY dd ASC, ci ASC) AS rk
+       |        FROM d2 WHERE vec_id < 10)
+       |  WHERE rk <= 4),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT p.q_id, e.vec_id AS n_id,
+       |         ${sqlQCos("q.q_emb", "e.embedding")} AS sim
+       |  FROM probe p
+       |  JOIN asg a ON a.cell = p.cell
+       |  JOIN embeddings e ON e.vec_id = a.vec_id
+       |  JOIN q ON q.q_id = p.q_id
+       |  WHERE e.vec_id <> p.q_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rnk
+       |  FROM scored)
+       |SELECT q_id, n_id, CAST(rnk AS BIGINT) AS rnk, sim FROM ranked WHERE rnk <= 10
+       |ORDER BY q_id, rnk""".stripMargin
+  }
 
   /** The IVF core over any (vec_id, embedding) frame — factored so the
     * planted-cluster recall spec can drive it on a corpus with real
@@ -2026,7 +2134,7 @@ object SimilarityOps {
     QueryDef("emb_hamming_rerank", hammingRerank, Some(hammingRerankOracle)),
     QueryDef("emb_knn_filtered", knnFiltered, Some(knnFilteredOracle)),
     QueryDef("emb_knn_lsh", knnLsh, None),
-    QueryDef("emb_knn_ivf", knnIvf, None),
+    QueryDef("emb_knn_ivf", knnIvf, Some(knnIvfOracle)),
     QueryDef("emb_knn_pq", knnPq, None),
     QueryDef("emb_knn_ivfpq", knnIvfPq, None),
     QueryDef("emb_knn_mrl", knnMrl, None),

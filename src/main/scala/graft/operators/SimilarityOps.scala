@@ -250,28 +250,43 @@ object SimilarityOps {
   def knnIvf(s: SparkSession, dir: String): DataFrame =
     knnIvfFrozenOn(Tables.spread(Tables.t(s, dir, "embeddings")))
 
-  def knnIvfFrozenOn(corpus: DataFrame): DataFrame = {
-    val nprobe = 4
-    val cents = typedLit(graft.model.IvfRef.Centroids.map(_.toSeq).toSeq)
-    // squared distance to every frozen centroid: zip_with products then a
-    // 0.0-seeded left fold — the exact op sequence the oracle replays
-    val withD2 = corpus
-      .withColumn("cents", cents)
-      .withColumn("d2s", expr(
-        "transform(cents, c -> aggregate(zip_with(embedding, c," +
-          " (x, m) -> (CAST(x AS DOUBLE) - m) * (CAST(x AS DOUBLE) - m))," +
-          " CAST(0.0 AS DOUBLE), (a, v) -> a + v))"))
-    val assigned = withD2
-      .withColumn("cell", expr("array_position(d2s, array_min(d2s))"))
-      .select(col("vec_id"), col("embedding"), col("cell"))
+  /** Squared distance to every frozen coarse centroid: zip_with products
+    * then a 0.0-seeded left fold — the exact op sequence the oracles
+    * replay. Shared by the frozen IVF and IVF-PQ paths.
+    */
+  private def withFrozenCellDists(corpus: DataFrame): DataFrame = corpus
+    .withColumn("cents", typedLit(graft.model.IvfRef.Centroids.map(_.toSeq).toSeq))
+    .withColumn("d2s", expr(
+      "transform(cents, c -> aggregate(zip_with(embedding, c," +
+        " (x, m) -> (CAST(x AS DOUBLE) - m) * (CAST(x AS DOUBLE) - m))," +
+        " CAST(0.0 AS DOUBLE), (a, v) -> a + v))"))
+
+  /** First-min cell assignment over the frozen distances (1-based, the
+    * array_position convention).
+    */
+  private val frozenCell = expr("array_position(d2s, array_min(d2s))")
+
+  /** Per-query probe sets over the frozen distances, computed INSIDE the
+    * plan (no driver collect): nprobe smallest (d2, cell).
+    */
+  private def frozenProbe(withD2: DataFrame, nprobe: Int): DataFrame = {
     val qw = Window.partitionBy("q_id").orderBy(col("d2").asc, col("ci").asc)
-    val probe = withD2.filter(col("vec_id") < 10)
+    withD2.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         posexplode(col("d2s")).as(Seq("ci0", "d2")))
       .withColumn("ci", col("ci0") + 1) // align with array_position's 1-base
       .withColumn("rk", row_number().over(qw))
       .filter(col("rk") <= nprobe)
       .select(col("q_id"), col("q_emb"), col("ci").as("cell"))
+  }
+
+  def knnIvfFrozenOn(corpus: DataFrame): DataFrame = {
+    val nprobe = 4
+    val withD2 = withFrozenCellDists(corpus)
+    val assigned = withD2
+      .withColumn("cell", frozenCell)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val probe = frozenProbe(withD2, nprobe)
     val scored = assigned.join(broadcast(probe), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("sim", graftCosine(col("q_emb"), col("embedding")))
@@ -369,6 +384,126 @@ object SimilarityOps {
       .orderBy("q_id", "rnk")
   }
 
+  /** DuckDB replay of the frozen PQ family ([[knnPqFrozenOn]] /
+    * [[knnMrlFrozenOn]] / [[knnIvfPqFrozenOn]]): same frozen literals
+    * (E-notation), same per-subspace distance folds and first-min code
+    * assignment (MIN(c) over the min-distance ties == array_position),
+    * the LUT rebuilt with the identical 0.0-seeded fold the driver runs,
+    * the PqAdc sum as an ordered list fold, and the exact re-rank's
+    * quantized cosine. `ivf = true` adds the frozen-coarse cell
+    * assignment + probe CTEs so only probed cells pair with each query.
+    */
+  private def pqFrozenOracle(books: Array[Array[Array[Double]]],
+      ivf: Boolean): String = {
+    def dbl(x: Double): String = {
+      val s = x.toString
+      if (s.contains('E') || s.contains('e')) s else s + "E0"
+    }
+    val m = books.length
+    val k = books(0).length
+    val sub = books(0)(0).length
+    val headDim = m * sub
+    val bk = books.map(_.map(_.map(dbl).mkString("[", ", ", "]"))
+      .mkString("[", ",\n", "]"))
+      .mkString("CAST([", ",\n", "] AS DOUBLE[][][])")
+    val ivfCents = graft.model.IvfRef.Centroids
+    val ivfK = ivfCents.length
+    val ivfD = ivfCents.headOption.map(_.length).getOrElse(0)
+    val cents = ivfCents.map(_.map(dbl).mkString("[", ", ", "]"))
+      .mkString("CAST([", ",\n", "] AS DOUBLE[][])")
+    val cellCtes = if (!ivf) "" else
+      s"""cents AS (SELECT $cents AS cs),
+         |cdist AS (
+         |  SELECT e.vec_id, ci,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(generate_series(1, $ivfD),
+         |        i -> (CAST(e.embedding[i] AS DOUBLE) - cs[ci][i])
+         |           * (CAST(e.embedding[i] AS DOUBLE) - cs[ci][i]))),
+         |      (a, b) -> a + b) AS dd
+         |  FROM embeddings e, cents, unnest(generate_series(1, $ivfK)) AS t(ci)),
+         |asg AS (
+         |  SELECT cdist.vec_id, MIN(cdist.ci) AS cell
+         |  FROM cdist JOIN (SELECT vec_id, MIN(dd) AS md FROM cdist GROUP BY vec_id) mm
+         |    ON cdist.vec_id = mm.vec_id AND cdist.dd = mm.md
+         |  GROUP BY cdist.vec_id),
+         |cprobe AS (
+         |  SELECT vec_id AS q_id, ci AS cell
+         |  FROM (SELECT vec_id, ci, row_number() OVER (
+         |          PARTITION BY vec_id ORDER BY dd ASC, ci ASC) AS rk
+         |        FROM cdist WHERE vec_id < 10)
+         |  WHERE rk <= 4),
+         |""".stripMargin
+    // pairing: every encoded row (flat scan) or only the probed cells' rows
+    val pairing = if (ivf)
+      """JOIN cprobe p ON p.q_id = l.q_id
+        |  JOIN asg ag ON ag.cell = p.cell
+        |  JOIN enc en ON en.vec_id = ag.vec_id""".stripMargin
+    else "CROSS JOIN enc en"
+    s"""WITH bk AS (SELECT $bk AS b),
+       |$cellCtes
+       |pd AS (
+       |  SELECT e.vec_id, j, c,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(generate_series(1, $sub),
+       |        t -> (CAST(e.embedding[(j-1)*$sub + t] AS DOUBLE) - b[j][c][t])
+       |           * (CAST(e.embedding[(j-1)*$sub + t] AS DOUBLE) - b[j][c][t]))),
+       |      (a, x) -> a + x) AS d
+       |  FROM embeddings e, bk, unnest(generate_series(1, $m)) AS tj(j),
+       |       unnest(generate_series(1, $k)) AS tc(c)),
+       |cm AS (SELECT vec_id, j, MIN(d) AS md FROM pd GROUP BY vec_id, j),
+       |cd AS (SELECT pd.vec_id, pd.j, MIN(pd.c) - 1 AS code
+       |       FROM pd JOIN cm ON pd.vec_id = cm.vec_id AND pd.j = cm.j AND pd.d = cm.md
+       |       GROUP BY pd.vec_id, pd.j),
+       |enc AS (SELECT vec_id, list(code ORDER BY j) AS codes FROM cd GROUP BY vec_id),
+       |nr AS (SELECT vec_id,
+       |         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |           list_transform(generate_series(1, $headDim),
+       |             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+       |           (a, x) -> a + x)) AS nrm
+       |       FROM embeddings),
+       |lq AS (SELECT e.vec_id AS q_id, j, c,
+       |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |           list_transform(generate_series(1, $sub),
+       |             t -> CAST(e.embedding[(j-1)*$sub + t] AS DOUBLE) * b[j][c][t])),
+       |           (a, x) -> a + x) AS lv
+       |       FROM embeddings e, bk, unnest(generate_series(1, $m)) AS tj(j),
+       |            unnest(generate_series(1, $k)) AS tc(c)
+       |       WHERE e.vec_id < 10),
+       |lt AS (SELECT q_id, list(lv ORDER BY j, c) AS lut FROM lq GROUP BY q_id),
+       |adc AS (
+       |  SELECT l.q_id, en.vec_id,
+       |    CASE WHEN n.nrm > 0 AND qn.nrm > 0 THEN
+       |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |        list_transform(generate_series(1, $m),
+       |          j -> l.lut[(j-1)*$k + en.codes[j] + 1])),
+       |        (a, x) -> a + x) / (n.nrm * qn.nrm)
+       |    ELSE 0.0 END AS adc_sim
+       |  FROM lt l
+       |  $pairing
+       |  JOIN nr n ON n.vec_id = en.vec_id
+       |  JOIN nr qn ON qn.vec_id = l.q_id
+       |  WHERE en.vec_id <> l.q_id),
+       |ac AS (SELECT q_id, vec_id, row_number() OVER (
+       |         PARTITION BY q_id ORDER BY adc_sim DESC, vec_id ASC) AS arnk
+       |       FROM adc),
+       |cand AS (SELECT q_id, vec_id FROM ac WHERE arnk <= $PqRerank),
+       |sc AS (SELECT c2.q_id, c2.vec_id AS n_id,
+       |         ${sqlQCos("qe.embedding", "ne.embedding")} AS sim
+       |       FROM cand c2
+       |       JOIN embeddings qe ON qe.vec_id = c2.q_id
+       |       JOIN embeddings ne ON ne.vec_id = c2.vec_id),
+       |rk2 AS (SELECT *, row_number() OVER (
+       |          PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rnk
+       |        FROM sc)
+       |SELECT q_id, n_id, CAST(rnk AS BIGINT) AS rnk, sim
+       |FROM rk2 WHERE rnk <= 10
+       |ORDER BY q_id, rnk""".stripMargin
+  }
+
+  lazy val knnPqOracle: String = pqFrozenOracle(graft.model.PqRef.Books, ivf = false)
+  lazy val knnMrlOracle: String = pqFrozenOracle(graft.model.PqRef.HeadBooks, ivf = false)
+  lazy val knnIvfPqOracle: String = pqFrozenOracle(graft.model.PqRef.Books, ivf = true)
+
   /** PQ (product-quantization) ANN — the MEMORY-bound scale path.
     *
     * IVF cuts how much of the corpus a query touches; PQ cuts how many
@@ -454,6 +589,17 @@ object SimilarityOps {
         array((0 until m).map(j => col(s"code$j")): _*).as("codes")) ++
         keep.map(col)): _*)
     (books, encoded, e)
+  }
+
+  /** One-time codebook fit for the FROZEN reference quantizers
+    * (tools/QuantFreeze): the same seeded bounded-sample fits the live
+    * paths use, returned as plain arrays for literal freezing.
+    */
+  private[graft] def fitPqBooksRef(corpus: DataFrame,
+      headDim: Int = Dim): Array[Array[Array[Double]]] = {
+    val (books, _, cached) = pqTrainEncode(Tables.spread(corpus), headDim = headDim)
+    cached.unpersist(blocking = false)
+    books
   }
 
   /** Train-only hook (stress/test): fit the codebooks — on the bounded
@@ -590,8 +736,50 @@ object SimilarityOps {
     pqSearch(encoded, pqQueryDf(corpus.sparkSession, qRows, books), corpus)
   }
 
+  /** Frozen-codebook PQ encode: codes are a first-min argmin over literal
+    * centers with a defined fold order (products then a 0.0-seeded left
+    * fold per subspace) — fully deterministic, oracle-replayable, and a
+    * pure codegen'd HOF instead of m KMeansModel.transform calls.
+    */
+  private def pqEncodeFrozen(corpus: DataFrame,
+      books: Array[Array[Array[Double]]], keep: Seq[String] = Nil): DataFrame = {
+    val m = books.length
+    val sub = books(0)(0).length
+    val headDim = m * sub
+    val nrmCol =
+      if (headDim == Dim) pqNorm
+      else expr(s"sqrt(aggregate(slice(embedding, 1, $headDim), " +
+        "CAST(0.0 AS DOUBLE), (a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
+    corpus
+      .withColumn("bks", typedLit(books.map(_.map(_.toSeq).toSeq).toSeq))
+      .withColumn("nrm", nrmCol)
+      .withColumn("pqd", expr(
+        s"transform(bks, (bj, j) -> transform(bj, c -> " +
+          s"aggregate(zip_with(slice(embedding, j * $sub + 1, $sub), c, " +
+          "(x, mm) -> (CAST(x AS DOUBLE) - mm) * (CAST(x AS DOUBLE) - mm)), " +
+          "CAST(0.0 AS DOUBLE), (a, v) -> a + v)))"))
+      .withColumn("codes", expr(
+        "transform(pqd, dj -> CAST(array_position(dj, array_min(dj)) - 1 AS INT))"))
+      .select((Seq(col("vec_id"), col("nrm"), col("codes")) ++ keep.map(col)): _*)
+  }
+
+  /** The GATED PQ query (hash-exact since r11): serves with the FROZEN
+    * reference codebooks ([[graft.model.PqRef.Books]] — fitted once by
+    * `tools/QuantFreeze`; the IvfRef/PcaRef ship-the-model shape). Every
+    * step — encode argmin, driver-computed LUT, the PqAdc fold, the
+    * rerank's quantized cosine — is deterministic arithmetic the DuckDB
+    * oracle replays bit-for-bit. Live fits remain on [[knnPqOn]] and the
+    * persisted-index family.
+    */
+  def knnPqFrozenOn(corpus: DataFrame): DataFrame = {
+    val books = graft.model.PqRef.Books
+    val enc = pqEncodeFrozen(Tables.spread(corpus), books)
+    val qRows = pqQueryRows(corpus.filter(col("vec_id") < 10))
+    pqSearch(enc, pqQueryDf(corpus.sparkSession, qRows, books), corpus)
+  }
+
   def knnPq(s: SparkSession, dir: String): DataFrame =
-    knnPqOn(Tables.t(s, dir, "embeddings"))
+    knnPqFrozenOn(Tables.t(s, dir, "embeddings"))
 
   /** Matryoshka retrieval (Kusupati et al. 2022, "Matryoshka
     * Representation Learning"): candidate generation over the leading
@@ -614,8 +802,19 @@ object SimilarityOps {
     pqSearch(encoded, pqQueryDf(corpus.sparkSession, qRows, books), corpus)
   }
 
+  /** GATED Matryoshka query: [[knnPqFrozenOn]] with the frozen HEAD
+    * codebooks — the ADC scan covers the leading [[MrlHeadDim]]
+    * components, the exact re-rank stays full-dim.
+    */
+  def knnMrlFrozenOn(corpus: DataFrame): DataFrame = {
+    val books = graft.model.PqRef.HeadBooks
+    val enc = pqEncodeFrozen(Tables.spread(corpus), books)
+    val qRows = pqQueryRows(corpus.filter(col("vec_id") < 10))
+    pqSearch(enc, pqQueryDf(corpus.sparkSession, qRows, books), corpus)
+  }
+
   def knnMrl(s: SparkSession, dir: String): DataFrame =
-    knnMrlOn(Tables.t(s, dir, "embeddings"))
+    knnMrlFrozenOn(Tables.t(s, dir, "embeddings"))
 
   /** Materialize the PQ index: codes (+ norms) as a parquet table, the
     * codebooks beside them, AND the raw vectors as a serving table
@@ -698,8 +897,30 @@ object SimilarityOps {
     pqScoreRerank(paired, corpus)
   }
 
+  /** GATED IVF-PQ query: the frozen coarse quantizer composes with the
+    * frozen codebooks — cell assignment and probe sets from
+    * [[withFrozenCellDists]] (same computation as the gated IVF), codes
+    * from [[pqEncodeFrozen]], ADC + exact re-rank unchanged. Fully
+    * deterministic; the oracle replays it end-to-end.
+    */
+  def knnIvfPqFrozenOn(corpus: DataFrame): DataFrame = {
+    val nprobe = 4
+    val s = corpus.sparkSession
+    val books = graft.model.PqRef.Books
+    val withD2 = withFrozenCellDists(Tables.spread(corpus))
+    val assigned = withD2.withColumn("cell", frozenCell)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val enc = pqEncodeFrozen(assigned, books, keep = Seq("cell"))
+    val qRows = pqQueryRows(corpus.filter(col("vec_id") < 10))
+    val queryDf = pqQueryDf(s, qRows, books)
+    val probeDf = frozenProbe(withD2, nprobe)
+      .select("q_id", "cell").join(queryDf, "q_id")
+    val paired = enc.join(broadcast(probeDf), Seq("cell"))
+    pqScoreRerank(paired, corpus)
+  }
+
   def knnIvfPq(s: SparkSession, dir: String): DataFrame =
-    knnIvfPqOn(Tables.t(s, dir, "embeddings"))
+    knnIvfPqFrozenOn(Tables.t(s, dir, "embeddings"))
 
   private def readBooks(s: SparkSession, indexPath: String): Array[Array[Array[Double]]] = {
     val rows = s.read.parquet(s"$indexPath/books").collect()
@@ -2135,9 +2356,9 @@ object SimilarityOps {
     QueryDef("emb_knn_filtered", knnFiltered, Some(knnFilteredOracle)),
     QueryDef("emb_knn_lsh", knnLsh, None),
     QueryDef("emb_knn_ivf", knnIvf, Some(knnIvfOracle)),
-    QueryDef("emb_knn_pq", knnPq, None),
-    QueryDef("emb_knn_ivfpq", knnIvfPq, None),
-    QueryDef("emb_knn_mrl", knnMrl, None),
+    QueryDef("emb_knn_pq", knnPq, Some(knnPqOracle)),
+    QueryDef("emb_knn_ivfpq", knnIvfPq, Some(knnIvfPqOracle)),
+    QueryDef("emb_knn_mrl", knnMrl, Some(knnMrlOracle)),
     QueryDef("emb_knn_join", knnJoin, Some(knnJoinOracle)),
     QueryDef("emb_label_centroids", labelCentroids, Some(centroidsOracle)),
     QueryDef("emb_centroid_eval", centroidEval, Some(centroidEvalOracle)),

@@ -50,13 +50,17 @@ object ServeBench {
     val embBatch = emb.filter(col("vec_id") < 50)
 
     val families = Seq(
+      // direct = the LIVE-FIT self-contained forms (knnPqOn/knnIvfPqOn/
+      // knnMrlOn): since r11 the GATED queries serve frozen reference
+      // models, so they no longer carry the per-call fit cost this
+      // comparison exists to show the index removing
       Family("pq",
         root => SimilarityOps.writePqIndex(s, sfDir, s"$root/pq"),
-        () => graft.Registry.byName("emb_knn_pq").build(s, sfDir),
+        () => SimilarityOps.knnPqOn(emb),
         () => SimilarityOps.knnPqFromIndex(s, sfDir, s"$serveRoot/pq")),
       Family("ivfpq",
         root => SimilarityOps.writeIvfIndex(s, sfDir, s"$root/ivf"),
-        () => graft.Registry.byName("emb_knn_ivfpq").build(s, sfDir),
+        () => SimilarityOps.knnIvfPqOn(emb),
         () => SimilarityOps.knnIvfPqFromIndex(s, sfDir, s"$serveRoot/ivf")),
       // truncated-head (Matryoshka) PQ: the serve must beat the full PQ
       // serve's ADC bytes by headDim/Dim — same serve code path, smaller
@@ -64,7 +68,7 @@ object ServeBench {
       Family("mrl",
         root => SimilarityOps.writePqIndex(s, sfDir, s"$root/mrl",
           headDim = SimilarityOps.MrlHeadDim),
-        () => graft.Registry.byName("emb_knn_mrl").build(s, sfDir),
+        () => SimilarityOps.knnMrlOn(emb),
         () => SimilarityOps.knnPqFromIndex(s, sfDir, s"$serveRoot/mrl")),
       Family("minhash",
         root => DedupOps.writeMinHashIndex(docCorpus, s"$root/mh"),

@@ -468,7 +468,9 @@ class DedupSimilaritySpec extends SparkSpecBase {
   test("PQ serve-from-index equals the train-and-search path exactly") {
     val idx = java.nio.file.Files.createTempDirectory("graft-pqidx").toString + "/pq"
     SimilarityOps.writePqIndex(spark, sf0001, idx)
-    val direct = SimilarityOps.knnPq(spark, sf0001)
+    // direct = the LIVE-fit path: the index stores its own live-fit books,
+    // so this equality must not depend on the gated query's frozen model
+    val direct = SimilarityOps.knnPqOn(Tables.t(spark, sf0001, "embeddings"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     val served = SimilarityOps.knnPqFromIndex(spark, sf0001, idx)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
@@ -509,7 +511,8 @@ class DedupSimilaritySpec extends SparkSpecBase {
       .select(size(col("codes"))).distinct().collect().map(_.getInt(0)).toSeq
     assert(codeLen == Seq(2), s"head codes must be 2 subcodes, got $codeLen")
     // the serve path derives the head geometry from the books table alone
-    val direct = SimilarityOps.knnMrl(spark, sf0001)
+    // (live-fit direct — the index stores live-fit books)
+    val direct = SimilarityOps.knnMrlOn(Tables.t(spark, sf0001, "embeddings"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     val served = SimilarityOps.knnPqFromIndex(spark, sf0001, idx)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
@@ -571,7 +574,8 @@ class DedupSimilaritySpec extends SparkSpecBase {
   test("IVF-PQ serve-from-index equals the train-and-search path; probes prune partitions") {
     val idx = java.nio.file.Files.createTempDirectory("graft-ivfidx").toString + "/ivfpq"
     SimilarityOps.writeIvfIndex(spark, sf0001, idx)
-    val direct = SimilarityOps.knnIvfPq(spark, sf0001)
+    // live-fit direct — the index stores live-fit centroids + books
+    val direct = SimilarityOps.knnIvfPqOn(Tables.t(spark, sf0001, "embeddings"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     val served = SimilarityOps.knnIvfPqFromIndex(spark, sf0001, idx)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
@@ -618,12 +622,16 @@ class DedupSimilaritySpec extends SparkSpecBase {
       val keys = df.select("q_id", "n_id").as[(Long, Long)].collect().toSet
       brute.count(keys.contains).toDouble / brute.size
     }
-    val full = recall(SimilarityOps.knnPq(spark, sf01))
+    // the LIVE-fit path — sampleCap only affects live fits; the gated
+    // query's frozen books never train, so it would trivially (and
+    // meaninglessly) pass this comparison
+    val sf01Emb = Tables.t(spark, sf01, "embeddings")
+    val full = recall(SimilarityOps.knnPqOn(sf01Emb))
     // force the bounded-sample path (500 of the 2000 vectors feed the
     // fits; the encode still maps the full corpus)
     spark.conf.set("spark.graft.train.sampleCap", "500")
     val sampled =
-      try recall(SimilarityOps.knnPq(spark, sf01))
+      try recall(SimilarityOps.knnPqOn(sf01Emb))
       finally spark.conf.unset("spark.graft.train.sampleCap")
     assert(sampled >= full - 0.15, s"sampled-fit recall $sampled vs full-fit $full")
     assert(sampled >= 0.5, s"sampled-fit recall $sampled implausibly low")

@@ -1903,6 +1903,31 @@ object EventOps {
       .orderBy("day_a", "day_b")
   }
 
+  /** Oracle for [[thetaOverlap]] — valid because the gate corpora keep
+    * every per-day distinct-user count under nominalEntries (sf0.01 max
+    * 141/day, sf0.1 max 1356/day vs k=4096), so every sketch is in EXACT
+    * mode (theta = 1, all hashes retained) and the intersection estimate
+    * IS the exact |A∩B| as a double — integers are exactly representable,
+    * so the hash gate holds. At corpus scale the same query degrades to
+    * estimates and the gate would (correctly) revert to rows-only; the
+    * spec additionally pins exact-mode == exact-matrix equality and
+    * partition-independence. Day pairs with empty intersection still
+    * emit (est 0.0) — the pair frame is the day cross join, not the
+    * match join.
+    */
+  val thetaOverlapOracle: String =
+    """WITH du AS (SELECT DISTINCT epoch_us(date_trunc('day', ts)) AS day_us, user_id
+      |            FROM events),
+      |days AS (SELECT DISTINCT day_us FROM du),
+      |pairs AS (SELECT a.day_us AS day_a, b.day_us AS day_b
+      |          FROM days a JOIN days b ON a.day_us < b.day_us),
+      |hits AS (SELECT x.day_us AS day_a, y.day_us AS day_b, COUNT(*) AS n
+      |         FROM du x JOIN du y ON x.user_id = y.user_id AND x.day_us < y.day_us
+      |         GROUP BY 1, 2)
+      |SELECT p.day_a, p.day_b, CAST(COALESCE(h.n, 0) AS DOUBLE) AS est_both
+      |FROM pairs p LEFT JOIN hits h ON p.day_a = h.day_a AND p.day_b = h.day_b
+      |ORDER BY p.day_a, p.day_b""".stripMargin
+
   /** RFM segmentation — the user-value rollup every growth/analytics
     * stack ships: per user recency (last event time), frequency (event
     * count) and monetary (exact integer-cents value sum), each scored
@@ -1956,7 +1981,7 @@ object EventOps {
     QueryDef("ev_rfm_segments", rfmSegments, Some(rfmOracle)),
     QueryDef("ev_hll_daily_union", hllDailyUnion, None),
     QueryDef("ev_audience_overlap", audienceOverlap, Some(audienceOverlapOracle)),
-    QueryDef("ev_theta_overlap", thetaOverlap, None),
+    QueryDef("ev_theta_overlap", thetaOverlap, Some(thetaOverlapOracle)),
     QueryDef("ev_growth_accounting", growthAccounting, Some(growthOracle)),
     QueryDef("ev_stickiness", stickiness, Some(stickinessOracle)),
     QueryDef("ev_funnel_3step", funnel3Step, Some(funnel3Oracle)),

@@ -130,6 +130,40 @@ object SimilarityOps {
       .orderBy("q_id", "rnk")
   }
 
+  /** DuckDB replay of [[knnLsh]] — hash-exact because the hyperplanes are
+    * plan-baked literals (seeded gaussians), the sign-bit signature is a
+    * deterministic zip_with-product + 0.0-seeded left fold per plane
+    * (the exact op sequence, replayed with list_reduce/list_prepend),
+    * and candidate scoring is the quantized cosine. E-notation literals
+    * keep DuckDB on the strtod path (plain decimals double-round
+    * through DECIMAL).
+    */
+  lazy val knnLshOracle: String = {
+    def dbl(x: Double): String = {
+      val s = x.toString
+      if (s.contains('E') || s.contains('e')) s else s + "E0"
+    }
+    val sigSql = (0 until LshBits).map { b =>
+      val pl = planes(b).map(dbl).mkString("[", ", ", "]")
+      s"""(CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |  list_transform(list_zip(embedding, $pl),
+         |    z -> CAST(z[1] AS DOUBLE) * z[2])), (a, t) -> a + t) > 0
+         |  THEN ${1 << b} ELSE 0 END)""".stripMargin
+    }.mkString("(", " + ", ")")
+    s"""WITH sigs AS (SELECT vec_id, embedding, $sigSql AS sig FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, sig AS q_sig
+       |      FROM sigs WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT q.q_id, e.vec_id AS n_id,
+       |         ${sqlQCos("q.q_emb", "e.embedding")} AS sim
+       |  FROM sigs e JOIN q ON e.sig = q.q_sig AND e.vec_id <> q.q_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rnk
+       |  FROM scored)
+       |SELECT q_id, n_id, rnk, sim FROM ranked WHERE rnk <= 10
+       |ORDER BY q_id, rnk""".stripMargin
+  }
+
   /** IVF ANN: MLlib KMeans coarse quantizer (k=16, seeded) partitions the
     * corpus into cells; each query probes only the `nprobe` nearest cells
     * instead of scanning everything. At 100 TB the cell assignment is
@@ -2354,7 +2388,7 @@ object SimilarityOps {
     QueryDef("emb_hamming_topk", hammingTopk, Some(hammingOracle)),
     QueryDef("emb_hamming_rerank", hammingRerank, Some(hammingRerankOracle)),
     QueryDef("emb_knn_filtered", knnFiltered, Some(knnFilteredOracle)),
-    QueryDef("emb_knn_lsh", knnLsh, None),
+    QueryDef("emb_knn_lsh", knnLsh, Some(knnLshOracle)),
     QueryDef("emb_knn_ivf", knnIvf, Some(knnIvfOracle)),
     QueryDef("emb_knn_pq", knnPq, Some(knnPqOracle)),
     QueryDef("emb_knn_ivfpq", knnIvfPq, Some(knnIvfPqOracle)),

@@ -76,10 +76,55 @@ object QuantizedCosine {
   }
 }
 
-/** 64-bit SimHash over a token array: xxhash64 each token (seed 42), add
-  * +1/-1 per bit position, set result bit where the sum is positive.
-  * Single pass, no shuffle — the banding join downstream is the only
-  * exchange in the near-dup pipeline.
+/** Engine-portable 64/32-bit basis hashes for the sketch family
+  * (SimHash fingerprints, MinHash signatures): the leading bytes of the
+  * MD5 digest, big-endian. MD5 is bit-identical across engines (the
+  * one cross-engine hash both Spark and DuckDB ship), so every sketch
+  * built on this basis is a DETERMINISTIC function of its input set and
+  * the DuckDB oracle can replay signatures, band keys and verify joins
+  * value-exact — the r11 change that flipped the minhash/simhash gates
+  * from rows-only to hash-exact. A thread-local digest instance keeps
+  * the per-call cost at the digest itself (~0.2 us for shingle-sized
+  * input; the sketch loops dominate regardless).
+  */
+object Md5Basis {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private def digest(s: UTF8String): Array[Byte] = {
+    val m = md.get()
+    m.reset()
+    m.digest(s.getBytes)
+  }
+
+  /** First 4 digest bytes as an unsigned 32-bit value in a long —
+    * equals `conv(substring(md5(s), 1, 8), 16, 10)`.
+    */
+  def h32(s: UTF8String): Long = {
+    val d = digest(s)
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  /** First 8 digest bytes as a 64-bit value (two's complement) —
+    * the 16 leading hex chars of md5(s).
+    */
+  def h64(s: UTF8String): Long = {
+    val d = digest(s)
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h
+  }
+}
+
+/** 64-bit SimHash over a token array: md5-basis hash per token
+  * ([[Md5Basis.h64]] — engine-portable, so the fingerprint is
+  * oracle-replayable), add +1/-1 per bit position, set result bit where
+  * the sum is positive. Single pass, no shuffle — the banding join
+  * downstream is the only exchange in the near-dup pipeline.
   */
 case class SimHash64(child: Expression) extends UnaryExpression {
 
@@ -103,7 +148,7 @@ object SimHash64 {
     var i = 0
     while (i < arr.numElements()) {
       if (!arr.isNullAt(i)) {
-        val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+        val h = Md5Basis.h64(arr.getUTF8String(i))
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
@@ -168,7 +213,8 @@ object RollingHash {
 
 /** All 64 MinHash signature values in ONE pass over the shingle array:
   * sig[i] = min over shingles of pmod(A(i)*h + B(i), P) where h is the
-  * shingle's xxhash64 folded to 32 bits. Replaces 64 separate
+  * shingle's md5-basis 32-bit hash ([[Md5Basis.h32]] — engine-portable,
+  * so signatures are oracle-replayable). Replaces 64 separate
   * array_min(transform(...)) expressions whose generated code blew past
   * JIT-friendly sizes; the tight nested loop here is ~64x|shingles|
   * multiply-adds per row.
@@ -203,7 +249,7 @@ object MinHashSig {
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L) & 0xFFFFFFFFL
+        val h = Md5Basis.h32(arr.getUTF8String(i))
         var p = 0
         while (p < NumPerm) {
           val v = (A(p) * h + B(p)) % P

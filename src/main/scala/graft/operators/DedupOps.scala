@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
@@ -235,6 +235,22 @@ object DedupOps {
     */
   final val MaxBucket = 100L
 
+  /** Engine-portable 32-bit shingle hash — the leading 8 hex chars of
+    * md5 as a long, identical to [[graft.functions.Md5Basis.h32]] and to
+    * what the DuckDB oracle rebuilds with a hex-digit polynomial. The
+    * verify joins intersect THESE, so |A∩B| agrees across engines.
+    */
+  private def md5h32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Engine-portable band-bucket key: 60-bit md5 prefix (15 hex chars —
+    * one short of the sign position) over the band's signature values
+    * rendered canonically as "v1,v2,v3,v4" — both engines print longs
+    * identically, so the bucket assignment is oracle-replayable.
+    */
+  private def md5bkey(rows: Seq[Column]): Column =
+    conv(substring(md5(concat_ws(",", rows: _*)), 1, 15), 16, 10).cast("long")
+
   /** Drop rows in overflowing buckets. Hot buckets are few by construction,
     * so the overflow list broadcasts.
     */
@@ -264,12 +280,12 @@ object DedupOps {
       .select(col("doc_id"), col("shs"))
       .filter(size(col("shs")) > 0)
       .select(col("doc_id"),
-        transform(col("shs"), s => xxhash64(s)).as("hsh"),
+        transform(col("shs"), s => md5h32(s)).as("hsh"),
         GraftFunctions.graftMinHashSig(col("shs")).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandKeys = (0 until Bands).map { b =>
       val rows = (0 until RowsPerBand).map(r => col("sig").getItem(b * RowsPerBand + r))
-      struct(lit(b).as("band"), xxhash64(rows: _*).as("bkey"))
+      struct(lit(b).as("band"), md5bkey(rows).as("bkey"))
     }
     val exploded = sh
       .select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
@@ -335,6 +351,141 @@ object DedupOps {
       .filter(col("hamming") <= 3)
       .orderBy("d1", "d2")
   }
+
+  // ---- DuckDB replay of the md5-basis sketch family (r11) ---------------
+  // The basis hash is the md5 prefix (Md5Basis), identical in both
+  // engines, so signatures, band keys, hot-bucket caps and verify joins
+  // are all deterministic integer arithmetic the oracle replays exactly.
+
+  /** Big-endian hex-digit polynomial over chars [start, start+len) of a
+    * lowercase-hex column — DuckDB's stand-in for `conv(..., 16, 10)`.
+    */
+  private def sqlHexPoly(mCol: String, start: Int, len: Int): String =
+    (0 until len).map { i =>
+      val pow = java.math.BigInteger.valueOf(16L).pow(len - 1 - i)
+      s"(strpos('0123456789abcdef', substring($mCol, ${start + i}, 1)) - 1) * $pow"
+    }.mkString("(", " + ", ")")
+
+  /** Shared CTE chain `sh` -> `hv` (doc_id, 32-bit shingle hash) ->
+    * `sig` (doc_id, 64-value signature list) -> `bands` (doc_id, band,
+    * 60-bit bucket key), mirroring [[minhashSigs]] + [[bandRows]].
+    */
+  private def sqlMinhashCtes: String = {
+    val perms = graft.functions.MinHashSig.A
+      .zip(graft.functions.MinHashSig.B).zipWithIndex
+      .map { case ((a, b), p) => s"($p, $a, $b)" }
+      .mkString(", ")
+    val bandConcat = (1 to RowsPerBand)
+      .map(r => s"CAST(sig[band * $RowsPerBand + $r] AS VARCHAR)")
+      .mkString(" || ',' || ")
+    s"""sh AS ($sqlShingles),
+       |inv AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+       |hh AS (SELECT doc_id, md5(s) AS m FROM inv),
+       |hv AS (SELECT doc_id, ${sqlHexPoly("m", 1, 8)} AS h FROM hh),
+       |perms AS (SELECT * FROM (VALUES $perms) AS t(p, a, b)),
+       |sigv AS (SELECT doc_id, p, MIN((a * h + b) % ${graft.functions.MinHashSig.P}) AS v
+       |         FROM hv, perms GROUP BY doc_id, p),
+       |sig AS (SELECT doc_id, list(v ORDER BY p) AS sig FROM sigv GROUP BY doc_id),
+       |bm AS (SELECT doc_id, band, md5($bandConcat) AS m
+       |       FROM sig, unnest(generate_series(0, ${Bands - 1})) AS t(band)),
+       |bands AS (SELECT doc_id, band, ${sqlHexPoly("m", 1, 15)} AS bkey FROM bm),
+       |nsh AS (SELECT doc_id, COUNT(*) AS n FROM hv GROUP BY doc_id)""".stripMargin
+  }
+
+  /** Verify-join fragment over candidate pairs (`cand` with columns
+    * aliased d1/d2): distinct-common-hash count (array_intersect
+    * semantics) + Jaccard on the hashed shingle multiset sizes.
+    */
+  private def sqlMinhashVerify(c1: String, c2: String): String =
+    s"""com AS (SELECT c.d1, c.d2, COUNT(DISTINCT x.h) AS common
+       |        FROM cand c JOIN hv x ON x.doc_id = c.d1
+       |        JOIN hv y ON y.doc_id = c.d2 AND y.h = x.h
+       |        GROUP BY c.d1, c.d2),
+       |jp AS (SELECT com.d1 AS $c1, com.d2 AS $c2,
+       |         CAST(common AS DOUBLE) / CAST(n1.n + n2.n - common AS DOUBLE) AS jaccard
+       |       FROM com JOIN nsh n1 ON n1.doc_id = com.d1
+       |       JOIN nsh n2 ON n2.doc_id = com.d2
+       |       WHERE CAST(common AS DOUBLE) / CAST(n1.n + n2.n - common AS DOUBLE) >= 0.7)""".stripMargin
+
+  val minhashOracle: String =
+    s"""WITH $sqlMinhashCtes,
+       |bsz AS (SELECT band, bkey, COUNT(*) AS n FROM bands GROUP BY band, bkey),
+       |pb AS (SELECT bands.doc_id, bands.band, bands.bkey FROM bands
+       |       JOIN bsz ON bands.band = bsz.band AND bands.bkey = bsz.bkey
+       |       WHERE bsz.n <= $MaxBucket),
+       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |         FROM pb a JOIN pb b ON a.band = b.band AND a.bkey = b.bkey
+       |           AND a.doc_id < b.doc_id),
+       |${sqlMinhashVerify("d1", "d2")}
+       |SELECT d1, d2, jaccard FROM jp ORDER BY d1, d2""".stripMargin
+
+  /** Incremental replay: the hot-bucket cap counts over CORPUS bands
+    * only (the probe prunes the corpus index before the batch joins it),
+    * batch bands join unpruned — exactly [[minhashProbe]].
+    */
+  val incrMinhashOracle: String =
+    s"""WITH $sqlMinhashCtes,
+       |cb AS (SELECT * FROM bands WHERE doc_id % 5 <> 0),
+       |bb AS (SELECT * FROM bands WHERE doc_id % 5 = 0),
+       |bsz AS (SELECT band, bkey, COUNT(*) AS n FROM cb GROUP BY band, bkey),
+       |pb AS (SELECT cb.doc_id, cb.band, cb.bkey FROM cb
+       |       JOIN bsz ON cb.band = bsz.band AND cb.bkey = bsz.bkey
+       |       WHERE bsz.n <= $MaxBucket),
+       |cand AS (SELECT DISTINCT b.doc_id AS d1, c.doc_id AS d2
+       |         FROM pb c JOIN bb b ON c.band = b.band AND c.bkey = b.bkey),
+       |${sqlMinhashVerify("batch_doc", "corpus_doc")}
+       |SELECT batch_doc, corpus_doc, jaccard FROM jp
+       |ORDER BY batch_doc, corpus_doc""".stripMargin
+
+  /** Shared CTE chain for the simhash replay: per-token md5 64-bit basis
+    * as two 32-bit words (chars 1-8 / 9-16 — bit 63 stays out of the
+    * sign position in both engines), per-bit +1/-1 votes with token
+    * multiplicity, fingerprint words, and the 4 x 16-bit pigeonhole
+    * chunks; hamming is computed from the word xors.
+    */
+  private def sqlSimhashCtes: String =
+    s"""toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents),
+       |tm AS (SELECT doc_id, md5(tok) AS m FROM toks),
+       |th AS (SELECT doc_id, ${sqlHexPoly("m", 1, 8)} AS hi,
+       |              ${sqlHexPoly("m", 9, 8)} AS lo FROM tm),
+       |bits AS (SELECT doc_id, b,
+       |    SUM((CASE WHEN b < 32 THEN (lo >> b) & 1 ELSE (hi >> (b - 32)) & 1 END) * 2 - 1) AS v
+       |  FROM th, unnest(generate_series(0, 63)) AS t(b) GROUP BY doc_id, b),
+       |words AS (SELECT doc_id,
+       |    CAST(SUM(CASE WHEN v > 0 AND b < 32 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS w_lo,
+       |    CAST(SUM(CASE WHEN v > 0 AND b >= 32 THEN (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS BIGINT) AS w_hi
+       |  FROM bits GROUP BY doc_id),
+       |bands AS (SELECT doc_id, w_lo, w_hi, b AS band,
+       |    CASE b WHEN 0 THEN w_lo & 65535 WHEN 1 THEN (w_lo >> 16) & 65535
+       |           WHEN 2 THEN w_hi & 65535 ELSE (w_hi >> 16) & 65535 END AS chunk
+       |  FROM words, unnest(generate_series(0, 3)) AS t(b))""".stripMargin
+
+  val simhashOracle: String =
+    s"""WITH $sqlSimhashCtes,
+       |bsz AS (SELECT band, chunk, COUNT(*) AS n FROM bands GROUP BY band, chunk),
+       |pb AS (SELECT bands.* FROM bands
+       |       JOIN bsz ON bands.band = bsz.band AND bands.chunk = bsz.chunk
+       |       WHERE bsz.n <= $MaxBucket)
+       |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+       |  CAST(bit_count(xor(a.w_lo, b.w_lo)) + bit_count(xor(a.w_hi, b.w_hi)) AS INT) AS hamming
+       |FROM pb a JOIN pb b ON a.band = b.band AND a.chunk = b.chunk
+       |  AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.w_lo, b.w_lo)) + bit_count(xor(a.w_hi, b.w_hi)) <= 3
+       |ORDER BY d1, d2""".stripMargin
+
+  val incrSimhashOracle: String =
+    s"""WITH $sqlSimhashCtes,
+       |cb AS (SELECT * FROM bands WHERE doc_id % 5 <> 0),
+       |bb AS (SELECT * FROM bands WHERE doc_id % 5 = 0),
+       |bsz AS (SELECT band, chunk, COUNT(*) AS n FROM cb GROUP BY band, chunk),
+       |pb AS (SELECT cb.* FROM cb
+       |       JOIN bsz ON cb.band = bsz.band AND cb.chunk = bsz.chunk
+       |       WHERE bsz.n <= $MaxBucket)
+       |SELECT DISTINCT b.doc_id AS batch_doc, c.doc_id AS corpus_doc,
+       |  CAST(bit_count(xor(c.w_lo, b.w_lo)) + bit_count(xor(c.w_hi, b.w_hi)) AS INT) AS hamming
+       |FROM pb c JOIN bb b ON c.band = b.band AND c.chunk = b.chunk
+       |WHERE bit_count(xor(c.w_lo, b.w_lo)) + bit_count(xor(c.w_hi, b.w_hi)) <= 3
+       |ORDER BY batch_doc, corpus_doc""".stripMargin
 
   /** Connected components over the near-dup pair graph -> dedup clusters
     * (cluster id = min doc_id reachable; keep-list = docs equal to their
@@ -528,14 +679,14 @@ object DedupOps {
       .select(col("doc_id") +: col("shs") +: keep.map(col): _*)
       .filter(size(col("shs")) > 0)
       .select(col("doc_id") +:
-        transform(col("shs"), s => xxhash64(s)).as("hsh") +:
+        transform(col("shs"), s => md5h32(s)).as("hsh") +:
         GraftFunctions.graftMinHashSig(col("shs")).as("sig") +: keep.map(col): _*)
 
   /** (doc_id, band, bkey) band-bucket rows of a signature frame. */
   private[graft] def bandRows(df: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     val bandKeys = (0 until Bands).map { b =>
       val rows = (0 until RowsPerBand).map(r => col("sig").getItem(b * RowsPerBand + r))
-      struct(lit(b).as("band"), xxhash64(rows: _*).as("bkey"))
+      struct(lit(b).as("band"), md5bkey(rows).as("bkey"))
     }
     df.select(col("doc_id") +: explode(array(bandKeys: _*)).as("bk") +: keep.map(col): _*)
       .select(col("doc_id") +: col("bk.band").as("band") +:
@@ -1488,14 +1639,14 @@ object DedupOps {
     QueryDef("doc_containment_pairs", containmentPairs, Some(containmentOracle)),
     QueryDef("doc_keep_containers", keepContainers, Some(keepContainersOracle)),
     QueryDef("doc_keep_containers_fix", keepContainersFix, Some(keepContainersFixOracle)),
-    QueryDef("doc_minhash_lsh", minHashLsh, None, headline = true),
-    QueryDef("doc_simhash", simHashPairs, None),
+    QueryDef("doc_minhash_lsh", minHashLsh, Some(minhashOracle), headline = true),
+    QueryDef("doc_simhash", simHashPairs, Some(simhashOracle)),
     QueryDef("doc_dup_clusters", dupClusters, Some(dupClustersOracle)),
     QueryDef("doc_substring_dup", substringDup, Some(substringDupOracle)),
     QueryDef("doc_substring_scrub", substringScrub, Some(substringScrubOracle)),
     QueryDef("doc_incr_dedup", incrementalDedup, Some(incrementalOracle)),
-    QueryDef("doc_incr_minhash", incrementalMinHash, None),
-    QueryDef("doc_incr_simhash", incrementalSimHash, None),
+    QueryDef("doc_incr_minhash", incrementalMinHash, Some(incrMinhashOracle)),
+    QueryDef("doc_incr_simhash", incrementalSimHash, Some(incrSimhashOracle)),
     QueryDef("doc_dedup_keep_best", dedupKeepBest, Some(keepBestOracle)),
     QueryDef("doc_corpus_clean", corpusClean, Some(corpusCleanOracle)),
     QueryDef("doc_dup_source_matrix", dupSourceMatrix, Some(dupSourceMatrixOracle))

@@ -23,7 +23,8 @@ object Registry {
       operators.DedupOps.defs ++
       operators.GraphOps.defs ++
       operators.SimilarityOps.defs ++
-      operators.MultimodalOps.defs
+      operators.MultimodalOps.defs ++
+      operators.HybridSearch.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

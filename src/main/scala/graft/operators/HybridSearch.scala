@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.QueryDef
+import graft.functions.GraftFunctions
+import graft.sources.Tables
+
+/** Hybrid retrieval — the production search shape every RAG /
+  * decontamination / corpus-search stack ships: a LEXICAL ranker (BM25
+  * over an inverted posting-list index) and a SEMANTIC ranker (embedding
+  * cosine kNN) fused by Reciprocal Rank Fusion (Cormack, Clarke &
+  * Buettcher, SIGIR 2009: score = Σ 1/(k + rank), k = 60 — the fusion
+  * every hybrid vector store defaults to, robust because it consumes
+  * only RANKS, never incomparable raw scores).
+  *
+  * Queries are "more-like-this": each query document's distinct tokens
+  * form its lexical query, its embedding the semantic one (doc_id and
+  * vec_id share the id space in the fixture).
+  *
+  * Shape at 100 TB: the posting build is the one corpus-scale shuffle
+  * (explode -> (doc, term) partial-count, the inverted index a search
+  * engine materializes once); the query side — terms, per-term dfs,
+  * corpus stats — is bounded by the query set and BROADCASTS, so scoring
+  * is map-side over the matched postings and collapses to one
+  * (q_id, doc_id) partial aggregate. The kNN side reuses the brute
+  * discipline (bounded query set broadcast, WindowGroupLimit top-N);
+  * fusion joins two ≤ topN-per-query frames — driver-scale.
+  *
+  * Float discipline (hash-exact gate): per-(q,doc,term) BM25
+  * contributions are deterministic IEEE products of integer-derived
+  * stats (idf via graft_ln — the doc_bm25 libm-parity discipline), then
+  * QUANTIZED to integers (floor(x * 2^20)) so the per-pair SUM is
+  * order-independent — the q1/whiten-stats discipline; ranks are
+  * integers and the final RRF score is a fixed two-term sum of exact
+  * reciprocals. The DuckDB oracle replays the whole pipeline.
+  */
+object HybridSearch {
+
+  /** RRF smoothing constant (the SIGIR 2009 default). */
+  final val RrfK = 60
+
+  /** Per-ranker candidate depth feeding the fusion. */
+  final val TopN = 50
+
+  /** Fused results returned per query. */
+  final val TopK = 10
+
+  /** Lexical-score quantization grid (2^20). */
+  final val ScoreQ = 1L << 20
+
+  def hybridSearchOn(docs: DataFrame, emb: DataFrame): DataFrame = {
+    // ---- lexical side: inverted postings + BM25 ----
+    val toks = Tables.spread(docs)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val postings = toks
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    // corpus stats: one aggregate row (index metadata, the Bm25Model
+    // pattern) — the only driver pull on the lexical side
+    val st = toks.agg(count(lit(1)).as("n"), sum("dl").as("tdl")).collect()(0)
+    val nDocs = st.getLong(0)
+    val avgdl = st.getLong(1).toDouble / nDocs.toDouble
+    val qterms = toks.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("q_id"),
+        explode(array_distinct(col("toks"))).as("term"))
+    // postings matched by ANY query term; df per matched term counts all
+    // docs containing it (postings hold one row per (doc, term), and
+    // every such doc row is in the matched subset) — no full-vocab agg
+    val matched = postings
+      .join(broadcast(qterms.select("term").distinct()), Seq("term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfQ = matched.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = GraftFunctions.graftLn(
+      (lit(nDocs.toDouble) - col("df").cast(DoubleType) + lit(0.5)) /
+        (col("df").cast(DoubleType) + lit(0.5)) + lit(1.0))
+    val tfPart = col("tf").cast(DoubleType) * lit(2.2) /
+      (col("tf").cast(DoubleType) +
+        lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast(DoubleType) / lit(avgdl)))
+    val lex = matched
+      .join(broadcast(dfQ), Seq("term"))
+      .join(broadcast(qterms), Seq("term"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .withColumn("qc", floor(idf * tfPart * lit(ScoreQ.toDouble)).cast("long"))
+      .groupBy("q_id", "doc_id").agg(sum("qc").as("qscore"))
+    val wL = Window.partitionBy("q_id").orderBy(col("qscore").desc, col("doc_id").asc)
+    val lexTop = lex.withColumn("r_bm25", row_number().over(wL).cast("long"))
+      .filter(col("r_bm25") <= TopN)
+      .select("q_id", "doc_id", "r_bm25")
+
+    // ---- semantic side: brute quantized-cosine top-N ----
+    val e = Tables.spread(emb)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val wV = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
+    val knnTop = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", GraftFunctions.graftCosine(col("q_emb"), col("embedding")))
+      .withColumn("r_knn", row_number().over(wV).cast("long"))
+      .filter(col("r_knn") <= TopN)
+      .select(col("q_id"), col("vec_id").as("doc_id"), col("r_knn"))
+
+    // ---- reciprocal rank fusion ----
+    val fused = lexTop.join(knnTop, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(RrfK.toDouble) + col("r_bm25").cast(DoubleType)), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK.toDouble) + col("r_knn").cast(DoubleType)), lit(0.0)))
+    val wF = Window.partitionBy("q_id").orderBy(col("rrf").desc, col("doc_id").asc)
+    fused.withColumn("rnk", row_number().over(wF).cast("long"))
+      .filter(col("rnk") <= TopK)
+      .select("q_id", "doc_id", "rnk", "rrf", "r_bm25", "r_knn")
+      .orderBy("q_id", "rnk")
+  }
+
+  def hybridSearch(s: SparkSession, dir: String): DataFrame =
+    hybridSearchOn(Tables.t(s, dir, "documents"), Tables.t(s, dir, "embeddings"))
+
+  private def sqlQDot(a: String, b: String): String =
+    s"""CAST(list_sum(list_transform(list_zip($a, $b),
+       |  z -> CAST(FLOOR(CAST(z[1] AS DOUBLE) * 1e9) AS BIGINT) *
+       |       CAST(FLOOR(CAST(z[2] AS DOUBLE) * 1e9) AS BIGINT))) AS BIGINT)""".stripMargin
+
+  private def sqlQCos(a: String, b: String): String =
+    s"""(CAST(${sqlQDot(a, b)} AS DOUBLE) /
+       |  (SQRT(CAST(${sqlQDot(a, a)} AS DOUBLE)) * SQRT(CAST(${sqlQDot(b, b)} AS DOUBLE))))""".stripMargin
+
+  val hybridOracle: String =
+    s"""WITH toks AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+       |tk AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS term FROM toks),
+       |postings AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |             FROM tk GROUP BY doc_id, dl, term),
+       |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_dl
+       |          FROM (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks)),
+       |qterms AS (SELECT DISTINCT doc_id AS q_id, term FROM tk WHERE doc_id < 10),
+       |qts AS (SELECT DISTINCT term FROM qterms),
+       |matched AS (SELECT p.doc_id, p.dl, p.term, p.tf FROM postings p JOIN qts USING (term)),
+       |dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM matched GROUP BY term),
+       |lex AS (
+       |  SELECT q.q_id, m.doc_id, CAST(SUM(CAST(FLOOR(
+       |      ln((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+       |         / (CAST(d.df AS DOUBLE) + 0.5) + 1.0)
+       |      * (CAST(m.tf AS DOUBLE) * 2.2
+       |         / (CAST(m.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(m.dl AS DOUBLE)
+       |            / (CAST(s.total_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))))
+       |      * 1048576.0) AS BIGINT)) AS BIGINT) AS qscore
+       |  FROM matched m JOIN dfq d USING (term) JOIN qterms q USING (term), stats s
+       |  WHERE m.doc_id <> q.q_id
+       |  GROUP BY q.q_id, m.doc_id),
+       |lex_top AS (
+       |  SELECT q_id, doc_id, rk AS r_bm25 FROM (
+       |    SELECT q_id, doc_id, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY qscore DESC, doc_id ASC) AS rk FROM lex)
+       |  WHERE rk <= $TopN),
+       |qv AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+       |knn AS (SELECT qv.q_id, e.vec_id AS doc_id,
+       |          ${sqlQCos("qv.q_emb", "e.embedding")} AS sim
+       |        FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> qv.q_id),
+       |knn_top AS (
+       |  SELECT q_id, doc_id, rk AS r_knn FROM (
+       |    SELECT q_id, doc_id, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY sim DESC, doc_id ASC) AS rk FROM knn)
+       |  WHERE rk <= $TopN),
+       |fused AS (
+       |  SELECT COALESCE(l.q_id, k.q_id) AS q_id,
+       |         COALESCE(l.doc_id, k.doc_id) AS doc_id,
+       |         l.r_bm25, k.r_knn,
+       |         COALESCE(CAST(1 AS DOUBLE) / (CAST($RrfK AS DOUBLE) + CAST(l.r_bm25 AS DOUBLE)), CAST(0 AS DOUBLE)) +
+       |         COALESCE(CAST(1 AS DOUBLE) / (CAST($RrfK AS DOUBLE) + CAST(k.r_knn AS DOUBLE)), CAST(0 AS DOUBLE)) AS rrf
+       |  FROM lex_top l FULL OUTER JOIN knn_top k
+       |    ON l.q_id = k.q_id AND l.doc_id = k.doc_id)
+       |SELECT q_id, doc_id, rnk, rrf, r_bm25, r_knn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id ASC) AS rnk
+       |  FROM fused)
+       |WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("doc_hybrid_search", hybridSearch, Some(hybridOracle))
+  )
+}

@@ -1399,12 +1399,105 @@ object SimilarityOps {
       .orderBy("vec_id")
   }
 
-  /** `emb_semdedup`: the removal list over the embeddings table (model-
-    * dependent clustering -> rows-only gate; semantics unit-tested with
-    * planted clones).
+  /** One-time centroid fit for the FROZEN semantic-dedup reference
+    * quantizer (tools/QuantFreeze): the same seeded bounded-sample
+    * KMeans [[semDeDupOn]] runs, over NORMALIZED vectors, at a fixed
+    * k=16, returned as plain arrays for literal freezing.
+    */
+  private[graft] def fitSemCentroidsRef(emb: DataFrame, k: Int = 16): Array[Array[Double]] = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = withNormalized(Tables.spread(emb))
+      .withColumn("features", array_to_vector(col("nvec")))
+    coarseQuantizer(e, k).clusterCenters.map(_.toArray)
+  }
+
+  /** The GATED semantic-dedup query (hash-exact since r11): serves with
+    * the FROZEN reference quantizer ([[graft.model.SemRef]] — the
+    * IvfRef/PqRef ship-the-model shape, fitted once by
+    * `tools/QuantFreeze` on normalized vectors). Cell assignment is a
+    * first-min argmin over literal centroids with a defined fold order,
+    * cdist the sqrt of the SAME fold value, the better-ordering and the
+    * quantized-cosine verify exactly [[semDeDupOn]]'s — so the whole
+    * removal list is deterministic arithmetic the DuckDB oracle replays.
+    * Live fits (auto-sized cells) stay on [[semDeDupOn]] for the
+    * planted-clone semantics specs.
+    */
+  def semDeDupFrozenOn(e0: DataFrame, tau: Double = 0.4): DataFrame = {
+    val av = withNormalized(Tables.spread(e0))
+      .withColumn("cents", typedLit(graft.model.SemRef.Centroids.map(_.toSeq).toSeq))
+      .withColumn("d2s", expr(
+        "transform(cents, c -> aggregate(zip_with(nvec, c," +
+          " (x, m) -> (x - m) * (x - m)), CAST(0.0 AS DOUBLE), (a, v) -> a + v))"))
+      .withColumn("cell", expr("array_position(d2s, array_min(d2s))"))
+      .withColumn("cdist", expr("sqrt(element_at(d2s, CAST(cell AS INT)))"))
+      .select("vec_id", "embedding", "cell", "cdist")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val better = (col("a.cdist") > col("b.cdist")) ||
+      (col("a.cdist") === col("b.cdist") && col("a.vec_id") < col("b.vec_id"))
+    av.as("a")
+      .join(av.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id") && better)
+      .withColumn("sim", graftCosine(col("a.embedding"), col("b.embedding")))
+      .filter(col("sim") >= tau)
+      .groupBy(col("b.vec_id").as("vec_id"), col("b.cell").as("cell"))
+      .agg(count(lit(1)).as("n_better_dups"), max(col("sim")).as("max_sim"))
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB replay of [[semDeDupFrozenOn]]: the same frozen centroid
+    * literals (E-notation), normalization CASE, per-cell distance folds
+    * with first-min assignment, better-ordering and quantized-cosine
+    * verify; count/max are order-independent.
+    */
+  lazy val semDeDupOracle: String = {
+    def dbl(x: Double): String = {
+      val s = x.toString
+      if (s.contains('E') || s.contains('e')) s else s + "E0"
+    }
+    val cents = graft.model.SemRef.Centroids
+    val k = cents.length
+    val d = cents.head.length
+    val cl = cents.map(_.map(dbl).mkString("[", ", ", "]"))
+      .mkString("CAST([", ",\n", "] AS DOUBLE[][])")
+    s"""WITH cents AS (SELECT $cl AS cs),
+       |nv AS (SELECT vec_id, embedding,
+       |         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |           list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+       |           (a, v) -> a + v)) AS nrm
+       |       FROM embeddings),
+       |nvec AS (SELECT vec_id, embedding,
+       |          list_transform(embedding, x -> CASE WHEN nrm = 0.0 THEN CAST(0.0 AS DOUBLE)
+       |            ELSE CAST(x AS DOUBLE) / nrm END) AS nv
+       |        FROM nv),
+       |cd AS (SELECT n.vec_id, ci,
+       |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |           list_transform(generate_series(1, $d),
+       |             i -> (n.nv[i] - cs[ci][i]) * (n.nv[i] - cs[ci][i]))),
+       |           (a, v) -> a + v) AS dd
+       |       FROM nvec n, cents, unnest(generate_series(1, $k)) AS t(ci)),
+       |asg AS (SELECT cd.vec_id, CAST(MIN(cd.ci) AS BIGINT) AS cell, MIN(mm.md) AS d2
+       |        FROM cd JOIN (SELECT vec_id, MIN(dd) AS md FROM cd GROUP BY vec_id) mm
+       |          ON cd.vec_id = mm.vec_id AND cd.dd = mm.md
+       |        GROUP BY cd.vec_id),
+       |av AS (SELECT a.vec_id, a.cell, sqrt(a.d2) AS cdist, e.embedding
+       |       FROM asg a JOIN embeddings e ON e.vec_id = a.vec_id),
+       |pairs AS (
+       |  SELECT b.vec_id, b.cell,
+       |         ${sqlQCos("a.embedding", "b.embedding")} AS sim
+       |  FROM av a JOIN av b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+       |    AND (a.cdist > b.cdist OR (a.cdist = b.cdist AND a.vec_id < b.vec_id)))
+       |SELECT vec_id, cell, CAST(COUNT(*) AS BIGINT) AS n_better_dups,
+       |       MAX(sim) AS max_sim
+       |FROM pairs WHERE sim >= 0.4
+       |GROUP BY vec_id, cell ORDER BY vec_id""".stripMargin
+  }
+
+  /** `emb_semdedup`: the removal list over the embeddings table — served
+    * by the frozen-quantizer form (hash-exact); the live auto-cell fit
+    * stays on [[semDeDupOn]] (planted-clone semantics unit-tested).
     */
   def semDeDup(s: SparkSession, dir: String): DataFrame =
-    semDeDupOn(Tables.t(s, dir, "embeddings"))
+    semDeDupFrozenOn(Tables.t(s, dir, "embeddings"))
 
   /** Exact threshold-bounded kNN JOIN — EVERY vector's top-k neighbors
     * with sim >= t, corpus-wide (no label blocking): the graph-building
@@ -2404,6 +2497,6 @@ object SimilarityOps {
     QueryDef("emb_whiten_stats", whitenStats, Some(whitenStatsOracle)),
     QueryDef("emb_whiten_dups", whitenDups, Some(whitenDupsOracle)),
     QueryDef("emb_pca_project", pcaProject, Some(pcaProjectOracle)),
-    QueryDef("emb_semdedup", semDeDup, None)
+    QueryDef("emb_semdedup", semDeDup, Some(semDeDupOracle))
   )
 }

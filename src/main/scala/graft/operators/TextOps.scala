@@ -2183,15 +2183,22 @@ object TextOps {
     * same integer is the doc's contribution to every present bucket and
     * to the bias, so the whole gradient is exact integer sums.
     */
+  /** Hashed-presence feature buckets: sorted distinct md5-basis token
+    * buckets (engine-portable — the r11 basis that makes the frozen-model
+    * gate oracle-replayable; the fold over a SORTED distinct set also
+    * gives the margin one deterministic association order).
+    */
+  private def lrBuckets(dim: Int): Column =
+    expr(s"array_sort(array_distinct(transform(split(text, ' '), " +
+      s"t -> CAST(CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) % $dim AS INT))))")
+
   def lrFit(s: SparkSession, docs: DataFrame, labelCol: Column,
       dim: Int = 1024, iters: Int = 10, rate: Double = 2.0,
       l2: Double = 1e-4): LrModel = {
     val Q = 1L << 30
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val feats = Tables.spread(docs)
-      .select(labelCol.cast(DoubleType).as("y"),
-        expr(s"array_sort(array_distinct(transform(split(text, ' '), " +
-          s"t -> CAST(pmod(xxhash64(t), $dim) AS INT))))").as("hs"))
+      .select(labelCol.cast(DoubleType).as("y"), lrBuckets(dim).as("hs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nDocs = feats.count().toDouble
     require(nDocs > 0, "lrFit: empty training frame")
@@ -2227,8 +2234,7 @@ object TextOps {
   def lrApply(frame: DataFrame, m: LrModel, labelCol: Column): DataFrame =
     Tables.spread(frame)
       .select(col("doc_id"), labelCol.cast("long").as("label"),
-        expr(s"array_sort(array_distinct(transform(split(text, ' '), " +
-          s"t -> CAST(pmod(xxhash64(t), ${m.dim}) AS INT))))").as("hs"))
+        lrBuckets(m.dim).as("hs"))
       .withColumn("wl", typedLit(m.weights))
       .withColumn("margin", lit(m.bias) +
         expr("aggregate(hs, CAST(0.0 AS DOUBLE), (acc, h) -> acc + element_at(wl, h + 1))"))
@@ -2236,17 +2242,55 @@ object TextOps {
       .withColumn("pred", (col("prob") >= 0.5).cast("long"))
       .select("doc_id", "label", "margin", "prob", "pred")
 
-  /** Gate query: train on the corpus `lang = 'en'` label and score the
-    * corpus (word-salad text, so learning is unit-tested on a
-    * planted-signal frame instead — `LrSpec`; the gate checks the
-    * train+serve plumbing end-to-end and the row surface).
+  /** Gate query (hash-exact since r11): score the corpus with the FROZEN
+    * reference classifier ([[graft.model.LrRef]] — fitted once by
+    * `tools/LrFreeze`, the PcaRef/PqRef ship-the-model shape). The gated
+    * surface is (label, margin, pred = margin >= 0): margin is a fold of
+    * literal weights over the sorted md5-basis buckets — one
+    * deterministic IEEE association order both engines replay — and the
+    * sign decision is EXACTLY prob >= 0.5 without routing the gate
+    * through exp (a transcendental with no cross-engine bit contract —
+    * the graft_ln lesson). prob stays on [[lrApply]] for live serving;
+    * LEARNING is unit-tested on planted signal (`TextAnalyticsSpec`),
+    * the fit's partitioning-independence spec-pinned.
     */
   def lrQuality(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.t(s, dir, "documents")
-    val m = lrFit(s, docs, (col("lang") === "en").cast(DoubleType),
-      dim = s.conf.get("spark.graft.lr.dim", "1024").toInt,
-      iters = s.conf.get("spark.graft.lr.iters", "10").toInt)
-    lrApply(docs, m, (col("lang") === "en").cast("long")).orderBy("doc_id")
+    val m = LrModel(graft.model.LrRef.Dim, graft.model.LrRef.Bias,
+      graft.model.LrRef.Weights.toVector)
+    lrApply(docs, m, (col("lang") === "en").cast("long"))
+      .withColumn("pred", (col("margin") >= 0.0).cast("long"))
+      .select("doc_id", "label", "margin", "pred")
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB replay of [[lrQuality]]: frozen weight literals (E-notation),
+    * the md5-bucket hex polynomial, sorted-distinct fold for the margin.
+    */
+  lazy val lrQualityOracle: String = {
+    def dbl(x: Double): String = {
+      val s = x.toString
+      if (s.contains('E') || s.contains('e')) s else s + "E0"
+    }
+    val dim = graft.model.LrRef.Dim
+    val wl = graft.model.LrRef.Weights.map(dbl).mkString("CAST([", ", ", "] AS DOUBLE[])")
+    val poly = (0 until 8).map { i =>
+      val pow = 1L << (4 * (7 - i))
+      s"(strpos('0123456789abcdef', substring(m, ${1 + i}, 1)) - 1) * $pow"
+    }.mkString("(", " + ", ")")
+    s"""WITH wl AS (SELECT $wl AS w),
+       |tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS t FROM documents),
+       |tb AS (SELECT doc_id, md5(t) AS m FROM tok),
+       |hb AS (SELECT DISTINCT doc_id, CAST($poly % $dim AS INT) AS h FROM tb),
+       |hs AS (SELECT doc_id, list(h ORDER BY h) AS hs FROM hb GROUP BY doc_id),
+       |sc AS (SELECT d.doc_id, CAST(d.lang = 'en' AS BIGINT) AS label,
+       |         ${dbl(graft.model.LrRef.Bias)} + list_reduce(
+       |           list_prepend(CAST(0.0 AS DOUBLE),
+       |             list_transform(h.hs, x -> w[x + 1])),
+       |           (acc, v) -> acc + v) AS margin
+       |       FROM documents d JOIN hs h ON h.doc_id = d.doc_id, wl)
+       |SELECT doc_id, label, margin, CAST(margin >= 0.0 AS BIGINT) AS pred
+       |FROM sc ORDER BY doc_id""".stripMargin
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -2286,7 +2330,7 @@ object TextOps {
     QueryDef("doc_mix_weights", mixWeights, Some(mixWeightsOracle)),
     QueryDef("doc_gopher_rep", gopherRep, Some(gopherRepOracle)),
     QueryDef("doc_nb_classify", nbClassify, Some(nbClassifyOracle)),
-    QueryDef("doc_lr_quality", lrQuality, None),
+    QueryDef("doc_lr_quality", lrQuality, Some(lrQualityOracle)),
     QueryDef("doc_bpe_merges", bpeMerges, None),
     QueryDef("doc_bpe_tokens", bpeTokens, None),
     QueryDef("doc_heavy_tokens", heavyTokens, Some(heavyTokensOracle))

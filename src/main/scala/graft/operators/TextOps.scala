@@ -2149,6 +2149,92 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // ---- DuckDB replay of BPE training (r11) -----------------------------
+  // The 20-round merge loop IS SQL-expressible: segmentations ride as
+  // bracket-wrapped strings ("(a)(bc)(d)" — symbols fully delimited, so a
+  // pair pattern "(a)(b)" can never false-match a symbol prefix/suffix),
+  // each round is one weighted pair-count + deterministic argmax
+  // (count DESC, pair ASC — the bpeTrain tiebreak) + one replace() whose
+  // left-to-right non-overlapping scan is exactly the reference merge
+  // apply (an inserted symbol contains no ")(", so a replacement can
+  // never re-create the pattern). MATERIALIZED rounds — the
+  // doc_keep_containers_fix discipline (default CTE inlining re-expands
+  // multi-referenced rounds exponentially).
+
+  private val BpeMergeRounds = 20
+
+  /** CTE chain `seg0..segN` / `m1..mN`: capped word counts, wrapped
+    * segmentations, and each round's winning merge.
+    */
+  private def bpeRoundsSql(n: Int): String = {
+    val head =
+      """seg0 AS MATERIALIZED (
+        |  SELECT w, c, list_aggregate(list_transform(generate_series(1, length(w)),
+        |      i -> '(' || substring(w, i, 1) || ')'), 'string_agg', '') AS s
+        |  FROM (SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+        |        FROM (SELECT unnest(str_split(text, ' ')) AS w FROM documents)
+        |        WHERE w <> '' GROUP BY w
+        |        QUALIFY row_number() OVER (ORDER BY c DESC, w ASC) <= 100000))""".stripMargin
+    val rounds = (1 to n).map { r =>
+      val p = r - 1
+      s"""sy$r AS MATERIALIZED (
+         |  SELECT c, str_split(substring(s, 2, length(s) - 2), ')(') AS syms FROM seg$p),
+         |m$r AS MATERIALIZED (
+         |  SELECT a, b, pc FROM (
+         |    SELECT syms[i] AS a, syms[i+1] AS b, CAST(SUM(c) AS BIGINT) AS pc
+         |    FROM sy$r, unnest(generate_series(1, len(syms) - 1)) AS t(i)
+         |    GROUP BY syms[i], syms[i+1])
+         |  ORDER BY pc DESC, a ASC, b ASC LIMIT 1),
+         |seg$r AS MATERIALIZED (
+         |  SELECT w, c, replace(s, '(' || m.a || ')(' || m.b || ')', '(' || m.a || m.b || ')') AS s
+         |  FROM seg$p, m$r m)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n")
+  }
+
+  lazy val bpeMergesOracle: String = {
+    val sel = (1 to BpeMergeRounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS rank, a AS "left", b AS "right",
+         |  a || b AS merged, pc AS pair_count FROM m$r""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH ${bpeRoundsSql(BpeMergeRounds)}
+       |SELECT * FROM ($sel) ORDER BY rank""".stripMargin
+  }
+
+  /** Tokens replay: the SAME replace chain applied to every distinct
+    * corpus word (the capped-vocab map and the beyond-vocab
+    * [[bpeSegmentCol]] branch compute the identical segmentation, so one
+    * uniform chain replays both), then per-doc integer subtoken sums.
+    */
+  lazy val bpeTokensOracle: String = {
+    val wchain = (1 to BpeMergeRounds).map { r =>
+      s"""wseg$r AS MATERIALIZED (
+         |  SELECT w, replace(s, '(' || m.a || ')(' || m.b || ')', '(' || m.a || m.b || ')') AS s
+         |  FROM wseg${r - 1}, m$r m)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${bpeRoundsSql(BpeMergeRounds)},
+       |wseg0 AS MATERIALIZED (
+       |  SELECT w, list_aggregate(list_transform(generate_series(1, length(w)),
+       |      i -> '(' || substring(w, i, 1) || ')'), 'string_agg', '') AS s
+       |  FROM (SELECT DISTINCT unnest(str_split(text, ' ')) AS w FROM documents)
+       |  WHERE w <> ''),
+       |$wchain,
+       |wlen AS (SELECT w, CAST(len(str_split(substring(s, 2, length(s) - 2), ')(')) AS BIGINT) AS nsub
+       |         FROM wseg$BpeMergeRounds),
+       |dw AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_d,
+       |              CAST(len(str_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       |              unnest(str_split(text, ' ')) AS w
+       |       FROM documents),
+       |agg AS (SELECT doc_id, MIN(n_chars_d) AS n_chars_d, MIN(n_ws_tokens) AS n_ws_tokens,
+       |               CAST(SUM(CASE WHEN dw.w = '' THEN 0 ELSE wlen.nsub END) AS BIGINT) AS n_bpe_subtokens
+       |        FROM dw LEFT JOIN wlen ON dw.w = wlen.w
+       |        GROUP BY doc_id)
+       |SELECT doc_id, n_chars_d, n_ws_tokens, n_bpe_subtokens,
+       |  CASE WHEN n_bpe_subtokens > 0
+       |       THEN CAST(n_chars_d AS DOUBLE) / CAST(n_bpe_subtokens AS DOUBLE) END AS chars_per_subtoken
+       |FROM agg ORDER BY doc_id""".stripMargin
+  }
+
   // ---- hashed-feature logistic regression ------------------------------
   // The DISCRIMINATIVE member of the classifier family (NB above is the
   // counts-based one): a fastText-shaped quality/domain filter — hashed
@@ -2331,8 +2417,8 @@ object TextOps {
     QueryDef("doc_gopher_rep", gopherRep, Some(gopherRepOracle)),
     QueryDef("doc_nb_classify", nbClassify, Some(nbClassifyOracle)),
     QueryDef("doc_lr_quality", lrQuality, Some(lrQualityOracle)),
-    QueryDef("doc_bpe_merges", bpeMerges, None),
-    QueryDef("doc_bpe_tokens", bpeTokens, None),
+    QueryDef("doc_bpe_merges", bpeMerges, Some(bpeMergesOracle)),
+    QueryDef("doc_bpe_tokens", bpeTokens, Some(bpeTokensOracle)),
     QueryDef("doc_heavy_tokens", heavyTokens, Some(heavyTokensOracle))
   )
 }

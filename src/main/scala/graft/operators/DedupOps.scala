@@ -487,6 +487,70 @@ object DedupOps {
        |WHERE bit_count(xor(c.w_lo, b.w_lo)) + bit_count(xor(c.w_hi, b.w_hi)) <= 3
        |ORDER BY batch_doc, corpus_doc""".stripMargin
 
+  // ---- edit-distance (fuzzy) near-dup ----------------------------------
+
+  /** Fuzzy near-dup pairs by EDIT DISTANCE — the record-linkage member
+    * of the near-dup family (Jaccard measures set overlap and misses
+    * transpositions/small in-word edits; Levenshtein is the standard
+    * fuzzy-match verifier). Candidates come from the SAME md5-basis
+    * MinHash bands as [[minHashLshOn]] (banded recall, hot buckets
+    * capped — never all-pairs), then each candidate pair is verified
+    * with the unit-cost Levenshtein DP, which both engines implement
+    * identically (integer-exact), normalized by the longer text.
+    *
+    * Scale shape: identical to the LSH query until the verify — the
+    * bounded candidate set joins the corpus texts per side (broadcast
+    * candidates, point-ish text fetch) and the O(len_a x len_b) DP runs
+    * only on candidates the bands already vouched for.
+    */
+  def editDistPairsOn(documents: DataFrame, maxNorm: Double = 0.25): DataFrame = {
+    val sh = minhashSigs(documents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pruned = pruneHotBuckets(bandRows(sh), Seq("band", "bkey"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val t = Tables.spread(documents).select(col("doc_id"), col("text"))
+    cands
+      .join(t.select(col("doc_id").as("d1"), col("text").as("t1")), "d1")
+      .join(t.select(col("doc_id").as("d2"), col("text").as("t2")), "d2")
+      .withColumn("edit_dist", levenshtein(col("t1"), col("t2")).cast("long"))
+      .withColumn("norm_dist", col("edit_dist").cast(DoubleType) /
+        greatest(length(col("t1")), length(col("t2"))).cast(DoubleType))
+      .filter(col("norm_dist") <= maxNorm)
+      .select("d1", "d2", "edit_dist", "norm_dist")
+      .orderBy("d1", "d2")
+  }
+
+  def editDistPairs(s: SparkSession, dir: String): DataFrame =
+    editDistPairsOn(Tables.t(s, dir, "documents"))
+
+  /** Oracle: the md5-basis band-candidate replay ([[sqlMinhashCtes]])
+    * plus DuckDB's own levenshtein — the same unit-cost DP, so the
+    * verify is integer-exact and the normalization one IEEE division.
+    */
+  val editDistOracle: String =
+    s"""WITH $sqlMinhashCtes,
+       |bsz AS (SELECT band, bkey, COUNT(*) AS n FROM bands GROUP BY band, bkey),
+       |pb AS (SELECT bands.doc_id, bands.band, bands.bkey FROM bands
+       |       JOIN bsz ON bands.band = bsz.band AND bands.bkey = bsz.bkey
+       |       WHERE bsz.n <= $MaxBucket),
+       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |         FROM pb a JOIN pb b ON a.band = b.band AND a.bkey = b.bkey
+       |           AND a.doc_id < b.doc_id),
+       |v AS (SELECT c.d1, c.d2,
+       |        CAST(levenshtein(x.text, y.text) AS BIGINT) AS edit_dist,
+       |        CAST(levenshtein(x.text, y.text) AS DOUBLE) /
+       |          CAST(GREATEST(length(x.text), length(y.text)) AS DOUBLE) AS norm_dist
+       |      FROM cand c JOIN documents x ON x.doc_id = c.d1
+       |      JOIN documents y ON y.doc_id = c.d2)
+       |SELECT d1, d2, edit_dist, norm_dist FROM v
+       |WHERE norm_dist <= 0.25 ORDER BY d1, d2""".stripMargin
+
   /** Connected components over the near-dup pair graph -> dedup clusters
     * (cluster id = min doc_id reachable; keep-list = docs equal to their
     * cluster id). Alternating large-star/small-star (Kiveris et al.,
@@ -1641,6 +1705,7 @@ object DedupOps {
     QueryDef("doc_keep_containers_fix", keepContainersFix, Some(keepContainersFixOracle)),
     QueryDef("doc_minhash_lsh", minHashLsh, Some(minhashOracle), headline = true),
     QueryDef("doc_simhash", simHashPairs, Some(simhashOracle)),
+    QueryDef("doc_editdist_pairs", editDistPairs, Some(editDistOracle)),
     QueryDef("doc_dup_clusters", dupClusters, Some(dupClustersOracle)),
     QueryDef("doc_substring_dup", substringDup, Some(substringDupOracle)),
     QueryDef("doc_substring_scrub", substringScrub, Some(substringScrubOracle)),

@@ -119,6 +119,43 @@ object HybridSearch {
   def hybridSearch(s: SparkSession, dir: String): DataFrame =
     hybridSearchOn(Tables.t(s, dir, "documents"), Tables.t(s, dir, "embeddings"))
 
+  /** SERVE the hybrid from persisted indexes — the production call shape
+    * (one query: a term set + a query vector): the lexical ranks come
+    * from the bucketed posting-list index ([[graft.sources.SearchIndex]]
+    * — bucket-pruned to the query terms' buckets), the semantic ranks
+    * from the PQ index probe ([[SimilarityOps.knnPqProbe]] — ADC over
+    * stored codes + bucket-pruned exact re-rank), and the fusion is the
+    * same RRF fold as the gated query. NOTHING rescans the corpus:
+    * at 100 TB the call touches a few posting buckets, the code table
+    * and ≤ PqRerank raw rows. `HybridServeSpec` pins the composed serve
+    * equal to the fusion of the direct full-scan rankers.
+    */
+  def hybridServe(s: SparkSession, searchIdxPath: String, pqIdxPath: String,
+      terms: Seq[String], query: DataFrame): DataFrame = {
+    val wL = Window.orderBy(col("bm25").desc, col("doc_id").asc)
+    val lexTop = graft.sources.SearchIndex.search(s, searchIdxPath, terms, TopN)
+      .withColumn("r_bm25", row_number().over(wL).cast("long"))
+      .select("doc_id", "r_bm25")
+    val knnTop = SimilarityOps.knnPqProbe(s, query, pqIdxPath)
+      .select(col("n_id").as("doc_id"), col("rnk").as("r_knn"))
+    fuseRanks(lexTop, knnTop)
+  }
+
+  /** The RRF fold over two (doc_id, rank) frames — shared by the gated
+    * query's per-query fusion shape and the single-query serve.
+    */
+  private[graft] def fuseRanks(lexTop: DataFrame, knnTop: DataFrame): DataFrame = {
+    val fused = lexTop.join(knnTop, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(RrfK.toDouble) + col("r_bm25").cast(DoubleType)), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK.toDouble) + col("r_knn").cast(DoubleType)), lit(0.0)))
+    val wF = Window.orderBy(col("rrf").desc, col("doc_id").asc)
+    fused.withColumn("rnk", row_number().over(wF).cast("long"))
+      .filter(col("rnk") <= TopK)
+      .select("doc_id", "rnk", "rrf", "r_bm25", "r_knn")
+      .orderBy("rnk")
+  }
+
   private def sqlQDot(a: String, b: String): String =
     s"""CAST(list_sum(list_transform(list_zip($a, $b),
        |  z -> CAST(FLOOR(CAST(z[1] AS DOUBLE) * 1e9) AS BIGINT) *

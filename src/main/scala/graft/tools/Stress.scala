@@ -133,6 +133,55 @@ object Stress {
       TextOps.bpeFit(spark, docsN, 20)._2.length)
     spark.catalog.clearCache()
 
+    // edit-distance near-dup: same banded candidates as minhash-lsh, so
+    // the marker interleave keeps every candidate within-copy; for
+    // copies <= 10 the 'cpN' markers are SAME-LENGTH and appear
+    // identically on both sides of a pair, so each copy's pair set is a
+    // character-consistent renaming of copy 0's — Levenshtein is
+    // identity-based, every distance replicates, and the qualifying
+    // pair count must be EXACTLY linear (hard require). Past 10 copies
+    // marker lengths diverge and the check degrades to a printout.
+    var ed1 = 0L
+    time("editdist x1 pairs") {
+      ed1 = DedupOps.editDistPairsOn(corpusOf(1)).count(); ed1
+    }
+    spark.catalog.clearCache()
+    time(s"editdist x$copies pairs") {
+      val eN = DedupOps.editDistPairsOn(docsN).count()
+      if (copies <= 10)
+        require(eN == copies * ed1,
+          s"editdist pairs not linear: x1=$ed1, x$copies=$eN")
+      eN
+    }
+    spark.catalog.clearCache()
+
+    // hybrid retrieval: FIXED query set (copy 0's doc_id < 10) against a
+    // corpus growing in both modalities — the serving scale shape. The
+    // posting build and the brute semantic scan are each one linear
+    // corpus pass; the fusion joins two <= topN-per-query frames, so
+    // output stays pinned at topK x |queries| rows however large the
+    // corpus gets (hard require on the row count, timing is the curve).
+    {
+      val emb0 = Tables.t(spark, dir, "embeddings")
+      def embOf(n: Int) = (0 until n).map { i =>
+        val flip = expr(
+          s"transform(embedding, (x, j) -> CASE WHEN pmod(xxhash64(concat('cp$i', '_', j)), 2) = 0 THEN x ELSE -x END)")
+        emb0.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+          flip.as("embedding"), col("label"))
+      }.reduce(_ unionByName _)
+      time("hybrid x1")(
+        graft.operators.HybridSearch.hybridSearchOn(corpusOf(1), embOf(1)).count())
+      spark.catalog.clearCache()
+      time(s"hybrid x$copies") {
+        val n = graft.operators.HybridSearch
+          .hybridSearchOn(docsN, embOf(copies)).count()
+        require(n == 100L,
+          s"hybrid output must stay topK x 10 queries = 100 rows, got $n")
+        n
+      }
+      spark.catalog.clearCache()
+    }
+
     // winnowing sketch: pure per-doc folds. Linearity needs TEXT-identical
     // copies (corpusOf's per-copy markers change the gram hashes and thus
     // which gram each window selects), so this stage replicates copy 0

@@ -496,4 +496,25 @@ class PlanSpec extends SparkSpecBase {
     // partial + final of ONE aggregate (both conditional sums inside it)
     assert(aggs == 2, s"both counts must ride one aggregate, got $aggs HashAggregates")
   }
+
+  test("hybrid: query side broadcasts, query-doc filter reaches a scan, rank cuts are group limits") {
+    val p = plan(graft.operators.HybridSearch.hybridSearch(spark, sf0001))
+    // lexical scoring is map-side over matched postings: terms/dfs/queries
+    // all arrive as broadcasts
+    assert(p.contains("BroadcastHashJoin"), "query-side joins must broadcast")
+    // the more-like-this query set prunes at the scan, not in memory
+    assert(p.contains("LessThan(doc_id,10)") || p.contains("LessThan(vec_id,10)"),
+      s"query-set filter must push into a parquet scan:\n${p.take(2000)}")
+    // per-query top-N/top-K rank filters compile to per-partition heaps
+    assert(p.contains("WindowGroupLimit"), "rank cuts must push WindowGroupLimit")
+  }
+
+  test("editdist: the Levenshtein DP runs over banded candidates, never the corpus join") {
+    val df = graft.operators.DedupOps.editDistPairs(spark, sf0001)
+    val p = plan(df)
+    assert(p.contains("levenshtein"), "verify must be the native levenshtein")
+    // text resolution joins the bounded candidate frame against the
+    // corpus — broadcast, no corpus-by-corpus exchange on text
+    assert(p.contains("BroadcastHashJoin"), "candidate-side text joins must broadcast")
+  }
 }

@@ -808,9 +808,30 @@ object Analytics {
        |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin
 
   /** HLL sketch distinct — the 100 TB answer to COUNT(DISTINCT): no exact
-    * shuffle of the full key set. Approximate, so rows-only checked.
+    * shuffle of the full key set, just a |groups|·1024-key register fold.
+    * Gated on the engine-portable sketch ([[PortableHll]]) so the ESTIMATE
+    * is hash-exact vs DuckDB (r11 flip; was rows-only); the codegen'd
+    * native `approx_count_distinct` stays the raw-throughput alternative,
+    * accuracy-pinned against this one in `PortableHllSpec`.
     */
   def qApproxDistinctCusts(s: SparkSession, dir: String): DataFrame =
+    PortableHll
+      .groupedEstimate(Tables.t(s, dir, "orders"),
+        Seq("o_orderpriority"), col("o_custkey"))
+      .select(col("o_orderpriority"),
+        floor(col("est")).cast("long").as("n_custs_approx"))
+      .orderBy("o_orderpriority")
+
+  val qApproxDistinctOracle: String =
+    s"""WITH ${PortableHll.sqlEstimateCte("ad", "orders", "o_orderpriority", "o_custkey")}
+       |SELECT g AS o_orderpriority,
+       |       CAST(FLOOR(est) AS BIGINT) AS n_custs_approx
+       |FROM ad_est ORDER BY o_orderpriority""".stripMargin
+
+  /** The native HLL++ distinct (engine-specific estimate, so spec-pinned
+    * against the portable sketch rather than gated).
+    */
+  private[graft] def nativeApproxDistinctCusts(s: SparkSession, dir: String): DataFrame =
     Tables.t(s, dir, "orders")
       .groupBy("o_orderpriority")
       .agg(approx_count_distinct(col("o_custkey"), 0.01).as("n_custs_approx"))
@@ -842,6 +863,6 @@ object Analytics {
     QueryDef("q_pivot_status_counts", qPivotStatusCounts, Some(qPivotOracle)),
     QueryDef("q_cumsum_cust", qCumsumCust, Some(qCumsumOracle)),
     QueryDef("q_priority_share", qPriorityShare, Some(qShareOracle)),
-    QueryDef("q_approx_distinct_custs", qApproxDistinctCusts, None)
+    QueryDef("q_approx_distinct_custs", qApproxDistinctCusts, Some(qApproxDistinctOracle))
   )
 }

@@ -1444,20 +1444,65 @@ object EventOps {
     * merge (the exact total is a second scan here ONLY as the gate's
     * ground truth — production serves the merge and never rescans).
     * HLL register maxima are order-independent, so the estimates are
-    * deterministic at any partitioning — but engine-specific, so the
-    * gate is rows-only; the 5% accuracy and the merge==direct
-    * associativity property are spec-pinned instead.
+    * deterministic at any partitioning — and since r11 the gated form
+    * runs on the engine-portable sketch ([[PortableHll]]), so they are
+    * HASH-EXACT vs DuckDB, with the merge==direct associativity property
+    * proven BY the gate: Spark's ALL row max-folds the daily register
+    * tables while the oracle sketches the whole span directly — equal
+    * hashes mean the merge lost nothing. The datasketches-native twin
+    * (`hllDailyUnionNative`) keeps the raw-throughput path spec-pinned.
     */
   def hllDailyUnion(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.t(s, dir, "events")
+      .select(unix_micros(date_trunc("DAY", col("ts"))).as("day_us"),
+        col("user_id"))
+    val regs = PortableHll.registers(ev, Seq("day_us"), col("user_id"))
+      .persist()
+    // materialize-then-unpersist (the dupTriangles discipline): the cache
+    // backs both scans only until the result exists, never outliving the
+    // call in a long-lived Bench/serving session
+    try {
+      val exactDay = ev.groupBy("day_us")
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      val perDay = PortableHll.estimate(regs, Seq("day_us"))
+        .join(exactDay, "day_us")
+        .select(col("day_us"), col("exact_users"), col("est").as("est_users"))
+      // the serve path: ANY span = a register max-fold, never an event rescan
+      val merged = regs.groupBy("j").agg(max(col("mj")).as("mj"))
+        .withColumn("day_us", lit(-1L))
+      val total = PortableHll.estimate(merged, Seq("day_us"))
+        .crossJoin(broadcast(
+          ev.agg(countDistinct(col("user_id")).as("exact_users"))))
+        .select(col("day_us"), col("exact_users"), col("est").as("est_users"))
+      perDay.unionByName(total).orderBy("day_us").localCheckpoint(true)
+    } finally regs.unpersist()
+  }
+
+  val hllDailyUnionOracle: String = {
+    val day = "epoch_us(date_trunc('day', ts))"
+    s"""WITH ${PortableHll.sqlEstimateCte("du", "events", day, "user_id")},
+       |${PortableHll.sqlEstimateCte("al", "events", "CAST(-1 AS BIGINT)", "user_id")},
+       |ex AS (SELECT $day AS g, COUNT(DISTINCT user_id) AS exact_users
+       |       FROM events GROUP BY 1),
+       |ext AS (SELECT COUNT(DISTINCT user_id) AS exact_users FROM events)
+       |SELECT g AS day_us, ex.exact_users, du_est.est AS est_users
+       |FROM du_est JOIN ex USING (g)
+       |UNION ALL
+       |SELECT al_est.g AS day_us, ext.exact_users, al_est.est AS est_users
+       |FROM al_est, ext
+       |ORDER BY day_us""".stripMargin
+  }
+
+  /** The datasketches-native daily union (engine-specific estimates →
+    * spec-pinned for accuracy + merge==direct, not gated).
+    */
+  private[graft] def hllDailyUnionNative(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.t(s, dir, "events")
     val daily = ev
       .groupBy(unix_micros(date_trunc("DAY", col("ts"))).as("day_us"))
       .agg(hll_sketch_agg(col("user_id")).as("sk"),
         countDistinct(col("user_id")).as("exact_users"))
       .persist()
-    // materialize-then-unpersist (the dupTriangles discipline): the cache
-    // backs both scans only until the result exists, never outliving the
-    // call in a long-lived Bench/serving session
     try {
       val perDay = daily.select(col("day_us"), col("exact_users"),
         hll_sketch_estimate(col("sk")).as("est_users"))
@@ -1979,7 +2024,7 @@ object EventOps {
     QueryDef("ev_asof_last_order", asofLastOrder, Some(asofOracle)),
     QueryDef("ev_weighted_ma", weightedMa, Some(weightedMaOracle)),
     QueryDef("ev_rfm_segments", rfmSegments, Some(rfmOracle)),
-    QueryDef("ev_hll_daily_union", hllDailyUnion, None),
+    QueryDef("ev_hll_daily_union", hllDailyUnion, Some(hllDailyUnionOracle)),
     QueryDef("ev_audience_overlap", audienceOverlap, Some(audienceOverlapOracle)),
     QueryDef("ev_theta_overlap", thetaOverlap, Some(thetaOverlapOracle)),
     QueryDef("ev_growth_accounting", growthAccounting, Some(growthOracle)),

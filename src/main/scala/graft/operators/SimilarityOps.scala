@@ -2476,7 +2476,190 @@ object SimilarityOps {
        |SELECT q_id, n_id, rnk, hamming, sim FROM ranked WHERE rnk <= 10
        |ORDER BY q_id, rnk""".stripMargin
 
+  /** Greedy k-center (farthest-first traversal, Gonzalez 1985) diversity
+    * sample — the coreset / diverse-subset selection pass of a training-data
+    * pipeline, a 2-approximation of the k-center objective. Distance is
+    * 1 − quantized cosine, so every comparison is a deterministic IEEE op
+    * over exact integer dot products and the gate is hash-exact vs a
+    * k-round unrolled DuckDB replay (MATERIALIZED rounds — each d_i is
+    * read twice, and default CTE inlining would re-expand exponentially).
+    *
+    * Scale shape: k passes; each is ONE corpus scan folding a single
+    * cosine against the newest center into a running min plus a
+    * TakeOrdered top-1 (per-partition heads, the driver merges
+    * |partitions| rows); the selected-center state is k vectors on the
+    * driver — metadata-bounded. No all-pairs, no corpus shuffle. `dist`
+    * is the point's distance to the already-selected set at selection
+    * time (the running k-center objective); 0.0 for the seed (= min
+    * vec_id) by convention.
+    */
+  val KCenterK = 8
+
+  def kcenterSample(s: SparkSession, dir: String): DataFrame =
+    kcenterOn(Tables.t(s, dir, "embeddings"), KCenterK)
+
+  def kcenterOn(e0: DataFrame, k: Int): DataFrame = {
+    val spark = e0.sparkSession
+    import spark.implicits._
+    val e = e0.select(col("vec_id"), col("embedding"))
+    val seed = e.orderBy(col("vec_id").asc).head
+    val picked = scala.collection.mutable.ArrayBuffer(
+      (0, seed.getLong(0), 0.0))
+    var cur = e.withColumn("dmin",
+      lit(1.0) - graftCosine(col("embedding"), typedLit(seed.getSeq[Float](1))))
+    for (i <- 1 until k) {
+      val top = cur.orderBy(col("dmin").desc, col("vec_id").asc).head
+      picked += ((i, top.getLong(0), top.getDouble(2)))
+      if (i < k - 1)
+        cur = cur.withColumn("dmin", least(col("dmin"),
+          lit(1.0) - graftCosine(col("embedding"), typedLit(top.getSeq[Float](1)))))
+    }
+    picked.toSeq.toDF("round", "vec_id", "dist")
+  }
+
+  val kcenterOracle: String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH d0 AS MATERIALIZED (
+       |  SELECT e.vec_id, e.embedding,
+       |         (1E0 - ${sqlQCos("e.embedding", "s.embedding")}) AS dmin
+       |  FROM embeddings e,
+       |       (SELECT embedding FROM embeddings
+       |        WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)) s)""".stripMargin
+    for (i <- 1 until KCenterK) {
+      sb ++= s""",
+         |s$i AS (SELECT vec_id, dmin FROM d${i - 1}
+         |        ORDER BY dmin DESC, vec_id ASC LIMIT 1)""".stripMargin
+      if (i < KCenterK - 1)
+        sb ++= s""",
+           |d$i AS MATERIALIZED (
+           |  SELECT d.vec_id, d.embedding,
+           |         LEAST(d.dmin, (1E0 - ${sqlQCos("d.embedding", "c.embedding")})) AS dmin
+           |  FROM d${i - 1} d,
+           |       (SELECT e.embedding FROM embeddings e JOIN s$i USING (vec_id)) c)""".stripMargin
+    }
+    sb ++= s"""
+       |SELECT 0 AS round,
+       |       (SELECT MIN(vec_id) FROM embeddings) AS vec_id,
+       |       CAST(0 AS DOUBLE) AS dist
+       |${(1 until KCenterK).map(i =>
+            s"UNION ALL SELECT $i, vec_id, dmin FROM s$i").mkString("\n")}
+       |ORDER BY round""".stripMargin
+    sb.toString
+  }
+
+  /** Lloyd's k-means, FIXED iteration count, hash-exact across engines —
+    * the clustering pass of a curation pipeline (topic bucketing, cluster
+    * balancing, IVF coarse-quantizer training) with a bit-reproducible
+    * answer. Determinism discipline:
+    *   - points enter distance space as floor(x·1e9) quantized doubles
+    *     (the corpus-wide cosine discipline);
+    *   - centroid updates are EXACT-integer per-dim sums of those quantized
+    *     coords (one long per (cluster, dim) — order-free), divided once:
+    *     a single IEEE op both engines perform identically;
+    *   - assignment distances are an ORDER-FIXED left fold
+    *     (Spark `aggregate(zip_with(...))` == DuckDB
+    *     `list_reduce(list_prepend(...))`, the validated pair), argmin
+    *     tie-broken by cluster id via struct ordering.
+    * Seeds = the k smallest vec_ids; a cluster that empties simply drops
+    * out on both sides (the argmin ranges over surviving clusters).
+    *
+    * Scale shape per iteration: assignment is MAP-SIDE against k broadcast
+    * literal centroids (no join, no shuffle); the update is one partial-agg
+    * shuffle with k·64 cells regardless of corpus size; the model state is
+    * k×64 longs on the driver — metadata-bounded like the IVF centroid
+    * pulls. iters is fixed (3), so the whole run is 3 scans.
+    */
+  val KmK = 8
+  val KmIters = 3
+  private val KmDims = 64
+
+  def kmeansLloyd(s: SparkSession, dir: String): DataFrame =
+    kmeansOn(Tables.t(s, dir, "embeddings"), KmK, KmIters)
+
+  def kmeansOn(e0: DataFrame, k: Int, iters: Int): DataFrame = {
+    val e = e0.select(col("vec_id"), col("embedding"))
+    def qd(x: Column): Column = floor(x.cast("double") * lit(1e9)).cast("double")
+    def assignCol(cents: Seq[(Int, Array[Double])]): Column = {
+      val scored = cents.map { case (cl, c) =>
+        val d2 = aggregate(
+          zip_with(col("embedding"), typedLit(c.toSeq),
+            (x, cc) => { val d = qd(x) - cc; d * d }),
+          lit(0.0), (a, v) => a + v)
+        struct(d2.as("d"), lit(cl).as("cl"))
+      }
+      array_min(array(scored: _*)).getField("cl")
+    }
+    val sums = (0 until KmDims).map(d =>
+      sum(floor(element_at(col("embedding"), d + 1).cast("double") * lit(1e9))
+        .cast("long")).as(s"s$d"))
+    // seeds: the k smallest ids, quantized on the driver with the same
+    // floor(x·1e9) the engines apply
+    var cents: Seq[(Int, Array[Double])] = e.orderBy("vec_id").limit(k)
+      .collect().zipWithIndex.map { case (r, i) =>
+        (i, r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1e9)).toArray)
+      }.toSeq
+    var out: DataFrame = null
+    for (it <- 1 to iters) {
+      val agg = e.withColumn("cl", assignCol(cents))
+        .groupBy("cl").agg(count(lit(1)).as("n"), sums: _*)
+      if (it == iters)
+        out = agg.select(col("cl") +: col("n") +: (0 until 4).map(d =>
+          (col(s"s$d").cast("double") / col("n") / lit(1e9)).as(s"c$d")): _*)
+          .orderBy("cl")
+      else
+        cents = agg.collect().map { r =>
+          val n = r.getLong(1)
+          (r.getInt(0),
+            (0 until KmDims).map(d => r.getLong(d + 2).toDouble / n).toArray)
+        }.sortBy(_._1).toSeq
+    }
+    out
+  }
+
+  val kmeansOracle: String = {
+    def q(x: String) = s"FLOOR(CAST($x AS DOUBLE) * 1e9)"
+    def dist(emb: String, cent: String) =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |  list_transform(list_zip($emb, $cent),
+         |    z -> (${q("z[1]")} - CAST(z[2] AS DOUBLE))
+         |       * (${q("z[1]")} - CAST(z[2] AS DOUBLE)))),
+         |  (a, v) -> a + v)""".stripMargin
+    val sumCols = (0 until KmDims).map(d =>
+      s"CAST(SUM(CAST(${q(s"embedding[${d + 1}]")} AS BIGINT)) AS BIGINT) AS s$d")
+      .mkString(",\n    ")
+    val centList = (0 until KmDims).map(d => s"CAST(s$d AS DOUBLE) / n")
+      .mkString("list_value(", ", ", ")")
+    val sb = new StringBuilder
+    sb ++= s"""WITH c0 AS MATERIALIZED (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cl,
+       |         list_transform(embedding, x -> ${q("x")}) AS cent
+       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $KmK))""".stripMargin
+    for (i <- 1 to KmIters) {
+      sb ++= s""",
+         |a$i AS MATERIALIZED (
+         |  SELECT vec_id, embedding, cl FROM (
+         |    SELECT e.vec_id, e.embedding, c.cl,
+         |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |             ${dist("e.embedding", "c.cent")} ASC, c.cl ASC) AS rn
+         |    FROM embeddings e, c${i - 1} c) WHERE rn = 1),
+         |g$i AS MATERIALIZED (
+         |  SELECT cl, COUNT(*) AS n,
+         |    $sumCols
+         |  FROM a$i GROUP BY cl)""".stripMargin
+      if (i < KmIters)
+        sb ++= s""",
+           |c$i AS (SELECT cl, $centList AS cent FROM g$i)""".stripMargin
+    }
+    sb ++= s"""
+       |SELECT cl, n, ${(0 until 4).map(d =>
+          s"CAST(s$d AS DOUBLE) / n / 1E9 AS c$d").mkString(", ")}
+       |FROM g$KmIters ORDER BY cl""".stripMargin
+    sb.toString
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("emb_kcenter_sample", kcenterSample, Some(kcenterOracle)),
+    QueryDef("emb_kmeans_lloyd", kmeansLloyd, Some(kmeansOracle)),
     QueryDef("emb_knn_brute", knnBrute, Some(knnOracle), headline = true),
     QueryDef("emb_hamming_topk", hammingTopk, Some(hammingOracle)),
     QueryDef("emb_hamming_rerank", hammingRerank, Some(hammingRerankOracle)),

@@ -1,0 +1,36 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.PortableHll
+
+/** Continuous distinct-count serving — the streaming twin of the batch
+  * portable-HLL daily union ([[graft.operators.EventOps.hllDailyUnion]]):
+  * the SAME md5-register fold runs as a streaming grouped aggregate, so
+  * the engine's state store holds AT MOST |days| × 1024 small ints no
+  * matter how many events or distinct users the stream carries — the
+  * bounded-state property that makes an unbounded-retention distinct
+  * monitor viable (an exact streaming COUNT(DISTINCT) would grow state
+  * with every new user forever).
+  *
+  * Register maxima are fold-order-free, so after ANY prefix of the stream
+  * the emitted register table is IDENTICAL to a batch
+  * [[PortableHll.registers]] run over the same prefix — batch==stream is
+  * exact, not approximate, and any span's estimate is the usual
+  * metadata-scale max-merge + [[PortableHll.estimate]] over the emitted
+  * table (never an event rescan). `StreamingSpec` pins the equality
+  * across different micro-batch splits.
+  */
+object StreamingDistinct {
+
+  /** `ev` must carry `day_us` (long) + `user_id` (streaming frame).
+    * Complete/update-mode grouped MAX — one row per (day, register).
+    */
+  def registersStream(ev: DataFrame): DataFrame =
+    ev.select(col("day_us"),
+        PortableHll.regIndex(col("user_id")).as("j"),
+        PortableHll.rank(col("user_id")).as("rho"))
+      .groupBy("day_us", "j")
+      .agg(max(col("rho")).as("mj"))
+}

@@ -386,6 +386,39 @@ object Stress {
           col("embedding"), col("label"))
       }.reduce(_ unionByName _)
       time(s"embeddings x$copies count")(embN.count())
+
+      // k-center / k-means under EXACT duplication: cloning changes no
+      // distance in the corpus, so greedy k-center must select the SAME
+      // vec_ids (clone ties break to copy 0's lower ids) with a
+      // bit-identical objective sequence, and Lloyd must keep
+      // bit-identical centroids with per-cluster counts EXACTLY x copies
+      // (sums and counts both scale by `copies`; the scaled division
+      // rounds to the same double because both operands stay < 2^53).
+      // Hard requires — a super-linear candidate path or an
+      // order-dependent fold would break them loudly.
+      val kc1 = SimilarityOps.kcenterOn(emb, 8).collect()
+      time(s"kcenter x$copies") {
+        val kcN = SimilarityOps.kcenterOn(embN, 8).collect()
+        require(kcN.toSeq == kc1.toSeq,
+          s"k-center must be duplication-invariant:\n x1: ${kc1.mkString(";")}\n xN: ${kcN.mkString(";")}")
+        kcN.length
+      }
+      spark.catalog.clearCache()
+      val km1 = SimilarityOps.kmeansOn(emb, 8, 3).collect()
+      time(s"kmeans x$copies") {
+        val kmN = SimilarityOps.kmeansOn(embN, 8, 3).collect()
+        require(kmN.length == km1.length, s"${kmN.length} vs ${km1.length}")
+        km1.zip(kmN).foreach { case (a, b) =>
+          require(b.getInt(0) == a.getInt(0))
+          require(b.getLong(1) == a.getLong(1) * copies,
+            s"cluster ${a.getInt(0)}: ${b.getLong(1)} != ${a.getLong(1)} x $copies")
+          (2 to 5).foreach(i => require(b.getDouble(i) == a.getDouble(i),
+            s"cluster ${a.getInt(0)} centroid dim ${i - 2} drifted"))
+        }
+        kmN.length
+      }
+      spark.catalog.clearCache()
+
       val q = embN.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       val scored = embN.crossJoin(broadcast(q))

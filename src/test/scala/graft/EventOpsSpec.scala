@@ -84,6 +84,16 @@ class EventOpsSpec extends SparkSpecBase {
       "trained scores should track co-occurrence strength")
   }
 
+  test("ALS ipinsights is deterministic: two seeded fits score identically") {
+    // the one remaining rows-only gate row — pin that the model itself is
+    // reproducible (fixed seed, same session), so "rows-only by design"
+    // never hides a fit that drifts run-to-run
+    val a = graft.operators.EventOps.ipinsightsScore(spark, sf0001).collect()
+    val b = graft.operators.EventOps.ipinsightsScore(spark, sf0001).collect()
+    assert(a.length == b.length)
+    a.zip(b).foreach { case (x, y) => assert(x == y, s"$x != $y") }
+  }
+
   test("ipinsights index assignment is distributed: no UDF, broadcast join") {
     val e = graft.sources.Tables.t(spark, sf0001, "events")
     val pairs = EventOps.indexedPairs(e)
@@ -132,9 +142,35 @@ class EventOpsSpec extends SparkSpecBase {
     assert(bad == 0)
   }
 
-  test("hll daily union: 5% accuracy per day; merged estimate == direct whole-corpus sketch") {
-    import org.apache.spark.sql.functions.{hll_sketch_agg, hll_sketch_estimate}
+  test("hll daily union (portable): 5% accuracy per day; merged == direct portable sketch") {
     val out = graft.operators.EventOps.hllDailyUnion(spark, sf0001).collect()
+    val days = out.filter(_.getLong(0) >= 0)
+    assert(days.nonEmpty)
+    days.foreach { r =>
+      val exact = r.getLong(1).toDouble
+      val est = r.getDouble(2)
+      assert(math.abs(est - exact) / exact < 0.05,
+        s"day ${r.getLong(0)}: est $est vs exact $exact")
+    }
+    val all = out.filter(_.getLong(0) == -1L)
+    assert(all.length == 1)
+    // associativity: the max-fold of the daily register tables must
+    // estimate EXACTLY what one whole-corpus portable sketch estimates
+    // (this is also what the DuckDB gate proves — its ALL row sketches
+    // the span directly against Spark's merge)
+    val ev = graft.sources.Tables.t(spark, sf0001, "events")
+    val direct = graft.operators.PortableHll
+      .groupedEstimate(ev.withColumn("one", lit(1)), Seq("one"), col("user_id"))
+      .collect().head.getDouble(1)
+    assert(all.head.getDouble(2) == direct,
+      s"merge-of-parts ${all.head.getDouble(2)} != direct sketch $direct")
+    val exactAll = all.head.getLong(1).toDouble
+    assert(math.abs(direct - exactAll) / exactAll < 0.05)
+  }
+
+  test("hll daily union (native datasketches twin): accuracy; union-merge == direct sketch") {
+    import org.apache.spark.sql.functions.{hll_sketch_agg, hll_sketch_estimate}
+    val out = graft.operators.EventOps.hllDailyUnionNative(spark, sf0001).collect()
     val days = out.filter(_.getLong(0) >= 0)
     assert(days.nonEmpty)
     days.foreach { r =>
@@ -145,9 +181,6 @@ class EventOpsSpec extends SparkSpecBase {
     }
     val all = out.filter(_.getLong(0) == -1L)
     assert(all.length == 1)
-    // the associativity property the pattern rests on: the union of the
-    // daily sketches must estimate EXACTLY what one whole-corpus sketch
-    // estimates (register maxima are order- and grouping-independent)
     val direct = graft.sources.Tables.t(spark, sf0001, "events")
       .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("e"))
       .collect().head.getLong(0)

@@ -509,6 +509,29 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("WindowGroupLimit"), "rank cuts must push WindowGroupLimit")
   }
 
+  test("kmeans: assignment is map-side (no join); update is one partial-agg exchange") {
+    val df = graft.operators.SimilarityOps.kmeansOn(
+      graft.sources.Tables.t(spark, sf0001, "embeddings"), 8, 3)
+    val p = plan(df)
+    // centroids ride as literals into the project — no join of any kind
+    assert(!p.contains("Join"), s"assignment must be join-free:\n${p.take(1500)}")
+    // the k*64-cell aggregate combines map-side before its single exchange
+    assert(p.contains("HashAggregate") && p.contains("Exchange hashpartitioning(cl"),
+      "update must be a partial-agg shuffle keyed on cl")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      "exactly one exchange in the whole iteration")
+  }
+
+  test("portable hll: register fold is a partial agg keyed (group, j); no corpus re-shuffle") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.sources.Tables.t(spark, sf0001, "events")
+      .select(unix_micros(date_trunc("DAY", col("ts"))).as("day_us"), col("user_id"))
+    val p = plan(graft.operators.PortableHll.registers(ev, Seq("day_us"), col("user_id")))
+    assert(p.contains("Exchange hashpartitioning(day_us"), "register fold shuffles on (group, j)")
+    val aggs = "HashAggregate".r.findAllIn(p).length
+    assert(aggs == 2, s"partial + final register MAX, got $aggs HashAggregates")
+  }
+
   test("editdist: the Levenshtein DP runs over banded candidates, never the corpus join") {
     val df = graft.operators.DedupOps.editDistPairs(spark, sf0001)
     val p = plan(df)

@@ -1182,6 +1182,42 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("registersStream: streamed register table == batch fold, any micro-batch split") {
+    import graft.operators.PortableHll
+    implicit val sqlCtx = spark.sqlContext
+    val rng = new scala.util.Random(17)
+    // 3 days x 120 users with repeats, arriving out of day order
+    val rows = Seq.fill(600)((rng.nextInt(3).toLong * 86400000000L,
+      rng.nextInt(120).toLong))
+    val mem = MemoryStream[(Long, Long)]
+    val q = graft.streaming.StreamingDistinct
+      .registersStream(mem.toDF().toDF("day_us", "user_id"))
+      .writeStream.format("memory").queryName("hll_regs")
+      .outputMode("complete").start()
+    try {
+      // deliberately uneven splits — register MAX must not care
+      mem.addData(rows.take(7)); q.processAllAvailable()
+      mem.addData(rows.slice(7, 450)); q.processAllAvailable()
+      mem.addData(rows.drop(450)); q.processAllAvailable()
+      val streamed = spark.table("hll_regs")
+        .orderBy("day_us", "j").collect().toSeq
+      val batch = PortableHll.registers(
+        rows.toDF("day_us", "user_id"), Seq("day_us"), col("user_id"))
+        .orderBy("day_us", "j").collect().toSeq
+      assert(streamed == batch, "stream registers must equal the batch fold")
+      // state bound: rows in the complete-mode table <= days x 1024
+      assert(streamed.length <= 3 * 1024)
+      // and the serving estimate off the streamed table equals batch
+      val sEst = PortableHll.estimate(spark.table("hll_regs"), Seq("day_us"))
+        .orderBy("day_us").collect().toSeq
+      val bEst = PortableHll.estimate(
+        PortableHll.registers(rows.toDF("day_us", "user_id"),
+          Seq("day_us"), col("user_id")), Seq("day_us"))
+        .orderBy("day_us").collect().toSeq
+      assert(sEst == bEst)
+    } finally q.stop()
+  }
+
   test("soak record self-diagnoses a starved run (batches<=1 on a multi-second soak)") {
     import graft.streaming.Soak
     // BENCH_r10 regression: 0 rows / 1 batch recorded as silent success

@@ -2020,7 +2020,72 @@ object EventOps {
       |FROM scored GROUP BY r_score, f_score, m_score
       |ORDER BY r_score, f_score, m_score""".stripMargin
 
+  /** Mergeable-quantile serving — the third member of the sketch family
+    * (HLL = distinct, Misra–Gries = heavy hitters, this = quantiles): a
+    * FIXED-BIN integer histogram (1024 unit-width bins, values clamped to
+    * [0, 1023]) materializes per day in one pass; any span's quantiles
+    * are then a metadata-scale SUM-merge of bin counts + an integer
+    * cumulative walk — sketch bytes, never an event rescan, spans
+    * composable after the fact. Everything is exact integer arithmetic
+    * (bin = clamped floor, rank = ceil(q·n) via (n·q100+99) div 100,
+    * quantile = min bin with cum ≥ rank), so unlike t-digest/KLL the
+    * sketch AND its estimates are hash-exact across engines, and the gate
+    * itself proves merge==direct: Spark's ALL row sums the daily bin
+    * tables while the oracle histograms the whole span. Estimate error is
+    * bounded by the bin width (≤ 1.0 here), spec-pinned vs the exact
+    * percentile. State/shuffle bound: |days|·1024 longs, any corpus size.
+    */
+  def histQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.t(s, dir, "events")
+      .select(unix_micros(date_trunc("DAY", col("ts"))).as("day_us"),
+        least(greatest(floor(col("value")).cast("long"), lit(0L)), lit(1023L))
+          .as("bin"))
+    val daily = ev.groupBy("day_us", "bin").agg(count(lit(1)).as("cnt"))
+      .persist()
+    try {
+      def quants(h: DataFrame): DataFrame = {
+        val wc = Window.partitionBy("day_us").orderBy("bin")
+        val wn = Window.partitionBy("day_us")
+        val c = h.withColumn("cum", sum(col("cnt")).over(wc))
+          .withColumn("n", sum(col("cnt")).over(wn))
+        def q(p: Int) = min(when(
+          col("cum") >= expr(s"(n * $p + 99) div 100"), col("bin"))).as(s"p$p")
+        c.groupBy("day_us").agg(max(col("n")).as("n"), q(50), q(95), q(99))
+      }
+      val perDay = quants(daily)
+      val total = quants(daily.groupBy("bin").agg(sum(col("cnt")).as("cnt"))
+        .withColumn("day_us", lit(-1L)))
+      perDay.unionByName(total).orderBy("day_us").localCheckpoint(true)
+    } finally daily.unpersist()
+  }
+
+  val histQuantilesOracle: String = {
+    val day = "epoch_us(date_trunc('day', ts))"
+    def chain(pfx: String, grp: String) =
+      s"""${pfx}_h AS (SELECT $grp AS day_us, bin, COUNT(*) AS cnt
+         |            FROM hq_b GROUP BY 1, 2),
+         |${pfx}_c AS (SELECT day_us, bin,
+         |            CAST(SUM(cnt) OVER (PARTITION BY day_us ORDER BY bin) AS BIGINT) AS cum,
+         |            CAST(SUM(cnt) OVER (PARTITION BY day_us) AS BIGINT) AS n
+         |            FROM ${pfx}_h),
+         |${pfx}_q AS (SELECT day_us, MAX(n) AS n,
+         |            MIN(CASE WHEN cum >= (n * 50 + 99) // 100 THEN bin END) AS p50,
+         |            MIN(CASE WHEN cum >= (n * 95 + 99) // 100 THEN bin END) AS p95,
+         |            MIN(CASE WHEN cum >= (n * 99 + 99) // 100 THEN bin END) AS p99
+         |            FROM ${pfx}_c GROUP BY day_us)""".stripMargin
+    s"""WITH hq_b AS (SELECT ts,
+       |  LEAST(GREATEST(CAST(FLOOR(value) AS BIGINT), 0), 1023) AS bin
+       |  FROM events),
+       |${chain("hd", day)},
+       |${chain("ha", "CAST(-1 AS BIGINT)")}
+       |SELECT day_us, n, p50, p95, p99 FROM hd_q
+       |UNION ALL
+       |SELECT day_us, n, p50, p95, p99 FROM ha_q
+       |ORDER BY day_us""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("ev_hist_quantiles", histQuantiles, Some(histQuantilesOracle)),
     QueryDef("ev_asof_last_order", asofLastOrder, Some(asofOracle)),
     QueryDef("ev_weighted_ma", weightedMa, Some(weightedMaOracle)),
     QueryDef("ev_rfm_segments", rfmSegments, Some(rfmOracle)),

@@ -33,4 +33,17 @@ object StreamingDistinct {
         PortableHll.rank(col("user_id")).as("rho"))
       .groupBy("day_us", "j")
       .agg(max(col("rho")).as("mj"))
+
+  /** The quantile-sketch twin ([[graft.operators.EventOps.histQuantiles]]):
+    * the fixed-bin histogram as a streaming grouped COUNT — same
+    * |days|·1024 state bound, and counts are additive so the emitted bin
+    * table after any prefix equals the batch histogram exactly. `ev` must
+    * carry `day_us` (long) + `value` (double).
+    */
+  def histStream(ev: DataFrame): DataFrame =
+    ev.select(col("day_us"),
+        least(greatest(floor(col("value")).cast("long"), lit(0L)), lit(1023L))
+          .as("bin"))
+      .groupBy("day_us", "bin")
+      .agg(count(lit(1)).as("cnt"))
 }

@@ -168,6 +168,33 @@ class EventOpsSpec extends SparkSpecBase {
     assert(math.abs(direct - exactAll) / exactAll < 0.05)
   }
 
+  test("hist quantiles: sketch bin == bin of the exact discrete order statistic, per day and merged") {
+    import org.apache.spark.sql.functions.{unix_micros, date_trunc}
+    val out = graft.operators.EventOps.histQuantiles(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    // independent exact truth: per-day sorted values on the driver
+    // (sf0.001 is small); the sketch's pN must be EXACTLY the clamped
+    // floor-bin of the ceil(q*n)-th order statistic — the definition the
+    // integer cumulative walk implements
+    val byDay = graft.sources.Tables.t(spark, sf0001, "events")
+      .select(unix_micros(date_trunc("DAY", col("ts"))).as("day_us"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    def bins(vs: Array[Double], p: Int): Long = {
+      val s = vs.sorted
+      val rank = (s.length.toLong * p + 99) / 100 // ceil(q*n)
+      math.min(math.max(math.floor(s((rank - 1).toInt)).toLong, 0L), 1023L)
+    }
+    val groups = byDay.groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2) } ++
+      Map(-1L -> byDay.map(_._2))
+    out.foreach { r =>
+      val vs = groups(r.getLong(0))
+      assert(r.getLong(1) == vs.length.toLong)
+      assert(r.getLong(2) == bins(vs, 50), s"${r.getLong(0)} p50")
+      assert(r.getLong(3) == bins(vs, 95), s"${r.getLong(0)} p95")
+      assert(r.getLong(4) == bins(vs, 99), s"${r.getLong(0)} p99")
+    }
+  }
+
   test("hll daily union (native datasketches twin): accuracy; union-merge == direct sketch") {
     import org.apache.spark.sql.functions.{hll_sketch_agg, hll_sketch_estimate}
     val out = graft.operators.EventOps.hllDailyUnionNative(spark, sf0001).collect()

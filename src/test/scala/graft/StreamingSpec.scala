@@ -1218,6 +1218,31 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("histStream: streamed bin table == batch histogram; quantile serve identical") {
+    implicit val sqlCtx = spark.sqlContext
+    val rng = new scala.util.Random(19)
+    val rows = Seq.fill(500)((rng.nextInt(2).toLong * 86400000000L,
+      rng.nextDouble() * 600.0 - 10.0)) // exercises both clamps
+    val mem = MemoryStream[(Long, Double)]
+    val q = graft.streaming.StreamingDistinct
+      .histStream(mem.toDF().toDF("day_us", "value"))
+      .writeStream.format("memory").queryName("hist_bins")
+      .outputMode("complete").start()
+    try {
+      mem.addData(rows.take(13)); q.processAllAvailable()
+      mem.addData(rows.drop(13)); q.processAllAvailable()
+      val streamed = spark.table("hist_bins")
+        .orderBy("day_us", "bin").collect().toSeq
+      val batch = rows.toDF("day_us", "value")
+        .select(col("day_us"),
+          least(greatest(floor(col("value")).cast("long"), lit(0L)), lit(1023L)).as("bin"))
+        .groupBy("day_us", "bin").agg(count(lit(1)).as("cnt"))
+        .orderBy("day_us", "bin").collect().toSeq
+      assert(streamed == batch, "stream bins must equal the batch histogram")
+      assert(streamed.length <= 2 * 1024)
+    } finally q.stop()
+  }
+
   test("soak record self-diagnoses a starved run (batches<=1 on a multi-second soak)") {
     import graft.streaming.Soak
     // BENCH_r10 regression: 0 rows / 1 batch recorded as silent success

@@ -2084,8 +2084,133 @@ object EventOps {
        |ORDER BY day_us""".stripMargin
   }
 
+  /** Pearson correlation matrix of hourly event-type volumes — "which
+    * signals move together" (error spikes tracking clicks, purchase dips
+    * tracking errors), the ops-analytics staple. Exactness discipline:
+    * the (hour, type) counts densify over the observed hour×type GRID
+    * (absent cells are REAL zeros — dropping them biases r toward
+    * agreement), every moment (Σx, Σx², Σxy, n) is an exact integer long,
+    * and r = num / (sqrt(d_a)·sqrt(d_b)) is three IEEE ops both engines
+    * perform identically — hash-exact. Scale shape: one fact pass to the
+    * (hour, type) partial-agg (bounded |hours|·|types| cells), then all
+    * joins/folds run on that metadata-scale grid; the pair space is
+    * |types|², never event-scale.
+    */
+  def typeCorrelation(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.t(s, dir, "events")
+      .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("hour_us"),
+        col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val hours = counts.select("hour_us").distinct()
+    val types = counts.select("event_type").distinct()
+    val grid = hours.crossJoin(broadcast(types))
+      .join(counts, Seq("hour_us", "event_type"), "left")
+      .select(col("hour_us"), col("event_type"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val paired = grid.as("a")
+      .join(grid.as("b"),
+        col("a.hour_us") === col("b.hour_us") &&
+          col("a.event_type") < col("b.event_type"))
+    paired.groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("a.c")).as("sa"), sum(col("b.c")).as("sb"),
+        sum(col("a.c") * col("a.c")).as("saa"),
+        sum(col("b.c") * col("b.c")).as("sbb"),
+        sum(col("a.c") * col("b.c")).as("sab"))
+      .select(col("type_a"), col("type_b"),
+        ((col("n") * col("sab") - col("sa") * col("sb")).cast("double") /
+          (sqrt((col("n") * col("saa") - col("sa") * col("sa")).cast("double")) *
+            sqrt((col("n") * col("sbb") - col("sb") * col("sb")).cast("double"))))
+          .as("r"))
+      .orderBy("type_a", "type_b")
+  }
+
+  val typeCorrelationOracle: String =
+    """WITH tc_c AS (
+      |  SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+      |         COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |tc_g AS (
+      |  SELECT h.hour_us, t.event_type, COALESCE(c.c, 0) AS c
+      |  FROM (SELECT DISTINCT hour_us FROM tc_c) h
+      |  CROSS JOIN (SELECT DISTINCT event_type FROM tc_c) t
+      |  LEFT JOIN tc_c c
+      |    ON c.hour_us = h.hour_us AND c.event_type = t.event_type),
+      |tc_m AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |         CAST(COUNT(*) AS BIGINT) AS n,
+      |         CAST(SUM(a.c) AS BIGINT) AS sa, CAST(SUM(b.c) AS BIGINT) AS sb,
+      |         CAST(SUM(a.c * a.c) AS BIGINT) AS saa,
+      |         CAST(SUM(b.c * b.c) AS BIGINT) AS sbb,
+      |         CAST(SUM(a.c * b.c) AS BIGINT) AS sab
+      |  FROM tc_g a JOIN tc_g b
+      |    ON a.hour_us = b.hour_us AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT type_a, type_b,
+      |       CAST(n * sab - sa * sb AS DOUBLE) /
+      |         (SQRT(CAST(n * saa - sa * sa AS DOUBLE))
+      |          * SQRT(CAST(n * sbb - sb * sb AS DOUBLE))) AS r
+      |FROM tc_m ORDER BY type_a, type_b""".stripMargin
+
+  /** First/last-touch conversion attribution — which channel gets credit
+    * for each purchase: every purchase joins its same-user touch events
+    * (any non-purchase type) in the 7 days before it — the watermarkable
+    * interval-join shape of 20d, candidates bounded by rate × horizon per
+    * user — then ONE deterministic argmax/argmin per purchase picks the
+    * last/first touch ((ts, event_id) ordering, no FP anywhere), and the
+    * credit counts roll up per touch type. All-integer → hash-exact.
+    */
+  def attribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts_us").as("p_ts"))
+    val touches = ev.filter(col("event_type") =!= "purchase")
+    val horizon = 7L * 86400L * 1000000L
+    val joined = purchases.join(touches, Seq("user_id"))
+      .filter(col("ts_us") < col("p_ts") &&
+        col("ts_us") >= col("p_ts") - lit(horizon))
+    val wLast = Window.partitionBy("p_id")
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    val wFirst = Window.partitionBy("p_id")
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    val credited = joined
+      .withColumn("rl", row_number().over(wLast))
+      .withColumn("rf", row_number().over(wFirst))
+    credited.filter(col("rl") === 1 || col("rf") === 1)
+      .groupBy(col("event_type").as("touch_type"))
+      .agg(sum(when(col("rl") === 1, 1L).otherwise(0L)).as("last_touch"),
+        sum(when(col("rf") === 1, 1L).otherwise(0L)).as("first_touch"))
+      .orderBy("touch_type")
+  }
+
+  val attributionOracle: String =
+    """WITH at_e AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+      |  FROM events),
+      |at_j AS (
+      |  SELECT p.event_id AS p_id, t.event_type, t.ts_us, t.event_id,
+      |         ROW_NUMBER() OVER (PARTITION BY p.event_id
+      |           ORDER BY t.ts_us DESC, t.event_id DESC) AS rl,
+      |         ROW_NUMBER() OVER (PARTITION BY p.event_id
+      |           ORDER BY t.ts_us ASC, t.event_id ASC) AS rf
+      |  FROM at_e p JOIN at_e t
+      |    ON p.event_type = 'purchase' AND t.event_type <> 'purchase'
+      |   AND t.user_id = p.user_id
+      |   AND t.ts_us < p.ts_us AND t.ts_us >= p.ts_us - 604800000000)
+      |SELECT event_type AS touch_type,
+      |       CAST(SUM(CASE WHEN rl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS last_touch,
+      |       CAST(SUM(CASE WHEN rf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS first_touch
+      |FROM at_j WHERE rl = 1 OR rf = 1
+      |GROUP BY 1 ORDER BY touch_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("ev_hist_quantiles", histQuantiles, Some(histQuantilesOracle)),
+    QueryDef("ev_type_correlation", typeCorrelation, Some(typeCorrelationOracle)),
+    QueryDef("ev_attribution", attribution, Some(attributionOracle)),
     QueryDef("ev_asof_last_order", asofLastOrder, Some(asofOracle)),
     QueryDef("ev_weighted_ma", weightedMa, Some(weightedMaOracle)),
     QueryDef("ev_rfm_segments", rfmSegments, Some(rfmOracle)),

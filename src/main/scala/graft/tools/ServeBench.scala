@@ -150,7 +150,8 @@ object ServeBench {
       s"""{"build":${obj(builds)},""" +
         s""""direct":${obj(n => samples((n, "direct")).min)},""" +
         s""""serve":${obj(n => samples((n, "serve")).min)},""" +
-        s""""recall":$recalls}"""
+        s""""recall":$recalls,""" +
+        """"recall_basis":"uniform-random sf fixture (measured degradation, not a bar; recall@10 >= 0.9 is spec-enforced on planted clusters in DedupSimilaritySpec)"}"""
     } finally {
       // bucketed serving tables registered in the catalog must not outlive
       // their files

@@ -2207,10 +2207,59 @@ object EventOps {
       |FROM at_j WHERE rl = 1 OR rf = 1
       |GROUP BY 1 ORDER BY touch_type""".stripMargin
 
+  /** Exact association scoring — the closed-form twin of the learned
+    * `ev_ipinsights_score` (same question: is this (user, type) pairing
+    * surprising?): the PMI lift n_pair·N / (n_user·n_type) over the
+    * co-occurrence table, emitted as an EXACT INTEGER in parts-per-million
+    * (floor division of exact integer products) — ln(lift) is monotone in
+    * lift, so the ranking signal is identical to PMI while the gate stays
+    * hash-exact with ZERO floating point anywhere (cross-engine ln was
+    * measured 1-ulp apart even on plain integer args, so a pmi double
+    * would not gate). lift_ppm < 1e6 = the user hits a type less than
+    * their volumes predict (the
+    * anomalous-association signal); the ALS row remains the learned,
+    * generalizing variant. One fact pass to the (user, type) partial agg;
+    * user/type marginals REUSE that tiny table (no second fact scan) and
+    * the type side broadcasts.
+    */
+  def assocScore(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.t(s, dir, "events")
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("n_pair"))
+      .localCheckpoint(true) // three derived folds reuse it, never rescan
+    val users = pairs.groupBy("user_id").agg(sum(col("n_pair")).as("n_user"))
+    val types = pairs.groupBy("event_type").agg(sum(col("n_pair")).as("n_type"))
+    val total = pairs.agg(sum(col("n_pair")).as("n_total"))
+    pairs.join(users, "user_id")
+      .join(broadcast(types), "event_type")
+      .crossJoin(broadcast(total))
+      .select(col("user_id"), col("event_type"), col("n_pair"),
+        expr("(n_pair * n_total * CAST(1000000 AS BIGINT)) div (n_user * n_type)")
+          .as("lift_ppm"))
+      .orderBy("user_id", "event_type")
+  }
+
+  val assocScoreOracle: String =
+    """WITH as_p AS (
+      |  SELECT user_id, event_type, COUNT(*) AS n_pair
+      |  FROM events GROUP BY 1, 2),
+      |as_u AS (SELECT user_id, CAST(SUM(n_pair) AS BIGINT) AS n_user
+      |         FROM as_p GROUP BY 1),
+      |as_t AS (SELECT event_type, CAST(SUM(n_pair) AS BIGINT) AS n_type
+      |         FROM as_p GROUP BY 1),
+      |as_n AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS n_total FROM as_p)
+      |SELECT p.user_id, p.event_type, p.n_pair,
+      |       (p.n_pair * n.n_total * CAST(1000000 AS BIGINT))
+      |         // (u.n_user * t.n_type) AS lift_ppm
+      |FROM as_p p
+      |JOIN as_u u USING (user_id)
+      |JOIN as_t t USING (event_type), as_n n
+      |ORDER BY user_id, event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("ev_hist_quantiles", histQuantiles, Some(histQuantilesOracle)),
     QueryDef("ev_type_correlation", typeCorrelation, Some(typeCorrelationOracle)),
     QueryDef("ev_attribution", attribution, Some(attributionOracle)),
+    QueryDef("ev_assoc_score", assocScore, Some(assocScoreOracle)),
     QueryDef("ev_asof_last_order", asofLastOrder, Some(asofOracle)),
     QueryDef("ev_weighted_ma", weightedMa, Some(weightedMaOracle)),
     QueryDef("ev_rfm_segments", rfmSegments, Some(rfmOracle)),

@@ -117,6 +117,17 @@ object Bench {
         System.err.println(s"[bench] neardup_soak: $e")
         errors("neardup_soak") = e.toString.take(200); "null"
       }
+    // distinct-sketch streaming soak: every input row is a NEW user (the
+    // worst case for exact distinct state) and the portable-HLL register
+    // fold must plateau at <= days*1024 state rows. Same shape, own key.
+    val dsSecs = sys.env.getOrElse("SPARK_GRAFT_DISTINCT_SOAK_SECS", "20").toInt
+    val dsJson =
+      if (dsSecs <= 0) "null"
+      else try streaming.Soak.json(streaming.Soak.runDistinct(spark, dsSecs, 50000))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] distinct_soak: $e")
+        errors("distinct_soak") = e.toString.take(200); "null"
+      }
     // index-serving stage: per family (pq/ivfpq/minhash/cosine), the
     // one-time build cost vs the per-query direct-recompute vs the stored
     // serve path — the measured form of the write/serve/append story.
@@ -137,7 +148,7 @@ object Bench {
     }
     val errJson2 = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"soak":$soakJson,"neardup_soak":$ndJson,"index_serve":$serveJson,"errors":$errJson2,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"soak":$soakJson,"neardup_soak":$ndJson,"distinct_soak":$dsJson,"index_serve":$serveJson,"errors":$errJson2,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

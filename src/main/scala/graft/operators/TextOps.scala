@@ -1535,12 +1535,14 @@ object TextOps {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val (ct, cr) = (counts(target), counts(raw))
     val (tt, tr) = (ct.values.sum.toDouble, cr.values.sum.toDouble)
-    // ln only ever takes INTEGER-valued doubles (c+1, tot+B): the one
-    // measured Math.log-vs-libm divergence (doc_char_entropy's
-    // ln(24/325)) was a ratio input, so the restructured form
-    // (ln a − ln b) + (ln d − ln c) keeps the gate's cross-engine
-    // bit-parity premise on the safest input class; the DuckDB oracle
-    // replays the identical op sequence
+    // ln only ever takes INTEGER-valued doubles (c+1, tot+B). CAVEAT
+    // (r11): integer args are NOT a guaranteed-parity class — Math.log
+    // vs libm was measured 1 ulp apart on plain integers elsewhere
+    // (ev_assoc_score's ln(17)), which is why that gate switched to an
+    // exact integer lift. THIS gate's agreement is validated empirically
+    // per fixture at sf0.01 AND sf0.1 (every bucket's restructured
+    // ln-difference matches bit-for-bit there); if the fixtures ever
+    // regenerate, re-validate before trusting the hash gate
     val adj = math.log(tr + buckets) - math.log(tt + buckets)
     def lrOf(ctb: Long, crb: Long): Double =
       (math.log((ctb + 1).toDouble) - math.log((crb + 1).toDouble)) + adj

@@ -131,7 +131,7 @@ object Soak {
     * harness shared by the CEP soak and the near-dup soak.
     */
   private def measure(spark: SparkSession, seconds: Int, storeName: String,
-      out: org.apache.spark.sql.DataFrame): SoakResult = {
+      out: org.apache.spark.sql.DataFrame, mode: String = "append"): SoakResult = {
     val ckpt = java.nio.file.Files.createTempDirectory("graft-soak").toString
     // accumulate via a listener: q.recentProgress is a ring buffer capped at
     // spark.sql.streaming.numRecentProgressUpdates (default 100) — a long
@@ -179,7 +179,7 @@ object Soak {
     spark.streams.addListener(listener)
     val t0 = System.nanoTime()
     val wall = try {
-      val q = out.writeStream.format("noop")
+      val q = out.writeStream.format("noop").outputMode(mode)
         .option("checkpointLocation", ckpt).start()
       soakId.set(q.id)
       try {
@@ -274,6 +274,26 @@ object Soak {
         new Directory(new java.io.File(idx).getParentFile).deleteRecursively()
       } catch { case _: Throwable => () }
     }
+  }
+
+  /** Sustained soak for the streaming portable-HLL distinct fold
+    * ([[StreamingDistinct.registersStream]]): a rate source synthesizes an
+    * unbounded user-id stream across `days` rotating days where EVERY row
+    * is a brand-new user — the worst case for exact distinct state (which
+    * would grow forever) — and the register-fold state must plateau at
+    * ≤ days × 1024 rows. `attacks` reports the sink's emitted register
+    * updates (update mode), throughput the fold's sustained ev/s.
+    */
+  def runDistinct(spark: SparkSession, seconds: Int, rowsPerSecond: Int,
+      days: Int = 7): SoakResult = {
+    val rate = spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond)
+      .option("numPartitions", 8).load()
+    val ev = rate.select(
+      (col("value") % days * 86400000000L).as("day_us"),
+      col("value").as("user_id"))
+    measure(spark, seconds, "hll",
+      StreamingDistinct.registersStream(ev), mode = "update")
   }
 
   def json(r: SoakResult): String = {

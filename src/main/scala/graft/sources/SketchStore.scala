@@ -1,0 +1,61 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.PortableHll
+
+/** Durable sketch serving — the storage leg of the mergeable-sketch story:
+  * per-day portable-HLL register tables persist as a day-partitioned
+  * parquet layout, and ANY span's distinct count is then served by a
+  * partition-PRUNED scan of just that span's register files (≤ 1024 rows
+  * per day) max-merged into one estimate. At 100 TB the events are
+  * scanned exactly once ever (at ingest); every subsequent distinct
+  * question — any date range, asked any number of times — touches
+  * kilobytes. `appendDay` extends the store one day at a time (the
+  * nightly-ingest shape; dynamic partition overwrite keeps re-ingesting a
+  * day idempotent instead of doubling its registers), and because
+  * registers merge by MAX, serving never needs compaction to stay
+  * correct. Spec pins serve == a direct batch sketch of the same span and
+  * the pruned-scan plan shape.
+  */
+object SketchStore {
+
+  /** One pass over `ev` (day_us, user_id) → the day-partitioned register
+    * layout at `path`.
+    */
+  def writeDaily(ev: DataFrame, path: String): Unit =
+    PortableHll.registers(ev, Seq("day_us"), col("user_id"))
+      .write.mode(SaveMode.Overwrite).partitionBy("day_us").parquet(path)
+
+  /** Idempotent single-day (or few-day) append: only the partitions
+    * present in `evDay` are replaced, the rest of the store is untouched.
+    */
+  def appendDay(evDay: DataFrame, path: String): Unit =
+    PortableHll.registers(evDay, Seq("day_us"), col("user_id"))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day_us").parquet(path)
+
+  /** Registers of `[fromDay, toDay]` (inclusive, day_us values) — the
+    * range filter lands on the PARTITION column, so only that span's
+    * files are read (plan-asserted in `SketchStoreSpec`).
+    */
+  def rangeRegisters(spark: SparkSession, path: String,
+      fromDay: Long, toDay: Long): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("day_us") >= fromDay && col("day_us") <= toDay)
+
+  /** Serve the span's distinct-user estimate: max-merge the span's
+    * registers, one estimate row (span_from, span_to, est).
+    */
+  def serveDistinct(spark: SparkSession, path: String,
+      fromDay: Long, toDay: Long): DataFrame = {
+    val merged = rangeRegisters(spark, path, fromDay, toDay)
+      .groupBy("j").agg(max(col("mj")).as("mj"))
+      .withColumn("one", lit(1))
+    PortableHll.estimate(merged, Seq("one"))
+      .select(lit(fromDay).as("span_from"), lit(toDay).as("span_to"),
+        col("est"))
+  }
+}

@@ -58,4 +58,45 @@ object SketchStore {
       .select(lit(fromDay).as("span_from"), lit(toDay).as("span_to"),
         col("est"))
   }
+
+  // ---- the quantile twin: per-day fixed-bin histograms, SUM-merge ------
+
+  /** `ev` must carry (day_us, value); same layout contract as the HLL
+    * store, bins as in [[graft.operators.EventOps.histQuantiles]].
+    */
+  private def bins(ev: DataFrame): DataFrame =
+    ev.select(col("day_us"),
+        least(greatest(floor(col("value")).cast("long"), lit(0L)), lit(1023L))
+          .as("bin"))
+      .groupBy("day_us", "bin").agg(count(lit(1)).as("cnt"))
+
+  def writeDailyHist(ev: DataFrame, path: String): Unit =
+    bins(ev).write.mode(SaveMode.Overwrite).partitionBy("day_us").parquet(path)
+
+  def appendDayHist(evDay: DataFrame, path: String): Unit =
+    bins(evDay).write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day_us").parquet(path)
+
+  /** Serve the span's p50/p95/p99: SUM-merge the span's bin counts (the
+    * pruned scan again), then the integer cumulative walk — one row
+    * (span_from, span_to, n, p50, p95, p99), equal to a direct
+    * histogram-sketch pass over the span's events by count additivity.
+    */
+  def serveQuantiles(spark: SparkSession, path: String,
+      fromDay: Long, toDay: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val merged = spark.read.parquet(path)
+      .filter(col("day_us") >= fromDay && col("day_us") <= toDay)
+      .groupBy("bin").agg(sum(col("cnt")).as("cnt"))
+    val c = merged
+      .withColumn("cum", sum(col("cnt")).over(Window.orderBy("bin")))
+      .withColumn("n", sum(col("cnt")).over(
+        Window.partitionBy(lit(1))))
+    def q(p: Int) = min(when(
+      col("cum") >= expr(s"(n * $p + 99) div 100"), col("bin"))).as(s"p$p")
+    c.agg(max(col("n")).as("n"), q(50), q(95), q(99))
+      .select(lit(fromDay).as("span_from"), lit(toDay).as("span_to"),
+        col("n"), col("p50"), col("p95"), col("p99"))
+  }
 }

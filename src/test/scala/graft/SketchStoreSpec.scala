@@ -47,6 +47,39 @@ class SketchStoreSpec extends SparkSpecBase {
     assert(head.forall(d => served(d, d) == direct(d, d)))
   }
 
+  test("quantile store: span serve == direct histogram sketch; append covers the new day") {
+    import graft.operators.EventOps
+    val ev = Tables.t(spark, sf0001, "events")
+      .select(unix_micros(date_trunc("DAY", col("ts"))).as("day_us"),
+        col("value"))
+      .localCheckpoint(true)
+    val days = ev.select("day_us").distinct().orderBy("day_us")
+      .collect().map(_.getLong(0))
+    val last = days.last
+    val path = java.nio.file.Files.createTempDirectory("graft-skq").toString + "/hist"
+    SketchStore.writeDailyHist(ev.filter(col("day_us") =!= last), path)
+    // direct truth: the gated histQuantiles ALL-row logic over the span,
+    // replayed driver-side on the raw values
+    def direct(from: Long, to: Long): (Long, Long, Long, Long) = {
+      val vs = ev.filter(col("day_us") >= from && col("day_us") <= to)
+        .select("value").collect().map(_.getDouble(0)).sorted
+      def b(p: Int) = {
+        val rank = (vs.length.toLong * p + 99) / 100
+        math.min(math.max(math.floor(vs((rank - 1).toInt)).toLong, 0L), 1023L)
+      }
+      (vs.length.toLong, b(50), b(95), b(99))
+    }
+    def served(from: Long, to: Long): (Long, Long, Long, Long) = {
+      val r = SketchStore.serveQuantiles(spark, path, from, to).collect().head
+      (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    }
+    val span = (days(0), days(days.length - 2))
+    assert(served(span._1, span._2) == direct(span._1, span._2))
+    SketchStore.appendDayHist(ev.filter(col("day_us") === last), path)
+    assert(served(days(0), last) == direct(days(0), last))
+    assert(served(days(1), days(1)) == direct(days(1), days(1)))
+  }
+
   test("span serve prunes at the partition level; nothing event-scale in the plan") {
     val path = java.nio.file.Files.createTempDirectory("graft-skp").toString + "/hll"
     SketchStore.writeDaily(evFrame, path)

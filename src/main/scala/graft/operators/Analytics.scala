@@ -807,6 +807,40 @@ object Analytics {
        |                    AND o_orderdate >= TIMESTAMP '1999-01-01')
        |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin
 
+  /** Market-basket affinity — the frequent-itemset staple (which parts are
+    * co-ordered): ONE fact shuffle folds each order to its sorted distinct
+    * part set (bounded by lines-per-order ≈ 7, map-side combined), pairs
+    * expand MAP-SIDE from each tiny set — never a fact self-join, which
+    * would re-shuffle the corpus or (under AQE at small scale) broadcast
+    * a corpus-sized distinct table — then the pair counts take one more
+    * bounded shuffle and the global top-20 is a TakeOrdered
+    * (per-partition heaps, driver merges |partitions|·20 rows).
+    * All-integer, sorted sets + deterministic tie-break → hash-exact
+    * (the oracle uses the equivalent self-join formulation; equal hashes
+    * prove the set-expansion rewrite correct).
+    */
+  def qBasketPairs(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS p1, y AS p2))))"))
+        .as("pr"))
+      .select(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+      .groupBy("p1", "p2")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("p1"), col("p2"))
+      .limit(20)
+
+  val qBasketOracle: String =
+    """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+      |SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n_orders
+      |FROM lp a JOIN lp b
+      |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |GROUP BY 1, 2
+      |ORDER BY n_orders DESC, p1, p2 LIMIT 20""".stripMargin
+
   /** HLL sketch distinct — the 100 TB answer to COUNT(DISTINCT): no exact
     * shuffle of the full key set, just a |groups|·1024-key register fold.
     * Gated on the engine-portable sketch ([[PortableHll]]) so the ESTIMATE
@@ -862,6 +896,7 @@ object Analytics {
     QueryDef("q_above_avg_price_parts", qAboveAvgPriceParts, Some(qAboveAvgOracle)),
     QueryDef("q_pivot_status_counts", qPivotStatusCounts, Some(qPivotOracle)),
     QueryDef("q_cumsum_cust", qCumsumCust, Some(qCumsumOracle)),
+    QueryDef("q_basket_pairs", qBasketPairs, Some(qBasketOracle)),
     QueryDef("q_priority_share", qPriorityShare, Some(qShareOracle)),
     QueryDef("q_approx_distinct_custs", qApproxDistinctCusts, Some(qApproxDistinctOracle))
   )

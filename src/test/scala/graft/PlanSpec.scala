@@ -532,6 +532,14 @@ class PlanSpec extends SparkSpecBase {
     assert(aggs == 2, s"partial + final register MAX, got $aggs HashAggregates")
   }
 
+  test("basket pairs: set fold + map-side expansion — no join, two exchanges, TakeOrdered") {
+    val p = plan(Analytics.qBasketPairs(spark, sf0001))
+    assert(!p.contains("Join"), s"pair expansion must be map-side, not a self-join:\n${p.take(1200)}")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 2,
+      "exactly two shuffles: the order-set fold and the pair count")
+    assert(p.contains("TakeOrderedAndProject"), "global top-20 must be a TakeOrdered")
+  }
+
   test("editdist: the Levenshtein DP runs over banded candidates, never the corpus join") {
     val df = graft.operators.DedupOps.editDistPairs(spark, sf0001)
     val p = plan(df)

@@ -89,6 +89,9 @@ object SketchStore {
     val merged = spark.read.parquet(path)
       .filter(col("day_us") >= fromDay && col("day_us") <= toDay)
       .groupBy("bin").agg(sum(col("cnt")).as("cnt"))
+    // single-partition windows are safe HERE by construction: `merged`
+    // has at most 1024 rows (one per bin) no matter how many days or
+    // events the span covers — the walk is metadata-scale, not data-scale
     val c = merged
       .withColumn("cum", sum(col("cnt")).over(Window.orderBy("bin")))
       .withColumn("n", sum(col("cnt")).over(

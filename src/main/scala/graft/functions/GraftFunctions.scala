@@ -14,8 +14,10 @@ object GraftFunctions {
   private[functions] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_cosine" -> { args => QuantizedCosine(args(0), args(1)) },
     "graft_simhash64" -> { args => SimHash64(args(0)) },
+    "graft_simhash64_md5" -> { args => SimHash64(args(0), md5Parity = true) },
     "graft_rolling_hash" -> { args => RollingHash(args(0)) },
     "graft_minhash_sig" -> { args => MinHashSig(args(0)) },
+    "graft_minhash_sig_md5" -> { args => MinHashSig(args(0), md5Parity = true) },
     "graft_word_shingles" -> { args =>
       WordShingles(args(0), args(1).eval().asInstanceOf[Int]) },
     "graft_pq_adc" -> { args => PqAdc(args(0), args(1)) },
@@ -71,9 +73,11 @@ object GraftFunctions {
 
   // Column-API wrappers (require register() / GraftExtensions on the session).
   def graftCosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
-  def graftSimHash64(tokens: Column): Column = call_function("graft_simhash64", tokens)
+  def graftSimHash64(tokens: Column, md5Parity: Boolean = false): Column =
+    call_function(if (md5Parity) "graft_simhash64_md5" else "graft_simhash64", tokens)
   def graftRollingHash(s: Column): Column = call_function("graft_rolling_hash", s)
-  def graftMinHashSig(tokens: Column): Column = call_function("graft_minhash_sig", tokens)
+  def graftMinHashSig(tokens: Column, md5Parity: Boolean = false): Column =
+    call_function(if (md5Parity) "graft_minhash_sig_md5" else "graft_minhash_sig", tokens)
   def graftWordShingles(text: Column, k: Int): Column =
     call_function("graft_word_shingles", text, org.apache.spark.sql.functions.lit(k))
   def graftPqAdc(codes: Column, lut: Column): Column =

@@ -120,35 +120,63 @@ object Md5Basis {
   }
 }
 
-/** 64-bit SimHash over a token array: md5-basis hash per token
-  * ([[Md5Basis.h64]] — engine-portable, so the fingerprint is
-  * oracle-replayable), add +1/-1 per bit position, set result bit where
-  * the sum is positive. Single pass, no shuffle — the banding join
-  * downstream is the only exchange in the near-dup pipeline.
+/** PRODUCTION basis for the sketch family: xxHash64 with Spark SQL's
+  * default seed (42), so the native-loop values equal the `xxhash64()`
+  * column function bit-for-bit. ~10x cheaper per hash than [[Md5Basis]]
+  * (no digest allocation, no byte copies) — the signature pass is the
+  * hot loop of corpus-scale dedup, so this is the default; the md5
+  * basis stays available as the DuckDB-replayable oracle-parity twin
+  * (DuckDB ships no xxhash64). See DedupOps' BasisParitySpec-pinned
+  * pair-set equality between the two bases.
   */
-case class SimHash64(child: Expression) extends UnaryExpression {
+object XxBasis {
+  final val Seed = 42L
+
+  def h64(s: UTF8String): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      s.getBaseObject, s.getBaseOffset, s.numBytes, Seed)
+
+  /** Low 32 bits of h64 as an unsigned value in a long — equals
+    * `xxhash64(s) & 0xFFFFFFFF`, keeping the MinHash permutation
+    * domain (A*h + B < 2^62 needs h < 2^32).
+    */
+  def h32(s: UTF8String): Long = h64(s) & 0xffffffffL
+}
+
+/** 64-bit SimHash over a token array: basis hash per token (xxHash64
+  * by default — [[XxBasis.h64]], the production hot path; md5
+  * ([[Md5Basis.h64]]) when `md5Parity` — engine-portable, so the
+  * fingerprint is oracle-replayable), add +1/-1 per bit position, set
+  * result bit where the sum is positive. Single pass, no shuffle — the
+  * banding join downstream is the only exchange in the near-dup
+  * pipeline.
+  */
+case class SimHash64(child: Expression, md5Parity: Boolean = false)
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
-  override def prettyName: String = "graft_simhash64"
+  override def prettyName: String =
+    if (md5Parity) "graft_simhash64_md5" else "graft_simhash64"
 
   override protected def nullSafeEval(input: Any): Any =
-    SimHash64.compute(input.asInstanceOf[ArrayData])
+    SimHash64.compute(input.asInstanceOf[ArrayData], md5Parity)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.SimHash64.compute($c);")
+      s"${ev.value} = graft.functions.SimHash64.compute($c, $md5Parity);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
 object SimHash64 {
-  def compute(arr: ArrayData): Long = {
+  def compute(arr: ArrayData, md5Parity: Boolean): Long = {
     val acc = new Array[Int](64)
     var i = 0
     while (i < arr.numElements()) {
       if (!arr.isNullAt(i)) {
-        val h = Md5Basis.h64(arr.getUTF8String(i))
+        val s = arr.getUTF8String(i)
+        val h = if (md5Parity) Md5Basis.h64(s) else XxBasis.h64(s)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
@@ -213,23 +241,26 @@ object RollingHash {
 
 /** All 64 MinHash signature values in ONE pass over the shingle array:
   * sig[i] = min over shingles of pmod(A(i)*h + B(i), P) where h is the
-  * shingle's md5-basis 32-bit hash ([[Md5Basis.h32]] — engine-portable,
-  * so signatures are oracle-replayable). Replaces 64 separate
+  * shingle's 32-bit basis hash — xxHash64 low word by default
+  * ([[XxBasis.h32]], production), md5 prefix ([[Md5Basis.h32]],
+  * engine-portable oracle twin) when `md5Parity`. Replaces 64 separate
   * array_min(transform(...)) expressions whose generated code blew past
   * JIT-friendly sizes; the tight nested loop here is ~64x|shingles|
   * multiply-adds per row.
   */
-case class MinHashSig(child: Expression) extends UnaryExpression {
+case class MinHashSig(child: Expression, md5Parity: Boolean = false)
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "graft_minhash_sig"
+  override def prettyName: String =
+    if (md5Parity) "graft_minhash_sig_md5" else "graft_minhash_sig"
 
   override protected def nullSafeEval(input: Any): Any =
-    MinHashSig.compute(input.asInstanceOf[ArrayData])
+    MinHashSig.compute(input.asInstanceOf[ArrayData], md5Parity)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.MinHashSig.compute($c);")
+      s"${ev.value} = graft.functions.MinHashSig.compute($c, $md5Parity);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -243,13 +274,14 @@ object MinHashSig {
   val A: Array[Long] = Array.fill(NumPerm)(1L + rng.nextInt((1 << 30) - 1).toLong)
   val B: Array[Long] = Array.fill(NumPerm)(rng.nextInt(Int.MaxValue).toLong)
 
-  def compute(arr: ArrayData): ArrayData = {
+  def compute(arr: ArrayData, md5Parity: Boolean): ArrayData = {
     val n = arr.numElements()
     val mins = Array.fill(NumPerm)(Long.MaxValue)
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val h = Md5Basis.h32(arr.getUTF8String(i))
+        val s = arr.getUTF8String(i)
+        val h = if (md5Parity) Md5Basis.h32(s) else XxBasis.h32(s)
         var p = 0
         while (p < NumPerm) {
           val v = (A(p) * h + B(p)) % P

@@ -251,6 +251,26 @@ object DedupOps {
   private def md5bkey(rows: Seq[Column]): Column =
     conv(substring(md5(concat_ws(",", rows: _*)), 1, 15), 16, 10).cast("long")
 
+  /** 32-bit shingle hash in the selected basis. PRODUCTION default is the
+    * xxhash64 low word ([[graft.functions.XxBasis.h32]] — codegen'd, no
+    * digest allocation, ~10x cheaper than md5); `md5Parity = true` is the
+    * DuckDB-replayable twin the hash-exact oracles rebuild. The verify
+    * math downstream (|A∩B|, Jaccard) is basis-INDEPENDENT — equal
+    * strings hash equal in either basis — so the two bases differ only in
+    * which candidates the bands surface; BasisParitySpec pins the
+    * surviving pair sets equal on the gate corpus.
+    */
+  private def h32col(c: Column, md5Parity: Boolean): Column =
+    if (md5Parity) md5h32(c)
+    else xxhash64(c).bitwiseAND(lit(0xffffffffL))
+
+  /** Band-bucket key in the selected basis: xxhash64 straight over the
+    * band's signature columns (no string materialization) in production;
+    * the md5-prefix form for the oracle-parity twin.
+    */
+  private def bkeyCol(rows: Seq[Column], md5Parity: Boolean): Column =
+    if (md5Parity) md5bkey(rows) else xxhash64(rows: _*)
+
   /** Drop rows in overflowing buckets. Hot buckets are few by construction,
     * so the overflow list broadcasts.
     */
@@ -264,11 +284,22 @@ object DedupOps {
 
   /** MinHash-LSH near-dup: candidates from band-bucket join, verified with
     * exact Jaccard on the (few) candidates via array_intersect.
+    *
+    * The GATED query runs the xxhash64 production basis against the md5
+    * band replay ([[minhashOracle]]): the output (d1, d2, jaccard) is a
+    * deterministic function of the surviving pair set alone (Jaccard is
+    * computed from the hashed shingle SETS, identical-size in either
+    * basis), and BasisParitySpec pins the two bases' pair sets equal on
+    * the gate corpus. `doc_minhash_md5` gates the md5 twin end-to-end
+    * (exact band replay) so the oracle's own pipeline stays validated.
     */
   def minHashLsh(s: SparkSession, dir: String): DataFrame =
     minHashLshOn(Tables.t(s, dir, "documents"))
 
-  def minHashLshOn(documents: DataFrame): DataFrame = {
+  def minHashLshMd5(s: SparkSession, dir: String): DataFrame =
+    minHashLshOn(Tables.t(s, dir, "documents"), md5Parity = true)
+
+  def minHashLshOn(documents: DataFrame, md5Parity: Boolean = false): DataFrame = {
     // hsh = per-doc shingle set as 64-bit hashes: the verify stage
     // intersects THESE instead of the string arrays (equal strings hash
     // equal, so |A∩B| is preserved up to 64-bit collisions — this query is
@@ -280,12 +311,12 @@ object DedupOps {
       .select(col("doc_id"), col("shs"))
       .filter(size(col("shs")) > 0)
       .select(col("doc_id"),
-        transform(col("shs"), s => md5h32(s)).as("hsh"),
-        GraftFunctions.graftMinHashSig(col("shs")).as("sig"))
+        transform(col("shs"), s => h32col(s, md5Parity)).as("hsh"),
+        GraftFunctions.graftMinHashSig(col("shs"), md5Parity).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandKeys = (0 until Bands).map { b =>
       val rows = (0 until RowsPerBand).map(r => col("sig").getItem(b * RowsPerBand + r))
-      struct(lit(b).as("band"), md5bkey(rows).as("bkey"))
+      struct(lit(b).as("band"), bkeyCol(rows, md5Parity).as("bkey"))
     }
     val exploded = sh
       .select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
@@ -313,13 +344,19 @@ object DedupOps {
     * expression; pigeonhole banding (4 x 16-bit chunks) guarantees recall
     * for hamming <= 3; verify with bit_count(xor).
     */
+  /** The GATED simhash keys keep the md5-parity basis: unlike MinHash
+    * (whose gated output is basis-independent given equal pair sets),
+    * the hamming VALUES here are a function of the fingerprint bits
+    * themselves, so the oracle must replay the same basis. The library
+    * default stays xxhash64 (production: soaks, index paths, ad-hoc use).
+    */
   def simHashPairs(s: SparkSession, dir: String): DataFrame =
-    simHashPairsOn(Tables.t(s, dir, "documents"))
+    simHashPairsOn(Tables.t(s, dir, "documents"), md5Parity = true)
 
   /** doc_id -> 64-bit SimHash fingerprint (tokenize + native SimHash64). */
-  private def simhashFps(df: DataFrame): DataFrame = df
+  private def simhashFps(df: DataFrame, md5Parity: Boolean): DataFrame = df
     .withColumn("toks", split(col("text"), " "))
-    .withColumn("sh64", GraftFunctions.graftSimHash64(col("toks")))
+    .withColumn("sh64", GraftFunctions.graftSimHash64(col("toks"), md5Parity))
     .select("doc_id", "sh64")
 
   /** Pigeonhole banding of fingerprints: 4 x 16-bit chunks — any pair at
@@ -332,11 +369,11 @@ object DedupOps {
           shiftrightunsigned(col("sh64"), i * 16).bitwiseAND(lit(0xFFFFL)).as("chunk"))): _*)).as("bk"))
       .select(col("doc_id"), col("sh64"), col("bk.band").as("band"), col("bk.chunk").as("chunk"))
 
-  def simHashPairsOn(documents: DataFrame): DataFrame = {
+  def simHashPairsOn(documents: DataFrame, md5Parity: Boolean = false): DataFrame = {
     // persist the fingerprints: banding feeds the hot-bucket count, the
     // anti-join AND both self-join sides — unpersisted, the tokenize +
     // SimHash64 map pass (the expensive part) ran four times
-    val d = simhashFps(documents)
+    val d = simhashFps(documents, md5Parity)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = simhashBands(d)
     val pruned = pruneHotBuckets(banded, Seq("band", "chunk"))
@@ -508,22 +545,31 @@ object DedupOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pruned = pruneHotBuckets(bandRows(sh), Seq("band", "bkey"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = pruned.as("a")
-      .join(pruned.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
-    val t = Tables.spread(documents).select(col("doc_id"), col("text"))
-    cands
-      .join(t.select(col("doc_id").as("d1"), col("text").as("t1")), "d1")
-      .join(t.select(col("doc_id").as("d2"), col("text").as("t2")), "d2")
-      .withColumn("edit_dist", levenshtein(col("t1"), col("t2")).cast("long"))
-      .withColumn("norm_dist", col("edit_dist").cast(DoubleType) /
-        greatest(length(col("t1")), length(col("t2"))).cast(DoubleType))
-      .filter(col("norm_dist") <= maxNorm)
-      .select("d1", "d2", "edit_dist", "norm_dist")
-      .orderBy("d1", "d2")
+    try {
+      val cands = pruned.as("a")
+        .join(pruned.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+      val t = Tables.spread(documents).select(col("doc_id"), col("text"))
+      cands
+        .join(t.select(col("doc_id").as("d1"), col("text").as("t1")), "d1")
+        .join(t.select(col("doc_id").as("d2"), col("text").as("t2")), "d2")
+        .withColumn("edit_dist", levenshtein(col("t1"), col("t2")).cast("long"))
+        .withColumn("norm_dist", col("edit_dist").cast(DoubleType) /
+          greatest(length(col("t1")), length(col("t2"))).cast(DoubleType))
+        .filter(col("norm_dist") <= maxNorm)
+        .select("d1", "d2", "edit_dist", "norm_dist")
+        .orderBy("d1", "d2")
+        // the verified pair set is tiny — materialize it eagerly so the
+        // two pipeline caches can be dropped before return instead of
+        // accumulating across repeated invocations (bench/serve loops)
+        .localCheckpoint(true)
+    } finally {
+      pruned.unpersist()
+      sh.unpersist()
+    }
   }
 
   def editDistPairs(s: SparkSession, dir: String): DataFrame =
@@ -738,19 +784,21 @@ object DedupOps {
     * shared by the one-shot, index-backed and streaming probe paths.
     * `keep` columns ride along (e.g. the stream's event-time column).
     */
-  private[graft] def minhashSigs(df: DataFrame, keep: Seq[String] = Nil): DataFrame =
+  private[graft] def minhashSigs(df: DataFrame, keep: Seq[String] = Nil,
+      md5Parity: Boolean = false): DataFrame =
     withShingles(df)
       .select(col("doc_id") +: col("shs") +: keep.map(col): _*)
       .filter(size(col("shs")) > 0)
       .select(col("doc_id") +:
-        transform(col("shs"), s => md5h32(s)).as("hsh") +:
-        GraftFunctions.graftMinHashSig(col("shs")).as("sig") +: keep.map(col): _*)
+        transform(col("shs"), s => h32col(s, md5Parity)).as("hsh") +:
+        GraftFunctions.graftMinHashSig(col("shs"), md5Parity).as("sig") +: keep.map(col): _*)
 
   /** (doc_id, band, bkey) band-bucket rows of a signature frame. */
-  private[graft] def bandRows(df: DataFrame, keep: Seq[String] = Nil): DataFrame = {
+  private[graft] def bandRows(df: DataFrame, keep: Seq[String] = Nil,
+      md5Parity: Boolean = false): DataFrame = {
     val bandKeys = (0 until Bands).map { b =>
       val rows = (0 until RowsPerBand).map(r => col("sig").getItem(b * RowsPerBand + r))
-      struct(lit(b).as("band"), md5bkey(rows).as("bkey"))
+      struct(lit(b).as("band"), bkeyCol(rows, md5Parity).as("bkey"))
     }
     df.select(col("doc_id") +: explode(array(bandKeys: _*)).as("bk") +: keep.map(col): _*)
       .select(col("doc_id") +: col("bk.band").as("band") +:
@@ -765,12 +813,14 @@ object DedupOps {
     * frame, never a shuffle of the 100 TB signatures by corpus_doc.
     */
   private def minhashProbe(corpusSig: DataFrame, corpusBands: DataFrame,
-      batch: DataFrame, sigLookup: Option[(String, Int)] = None): DataFrame = {
-    val batchSig = minhashSigs(batch)
+      batch: DataFrame, sigLookup: Option[(String, Int)] = None,
+      md5Parity: Boolean = false): DataFrame = {
+    // basis must match the corpus side the caller computed/stored
+    val batchSig = minhashSigs(batch, md5Parity = md5Parity)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pruned = pruneHotBuckets(corpusBands, Seq("band", "bkey"))
     val cands = pruned.as("c")
-      .join(broadcast(bandRows(batchSig).as("b")),
+      .join(broadcast(bandRows(batchSig, md5Parity = md5Parity).as("b")),
         col("c.band") === col("b.band") && col("c.bkey") === col("b.bkey"))
       .select(col("b.doc_id").as("batch_doc"), col("c.doc_id").as("corpus_doc"))
       .distinct()
@@ -826,14 +876,16 @@ object DedupOps {
       .orderBy("batch_doc", "corpus_doc")
   }
 
-  def incrementalMinHashOn(corpus: DataFrame, batch: DataFrame): DataFrame = {
+  def incrementalMinHashOn(corpus: DataFrame, batch: DataFrame,
+      md5Parity: Boolean = false): DataFrame = {
     // self-contained form: the corpus signatures are recomputed here (and
     // persisted — band building and candidate verify both consume them);
     // the steady-state ingest path serves them from a maintained table
     // instead ([[writeMinHashIndex]] / [[incrementalMinHashFromIndex]])
-    val corpusSig = minhashSigs(corpus)
+    val corpusSig = minhashSigs(corpus, md5Parity = md5Parity)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    minhashProbe(corpusSig, bandRows(corpusSig), batch)
+    minhashProbe(corpusSig, bandRows(corpusSig, md5Parity = md5Parity), batch,
+      md5Parity = md5Parity)
   }
 
   /** Materialize the MinHash band index: the per-doc signature table and
@@ -928,14 +980,15 @@ object DedupOps {
     * asymmetric plan (batch bands BROADCAST, corpus bands stream once,
     * hot buckets capped), candidates verified with bit_count(xor) <= 3.
     */
-  def incrementalSimHashOn(corpus: DataFrame, batch: DataFrame): DataFrame = {
-    val batchFp = simhashFps(batch)
+  def incrementalSimHashOn(corpus: DataFrame, batch: DataFrame,
+      md5Parity: Boolean = false): DataFrame = {
+    val batchFp = simhashFps(batch, md5Parity)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // corpus fingerprints persist because pruneHotBuckets consumes the
     // band frame twice (hot-bucket count + anti-join) — unpersisted, the
     // expensive tokenize+SimHash64 corpus pass would run twice; the band
     // re-explode off the cache is cheap (same rationale as simHashPairsOn)
-    val corpusFp = simhashFps(corpus)
+    val corpusFp = simhashFps(corpus, md5Parity)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val corpusBands = pruneHotBuckets(simhashBands(corpusFp),
       Seq("band", "chunk"))
@@ -951,9 +1004,10 @@ object DedupOps {
 
   def incrementalSimHash(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.t(s, dir, "documents")
+    // md5 twin basis: gated against the exact band replay (see simHashPairs)
     incrementalSimHashOn(
       docs.filter(col("doc_id") % 5 =!= 0),
-      docs.filter(col("doc_id") % 5 === 0))
+      docs.filter(col("doc_id") % 5 === 0), md5Parity = true)
   }
 
   // ------------------------------------------------------- substring spans
@@ -1704,6 +1758,7 @@ object DedupOps {
     QueryDef("doc_keep_containers", keepContainers, Some(keepContainersOracle)),
     QueryDef("doc_keep_containers_fix", keepContainersFix, Some(keepContainersFixOracle)),
     QueryDef("doc_minhash_lsh", minHashLsh, Some(minhashOracle), headline = true),
+    QueryDef("doc_minhash_md5", minHashLshMd5, Some(minhashOracle)),
     QueryDef("doc_simhash", simHashPairs, Some(simhashOracle)),
     QueryDef("doc_editdist_pairs", editDistPairs, Some(editDistOracle)),
     QueryDef("doc_dup_clusters", dupClusters, Some(dupClustersOracle)),

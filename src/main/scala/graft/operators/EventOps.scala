@@ -513,6 +513,90 @@ object EventOps {
       .orderBy("user_id", "event_type")
   }
 
+  /** The fitted factor tables behind [[ipinsightsScoreOn]], widened to
+    * Double (float -> double is exact) and keyed by the natural ids —
+    * the freeze surface ([[graft.tools.AlsFreeze]] ships them as
+    * `model/AlsRef` literals) and the frozen==fresh pinning spec both
+    * call this. Bounded driver pull: |users| + |types| factor rows.
+    */
+  private[graft] def ipinsightsFit(
+      e: DataFrame): (Array[(Long, Array[Double])], Array[(String, Array[Double])]) = {
+    import org.apache.spark.ml.recommendation.ALS
+    val pairs = indexedPairs(e)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val als = new ALS()
+        .setUserCol("user_id").setItemCol("type_idx").setRatingCol("strength")
+        .setImplicitPrefs(true).setRank(8).setMaxIter(5).setSeed(42L)
+      val model = als.fit(pairs)
+      def factors(df: DataFrame): Array[(Long, Array[Double])] =
+        df.collect().map { r =>
+          (r.getInt(0).toLong, r.getSeq[Float](1).map(_.toDouble).toArray)
+        }.sortBy(_._1)
+      val idxToType = pairs.select("type_idx", "event_type").distinct()
+        .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+      val users = factors(model.userFactors)
+      val types = factors(model.itemFactors)
+        .map { case (i, f) => (idxToType(i.toInt), f) }.sortBy(_._1)
+      (users, types)
+    } finally pairs.unpersist()
+  }
+
+  /** FROZEN-model serving twin of [[ipinsightsScoreOn]] — the gated form.
+    * The r11 freeze-the-fit pattern applied to the ALS analog of the
+    * reference's SageMaker IPInsights deployment (the notebook trains
+    * once, the endpoint serves the frozen weights — this is that shape):
+    * the seeded fit's (user, type) factor tables ship as `model/AlsRef`
+    * literals (spec-pinned to a fresh deterministic fit replay), and the
+    * score is the ordered zip_with product + 0.0-seeded left fold in
+    * DOUBLE — the exact IEEE op sequence DuckDB replays with
+    * list_reduce/list_prepend, making the last rows-only gate hash-exact.
+    * Unknown keys drop (inner join) = the trainer's cold-start drop.
+    * Scale shape: ONE fact-scale aggregate; both factor sides broadcast.
+    */
+  def ipinsightsServe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val uf = graft.model.AlsRef.Users.toSeq.toDF("user_id", "uf")
+    val tf = graft.model.AlsRef.Types.toSeq.toDF("event_type", "tf")
+    Tables.t(s, dir, "events")
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n_pair"))
+      .join(broadcast(uf), "user_id")
+      .join(broadcast(tf), "event_type")
+      .withColumn("score", expr(
+        "aggregate(zip_with(uf, tf, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, v) -> a + v)"))
+      .select("user_id", "event_type", "n_pair", "score")
+      .orderBy("user_id", "event_type")
+  }
+
+  /** DuckDB replay of [[ipinsightsServe]]: the frozen factor tables as
+    * VALUES literals (E-notation — strtod path), the same count
+    * aggregate, and the same ordered product fold.
+    */
+  lazy val ipinsightsOracle: String = {
+    def dbl(x: Double): String = {
+      val s = x.toString
+      if (s.contains('E') || s.contains('e')) s else s + "E0"
+    }
+    def lst(f: Array[Double]): String = f.map(dbl).mkString("[", ", ", "]")
+    val uvals = graft.model.AlsRef.Users
+      .map { case (u, f) => s"($u, ${lst(f)})" }.mkString(",\n  ")
+    val tvals = graft.model.AlsRef.Types
+      .map { case (t, f) => s"('$t', ${lst(f)})" }.mkString(",\n  ")
+    s"""WITH uf(user_id, f) AS (VALUES
+       |  $uvals),
+       |tf(event_type, g) AS (VALUES
+       |  $tvals),
+       |p AS (SELECT user_id, event_type, COUNT(*) AS n_pair
+       |      FROM events GROUP BY user_id, event_type)
+       |SELECT p.user_id, p.event_type, CAST(p.n_pair AS BIGINT) AS n_pair,
+       |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(list_zip(uf.f, tf.g), z -> z[1] * z[2])),
+       |    (a, v) -> a + v) AS score
+       |FROM p JOIN uf USING (user_id) JOIN tf USING (event_type)
+       |ORDER BY user_id, event_type""".stripMargin
+  }
+
   /** Z-score outliers per event type. Moments from exact decimal sums; the
     * naive-variance formula is written identically in both engines so the
     * IEEE op sequence matches bit-for-bit.
@@ -2283,7 +2367,7 @@ object EventOps {
     QueryDef("ev_cep_bounded", cepAttackBounded, Some(cepBoundedOracle)),
     QueryDef("ev_cep_flink", cepAttackFlink, Some(cepFlinkOracle)),
     QueryDef("ev_rarity_score", rarityScore, Some(rarityOracle)),
-    QueryDef("ev_ipinsights_score", ipinsightsScore, None),
+    QueryDef("ev_ipinsights_score", ipinsightsServe, Some(ipinsightsOracle)),
     QueryDef("ev_quantiles_by_type", quantilesByType, Some(quantilesOracle)),
     QueryDef("ev_zscore_outliers", zscoreOutliers, Some(zscoreOracle)),
     QueryDef("ev_cusum_drift", cusumDrift, Some(cusumOracle)),

@@ -110,10 +110,15 @@ object HybridSearch {
         coalesce(lit(1.0) / (lit(RrfK.toDouble) + col("r_bm25").cast(DoubleType)), lit(0.0)) +
           coalesce(lit(1.0) / (lit(RrfK.toDouble) + col("r_knn").cast(DoubleType)), lit(0.0)))
     val wF = Window.partitionBy("q_id").orderBy(col("rrf").desc, col("doc_id").asc)
-    fused.withColumn("rnk", row_number().over(wF).cast("long"))
+    try fused.withColumn("rnk", row_number().over(wF).cast("long"))
       .filter(col("rnk") <= TopK)
       .select("q_id", "doc_id", "rnk", "rrf", "r_bm25", "r_knn")
       .orderBy("q_id", "rnk")
+      // fused top-k is tiny — materialize eagerly so the matched-postings
+      // cache drops before return instead of accumulating across repeated
+      // bench/serve invocations (same shape as hllDailyUnion/noveltyScore)
+      .localCheckpoint(true)
+    finally matched.unpersist()
   }
 
   def hybridSearch(s: SparkSession, dir: String): DataFrame =

@@ -66,17 +66,27 @@ object PortableHll {
     * estimate, bit-identical to the oracle's.
     */
   def estimate(regs: DataFrame, grpCols: Seq[String]): DataFrame = {
+    // rho can reach 53 (all-zero 52-bit word, p ~ 2^-52 per key): an
+    // unclamped 52-mj = -1 shift is UB in both engines (Java masks it to
+    // 1<<63 = Long.MIN_VALUE, DuckDB raises) — clamp to 0, costing < 1
+    // ulp of the register sum (treats rho 53 as 52)
     val folded = regs
       .groupBy(grpCols.map(col): _*)
-      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(52 - mj AS INT))")).as("sp"),
+      .agg(sum(expr(
+        "shiftleft(CAST(1 AS BIGINT), greatest(CAST(52 - mj AS INT), 0))")).as("sp"),
         count(lit(1)).as("filled"))
     val v = lit(M.toLong) - col("filled")
     val s = col("sp") + v * lit(EMPTY)
     val raw = (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(1024.0))) *
       lit(1048576.0) * lit(4.503599627370496e15) / s.cast("double")
+    // linear counting goes through graft_ln (java.lang.Math.log — libm
+    // parity with DuckDB's LN), NOT the builtin log (StrictMath/fdlibm,
+    // measured last-ulp off libm on some integer args): this branch is
+    // the active regime at small cardinalities and backs hash gates
+    def ln(c: Column): Column = graft.functions.GraftFunctions.graftLn(c)
     folded.select(grpCols.map(col) :+
       when(raw <= lit(2560.0) && v > 0,
-        lit(1024.0) * (log(lit(1024.0)) - log(v.cast("double"))))
+        lit(1024.0) * (ln(lit(1024.0)) - ln(v.cast("double"))))
         .otherwise(raw).as("est"): _*)
   }
 
@@ -109,7 +119,7 @@ object PortableHll {
        |  FROM ${pfx}_t GROUP BY g, j),
        |${pfx}_s AS (
        |  SELECT g,
-       |         CAST(SUM(1::BIGINT << (52 - mj)) AS BIGINT)
+       |         CAST(SUM(1::BIGINT << GREATEST(52 - mj, 0)) AS BIGINT)
        |           + (1024 - COUNT(*)) * 4503599627370496 AS s,
        |         1024 - COUNT(*) AS v
        |  FROM ${pfx}_regs GROUP BY g),

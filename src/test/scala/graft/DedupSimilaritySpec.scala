@@ -190,7 +190,9 @@ class DedupSimilaritySpec extends SparkSpecBase {
 
   test("incremental simhash recalls the cross-split simhash pairs (sf0.001)") {
     val docs = Tables.t(spark, sf0001, "documents")
-    val fullCross = DedupOps.simHashPairsOn(docs)
+    // md5 basis on BOTH sides — the gated incremental runs the md5
+    // oracle-parity twin (hamming is basis-dependent; see BasisParitySpec)
+    val fullCross = DedupOps.simHashPairsOn(docs, md5Parity = true)
       .select("d1", "d2").as[(Long, Long)].collect()
       .flatMap { case (a, b) =>
         if (a % 5 == 0 && b % 5 != 0) Some((a, b))

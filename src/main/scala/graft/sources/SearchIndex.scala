@@ -57,6 +57,21 @@ object SearchIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/$StatsDir")
   }
 
+  /** Read the one-row stats sidecar by EXPLICIT part-file paths: the
+    * sidecar dir is `_`-prefixed (hidden from the postings scan by
+    * design), and handing the DIRECTORY to a DataFrame reader makes the
+    * shared listing code warn `All paths were ignored` twice per serve —
+    * listing the part files ourselves keeps the logs clean.
+    */
+  private def readStats(s: SparkSession, path: String): org.apache.spark.sql.Row = {
+    val dir = new org.apache.hadoop.fs.Path(s"$path/$StatsDir")
+    val fs = dir.getFileSystem(s.sessionState.newHadoopConf())
+    val parts = fs.listStatus(dir).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).map(_.toString)
+    require(parts.nonEmpty, s"$path: stats sidecar has no parquet part files")
+    s.read.parquet(parts: _*).head()
+  }
+
   /** Incremental ingest — the steady-state maintenance path every index
     * family here has: explode the NEW docs only, append their postings
     * into the bucketed layout (each appended file is again one sorted
@@ -79,7 +94,7 @@ object SearchIndex {
       .select("term", "doc_id", "tf", "dl")
     require(Bucketed.append(postings, path),
       s"$path is not a graft search index (no bucket marker)")
-    val old = s.read.parquet(s"$path/$StatsDir").head()
+    val old = readStats(s, path)
     val add = docs.agg(count(lit(1)).cast("long").as("n_docs"),
       sum(size(split(col("text"), " "))).cast("long").as("total_dl")).head()
     import s.implicits._
@@ -119,7 +134,9 @@ object SearchIndex {
     val old = path + ".old"
     Bucketed.write(kept.select("term", "doc_id", "tf", "dl"), tmp, "term", nBuckets)
     // stats carry over unchanged: compaction rewrites postings, not docs
-    s.read.parquet(s"$path/$StatsDir")
+    val st = readStats(s, path)
+    import s.implicits._
+    Seq((st.getLong(0), st.getLong(1))).toDF("n_docs", "total_dl")
       .coalesce(1).write.mode("overwrite").parquet(s"$tmp/$StatsDir")
     Bucketed.dropRegistration(s, path)
     Bucketed.dropRegistration(s, tmp)
@@ -144,7 +161,7 @@ object SearchIndex {
     require(terms.nonEmpty, "search: empty term set")
     val (posts, _, _) = Bucketed.read(s, path).getOrElse(
       throw new IllegalArgumentException(s"$path is not a graft search index"))
-    val stats = s.read.parquet(s"$path/$StatsDir").head()
+    val stats = readStats(s, path)
     val (nDocs, totalDl) = (stats.getLong(0), stats.getLong(1))
     // both passes over the postings (df pull + scoring) are bucket-pruned
     // scans over the query terms' buckets — no persist needed, the reads

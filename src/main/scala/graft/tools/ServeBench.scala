@@ -31,6 +31,12 @@ import graft.sources.Tables
   */
 object ServeBench {
 
+  /** The composed hybrid family's fixed query: term set + query vector id
+    * (the HybridServeSpec shapes).
+    */
+  private val HybridTerms = Seq("spark", "vector", "customer")
+  private val HybridQueryVec = 3L
+
   private case class Family(
       name: String,
       build: String => Unit,
@@ -94,7 +100,36 @@ object ServeBench {
         root => graft.sources.SearchIndex.write(docs, s"$root/search"),
         () => graft.Registry.byName("doc_bm25").build(s, sfDir),
         () => graft.sources.SearchIndex.search(s, s"$serveRoot/search",
-          Seq("spark", "vector", "customer"), 25)))
+          Seq("spark", "vector", "customer"), 25)),
+      // composed hybrid retrieval (r12, verdict #6): the production
+      // single-query call shape — posting-bucket BM25 + PQ-probe ANN
+      // fused by RRF. direct = the same single query off the full-scan
+      // rankers (bm25Apply + live-fit PQ), the HybridServeSpec path;
+      // serve touches only the query terms' posting buckets, the code
+      // table and the re-rank rows. build = BOTH indexes (the composed
+      // cost a serving tree pays once).
+      Family("hybrid",
+        root => {
+          graft.sources.SearchIndex.write(docs, s"$root/hyb_search")
+          SimilarityOps.writePqIndex(s, sfDir, s"$root/hyb_pq")
+        },
+        () => {
+          import org.apache.spark.sql.expressions.Window
+          import org.apache.spark.sql.functions.row_number
+          val wL = Window.orderBy(col("bm25").desc, col("doc_id").asc)
+          val lexTop = graft.operators.TextOps.bm25Apply(docs,
+              graft.operators.TextOps.bm25Fit(docs, HybridTerms))
+            .withColumn("r_bm25", row_number().over(wL).cast("long"))
+            .filter(col("r_bm25") <= graft.operators.HybridSearch.TopN)
+            .select("doc_id", "r_bm25")
+          val knnTop = SimilarityOps.knnPqOn(emb)
+            .filter(col("q_id") === HybridQueryVec)
+            .select(col("n_id").as("doc_id"), col("rnk").as("r_knn"))
+          graft.operators.HybridSearch.fuseRanks(lexTop, knnTop)
+        },
+        () => graft.operators.HybridSearch.hybridServe(s,
+          s"$serveRoot/hyb_search", s"$serveRoot/hyb_pq", HybridTerms,
+          emb.filter(col("vec_id") === HybridQueryVec))))
 
     def elapsed(f: () => Unit): Double = {
       val t0 = System.nanoTime()
@@ -110,7 +145,8 @@ object ServeBench {
     // before the files go away
     def registrations(root: String) = Seq(
       s"$root/pq/raw", s"$root/ivf/raw", s"$root/mrl/raw", s"$root/mh/sigs",
-      s"$root/nov/grams", s"$root/search")
+      s"$root/nov/grams", s"$root/search", s"$root/hyb_search",
+      s"$root/hyb_pq/raw")
 
     try {
       // two interleaved build passes: warm tree first (all families),
@@ -145,13 +181,23 @@ object ServeBench {
         val r = brute.count(got.contains).toDouble / brute.size
         math.round(r * 1000) / 1000.0
       }
-      val recalls = Seq("pq", "ivfpq", "mrl")
-        .map(n => s""""$n":${recallOf(n)}""").mkString("{", ",", "}")
+      // hybrid: measured agreement of the served fused top-k with the
+      // direct full-scan fusion (spec-pinned equal at sf0.001; this is
+      // the same figure MEASURED at bench scale in the record)
+      val hybridRecall = {
+        val fam = families.find(_.name == "hybrid").get
+        val d = fam.direct().select("doc_id").collect().map(_.getLong(0)).toSet
+        val g = fam.serve().select("doc_id").collect().map(_.getLong(0)).toSet
+        math.round(d.count(g.contains).toDouble / d.size * 1000) / 1000.0
+      }
+      val recalls = (Seq("pq", "ivfpq", "mrl")
+        .map(n => s""""$n":${recallOf(n)}""") :+ s""""hybrid":$hybridRecall""")
+        .mkString("{", ",", "}")
       s"""{"build":${obj(builds)},""" +
         s""""direct":${obj(n => samples((n, "direct")).min)},""" +
         s""""serve":${obj(n => samples((n, "serve")).min)},""" +
         s""""recall":$recalls,""" +
-        """"recall_basis":"uniform-random sf fixture (measured degradation, not a bar; recall@10 >= 0.9 is spec-enforced on planted clusters in DedupSimilaritySpec)"}"""
+        """"recall_basis":"uniform-random sf fixture (measured degradation, not a bar; recall@10 >= 0.9 is spec-enforced on planted clusters in DedupSimilaritySpec; hybrid = served fused top-k vs the direct full-scan fusion)"}"""
     } finally {
       // bucketed serving tables registered in the catalog must not outlive
       // their files

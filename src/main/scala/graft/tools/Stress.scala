@@ -359,6 +359,111 @@ object Stress {
       when(pmod(col("event_id"), lit(2)) === 0, lit(77L)).otherwise(col("user_id")))
     time(s"cep hot-key(50%) x$copies")(EventOps.cepAttackOn(hot).count())
 
+    // durable sketch store at a xN-day horizon (r12, verdict #4): copy i
+    // shifts the fixture month by i*40 days, so the store holds ~31*N day
+    // partitions. Hard requirements (the winnow discipline):
+    //   1. a 7-day span serve reads EXACTLY the span's register files —
+    //      O(span-days) scan regardless of store size (numFiles == the
+    //      on-disk part-file count of those 7 partitions, never O(store));
+    //   2. re-ingesting a day (appendDay of identical events) leaves the
+    //      serve bit-identical — ingest retries are safe;
+    //   3. appendDay of a NEW day extends the servable range (serve ==
+    //      direct batch sketch of the span) without touching old spans.
+    {
+      import graft.sources.SketchStore
+      import graft.operators.PortableHll
+      val dayUs = 86400000000L
+      val base = ev.select(
+        (expr(s"unix_micros(ts) div $dayUs") * dayUs).as("day_us"),
+        col("user_id"), col("value"))
+      val storeEv = (0 until copies).map { i =>
+        base.select((col("day_us") + lit(i * 40L * dayUs)).as("day_us"),
+          (col("user_id") + lit(i * 100000L)).as("user_id"), col("value"))
+      }.reduce(_ unionByName _)
+      val root = java.nio.file.Files.createTempDirectory("graft-sks").toString
+      val hll = s"$root/hll"
+      val hist = s"$root/hist"
+      var nDays = 0L
+      time(s"sketch-store write x$copies (~${31 * copies} day partitions)") {
+        SketchStore.writeDaily(storeEv.select("day_us", "user_id"), hll)
+        SketchStore.writeDailyHist(storeEv.select("day_us", "value"), hist)
+        nDays = spark.read.parquet(hll).select("day_us").distinct().count()
+        s"days=$nDays"
+      }
+      val d0 = base.agg(min("day_us")).first().getLong(0)
+      val span = (d0, d0 + 6 * dayUs)
+      // on-disk part files of exactly the span's partitions
+      def partFiles(path: String, from: Long, to: Long): Long = {
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        fs.listStatus(new org.apache.hadoop.fs.Path(path))
+          .filter(_.isDirectory)
+          .filter { d =>
+            val v = d.getPath.getName.stripPrefix("day_us=").toLong
+            v >= from && v <= to
+          }
+          .map(d => fs.listStatus(d.getPath)
+            .count(f => f.getPath.getName.endsWith(".parquet")).toLong)
+          .sum
+      }
+      def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+        // collect() executes THIS QueryExecution, so its scan metrics
+        // populate (a separate write would execute a different plan);
+        // the span's registers are <= 7 x 1024 rows — driver-safe
+        df.collect()
+        df.queryExecution.executedPlan
+          .collectFirst { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+          .map(_.metrics("numFiles").value)
+          .getOrElse(sys.error("sketch-store: no file scan in range plan"))
+      }
+      time(s"sketch-store 7-day serve from ${31 * copies}-day store") {
+        val expect = partFiles(hll, span._1, span._2)
+        val got = scannedFiles(SketchStore.rangeRegisters(spark, hll, span._1, span._2))
+        require(got == expect,
+          s"span scan read $got files, the span's partitions hold $expect — pruning is O(store), not O(span)")
+        val est = SketchStore.serveDistinct(spark, hll, span._1, span._2)
+          .first().getDouble(2)
+        val q = SketchStore.serveQuantiles(spark, hist, span._1, span._2).first()
+        f"files=$got est=$est%.1f n=${q.getLong(2)}"
+      }
+      spark.catalog.clearCache()
+      time("sketch-store re-ingest idempotence + new-day churn") {
+        val probe = (d0 + 2 * dayUs, d0 + 2 * dayUs) // one mid-span day
+        def serveBoth() = (
+          SketchStore.serveDistinct(spark, hll, probe._1, probe._2).first().getDouble(2),
+          SketchStore.serveQuantiles(spark, hist, probe._1, probe._2).first().toSeq)
+        val before = serveBoth()
+        val dayEv = base.filter(col("day_us") === probe._1)
+        SketchStore.appendDay(dayEv.select("day_us", "user_id"), hll)
+        SketchStore.appendDayHist(dayEv.select("day_us", "value"), hist)
+        val after = serveBoth()
+        require(before == after,
+          s"re-ingesting a day changed its serve: $before -> $after")
+        // new day one past the store's horizon: copy-0 events re-keyed
+        val newDay = d0 + (40L * copies + 5) * dayUs
+        val fresh = base.filter(col("day_us") === d0)
+          .select(lit(newDay).as("day_us"),
+            (col("user_id") + lit(copies * 100000L)).as("user_id"), col("value"))
+          .localCheckpoint(true)
+        SketchStore.appendDay(fresh.select("day_us", "user_id"), hll)
+        SketchStore.appendDayHist(fresh.select("day_us", "value"), hist)
+        val served = SketchStore.serveDistinct(spark, hll, newDay, newDay)
+          .first().getDouble(2)
+        val direct = PortableHll.groupedEstimate(
+          fresh.select(lit(1).as("one"), col("user_id")), Seq("one"), col("user_id"))
+          .first().getDouble(1)
+        require(served == direct,
+          s"new-day serve $served != direct batch sketch $direct")
+        val unchanged = serveBoth()
+        require(unchanged == after,
+          s"appending a new day disturbed an old span: $after -> $unchanged")
+        s"day_serve==direct ($served)"
+      }
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(root)).deleteRecursively()
+      spark.catalog.clearCache()
+    }
+
     // adversarial common-prefix corpus: every doc = 25 shared words + a
     // 2-word unique tail, so every shingle in the shared block has df = n.
     // Without the df-cap the prefix index joins n docs on those hot

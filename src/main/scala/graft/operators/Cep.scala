@@ -22,51 +22,44 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * keeps a ring buffer of at most `max` run timestamps per key.
   *
   * '''`followedBy` — relaxed contiguity''' (the replay of the
-  * reference's own pattern CONFIGURATION, under the two documented
-  * assumptions below): non-greedy `times(min,max)` + relaxed
-  * `followedBy` under `AfterMatchSkipStrategy.skipPastLastEvent()`.
-  * Semantics, per key in (ts, id) order:
-  *  - events that satisfy NEITHER predicate are transparent — they do
-  *    not break a run (relaxed contiguity ignores non-matching events);
-  *  - an island is the span between consecutive `followedBy`-events;
-  *    its run events are the `where`-events inside it, in order;
-  *  - the terminating `followedBy`-event completes the EARLIEST-starting
-  *    branch that can still complete: the first run event r_i with
-  *    >= `min` run events from r_i onward and next_ts - r_i <= `within`
-  *    (earlier starts are dead by the `within` timeout);
-  *  - non-greedy completion keeps exactly the FIRST `min` repetitions
-  *    from that start (the shortest branch completes first; skip-past-
-  *    last then discards every other partial) — so `max` never shows in
-  *    the literal-mode OUTPUT, and on a >max-long run the two modes
-  *    differ exactly as Flink does from the bounded form: first-`min`
-  *    vs last-`max` truncation, different run_start/run_count;
-  *  - skip-past-last: one match per island.
-  *  TWO known assumptions vs a byte-level Flink NFA replay, documented
-  *  rather than hidden (neither has been validated against a live Flink
-  *  run — no Flink runtime exists in this environment):
-  *  1. sub-min carry-over: a `followedBy`-event that completes NO branch
-  *     (its island has fewer than `min` run events in `within`) still
-  *     ends the island here, while Flink's relaxed loop would carry
-  *     those partial repetitions across it;
-  *  2. match selection: "earliest-viable start, first-`min` events, one
-  *     match per island" is an INFERENCE from non-greedy times +
-  *     skipPastLastEvent, not a replayed trace — Flink's own skip-
-  *     strategy doc examples for looping patterns retain the maximal
-  *     match in some configurations, so run_count/run_end could differ
-  *     on runs longer than `min` even where assumption 1 never fires.
-  *  On the workshop's own traffic (fragments arrive in >= min bursts
-  *  between normal packets) both assumptions are inert and the two
-  *  engines agree. An event satisfying BOTH predicates acts as the
-  *  `followedBy` terminator (next-precedence).
+  * reference's own pattern CONFIGURATION): non-greedy `times(min,max)` +
+  * relaxed `followedBy` under `AfterMatchSkipStrategy.skipPastLastEvent()`.
+  * Semantics, per key in (ts, id) order — the NFA of Flink's documented
+  * rules, cross-checked in `CepNfaSpec` against an independent
+  * driver-side interpreter on fuzzed traffic (r12; no Flink runtime
+  * exists in this sandbox, so the DOCUMENTED rules are the ground truth):
+  *  - events that satisfy NEITHER predicate are transparent — relaxed
+  *    contiguity's IGNORE edge skips them in every state;
+  *  - every `where`-event starts a new partial match AND extends every
+  *    live one (relaxed contiguity inside the loop), so the live partial
+  *    set is exactly the `within`-alive run-event buffer;
+  *  - a `followedBy`-event completes the EARLIEST-starting branch that
+  *    can still complete (>= `min` run events, next_ts - start <=
+  *    `within`); non-greedy completion keeps the FIRST `min` repetitions
+  *    from that start — so `max` never shows in the literal-mode OUTPUT,
+  *    and on a >max-long run the two modes differ exactly as Flink does
+  *    from the bounded form: first-`min` vs last-`max` truncation;
+  *  - skip-past-last on a match: every partial started before the
+  *    terminator — i.e. ALL of them — is discarded;
+  *  - a `followedBy`-event that completes NO branch is itself just a
+  *    non-matching event to the sub-min partials: they CARRY ACROSS it
+  *    (the relaxed IGNORE edge), so a later terminator can complete a
+  *    match whose repetitions span earlier failed terminators. (The
+  *    pre-r12 implementation ended the island here — that divergence
+  *    class and its fix are pinned by CepNfaSpec's counterexample.)
+  *  An event satisfying BOTH predicates acts as the `followedBy`
+  *  terminator (next-precedence).
   *
-  * Both modes compile batch-side to windows + one join (Catalyst sees
+  * Strict mode compiles batch-side to windows + one join (Catalyst sees
   * ordinary operators; one exchange on the key, reused by the stacked
-  * windows) and stream-side to a `flatMapGroupsWithState` fold whose
-  * per-key state is bounded: O(max) timestamps for strict, O(events in
-  * one `within` window) for relaxed (entries too old to ever start a
-  * future match are pruned as they age out), plus the ordering cursor
-  * with the same late-event drop guard as `cusumStream` (CEP is
-  * sequential; folding a late event would rewrite match history).
+  * windows); relaxed mode to one exchange + a per-key ordered
+  * `aggregate`-HOF fold (see [[detectRelaxed]]). Stream-side both are a
+  * `flatMapGroupsWithState` fold whose per-key state is bounded: O(max)
+  * timestamps for strict, O(events in one `within` window) for relaxed
+  * (entries too old to ever start a future match are pruned as they age
+  * out), plus the ordering cursor with the same late-event drop guard as
+  * `cusumStream` (CEP is sequential; folding a late event would rewrite
+  * match history).
   */
 final case class CepPattern(
     keyCol: String,
@@ -115,43 +108,61 @@ final case class CepPattern(
       .orderBy(keyCol, "run_start_us")
   }
 
-  /** The literal-replay plan: the island key is a running count of
-    * `followedBy`-events (one window pass), run events rank within their
-    * island and read their branch end via `lead(min-1)`, the terminator
-    * joins back on the island id, and a second tiny window keeps the
-    * earliest valid start per island. Same single exchange on the key.
+  /** The literal-replay plan: ONE exchange on the key, then a per-key
+    * ordered fold (codegen'd `aggregate` HOF over the key's sorted
+    * run/next events) that IS the NFA — buffer of live branch starts,
+    * alive-suffix viability at each terminator, skip-past-last clear on
+    * match, partials carried across non-completing terminators. The fold
+    * state is `within`-pruned (same O(window) bound as the streaming
+    * twin); neutral events are filtered BEFORE the shuffle, so the
+    * per-key array carries only pattern-relevant events. Relaxed-literal
+    * CEP is intrinsically sequential per key (Flink's own runtime keys
+    * the stream exactly the same way); the unbounded-horizon path is the
+    * streaming twin in [[detectStream]], whose state never exceeds one
+    * `within` window.
+    *
+    * The alive-suffix trick that keeps the fold branch-free: a branch
+    * started at s is viable at terminator n iff it has >= min loop
+    * events and n - s <= within; every loop event AFTER a live start is
+    * itself alive, so `filter(buf, t -> n - t <= within)` is exactly the
+    * earliest viable branch's repetition list — element 1 is the match
+    * start, element `min` its last kept repetition.
     */
   private def detectRelaxed(events: DataFrame): DataFrame = {
-    val byKey = Window.partitionBy(keyCol).orderBy(tsCol, idCol)
     val e = events
       .withColumn("__is_next", nextPred)
       // next-precedence on an event matching both (see class doc)
       .withColumn("__is_run", runPred && !col("__is_next"))
-      .withColumn("__isl",
-        sum(col("__is_next").cast("long")).over(
-          byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          - col("__is_next").cast("long"))
-    val byIsl = Window.partitionBy(col(keyCol), col("__isl"))
-      .orderBy(col(tsCol), col(idCol))
-    val runs = e.filter(col("__is_run"))
-      .withColumn("__t", unix_micros(col(tsCol)))
-      .withColumn("__j", row_number().over(byIsl))
-      // ts of the (j + min - 1)-th run event = this branch's last kept
-      // repetition; null when fewer than min remain from here
-      .withColumn("__t_end", lead(col("__t"), (minTimes - 1).toInt).over(byIsl))
-    val nxt = e.filter(col("__is_next")).select(
-      col(keyCol).as("__k"), col("__isl").as("__nisl"),
-      unix_micros(col(tsCol)).as("next_ts_us"))
-    val cand = runs
-      .join(nxt, col(keyCol) === col("__k") && col("__isl") === col("__nisl"))
-      .filter(col("__t_end").isNotNull &&
-        col("next_ts_us") - col("__t") <= withinUs)
-    cand
-      .withColumn("__pick", row_number().over(
-        Window.partitionBy(col(keyCol), col("__isl")).orderBy(col("__j"))))
-      .filter(col("__pick") === 1)
-      .select(col(keyCol), col("__t").as("run_start_us"),
-        col("__t_end").as("run_end_us"), col("next_ts_us"),
+      .filter(col("__is_run") || col("__is_next"))
+      .select(col(keyCol),
+        unix_micros(col(tsCol)).as("t"),
+        col(idCol).cast("long").as("id"),
+        col("__is_next").as("isn"))
+    val zero = "named_struct(" +
+      "'buf', CAST(array() AS array<bigint>), " +
+      "'out', CAST(array() AS array<struct<s:bigint,e:bigint,n:bigint>>))"
+    val alive = s"filter(acc.buf, t -> x.t - t <= ${withinUs}L)"
+    val fold =
+      s"""aggregate(
+         |  array_sort(__evs),
+         |  $zero,
+         |  (acc, x) -> IF(x.isn,
+         |    IF(size($alive) >= $minTimes,
+         |      named_struct(
+         |        'buf', CAST(array() AS array<bigint>),
+         |        'out', array_append(acc.out, named_struct(
+         |          's', element_at($alive, 1),
+         |          'e', element_at($alive, $minTimes),
+         |          'n', x.t))),
+         |      acc),
+         |    named_struct(
+         |      'buf', filter(array_append(acc.buf, x.t), t -> x.t - t <= ${withinUs}L),
+         |      'out', acc.out)))""".stripMargin
+    e.groupBy(keyCol)
+      .agg(collect_list(struct(col("t"), col("id"), col("isn"))).as("__evs"))
+      .select(col(keyCol), explode(expr(fold + ".out")).as("m"))
+      .select(col(keyCol), col("m.s").as("run_start_us"),
+        col("m.e").as("run_end_us"), col("m.n").as("next_ts_us"),
         lit(minTimes).as("run_count"))
       .orderBy(keyCol, "run_start_us")
   }
@@ -188,12 +199,17 @@ final case class CepPattern(
               if (isRelaxed) {
                 // literal mode: next-precedence, neither-events transparent
                 if (isNext) {
-                  val buf = st.buf
-                  val i = buf.indices.find(i =>
-                    buf.size - i >= minT && ts - buf(i) <= withinT)
-                  i.foreach(i => out += CepPattern.Match(key, buf(i),
-                    buf(i + minT.toInt - 1), ts, minT))
-                  st = st.copy(buf = Nil) // island ends (match or not)
+                  // alive suffix = the earliest viable branch's repetitions
+                  val alive = st.buf.dropWhile(ts - _ > withinT)
+                  if (alive.size >= minT) {
+                    out += CepPattern.Match(key, alive.head,
+                      alive(minT.toInt - 1), ts, minT)
+                    st = st.copy(buf = Nil) // skip-past-last: discard all
+                  }
+                  // no branch completes: the relaxed IGNORE edge skips the
+                  // terminator for sub-min partials — they CARRY (the NFA
+                  // semantics CepNfaSpec pins; the r11 island model wrongly
+                  // cleared here)
                 } else if (isRun0) {
                   // prune entries too old to start any FUTURE match: the
                   // next event's ts can only be >= this one, so anything

@@ -540,7 +540,11 @@ object DedupOps {
     * candidates, point-ish text fetch) and the O(len_a x len_b) DP runs
     * only on candidates the bands already vouched for.
     */
-  def editDistPairsOn(documents: DataFrame, maxNorm: Double = 0.25): DataFrame = {
+  /** `materialize = false` skips the eager checkpoint (and the cache
+    * release) — plan-inspection tests only (see hybridSearchOn).
+    */
+  def editDistPairsOn(documents: DataFrame, maxNorm: Double = 0.25,
+      materialize: Boolean = true): DataFrame = {
     val sh = minhashSigs(documents)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pruned = pruneHotBuckets(bandRows(sh), Seq("band", "bkey"))
@@ -553,7 +557,7 @@ object DedupOps {
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .distinct()
       val t = Tables.spread(documents).select(col("doc_id"), col("text"))
-      cands
+      val out = cands
         .join(t.select(col("doc_id").as("d1"), col("text").as("t1")), "d1")
         .join(t.select(col("doc_id").as("d2"), col("text").as("t2")), "d2")
         .withColumn("edit_dist", levenshtein(col("t1"), col("t2")).cast("long"))
@@ -562,11 +566,11 @@ object DedupOps {
         .filter(col("norm_dist") <= maxNorm)
         .select("d1", "d2", "edit_dist", "norm_dist")
         .orderBy("d1", "d2")
-        // the verified pair set is tiny — materialize it eagerly so the
-        // two pipeline caches can be dropped before return instead of
-        // accumulating across repeated invocations (bench/serve loops)
-        .localCheckpoint(true)
-    } finally {
+      // the verified pair set is tiny — materialize it eagerly so the
+      // two pipeline caches can be dropped before return instead of
+      // accumulating across repeated invocations (bench/serve loops)
+      if (materialize) out.localCheckpoint(true) else out
+    } finally if (materialize) {
       pruned.unpersist()
       sh.unpersist()
     }

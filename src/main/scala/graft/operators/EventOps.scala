@@ -335,11 +335,15 @@ object EventOps {
     * run), `AfterMatchSkipStrategy.skipPastLastEvent()`. Under those
     * rules a long fragment run matches on its FIRST `min` repetitions
     * from the earliest `within`-alive start — vs `ev_cep_bounded`'s
-    * last-`max` truncation — and the closing high event both completes
-    * and consumes the island. Compiled through [[CepPattern]]'s
-    * `followedBy` mode (the DSL's literal path; semantics + the one
-    * documented divergence in `Cep.scala`'s class doc); the spec pins
-    * DSL == this gated query == the streaming twin.
+    * last-`max` truncation — the closing high event both completes and
+    * consumes every live partial (skip-past-last), and sub-min partials
+    * CARRY ACROSS a non-completing high event (the relaxed IGNORE edge).
+    * Compiled through [[CepPattern]]'s `followedBy` mode — since r12 the
+    * per-key NFA fold cross-checked against an independent documented-
+    * rules interpreter on fuzzed traffic (`CepNfaSpec`); the spec also
+    * pins DSL == this gated query == the streaming twin. The oracle
+    * replays the identical fold as a per-key recursive-CTE state machine
+    * (integer arithmetic only).
     */
   def cepAttackFlink(s: SparkSession, dir: String): DataFrame =
     cepAttackFlinkOn(Tables.t(s, dir, "events"))
@@ -359,32 +363,27 @@ object EventOps {
       .orderBy("target_id", "attack_start_us")
 
   val cepFlinkOracle: String =
-    s"""WITH e AS (
-       |  SELECT user_id, event_id, ts, value,
-       |         CASE WHEN value > $HighThresh THEN 1 ELSE 0 END AS is_next
-       |  FROM events),
-       |g AS (
-       |  SELECT *, SUM(is_next) OVER (PARTITION BY user_id ORDER BY ts, event_id
-       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - is_next AS isl
-       |  FROM e),
-       |runs AS (
-       |  SELECT user_id, isl, epoch_us(ts) AS t,
-       |         ROW_NUMBER() OVER w AS j,
-       |         LEAD(epoch_us(ts), ${MinRun - 1}) OVER w AS t_end
-       |  FROM g WHERE value < $LowThresh AND is_next = 0
-       |  WINDOW w AS (PARTITION BY user_id, isl ORDER BY ts, event_id)),
-       |nx AS (
-       |  SELECT user_id, isl, epoch_us(ts) AS next_t FROM g WHERE is_next = 1),
-       |cand AS (
-       |  SELECT r.user_id, r.t, r.t_end, n.next_t, r.isl, r.j
-       |  FROM runs r JOIN nx n ON n.user_id = r.user_id AND n.isl = r.isl
-       |  WHERE r.t_end IS NOT NULL AND n.next_t - r.t <= $WithinUs),
-       |pick AS (
-       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, isl ORDER BY j) AS pk
-       |  FROM cand)
-       |SELECT user_id AS target_id, t AS attack_start_us, t_end AS attack_end_us,
-       |       next_t AS normal_ts_us, CAST($MinRun AS BIGINT) AS fragment_count
-       |FROM pick WHERE pk = 1
+    s"""WITH RECURSIVE e AS (
+       |  SELECT user_id, epoch_us(ts) AS t, (value > $HighThresh) AS isn,
+       |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+       |  FROM events WHERE value < $LowThresh OR value > $HighThresh),
+       |step AS (
+       |  SELECT user_id, 0 AS i, CAST([] AS BIGINT[]) AS buf
+       |  FROM (SELECT DISTINCT user_id FROM e)
+       |  UNION ALL
+       |  SELECT s.user_id AS user_id, s.i + 1 AS i,
+       |    CASE WHEN ev.isn THEN
+       |      CASE WHEN len(list_filter(s.buf, x -> ev.t - x <= $WithinUs)) >= $MinRun
+       |           THEN CAST([] AS BIGINT[]) ELSE s.buf END
+       |    ELSE list_filter(list_append(s.buf, ev.t), x -> ev.t - x <= $WithinUs)
+       |    END AS buf
+       |  FROM step s JOIN e ev ON ev.user_id = s.user_id AND ev.rn = s.i + 1)
+       |SELECT s.user_id AS target_id,
+       |       list_filter(s.buf, x -> ev.t - x <= $WithinUs)[1] AS attack_start_us,
+       |       list_filter(s.buf, x -> ev.t - x <= $WithinUs)[$MinRun] AS attack_end_us,
+       |       ev.t AS normal_ts_us, CAST($MinRun AS BIGINT) AS fragment_count
+       |FROM step s JOIN e ev ON ev.user_id = s.user_id AND ev.rn = s.i + 1
+       |WHERE ev.isn AND len(list_filter(s.buf, x -> ev.t - x <= $WithinUs)) >= $MinRun
        |ORDER BY target_id, attack_start_us""".stripMargin
 
   /** IPInsights analog (reference sagemaker notebook: entity<->IP

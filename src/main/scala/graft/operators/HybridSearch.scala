@@ -52,7 +52,12 @@ object HybridSearch {
   /** Lexical-score quantization grid (2^20). */
   final val ScoreQ = 1L << 20
 
-  def hybridSearchOn(docs: DataFrame, emb: DataFrame): DataFrame = {
+  /** `materialize = false` skips the eager checkpoint (and therefore the
+    * cache release) — plan-inspection tests only; production callers keep
+    * the default so the matched-postings cache never outlives the call.
+    */
+  def hybridSearchOn(docs: DataFrame, emb: DataFrame,
+      materialize: Boolean = true): DataFrame = {
     // ---- lexical side: inverted postings + BM25 ----
     val toks = Tables.spread(docs)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
@@ -110,15 +115,15 @@ object HybridSearch {
         coalesce(lit(1.0) / (lit(RrfK.toDouble) + col("r_bm25").cast(DoubleType)), lit(0.0)) +
           coalesce(lit(1.0) / (lit(RrfK.toDouble) + col("r_knn").cast(DoubleType)), lit(0.0)))
     val wF = Window.partitionBy("q_id").orderBy(col("rrf").desc, col("doc_id").asc)
-    try fused.withColumn("rnk", row_number().over(wF).cast("long"))
+    val out = fused.withColumn("rnk", row_number().over(wF).cast("long"))
       .filter(col("rnk") <= TopK)
       .select("q_id", "doc_id", "rnk", "rrf", "r_bm25", "r_knn")
       .orderBy("q_id", "rnk")
-      // fused top-k is tiny — materialize eagerly so the matched-postings
-      // cache drops before return instead of accumulating across repeated
-      // bench/serve invocations (same shape as hllDailyUnion/noveltyScore)
-      .localCheckpoint(true)
-    finally matched.unpersist()
+    // fused top-k is tiny — materialize eagerly so the matched-postings
+    // cache drops before return instead of accumulating across repeated
+    // bench/serve invocations (same shape as hllDailyUnion/noveltyScore)
+    if (materialize) try out.localCheckpoint(true) finally matched.unpersist()
+    else out
   }
 
   def hybridSearch(s: SparkSession, dir: String): DataFrame =

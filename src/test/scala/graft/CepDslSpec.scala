@@ -105,9 +105,10 @@ class CepDslSpec extends SparkSpecBase {
       // alive at the 60s terminator and still has >= min reps after it
       (4L, 12L, 1 * us, 90.0), (4L, 13L, 52 * us, 91.0), (4L, 14L, 55 * us, 92.0),
       (4L, 15L, 60 * us, 5.0),
-      // key 5: sub-min islands split by a non-matching terminator — the
-      // DOCUMENTED divergence: this engine ends the island (no match);
-      // a byte-level Flink NFA would carry the partials across
+      // key 5: sub-min partials split by a non-completing terminator —
+      // r12: the relaxed IGNORE edge carries them across (the NFA
+      // semantics CepNfaSpec pins), so the SECOND terminator completes a
+      // match spanning the first (pre-r12 this wrongly found nothing)
       (5L, 16L, 1 * us, 90.0), (5L, 17L, 2 * us, 5.0),
       (5L, 18L, 3 * us, 91.0), (5L, 19L, 4 * us, 5.0)
     ).toDF("user_id", "event_id", "ts", "value")
@@ -121,7 +122,8 @@ class CepDslSpec extends SparkSpecBase {
     assert(got == Seq(
       (1L, 1 * us, 3 * us, 4 * us, 2L),
       (2L, 1 * us, 2 * us, 5 * us, 2L),
-      (4L, 52 * us, 55 * us, 60 * us, 2L)), s"got $got")
+      (4L, 52 * us, 55 * us, 60 * us, 2L),
+      (5L, 1 * us, 3 * us, 4 * us, 2L)), s"got $got")
   }
 
   test("literal mode: an event matching both predicates acts as the terminator") {

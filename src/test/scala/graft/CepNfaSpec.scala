@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.CepPattern
+
+/** Third-party semantics cross-check for the relaxed (`followedBy`) CEP
+  * mode — r11 verdict #7: no Flink runtime exists in this sandbox, so the
+  * reference pattern's semantics are encoded ONCE more, independently, as
+  * a direct driver-side NFA interpreter built from Flink's DOCUMENTED
+  * rules, and the engine (batch plan AND streaming fold) is
+  * property-tested against it on seeded randomized traffic. This turns
+  * the two previously inferred-not-validated assumptions in Cep.scala's
+  * class doc into tested semantics.
+  *
+  * The documented rules the interpreter encodes (Flink CEP docs:
+  * "Conditions on Contiguity", "After Match Skip Strategy"):
+  *  - every loop-matching event starts a new partial match (branch) and
+  *    extends every live branch (relaxed contiguity inside `times`);
+  *  - relaxed contiguity's IGNORE edge skips any event that does not
+  *    match the take condition — so a `followedBy`-event that completes
+  *    NO branch is simply ignored by sub-min partials, which CARRY
+  *    ACROSS it (this is where the r11 island model diverged);
+  *  - non-greedy `times(min, max)`: of the branches a terminator
+  *    completes, the match preference is earliest start, then fewest
+  *    repetitions — the first `min` loop events from that start (the
+  *    skip-strategy doc table for `b+ c` keeps the earliest-starting
+  *    match under skipPastLastEvent);
+  *  - `within` spans first loop event -> terminator; dead starts can
+  *    never complete (pruned);
+  *  - skipPastLastEvent: after a match every partial that started before
+  *    the match's last event (the terminator) is discarded — i.e. ALL
+  *    current partials.
+  */
+object FlinkNfaRef {
+
+  /** One key's traffic in (ts, id) order -> matches
+    * (run_start, run_end, next_ts, count = min).
+    * Events are (ts, isRun, isNext); next has precedence when both hold,
+    * neither = transparent; `withinUs` the window, `min` the non-greedy
+    * repetition count.
+    */
+  def replay(events: Seq[(Long, Boolean, Boolean)], min: Int,
+      withinUs: Long): Seq[(Long, Long, Long, Long)] = {
+    var buf = Vector.empty[Long] // live branch starts == loop-event ts's
+    val out = Seq.newBuilder[(Long, Long, Long, Long)]
+    events.foreach { case (ts, isRun, isNext) =>
+      if (isNext) {
+        // a branch is viable iff alive under `within`; every loop event
+        // after a live start is itself alive, so the alive suffix IS the
+        // earliest viable branch's repetition list
+        val alive = buf.dropWhile(ts - _ > withinUs)
+        if (alive.size >= min) {
+          out += ((alive(0), alive(min - 1), ts, min.toLong))
+          buf = Vector.empty // skipPastLastEvent: discard every partial
+        }
+        // else: no branch completes -> relaxed IGNORE edge, partials carry
+      } else if (isRun) {
+        buf = (buf :+ ts).dropWhile(ts - _ > withinUs)
+      } // neither predicate: transparent under relaxed contiguity
+    }
+    out.result()
+  }
+}
+
+class CepNfaSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val Min = 4L
+  private val Max = 8L
+  private val Within = 100L
+
+  /** Seeded random per-key traffic: frag (kind 0), normal (kind 1) and
+    * neutral (kind 2) events with mostly-dense, occasionally-long gaps so
+    * `within` boundaries, sub-min islands and long runs all occur.
+    */
+  private def randomTraffic(rng: scala.util.Random): Seq[(Long, Int)] = {
+    val n = rng.nextInt(61)
+    var ts = 1000L
+    (0 until n).map { _ =>
+      ts += (if (rng.nextInt(7) == 0) 40L + rng.nextInt(100) else 1L + rng.nextInt(15))
+      val kind = rng.nextInt(8) match {
+        case 0 | 1 => 1 // normal
+        case 2     => 2 // neutral
+        case _     => 0 // frag
+      }
+      (ts, kind)
+    }
+  }
+
+  private def pattern = CepPattern.on("user_id")
+    .where(col("value") < 10).times(Min, Max)
+    .followedBy(col("value") > 90).within(Within)
+
+  private def toRows(traffic: Seq[(Long, Seq[(Long, Int)])]): Seq[(Long, Long, Long, Double)] =
+    traffic.flatMap { case (key, evs) =>
+      evs.zipWithIndex.map { case ((ts, kind), i) =>
+        val value = kind match { case 0 => 5.0; case 1 => 95.0; case _ => 50.0 }
+        (key, key * 100000L + i, ts, value)
+      }
+    }
+
+  private def toDf(traffic: Seq[(Long, Seq[(Long, Int)])]) =
+    toRows(traffic).toDF("user_id", "event_id", "__us", "value")
+      .withColumn("ts", timestamp_micros(col("__us")))
+      .drop("__us")
+
+  private def nfaExpected(traffic: Seq[(Long, Seq[(Long, Int)])]) =
+    traffic.flatMap { case (key, evs) =>
+      FlinkNfaRef.replay(
+        evs.map { case (ts, k) => (ts, k == 0, k == 1) }, Min.toInt, Within)
+        .map { case (s, e, n, c) => (key, s, e, n, c) }
+    }.sortBy(m => (m._1, m._2))
+
+  private def collectMatches(df: org.apache.spark.sql.DataFrame) = df
+    .select("user_id", "run_start_us", "run_end_us", "next_ts_us", "run_count")
+    .collect()
+    .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    .toSeq.sortBy(m => (m._1, m._2))
+
+  test("batch relaxed mode == documented-rules Flink NFA replay on fuzzed traffic") {
+    val rng = new scala.util.Random(4242)
+    (1 to 30).foreach { round =>
+      val traffic = (0 until 6).map(k => (k.toLong, randomTraffic(rng)))
+      val got = collectMatches(pattern.detect(toDf(traffic)))
+      val want = nfaExpected(traffic)
+      assert(got == want,
+        s"round $round diverged from the NFA replay\n traffic=$traffic\n got=$got\n want=$want")
+    }
+  }
+
+  test("sub-min carry-over counterexample: partial repetitions survive a non-completing terminator") {
+    // 3 frags, a normal (completes nothing at min=4), 1 more frag, then a
+    // normal: Flink's relaxed IGNORE edge carries the 3 partials across
+    // the first normal, so the second normal completes (start = frag 1).
+    // The r11 island model found NO match here — the divergence class the
+    // class doc used to carry as assumption 1.
+    val traffic = Seq((1L, Seq((10L, 0), (20L, 0), (30L, 0), (40L, 1), (50L, 0), (60L, 1))))
+    val got = collectMatches(pattern.detect(toDf(traffic)))
+    assert(got == Seq((1L, 10L, 50L, 60L, Min)),
+      s"expected the cross-terminator match, got $got")
+    assert(got == nfaExpected(traffic))
+  }
+
+  test("streaming relaxed fold == documented-rules NFA replay on fuzzed traffic") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rng = new scala.util.Random(777)
+    (1 to 6).foreach { round =>
+      val traffic = (0 until 3).map(k => (k.toLong, randomTraffic(rng)))
+      val mem = MemoryStream[(Long, Long, Long, Double)]
+      mem.addData(toRows(traffic))
+      val out = pattern.detectStream(
+        mem.toDF.toDF("user_id", "event_id", "ts", "value"))
+      val qn = s"cepnfa_$round"
+      val q = out.writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val got = spark.table(qn).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSeq.sortBy(m => (m._1, m._2))
+      assert(got == nfaExpected(traffic),
+        s"streaming round $round diverged\n traffic=$traffic\n got=$got\n want=${nfaExpected(traffic)}")
+    }
+  }
+}

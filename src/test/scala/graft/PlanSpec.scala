@@ -498,7 +498,9 @@ class PlanSpec extends SparkSpecBase {
   }
 
   test("hybrid: query side broadcasts, query-doc filter reaches a scan, rank cuts are group limits") {
-    val p = plan(graft.operators.HybridSearch.hybridSearch(spark, sf0001))
+    val p = plan(graft.operators.HybridSearch.hybridSearchOn(
+      graft.sources.Tables.t(spark, sf0001, "documents"),
+      graft.sources.Tables.t(spark, sf0001, "embeddings"), materialize = false))
     // lexical scoring is map-side over matched postings: terms/dfs/queries
     // all arrive as broadcasts
     assert(p.contains("BroadcastHashJoin"), "query-side joins must broadcast")
@@ -541,7 +543,8 @@ class PlanSpec extends SparkSpecBase {
   }
 
   test("editdist: the Levenshtein DP runs over banded candidates, never the corpus join") {
-    val df = graft.operators.DedupOps.editDistPairs(spark, sf0001)
+    val df = graft.operators.DedupOps.editDistPairsOn(
+      graft.sources.Tables.t(spark, sf0001, "documents"), materialize = false)
     val p = plan(df)
     assert(p.contains("levenshtein"), "verify must be the native levenshtein")
     // text resolution joins the bounded candidate frame against the

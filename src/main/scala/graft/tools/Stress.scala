@@ -317,6 +317,21 @@ object Stress {
     }.reduce(_ unionByName _)
     time(s"events x$copies count")(evN.count())
     time(s"cep x$copies")(EventOps.cepAttackOn(evN).count())
+    // relaxed-literal CEP (r12 NFA fold): copies live in disjoint user
+    // spaces, so each copy's per-key fold is isomorphic to copy 0's —
+    // match count must be EXACTLY linear (hard require); wall time is the
+    // fold's scaling curve (one exchange + per-key aggregate HOF)
+    locally {
+      var flink1 = 0L
+      time("cep-flink x1")({ flink1 = EventOps.cepAttackFlinkOn(ev).count(); flink1 })
+      time(s"cep-flink x$copies") {
+        val n = EventOps.cepAttackFlinkOn(evN).count()
+        require(n == copies * flink1,
+          s"relaxed-CEP matches not linear: x1=$flink1, x$copies=$n")
+        n
+      }
+      spark.catalog.clearCache()
+    }
 
     // N-step funnel (r10 DSL) at xN: copies live in DISJOINT user spaces,
     // so each copy's funnel is isomorphic to copy 0's — every stage count

@@ -158,15 +158,15 @@ object DedupOps {
     * verification discards it; and the self-join shuffles 8-byte keys
     * instead of ~30-byte strings).
     */
-  private[graft] def jaccardCandidatesFrom(eff: DataFrame): DataFrame = {
+  private[graft] def jaccardCandidatesFrom(eff: DataFrame, t: Double = T): DataFrame = {
     val prefix = eff.select(col("doc_id"), col("n_sh"),
       explode(slice(col("hsorted"), lit(1),
-        (col("n_sh") - ceil(col("n_sh") * T) + 1).cast("int"))).as("h"))
+        (col("n_sh") - ceil(col("n_sh") * t) + 1).cast("int"))).as("h"))
     // size filter: J >= t forces min(|A|,|B|) >= t * max(|A|,|B|)
     prefix.as("a")
       .join(prefix.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
-          col("a.n_sh") >= col("b.n_sh") * T && col("b.n_sh") >= col("a.n_sh") * T)
+          col("a.n_sh") >= col("b.n_sh") * t && col("b.n_sh") >= col("a.n_sh") * t)
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
   }
@@ -175,9 +175,17 @@ object DedupOps {
   private[graft] def jaccardCandidates(documents: DataFrame, dfCap: Long): DataFrame =
     jaccardCandidatesFrom(cappedShingles(documents, dfCap))
 
-  def jaccardPairsOn(documents: DataFrame, dfCap: Long): DataFrame = {
+  def jaccardPairsOn(documents: DataFrame, dfCap: Long): DataFrame =
+    jaccardPairsOn(documents, dfCap, T)
+
+  /** PPJoin at an arbitrary threshold `t` — the 0.8 default is the gated
+    * near-dup query; [[dedupEval]] runs t = 0.7 (the LSH verify bar) to
+    * build the exact ground truth its recall/precision measure against.
+    */
+  private[graft] def jaccardPairsOn(documents: DataFrame, dfCap: Long,
+      t: Double): DataFrame = {
     val eff = cappedShingles(documents, dfCap)
-    val cands = jaccardCandidatesFrom(eff)
+    val cands = jaccardCandidatesFrom(eff, t)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cands
       .join(eff.select(col("doc_id").as("d1"), col("shs").as("shs1"),
@@ -187,7 +195,7 @@ object DedupOps {
       .withColumn("common", size(array_intersect(col("shs1"), col("shs2"))).cast("long"))
       .withColumn("jaccard", col("common").cast(DoubleType) /
         (col("n1") + col("n2") - col("common")).cast(DoubleType))
-      .filter(col("jaccard") >= T)
+      .filter(col("jaccard") >= t)
       .select("d1", "d2", "common", "jaccard")
       .orderBy("d1", "d2")
   }
@@ -523,6 +531,73 @@ object DedupOps {
        |FROM pb c JOIN bb b ON c.band = b.band AND c.chunk = b.chunk
        |WHERE bit_count(xor(c.w_lo, b.w_lo)) + bit_count(xor(c.w_hi, b.w_hi)) <= 3
        |ORDER BY batch_doc, corpus_doc""".stripMargin
+
+  // ---- dedup-quality eval (LSH recall / precision) ----------------------
+
+  /** Measured QUALITY of the banded near-dup pipeline — the QA row every
+    * production dedup run ships next to its pair counts: exact ground
+    * truth = ALL pairs with shingle-set Jaccard >= 0.7 (the LSH verify
+    * bar), computed losslessly by the PPJoin at t = 0.7 with NO df cap
+    * (the LSH pipeline shingles uncapped, so both sides measure the same
+    * similarity function); candidates = the gated [[minHashLshOn]]
+    * output. One row: pair counts, hits, recall (bands' true-pair
+    * coverage) and precision (1.0 unless a 32-bit verify collision ever
+    * fires — measured, not assumed).
+    *
+    * Scale shape: the truth side is the eval's cost — an uncapped
+    * t = 0.7 prefix join; run the eval on a sampled corpus slice (or
+    * pass a cap) at 100 TB, exactly like any labeled-eval job. The
+    * measured figure generalizes; the production pipeline itself never
+    * runs all-pairs.
+    */
+  def dedupEval(s: SparkSession, dir: String): DataFrame =
+    dedupEvalOn(Tables.t(s, dir, "documents"))
+
+  def dedupEvalOn(documents: DataFrame): DataFrame = {
+    val truth = jaccardPairsOn(documents, Long.MaxValue, 0.7)
+      .select(col("d1"), col("d2"), lit(1L).as("__t"))
+    val lsh = minHashLshOn(documents)
+      .select(col("d1"), col("d2"), lit(1L).as("__l"))
+    truth.join(lsh, Seq("d1", "d2"), "full_outer")
+      .agg(coalesce(sum("__t"), lit(0L)).as("n_true"),
+        coalesce(sum("__l"), lit(0L)).as("n_lsh"),
+        coalesce(sum(col("__t") * col("__l")), lit(0L)).as("n_hit"))
+      .select(col("n_true"), col("n_lsh"), col("n_hit"),
+        (col("n_hit").cast(DoubleType) / col("n_true").cast(DoubleType)).as("recall"),
+        (col("n_hit").cast(DoubleType) / col("n_lsh").cast(DoubleType)).as("precision"))
+  }
+
+  /** Oracle: the md5-basis LSH replay ([[minhashOracle]]'s pipeline) full-
+    * outer-joined against an exact >= 0.7 truth over the hashed shingle
+    * sets; counts are integers, recall/precision one IEEE division each.
+    */
+  val dedupEvalOracle: String =
+    s"""WITH $sqlMinhashCtes,
+       |bsz AS (SELECT band, bkey, COUNT(*) AS n FROM bands GROUP BY band, bkey),
+       |pb AS (SELECT bands.doc_id, bands.band, bands.bkey FROM bands
+       |       JOIN bsz ON bands.band = bsz.band AND bands.bkey = bsz.bkey
+       |       WHERE bsz.n <= $MaxBucket),
+       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |         FROM pb a JOIN pb b ON a.band = b.band AND a.bkey = b.bkey
+       |           AND a.doc_id < b.doc_id),
+       |${sqlMinhashVerify("d1", "d2")},
+       |tc AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(DISTINCT a.h) AS common
+       |       FROM hv a JOIN hv b ON a.h = b.h AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2),
+       |truth AS (SELECT tc.d1, tc.d2 FROM tc
+       |          JOIN nsh x ON x.doc_id = tc.d1 JOIN nsh y ON y.doc_id = tc.d2
+       |          WHERE CAST(tc.common AS DOUBLE)
+       |                / CAST(x.n + y.n - tc.common AS DOUBLE) >= 0.7),
+       |m AS (SELECT COALESCE(t.hit, 0) AS th, COALESCE(l.hit, 0) AS lh
+       |      FROM (SELECT d1, d2, 1 AS hit FROM truth) t
+       |      FULL OUTER JOIN (SELECT d1, d2, 1 AS hit FROM jp) l
+       |        ON t.d1 = l.d1 AND t.d2 = l.d2)
+       |SELECT CAST(SUM(th) AS BIGINT) AS n_true,
+       |       CAST(SUM(lh) AS BIGINT) AS n_lsh,
+       |       CAST(SUM(th * lh) AS BIGINT) AS n_hit,
+       |       CAST(SUM(th * lh) AS DOUBLE) / CAST(SUM(th) AS DOUBLE) AS recall,
+       |       CAST(SUM(th * lh) AS DOUBLE) / CAST(SUM(lh) AS DOUBLE) AS precision
+       |FROM m""".stripMargin
 
   // ---- edit-distance (fuzzy) near-dup ----------------------------------
 
@@ -1763,6 +1838,7 @@ object DedupOps {
     QueryDef("doc_keep_containers_fix", keepContainersFix, Some(keepContainersFixOracle)),
     QueryDef("doc_minhash_lsh", minHashLsh, Some(minhashOracle), headline = true),
     QueryDef("doc_minhash_md5", minHashLshMd5, Some(minhashOracle)),
+    QueryDef("doc_dedup_eval", dedupEval, Some(dedupEvalOracle)),
     QueryDef("doc_simhash", simHashPairs, Some(simhashOracle)),
     QueryDef("doc_editdist_pairs", editDistPairs, Some(editDistOracle)),
     QueryDef("doc_dup_clusters", dupClusters, Some(dupClustersOracle)),

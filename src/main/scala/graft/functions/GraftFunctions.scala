@@ -18,6 +18,9 @@ object GraftFunctions {
     "graft_rolling_hash" -> { args => RollingHash(args(0)) },
     "graft_minhash_sig" -> { args => MinHashSig(args(0)) },
     "graft_minhash_sig_md5" -> { args => MinHashSig(args(0), md5Parity = true) },
+    "graft_cep_fold" -> { args =>
+      CepFold(args(0), args(1).eval().asInstanceOf[Long],
+        args(2).eval().asInstanceOf[Long]) },
     "graft_word_shingles" -> { args =>
       WordShingles(args(0), args(1).eval().asInstanceOf[Int]) },
     "graft_pq_adc" -> { args => PqAdc(args(0), args(1)) },
@@ -83,6 +86,10 @@ object GraftFunctions {
   def graftPqAdc(codes: Column, lut: Column): Column =
     call_function("graft_pq_adc", codes, lut)
   def graftLn(x: Column): Column = call_function("graft_ln", x)
+  def graftCepFold(evs: Column, minTimes: Long, withinUs: Long): Column =
+    call_function("graft_cep_fold", evs,
+      org.apache.spark.sql.functions.lit(minTimes),
+      org.apache.spark.sql.functions.lit(withinUs))
   def graftNfc(s: Column): Column = call_function("graft_nfc", s)
   def graftMgTopK(tokens: Column, k: Int): Column =
     call_function("graft_mg_topk", tokens, org.apache.spark.sql.functions.lit(k))

@@ -373,6 +373,11 @@ object Stress {
     val hot = evN.withColumn("user_id",
       when(pmod(col("event_id"), lit(2)) === 0, lit(77L)).otherwise(col("user_id")))
     time(s"cep hot-key(50%) x$copies")(EventOps.cepAttackOn(hot).count())
+    // the relaxed fold's single-key ceiling: one key carries half the
+    // volume, so its per-key array is ~50% of ALL events — the worst case
+    // for the per-key sequential NFA (the curve shows the one-task
+    // ceiling, the pass itself stays linear in the array)
+    time(s"cep-flink hot-key(50%) x$copies")(EventOps.cepAttackFlinkOn(hot).count())
 
     // durable sketch store at a xN-day horizon (r12, verdict #4): copy i
     // shifts the fixture month by i*40 days, so the store holds ~31*N day

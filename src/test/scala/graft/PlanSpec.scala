@@ -551,4 +551,18 @@ class PlanSpec extends SparkSpecBase {
     // corpus — broadcast, no corpus-by-corpus exchange on text
     assert(p.contains("BroadcastHashJoin"), "candidate-side text joins must broadcast")
   }
+
+  test("relaxed CEP fold: one exchange on the key, no join, events filtered before the shuffle") {
+    val df = graft.operators.EventOps.cepAttackFlinkOn(
+      graft.sources.Tables.t(spark, sf0001, "events"))
+    val p = plan(df)
+    // the per-key NFA fold shuffles ONCE on the key and joins nothing
+    assert(!p.contains("Join"), s"relaxed fold must be join-free:\n${p.take(1500)}")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).length == 1,
+      "exactly one key exchange feeding the fold")
+    // neutral events drop BEFORE the shuffle: the filter sits under the
+    // aggregate and reaches the scan subtree, so the per-key arrays carry
+    // only pattern-relevant events
+    assert(p.contains("Filter"), "run/next predicate filter must exist pre-shuffle")
+  }
 }

@@ -377,14 +377,23 @@ object DedupOps {
           shiftrightunsigned(col("sh64"), i * 16).bitwiseAND(lit(0xFFFFL)).as("chunk"))): _*)).as("bk"))
       .select(col("doc_id"), col("sh64"), col("bk.band").as("band"), col("bk.chunk").as("chunk"))
 
-  def simHashPairsOn(documents: DataFrame, md5Parity: Boolean = false): DataFrame = {
+  /** `capped = false` skips the hot-bucket prune — the 4 x 16-bit
+    * pigeonhole banding is then LOSSLESS for hamming <= 3 (any pair with
+    * <= 3 differing bits shares an identical chunk), which is what makes
+    * the uncapped form the exact ground truth [[simhashEvalOn]] measures
+    * the production cap against. Production keeps the cap: an identical
+    * cluster of n docs is O(n^2) candidates in its shared buckets.
+    */
+  def simHashPairsOn(documents: DataFrame, md5Parity: Boolean = false,
+      capped: Boolean = true): DataFrame = {
     // persist the fingerprints: banding feeds the hot-bucket count, the
     // anti-join AND both self-join sides — unpersisted, the tokenize +
     // SimHash64 map pass (the expensive part) ran four times
     val d = simhashFps(documents, md5Parity)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = simhashBands(d)
-    val pruned = pruneHotBuckets(banded, Seq("band", "chunk"))
+    val pruned = (if (capped) pruneHotBuckets(banded, Seq("band", "chunk"))
+      else banded)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pruned.as("a")
       .join(pruned.as("b"),
@@ -597,6 +606,51 @@ object DedupOps {
        |       CAST(SUM(th * lh) AS BIGINT) AS n_hit,
        |       CAST(SUM(th * lh) AS DOUBLE) / CAST(SUM(th) AS DOUBLE) AS recall,
        |       CAST(SUM(th * lh) AS DOUBLE) / CAST(SUM(lh) AS DOUBLE) AS precision
+       |FROM m""".stripMargin
+
+  /** Hamming-family QA twin of [[dedupEvalOn]]: the pigeonhole banding is
+    * LOSSLESS for hamming <= 3, so the only recall the production query
+    * can lose is what the hot-bucket cap drops — this measures exactly
+    * that (ground truth = the uncapped banding, an exact computation).
+    * One row: n_true, n_found, recall. Found pairs are a subset of truth
+    * by construction (the cap only removes band rows), so precision is
+    * structurally 1 and not reported. Same scale caveat as the Jaccard
+    * eval: the uncapped truth side is the eval's cost — sample at 100 TB.
+    */
+  def simhashEval(s: SparkSession, dir: String): DataFrame =
+    simhashEvalOn(Tables.t(s, dir, "documents"))
+
+  def simhashEvalOn(documents: DataFrame): DataFrame = {
+    val truth = simHashPairsOn(documents, md5Parity = true, capped = false)
+      .select(col("d1"), col("d2"), lit(1L).as("__t"))
+    val got = simHashPairsOn(documents, md5Parity = true)
+      .select(col("d1"), col("d2"), lit(1L).as("__g"))
+    truth.join(got, Seq("d1", "d2"), "left_outer")
+      .agg(coalesce(sum("__t"), lit(0L)).as("n_true"),
+        coalesce(sum("__g"), lit(0L)).as("n_found"))
+      .select(col("n_true"), col("n_found"),
+        (col("n_found").cast(DoubleType) / col("n_true").cast(DoubleType)).as("recall"))
+  }
+
+  val simhashEvalOracle: String =
+    s"""WITH $sqlSimhashCtes,
+       |tp AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |       FROM bands a JOIN bands b ON a.band = b.band AND a.chunk = b.chunk
+       |         AND a.doc_id < b.doc_id
+       |       WHERE bit_count(xor(a.w_lo, b.w_lo)) + bit_count(xor(a.w_hi, b.w_hi)) <= 3),
+       |bsz AS (SELECT band, chunk, COUNT(*) AS n FROM bands GROUP BY band, chunk),
+       |pb AS (SELECT bands.* FROM bands
+       |       JOIN bsz ON bands.band = bsz.band AND bands.chunk = bsz.chunk
+       |       WHERE bsz.n <= $MaxBucket),
+       |gp AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |       FROM pb a JOIN pb b ON a.band = b.band AND a.chunk = b.chunk
+       |         AND a.doc_id < b.doc_id
+       |       WHERE bit_count(xor(a.w_lo, b.w_lo)) + bit_count(xor(a.w_hi, b.w_hi)) <= 3),
+       |m AS (SELECT 1 AS th, CASE WHEN gp.d1 IS NULL THEN 0 ELSE 1 END AS gh
+       |      FROM tp LEFT JOIN gp ON tp.d1 = gp.d1 AND tp.d2 = gp.d2)
+       |SELECT CAST(SUM(th) AS BIGINT) AS n_true,
+       |       CAST(SUM(gh) AS BIGINT) AS n_found,
+       |       CAST(SUM(gh) AS DOUBLE) / CAST(SUM(th) AS DOUBLE) AS recall
        |FROM m""".stripMargin
 
   // ---- edit-distance (fuzzy) near-dup ----------------------------------
@@ -1839,6 +1893,7 @@ object DedupOps {
     QueryDef("doc_minhash_lsh", minHashLsh, Some(minhashOracle), headline = true),
     QueryDef("doc_minhash_md5", minHashLshMd5, Some(minhashOracle)),
     QueryDef("doc_dedup_eval", dedupEval, Some(dedupEvalOracle)),
+    QueryDef("doc_simhash_eval", simhashEval, Some(simhashEvalOracle)),
     QueryDef("doc_simhash", simHashPairs, Some(simhashOracle)),
     QueryDef("doc_editdist_pairs", editDistPairs, Some(editDistOracle)),
     QueryDef("doc_dup_clusters", dupClusters, Some(dupClustersOracle)),

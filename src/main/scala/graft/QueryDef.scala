@@ -18,6 +18,8 @@ object Registry {
     operators.Analytics.defs ++
       operators.AnalyticsNested.defs ++
       operators.EventOps.defs ++
+      operators.MembershipOps.defs ++
+      operators.Ewma.defs ++
       operators.ReportOps.defs ++
       operators.TextOps.defs ++
       operators.DedupOps.defs ++

@@ -1,0 +1,268 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.sources.Tables
+
+/** Sketch-family members 4 and 5 — engine-portable Bloom filter
+  * (membership) and Count-Min sketch (frequency), completing the
+  * mergeable-sketch set (HLL = distinct, Misra–Gries = heavy hitters,
+  * fixed-bin histogram = quantiles, theta = intersections):
+  *
+  *   - Bloom answers "was this key EVER seen in the span?" from kilobytes
+  *     — OR-mergeable bit words, no false negatives, deterministic false
+  *     positives. The 100 TB use: probing billions of candidate keys
+  *     against months of history without touching the fact table (novelty
+  *     gating, join pre-filtering, incremental-ingest dedup).
+  *   - Count-Min answers "how often?" — SUM-mergeable counters,
+  *     one-sided (over-)estimates. The 100 TB use: per-key frequency
+  *     service over any date span from per-day counter tables.
+  *
+  * Both are built on the same engine-portable basis as [[PortableHll]]:
+  * the four disjoint 16-bit chunks of the md5 hex digest (chars 1-4, 5-8,
+  * 9-12, 13-16) give four independent hash functions both Spark and DuckDB
+  * compute bit-identically, so sketch CONTENTS and probe answers — false
+  * positives and over-counts included — are hash-exact gateable, not just
+  * rows-only plausible.
+  *
+  * Geometry notes: Bloom m = 8192 bits packed as 256×32-bit words (a set
+  * bit is 1<<b with b < 32, positive in BIGINT on both engines — 64-bit
+  * words would need 1<<63, which DuckDB rejects and Java wraps negative);
+  * 65536 = 8·8192 and = 32·2048, so both `chunk % m` mods are exactly
+  * uniform. CM depth 4 × width 2048 reuses the chunks as row hashes.
+  */
+object PortableSketchBasis {
+  /** i-th (0-based, i < 4) 16-bit md5 hex chunk of the key. */
+  def chunk16(key: Column, i: Int): Column =
+    conv(substring(md5(key.cast("string")), 1 + 4 * i, 4), 16, 10).cast("long")
+
+  /** DuckDB twin: same chunk as integer arithmetic over strpos. */
+  def sqlChunk16(h: String, i: Int): String = {
+    def c(j: Int) = s"(strpos('0123456789abcdef', substr($h, $j, 1)) - 1)"
+    val base = 4 * i
+    s"(((${c(base + 1)} * 16 + ${c(base + 2)}) * 16 + ${c(base + 3)}) * 16 + ${c(base + 4)})"
+  }
+}
+
+object PortableBloom {
+  val Bits = 8192
+  val WordBits = 32
+  val K = 4
+
+  private def posArr(key: Column): Column =
+    array((0 until K).map(i => PortableSketchBasis.chunk16(key, i) % Bits): _*)
+
+  /** Per-group packed-word table (grpCols..., w, bits): the only
+    * fact-scale shuffle, map-side bit_or-combined, output ≤ |groups|·256
+    * rows at any corpus size. Words merge by bit_or (associative,
+    * commutative, idempotent), so per-day tables compose into any span
+    * after the fact — and re-ingesting a day cannot corrupt the filter.
+    */
+  def words(df: DataFrame, grpCols: Seq[String], key: Column): DataFrame =
+    df.select(grpCols.map(col) :+ explode(posArr(key)).as("p"): _*)
+      .select(grpCols.map(col) :+ expr(s"p DIV $WordBits").as("w") :+
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(p % $WordBits AS INT))").as("mask"): _*)
+      .groupBy((grpCols :+ "w").map(col): _*)
+      .agg(expr("bit_or(mask)").as("bits"))
+
+  /** Probe `candidates` (must carry a unique `keyName` column) against a
+    * single merged word table: adds `bloom_hit` (1/0). The word table is
+    * metadata-scale (≤ 256 rows) → broadcast; the probe never rescans
+    * facts.
+    */
+  def probe(candidates: DataFrame, keyName: String, merged: DataFrame): DataFrame =
+    candidates
+      .select(col(keyName), explode(posArr(col(keyName))).as("p"))
+      .select(col(keyName), expr(s"p DIV $WordBits").as("w"),
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(p % $WordBits AS INT))").as("mask"))
+      .join(broadcast(merged), Seq("w"), "left")
+      .groupBy(keyName)
+      .agg(min(when(col("bits").isNotNull &&
+        (col("bits").bitwiseAND(col("mask")) === col("mask")), 1).otherwise(0))
+        .cast("int").as("bloom_hit"))
+
+  /** DuckDB CTE fragments: `pfx_words(w, bits)` over `from`'s `keyExpr`. */
+  def sqlWordsCte(pfx: String, from: String, keyExpr: String): String = {
+    val h = s"md5(CAST($keyExpr AS VARCHAR))"
+    val chunks = (0 until K).map(i =>
+      s"${PortableSketchBasis.sqlChunk16("h", i)} % $Bits").mkString(", ")
+    s"""${pfx}_h AS (SELECT $h AS h FROM $from),
+       |${pfx}_p AS (SELECT unnest([$chunks]) AS p FROM ${pfx}_h),
+       |${pfx}_words AS (
+       |  SELECT p // $WordBits AS w,
+       |         bit_or(1::BIGINT << CAST(p % $WordBits AS INT)) AS bits
+       |  FROM ${pfx}_p GROUP BY 1)""".stripMargin
+  }
+}
+
+object PortableCms {
+  val Depth = 4
+  val Width = 2048
+
+  private def rows(key: Column): Column =
+    array((0 until Depth).map(i =>
+      struct(lit(i).as("d"),
+        (PortableSketchBasis.chunk16(key, i) % Width).as("idx"))): _*)
+
+  /** Per-group counter table (grpCols..., d, idx, cnt) — SUM-mergeable,
+    * ≤ |groups|·4·2048 rows at any corpus size, one map-side-combined
+    * shuffle.
+    */
+  def counters(df: DataFrame, grpCols: Seq[String], key: Column): DataFrame =
+    df.select(grpCols.map(col) :+ explode(rows(key)).as("r"): _*)
+      .select(grpCols.map(col) :+ col("r.d").as("d") :+ col("r.idx").as("idx"): _*)
+      .groupBy((grpCols :+ "d" :+ "idx").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Point-estimate `candidates`' keys against a merged counter table:
+    * adds `cm_est` = min over the 4 rows (the classic CM upper bound —
+    * never under the true count). Counter table ≤ 8192 rows → broadcast.
+    */
+  def estimate(candidates: DataFrame, keyName: String, merged: DataFrame): DataFrame =
+    candidates
+      .select(candidates.columns.map(col) :+ explode(rows(col(keyName))).as("r"): _*)
+      .select(candidates.columns.map(col) :+ col("r.d").as("d") :+ col("r.idx").as("idx"): _*)
+      .join(broadcast(merged), Seq("d", "idx"), "left")
+      .groupBy(candidates.columns.map(col): _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_est"))
+
+  /** DuckDB CTE fragments: `pfx_cnt(d, idx, cnt)` over `from`'s `keyExpr`. */
+  def sqlCountersCte(pfx: String, from: String, keyExpr: String): String = {
+    val h = s"md5(CAST($keyExpr AS VARCHAR))"
+    val structs = (0 until Depth).map(i =>
+      s"{'d': $i, 'idx': ${PortableSketchBasis.sqlChunk16("h", i)} % $Width}")
+      .mkString(", ")
+    s"""${pfx}_h AS (SELECT $h AS h FROM $from),
+       |${pfx}_r AS (SELECT unnest([$structs], recursive := true) FROM ${pfx}_h),
+       |${pfx}_cnt AS (
+       |  SELECT d, idx, COUNT(*)::BIGINT AS cnt FROM ${pfx}_r GROUP BY d, idx)""".stripMargin
+  }
+}
+
+/** The gated membership/frequency queries over the events table. */
+object MembershipOps {
+
+  private def evDays(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "events")
+      .select(unix_micros(date_trunc("DAY", col("ts"))).as("day_us"),
+        col("user_id"))
+
+  /** `ev_bloom_members` — the returning-vs-new-user gate, answered from
+    * sketch bytes: per-day Bloom words over every day but the last are
+    * bit_or-MERGED into one span filter (per-day build + merge is the
+    * production plumbing the gate proves — OR idempotence means the merge
+    * equals the direct span filter the oracle builds); the last day's
+    * distinct users probe it. Output per probe user: the sketch's answer
+    * and the exact answer — so false positives (bloom 1 / exact 0) are
+    * part of the gated surface, pinned deterministic by the portable
+    * basis, and false NEGATIVES (bloom 0 / exact 1) are structurally
+    * impossible (any disagreement row with exact_hit=1 would hash-fail
+    * the gate: the no-false-negative property is proven by the gate
+    * itself on the corpus it runs).
+    *
+    * Scale: history collapses to ≤ |days|·256 word rows in the one
+    * fact-scale pass; the probe joins candidates against a broadcast
+    * 256-row filter — at 100 TB the candidate stream never touches the
+    * fact table. Durable twin: [[graft.sources.SketchStore.writeDailyBloom]].
+    */
+  def bloomMembers(s: SparkSession, dir: String): DataFrame = {
+    val ev = evDays(s, dir)
+    val lastDay = ev.agg(max(col("day_us")).as("last_day"))
+    val withLast = ev.crossJoin(broadcast(lastDay))
+    val hist = withLast.filter(col("day_us") < col("last_day"))
+      .select("day_us", "user_id")
+    val probes = withLast.filter(col("day_us") === col("last_day"))
+      .select("user_id").distinct()
+    // per-day words (the durable layout's shape), then the span merge
+    val daily = PortableBloom.words(hist, Seq("day_us"), col("user_id"))
+    val merged = daily.groupBy("w").agg(expr("bit_or(bits)").as("bits"))
+    val exact = hist.select("user_id").distinct()
+      .withColumn("exact_hit", lit(1))
+    PortableBloom.probe(probes, "user_id", merged)
+      .join(exact, Seq("user_id"), "left")
+      .select(col("user_id"), col("bloom_hit"),
+        coalesce(col("exact_hit"), lit(0)).cast("int").as("exact_hit"))
+      .orderBy("user_id")
+  }
+
+  val bloomMembersOracle: String = {
+    val day = "epoch_us(date_trunc('day', ts))"
+    val probeChunks = (0 until PortableBloom.K).map(i =>
+      s"${PortableSketchBasis.sqlChunk16("h", i)} % ${PortableBloom.Bits}")
+      .mkString(", ")
+    s"""WITH bm_e AS (SELECT $day AS day_us, user_id FROM events),
+       |bm_mx AS (SELECT MAX(day_us) AS last_day FROM bm_e),
+       |bm_hist AS (SELECT user_id FROM bm_e, bm_mx WHERE day_us < last_day),
+       |${PortableBloom.sqlWordsCte("bm", "bm_hist", "user_id")},
+       |bm_probe AS (
+       |  SELECT DISTINCT user_id FROM bm_e, bm_mx WHERE day_us = last_day),
+       |bm_pp AS (
+       |  SELECT user_id, unnest([$probeChunks]) AS p
+       |  FROM (SELECT user_id, md5(CAST(user_id AS VARCHAR)) AS h FROM bm_probe)),
+       |bm_hit AS (
+       |  SELECT user_id,
+       |         CAST(CASE WHEN bool_and(COALESCE(
+       |             (bits & (1::BIGINT << CAST(p % ${PortableBloom.WordBits} AS INT)))
+       |               = (1::BIGINT << CAST(p % ${PortableBloom.WordBits} AS INT)),
+       |             FALSE)) THEN 1 ELSE 0 END AS INT) AS bloom_hit
+       |  FROM bm_pp LEFT JOIN bm_words ON bm_words.w = bm_pp.p // ${PortableBloom.WordBits}
+       |  GROUP BY user_id)
+       |SELECT bm_hit.user_id, bloom_hit,
+       |       CAST(CASE WHEN EXISTS (SELECT 1 FROM bm_hist
+       |                              WHERE bm_hist.user_id = bm_hit.user_id)
+       |            THEN 1 ELSE 0 END AS INT) AS exact_hit
+       |FROM bm_hit ORDER BY user_id""".stripMargin
+  }
+
+  /** `ev_cm_frequency` — per-key frequency service from per-day Count-Min
+    * counter tables: dailies SUM-merge into the span sketch (counter
+    * additivity makes merge == direct — the gate proves the plumbing by
+    * hashing Spark's merged-daily estimates against the oracle's direct
+    * span sketch), probed with the span's top-20 users by exact count.
+    * Output per user: exact count and the CM estimate — the one-sided
+    * error (est ≥ exact, ANY collision inflation included) is gated
+    * deterministic, and an under-estimate row would hash-fail the gate.
+    *
+    * Scale: facts collapse once per day to ≤ 4·2048 counter rows; any
+    * span's frequency service is a sum-merge of kilobyte tables plus a
+    * broadcast probe join. The exact side here is the gate's ground
+    * truth, not the serving path.
+    */
+  def cmFrequency(s: SparkSession, dir: String): DataFrame = {
+    val ev = evDays(s, dir)
+    val daily = PortableCms.counters(ev, Seq("day_us"), col("user_id"))
+    val merged = daily.groupBy("d", "idx").agg(sum(col("cnt")).as("cnt"))
+    val exact = ev.groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
+    val top = exact
+      .orderBy(col("exact_cnt").desc, col("user_id").asc)
+      .limit(20)
+    PortableCms.estimate(top, "user_id", merged)
+      .select(col("user_id"), col("exact_cnt"), col("cm_est"))
+      .orderBy("user_id")
+  }
+
+  val cmFrequencyOracle: String = {
+    val day = "epoch_us(date_trunc('day', ts))"
+    val probeStructs = (0 until PortableCms.Depth).map(i =>
+      s"{'d': $i, 'idx': ${PortableSketchBasis.sqlChunk16("h", i)} % ${PortableCms.Width}}")
+      .mkString(", ")
+    s"""WITH cf_e AS (SELECT $day AS day_us, user_id FROM events),
+       |${PortableCms.sqlCountersCte("cf", "cf_e", "user_id")},
+       |cf_top AS (
+       |  SELECT user_id, COUNT(*)::BIGINT AS exact_cnt FROM cf_e
+       |  GROUP BY user_id ORDER BY exact_cnt DESC, user_id ASC LIMIT 20),
+       |cf_pp AS (
+       |  SELECT user_id, exact_cnt, unnest([$probeStructs], recursive := true)
+       |  FROM (SELECT user_id, exact_cnt, md5(CAST(user_id AS VARCHAR)) AS h
+       |        FROM cf_top))
+       |SELECT user_id, exact_cnt, MIN(COALESCE(cnt, 0))::BIGINT AS cm_est
+       |FROM cf_pp LEFT JOIN cf_cnt USING (d, idx)
+       |GROUP BY user_id, exact_cnt ORDER BY user_id""".stripMargin
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("ev_bloom_members", bloomMembers, Some(bloomMembersOracle)),
+    QueryDef("ev_cm_frequency", cmFrequency, Some(cmFrequencyOracle)))
+}

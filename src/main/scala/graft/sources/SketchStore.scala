@@ -102,4 +102,62 @@ object SketchStore {
       .select(lit(fromDay).as("span_from"), lit(toDay).as("span_to"),
         col("n"), col("p50"), col("p95"), col("p99"))
   }
+
+  // ---- the membership twin: per-day Bloom words, bit_or-merge ----------
+
+  /** `ev` must carry (day_us, user_id); ≤ 256 word rows per day. OR
+    * idempotence makes re-ingest harmless even WITHOUT the dynamic
+    * partition overwrite — but the overwrite keeps day partitions
+    * single-sourced like the other layouts.
+    */
+  def writeDailyBloom(ev: DataFrame, path: String): Unit =
+    graft.operators.PortableBloom.words(ev, Seq("day_us"), col("user_id"))
+      .write.mode(SaveMode.Overwrite).partitionBy("day_us").parquet(path)
+
+  def appendDayBloom(evDay: DataFrame, path: String): Unit =
+    graft.operators.PortableBloom.words(evDay, Seq("day_us"), col("user_id"))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day_us").parquet(path)
+
+  /** Probe `candidates` (one `keyName` column) for membership over the
+    * span: bit_or-merge the span's word files (pruned scan, ≤ 256 merged
+    * rows) and test all 4 bits per candidate. No false negatives over
+    * the span's ingested keys; false positives at the geometry's
+    * documented rate.
+    */
+  def serveMembers(spark: SparkSession, path: String,
+      fromDay: Long, toDay: Long,
+      candidates: DataFrame, keyName: String): DataFrame = {
+    val merged = spark.read.parquet(path)
+      .filter(col("day_us") >= fromDay && col("day_us") <= toDay)
+      .groupBy("w").agg(expr("bit_or(bits)").as("bits"))
+    graft.operators.PortableBloom.probe(candidates, keyName, merged)
+  }
+
+  // ---- the frequency twin: per-day Count-Min counters, SUM-merge -------
+
+  /** `ev` must carry (day_us, user_id); ≤ 4·2048 counter rows per day. */
+  def writeDailyCms(ev: DataFrame, path: String): Unit =
+    graft.operators.PortableCms.counters(ev, Seq("day_us"), col("user_id"))
+      .write.mode(SaveMode.Overwrite).partitionBy("day_us").parquet(path)
+
+  def appendDayCms(evDay: DataFrame, path: String): Unit =
+    graft.operators.PortableCms.counters(evDay, Seq("day_us"), col("user_id"))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day_us").parquet(path)
+
+  /** Estimate `candidates`' span frequencies: SUM-merge the span's
+    * counter files (pruned scan) and take the min-of-rows per candidate —
+    * one-sided (≥ exact) by the CM guarantee.
+    */
+  def serveFrequency(spark: SparkSession, path: String,
+      fromDay: Long, toDay: Long,
+      candidates: DataFrame, keyName: String): DataFrame = {
+    val merged = spark.read.parquet(path)
+      .filter(col("day_us") >= fromDay && col("day_us") <= toDay)
+      .groupBy("d", "idx").agg(sum(col("cnt")).as("cnt"))
+    graft.operators.PortableCms.estimate(candidates, keyName, merged)
+  }
 }

@@ -46,4 +46,23 @@ object StreamingDistinct {
           .as("bin"))
       .groupBy("day_us", "bin")
       .agg(count(lit(1)).as("cnt"))
+
+  /** The membership twin ([[graft.operators.PortableBloom]]): per-day
+    * Bloom words as a streaming grouped bit_or — state ≤ |days|·256 long
+    * words at any stream length. ORs are fold-order-free AND idempotent,
+    * so after any prefix the emitted word table equals the batch
+    * [[graft.operators.PortableBloom.words]] of the same prefix exactly
+    * (and replayed input cannot corrupt it). `ev` must carry `day_us`
+    * (long) + `user_id`.
+    */
+  def bloomWordsStream(ev: DataFrame): DataFrame =
+    graft.operators.PortableBloom.words(ev, Seq("day_us"), col("user_id"))
+
+  /** The frequency twin ([[graft.operators.PortableCms]]): per-day
+    * Count-Min counters as a streaming grouped COUNT — state ≤
+    * |days|·4·2048 rows; counts are additive so batch==stream is exact
+    * after any prefix. `ev` must carry `day_us` (long) + `user_id`.
+    */
+  def cmsCountersStream(ev: DataFrame): DataFrame =
+    graft.operators.PortableCms.counters(ev, Seq("day_us"), col("user_id"))
 }

@@ -71,4 +71,43 @@ object StreamingSmooth {
           out.result().iterator
       }
   }
+
+  final case class EwmaEvent(key: String, ts_us: Long, event_id: Long, x: Double)
+  final case class EwmaState(n: Long, s: Double, spikes: Long,
+      lastTs: Long, lastId: Long)
+  final case class EwmaRow(key: String, n: Long, ewma: Double, n_spikes: Long)
+
+  /** Streaming twin of [[graft.operators.Ewma.ewmaOutliers]]: the SAME
+    * ½-decay fold (s = 0.5·s + 0.5·x — exact halving, one IEEE add per
+    * event) as per-key O(1) state: (n, s, spikes) plus the ordering
+    * cursor. Emits the running row per key per micro-batch; after any
+    * in-order prefix the last emitted row equals the batch fold of that
+    * prefix bit-exactly (spec-pinned). Ordering contract as above:
+    * cross-batch late events drop, never fold.
+    */
+  def ewmaStream(events: Dataset[EwmaEvent]): Dataset[EwmaRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[EwmaState, EwmaRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, it, state: GroupState[EwmaState]) =>
+          val rows = it.toArray.sortBy(e => (e.ts_us, e.event_id))
+          var st = state.getOption.getOrElse(
+            EwmaState(0L, 0.0, 0L, Long.MinValue, Long.MinValue))
+          rows.foreach { e =>
+            if (e.ts_us < st.lastTs ||
+              (e.ts_us == st.lastTs && e.event_id <= st.lastId)) ()
+            else {
+              val spike = st.n > 0L && e.x > 2.0 * st.s
+              val s2 = if (st.n == 0L) e.x else 0.5 * st.s + 0.5 * e.x
+              st = EwmaState(st.n + 1L, s2,
+                st.spikes + (if (spike) 1L else 0L), e.ts_us, e.event_id)
+            }
+          }
+          state.update(st)
+          if (rows.isEmpty) Iterator.empty
+          else Iterator.single(EwmaRow(key, st.n, st.s, st.spikes))
+      }
+  }
 }

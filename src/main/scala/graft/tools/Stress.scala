@@ -479,6 +479,42 @@ object Stress {
           s"appending a new day disturbed an old span: $after -> $unchanged")
         s"day_serve==direct ($served)"
       }
+      // membership/frequency twins ride the same horizon (r12): a span
+      // serve must equal the direct span sketch (bit_or / SUM merge loses
+      // nothing at any store size), and re-ingesting a day is idempotent
+      time(s"sketch-store bloom+cm span serve == direct at x$copies horizon") {
+        import graft.operators.{PortableBloom, PortableCms}
+        val bloom = s"$root/bloom"
+        val cms = s"$root/cms"
+        SketchStore.writeDailyBloom(storeEv.select("day_us", "user_id"), bloom)
+        SketchStore.writeDailyCms(storeEv.select("day_us", "user_id"), cms)
+        val cand = base.select("user_id").distinct().limit(500)
+          .localCheckpoint(true)
+        val spanEv = storeEv
+          .filter(col("day_us") >= span._1 && col("day_us") <= span._2)
+          .localCheckpoint(true)
+        def servedM() = SketchStore
+          .serveMembers(spark, bloom, span._1, span._2, cand, "user_id")
+          .orderBy("user_id").collect().toSeq
+        def servedF() = SketchStore
+          .serveFrequency(spark, cms, span._1, span._2, cand, "user_id")
+          .orderBy("user_id").collect().toSeq
+        val (m0, f0) = (servedM(), servedF())
+        val directM = PortableBloom.probe(cand, "user_id",
+          PortableBloom.words(spanEv, Seq.empty, col("user_id")))
+          .orderBy("user_id").collect().toSeq
+        require(m0 == directM, "bloom span serve != direct span filter")
+        val directF = PortableCms.estimate(cand, "user_id",
+          PortableCms.counters(spanEv, Seq.empty, col("user_id")))
+          .orderBy("user_id").collect().toSeq
+        require(f0 == directF, "cm span serve != direct span sketch")
+        val dayEv = storeEv.filter(col("day_us") === span._1)
+        SketchStore.appendDayBloom(dayEv.select("day_us", "user_id"), bloom)
+        SketchStore.appendDayCms(dayEv.select("day_us", "user_id"), cms)
+        require(servedM() == m0, "bloom re-ingest changed its serve")
+        require(servedF() == f0, "cm re-ingest changed its serve")
+        s"cands=500 hits=${m0.count(_.getInt(1) == 1)}"
+      }
       import scala.reflect.io.Directory
       new Directory(new java.io.File(root)).deleteRecursively()
       spark.catalog.clearCache()

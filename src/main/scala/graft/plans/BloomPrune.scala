@@ -100,12 +100,14 @@ case class BloomPrune(spark: SparkSession) extends Rule[LogicalPlan] {
       pts: Map[String, Seq[Any]]): Option[InMemoryFileIndex] = {
     val root = fsRel.location.rootPaths.head
     val allFiles = fsRel.location.inputFiles
-    val side = try {
-      spark.read.parquet(s"$root/$SidecarDir")
-        .filter(org.apache.spark.sql.functions.col("col")
-          .isin(pts.keys.toSeq: _*))
-        .select("file", "col", "m", "k", "words").collect()
-    } catch { case _: Exception => return None } // unreadable sidecar: no pruning
+    val side = ManifestStore.readHiddenDir(spark, s"$root/$SidecarDir") match {
+      case None => return None // missing sidecar: no pruning
+      case Some(df) =>
+        try df.filter(org.apache.spark.sql.functions.col("col")
+            .isin(pts.keys.toSeq: _*))
+          .select("file", "col", "m", "k", "words").collect()
+        catch { case _: Exception => return None } // unreadable: no pruning
+    }
     if (side.isEmpty) return None
     // per covered column: the set of files the filter ADMITS; a file is
     // kept overall iff every covered column admits it (or doesn't know it)

@@ -134,6 +134,24 @@ object ManifestStore {
   private def driverMaxRows(spark: SparkSession): Long =
     spark.conf.get("spark.graft.manifest.driverMaxRows", "100000").toLong
 
+  /** Read a `_`-prefixed sidecar directory by EXPLICIT part-file paths:
+    * handing the hidden directory itself to the DataFrame reader makes
+    * the shared listing code warn `All paths were ignored` on every load
+    * (the SearchIndex stats-sidecar lesson, applied to every sidecar).
+    * None when the directory is missing, unlistable, or holds no parquet
+    * parts — callers keep their existing fail-open/fail-loud choice.
+    */
+  def readHiddenDir(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val p = new Path(dir)
+    try {
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(p)) return None
+      val parts = fs.listStatus(p).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).map(_.toString).toIndexedSeq
+      if (parts.isEmpty) None else Some(spark.read.parquet(parts: _*))
+    } catch { case _: Exception => None }
+  }
+
   /** Directory signature: sorted name:length:mtime of the manifest's data
     * files. Part names are write-unique (UUID-based), so any rewrite or
     * append produces a new signature even within mtime granularity.
@@ -222,7 +240,7 @@ object ManifestStore {
   private def load(spark: SparkSession, root: String,
       threshold: Long): Option[Manifest] = withGuard {
     try {
-      val raw = spark.read.parquet(s"$root/$DirName")
+      val raw = readHiddenDir(spark, s"$root/$DirName").getOrElse(return None)
       if (!Seq("file", "col", "lo", "hi").forall(raw.columns.contains)) return None
       // normalize optional stat columns (pre-row/null-count or pre-sum
       // manifests) to typed nulls so one schema flows everywhere

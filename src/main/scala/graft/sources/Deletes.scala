@@ -187,9 +187,7 @@ object Deletes {
     // get fresh rows over the same stat columns (absent manifest: none)
     val manifestPath = s"$path/${ManifestStore.DirName}"
     val oldManifest: Option[DataFrame] =
-      if (fs.exists(new Path(manifestPath)))
-        Some(spark.read.parquet(manifestPath).localCheckpoint(true))
-      else None
+      ManifestStore.readHiddenDir(spark, manifestPath).map(_.localCheckpoint(true))
     val statCols = oldManifest.map(m => m.select("col").distinct()
       .collect().map(_.getString(0)).toSeq.sorted).getOrElse(Nil)
 

@@ -255,7 +255,8 @@ object Layout {
       // allowMissingColumns: a pre-row/null-count manifest merges with the
       // richer delta; unknown stats read back as null and the metadata-agg
       // path fails open on them
-      val merged = spark.read.parquet(manifestPath)
+      val merged = graft.plans.ManifestStore.readHiddenDir(spark, manifestPath)
+        .getOrElse(sys.error(s"appendWithManifest: no manifest at $manifestPath"))
         .unionByName(delta, allowMissingColumns = true)
       // manifests are tiny: rewrite-on-append keeps ONE consistent file
       // (localCheckpoint first — the new manifest must not lazily read the
@@ -390,11 +391,12 @@ object Layout {
   def readPrunedPoint(spark: org.apache.spark.sql.SparkSession, path: String,
       c: String, value: Any): DataFrame = {
     import graft.functions.Bloom
-    val side = try {
-      spark.read.parquet(s"$path/$BloomDir")
-        .filter(col("col") === c)
-        .select("file", "m", "k", "words").collect()
-    } catch { case _: Exception => return spark.read.parquet(path) } // no sidecar: fail open
+    val side = graft.plans.ManifestStore.readHiddenDir(spark, s"$path/$BloomDir") match {
+      case None => return spark.read.parquet(path) // no sidecar: fail open
+      case Some(df) =>
+        try df.filter(col("col") === c).select("file", "m", "k", "words").collect()
+        catch { case _: Exception => return spark.read.parquet(path) }
+    }
     val h = value match {
       case l: Long => Bloom.hashesOfLong(l)
       case i: Int => Bloom.hashesOfLong(i.toLong)

@@ -60,16 +60,15 @@ object Maintain {
       !e.getPath.getName.startsWith("_") && !e.getPath.getName.startsWith("."))
     val pendingKeys = Deletes.pending(spark, path).map(_._2.count()).getOrElse(0L)
     val manifestPath = new Path(p, ManifestStore.DirName)
-    val unknown =
-      if (!fs.exists(manifestPath)) data.size
-      else {
+    val unknown = ManifestStore.readHiddenDir(spark, manifestPath.toString) match {
+      case None => data.size
+      case Some(m) =>
         // file column only: bounded by the table's file count, which the
         // listing above already materialized on the driver
-        val known = spark.read.parquet(manifestPath.toString)
-          .select("file").distinct()
+        val known = m.select("file").distinct()
           .collect().map(_.getString(0)).toSet
         data.count(e => !known(e.getPath.getName))
-      }
+    }
     TableHealth(data.size, data.map(_.getLen).sum, pendingKeys, unknown)
   }
 

@@ -565,4 +565,24 @@ class PlanSpec extends SparkSpecBase {
     // only pattern-relevant events
     assert(p.contains("Filter"), "run/next predicate filter must exist pre-shuffle")
   }
+
+  test("bloom/cm probes: the merged sketch table is the broadcast side") {
+    // the serve-shape claim: candidates join a <=256-row (bloom) /
+    // <=8192-row (cm) merged sketch — the sketch broadcasts, the
+    // candidate stream never shuffles against the fact table
+    val p1 = plan(graft.operators.MembershipOps.bloomMembers(spark, sf0001))
+    assert(p1.contains("BroadcastHashJoin"),
+      "bloom probe must join the broadcast word table")
+    val p2 = plan(graft.operators.MembershipOps.cmFrequency(spark, sf0001))
+    assert(p2.contains("BroadcastHashJoin"),
+      "cm probe must join the broadcast counter table")
+  }
+
+  test("ewma: exactly one event-scale hash exchange feeds the per-key fold; no join") {
+    val df = graft.operators.Ewma.ewmaOutliers(spark, sf0001)
+    val p = plan(df)
+    assert(!p.contains("Join"), s"ewma fold must be join-free:\n${p.take(1500)}")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n == 1, s"ewma must hash-shuffle exactly once (the key exchange), got $n:\n$p")
+  }
 }

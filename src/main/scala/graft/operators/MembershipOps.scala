@@ -67,21 +67,51 @@ object PortableBloom {
       .groupBy((grpCols :+ "w").map(col): _*)
       .agg(expr("bit_or(mask)").as("bits"))
 
-  /** Probe `candidates` (must carry a unique `keyName` column) against a
-    * single merged word table: adds `bloom_hit` (1/0). The word table is
-    * metadata-scale (≤ 256 rows) → broadcast; the probe never rescans
-    * facts.
+  /** Probe `candidates` (rows unique per `keyName`; all columns carried
+    * through) against a single merged word table: adds `bloom_hit` (1/0).
+    * The word table is metadata-scale (≤ 256 rows) → broadcast; the probe
+    * never rescans facts.
     */
   def probe(candidates: DataFrame, keyName: String, merged: DataFrame): DataFrame =
     candidates
-      .select(col(keyName), explode(posArr(col(keyName))).as("p"))
-      .select(col(keyName), expr(s"p DIV $WordBits").as("w"),
-        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(p % $WordBits AS INT))").as("mask"))
+      .select(candidates.columns.map(col) :+
+        explode(posArr(col(keyName))).as("p"): _*)
+      .select(candidates.columns.map(col) :+ expr(s"p DIV $WordBits").as("w") :+
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(p % $WordBits AS INT))").as("mask"): _*)
       .join(broadcast(merged), Seq("w"), "left")
-      .groupBy(keyName)
+      .groupBy(candidates.columns.map(col): _*)
       .agg(min(when(col("bits").isNotNull &&
         (col("bits").bitwiseAND(col("mask")) === col("mask")), 1).otherwise(0))
         .cast("int").as("bloom_hit"))
+
+  /** The merged word table as a driver map — ≤ 256 entries by
+    * construction (metadata scale at ANY corpus size), for embedding the
+    * filter as a literal in plans that must not join or aggregate (the
+    * nb/lm "model rides as map literals" discipline, applied to
+    * membership).
+    */
+  def wordsMap(df: DataFrame, key: Column): Map[Long, Long] =
+    words(df, Seq.empty, key).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Membership test as a pure map-side Column over a literal word map:
+    * no join, no aggregation, codegen-friendly — usable in streaming
+    * plans where the grouped [[probe]] shape would demand an aggregation
+    * mode. Equals [[probe]]'s bloom_hit row-for-row (spec-pinned).
+    */
+  def hitColumn(wordsLit: Map[Long, Long], key: Column): Column =
+    if (wordsLit.isEmpty) lit(false)
+    else {
+      val m = map(wordsLit.toSeq.flatMap {
+        case (w, b) => Seq(lit(w), lit(b)) }: _*)
+      (0 until K).map { i =>
+        val p = PortableSketchBasis.chunk16(key, i) % Bits
+        val w = floor(p / lit(WordBits)).cast("long")
+        val mask = call_function("shiftleft", lit(1L),
+          (p % lit(WordBits)).cast("int"))
+        coalesce(element_at(m, w), lit(0L)).bitwiseAND(mask) === mask
+      }.reduce(_ && _)
+    }
 
   /** DuckDB CTE fragments: `pfx_words(w, bits)` over `from`'s `keyExpr`. */
   def sqlWordsCte(pfx: String, from: String, keyExpr: String): String = {
@@ -262,7 +292,67 @@ object MembershipOps {
        |GROUP BY user_id, exact_cnt ORDER BY user_id""".stripMargin
   }
 
+  /** `doc_bloom_novelty` — the membership sketch applied to ingest dedup
+    * (the doc-side composition): the corpus' exact-text Bloom filter
+    * pre-screens an incoming batch, so "definitely new" documents (bloom
+    * miss — impossible for a true duplicate) skip the exact duplicate
+    * check entirely; only the bloom HITS need the exact verify. Output
+    * per batch doc: the sketch's answer and the exact answer — a (1, 0)
+    * row is a deterministic false positive the exact stage would filter,
+    * and a (0, 1) row is structurally impossible (would hash-fail the
+    * gate). Same batch split as the incremental dedup family
+    * (doc_id % 5 == 0 arrives, the rest is corpus).
+    *
+    * Scale: the corpus collapses ONCE to 256 filter words; each ingest
+    * batch probes a broadcast kilobyte table, and the exact stage — the
+    * expensive semi-join against corpus text — runs only on the
+    * sketch-admitted residue. At gate scale both columns are emitted for
+    * the proof; production would filter on bloom_hit = 1 before the
+    * join. (Keys here are full texts for the exactness proof;
+    * fingerprint first at corpus scale.)
+    */
+  def bloomNovelty(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.t(s, dir, "documents").select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val words = PortableBloom.words(corpus, Seq.empty, col("text"))
+    val exact = corpus.select("text").distinct().withColumn("exact_dup", lit(1))
+    PortableBloom.probe(batch, "text", words)
+      .join(exact, Seq("text"), "left")
+      .select(col("doc_id"), col("bloom_hit"),
+        coalesce(col("exact_dup"), lit(0)).cast("int").as("exact_dup"))
+      .orderBy("doc_id")
+  }
+
+  val bloomNoveltyOracle: String = {
+    val probeChunks = (0 until PortableBloom.K).map(i =>
+      s"${PortableSketchBasis.sqlChunk16("h", i)} % ${PortableBloom.Bits}")
+      .mkString(", ")
+    s"""WITH bn_corpus AS (
+       |  SELECT text FROM documents WHERE doc_id % 5 <> 0),
+       |${PortableBloom.sqlWordsCte("bn", "bn_corpus", "text")},
+       |bn_batch AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+       |bn_pp AS (
+       |  SELECT doc_id, text, unnest([$probeChunks]) AS p
+       |  FROM (SELECT doc_id, text, md5(CAST(text AS VARCHAR)) AS h FROM bn_batch)),
+       |bn_hit AS (
+       |  SELECT doc_id, text,
+       |         CAST(CASE WHEN bool_and(COALESCE(
+       |             (bits & (1::BIGINT << CAST(p % ${PortableBloom.WordBits} AS INT)))
+       |               = (1::BIGINT << CAST(p % ${PortableBloom.WordBits} AS INT)),
+       |             FALSE)) THEN 1 ELSE 0 END AS INT) AS bloom_hit
+       |  FROM bn_pp LEFT JOIN bn_words ON bn_words.w = bn_pp.p // ${PortableBloom.WordBits}
+       |  GROUP BY doc_id, text)
+       |SELECT doc_id, bloom_hit,
+       |       CAST(CASE WHEN EXISTS (SELECT 1 FROM bn_corpus
+       |                              WHERE bn_corpus.text = bn_hit.text)
+       |            THEN 1 ELSE 0 END AS INT) AS exact_dup
+       |FROM bn_hit ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("ev_bloom_members", bloomMembers, Some(bloomMembersOracle)),
-    QueryDef("ev_cm_frequency", cmFrequency, Some(cmFrequencyOracle)))
+    QueryDef("ev_cm_frequency", cmFrequency, Some(cmFrequencyOracle)),
+    QueryDef("doc_bloom_novelty", bloomNovelty, Some(bloomNoveltyOracle)))
 }

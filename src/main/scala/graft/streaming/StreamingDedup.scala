@@ -50,6 +50,36 @@ object StreamingDedup {
       .select("doc_id", "ts", "text", "fp")
   }
 
+  /** Bloom-prefiltered exact ingest dedup — [[dedupStream]] with the
+    * membership sketch as a zero-join first stage: the corpus
+    * fingerprint filter rides as a LITERAL word map (≤ 256 entries at
+    * any corpus size — `PortableBloom.wordsMap`), so a bloom MISS —
+    * structurally impossible for a true duplicate — bypasses the exact
+    * index join entirely, and only the sketch-admitted residue joins the
+    * corpus index. Output is IDENTICAL to [[dedupStream]] over the same
+    * stream (spec-pinned): false positives are filtered by the exact
+    * stage; false negatives cannot exist. At 100 TB the per-batch
+    * stream-static anti-join shrinks to the maybe-dup residue — for a
+    * mostly-novel ingest stream, almost nothing.
+    */
+  def dedupStreamBloom(docs: DataFrame, corpusFps: DataFrame,
+      watermark: String = "10 minutes",
+      broadcastIndex: Boolean = true): DataFrame = {
+    import graft.operators.PortableBloom
+    val bloomWords = PortableBloom.wordsMap(corpusFps, col("fp"))
+    val fped = docs
+      .withColumn("fp", md5(lower(col("text"))))
+      .withWatermark("ts", watermark)
+      .withColumn("__maybe", PortableBloom.hitColumn(bloomWords, col("fp")))
+    val idx = corpusFps.select("fp")
+    val definitelyNew = fped.filter(!col("__maybe"))
+    val residue = fped.filter(col("__maybe"))
+      .join(if (broadcastIndex) broadcast(idx) else idx, Seq("fp"), "left_anti")
+    definitelyNew.unionByName(residue)
+      .dropDuplicatesWithinWatermark("fp")
+      .select("doc_id", "ts", "text", "fp")
+  }
+
   /** Load + prepare a `DedupOps.writeMinHashIndex` materialization for
     * streaming probes: the band table goes through the hot-bucket cap
     * once, and BOTH tables persist so micro-batches probe caches instead

@@ -190,6 +190,67 @@ class MembershipSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("doc_bloom_novelty: no false negatives; deterministic across runs") {
+    def run() = MembershipOps.bloomNovelty(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    val out = run()
+    assert(out.nonEmpty)
+    assert(out.forall { case (_, bloom, exact) => exact == 0 || bloom == 1 },
+      "false negative: an exact duplicate missed the corpus filter")
+    assert(run() == out, "sketch answers must be deterministic")
+  }
+
+  test("hitColumn (literal word map) == grouped probe, hit-for-hit") {
+    val corpus = (1L to 300L).toDF("k")
+    val cands = (200L to 500L).toDF("k") // 101 members, 200 absentees
+    val merged = PortableBloom.words(corpus, Seq.empty, col("k"))
+    val viaProbe = PortableBloom.probe(cands, "k", merged)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val wordsLit = PortableBloom.wordsMap(corpus, col("k"))
+    val viaColumn = cands
+      .select(col("k"),
+        when(PortableBloom.hitColumn(wordsLit, col("k")), 1).otherwise(0)
+          .cast("int").as("bloom_hit"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(viaColumn == viaProbe)
+    assert(viaProbe.count(_._2 == 1) >= 101, "every member must hit")
+    // empty filter: nothing hits (the map literal cannot be built)
+    assert(cands.filter(PortableBloom.hitColumn(Map.empty, col("k"))).count() == 0)
+  }
+
+  test("dedupStreamBloom == dedupStream: identical survivors, corpus dups and replays dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val corpusFps = Seq("already ingested text", "another known doc")
+      .toDF("text").select(md5(lower(col("text"))).as("fp"))
+      .localCheckpoint(true)
+    val data = Seq(
+      (1L, ts(0), "already ingested text"), // corpus dup -> dropped
+      (2L, ts(1), "fresh doc one"),         // kept
+      (3L, ts(2), "fresh doc one"),         // in-stream replay -> dropped
+      (4L, ts(3), "Another Known Doc"),     // normalized corpus dup -> dropped
+      (5L, ts(4), "fresh doc two"))         // kept
+    def run(bloom: Boolean): Seq[Long] = {
+      val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+      val docs = mem.toDF().toDF("doc_id", "ts", "text")
+      val out =
+        if (bloom) graft.streaming.StreamingDedup.dedupStreamBloom(docs, corpusFps)
+        else graft.streaming.StreamingDedup.dedupStream(docs, corpusFps)
+      val name = if (bloom) "dedup_bloom_out" else "dedup_plain_out"
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        mem.addData(data.take(3): _*); q.processAllAvailable()
+        mem.addData(data.drop(3): _*); q.processAllAvailable()
+        spark.table(name).select("doc_id").as[Long].collect().sorted.toSeq
+      } finally q.stop()
+    }
+    val bloomKept = run(bloom = true)
+    assert(bloomKept == Seq(2L, 5L), s"got $bloomKept")
+    assert(bloomKept == run(bloom = false),
+      "bloom pre-filter must not change the dedup result")
+  }
+
   test("bloomWordsStream / cmsCountersStream == batch tables, uneven splits") {
     implicit val sqlCtx = spark.sqlContext
     val rng = new scala.util.Random(29)

@@ -138,13 +138,18 @@ object PortableCms {
 
   /** Per-group counter table (grpCols..., d, idx, cnt) — SUM-mergeable,
     * ≤ |groups|·4·2048 rows at any corpus size, one map-side-combined
-    * shuffle.
+    * shuffle. `weight` (default 1 per row) lets pre-aggregated (key,
+    * count) partials build the identical sketch without re-expanding to
+    * raw rows — counter additivity.
     */
-  def counters(df: DataFrame, grpCols: Seq[String], key: Column): DataFrame =
-    df.select(grpCols.map(col) :+ explode(rows(key)).as("r"): _*)
-      .select(grpCols.map(col) :+ col("r.d").as("d") :+ col("r.idx").as("idx"): _*)
+  def counters(df: DataFrame, grpCols: Seq[String], key: Column,
+      weight: Column = lit(1L)): DataFrame =
+    df.select(grpCols.map(col) :+ weight.cast("long").as("__w") :+
+        explode(rows(key)).as("r"): _*)
+      .select(grpCols.map(col) :+ col("r.d").as("d") :+
+        col("r.idx").as("idx") :+ col("__w"): _*)
       .groupBy((grpCols :+ "d" :+ "idx").map(col): _*)
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("__w")).as("cnt"))
 
   /** Point-estimate `candidates`' keys against a merged counter table:
     * adds `cm_est` = min over the 4 rows (the classic CM upper bound —
@@ -197,24 +202,40 @@ object MembershipOps {
     * 256-row filter — at 100 TB the candidate stream never touches the
     * fact table. Durable twin: [[graft.sources.SketchStore.writeDailyBloom]].
     */
-  def bloomMembers(s: SparkSession, dir: String): DataFrame = {
-    val ev = evDays(s, dir)
-    val lastDay = ev.agg(max(col("day_us")).as("last_day"))
-    val withLast = ev.crossJoin(broadcast(lastDay))
-    val hist = withLast.filter(col("day_us") < col("last_day"))
-      .select("day_us", "user_id")
-    val probes = withLast.filter(col("day_us") === col("last_day"))
-      .select("user_id").distinct()
-    // per-day words (the durable layout's shape), then the span merge
-    val daily = PortableBloom.words(hist, Seq("day_us"), col("user_id"))
-    val merged = daily.groupBy("w").agg(expr("bit_or(bits)").as("bits"))
-    val exact = hist.select("user_id").distinct()
-      .withColumn("exact_hit", lit(1))
-    PortableBloom.probe(probes, "user_id", merged)
-      .join(exact, Seq("user_id"), "left")
-      .select(col("user_id"), col("bloom_hit"),
-        coalesce(col("exact_hit"), lit(0)).cast("int").as("exact_hit"))
-      .orderBy("user_id")
+  def bloomMembers(s: SparkSession, dir: String): DataFrame =
+    bloomMembers(s, dir, materialize = true)
+
+  /** `materialize = false` skips the eager checkpoint so plan tests can
+    * read the compiled shape (the hybridSearchOn convention).
+    */
+  private[graft] def bloomMembers(s: SparkSession, dir: String,
+      materialize: Boolean): DataFrame = {
+    // ONE fact-scale pass: events collapse to distinct (day, user) pairs
+    // (bloom bits are OR-idempotent, so the distinct loses nothing);
+    // every later stage — last-day split, per-day words, probe set,
+    // exact truth — rolls up that bounded pair frame, never the facts.
+    // Materialize-then-unpersist (the hllDailyUnion discipline).
+    val du = evDays(s, dir).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val withLast = du.crossJoin(broadcast(
+        du.agg(max(col("day_us")).as("last_day"))))
+      val hist = withLast.filter(col("day_us") < col("last_day"))
+        .select("day_us", "user_id")
+      val probes = withLast.filter(col("day_us") === col("last_day"))
+        .select("user_id").distinct()
+      // per-day words (the durable layout's shape), then the span merge
+      val daily = PortableBloom.words(hist, Seq("day_us"), col("user_id"))
+      val merged = daily.groupBy("w").agg(expr("bit_or(bits)").as("bits"))
+      val exact = hist.select("user_id").distinct()
+        .withColumn("exact_hit", lit(1))
+      val out = PortableBloom.probe(probes, "user_id", merged)
+        .join(exact, Seq("user_id"), "left")
+        .select(col("user_id"), col("bloom_hit"),
+          coalesce(col("exact_hit"), lit(0)).cast("int").as("exact_hit"))
+        .orderBy("user_id")
+      if (materialize) out.localCheckpoint(true) else out
+    } finally if (materialize) du.unpersist()
   }
 
   val bloomMembersOracle: String = {
@@ -260,17 +281,30 @@ object MembershipOps {
     * broadcast probe join. The exact side here is the gate's ground
     * truth, not the serving path.
     */
-  def cmFrequency(s: SparkSession, dir: String): DataFrame = {
-    val ev = evDays(s, dir)
-    val daily = PortableCms.counters(ev, Seq("day_us"), col("user_id"))
-    val merged = daily.groupBy("d", "idx").agg(sum(col("cnt")).as("cnt"))
-    val exact = ev.groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
-    val top = exact
-      .orderBy(col("exact_cnt").desc, col("user_id").asc)
-      .limit(20)
-    PortableCms.estimate(top, "user_id", merged)
-      .select(col("user_id"), col("exact_cnt"), col("cm_est"))
-      .orderBy("user_id")
+  def cmFrequency(s: SparkSession, dir: String): DataFrame =
+    cmFrequency(s, dir, materialize = true)
+
+  private[graft] def cmFrequency(s: SparkSession, dir: String,
+      materialize: Boolean): DataFrame = {
+    // ONE fact-scale pass to (day, user, count) partials; the daily CM
+    // counters (weighted — counter additivity) AND the exact counts are
+    // roll-ups of that bounded frame, so events are never rescanned
+    val pairCnt = evDays(s, dir).groupBy("day_us", "user_id")
+      .agg(count(lit(1)).as("pc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val daily = PortableCms.counters(
+        pairCnt, Seq("day_us"), col("user_id"), col("pc"))
+      val merged = daily.groupBy("d", "idx").agg(sum(col("cnt")).as("cnt"))
+      val exact = pairCnt.groupBy("user_id").agg(sum(col("pc")).as("exact_cnt"))
+      val top = exact
+        .orderBy(col("exact_cnt").desc, col("user_id").asc)
+        .limit(20)
+      val out = PortableCms.estimate(top, "user_id", merged)
+        .select(col("user_id"), col("exact_cnt"), col("cm_est"))
+        .orderBy("user_id")
+      if (materialize) out.localCheckpoint(true) else out
+    } finally if (materialize) pairCnt.unpersist()
   }
 
   val cmFrequencyOracle: String = {
@@ -313,16 +347,23 @@ object MembershipOps {
     */
   def bloomNovelty(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.t(s, dir, "documents").select("doc_id", "text")
-    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
-    val batch = docs.filter(col("doc_id") % 5 === 0)
-    val words = PortableBloom.words(corpus, Seq.empty, col("text"))
-    val exact = corpus.select("text").distinct().withColumn("exact_dup", lit(1))
-    PortableBloom.probe(batch, "text", words)
-      .join(exact, Seq("text"), "left")
-      .select(col("doc_id"), col("bloom_hit"),
-        coalesce(col("exact_dup"), lit(0)).cast("int").as("exact_dup"))
-      .orderBy("doc_id")
+    // one corpus pass into the distinct-text frame; filter words AND the
+    // exact truth both roll up from it (bloom bits are OR-idempotent)
+    val corpusTexts = docs.filter(col("doc_id") % 5 =!= 0)
+      .select("text").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+      val words = PortableBloom.words(corpusTexts, Seq.empty, col("text"))
+      val exact = corpusTexts.withColumn("exact_dup", lit(1))
+      PortableBloom.probe(batch, "text", words)
+        .join(exact, Seq("text"), "left")
+        .select(col("doc_id"), col("bloom_hit"),
+          coalesce(col("exact_dup"), lit(0)).cast("int").as("exact_dup"))
+        .orderBy("doc_id").localCheckpoint(true)
+    } finally corpusTexts.unpersist()
   }
+
 
   val bloomNoveltyOracle: String = {
     val probeChunks = (0 until PortableBloom.K).map(i =>

@@ -570,10 +570,12 @@ class PlanSpec extends SparkSpecBase {
     // the serve-shape claim: candidates join a <=256-row (bloom) /
     // <=8192-row (cm) merged sketch — the sketch broadcasts, the
     // candidate stream never shuffles against the fact table
-    val p1 = plan(graft.operators.MembershipOps.bloomMembers(spark, sf0001))
+    val p1 = plan(graft.operators.MembershipOps
+      .bloomMembers(spark, sf0001, materialize = false))
     assert(p1.contains("BroadcastHashJoin"),
       "bloom probe must join the broadcast word table")
-    val p2 = plan(graft.operators.MembershipOps.cmFrequency(spark, sf0001))
+    val p2 = plan(graft.operators.MembershipOps
+      .cmFrequency(spark, sf0001, materialize = false))
     assert(p2.contains("BroadcastHashJoin"),
       "cm probe must join the broadcast counter table")
   }

@@ -54,6 +54,22 @@ object ServeBench {
     val docBatch = docs.filter(col("doc_id") % 5 === 0)
     val embCorpus = emb.filter(col("vec_id") >= 50)
     val embBatch = emb.filter(col("vec_id") < 50)
+    // membership/frequency stores: history = all days but the last,
+    // candidates = the last day's distinct users (the gated query's
+    // split); candidates checkpoint once OUTSIDE the timed region — the
+    // probe set is common to direct and serve, the comparison is the
+    // filter/counter side
+    import org.apache.spark.sql.functions.{date_trunc, max => smax, min => smin, unix_micros}
+    val evDaysFrame = Tables.t(s, sfDir, "events")
+      .select(unix_micros(date_trunc("DAY", col("ts"))).as("day_us"),
+        col("user_id"))
+    val (evMinDay, evLastDay) = {
+      val r = evDaysFrame.agg(smin(col("day_us")), smax(col("day_us"))).first()
+      (r.getLong(0), r.getLong(1) - 1L) // store span excludes the probe day
+    }
+    val evHist = evDaysFrame.filter(col("day_us") <= evLastDay)
+    val evCands = evDaysFrame.filter(col("day_us") > evLastDay)
+      .select("user_id").distinct().localCheckpoint(true)
 
     val families = Seq(
       // direct = the LIVE-FIT self-contained forms (knnPqOn/knnIvfPqOn/
@@ -108,6 +124,24 @@ object ServeBench {
       // serve touches only the query terms' posting buckets, the code
       // table and the re-rank rows. build = BOTH indexes (the composed
       // cost a serving tree pays once).
+      // membership + frequency sketch stores (r12 cont.): direct = probe
+      // against a filter/counter table rebuilt from the fact rows per
+      // call; serve = the same probe off the day-partitioned store
+      // (pruned kilobyte scan). The serve must not carry the fact pass.
+      Family("members",
+        root => graft.sources.SketchStore.writeDailyBloom(
+          evHist, s"$root/bloomst"),
+        () => graft.operators.PortableBloom.probe(evCands, "user_id",
+          graft.operators.PortableBloom.words(evHist, Seq.empty, col("user_id"))),
+        () => graft.sources.SketchStore.serveMembers(s, s"$serveRoot/bloomst",
+          evMinDay, evLastDay, evCands, "user_id")),
+      Family("freq",
+        root => graft.sources.SketchStore.writeDailyCms(
+          evHist, s"$root/cmsst"),
+        () => graft.operators.PortableCms.estimate(evCands, "user_id",
+          graft.operators.PortableCms.counters(evHist, Seq.empty, col("user_id"))),
+        () => graft.sources.SketchStore.serveFrequency(s, s"$serveRoot/cmsst",
+          evMinDay, evLastDay, evCands, "user_id")),
       Family("hybrid",
         root => {
           graft.sources.SearchIndex.write(docs, s"$root/hyb_search")

@@ -67,22 +67,24 @@ object PortableBloom {
       .groupBy((grpCols :+ "w").map(col): _*)
       .agg(expr("bit_or(mask)").as("bits"))
 
-  /** Probe `candidates` (rows unique per `keyName`; all columns carried
-    * through) against a single merged word table: adds `bloom_hit` (1/0).
-    * The word table is metadata-scale (≤ 256 rows) → broadcast; the probe
-    * never rescans facts.
+  /** Probe `candidates` against a merged word table: adds `bloom_hit`
+    * (1/0; a NULL key probes as 0 — a filter can't contain a key that
+    * hashes to nothing). The word table is ≤ 256 rows BY CONSTRUCTION at
+    * any corpus size, so it collects to the driver (the codebook
+    * bounded-pull pattern) and rides the probe plan as a LITERAL word
+    * map via [[hitColumn]]: zero join, zero shuffle, zero explode — the
+    * candidate stream is never moved (an earlier broadcast-join form
+    * shuffled every candidate column, full document texts included, 4×
+    * through an explode).
     */
-  def probe(candidates: DataFrame, keyName: String, merged: DataFrame): DataFrame =
-    candidates
-      .select(candidates.columns.map(col) :+
-        explode(posArr(col(keyName))).as("p"): _*)
-      .select(candidates.columns.map(col) :+ expr(s"p DIV $WordBits").as("w") :+
-        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(p % $WordBits AS INT))").as("mask"): _*)
-      .join(broadcast(merged), Seq("w"), "left")
-      .groupBy(candidates.columns.map(col): _*)
-      .agg(min(when(col("bits").isNotNull &&
-        (col("bits").bitwiseAND(col("mask")) === col("mask")), 1).otherwise(0))
-        .cast("int").as("bloom_hit"))
+  def probe(candidates: DataFrame, keyName: String, merged: DataFrame): DataFrame = {
+    val m = merged.select("w", "bits").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    require(m.size <= Bits / WordBits,
+      s"merged word table has ${m.size} rows — not a $Bits-bit graft bloom filter")
+    candidates.withColumn("bloom_hit",
+      when(hitColumn(m, col(keyName)), 1).otherwise(0).cast("int"))
+  }
 
   /** The merged word table as a driver map — ≤ 256 entries by
     * construction (metadata scale at ANY corpus size), for embedding the
@@ -95,22 +97,25 @@ object PortableBloom {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
 
   /** Membership test as a pure map-side Column over a literal word map:
-    * no join, no aggregation, codegen-friendly — usable in streaming
-    * plans where the grouped [[probe]] shape would demand an aggregation
-    * mode. Equals [[probe]]'s bloom_hit row-for-row (spec-pinned).
+    * no join, no aggregation, codegen-friendly — the one probe path for
+    * batch ([[probe]]) and streams alike. NULL-safe: a NULL key is
+    * `false`, never NULL (a NULL predicate would silently drop rows from
+    * BOTH branches of a filter/anti-filter split — the dedupStreamBloom
+    * hazard).
     */
   def hitColumn(wordsLit: Map[Long, Long], key: Column): Column =
     if (wordsLit.isEmpty) lit(false)
     else {
       val m = map(wordsLit.toSeq.flatMap {
         case (w, b) => Seq(lit(w), lit(b)) }: _*)
-      (0 until K).map { i =>
+      val hit = (0 until K).map { i =>
         val p = PortableSketchBasis.chunk16(key, i) % Bits
         val w = floor(p / lit(WordBits)).cast("long")
         val mask = call_function("shiftleft", lit(1L),
           (p % lit(WordBits)).cast("int"))
         coalesce(element_at(m, w), lit(0L)).bitwiseAND(mask) === mask
       }.reduce(_ && _)
+      coalesce(hit, lit(false))
     }
 
   /** DuckDB CTE fragments: `pfx_words(w, bits)` over `from`'s `keyExpr`. */
@@ -124,6 +129,30 @@ object PortableBloom {
        |  SELECT p // $WordBits AS w,
        |         bit_or(1::BIGINT << CAST(p % $WordBits AS INT)) AS bits
        |  FROM ${pfx}_p GROUP BY 1)""".stripMargin
+  }
+
+  /** DuckDB probe CTE: `pfx_hit(carryCols..., bloom_hit)` — probes
+    * `from`'s `keyExpr` against `wordsCte` (a `(w, bits)` relation, e.g.
+    * the `_words` CTE from [[sqlWordsCte]]). Shared by every bloom
+    * oracle so the trickiest SQL in the family (bit masks, integer
+    * division, COALESCE-FALSE semantics) has exactly one copy.
+    */
+  def sqlProbeCte(pfx: String, from: String, keyExpr: String,
+      wordsCte: String, carryCols: Seq[String]): String = {
+    val chunks = (0 until K).map(i =>
+      s"${PortableSketchBasis.sqlChunk16("h", i)} % $Bits").mkString(", ")
+    val carry = carryCols.mkString(", ")
+    s"""${pfx}_pp AS (
+       |  SELECT $carry, unnest([$chunks]) AS p
+       |  FROM (SELECT $carry, md5(CAST($keyExpr AS VARCHAR)) AS h FROM $from)),
+       |${pfx}_hit AS (
+       |  SELECT $carry,
+       |         CAST(CASE WHEN bool_and(COALESCE(
+       |             (bits & (1::BIGINT << CAST(p % $WordBits AS INT)))
+       |               = (1::BIGINT << CAST(p % $WordBits AS INT)),
+       |             FALSE)) THEN 1 ELSE 0 END AS INT) AS bloom_hit
+       |  FROM ${pfx}_pp LEFT JOIN $wordsCte ON $wordsCte.w = ${pfx}_pp.p // $WordBits
+       |  GROUP BY $carry)""".stripMargin
   }
 }
 
@@ -214,9 +243,13 @@ object MembershipOps {
     // (bloom bits are OR-idempotent, so the distinct loses nothing);
     // every later stage — last-day split, per-day words, probe set,
     // exact truth — rolls up that bounded pair frame, never the facts.
-    // Materialize-then-unpersist (the hllDailyUnion discipline).
-    val du = evDays(s, dir).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Materialize-then-unpersist (the hllDailyUnion discipline); the
+    // plan-inspection twin never persists, so it cannot leak a cache
+    // entry that nothing would unpersist.
+    val du0 = evDays(s, dir).distinct()
+    val du = if (materialize)
+      du0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else du0
     try {
       val withLast = du.crossJoin(broadcast(
         du.agg(max(col("day_us")).as("last_day"))))
@@ -240,26 +273,13 @@ object MembershipOps {
 
   val bloomMembersOracle: String = {
     val day = "epoch_us(date_trunc('day', ts))"
-    val probeChunks = (0 until PortableBloom.K).map(i =>
-      s"${PortableSketchBasis.sqlChunk16("h", i)} % ${PortableBloom.Bits}")
-      .mkString(", ")
     s"""WITH bm_e AS (SELECT $day AS day_us, user_id FROM events),
        |bm_mx AS (SELECT MAX(day_us) AS last_day FROM bm_e),
        |bm_hist AS (SELECT user_id FROM bm_e, bm_mx WHERE day_us < last_day),
        |${PortableBloom.sqlWordsCte("bm", "bm_hist", "user_id")},
        |bm_probe AS (
        |  SELECT DISTINCT user_id FROM bm_e, bm_mx WHERE day_us = last_day),
-       |bm_pp AS (
-       |  SELECT user_id, unnest([$probeChunks]) AS p
-       |  FROM (SELECT user_id, md5(CAST(user_id AS VARCHAR)) AS h FROM bm_probe)),
-       |bm_hit AS (
-       |  SELECT user_id,
-       |         CAST(CASE WHEN bool_and(COALESCE(
-       |             (bits & (1::BIGINT << CAST(p % ${PortableBloom.WordBits} AS INT)))
-       |               = (1::BIGINT << CAST(p % ${PortableBloom.WordBits} AS INT)),
-       |             FALSE)) THEN 1 ELSE 0 END AS INT) AS bloom_hit
-       |  FROM bm_pp LEFT JOIN bm_words ON bm_words.w = bm_pp.p // ${PortableBloom.WordBits}
-       |  GROUP BY user_id)
+       |${PortableBloom.sqlProbeCte("bm", "bm_probe", "user_id", "bm_words", Seq("user_id"))}
        |SELECT bm_hit.user_id, bloom_hit,
        |       CAST(CASE WHEN EXISTS (SELECT 1 FROM bm_hist
        |                              WHERE bm_hist.user_id = bm_hit.user_id)
@@ -289,9 +309,11 @@ object MembershipOps {
     // ONE fact-scale pass to (day, user, count) partials; the daily CM
     // counters (weighted — counter additivity) AND the exact counts are
     // roll-ups of that bounded frame, so events are never rescanned
-    val pairCnt = evDays(s, dir).groupBy("day_us", "user_id")
+    val pairCnt0 = evDays(s, dir).groupBy("day_us", "user_id")
       .agg(count(lit(1)).as("pc"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairCnt = if (materialize)
+      pairCnt0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else pairCnt0
     try {
       val daily = PortableCms.counters(
         pairCnt, Seq("day_us"), col("user_id"), col("pc"))
@@ -365,32 +387,18 @@ object MembershipOps {
   }
 
 
-  val bloomNoveltyOracle: String = {
-    val probeChunks = (0 until PortableBloom.K).map(i =>
-      s"${PortableSketchBasis.sqlChunk16("h", i)} % ${PortableBloom.Bits}")
-      .mkString(", ")
+  val bloomNoveltyOracle: String =
     s"""WITH bn_corpus AS (
        |  SELECT text FROM documents WHERE doc_id % 5 <> 0),
        |${PortableBloom.sqlWordsCte("bn", "bn_corpus", "text")},
        |bn_batch AS (
        |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
-       |bn_pp AS (
-       |  SELECT doc_id, text, unnest([$probeChunks]) AS p
-       |  FROM (SELECT doc_id, text, md5(CAST(text AS VARCHAR)) AS h FROM bn_batch)),
-       |bn_hit AS (
-       |  SELECT doc_id, text,
-       |         CAST(CASE WHEN bool_and(COALESCE(
-       |             (bits & (1::BIGINT << CAST(p % ${PortableBloom.WordBits} AS INT)))
-       |               = (1::BIGINT << CAST(p % ${PortableBloom.WordBits} AS INT)),
-       |             FALSE)) THEN 1 ELSE 0 END AS INT) AS bloom_hit
-       |  FROM bn_pp LEFT JOIN bn_words ON bn_words.w = bn_pp.p // ${PortableBloom.WordBits}
-       |  GROUP BY doc_id, text)
+       |${PortableBloom.sqlProbeCte("bn", "bn_batch", "text", "bn_words", Seq("doc_id", "text"))}
        |SELECT doc_id, bloom_hit,
        |       CAST(CASE WHEN EXISTS (SELECT 1 FROM bn_corpus
        |                              WHERE bn_corpus.text = bn_hit.text)
        |            THEN 1 ELSE 0 END AS INT) AS exact_dup
        |FROM bn_hit ORDER BY doc_id""".stripMargin
-  }
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("ev_bloom_members", bloomMembers, Some(bloomMembersOracle)),

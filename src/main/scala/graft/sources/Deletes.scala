@@ -185,9 +185,17 @@ object Deletes {
     val fs = fsFor(spark, path)
     // manifest rows for untouched files survive as-is; rewritten files
     // get fresh rows over the same stat columns (absent manifest: none)
+    // absent manifest dir: the table never had one — proceed without.
+    // PRESENT but unreadable/empty: abort LOUDLY (the pre-r12 read threw
+    // here); silently proceeding would rewrite the table without carrying
+    // a manifest into tmp, and the swap would destroy the original
     val manifestPath = s"$path/${ManifestStore.DirName}"
     val oldManifest: Option[DataFrame] =
-      ManifestStore.readHiddenDir(spark, manifestPath).map(_.localCheckpoint(true))
+      if (!fs.exists(new Path(manifestPath))) None
+      else Some(ManifestStore.readHiddenDir(spark, manifestPath)
+        .getOrElse(sys.error(
+          s"rewriteTargeted: $manifestPath exists but is unreadable/empty — refusing to rewrite"))
+        .localCheckpoint(true))
     val statCols = oldManifest.map(m => m.select("col").distinct()
       .collect().map(_.getString(0)).toSeq.sorted).getOrElse(Nil)
 

@@ -60,15 +60,21 @@ object Maintain {
       !e.getPath.getName.startsWith("_") && !e.getPath.getName.startsWith("."))
     val pendingKeys = Deletes.pending(spark, path).map(_._2.count()).getOrElse(0L)
     val manifestPath = new Path(p, ManifestStore.DirName)
-    val unknown = ManifestStore.readHiddenDir(spark, manifestPath.toString) match {
-      case None => data.size
-      case Some(m) =>
+    val unknown =
+      if (!fs.exists(manifestPath)) data.size
+      else {
+        // present-but-unreadable must fail LOUD (the pre-r12 behavior):
+        // health() is the tool that surfaces manifest corruption, and
+        // folding it into "unknown" would disguise it as a mere gap
+        val m = ManifestStore.readHiddenDir(spark, manifestPath.toString)
+          .getOrElse(sys.error(
+            s"inspect: $manifestPath exists but is unreadable/empty"))
         // file column only: bounded by the table's file count, which the
         // listing above already materialized on the driver
         val known = m.select("file").distinct()
           .collect().map(_.getString(0)).toSet
         data.count(e => !known(e.getPath.getName))
-    }
+      }
     TableHealth(data.size, data.map(_.getLen).sum, pendingKeys, unknown)
   }
 

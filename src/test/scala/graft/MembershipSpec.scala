@@ -200,20 +200,32 @@ class MembershipSpec extends SparkSpecBase {
     assert(run() == out, "sketch answers must be deterministic")
   }
 
-  test("hitColumn (literal word map) == grouped probe, hit-for-hit") {
+  test("probe == independent driver-side bit check, hit-for-hit; null key probes 0, never drops") {
     val corpus = (1L to 300L).toDF("k")
     val cands = (200L to 500L).toDF("k") // 101 members, 200 absentees
     val merged = PortableBloom.words(corpus, Seq.empty, col("k"))
-    val viaProbe = PortableBloom.probe(cands, "k", merged)
+    val m = PortableBloom.wordsMap(corpus, col("k"))
+    val got = PortableBloom.probe(cands, "k", merged)
       .orderBy("k").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
-    val wordsLit = PortableBloom.wordsMap(corpus, col("k"))
-    val viaColumn = cands
-      .select(col("k"),
-        when(PortableBloom.hitColumn(wordsLit, col("k")), 1).otherwise(0)
-          .cast("int").as("bloom_hit"))
-      .orderBy("k").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
-    assert(viaColumn == viaProbe)
-    assert(viaProbe.count(_._2 == 1) >= 101, "every member must hit")
+    // independent reference: re-derive the md5 chunk positions on the
+    // driver and test the bits of the collected word map directly
+    def driverHit(k: Long): Int = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(k.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val ok = (0 until 4).forall { i =>
+        val p = java.lang.Long.parseLong(h.substring(4 * i, 4 * i + 4), 16) % 8192L
+        (m.getOrElse(p / 32, 0L) & (1L << (p % 32).toInt)) != 0L
+      }
+      if (ok) 1 else 0
+    }
+    assert(got == (200L to 500L).map(k => (k, driverHit(k))))
+    assert((200L to 300L).forall(k => driverHit(k) == 1), "every member must hit")
+    // a NULL key probes as 0 and the row survives (a NULL predicate
+    // would silently vanish from both sides of a filter split)
+    val withNull = Seq[java.lang.Long](5L, null).toDF("k")
+    val r = PortableBloom.probe(withNull, "k", merged)
+      .collect().map(x => (Option(x.get(0)), x.getInt(1))).toSet
+    assert(r == Set((Some(5L), 1), (None, 0)))
     // empty filter: nothing hits (the map literal cannot be built)
     assert(cands.filter(PortableBloom.hitColumn(Map.empty, col("k"))).count() == 0)
   }
@@ -229,7 +241,8 @@ class MembershipSpec extends SparkSpecBase {
       (2L, ts(1), "fresh doc one"),         // kept
       (3L, ts(2), "fresh doc one"),         // in-stream replay -> dropped
       (4L, ts(3), "Another Known Doc"),     // normalized corpus dup -> dropped
-      (5L, ts(4), "fresh doc two"))         // kept
+      (5L, ts(4), "fresh doc two"),         // kept
+      (6L, ts(5), null))                    // NULL text: kept in BOTH paths
     def run(bloom: Boolean): Seq[Long] = {
       val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
       val docs = mem.toDF().toDF("doc_id", "ts", "text")
@@ -246,7 +259,7 @@ class MembershipSpec extends SparkSpecBase {
       } finally q.stop()
     }
     val bloomKept = run(bloom = true)
-    assert(bloomKept == Seq(2L, 5L), s"got $bloomKept")
+    assert(bloomKept == Seq(2L, 5L, 6L), s"got $bloomKept")
     assert(bloomKept == run(bloom = false),
       "bloom pre-filter must not change the dedup result")
   }

@@ -566,14 +566,18 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("Filter"), "run/next predicate filter must exist pre-shuffle")
   }
 
-  test("bloom/cm probes: the merged sketch table is the broadcast side") {
-    // the serve-shape claim: candidates join a <=256-row (bloom) /
-    // <=8192-row (cm) merged sketch — the sketch broadcasts, the
-    // candidate stream never shuffles against the fact table
-    val p1 = plan(graft.operators.MembershipOps
-      .bloomMembers(spark, sf0001, materialize = false))
-    assert(p1.contains("BroadcastHashJoin"),
-      "bloom probe must join the broadcast word table")
+  test("bloom probe is pure map-side (literal word map); cm probe broadcasts the counter table") {
+    // bloom: the <=256-row filter collects once and rides the probe plan
+    // as a literal — the candidate stream is never joined or shuffled
+    import graft.operators.PortableBloom
+    val corpus = spark.range(1, 101).toDF("k")
+    val merged = PortableBloom.words(corpus, Seq.empty,
+      org.apache.spark.sql.functions.col("k"))
+    val p1 = plan(PortableBloom.probe(spark.range(1, 11).toDF("k"), "k", merged))
+    assert(!p1.contains("Join") && !p1.contains("Exchange"),
+      s"bloom probe must be pure map-side:\n$p1")
+    // cm: the <=8192-row counter table would bloat a literal (codegen
+    // size), so it stays a broadcast-join side
     val p2 = plan(graft.operators.MembershipOps
       .cmFrequency(spark, sf0001, materialize = false))
     assert(p2.contains("BroadcastHashJoin"),

@@ -33,13 +33,18 @@ object Ewma {
   /** One row per (event_type, day_us): n events, final EWMA level,
     * spike count.
     */
-  def ewmaOutliers(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.t(s, dir, "events")
+  def ewmaOutliers(s: SparkSession, dir: String): DataFrame =
+    ewmaOutliersOn(Tables.t(s, dir, "events")
       .select(col("event_type"),
         unix_micros(date_trunc("DAY", col("ts"))).as("day_us"),
         unix_micros(col("ts")).as("ts_us"),
         col("event_id").cast("long").as("id"),
-        col("value").as("x"))
+        col("value").as("x")))
+
+  /** The fold over a prepared (event_type, day_us, ts_us, id, x) frame —
+    * the stress/embedding surface.
+    */
+  def ewmaOutliersOn(e: DataFrame): DataFrame = {
     val acc0 = struct(lit(0L).as("n"), lit(0.0).as("s"), lit(0L).as("spikes"))
     val folded = e.groupBy("event_type", "day_us")
       .agg(collect_list(struct(col("ts_us"), col("id"), col("x"))).as("evs"))

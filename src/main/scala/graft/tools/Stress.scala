@@ -379,6 +379,41 @@ object Stress {
     // ceiling, the pass itself stays linear in the array)
     time(s"cep-flink hot-key(50%) x$copies")(EventOps.cepAttackFlinkOn(hot).count())
 
+    // EWMA fold linearity (r12 cont.): copy i shifts the fixture month by
+    // i*40 days, so the fold's (type, day) keys are disjoint across
+    // copies with byte-identical per-key content — key count AND total
+    // spike count must replicate EXACTLY xN (hard require); per-key
+    // arrays stay bounded by one type-day at any horizon
+    {
+      val dayUs = 86400000000L
+      def prepared(n: Int) = (0 until n).map { i =>
+        ev.select(col("event_type"),
+          ((expr(s"unix_micros(ts) div $dayUs") * dayUs)
+            + lit(i * 40L * dayUs)).as("day_us"),
+          (unix_micros(col("ts")) + lit(i * 40L * dayUs)).as("ts_us"),
+          col("event_id").cast("long").as("id"),
+          col("value").as("x"))
+      }.reduce(_ unionByName _)
+      var base: (Long, Long) = null
+      time("ewma-fold x1") {
+        val r = graft.operators.Ewma.ewmaOutliersOn(prepared(1))
+          .agg(count(lit(1)), sum(col("n_spikes"))).first()
+        base = (r.getLong(0), r.getLong(1))
+        s"keys=${base._1} spikes=${base._2}"
+      }
+      spark.catalog.clearCache()
+      time(s"ewma-fold x$copies") {
+        val r = graft.operators.Ewma.ewmaOutliersOn(prepared(copies))
+          .agg(count(lit(1)), sum(col("n_spikes"))).first()
+        require(r.getLong(0) == copies * base._1 &&
+          r.getLong(1) == copies * base._2,
+          s"ewma not exactly linear: x1=$base, " +
+            s"x$copies=(${r.getLong(0)}, ${r.getLong(1)})")
+        s"keys=${r.getLong(0)} spikes=${r.getLong(1)}"
+      }
+      spark.catalog.clearCache()
+    }
+
     // durable sketch store at a xN-day horizon (r12, verdict #4): copy i
     // shifts the fixture month by i*40 days, so the store holds ~31*N day
     // partitions. Hard requirements (the winnow discipline):

@@ -71,12 +71,19 @@ object CepFold {
       } else { // run event (callers pre-filter neutral events)
         while (head < tail && t - buf(head) > withinUs) head += 1
         if (tail == buf.length) {
-          if (head > 0) { // compact in place before growing
+          // compact ONLY when it reclaims at least half the buffer —
+          // amortized O(1) per event. Compacting on any head > 0 looks
+          // harmless but degrades to one O(window) arraycopy PER EVENT
+          // when the alive window sits within a few slots of capacity
+          // (each event expires ~one head entry, tail re-hits capacity
+          // immediately, and the buffer never grows)
+          if (head >= buf.length / 2) {
             System.arraycopy(buf, head, buf, 0, tail - head)
             tail -= head; head = 0
           } else {
             val nb = new Array[Long](buf.length * 2)
-            System.arraycopy(buf, 0, nb, 0, tail)
+            System.arraycopy(buf, head, nb, 0, tail - head)
+            tail -= head; head = 0
             buf = nb
           }
         }

@@ -11,6 +11,9 @@ import org.apache.spark.sql.functions.call_function
   */
 object GraftFunctions {
 
+  // Literal params go through Number: a SQL caller's `10` parses as
+  // IntegerType (java.lang.Integer), a `10L`-shaped BIGINT as Long — a
+  // direct asInstanceOf[Long/Int] ClassCastExceptions on the other one.
   private[functions] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_cosine" -> { args => QuantizedCosine(args(0), args(1)) },
     "graft_simhash64" -> { args => SimHash64(args(0)) },
@@ -19,23 +22,23 @@ object GraftFunctions {
     "graft_minhash_sig" -> { args => MinHashSig(args(0)) },
     "graft_minhash_sig_md5" -> { args => MinHashSig(args(0), md5Parity = true) },
     "graft_cep_fold" -> { args =>
-      CepFold(args(0), args(1).eval().asInstanceOf[Long],
-        args(2).eval().asInstanceOf[Long]) },
+      CepFold(args(0), args(1).eval().asInstanceOf[Number].longValue,
+        args(2).eval().asInstanceOf[Number].longValue) },
     "graft_word_shingles" -> { args =>
-      WordShingles(args(0), args(1).eval().asInstanceOf[Int]) },
+      WordShingles(args(0), args(1).eval().asInstanceOf[Number].intValue) },
     "graft_pq_adc" -> { args => PqAdc(args(0), args(1)) },
     "graft_ln" -> { args => PortableLn(args(0)) },
     "graft_nfc" -> { args => NfcNormalize(args(0)) },
     "graft_mg_topk" -> { args =>
-      MisraGriesTopK(args(0), args(1).eval().asInstanceOf[Int])
+      MisraGriesTopK(args(0), args(1).eval().asInstanceOf[Number].intValue)
         .toAggregateExpression() },
     "graft_bloom" -> { args =>
-      BloomAgg(args(0), args(1).eval().asInstanceOf[Int],
-        args(2).eval().asInstanceOf[Int]).toAggregateExpression() },
+      BloomAgg(args(0), args(1).eval().asInstanceOf[Number].intValue,
+        args(2).eval().asInstanceOf[Number].intValue).toAggregateExpression() },
     "graft_bloom_contains" -> { args =>
-      BloomMightContain(args(0), args(1), args(2).eval().asInstanceOf[Int]) },
+      BloomMightContain(args(0), args(1), args(2).eval().asInstanceOf[Number].intValue) },
     "graft_theta" -> { args =>
-      ThetaSketchAgg(args(0), args(1).eval().asInstanceOf[Int])
+      ThetaSketchAgg(args(0), args(1).eval().asInstanceOf[Number].intValue)
         .toAggregateExpression() },
     "graft_theta_est" -> { args => ThetaEstimate(args(0)) },
     "graft_theta_intersect_est" -> { args =>
@@ -46,7 +49,7 @@ object GraftFunctions {
       // optional k: pass the STORE's nominalEntries when re-merging
       // sketches built with k > 4096 (a smaller union downsamples them)
       ThetaUnionAgg(args(0),
-        if (args.length > 1) args(1).eval().asInstanceOf[Int]
+        if (args.length > 1) args(1).eval().asInstanceOf[Number].intValue
         else ThetaSketches.DefaultNominal).toAggregateExpression() }
   )
 
@@ -72,6 +75,21 @@ object GraftFunctions {
       rules.extraOptimizations =
         rules.extraOptimizations :+ graft.plans.BloomPrune(spark)
     graft.plans.IntervalJoins.ensureStrategy(spark)
+  }
+
+  /** Make `graft_ln` resolvable on ANY session, registered or not:
+    * [[graft.operators.PortableHll.estimate]] is public API whose
+    * linear-counting branch needs the libm-parity ln, and a hidden
+    * whole-registry precondition on it would break callers that never
+    * touched GraftSession/GraftExtensions. Idempotent.
+    */
+  def ensureLn(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    if (!registry.functionExists(FunctionIdentifier("graft_ln")))
+      registry.registerFunction(
+        FunctionIdentifier("graft_ln"),
+        new ExpressionInfo("graft.functions", "graft_ln"),
+        (args: Seq[Expression]) => PortableLn(args(0)))
   }
 
   // Column-API wrappers (require register() / GraftExtensions on the session).

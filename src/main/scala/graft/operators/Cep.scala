@@ -130,6 +130,17 @@ final case class CepPattern(
     * start, element `min` its last kept repetition.
     */
   private def detectRelaxed(events: DataFrame): DataFrame = {
+    // the fold carries ids as longs (CepFold's struct, the streaming
+    // twin's state): a non-integral idCol would CAST TO NULL and silently
+    // change same-timestamp tie-breaks vs both detectStrict (which orders
+    // by the raw column) and the documented (ts, id) order — refuse loud
+    {
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val idT = events.schema(idCol).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idT),
+        s"relaxed CEP orders ties by an integral id; '$idCol' is " +
+          s"${idT.catalogString} — map it to a numeric id first")
+    }
     val e = events
       .withColumn("__is_next", nextPred)
       // next-precedence on an event matching both (see class doc)

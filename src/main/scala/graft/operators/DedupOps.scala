@@ -131,14 +131,18 @@ object DedupOps {
       .filter(size(col("shs")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cap = if (dfCap == AdaptiveCap) math.max(DfCap, raw.count() / 100) else dfCap
-    val inv = raw.select(explode(col("shs")).as("sh"))
     // df via groupBy partial aggregation (map-side combine keeps the
     // exchange ~one row per distinct shingle per map partition; a
     // whole-partition window count was tried and reverted — un-splittable
-    // hot groups); only the > cap tail is collected
-    val hot = inv.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") > cap)
-      .collect().map(_.getString(0))
+    // hot groups); only the > cap tail is collected. Long.MaxValue means
+    // UNCAPPED (the eval ground-truth runs): no df can exceed it, so the
+    // corpus-wide aggregate would be a pure-overhead full shuffle — skip
+    val hot =
+      if (cap == Long.MaxValue) Array.empty[String]
+      else raw.select(explode(col("shs")).as("sh"))
+        .groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") > cap)
+        .collect().map(_.getString(0))
     val capped =
       if (hot.isEmpty) col("shs")
       else array_except(col("shs"), typedLit(hot.toSeq))
@@ -558,6 +562,12 @@ object DedupOps {
     * pass a cap) at 100 TB, exactly like any labeled-eval job. The
     * measured figure generalizes; the production pipeline itself never
     * runs all-pairs.
+    *
+    * Caching: both sides deliberately ride their pipelines' keep-cached
+    * intermediates (the minHashLshOn pattern — reused several times
+    * WITHIN one eval); the gate/bench harnesses clear the cache after
+    * each query, and a long-lived session looping corpus evals should
+    * `spark.catalog.clearCache()` between corpora.
     */
   def dedupEval(s: SparkSession, dir: String): DataFrame =
     dedupEvalOn(Tables.t(s, dir, "documents"))
@@ -616,6 +626,8 @@ object DedupOps {
     * by construction (the cap only removes band rows), so precision is
     * structurally 1 and not reported. Same scale caveat as the Jaccard
     * eval: the uncapped truth side is the eval's cost — sample at 100 TB.
+    * Same caching note as [[dedupEval]]: pipeline caches are kept by
+    * design; clear between corpora in a long-lived session.
     */
   def simhashEval(s: SparkSession, dir: String): DataFrame =
     simhashEvalOn(Tables.t(s, dir, "documents"))
@@ -1021,6 +1033,41 @@ object DedupOps {
       md5Parity = md5Parity)
   }
 
+  /** The stored index's hash-basis marker. A probe or append whose basis
+    * differs from the one that BUILT the index is not an error Spark can
+    * see: band keys simply never match, so probes return an empty pair
+    * set (silent 0 recall) and appends interleave mixed-basis rows —
+    * permanent corruption. The layout therefore records its basis
+    * (`_graft_basis`, one line) and every reader/appender verifies it.
+    * Current build basis: xxhash64; an r11-era md5 index (pre-marker)
+    * fails the check with a rebuild instruction instead of silently
+    * matching nothing.
+    */
+  private val IndexBasis = "xx"
+  private def basisPath(indexPath: String) =
+    new org.apache.hadoop.fs.Path(s"$indexPath/_graft_basis")
+  private def writeBasisMarker(spark: SparkSession, indexPath: String): Unit = {
+    val p = basisPath(indexPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(IndexBasis.getBytes("UTF-8")) finally out.close()
+  }
+  private[graft] def requireIndexBasis(spark: SparkSession, indexPath: String): Unit = {
+    val p = basisPath(indexPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val found =
+      if (!fs.exists(p)) "absent (pre-marker index)"
+      else {
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      }
+    require(found == IndexBasis,
+      s"$indexPath: index basis is $found but this build probes/appends " +
+        s"with $IndexBasis — rebuild the index (writeMinHashIndex) " +
+        "instead of silently matching nothing / mixing bases")
+  }
+
   /** Materialize the MinHash band index: the per-doc signature table and
     * the exploded band-bucket table, both write-once parquet. This is the
     * steady-state ingest form — corpus shingling/hashing happens ONCE at
@@ -1029,6 +1076,7 @@ object DedupOps {
     * existing corpus document.
     */
   def writeMinHashIndex(corpus: DataFrame, indexPath: String): Unit = {
+    writeBasisMarker(corpus.sparkSession, indexPath)
     val sig = minhashSigs(corpus)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // signatures are the POINT-LOOKUP side of every probe's verify join:
@@ -1049,7 +1097,8 @@ object DedupOps {
     * lookup (see [[minhashProbe]]).
     */
   def incrementalMinHashFromIndex(s: SparkSession, batch: DataFrame,
-      indexPath: String): DataFrame =
+      indexPath: String): DataFrame = {
+    requireIndexBasis(s, indexPath)
     graft.sources.Bucketed.read(s, s"$indexPath/sigs") match {
       case Some((sigs, key, n)) =>
         minhashProbe(sigs, s.read.parquet(s"$indexPath/bands"), batch,
@@ -1058,12 +1107,14 @@ object DedupOps {
         minhashProbe(s.read.parquet(s"$indexPath/sigs"),
           s.read.parquet(s"$indexPath/bands"), batch)
     }
+  }
 
   /** Extend the index with a new batch: compute the batch's signatures and
     * band rows (one map pass over the batch only) and append both tables.
     * The next batch's probe sees these docs as corpus.
     */
   def appendToMinHashIndex(batch: DataFrame, indexPath: String): Unit = {
+    requireIndexBasis(batch.sparkSession, indexPath)
     val sig = minhashSigs(batch)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (!graft.sources.Bucketed.append(sig, s"$indexPath/sigs"))

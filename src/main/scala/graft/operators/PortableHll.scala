@@ -82,7 +82,10 @@ object PortableHll {
     // linear counting goes through graft_ln (java.lang.Math.log — libm
     // parity with DuckDB's LN), NOT the builtin log (StrictMath/fdlibm,
     // measured last-ulp off libm on some integer args): this branch is
-    // the active regime at small cardinalities and backs hash gates
+    // the active regime at small cardinalities and backs hash gates.
+    // ensureLn: estimate() is public API — it must resolve on sessions
+    // that never went through GraftSession/register()
+    graft.functions.GraftFunctions.ensureLn(regs.sparkSession)
     def ln(c: Column): Column = graft.functions.GraftFunctions.graftLn(c)
     folded.select(grpCols.map(col) :+
       when(raw <= lit(2560.0) && v > 0,

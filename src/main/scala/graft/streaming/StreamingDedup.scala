@@ -90,6 +90,9 @@ object StreamingDedup {
   def prepareNearDupIndex(s: org.apache.spark.sql.SparkSession,
       indexPath: String): (DataFrame, DataFrame) = {
     import graft.operators.DedupOps
+    // a basis-mismatched index would make every stream probe silently
+    // match nothing — same guard as the batch probe/append paths
+    DedupOps.requireIndexBasis(s, indexPath)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val bands = DedupOps.pruneHotBuckets(
         s.read.parquet(s"$indexPath/bands"), Seq("band", "bkey"))

@@ -127,4 +127,31 @@ class IndexCompactSpec extends SparkSpecBase {
     assert(files(s"$idx/corpus") < filesPre,
       s"file count should drop: $filesPre -> ${files(s"$idx/corpus")}")
   }
+
+  test("minhash index: a basis-mismatched or pre-marker index refuses probe/append loudly") {
+    val idx = Files.createTempDirectory("graft-mhb").toString + "/mh"
+    val docs = Tables.t(spark, sf0001, "documents")
+    DedupOps.writeMinHashIndex(docs.filter(col("doc_id") % 5 =!= 0), idx)
+    val batch = docs.filter(col("doc_id") % 5 === 0).limit(5)
+    // fresh index: marker present, probe works
+    DedupOps.incrementalMinHashFromIndex(spark, batch, idx).count()
+    // simulate an index built under a DIFFERENT basis (the r11 md5 era):
+    // probing it would silently return zero candidates — must throw
+    val p = new org.apache.hadoop.fs.Path(s"$idx/_graft_basis")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write("md5".getBytes("UTF-8")) finally out.close()
+    val e1 = intercept[IllegalArgumentException](
+      DedupOps.incrementalMinHashFromIndex(spark, batch, idx))
+    assert(e1.getMessage.contains("rebuild"))
+    intercept[IllegalArgumentException](
+      DedupOps.appendToMinHashIndex(batch, idx))
+    intercept[IllegalArgumentException](
+      graft.streaming.StreamingDedup.prepareNearDupIndex(spark, idx))
+    // pre-marker index (no file at all): same refusal, not silent 0 recall
+    fs.delete(p, false)
+    val e2 = intercept[IllegalArgumentException](
+      DedupOps.incrementalMinHashFromIndex(spark, batch, idx))
+    assert(e2.getMessage.contains("pre-marker"))
+  }
 }

@@ -128,6 +128,28 @@ class MembershipSpec extends SparkSpecBase {
       case ((u1, est), (u2, ex)) => u1 == u2 && est >= ex })
   }
 
+  test("bloom/cm stores: span serves prune at the partition level") {
+    val ev = Tables.t(spark, sf0001, "events")
+      .select(unix_micros(date_trunc("DAY", col("ts"))).as("day_us"),
+        col("user_id")).localCheckpoint(true)
+    val days = ev.select("day_us").distinct().orderBy("day_us")
+      .collect().map(_.getLong(0))
+    val root = java.nio.file.Files.createTempDirectory("graft-skpp").toString
+    SketchStore.writeDailyBloom(ev, s"$root/bloom")
+    SketchStore.writeDailyCms(ev, s"$root/cms")
+    def prunedScan(path: String, maxRows: Long): Unit = {
+      val df = spark.read.parquet(path)
+        .filter(col("day_us") >= days(1) && col("day_us") <= days(1))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("day_us"),
+        s"span filter must prune partitions:\n${plan.take(800)}")
+      assert(df.count() <= maxRows)
+      assert(df.select("day_us").distinct().count() == 1)
+    }
+    prunedScan(s"$root/bloom", 256L)
+    prunedScan(s"$root/cms", 4L * 2048L)
+  }
+
   test("ewma: engine fold == independent driver-side replay (sf0.001)") {
     val got = Ewma.ewmaOutliers(spark, sf0001).collect()
       .map(r => ((r.getString(0), r.getLong(1)),

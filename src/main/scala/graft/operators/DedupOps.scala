@@ -618,6 +618,110 @@ object DedupOps {
        |       CAST(SUM(th * lh) AS DOUBLE) / CAST(SUM(lh) AS DOUBLE) AS precision
        |FROM m""".stripMargin
 
+  /** LSH S-curve tuning table (`doc_lsh_sweep`) — the parameter-selection
+    * artifact a production dedup runs BEFORE committing to a (bands,
+    * rows) point: one shared 64-value signature table, swept through the
+    * three geometries r ∈ {2, 4, 8} (b = 64/r). Per geometry: candidates
+    * = pairs sharing ≥ 1 band key (UNCAPPED — the geometry's own S-curve,
+    * no hot-bucket interference), full-outer-joined against the same
+    * exact ≥ 0.7 ground truth as [[dedupEvalOn]]. One row per geometry:
+    * (bands, rows_per_band, n_cand, n_true, n_hit, recall) — more rows
+    * per band (larger r) = sharper S-curve = fewer candidates AND lower
+    * recall; the table shows the trade measured on THIS corpus. md5
+    * basis end-to-end so the oracle replays every band key exactly; the
+    * r = 4 row is the production geometry's uncapped anchor. Scale
+    * caveat as [[dedupEvalOn]]: the truth side is the eval's cost —
+    * sample the corpus at 100 TB. Signatures and truth each compute ONCE
+    * across the three geometries (persisted, dropped before return).
+    */
+  def lshSweep(s: SparkSession, dir: String): DataFrame =
+    lshSweepOn(Tables.t(s, dir, "documents"))
+
+  def lshSweepOn(documents: DataFrame): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sig = minhashSigs(documents, md5Parity = true)
+      .select("doc_id", "sig").persist(lvl)
+    try {
+      val truth = jaccardPairsOn(documents, Long.MaxValue, 0.7)
+        .select(col("d1"), col("d2"), lit(1L).as("__t")).persist(lvl)
+      try {
+        val rows = Seq(2, 4, 8).map { r =>
+          val b = NumPerm / r
+          val bandKeys = (0 until b).map { i =>
+            val vals = (0 until r).map(j => col("sig").getItem(i * r + j))
+            struct(lit(i).as("band"), md5bkey(vals).as("bkey"))
+          }
+          val exploded = sig
+            .select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
+            .select(col("doc_id"), col("bk.band").as("band"),
+              col("bk.bkey").as("bkey"))
+          val cands = exploded.as("a")
+            .join(exploded.as("b"),
+              col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+                col("a.doc_id") < col("b.doc_id"))
+            .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+            .distinct()
+            .withColumn("__c", lit(1L))
+          cands.join(truth, Seq("d1", "d2"), "full_outer")
+            .agg(coalesce(sum("__c"), lit(0L)).as("n_cand"),
+              coalesce(sum("__t"), lit(0L)).as("n_true"),
+              coalesce(sum(col("__c") * col("__t")), lit(0L)).as("n_hit"))
+            .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+              col("n_cand"), col("n_true"), col("n_hit"),
+              (col("n_hit").cast(DoubleType) / col("n_true").cast(DoubleType))
+                .as("recall"))
+        }
+        rows.reduce(_ unionByName _).orderBy("rows_per_band")
+          .localCheckpoint(true)
+      } finally truth.unpersist()
+    } finally sig.unpersist()
+  }
+
+  /** Oracle: the shared md5 signature CTE swept through the same three
+    * band geometries; truth is [[dedupEvalOracle]]'s exact ≥ 0.7 pair set
+    * over the hashed shingle sets.
+    */
+  val lshSweepOracle: String = {
+    def geom(r: Int): String = {
+      val b = NumPerm / r
+      val concat = (1 to r)
+        .map(j => s"CAST(sig[band * $r + $j] AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"""sw${r}_bm AS (SELECT doc_id, band, md5($concat) AS m
+         |              FROM sig, unnest(generate_series(0, ${b - 1})) AS t(band)),
+         |sw${r}_bands AS (SELECT doc_id, ${sqlHexPoly("m", 1, 15)} AS bkey, band
+         |                 FROM sw${r}_bm),
+         |sw${r}_cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |                FROM sw${r}_bands a JOIN sw${r}_bands b
+         |                  ON a.band = b.band AND a.bkey = b.bkey
+         |                 AND a.doc_id < b.doc_id),
+         |sw${r}_m AS (SELECT COALESCE(c.hit, 0) AS ch, COALESCE(t.hit, 0) AS th
+         |             FROM (SELECT d1, d2, 1 AS hit FROM sw${r}_cand) c
+         |             FULL OUTER JOIN (SELECT d1, d2, 1 AS hit FROM truth) t
+         |               ON c.d1 = t.d1 AND c.d2 = t.d2),
+         |sw${r}_row AS (SELECT CAST($b AS INT) AS bands,
+         |                 CAST($r AS INT) AS rows_per_band,
+         |                 CAST(SUM(ch) AS BIGINT) AS n_cand,
+         |                 CAST(SUM(th) AS BIGINT) AS n_true,
+         |                 CAST(SUM(ch * th) AS BIGINT) AS n_hit,
+         |                 CAST(SUM(ch * th) AS DOUBLE) / CAST(SUM(th) AS DOUBLE) AS recall
+         |               FROM sw${r}_m)""".stripMargin
+    }
+    s"""WITH $sqlMinhashCtes,
+       |tc AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(DISTINCT a.h) AS common
+       |       FROM hv a JOIN hv b ON a.h = b.h AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2),
+       |truth AS (SELECT tc.d1, tc.d2 FROM tc
+       |          JOIN nsh x ON x.doc_id = tc.d1 JOIN nsh y ON y.doc_id = tc.d2
+       |          WHERE CAST(tc.common AS DOUBLE)
+       |                / CAST(x.n + y.n - tc.common AS DOUBLE) >= 0.7),
+       |${geom(2)},
+       |${geom(4)},
+       |${geom(8)}
+       |SELECT * FROM sw2_row UNION ALL SELECT * FROM sw4_row
+       |UNION ALL SELECT * FROM sw8_row ORDER BY rows_per_band""".stripMargin
+  }
+
   /** Hamming-family QA twin of [[dedupEvalOn]]: the pigeonhole banding is
     * LOSSLESS for hamming <= 3, so the only recall the production query
     * can lose is what the hot-bucket cap drops — this measures exactly
@@ -1944,6 +2048,7 @@ object DedupOps {
     QueryDef("doc_minhash_lsh", minHashLsh, Some(minhashOracle), headline = true),
     QueryDef("doc_minhash_md5", minHashLshMd5, Some(minhashOracle)),
     QueryDef("doc_dedup_eval", dedupEval, Some(dedupEvalOracle)),
+    QueryDef("doc_lsh_sweep", lshSweep, Some(lshSweepOracle)),
     QueryDef("doc_simhash_eval", simhashEval, Some(simhashEvalOracle)),
     QueryDef("doc_simhash", simHashPairs, Some(simhashOracle)),
     QueryDef("doc_editdist_pairs", editDistPairs, Some(editDistOracle)),

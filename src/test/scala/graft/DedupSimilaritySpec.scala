@@ -1112,4 +1112,21 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(oneShot.subsetOf(kept),
       s"fixpoint lost one-shot survivors: ${(oneShot -- kept).take(5)}")
   }
+
+  test("lsh sweep: geometries nest, so candidates/hits/recall are monotone in rows-per-band") {
+    val rows = DedupOps.lshSweepOn(
+      graft.sources.Tables.t(spark, sf0001, "documents"))
+      .orderBy("rows_per_band").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq == Seq(2, 4, 8))
+    // equal band keys on an 8-row band imply equal keys on its nested
+    // 4- and 2-row sub-bands (md5 of equal value lists), so candidate
+    // sets shrink as r grows — a violated ordering means broken banding
+    assert(rows.sliding(2).forall { case Array(a, b) =>
+      a._2 >= b._2 && a._4 >= b._4 })
+    // one shared truth across geometries; hits bounded by both sides
+    assert(rows.map(_._3).distinct.length == 1)
+    assert(rows.forall { case (_, cand, tru, hit) =>
+      hit <= math.min(cand, tru) })
+  }
 }

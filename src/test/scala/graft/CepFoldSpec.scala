@@ -55,6 +55,23 @@ class CepFoldSpec extends AnyFunSuite {
     assert(got == Seq((ts + 1 - w, ts + 4 - w, ts + 1)))
   }
 
+  test("near-capacity window: grows (head-offset copy) instead of compacting per event") {
+    // the adversarial regime for compact-before-grow: the alive window
+    // (65535 = within + 1 dense ticks) sits ONE slot under the 65536
+    // initial capacity, so each event expires ~one head entry and tail
+    // re-hits capacity immediately — the old head>0-always-compacts
+    // policy did an O(window) arraycopy per event here (never growing);
+    // the fix grows with a head-offset copy when compaction would
+    // reclaim under half the buffer. Correctness of that copy is what
+    // this pins; the stream is long enough to cross the boundary many
+    // times over
+    val w = 65534L
+    val n = 200000
+    val evs = (1 to n).map(i => (i.toLong, false)) :+ ((n + 1).toLong, true)
+    val got = matches(evs, min = 4, within = w)
+    assert(got == Seq((n + 1 - w, n + 4 - w, (n + 1).toLong)))
+  }
+
   test("interleaved matches + carry-over across a long stream equal the reference NFA") {
     // deterministic mixed traffic long enough to exercise compaction many
     // times, checked against the straightforward reference fold

@@ -19,6 +19,7 @@ object Registry {
       operators.AnalyticsNested.defs ++
       operators.EventOps.defs ++
       operators.MembershipOps.defs ++
+      operators.KllOps.defs ++
       operators.Ewma.defs ++
       operators.ReportOps.defs ++
       operators.TextOps.defs ++

@@ -1156,6 +1156,11 @@ object DedupOps {
     val out = fs.create(p, true)
     try out.write(IndexBasis.getBytes("UTF-8")) finally out.close()
   }
+  private def dropBasisMarker(spark: SparkSession, indexPath: String): Unit = {
+    val p = basisPath(indexPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.delete(p, false)
+  }
   private[graft] def requireIndexBasis(spark: SparkSession, indexPath: String): Unit = {
     val p = basisPath(indexPath)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -1180,7 +1185,13 @@ object DedupOps {
     * existing corpus document.
     */
   def writeMinHashIndex(corpus: DataFrame, indexPath: String): Unit = {
-    writeBasisMarker(corpus.sparkSession, indexPath)
+    // Marker discipline: DROP any existing marker first and write the
+    // fresh one LAST, after both parquet writes succeed. A rebuild that
+    // crashes mid-write then leaves the index marker-less — and the
+    // absent-marker path fails loudly in requireIndexBasis — instead of
+    // leaving a valid marker over stale/partial band rows that would
+    // silently match nothing.
+    dropBasisMarker(corpus.sparkSession, indexPath)
     val sig = minhashSigs(corpus)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // signatures are the POINT-LOOKUP side of every probe's verify join:
@@ -1191,6 +1202,7 @@ object DedupOps {
       graft.sources.Bucketed.indexBuckets(corpus.sparkSession))
     bandRows(sig).write.mode("overwrite").parquet(s"$indexPath/bands")
     sig.unpersist()
+    writeBasisMarker(corpus.sparkSession, indexPath)
   }
 
   /** Probe a stored index: identical semantics to

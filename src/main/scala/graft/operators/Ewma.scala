@@ -46,10 +46,22 @@ object Ewma {
     */
   def ewmaOutliersOn(e: DataFrame): DataFrame = {
     val acc0 = struct(lit(0L).as("n"), lit(0.0).as("s"), lit(0L).as("spikes"))
+    // Sort by (ts_us, id) ONLY — the oracle's row_number and the
+    // streaming twin order by (ts, event_id), so letting x ride as a
+    // tertiary struct sort key would let engines fold (ts_us, id)-tied
+    // events in different orders and break the hash gate
+    // nondeterministically. The comparator ignores x; ties on the full
+    // (ts_us, id) key are then ordered identically by every engine only
+    // if event ids are unique per key — which the events table guarantees.
+    val byTsId = (l: org.apache.spark.sql.Column,
+        r: org.apache.spark.sql.Column) =>
+      when(l("ts_us") < r("ts_us"), -1).when(l("ts_us") > r("ts_us"), 1)
+        .when(l("id") < r("id"), -1).when(l("id") > r("id"), 1)
+        .otherwise(0)
     val folded = e.groupBy("event_type", "day_us")
       .agg(collect_list(struct(col("ts_us"), col("id"), col("x"))).as("evs"))
       .withColumn("fin", aggregate(
-        array_sort(col("evs")), acc0,
+        array_sort(col("evs"), byTsId), acc0,
         (acc, ev) => struct(
           (acc("n") + lit(1L)).as("n"),
           when(acc("n") === 0L, ev("x"))

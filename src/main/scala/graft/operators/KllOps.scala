@@ -1,0 +1,247 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.sources.Tables
+
+/** Engine-portable quantile sketch for UNBOUNDED / float domains — the
+  * sixth sketch-family member, closing the one hole the fixed-bin
+  * histogram (`ev_hist_quantiles`) leaves open: the 1024 unit bins serve
+  * p50/p95/p99 only while values fit a small integer grid; a float or
+  * wide domain silently clamps into the top bin and the p99 answer
+  * degrades without an error. This sketch keeps actual data VALUES, so
+  * it serves any domain a sortable column has — no grid, no clamp.
+  *
+  * Construction (MRL/KLL lineage — Manku–Rajagopalan–Lindsay SIGMOD '98
+  * collapse sketches; Karnin–Lang–Liberty FOCS '16 — with the random
+  * compaction coin replaced by a DETERMINISTIC rule so the whole build is
+  * oracle-replayable, the PortableHll discipline):
+  *
+  *   1. per group, order values on the total key (v, tie);
+  *   2. stride = the smallest power of two with K·stride ≥ n;
+  *   3. keep exactly the elements at sorted positions ≡ 1 (mod stride),
+  *      each carrying weight = stride.
+  *
+  * Step 2-3 is the telescoped form of "repeatedly halve a full sorted
+  * buffer keeping the odd-indexed survivors, doubling weights": h
+  * successive halvings keep positions ≡ 1 (mod 2^h), so the whole
+  * multi-level compaction collapses into ONE row_number filter — which is
+  * exactly what makes it replayable as window SQL in DuckDB (a faithful
+  * level-by-level KLL replay would need data-dependent iteration the
+  * oracle can't express). MERGE is the same rule one level up: union the
+  * survivor rows of any set of sketches, re-sort on a total order, and
+  * re-collapse item count to ≤ K (weights multiply by the new stride).
+  * Merging is therefore closed, deterministic, and engine-portable —
+  * the trade is KLL's probabilistic (1±ε) rank guarantee for a
+  * deterministic O(n/K) one per collapse (each kept element's weight
+  * interval covers its dropped neighbours, so an estimate's true rank is
+  * off by at most one stride per collapse level; `KllSpec` pins the
+  * measured bound).
+  *
+  * Exactness: quantile estimates are ORIGINAL data values selected by an
+  * all-integer weighted-rank walk (rank = ceil(q·W) via (W·q100+99) div
+  * 100, estimate = min v with cumweight ≥ rank) — no arithmetic ever
+  * touches the doubles, so sketch contents AND estimates are hash-exact
+  * across engines with no portable-ln dependency.
+  *
+  * Scale shape: the one fact-scale cost is the per-group sort behind
+  * row_number (the relaxed-CEP exchange shape; day partitioning bounds
+  * each sort scope to one day), after which the corpus collapses to
+  * ≤ |groups|·K survivor rows — every merge, serve, and walk downstream
+  * is metadata-scale. Reference anchor: the workshop's per-metric
+  * percentile dashboards (flink-app AnomalyDetection score summaries),
+  * re-expressed as a mergeable batch sketch.
+  */
+object PortableKll {
+
+  /** Sketch capacity: survivors per group ≤ K by construction. */
+  val K = 1024
+
+  private val MaxPow = 40
+  private def pows: Column =
+    array(Seq.tabulate(MaxPow + 1)(i => lit(1L << i)): _*)
+
+  /** Smallest power of two `p` with K·p ≥ n — the collapse stride. */
+  def strideFor(n: Column): Column =
+    array_min(filter(pows, p => lit(K.toLong) * p >= n))
+
+  /** Per-group survivor table (grpCols..., v, w, rn, n): ≤ K rows per
+    * group at any corpus size. `tie` must make (v, tie) a total order
+    * within each group (unique event/doc id) — a nondeterministic order
+    * would make the survivor SET engine-dependent and break the gate.
+    * NULL values are dropped (a NULL has no rank). `rn` (the position in
+    * the group's sorted order) rides along as the deterministic merge
+    * tiebreak; `n` is the group's exact count.
+    */
+  def sketch(df: DataFrame, grpCols: Seq[String], v: Column,
+      tie: Column): DataFrame = {
+    val prepared = df.filter(v.isNotNull)
+      .select(grpCols.map(col) :+ v.as("v") :+ tie.as("tie"): _*)
+    val wOrd = Window.partitionBy(grpCols.map(col): _*)
+      .orderBy(col("v"), col("tie"))
+    val wAll = Window.partitionBy(grpCols.map(col): _*)
+    prepared
+      .withColumn("rn", row_number().over(wOrd).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("stride", strideFor(col("n")))
+      .filter((col("rn") - 1) % col("stride") === 0)
+      .select(grpCols.map(col) :+ col("v") :+ col("stride").as("w") :+
+        col("rn") :+ col("n"): _*)
+  }
+
+  /** Merge any union of survivor rows back under capacity: re-sort on
+    * the total order (v, tieCols...) and keep every g-th item at weight
+    * w·g, g = smallest power of two with K·g ≥ item count. A no-op
+    * (g = 1) when the union already fits. The single-partition window is
+    * safe BY CONSTRUCTION: the input is ≤ |groups|·K survivor rows —
+    * metadata scale — never raw data (the SketchStore.serveQuantiles
+    * precedent).
+    */
+  def collapse(surv: DataFrame, tieCols: Seq[String]): DataFrame = {
+    val wOrd = Window.partitionBy(lit(1))
+      .orderBy(col("v") +: tieCols.map(col): _*)
+    val wAll = Window.partitionBy(lit(1))
+    surv
+      .withColumn("rn2", row_number().over(wOrd).cast("long"))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("g", strideFor(col("m")))
+      .filter((col("rn2") - 1) % col("g") === 0)
+      .select((col("v") +: tieCols.map(col)) :+
+        (col("w") * col("g")).as("w"): _*)
+  }
+
+  /** The weighted-rank walk over a survivor frame: per `grpCols` group
+    * (global when empty — again metadata-scale by construction), output
+    * (grpCols..., w, p50, p95, p99) where w is the sketch's total weight
+    * and each pXX is the min v whose cumulative weight reaches
+    * rank = ceil(q·w) — all-integer, both engines identical.
+    */
+  def walkQuantiles(surv: DataFrame, grpCols: Seq[String],
+      tieCols: Seq[String]): DataFrame = {
+    val part =
+      if (grpCols.isEmpty) Seq(lit(1)) else grpCols.map(col)
+    val wOrd = Window.partitionBy(part: _*)
+      .orderBy(col("v") +: tieCols.map(col): _*)
+    val wAll = Window.partitionBy(part: _*)
+    val c = surv
+      .withColumn("cum", sum(col("w")).over(wOrd))
+      .withColumn("tw", sum(col("w")).over(wAll))
+    def q(p: Int) = min(when(
+      col("cum") >= expr(s"(tw * $p + 99) div 100"), col("v"))).as(s"p$p")
+    val aggs = Seq(max(col("tw")).as("w"), q(50), q(95), q(99))
+    if (grpCols.isEmpty) c.agg(aggs.head, aggs.tail: _*)
+    else c.groupBy(grpCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The 41-value powers-of-two list as a SQL literal (both engines pick
+    * strides from the same table — no shift ops, which DuckDB rejects at
+    * width 63 and Java wraps).
+    */
+  def sqlPows: String =
+    Seq.tabulate(MaxPow + 1)(i => (1L << i).toString).mkString("[", ", ", "]")
+}
+
+/** The gated unbounded-domain quantile queries over the events table. */
+object KllOps {
+
+  /** `ev_kll_quantiles` — per-day p50/p95/p99 of the raw `value` double
+    * (the amount-scale domain the fixed-bin histogram cannot hold: values
+    * are floats and any future domain shift past 1023 would clamp), plus
+    * the ALL row (day_us = -1) served from the MERGE of the per-day
+    * sketches — union of survivors, one deterministic re-collapse — never
+    * from a second pass over the events. The oracle replays the identical
+    * construction as window SQL (the ev_cep_flink replay discipline;
+    * a merge==direct identity like the histogram's is impossible for ANY
+    * compacting quantile sketch, so the gate instead proves both engines
+    * walk the same merge path bit-for-bit, and [[KllSpec]] pins the
+    * rank-error of the estimates against the exact order statistics).
+    * Output: (day_us, n, w, p50, p95, p99) — n the exact count, w the
+    * sketch's total weight (= n exactly when no collapse fired; the gap
+    * is the collapse telling on itself).
+    */
+  def kllQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.t(s, dir, "events")
+      .select(unix_micros(date_trunc("DAY", col("ts"))).as("day_us"),
+        col("value").as("v"), col("event_id").cast("long").as("tie"))
+    val surv = PortableKll.sketch(ev, Seq("day_us"), col("v"), col("tie"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val perDay = PortableKll.walkQuantiles(surv, Seq("day_us"), Seq("rn"))
+        .join(surv.groupBy("day_us").agg(max(col("n")).as("n")), Seq("day_us"))
+        .select("day_us", "n", "w", "p50", "p95", "p99")
+      val merged = PortableKll.collapse(surv, Seq("day_us", "rn"))
+      val nAll = surv.groupBy("day_us").agg(max(col("n")).as("n"))
+        .agg(sum(col("n")).as("n"))
+      val allRow = PortableKll.walkQuantiles(merged, Seq.empty, Seq("day_us", "rn"))
+        .crossJoin(broadcast(nAll))
+        .select(lit(-1L).as("day_us"), col("n"), col("w"),
+          col("p50"), col("p95"), col("p99"))
+      perDay.unionByName(allRow).orderBy("day_us").localCheckpoint(true)
+    } finally surv.unpersist()
+  }
+
+  val kllQuantilesOracle: String = {
+    val pows = PortableKll.sqlPows
+    val k = PortableKll.K
+    s"""WITH kq_pows AS (SELECT unnest($pows) AS p),
+       |kq_e AS (
+       |  SELECT epoch_us(date_trunc('day', ts)) AS day_us, value AS v,
+       |         CAST(event_id AS BIGINT) AS tie
+       |  FROM events WHERE value IS NOT NULL),
+       |kq_r AS (
+       |  SELECT day_us, v,
+       |         CAST(row_number() OVER (PARTITION BY day_us ORDER BY v, tie) AS BIGINT) AS rn,
+       |         CAST(COUNT(*) OVER (PARTITION BY day_us) AS BIGINT) AS n
+       |  FROM kq_e),
+       |kq_s0 AS (
+       |  SELECT day_us, v, rn, n,
+       |         (SELECT MIN(p) FROM kq_pows WHERE $k * p >= n) AS w
+       |  FROM kq_r),
+       |kq_s AS (SELECT * FROM kq_s0 WHERE (rn - 1) % w = 0),
+       |kq_c AS (
+       |  SELECT day_us, v, n,
+       |         SUM(w) OVER (PARTITION BY day_us ORDER BY v, rn) AS cum,
+       |         SUM(w) OVER (PARTITION BY day_us) AS tw
+       |  FROM kq_s),
+       |kq_d AS (
+       |  SELECT day_us, MAX(n) AS n, CAST(MAX(tw) AS BIGINT) AS w,
+       |         MIN(CASE WHEN cum >= (tw * 50 + 99) // 100 THEN v END) AS p50,
+       |         MIN(CASE WHEN cum >= (tw * 95 + 99) // 100 THEN v END) AS p95,
+       |         MIN(CASE WHEN cum >= (tw * 99 + 99) // 100 THEN v END) AS p99
+       |  FROM kq_c GROUP BY day_us),
+       |kq_m0 AS (
+       |  SELECT v, day_us, rn, w,
+       |         CAST(row_number() OVER (ORDER BY v, day_us, rn) AS BIGINT) AS rn2,
+       |         CAST(COUNT(*) OVER () AS BIGINT) AS m
+       |  FROM kq_s),
+       |kq_m1 AS (
+       |  SELECT v, day_us, rn, w, rn2,
+       |         (SELECT MIN(p) FROM kq_pows WHERE $k * p >= m) AS g
+       |  FROM kq_m0),
+       |kq_m AS (
+       |  SELECT v, day_us, rn, w * g AS w2 FROM kq_m1 WHERE (rn2 - 1) % g = 0),
+       |kq_mc AS (
+       |  SELECT v, SUM(w2) OVER (ORDER BY v, day_us, rn) AS cum,
+       |         SUM(w2) OVER () AS tw
+       |  FROM kq_m),
+       |kq_a AS (
+       |  SELECT CAST(-1 AS BIGINT) AS day_us,
+       |         (SELECT CAST(SUM(n) AS BIGINT) FROM
+       |            (SELECT day_us, MAX(n) AS n FROM kq_s GROUP BY day_us)) AS n,
+       |         CAST(MAX(tw) AS BIGINT) AS w,
+       |         MIN(CASE WHEN cum >= (tw * 50 + 99) // 100 THEN v END) AS p50,
+       |         MIN(CASE WHEN cum >= (tw * 95 + 99) // 100 THEN v END) AS p95,
+       |         MIN(CASE WHEN cum >= (tw * 99 + 99) // 100 THEN v END) AS p99
+       |  FROM kq_mc)
+       |SELECT day_us, n, w, p50, p95, p99 FROM kq_d
+       |UNION ALL
+       |SELECT day_us, n, w, p50, p95, p99 FROM kq_a
+       |ORDER BY day_us""".stripMargin
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("ev_kll_quantiles", kllQuantiles, Some(kllQuantilesOracle)))
+}

@@ -59,9 +59,14 @@ object PortableBloom {
     * rows at any corpus size. Words merge by bit_or (associative,
     * commutative, idempotent), so per-day tables compose into any span
     * after the fact — and re-ingesting a day cannot corrupt the filter.
+    * NULL build keys are dropped up front: chunk16(NULL) % m is NULL,
+    * which would survive the groupBy as a (w=NULL, bits=NULL) row and
+    * make probe()/wordsMap() NPE on getLong — a NULL key contributes no
+    * membership, same as the NULL-probe rule in [[hitColumn]].
     */
   def words(df: DataFrame, grpCols: Seq[String], key: Column): DataFrame =
-    df.select(grpCols.map(col) :+ explode(posArr(key)).as("p"): _*)
+    df.filter(key.isNotNull)
+      .select(grpCols.map(col) :+ explode(posArr(key)).as("p"): _*)
       .select(grpCols.map(col) :+ expr(s"p DIV $WordBits").as("w") :+
         expr(s"shiftleft(CAST(1 AS BIGINT), CAST(p % $WordBits AS INT))").as("mask"): _*)
       .groupBy((grpCols :+ "w").map(col): _*)
@@ -118,12 +123,15 @@ object PortableBloom {
       coalesce(hit, lit(false))
     }
 
-  /** DuckDB CTE fragments: `pfx_words(w, bits)` over `from`'s `keyExpr`. */
+  /** DuckDB CTE fragments: `pfx_words(w, bits)` over `from`'s `keyExpr`.
+    * Mirrors [[words]]'s NULL-build-key drop so the engines stay in
+    * lockstep on corpora with NULL keys.
+    */
   def sqlWordsCte(pfx: String, from: String, keyExpr: String): String = {
     val h = s"md5(CAST($keyExpr AS VARCHAR))"
     val chunks = (0 until K).map(i =>
       s"${PortableSketchBasis.sqlChunk16("h", i)} % $Bits").mkString(", ")
-    s"""${pfx}_h AS (SELECT $h AS h FROM $from),
+    s"""${pfx}_h AS (SELECT $h AS h FROM $from WHERE $keyExpr IS NOT NULL),
        |${pfx}_p AS (SELECT unnest([$chunks]) AS p FROM ${pfx}_h),
        |${pfx}_words AS (
        |  SELECT p // $WordBits AS w,
@@ -169,11 +177,13 @@ object PortableCms {
     * ≤ |groups|·4·2048 rows at any corpus size, one map-side-combined
     * shuffle. `weight` (default 1 per row) lets pre-aggregated (key,
     * count) partials build the identical sketch without re-expanding to
-    * raw rows — counter additivity.
+    * raw rows — counter additivity. NULL keys are dropped (same rule,
+    * same reason as [[PortableBloom.words]]).
     */
   def counters(df: DataFrame, grpCols: Seq[String], key: Column,
       weight: Column = lit(1L)): DataFrame =
-    df.select(grpCols.map(col) :+ weight.cast("long").as("__w") :+
+    df.filter(key.isNotNull)
+      .select(grpCols.map(col) :+ weight.cast("long").as("__w") :+
         explode(rows(key)).as("r"): _*)
       .select(grpCols.map(col) :+ col("r.d").as("d") :+
         col("r.idx").as("idx") :+ col("__w"): _*)
@@ -192,13 +202,15 @@ object PortableCms {
       .groupBy(candidates.columns.map(col): _*)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_est"))
 
-  /** DuckDB CTE fragments: `pfx_cnt(d, idx, cnt)` over `from`'s `keyExpr`. */
+  /** DuckDB CTE fragments: `pfx_cnt(d, idx, cnt)` over `from`'s `keyExpr`.
+    * Mirrors [[counters]]'s NULL-build-key drop.
+    */
   def sqlCountersCte(pfx: String, from: String, keyExpr: String): String = {
     val h = s"md5(CAST($keyExpr AS VARCHAR))"
     val structs = (0 until Depth).map(i =>
       s"{'d': $i, 'idx': ${PortableSketchBasis.sqlChunk16("h", i)} % $Width}")
       .mkString(", ")
-    s"""${pfx}_h AS (SELECT $h AS h FROM $from),
+    s"""${pfx}_h AS (SELECT $h AS h FROM $from WHERE $keyExpr IS NOT NULL),
        |${pfx}_r AS (SELECT unnest([$structs], recursive := true) FROM ${pfx}_h),
        |${pfx}_cnt AS (
        |  SELECT d, idx, COUNT(*)::BIGINT AS cnt FROM ${pfx}_r GROUP BY d, idx)""".stripMargin

@@ -160,4 +160,46 @@ object SketchStore {
       .groupBy("d", "idx").agg(sum(col("cnt")).as("cnt"))
     graft.operators.PortableCms.estimate(candidates, keyName, merged)
   }
+
+  // ---- the unbounded-domain quantile twin: per-day KLL survivors -------
+
+  /** `ev` must carry (day_us, value, tie) — tie a unique-per-day id so
+    * the deterministic compaction has a total order; ≤ 1024 survivor
+    * rows per day regardless of day size (vs the fixed-bin histogram
+    * store this holds ACTUAL values, so it serves float / wide domains
+    * without the 1024-unit clamp).
+    */
+  def writeDailyKll(ev: DataFrame, path: String): Unit =
+    graft.operators.PortableKll
+      .sketch(ev, Seq("day_us"), col("value"), col("tie"))
+      .write.mode(SaveMode.Overwrite).partitionBy("day_us").parquet(path)
+
+  def appendDayKll(evDay: DataFrame, path: String): Unit =
+    graft.operators.PortableKll
+      .sketch(evDay, Seq("day_us"), col("value"), col("tie"))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day_us").parquet(path)
+
+  /** Serve the span's p50/p95/p99 of the raw value domain: pruned scan
+    * of the span's survivor files, ONE deterministic re-collapse, the
+    * weighted-rank walk — one row (span_from, span_to, n, w, p50, p95,
+    * p99), bit-identical to merging the same days' sketches in a batch
+    * job (same survivors in, same deterministic collapse — spec-pinned
+    * against the gated `ev_kll_quantiles` ALL row).
+    */
+  def serveKllQuantiles(spark: SparkSession, path: String,
+      fromDay: Long, toDay: Long): DataFrame = {
+    val span = spark.read.parquet(path)
+      .filter(col("day_us") >= fromDay && col("day_us") <= toDay)
+    val merged = graft.operators.PortableKll
+      .collapse(span, Seq("day_us", "rn"))
+    val nAll = span.groupBy("day_us").agg(max(col("n")).as("n"))
+      .agg(sum(col("n")).as("n"))
+    graft.operators.PortableKll
+      .walkQuantiles(merged, Seq.empty, Seq("day_us", "rn"))
+      .crossJoin(broadcast(nAll))
+      .select(lit(fromDay).as("span_from"), lit(toDay).as("span_to"),
+        col("n"), col("w"), col("p50"), col("p95"), col("p99"))
+  }
 }

@@ -690,7 +690,8 @@ object SimilarityOps {
     * q_nrm) — shared by the full-scan, serve-from-index, and IVF-probed
     * paths.
     */
-  private def pqAdcCands(paired: DataFrame): DataFrame = {
+  private def pqAdcCands(paired: DataFrame,
+      rerank: Int = PqRerank): DataFrame = {
     // ADC score: ONE native expression per row (tight primitive loop over
     // the m codes) instead of ~3m composed element_at/arithmetic nodes
     val adc = graft.functions.GraftFunctions.graftPqAdc(col("codes"), col("lut"))
@@ -701,9 +702,24 @@ object SimilarityOps {
           .otherwise(lit(0.0)))
     val wAdc = Window.partitionBy("q_id").orderBy(col("adc_sim").desc, col("vec_id").asc)
     scored.withColumn("arnk", row_number().over(wAdc))
-      .filter(col("arnk") <= PqRerank)
+      .filter(col("arnk") <= rerank)
       .select("q_id", "q_emb", "vec_id")
   }
+
+  /** Serving shortlist width for an index with `headDim` quantized
+    * components: [[PqRerank]] widened by the truncation ratio Dim/headDim.
+    * The narrower the stored head, the weaker the ADC ranking correlates
+    * with the full-dim answer (on adversarial uniform-random geometry the
+    * head and tail components are INDEPENDENT), so the exact-rescore
+    * shortlist must widen in proportion to keep recall — the two-tier
+    * discipline of [[hammingRerank]], applied to the PQ serves. The extra
+    * cost is confined to the bounded point-lookup re-rank (shortlist x
+    * |queries| rows); the ADC scan itself is unchanged, so serve latency
+    * grows by far less than the ratio (measured in the bench of record's
+    * `index_serve.sweep`).
+    */
+  private def autoRerank(headDim: Int): Int =
+    PqRerank * math.max(1, Dim / math.max(1, headDim))
 
   /** Exact re-rank of the ADC candidates against a raw-vector frame.
     * Candidates are tiny (PqRerank x queries) -> always the broadcast
@@ -979,8 +995,9 @@ object SimilarityOps {
     */
   def knnPqServe(s: SparkSession, corpus: DataFrame, indexPath: String,
       queryFilter: Column = col("vec_id") < 10,
-      allow: Option[DataFrame] = None): DataFrame =
-    knnPqProbeWith(s, corpus.filter(queryFilter), indexPath, corpus, allow)
+      allow: Option[DataFrame] = None, rerank: Int = 0): DataFrame =
+    knnPqProbeWith(s, corpus.filter(queryFilter), indexPath, corpus, allow,
+      rerank)
 
   /** Probe the index with an EXPLICIT query frame — the continuous-serving
     * entry: a `foreachBatch` stream hands each micro-batch of query
@@ -991,18 +1008,25 @@ object SimilarityOps {
     * cache-invalidation machinery.
     */
   def knnPqProbe(s: SparkSession, queries: DataFrame, indexPath: String,
-      allow: Option[DataFrame] = None): DataFrame =
+      allow: Option[DataFrame] = None, rerank: Int = 0): DataFrame =
     knnPqProbeWith(s, queries, indexPath,
-      s.read.parquet(s"$indexPath/raw"), allow)
+      s.read.parquet(s"$indexPath/raw"), allow, rerank)
 
+  /** `rerank <= 0` = AUTO: widen the shortlist by the stored index's
+    * truncation ratio ([[autoRerank]]) — a full-dim index keeps
+    * [[PqRerank]], a Matryoshka head index rescores proportionally more.
+    */
   private def knnPqProbeWith(s: SparkSession, queries: DataFrame,
       indexPath: String, fallback: DataFrame,
-      allow: Option[DataFrame]): DataFrame = {
+      allow: Option[DataFrame], rerank: Int = 0): DataFrame = {
     val books = readBooks(s, indexPath)
+    val headDim = books.length * books(0)(0).length
+    val width = if (rerank > 0) rerank else autoRerank(headDim)
     val encoded = filterAllowed(s.read.parquet(s"$indexPath/codes"), allow)
     val qRows = pqQueryRows(queries)
     val queryDf = pqQueryDf(s, qRows, books)
-    pqRerankResolve(s, pqAdcCands(encoded.crossJoin(broadcast(queryDf))),
+    pqRerankResolve(s,
+      pqAdcCands(encoded.crossJoin(broadcast(queryDf)), width),
       indexPath, fallback)
   }
 
@@ -1169,13 +1193,18 @@ object SimilarityOps {
     * table (partition pruning), and the exact re-rank resolves against
     * the index's own bucketed raw table as a point lookup
     * ([[pqRerankResolve]]; `corpus` supplies the query set and the
-    * legacy-index fallback).
+    * legacy-index fallback). Serving defaults are recall-first: nprobe 8
+    * (the gated frozen query keeps 4 — its oracle replays that geometry)
+    * and the auto-widened shortlist ([[autoRerank]]); the width-vs-recall
+    * trade is measured in the bench of record's `index_serve.sweep`.
     */
   def knnIvfPqServe(s: SparkSession, corpus: DataFrame, indexPath: String,
-      nprobe: Int = 4, queryFilter: Column = col("vec_id") < 10,
-      allow: Option[DataFrame] = None): DataFrame = {
+      nprobe: Int = 8, queryFilter: Column = col("vec_id") < 10,
+      allow: Option[DataFrame] = None, rerank: Int = 0): DataFrame = {
     import s.implicits._
     val books = readBooks(s, indexPath)
+    val headDim = books.length * books(0)(0).length
+    val width = if (rerank > 0) rerank else autoRerank(headDim)
     val centers = readCells(s, indexPath)
     val mlCenters = centers.map(org.apache.spark.ml.linalg.Vectors.dense)
     val qRows = pqQueryRows(corpus.filter(queryFilter))
@@ -1186,7 +1215,8 @@ object SimilarityOps {
     // only the probed cell=... directories are listed, let alone read
     val encoded = filterAllowed(s.read.parquet(s"$indexPath/codes")
       .filter(col("cell").isin(probedCells: _*)), allow)
-    pqRerankResolve(s, pqAdcCands(encoded.join(broadcast(probeDf), Seq("cell"))),
+    pqRerankResolve(s,
+      pqAdcCands(encoded.join(broadcast(probeDf), Seq("cell")), width),
       indexPath, corpus)
   }
 

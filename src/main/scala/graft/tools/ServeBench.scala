@@ -31,6 +31,17 @@ import graft.sources.Tables
   */
 object ServeBench {
 
+  /** Standalone entry for iterating on the serve story without the full
+    * Bench run: `runMain graft.tools.ServeBench [sfDir]`.
+    */
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val s = graft.GraftSession.get("serve-bench")
+    s.sparkContext.setLogLevel("WARN")
+    println("[serve] " + run(s, sfDir))
+    s.stop()
+  }
+
   /** The composed hybrid family's fixed query: term set + query vector id
     * (the HybridServeSpec shapes).
     */
@@ -71,6 +82,14 @@ object ServeBench {
     val evCands = evDaysFrame.filter(col("day_us") > evLastDay)
       .select("user_id").distinct().localCheckpoint(true)
 
+    // serving-point knobs for the recall-floored families; the sweep
+    // (before the timed draws) overwrites these with the smallest knob
+    // that holds the floor on THIS corpus
+    var ivfNprobeChosen = 8
+    var ivfRerankChosen = 0 // 0 = auto
+    var mrlRerankChosen = 0 // 0 = auto (PqRerank x truncation ratio)
+    var pqRerankChosen = 0  // 0 = auto (= PqRerank for a full-dim index)
+
     val families = Seq(
       // direct = the LIVE-FIT self-contained forms (knnPqOn/knnIvfPqOn/
       // knnMrlOn): since r11 the GATED queries serve frozen reference
@@ -79,11 +98,17 @@ object ServeBench {
       Family("pq",
         root => SimilarityOps.writePqIndex(s, sfDir, s"$root/pq"),
         () => SimilarityOps.knnPqOn(emb),
-        () => SimilarityOps.knnPqFromIndex(s, sfDir, s"$serveRoot/pq")),
+        () => SimilarityOps.knnPqServe(s, emb, s"$serveRoot/pq",
+          rerank = pqRerankChosen)),
+      // ivfpq/mrl serve at the SELF-TUNED serving point: the sweep below
+      // measures recall vs knob on this corpus and picks the smallest
+      // knob holding the recall floor — the timed record then reports
+      // that honest (recall, latency) pair, not a fast-but-wrong one
       Family("ivfpq",
         root => SimilarityOps.writeIvfIndex(s, sfDir, s"$root/ivf"),
         () => SimilarityOps.knnIvfPqOn(emb),
-        () => SimilarityOps.knnIvfPqFromIndex(s, sfDir, s"$serveRoot/ivf")),
+        () => SimilarityOps.knnIvfPqServe(s, emb, s"$serveRoot/ivf",
+          nprobe = ivfNprobeChosen, rerank = ivfRerankChosen)),
       // truncated-head (Matryoshka) PQ: the serve must beat the full PQ
       // serve's ADC bytes by headDim/Dim — same serve code path, smaller
       // stored geometry
@@ -91,7 +116,8 @@ object ServeBench {
         root => SimilarityOps.writePqIndex(s, sfDir, s"$root/mrl",
           headDim = SimilarityOps.MrlHeadDim),
         () => SimilarityOps.knnMrlOn(emb),
-        () => SimilarityOps.knnPqFromIndex(s, sfDir, s"$serveRoot/mrl")),
+        () => SimilarityOps.knnPqServe(s, emb, s"$serveRoot/mrl",
+          rerank = mrlRerankChosen)),
       Family("minhash",
         root => DedupOps.writeMinHashIndex(docCorpus, s"$root/mh"),
         () => graft.Registry.byName("doc_incr_minhash").build(s, sfDir),
@@ -189,6 +215,56 @@ object ServeBench {
       val real = families.map(f => f.name -> elapsed(() => f.build(serveRoot))).toMap
       val builds = families.map(f =>
         f.name -> math.min(warm(f.name), real(f.name))).toMap
+
+      // ---- recall sweep + serving-point selection (before the timed
+      // draws, so the record times the point it reports) ----------------
+      val brute = SimilarityOps.knnBrute(s, sfDir).select("q_id", "n_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      def recallAndTime(build: () => DataFrame): (Double, Double) = {
+        val t0 = System.nanoTime()
+        val got = build().select("q_id", "n_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val dt = (System.nanoTime() - t0) / 1e9
+        s.catalog.clearCache()
+        (math.round(brute.count(got.contains).toDouble / brute.size * 1000) / 1000.0, dt)
+      }
+      val floor = 0.8
+      // width-vs-recall sweep (the doc_lsh_sweep pattern, measured): how
+      // the exact-rescore shortlist (mrl) and probed-cell count (ivfpq)
+      // buy recall on this corpus, and what each step costs — the table a
+      // user reads to pick a serving point, and the table the record's
+      // own serving point is picked FROM (smallest knob holding `floor`;
+      // on the adversarial uniform-random fixture that is deliberately a
+      // wide point — clustered corpora hold the floor at the small end)
+      val mrlSweep = Seq(100, 200, 400, 800).map { w =>
+        w -> recallAndTime(() => SimilarityOps.knnPqServe(
+          s, emb, s"$serveRoot/mrl", rerank = w))
+      }
+      // last leg: all cells + a doubled rescore shortlist — once nprobe
+      // saturates, the remaining recall loss is the ADC shortlist's, and
+      // the shortlist is the cheaper knob (bounded point-lookup rows)
+      val ivfSweep = Seq((4, 0), (8, 0), (12, 0), (16, 0), (16, 200))
+        .map { case (np, w) =>
+          (np, w) -> recallAndTime(() => SimilarityOps.knnIvfPqServe(
+            s, emb, s"$serveRoot/ivf", nprobe = np, rerank = w))
+        }
+      val pqSweep = Seq(100, 200, 400).map { w =>
+        w -> recallAndTime(() => SimilarityOps.knnPqServe(
+          s, emb, s"$serveRoot/pq", rerank = w))
+      }
+      // pick with MARGIN where a bigger knob exists (floor + 0.05, so a
+      // knife-edge 0.80 can't flip the hard require on a re-measure),
+      // falling back to the plain floor, then the largest knob
+      def pick[A](sweep: Seq[(A, (Double, Double))]): A =
+        sweep.find(_._2._1 >= floor + 0.05)
+          .orElse(sweep.find(_._2._1 >= floor))
+          .map(_._1).getOrElse(sweep.last._1)
+      mrlRerankChosen = pick(mrlSweep)
+      val (ivfNp, ivfW) = pick(ivfSweep)
+      ivfNprobeChosen = ivfNp
+      ivfRerankChosen = ivfW
+      pqRerankChosen = pick(pqSweep)
+
       // interleaved passes: every (family, form) gets `draws` temporally
       // separated samples; report the min (steady-state serving cost)
       val samples = scala.collection.mutable.Map[(String, String), List[Double]]()
@@ -199,15 +275,11 @@ object ServeBench {
       }
       def obj(m: String => Double): String =
         families.map(f => s""""${f.name}":${m(f.name)}""").mkString("{", ",", "}")
-      // recall@10 of each ANN family's SERVED answer vs the exact brute
-      // top-10 — the quality column next to the latency columns (a probe
-      // that silently lost neighbors would show fast AND wrong; r10's
-      // audit flagged that nothing in the record would catch it). The sf
-      // fixtures are uniform random, so these are measured degradation
-      // numbers, not a bar — the >=0.9 bar lives on planted clusters in
-      // DedupSimilaritySpec.
-      val brute = SimilarityOps.knnBrute(s, sfDir).select("q_id", "n_id")
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // recall@10 of each ANN family's SERVED answer (at the chosen
+      // serving point) vs the exact brute top-10 — the quality column
+      // next to the latency columns (a probe that silently lost neighbors
+      // would show fast AND wrong; r10's audit flagged that nothing in
+      // the record would catch it).
       def recallOf(name: String): Double = {
         val got = families.find(_.name == name).get.serve()
           .select("q_id", "n_id")
@@ -224,14 +296,34 @@ object ServeBench {
         val g = fam.serve().select("doc_id").collect().map(_.getLong(0)).toSet
         math.round(d.count(g.contains).toDouble / d.size * 1000) / 1000.0
       }
-      val recalls = (Seq("pq", "ivfpq", "mrl")
-        .map(n => s""""$n":${recallOf(n)}""") :+ s""""hybrid":$hybridRecall""")
+      val recallVals = Seq("pq", "ivfpq", "mrl").map(n => n -> recallOf(n))
+      val recalls = (recallVals
+        .map { case (n, r) => s""""$n":$r""" } :+ s""""hybrid":$hybridRecall""")
         .mkString("{", ",", "}")
+      // HARD recall floor in the bench of record (r12 verdict #3): every
+      // served ANN family must reach 0.8 at its recorded serving point —
+      // a regression fails the bench loudly instead of logging a number.
+      // ivfpq/mrl hold it by the sweep-chosen knob; pq by the auto
+      // shortlist; hybrid by construction (RRF of two floored rankers).
+      (recallVals :+ ("hybrid" -> hybridRecall)).foreach { case (n, r) =>
+        require(r >= floor,
+          f"index_serve recall floor: $n served recall@10 $r%.3f < $floor")
+      }
+      val mrlSweepJson = mrlSweep.map { case (w, (r, t)) =>
+        f"""{"rerank":$w,"recall":$r,"sec":$t%.3f}""" }.mkString("[", ",", "]")
+      val ivfSweepJson = ivfSweep.map { case ((np, w), (r, t)) =>
+        f"""{"nprobe":$np,"rerank":$w,"recall":$r,"sec":$t%.3f}""" }
+        .mkString("[", ",", "]")
+      val pqSweepJson = pqSweep.map { case (w, (r, t)) =>
+        f"""{"rerank":$w,"recall":$r,"sec":$t%.3f}""" }.mkString("[", ",", "]")
       s"""{"build":${obj(builds)},""" +
         s""""direct":${obj(n => samples((n, "direct")).min)},""" +
         s""""serve":${obj(n => samples((n, "serve")).min)},""" +
         s""""recall":$recalls,""" +
-        """"recall_basis":"uniform-random sf fixture (measured degradation, not a bar; recall@10 >= 0.9 is spec-enforced on planted clusters in DedupSimilaritySpec; hybrid = served fused top-k vs the direct full-scan fusion)"}"""
+        s""""recall_floor":$floor,""" +
+        s""""serving_point":{"mrl_rerank":$mrlRerankChosen,"ivfpq_nprobe":$ivfNprobeChosen,"ivfpq_rerank":$ivfRerankChosen,"pq_rerank":$pqRerankChosen},""" +
+        s""""sweep":{"mrl":$mrlSweepJson,"ivfpq":$ivfSweepJson,"pq":$pqSweepJson},""" +
+        """"recall_basis":"uniform-random sf fixture, recall@10 of the served answer vs exact brute; the 0.8 floor is HARD-required at the recorded serving point, which the sweep picks as the smallest knob holding it on this corpus; recall@10 >= 0.9 additionally spec-enforced on planted clusters in DedupSimilaritySpec; hybrid = served fused top-k vs the direct full-scan fusion"}"""
     } finally {
       // bucketed serving tables registered in the catalog must not outlive
       // their files

@@ -516,7 +516,13 @@ class DedupSimilaritySpec extends SparkSpecBase {
     // (live-fit direct — the index stores live-fit books)
     val direct = SimilarityOps.knnMrlOn(Tables.t(spark, sf0001, "embeddings"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
-    val served = SimilarityOps.knnPqFromIndex(spark, sf0001, idx)
+    // equality pin at IDENTICAL knobs: the direct path shortlists
+    // PqRerank, so the serve must too (the serving DEFAULT auto-widens by
+    // the truncation ratio — recall-first — which is a superset answer,
+    // not this pin's subject)
+    val served = SimilarityOps.knnPqServe(spark,
+        Tables.t(spark, sf0001, "embeddings"), idx,
+        rerank = SimilarityOps.PqRerank)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(served.nonEmpty && served.sameElements(direct),
       "serving the head index must reproduce the direct head-PQ result")
@@ -579,7 +585,13 @@ class DedupSimilaritySpec extends SparkSpecBase {
     // live-fit direct — the index stores live-fit centroids + books
     val direct = SimilarityOps.knnIvfPqOn(Tables.t(spark, sf0001, "embeddings"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
-    val served = SimilarityOps.knnIvfPqFromIndex(spark, sf0001, idx)
+    // equality pin at IDENTICAL knobs: the live-fit direct path probes 4
+    // cells with a PqRerank shortlist; the serving DEFAULTS (nprobe 8,
+    // auto shortlist) are recall-first and return a superset-quality
+    // answer, which is the bench's subject, not this pin's
+    val served = SimilarityOps.knnIvfPqServe(spark,
+        Tables.t(spark, sf0001, "embeddings"), idx,
+        nprobe = 4, rerank = SimilarityOps.PqRerank)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(served.nonEmpty && served.sameElements(direct),
       "serving from the materialized IVF-PQ index must reproduce the direct result")

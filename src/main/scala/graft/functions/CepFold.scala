@@ -19,23 +19,43 @@ import org.apache.spark.sql.types._
   * skip-past-last clear, sub-min carry-over) — integer arithmetic only,
   * so the value equality with the HOF form (and the DuckDB recursive-CTE
   * oracle replay) is exact, not approximate.
+  *
+  * r13 extends the fold with the two Flink quantifier modes the builder
+  * grew (both pinned by `CepNfaSpec`'s extended interpreter):
+  *  - `greedy` — Flink `oneOrMore().greedy()` / `times(..).greedy()`:
+  *    of the branches a terminator completes, keep the earliest start
+  *    with the MOST repetitions (every alive run event), instead of the
+  *    reluctant first-`min`; skip-past-last is unchanged (all partials
+  *    are consumed either way).
+  *  - `optional` — Flink `times(..).optional()`: a terminator that
+  *    completes no branch emits the EMPTY match (zero repetitions,
+  *    s = e = the terminator) — match preference still prefers any
+  *    >= min branch (earlier start) over the empty one — and
+  *    skip-past-last then discards the sub-min partials that in plain
+  *    mode would carry across.
+  * The output struct carries the actual repetition count `c` (== min in
+  * reluctant mode, the alive count in greedy mode, 0 for an empty match).
   */
-case class CepFold(child: Expression, minTimes: Long, withinUs: Long)
+case class CepFold(child: Expression, minTimes: Long, withinUs: Long,
+    greedy: Boolean = false, optional: Boolean = false)
     extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("s", LongType, nullable = false),
     StructField("e", LongType, nullable = false),
-    StructField("n", LongType, nullable = false))), containsNull = false)
+    StructField("n", LongType, nullable = false),
+    StructField("c", LongType, nullable = false))), containsNull = false)
 
   override def prettyName: String = "graft_cep_fold"
 
   override protected def nullSafeEval(input: Any): Any =
-    CepFold.compute(input.asInstanceOf[ArrayData], minTimes, withinUs)
+    CepFold.compute(input.asInstanceOf[ArrayData], minTimes, withinUs,
+      greedy, optional)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.CepFold.compute($c, ${minTimes}L, ${withinUs}L);")
+      s"${ev.value} = graft.functions.CepFold.compute($c, ${minTimes}L, " +
+        s"${withinUs}L, $greedy, $optional);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -44,9 +64,10 @@ case class CepFold(child: Expression, minTimes: Long, withinUs: Long)
 object CepFold {
 
   /** `arr`: array<struct<t:long, id:long, isn:boolean>> in (t, id) order.
-    * Returns array<struct<s, e, n>> of matches.
+    * Returns array<struct<s, e, n, c>> of matches.
     */
-  def compute(arr: ArrayData, minTimes: Long, withinUs: Long): ArrayData = {
+  def compute(arr: ArrayData, minTimes: Long, withinUs: Long,
+      greedy: Boolean, optional: Boolean): ArrayData = {
     val n = arr.numElements()
     val min = minTimes.toInt
     // run-event ts buffer with a head pointer: append at tail, expire at
@@ -63,9 +84,16 @@ object CepFold {
       if (isn) {
         while (head < tail && t - buf(head) > withinUs) head += 1
         if (tail - head >= min) {
+          val c = if (greedy) tail - head else min
           out += new GenericInternalRow(
-            Array[Any](buf(head), buf(head + min - 1), t))
+            Array[Any](buf(head), buf(head + c - 1), t, c.toLong))
           head = 0; tail = 0 // skip-past-last: discard every partial
+        } else if (optional) {
+          // no branch reaches min: the optional loop matches EMPTY (zero
+          // repetitions, the terminator alone); skip-past-last then
+          // consumes the sub-min partials that plain mode carries
+          out += new GenericInternalRow(Array[Any](t, t, t, 0L))
+          head = 0; tail = 0
         }
         // else: sub-min partials carry across (relaxed IGNORE edge)
       } else { // run event (callers pre-filter neutral events)
@@ -92,6 +120,126 @@ object CepFold {
       }
       i += 1
     }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** The NEGATIVE-pattern fold — Flink `notFollowedBy` as a per-key native
+  * expression over the key's sorted (t, id, isb) event array: a run of
+  * >= min loop events NOT followed by a terminator within `within` of the
+  * run's start ("the attack that fizzled"). Semantics derived from the
+  * same documented rules the positive fold encodes (and pinned by
+  * `CepNfaSpec`'s independent negative interpreter):
+  *
+  *  - a terminator (isb) KILLS every live partial — under relaxed
+  *    contiguity it "follows" each of them, which is exactly what the
+  *    negative pattern forbids;
+  *  - a branch started at s MATCHES at its window expiry s + within iff
+  *    it collected >= min loop events in [s, s + within] and no
+  *    terminator occurred in (s, s + within];
+  *  - reluctant first-min kept repetitions; the match's synthetic end
+  *    time is the expiry s + within (there is no terminator row);
+  *  - skipPastLastEvent: a match consumes every partial started at or
+  *    before its last kept repetition; LATER starts survive (they can
+  *    fizzle on their own windows);
+  *  - expiries are processed in event-time order, driven by the next
+  *    arriving event; `flush = true` (the batch form — the data is
+  *    complete) expires every branch still alive after the last event.
+  *    The streaming twin folds with flush = false and emits a branch's
+  *    match when a later event's timestamp passes its expiry.
+  *
+  * Output struct: (s = run start, e = last kept repetition,
+  * x = s + within the expiry instant, c = min).
+  */
+case class CepNegFold(child: Expression, minTimes: Long, withinUs: Long,
+    flush: Boolean = true) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("s", LongType, nullable = false),
+    StructField("e", LongType, nullable = false),
+    StructField("x", LongType, nullable = false),
+    StructField("c", LongType, nullable = false))), containsNull = false)
+
+  override def prettyName: String = "graft_cep_neg_fold"
+
+  override protected def nullSafeEval(input: Any): Any =
+    CepNegFold.compute(input.asInstanceOf[ArrayData], minTimes, withinUs, flush)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CepNegFold.compute($c, ${minTimes}L, " +
+        s"${withinUs}L, $flush);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CepNegFold {
+
+  /** `arr`: array<struct<t:long, id:long, isb:boolean>> in (t, id) order
+    * (loop events and terminators only — neutral events are transparent
+    * and pre-filtered). Returns array<struct<s, e, x, c>>.
+    */
+  def compute(arr: ArrayData, minTimes: Long, withinUs: Long,
+      flush: Boolean): ArrayData = {
+    val n = arr.numElements()
+    val min = minTimes.toInt
+    var buf = new Array[Long](math.min(math.max(n, 8), 1 << 16))
+    var head = 0
+    var tail = 0 // exclusive
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+
+    // expire every branch whose window closed strictly before `now`:
+    // heads pop in start order; a viable head (>= min reps inside its
+    // window) emits and consumes entries up to its last kept repetition
+    // (skip-past-last); a sub-min head just dies. All repetitions of a
+    // branch are already buffered when its expiry is processed (events
+    // fold in time order and expiry waits for now > s + within).
+    def expireBefore(now: Long): Unit = {
+      while (head < tail && buf(head) + withinUs < now) {
+        val s = buf(head)
+        if (tail - head >= min && buf(head + min - 1) <= s + withinUs) {
+          val e = buf(head + min - 1)
+          out += new GenericInternalRow(Array[Any](s, e, s + withinUs, min.toLong))
+          // consume every entry <= e (ties at e share its timestamp and
+          // are part of the consumed prefix under skip-past-last)
+          while (head < tail && buf(head) <= e) head += 1
+        } else {
+          // sub-min, or the min-th repetition lies outside the window:
+          // the head branch dies alone; later starts keep their own
+          // (later-closing) windows
+          head += 1
+        }
+      }
+    }
+
+    var i = 0
+    while (i < n) {
+      val row = arr.getStruct(i, 3)
+      val t = row.getLong(0)
+      val isb = row.getBoolean(2)
+      expireBefore(t)
+      if (isb) {
+        // the terminator follows (relaxed) every live partial: all die
+        head = 0; tail = 0
+      } else {
+        if (tail == buf.length) {
+          if (head >= buf.length / 2) {
+            System.arraycopy(buf, head, buf, 0, tail - head)
+            tail -= head; head = 0
+          } else {
+            val nb = new Array[Long](buf.length * 2)
+            System.arraycopy(buf, head, nb, 0, tail - head)
+            tail -= head; head = 0
+            buf = nb
+          }
+        }
+        buf(tail) = t
+        tail += 1
+      }
+      i += 1
+    }
+    if (flush) expireBefore(Long.MaxValue)
     new GenericArrayData(out.toArray)
   }
 }

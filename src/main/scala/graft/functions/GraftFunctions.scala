@@ -23,7 +23,13 @@ object GraftFunctions {
     "graft_minhash_sig_md5" -> { args => MinHashSig(args(0), md5Parity = true) },
     "graft_cep_fold" -> { args =>
       CepFold(args(0), args(1).eval().asInstanceOf[Number].longValue,
-        args(2).eval().asInstanceOf[Number].longValue) },
+        args(2).eval().asInstanceOf[Number].longValue,
+        greedy = args.length > 3 && args(3).eval() == true,
+        optional = args.length > 4 && args(4).eval() == true) },
+    "graft_cep_neg_fold" -> { args =>
+      CepNegFold(args(0), args(1).eval().asInstanceOf[Number].longValue,
+        args(2).eval().asInstanceOf[Number].longValue,
+        flush = args.length <= 3 || args(3).eval() == true) },
     "graft_word_shingles" -> { args =>
       WordShingles(args(0), args(1).eval().asInstanceOf[Number].intValue) },
     "graft_pq_adc" -> { args => PqAdc(args(0), args(1)) },
@@ -104,10 +110,19 @@ object GraftFunctions {
   def graftPqAdc(codes: Column, lut: Column): Column =
     call_function("graft_pq_adc", codes, lut)
   def graftLn(x: Column): Column = call_function("graft_ln", x)
-  def graftCepFold(evs: Column, minTimes: Long, withinUs: Long): Column =
+  def graftCepFold(evs: Column, minTimes: Long, withinUs: Long,
+      greedy: Boolean = false, optional: Boolean = false): Column =
     call_function("graft_cep_fold", evs,
       org.apache.spark.sql.functions.lit(minTimes),
-      org.apache.spark.sql.functions.lit(withinUs))
+      org.apache.spark.sql.functions.lit(withinUs),
+      org.apache.spark.sql.functions.lit(greedy),
+      org.apache.spark.sql.functions.lit(optional))
+  def graftCepNegFold(evs: Column, minTimes: Long, withinUs: Long,
+      flush: Boolean = true): Column =
+    call_function("graft_cep_neg_fold", evs,
+      org.apache.spark.sql.functions.lit(minTimes),
+      org.apache.spark.sql.functions.lit(withinUs),
+      org.apache.spark.sql.functions.lit(flush))
   def graftNfc(s: Column): Column = call_function("graft_nfc", s)
   def graftMgTopK(tokens: Column, k: Int): Column =
     call_function("graft_mg_topk", tokens, org.apache.spark.sql.functions.lit(k))

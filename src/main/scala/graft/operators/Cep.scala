@@ -71,18 +71,31 @@ final case class CepPattern(
     withinUs: Long,
     tsCol: String = "ts",
     idCol: String = "event_id",
-    relaxed: Boolean = false) {
+    relaxed: Boolean = false,
+    negative: Boolean = false,
+    greedyLoop: Boolean = false,
+    optionalLoop: Boolean = false) {
 
   require(minTimes >= 1 && maxTimes >= minTimes,
     s"times($minTimes, $maxTimes) is not a valid quantifier")
   require(withinUs > 0, "within must be positive")
+  require(!negative || relaxed,
+    "notFollowedBy is a relaxed-contiguity stage (Flink has no strict negative)")
+  require(!(negative && (greedyLoop || optionalLoop)),
+    "greedy/optional modify the positive completion; the negative match is first-min")
+  require(!(greedyLoop && optionalLoop),
+    "greedy and optional are mutually exclusive quantifier modes")
 
   /** Batch detection over any frame carrying (key, ts, id) + whatever the
     * predicates reference. Output: key, run_start_us, run_end_us,
-    * next_ts_us, run_count.
+    * next_ts_us, run_count — for the NEGATIVE pattern next_ts_us is the
+    * window-expiry instant run_start_us + within (there is no terminator
+    * row; the match IS its absence).
     */
   def detect(events: DataFrame): DataFrame =
-    if (relaxed) detectRelaxed(events) else detectStrict(events)
+    if (negative) detectNegative(events)
+    else if (relaxed) detectRelaxed(events)
+    else detectStrict(events)
 
   private def detectStrict(events: DataFrame): DataFrame = {
     val byKey = Window.partitionBy(keyCol).orderBy(tsCol, idCol)
@@ -157,10 +170,48 @@ final case class CepPattern(
     e.groupBy(keyCol)
       .agg(collect_list(struct(col("t"), col("id"), col("isn"))).as("__evs"))
       .select(col(keyCol), explode(graft.functions.GraftFunctions.graftCepFold(
-        array_sort(col("__evs")), minTimes, withinUs)).as("m"))
+        array_sort(col("__evs")), minTimes, withinUs,
+        greedyLoop, optionalLoop)).as("m"))
       .select(col(keyCol), col("m.s").as("run_start_us"),
         col("m.e").as("run_end_us"), col("m.n").as("next_ts_us"),
-        lit(minTimes).as("run_count"))
+        col("m.c").as("run_count"))
+      .orderBy(keyCol, "run_start_us")
+  }
+
+  /** The NEGATIVE (`notFollowedBy`) plan — same ONE-exchange + per-key
+    * fold shape as [[detectRelaxed]], run by the native
+    * [[graft.functions.CepNegFold]] expression: a run of >= min loop
+    * events whose `within` window closes WITHOUT a terminator (the
+    * "attack that fizzled"). Batch data is complete, so branches still
+    * alive after a key's last event flush at their expiries (the fold's
+    * `flush = true`); the streaming twin cannot know the future and
+    * emits a branch's match when a later event passes its expiry.
+    */
+  private def detectNegative(events: DataFrame): DataFrame = {
+    {
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val idT = events.schema(idCol).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idT),
+        s"relaxed CEP orders ties by an integral id; '$idCol' is " +
+          s"${idT.catalogString} — map it to a numeric id first")
+    }
+    val e = events
+      .withColumn("__is_b", nextPred)
+      // terminator precedence on an event matching both, as in the
+      // positive mode: a both-event "follows" the partials and kills them
+      .withColumn("__is_run", runPred && !col("__is_b"))
+      .filter(col("__is_run") || col("__is_b"))
+      .select(col(keyCol),
+        unix_micros(col(tsCol)).as("t"),
+        col(idCol).cast("long").as("id"),
+        col("__is_b").as("isb"))
+    e.groupBy(keyCol)
+      .agg(collect_list(struct(col("t"), col("id"), col("isb"))).as("__evs"))
+      .select(col(keyCol), explode(graft.functions.GraftFunctions.graftCepNegFold(
+        array_sort(col("__evs")), minTimes, withinUs)).as("m"))
+      .select(col(keyCol), col("m.s").as("run_start_us"),
+        col("m.e").as("run_end_us"), col("m.x").as("next_ts_us"),
+        col("m.c").as("run_count"))
       .orderBy(keyCol, "run_start_us")
   }
 
@@ -180,6 +231,9 @@ final case class CepPattern(
     // Column trees, which do not serialize; only the bounds ship
     val (minT, maxT, withinT) = (minTimes, maxTimes.toInt, withinUs)
     val isRelaxed = relaxed
+    val isNegative = negative
+    val isGreedy = greedyLoop
+    val isOptional = optionalLoop
     typed.groupByKey(_._1)
       .flatMapGroupsWithState[CepPattern.State, CepPattern.Match](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
@@ -188,20 +242,45 @@ final case class CepPattern(
           var st = state.getOption.getOrElse(
             CepPattern.State(Nil, Long.MinValue, Long.MinValue))
           val out = Seq.newBuilder[CepPattern.Match]
+          // negative-mode expiry sweep (the CepNegFold loop over a List
+          // state): emit every branch whose window closed before `now`,
+          // consuming up to its last kept repetition on a match
+          def expireBefore(now: Long): Unit = {
+            var buf = st.buf
+            while (buf.nonEmpty && buf.head + withinT < now) {
+              val s = buf.head
+              if (buf.size >= minT && buf(minT.toInt - 1) <= s + withinT) {
+                val e = buf(minT.toInt - 1)
+                out += CepPattern.Match(key, s, e, s + withinT, minT)
+                buf = buf.dropWhile(_ <= e)
+              } else buf = buf.tail
+            }
+            st = st.copy(buf = buf)
+          }
           rows.foreach { case (_, id, ts, isRun0, isNext) =>
             // sequential statistic: a cross-batch late event is dropped,
             // never folded out of order (the cusumStream discipline)
             if (ts < st.lastTs || (ts == st.lastTs && id <= st.lastId)) ()
             else {
-              if (isRelaxed) {
+              if (isNegative) {
+                expireBefore(ts)
+                if (isNext) st = st.copy(buf = Nil) // terminator kills all
+                else if (isRun0) st = st.copy(buf = st.buf :+ ts)
+              } else if (isRelaxed) {
                 // literal mode: next-precedence, neither-events transparent
                 if (isNext) {
                   // alive suffix = the earliest viable branch's repetitions
                   val alive = st.buf.dropWhile(ts - _ > withinT)
                   if (alive.size >= minT) {
+                    val c = if (isGreedy) alive.size.toLong else minT
                     out += CepPattern.Match(key, alive.head,
-                      alive(minT.toInt - 1), ts, minT)
+                      alive(c.toInt - 1), ts, c)
                     st = st.copy(buf = Nil) // skip-past-last: discard all
+                  } else if (isOptional) {
+                    // empty match: the optional loop completes with zero
+                    // repetitions; skip-past-last consumes the partials
+                    out += CepPattern.Match(key, ts, ts, ts, 0L)
+                    st = st.copy(buf = Nil)
                   }
                   // no branch completes: the relaxed IGNORE edge skips the
                   // terminator for sub-min partials — they CARRY (the NFA
@@ -251,9 +330,27 @@ object CepPattern {
   final class TimesStep private[CepPattern] (keyCol: String, runPred: Column) {
     /** Flink `times(min, max)`. */
     def times(min: Long, max: Long): NextStep = new NextStep(keyCol, runPred, min, max)
+    /** Flink `oneOrMore()` — times(1, unbounded); reluctant by default
+      * (Flink's own default), `.greedy` flips completion.
+      */
+    def oneOrMore: NextStep = new NextStep(keyCol, runPred, 1L, Int.MaxValue.toLong)
   }
   final class NextStep private[CepPattern] (keyCol: String, runPred: Column,
-      min: Long, max: Long) {
+      min: Long, max: Long, greedy0: Boolean = false, optional0: Boolean = false) {
+    /** Flink `.greedy()` on the loop quantifier: a completing terminator
+      * keeps EVERY alive repetition from the earliest viable start,
+      * instead of the reluctant first-`min` (relaxed mode only — strict
+      * mode's last-`max` truncation already is the bounded greedy form).
+      */
+    def greedy: NextStep = new NextStep(keyCol, runPred, min, max,
+      greedy0 = true, optional0 = optional0)
+    /** Flink `.optional()` on the loop quantifier: a terminator that
+      * completes no branch matches EMPTY (zero repetitions) instead of
+      * being ignored — and skip-past-last then consumes the sub-min
+      * partials (relaxed mode only).
+      */
+    def optional: NextStep = new NextStep(keyCol, runPred, min, max,
+      greedy0 = greedy0, optional0 = true)
     /** Flink `next().where(...)` — strict contiguity. */
     def next(pred: Column): WithinStep =
       new WithinStep(keyCol, runPred, min, max, pred, relaxed = false)
@@ -262,12 +359,26 @@ object CepPattern {
       * matches; see the class doc's literal-mode semantics).
       */
     def followedBy(pred: Column): WithinStep =
-      new WithinStep(keyCol, runPred, min, max, pred, relaxed = true)
+      new WithinStep(keyCol, runPred, min, max, pred, relaxed = true,
+        greedy = greedy0, optional = optional0)
+    /** Flink `notFollowedBy().where(...)` — the NEGATIVE pattern: the
+      * loop matches only when NO terminator arrives inside the window
+      * ("the attack that fizzled"). Relaxed contiguity (Flink has no
+      * strict negative); requires `within` like Flink's own
+      * end-in-notFollowedBy rule, because the match IS the window
+      * closing empty.
+      */
+    def notFollowedBy(pred: Column): WithinStep =
+      new WithinStep(keyCol, runPred, min, max, pred, relaxed = true,
+        negative = true)
   }
   final class WithinStep private[CepPattern] (keyCol: String, runPred: Column,
-      min: Long, max: Long, nextPred: Column, relaxed: Boolean) {
+      min: Long, max: Long, nextPred: Column, relaxed: Boolean,
+      negative: Boolean = false, greedy: Boolean = false,
+      optional: Boolean = false) {
     /** Flink `within(...)`, in micros over the whole match. */
     def within(us: Long): CepPattern =
-      CepPattern(keyCol, runPred, min, max, nextPred, us, relaxed = relaxed)
+      CepPattern(keyCol, runPred, min, max, nextPred, us, relaxed = relaxed,
+        negative = negative, greedyLoop = greedy, optionalLoop = optional)
   }
 }

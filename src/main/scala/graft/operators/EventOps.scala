@@ -386,6 +386,72 @@ object EventOps {
        |WHERE ev.isn AND len(list_filter(s.buf, x -> ev.t - x <= $WithinUs)) >= $MinRun
        |ORDER BY target_id, attack_start_us""".stripMargin
 
+  /** The NEGATIVE pattern — Flink `notFollowedBy` (r13): a fragment run
+    * of >= MinRun low events whose `within` window closes with NO
+    * high event — "the attack that fizzled", the alert-fatigue
+    * complement of [[cepAttackFlink]] (a probe that never escalated is a
+    * different signal from an attack, and a fleet-wide fizzle rate is
+    * the detector's own false-start metric). Same relaxed-NFA rules
+    * (terminator kills every partial it "follows"; reluctant first-min;
+    * skip-past-last; expiry = run_start + within), derived from Flink's
+    * documented Pattern API semantics and pinned THREE independent ways:
+    * the engine's event-driven [[graft.functions.CepNegFold]] fold, the
+    * spec's declarative candidate/greedy-chain interpreter
+    * (`FlinkNfaRef.replayNegative`, fuzz-matched batch AND streaming),
+    * and this oracle's closed-form SQL (viability self-join + recursive
+    * skip-past-last chain — deliberately the declarative encoding, not a
+    * replay of the fold). `expiry_us` stands where the positive match
+    * carries `normal_ts_us` — there is no terminator row; the match IS
+    * its absence.
+    */
+  def cepFizzle(s: SparkSession, dir: String): DataFrame =
+    CepPattern.on("user_id")
+      .where(col("value") < LowThresh)
+      .times(MinRun, MaxRun)
+      .notFollowedBy(col("value") > HighThresh)
+      .within(WithinUs)
+      .detect(Tables.t(s, dir, "events")
+        .select("user_id", "event_id", "ts", "value"))
+      .select(col("user_id").as("target_id"),
+        col("run_start_us").as("attack_start_us"),
+        col("run_end_us").as("attack_end_us"),
+        col("next_ts_us").as("expiry_us"),
+        col("run_count").as("fragment_count"))
+      .orderBy("target_id", "attack_start_us")
+
+  val cepFizzleOracle: String =
+    s"""WITH RECURSIVE cz_e AS (
+       |  SELECT user_id, epoch_us(ts) AS t, (value > $HighThresh) AS isb
+       |  FROM events WHERE value < $LowThresh OR value > $HighThresh),
+       |cz_a AS (SELECT user_id, t FROM cz_e WHERE NOT isb),
+       |cz_b AS (SELECT user_id, t FROM cz_e WHERE isb),
+       |cz_cand0 AS (
+       |  SELECT a.user_id, a.t AS s, COUNT(*) AS cnt,
+       |         (list(r.t ORDER BY r.t))[$MinRun] AS e
+       |  FROM cz_a a JOIN cz_a r
+       |    ON r.user_id = a.user_id AND r.t >= a.t AND r.t <= a.t + $WithinUs
+       |  GROUP BY a.user_id, a.t),
+       |cz_cand AS (
+       |  SELECT c.user_id, c.s, c.e,
+       |         row_number() OVER (PARTITION BY c.user_id ORDER BY c.s) AS rn
+       |  FROM cz_cand0 c
+       |  WHERE c.cnt >= $MinRun
+       |    AND NOT EXISTS (SELECT 1 FROM cz_b b WHERE b.user_id = c.user_id
+       |                    AND b.t > c.s AND b.t <= c.s + $WithinUs)),
+       |cz_chain AS (
+       |  SELECT user_id, s, e, rn FROM cz_cand WHERE rn = 1
+       |  UNION ALL
+       |  SELECT c.user_id, c.s, c.e, c.rn
+       |  FROM cz_chain ch JOIN cz_cand c
+       |    ON c.user_id = ch.user_id AND c.s > ch.e
+       |   AND NOT EXISTS (SELECT 1 FROM cz_cand c2
+       |                   WHERE c2.user_id = ch.user_id AND c2.s > ch.e
+       |                     AND c2.rn < c.rn))
+       |SELECT user_id AS target_id, s AS attack_start_us, e AS attack_end_us,
+       |       s + $WithinUs AS expiry_us, CAST($MinRun AS BIGINT) AS fragment_count
+       |FROM cz_chain
+       |ORDER BY target_id, attack_start_us""".stripMargin
+
   /** IPInsights analog (reference sagemaker notebook: entity<->IP
     * co-occurrence scoring). Rarity = expected/observed co-occurrence of
     * (user, event_type): integer-exact counts, one final IEEE division.
@@ -2365,6 +2431,7 @@ object EventOps {
     QueryDef("ev_cep_attack", cepAttack, Some(cepOracle), headline = true),
     QueryDef("ev_cep_bounded", cepAttackBounded, Some(cepBoundedOracle)),
     QueryDef("ev_cep_flink", cepAttackFlink, Some(cepFlinkOracle)),
+    QueryDef("ev_cep_fizzle", cepFizzle, Some(cepFizzleOracle)),
     QueryDef("ev_rarity_score", rarityScore, Some(rarityOracle)),
     QueryDef("ev_ipinsights_score", ipinsightsServe, Some(ipinsightsOracle)),
     QueryDef("ev_quantiles_by_type", quantilesByType, Some(quantilesOracle)),

@@ -24,9 +24,10 @@ class CepFoldSpec extends AnyFunSuite {
 
   private def matches(events: Seq[(Long, Boolean)], min: Long,
       within: Long): Seq[(Long, Long, Long)] = {
-    val out = CepFold.compute(arr(events), min, within)
+    val out = CepFold.compute(arr(events), min, within,
+      greedy = false, optional = false)
     (0 until out.numElements()).map { i =>
-      val r = out.getStruct(i, 3)
+      val r = out.getStruct(i, 4)
       (r.getLong(0), r.getLong(1), r.getLong(2))
     }
   }

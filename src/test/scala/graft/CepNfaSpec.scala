@@ -42,7 +42,8 @@ object FlinkNfaRef {
     * repetition count.
     */
   def replay(events: Seq[(Long, Boolean, Boolean)], min: Int,
-      withinUs: Long): Seq[(Long, Long, Long, Long)] = {
+      withinUs: Long, greedy: Boolean = false,
+      optional: Boolean = false): Seq[(Long, Long, Long, Long)] = {
     var buf = Vector.empty[Long] // live branch starts == loop-event ts's
     val out = Seq.newBuilder[(Long, Long, Long, Long)]
     events.foreach { case (ts, isRun, isNext) =>
@@ -52,8 +53,18 @@ object FlinkNfaRef {
         // earliest viable branch's repetition list
         val alive = buf.dropWhile(ts - _ > withinUs)
         if (alive.size >= min) {
-          out += ((alive(0), alive(min - 1), ts, min.toLong))
+          // greedy (Flink `.greedy()`): the loop takes every repetition
+          // it can — all alive events — before handing to the next stage;
+          // reluctant (default): the first `min`
+          val c = if (greedy) alive.size else min
+          out += ((alive(0), alive(c - 1), ts, c.toLong))
           buf = Vector.empty // skipPastLastEvent: discard every partial
+        } else if (optional) {
+          // Flink `.optional()` on the loop: with no >= min branch the
+          // empty (zero-repetition) match completes on the terminator
+          // alone; skipPastLastEvent still discards the partials
+          out += ((ts, ts, ts, 0L))
+          buf = Vector.empty
         }
         // else: no branch completes -> relaxed IGNORE edge, partials carry
       } else if (isRun) {
@@ -61,6 +72,37 @@ object FlinkNfaRef {
       } // neither predicate: transparent under relaxed contiguity
     }
     out.result()
+  }
+
+  /** The NEGATIVE pattern (`notFollowedBy` + `within`): a branch started
+    * at s matches at its window expiry s + within iff it collected >= min
+    * loop events in [s, s + within] and NO terminator occurred in
+    * (s, s + within] — a terminator kills every live partial (relaxed
+    * contiguity: it "follows" each of them). Reluctant first-min kept;
+    * skipPastLastEvent consumes partials up to the match's last kept
+    * repetition; `flush` expires the branches still alive after the last
+    * event (the batch form — data is complete).
+    * Matches: (run_start, last kept rep, expiry = start + within, min).
+    */
+  def replayNegative(events: Seq[(Long, Boolean, Boolean)], min: Int,
+      withinUs: Long): Seq[(Long, Long, Long, Long)] = {
+    // deliberately NOT the engine's event-driven fold: the declarative
+    // closed form (per-candidate viability + greedy chain), so the two
+    // encodings of the semantics are independent
+    val as = events.collect { case (ts, isRun, isB) if isRun && !isB => ts }
+    val bs = events.collect { case (ts, _, isB) if isB => ts }
+    val cands = as.flatMap { s =>
+      val reps = as.filter(a => a >= s && a <= s + withinUs)
+      val clean = !bs.exists(b => b > s && b <= s + withinUs)
+      if (clean && reps.size >= min) Some((s, reps(min - 1))) else None
+    }
+    // skipPastLastEvent chain: accept candidates in start order, each
+    // accepted match consumes every start up to its last kept repetition
+    var lastEnd = Long.MinValue
+    cands.flatMap { case (s, e) =>
+      if (s > lastEnd) { lastEnd = e; Some((s, e, s + withinUs, min.toLong)) }
+      else None
+    }
   }
 }
 
@@ -141,6 +183,113 @@ class CepNfaSpec extends SparkSpecBase {
     assert(got == Seq((1L, 10L, 50L, 60L, Min)),
       s"expected the cross-terminator match, got $got")
     assert(got == nfaExpected(traffic))
+  }
+
+  private def negPattern = CepPattern.on("user_id")
+    .where(col("value") < 10).times(Min, Max)
+    .notFollowedBy(col("value") > 90).within(Within)
+
+  private def negExpected(traffic: Seq[(Long, Seq[(Long, Int)])]) =
+    traffic.flatMap { case (key, evs) =>
+      FlinkNfaRef.replayNegative(
+        evs.map { case (ts, k) => (ts, k == 0, k == 1) }, Min.toInt, Within)
+        .map { case (s, e, x, c) => (key, s, e, x, c) }
+    }.sortBy(m => (m._1, m._2))
+
+  test("batch greedy / optional / oneOrMore modes == extended NFA replay on fuzzed traffic") {
+    val rng = new scala.util.Random(9321)
+    def expectedWith(traffic: Seq[(Long, Seq[(Long, Int)])], min: Long,
+        greedy: Boolean, optional: Boolean) =
+      traffic.flatMap { case (key, evs) =>
+        FlinkNfaRef.replay(evs.map { case (ts, k) => (ts, k == 0, k == 1) },
+          min.toInt, Within, greedy = greedy, optional = optional)
+          .map { case (s, e, n, c) => (key, s, e, n, c) }
+      }.sortBy(m => (m._1, m._2))
+    (1 to 15).foreach { round =>
+      val traffic = (0 until 6).map(k => (k.toLong, randomTraffic(rng)))
+      val df = toDf(traffic)
+      // greedy times(min, max): completion keeps every alive repetition
+      val greedyPat = CepPattern.on("user_id")
+        .where(col("value") < 10).times(Min, Max).greedy
+        .followedBy(col("value") > 90).within(Within)
+      assert(collectMatches(greedyPat.detect(df)) ==
+        expectedWith(traffic, Min, greedy = true, optional = false),
+        s"greedy round $round diverged\n traffic=$traffic")
+      // optional loop: a non-completing terminator emits the empty match
+      val optPat = CepPattern.on("user_id")
+        .where(col("value") < 10).times(Min, Max).optional
+        .followedBy(col("value") > 90).within(Within)
+      assert(collectMatches(optPat.detect(df)) ==
+        expectedWith(traffic, Min, greedy = false, optional = true),
+        s"optional round $round diverged\n traffic=$traffic")
+      // oneOrMore (reluctant): times(1, unbounded) — every terminator
+      // with at least one alive run event completes on the first rep
+      val oneOrMorePat = CepPattern.on("user_id")
+        .where(col("value") < 10).oneOrMore
+        .followedBy(col("value") > 90).within(Within)
+      assert(collectMatches(oneOrMorePat.detect(df)) ==
+        expectedWith(traffic, 1L, greedy = false, optional = false),
+        s"oneOrMore round $round diverged\n traffic=$traffic")
+      // oneOrMore.greedy: the classic b+ c with greedy consumption
+      val oomGreedy = CepPattern.on("user_id")
+        .where(col("value") < 10).oneOrMore.greedy
+        .followedBy(col("value") > 90).within(Within)
+      assert(collectMatches(oomGreedy.detect(df)) ==
+        expectedWith(traffic, 1L, greedy = true, optional = false),
+        s"oneOrMore.greedy round $round diverged\n traffic=$traffic")
+    }
+  }
+
+  test("batch notFollowedBy == independent declarative negative replay on fuzzed traffic") {
+    val rng = new scala.util.Random(5150)
+    (1 to 30).foreach { round =>
+      val traffic = (0 until 6).map(k => (k.toLong, randomTraffic(rng)))
+      val got = collectMatches(negPattern.detect(toDf(traffic)))
+      val want = negExpected(traffic)
+      assert(got == want,
+        s"negative round $round diverged\n traffic=$traffic\n got=$got\n want=$want")
+    }
+  }
+
+  test("notFollowedBy hand-checked: a fizzled run matches at expiry; a terminator kills") {
+    // key 1: 4 frags then silence -> the run fizzles, match at start+Within
+    // key 2: 4 frags then a normal inside the window -> killed, no match
+    // key 3: 4 frags, a normal AFTER the window -> the window closed clean
+    val traffic = Seq(
+      (1L, Seq((10L, 0), (12L, 0), (14L, 0), (16L, 0))),
+      (2L, Seq((10L, 0), (12L, 0), (14L, 0), (16L, 0), (50L, 1))),
+      (3L, Seq((10L, 0), (12L, 0), (14L, 0), (16L, 0), (200L, 1))))
+    val got = collectMatches(negPattern.detect(toDf(traffic)))
+    assert(got == Seq(
+      (1L, 10L, 16L, 10L + Within, Min),
+      (3L, 10L, 16L, 10L + Within, Min)), s"got $got")
+    assert(got == negExpected(traffic))
+  }
+
+  test("streaming notFollowedBy == negative replay (expiry driven by later events)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rng = new scala.util.Random(31337)
+    (1 to 6).foreach { round =>
+      // append a far-future terminator per key: it first drives every
+      // pending expiry (the event-time emission), then kills an empty
+      // buffer — so stream output == the batch/declarative truth
+      val traffic = (0 until 3).map { k =>
+        (k.toLong, randomTraffic(rng) :+ ((1000000L, 1)))
+      }
+      val mem = MemoryStream[(Long, Long, Long, Double)]
+      mem.addData(toRows(traffic))
+      val out = negPattern.detectStream(
+        mem.toDF.toDF("user_id", "event_id", "ts", "value"))
+      val qn = s"cepneg_$round"
+      val q = out.writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val got = spark.table(qn).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSeq.sortBy(m => (m._1, m._2))
+      assert(got == negExpected(traffic),
+        s"streaming negative round $round diverged\n traffic=$traffic\n got=$got\n want=${negExpected(traffic)}")
+    }
   }
 
   test("streaming relaxed fold == documented-rules NFA replay on fuzzed traffic") {

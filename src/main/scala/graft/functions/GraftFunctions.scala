@@ -33,6 +33,7 @@ object GraftFunctions {
     "graft_word_shingles" -> { args =>
       WordShingles(args(0), args(1).eval().asInstanceOf[Number].intValue) },
     "graft_pq_adc" -> { args => PqAdc(args(0), args(1)) },
+    "graft_phash64" -> { args => PHash64(args(0)) },
     "graft_ln" -> { args => PortableLn(args(0)) },
     "graft_nfc" -> { args => NfcNormalize(args(0)) },
     "graft_mg_topk" -> { args =>
@@ -124,6 +125,8 @@ object GraftFunctions {
       org.apache.spark.sql.functions.lit(withinUs),
       org.apache.spark.sql.functions.lit(flush))
   def graftNfc(s: Column): Column = call_function("graft_nfc", s)
+  def graftPHash64(payload: Column): Column =
+    call_function("graft_phash64", payload)
   def graftMgTopK(tokens: Column, k: Int): Column =
     call_function("graft_mg_topk", tokens, org.apache.spark.sql.functions.lit(k))
   def graftBloom(c: Column, m: Int, k: Int): Column =

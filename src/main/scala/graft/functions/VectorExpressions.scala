@@ -487,3 +487,118 @@ object NfcNormalize {
     }
   }
 }
+
+/** DCT-based perceptual hash over an opaque binary payload — the pHash of
+  * the multimodal family (frame dedup finds CONTAINER-level duplication
+  * via exact byte frames; this finds CONTENT-level near-duplication that
+  * survives transforms byte features cannot: brightness shift, contrast
+  * scaling, small crops). The classic image pHash recipe (resize ->
+  * grayscale -> DCT -> sign-of-coefficient bits; Zauner, "Implementation
+  * and Benchmarking of Perceptual Image Hash Functions", 2010) applied to
+  * the repo's byte-payload stand-in as a 1D signal:
+  *
+  *   1. resample WITH a low-pass: N = 128 samples, each the sum of a
+  *      FIXED P = 8 evenly spaced byte picks x[n] = sum_p payload[
+  *      (n*P+p)*len/(N*P)] — the fixed per-sample pick count is what
+  *      keeps brightness cancellation exact below (a variable-width
+  *      stride average would weight the shift unevenly), and the summing
+  *      is the anti-aliasing a real image resize does, which is what
+  *      buys crop/shift tolerance (a single strided pick aliases
+  *      high-frequency content and a 1.5% crop scattered 18 bits —
+  *      measured before this low-pass);
+  *   2. mean-center IN INTEGERS: y[n] = N*x[n] - sum(x) — a constant
+  *      brightness shift adds exactly P*c to every sample and cancels
+  *      EXACTLY (no reliance on rounded basis rows summing to zero), and
+  *      a positive contrast scale multiplies every y[n] (and so every
+  *      coefficient) uniformly;
+  *   3. integer DCT-II: X[k] = sum_n y[n] * C[k][n] with
+  *      C[k][n] = round(cos(pi/N * (n+0.5) * k) * 2^15), k = 1..64 —
+  *      the JPEG-style fixed-point basis, all int64-exact
+  *      (|y| <= 128*255, x 2^15 x 128 terms ~ 1.4e14 << 2^63);
+  *   4. bits: bit_{k-1} = X[k] > lower-median of the 64 coefficients —
+  *      invariant under any positive uniform scale of the y's.
+  *
+  * Hamming <= 3 near-dup pairing uses the pigeonhole 4x16-bit banding
+  * (the doc_simhash discipline — lossless at that radius, and 16-bit
+  * band values keep buckets sparse at corpus scale where 8-bit ones
+  * would collapse into ~256 buckets). Everything after the byte picks is
+  * integer arithmetic, and the oracle's SQL embeds THIS object's basis
+  * literals ([[PHash64.sqlBasis]]) and carries the hash as two 32-bit
+  * halves (DuckDB rejects a shift to bit 63), so engine and oracle are
+  * in bit lockstep by construction.
+  */
+case class PHash64(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_phash64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    PHash64.compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PHash64.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PHash64 {
+  val N = 128     // resampled signal length
+  val P = 8       // low-pass picks summed per sample (fixed count)
+  val Bits = 64   // AC coefficients k = 1..Bits
+  val Scale = 32768L // 2^15 fixed-point basis
+
+  /** basis(k-1)(n) = round(cos(pi/N * (n+0.5) * k) * Scale), k in 1..Bits. */
+  val basis: Array[Array[Long]] = Array.tabulate(Bits, N) { (k0, n) =>
+    math.round(math.cos(math.Pi / N * (n + 0.5) * (k0 + 1)) * Scale)
+  }
+
+  def compute(payload: Array[Byte]): Long = {
+    val len = payload.length
+    if (len == 0) return 0L
+    // low-passed resample (P picks summed per sample), then integer
+    // mean-centering: y[n] = N*x[n] - sum(x)
+    val x = new Array[Long](N)
+    var sum = 0L
+    var n = 0
+    while (n < N) {
+      var s = 0L
+      var p = 0
+      while (p < P) {
+        val m = n.toLong * P + p
+        s += (payload(((m * len) / (N.toLong * P)).toInt) & 0xff).toLong
+        p += 1
+      }
+      x(n) = s
+      sum += s
+      n += 1
+    }
+    val coef = new Array[Long](Bits)
+    var k = 0
+    while (k < Bits) {
+      val row = basis(k)
+      var acc = 0L
+      var i = 0
+      while (i < N) { acc += (N * x(i) - sum) * row(i); i += 1 }
+      coef(k) = acc
+      k += 1
+    }
+    val sorted = coef.clone()
+    java.util.Arrays.sort(sorted)
+    val med = sorted(Bits / 2 - 1) // lower median
+    var h = 0L
+    k = 0
+    while (k < Bits) {
+      if (coef(k) > med) h |= 1L << k
+      k += 1
+    }
+    h
+  }
+
+  /** The basis as a DuckDB list-of-lists literal — the oracle computes
+    * with the engine's own rounded values, never its own cos().
+    */
+  def sqlBasis: String =
+    basis.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+}

@@ -224,9 +224,130 @@ object MultimodalOps {
          |ORDER BY v1, v2""".stripMargin
   }
 
+  /** Perceptual-hash near-dup over the binary payloads (r13) — the
+    * CONTENT-level member next to [[frameDedup]]'s container-level exact
+    * frames: [[graft.functions.PHash64]] (integer 1D DCT pHash, exactly
+    * brightness/contrast-invariant, small-crop tolerant) per asset, then
+    * hamming <= 3 pairing via the pigeonhole 4x16-bit banding (lossless
+    * at that radius — any two hashes within hamming 3 agree on >= 1 of 4
+    * bands) with the hot-band df cap of the frame/shingle family.
+    * MultimodalSpec plants brightness/contrast/crop twins and pins the
+    * DELTA: pHash finds them, the byte checksum AND the exact-frame
+    * query provably miss them. Scale shape: one map pass to 8-byte
+    * hashes, band join bounded by bucket structure, verify on the tiny
+    * banded pair set — the payloads never enter a pairwise join.
+    */
+  def phashDedup(s: SparkSession, dir: String): DataFrame = {
+    val cap = 50L
+    val h = asBinaryTable(s, dir)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.graftPHash64(col("payload")).as("ph"))
+    val bands = h.select(col("doc_id"), col("ph"),
+        explode(expr("sequence(0, 3)")).as("b"))
+      .withColumn("v", expr("shiftright(ph, CAST(b * 16 AS INT)) & 65535"))
+    val kept = bands.join(
+      bands.groupBy("b", "v").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= cap).select("b", "v"),
+      Seq("b", "v"), "left_semi")
+    kept.as("a").join(kept.as("c"),
+        col("a.b") === col("c.b") && col("a.v") === col("c.v") &&
+          col("a.doc_id") < col("c.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("c.doc_id").as("d2"),
+        col("a.ph").as("h1"), col("c.ph").as("h2"))
+      .distinct()
+      .withColumn("hamming", expr("CAST(bit_count(h1 ^ h2) AS BIGINT)"))
+      .filter(col("hamming") <= 3)
+      .select("d1", "d2", "hamming")
+      .orderBy("d1", "d2")
+  }
+
+  /** DuckDB replay of [[phashDedup]]: bytes from hex, the SAME strided
+    * picks / integer mean-centering / fixed-point DCT (basis literals
+    * embedded from [[graft.functions.PHash64.sqlBasis]] — the oracle
+    * never calls its own cos) / lower-median sign bits — with the 64-bit
+    * hash carried as two 32-bit halves (DuckDB rejects 1::BIGINT << 63),
+    * which changes no bit: bands read 16-bit windows of either half and
+    * hamming sums the two halves' bit_counts.
+    */
+  val phashDedupOracle: String = {
+    val n = graft.functions.PHash64.N
+    val p = graft.functions.PHash64.P
+    val bits = graft.functions.PHash64.Bits
+    s"""WITH pb AS (SELECT doc_id, hex(encode(text)) AS hx,
+       |                   octet_length(encode(text)) AS len FROM documents),
+       |py AS (SELECT doc_id, len, list_transform(generate_series(1, len), i ->
+       |         CAST((strpos('0123456789ABCDEF', substr(hx, 2*i - 1, 1)) - 1) * 16
+       |            + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1) AS BIGINT)) AS bytes
+       |       FROM pb WHERE len > 0),
+       |ps AS (SELECT doc_id, list_transform(generate_series(0, ${n - 1}), nn ->
+       |         CAST(list_sum(list_transform(generate_series(0, ${p - 1}), pp ->
+       |           bytes[CAST(((nn * $p + pp) * len) // ${n * p} AS INT) + 1]))
+       |         AS BIGINT)) AS x
+       |       FROM py),
+       |pm AS (SELECT doc_id, x,
+       |         CAST(list_sum(x) AS BIGINT) AS sm FROM ps),
+       |pc AS (SELECT doc_id, list_transform(${graft.functions.PHash64.sqlBasis},
+       |         row -> CAST(list_sum(list_transform(generate_series(1, $n),
+       |           i -> ($n * x[i] - sm) * row[i])) AS BIGINT)) AS coef
+       |       FROM pm),
+       |pmed AS (SELECT doc_id, coef, list_sort(coef)[${bits / 2}] AS med FROM pc),
+       |ph0 AS (SELECT doc_id,
+       |         CAST(list_sum(list_transform(generate_series(1, 32), k ->
+       |           CASE WHEN coef[k] > med THEN (1::BIGINT << CAST(k - 1 AS INT))
+       |                ELSE 0 END)) AS BIGINT) AS lo,
+       |         CAST(list_sum(list_transform(generate_series(33, $bits), k ->
+       |           CASE WHEN coef[k] > med THEN (1::BIGINT << CAST(k - 33 AS INT))
+       |                ELSE 0 END)) AS BIGINT) AS hi
+       |       FROM pmed
+       |       UNION ALL
+       |       SELECT doc_id, 0, 0 FROM pb WHERE len = 0),
+       |bands AS (SELECT doc_id, lo, hi, t.b AS b,
+       |            CASE WHEN t.b < 2 THEN (lo >> CAST(t.b * 16 AS INT)) & 65535
+       |                 ELSE (hi >> CAST((t.b - 2) * 16 AS INT)) & 65535 END AS v
+       |          FROM ph0 CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) t),
+       |caps AS (SELECT b, v FROM bands GROUP BY b, v HAVING COUNT(*) <= 50),
+       |kb AS (SELECT bands.* FROM bands JOIN caps USING (b, v)),
+       |prs AS (SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2,
+       |          a.lo AS lo1, a.hi AS hi1, c.lo AS lo2, c.hi AS hi2
+       |        FROM kb a JOIN kb c
+       |          ON a.b = c.b AND a.v = c.v AND a.doc_id < c.doc_id)
+       |SELECT d1, d2,
+       |       CAST(bit_count(xor(lo1, lo2)) + bit_count(xor(hi1, hi2)) AS BIGINT) AS hamming
+       |FROM prs
+       |WHERE bit_count(xor(lo1, lo2)) + bit_count(xor(hi1, hi2)) <= 3
+       |ORDER BY d1, d2""".stripMargin
+  }
+
+  /** The per-asset pHash VALUES as a gated surface (r13): the pairing
+    * query above legitimately returns zero rows on a corpus whose
+    * near-dups are token-level edits (they shift every byte offset — the
+    * transform class pHash does NOT cover; the planted-fixture spec pins
+    * the class it does), so this query gates all 64 bits of every
+    * asset's hash directly — carried as two 32-bit halves on both sides
+    * (the oracle cannot build a bit-63 BIGINT literal shift).
+    */
+  def phashValues(s: SparkSession, dir: String): DataFrame =
+    asBinaryTable(s, dir)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.graftPHash64(col("payload")).as("ph"))
+      .select(col("doc_id"),
+        expr("shiftright(ph, 32) & 4294967295").as("ph_hi"),
+        expr("ph & 4294967295").as("ph_lo"))
+      .orderBy("doc_id")
+
+  val phashValuesOracle: String = {
+    // same construction CTEs as the dedup oracle, different tail
+    val base = phashDedupOracle.substring(0, phashDedupOracle.indexOf(",\nbands AS"))
+    s"""$base
+       |SELECT doc_id, hi AS ph_hi, lo AS ph_lo
+       |FROM ph0 ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("mm_binary_features", binaryFeatures, Some(binaryFeaturesOracle)),
     QueryDef("mm_embed_dedup", embedDedup, Some(embedDedupOracle)),
-    QueryDef("mm_frame_dedup", frameDedup, Some(frameDedupOracle))
+    QueryDef("mm_frame_dedup", frameDedup, Some(frameDedupOracle)),
+    QueryDef("mm_phash_dedup", phashDedup, Some(phashDedupOracle)),
+    QueryDef("mm_phash", phashValues, Some(phashValuesOracle))
   )
 }

@@ -64,4 +64,83 @@ class MultimodalSpec extends SparkSpecBase {
       assert(r.getAs[Long]("v1") < r.getAs[Long]("v2"))
     }
   }
+
+  test("pHash: brightness/contrast exactly invariant, crop-shift near, byte features miss all three") {
+    import graft.functions.PHash64
+    // a deterministic "image": a smooth byte signal with content at two
+    // wavelengths, values kept in [8, 72] so the x2 contrast twin stays
+    // in byte range with no clamping
+    val base: Array[Byte] = Array.tabulate(8192) { i =>
+      val v = 40.0 + 25.0 * math.sin(i / 700.0) + 7.0 * math.sin(i / 150.0)
+      v.toByte
+    }
+    // a second, FAST-varying signal for the exact-frame delta below: the
+    // smooth one has constant-byte plateaus, and 32-byte plateau frames
+    // at one level spuriously equal another doc's plateau at the same
+    // level — fast variation keeps every frame content-specific
+    val fast: Array[Byte] = Array.tabulate(4096) { i =>
+      (40.0 + 25.0 * math.sin(i / 180.0) + 7.0 * math.sin(i / 23.0)).toByte
+    }
+    val brighter  = base.map(b => (b + 30).toByte)          // +30 brightness
+    val contrast  = base.map(b => ((b & 0xff) * 2).toByte)  // x2 contrast (<= 144)
+    val stretched = base.flatMap(b => Array(b, b))          // 2x resize
+    val cropped   = base.drop(128)                          // ~1.5% head crop
+    val h0 = PHash64.compute(base)
+    // EXACT invariances: integer mean-centering cancels the shift, a
+    // positive uniform scale preserves every coefficient-vs-median sign,
+    // and the relative-position resample lands on the same bytes of a
+    // duplicated-byte stretch
+    assert(PHash64.compute(brighter) == h0, "brightness shift must not move the pHash")
+    assert(PHash64.compute(contrast) == h0, "contrast scale must not move the pHash")
+    assert(PHash64.compute(stretched) == h0, "2x stretch must not move the pHash")
+    // small crop: near, inside the banding radius (crop tolerance is
+    // content-dependent — pHash's documented weak axis — so the pin is a
+    // GENTLE crop of smooth content; the low-pass resample is what keeps
+    // this within radius, measured hamming 18 without it)
+    val hc = PHash64.compute(cropped)
+    val hamming = java.lang.Long.bitCount(h0 ^ hc)
+    assert(hamming <= 3, s"crop twin at hamming $hamming, expected <= 3")
+    // THE DELTA: every byte-level feature the family had before calls all
+    // three twins different, and the exact-frame query finds nothing
+    def feats(p: Array[Byte]) = {
+      val r = MultimodalOps.decodeStub(MultimodalOps.MmRecord(0L, p, "x", p.length))
+      (r.checksum, r.n_distinct_bytes, r.head_byte)
+    }
+    assert(feats(brighter)._1 != feats(base)._1 &&
+      feats(contrast)._1 != feats(base)._1 && feats(cropped)._1 != feats(base)._1,
+      "byte checksums must differ on all three twins (that is the gap pHash closes)")
+    // end-to-end: plant the twins as payload rows; the pHash pairing
+    // finds (base, brighter), (base, contrast) at hamming 0 and the crop
+    // twin within 3
+    import spark.implicits._
+    val planted = Seq(
+      (1L, base), (2L, brighter), (3L, contrast), (4L, cropped),
+      (5L, Array.tabulate(4096)(i => (i * 37 % 251).toByte))) // unrelated
+      .toDF("doc_id", "payload")
+    val hashes = planted
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.graftPHash64(col("payload")).as("ph"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes(2L) == hashes(1L) && hashes(3L) == hashes(1L))
+    assert(java.lang.Long.bitCount(hashes(1L) ^ hashes(4L)) <= 3)
+    assert(java.lang.Long.bitCount(hashes(1L) ^ hashes(5L)) > 10,
+      "an unrelated signal must sit far away")
+    // frame-level exact dedup on the FAST fixture's brightness/contrast
+    // twins: every byte moved, so they share ZERO 32-byte frames — the
+    // container-level query provably cannot pair what pHash pairs
+    val fastBright = fast.map(b => (b + 30).toByte)
+    val fastContrast = fast.map(b => ((b & 0xff) * 2).toByte)
+    assert(PHash64.compute(fastBright) == PHash64.compute(fast) &&
+      PHash64.compute(fastContrast) == PHash64.compute(fast))
+    val planted2 = Seq((1L, fast), (2L, fastBright), (3L, fastContrast))
+      .toDF("doc_id", "payload")
+    val frames = planted2.select(col("doc_id"), explode(expr(
+      "transform(sequence(1, octet_length(payload) - 31, 16), i -> substring(payload, i, 32))")).as("f"))
+    val shared = frames.as("a").join(frames.as("b"),
+        col("a.f") === col("b.f") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!shared.contains((1L, 2L)) && !shared.contains((1L, 3L)),
+      "exact frames must MISS the brightness/contrast twins")
+  }
 }

@@ -1235,8 +1235,15 @@ object EventOps {
     * run it BEFORE picking join strategies, feed the answer to
     * [[SkewJoin]].
     */
-  def keySkew(s: SparkSession, dir: String): DataFrame = {
-    val perKey = Tables.t(s, dir, "events")
+  def keySkew(s: SparkSession, dir: String): DataFrame =
+    keySkewOn(Tables.t(s, dir, "events"))
+
+  /** The measurement over any frame carrying user_id — the stress/
+    * embedding surface ([[graft.operators.SkewJoin.saltFor]] consumes
+    * the `top1_share` column to size the salt).
+    */
+  def keySkewOn(events: DataFrame): DataFrame = {
+    val perKey = events
       .groupBy("user_id").agg(count(lit(1)).as("n"))
     val w = Window.orderBy(col("n").desc, col("user_id").asc)
     perKey.withColumn("rk", row_number().over(w))
@@ -1507,11 +1514,14 @@ object EventOps {
     * both engines, and the summed values are exact decimals, so no
     * ordering ambiguity can leak into the output.
     */
-  def valueRolling1h(s: SparkSession, dir: String): DataFrame = {
+  def valueRolling1h(s: SparkSession, dir: String): DataFrame =
+    valueRolling1hOn(Tables.t(s, dir, "events"))
+
+  def valueRolling1hOn(events: DataFrame): DataFrame = {
     val hourUs = 3600L * 1000000L
     val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
       .rangeBetween(-hourUs, 0)
-    Tables.t(s, dir, "events")
+    events
       .select(col("user_id"), col("event_id"),
         unix_micros(col("ts")).as("ts_us"), col("value"))
       .withColumn("rolling_sum", sum(d2(col("value"))).over(w).cast(DoubleType))

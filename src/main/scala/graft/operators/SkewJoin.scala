@@ -10,6 +10,23 @@ import org.apache.spark.sql.functions._
   * one hot key spreads over `salt` reducers.
   */
 object SkewJoin {
+  /** Size the salt FROM the measurement instead of guessing:
+    * `top1Share` is [[graft.operators.EventOps.keySkew]]'s `top1_share`
+    * (share of all rows held by the hottest key), `parallelism` the
+    * cluster's reducer count. The hot key alone will occupy
+    * top1Share x parallelism reducers' worth of work; if that is within
+    * one reducer (x a 1.5 headroom factor) salting buys nothing — return
+    * 1 (caller joins plain / lets AQE handle moderate skew). Otherwise
+    * spread the key over enough salts that its largest shard is ~one
+    * even reducer share, capped at the parallelism (more salts than
+    * reducers just multiplies the small side for no spread).
+    */
+  def saltFor(top1Share: Double, parallelism: Int): Int = {
+    val load = top1Share * parallelism
+    if (load <= 1.5) 1
+    else math.min(parallelism, math.ceil(load).toInt)
+  }
+
   /** Default (`deterministic = false`): `rand()` spreads EVERY row of the
     * hot key uniformly over the salts — duplicates included — which is the
     * whole point of a skew-mitigation operator. The JOIN RESULT is correct

@@ -379,6 +379,68 @@ object Stress {
     // ceiling, the pass itself stays linear in the array)
     time(s"cep-flink hot-key(50%) x$copies")(EventOps.cepAttackFlinkOn(hot).count())
 
+    // skew-salting stage (r13, hard-required): the salting decision is
+    // FED FROM the ev_key_skew measurement, not guessed; the salted join
+    // must agree with the plain join exactly AND provably bound the
+    // per-reducer load; the windowed folds on the same 50%-hot corpus
+    // must stay inside a blowup guard (their day/window resets are the
+    // documented lever — a quadratic regression here is what the guard
+    // catches, not scheduler noise).
+    {
+      val par = spark.sparkContext.defaultParallelism
+      var top1 = 0.0
+      time(s"key-skew measure hot x$copies") {
+        top1 = EventOps.keySkewOn(hot).first().getAs[Double]("top1_share")
+        f"top1_share=$top1%.3f"
+      }
+      val salt = graft.operators.SkewJoin.saltFor(top1, par)
+      require(salt > 1,
+        s"the planted 50% hot key must trigger salting (top1=$top1, par=$par)")
+      // the EVEN corpus must NOT trigger it — the decision discriminates
+      val top1Even = EventOps.keySkewOn(evN).first().getAs[Double]("top1_share")
+      require(graft.operators.SkewJoin.saltFor(top1Even, par) == 1,
+        s"even corpus must not salt (top1=$top1Even)")
+      // join the hot facts against a per-user dim, both ways
+      val dim = hot.select("user_id").distinct()
+        .withColumn("seg", pmod(col("user_id"), lit(7)))
+        .localCheckpoint(true)
+      var plainN = 0L
+      time(s"hot-join plain x$copies") {
+        plainN = hot.join(dim, "user_id").count(); plainN
+      }
+      time(s"hot-join salted($salt) x$copies") {
+        val n = graft.operators.SkewJoin
+          .saltedJoin(hot, dim, "user_id", salt).count()
+        require(n == plainN, s"salted join diverged: $n vs $plainN")
+        n
+      }
+      // partition-size bound: the hot key's largest salted shard must be
+      // ~an even split (uniform salt assignment), within 35% + slack
+      val hotCnt = hot.filter(col("user_id") === 77L).count()
+      val maxShard = hot.filter(col("user_id") === 77L)
+        .withColumn("__s", floor(rand(42L) * salt).cast("int"))
+        .groupBy("__s").count().agg(max("count")).first().getLong(0)
+      require(maxShard <= (hotCnt / salt * 1.35).toLong + 64,
+        s"salting must bound the hot key's shards: max $maxShard of $hotCnt over $salt salts")
+      // windowed folds under the same skew: time both corpora, guard the
+      // ratio generously (the hot run IS slower — one key's sort/window
+      // holds half the volume; the guard catches a superlinear blowup)
+      def wall(f: => Long): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val cusumEven = wall(EventOps.cusumDriftWindowedOn(evN).count())
+      val cusumHot = wall(EventOps.cusumDriftWindowedOn(hot).count())
+      println(f"[stress] cusum-windowed even=$cusumEven%.2f s hot=$cusumHot%.2f s")
+      require(cusumHot <= math.max(20 * cusumEven, 60.0),
+        f"windowed CUSUM blew up under skew: $cusumHot%.1f s vs even $cusumEven%.1f s")
+      val rollEven = wall(EventOps.valueRolling1hOn(evN).count())
+      val rollHot = wall(EventOps.valueRolling1hOn(hot).count())
+      println(f"[stress] rolling-1h even=$rollEven%.2f s hot=$rollHot%.2f s")
+      require(rollHot <= math.max(20 * rollEven, 60.0),
+        f"rolling window blew up under skew: $rollHot%.1f s vs even $rollEven%.1f s")
+      spark.catalog.clearCache()
+    }
+
     // EWMA fold linearity (r12 cont.): copy i shifts the fixture month by
     // i*40 days, so the fold's (type, day) keys are disjoint across
     // copies with byte-identical per-key content — key count AND total
@@ -430,10 +492,11 @@ object Stress {
       val dayUs = 86400000000L
       val base = ev.select(
         (expr(s"unix_micros(ts) div $dayUs") * dayUs).as("day_us"),
-        col("user_id"), col("value"))
+        col("user_id"), col("value"), col("event_id"))
       val storeEv = (0 until copies).map { i =>
         base.select((col("day_us") + lit(i * 40L * dayUs)).as("day_us"),
-          (col("user_id") + lit(i * 100000L)).as("user_id"), col("value"))
+          (col("user_id") + lit(i * 100000L)).as("user_id"), col("value"),
+          (col("event_id") + lit(i * 100000000L)).as("event_id"))
       }.reduce(_ unionByName _)
       val root = java.nio.file.Files.createTempDirectory("graft-sks").toString
       val hll = s"$root/hll"
@@ -549,6 +612,38 @@ object Stress {
         require(servedM() == m0, "bloom re-ingest changed its serve")
         require(servedF() == f0, "cm re-ingest changed its serve")
         s"cands=500 hits=${m0.count(_.getInt(1) == 1)}"
+      }
+      // KLL quantile store at the same xN horizon (r13): per-day survivor
+      // tables (<= 1024 rows/day regardless of day size); a 7-day serve
+      // must read O(span) files and be BIT-identical to the direct merge
+      // of exactly those days' sketches; re-ingesting a day is idempotent
+      time(s"sketch-store kll 7-day serve == direct merge at x$copies horizon") {
+        import graft.operators.PortableKll
+        val kll = s"$root/kll"
+        val kev = storeEv.select(col("day_us"), col("value"),
+          col("event_id").as("tie"))
+        SketchStore.writeDailyKll(kev, kll)
+        val expect = partFiles(kll, span._1, span._2)
+        val got = scannedFiles(spark.read.parquet(kll)
+          .filter(col("day_us") >= span._1 && col("day_us") <= span._2))
+        require(got == expect,
+          s"kll span scan read $got files, the span's partitions hold $expect")
+        def serveRow() = SketchStore
+          .serveKllQuantiles(spark, kll, span._1, span._2)
+          .select("n", "w", "p50", "p95", "p99").first()
+        val served = serveRow()
+        val spanEv = kev.filter(col("day_us") >= span._1 && col("day_us") <= span._2)
+        val surv = PortableKll.sketch(spanEv, Seq("day_us"), col("value"), col("tie"))
+        val direct = PortableKll.walkQuantiles(
+            PortableKll.collapse(surv, Seq("day_us", "rn")),
+            Seq.empty, Seq("day_us", "rn"))
+          .crossJoin(broadcast(surv.groupBy("day_us").agg(max(col("n")).as("n"))
+            .agg(sum(col("n")).as("n"))))
+          .select("n", "w", "p50", "p95", "p99").first()
+        require(served == direct, s"kll serve $served != direct merge $direct")
+        SketchStore.appendDayKll(kev.filter(col("day_us") === span._1), kll)
+        require(serveRow() == served, "kll re-ingest changed the serve")
+        s"files=$got n=${served.getLong(0)} w=${served.getLong(1)} p95=${served.getDouble(3)}"
       }
       import scala.reflect.io.Directory
       new Directory(new java.io.File(root)).deleteRecursively()

@@ -292,6 +292,82 @@ class CepNfaSpec extends SparkSpecBase {
     }
   }
 
+  test("checkpoint recovery carries sub-min partials across restart (the r12 NFA state)") {
+    // The exact state the r12 correction added: partials that SURVIVED a
+    // non-completing terminator (the relaxed IGNORE edge). Run 1 ends
+    // with 3 sub-min frag partials that already rode across a failed
+    // normal; the query stops (simulated failure); run 2 on the SAME
+    // checkpoint delivers one more frag and a completing normal. The
+    // match must start at run 1's FIRST frag — provable only if the
+    // carried-partial buffer survived the checkpoint round-trip (a
+    // restart that lost state would match nothing, one that cleared on
+    // the failed terminator would start at 50).
+    val base = java.nio.file.Files.createTempDirectory("graft-cep-ck").toString
+    val (in, out, ck) = (s"$base/in", s"$base/out", s"$base/ck")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    def writeFile(name: String, rows: Seq[(Long, Long, Long, Double)]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(in, name),
+        rows.map { case (k, id, ts, v) =>
+          s"""{"user_id":$k,"event_id":$id,"ts":$ts,"value":$v}"""
+        }.mkString("\n").getBytes("UTF-8"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "user_id LONG, event_id LONG, ts LONG, value DOUBLE")
+    def runOnce(): Unit = {
+      val src = spark.readStream.format("json").schema(schema).load(in)
+      val q = pattern.detectStream(src).writeStream.format("json")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // run 1: 3 frags, then a normal that completes nothing at Min=4 —
+    // the partials must CARRY across it into the checkpointed state
+    writeFile("p1.jsonl", Seq(
+      (1L, 1L, 10L, 5.0), (1L, 2L, 20L, 5.0), (1L, 3L, 30L, 5.0),
+      (1L, 4L, 40L, 95.0)))
+    runOnce()
+    assert(spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "key LONG, run_start_us LONG, run_end_us LONG, next_ts_us LONG, run_count LONG"))
+      .json(out).count() == 0, "nothing completes in run 1")
+    // run 2: the 4th frag and the completing normal
+    writeFile("p2.jsonl", Seq((1L, 5L, 50L, 5.0), (1L, 6L, 60L, 95.0)))
+    runOnce()
+    val got = spark.read.json(out)
+      .select("key", "run_start_us", "run_end_us", "next_ts_us", "run_count")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq((1L, 10L, 50L, 60L, Min)),
+      s"carried partials must survive the restart: got $got")
+
+    // negative-mode leg: run 1 ends with a sub-min-silent buffer (4 frags,
+    // nothing after); run 2's far-future event drives the expiry — the
+    // fizzle match must start at run 1's first frag
+    val (in2, out2, ck2) = (s"$base/in2", s"$base/out2", s"$base/ck2")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in2))
+    def writeFile2(name: String, rows: Seq[(Long, Long, Long, Double)]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(in2, name),
+        rows.map { case (k, id, ts, v) =>
+          s"""{"user_id":$k,"event_id":$id,"ts":$ts,"value":$v}"""
+        }.mkString("\n").getBytes("UTF-8"))
+    def runNeg(): Unit = {
+      val src = spark.readStream.format("json").schema(schema).load(in2)
+      val q = negPattern.detectStream(src).writeStream.format("json")
+        .option("path", out2).option("checkpointLocation", ck2)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    writeFile2("p1.jsonl", Seq(
+      (1L, 1L, 10L, 5.0), (1L, 2L, 20L, 5.0), (1L, 3L, 30L, 5.0), (1L, 4L, 40L, 5.0)))
+    runNeg()
+    writeFile2("p2.jsonl", Seq((1L, 5L, 100000L, 50.0))) // neutral, but time passes
+    runNeg()
+    val gotNeg = spark.read.json(out2)
+      .select("key", "run_start_us", "run_end_us", "next_ts_us", "run_count")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(gotNeg == Seq((1L, 10L, 40L, 10L + Within, Min)),
+      s"negative-mode buffer must survive the restart: got $gotNeg")
+  }
+
   test("streaming relaxed fold == documented-rules NFA replay on fuzzed traffic") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val rng = new scala.util.Random(777)

@@ -100,16 +100,18 @@ object PortableKll {
     * metadata scale — never raw data (the SketchStore.serveQuantiles
     * precedent).
     */
-  def collapse(surv: DataFrame, tieCols: Seq[String]): DataFrame = {
-    val wOrd = Window.partitionBy(lit(1))
+  def collapse(surv: DataFrame, tieCols: Seq[String],
+      grpCols: Seq[String] = Nil): DataFrame = {
+    val part = if (grpCols.isEmpty) Seq(lit(1)) else grpCols.map(col)
+    val wOrd = Window.partitionBy(part: _*)
       .orderBy(col("v") +: tieCols.map(col): _*)
-    val wAll = Window.partitionBy(lit(1))
+    val wAll = Window.partitionBy(part: _*)
     surv
       .withColumn("rn2", row_number().over(wOrd).cast("long"))
       .withColumn("m", count(lit(1)).over(wAll))
       .withColumn("g", strideFor(col("m")))
       .filter((col("rn2") - 1) % col("g") === 0)
-      .select((col("v") +: tieCols.map(col)) :+
+      .select(grpCols.map(col) ++ (col("v") +: tieCols.map(col)) :+
         (col("w") * col("g")).as("w"): _*)
   }
 
@@ -242,6 +244,93 @@ object KllOps {
        |ORDER BY day_us""".stripMargin
   }
 
+  /** `ev_kll_by_type` — GROUPED sketch serving, the per-metric/per-tenant
+    * shape a 100 TB deployment actually asks ("p95 of each metric over
+    * the span"): sketches build per (event_type, day) — the durable
+    * layout's grain — then merge per TYPE (the grouped collapse: one
+    * deterministic re-collapse per group, each group's survivors already
+    * metadata-scale), and the walk runs per type. One fact-scale pass
+    * total; adding a grouping dimension multiplies only the survivor-row
+    * bound (|types|·|days|·K), never the fact passes. Oracle = the same
+    * window-SQL replay with the type key threaded through every
+    * partition (the ev_kll_quantiles discipline).
+    */
+  def kllByType(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.t(s, dir, "events")
+      .select(col("event_type"),
+        unix_micros(date_trunc("DAY", col("ts"))).as("day_us"),
+        col("value").as("v"), col("event_id").cast("long").as("tie"))
+    val surv = PortableKll
+      .sketch(ev, Seq("event_type", "day_us"), col("v"), col("tie"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val merged = PortableKll.collapse(surv, Seq("day_us", "rn"),
+        Seq("event_type"))
+      val nTyp = surv.groupBy("event_type", "day_us")
+        .agg(max(col("n")).as("n"))
+        .groupBy("event_type").agg(sum(col("n")).as("n"))
+      PortableKll.walkQuantiles(merged, Seq("event_type"), Seq("day_us", "rn"))
+        .join(nTyp, Seq("event_type"))
+        .select("event_type", "n", "w", "p50", "p95", "p99")
+        .orderBy("event_type")
+        .localCheckpoint(true)
+    } finally surv.unpersist()
+  }
+
+  val kllByTypeOracle: String = {
+    val pows = PortableKll.sqlPows
+    val k = PortableKll.K
+    s"""WITH kt_pows AS (SELECT unnest($pows) AS p),
+       |kt_e AS (
+       |  SELECT event_type, epoch_us(date_trunc('day', ts)) AS day_us,
+       |         value AS v, CAST(event_id AS BIGINT) AS tie
+       |  FROM events WHERE value IS NOT NULL),
+       |kt_r AS (
+       |  SELECT event_type, day_us, v,
+       |         CAST(row_number() OVER (PARTITION BY event_type, day_us
+       |                                 ORDER BY v, tie) AS BIGINT) AS rn,
+       |         CAST(COUNT(*) OVER (PARTITION BY event_type, day_us) AS BIGINT) AS n
+       |  FROM kt_e),
+       |kt_s0 AS (
+       |  SELECT event_type, day_us, v, rn, n,
+       |         (SELECT MIN(p) FROM kt_pows WHERE $k * p >= n) AS w
+       |  FROM kt_r),
+       |kt_s AS (SELECT * FROM kt_s0 WHERE (rn - 1) % w = 0),
+       |kt_m0 AS (
+       |  SELECT event_type, v, day_us, rn, w,
+       |         CAST(row_number() OVER (PARTITION BY event_type
+       |                                 ORDER BY v, day_us, rn) AS BIGINT) AS rn2,
+       |         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS m
+       |  FROM kt_s),
+       |kt_m1 AS (
+       |  SELECT event_type, v, day_us, rn, w, rn2,
+       |         (SELECT MIN(p) FROM kt_pows WHERE $k * p >= m) AS g
+       |  FROM kt_m0),
+       |kt_m AS (
+       |  SELECT event_type, v, day_us, rn, w * g AS w2
+       |  FROM kt_m1 WHERE (rn2 - 1) % g = 0),
+       |kt_c AS (
+       |  SELECT event_type, v,
+       |         SUM(w2) OVER (PARTITION BY event_type ORDER BY v, day_us, rn) AS cum,
+       |         SUM(w2) OVER (PARTITION BY event_type) AS tw
+       |  FROM kt_m),
+       |kt_n AS (
+       |  SELECT event_type, CAST(SUM(n) AS BIGINT) AS n FROM
+       |    (SELECT event_type, day_us, MAX(n) AS n FROM kt_s
+       |     GROUP BY event_type, day_us)
+       |  GROUP BY event_type),
+       |kt_q AS (
+       |  SELECT event_type, CAST(MAX(tw) AS BIGINT) AS w,
+       |         MIN(CASE WHEN cum >= (tw * 50 + 99) // 100 THEN v END) AS p50,
+       |         MIN(CASE WHEN cum >= (tw * 95 + 99) // 100 THEN v END) AS p95,
+       |         MIN(CASE WHEN cum >= (tw * 99 + 99) // 100 THEN v END) AS p99
+       |  FROM kt_c GROUP BY event_type)
+       |SELECT q.event_type, n.n, q.w, q.p50, q.p95, q.p99
+       |FROM kt_q q JOIN kt_n n ON n.event_type = q.event_type
+       |ORDER BY q.event_type""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("ev_kll_quantiles", kllQuantiles, Some(kllQuantilesOracle)))
+    QueryDef("ev_kll_quantiles", kllQuantiles, Some(kllQuantilesOracle)),
+    QueryDef("ev_kll_by_type", kllByType, Some(kllByTypeOracle)))
 }

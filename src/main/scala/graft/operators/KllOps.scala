@@ -164,12 +164,23 @@ object KllOps {
     * sketch's total weight (= n exactly when no collapse fired; the gap
     * is the collapse telling on itself).
     */
-  def kllQuantiles(s: SparkSession, dir: String): DataFrame = {
+  def kllQuantiles(s: SparkSession, dir: String): DataFrame =
+    kllQuantiles(s, dir, materialize = true)
+
+  /** `materialize = false` skips the survivor persist and the final
+    * eager checkpoint so plan tests / the exchange audit can read the
+    * compiled shape (the hybridSearchOn convention; the non-materializing
+    * path must not persist — nothing would unpersist it).
+    */
+  private[graft] def kllQuantiles(s: SparkSession, dir: String,
+      materialize: Boolean): DataFrame = {
     val ev = Tables.t(s, dir, "events")
       .select(unix_micros(date_trunc("DAY", col("ts"))).as("day_us"),
         col("value").as("v"), col("event_id").cast("long").as("tie"))
-    val surv = PortableKll.sketch(ev, Seq("day_us"), col("v"), col("tie"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val surv0 = PortableKll.sketch(ev, Seq("day_us"), col("v"), col("tie"))
+    val surv = if (materialize)
+      surv0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else surv0
     try {
       val perDay = PortableKll.walkQuantiles(surv, Seq("day_us"), Seq("rn"))
         .join(surv.groupBy("day_us").agg(max(col("n")).as("n")), Seq("day_us"))
@@ -181,8 +192,9 @@ object KllOps {
         .crossJoin(broadcast(nAll))
         .select(lit(-1L).as("day_us"), col("n"), col("w"),
           col("p50"), col("p95"), col("p99"))
-      perDay.unionByName(allRow).orderBy("day_us").localCheckpoint(true)
-    } finally surv.unpersist()
+      val out = perDay.unionByName(allRow).orderBy("day_us")
+      if (materialize) out.localCheckpoint(true) else out
+    } finally if (materialize) surv.unpersist()
   }
 
   val kllQuantilesOracle: String = {
@@ -255,26 +267,33 @@ object KllOps {
     * window-SQL replay with the type key threaded through every
     * partition (the ev_kll_quantiles discipline).
     */
-  def kllByType(s: SparkSession, dir: String): DataFrame = {
+  def kllByType(s: SparkSession, dir: String): DataFrame =
+    kllByType(s, dir, materialize = true)
+
+  private[graft] def kllByType(s: SparkSession, dir: String,
+      materialize: Boolean): DataFrame = {
     val ev = Tables.t(s, dir, "events")
       .select(col("event_type"),
         unix_micros(date_trunc("DAY", col("ts"))).as("day_us"),
         col("value").as("v"), col("event_id").cast("long").as("tie"))
-    val surv = PortableKll
+    val surv0 = PortableKll
       .sketch(ev, Seq("event_type", "day_us"), col("v"), col("tie"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val surv = if (materialize)
+      surv0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else surv0
     try {
       val merged = PortableKll.collapse(surv, Seq("day_us", "rn"),
         Seq("event_type"))
       val nTyp = surv.groupBy("event_type", "day_us")
         .agg(max(col("n")).as("n"))
         .groupBy("event_type").agg(sum(col("n")).as("n"))
-      PortableKll.walkQuantiles(merged, Seq("event_type"), Seq("day_us", "rn"))
+      val out = PortableKll
+        .walkQuantiles(merged, Seq("event_type"), Seq("day_us", "rn"))
         .join(nTyp, Seq("event_type"))
         .select("event_type", "n", "w", "p50", "p95", "p99")
         .orderBy("event_type")
-        .localCheckpoint(true)
-    } finally surv.unpersist()
+      if (materialize) out.localCheckpoint(true) else out
+    } finally if (materialize) surv.unpersist()
   }
 
   val kllByTypeOracle: String = {

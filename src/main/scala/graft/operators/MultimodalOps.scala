@@ -237,11 +237,23 @@ object MultimodalOps {
     * hashes, band join bounded by bucket structure, verify on the tiny
     * banded pair set — the payloads never enter a pairwise join.
     */
-  def phashDedup(s: SparkSession, dir: String): DataFrame = {
+  def phashDedup(s: SparkSession, dir: String): DataFrame =
+    phashDedup(s, dir, materialize = true)
+
+  /** `materialize = false` skips the eager checkpoint of the hash table
+    * so plan tests can read the compiled shape (the hybridSearchOn
+    * convention). With it on (production), the 8-byte-per-asset hash
+    * frame materializes ONCE and the df-cap/band/pair machinery reads
+    * the checkpoint — the payload column is scanned exactly once (the
+    * r13 audit caught the lazy form re-decoding payloads ×4).
+    */
+  private[graft] def phashDedup(s: SparkSession, dir: String,
+      materialize: Boolean): DataFrame = {
     val cap = 50L
-    val h = asBinaryTable(s, dir)
+    val h0 = asBinaryTable(s, dir)
       .select(col("doc_id"),
         graft.functions.GraftFunctions.graftPHash64(col("payload")).as("ph"))
+    val h = if (materialize) h0.localCheckpoint(true) else h0
     val bands = h.select(col("doc_id"), col("ph"),
         explode(expr("sequence(0, 3)")).as("b"))
       .withColumn("v", expr("shiftright(ph, CAST(b * 16 AS INT)) & 65535"))

@@ -591,4 +591,44 @@ class PlanSpec extends SparkSpecBase {
     val n = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(n == 1, s"ewma must hash-shuffle exactly once (the key exchange), got $n:\n$p")
   }
+
+  test("kll sketch: ONE hash exchange on the group key serves both windows") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.sources.Tables.t(spark, sf0001, "events")
+      .select(unix_micros(date_trunc("DAY", col("ts"))).as("day_us"),
+        col("value").as("v"), col("event_id").cast("long").as("tie"))
+    val surv = operators.PortableKll.sketch(ev, Seq("day_us"), col("v"), col("tie"))
+    val p = plan(surv)
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n == 1,
+      s"row_number and the per-group count must share one day_us exchange, got $n:\n$p")
+    assert(!p.contains("Join"), s"the sketch is join-free:\n${p.take(1200)}")
+  }
+
+  test("phash: the hash table is one payload scan, no join, no hash shuffle") {
+    val df = operators.MultimodalOps.phashValues(spark, sf0001)
+    val p = df.queryExecution.sparkPlan
+    val scans = p.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size == 1, s"phash values must scan documents once, got ${scans.size}")
+    assert(!p.toString.contains("Join"), s"no join in the hash pass:\n$p")
+    val hashShuffles = p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning.toString.contains("hashpartitioning") => e
+    }
+    assert(hashShuffles.isEmpty,
+      s"the hash pass is map-side only (output sort is a range exchange):\n$p")
+  }
+
+  test("phash dedup (lazy twin): the pair machinery never rejoins payloads — only the 8-byte hash frame") {
+    // the materialized form checkpoints the hash table (one payload scan
+    // total — the r13 audit fix); the lazy twin exposes the compiled
+    // shape, where every documents scan must read ONLY (doc_id, text)
+    // for hashing and the verify carries hashes, not payloads
+    val df = operators.MultimodalOps.phashDedup(spark, sf0001, materialize = false)
+    val p = df.queryExecution.sparkPlan.toString
+    assert(!p.contains("payload#"), // the binary column never travels a join
+      s"pair machinery must carry hashes, not payloads:\n${p.take(1500)}")
+  }
 }

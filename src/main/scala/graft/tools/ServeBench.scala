@@ -168,6 +168,19 @@ object ServeBench {
           graft.operators.PortableCms.counters(evHist, Seq.empty, col("user_id"))),
         () => graft.sources.SketchStore.serveFrequency(s, s"$serveRoot/cmsst",
           evMinDay, evLastDay, evCands, "user_id")),
+      // unbounded-domain quantile store (r13): direct = the fact-scale
+      // per-day sketch + merge job (the gated ev_kll_quantiles); serve =
+      // the span walk off the day-partitioned survivor store (pruned
+      // kilobyte scan, no event rescan)
+      Family("quant",
+        root => graft.sources.SketchStore.writeDailyKll(
+          Tables.t(s, sfDir, "events")
+            .select(unix_micros(date_trunc("DAY", col("ts"))).as("day_us"),
+              col("value"), col("event_id").cast("long").as("tie")),
+          s"$root/kllst"),
+        () => graft.operators.KllOps.kllQuantiles(s, sfDir),
+        () => graft.sources.SketchStore.serveKllQuantiles(s,
+          s"$serveRoot/kllst", evMinDay, evLastDay + 1L)),
       Family("hybrid",
         root => {
           graft.sources.SearchIndex.write(docs, s"$root/hyb_search")

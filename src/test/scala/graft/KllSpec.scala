@@ -167,4 +167,37 @@ class KllSpec extends SparkSpecBase {
     assert(plan.contains("PartitionFilters") && plan.contains("day_us"),
       s"span filter must prune partitions:\n${plan.take(1200)}")
   }
+
+  test("ingest correction: re-appending a GROWN day follows last-writer; final serve == full-day batch") {
+    // the nightly-ingest contract: a day's sketch is written when the day
+    // closes; if late data arrives, the day is RE-appended complete —
+    // dynamic partition overwrite makes the store last-writer-wins, so a
+    // partial early write cannot linger under a corrected one
+    val ev = Tables.t(spark, sf0001, "events")
+      .select(unix_micros(date_trunc("DAY", col("ts"))).as("day_us"),
+        col("value"), col("event_id").cast("long").as("tie"))
+      .localCheckpoint(true)
+    val day = ev.agg(min(col("day_us"))).first().getLong(0)
+    val full = ev.filter(col("day_us") === day)
+    val partial = full.filter(col("tie") % 2 === 0)
+    val path = java.nio.file.Files.createTempDirectory("graft-kllc").toString + "/kll"
+    SketchStore.writeDailyKll(partial, path)
+    val early = SketchStore.serveKllQuantiles(spark, path, day, day)
+      .select("n", "w", "p50", "p95", "p99").first()
+    // correction: the complete day replaces the partial write
+    SketchStore.appendDayKll(full, path)
+    val corrected = SketchStore.serveKllQuantiles(spark, path, day, day)
+      .select("n", "w", "p50", "p95", "p99").first()
+    assert(corrected != early, "the corrected day must supersede the partial write")
+    val direct = {
+      val s1 = PortableKll.sketch(full, Seq("day_us"), col("value"), col("tie"))
+      PortableKll.walkQuantiles(PortableKll.collapse(s1, Seq("day_us", "rn")),
+          Seq.empty, Seq("day_us", "rn"))
+        .crossJoin(broadcast(s1.groupBy("day_us").agg(max(col("n")).as("n"))
+          .agg(sum(col("n")).as("n"))))
+        .select("n", "w", "p50", "p95", "p99").first()
+    }
+    assert(corrected == direct,
+      s"corrected serve $corrected != full-day batch sketch $direct")
+  }
 }

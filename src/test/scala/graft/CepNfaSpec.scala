@@ -292,6 +292,45 @@ class CepNfaSpec extends SparkSpecBase {
     }
   }
 
+  test("streaming greedy / optional folds == extended NFA replay on fuzzed traffic") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rng = new scala.util.Random(2718)
+    def runStream(pat: CepPattern,
+        traffic: Seq[(Long, Seq[(Long, Int)])], qn: String) = {
+      val mem = MemoryStream[(Long, Long, Long, Double)]
+      mem.addData(toRows(traffic))
+      val q = pat.detectStream(mem.toDF.toDF("user_id", "event_id", "ts", "value"))
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(qn).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSeq.sortBy(m => (m._1, m._2))
+    }
+    def expectedWith(traffic: Seq[(Long, Seq[(Long, Int)])],
+        greedy: Boolean, optional: Boolean) =
+      traffic.flatMap { case (key, evs) =>
+        FlinkNfaRef.replay(evs.map { case (ts, k) => (ts, k == 0, k == 1) },
+          Min.toInt, Within, greedy = greedy, optional = optional)
+          .map { case (s, e, n, c) => (key, s, e, n, c) }
+      }.sortBy(m => (m._1, m._2))
+    (1 to 4).foreach { round =>
+      val traffic = (0 until 3).map(k => (k.toLong, randomTraffic(rng)))
+      val greedyPat = CepPattern.on("user_id")
+        .where(col("value") < 10).times(Min, Max).greedy
+        .followedBy(col("value") > 90).within(Within)
+      assert(runStream(greedyPat, traffic, s"cepg_$round") ==
+        expectedWith(traffic, greedy = true, optional = false),
+        s"streaming greedy round $round diverged\n traffic=$traffic")
+      val optPat = CepPattern.on("user_id")
+        .where(col("value") < 10).times(Min, Max).optional
+        .followedBy(col("value") > 90).within(Within)
+      assert(runStream(optPat, traffic, s"cepo_$round") ==
+        expectedWith(traffic, greedy = false, optional = true),
+        s"streaming optional round $round diverged\n traffic=$traffic")
+    }
+  }
+
   test("checkpoint recovery carries sub-min partials across restart (the r12 NFA state)") {
     // The exact state the r12 correction added: partials that SURVIVED a
     // non-completing terminator (the relaxed IGNORE edge). Run 1 ends

@@ -78,6 +78,28 @@ class SqlSurfaceSpec extends SparkSpecBase {
       .filter(col("n_sh") > 0)
       .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
     assert(rows.forall(r => api(r.getLong(0)) == r.getInt(1)))
+    // r13 expressions resolve from SQL: the perceptual hash over a binary
+    // payload, and both CEP folds (positive with the optional quantifier
+    // flags, negative with the flush flag)
+    val ph = spark.sql(
+      "SELECT graft_phash64(CAST(text AS BINARY)) AS ph FROM documents LIMIT 5")
+      .collect().map(_.getLong(0))
+    assert(ph.length == 5)
+    val cepEvs = "array(struct(10L AS t, 1L AS id, false AS isn), " +
+      "struct(20L AS t, 2L AS id, false AS isn), " +
+      "struct(30L AS t, 3L AS id, true AS isn))"
+    val pos = spark.sql(
+      s"SELECT graft_cep_fold($cepEvs, 2L, 100L, false, false) AS m")
+      .first().getSeq[org.apache.spark.sql.Row](0)
+    assert(pos.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      == Seq((10L, 20L, 30L, 2L)))
+    val negEvs = "array(struct(10L AS t, 1L AS id, false AS isb), " +
+      "struct(20L AS t, 2L AS id, false AS isb))"
+    val neg = spark.sql(
+      s"SELECT graft_cep_neg_fold($negEvs, 2L, 100L, true) AS m")
+      .first().getSeq[org.apache.spark.sql.Row](0)
+    assert(neg.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      == Seq((10L, 20L, 110L, 2L)))
   }
 
   test("graft_bloom resolves from SQL; distributed build equals single-partition build") {

@@ -92,6 +92,30 @@ object PortableKll {
         col("rn") :+ col("n"): _*)
   }
 
+  /** SHARDED build — the giant-day scale path: the flat [[sketch]]'s one
+    * fact-scale cost is the per-group sort behind row_number, and a
+    * single group (one day of one metric) can outgrow a sortable task.
+    * Sharding splits that sort S ways on a CONTENT-deterministic salt
+    * (tie % shards — never the partition id, so the result is identical
+    * under any partition layout or replay), sketches each
+    * (group, shard) independently, and merges the sub-sketches per group
+    * with the grouped deterministic [[collapse]] on the total order
+    * (v, shard, rn). Closure under merge is the whole point of the
+    * sketch: the sharded result is a VALID sketch of the group with at
+    * most one extra collapse level of rank error (KllSpec pins the bound
+    * AND that it equals the flat sketch exactly while nothing compacts).
+    * Output: (grpCols..., v, __shard, rn, w); the group's exact count is
+    * a plain map-side-combined count the caller takes directly from the
+    * facts (it never needs to survive the collapse).
+    */
+  def sketchSharded(df: DataFrame, grpCols: Seq[String], v: Column,
+      tie: Column, shards: Int): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val salted = df.withColumn("__shard", pmod(tie, lit(shards.toLong)))
+    val sub = sketch(salted, grpCols :+ "__shard", v, tie)
+    collapse(sub, Seq("__shard", "rn"), grpCols)
+  }
+
   /** Merge any union of survivor rows back under capacity: re-sort on
     * the total order (v, tieCols...) and keep every g-th item at weight
     * w·g, g = smallest power of two with K·g ≥ item count. A no-op
@@ -349,7 +373,101 @@ object KllOps {
        |ORDER BY q.event_type""".stripMargin
   }
 
+  /** `ev_kll_sharded` — the giant-day scale path gated end-to-end: the
+    * same per-day quantiles as `ev_kll_quantiles` but built through
+    * [[PortableKll.sketchSharded]] (4 content-salted shards), so the
+    * per-day sort is split four ways and the day's answer comes from the
+    * grouped merge of sub-sketches. The estimates may differ from the
+    * flat build by at most one collapse level of rank error (equal
+    * exactly while nothing compacts — KllSpec pins both), and the whole
+    * construction stays deterministic and layout-independent, so the
+    * oracle replays it window-for-window. ONE fact pass: the exact
+    * per-day count rolls up the persisted sub-sketch frame's per-shard
+    * counts, never the facts again.
+    */
+  def kllSharded(s: SparkSession, dir: String): DataFrame =
+    kllSharded(s, dir, materialize = true)
+
+  private[graft] def kllSharded(s: SparkSession, dir: String,
+      materialize: Boolean): DataFrame = {
+    val shards = 4
+    val ev = Tables.t(s, dir, "events")
+      .select(unix_micros(date_trunc("DAY", col("ts"))).as("day_us"),
+        col("value").as("v"), col("event_id").cast("long").as("tie"))
+      .withColumn("__shard", pmod(col("tie"), lit(shards.toLong)))
+    val sub0 = PortableKll.sketch(ev, Seq("day_us", "__shard"),
+      col("v"), col("tie"))
+    val sub = if (materialize)
+      sub0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else sub0
+    try {
+      val merged = PortableKll.collapse(sub, Seq("__shard", "rn"), Seq("day_us"))
+      val nDay = sub.groupBy("day_us", "__shard").agg(max(col("n")).as("n"))
+        .groupBy("day_us").agg(sum(col("n")).as("n"))
+      val out = PortableKll
+        .walkQuantiles(merged, Seq("day_us"), Seq("__shard", "rn"))
+        .join(nDay, Seq("day_us"))
+        .select("day_us", "n", "w", "p50", "p95", "p99")
+        .orderBy("day_us")
+      if (materialize) out.localCheckpoint(true) else out
+    } finally if (materialize) sub.unpersist()
+  }
+
+  val kllShardedOracle: String = {
+    val pows = PortableKll.sqlPows
+    val k = PortableKll.K
+    s"""WITH ks_pows AS (SELECT unnest($pows) AS p),
+       |ks_e AS (
+       |  SELECT epoch_us(date_trunc('day', ts)) AS day_us, value AS v,
+       |         CAST(event_id AS BIGINT) AS tie,
+       |         CAST(event_id AS BIGINT) % 4 AS sh
+       |  FROM events WHERE value IS NOT NULL),
+       |ks_r AS (
+       |  SELECT day_us, sh, v,
+       |         CAST(row_number() OVER (PARTITION BY day_us, sh
+       |                                 ORDER BY v, tie) AS BIGINT) AS rn,
+       |         CAST(COUNT(*) OVER (PARTITION BY day_us, sh) AS BIGINT) AS n
+       |  FROM ks_e),
+       |ks_s0 AS (
+       |  SELECT day_us, sh, v, rn, n,
+       |         (SELECT MIN(p) FROM ks_pows WHERE $k * p >= n) AS w
+       |  FROM ks_r),
+       |ks_s AS (SELECT * FROM ks_s0 WHERE (rn - 1) % w = 0),
+       |ks_m0 AS (
+       |  SELECT day_us, v, sh, rn, w,
+       |         CAST(row_number() OVER (PARTITION BY day_us
+       |                                 ORDER BY v, sh, rn) AS BIGINT) AS rn2,
+       |         CAST(COUNT(*) OVER (PARTITION BY day_us) AS BIGINT) AS m
+       |  FROM ks_s),
+       |ks_m1 AS (
+       |  SELECT day_us, v, sh, rn, w, rn2,
+       |         (SELECT MIN(p) FROM ks_pows WHERE $k * p >= m) AS g
+       |  FROM ks_m0),
+       |ks_m AS (
+       |  SELECT day_us, v, sh, rn, w * g AS w2
+       |  FROM ks_m1 WHERE (rn2 - 1) % g = 0),
+       |ks_c AS (
+       |  SELECT day_us, v,
+       |         SUM(w2) OVER (PARTITION BY day_us ORDER BY v, sh, rn) AS cum,
+       |         SUM(w2) OVER (PARTITION BY day_us) AS tw
+       |  FROM ks_m),
+       |ks_n AS (
+       |  SELECT day_us, CAST(SUM(n) AS BIGINT) AS n FROM
+       |    (SELECT day_us, sh, MAX(n) AS n FROM ks_s GROUP BY day_us, sh)
+       |  GROUP BY day_us),
+       |ks_q AS (
+       |  SELECT day_us, CAST(MAX(tw) AS BIGINT) AS w,
+       |         MIN(CASE WHEN cum >= (tw * 50 + 99) // 100 THEN v END) AS p50,
+       |         MIN(CASE WHEN cum >= (tw * 95 + 99) // 100 THEN v END) AS p95,
+       |         MIN(CASE WHEN cum >= (tw * 99 + 99) // 100 THEN v END) AS p99
+       |  FROM ks_c GROUP BY day_us)
+       |SELECT q.day_us, n.n, q.w, q.p50, q.p95, q.p99
+       |FROM ks_q q JOIN ks_n n ON n.day_us = q.day_us
+       |ORDER BY q.day_us""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("ev_kll_quantiles", kllQuantiles, Some(kllQuantilesOracle)),
-    QueryDef("ev_kll_by_type", kllByType, Some(kllByTypeOracle)))
+    QueryDef("ev_kll_by_type", kllByType, Some(kllByTypeOracle)),
+    QueryDef("ev_kll_sharded", kllSharded, Some(kllShardedOracle)))
 }

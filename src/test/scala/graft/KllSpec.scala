@@ -168,6 +168,40 @@ class KllSpec extends SparkSpecBase {
       s"span filter must prune partitions:\n${plan.take(1200)}")
   }
 
+  test("sharded build: == flat while nothing compacts; bounded error under compaction; layout-independent") {
+    import graft.operators.KllOps
+    // sf0.001 days fit under capacity even merged, so every stride is 1
+    // and the sharded per-day answer must equal the flat one EXACTLY
+    val flat = KllOps.kllQuantiles(spark, sf0001)
+      .filter(col("day_us") >= 0).collect().map(_.toSeq).toSeq
+    val sharded = KllOps.kllSharded(spark, sf0001).collect().map(_.toSeq).toSeq
+    assert(sharded == flat, "with no compaction the sharded build IS the flat build")
+
+    // planted 50k single group: the sharded estimate carries at most one
+    // extra collapse level of rank error (levels = 2)
+    val big = spark.range(50000)
+      .select(lit(0L).as("day_us"),
+        (conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
+          .cast("double") / lit(1000.0)).as("v"),
+        col("id").as("tie"))
+    val merged = PortableKll.sketchSharded(big, Seq("day_us"), col("v"),
+      col("tie"), shards = 4)
+    val walked = PortableKll
+      .walkQuantiles(merged, Seq("day_us"), Seq("__shard", "rn"))
+      .collect().head
+    val vs = big.select("v").collect().map(_.getDouble(0)).sorted
+    checkGroup(vs, walked.getDouble(2), walked.getDouble(3),
+      walked.getDouble(4), levels = 2)
+
+    // layout independence: the salt comes from CONTENT (tie % shards),
+    // so any input partitioning folds to the identical survivor set
+    val rep = PortableKll.sketchSharded(big.repartition(13), Seq("day_us"),
+      col("v"), col("tie"), shards = 4)
+    assert(rep.collect().toSeq.sortBy(_.toString) ==
+      merged.collect().toSeq.sortBy(_.toString),
+      "sharded sketch must not depend on the partition layout")
+  }
+
   test("ingest correction: re-appending a GROWN day follows last-writer; final serve == full-day batch") {
     // the nightly-ingest contract: a day's sketch is written when the day
     // closes; if late data arrives, the day is RE-appended complete —

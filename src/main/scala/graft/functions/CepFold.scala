@@ -243,3 +243,128 @@ object CepNegFold {
     new GenericArrayData(out.toArray)
   }
 }
+
+/** The THREE-stage chain fold — `A{min,} followedBy B followedBy C
+  * within w` as one native expression over the key's sorted
+  * (t, id, k) event array, k ∈ {0 = A (loop), 1 = B (middle), 2 = C
+  * (terminator)}; neutral events are pre-filtered (transparent). The
+  * same documented rules as the two-stage fold, with the stage-2 state
+  * generalized to a PENDING SET — the r12 carried-partial lesson one
+  * stage up: at a B event every viable alive start (not only the
+  * earliest) takes its first B and becomes a pending (s, e, b); a later
+  * C completes the earliest within-alive pending — which may not be the
+  * earliest-installed one, because starts age out of their windows
+  * independently — and skip-past-last clears everything. A C with no
+  * live pending is transparent (loop partials AND pendings carry).
+  * State is within-pruned: O(one window of A events) for both the loop
+  * ring and the pending set. `CepNfaSpec.replayThreeStage` is the
+  * independent partial-set interpreter this fold is fuzz-matched
+  * against, batch and streaming.
+  *
+  * Output struct: (s = run start, e = min-th repetition, b = the taken
+  * middle event's ts, n = the completing C's ts).
+  */
+case class CepFold3(child: Expression, minTimes: Long, withinUs: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("s", LongType, nullable = false),
+    StructField("e", LongType, nullable = false),
+    StructField("b", LongType, nullable = false),
+    StructField("n", LongType, nullable = false))), containsNull = false)
+
+  override def prettyName: String = "graft_cep_fold3"
+
+  override protected def nullSafeEval(input: Any): Any =
+    CepFold3.compute(input.asInstanceOf[ArrayData], minTimes, withinUs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CepFold3.compute($c, ${minTimes}L, ${withinUs}L);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CepFold3 {
+
+  /** `arr`: array<struct<t:long, id:long, k:int>> in (t, id) order. */
+  def compute(arr: ArrayData, minTimes: Long, withinUs: Long): ArrayData = {
+    val n = arr.numElements()
+    val min = minTimes.toInt
+    val cap0 = math.min(math.max(n, 8), 1 << 16)
+    var loop = new Array[Long](cap0)
+    var lHead = 0
+    var lTail = 0
+    // pending set (s, e, b) as parallel arrays, sorted by s (installs are
+    // monotone: only loop starts past the largest pending s are new)
+    var ps = new Array[Long](cap0)
+    var pe = new Array[Long](cap0)
+    var pb = new Array[Long](cap0)
+    var pHead = 0
+    var pTail = 0
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+
+    def growLoop(): Unit =
+      if (lTail == loop.length) {
+        if (lHead >= loop.length / 2) {
+          System.arraycopy(loop, lHead, loop, 0, lTail - lHead)
+          lTail -= lHead; lHead = 0
+        } else {
+          val nb = new Array[Long](loop.length * 2)
+          System.arraycopy(loop, lHead, nb, 0, lTail - lHead)
+          lTail -= lHead; lHead = 0; loop = nb
+        }
+      }
+    def growPend(): Unit =
+      if (pTail == ps.length) {
+        if (pHead >= ps.length / 2) {
+          System.arraycopy(ps, pHead, ps, 0, pTail - pHead)
+          System.arraycopy(pe, pHead, pe, 0, pTail - pHead)
+          System.arraycopy(pb, pHead, pb, 0, pTail - pHead)
+          pTail -= pHead; pHead = 0
+        } else {
+          val m = ps.length * 2
+          val (ns, ne, nb2) = (new Array[Long](m), new Array[Long](m), new Array[Long](m))
+          System.arraycopy(ps, pHead, ns, 0, pTail - pHead)
+          System.arraycopy(pe, pHead, ne, 0, pTail - pHead)
+          System.arraycopy(pb, pHead, nb2, 0, pTail - pHead)
+          pTail -= pHead; pHead = 0; ps = ns; pe = ne; pb = nb2
+        }
+      }
+
+    var i = 0
+    while (i < n) {
+      val row = arr.getStruct(i, 3)
+      val t = row.getLong(0)
+      val k = row.getInt(2)
+      // within-prune both states (a start past w of NOW can never reach C)
+      while (lHead < lTail && t - loop(lHead) > withinUs) lHead += 1
+      while (pHead < pTail && t - ps(pHead) > withinUs) pHead += 1
+      if (k == 2) { // C
+        if (pTail > pHead) {
+          out += new GenericInternalRow(
+            Array[Any](ps(pHead), pe(pHead), pb(pHead), t))
+          lHead = 0; lTail = 0; pHead = 0; pTail = 0 // skip-past-last
+        }
+      } else if (k == 1) { // B: every viable alive start takes its first b
+        val lastS = if (pTail > pHead) ps(pTail - 1) else Long.MinValue
+        var j = lHead
+        while (j <= lTail - min) {
+          if (loop(j) > lastS) {
+            growPend()
+            ps(pTail) = loop(j); pe(pTail) = loop(j + min - 1); pb(pTail) = t
+            pTail += 1
+          }
+          j += 1
+        }
+      } else { // A
+        growLoop()
+        loop(lTail) = t
+        lTail += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}

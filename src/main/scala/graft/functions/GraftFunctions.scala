@@ -30,6 +30,9 @@ object GraftFunctions {
       CepNegFold(args(0), args(1).eval().asInstanceOf[Number].longValue,
         args(2).eval().asInstanceOf[Number].longValue,
         flush = args.length <= 3 || args(3).eval() == true) },
+    "graft_cep_fold3" -> { args =>
+      CepFold3(args(0), args(1).eval().asInstanceOf[Number].longValue,
+        args(2).eval().asInstanceOf[Number].longValue) },
     "graft_word_shingles" -> { args =>
       WordShingles(args(0), args(1).eval().asInstanceOf[Number].intValue) },
     "graft_pq_adc" -> { args => PqAdc(args(0), args(1)) },
@@ -124,6 +127,10 @@ object GraftFunctions {
       org.apache.spark.sql.functions.lit(minTimes),
       org.apache.spark.sql.functions.lit(withinUs),
       org.apache.spark.sql.functions.lit(flush))
+  def graftCepFold3(evs: Column, minTimes: Long, withinUs: Long): Column =
+    call_function("graft_cep_fold3", evs,
+      org.apache.spark.sql.functions.lit(minTimes),
+      org.apache.spark.sql.functions.lit(withinUs))
   def graftNfc(s: Column): Column = call_function("graft_nfc", s)
   def graftPHash64(payload: Column): Column =
     call_function("graft_phash64", payload)

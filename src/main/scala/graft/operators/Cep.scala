@@ -74,7 +74,8 @@ final case class CepPattern(
     relaxed: Boolean = false,
     negative: Boolean = false,
     greedyLoop: Boolean = false,
-    optionalLoop: Boolean = false) {
+    optionalLoop: Boolean = false,
+    midPred: Option[Column] = None) {
 
   require(minTimes >= 1 && maxTimes >= minTimes,
     s"times($minTimes, $maxTimes) is not a valid quantifier")
@@ -85,6 +86,8 @@ final case class CepPattern(
     "greedy/optional modify the positive completion; the negative match is first-min")
   require(!(greedyLoop && optionalLoop),
     "greedy and optional are mutually exclusive quantifier modes")
+  require(midPred.isEmpty || (relaxed && !negative && !greedyLoop && !optionalLoop),
+    "the three-stage chain is relaxed, positive, reluctant (Flink's defaults)")
 
   /** Batch detection over any frame carrying (key, ts, id) + whatever the
     * predicates reference. Output: key, run_start_us, run_end_us,
@@ -93,9 +96,47 @@ final case class CepPattern(
     * row; the match IS its absence).
     */
   def detect(events: DataFrame): DataFrame =
-    if (negative) detectNegative(events)
+    if (midPred.isDefined) detectThreeStage(events)
+    else if (negative) detectNegative(events)
     else if (relaxed) detectRelaxed(events)
     else detectStrict(events)
+
+  /** The THREE-stage chain `A{min,} followedBy B followedBy C within w`
+    * — same one-exchange + per-key fold plan as [[detectRelaxed]], run
+    * by the native [[graft.functions.CepFold3]] expression (see its doc
+    * for the pending-SET semantics — the r12 carried-partial lesson one
+    * stage up). Event classification precedence: C > B > A (an event
+    * matching a later stage acts as that stage, consistent with the
+    * two-stage next-precedence); events matching no stage are
+    * transparent and filtered before the shuffle. Output carries the
+    * taken middle event's timestamp as `mid_ts_us`.
+    */
+  private def detectThreeStage(events: DataFrame): DataFrame = {
+    {
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val idT = events.schema(idCol).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idT),
+        s"relaxed CEP orders ties by an integral id; '$idCol' is " +
+          s"${idT.catalogString} — map it to a numeric id first")
+    }
+    val mid = midPred.get
+    val e = events
+      .withColumn("__k",
+        when(nextPred, 2).when(mid, 1).when(runPred, 0).otherwise(-1))
+      .filter(col("__k") >= 0)
+      .select(col(keyCol),
+        unix_micros(col(tsCol)).as("t"),
+        col(idCol).cast("long").as("id"),
+        col("__k").as("k"))
+    e.groupBy(keyCol)
+      .agg(collect_list(struct(col("t"), col("id"), col("k"))).as("__evs"))
+      .select(col(keyCol), explode(graft.functions.GraftFunctions.graftCepFold3(
+        array_sort(col("__evs")), minTimes, withinUs)).as("m"))
+      .select(col(keyCol), col("m.s").as("run_start_us"),
+        col("m.e").as("run_end_us"), col("m.b").as("mid_ts_us"),
+        col("m.n").as("next_ts_us"), lit(minTimes).as("run_count"))
+      .orderBy(keyCol, "run_start_us")
+  }
 
   private def detectStrict(events: DataFrame): DataFrame = {
     val byKey = Window.partitionBy(keyCol).orderBy(tsCol, idCol)
@@ -220,7 +261,60 @@ final case class CepPattern(
     * (streams carry epoch integers; batch callers convert once). Same
     * output row per match as [[detect]], as they arrive.
     */
+  /** Streaming twin of [[detectThreeStage]]: the same fold as
+    * [[graft.functions.CepFold3]] over List state (loop buffer + pending
+    * set, both within-pruned), emitted as matches arrive.
+    */
+  def detectThreeStageStream(events: DataFrame): Dataset[CepPattern.Match3] = {
+    require(midPred.isDefined, "detectThreeStageStream needs a middle stage")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val mid = midPred.get
+    val typed = events
+      .select(col(keyCol).cast("long"), col(idCol).cast("long"),
+        col(tsCol).cast("long"),
+        when(nextPred, 2).when(mid, 1).when(runPred, 0).otherwise(-1).as("k"))
+      .as[(Long, Long, Long, Int)]
+    val (minT, withinT) = (minTimes.toInt, withinUs)
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[CepPattern.State3, CepPattern.Match3](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, it, state: GroupState[CepPattern.State3]) =>
+          val rows = it.toArray.sortBy(r => (r._3, r._2))
+          var st = state.getOption.getOrElse(
+            CepPattern.State3(Nil, Nil, Long.MinValue, Long.MinValue))
+          val out = Seq.newBuilder[CepPattern.Match3]
+          rows.foreach { case (_, id, ts, k) =>
+            if (ts < st.lastTs || (ts == st.lastTs && id <= st.lastId)) ()
+            else {
+              var loop = st.buf.dropWhile(ts - _ > withinT)
+              var pend = st.pend.dropWhile(p => ts - p._1 > withinT)
+              k match {
+                case 2 =>
+                  pend.headOption.foreach { case (s, e, b) =>
+                    out += CepPattern.Match3(key, s, e, b, ts, minT.toLong)
+                    loop = Nil; pend = Nil // skip-past-last
+                  }
+                case 1 =>
+                  val lastS = pend.lastOption.map(_._1).getOrElse(Long.MinValue)
+                  val cand = (0 to loop.size - minT)
+                    .map(i => (loop(i), loop(i + minT - 1), ts))
+                    .filter(_._1 > lastS)
+                  pend = pend ++ cand
+                case 0 => loop = loop :+ ts
+                case _ => () // neutral: transparent
+              }
+              st = CepPattern.State3(loop, pend, ts, id)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   def detectStream(events: DataFrame): Dataset[CepPattern.Match] = {
+    require(midPred.isEmpty,
+      "three-stage patterns stream via detectThreeStageStream")
     val spark = events.sparkSession
     import spark.implicits._
     val typed = events
@@ -317,6 +411,10 @@ object CepPattern {
   final case class State(buf: List[Long], lastTs: Long, lastId: Long)
   final case class Match(key: Long, run_start_us: Long, run_end_us: Long,
       next_ts_us: Long, run_count: Long)
+  final case class State3(buf: List[Long], pend: List[(Long, Long, Long)],
+      lastTs: Long, lastId: Long)
+  final case class Match3(key: Long, run_start_us: Long, run_end_us: Long,
+      mid_ts_us: Long, next_ts_us: Long, run_count: Long)
 
   /** Entry point mirroring `Pattern.begin(...)`: key first, then the
     * fluent stages.
@@ -380,5 +478,21 @@ object CepPattern {
     def within(us: Long): CepPattern =
       CepPattern(keyCol, runPred, min, max, nextPred, us, relaxed = relaxed,
         negative = negative, greedyLoop = greedy, optionalLoop = optional)
+    /** Chain a THIRD stage: `...followedBy(B).followedBy(C)` — the
+      * previous stage's predicate becomes the relaxed middle stage, this
+      * one the terminator (classification precedence C > B > A). Relaxed
+      * positive reluctant only, like Flink's defaults.
+      */
+    def followedBy(pred: Column): WithinStep3 = {
+      require(relaxed && !negative && !greedy && !optional,
+        "three-stage chains are relaxed, positive, reluctant")
+      new WithinStep3(keyCol, runPred, min, max, nextPred, pred)
+    }
+  }
+  final class WithinStep3 private[CepPattern] (keyCol: String, runPred: Column,
+      min: Long, max: Long, midPred: Column, nextPred: Column) {
+    def within(us: Long): CepPattern =
+      CepPattern(keyCol, runPred, min, max, nextPred, us, relaxed = true,
+        midPred = Some(midPred))
   }
 }

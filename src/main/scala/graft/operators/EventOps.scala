@@ -452,6 +452,92 @@ object EventOps {
        |FROM cz_chain
        |ORDER BY target_id, attack_start_us""".stripMargin
 
+  /** THREE-stage CEP chain (r13) — `fragments{3,} followedBy probe
+    * followedBy high within 24h`: a fragment run, then a mid-band probe
+    * event (the reconnaissance step between the flood and the strike),
+    * then the high event — the natural escalation of the reference's
+    * two-stage pattern, compiled through the builder's chained
+    * `followedBy`. Semantics = the documented rules with the stage-2
+    * state generalized to a PENDING SET (every viable alive start takes
+    * its first probe; a later high completes the earliest within-alive
+    * pending even after earlier starts age out — `CepNfaSpec` pins the
+    * multi-pending counterexample a single-pending model misses, plus
+    * batch+streaming fuzz vs the partial-set interpreter). One exchange
+    * + the native `CepFold3` per-key fold; the oracle replays the
+    * identical fold as a per-key recursive CTE carrying the loop buffer
+    * AND the three pending lists.
+    */
+  def cep3Stage(s: SparkSession, dir: String): DataFrame =
+    CepPattern.on("user_id")
+      .where(col("value") < LowThresh)
+      .times(MinRun, MaxRun)
+      .followedBy(col("value") >= LowThresh && col("value") <= HighThresh)
+      .followedBy(col("value") > HighThresh)
+      .within(WithinUs)
+      .detect(Tables.t(s, dir, "events")
+        .select("user_id", "event_id", "ts", "value"))
+      .select(col("user_id").as("target_id"),
+        col("run_start_us").as("attack_start_us"),
+        col("run_end_us").as("attack_end_us"),
+        col("mid_ts_us").as("probe_ts_us"),
+        col("next_ts_us").as("normal_ts_us"),
+        col("run_count").as("fragment_count"))
+      .orderBy("target_id", "attack_start_us")
+
+  val cep3StageOracle: String = {
+    val (w, min) = (WithinUs, MinRun)
+    // pruned-state helper fragments (DuckDB lateral column references let
+    // the recursive term name its intermediates once)
+    s"""WITH RECURSIVE c3_e AS (
+       |  SELECT user_id, epoch_us(ts) AS t,
+       |         CASE WHEN value > $HighThresh THEN 2
+       |              WHEN value >= $LowThresh THEN 1 ELSE 0 END AS k,
+       |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+       |  FROM events),
+       |step AS (
+       |  SELECT user_id, 0 AS i,
+       |         CAST([] AS BIGINT[]) AS buf, CAST([] AS BIGINT[]) AS ps,
+       |         CAST([] AS BIGINT[]) AS pe, CAST([] AS BIGINT[]) AS pb
+       |  FROM (SELECT DISTINCT user_id FROM c3_e)
+       |  UNION ALL
+       |  SELECT user_id, i, buf2 AS buf, ps2 AS ps, pe2 AS pe, pb2 AS pb FROM (
+       |    SELECT s.user_id AS user_id, s.i + 1 AS i, ev.k AS k, ev.t AS t,
+       |      list_filter(s.buf, x -> ev.t - x <= $w) AS nb,
+       |      len(s.ps) - len(list_filter(s.ps, x -> ev.t - x <= $w)) AS dp,
+       |      s.ps[dp+1:] AS kps, s.pe[dp+1:] AS kpe, s.pb[dp+1:] AS kpb,
+       |      CASE WHEN k = 1 THEN list_filter(
+       |             list_transform(generate_series(1, greatest(len(nb) - $min + 1, 0)),
+       |               j -> {'s': nb[j], 'e': nb[j + $min - 1]}),
+       |             r -> struct_extract(r, 's') >
+       |                  coalesce(kps[-1], -9223372036854775807))
+       |           ELSE CAST([] AS STRUCT(s BIGINT, e BIGINT)[]) END AS cand,
+       |      CASE WHEN k = 2 AND len(kps) > 0 THEN CAST([] AS BIGINT[])
+       |           WHEN k = 0 THEN list_append(nb, t) ELSE nb END AS buf2,
+       |      CASE WHEN k = 2 AND len(kps) > 0 THEN CAST([] AS BIGINT[])
+       |           WHEN k = 1 THEN kps || list_transform(cand, r -> struct_extract(r, 's'))
+       |           ELSE kps END AS ps2,
+       |      CASE WHEN k = 2 AND len(kps) > 0 THEN CAST([] AS BIGINT[])
+       |           WHEN k = 1 THEN kpe || list_transform(cand, r -> struct_extract(r, 'e'))
+       |           ELSE kpe END AS pe2,
+       |      CASE WHEN k = 2 AND len(kps) > 0 THEN CAST([] AS BIGINT[])
+       |           WHEN k = 1 THEN kpb || list_transform(cand, r -> ev.t)
+       |           ELSE kpb END AS pb2
+       |    FROM step s JOIN c3_e ev ON ev.user_id = s.user_id AND ev.rn = s.i + 1))
+       |SELECT target_id, attack_start_us, attack_end_us, probe_ts_us,
+       |       normal_ts_us, fragment_count FROM (
+       |  SELECT s.user_id AS target_id,
+       |         len(s.ps) - len(list_filter(s.ps, x -> ev.t - x <= $w)) AS dp,
+       |         (s.ps[dp+1:])[1] AS attack_start_us,
+       |         (s.pe[dp+1:])[1] AS attack_end_us,
+       |         (s.pb[dp+1:])[1] AS probe_ts_us,
+       |         ev.t AS normal_ts_us,
+       |         CAST($min AS BIGINT) AS fragment_count,
+       |         ev.k AS k, len(s.ps[dp+1:]) AS np
+       |  FROM step s JOIN c3_e ev ON ev.user_id = s.user_id AND ev.rn = s.i + 1)
+       |WHERE k = 2 AND np > 0
+       |ORDER BY target_id, attack_start_us""".stripMargin
+  }
+
   /** IPInsights analog (reference sagemaker notebook: entity<->IP
     * co-occurrence scoring). Rarity = expected/observed co-occurrence of
     * (user, event_type): integer-exact counts, one final IEEE division.
@@ -2442,6 +2528,7 @@ object EventOps {
     QueryDef("ev_cep_bounded", cepAttackBounded, Some(cepBoundedOracle)),
     QueryDef("ev_cep_flink", cepAttackFlink, Some(cepFlinkOracle)),
     QueryDef("ev_cep_fizzle", cepFizzle, Some(cepFizzleOracle)),
+    QueryDef("ev_cep_3stage", cep3Stage, Some(cep3StageOracle)),
     QueryDef("ev_rarity_score", rarityScore, Some(rarityOracle)),
     QueryDef("ev_ipinsights_score", ipinsightsServe, Some(ipinsightsOracle)),
     QueryDef("ev_quantiles_by_type", quantilesByType, Some(quantilesOracle)),

@@ -74,6 +74,46 @@ object FlinkNfaRef {
     out.result()
   }
 
+  /** THREE-stage chain `A{min,} followedBy B followedBy C within w` under
+    * the same documented rules (relaxed contiguity at every stage,
+    * non-greedy first-min loop, earliest-start match preference,
+    * skipPastLastEvent), tracked with the FULL stage-2 partial set — the
+    * generalization of the r12 carried-partial lesson: at a B event,
+    * EVERY viable alive start (not just the earliest) takes the B and
+    * becomes a pending (s, e, b); a later C completes the earliest
+    * within-alive pending even if earlier pendings' starts have aged
+    * out. Kinds: 0 = A, 1 = B, 2 = C (precedence C > B > A resolved by
+    * the caller); neutral (3) events are transparent.
+    * Matches: (run_start, min-th rep, b_ts, c_ts, min).
+    */
+  def replayThreeStage(events: Seq[(Long, Int)], min: Int,
+      withinUs: Long): Seq[(Long, Long, Long, Long, Long)] = {
+    var loop = Vector.empty[Long]                 // alive A starts
+    var pend = Vector.empty[(Long, Long, Long)]   // (s, e, b), by s
+    val out = Seq.newBuilder[(Long, Long, Long, Long, Long)]
+    events.foreach { case (ts, kind) =>
+      loop = loop.dropWhile(ts - _ > withinUs)
+      pend = pend.dropWhile(p => ts - p._1 > withinUs)
+      kind match {
+        case 2 => // C completes the earliest live pending; skip-past-last
+          if (pend.nonEmpty) {
+            val (s, e, b) = pend.head
+            out += ((s, e, b, ts, min.toLong))
+            loop = Vector.empty; pend = Vector.empty
+          } // else transparent: partials and pendings carry
+        case 1 => // B: every viable alive start takes its FIRST b
+          val already = pend.map(_._1).toSet
+          val cand = (0 to loop.size - min)
+            .map(i => (loop(i), loop(i + min - 1), ts))
+            .filterNot(p => already(p._1))
+          pend = (pend ++ cand).sortBy(_._1)
+        case 0 => loop = loop :+ ts
+        case _ => () // neutral: transparent
+      }
+    }
+    out.result()
+  }
+
   /** The NEGATIVE pattern (`notFollowedBy` + `within`): a branch started
     * at s matches at its window expiry s + within iff it collected >= min
     * loop events in [s, s + within] and NO terminator occurred in
@@ -290,6 +330,121 @@ class CepNfaSpec extends SparkSpecBase {
       assert(got == negExpected(traffic),
         s"streaming negative round $round diverged\n traffic=$traffic\n got=$got\n want=${negExpected(traffic)}")
     }
+  }
+
+  test("batch + streaming three-stage chain == partial-set interpreter on fuzzed traffic") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rng = new scala.util.Random(60902)
+    // four kinds: 0 = A (value 5), 1 = C (95), 2 = neutral (would-be 50 —
+    // excluded from every stage below), 3 = B (70)
+    def traffic3(): Seq[(Long, Int)] = {
+      val n = rng.nextInt(61)
+      var ts = 1000L
+      (0 until n).map { _ =>
+        ts += (if (rng.nextInt(7) == 0) 40L + rng.nextInt(100) else 1L + rng.nextInt(15))
+        (ts, rng.nextInt(10) match {
+          case 0 | 1 => 1 // C
+          case 2 | 3 => 3 // B
+          case 4     => 2 // neutral
+          case _     => 0 // A
+        })
+      }
+    }
+    def valueOf(kind: Int): Double = kind match {
+      case 0 => 5.0; case 1 => 95.0; case 3 => 70.0; case _ => 50.0
+    }
+    val pat3 = CepPattern.on("user_id")
+      .where(col("value") < 10).times(Min, Max)
+      .followedBy(col("value") > 60 && col("value") < 80)
+      .followedBy(col("value") > 90)
+      .within(Within)
+    def toDf3(traffic: Seq[(Long, Seq[(Long, Int)])]) =
+      traffic.flatMap { case (key, evs) =>
+        evs.zipWithIndex.map { case ((ts, kind), i) =>
+          (key, key * 100000L + i, ts, valueOf(kind))
+        }
+      }.toDF("user_id", "event_id", "__us", "value")
+        .withColumn("ts", timestamp_micros(col("__us"))).drop("__us")
+    def expected3(traffic: Seq[(Long, Seq[(Long, Int)])]) =
+      traffic.flatMap { case (key, evs) =>
+        // interpreter kinds: 0 = A, 1 = B, 2 = C, 3 = neutral
+        FlinkNfaRef.replayThreeStage(
+          evs.map { case (ts, k) =>
+            (ts, k match { case 0 => 0; case 3 => 1; case 1 => 2; case _ => 3 })
+          }, Min.toInt, Within)
+          .map { case (s, e, b, c, n) => (key, s, e, b, c, n) }
+      }.sortBy(m => (m._1, m._2))
+    (1 to 25).foreach { round =>
+      val traffic = (0 until 6).map(k => (k.toLong, traffic3()))
+      val got = pat3.detect(toDf3(traffic))
+        .select("user_id", "run_start_us", "run_end_us", "mid_ts_us",
+          "next_ts_us", "run_count")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))
+        .toSeq.sortBy(m => (m._1, m._2))
+      assert(got == expected3(traffic),
+        s"3-stage round $round diverged\n traffic=$traffic\n got=$got\n want=${expected3(traffic)}")
+    }
+    // streaming twin on a few rounds
+    (1 to 4).foreach { round =>
+      val traffic = (0 until 3).map(k => (k.toLong, traffic3()))
+      val mem = MemoryStream[(Long, Long, Long, Double)]
+      mem.addData(traffic.flatMap { case (key, evs) =>
+        evs.zipWithIndex.map { case ((ts, kind), i) =>
+          (key, key * 100000L + i, ts, valueOf(kind))
+        }
+      })
+      val qn = s"cep3_$round"
+      val q = pat3.detectThreeStageStream(
+          mem.toDF.toDF("user_id", "event_id", "ts", "value"))
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val got = spark.table(qn).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))
+        .toSeq.sortBy(m => (m._1, m._2))
+      assert(got == expected3(traffic),
+        s"3-stage streaming round $round diverged\n traffic=$traffic")
+    }
+  }
+
+  test("three-stage hand-checked: pending set survives start aging (the multi-pending case)") {
+    // A@10 A@12 A@14 A@16 (min=4 satisfied), B@20 installs pendings for
+    // starts 10..16? viable starts: only start 10 has 4 reps by B@20 —
+    // wait: starts are ALL A's; start 12 has reps 12,14,16 (3 < min).
+    // Another A@30 makes start 12 viable at B@40 (reps 12,14,16,30).
+    // C@105: start 10's window [10,110] — pending (10, e=16, b=20) is
+    // still alive -> match starts at 10. But C@111 (second scenario,
+    // separate key): start 10 aged out (111-10 > 100); pending
+    // (12, e=30, b=40) completes — the match the single-pending model
+    // would MISS (b=40 happened while pending 10 was live).
+    val traffic = Seq(
+      (1L, Seq((10L, 0), (12L, 0), (14L, 0), (16L, 0), (20L, 3), (30L, 0),
+        (40L, 3), (105L, 1))),
+      (2L, Seq((10L, 0), (12L, 0), (14L, 0), (16L, 0), (20L, 3), (30L, 0),
+        (40L, 3), (111L, 1))))
+    def valueOf(kind: Int): Double = kind match {
+      case 0 => 5.0; case 1 => 95.0; case 3 => 70.0; case _ => 50.0
+    }
+    val df = traffic.flatMap { case (key, evs) =>
+      evs.zipWithIndex.map { case ((ts, kind), i) =>
+        (key, key * 100000L + i, ts, valueOf(kind))
+      }
+    }.toDF("user_id", "event_id", "__us", "value")
+      .withColumn("ts", timestamp_micros(col("__us"))).drop("__us")
+    val pat3 = CepPattern.on("user_id")
+      .where(col("value") < 10).times(Min, Max)
+      .followedBy(col("value") > 60 && col("value") < 80)
+      .followedBy(col("value") > 90)
+      .within(Within)
+    val got = pat3.detect(df)
+      .select("user_id", "run_start_us", "run_end_us", "mid_ts_us", "next_ts_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq.sortBy(_._1)
+    assert(got == Seq(
+      (1L, 10L, 16L, 20L, 105L),
+      (2L, 12L, 30L, 40L, 111L)), s"got $got")
   }
 
   test("streaming greedy / optional folds == extended NFA replay on fuzzed traffic") {

@@ -468,14 +468,16 @@ object EventOps {
     * AND the three pending lists.
     */
   def cep3Stage(s: SparkSession, dir: String): DataFrame =
+    cep3StageOn(Tables.t(s, dir, "events"))
+
+  def cep3StageOn(events: DataFrame): DataFrame =
     CepPattern.on("user_id")
       .where(col("value") < LowThresh)
       .times(MinRun, MaxRun)
       .followedBy(col("value") >= LowThresh && col("value") <= HighThresh)
       .followedBy(col("value") > HighThresh)
       .within(WithinUs)
-      .detect(Tables.t(s, dir, "events")
-        .select("user_id", "event_id", "ts", "value"))
+      .detect(events.select("user_id", "event_id", "ts", "value"))
       .select(col("user_id").as("target_id"),
         col("run_start_us").as("attack_start_us"),
         col("run_end_us").as("attack_end_us"),

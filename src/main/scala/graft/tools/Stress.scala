@@ -333,6 +333,21 @@ object Stress {
       spark.catalog.clearCache()
     }
 
+    // three-stage chain (r13 CepFold3): same disjoint-user-space argument
+    // — match count exactly linear (hard require); wall is the fold's
+    // curve (one exchange + per-key pending-set fold)
+    locally {
+      var c3 = 0L
+      time("cep-3stage x1")({ c3 = EventOps.cep3StageOn(ev).count(); c3 })
+      time(s"cep-3stage x$copies") {
+        val n = EventOps.cep3StageOn(evN).count()
+        require(n == copies * c3,
+          s"3-stage matches not linear: x1=$c3, x$copies=$n")
+        n
+      }
+      spark.catalog.clearCache()
+    }
+
     // N-step funnel (r10 DSL) at xN: copies live in DISJOINT user spaces,
     // so each copy's funnel is isomorphic to copy 0's — every stage count
     // must be EXACTLY linear in copies and every conversion ratio
@@ -378,6 +393,8 @@ object Stress {
     // for the per-key sequential NFA (the curve shows the one-task
     // ceiling, the pass itself stays linear in the array)
     time(s"cep-flink hot-key(50%) x$copies")(EventOps.cepAttackFlinkOn(hot).count())
+    // 3-stage pending-set fold at the same single-key ceiling
+    time(s"cep-3stage hot-key(50%) x$copies")(EventOps.cep3StageOn(hot).count())
 
     // skew-salting stage (r13, hard-required): the salting decision is
     // FED FROM the ev_key_skew measurement, not guessed; the salted join

@@ -21,6 +21,7 @@ object Registry {
       operators.MembershipOps.defs ++
       operators.KllOps.defs ++
       operators.Ewma.defs ++
+      operators.Forecast.defs ++
       operators.ReportOps.defs ++
       operators.TextOps.defs ++
       operators.DedupOps.defs ++

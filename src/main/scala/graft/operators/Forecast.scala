@@ -1,0 +1,194 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.sources.Tables
+
+/** Trend-aware forecasting and robust windowed outlier detection over the
+  * events stream — two anomaly-family members that sit between the
+  * memoryless EWMA fold ([[Ewma]]) and the global frozen-MAD table
+  * ([[EventOps]] `ev_mad_outliers`):
+  *
+  *  - `ev_holt_forecast` — Holt's linear (level + trend) double
+  *    exponential smoothing over the per-type DAILY series, flagging days
+  *    whose one-step-ahead forecast residual exceeds 3× a running MAE.
+  *    EWMA tracks level only, so any steady growth looks like a permanent
+  *    positive residual; Holt absorbs the trend and flags genuine breaks.
+  *    Reference anchor: the workshop's per-metric anomaly scoring
+  *    (flink-app AnomalyDetection) is a level-only heuristic — this is
+  *    the trend-aware upgrade a metrics pipeline reaches for next.
+  *  - `ev_hampel_outliers` — the classic Hampel filter: per event (not
+  *    per day), the median and MAD of the ±5-event neighbourhood around
+  *    it (ordered by ts, event_id within the type), flagging events
+  *    more than 4 MADs from their local median. Unlike the global MAD
+  *    table it adapts to local level shifts, and unlike EWMA it is
+  *    robust (a single spike cannot drag the estimate it is judged by).
+  *
+  * Exactness discipline (the Ewma.scala precedent): every smoothing
+  * coefficient is DYADIC (0.5, 0.25, 0.75, ×3, ×4, /2) so each step is an
+  * exact IEEE-754 operation both engines perform identically, and both
+  * queries gate hash-exact against DuckDB replays — a recursive-CTE
+  * lockstep fold for Holt, a window + sorted-list replay for Hampel.
+  *
+  * Scale shape: Holt folds |types| × |days| DAILY rows — the fact-scale
+  * work is one map-side-combinable count; the fold itself is
+  * metadata-scale. Hampel is one exchange on the type key and a
+  * WholeStageCodegen window + higher-order-function pass (11-value frame
+  * per event, never a self-join); if a single type outgrows a task the
+  * day-bounded variant of the CEP family applies unchanged.
+  */
+object Forecast {
+
+  /** The per-(type, day) count frame both daily folds consume. */
+  private def daily(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "events")
+      .groupBy(col("event_type"),
+        unix_micros(date_trunc("DAY", col("ts"))).as("day_us"))
+      .agg(count(lit(1)).cast("double").as("x"))
+
+  def holtForecast(s: SparkSession, dir: String): DataFrame =
+    holtForecastOn(daily(s, dir))
+
+  /** The fold over a prepared (event_type, day_us, x) daily frame.
+    * Emits the full smoothing path: one row per input day carrying the
+    * one-step forecast, post-update level/trend, and the outlier flag —
+    * the path IS the gate (a final-state-only output would let a
+    * mid-series divergence cancel out).
+    */
+  def holtForecastOn(d: DataFrame): DataFrame = {
+    val rowsT = "array<struct<day_us: bigint, x: double, f: double, " +
+      "level: double, trend: double, is_out: boolean>>"
+    val acc0 = struct(lit(0).as("i"), lit(0.0).as("level"),
+      lit(0.0).as("trend"), lit(0.0).as("mae"),
+      expr(s"CAST(array() AS $rowsT)").as("rows"))
+    val folded = d.groupBy("event_type")
+      .agg(array_sort(collect_list(struct(col("day_us"), col("x"))))
+        .as("days"))
+      .withColumn("fin", aggregate(col("days"), acc0, (acc, dd) => {
+        val i = acc("i")
+        val level = acc("level"); val trend = acc("trend")
+        val mae = acc("mae"); val x = dd("x")
+        // One-step-ahead forecast; the first observation forecasts itself
+        // (residual 0) so the fold needs no special seed row.
+        val f = when(i === 0, x).otherwise(level + trend)
+        val resid = abs(x - f)
+        // Judged against the PRIOR mae — the spike must not raise the bar
+        // it is measured by. i >= 2 so mae has seen >= 1 real residual.
+        val isOut = (i >= 2) && (mae > lit(0.0)) && (resid > lit(3.0) * mae)
+        val nLevel = when(i === 0, x).otherwise(lit(0.5) * x + lit(0.5) * f)
+        val nTrend = when(i === 0, lit(0.0))
+          .otherwise(lit(0.25) * (nLevel - level) + lit(0.75) * trend)
+        val nMae = when(i === 0, lit(0.0)).when(i === 1, resid)
+          .otherwise(lit(0.5) * resid + lit(0.5) * mae)
+        struct((i + lit(1)).as("i"), nLevel.as("level"), nTrend.as("trend"),
+          nMae.as("mae"),
+          concat(acc("rows"), array(struct(dd("day_us").as("day_us"),
+            x.as("x"), f.as("f"), nLevel.as("level"), nTrend.as("trend"),
+            isOut.as("is_out")))).as("rows"))
+      }))
+    folded.select(col("event_type"), explode(col("fin.rows")).as("r"))
+      .select(col("event_type"), col("r.day_us").as("day_us"),
+        col("r.x").as("x"), col("r.f").as("forecast"),
+        col("r.level").as("level"), col("r.trend").as("trend"),
+        col("r.is_out").as("is_out"))
+      .orderBy("event_type", "day_us")
+  }
+
+  /** Lockstep recursive-CTE replay of the identical Holt fold. */
+  val holtForecastOracle: String =
+    """WITH RECURSIVE hw_d AS (
+      |  SELECT event_type, epoch_us(date_trunc('day', ts)) AS day_us,
+      |         CAST(COUNT(*) AS DOUBLE) AS x,
+      |         row_number() OVER (PARTITION BY event_type
+      |                            ORDER BY date_trunc('day', ts)) AS rn
+      |  FROM events GROUP BY event_type, date_trunc('day', ts)),
+      |hw AS (
+      |  SELECT event_type, 0 AS i, CAST(0 AS BIGINT) AS day_us,
+      |         0.0::DOUBLE AS x, 0.0::DOUBLE AS f, 0.0::DOUBLE AS level,
+      |         0.0::DOUBLE AS trend, 0.0::DOUBLE AS mae, FALSE AS is_out
+      |  FROM (SELECT DISTINCT event_type FROM hw_d)
+      |  UNION ALL
+      |  SELECT st.event_type, st.i + 1, d.day_us, d.x,
+      |         CASE WHEN st.i = 0 THEN d.x ELSE st.level + st.trend END,
+      |         CASE WHEN st.i = 0 THEN d.x
+      |              ELSE 0.5 * d.x + 0.5 * (st.level + st.trend) END,
+      |         CASE WHEN st.i = 0 THEN 0.0
+      |              ELSE 0.25 * ((0.5 * d.x + 0.5 * (st.level + st.trend))
+      |                           - st.level) + 0.75 * st.trend END,
+      |         CASE WHEN st.i = 0 THEN 0.0
+      |              WHEN st.i = 1 THEN abs(d.x - (st.level + st.trend))
+      |              ELSE 0.5 * abs(d.x - (st.level + st.trend))
+      |                   + 0.5 * st.mae END,
+      |         st.i >= 2 AND st.mae > 0.0
+      |           AND abs(d.x - (st.level + st.trend)) > 3.0 * st.mae
+      |  FROM hw st JOIN hw_d d
+      |    ON d.event_type = st.event_type AND d.rn = st.i + 1)
+      |SELECT event_type, day_us, x, f AS forecast, level, trend, is_out
+      |FROM hw WHERE i >= 1
+      |ORDER BY event_type, day_us""".stripMargin
+
+  def hampelOutliers(s: SparkSession, dir: String): DataFrame =
+    hampelOutliersOn(Tables.t(s, dir, "events")
+      .select(col("event_type"), col("event_id").cast("long").as("id"),
+        unix_micros(col("ts")).as("ts_us"), col("value").as("x")))
+
+  /** The Hampel filter over a prepared (event_type, id, ts_us, x) frame.
+    * Median convention on BOTH engines: sorted picks, even-count medians
+    * average the two middles with an exact /2.0 — `list_aggregate(...,
+    * 'median')` is deliberately NOT used in the oracle so the
+    * interpolation rule is spelled out once and identically.
+    */
+  def hampelOutliersOn(e: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("ts_us", "id")
+      .rowsBetween(-5, 5)
+    def medOf(arr: String): String =
+      s"CASE WHEN size($arr) % 2 = 1 THEN $arr[size($arr) DIV 2] " +
+        s"ELSE ($arr[size($arr) DIV 2 - 1] + $arr[size($arr) DIV 2]) / 2.0 END"
+    e.withColumn("win", sort_array(collect_list(col("x")).over(w)))
+      .withColumn("med", expr(medOf("win")))
+      .withColumn("dev", expr("array_sort(transform(win, v -> abs(v - med)))"))
+      .withColumn("mad", expr(medOf("dev")))
+      .filter(col("mad") > 0.0 &&
+        abs(col("x") - col("med")) > lit(4.0) * col("mad"))
+      .select("event_type", "id", "ts_us", "x", "med", "mad")
+      .orderBy("event_type", "id")
+  }
+
+  /** Window + sorted-list DuckDB replay of the identical filter. */
+  val hampelOutliersOracle: String =
+    """WITH he AS (
+      |  SELECT event_type, event_id AS id, epoch_us(ts) AS ts_us,
+      |         value AS x,
+      |         list(value) OVER (PARTITION BY event_type
+      |                           ORDER BY ts, event_id
+      |                           ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)
+      |           AS win
+      |  FROM events),
+      |hm AS (SELECT event_type, id, ts_us, x, list_sort(win) AS sw FROM he),
+      |h2 AS (
+      |  SELECT event_type, id, ts_us, x, sw,
+      |         CASE WHEN len(sw) % 2 = 1 THEN sw[(len(sw) + 1) // 2]
+      |              ELSE (sw[len(sw) // 2] + sw[len(sw) // 2 + 1]) / 2.0
+      |         END AS med
+      |  FROM hm),
+      |h3 AS (
+      |  SELECT event_type, id, ts_us, x, med,
+      |         list_sort(list_transform(sw, v -> abs(v - med))) AS dv
+      |  FROM h2),
+      |h4 AS (
+      |  SELECT event_type, id, ts_us, x, med,
+      |         CASE WHEN len(dv) % 2 = 1 THEN dv[(len(dv) + 1) // 2]
+      |              ELSE (dv[len(dv) // 2] + dv[len(dv) // 2 + 1]) / 2.0
+      |         END AS mad
+      |  FROM h3)
+      |SELECT event_type, id, ts_us, x, med, mad
+      |FROM h4 WHERE mad > 0.0 AND abs(x - med) > 4.0 * mad
+      |ORDER BY event_type, id""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("ev_holt_forecast", holtForecast, Some(holtForecastOracle)),
+    QueryDef("ev_hampel_outliers", hampelOutliers, Some(hampelOutliersOracle)))
+}

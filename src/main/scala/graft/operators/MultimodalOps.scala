@@ -355,11 +355,118 @@ object MultimodalOps {
        |FROM ph0 ORDER BY doc_id""".stripMargin
   }
 
+  /** Scene segmentation over the frame stream (r13) — the video-pipeline
+    * composition of the family's pieces: split each asset's payload into
+    * contiguous 64-byte "frames" (the non-overlapping analog of
+    * [[frameDedup]]'s strided windows — a video's decoded frame
+    * sequence), pHash each frame with [[graft.functions.PHash64]], and
+    * declare a scene cut wherever consecutive frames' hashes differ by
+    * more than 26 of 64 bits (identical or near-identical content runs —
+    * a static shot — stay in one scene; a content change breaks it).
+    * Output is the scene table (doc_id, scene, start_frame, n_frames):
+    * `start_frame` IS the keyframe a sampling pipeline would decode —
+    * one frame per scene instead of every frame, the standard
+    * shot-boundary sampling step of a video training-data pipeline.
+    *
+    * Scale shape: one map pass payload → (frame, 8-byte hash) rows
+    * (the payload is never joined or re-scanned), one exchange on
+    * doc_id for the lag/cumsum window, then a metadata-scale groupBy.
+    * A 100 TB asset store with million-frame videos would hit the same
+    * per-key window the CEP family bounds by day — the frame index is
+    * the bounding key there.
+    */
+  def sceneCuts(s: SparkSession, dir: String): DataFrame =
+    sceneCutsOn(asBinaryTable(s, dir))
+
+  /** The scene fold over any (doc_id, payload) frame — the spec's
+    * planted-fixture surface.
+    */
+  def sceneCutsOn(bin: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (frameLen, cutBar) = (64, 26)
+    val frames = bin
+      .filter(octet_length(col("payload")) >= frameLen)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, CAST(octet_length(payload) DIV $frameLen AS INT) - 1), " +
+          s"i -> substring(payload, i * $frameLen + 1, $frameLen))")))
+      .select(col("doc_id"), col("pos").cast("long").as("fi"),
+        graft.functions.GraftFunctions.graftPHash64(col("col")).as("ph"))
+    val w = Window.partitionBy("doc_id").orderBy("fi")
+    frames
+      .withColumn("prev", lag(col("ph"), 1).over(w))
+      .withColumn("cut", col("prev").isNull ||
+        expr(s"bit_count(ph ^ prev) > $cutBar"))
+      .withColumn("scene",
+        sum(when(col("cut"), 1L).otherwise(0L)).over(w) - 1)
+      .groupBy(col("doc_id"), col("scene"))
+      .agg(min(col("fi")).as("start_frame"), count(lit(1)).as("n_frames"))
+      .orderBy("doc_id", "scene")
+  }
+
+  /** DuckDB replay of [[sceneCuts]]: the per-frame pHash replay (the
+    * [[phashDedupOracle]] construction with len fixed at 64 and bytes
+    * sliced from the doc's hex at the frame offset), then the identical
+    * lag/threshold/cumsum scene fold — hamming summed over the two
+    * 32-bit halves as ever.
+    */
+  val sceneCutsOracle: String = {
+    val n = graft.functions.PHash64.N
+    val p = graft.functions.PHash64.P
+    val bits = graft.functions.PHash64.Bits
+    s"""WITH sc_pb AS (SELECT doc_id, hex(encode(text)) AS hx,
+       |                      octet_length(encode(text)) AS len FROM documents
+       |               WHERE octet_length(encode(text)) >= 64),
+       |sc_f AS (SELECT doc_id, unnest(generate_series(0, len // 64 - 1)) AS fi,
+       |                hx
+       |         FROM sc_pb),
+       |sc_by AS (SELECT doc_id, fi, list_transform(generate_series(1, 64), k ->
+       |            CAST((strpos('0123456789ABCDEF', substr(hx, 2*(fi*64 + k) - 1, 1)) - 1) * 16
+       |               + (strpos('0123456789ABCDEF', substr(hx, 2*(fi*64 + k), 1)) - 1) AS BIGINT)) AS bytes
+       |          FROM sc_f),
+       |sc_ps AS (SELECT doc_id, fi, list_transform(generate_series(0, ${n - 1}), nn ->
+       |            CAST(list_sum(list_transform(generate_series(0, ${p - 1}), pp ->
+       |              bytes[CAST(((nn * $p + pp) * 64) // ${n * p} AS INT) + 1]))
+       |            AS BIGINT)) AS x
+       |          FROM sc_by),
+       |sc_pm AS (SELECT doc_id, fi, x, CAST(list_sum(x) AS BIGINT) AS sm FROM sc_ps),
+       |sc_pc AS (SELECT doc_id, fi, list_transform(${graft.functions.PHash64.sqlBasis},
+       |            row -> CAST(list_sum(list_transform(generate_series(1, $n),
+       |              i -> ($n * x[i] - sm) * row[i])) AS BIGINT)) AS coef
+       |          FROM sc_pm),
+       |sc_md AS (SELECT doc_id, fi, coef, list_sort(coef)[${bits / 2}] AS med FROM sc_pc),
+       |sc_h AS (SELECT doc_id, fi,
+       |           CAST(list_sum(list_transform(generate_series(1, 32), k ->
+       |             CASE WHEN coef[k] > med THEN (1::BIGINT << CAST(k - 1 AS INT))
+       |                  ELSE 0 END)) AS BIGINT) AS lo,
+       |           CAST(list_sum(list_transform(generate_series(33, $bits), k ->
+       |             CASE WHEN coef[k] > med THEN (1::BIGINT << CAST(k - 33 AS INT))
+       |                  ELSE 0 END)) AS BIGINT) AS hi
+       |         FROM sc_md),
+       |sc_lag AS (SELECT doc_id, fi, lo, hi,
+       |             lag(lo) OVER (PARTITION BY doc_id ORDER BY fi) AS plo,
+       |             lag(hi) OVER (PARTITION BY doc_id ORDER BY fi) AS phi
+       |           FROM sc_h),
+       |sc_cut AS (SELECT doc_id, fi,
+       |             CASE WHEN plo IS NULL THEN TRUE
+       |                  ELSE bit_count(xor(lo, plo)) + bit_count(xor(hi, phi)) > 26
+       |             END AS cut
+       |           FROM sc_lag),
+       |sc_sc AS (SELECT doc_id, fi,
+       |            SUM(CASE WHEN cut THEN 1 ELSE 0 END)
+       |              OVER (PARTITION BY doc_id ORDER BY fi) - 1 AS scene
+       |          FROM sc_cut)
+       |SELECT doc_id, CAST(scene AS BIGINT) AS scene,
+       |       CAST(MIN(fi) AS BIGINT) AS start_frame,
+       |       CAST(COUNT(*) AS BIGINT) AS n_frames
+       |FROM sc_sc GROUP BY doc_id, scene ORDER BY doc_id, scene""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("mm_binary_features", binaryFeatures, Some(binaryFeaturesOracle)),
     QueryDef("mm_embed_dedup", embedDedup, Some(embedDedupOracle)),
     QueryDef("mm_frame_dedup", frameDedup, Some(frameDedupOracle)),
     QueryDef("mm_phash_dedup", phashDedup, Some(phashDedupOracle)),
-    QueryDef("mm_phash", phashValues, Some(phashValuesOracle))
+    QueryDef("mm_phash", phashValues, Some(phashValuesOracle)),
+    QueryDef("mm_scene_cuts", sceneCuts, Some(sceneCutsOracle))
   )
 }

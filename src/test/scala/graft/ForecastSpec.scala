@@ -1,0 +1,134 @@
+package graft
+
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Forecast
+
+/** Pins the two trend/robust anomaly folds three ways each: a driver-side
+  * Scala replay of the identical arithmetic on real sf0.001 data
+  * (bit-exact — the DuckDB leg runs in the correctness gate), a planted
+  * fixture proving the SEMANTIC claim (Holt absorbs a steady trend and
+  * flags only the break; Hampel flags the local spike, never the interior
+  * of a clean segment), and a negative control.
+  */
+class ForecastSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private case class HoltRow(day: Long, x: Double, f: Double, level: Double,
+      trend: Double, isOut: Boolean)
+
+  /** The exact Holt fold, re-derived independently in plain Scala. */
+  private def holtReplay(days: Seq[(Long, Double)]): Seq[HoltRow] = {
+    var i = 0; var level = 0.0; var trend = 0.0; var mae = 0.0
+    days.sortBy(_._1).map { case (d, x) =>
+      val f = if (i == 0) x else level + trend
+      val resid = math.abs(x - f)
+      val isOut = i >= 2 && mae > 0.0 && resid > 3.0 * mae
+      val nLevel = if (i == 0) x else 0.5 * x + 0.5 * f
+      val nTrend = if (i == 0) 0.0 else 0.25 * (nLevel - level) + 0.75 * trend
+      val nMae =
+        if (i == 0) 0.0 else if (i == 1) resid else 0.5 * resid + 0.5 * mae
+      level = nLevel; trend = nTrend; mae = nMae; i += 1
+      HoltRow(d, x, f, nLevel, nTrend, isOut)
+    }
+  }
+
+  test("holt fold matches the driver-side replay bit-exactly on sf0.001") {
+    val out = Forecast.holtForecast(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val daily = sources.Tables.t(spark, sf0001, "events")
+      .groupBy(col("event_type"),
+        unix_micros(date_trunc("DAY", col("ts"))).as("day_us"))
+      .agg(count(lit(1)).cast("double").as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val expect = daily.groupBy(_._1).toSeq.flatMap { case (t, rs) =>
+      holtReplay(rs.map(r => (r._2, r._3)).toSeq).map(t -> _)
+    }.toSet
+    val got = out.map(r => r.getString(0) -> HoltRow(r.getLong(1),
+      r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+      r.getBoolean(6))).toSet
+    assert(got === expect)
+  }
+
+  test("holt absorbs a steady trend and flags exactly the planted break") {
+    // 20 days of exact +10/day growth, then one 3x break day, then the
+    // trend resumes. A level-only smoother sees every growth day as a
+    // positive residual; Holt's trend term drives warm-series residuals
+    // to zero, so ONLY the break (and nothing after recovery) can exceed
+    // 3x the running MAE.
+    val base = (0 until 20).map(i => (i.toLong, 100.0 + 10.0 * i))
+    val break21 = Seq((20L, 3.0 * 300.0))
+    val tail = (21 until 26).map(i => (i.toLong, 100.0 + 10.0 * i))
+    val days = base ++ break21 ++ tail
+    val df = days.toDF("day_us", "x").withColumn("event_type", lit("t"))
+    val out = Forecast.holtForecastOn(df).collect()
+      .map(r => r.getLong(1) -> r.getBoolean(6)).toMap
+    assert(out(20L), "the planted 3x break day must be flagged")
+    assert((2L until 20L).forall(d => !out(d)),
+      "no steady-trend day may be flagged")
+    val replay = holtReplay(days)
+    assert(out === replay.map(r => r.day -> r.isOut).toMap)
+  }
+
+  private def hampelReplay(xs: Seq[Double]): Seq[(Int, Double, Double, Double)] = {
+    def med(s: Seq[Double]): Double = {
+      val v = s.sorted
+      if (v.length % 2 == 1) v(v.length / 2)
+      else (v(v.length / 2 - 1) + v(v.length / 2)) / 2.0
+    }
+    xs.indices.flatMap { i =>
+      val win = xs.slice(math.max(0, i - 5), math.min(xs.length, i + 6))
+      val m = med(win)
+      val mad = med(win.map(v => math.abs(v - m)))
+      if (mad > 0.0 && math.abs(xs(i) - m) > 4.0 * mad) Some((i, xs(i), m, mad))
+      else None
+    }
+  }
+
+  test("hampel matches the driver-side replay bit-exactly on sf0.001") {
+    val got = Forecast.hampelOutliers(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3), r.getDouble(4),
+        r.getDouble(5))).toSet
+    val ev = sources.Tables.t(spark, sf0001, "events")
+      .select(col("event_type"), col("event_id").cast("long"),
+        unix_micros(col("ts")), col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    val expect = ev.groupBy(_._1).flatMap { case (t, rs) =>
+      val ordered = rs.sortBy(r => (r._3, r._2)).toSeq
+      hampelReplay(ordered.map(_._4)).map { case (i, x, m, mad) =>
+        (t, ordered(i)._2, x, m, mad)
+      }
+    }.toSet
+    assert(got === expect)
+    assert(got.nonEmpty, "sf0.001 events must contain local spikes")
+  }
+
+  test("hampel flags the planted spike, never a clean segment's interior") {
+    // Jittered low segment, one 500.0 spike, then a level shift to a
+    // jittered high segment: the spike must be flagged; interior rows of
+    // both segments (jitter only) must not; the level shift itself is a
+    // REGIME change, not a point outlier — rows beyond the +-5 boundary
+    // straddle must stay clean.
+    val xs = (0 until 50).map(i => 10.0 + (i % 5) * 0.5) ++
+      Seq(500.0) ++
+      (51 until 100).map(i => 10.0 + (i % 5) * 0.5) ++
+      (100 until 150).map(i => 100.0 + (i % 5) * 0.5)
+    val t0 = Instant.parse("2026-01-01T00:00:00Z")
+    val df = xs.zipWithIndex.map { case (x, i) =>
+      ("t", i.toLong, Timestamp.from(t0.plusSeconds(60L * i)), x)
+    }.toDF("event_type", "id", "ts", "x")
+      .select(col("event_type"), col("id"),
+        unix_micros(col("ts")).as("ts_us"), col("x"))
+    val flagged = Forecast.hampelOutliersOn(df).collect()
+      .map(_.getLong(1)).toSet
+    assert(flagged.contains(50L), "the planted spike must be flagged")
+    val interior = ((10 to 40) ++ (60 to 90) ++ (110 to 140)).map(_.toLong)
+    assert(interior.forall(i => !flagged.contains(i)),
+      s"clean-segment interiors must not be flagged, got $flagged")
+    assert(flagged === hampelReplay(xs).map(_._1.toLong).toSet)
+  }
+}

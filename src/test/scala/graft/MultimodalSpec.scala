@@ -143,4 +143,40 @@ class MultimodalSpec extends SparkSpecBase {
     assert(!shared.contains((1L, 2L)) && !shared.contains((1L, 3L)),
       "exact frames must MISS the brightness/contrast twins")
   }
+
+  test("scene cuts: pHash segments a jittered-frame video that exact frames cannot") {
+    import spark.implicits._
+    // A planted "video": three scenes of 4/3/5 frames. Each scene repeats
+    // one 64-byte content with PER-FRAME brightness jitter (+1, +2, ...)
+    // — pHash is exactly brightness-invariant, so within-scene hamming is
+    // 0, while the three contents sit 30-35 bits apart (measured). Every
+    // frame is byte-distinct, so an exact-frame grouping sees 12
+    // unrelated frames where the pHash fold sees 3 scenes.
+    def sceneFrame(kind: Int, bright: Int): Array[Byte] = {
+      val base = kind match {
+        case 0 => Array.tabulate(64)(k => (40 + 25 * math.sin(k / 10.0)).toInt)
+        case 1 => Array.tabulate(64)(k => (40 + 25 * math.sin(k / 2.5)).toInt)
+        case _ => Array.tabulate(64)(k => 8 + (k * 3) % 60)
+      }
+      base.map(v => (v + bright).toByte)
+    }
+    val lens = Seq(4, 3, 5)
+    val frames = lens.zipWithIndex.flatMap { case (m, kind) =>
+      (0 until m).map(r => sceneFrame(kind, r + 1))
+    }
+    assert(frames.map(_.toSeq).distinct.size == frames.size,
+      "every planted frame must be byte-distinct (the delta premise)")
+    val payload = frames.flatten.toArray
+    val out = MultimodalOps.sceneCutsOn(
+        Seq((1L, payload)).toDF("doc_id", "payload"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq((0L, 0L, 4L), (1L, 4L, 3L), (2L, 7L, 5L)),
+      s"expected scenes (0,0,4),(1,4,3),(2,7,5), got ${out.toSeq}")
+    // and on the real corpus the query runs with a sane shape: every
+    // doc's scenes tile its frame range
+    val real = MultimodalOps.sceneCuts(spark, sf0001)
+      .groupBy("doc_id").agg(sum("n_frames").as("nf"), count(lit(1)).as("ns"))
+      .collect()
+    assert(real.nonEmpty && real.forall(r => r.getLong(1) >= r.getLong(2)))
+  }
 }

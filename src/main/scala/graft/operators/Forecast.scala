@@ -130,6 +130,112 @@ object Forecast {
       |FROM hw WHERE i >= 1
       |ORDER BY event_type, day_us""".stripMargin
 
+  def hwSeasonal(s: SparkSession, dir: String): DataFrame =
+    hwSeasonalOn(daily(s, dir))
+
+  /** `ev_hw_seasonal` — the full Holt–Winters additive triple: level +
+    * trend + a 7-slot day-of-week seasonal index, the form a metrics
+    * pipeline needs when traffic has a weekly shape (a quiet Sunday is
+    * not an anomaly; a quiet Tuesday is). Same dyadic-coefficient, full
+    * smoothing-path discipline as [[holtForecastOn]]; the seasonal state
+    * is an explicit 7-element array updated one slot per step, which the
+    * oracle carries as a LIST column through the recursive CTE — the
+    * fold's state is richer, the replay discipline unchanged. Outlier
+    * flagging starts at i ≥ 9 (the seasonal slots need sightings before
+    * residuals mean anything).
+    */
+  def hwSeasonalOn(d: DataFrame): DataFrame = {
+    val rowsT = "array<struct<day_us: bigint, x: double, f: double, " +
+      "level: double, trend: double, seas: double, is_out: boolean>>"
+    val acc0 = struct(lit(0).as("i"), lit(0.0).as("level"),
+      lit(0.0).as("trend"), lit(0.0).as("mae"),
+      array(Seq.fill(7)(lit(0.0)): _*).as("seas"),
+      expr(s"CAST(array() AS $rowsT)").as("rows"))
+    val folded = d.groupBy("event_type")
+      .agg(array_sort(collect_list(struct(col("day_us"), col("x"))))
+        .as("days"))
+      .withColumn("fin", aggregate(col("days"), acc0, (acc, dd) => {
+        val i = acc("i")
+        val level = acc("level"); val trend = acc("trend")
+        val mae = acc("mae"); val seas = acc("seas"); val x = dd("x")
+        // day-of-week slot: day_us is UTC midnight micros, so the day
+        // number div 7 remainder is a stable weekday index
+        val slot = ((dd("day_us") / lit(86400000000L)) % 7).cast("int")
+        val sPrev = element_at(seas, slot + 1)
+        val f = when(i === 0, x).otherwise(level + trend + sPrev)
+        val resid = abs(x - f)
+        val isOut = (i >= 9) && (mae > lit(0.0)) && (resid > lit(3.0) * mae)
+        val nLevel = when(i === 0, x)
+          .otherwise(lit(0.5) * (x - sPrev) + lit(0.5) * (level + trend))
+        val nTrend = when(i === 0, lit(0.0))
+          .otherwise(lit(0.25) * (nLevel - level) + lit(0.75) * trend)
+        val nSeasV = lit(0.5) * (x - nLevel) + lit(0.5) * sPrev
+        val nSeas = zip_with(seas,
+          expr("sequence(0, 6)"),
+          (sv, j) => when(j === slot, nSeasV).otherwise(sv))
+        val nMae = when(i === 0, lit(0.0)).when(i === 1, resid)
+          .otherwise(lit(0.5) * resid + lit(0.5) * mae)
+        struct((i + lit(1)).as("i"), nLevel.as("level"), nTrend.as("trend"),
+          nMae.as("mae"), nSeas.as("seas"),
+          concat(acc("rows"), array(struct(dd("day_us").as("day_us"),
+            x.as("x"), f.as("f"), nLevel.as("level"), nTrend.as("trend"),
+            nSeasV.as("seas"), isOut.as("is_out")))).as("rows"))
+      }))
+    folded.select(col("event_type"), explode(col("fin.rows")).as("r"))
+      .select(col("event_type"), col("r.day_us").as("day_us"),
+        col("r.x").as("x"), col("r.f").as("forecast"),
+        col("r.level").as("level"), col("r.trend").as("trend"),
+        col("r.seas").as("seas"), col("r.is_out").as("is_out"))
+      .orderBy("event_type", "day_us")
+  }
+
+  /** Lockstep recursive-CTE replay with the seasonal array as a LIST
+    * column; every state expression repeated inline (no lateral aliases
+    * inside a recursive arm).
+    */
+  val hwSeasonalOracle: String = {
+    // shared subexpressions, spelled once in Scala and inlined into the
+    // SQL so both arms stay readable AND identical
+    val sPrev = "st.seas[CAST((d.day_us // 86400000000) % 7 AS INT) + 1]"
+    val f = s"CASE WHEN st.i = 0 THEN d.x ELSE st.level + st.trend + $sPrev END"
+    val nLevel = s"CASE WHEN st.i = 0 THEN d.x ELSE 0.5 * (d.x - $sPrev) " +
+      "+ 0.5 * (st.level + st.trend) END"
+    s"""WITH RECURSIVE hs_d AS (
+       |  SELECT event_type, epoch_us(date_trunc('day', ts)) AS day_us,
+       |         CAST(COUNT(*) AS DOUBLE) AS x,
+       |         row_number() OVER (PARTITION BY event_type
+       |                            ORDER BY date_trunc('day', ts)) AS rn
+       |  FROM events GROUP BY event_type, date_trunc('day', ts)),
+       |hs AS (
+       |  SELECT event_type, 0 AS i, CAST(0 AS BIGINT) AS day_us,
+       |         0.0::DOUBLE AS x, 0.0::DOUBLE AS f, 0.0::DOUBLE AS level,
+       |         0.0::DOUBLE AS trend, 0.0::DOUBLE AS mae,
+       |         [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]::DOUBLE[] AS seas,
+       |         0.0::DOUBLE AS seas_out, FALSE AS is_out
+       |  FROM (SELECT DISTINCT event_type FROM hs_d)
+       |  UNION ALL
+       |  SELECT st.event_type, st.i + 1, d.day_us, d.x,
+       |         $f,
+       |         $nLevel,
+       |         CASE WHEN st.i = 0 THEN 0.0
+       |              ELSE 0.25 * (($nLevel) - st.level) + 0.75 * st.trend END,
+       |         CASE WHEN st.i = 0 THEN 0.0
+       |              WHEN st.i = 1 THEN abs(d.x - ($f))
+       |              ELSE 0.5 * abs(d.x - ($f)) + 0.5 * st.mae END,
+       |         list_transform(st.seas, (sv, j) ->
+       |           CASE WHEN j = CAST((d.day_us // 86400000000) % 7 AS INT) + 1
+       |                THEN 0.5 * (d.x - ($nLevel)) + 0.5 * $sPrev
+       |                ELSE sv END),
+       |         0.5 * (d.x - ($nLevel)) + 0.5 * $sPrev,
+       |         st.i >= 9 AND st.mae > 0.0 AND abs(d.x - ($f)) > 3.0 * st.mae
+       |  FROM hs st JOIN hs_d d
+       |    ON d.event_type = st.event_type AND d.rn = st.i + 1)
+       |SELECT event_type, day_us, x, f AS forecast, level, trend,
+       |       seas_out AS seas, is_out
+       |FROM hs WHERE i >= 1
+       |ORDER BY event_type, day_us""".stripMargin
+  }
+
   def hampelOutliers(s: SparkSession, dir: String): DataFrame =
     hampelOutliersOn(Tables.t(s, dir, "events")
       .select(col("event_type"), col("event_id").cast("long").as("id"),
@@ -190,5 +296,6 @@ object Forecast {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("ev_holt_forecast", holtForecast, Some(holtForecastOracle)),
+    QueryDef("ev_hw_seasonal", hwSeasonal, Some(hwSeasonalOracle)),
     QueryDef("ev_hampel_outliers", hampelOutliers, Some(hampelOutliersOracle)))
 }

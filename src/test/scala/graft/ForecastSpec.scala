@@ -73,6 +73,69 @@ class ForecastSpec extends SparkSpecBase {
     assert(out === replay.map(r => r.day -> r.isOut).toMap)
   }
 
+  /** The exact Holt–Winters additive fold, re-derived independently. */
+  private def hwReplay(days: Seq[(Long, Double)]): Seq[(Long, Double, Double, Boolean)] = {
+    var i = 0; var level = 0.0; var trend = 0.0; var mae = 0.0
+    val seas = Array.fill(7)(0.0)
+    days.sortBy(_._1).map { case (d, x) =>
+      val slot = ((d / 86400000000L) % 7).toInt
+      val sp = seas(slot)
+      val f = if (i == 0) x else level + trend + sp
+      val resid = math.abs(x - f)
+      val isOut = i >= 9 && mae > 0.0 && resid > 3.0 * mae
+      val nLevel = if (i == 0) x else 0.5 * (x - sp) + 0.5 * (level + trend)
+      val nTrend = if (i == 0) 0.0 else 0.25 * (nLevel - level) + 0.75 * trend
+      seas(slot) = 0.5 * (x - nLevel) + 0.5 * sp
+      val nMae =
+        if (i == 0) 0.0 else if (i == 1) resid else 0.5 * resid + 0.5 * mae
+      level = nLevel; trend = nTrend; mae = nMae; i += 1
+      (d, x, f, isOut)
+    }
+  }
+
+  test("hw seasonal: replay-exact, and the seasonal term stops weekend false alarms") {
+    val us = 86400000000L
+    // 42 days of +2/day trend with an -80 weekend dip, one 2x break at
+    // day 35 (a Saturday region mid-week 6). After three full weeks the
+    // seasonal slots have converged: HW must flag ONLY the break from
+    // day 21 on, while the seasonless Holt keeps calling ordinary
+    // weekends anomalies in the same region — the delta the seasonal
+    // state buys.
+    val days = (0 until 42).map { i =>
+      val dip = if (i % 7 == 5 || i % 7 == 6) 80.0 else 0.0
+      val x0 = 200.0 + 2.0 * i - dip
+      (i.toLong * us, if (i == 35) 2.0 * x0 else x0)
+    }
+    val df = days.toDF("day_us", "x").withColumn("event_type", lit("t"))
+    val hwOut = Forecast.hwSeasonalOn(df).collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getBoolean(7)))
+    assert(hwOut.toSeq === hwReplay(days).toSeq)
+    val hwFlags = hwOut.filter(_._4).map(_._1 / us).toSet
+    val holtFlags = Forecast.holtForecastOn(df).collect()
+      .filter(_.getBoolean(6)).map(_.getLong(1) / us).toSet
+    assert(hwFlags.filter(_ >= 21) === Set(35L),
+      s"converged HW must flag only the break, got ${hwFlags.filter(_ >= 21)}")
+    assert(holtFlags.contains(26L) && holtFlags.contains(33L),
+      s"seasonless Holt must false-alarm converged weekends, got $holtFlags")
+  }
+
+  test("hw seasonal matches the driver-side replay bit-exactly on sf0.001") {
+    val out = Forecast.hwSeasonal(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3),
+        r.getBoolean(7))).toSet
+    val daily = sources.Tables.t(spark, sf0001, "events")
+      .groupBy(col("event_type"),
+        unix_micros(date_trunc("DAY", col("ts"))).as("day_us"))
+      .agg(count(lit(1)).cast("double").as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val expect = daily.groupBy(_._1).toSeq.flatMap { case (t, rs) =>
+      hwReplay(rs.map(r => (r._2, r._3)).toSeq)
+        .map(h => (t, h._1, h._3, h._4))
+    }.toSet
+    assert(out === expect)
+  }
+
   private def hampelReplay(xs: Seq[Double]): Seq[(Int, Double, Double, Double)] = {
     def med(s: Seq[Double]): Double = {
       val v = s.sorted

@@ -631,4 +631,40 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("payload#"), // the binary column never travels a join
       s"pair machinery must carry hashes, not payloads:\n${p.take(1500)}")
   }
+
+  test("holt: one fact scan; daily fold + per-type fold are the only hash shuffles") {
+    val df = operators.Forecast.holtForecast(spark, sf0001)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size == 1, s"holt must read events once, got ${scans.size}")
+    val p = plan(df)
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    // exchange 1: the map-side-combined daily count (fact scale);
+    // exchange 2: regroup the |types|x|days| daily rows per type
+    // (metadata scale) — the smoothing fold itself adds none
+    assert(n == 2, s"holt must hash-shuffle exactly twice, got $n:\n$p")
+  }
+
+  test("hampel: the +-5 window rides ONE hash exchange; no join anywhere") {
+    val p = plan(operators.Forecast.hampelOutliers(spark, sf0001))
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n == 1, s"hampel must exchange events on the type key exactly once, got $n:\n$p")
+    assert(!p.contains("Join"), s"hampel is a window filter, never a self-join:\n$p")
+  }
+
+  test("scene cuts: one payload scan; lag + cumsum windows AND the scene agg share one doc exchange") {
+    val df = operators.MultimodalOps.sceneCuts(spark, sf0001)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size == 1, s"scene cuts must read payloads once, got ${scans.size}")
+    val p = plan(df)
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    // hashpartitioning(doc_id) satisfies the (doc_id, scene) groupBy's
+    // clustering, so the aggregate MUST reuse the window exchange
+    assert(n == 1, s"both windows and the scene agg must share one doc_id exchange, got $n:\n$p")
+    assert("Window".r.findAllIn(p).size >= 2,
+      s"expected the lag and cumsum windows over the shared sort:\n$p")
+  }
 }

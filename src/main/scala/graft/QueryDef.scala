@@ -22,6 +22,7 @@ object Registry {
       operators.KllOps.defs ++
       operators.Ewma.defs ++
       operators.Forecast.defs ++
+      operators.RateLimit.defs ++
       operators.ReportOps.defs ++
       operators.TextOps.defs ++
       operators.DedupOps.defs ++

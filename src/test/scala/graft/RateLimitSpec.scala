@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.RateLimit
+
+/** Pins the token bucket twice: a driver-side Scala replay of the exact
+  * int64 fold on sf0.001 (the DuckDB leg runs in the correctness gate),
+  * and a planted burst proving the semantics — capacity absorbs exactly
+  * 3 back-to-back events, the 4th is throttled, and a throttled event is
+  * NOT charged (the meter semantics: rejects don't push the next accept
+  * further out).
+  */
+class RateLimitSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  /** Independent replay of the bucket over one user's sorted stream. */
+  private def replay(evs: Seq[(Long, Long)]): Seq[(Long, Long, Long)] = {
+    var tokens = -1L; var prev = 0L
+    evs.sortBy(e => (e._2, e._1)).flatMap { case (id, ts) =>
+      val bal = if (tokens == -1L) RateLimit.CapUs
+        else math.min(RateLimit.CapUs, tokens + (ts - prev))
+      val throttled = bal < RateLimit.CostUs
+      tokens = if (throttled) bal else bal - RateLimit.CostUs
+      prev = ts
+      if (throttled) Some((id, ts, bal)) else None
+    }
+  }
+
+  test("token bucket matches the driver-side replay bit-exactly on sf0.001") {
+    val got = RateLimit.tokenBucket(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val ev = sources.Tables.t(spark, sf0001, "events")
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = ev.groupBy(_._1).toSeq.flatMap { case (u, rs) =>
+      replay(rs.map(r => (r._2, r._3)).toSeq)
+        .map(t => (u, t._1, t._2, t._3))
+    }.toSet
+    assert(got === expect)
+  }
+
+  test("planted burst: capacity absorbs 3, the 4th throttles, rejects are not charged") {
+    val m = 60000000L // one minute in us
+    // burst of 5 events one minute apart, then one event 4h after the
+    // burst head: the refill since event 5 (4h - 4m short of a token by
+    // itself) PLUS the balance the uncharged rejects preserved must
+    // admit it — if rejects were charged, it would throttle too
+    val evs = Seq(
+      (1L, 0L), (2L, m), (3L, 2 * m), (4L, 3 * m), (5L, 4 * m),
+      (6L, RateLimit.CostUs + 5 * m))
+    val df = evs.map { case (id, ts) => (7L, id, ts) }
+      .toDF("user_id", "id", "ts_us")
+    val throttled = RateLimit.tokenBucketOn(df).collect()
+      .map(_.getLong(1)).toSet
+    assert(throttled === Set(4L, 5L),
+      s"events 4 and 5 must throttle, 1-3 ride the cap, 6 rides the refill: $throttled")
+    assert(throttled === replay(evs).map(_._1).toSet)
+  }
+}

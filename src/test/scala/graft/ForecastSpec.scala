@@ -136,6 +136,38 @@ class ForecastSpec extends SparkSpecBase {
     assert(out === expect)
   }
 
+  test("streaming holt twin: in-order daily replay equals the batch fold row-for-row") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingForecast
+    import graft.streaming.StreamingForecast.DailyPoint
+    val daily = sources.Tables.t(spark, sf0001, "events")
+      .groupBy(col("event_type"),
+        unix_micros(date_trunc("DAY", col("ts"))).as("day_us"))
+      .agg(count(lit(1)).cast("double").as("x"))
+      .collect().map(r => DailyPoint(r.getString(0), r.getLong(1),
+        r.getDouble(2)))
+      .sortBy(_.day_us).toSeq
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[DailyPoint]
+    val query = StreamingForecast.holtStream(mem.toDS())
+      .writeStream.format("memory").queryName("holt_out")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = daily.splitAt(daily.length / 2)
+      mem.addData(b1); query.processAllAvailable()
+      mem.addData(b2); query.processAllAvailable()
+      val got = spark.table("holt_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getBoolean(6)))
+        .toSet
+      val batch = Forecast.holtForecast(spark, sf0001).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getBoolean(6)))
+        .toSet
+      assert(got === batch)
+    } finally query.stop()
+  }
+
   private def hampelReplay(xs: Seq[Double]): Seq[(Int, Double, Double, Double)] = {
     def med(s: Seq[Double]): Double = {
       val v = s.sorted

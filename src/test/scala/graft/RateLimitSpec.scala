@@ -59,4 +59,33 @@ class RateLimitSpec extends SparkSpecBase {
       s"events 4 and 5 must throttle, 1-3 ride the cap, 6 rides the refill: $throttled")
     assert(throttled === replay(evs).map(_._1).toSet)
   }
+
+  test("streaming twin: in-order replay emits the batch throttle set bit-exactly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingRate
+    import graft.streaming.StreamingRate.RateEvent
+    val ev = sources.Tables.t(spark, sf0001, "events")
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        unix_micros(col("ts")))
+      .collect().map(r => RateEvent(r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(e => (e.ts_us, e.event_id)).toSeq
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[RateEvent]
+    val query = StreamingRate.tokenBucketStream(mem.toDS())
+      .writeStream.format("memory").queryName("rate_out")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = ev.splitAt(ev.length / 2)
+      mem.addData(b1); query.processAllAvailable()
+      mem.addData(b2); query.processAllAvailable()
+      val got = spark.table("rate_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val batch = RateLimit.tokenBucket(spark, sf0001).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got === batch)
+      assert(got.nonEmpty, "sf0.001 must contain throttled bursts")
+    } finally query.stop()
+  }
 }

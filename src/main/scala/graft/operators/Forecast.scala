@@ -236,6 +236,78 @@ object Forecast {
        |ORDER BY event_type, day_us""".stripMargin
   }
 
+  def changePoint(s: SparkSession, dir: String): DataFrame =
+    changePointOn(daily(s, dir))
+
+  /** `ev_change_point` — single change-point localization over each
+    * type's daily series: the split maximizing the absolute difference of
+    * segment means (binary-segmentation's scoring step; CUSUM says THAT a
+    * level shifted, this says WHERE). Fully declarative — a prefix-sum
+    * window plus a ranking window, no fold: every split k of an n-day
+    * series scores |S_k/k − (S−S_k)/(n−k)| from the one cumulative sum,
+    * and the argmax is a deterministic (gain DESC, day ASC) rank both
+    * engines compute identically (the division operands are exact
+    * integer-valued doubles, so the scores are bit-identical). Output one
+    * row per type: the first day of the right segment, segment sizes,
+    * means, and the gain.
+    *
+    * Scale shape: the daily frame is metadata-scale after one
+    * map-side-combined count; both windows share the per-type exchange.
+    */
+  def changePointOn(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy("event_type").orderBy("day_us")
+    val wAll = Window.partitionBy("event_type")
+    val scored = d
+      .withColumn("k", row_number().over(wOrd).cast("long"))
+      .withColumn("s_k", sum(col("x")).over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("s", sum(col("x")).over(wAll))
+      .withColumn("next_day", lead(col("day_us"), 1).over(wOrd))
+      .filter(col("k") < col("n"))
+      .withColumn("mean_l", col("s_k") / col("k"))
+      .withColumn("mean_r", (col("s") - col("s_k")) / (col("n") - col("k")))
+      .withColumn("gain", abs(col("mean_l") - col("mean_r")))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("event_type")
+          .orderBy(col("gain").desc, col("day_us"))))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("next_day").as("cp_day_us"),
+        col("k").as("n_left"), (col("n") - col("k")).as("n_right"),
+        col("mean_l"), col("mean_r"), col("gain"))
+      .orderBy("event_type")
+  }
+
+  val changePointOracle: String =
+    """WITH cp_d AS (
+      |  SELECT event_type, epoch_us(date_trunc('day', ts)) AS day_us,
+      |         CAST(COUNT(*) AS DOUBLE) AS x
+      |  FROM events GROUP BY event_type, date_trunc('day', ts)),
+      |cp_w AS (
+      |  SELECT event_type, day_us, x,
+      |         CAST(row_number() OVER (PARTITION BY event_type
+      |                                 ORDER BY day_us) AS BIGINT) AS k,
+      |         SUM(x) OVER (PARTITION BY event_type ORDER BY day_us) AS s_k,
+      |         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+      |         SUM(x) OVER (PARTITION BY event_type) AS s,
+      |         lead(day_us, 1) OVER (PARTITION BY event_type
+      |                               ORDER BY day_us) AS next_day
+      |  FROM cp_d),
+      |cp_s AS (
+      |  SELECT event_type, next_day, k, n,
+      |         s_k / k AS mean_l, (s - s_k) / (n - k) AS mean_r,
+      |         abs(s_k / k - (s - s_k) / (n - k)) AS gain, day_us
+      |  FROM cp_w WHERE k < n),
+      |cp_r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY event_type
+      |                               ORDER BY gain DESC, day_us) AS rk
+      |  FROM cp_s)
+      |SELECT event_type, next_day AS cp_day_us, k AS n_left,
+      |       n - k AS n_right, mean_l, mean_r, gain
+      |FROM cp_r WHERE rk = 1
+      |ORDER BY event_type""".stripMargin
+
   def hampelOutliers(s: SparkSession, dir: String): DataFrame =
     hampelOutliersOn(Tables.t(s, dir, "events")
       .select(col("event_type"), col("event_id").cast("long").as("id"),
@@ -297,5 +369,6 @@ object Forecast {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("ev_holt_forecast", holtForecast, Some(holtForecastOracle)),
     QueryDef("ev_hw_seasonal", hwSeasonal, Some(hwSeasonalOracle)),
+    QueryDef("ev_change_point", changePoint, Some(changePointOracle)),
     QueryDef("ev_hampel_outliers", hampelOutliers, Some(hampelOutliersOracle)))
 }

@@ -168,6 +168,23 @@ class ForecastSpec extends SparkSpecBase {
     } finally query.stop()
   }
 
+  test("change point: the planted level shift is localized to the exact day") {
+    val us = 86400000000L
+    // 10 noisy-ish days near 100, then 20 near 160 — the argmax split
+    // must land exactly between day 9 and day 10 (cp = first right day)
+    val days = ((0 until 10).map(i => (i.toLong * us, 100.0 + (i % 3))) ++
+      (10 until 30).map(i => (i.toLong * us, 160.0 + (i % 3))))
+    val df = days.toDF("day_us", "x").withColumn("event_type", lit("t"))
+    val out = Forecast.changePointOn(df).collect().head
+    assert(out.getLong(1) === 10L * us, s"cp at ${out.getLong(1) / us}")
+    assert(out.getLong(2) === 10L && out.getLong(3) === 20L)
+    assert(out.getDouble(4) < 110.0 && out.getDouble(5) > 150.0)
+    // and it runs with one row per type on real data
+    val real = Forecast.changePoint(spark, sf0001).collect()
+    assert(real.map(_.getString(0)).toSet.size === real.length)
+    assert(real.nonEmpty)
+  }
+
   private def hampelReplay(xs: Seq[Double]): Seq[(Int, Double, Double, Double)] = {
     def med(s: Seq[Double]): Double = {
       val v = s.sorted

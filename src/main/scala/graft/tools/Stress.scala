@@ -493,6 +493,70 @@ object Stress {
       spark.catalog.clearCache()
     }
 
+    // anomaly-fold linearity (r13 cont.): token bucket, Holt forecast and
+    // Hampel under xN. Copy i lives in a disjoint key space (users
+    // shifted for the bucket; event_type suffixed for the per-type
+    // folds) with byte-identical per-key content (the bucket meters
+    // elapsed time only, so the i*40-day shift preserves every dt), so
+    // throttle/flag counts must replicate EXACTLY xN — hard requires.
+    {
+      val dayUs = 86400000000L
+      def shifted(n: Int) = (0 until n).map { i =>
+        ev.select(
+          concat(col("event_type"), lit(s"#cp$i")).as("event_type"),
+          (col("user_id") + lit(i * 100000L)).cast("long").as("user_id"),
+          (col("event_id") + lit(i * 100000000L)).cast("long").as("id"),
+          (unix_micros(col("ts")) + lit(i * 40L * dayUs)).as("ts_us"),
+          col("value").as("x"))
+      }.reduce(_ unionByName _)
+      def daily(n: Int) = shifted(n)
+        .groupBy(col("event_type"),
+          ((col("ts_us") - pmod(col("ts_us"), lit(dayUs)))).as("day_us"))
+        .agg(count(lit(1)).cast("double").as("x"))
+      var tb1 = 0L; var holt1: (Long, Long) = null; var ham1 = 0L
+      time("token-bucket x1") {
+        tb1 = graft.operators.RateLimit.tokenBucketOn(
+          shifted(1).select("user_id", "id", "ts_us")).count()
+        s"throttled=$tb1"
+      }
+      time(s"token-bucket x$copies") {
+        val n = graft.operators.RateLimit.tokenBucketOn(
+          shifted(copies).select("user_id", "id", "ts_us")).count()
+        require(n == copies * tb1,
+          s"token bucket not exactly linear: x1=$tb1, x$copies=$n")
+        s"throttled=$n"
+      }
+      time("holt-fold x1") {
+        val r = graft.operators.Forecast.holtForecastOn(daily(1))
+          .agg(count(lit(1)), sum(when(col("is_out"), 1L).otherwise(0L)))
+          .first()
+        holt1 = (r.getLong(0), r.getLong(1)); s"days=${holt1._1} flags=${holt1._2}"
+      }
+      time(s"holt-fold x$copies") {
+        val r = graft.operators.Forecast.holtForecastOn(daily(copies))
+          .agg(count(lit(1)), sum(when(col("is_out"), 1L).otherwise(0L)))
+          .first()
+        require(r.getLong(0) == copies * holt1._1 &&
+          r.getLong(1) == copies * holt1._2,
+          s"holt not exactly linear: x1=$holt1, " +
+            s"x$copies=(${r.getLong(0)}, ${r.getLong(1)})")
+        s"days=${r.getLong(0)} flags=${r.getLong(1)}"
+      }
+      time("hampel x1") {
+        ham1 = graft.operators.Forecast.hampelOutliersOn(shifted(1)
+          .select("event_type", "id", "ts_us", "x")).count()
+        s"flagged=$ham1"
+      }
+      time(s"hampel x$copies") {
+        val n = graft.operators.Forecast.hampelOutliersOn(shifted(copies)
+          .select("event_type", "id", "ts_us", "x")).count()
+        require(n == copies * ham1,
+          s"hampel not exactly linear: x1=$ham1, x$copies=$n")
+        s"flagged=$n"
+      }
+      spark.catalog.clearCache()
+    }
+
     // durable sketch store at a xN-day horizon (r12, verdict #4): copy i
     // shifts the fixture month by i*40 days, so the store holds ~31*N day
     // partitions. Hard requirements (the winnow discipline):

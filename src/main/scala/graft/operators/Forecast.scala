@@ -308,6 +308,100 @@ object Forecast {
       |FROM cp_r WHERE rk = 1
       |ORDER BY event_type""".stripMargin
 
+  def forecastBacktest(s: SparkSession, dir: String): DataFrame =
+    forecastBacktestOn(daily(s, dir))
+
+  /** `ev_forecast_backtest` — rolling-origin evaluation of three
+    * one-step-ahead forecasters over each type's daily series: the Holt
+    * fold ([[holtForecastOn]]'s own forecast path), the naive carry
+    * (yesterday's value) and the seasonal naive (the value one week ago)
+    * — the model-selection table every metrics pipeline builds before
+    * trusting a forecaster's anomaly flags. Scored on the days where all
+    * three are defined (day 8 on).
+    *
+    * Exactness discipline: a double SUM of residuals is fold-order-
+    * dependent once significands fill, so residuals are quantized to
+    * integer micro-units (floor(|x−f|·1e6), the StreamingSmooth grid)
+    * and summed as int64 — order-free, engine-exact, and the "best"
+    * column is then an exact integer comparison, never a float tie.
+    */
+  def forecastBacktestOn(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("day_us")
+    val path = holtForecastOn(d)
+      .select(col("event_type"), col("day_us"), col("x"), col("forecast"))
+      .withColumn("naive", lag(col("x"), 1).over(w))
+      .withColumn("snaive", lag(col("x"), 7).over(w))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") > 7)
+    def sumU(f: org.apache.spark.sql.Column) =
+      sum(floor(abs(col("x") - f) * lit(1000000.0)).cast("long"))
+    val agg = path.groupBy("event_type").agg(
+      count(lit(1)).as("n_eval"),
+      sumU(col("forecast")).as("holt_u"),
+      sumU(col("naive")).as("naive_u"),
+      sumU(col("snaive")).as("snaive_u"))
+    agg.withColumn("best",
+        when(col("holt_u") <= col("naive_u") &&
+          col("holt_u") <= col("snaive_u"), "holt")
+          .when(col("naive_u") <= col("snaive_u"), "naive")
+          .otherwise("snaive"))
+      .orderBy("event_type")
+  }
+
+  /** The Holt recursive CTE (the [[holtForecastOracle]] construction)
+    * plus window lags and the identical quantized integer sums.
+    */
+  val forecastBacktestOracle: String =
+    """WITH RECURSIVE hw_d AS (
+      |  SELECT event_type, epoch_us(date_trunc('day', ts)) AS day_us,
+      |         CAST(COUNT(*) AS DOUBLE) AS x,
+      |         row_number() OVER (PARTITION BY event_type
+      |                            ORDER BY date_trunc('day', ts)) AS rn
+      |  FROM events GROUP BY event_type, date_trunc('day', ts)),
+      |hw AS (
+      |  SELECT event_type, 0 AS i, CAST(0 AS BIGINT) AS day_us,
+      |         0.0::DOUBLE AS x, 0.0::DOUBLE AS f, 0.0::DOUBLE AS level,
+      |         0.0::DOUBLE AS trend, 0.0::DOUBLE AS mae
+      |  FROM (SELECT DISTINCT event_type FROM hw_d)
+      |  UNION ALL
+      |  SELECT st.event_type, st.i + 1, d.day_us, d.x,
+      |         CASE WHEN st.i = 0 THEN d.x ELSE st.level + st.trend END,
+      |         CASE WHEN st.i = 0 THEN d.x
+      |              ELSE 0.5 * d.x + 0.5 * (st.level + st.trend) END,
+      |         CASE WHEN st.i = 0 THEN 0.0
+      |              ELSE 0.25 * ((0.5 * d.x + 0.5 * (st.level + st.trend))
+      |                           - st.level) + 0.75 * st.trend END,
+      |         CASE WHEN st.i = 0 THEN 0.0
+      |              WHEN st.i = 1 THEN abs(d.x - (st.level + st.trend))
+      |              ELSE 0.5 * abs(d.x - (st.level + st.trend))
+      |                   + 0.5 * st.mae END
+      |  FROM hw st JOIN hw_d d
+      |    ON d.event_type = st.event_type AND d.rn = st.i + 1),
+      |bt AS (
+      |  SELECT event_type, day_us, x, f,
+      |         lag(x, 1) OVER (PARTITION BY event_type ORDER BY day_us)
+      |           AS naive,
+      |         lag(x, 7) OVER (PARTITION BY event_type ORDER BY day_us)
+      |           AS snaive,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY day_us)
+      |           AS rn
+      |  FROM hw WHERE i >= 1),
+      |ag AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_eval,
+      |         CAST(SUM(CAST(floor(abs(x - f) * 1000000.0) AS BIGINT))
+      |              AS BIGINT) AS holt_u,
+      |         CAST(SUM(CAST(floor(abs(x - naive) * 1000000.0) AS BIGINT))
+      |              AS BIGINT) AS naive_u,
+      |         CAST(SUM(CAST(floor(abs(x - snaive) * 1000000.0) AS BIGINT))
+      |              AS BIGINT) AS snaive_u
+      |  FROM bt WHERE rn > 7 GROUP BY event_type)
+      |SELECT event_type, n_eval, holt_u, naive_u, snaive_u,
+      |       CASE WHEN holt_u <= naive_u AND holt_u <= snaive_u THEN 'holt'
+      |            WHEN naive_u <= snaive_u THEN 'naive'
+      |            ELSE 'snaive' END AS best
+      |FROM ag ORDER BY event_type""".stripMargin
+
   def hampelOutliers(s: SparkSession, dir: String): DataFrame =
     hampelOutliersOn(Tables.t(s, dir, "events")
       .select(col("event_type"), col("event_id").cast("long").as("id"),
@@ -370,5 +464,7 @@ object Forecast {
     QueryDef("ev_holt_forecast", holtForecast, Some(holtForecastOracle)),
     QueryDef("ev_hw_seasonal", hwSeasonal, Some(hwSeasonalOracle)),
     QueryDef("ev_change_point", changePoint, Some(changePointOracle)),
+    QueryDef("ev_forecast_backtest", forecastBacktest,
+      Some(forecastBacktestOracle)),
     QueryDef("ev_hampel_outliers", hampelOutliers, Some(hampelOutliersOracle)))
 }

@@ -58,7 +58,15 @@ object Forecast {
     * the path IS the gate (a final-state-only output would let a
     * mid-series divergence cancel out).
     */
-  def holtForecastOn(d: DataFrame): DataFrame = {
+  def holtForecastOn(d: DataFrame): DataFrame =
+    holtPathOn(d).orderBy("event_type", "day_us")
+
+  /** The fold WITHOUT the output sort — consumers that keep computing on
+    * the path (the backtest's lag windows) stay on the fold's own
+    * event_type partitioning instead of paying a range exchange they
+    * immediately undo.
+    */
+  private[graft] def holtPathOn(d: DataFrame): DataFrame = {
     val rowsT = "array<struct<day_us: bigint, x: double, f: double, " +
       "level: double, trend: double, is_out: boolean>>"
     val acc0 = struct(lit(0).as("i"), lit(0.0).as("level"),
@@ -94,7 +102,6 @@ object Forecast {
         col("r.x").as("x"), col("r.f").as("forecast"),
         col("r.level").as("level"), col("r.trend").as("trend"),
         col("r.is_out").as("is_out"))
-      .orderBy("event_type", "day_us")
   }
 
   /** Lockstep recursive-CTE replay of the identical Holt fold. */
@@ -328,7 +335,7 @@ object Forecast {
   def forecastBacktestOn(d: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("event_type").orderBy("day_us")
-    val path = holtForecastOn(d)
+    val path = holtPathOn(d)
       .select(col("event_type"), col("day_us"), col("x"), col("forecast"))
       .withColumn("naive", lag(col("x"), 1).over(w))
       .withColumn("snaive", lag(col("x"), 7).over(w))

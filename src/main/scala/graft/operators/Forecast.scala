@@ -37,8 +37,8 @@ import graft.sources.Tables
   * work is one map-side-combinable count; the fold itself is
   * metadata-scale. Hampel is one exchange on the type key and a
   * WholeStageCodegen window + higher-order-function pass (11-value frame
-  * per event, never a self-join); if a single type outgrows a task the
-  * day-bounded variant of the CEP family applies unchanged.
+  * per event, never a self-join); `ev_hampel_daily` is the day-bounded
+  * form for corpora where a single type outgrows a task.
   */
 object Forecast {
 
@@ -436,6 +436,71 @@ object Forecast {
       .orderBy("event_type", "id")
   }
 
+  def hampelDaily(s: SparkSession, dir: String): DataFrame =
+    hampelDailyOn(Tables.t(s, dir, "events")
+      .select(col("event_type"),
+        unix_micros(date_trunc("DAY", col("ts"))).as("day_us"),
+        col("event_id").cast("long").as("id"),
+        unix_micros(col("ts")).as("ts_us"), col("value").as("x")))
+
+  /** `ev_hampel_daily` — the DAY-BOUNDED Hampel (the windowed-CUSUM
+    * discipline): the unbounded form's one scale exposure is that its
+    * window partitions on event_type alone, so at 100 TB a single type's
+    * whole history lands in one task's sort. Adding the day to the key
+    * bounds every sort scope to one (type, day) — the exchange count
+    * stays one (plan-asserted) while the group key grows. Semantics
+    * delta, stated precisely: only rows within 5 events of a midnight
+    * see a truncated neighbourhood (the filter's documented edge
+    * behavior, same as the series' own ends); everywhere else the flag
+    * decision is IDENTICAL to the unbounded form (spec-pinned row set).
+    */
+  def hampelDailyOn(e: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type", "day_us")
+      .orderBy("ts_us", "id").rowsBetween(-5, 5)
+    def medOf(arr: String): String =
+      s"CASE WHEN size($arr) % 2 = 1 THEN $arr[size($arr) DIV 2] " +
+        s"ELSE ($arr[size($arr) DIV 2 - 1] + $arr[size($arr) DIV 2]) / 2.0 END"
+    e.withColumn("win", sort_array(collect_list(col("x")).over(w)))
+      .withColumn("med", expr(medOf("win")))
+      .withColumn("dev", expr("array_sort(transform(win, v -> abs(v - med)))"))
+      .withColumn("mad", expr(medOf("dev")))
+      .filter(col("mad") > 0.0 &&
+        abs(col("x") - col("med")) > lit(4.0) * col("mad"))
+      .select("event_type", "id", "ts_us", "x", "med", "mad")
+      .orderBy("event_type", "id")
+  }
+
+  val hampelDailyOracle: String =
+    """WITH he AS (
+      |  SELECT event_type, event_id AS id, epoch_us(ts) AS ts_us,
+      |         value AS x,
+      |         list(value) OVER (PARTITION BY event_type,
+      |                                        date_trunc('day', ts)
+      |                           ORDER BY ts, event_id
+      |                           ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)
+      |           AS win
+      |  FROM events),
+      |hm AS (SELECT event_type, id, ts_us, x, list_sort(win) AS sw FROM he),
+      |h2 AS (
+      |  SELECT event_type, id, ts_us, x, sw,
+      |         CASE WHEN len(sw) % 2 = 1 THEN sw[(len(sw) + 1) // 2]
+      |              ELSE (sw[len(sw) // 2] + sw[len(sw) // 2 + 1]) / 2.0
+      |         END AS med
+      |  FROM hm),
+      |h3 AS (
+      |  SELECT event_type, id, ts_us, x, med,
+      |         list_sort(list_transform(sw, v -> abs(v - med))) AS dv
+      |  FROM h2),
+      |h4 AS (
+      |  SELECT event_type, id, ts_us, x, med,
+      |         CASE WHEN len(dv) % 2 = 1 THEN dv[(len(dv) + 1) // 2]
+      |              ELSE (dv[len(dv) // 2] + dv[len(dv) // 2 + 1]) / 2.0
+      |         END AS mad
+      |  FROM h3)
+      |SELECT event_type, id, ts_us, x, med, mad
+      |FROM h4 WHERE mad > 0.0 AND abs(x - med) > 4.0 * mad
+      |ORDER BY event_type, id""".stripMargin
+
   /** Window + sorted-list DuckDB replay of the identical filter. */
   val hampelOutliersOracle: String =
     """WITH he AS (
@@ -473,5 +538,6 @@ object Forecast {
     QueryDef("ev_change_point", changePoint, Some(changePointOracle)),
     QueryDef("ev_forecast_backtest", forecastBacktest,
       Some(forecastBacktestOracle)),
-    QueryDef("ev_hampel_outliers", hampelOutliers, Some(hampelOutliersOracle)))
+    QueryDef("ev_hampel_outliers", hampelOutliers, Some(hampelOutliersOracle)),
+    QueryDef("ev_hampel_daily", hampelDaily, Some(hampelDailyOracle)))
 }

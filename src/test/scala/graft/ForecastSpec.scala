@@ -242,6 +242,41 @@ class ForecastSpec extends SparkSpecBase {
     assert(got.nonEmpty, "sf0.001 events must contain local spikes")
   }
 
+  test("hampel daily: identical flags away from midnights, bounded sort scope at the boundary") {
+    // on sf0.001, compute both forms and the set of events within 5
+    // positions of a day boundary (in the type's global order): outside
+    // that set the flag decisions must be IDENTICAL row-for-row; inside
+    // it they may differ (truncated neighbourhood) — both directions
+    // checked against nothing stronger than membership, because the
+    // boundary behavior is the documented semantics delta
+    val ev = sources.Tables.t(spark, sf0001, "events")
+      .select(col("event_type"), col("event_id").cast("long").as("id"),
+        unix_micros(col("ts")).as("ts_us"),
+        unix_micros(date_trunc("DAY", col("ts"))).as("day_us"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val nearBoundary = ev.groupBy(_._1).flatMap { case (_, rs) =>
+      val ordered = rs.sortBy(r => (r._3, r._2))
+      ordered.indices.filter { i =>
+        val lo = math.max(0, i - 5); val hi = math.min(ordered.length - 1, i + 5)
+        (lo to hi).exists(j => ordered(j)._4 != ordered(i)._4)
+      }.map(ordered(_)._2)
+    }.toSet
+    val global = operators.Forecast.hampelOutliers(spark, sf0001)
+      .collect().map(r => (r.getLong(1), r.getDouble(3), r.getDouble(4),
+        r.getDouble(5))).map(t => t._1 -> t).toMap
+    val dailyF = operators.Forecast.hampelDaily(spark, sf0001)
+      .collect().map(r => (r.getLong(1), r.getDouble(3), r.getDouble(4),
+        r.getDouble(5))).map(t => t._1 -> t).toMap
+    val interiorG = global.keySet.filterNot(nearBoundary)
+    val interiorD = dailyF.keySet.filterNot(nearBoundary)
+    assert(interiorG === interiorD,
+      "away from midnights the daily form must flag the same events")
+    interiorG.foreach(id => assert(global(id) === dailyF(id),
+      s"interior row $id must carry identical med/mad"))
+    assert(dailyF.nonEmpty)
+  }
+
   test("hampel flags the planted spike, never a clean segment's interior") {
     // Jittered low segment, one 500.0 spike, then a level shift to a
     // jittered high segment: the spike must be flagged; interior rows of

@@ -60,6 +60,30 @@ class RateLimitSpec extends SparkSpecBase {
     assert(throttled === replay(evs).map(_._1).toSet)
   }
 
+  test("daily bucket: debt resets at midnight, in-day bursts still throttle") {
+    val us = 86400000000L
+    val m = 60000000L
+    // a burst of 4 at 23:56-23:59 of day 0, then 4 more at 00:01-00:04 of
+    // day 1: the unbounded bucket carries the debt (throttles 4 and then
+    // all four of day 1's — only ~5 min refilled); the daily bucket
+    // reseeds at midnight, so day 1 throttles only ITS OWN 4th event
+    val evs = (1 to 4).map(i => (i.toLong, us - (5 - i) * m)) ++
+      (5 to 8).map(i => (i.toLong, us + (i - 4) * m))
+    def mk(withDay: Boolean) = {
+      val rows = evs.map { case (id, ts) => (9L, ts - ts % us, id, ts) }
+        .toDF("user_id", "day_us", "id", "ts_us")
+      if (withDay) rows else rows.drop("day_us")
+    }
+    val global = RateLimit.tokenBucketOn(mk(false)).collect()
+      .map(_.getLong(1)).toSet
+    val dailyT = RateLimit.tokenBucketDailyOn(mk(true)).collect()
+      .map(_.getLong(1)).toSet
+    assert(global === Set(4L, 5L, 6L, 7L, 8L),
+      s"unbounded bucket must carry midnight debt: $global")
+    assert(dailyT === Set(4L, 8L),
+      s"daily bucket must reseed at midnight and throttle only in-day 4ths: $dailyT")
+  }
+
   test("streaming twin: in-order replay emits the batch throttle set bit-exactly") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamingRate

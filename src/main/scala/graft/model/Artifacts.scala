@@ -88,4 +88,12 @@ object Artifacts {
       .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
     (rows.map(_._2), rows.map(_._3))
   }
+
+  // ---- forecast state (Holt level/trend/MAE per metric) ------------------
+  def saveForecast(s: SparkSession, path: String,
+      states: org.apache.spark.sql.DataFrame): Unit =
+    states.coalesce(1).write.mode("overwrite").parquet(s"$path/forecast_state")
+
+  def loadForecast(s: SparkSession, path: String): org.apache.spark.sql.DataFrame =
+    s.read.parquet(s"$path/forecast_state")
 }

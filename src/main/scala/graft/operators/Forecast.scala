@@ -104,6 +104,47 @@ object Forecast {
         col("r.is_out").as("is_out"))
   }
 
+  /** The fold's FINAL state per type, no path — the serving artifact
+    * (four numbers per metric): [[graft.model.Artifacts.saveForecast]]
+    * persists it, and [[serveNextDay]] turns it into tomorrow's forecast
+    * + anomaly band with ZERO corpus access (the frozen-stats MAD
+    * serving discipline applied to the smoother: fit on the training
+    * cluster, ship the state, score anywhere).
+    */
+  def holtStateOn(d: DataFrame): DataFrame = {
+    val acc0 = struct(lit(0L).as("i"), lit(0.0).as("level"),
+      lit(0.0).as("trend"), lit(0.0).as("mae"), lit(0L).as("last_day_us"))
+    d.groupBy("event_type")
+      .agg(array_sort(collect_list(struct(col("day_us"), col("x"))))
+        .as("days"))
+      .withColumn("fin", aggregate(col("days"), acc0, (acc, dd) => {
+        val i = acc("i")
+        val level = acc("level"); val trend = acc("trend")
+        val mae = acc("mae"); val x = dd("x")
+        val f = when(i === 0L, x).otherwise(level + trend)
+        val resid = abs(x - f)
+        val nLevel = when(i === 0L, x).otherwise(lit(0.5) * x + lit(0.5) * f)
+        val nTrend = when(i === 0L, lit(0.0))
+          .otherwise(lit(0.25) * (nLevel - level) + lit(0.75) * trend)
+        val nMae = when(i === 0L, lit(0.0)).when(i === 1L, resid)
+          .otherwise(lit(0.5) * resid + lit(0.5) * mae)
+        struct((i + lit(1L)).as("i"), nLevel.as("level"), nTrend.as("trend"),
+          nMae.as("mae"), dd("day_us").as("last_day_us"))
+      }))
+      .select(col("event_type"), col("fin.i").as("n_days"),
+        col("fin.level").as("level"), col("fin.trend").as("trend"),
+        col("fin.mae").as("mae"), col("fin.last_day_us").as("last_day_us"))
+  }
+
+  /** Tomorrow's forecast + 3×MAE anomaly band from a state frame alone —
+    * the serving call a monitor makes against the loaded artifact.
+    */
+  def serveNextDay(states: DataFrame): DataFrame =
+    states.select(col("event_type"),
+      (col("last_day_us") + lit(86400000000L)).as("day_us"),
+      (col("level") + col("trend")).as("forecast"),
+      (lit(3.0) * col("mae")).as("band"))
+
   /** Lockstep recursive-CTE replay of the identical Holt fold. */
   val holtForecastOracle: String =
     """WITH RECURSIVE hw_d AS (

@@ -168,6 +168,39 @@ class ForecastSpec extends SparkSpecBase {
     } finally query.stop()
   }
 
+  test("forecast state artifact: save/load bit-exact; served next-day forecast == refold") {
+    val daily = sources.Tables.t(spark, sf0001, "events")
+      .groupBy(col("event_type"),
+        unix_micros(date_trunc("DAY", col("ts"))).as("day_us"))
+      .agg(count(lit(1)).cast("double").as("x"))
+    val states = Forecast.holtStateOn(daily)
+    val dir = java.nio.file.Files.createTempDirectory("graft-fc").toString
+    model.Artifacts.saveForecast(spark, dir, states)
+    val loaded = model.Artifacts.loadForecast(spark, dir)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5))).toSet
+    assert(key(loaded) === key(states), "round-trip must be bit-exact")
+    // serving from the artifact == refolding the corpus with the next day
+    // appended and reading that day's forecast (the state is SUFFICIENT)
+    val us = 86400000000L
+    val served = Forecast.serveNextDay(loaded).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lastDays = states.collect()
+      .map(r => r.getString(0) -> r.getLong(5)).toMap
+    val nextRows = lastDays.toSeq.map { case (t, d) => (t, d + us, 123.0) }
+    import spark.implicits._
+    val refolded = Forecast
+      .holtForecastOn(daily.unionByName(
+        nextRows.toDF("event_type", "day_us", "x")))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    served.foreach { case (k, f) =>
+      assert(refolded(k) === f, s"served forecast for $k diverged from refold")
+    }
+    assert(served.nonEmpty)
+  }
+
   test("change point: the planted level shift is localized to the exact day") {
     val us = 86400000000L
     // 10 noisy-ish days near 100, then 20 near 160 — the argmax split

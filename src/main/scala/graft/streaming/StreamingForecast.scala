@@ -32,8 +32,16 @@ object StreamingForecast {
   final case class Forecasted(event_type: String, day_us: Long, x: Double,
       forecast: Double, level: Double, trend: Double, is_out: Boolean)
 
+  /** `initial` warm-starts metrics from a fitted batch state
+    * ([[graft.model.Artifacts.loadForecast]] rows as (type → state)) —
+    * the fit-on-the-cluster / resume-live handoff: a monitor does not
+    * refold months of history on deploy, it loads four numbers per
+    * metric and continues the IDENTICAL fold (ForecastSpec pins
+    * warm-start-on-the-tail == cold fold of the full series, bit-exact).
+    */
   def holtStream(days: Dataset[DailyPoint],
-      droppedAcc: Option[LongAccumulator] = None): Dataset[Forecasted] = {
+      droppedAcc: Option[LongAccumulator] = None,
+      initial: Map[String, HoltState] = Map.empty): Dataset[Forecasted] = {
     val spark = days.sparkSession
     import spark.implicits._
     days.groupByKey(_.event_type)
@@ -41,7 +49,7 @@ object StreamingForecast {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (t, it, state: GroupState[HoltState]) =>
           val rows = it.toArray.sortBy(_.day_us)
-          var st = state.getOption.getOrElse(
+          var st = state.getOption.orElse(initial.get(t)).getOrElse(
             HoltState(0L, 0.0, 0.0, 0.0, Long.MinValue, 0L))
           val out = Seq.newBuilder[Forecasted]
           rows.foreach { d =>

@@ -168,6 +168,50 @@ class ForecastSpec extends SparkSpecBase {
     } finally query.stop()
   }
 
+  test("warm start: streaming from a saved artifact continues the fold bit-exactly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingForecast
+    import graft.streaming.StreamingForecast.{DailyPoint, HoltState}
+    // fit on the first 60% of days, save, load, stream the tail from the
+    // loaded state: the emitted rows must equal the cold batch fold of
+    // the FULL series restricted to the tail days
+    val daily = sources.Tables.t(spark, sf0001, "events")
+      .groupBy(col("event_type"),
+        unix_micros(date_trunc("DAY", col("ts"))).as("day_us"))
+      .agg(count(lit(1)).cast("double").as("x"))
+    val allDays = daily.select("day_us").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val cutDay = allDays(math.floor(allDays.length * 0.6).toInt)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ws").toString
+    model.Artifacts.saveForecast(spark, dir,
+      Forecast.holtStateOn(daily.filter(col("day_us") <= cutDay)))
+    val initial = model.Artifacts.loadForecast(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        HoltState(r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getLong(5), 0L)).toMap
+    val tail = daily.filter(col("day_us") > cutDay)
+      .collect().map(r => DailyPoint(r.getString(0), r.getLong(1),
+        r.getDouble(2))).sortBy(_.day_us).toSeq
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[DailyPoint]
+    val query = StreamingForecast.holtStream(mem.toDS(), initial = initial)
+      .writeStream.format("memory").queryName("warm_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(tail); query.processAllAvailable()
+      val got = spark.table("warm_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(3),
+          r.getBoolean(6))).toSet
+      val cold = Forecast.holtForecast(spark, sf0001).collect()
+        .filter(_.getLong(1) > cutDay)
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(3),
+          r.getBoolean(6))).toSet
+      assert(got === cold,
+        "warm-started tail must equal the cold fold of the full series")
+      assert(got.nonEmpty)
+    } finally query.stop()
+  }
+
   test("forecast state artifact: save/load bit-exact; served next-day forecast == refold") {
     val daily = sources.Tables.t(spark, sf0001, "events")
       .groupBy(col("event_type"),

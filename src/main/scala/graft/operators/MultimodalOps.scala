@@ -381,7 +381,17 @@ object MultimodalOps {
   /** The scene fold over any (doc_id, payload) frame — the spec's
     * planted-fixture surface.
     */
-  def sceneCutsOn(bin: DataFrame): DataFrame = {
+  def sceneCutsOn(bin: DataFrame): DataFrame =
+    sceneFold(bin)
+      .groupBy(col("doc_id"), col("scene"))
+      .agg(min(col("fi")).as("start_frame"), count(lit(1)).as("n_frames"))
+      .orderBy("doc_id", "scene")
+
+  /** The shared frame fold: payload → per-frame pHash rows with the
+    * cut flag and running scene id ([[sceneCutsOn]] aggregates it;
+    * [[keyframeDedupOn]] keeps the cut rows as keyframes).
+    */
+  private def sceneFold(bin: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (frameLen, cutBar) = (64, 26)
     val frames = bin
@@ -398,9 +408,46 @@ object MultimodalOps {
         expr(s"bit_count(ph ^ prev) > $cutBar"))
       .withColumn("scene",
         sum(when(col("cut"), 1L).otherwise(0L)).over(w) - 1)
-      .groupBy(col("doc_id"), col("scene"))
-      .agg(min(col("fi")).as("start_frame"), count(lit(1)).as("n_frames"))
-      .orderBy("doc_id", "scene")
+  }
+
+  /** Scene-level near-dup ACROSS assets (`mm_keyframe_dedup`) — the
+    * video-dedup composition the scene table exists for: take each
+    * asset's KEYFRAMES (the cut rows — one 8-byte hash per scene instead
+    * of per frame), pair them across assets with the pigeonhole 4×16-bit
+    * banding at hamming ≤ 3, and count shared scenes per asset pair.
+    * Two encodings of the same footage — or two cuts sharing stock
+    * content — pair at the scene level even when every frame byte
+    * differs (the brightness/contrast class pHash cancels exactly).
+    * Scale shape: the corpus collapses to ǀscenesǀ 8-byte hashes before
+    * anything joins (strictly fewer rows than [[phashDedup]]'s per-asset
+    * table on multi-scene assets), then the familiar bounded band join.
+    */
+  def keyframeDedup(s: SparkSession, dir: String): DataFrame =
+    keyframeDedupOn(asBinaryTable(s, dir))
+
+  def keyframeDedupOn(bin: DataFrame): DataFrame = {
+    val cap = 50L
+    val keyframes = sceneFold(bin).filter(col("cut"))
+      .select(col("doc_id"), col("fi"), col("ph"))
+      .localCheckpoint(true)
+    val bands = keyframes.select(col("doc_id"), col("fi"), col("ph"),
+        explode(expr("sequence(0, 3)")).as("b"))
+      .withColumn("v", expr("shiftright(ph, CAST(b * 16 AS INT)) & 65535"))
+    val kept = bands.join(
+      bands.groupBy("b", "v").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= cap).select("b", "v"),
+      Seq("b", "v"), "left_semi")
+    kept.as("a").join(kept.as("c"),
+        col("a.b") === col("c.b") && col("a.v") === col("c.v") &&
+          col("a.doc_id") < col("c.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("c.doc_id").as("d2"),
+        col("a.fi").as("f1"), col("c.fi").as("f2"),
+        col("a.ph").as("h1"), col("c.ph").as("h2"))
+      .distinct()
+      .filter(expr("bit_count(h1 ^ h2) <= 3"))
+      .groupBy("d1", "d2")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("d1", "d2")
   }
 
   /** DuckDB replay of [[sceneCuts]]: the per-frame pHash replay (the
@@ -409,7 +456,52 @@ object MultimodalOps {
     * lag/threshold/cumsum scene fold — hamming summed over the two
     * 32-bit halves as ever.
     */
-  val sceneCutsOracle: String = {
+  val sceneCutsOracle: String = sceneCtes +
+    """,
+      |sc_cut AS (SELECT doc_id, fi,
+      |             CASE WHEN plo IS NULL THEN TRUE
+      |                  ELSE bit_count(xor(lo, plo)) + bit_count(xor(hi, phi)) > 26
+      |             END AS cut
+      |           FROM sc_lag),
+      |sc_sc AS (SELECT doc_id, fi,
+      |            SUM(CASE WHEN cut THEN 1 ELSE 0 END)
+      |              OVER (PARTITION BY doc_id ORDER BY fi) - 1 AS scene
+      |          FROM sc_cut)
+      |SELECT doc_id, CAST(scene AS BIGINT) AS scene,
+      |       CAST(MIN(fi) AS BIGINT) AS start_frame,
+      |       CAST(COUNT(*) AS BIGINT) AS n_frames
+      |FROM sc_sc GROUP BY doc_id, scene ORDER BY doc_id, scene""".stripMargin
+
+  /** DuckDB replay of [[keyframeDedup]]: the scene CTEs' cut rows as
+    * keyframes, then the [[phashDedupOracle]] banding/cap/hamming tail
+    * counting shared scenes per pair.
+    */
+  val keyframeDedupOracle: String = sceneCtes +
+    """,
+      |kc AS (SELECT doc_id, fi, lo, hi FROM sc_lag
+      |       WHERE plo IS NULL
+      |          OR bit_count(xor(lo, plo)) + bit_count(xor(hi, phi)) > 26),
+      |kb AS (SELECT doc_id, fi, lo, hi, t.b AS b,
+      |         CASE WHEN t.b < 2 THEN (lo >> CAST(t.b * 16 AS INT)) & 65535
+      |              ELSE (hi >> CAST((t.b - 2) * 16 AS INT)) & 65535 END AS v
+      |       FROM kc CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) t),
+      |kcaps AS (SELECT b, v FROM kb GROUP BY b, v HAVING COUNT(*) <= 50),
+      |kk AS (SELECT kb.* FROM kb JOIN kcaps USING (b, v)),
+      |kp AS (SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2,
+      |         a.fi AS f1, c.fi AS f2,
+      |         a.lo AS lo1, a.hi AS hi1, c.lo AS lo2, c.hi AS hi2
+      |       FROM kk a JOIN kk c
+      |         ON a.b = c.b AND a.v = c.v AND a.doc_id < c.doc_id)
+      |SELECT d1, d2, CAST(COUNT(*) AS BIGINT) AS n_shared
+      |FROM kp
+      |WHERE bit_count(xor(lo1, lo2)) + bit_count(xor(hi1, hi2)) <= 3
+      |GROUP BY d1, d2 ORDER BY d1, d2""".stripMargin
+
+  /** The shared frame-pHash replay CTEs (sc_pb .. sc_lag): bytes from
+    * hex at the frame offset, the engine-basis DCT, hashes as two 32-bit
+    * halves, and the per-doc lag.
+    */
+  private def sceneCtes: String = {
     val n = graft.functions.PHash64.N
     val p = graft.functions.PHash64.P
     val bits = graft.functions.PHash64.Bits
@@ -445,20 +537,7 @@ object MultimodalOps {
        |sc_lag AS (SELECT doc_id, fi, lo, hi,
        |             lag(lo) OVER (PARTITION BY doc_id ORDER BY fi) AS plo,
        |             lag(hi) OVER (PARTITION BY doc_id ORDER BY fi) AS phi
-       |           FROM sc_h),
-       |sc_cut AS (SELECT doc_id, fi,
-       |             CASE WHEN plo IS NULL THEN TRUE
-       |                  ELSE bit_count(xor(lo, plo)) + bit_count(xor(hi, phi)) > 26
-       |             END AS cut
-       |           FROM sc_lag),
-       |sc_sc AS (SELECT doc_id, fi,
-       |            SUM(CASE WHEN cut THEN 1 ELSE 0 END)
-       |              OVER (PARTITION BY doc_id ORDER BY fi) - 1 AS scene
-       |          FROM sc_cut)
-       |SELECT doc_id, CAST(scene AS BIGINT) AS scene,
-       |       CAST(MIN(fi) AS BIGINT) AS start_frame,
-       |       CAST(COUNT(*) AS BIGINT) AS n_frames
-       |FROM sc_sc GROUP BY doc_id, scene ORDER BY doc_id, scene""".stripMargin
+       |           FROM sc_h)""".stripMargin
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -467,6 +546,7 @@ object MultimodalOps {
     QueryDef("mm_frame_dedup", frameDedup, Some(frameDedupOracle)),
     QueryDef("mm_phash_dedup", phashDedup, Some(phashDedupOracle)),
     QueryDef("mm_phash", phashValues, Some(phashValuesOracle)),
-    QueryDef("mm_scene_cuts", sceneCuts, Some(sceneCutsOracle))
+    QueryDef("mm_scene_cuts", sceneCuts, Some(sceneCutsOracle)),
+    QueryDef("mm_keyframe_dedup", keyframeDedup, Some(keyframeDedupOracle))
   )
 }

@@ -179,4 +179,43 @@ class MultimodalSpec extends SparkSpecBase {
       .collect()
     assert(real.nonEmpty && real.forall(r => r.getLong(1) >= r.getLong(2)))
   }
+
+  test("keyframe dedup: two cuts sharing one scene pair at the scene level") {
+    import spark.implicits._
+    // video A = scenes [0, 1, 2]; video B = scenes [3, 4, 1]; video C =
+    // scenes [4, 0, 2]. Scene orders are chosen so every IN-VIDEO
+    // transition exceeds the 26-bit cut bar (adjacent-kind hammings
+    // measured 28-39); across videos every frame is byte-distinct
+    // (disjoint per-frame brightness jitter), so byte-level frames
+    // cannot pair what the keyframe pass must: A∩B = {1}, A∩C = {0, 2},
+    // B∩C = {4}.
+    def frame(kind: Int, bright: Int): Array[Byte] = {
+      val base = kind match {
+        case 0 => Array.tabulate(64)(k => (40 + 25 * math.sin(k / 10.0)).toInt)
+        case 1 => Array.tabulate(64)(k => (40 + 25 * math.sin(k / 2.5)).toInt)
+        case 2 => Array.tabulate(64)(k => 8 + (k * 3) % 60)
+        case 3 => Array.tabulate(64)(k => (40 + 25 * math.sin(k / 5.0)).toInt)
+        case _ => Array.tabulate(64)(k => 8 + (k * 5) % 60)
+      }
+      base.map(v => (v + bright).toByte)
+    }
+    def video(scenes: Seq[Int], jitter: Int): Array[Byte] =
+      scenes.flatMap(k => (0 until 3).flatMap(r => frame(k, jitter + r))).toArray
+    val planted = Seq(
+      (1L, video(Seq(0, 1, 2), 1)),
+      (2L, video(Seq(3, 4, 1), 8)),   // disjoint jitter: no byte-equal frames
+      (3L, video(Seq(4, 0, 2), 15)))
+    val out = MultimodalOps.keyframeDedupOn(
+        planted.toDF("doc_id", "payload"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out((1L, 2L)) === 1L, s"videos 1,2 share exactly scene 1: $out")
+    assert(out((1L, 3L)) === 2L, s"videos 1,3 share scenes 0 and 2: $out")
+    assert(out((2L, 3L)) === 1L, s"videos 2,3 share scene 4: $out")
+    // the delta premise: zero byte-identical 64-byte frames across videos
+    val allFrames = planted.flatMap { case (id, p) =>
+      p.grouped(64).map(f => (id, f.toSeq))
+    }
+    assert(allFrames.map(_._2).distinct.size === allFrames.size,
+      "every planted frame must be byte-distinct across videos")
+  }
 }

@@ -168,6 +168,36 @@ class ForecastSpec extends SparkSpecBase {
     } finally query.stop()
   }
 
+  test("streaming hw twin: in-order daily replay equals the batch seasonal fold") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingForecast
+    import graft.streaming.StreamingForecast.DailyPoint
+    val daily = sources.Tables.t(spark, sf0001, "events")
+      .groupBy(col("event_type"),
+        unix_micros(date_trunc("DAY", col("ts"))).as("day_us"))
+      .agg(count(lit(1)).cast("double").as("x"))
+      .collect().map(r => DailyPoint(r.getString(0), r.getLong(1),
+        r.getDouble(2)))
+      .sortBy(_.day_us).toSeq
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[DailyPoint]
+    val query = StreamingForecast.hwStream(mem.toDS())
+      .writeStream.format("memory").queryName("hw_out")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = daily.splitAt(daily.length / 3)
+      mem.addData(b1); query.processAllAvailable()
+      mem.addData(b2); query.processAllAvailable()
+      val got = spark.table("hw_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(3),
+          r.getDouble(6), r.getBoolean(7))).toSet
+      val batch = Forecast.hwSeasonal(spark, sf0001).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(3),
+          r.getDouble(6), r.getBoolean(7))).toSet
+      assert(got === batch)
+    } finally query.stop()
+  }
+
   test("warm start: streaming from a saved artifact continues the fold bit-exactly") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamingForecast

@@ -192,7 +192,14 @@ object Forecast {
     * flagging starts at i ≥ 9 (the seasonal slots need sightings before
     * residuals mean anything).
     */
-  def hwSeasonalOn(d: DataFrame): DataFrame = {
+  def hwSeasonalOn(d: DataFrame): DataFrame =
+    hwPathOn(d).orderBy("event_type", "day_us")
+
+  /** The seasonal fold without the output sort (the [[holtPathOn]]
+    * discipline — the backtest consumes the path on its own
+    * partitioning).
+    */
+  private[graft] def hwPathOn(d: DataFrame): DataFrame = {
     val rowsT = "array<struct<day_us: bigint, x: double, f: double, " +
       "level: double, trend: double, seas: double, is_out: boolean>>"
     val acc0 = struct(lit(0).as("i"), lit(0.0).as("level"),
@@ -234,7 +241,6 @@ object Forecast {
         col("r.x").as("x"), col("r.f").as("forecast"),
         col("r.level").as("level"), col("r.trend").as("trend"),
         col("r.seas").as("seas"), col("r.is_out").as("is_out"))
-      .orderBy("event_type", "day_us")
   }
 
   /** Lockstep recursive-CTE replay with the seasonal array as a LIST
@@ -375,9 +381,15 @@ object Forecast {
     */
   def forecastBacktestOn(d: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the daily frame feeds two folds — materialize it once so the fact
+    // aggregation underneath never runs twice
+    val dd = d.localCheckpoint(true)
     val w = Window.partitionBy("event_type").orderBy("day_us")
-    val path = holtPathOn(d)
+    val hw = hwPathOn(dd).select(col("event_type"), col("day_us"),
+      col("forecast").as("f_hw"))
+    val path = holtPathOn(dd)
       .select(col("event_type"), col("day_us"), col("x"), col("forecast"))
+      .join(hw, Seq("event_type", "day_us"))
       .withColumn("naive", lag(col("x"), 1).over(w))
       .withColumn("snaive", lag(col("x"), 7).over(w))
       .withColumn("rn", row_number().over(w))
@@ -387,20 +399,29 @@ object Forecast {
     val agg = path.groupBy("event_type").agg(
       count(lit(1)).as("n_eval"),
       sumU(col("forecast")).as("holt_u"),
+      sumU(col("f_hw")).as("hw_u"),
       sumU(col("naive")).as("naive_u"),
       sumU(col("snaive")).as("snaive_u"))
     agg.withColumn("best",
-        when(col("holt_u") <= col("naive_u") &&
+        when(col("holt_u") <= col("hw_u") &&
+          col("holt_u") <= col("naive_u") &&
           col("holt_u") <= col("snaive_u"), "holt")
+          .when(col("hw_u") <= col("naive_u") &&
+            col("hw_u") <= col("snaive_u"), "hw")
           .when(col("naive_u") <= col("snaive_u"), "naive")
           .otherwise("snaive"))
       .orderBy("event_type")
   }
 
-  /** The Holt recursive CTE (the [[holtForecastOracle]] construction)
-    * plus window lags and the identical quantized integer sums.
+  /** The Holt and seasonal recursive CTEs (the [[holtForecastOracle]] /
+    * [[hwSeasonalOracle]] constructions sharing one daily frame) plus
+    * window lags and the identical quantized integer sums.
     */
-  val forecastBacktestOracle: String =
+  val forecastBacktestOracle: String = {
+    val sPrev = "st.seas[CAST((d.day_us // 86400000000) % 7 AS INT) + 1]"
+    val hwF = s"CASE WHEN st.i = 0 THEN d.x ELSE st.level + st.trend + $sPrev END"
+    val hwL = s"CASE WHEN st.i = 0 THEN d.x ELSE 0.5 * (d.x - $sPrev) " +
+      "+ 0.5 * (st.level + st.trend) END"
     """WITH RECURSIVE hw_d AS (
       |  SELECT event_type, epoch_us(date_trunc('day', ts)) AS day_us,
       |         CAST(COUNT(*) AS DOUBLE) AS x,
@@ -426,29 +447,55 @@ object Forecast {
       |                   + 0.5 * st.mae END
       |  FROM hw st JOIN hw_d d
       |    ON d.event_type = st.event_type AND d.rn = st.i + 1),
+      |hws AS (
+      |  SELECT event_type, 0 AS i, CAST(0 AS BIGINT) AS day_us,
+      |         0.0::DOUBLE AS f, 0.0::DOUBLE AS level, 0.0::DOUBLE AS trend,
+      |         [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]::DOUBLE[] AS seas
+      |  FROM (SELECT DISTINCT event_type FROM hw_d)
+      |  UNION ALL
+      |  SELECT st.event_type, st.i + 1, d.day_us,
+      |         HWF,
+      |         HWL,
+      |         CASE WHEN st.i = 0 THEN 0.0
+      |              ELSE 0.25 * ((HWL) - st.level) + 0.75 * st.trend END,
+      |         list_transform(st.seas, (sv, j) ->
+      |           CASE WHEN j = CAST((d.day_us // 86400000000) % 7 AS INT) + 1
+      |                THEN 0.5 * (d.x - (HWL)) + 0.5 * SPREV
+      |                ELSE sv END)
+      |  FROM hws st JOIN hw_d d
+      |    ON d.event_type = st.event_type AND d.rn = st.i + 1),
       |bt AS (
-      |  SELECT event_type, day_us, x, f,
-      |         lag(x, 1) OVER (PARTITION BY event_type ORDER BY day_us)
+      |  SELECT h.event_type, h.day_us, h.x, h.f, s.f AS f_hw,
+      |         lag(h.x, 1) OVER (PARTITION BY h.event_type ORDER BY h.day_us)
       |           AS naive,
-      |         lag(x, 7) OVER (PARTITION BY event_type ORDER BY day_us)
+      |         lag(h.x, 7) OVER (PARTITION BY h.event_type ORDER BY h.day_us)
       |           AS snaive,
-      |         row_number() OVER (PARTITION BY event_type ORDER BY day_us)
+      |         row_number() OVER (PARTITION BY h.event_type ORDER BY h.day_us)
       |           AS rn
-      |  FROM hw WHERE i >= 1),
+      |  FROM hw h JOIN hws s
+      |    ON s.event_type = h.event_type AND s.day_us = h.day_us
+      |   AND s.i >= 1
+      |  WHERE h.i >= 1),
       |ag AS (
       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_eval,
       |         CAST(SUM(CAST(floor(abs(x - f) * 1000000.0) AS BIGINT))
       |              AS BIGINT) AS holt_u,
+      |         CAST(SUM(CAST(floor(abs(x - f_hw) * 1000000.0) AS BIGINT))
+      |              AS BIGINT) AS hw_u,
       |         CAST(SUM(CAST(floor(abs(x - naive) * 1000000.0) AS BIGINT))
       |              AS BIGINT) AS naive_u,
       |         CAST(SUM(CAST(floor(abs(x - snaive) * 1000000.0) AS BIGINT))
       |              AS BIGINT) AS snaive_u
       |  FROM bt WHERE rn > 7 GROUP BY event_type)
-      |SELECT event_type, n_eval, holt_u, naive_u, snaive_u,
-      |       CASE WHEN holt_u <= naive_u AND holt_u <= snaive_u THEN 'holt'
+      |SELECT event_type, n_eval, holt_u, hw_u, naive_u, snaive_u,
+      |       CASE WHEN holt_u <= hw_u AND holt_u <= naive_u
+      |                 AND holt_u <= snaive_u THEN 'holt'
+      |            WHEN hw_u <= naive_u AND hw_u <= snaive_u THEN 'hw'
       |            WHEN naive_u <= snaive_u THEN 'naive'
       |            ELSE 'snaive' END AS best
       |FROM ag ORDER BY event_type""".stripMargin
+      .replace("HWF", hwF).replace("HWL", hwL).replace("SPREV", sPrev)
+  }
 
   def hampelOutliers(s: SparkSession, dir: String): DataFrame =
     hampelOutliersOn(Tables.t(s, dir, "events")

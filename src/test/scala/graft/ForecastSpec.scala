@@ -294,25 +294,28 @@ class ForecastSpec extends SparkSpecBase {
 
   test("backtest ranks the right forecaster per regime") {
     val us = 86400000000L
-    // regime A: pure trend — Holt's forecast converges to exact, the
-    // naives trail by 10 and 70 a day; regime B: pure weekly shape — the
-    // seasonal naive is exact from day 8, Holt and naive keep paying the
-    // weekend cliff
+    // regime A: pure trend — Holt converges to exact; regime B: pure
+    // weekly shape — the seasonal naive is exact from day 8; regime C:
+    // trend + weekly dip over 42 days — only the Holt-Winters seasonal
+    // model absorbs BOTH signals once its slots converge (simulated
+    // integer sums: hw 605 vs naive 725 vs holt 979 vs snaive 1225)
     val trend = (0 until 28).map(i => ("trend", i.toLong * us, 100.0 + 10.0 * i))
     val weekly = (0 until 28).map { i =>
       val x = if (i % 7 >= 5) 30.0 else 100.0
       ("weekly", i.toLong * us, x)
     }
-    val df = (trend ++ weekly).toDF("event_type", "day_us", "x")
+    val both = (0 until 42).map { i =>
+      val x = 100.0 + 5.0 * i - (if (i % 7 >= 5) 60.0 else 0.0)
+      ("both", i.toLong * us, x)
+    }
+    val df = (trend ++ weekly ++ both).toDF("event_type", "day_us", "x")
     val out = Forecast.forecastBacktestOn(df).collect()
       .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(4),
-        r.getString(5))).toMap
-    assert(out("trend")._4 === "holt", s"trend regime: ${out("trend")}")
-    assert(out("weekly")._4 === "snaive", s"weekly regime: ${out("weekly")}")
-    assert(out("weekly")._3 === 0L, "seasonal naive must be exact on a pure weekly shape")
-    // n_eval covers days 8..28 for both
-    val n = Forecast.forecastBacktestOn(df).collect().map(_.getLong(1)).toSet
-    assert(n === Set(21L))
+        r.getLong(5), r.getString(6))).toMap
+    assert(out("trend")._5 === "holt", s"trend regime: ${out("trend")}")
+    assert(out("weekly")._5 === "snaive", s"weekly regime: ${out("weekly")}")
+    assert(out("weekly")._4 === 0L, "seasonal naive must be exact on a pure weekly shape")
+    assert(out("both")._5 === "hw", s"trend+weekly regime: ${out("both")}")
   }
 
   private def hampelReplay(xs: Seq[Double]): Seq[(Int, Double, Double, Double)] = {

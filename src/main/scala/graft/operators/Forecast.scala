@@ -362,6 +362,133 @@ object Forecast {
       |FROM cp_r WHERE rk = 1
       |ORDER BY event_type""".stripMargin
 
+  def changeSegments(s: SparkSession, dir: String): DataFrame =
+    changeSegmentsOn(daily(s, dir))
+
+  /** `ev_change_segments` — depth-2 binary segmentation (the iterated
+    * form of [[changePointOn]]): split each type's series at its best
+    * change point, then split each SIDE at its own best point, keeping a
+    * split only when it clears a minimum mean-gap bar (1.0 — on a
+    * jittered-constant side every split's gain is sub-noise and taking
+    * the argmax anyway would fabricate a boundary; the planted spec pins
+    * both directions). Output is the segment table (type, seg, start
+    * day, length, mean) — the "what regimes did this metric live in"
+    * answer, up to 4 segments per type. Same declarative discipline:
+    * prefix-sum + rank windows only, every score an exact
+    * integer-valued-double expression both engines compute bit-equal.
+    */
+  def changeSegmentsOn(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dd = d.localCheckpoint(true)
+    val minGain = 1.0
+    def bestSplit(df: DataFrame, part: Seq[String]): DataFrame = {
+      val wOrd = Window.partitionBy(part.map(col): _*).orderBy("day_us")
+      val wAll = Window.partitionBy(part.map(col): _*)
+      df.withColumn("k", row_number().over(wOrd).cast("long"))
+        .withColumn("s_k", sum(col("x")).over(wOrd))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("s", sum(col("x")).over(wAll))
+        .withColumn("nd", lead(col("day_us"), 1).over(wOrd))
+        .filter(col("k") < col("n") && col("n") >= 8)
+        .withColumn("gain", abs(col("s_k") / col("k") -
+          (col("s") - col("s_k")) / (col("n") - col("k"))))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(part.map(col): _*)
+            .orderBy(col("gain").desc, col("day_us"))))
+        .filter(col("rk") === 1 && col("gain") >= minGain)
+        .select(part.map(col) :+ col("nd"): _*)
+    }
+    val cp1 = bestSplit(dd, Seq("event_type"))
+      .withColumnRenamed("nd", "cp1")
+    val sided = dd.join(cp1, Seq("event_type"), "left")
+      .withColumn("side",
+        when(col("cp1").isNotNull && col("day_us") >= col("cp1"), 1)
+          .otherwise(0))
+      .drop("cp1")
+    val cp2 = bestSplit(sided, Seq("event_type", "side"))
+      .withColumnRenamed("nd", "cp2")
+    val seg = sided.join(cp2, Seq("event_type", "side"), "left")
+      .withColumn("sub",
+        when(col("cp2").isNotNull && col("day_us") >= col("cp2"), 1)
+          .otherwise(0))
+    seg.groupBy(col("event_type"), col("side"), col("sub"))
+      .agg(min(col("day_us")).as("start_day_us"),
+        count(lit(1)).as("n_days"),
+        (sum(col("x")) / count(lit(1))).as("mean"))
+      .withColumn("seg", row_number().over(
+        Window.partitionBy("event_type").orderBy("start_day_us")).cast("long"))
+      .select("event_type", "seg", "start_day_us", "n_days", "mean")
+      .orderBy("event_type", "seg")
+  }
+
+  val changeSegmentsOracle: String =
+    """WITH cs_d AS (
+      |  SELECT event_type, epoch_us(date_trunc('day', ts)) AS day_us,
+      |         CAST(COUNT(*) AS DOUBLE) AS x
+      |  FROM events GROUP BY event_type, date_trunc('day', ts)),
+      |cs_w1 AS (
+      |  SELECT event_type, day_us, x,
+      |         CAST(row_number() OVER (PARTITION BY event_type
+      |                                 ORDER BY day_us) AS BIGINT) AS k,
+      |         SUM(x) OVER (PARTITION BY event_type ORDER BY day_us) AS s_k,
+      |         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+      |         SUM(x) OVER (PARTITION BY event_type) AS s,
+      |         lead(day_us, 1) OVER (PARTITION BY event_type
+      |                               ORDER BY day_us) AS nd
+      |  FROM cs_d),
+      |cs_r1 AS (
+      |  SELECT event_type, nd,
+      |         abs(s_k / k - (s - s_k) / (n - k)) AS gain,
+      |         row_number() OVER (PARTITION BY event_type
+      |           ORDER BY abs(s_k / k - (s - s_k) / (n - k)) DESC, day_us)
+      |           AS rk
+      |  FROM cs_w1 WHERE k < n AND n >= 8),
+      |cs_cp1 AS (SELECT event_type, nd AS cp1 FROM cs_r1
+      |           WHERE rk = 1 AND gain >= 1.0),
+      |cs_sd AS (
+      |  SELECT d.event_type, d.day_us, d.x,
+      |         CASE WHEN c.cp1 IS NOT NULL AND d.day_us >= c.cp1
+      |              THEN 1 ELSE 0 END AS side
+      |  FROM cs_d d LEFT JOIN cs_cp1 c ON c.event_type = d.event_type),
+      |cs_w2 AS (
+      |  SELECT event_type, side, day_us, x,
+      |         CAST(row_number() OVER (PARTITION BY event_type, side
+      |                                 ORDER BY day_us) AS BIGINT) AS k,
+      |         SUM(x) OVER (PARTITION BY event_type, side
+      |                      ORDER BY day_us) AS s_k,
+      |         CAST(COUNT(*) OVER (PARTITION BY event_type, side)
+      |              AS BIGINT) AS n,
+      |         SUM(x) OVER (PARTITION BY event_type, side) AS s,
+      |         lead(day_us, 1) OVER (PARTITION BY event_type, side
+      |                               ORDER BY day_us) AS nd
+      |  FROM cs_sd),
+      |cs_r2 AS (
+      |  SELECT event_type, side, nd,
+      |         abs(s_k / k - (s - s_k) / (n - k)) AS gain,
+      |         row_number() OVER (PARTITION BY event_type, side
+      |           ORDER BY abs(s_k / k - (s - s_k) / (n - k)) DESC, day_us)
+      |           AS rk
+      |  FROM cs_w2 WHERE k < n AND n >= 8),
+      |cs_cp2 AS (SELECT event_type, side, nd AS cp2 FROM cs_r2
+      |           WHERE rk = 1 AND gain >= 1.0),
+      |cs_sg AS (
+      |  SELECT d.event_type, d.side, d.day_us, d.x,
+      |         CASE WHEN c.cp2 IS NOT NULL AND d.day_us >= c.cp2
+      |              THEN 1 ELSE 0 END AS sub
+      |  FROM cs_sd d LEFT JOIN cs_cp2 c
+      |    ON c.event_type = d.event_type AND c.side = d.side),
+      |cs_ag AS (
+      |  SELECT event_type, side, sub,
+      |         CAST(MIN(day_us) AS BIGINT) AS start_day_us,
+      |         CAST(COUNT(*) AS BIGINT) AS n_days,
+      |         SUM(x) / COUNT(*) AS mean
+      |  FROM cs_sg GROUP BY event_type, side, sub)
+      |SELECT event_type,
+      |       CAST(row_number() OVER (PARTITION BY event_type
+      |                               ORDER BY start_day_us) AS BIGINT) AS seg,
+      |       start_day_us, n_days, mean
+      |FROM cs_ag ORDER BY event_type, seg""".stripMargin
+
   def forecastBacktest(s: SparkSession, dir: String): DataFrame =
     forecastBacktestOn(daily(s, dir))
 
@@ -624,6 +751,7 @@ object Forecast {
     QueryDef("ev_holt_forecast", holtForecast, Some(holtForecastOracle)),
     QueryDef("ev_hw_seasonal", hwSeasonal, Some(hwSeasonalOracle)),
     QueryDef("ev_change_point", changePoint, Some(changePointOracle)),
+    QueryDef("ev_change_segments", changeSegments, Some(changeSegmentsOracle)),
     QueryDef("ev_forecast_backtest", forecastBacktest,
       Some(forecastBacktestOracle)),
     QueryDef("ev_hampel_outliers", hampelOutliers, Some(hampelOutliersOracle)),

@@ -292,6 +292,29 @@ class ForecastSpec extends SparkSpecBase {
     assert(real.nonEmpty)
   }
 
+  test("segments: depth-2 finds the planted staircase; a flat series stays whole") {
+    val us = 86400000000L
+    // staircase 100(x12) -> 160(x10) -> 40(x12) with +-0.5 jitter: the
+    // first split lands at the bigger jump (day 22), the second finds
+    // day 12 inside the left side, and the jittered-constant right side
+    // must NOT split (its best gain is sub-bar) -> exactly 3 segments
+    def jit(i: Int) = (i % 2) * 0.5
+    val stair = (0 until 12).map(i => ("stair", i.toLong * us, 100.0 + jit(i))) ++
+      (12 until 22).map(i => ("stair", i.toLong * us, 160.0 + jit(i))) ++
+      (22 until 34).map(i => ("stair", i.toLong * us, 40.0 + jit(i)))
+    val flat = (0 until 30).map(i => ("flat", i.toLong * us, 50.0 + jit(i)))
+    val df = (stair ++ flat).toDF("event_type", "day_us", "x")
+    val out = Forecast.changeSegmentsOn(df).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2) / us,
+        r.getLong(3)))
+    val stairSegs = out.filter(_._1 == "stair").map(t => (t._3, t._4)).toSeq
+    assert(stairSegs === Seq((0L, 12L), (12L, 10L), (22L, 12L)),
+      s"staircase must segment at days 12 and 22: $stairSegs")
+    val flatSegs = out.filter(_._1 == "flat")
+    assert(flatSegs.length === 1 && flatSegs.head._4 === 30L,
+      s"a flat jittered series must stay one segment: ${flatSegs.toSeq}")
+  }
+
   test("backtest ranks the right forecaster per regime") {
     val us = 86400000000L
     // regime A: pure trend — Holt converges to exact; regime B: pure

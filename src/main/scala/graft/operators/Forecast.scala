@@ -145,6 +145,44 @@ object Forecast {
       (col("level") + col("trend")).as("forecast"),
       (lit(3.0) * col("mae")).as("band"))
 
+  /** The SEASONAL fold's final state (level, trend, MAE, the 7 slots,
+    * last day) — [[holtStateOn]]'s twin for [[hwSeasonalOn]]; persisted
+    * by [[graft.model.Artifacts.saveForecast]] (the seas array rides as
+    * one array column) and consumed by the hwStream warm start.
+    */
+  def hwStateOn(d: DataFrame): DataFrame = {
+    val acc0 = struct(lit(0L).as("i"), lit(0.0).as("level"),
+      lit(0.0).as("trend"), lit(0.0).as("mae"),
+      array(Seq.fill(7)(lit(0.0)): _*).as("seas"), lit(0L).as("last_day_us"))
+    d.groupBy("event_type")
+      .agg(array_sort(collect_list(struct(col("day_us"), col("x"))))
+        .as("days"))
+      .withColumn("fin", aggregate(col("days"), acc0, (acc, dd) => {
+        val i = acc("i")
+        val level = acc("level"); val trend = acc("trend")
+        val mae = acc("mae"); val seas = acc("seas"); val x = dd("x")
+        val slot = ((dd("day_us") / lit(86400000000L)) % 7).cast("int")
+        val sPrev = element_at(seas, slot + 1)
+        val f = when(i === 0L, x).otherwise(level + trend + sPrev)
+        val resid = abs(x - f)
+        val nLevel = when(i === 0L, x)
+          .otherwise(lit(0.5) * (x - sPrev) + lit(0.5) * (level + trend))
+        val nTrend = when(i === 0L, lit(0.0))
+          .otherwise(lit(0.25) * (nLevel - level) + lit(0.75) * trend)
+        val nSeasV = lit(0.5) * (x - nLevel) + lit(0.5) * sPrev
+        val nSeas = zip_with(seas, expr("sequence(0, 6)"),
+          (sv, j) => when(j === slot, nSeasV).otherwise(sv))
+        val nMae = when(i === 0L, lit(0.0)).when(i === 1L, resid)
+          .otherwise(lit(0.5) * resid + lit(0.5) * mae)
+        struct((i + lit(1L)).as("i"), nLevel.as("level"), nTrend.as("trend"),
+          nMae.as("mae"), nSeas.as("seas"), dd("day_us").as("last_day_us"))
+      }))
+      .select(col("event_type"), col("fin.i").as("n_days"),
+        col("fin.level").as("level"), col("fin.trend").as("trend"),
+        col("fin.mae").as("mae"), col("fin.seas").as("seas"),
+        col("fin.last_day_us").as("last_day_us"))
+  }
+
   /** Lockstep recursive-CTE replay of the identical Holt fold. */
   val holtForecastOracle: String =
     """WITH RECURSIVE hw_d AS (

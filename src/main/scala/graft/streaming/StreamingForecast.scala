@@ -89,7 +89,8 @@ object StreamingForecast {
     * contract and bit-exact in-order parity as [[holtStream]].
     */
   def hwStream(days: Dataset[DailyPoint],
-      droppedAcc: Option[LongAccumulator] = None): Dataset[HwForecasted] = {
+      droppedAcc: Option[LongAccumulator] = None,
+      initial: Map[String, HwState] = Map.empty): Dataset[HwForecasted] = {
     val spark = days.sparkSession
     import spark.implicits._
     days.groupByKey(_.event_type)
@@ -97,7 +98,7 @@ object StreamingForecast {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (t, it, state: GroupState[HwState]) =>
           val rows = it.toArray.sortBy(_.day_us)
-          var st = state.getOption.getOrElse(
+          var st = state.getOption.orElse(initial.get(t)).getOrElse(
             HwState(0L, 0.0, 0.0, 0.0, Array.fill(7)(0.0), Long.MinValue, 0L))
           val out = Seq.newBuilder[HwForecasted]
           rows.foreach { d =>

@@ -242,6 +242,46 @@ class ForecastSpec extends SparkSpecBase {
     } finally query.stop()
   }
 
+  test("seasonal warm start: streaming from the saved hw state continues bit-exactly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingForecast
+    import graft.streaming.StreamingForecast.{DailyPoint, HwState}
+    val daily = sources.Tables.t(spark, sf0001, "events")
+      .groupBy(col("event_type"),
+        unix_micros(date_trunc("DAY", col("ts"))).as("day_us"))
+      .agg(count(lit(1)).cast("double").as("x"))
+    val allDays = daily.select("day_us").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val cutDay = allDays(math.floor(allDays.length * 0.6).toInt)
+    val dir = java.nio.file.Files.createTempDirectory("graft-hws").toString
+    model.Artifacts.saveForecast(spark, dir,
+      Forecast.hwStateOn(daily.filter(col("day_us") <= cutDay)))
+    val initial = model.Artifacts.loadForecast(spark, dir).collect()
+      .map(r => r.getString(0) -> HwState(r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4),
+        r.getSeq[Double](5).toArray, r.getLong(6), 0L)).toMap
+    val tail = daily.filter(col("day_us") > cutDay)
+      .collect().map(r => DailyPoint(r.getString(0), r.getLong(1),
+        r.getDouble(2))).sortBy(_.day_us).toSeq
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[DailyPoint]
+    val query = StreamingForecast.hwStream(mem.toDS(), initial = initial)
+      .writeStream.format("memory").queryName("hw_warm_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(tail); query.processAllAvailable()
+      val got = spark.table("hw_warm_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(3),
+          r.getDouble(6), r.getBoolean(7))).toSet
+      val cold = Forecast.hwSeasonal(spark, sf0001).collect()
+        .filter(_.getLong(1) > cutDay)
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(3),
+          r.getDouble(6), r.getBoolean(7))).toSet
+      assert(got === cold)
+      assert(got.nonEmpty)
+    } finally query.stop()
+  }
+
   test("forecast state artifact: save/load bit-exact; served next-day forecast == refold") {
     val daily = sources.Tables.t(spark, sf0001, "events")
       .groupBy(col("event_type"),

@@ -23,6 +23,7 @@ object Registry {
       operators.Ewma.defs ++
       operators.Forecast.defs ++
       operators.RateLimit.defs ++
+      operators.PrivacyOps.defs ++
       operators.ReportOps.defs ++
       operators.TextOps.defs ++
       operators.DedupOps.defs ++

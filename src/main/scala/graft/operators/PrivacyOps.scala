@@ -1,0 +1,239 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.sources.Tables
+
+/** Differentially-private releases over the event/document corpora — the
+  * privacy leg of the training-data pipeline (the PII family scrubs
+  * documents; this family protects the AGGREGATES a pipeline publishes:
+  * activity dashboards, corpus composition stats, per-cohort histograms.
+  * A 100 TB corpus's summary tables leak membership without it).
+  *
+  * Mechanism — an ENGINE-PORTABLE discrete Laplace (a.k.a. two-sided
+  * geometric), built so both Spark and DuckDB draw the IDENTICAL noise
+  * and the gate stays hash-exact:
+  *
+  *   - Seed: md5 of a versioned salt + the group key (the [[PortableHll]]
+  *     basis — both engines compute md5 of the same string bit-identically).
+  *     Chunks 0 and 1 of the digest ([[PortableSketchBasis.chunk16]]) give
+  *     two independent 16-bit uniforms per group.
+  *   - One-sided draw: g(u) = truncated Geometric(1/2) via the exact
+  *     inverse CDF — P(g=j) = 2^-(j+1) for j = 0..15 (tail mass 2^-16 at
+  *     g=16), realized as a 17-branch CASE ladder over power-of-two
+  *     thresholds. Pure int64 comparisons: no ln, no float, no RNG state —
+  *     deterministic and replayable on any engine.
+  *   - Noise: Z = g(u0) − g(u1). The difference of two iid Geometric(α)
+  *     draws IS the discrete Laplace with P(Z=z) ∝ α^|z| (Inusah &
+  *     Kozubowski 2006), here α = 1/2, so the release satisfies
+  *     (Δ·ln 2, δ)-DP for integer sensitivity Δ, with δ ≈ 2^-15 from the
+  *     ±16 truncation (the Ghosh–Roughgarden–Sundararajan geometric
+  *     mechanism, made deterministic per group key).
+  *
+  * Seeded (rather than sampled) noise is a deliberate engineering trade,
+  * stated plainly: the same release is reproducible run-over-run (and
+  * auditable by the oracle), but REPEATED releases of the same group key
+  * must bump the salt version or the noise repeats and averages away.
+  * That is exactly how production DP query systems cache per-cell noise.
+  *
+  * Sensitivity discipline (where most "DP" pipelines silently cheat):
+  *   - [[dpDailyCounts]] caps each user at [[CapPerUserDay]] rows per
+  *     (event_type, day) BEFORE counting — one row_number window, rn ≤ C —
+  *     so a single user moves any published cell by at most C and the
+  *     cell-level guarantee is (C·ln 2)-DP, composing across the cells a
+  *     user actually touches.
+  *   - [[dpUserHistogram]] is the flagship USER-level release: each user
+  *     lands in exactly one activity bucket, buckets are released over a
+  *     FIXED public spine (0..19 — absent buckets get noise too; releasing
+  *     only non-empty buckets would leak emptiness), so removing a user
+  *     changes one cell by 1 and the WHOLE table is (ln 2)-DP by parallel
+  *     composition.
+  *   - [[dpSourceCounts]] treats the document source enum as public
+  *     metadata (group-key visibility is a policy choice, not a mechanism
+  *     property) and protects the per-source volume at document level.
+  *
+  * Scale shape: capping is one window over the fact (same exchange the
+  * count needs), noise is a map-side expression over the ≤ |groups|
+  * aggregate — the DP layer adds ZERO extra shuffles at any corpus size.
+  *
+  * Reference scope: the workshop publishes raw per-window counts to its
+  * dashboard (AnomalyDetection.java sink side); this family is what those
+  * published aggregates need before leaving a real data boundary.
+  */
+object PrivacyOps {
+
+  /** Versioned salt: bump when re-releasing the same cells. */
+  val Salt = "graft_dp_v1"
+
+  /** Per-user contribution cap per (event_type, day) cell. */
+  val CapPerUserDay = 4
+
+  /** Truncated Geometric(1/2) from a 16-bit uniform u ∈ [0, 65536):
+    * the largest j with u < 2^(16-j) … i.e. first-match CASE on
+    * u ≥ 2^15, 2^14, …, 2^0, else 16. Exact: P(j) = 2^-(j+1), j ≤ 15.
+    */
+  def geom(u: Column): Column = {
+    val ladder = (1 to 15).foldLeft(when(u >= lit(1L << 15), lit(0L))) {
+      (acc, j) => acc.when(u >= lit(1L << (15 - j)), lit(j.toLong))
+    }
+    ladder.otherwise(lit(16L))
+  }
+
+  /** DuckDB twin of [[geom]] — the same 17-branch ladder, generated from
+    * the same thresholds (single source of truth in this object).
+    */
+  def sqlGeom(u: String): String = {
+    val branches = (0 to 15)
+      .map(j => s"WHEN $u >= ${1L << (15 - j)} THEN ${j}")
+      .mkString(" ")
+    s"(CASE $branches ELSE 16 END)::BIGINT"
+  }
+
+  /** Discrete-Laplace noise for a group identified by `seed` (a string
+    * column): g(chunk0) − g(chunk1) of md5(seed). Support [-16, 16].
+    */
+  def noiseFor(seed: Column): Column =
+    geom(PortableSketchBasis.chunk16(seed, 0)) -
+      geom(PortableSketchBasis.chunk16(seed, 1))
+
+  /** DuckDB twin of [[noiseFor]] over a hex-digest column `h`. */
+  def sqlNoise(h: String): String =
+    s"(${sqlGeom(PortableSketchBasis.sqlChunk16(h, 0))} - " +
+      s"${sqlGeom(PortableSketchBasis.sqlChunk16(h, 1))})"
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "events").select(
+      col("event_type"),
+      unix_micros(date_trunc("DAY", col("ts"))).as("day_us"),
+      col("user_id").cast("long").as("user_id"),
+      col("event_id").cast("long").as("event_id"),
+      unix_micros(col("ts")).as("ts_us"))
+
+  /** Contribution-capped per-cell counts, PRE-noise — the sensitivity
+    * half of [[dpDailyCounts]], exposed for the spec's planted-cap pin.
+    * Expects (event_type, day_us, user_id, event_id, ts_us).
+    */
+  def cappedDailyCountsOn(e: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type", "day_us", "user_id")
+      .orderBy("ts_us", "event_id")
+    e.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= CapPerUserDay)
+      .groupBy("event_type", "day_us")
+      .agg(count(lit(1)).as("capped"))
+  }
+
+  /** `ev_dp_daily_counts` — the workshop's per-(type, day) activity table
+    * as a (C·ln 2)-DP release: cap, count, add seeded discrete-Laplace
+    * noise, clamp at zero (a negative published count has no consumer).
+    */
+  def dpDailyCountsOn(e: DataFrame): DataFrame = {
+    val seed = concat_ws(":", lit(Salt), col("event_type"), col("day_us"))
+    cappedDailyCountsOn(e)
+      .withColumn("dp_count",
+        greatest(lit(0L), col("capped") + noiseFor(seed)))
+      .select("event_type", "day_us", "dp_count")
+      .orderBy("event_type", "day_us")
+  }
+
+  def dpDailyCounts(s: SparkSession, dir: String): DataFrame =
+    dpDailyCountsOn(events(s, dir))
+
+  val dpDailyCountsOracle: String = {
+    val h = s"md5('$Salt:' || event_type || ':' || CAST(day_us AS VARCHAR))"
+    s"""WITH dpd_e AS (
+       |  SELECT event_type, epoch_us(date_trunc('day', ts)) AS day_us,
+       |         row_number() OVER (
+       |           PARTITION BY event_type, date_trunc('day', ts), user_id
+       |           ORDER BY ts, event_id) AS rn
+       |  FROM events),
+       |dpd_c AS (
+       |  SELECT event_type, day_us, COUNT(*) AS capped
+       |  FROM dpd_e WHERE rn <= $CapPerUserDay GROUP BY 1, 2),
+       |dpd_h AS (
+       |  SELECT event_type, day_us, capped, $h AS h FROM dpd_c)
+       |SELECT event_type, day_us,
+       |       GREATEST(0, capped + ${sqlNoise("h")}) AS dp_count
+       |FROM dpd_h ORDER BY event_type, day_us""".stripMargin
+  }
+
+  /** Pre-noise bucket table over the fixed spine — [[dpUserHistogram]]'s
+    * sensitivity half, exposed for the spec (spine always 20 rows, user
+    * mass conserved). Expects a (user_id) event frame.
+    */
+  def userBucketsOn(e: DataFrame): DataFrame = {
+    val s = e.sparkSession
+    val perUser = e.groupBy("user_id").agg(count(lit(1)).as("n"))
+    val buckets = perUser
+      .withColumn("bucket", expr("least(n DIV 10, 19)"))
+      .groupBy("bucket").agg(count(lit(1)).as("users"))
+    val spine = s.range(0, 20).select(col("id").as("bucket"))
+    spine.join(buckets, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("users"), lit(0L)).as("users"))
+  }
+
+  /** `ev_dp_user_histogram` — the user-activity histogram (how many users
+    * had 0-9, 10-19, …, 190+ events) as a USER-level (ln 2)-DP release:
+    * one bucket per user, fixed 20-bucket public spine, per-bucket seeded
+    * noise. The strongest guarantee in the family: parallel composition
+    * makes the whole table cost one ε.
+    */
+  def dpUserHistogramOn(e: DataFrame): DataFrame = {
+    val seed = concat_ws(":", lit(Salt), lit("hist"), col("bucket"))
+    userBucketsOn(e)
+      .withColumn("dp_users",
+        greatest(lit(0L), col("users") + noiseFor(seed)))
+      .select("bucket", "dp_users")
+      .orderBy("bucket")
+  }
+
+  def dpUserHistogram(s: SparkSession, dir: String): DataFrame =
+    dpUserHistogramOn(events(s, dir))
+
+  val dpUserHistogramOracle: String = {
+    val h = s"md5('$Salt:hist:' || CAST(bucket AS VARCHAR))"
+    s"""WITH dph_n AS (
+       |  SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
+       |dph_b AS (
+       |  SELECT LEAST(n // 10, 19) AS bucket, COUNT(*) AS users
+       |  FROM dph_n GROUP BY 1),
+       |dph_s AS (SELECT range AS bucket FROM range(0, 20)),
+       |dph_j AS (
+       |  SELECT s.bucket, COALESCE(b.users, 0) AS users
+       |  FROM dph_s s LEFT JOIN dph_b b USING (bucket)),
+       |dph_h AS (SELECT bucket, users, $h AS h FROM dph_j)
+       |SELECT bucket, GREATEST(0, users + ${sqlNoise("h")}) AS dp_users
+       |FROM dph_h ORDER BY bucket""".stripMargin
+  }
+
+  /** `doc_dp_source_counts` — corpus composition by source as a
+    * document-level (ln 2)-DP release (source enum treated as public).
+    */
+  def dpSourceCounts(s: SparkSession, dir: String): DataFrame = {
+    val seed = concat_ws(":", lit(Salt), lit("src"), col("source"))
+    Tables.t(s, dir, "documents")
+      .groupBy("source").agg(count(lit(1)).as("docs"))
+      .withColumn("dp_docs",
+        greatest(lit(0L), col("docs") + noiseFor(seed)))
+      .select("source", "dp_docs")
+      .orderBy("source")
+  }
+
+  val dpSourceCountsOracle: String = {
+    val h = s"md5('$Salt:src:' || source)"
+    s"""WITH dps_c AS (
+       |  SELECT source, COUNT(*) AS docs FROM documents GROUP BY 1),
+       |dps_h AS (SELECT source, docs, $h AS h FROM dps_c)
+       |SELECT source, GREATEST(0, docs + ${sqlNoise("h")}) AS dp_docs
+       |FROM dps_h ORDER BY source""".stripMargin
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("ev_dp_daily_counts", dpDailyCounts, Some(dpDailyCountsOracle)),
+    QueryDef("ev_dp_user_histogram", dpUserHistogram,
+      Some(dpUserHistogramOracle)),
+    QueryDef("doc_dp_source_counts", dpSourceCounts,
+      Some(dpSourceCountsOracle)))
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.PrivacyOps
+
+/** Pins the DP release family: the portable geometric draw's EXACT
+  * distribution (all 65536 inputs enumerated), the discrete-Laplace
+  * noise envelope on real seeds, the sensitivity half (contribution cap,
+  * fixed spine, mass conservation), and release determinism.
+  */
+class PrivacySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("geom: exact truncated Geometric(1/2) over all 65536 inputs") {
+    val hist = spark.range(0, 65536)
+      .select(PrivacyOps.geom(col("id")).as("g"))
+      .groupBy("g").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // P(g=j) = 2^-(j+1) exactly: 32768 zeros, 16384 ones, ..., 1 fifteen,
+    // and the single u=0 input lands in the truncation tail g=16
+    (0 to 15).foreach { j =>
+      assert(hist(j.toLong) === (1L << (15 - j)), s"g=$j count off")
+    }
+    assert(hist(16L) === 1L)
+    assert(hist.values.sum === 65536L)
+  }
+
+  test("noise: bounded, symmetric-by-construction, deterministic per seed") {
+    val n = spark.range(0, 4096)
+      .select(PrivacyOps.noiseFor(concat(lit("probe:"), col("id"))).as("z"))
+      .collect().map(_.getLong(0))
+    assert(n.forall(z => z >= -16 && z <= 16))
+    // mean of the discrete Laplace is 0; over 4096 md5-seeded draws the
+    // sample mean should be well inside 3·σ/√n (σ² = 2·α/(1-α)² = 4)
+    assert(math.abs(n.sum.toDouble / n.length) < 0.1,
+      s"sample mean ${n.sum.toDouble / n.length} suspiciously biased")
+    // both signs actually occur (the two chunks are independent)
+    assert(n.exists(_ > 0) && n.exists(_ < 0))
+    val again = spark.range(0, 4096)
+      .select(PrivacyOps.noiseFor(concat(lit("probe:"), col("id"))).as("z"))
+      .collect().map(_.getLong(0))
+    assert(n.toSeq === again.toSeq)
+  }
+
+  test("capping: a 50-event user moves a cell by exactly CapPerUserDay") {
+    def frame(heavyRows: Int) = {
+      val heavy = (1 to heavyRows).map(i =>
+        ("click", 0L, 1L, i.toLong, i.toLong * 1000L))
+      val singles = (2 to 11).map(u =>
+        ("click", 0L, u.toLong, 100L + u, 500000L + u))
+      (heavy ++ singles)
+        .toDF("event_type", "day_us", "user_id", "event_id", "ts_us")
+    }
+    def capped(heavyRows: Int): Long =
+      PrivacyOps.cappedDailyCountsOn(frame(heavyRows))
+        .collect().head.getLong(2)
+    // 10 singleton users + the heavy user's capped contribution
+    assert(capped(50) === 10L + PrivacyOps.CapPerUserDay)
+    // below the cap the user contributes everything
+    assert(capped(3) === 13L)
+    // and the published cell differs by at most the cap between the two
+    // worlds (the sensitivity claim, pre-noise)
+    assert(math.abs(capped(50) - capped(3)) <= PrivacyOps.CapPerUserDay)
+  }
+
+  test("histogram: fixed 20-bucket spine, pre-noise mass = distinct users") {
+    val e = sources.Tables.t(spark, sf0001, "events")
+      .select(col("user_id").cast("long").as("user_id"))
+    val b = PrivacyOps.userBucketsOn(e).collect()
+    assert(b.length === 20, "spine must be released in full")
+    assert(b.map(_.getLong(0)).sorted.toSeq === (0L until 20L))
+    val mass = b.map(_.getLong(1)).sum
+    val users = e.distinct().count()
+    assert(mass === users, s"bucket mass $mass != $users users")
+  }
+
+  test("releases: deterministic and non-negative on sf0.001") {
+    val a = PrivacyOps.dpDailyCounts(spark, sf0001).collect()
+    val b = PrivacyOps.dpDailyCounts(spark, sf0001).collect()
+    assert(a.toSeq === b.toSeq)
+    assert(a.forall(_.getLong(2) >= 0L))
+    val h = PrivacyOps.dpUserHistogram(spark, sf0001).collect()
+    assert(h.length === 20 && h.forall(_.getLong(1) >= 0L))
+  }
+}

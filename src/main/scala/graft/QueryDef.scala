@@ -24,6 +24,7 @@ object Registry {
       operators.Forecast.defs ++
       operators.RateLimit.defs ++
       operators.PrivacyOps.defs ++
+      operators.QualityGate.defs ++
       operators.ReportOps.defs ++
       operators.TextOps.defs ++
       operators.DedupOps.defs ++

@@ -25,6 +25,7 @@ object Registry {
       operators.RateLimit.defs ++
       operators.PrivacyOps.defs ++
       operators.QualityGate.defs ++
+      operators.Scd2.defs ++
       operators.ReportOps.defs ++
       operators.TextOps.defs ++
       operators.DedupOps.defs ++

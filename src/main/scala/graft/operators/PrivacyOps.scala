@@ -110,7 +110,8 @@ object PrivacyOps {
       unix_micros(date_trunc("DAY", col("ts"))).as("day_us"),
       col("user_id").cast("long").as("user_id"),
       col("event_id").cast("long").as("event_id"),
-      unix_micros(col("ts")).as("ts_us"))
+      unix_micros(col("ts")).as("ts_us"),
+      col("value"))
 
   /** Contribution-capped per-cell counts, PRE-noise — the sensitivity
     * half of [[dpDailyCounts]], exposed for the spec's planted-cap pin.
@@ -208,6 +209,85 @@ object PrivacyOps {
        |FROM dph_h ORDER BY bucket""".stripMargin
   }
 
+  /** Clamp bound for [[dpValueSum]] in integer cents (values clamp to
+    * [0, 100.00] before summing — unbounded values have unbounded
+    * sensitivity, so EVERY honest DP sum clamps first).
+    */
+  val ClampCents = 10000L
+
+  /** Per-cell sum sensitivity: a user contributes ≤ CapPerUserDay clamped
+    * values, so one user moves a cell's sum by ≤ Cap·Clamp cents.
+    */
+  val SumDeltaCents: Long = CapPerUserDay * ClampCents
+
+  /** Pre-noise capped+clamped per-cell sums — [[dpValueSum]]'s
+    * sensitivity half, exposed for the spec. Expects (event_type, day_us,
+    * user_id, event_id, ts_us, value).
+    */
+  def cappedDailySumsOn(e: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type", "day_us", "user_id")
+      .orderBy("ts_us", "event_id")
+    e.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= CapPerUserDay)
+      .withColumn("cents",
+        floor(least(greatest(col("value"), lit(0.0)),
+          lit(ClampCents / 100.0)) * 100.0).cast("long"))
+      .groupBy("event_type", "day_us")
+      .agg(sum("cents").as("sum_cents"))
+  }
+
+  /** `ev_dp_value_sum` — per-(type, day) value totals as a DP release.
+    *
+    * A sum's sensitivity Δ = Cap·Clamp is far beyond what a 16-bit
+    * uniform can drive a Δ-scale discrete Laplace with (its support is
+    * ~10⁵ wide), and naively scaling lattice noise by Δ breaks the DP
+    * ratio for off-lattice shifts. The SNAPPED-LATTICE form fixes both:
+    * release (idx + Z)·Δ where idx = (sum + Δ/2) div Δ — one user moves
+    * the sum by ≤ Δ, hence idx by ≤ 1, so the SAME α = 1/2 integer
+    * ladder applies with ε = ln 2 exactly. The price is stated, not
+    * hidden: the release has Δ-cent granularity (±Δ/2 snap error, here
+    * ±200.00) — the classic accuracy-for-exactness trade, and the
+    * correct one for corpus-scale totals where Δ ≪ the cell sum.
+    */
+  def dpValueSumOn(e: DataFrame): DataFrame = {
+    val seed = concat_ws(":", lit(Salt), lit("sum"),
+      col("event_type"), col("day_us"))
+    cappedDailySumsOn(e)
+      .withColumn("idx",
+        expr(s"(sum_cents + ${SumDeltaCents / 2}) DIV $SumDeltaCents"))
+      .withColumn("dp_sum_cents",
+        greatest(lit(0L), col("idx") + noiseFor(seed)) * lit(SumDeltaCents))
+      .select("event_type", "day_us", "dp_sum_cents")
+      .orderBy("event_type", "day_us")
+  }
+
+  def dpValueSum(s: SparkSession, dir: String): DataFrame =
+    dpValueSumOn(events(s, dir))
+
+  val dpValueSumOracle: String = {
+    val h = s"md5('$Salt:sum:' || event_type || ':' || CAST(day_us AS VARCHAR))"
+    s"""WITH dpv_e AS (
+       |  SELECT event_type, epoch_us(date_trunc('day', ts)) AS day_us,
+       |         CAST(floor(least(greatest(value, 0.0),
+       |           ${ClampCents / 100.0}) * 100.0) AS BIGINT) AS cents,
+       |         row_number() OVER (
+       |           PARTITION BY event_type, date_trunc('day', ts), user_id
+       |           ORDER BY ts, event_id) AS rn
+       |  FROM events),
+       |dpv_c AS (
+       |  SELECT event_type, day_us, CAST(SUM(cents) AS BIGINT) AS sum_cents
+       |  FROM dpv_e WHERE rn <= $CapPerUserDay GROUP BY 1, 2),
+       |dpv_h AS (
+       |  SELECT event_type, day_us,
+       |         (sum_cents + ${SumDeltaCents / 2}) // $SumDeltaCents AS idx,
+       |         $h AS h
+       |  FROM dpv_c)
+       |SELECT event_type, day_us,
+       |       GREATEST(0, idx + ${sqlNoise("h")}) * $SumDeltaCents
+       |         AS dp_sum_cents
+       |FROM dpv_h ORDER BY event_type, day_us""".stripMargin
+  }
+
   /** `doc_dp_source_counts` — corpus composition by source as a
     * document-level (ln 2)-DP release (source enum treated as public).
     */
@@ -234,6 +314,7 @@ object PrivacyOps {
     QueryDef("ev_dp_daily_counts", dpDailyCounts, Some(dpDailyCountsOracle)),
     QueryDef("ev_dp_user_histogram", dpUserHistogram,
       Some(dpUserHistogramOracle)),
+    QueryDef("ev_dp_value_sum", dpValueSum, Some(dpValueSumOracle)),
     QueryDef("doc_dp_source_counts", dpSourceCounts,
       Some(dpSourceCountsOracle)))
 }

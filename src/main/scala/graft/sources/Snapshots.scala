@@ -165,40 +165,138 @@ object Snapshots {
         .map(st => st.getPath.getName -> st.getLen).toMap
     val live = lensIn(new Path(path))
     val retired = lensIn(new Path(s"$path/$RetiredDir"))
-    def gone(n: String) = throw new IllegalStateException(
+    val resolved = entries.map { case (n, lenOpt) =>
+      resolveEntry(path, v, n, lenOpt, live.get(n), retired.get(n))
+    }
+    s.read.parquet(resolved: _*)
+  }
+
+  /** Resolve one version entry to a concrete file path — live first,
+    * then retired, the recorded length arbitrating name reuse.
+    */
+  private def resolveEntry(path: String, v: Long, n: String,
+      lenOpt: Option[Long], liveLen: Option[Long],
+      retLen: Option[Long]): String = {
+    def gone() = throw new IllegalStateException(
       s"version $v of $path lists $n but the file is gone — vacuumed " +
         "outside expire, or a non-snapshot-aware rewrite deleted it")
-    def replaced(n: String, want: Long, have: Long) =
+    def replaced(want: Long, have: Long) =
       throw new IllegalStateException(
         s"version $v of $path lists $n at $want bytes but the surviving " +
           s"copy is $have bytes — the original was replaced by a " +
           "non-snapshot-aware rewrite; refusing a silently wrong read")
+    val livePath = s"$path/$n"
+    val retPath = s"$path/$RetiredDir/$n"
+    (liveLen, retLen, lenOpt) match {
+      case (None, None, _) => gone()
+      // single location + recorded length: verify, never serve a
+      // same-name impostor
+      case (Some(ll), None, Some(len)) =>
+        if (ll == len) livePath else replaced(len, ll)
+      case (None, Some(rl), Some(len)) =>
+        if (rl == len) retPath else replaced(len, rl)
+      // BOTH locations hold the name (a later write reused a retired
+      // basename): the recorded length picks the right incarnation
+      case (Some(ll), Some(rl), Some(len)) =>
+        if (rl == len) retPath // retire() keeps originals: prefer it on a tie
+        else if (ll == len) livePath
+        else replaced(len, rl)
+      // legacy entries (no recorded length): retired names are always
+      // the originals of the versions that listed them live, so on a
+      // collision the retired copy is the safe pick
+      case (Some(_), Some(_), None) => retPath
+      case (Some(_), None, None) => livePath
+      case (None, Some(_), None) => retPath
+    }
+  }
+
+  /** The file-pruning half of [[changesBetween]], exposed for the spec:
+    * (v1 entries not shared, v2 entries not shared, shared count). An
+    * entry is shared when BOTH versions list the same basename at the
+    * same recorded length — such a file contributes byte-identical rows
+    * to both sides, which the row-hash diff would cancel anyway, so
+    * dropping it up front is lossless.
+    */
+  private[graft] def diffEntries(s: SparkSession, path: String,
+      v1: Long, v2: Long): (Seq[(String, Option[Long])],
+      Seq[(String, Option[Long])], Int) = {
+    val e1 = fileEntries(s, path, v1)
+    val e2 = fileEntries(s, path, v2)
+    val shared = e1.toSet.intersect(e2.toSet)
+    (e1.filterNot(shared), e2.filterNot(shared), shared.size)
+  }
+
+  /** [[readVersion]] restricted to a subset of a version's entries —
+    * the same live/retired/length resolution, fewer files.
+    */
+  private def readEntries(s: SparkSession, path: String, v: Long,
+      entries: Seq[(String, Option[Long])]): DataFrame = {
+    if (entries.isEmpty) return readVersion(s, path, v).limit(0)
+    val f = fs(s, path)
+    def lensIn(dir: Path): Map[String, Long] =
+      if (!f.exists(dir)) Map.empty
+      else f.listStatus(dir).filter(_.isFile)
+        .map(st => st.getPath.getName -> st.getLen).toMap
+    val live = lensIn(new Path(path))
+    val retired = lensIn(new Path(s"$path/$RetiredDir"))
     val resolved = entries.map { case (n, lenOpt) =>
-      val livePath = s"$path/$n"
-      val retPath = s"$path/$RetiredDir/$n"
-      (live.get(n), retired.get(n), lenOpt) match {
-        case (None, None, _) => gone(n)
-        // single location + recorded length: verify, never serve a
-        // same-name impostor
-        case (Some(ll), None, Some(len)) =>
-          if (ll == len) livePath else replaced(n, len, ll)
-        case (None, Some(rl), Some(len)) =>
-          if (rl == len) retPath else replaced(n, len, rl)
-        // BOTH locations hold the name (a later write reused a retired
-        // basename): the recorded length picks the right incarnation
-        case (Some(ll), Some(rl), Some(len)) =>
-          if (rl == len) retPath // retire() keeps originals: prefer it on a tie
-          else if (ll == len) livePath
-          else replaced(n, len, rl)
-        // legacy entries (no recorded length): retired names are always
-        // the originals of the versions that listed them live, so on a
-        // collision the retired copy is the safe pick
-        case (Some(_), Some(_), None) => retPath
-        case (Some(_), None, None) => livePath
-        case (None, Some(_), None) => retPath
-      }
+      resolveEntry(path, v, n, lenOpt, live.get(n), retired.get(n))
     }
     s.read.parquet(resolved: _*)
+  }
+
+  /** Change-data feed between two committed versions — the incremental
+    * consumer's API (recompute downstream from what CHANGED, not from the
+    * table): one row per inserted / updated / deleted key, carrying the
+    * v2 row for inserts/updates and the v1 row for deletes.
+    *
+    * Scale design: versions sharing a (basename, length) file entry share
+    * those rows byte-for-byte, so shared files are pruned BEFORE any scan
+    * ([[diffEntries]], losslessness argued there) — the diff's cost
+    * tracks the CHANGED-file footprint, not the table. A compaction-only
+    * rewrite (same rows, new files) scans its rewritten files but emits
+    * ZERO changes: update detection is a 64-bit row hash (the repo's
+    * fingerprint discipline), cancelled by the full-outer join on the
+    * key. Keys must be unique per version — enforced on the pruned sides
+    * (a duplicate key would emit fabricated updates silently).
+    */
+  def changesBetween(s: SparkSession, path: String, v1: Long, v2: Long,
+      keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val (only1, only2, _) = diffEntries(s, path, v1, v2)
+    val a = readEntries(s, path, v1, only1)
+    val b = readEntries(s, path, v2, only2)
+    require(a.columns.sameElements(b.columns),
+      s"schema changed between v$v1 and v$v2 — diff the migration explicitly")
+    val cols = a.columns.toSeq
+    def keyed(df: DataFrame, h: String) = {
+      val withH = df.select(keyCols.map(col) :+
+        xxhash64(cols.map(col): _*).as(h): _*)
+      withH
+    }
+    def assertUnique(df: DataFrame, v: Long): Unit = {
+      val r = df.agg(count(lit(1)), count_distinct(
+        struct(keyCols.map(col): _*))).first()
+      require(r.getLong(0) == r.getLong(1),
+        s"v$v holds duplicate keys in its changed files — " +
+          "changesBetween needs per-version key uniqueness")
+    }
+    val ka = keyed(a, "_h1"); assertUnique(ka, v1)
+    val kb = keyed(b, "_h2"); assertUnique(kb, v2)
+    val cls = ka.join(kb, keyCols, "full_outer")
+      .withColumn("change",
+        when(col("_h1").isNull, "insert")
+          .when(col("_h2").isNull, "delete")
+          .when(col("_h1") =!= col("_h2"), "update"))
+      .filter(col("change").isNotNull)
+      .select(keyCols.map(col) :+ col("change"): _*)
+    val newSide = cls.filter(col("change") =!= "delete")
+      .join(b, keyCols)
+      .select(col("change") +: cols.map(col): _*)
+    val oldSide = cls.filter(col("change") === "delete")
+      .join(a, keyCols)
+      .select(col("change") +: cols.map(col): _*)
+    newSide.unionByName(oldSide)
   }
 
   /** Time travel: the latest version committed at or before `tsMillis`. */

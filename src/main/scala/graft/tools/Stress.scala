@@ -1002,6 +1002,65 @@ object Stress {
         spark.read.parquet(shuffled).count(), "purge results must agree")
     }
 
+    // SCD2 at the xN horizon (r13 cont.): copy i lives in a disjoint user
+    // space with byte-identical per-key content, so run and open-run
+    // counts replicate EXACTLY xN (hard require); and the incremental
+    // apply of the tail 40% of events onto the head 60%'s stored table
+    // must equal the xN full rebuild — checked by count + order-free
+    // row-hash sum, the maintenance invariant at scale.
+    {
+      import graft.operators.Scd2
+      def chlog(n: Int) = (0 until n).map { i =>
+        ev.select(
+          (col("user_id") + lit(i * 100000L)).cast("long").as("user_id"),
+          col("event_type").as("state"),
+          unix_micros(col("ts")).as("ts_us"),
+          (col("event_id") + lit(i * 100000000L)).cast("long").as("event_id"))
+      }.reduce(_ unionByName _)
+      var runs1 = (0L, 0L)
+      time("scd2 x1") {
+        val r = Scd2.scd2On(chlog(1))
+          .agg(count(lit(1)), sum(when(col("is_current"), 1L).otherwise(0L)))
+          .first()
+        runs1 = (r.getLong(0), r.getLong(1))
+        s"runs=${runs1._1} open=${runs1._2}"
+      }
+      spark.catalog.clearCache()
+      var full: (Long, java.math.BigDecimal) = null
+      // order-free exact checksum: decimal sum of row hashes (a plain
+      // long sum overflows under ANSI at xN scale)
+      def sig(df: org.apache.spark.sql.DataFrame) = {
+        val r = df.agg(count(lit(1)),
+          sum(xxhash64(col("user_id"), col("state"), col("valid_from_us"),
+            coalesce(col("valid_to_us"), lit(-1L)), col("n_events"),
+            col("is_current")).cast("decimal(38,0)"))).first()
+        (r.getLong(0), r.getDecimal(1))
+      }
+      time(s"scd2 x$copies") {
+        val f = Scd2.scd2On(chlog(copies))
+        val r = f.agg(count(lit(1)),
+          sum(when(col("is_current"), 1L).otherwise(0L))).first()
+        require(r.getLong(0) == copies * runs1._1 &&
+          r.getLong(1) == copies * runs1._2,
+          s"scd2 not exactly linear: x1=$runs1, " +
+            s"x$copies=(${r.getLong(0)}, ${r.getLong(1)})")
+        full = sig(f)
+        s"runs=${r.getLong(0)} open=${r.getLong(1)}"
+      }
+      spark.catalog.clearCache()
+      time(s"scd2 apply==rebuild x$copies") {
+        val all = chlog(copies)
+        val cut = all.stat.approxQuantile("ts_us", Array(0.6), 0.001)(0).toLong
+        val base = Scd2.scd2On(all.filter(col("ts_us") <= cut))
+          .localCheckpoint(true)
+        val incr = sig(Scd2.scd2ApplyOn(base, all.filter(col("ts_us") > cut)))
+        require(incr == full,
+          s"apply diverged from rebuild at x$copies: $incr vs $full")
+        s"rows=${incr._1}"
+      }
+      spark.catalog.clearCache()
+    }
+
     spark.stop()
   }
 }

@@ -67,7 +67,7 @@ class DriverContractSpec extends SparkSpecBase {
     // registry-shaped key names a gated query — it must exist. Cell text
     // like |A∩B| defeats positional column splitting, but a key cell never
     // contains a pipe, so it survives the split as one intact fragment.
-    val cellKeyRe = "^`((?:q|ev|doc|emb|mm)\\d*_[0-9a-z_]+)`$".r
+    val cellKeyRe = "^`((?:q|ev|doc|emb|mm|dq)\\d*_[0-9a-z_]+)`$".r
     val tableLines = s2.filter(l => l.startsWith("| ") && !l.startsWith("| #"))
     val cellKeys = tableLines.flatMap(_.split("\\|").map(_.trim).flatMap {
       case cellKeyRe(k) => Some(k); case _ => None
@@ -77,7 +77,7 @@ class DriverContractSpec extends SparkSpecBase {
     assert(phantom.isEmpty, s"§2 lists gated keys missing from the registry: ${phantom.mkString(", ")}")
     // coverage direction (loose): every registry query must be named in a
     // backtick SOMEWHERE in §2 — multi-key cells (`a`, `b`) count too
-    val anyKeyRe = "`((?:q|ev|doc|emb|mm)\\d*_[0-9a-z_]+)`".r
+    val anyKeyRe = "`((?:q|ev|doc|emb|mm|dq)\\d*_[0-9a-z_]+)`".r
     val mentioned = tableLines.flatMap(l => anyKeyRe.findAllMatchIn(l).map(_.group(1))).toSet
     val unlisted = registry -- mentioned
     assert(unlisted.isEmpty, s"registry queries absent from §2: ${unlisted.mkString(", ")}")

@@ -75,6 +75,37 @@ class PrivacySpec extends SparkSpecBase {
     assert(mass === users, s"bucket mass $mass != $users users")
   }
 
+  test("sum: snapped-lattice sensitivity — one user's worst case moves " +
+      "the release by at most one lattice step") {
+    def frame(withHeavy: Boolean) = {
+      // heavy user: CapPerUserDay admitted events at the clamp ceiling
+      // (plus excess the cap drops) = the worst allowed contribution
+      val heavy = if (withHeavy)
+        (1 to 10).map(i => ("buy", 0L, 1L, i.toLong, i.toLong, 999.0))
+      else Nil
+      val rest = (2 to 21).map(u =>
+        ("buy", 0L, u.toLong, 100L + u, 1000L + u, 37.5))
+      (heavy ++ rest).toDF(
+        "event_type", "day_us", "user_id", "event_id", "ts_us", "value")
+    }
+    def release(withHeavy: Boolean): Long =
+      PrivacyOps.dpValueSumOn(frame(withHeavy)).collect().head.getLong(2)
+    // same cell seed in both worlds → noise cancels in the difference;
+    // what remains is the lattice index shift, which sensitivity bounds
+    // by one step of SumDeltaCents
+    val d = math.abs(release(true) - release(false))
+    assert(d <= PrivacyOps.SumDeltaCents,
+      s"one user moved the release by $d > Δ=${PrivacyOps.SumDeltaCents}")
+    // and the clamp actually engaged: the heavy user's raw values (999.0)
+    // would otherwise move the capped sum by 4×99900 cents ≫ Δ
+    val capped = PrivacyOps.cappedDailySumsOn(frame(true))
+      .collect().head.getLong(2)
+    val cappedBase = PrivacyOps.cappedDailySumsOn(frame(false))
+      .collect().head.getLong(2)
+    assert(capped - cappedBase === PrivacyOps.SumDeltaCents,
+      "worst-case user must contribute exactly Cap×Clamp cents")
+  }
+
   test("releases: deterministic and non-negative on sf0.001") {
     val a = PrivacyOps.dpDailyCounts(spark, sf0001).collect()
     val b = PrivacyOps.dpDailyCounts(spark, sf0001).collect()

@@ -231,4 +231,65 @@ class SnapshotSpec extends SparkSpecBase {
     assert(Snapshots.readVersion(spark, path, 1).count() == 20L,
       "the sweep must not touch referenced files")
   }
+
+  test("changesBetween: exact I/U/D feed, shared files pruned before any scan") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val path = java.nio.file.Files.createTempDirectory("graft-cdf").toString + "/t"
+    // v1: two stable files (ids 0-49) + one churn file (ids 50-59)
+    (0L until 50L).map(i => (i, s"r$i")).toDF("id", "payload")
+      .repartition(2).write.parquet(path)
+    (50L until 60L).map(i => (i, s"r$i")).toDF("id", "payload")
+      .coalesce(1).write.mode("append").parquet(path)
+    val v1 = Snapshots.commit(spark, path)
+    // rewrite the churn range: drop 50-54, update 55-59, insert 100-102
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    val v1Churn = fs.listStatus(new Path(path)).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+    ((55L until 60L).map(i => (i, s"UPDATED$i")) ++
+      (100L until 103L).map(i => (i, s"r$i")))
+      .toDF("id", "payload").coalesce(1).write.mode("append").parquet(path)
+    // retire the v1 churn file the way maintenance would (commit log
+    // keeps v1 readable); identify it as the one holding id 50
+    val churn = v1Churn.find { p =>
+      spark.read.parquet(p.toString).filter(col("id") === 50L).count() > 0
+    }.get
+    val retired = new Path(s"$path/_graft_retired")
+    fs.mkdirs(retired)
+    assert(fs.rename(churn, new Path(retired, churn.getName)))
+    val v2 = Snapshots.commit(spark, path)
+
+    // lossless pruning: the two stable files are (name, length)-shared
+    // and never scanned
+    val (only1, only2, shared) =
+      Snapshots.diffEntries(spark, path, v1, v2)
+    assert(shared === 2, s"stable files must be pruned, shared=$shared")
+    assert(only1.size === 1 && only2.size === 1)
+
+    val got = Snapshots.changesBetween(spark, path, v1, v2, Seq("id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .toSet
+    val want =
+      (50L until 55L).map(i => ("delete", i, s"r$i")).toSet ++
+        (55L until 60L).map(i => ("update", i, s"UPDATED$i")) ++
+        (100L until 103L).map(i => ("insert", i, s"r$i"))
+    assert(got === want, s"feed diverged:\n missing ${want -- got}\n extra ${got -- want}")
+
+    // a compaction-only rewrite (same rows, new files) emits ZERO changes
+    val all = Snapshots.readVersion(spark, path, v2).collect()
+    all.map(r => (r.getLong(0), r.getString(1))).toSeq
+      .toDF("id", "payload").coalesce(1).write.mode("append").parquet(path)
+    // retire every file v2 listed (the compactor's move) so only the
+    // compacted file remains live
+    val v2Files = Snapshots.readVersion(spark, path, v2).inputFiles
+      .map(f => new Path(new java.net.URI(f)))
+    v2Files.foreach { p =>
+      if (p.getParent.getName != "_graft_retired")
+        assert(fs.rename(p, new Path(retired, p.getName)))
+    }
+    val v3 = Snapshots.commit(spark, path)
+    val noise = Snapshots.changesBetween(spark, path, v2, v3, Seq("id"))
+    assert(noise.count() === 0L,
+      "a pure compaction must produce an empty change feed")
+  }
 }

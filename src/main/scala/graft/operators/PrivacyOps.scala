@@ -310,11 +310,76 @@ object PrivacyOps {
        |FROM dps_h ORDER BY source""".stripMargin
   }
 
+  /** k-anonymity bar for [[kanonAudit]]: a behavioral profile shared by
+    * fewer than K users is a re-identification handle.
+    */
+  val KanonK = 5
+
+  /** `ev_kanon_audit` — the RISK AUDIT beside the release kit: DP says
+    * what may leave the boundary; this says which users a quasi-identifier
+    * already singles out INSIDE it. The QI here is the behavioral profile
+    * an attacker with partial knowledge can reconstruct (dominant event
+    * type — deterministic (count DESC, type ASC) tie-break — activity
+    * bucket, active-span week bucket); every profile class smaller than
+    * [[KanonK]] flags `at_risk`. Scale shape: two user-grain shuffles
+    * (type counts + activity/span), a per-user window over ≤ ǀtypesǀ
+    * rows, then a metadata-scale QI aggregate.
+    */
+  def kanonAuditOn(e: DataFrame): DataFrame = {
+    val tc = e.groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("c").desc, col("event_type"))
+    val top = tc.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("event_type").as("top_type"))
+    val u = e.groupBy("user_id").agg(count(lit(1)).as("n"),
+      (max("day_us") - min("day_us")).as("span_us"))
+    val weekUs = 7L * 86400000000L
+    top.join(u, "user_id")
+      .select(col("top_type"), expr("least(n DIV 10, 19)").as("act_bucket"),
+        expr(s"least(span_us DIV $weekUs, 9)").as("span_bucket"))
+      .groupBy("top_type", "act_bucket", "span_bucket")
+      .agg(count(lit(1)).as("n_users"))
+      .withColumn("at_risk", col("n_users") < lit(KanonK))
+      .orderBy("top_type", "act_bucket", "span_bucket")
+  }
+
+  def kanonAudit(s: SparkSession, dir: String): DataFrame =
+    kanonAuditOn(Tables.t(s, dir, "events").select(
+      col("user_id").cast("long").as("user_id"), col("event_type"),
+      unix_micros(date_trunc("DAY", col("ts"))).as("day_us")))
+
+  val kanonAuditOracle: String =
+    s"""WITH ka_e AS (
+       |  SELECT user_id, event_type,
+       |         epoch_us(date_trunc('day', ts)) AS day_us
+       |  FROM events),
+       |ka_t AS (
+       |  SELECT user_id, event_type, COUNT(*) AS c FROM ka_e GROUP BY 1, 2),
+       |ka_top AS (
+       |  SELECT user_id, event_type AS top_type FROM (
+       |    SELECT user_id, event_type,
+       |           row_number() OVER (PARTITION BY user_id
+       |                              ORDER BY c DESC, event_type) AS rk
+       |    FROM ka_t) WHERE rk = 1),
+       |ka_u AS (
+       |  SELECT user_id, COUNT(*) AS n,
+       |         (MAX(day_us) - MIN(day_us)) // ${7L * 86400000000L} AS wk
+       |  FROM ka_e GROUP BY 1),
+       |ka_q AS (
+       |  SELECT t.top_type, LEAST(u.n // 10, 19) AS act_bucket,
+       |         LEAST(u.wk, 9) AS span_bucket
+       |  FROM ka_top t JOIN ka_u u USING (user_id))
+       |SELECT top_type, act_bucket, span_bucket,
+       |       COUNT(*)::BIGINT AS n_users, COUNT(*) < $KanonK AS at_risk
+       |FROM ka_q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("ev_dp_daily_counts", dpDailyCounts, Some(dpDailyCountsOracle)),
     QueryDef("ev_dp_user_histogram", dpUserHistogram,
       Some(dpUserHistogramOracle)),
     QueryDef("ev_dp_value_sum", dpValueSum, Some(dpValueSumOracle)),
     QueryDef("doc_dp_source_counts", dpSourceCounts,
-      Some(dpSourceCountsOracle)))
+      Some(dpSourceCountsOracle)),
+    QueryDef("ev_kanon_audit", kanonAudit, Some(kanonAuditOracle)))
 }

@@ -247,8 +247,11 @@ object Snapshots {
 
   /** Change-data feed between two committed versions — the incremental
     * consumer's API (recompute downstream from what CHANGED, not from the
-    * table): one row per inserted / updated / deleted key, carrying the
-    * v2 row for inserts/updates and the v1 row for deletes.
+    * table): `insert` and `delete` rows carry the appearing/disappearing
+    * values; an updated key emits BOTH an `update_pre` (v1 values) and an
+    * `update_post` (v2 values) row — the pre/post-image pair is what lets
+    * a consumer maintain any distributive aggregate incrementally
+    * (new = old + Σpost − Σpre + Σins − Σdel; sufficiency spec-pinned).
     *
     * Scale design: versions sharing a (basename, length) file entry share
     * those rows byte-for-byte, so shared files are pruned BEFORE any scan
@@ -292,10 +295,12 @@ object Snapshots {
       .select(keyCols.map(col) :+ col("change"): _*)
     val newSide = cls.filter(col("change") =!= "delete")
       .join(b, keyCols)
-      .select(col("change") +: cols.map(col): _*)
-    val oldSide = cls.filter(col("change") === "delete")
+      .select(when(col("change") === "update", "update_post")
+        .otherwise(col("change")).as("change") +: cols.map(col): _*)
+    val oldSide = cls.filter(col("change") =!= "insert")
       .join(a, keyCols)
-      .select(col("change") +: cols.map(col): _*)
+      .select(when(col("change") === "update", "update_pre")
+        .otherwise(col("change")).as("change") +: cols.map(col): _*)
     newSide.unionByName(oldSide)
   }
 

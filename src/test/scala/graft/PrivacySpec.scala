@@ -106,6 +106,24 @@ class PrivacySpec extends SparkSpecBase {
       "worst-case user must contribute exactly Cap×Clamp cents")
   }
 
+  test("k-anonymity audit: unique profiles flag, shared ones don't, " +
+      "user mass is conserved") {
+    val day = 86400000000L
+    // 6 users share a profile (click-dominant, 1 event, span 0);
+    // user 99 is alone on a distinctive one (buy-dominant, 25 events
+    // over 10 weeks)
+    val shared = (1 to 6).map(u => (u.toLong, "click", 0L))
+    val loner = (1 to 25).map(i =>
+      (99L, "buy", ((i.toLong * 3L) % 70L) * day))
+    val e = (shared ++ loner).toDF("user_id", "event_type", "day_us")
+    val rows = PrivacyOps.kanonAuditOn(e).collect()
+      .map(r => ((r.getString(0), r.getLong(1), r.getLong(2)),
+        (r.getLong(3), r.getBoolean(4)))).toMap
+    assert(rows(("click", 0L, 0L)) === ((6L, false)))
+    assert(rows(("buy", 2L, 9L)) === ((1L, true)))
+    assert(rows.values.map(_._1).sum === 7L, "every user lands in one class")
+  }
+
   test("releases: deterministic and non-negative on sf0.001") {
     val a = PrivacyOps.dpDailyCounts(spark, sf0001).collect()
     val b = PrivacyOps.dpDailyCounts(spark, sf0001).collect()

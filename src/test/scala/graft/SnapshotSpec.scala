@@ -266,14 +266,31 @@ class SnapshotSpec extends SparkSpecBase {
     assert(shared === 2, s"stable files must be pruned, shared=$shared")
     assert(only1.size === 1 && only2.size === 1)
 
-    val got = Snapshots.changesBetween(spark, path, v1, v2, Seq("id"))
+    val feed = Snapshots.changesBetween(spark, path, v1, v2, Seq("id"))
+    val got = feed
       .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
       .toSet
     val want =
       (50L until 55L).map(i => ("delete", i, s"r$i")).toSet ++
-        (55L until 60L).map(i => ("update", i, s"UPDATED$i")) ++
+        (55L until 60L).map(i => ("update_pre", i, s"r$i")) ++
+        (55L until 60L).map(i => ("update_post", i, s"UPDATED$i")) ++
         (100L until 103L).map(i => ("insert", i, s"r$i"))
     assert(got === want, s"feed diverged:\n missing ${want -- got}\n extra ${got -- want}")
+
+    // sufficiency: the pre/post images maintain a downstream aggregate
+    // incrementally — new = old + Σpost − Σpre + Σins − Σdel, no rescan
+    def aggOf(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), sum(length(col("payload")))).first()
+      (r.getLong(0), r.getLong(1))
+    }
+    val (c1, s1) = aggOf(Snapshots.readVersion(spark, path, v1))
+    val (c2, s2) = aggOf(Snapshots.readVersion(spark, path, v2))
+    def side(ch: String) = aggOf(feed.filter(col("change") === ch))
+    val (ci, si) = side("insert"); val (cd, sd) = side("delete")
+    val (_, spre) = side("update_pre"); val (_, spost) = side("update_post")
+    assert(c2 === c1 + ci - cd, "count not maintainable from the feed")
+    assert(s2 === s1 + si - sd + spost - spre,
+      "sum not maintainable from the feed — pre/post images insufficient")
 
     // a compaction-only rewrite (same rows, new files) emits ZERO changes
     val all = Snapshots.readVersion(spark, path, v2).collect()

@@ -374,6 +374,78 @@ object PrivacyOps {
        |       COUNT(*)::BIGINT AS n_users, COUNT(*) < $KanonK AS at_risk
        |FROM ka_q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  /** `ev_dp_budget_audit` — the ε-ledger: what the release kit SPENDS,
+    * stated in integer milli-(ln 2) units so the accounting is itself
+    * hash-exact. Composition is applied honestly, not optimistically:
+    *
+    *   - `ev_dp_user_histogram` costs ONE ε (= 1000 m·ln2): each user
+    *     occupies one cell of one fixed spine — parallel composition.
+    *   - `ev_dp_daily_counts` / `ev_dp_value_sum` cost per (type, day)
+    *     CELL a user touches (cells are disjoint in rows but one user
+    *     spans many) — the ledger charges the WORST-CASE user: max cells
+    *     touched × Cap (counts) or × 1 lattice-ε (sum), sequential
+    *     composition across that user's cells.
+    *   - the TOTAL row composes the three user-level releases
+    *     sequentially — the number that must stay under a deployment's
+    *     budget before anyone re-runs the kit (and why re-releases must
+    *     bump the salt INSTEAD of resampling: cached noise re-spends
+    *     nothing).
+    *
+    * Like [[kanonAudit]] this is an internal AUDIT over the private data,
+    * not a release — its output stays inside the boundary. The max-cells
+    * statistic is one distinct + two metadata-scale aggregates.
+    */
+  def dpBudgetAuditOn(e: DataFrame): DataFrame = {
+    val worst = e.select("user_id", "event_type", "day_us").distinct()
+      .groupBy("user_id").agg(count(lit(1)).as("cells"))
+      .agg(max("cells").as("worst"))
+    val capM = CapPerUserDay * 1000L
+    val rows = array(
+      struct(lit("doc_dp_source_counts").as("dp_release"),
+        lit("document").as("grain"), lit(1000L).as("eps_ln2_milli")),
+      struct(lit("ev_dp_daily_counts").as("dp_release"),
+        lit("user").as("grain"),
+        (col("worst") * lit(capM)).as("eps_ln2_milli")),
+      struct(lit("ev_dp_user_histogram").as("dp_release"),
+        lit("user").as("grain"), lit(1000L).as("eps_ln2_milli")),
+      struct(lit("ev_dp_value_sum").as("dp_release"),
+        lit("user").as("grain"),
+        (col("worst") * lit(1000L)).as("eps_ln2_milli")),
+      struct(lit("zz_total_user_events").as("dp_release"),
+        lit("user").as("grain"),
+        (col("worst") * lit(capM + 1000L) + lit(1000L))
+          .as("eps_ln2_milli")))
+    worst.select(explode(rows).as("r"))
+      .select(col("r.dp_release").as("dp_release"), col("r.grain").as("grain"),
+        col("r.eps_ln2_milli").as("eps_ln2_milli"))
+      .orderBy("dp_release")
+  }
+
+  def dpBudgetAudit(s: SparkSession, dir: String): DataFrame =
+    dpBudgetAuditOn(events(s, dir))
+
+  val dpBudgetAuditOracle: String = {
+    val capM = CapPerUserDay * 1000L
+    s"""WITH bw AS (
+       |  SELECT MAX(cells) AS worst FROM (
+       |    SELECT user_id, COUNT(*) AS cells FROM (
+       |      SELECT DISTINCT user_id, event_type, date_trunc('day', ts) AS d
+       |      FROM events) GROUP BY 1))
+       |SELECT dp_release, grain, eps_ln2_milli FROM (
+       |  SELECT 'doc_dp_source_counts' AS dp_release, 'document' AS grain,
+       |         1000::BIGINT AS eps_ln2_milli FROM bw
+       |  UNION ALL
+       |  SELECT 'ev_dp_daily_counts', 'user', worst * $capM FROM bw
+       |  UNION ALL
+       |  SELECT 'ev_dp_user_histogram', 'user', 1000 FROM bw
+       |  UNION ALL
+       |  SELECT 'ev_dp_value_sum', 'user', worst * 1000 FROM bw
+       |  UNION ALL
+       |  SELECT 'zz_total_user_events', 'user',
+       |         worst * ${capM + 1000L} + 1000 FROM bw)
+       |ORDER BY dp_release""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("ev_dp_daily_counts", dpDailyCounts, Some(dpDailyCountsOracle)),
     QueryDef("ev_dp_user_histogram", dpUserHistogram,
@@ -381,5 +453,7 @@ object PrivacyOps {
     QueryDef("ev_dp_value_sum", dpValueSum, Some(dpValueSumOracle)),
     QueryDef("doc_dp_source_counts", dpSourceCounts,
       Some(dpSourceCountsOracle)),
-    QueryDef("ev_kanon_audit", kanonAudit, Some(kanonAuditOracle)))
+    QueryDef("ev_kanon_audit", kanonAudit, Some(kanonAuditOracle)),
+    QueryDef("ev_dp_budget_audit", dpBudgetAudit,
+      Some(dpBudgetAuditOracle)))
 }

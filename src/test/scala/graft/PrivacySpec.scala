@@ -124,6 +124,24 @@ class PrivacySpec extends SparkSpecBase {
     assert(rows.values.map(_._1).sum === 7L, "every user lands in one class")
   }
 
+  test("budget audit: worst-case ledger arithmetic on a planted frame") {
+    val day = 86400000000L
+    // user 1 touches 3 (type, day) cells; user 2 touches 1
+    val e = Seq(
+      (1L, "a", 0L), (1L, "a", day), (1L, "b", day), (1L, "a", 0L),
+      (2L, "a", 0L))
+      .toDF("user_id", "event_type", "day_us")
+    val rows = PrivacyOps.dpBudgetAuditOn(e).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val capM = PrivacyOps.CapPerUserDay * 1000L
+    assert(rows("ev_dp_daily_counts") === 3L * capM)
+    assert(rows("ev_dp_value_sum") === 3L * 1000L)
+    assert(rows("ev_dp_user_histogram") === 1000L)
+    assert(rows("zz_total_user_events") ===
+      3L * capM + 3L * 1000L + 1000L,
+      "total must be the sequential composition of the user-level releases")
+  }
+
   test("releases: deterministic and non-negative on sf0.001") {
     val a = PrivacyOps.dpDailyCounts(spark, sf0001).collect()
     val b = PrivacyOps.dpDailyCounts(spark, sf0001).collect()

@@ -321,22 +321,28 @@ object PrivacyOps {
     * an attacker with partial knowledge can reconstruct (dominant event
     * type — deterministic (count DESC, type ASC) tie-break — activity
     * bucket, active-span week bucket); every profile class smaller than
-    * [[KanonK]] flags `at_risk`. Scale shape: two user-grain shuffles
-    * (type counts + activity/span), a per-user window over ≤ ǀtypesǀ
-    * rows, then a metadata-scale QI aggregate.
+    * [[KanonK]] flags `at_risk`. Scale shape: ONE fact-scale shuffle (the
+    * map-side-combined (user, type) rollup carries counts AND day bounds),
+    * then dominant type, activity and span all come from ONE window pass
+    * over the compact rollup — no join, no plan fan-out (a two-branch
+    * form re-scanned the fact: column pruning differentiates the branch
+    * subtrees, defeating exchange reuse), then a metadata-scale QI
+    * aggregate. Plan-pinned: 3 exchanges, 1 scan.
     */
   def kanonAuditOn(e: DataFrame): DataFrame = {
-    val tc = e.groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
-    val w = Window.partitionBy("user_id")
-      .orderBy(col("c").desc, col("event_type"))
-    val top = tc.withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("user_id"), col("event_type").as("top_type"))
-    val u = e.groupBy("user_id").agg(count(lit(1)).as("n"),
-      (max("day_us") - min("day_us")).as("span_us"))
+    val tc = e.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("c"),
+        min("day_us").as("mnd"), max("day_us").as("mxd"))
+    val byUser = Window.partitionBy("user_id")
     val weekUs = 7L * 86400000000L
-    top.join(u, "user_id")
-      .select(col("top_type"), expr("least(n DIV 10, 19)").as("act_bucket"),
+    tc.withColumn("rk", row_number().over(
+        byUser.orderBy(col("c").desc, col("event_type"))))
+      .withColumn("n", sum("c").over(byUser))
+      .withColumn("span_us",
+        max("mxd").over(byUser) - min("mnd").over(byUser))
+      .filter(col("rk") === 1)
+      .select(col("event_type").as("top_type"),
+        expr("least(n DIV 10, 19)").as("act_bucket"),
         expr(s"least(span_us DIV $weekUs, 9)").as("span_bucket"))
       .groupBy("top_type", "act_bucket", "span_bucket")
       .agg(count(lit(1)).as("n_users"))

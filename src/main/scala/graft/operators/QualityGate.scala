@@ -74,6 +74,16 @@ object QualityGate {
       s"COUNT(CASE WHEN regexp_full_match($c, '${re.stripPrefix("^").stripSuffix("$")}') THEN 1 END)",
       s"COUNT($c)", tn, td)
 
+  /** Share of rows satisfying an arbitrary row-level invariant, given in
+    * both engines' dialects (cross-field checks like "the recorded length
+    * matches the payload" — the corruption class per-column checks miss).
+    */
+  def invariant(name: String, cond: Column, sqlCond: String,
+      tn: Long = 1, td: Long = 1): DqCheck =
+    DqCheck(s"invariant:$name",
+      count(when(cond, 1)), count(lit(1)),
+      s"COUNT(CASE WHEN $sqlCond THEN 1 END)", "COUNT(*)", tn, td)
+
   /** Minimum row volume (an empty or truncated batch must not pass). */
   def minRows(n: Long): DqCheck =
     DqCheck("volume:min_rows", count(lit(1)), lit(1L),
@@ -143,14 +153,60 @@ object QualityGate {
     inSet("l_linestatus", Seq("O", "F")),
     minRows(100))
 
+  /** The documents (corpus ingest) suite — key integrity, language and
+    * source domains, the size envelope, and the CROSS-FIELD invariant a
+    * per-column check cannot see: the recorded n_chars must equal the
+    * payload's actual length (a truncated-text batch passes every
+    * column-level check and corrupts every downstream length-normalized
+    * quality score).
+    */
+  val documentsChecks: Seq[DqCheck] = Seq(
+    complete("doc_id"),
+    unique("doc_id"),
+    complete("text"),
+    inSet("lang", Seq("en", "de", "zh", "fr", "es")),
+    matches("source", "^src[0-9]+$"),
+    inRange("n_chars", "1", "100000"),
+    invariant("text_len_matches_n_chars",
+      length(col("text")) === col("n_chars"),
+      "length(text) = n_chars"),
+    minRows(50))
+
+  /** The events (stream ingest) suite — what the reference's producer
+    * schema (Event.java) implies but never enforces, plus the payload
+    * contract the enrichment lambdas assume (`props` parses and carries
+    * the `k` key).
+    */
+  val eventsChecks: Seq[DqCheck] = Seq(
+    complete("event_id"),
+    unique("event_id"),
+    inSet("event_type", Seq("click", "view", "signup", "purchase", "error")),
+    inRange("value", "0.0", "10000.0"),
+    inRange("ts",
+      "TIMESTAMP '2024-01-01 00:00:00'", "TIMESTAMP '2026-12-31 23:59:59'"),
+    invariant("props_carries_k",
+      get_json_object(col("props"), "$.k").isNotNull,
+      "json_extract(props, '$.k') IS NOT NULL"),
+    minRows(50))
+
   def dqOrders(s: SparkSession, dir: String): DataFrame =
     run(Tables.t(s, dir, "orders"), ordersChecks)
 
   def dqLineitem(s: SparkSession, dir: String): DataFrame =
     run(Tables.t(s, dir, "lineitem"), lineitemChecks)
 
+  def dqDocuments(s: SparkSession, dir: String): DataFrame =
+    run(Tables.t(s, dir, "documents"), documentsChecks)
+
+  def dqEvents(s: SparkSession, dir: String): DataFrame =
+    run(Tables.t(s, dir, "events"), eventsChecks)
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("dq_orders_gate", dqOrders, Some(oracle("orders", ordersChecks))),
     QueryDef("dq_lineitem_gate", dqLineitem,
-      Some(oracle("lineitem", lineitemChecks))))
+      Some(oracle("lineitem", lineitemChecks))),
+    QueryDef("dq_documents_gate", dqDocuments,
+      Some(oracle("documents", documentsChecks))),
+    QueryDef("dq_events_gate", dqEvents,
+      Some(oracle("events", eventsChecks))))
 }

@@ -75,10 +75,25 @@ class QualityGateSpec extends SparkSpecBase {
   test("shipped suites pass their own corpus (sf0.001)") {
     val o = QualityGate.dqOrders(spark, sf0001).collect()
     val l = QualityGate.dqLineitem(spark, sf0001).collect()
+    val d = QualityGate.dqDocuments(spark, sf0001).collect()
+    val e = QualityGate.dqEvents(spark, sf0001).collect()
     assert(o.length === QualityGate.ordersChecks.length)
     assert(l.length === QualityGate.lineitemChecks.length)
-    (o ++ l).foreach { r =>
+    assert(d.length === QualityGate.documentsChecks.length)
+    assert(e.length === QualityGate.eventsChecks.length)
+    (o ++ l ++ d ++ e).foreach { r =>
       assert(r.getBoolean(3), s"shipped check ${r.getString(0)} fails: $r")
     }
+  }
+
+  test("the cross-field invariant catches truncation no column check sees") {
+    val ok = Seq((1L, "hello", 5L), (2L, "worlds", 6L))
+    val truncated = Seq((1L, "hello", 5L), (2L, "wor", 6L))
+    def gate(rows: Seq[(Long, String, Long)]) =
+      QualityGate.run(rows.toDF("doc_id", "text", "n_chars"),
+        Seq(invariant("len", length(col("text")) === col("n_chars"),
+          "length(text) = n_chars")))
+        .collect().head.getBoolean(3)
+    assert(gate(ok) && !gate(truncated))
   }
 }

@@ -104,6 +104,27 @@ object PrivacyOps {
     s"(${sqlGeom(PortableSketchBasis.sqlChunk16(h, 0))} - " +
       s"${sqlGeom(PortableSketchBasis.sqlChunk16(h, 1))})"
 
+  /** Driver/JVM twin of [[noiseFor]] — the identical draw computed in
+    * Scala, for the streaming release path (state folds run as JVM code,
+    * not Columns). PrivacySpec pins scala == Column over a seed sweep.
+    */
+  def scalaNoise(seed: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(seed.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    def chunk(i: Int): Long =
+      java.lang.Long.parseLong(hex.substring(4 * i, 4 * i + 4), 16)
+    def g(u: Long): Long = {
+      var j = 0
+      while (j <= 15) {
+        if (u >= (1L << (15 - j))) return j.toLong
+        j += 1
+      }
+      16L
+    }
+    g(chunk(0)) - g(chunk(1))
+  }
+
   private def events(s: SparkSession, dir: String): DataFrame =
     Tables.t(s, dir, "events").select(
       col("event_type"),

@@ -128,6 +128,17 @@ object Bench {
         System.err.println(s"[bench] distinct_soak: $e")
         errors("distinct_soak") = e.toString.take(200); "null"
       }
+    // governance soak: the continuous DP release's full exactly-once cell
+    // lifecycle (open -> cap -> watermark close -> release -> tombstone)
+    // cycling every few seconds of real time under sustained load.
+    val dpSecs = sys.env.getOrElse("SPARK_GRAFT_DP_SOAK_SECS", "15").toInt
+    val dpJson =
+      if (dpSecs <= 0) "null"
+      else try streaming.Soak.json(streaming.Soak.runDpRelease(spark, dpSecs, 30000))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] dp_soak: $e")
+        errors("dp_soak") = e.toString.take(200); "null"
+      }
     // index-serving stage: per family (pq/ivfpq/minhash/cosine), the
     // one-time build cost vs the per-query direct-recompute vs the stored
     // serve path — the measured form of the write/serve/append story.
@@ -148,7 +159,7 @@ object Bench {
     }
     val errJson2 = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"soak":$soakJson,"neardup_soak":$ndJson,"distinct_soak":$dsJson,"index_serve":$serveJson,"errors":$errJson2,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"soak":$soakJson,"neardup_soak":$ndJson,"distinct_soak":$dsJson,"dp_soak":$dpJson,"index_serve":$serveJson,"errors":$errJson2,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

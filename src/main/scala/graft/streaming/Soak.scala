@@ -318,6 +318,39 @@ object Soak {
       mode = "update", minBatches = 2)
   }
 
+  /** Governance soak: the continuous DP release under sustained load.
+    * Simulated time runs ~86400× real time (1 s of event time per rate
+    * row), so day cells open, fill under contribution capping, close at
+    * the watermark and release — the full exactly-once lifecycle cycles
+    * every few real seconds. `attacks` counts RELEASES; state rows =
+    * in-flight cells + their release-ledger tombstones (the ledger is the
+    * deliberate floor — it is what prevents a straggler double-spend).
+    */
+  def runDpRelease(spark: SparkSession, seconds: Int, rowsPerSecond: Int,
+      users: Int = 5000): SoakResult = {
+    import spark.implicits._
+    def stream(rps: Int) = {
+      val rate = spark.readStream.format("rate")
+        .option("rowsPerSecond", rps)
+        .option("numPartitions", 8).load()
+      val types = array(lit("click"), lit("view"), lit("signup"),
+        lit("purchase"), lit("error"))
+      val ev = rate.select(
+        element_at(types, (pmod(col("value"), lit(5)) + 1).cast("int"))
+          .as("event_type"),
+        (col("value") * 1000000L).as("ts_us"),
+        pmod(col("value"), lit(users.toLong)).as("user_id"),
+        col("value").as("event_id"))
+        .withColumn("day_us", expr("ts_us - ts_us % 86400000000"))
+        .select("event_type", "day_us", "user_id", "event_id", "ts_us")
+        .as[StreamingPrivacy.DpEvent]
+      StreamingPrivacy.dpDailyCountsStream(ev).toDF()
+    }
+    measure(spark, 1, "dp", stream(2000), mode = "append", minBatches = 1)
+    measure(spark, seconds, "dp", stream(rowsPerSecond),
+      mode = "append", minBatches = 2)
+  }
+
   def json(r: SoakResult): String = {
     // Double.toString, never locale-dependent %f (a comma decimal separator
     // would make the JSON line unparseable)

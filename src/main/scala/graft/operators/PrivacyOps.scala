@@ -473,6 +473,39 @@ object PrivacyOps {
        |ORDER BY dp_release""".stripMargin
   }
 
+  /** Salt for the export pseudonyms: re-identification requires it, so it
+    * lives with the data owner, never with the export.
+    */
+  val MaskSalt = "graft_mask_v1"
+
+  /** `doc_safe_export` — the masking-policy export: what actually leaves
+    * the boundary when a corpus is shared. Three composed disciplines:
+    * keyed pseudonymization of the primary key (md5 with [[MaskSalt]] —
+    * joinable across exports from the same salt epoch, reversible by no
+    * one without it), PII scrub of the payload (the `doc_pii_scrub`
+    * patterns applied, not just counted), and GENERALIZATION of the
+    * numeric quasi-identifier (n_chars to its centile floor — exact
+    * lengths re-identify short rare documents; the k-anon lesson applied
+    * at export). Pure map-side: zero shuffles beyond the output sort.
+    */
+  def safeExport(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "documents").select(
+      md5(concat_ws(":", lit(MaskSalt), col("doc_id"))).as("pid"),
+      TextOps.scrubPii(col("text")).as("text_scrubbed"),
+      col("lang"), col("source"),
+      expr("n_chars DIV 100 * 100").as("n_chars_bucket"))
+      .orderBy("pid")
+
+  val safeExportOracle: String = {
+    import TextOps.{emailRe, phoneRe, urlRe}
+    s"""SELECT md5('$MaskSalt:' || CAST(doc_id AS VARCHAR)) AS pid,
+       |  regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$emailRe', '<EMAIL>', 'g'), '$urlRe', '<URL>', 'g'),
+       |    '$phoneRe', '<PHONE>', 'g') AS text_scrubbed,
+       |  lang, source, n_chars // 100 * 100 AS n_chars_bucket
+       |FROM documents ORDER BY pid""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("ev_dp_daily_counts", dpDailyCounts, Some(dpDailyCountsOracle)),
     QueryDef("ev_dp_user_histogram", dpUserHistogram,
@@ -482,5 +515,6 @@ object PrivacyOps {
       Some(dpSourceCountsOracle)),
     QueryDef("ev_kanon_audit", kanonAudit, Some(kanonAuditOracle)),
     QueryDef("ev_dp_budget_audit", dpBudgetAudit,
-      Some(dpBudgetAuditOracle)))
+      Some(dpBudgetAuditOracle)),
+    QueryDef("doc_safe_export", safeExport, Some(safeExportOracle)))
 }

@@ -1061,6 +1061,88 @@ object Stress {
       spark.catalog.clearCache()
     }
 
+    // materialized-view refresh at the xN horizon (r13 cont.): a table of
+    // N order copies in many files, then a SMALL churn (one rewritten
+    // file's worth). Hard requirements: (a) refresh == rebuild by
+    // order-free checksum; (b) the feed's shared-file prune isolates
+    // exactly the churned file (63 of 64 pruned) — the SCAN-FOOTPRINT
+    // ratio is the scale signal. Wall-times print for reference only: at
+    // toy scale the refresh's fixed costs (feed join, unique checks, view
+    // swap) dominate and the tiny rebuild wins; the claim that matters at
+    // 100 TB is bytes-read ∝ churn, which (b) pins exactly.
+    if (!eventsOnly) {
+      import graft.sources.{Materialized, Snapshots}
+      import graft.sources.Materialized.AggView
+      val orders = Tables.t(spark, dir, "orders")
+      val ordersN = (0 until copies).map { i =>
+        orders.select(
+          (col("o_orderkey") + lit(i * 100000000L)).as("id"),
+          col("o_orderpriority").as("grp"),
+          (col("o_totalprice") * 100).cast("long").as("cents"))
+      }.reduce(_ unionByName _)
+      val base = java.nio.file.Files.createTempDirectory("graft-mvs").toString
+      val table = s"$base/t"
+      val mv = s"$base/mv"
+      val view = AggView(Seq("grp"), Seq("cents"))
+      var v1 = 0L
+      time(s"mv build x$copies (64 files)") {
+        ordersN.repartition(64).write.parquet(table)
+        v1 = Snapshots.commit(spark, table)
+        Materialized.create(spark, table, mv, view)
+        s"groups=${Materialized.read(spark, mv).count()}"
+      }
+      // churn: rewrite ONE file's rows (drop half, bump the rest)
+      val f = new org.apache.hadoop.fs.Path(table)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val files = f.listStatus(new org.apache.hadoop.fs.Path(table))
+        .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+      val churn = files.head
+      var v2 = 0L
+      time("mv churn commit (1 of 64 files rewritten)") {
+        val rows = spark.read.parquet(churn.toString)
+        rows.filter(col("id") % 2 === 0)
+          .withColumn("cents", col("cents") + 1L)
+          .coalesce(1).write.mode("append").parquet(table)
+        val retired = new org.apache.hadoop.fs.Path(s"$table/_graft_retired")
+        f.mkdirs(retired)
+        require(f.rename(churn,
+          new org.apache.hadoop.fs.Path(retired, churn.getName)))
+        v2 = Snapshots.commit(spark, table)
+        val (o1, o2, shared) = Snapshots.diffEntries(spark, table, v1, v2)
+        require(shared == 63 && o1.size == 1 && o2.size == 1,
+          s"prune must isolate the churned file: shared=$shared, " +
+            s"v1-only=${o1.size}, v2-only=${o2.size}")
+        "ok"
+      }
+      def sig(df: org.apache.spark.sql.DataFrame): (Long, Any) = {
+        val r = df.agg(count(lit(1)), sum(xxhash64(col("grp"), col("mv_n"),
+          col("mv_sum_cents")).cast("decimal(38,0)"))).first()
+        (r.getLong(0), r.getDecimal(1))
+      }
+      var tRefresh = 0.0; var tRebuild = 0.0
+      time(s"mv incremental refresh x$copies") {
+        val t0 = System.nanoTime()
+        Materialized.refresh(spark, table, mv, Seq("id"), view)
+        tRefresh = (System.nanoTime() - t0) / 1e9
+        f"refresh=$tRefresh%.2f s"
+      }
+      time(s"mv full rebuild x$copies (control)") {
+        val t0 = System.nanoTime()
+        val rebuilt = Snapshots.readVersion(spark, table, v2)
+          .groupBy("grp").agg(count(lit(1)).as("mv_n"),
+            sum("cents").as("mv_sum_cents"))
+        val want = sig(rebuilt)
+        tRebuild = (System.nanoTime() - t0) / 1e9
+        val got = sig(Materialized.read(spark, mv))
+        require(got == want,
+          s"incremental refresh diverged from rebuild: $got vs $want")
+        f"rebuild=$tRebuild%.2f s (refresh was $tRefresh%.2f s)"
+      }
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(base)).deleteRecursively()
+      spark.catalog.clearCache()
+    }
+
     spark.stop()
   }
 }

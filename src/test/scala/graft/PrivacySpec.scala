@@ -142,6 +142,29 @@ class PrivacySpec extends SparkSpecBase {
       "total must be the sequential composition of the user-level releases")
   }
 
+  test("safe export: pseudonyms keyed and collision-free, PII gone, " +
+      "lengths generalized") {
+    val out = PrivacyOps.safeExport(spark, sf0001)
+    val n = out.count()
+    assert(out.select("pid").distinct().count() === n,
+      "pseudonymization must stay injective on the corpus")
+    assert(out.filter(col("n_chars_bucket") % 100 =!= 0).count() === 0L)
+    // the pseudonym is NOT the raw key in disguise: same doc_id under a
+    // different salt would differ — pin the keyed property directly
+    val pid1 = org.apache.spark.sql.functions.md5(
+      concat(lit(PrivacyOps.MaskSalt + ":"), lit("7")))
+    val pid2 = org.apache.spark.sql.functions.md5(
+      concat(lit("other_salt:"), lit("7")))
+    val r = spark.range(1).select(pid1.as("a"), pid2.as("b")).first()
+    assert(r.getString(0) != r.getString(1))
+    // planted PII is scrubbed in the exported payload
+    val scrubbed = Seq((1L, "mail me at a.b@example.com now", "en", "s", 30L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .select(graft.operators.TextOps.scrubPii(col("text")).as("t"))
+      .first().getString(0)
+    assert(scrubbed === "mail me at <EMAIL> now")
+  }
+
   test("releases: deterministic and non-negative on sf0.001") {
     val a = PrivacyOps.dpDailyCounts(spark, sf0001).collect()
     val b = PrivacyOps.dpDailyCounts(spark, sf0001).collect()

@@ -63,6 +63,10 @@ object Materialized {
     require(f.rename(tmp, dst), s"meta swap failed for $viewPath")
   }
 
+  /** Whether a view has been created at this path. */
+  def exists(s: SparkSession, viewPath: String): Boolean =
+    fs(s, viewPath).exists(new Path(s"$viewPath/$MetaFile"))
+
   /** The table version the stored view reflects. */
   def version(s: SparkSession, viewPath: String): Long = {
     val f = fs(s, viewPath)

@@ -1,0 +1,77 @@
+package graft
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.QualityGate._
+import graft.sources.{Materialized, Snapshots}
+import graft.sources.Materialized.AggView
+import graft.streaming.GovernedIngest
+import graft.streaming.GovernedIngest.Pipeline
+
+/** Pins the governed ingest composition end-to-end: admitted batches
+  * become one table version each with the view always equal to the
+  * rebuild; a quarantined batch leaves NO trace in the table, the
+  * version log, or the view — only in quarantine, stamped for replay.
+  */
+class GovernedIngestSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("gate -> commit -> incremental view, with full failure containment") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-gov").toString
+    val p = Pipeline(
+      tablePath = s"$base/t",
+      quarantinePath = s"$base/q",
+      checks = Seq(complete("id"), unique("id"),
+        inRange("cents", "0", "100000")),
+      keyCols = Seq("id"),
+      views = Seq(s"$base/mv" -> AggView(Seq("grp"), Seq("cents"))))
+
+    def viewRows() = Materialized.read(spark, s"$base/mv")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    def rebuild() = {
+      val v = Snapshots.versions(spark, p.tablePath).last._1
+      Snapshots.readVersion(spark, p.tablePath, v)
+        .groupBy("grp").agg(count(lit(1)).as("mv_n"),
+          sum("cents").as("mv_sum_cents"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    }
+
+    val verdicts = ArrayBuffer.empty[Boolean]
+    val mem = MemoryStream[(Long, String, Long)]
+    val q = GovernedIngest.run(mem.toDF().toDF("id", "grp", "cents"), p)(
+      v => verdicts.synchronized { verdicts += v.admitted }).start()
+    try {
+      mem.addData(Seq((1L, "a", 100L), (2L, "b", 50L)))
+      q.processAllAvailable()
+      assert(viewRows() === Set(("a", 1L, 100L), ("b", 1L, 50L)))
+      assert(Snapshots.versions(spark, p.tablePath).size === 1)
+
+      // dirty batch: duplicate key + out-of-range amount
+      mem.addData(Seq((2L, "b", 999999L), (2L, "c", 10L)))
+      q.processAllAvailable()
+      assert(Snapshots.versions(spark, p.tablePath).size === 1,
+        "a quarantined batch must not commit a version")
+      assert(viewRows() === Set(("a", 1L, 100L), ("b", 1L, 50L)),
+        "a quarantined batch must not touch the view")
+      val quarantined = spark.read.parquet(p.quarantinePath)
+      assert(quarantined.count() === 2L)
+      assert(quarantined.select("_quarantined_batch").distinct()
+        .collect().map(_.getLong(0)).toSeq === Seq(1L))
+
+      // clean follow-up batch: new version, view == rebuild again
+      mem.addData(Seq((3L, "a", 25L), (4L, "c", 7L)))
+      q.processAllAvailable()
+      assert(Snapshots.versions(spark, p.tablePath).size === 2)
+      assert(viewRows() === rebuild())
+      assert(viewRows() === Set(("a", 2L, 125L), ("b", 1L, 50L),
+        ("c", 1L, 7L)))
+      assert(verdicts.toSeq === Seq(true, false, true))
+    } finally q.stop()
+  }
+}

@@ -368,3 +368,170 @@ object CepFold3 {
     new GenericArrayData(out.toArray)
   }
 }
+
+/** The GENERAL chain fold — `A{min,} followedBy B1 … followedBy Bm
+  * followedBy C within w` for any m ≥ 1, as one native expression over
+  * the key's sorted (t, id, k) event array, k ∈ {0 = A, 1..m = Bj,
+  * m+1 = C}; neutral events pre-filtered. The CepFold3 rules applied
+  * stage-by-stage, and the induction that makes that sound:
+  *
+  *  - each pending stage's entries are installed in strictly increasing
+  *    start order (stage j installs only entries whose s exceeds the
+  *    last entry already in stage j, and its SOURCE stage is itself
+  *    s-ordered), so "has this entry already taken its Bj" is the single
+  *    comparison s > last-installed-s — no membership set needed;
+  *  - within-pruning pops stage heads on the SAME s + w bound at every
+  *    stage, so an entry that converted and then aged out of stage j has
+  *    also aged out of stage j−1 and can never re-convert;
+  *  - a C completes the EARLIEST within-alive final-stage pending and
+  *    skip-past-last clears every stage (sub-min loop partials and all
+  *    pendings consumed); a C with no live final pending is transparent.
+  *
+  * `CepNfaSpec.replayChain` is the independent interpreter (an explicit
+  * already-taken SET instead of the monotonicity argument) this fold is
+  * fuzz-matched against, and at m = 1 it is pinned identical to
+  * [[CepFold3]]. Output: (s = run start, e = min-th repetition,
+  * bs = the m taken middle timestamps in stage order, n = the C's ts).
+  * State is within-pruned: O(one window) per stage.
+  */
+case class CepFoldChain(child: Expression, minTimes: Long, withinUs: Long,
+    nMids: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("s", LongType, nullable = false),
+    StructField("e", LongType, nullable = false),
+    StructField("bs", ArrayType(LongType, containsNull = false),
+      nullable = false),
+    StructField("n", LongType, nullable = false))), containsNull = false)
+
+  override def prettyName: String = "graft_cep_fold_chain"
+
+  override protected def nullSafeEval(input: Any): Any =
+    CepFoldChain.compute(input.asInstanceOf[ArrayData], minTimes, withinUs,
+      nMids)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CepFoldChain.compute($c, ${minTimes}L, " +
+        s"${withinUs}L, $nMids);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CepFoldChain {
+
+  /** One pending stage: parallel growable ring buffers for (s, e) plus
+    * the bs taken so far (bs stored as an array per entry — entries are
+    * O(window) and m is tiny, so per-entry allocation is acceptable
+    * here; the 2/3-stage hot paths keep their allocation-free folds).
+    */
+  private final class Stage(cap: Int) {
+    var s = new Array[Long](cap)
+    var e = new Array[Long](cap)
+    var bs = new Array[Array[Long]](cap)
+    var head = 0
+    var tail = 0
+    def size: Int = tail - head
+    def lastS: Long = if (tail > head) s(tail - 1) else Long.MinValue
+    def prune(now: Long, w: Long): Unit = {
+      while (head < tail && now - s(head) > w) head += 1
+    }
+    def clear(): Unit = { head = 0; tail = 0 }
+    def grow(): Unit =
+      if (tail == s.length) {
+        if (head >= s.length / 2) {
+          System.arraycopy(s, head, s, 0, tail - head)
+          System.arraycopy(e, head, e, 0, tail - head)
+          System.arraycopy(bs, head, bs, 0, tail - head)
+          tail -= head; head = 0
+        } else {
+          val m = s.length * 2
+          val (ns, ne, nb) = (new Array[Long](m), new Array[Long](m),
+            new Array[Array[Long]](m))
+          System.arraycopy(s, head, ns, 0, tail - head)
+          System.arraycopy(e, head, ne, 0, tail - head)
+          System.arraycopy(bs, head, nb, 0, tail - head)
+          tail -= head; head = 0; s = ns; e = ne; bs = nb
+        }
+      }
+    def install(s0: Long, e0: Long, bs0: Array[Long]): Unit = {
+      grow(); s(tail) = s0; e(tail) = e0; bs(tail) = bs0; tail += 1
+    }
+  }
+
+  /** `arr`: array<struct<t:long, id:long, k:int>> in (t, id) order. */
+  def compute(arr: ArrayData, minTimes: Long, withinUs: Long,
+      nMids: Int): ArrayData = {
+    val n = arr.numElements()
+    val min = minTimes.toInt
+    val cap0 = math.min(math.max(n, 8), 1 << 16)
+    var loop = new Array[Long](cap0)
+    var lHead = 0
+    var lTail = 0
+    val stages = Array.fill(nMids)(new Stage(math.min(cap0, 1 << 12)))
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+
+    def growLoop(): Unit =
+      if (lTail == loop.length) {
+        if (lHead >= loop.length / 2) {
+          System.arraycopy(loop, lHead, loop, 0, lTail - lHead)
+          lTail -= lHead; lHead = 0
+        } else {
+          val nb = new Array[Long](loop.length * 2)
+          System.arraycopy(loop, lHead, nb, 0, lTail - lHead)
+          lTail -= lHead; lHead = 0; loop = nb
+        }
+      }
+
+    var i = 0
+    while (i < n) {
+      val row = arr.getStruct(i, 3)
+      val t = row.getLong(0)
+      val k = row.getInt(2)
+      while (lHead < lTail && t - loop(lHead) > withinUs) lHead += 1
+      var j = 0
+      while (j < nMids) { stages(j).prune(t, withinUs); j += 1 }
+      if (k == nMids + 1) { // C
+        val fin = stages(nMids - 1)
+        if (fin.size > 0) {
+          out += new GenericInternalRow(Array[Any](
+            fin.s(fin.head), fin.e(fin.head),
+            new GenericArrayData(fin.bs(fin.head)), t))
+          lHead = 0; lTail = 0
+          j = 0
+          while (j < nMids) { stages(j).clear(); j += 1 }
+        }
+      } else if (k >= 1) { // Bk: convert from the stage below
+        val st = stages(k - 1)
+        val bar = st.lastS
+        if (k == 1) {
+          var p = lHead
+          while (p <= lTail - min) {
+            if (loop(p) > bar) st.install(loop(p), loop(p + min - 1),
+              Array(t))
+            p += 1
+          }
+        } else {
+          val src = stages(k - 2)
+          var p = src.head
+          while (p < src.tail) {
+            if (src.s(p) > bar) {
+              val nb = new Array[Long](src.bs(p).length + 1)
+              System.arraycopy(src.bs(p), 0, nb, 0, src.bs(p).length)
+              nb(nb.length - 1) = t
+              st.install(src.s(p), src.e(p), nb)
+            }
+            p += 1
+          }
+        }
+      } else { // A
+        growLoop()
+        loop(lTail) = t
+        lTail += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}

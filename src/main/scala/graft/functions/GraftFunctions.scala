@@ -33,6 +33,10 @@ object GraftFunctions {
     "graft_cep_fold3" -> { args =>
       CepFold3(args(0), args(1).eval().asInstanceOf[Number].longValue,
         args(2).eval().asInstanceOf[Number].longValue) },
+    "graft_cep_fold_chain" -> { args =>
+      CepFoldChain(args(0), args(1).eval().asInstanceOf[Number].longValue,
+        args(2).eval().asInstanceOf[Number].longValue,
+        args(3).eval().asInstanceOf[Number].intValue) },
     "graft_word_shingles" -> { args =>
       WordShingles(args(0), args(1).eval().asInstanceOf[Number].intValue) },
     "graft_pq_adc" -> { args => PqAdc(args(0), args(1)) },
@@ -131,6 +135,12 @@ object GraftFunctions {
     call_function("graft_cep_fold3", evs,
       org.apache.spark.sql.functions.lit(minTimes),
       org.apache.spark.sql.functions.lit(withinUs))
+  def graftCepFoldChain(evs: Column, minTimes: Long, withinUs: Long,
+      nMids: Int): Column =
+    call_function("graft_cep_fold_chain", evs,
+      org.apache.spark.sql.functions.lit(minTimes),
+      org.apache.spark.sql.functions.lit(withinUs),
+      org.apache.spark.sql.functions.lit(nMids))
   def graftNfc(s: Column): Column = call_function("graft_nfc", s)
   def graftPHash64(payload: Column): Column =
     call_function("graft_phash64", payload)

@@ -75,7 +75,7 @@ final case class CepPattern(
     negative: Boolean = false,
     greedyLoop: Boolean = false,
     optionalLoop: Boolean = false,
-    midPred: Option[Column] = None) {
+    midPreds: Seq[Column] = Nil) {
 
   require(minTimes >= 1 && maxTimes >= minTimes,
     s"times($minTimes, $maxTimes) is not a valid quantifier")
@@ -86,8 +86,8 @@ final case class CepPattern(
     "greedy/optional modify the positive completion; the negative match is first-min")
   require(!(greedyLoop && optionalLoop),
     "greedy and optional are mutually exclusive quantifier modes")
-  require(midPred.isEmpty || (relaxed && !negative && !greedyLoop && !optionalLoop),
-    "the three-stage chain is relaxed, positive, reluctant (Flink's defaults)")
+  require(midPreds.isEmpty || (relaxed && !negative && !greedyLoop && !optionalLoop),
+    "chained followedBy stages are relaxed, positive, reluctant (Flink's defaults)")
 
   /** Batch detection over any frame carrying (key, ts, id) + whatever the
     * predicates reference. Output: key, run_start_us, run_end_us,
@@ -96,7 +96,8 @@ final case class CepPattern(
     * row; the match IS its absence).
     */
   def detect(events: DataFrame): DataFrame =
-    if (midPred.isDefined) detectThreeStage(events)
+    if (midPreds.size >= 2) detectChain(events)
+    else if (midPreds.size == 1) detectThreeStage(events)
     else if (negative) detectNegative(events)
     else if (relaxed) detectRelaxed(events)
     else detectStrict(events)
@@ -119,7 +120,7 @@ final case class CepPattern(
         s"relaxed CEP orders ties by an integral id; '$idCol' is " +
           s"${idT.catalogString} — map it to a numeric id first")
     }
-    val mid = midPred.get
+    val mid = midPreds.head
     val e = events
       .withColumn("__k",
         when(nextPred, 2).when(mid, 1).when(runPred, 0).otherwise(-1))
@@ -134,6 +135,49 @@ final case class CepPattern(
         array_sort(col("__evs")), minTimes, withinUs)).as("m"))
       .select(col(keyCol), col("m.s").as("run_start_us"),
         col("m.e").as("run_end_us"), col("m.b").as("mid_ts_us"),
+        col("m.n").as("next_ts_us"), lit(minTimes).as("run_count"))
+      .orderBy(keyCol, "run_start_us")
+  }
+
+  /** The GENERAL chain `A{min,} followedBy B1 … followedBy Bm
+    * followedBy C within w` for m ≥ 2 middles — same one-exchange plan,
+    * run by [[graft.functions.CepFoldChain]] (the CepFold3 rules applied
+    * stage-by-stage; its scaladoc carries the induction). Classification
+    * precedence latest-stage-first (C > Bm > … > B1 > A), consistent
+    * with the two- and three-stage forms; neutral events transparent and
+    * filtered before the shuffle. Output carries the m taken middle
+    * timestamps as `mid_ts_us_list` in stage order.
+    */
+  private def detectChain(events: DataFrame): DataFrame = {
+    {
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val idT = events.schema(idCol).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idT),
+        s"relaxed CEP orders ties by an integral id; '$idCol' is " +
+          s"${idT.catalogString} — map it to a numeric id first")
+    }
+    val m = midPreds.size
+    val kCol = {
+      val afterNext = midPreds.zipWithIndex.reverse
+        .foldLeft(when(nextPred, m + 1)) {
+          case (acc, (p, j)) => acc.when(p, j + 1)
+        }
+      afterNext.when(runPred, 0).otherwise(-1)
+    }
+    val e = events
+      .withColumn("__k", kCol)
+      .filter(col("__k") >= 0)
+      .select(col(keyCol),
+        unix_micros(col(tsCol)).as("t"),
+        col(idCol).cast("long").as("id"),
+        col("__k").as("k"))
+    e.groupBy(keyCol)
+      .agg(collect_list(struct(col("t"), col("id"), col("k"))).as("__evs"))
+      .select(col(keyCol), explode(graft.functions.GraftFunctions
+        .graftCepFoldChain(array_sort(col("__evs")), minTimes, withinUs, m))
+        .as("m"))
+      .select(col(keyCol), col("m.s").as("run_start_us"),
+        col("m.e").as("run_end_us"), col("m.bs").as("mid_ts_us_list"),
         col("m.n").as("next_ts_us"), lit(minTimes).as("run_count"))
       .orderBy(keyCol, "run_start_us")
   }
@@ -266,10 +310,10 @@ final case class CepPattern(
     * set, both within-pruned), emitted as matches arrive.
     */
   def detectThreeStageStream(events: DataFrame): Dataset[CepPattern.Match3] = {
-    require(midPred.isDefined, "detectThreeStageStream needs a middle stage")
+    require(midPreds.size == 1, "detectThreeStageStream folds exactly one middle stage")
     val spark = events.sparkSession
     import spark.implicits._
-    val mid = midPred.get
+    val mid = midPreds.head
     val typed = events
       .select(col(keyCol).cast("long"), col(idCol).cast("long"),
         col(tsCol).cast("long"),
@@ -313,7 +357,7 @@ final case class CepPattern(
   }
 
   def detectStream(events: DataFrame): Dataset[CepPattern.Match] = {
-    require(midPred.isEmpty,
+    require(midPreds.isEmpty,
       "three-stage patterns stream via detectThreeStageStream")
     val spark = events.sparkSession
     import spark.implicits._
@@ -486,13 +530,20 @@ object CepPattern {
     def followedBy(pred: Column): WithinStep3 = {
       require(relaxed && !negative && !greedy && !optional,
         "three-stage chains are relaxed, positive, reluctant")
-      new WithinStep3(keyCol, runPred, min, max, nextPred, pred)
+      new WithinStep3(keyCol, runPred, min, max, Seq(nextPred), pred)
     }
   }
   final class WithinStep3 private[CepPattern] (keyCol: String, runPred: Column,
-      min: Long, max: Long, midPred: Column, nextPred: Column) {
+      min: Long, max: Long, mids: Seq[Column], nextPred: Column) {
+    /** Chain a FURTHER stage: the current terminator becomes one more
+      * relaxed middle stage and `pred` the new terminator — arbitrary
+      * chain depth, compiled onto the general [[graft.functions.CepFoldChain]]
+      * (two middles and up; one middle keeps the tuned CepFold3 path).
+      */
+    def followedBy(pred: Column): WithinStep3 =
+      new WithinStep3(keyCol, runPred, min, max, mids :+ nextPred, pred)
     def within(us: Long): CepPattern =
       CepPattern(keyCol, runPred, min, max, nextPred, us, relaxed = true,
-        midPred = Some(midPred))
+        midPreds = mids)
   }
 }

@@ -540,6 +540,129 @@ object EventOps {
        |ORDER BY target_id, attack_start_us""".stripMargin
   }
 
+  /** FOUR-stage CEP chain (r13 cont.) — `fragments{3,} followedBy probe1
+    * followedBy probe2 followedBy high within 24h`: the full kill-chain
+    * escalation (flood → low recon → high recon → strike), compiled
+    * through the builder's arbitrary-depth `followedBy` onto the general
+    * native [[graft.functions.CepFoldChain]] (the CepFold3 pending-set
+    * rules applied stage-by-stage; induction + fuzz vs the independent
+    * `CepNfaSpec.replayChain` interpreter). Stage bands: value < 50 loop,
+    * [50, 75) probe1, [75, 100] probe2, > 100 strike. One exchange + the
+    * per-key fold; the oracle replays the identical fold as a per-key
+    * recursive CTE carrying the loop buffer AND both pending stages.
+    * Window 72 h (see [[Chain4WithinUs]]).
+    */
+  def cep4Stage(s: SparkSession, dir: String): DataFrame =
+    cep4StageOn(Tables.t(s, dir, "events"))
+
+  final val MidSplit = 75.0
+  /** The 4-stage window: the full escalation plays out over days, not the
+    * two-stage pattern's 24 h — 72 h keeps 42 matches at sf0.01 (24 h
+    * leaves 1: the chain would gate without exercising the fold).
+    */
+  final val Chain4WithinUs = 72L * 3600 * 1000000
+
+  def cep4StageOn(events: DataFrame): DataFrame =
+    CepPattern.on("user_id")
+      .where(col("value") < LowThresh)
+      .times(MinRun, MaxRun)
+      .followedBy(col("value") >= LowThresh && col("value") < MidSplit)
+      .followedBy(col("value") >= MidSplit && col("value") <= HighThresh)
+      .followedBy(col("value") > HighThresh)
+      .within(Chain4WithinUs)
+      .detect(events.select("user_id", "event_id", "ts", "value"))
+      .select(col("user_id").as("target_id"),
+        col("run_start_us").as("attack_start_us"),
+        col("run_end_us").as("attack_end_us"),
+        element_at(col("mid_ts_us_list"), 1).as("probe1_ts_us"),
+        element_at(col("mid_ts_us_list"), 2).as("probe2_ts_us"),
+        col("next_ts_us").as("strike_ts_us"),
+        col("run_count").as("fragment_count"))
+      .orderBy("target_id", "attack_start_us")
+
+  val cep4StageOracle: String = {
+    val (w, min) = (Chain4WithinUs, MinRun)
+    s"""WITH RECURSIVE c4_e AS (
+       |  SELECT user_id, epoch_us(ts) AS t,
+       |         CASE WHEN value > $HighThresh THEN 3
+       |              WHEN value >= $MidSplit THEN 2
+       |              WHEN value >= $LowThresh THEN 1 ELSE 0 END AS k,
+       |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+       |  FROM events),
+       |step4 AS (
+       |  SELECT user_id, 0 AS i,
+       |         CAST([] AS BIGINT[]) AS buf,
+       |         CAST([] AS BIGINT[]) AS p1s, CAST([] AS BIGINT[]) AS p1e,
+       |         CAST([] AS BIGINT[]) AS p1b,
+       |         CAST([] AS BIGINT[]) AS p2s, CAST([] AS BIGINT[]) AS p2e,
+       |         CAST([] AS BIGINT[]) AS p2a, CAST([] AS BIGINT[]) AS p2b
+       |  FROM (SELECT DISTINCT user_id FROM c4_e)
+       |  UNION ALL
+       |  SELECT user_id, i, nbuf AS buf, np1s AS p1s, np1e AS p1e,
+       |         np1b AS p1b, np2s AS p2s, np2e AS p2e, np2a AS p2a,
+       |         np2b AS p2b FROM (
+       |    SELECT s.user_id AS user_id, s.i + 1 AS i, ev.k AS k, ev.t AS t,
+       |      list_filter(s.buf, x -> ev.t - x <= $w) AS fb,
+       |      len(s.p1s) - len(list_filter(s.p1s, x -> ev.t - x <= $w)) AS d1,
+       |      s.p1s[d1+1:] AS k1s, s.p1e[d1+1:] AS k1e, s.p1b[d1+1:] AS k1b,
+       |      len(s.p2s) - len(list_filter(s.p2s, x -> ev.t - x <= $w)) AS d2,
+       |      s.p2s[d2+1:] AS k2s, s.p2e[d2+1:] AS k2e,
+       |      s.p2a[d2+1:] AS k2a, s.p2b[d2+1:] AS k2b,
+       |      -- stage-1 installs at a B1: alive runs with s past the last p1 entry
+       |      CASE WHEN k = 1 THEN list_filter(
+       |             list_transform(generate_series(1, greatest(len(fb) - $min + 1, 0)),
+       |               j -> {'s': fb[j], 'e': fb[j + $min - 1]}),
+       |             r -> struct_extract(r, 's') >
+       |                  coalesce(k1s[-1], -9223372036854775807))
+       |           ELSE CAST([] AS STRUCT(s BIGINT, e BIGINT)[]) END AS c1,
+       |      -- stage-2 installs at a B2: stage-1 entries past the last p2 entry
+       |      CASE WHEN k = 2 THEN list_filter(
+       |             list_transform(generate_series(1, len(k1s)),
+       |               j -> {'s': k1s[j], 'e': k1e[j], 'a': k1b[j]}),
+       |             r -> struct_extract(r, 's') >
+       |                  coalesce(k2s[-1], -9223372036854775807))
+       |           ELSE CAST([] AS STRUCT(s BIGINT, e BIGINT, a BIGINT)[]) END AS c2,
+       |      (k = 3 AND len(k2s) > 0) AS hit,
+       |      CASE WHEN hit THEN CAST([] AS BIGINT[])
+       |           WHEN k = 0 THEN list_append(fb, t) ELSE fb END AS nbuf,
+       |      CASE WHEN hit THEN CAST([] AS BIGINT[])
+       |           WHEN k = 1 THEN k1s || list_transform(c1, r -> struct_extract(r, 's'))
+       |           ELSE k1s END AS np1s,
+       |      CASE WHEN hit THEN CAST([] AS BIGINT[])
+       |           WHEN k = 1 THEN k1e || list_transform(c1, r -> struct_extract(r, 'e'))
+       |           ELSE k1e END AS np1e,
+       |      CASE WHEN hit THEN CAST([] AS BIGINT[])
+       |           WHEN k = 1 THEN k1b || list_transform(c1, r -> ev.t)
+       |           ELSE k1b END AS np1b,
+       |      CASE WHEN hit THEN CAST([] AS BIGINT[])
+       |           WHEN k = 2 THEN k2s || list_transform(c2, r -> struct_extract(r, 's'))
+       |           ELSE k2s END AS np2s,
+       |      CASE WHEN hit THEN CAST([] AS BIGINT[])
+       |           WHEN k = 2 THEN k2e || list_transform(c2, r -> struct_extract(r, 'e'))
+       |           ELSE k2e END AS np2e,
+       |      CASE WHEN hit THEN CAST([] AS BIGINT[])
+       |           WHEN k = 2 THEN k2a || list_transform(c2, r -> struct_extract(r, 'a'))
+       |           ELSE k2a END AS np2a,
+       |      CASE WHEN hit THEN CAST([] AS BIGINT[])
+       |           WHEN k = 2 THEN k2b || list_transform(c2, r -> ev.t)
+       |           ELSE k2b END AS np2b
+       |    FROM step4 s JOIN c4_e ev ON ev.user_id = s.user_id AND ev.rn = s.i + 1))
+       |SELECT target_id, attack_start_us, attack_end_us, probe1_ts_us,
+       |       probe2_ts_us, strike_ts_us, fragment_count FROM (
+       |  SELECT s.user_id AS target_id,
+       |         len(s.p2s) - len(list_filter(s.p2s, x -> ev.t - x <= $w)) AS d2,
+       |         (s.p2s[d2+1:])[1] AS attack_start_us,
+       |         (s.p2e[d2+1:])[1] AS attack_end_us,
+       |         (s.p2a[d2+1:])[1] AS probe1_ts_us,
+       |         (s.p2b[d2+1:])[1] AS probe2_ts_us,
+       |         ev.t AS strike_ts_us,
+       |         CAST($min AS BIGINT) AS fragment_count,
+       |         ev.k AS k, len(s.p2s[d2+1:]) AS np
+       |  FROM step4 s JOIN c4_e ev ON ev.user_id = s.user_id AND ev.rn = s.i + 1)
+       |WHERE k = 3 AND np > 0
+       |ORDER BY target_id, attack_start_us""".stripMargin
+  }
+
   /** IPInsights analog (reference sagemaker notebook: entity<->IP
     * co-occurrence scoring). Rarity = expected/observed co-occurrence of
     * (user, event_type): integer-exact counts, one final IEEE division.
@@ -2531,6 +2654,7 @@ object EventOps {
     QueryDef("ev_cep_flink", cepAttackFlink, Some(cepFlinkOracle)),
     QueryDef("ev_cep_fizzle", cepFizzle, Some(cepFizzleOracle)),
     QueryDef("ev_cep_3stage", cep3Stage, Some(cep3StageOracle)),
+    QueryDef("ev_cep_4stage", cep4Stage, Some(cep4StageOracle)),
     QueryDef("ev_rarity_score", rarityScore, Some(rarityOracle)),
     QueryDef("ev_ipinsights_score", ipinsightsServe, Some(ipinsightsOracle)),
     QueryDef("ev_quantiles_by_type", quantilesByType, Some(quantilesOracle)),

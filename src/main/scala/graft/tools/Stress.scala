@@ -395,6 +395,8 @@ object Stress {
     time(s"cep-flink hot-key(50%) x$copies")(EventOps.cepAttackFlinkOn(hot).count())
     // 3-stage pending-set fold at the same single-key ceiling
     time(s"cep-3stage hot-key(50%) x$copies")(EventOps.cep3StageOn(hot).count())
+    // general chain fold (4 stages) at the same single-key ceiling
+    time(s"cep-4stage hot-key(50%) x$copies")(EventOps.cep4StageOn(hot).count())
 
     // skew-salting stage (r13, hard-required): the salting decision is
     // FED FROM the ev_key_skew measurement, not guessed; the salted join

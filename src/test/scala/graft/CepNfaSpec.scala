@@ -114,6 +114,46 @@ object FlinkNfaRef {
     out.result()
   }
 
+  /** The GENERAL chain interpreter — kinds 0 = A, 1..m = Bj, m+1 = C,
+    * anything else neutral. Deliberately uses explicit already-taken
+    * SETS per stage (membership), NOT the fold's monotone-install
+    * shortcut, so the two encodings of "each entry takes its first Bj"
+    * stay independent. Matches: (run_start, min-th rep, taken mids in
+    * stage order, c_ts).
+    */
+  def replayChain(events: Seq[(Long, Int)], min: Int, withinUs: Long,
+      m: Int): Seq[(Long, Long, Seq[Long], Long)] = {
+    var loop = Vector.empty[Long]
+    val pend = Array.fill(m)(Vector.empty[(Long, Long, Vector[Long])])
+    val out = Seq.newBuilder[(Long, Long, Seq[Long], Long)]
+    events.foreach { case (ts, kind) =>
+      loop = loop.dropWhile(ts - _ > withinUs)
+      (0 until m).foreach(j =>
+        pend(j) = pend(j).dropWhile(p => ts - p._1 > withinUs))
+      if (kind == m + 1) { // C completes the earliest final pending
+        if (pend(m - 1).nonEmpty) {
+          val (s, e, bs) = pend(m - 1).head
+          out += ((s, e, bs, ts))
+          loop = Vector.empty
+          (0 until m).foreach(j => pend(j) = Vector.empty)
+        }
+      } else if (kind >= 1 && kind <= m) { // Bj converts from below
+        val j = kind - 1
+        val already = pend(j).map(_._1).toSet
+        val cand =
+          if (j == 0)
+            (0 to loop.size - min)
+              .map(i => (loop(i), loop(i + min - 1), Vector(ts)))
+              .filterNot(p => already(p._1))
+          else
+            pend(j - 1).filterNot(p => already(p._1))
+              .map(p => (p._1, p._2, p._3 :+ ts))
+        pend(j) = (pend(j) ++ cand).sortBy(_._1)
+      } else if (kind == 0) loop = loop :+ ts
+    }
+    out.result()
+  }
+
   /** The NEGATIVE pattern (`notFollowedBy` + `within`): a branch started
     * at s matches at its window expiry s + within iff it collected >= min
     * loop events in [s, s + within] and NO terminator occurred in
@@ -581,5 +621,107 @@ class CepNfaSpec extends SparkSpecBase {
       assert(got == nfaExpected(traffic),
         s"streaming round $round diverged\n traffic=$traffic\n got=$got\n want=${nfaExpected(traffic)}")
     }
+  }
+
+  test("batch N-stage chain == generalized interpreter on fuzzed traffic") {
+    val rng = new scala.util.Random(81311)
+    import spark.implicits._
+    // kinds: 0 = A (5), 1 = B1 (65), 2 = B2 (75), 3 = C (95), 4 = neutral
+    def trafficN(): Seq[(Long, Int)] = {
+      val n = rng.nextInt(71)
+      var ts = 1000L
+      (0 until n).map { _ =>
+        ts += (if (rng.nextInt(7) == 0) 40L + rng.nextInt(100) else 1L + rng.nextInt(12))
+        (ts, rng.nextInt(12) match {
+          case 0 | 1     => 1 // B1
+          case 2 | 3     => 2 // B2
+          case 4 | 5     => 3 // C
+          case 6         => 4 // neutral
+          case _         => 0 // A
+        })
+      }
+    }
+    def valueOf(kind: Int): Double = kind match {
+      case 0 => 5.0; case 1 => 65.0; case 2 => 75.0; case 3 => 95.0
+      case _ => 50.0
+    }
+    val pat4 = CepPattern.on("user_id")
+      .where(col("value") < 10).times(Min, Max)
+      .followedBy(col("value") >= 60 && col("value") < 70)
+      .followedBy(col("value") >= 70 && col("value") < 80)
+      .followedBy(col("value") > 90)
+      .within(Within)
+    def toDf(traffic: Seq[(Long, Seq[(Long, Int)])]) =
+      traffic.flatMap { case (key, evs) =>
+        evs.zipWithIndex.map { case ((ts, kind), i) =>
+          (key, key * 100000L + i, ts, valueOf(kind))
+        }
+      }.toDF("user_id", "event_id", "__us", "value")
+        .withColumn("ts", timestamp_micros(col("__us"))).drop("__us")
+    def want(traffic: Seq[(Long, Seq[(Long, Int)])]) =
+      traffic.flatMap { case (key, evs) =>
+        FlinkNfaRef.replayChain(
+          evs.map { case (ts, k) => (ts, if (k == 4) 9 else k) },
+          Min.toInt, Within, 2)
+          .map { case (st, e, bs, c) => (key, st, e, bs, c) }
+      }.sortBy(m => (m._1, m._2)).toSeq
+    (1 to 25).foreach { round =>
+      val traffic = (0 until 6).map(k => (k.toLong, trafficN()))
+      val got = pat4.detect(toDf(traffic))
+        .select("user_id", "run_start_us", "run_end_us", "mid_ts_us_list",
+          "next_ts_us")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getSeq[Long](3), r.getLong(4)))
+        .toSeq.sortBy(m => (m._1, m._2))
+      assert(got.map(g => (g._1, g._2, g._3, g._4.toVector, g._5)) ==
+        want(traffic).map(w => (w._1, w._2, w._3, w._4.toVector, w._5)),
+        s"chain round $round diverged\n traffic=$traffic\n got=$got\n want=${want(traffic)}")
+    }
+  }
+
+  test("interpreter self-consistency: replayChain at m = 1 == replayThreeStage") {
+    val rng = new scala.util.Random(4177)
+    (1 to 200).foreach { _ =>
+      val n = rng.nextInt(60)
+      var ts = 1000L
+      val evs = (0 until n).map { _ =>
+        ts += 1L + rng.nextInt(30)
+        (ts, rng.nextInt(4)) // 0 = A, 1 = B, 2 = C, 3 = neutral
+      }
+      val viaChain = FlinkNfaRef.replayChain(
+        evs.map { case (t, k) => (t, if (k == 3) 9 else k) },
+        Min.toInt, Within, 1)
+        .map { case (s, e, bs, c) => (s, e, bs.head, c, Min) }
+      val via3 = FlinkNfaRef.replayThreeStage(evs, Min.toInt, Within)
+      assert(viaChain == via3, s"m=1 chain semantics drifted on $evs")
+    }
+  }
+
+  test("4-stage hand-checked: stage order is enforced and mids carry in order") {
+    import spark.implicits._
+    val min2 = CepPattern.on("user_id")
+      .where(col("value") < 10).times(2, 8)
+      .followedBy(col("value") >= 60 && col("value") < 70)
+      .followedBy(col("value") >= 70 && col("value") < 80)
+      .followedBy(col("value") > 90)
+      .within(1000L)
+    def df(evs: Seq[(Long, Double)]) =
+      evs.zipWithIndex.map { case ((ts, v), i) => (1L, i.toLong, ts, v) }
+        .toDF("user_id", "event_id", "__us", "value")
+        .withColumn("ts", timestamp_micros(col("__us"))).drop("__us")
+    // in-order chain matches, mids carried in stage order
+    val ok = min2.detect(df(Seq(
+      (10L, 5.0), (20L, 5.0), (30L, 65.0), (40L, 75.0), (50L, 95.0))))
+      .select("run_start_us", "run_end_us", "mid_ts_us_list", "next_ts_us")
+      .collect()
+    assert(ok.length == 1)
+    assert(ok.head.getLong(0) == 10L && ok.head.getLong(1) == 20L)
+    assert(ok.head.getSeq[Long](2) == Seq(30L, 40L))
+    assert(ok.head.getLong(3) == 50L)
+    // B2 before B1 must NOT satisfy the chain (stage order matters)
+    val bad = min2.detect(df(Seq(
+      (10L, 5.0), (20L, 5.0), (30L, 75.0), (40L, 65.0), (50L, 95.0))))
+    assert(bad.count() == 0L,
+      "a B2 preceding B1 must never complete the chain")
   }
 }

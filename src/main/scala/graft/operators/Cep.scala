@@ -356,6 +356,74 @@ final case class CepPattern(
       }
   }
 
+  /** Streaming twin of [[detectChain]] — the same stage-by-stage fold as
+    * [[graft.functions.CepFoldChain]] over List state (loop buffer + one
+    * pending list per middle stage, all within-pruned, O(one window)
+    * per stage per key), matches emitted as they arrive, under the
+    * cusumStream late-drop ordering contract. `CepNfaSpec` pins an
+    * in-order replay bit-identical to the batch detect across
+    * micro-batch boundaries.
+    */
+  def detectChainStream(events: DataFrame): Dataset[CepPattern.MatchChain] = {
+    require(midPreds.size >= 2,
+      "detectChainStream folds two or more middle stages")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val m = midPreds.size
+    val kCol = {
+      val afterNext = midPreds.zipWithIndex.reverse
+        .foldLeft(when(nextPred, m + 1)) {
+          case (acc, (p, j)) => acc.when(p, j + 1)
+        }
+      afterNext.when(runPred, 0).otherwise(-1)
+    }
+    val typed = events
+      .select(col(keyCol).cast("long"), col(idCol).cast("long"),
+        col(tsCol).cast("long"), kCol.as("k"))
+      .as[(Long, Long, Long, Int)]
+    val (minT, withinT) = (minTimes.toInt, withinUs)
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[CepPattern.StateChain, CepPattern.MatchChain](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, it, state: GroupState[CepPattern.StateChain]) =>
+          val rows = it.toArray.sortBy(r => (r._3, r._2))
+          var st = state.getOption.getOrElse(CepPattern.StateChain(
+            Nil, List.fill(m)(Nil), Long.MinValue, Long.MinValue))
+          val out = Seq.newBuilder[CepPattern.MatchChain]
+          rows.foreach { case (_, id, ts, k) =>
+            if (ts < st.lastTs || (ts == st.lastTs && id <= st.lastId)) ()
+            else {
+              var loop = st.buf.dropWhile(ts - _ > withinT)
+              var pends = st.pends.map(_.dropWhile(p => ts - p.s > withinT))
+              if (k == m + 1) {
+                pends.last.headOption.foreach { p =>
+                  out += CepPattern.MatchChain(key, p.s, p.e, p.bs, ts,
+                    minT.toLong)
+                  loop = Nil; pends = List.fill(m)(Nil) // skip-past-last
+                }
+              } else if (k >= 1) {
+                val j = k - 1
+                val bar = pends(j).lastOption.map(_.s).getOrElse(Long.MinValue)
+                val cand =
+                  if (j == 0)
+                    (0 to loop.size - minT)
+                      .map(i => CepPattern.PendEntry(loop(i),
+                        loop(i + minT - 1), List(ts)))
+                      .filter(_.s > bar)
+                  else
+                    pends(j - 1).filter(_.s > bar)
+                      .map(p => CepPattern.PendEntry(p.s, p.e, p.bs :+ ts))
+                pends = pends.updated(j, pends(j) ++ cand)
+              } else if (k == 0) loop = loop :+ ts
+              // k == -1: neutral, transparent
+              st = CepPattern.StateChain(loop, pends, ts, id)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   def detectStream(events: DataFrame): Dataset[CepPattern.Match] = {
     require(midPreds.isEmpty,
       "three-stage patterns stream via detectThreeStageStream")
@@ -459,6 +527,12 @@ object CepPattern {
       lastTs: Long, lastId: Long)
   final case class Match3(key: Long, run_start_us: Long, run_end_us: Long,
       mid_ts_us: Long, next_ts_us: Long, run_count: Long)
+  final case class PendEntry(s: Long, e: Long, bs: List[Long])
+  final case class StateChain(buf: List[Long],
+      pends: List[List[PendEntry]], lastTs: Long, lastId: Long)
+  final case class MatchChain(key: Long, run_start_us: Long,
+      run_end_us: Long, mid_ts_us_list: List[Long], next_ts_us: Long,
+      run_count: Long)
 
   /** Entry point mirroring `Pattern.begin(...)`: key first, then the
     * fluent stages.

@@ -679,6 +679,66 @@ class CepNfaSpec extends SparkSpecBase {
     }
   }
 
+  test("streaming N-stage chain == batch detect across micro-batches, drops late events") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val rng = new scala.util.Random(90210)
+    def trafficN(): Seq[(Long, Int)] = {
+      val n = rng.nextInt(71)
+      var ts = 1000L
+      (0 until n).map { _ =>
+        ts += (if (rng.nextInt(7) == 0) 40L + rng.nextInt(100) else 1L + rng.nextInt(12))
+        (ts, rng.nextInt(12) match {
+          case 0 | 1 => 1; case 2 | 3 => 2; case 4 | 5 => 3; case 6 => 4
+          case _     => 0
+        })
+      }
+    }
+    def valueOf(kind: Int): Double = kind match {
+      case 0 => 5.0; case 1 => 65.0; case 2 => 75.0; case 3 => 95.0
+      case _ => 50.0
+    }
+    val pat4 = CepPattern.on("user_id")
+      .where(col("value") < 10).times(Min, Max)
+      .followedBy(col("value") >= 60 && col("value") < 70)
+      .followedBy(col("value") >= 70 && col("value") < 80)
+      .followedBy(col("value") > 90)
+      .within(Within)
+    (1 to 4).foreach { round =>
+      val traffic = (0 until 3).map(k => (k.toLong, trafficN()))
+      val rows = traffic.flatMap { case (key, evs) =>
+        evs.zipWithIndex.map { case ((ts, kind), i) =>
+          (key, key * 100000L + i, ts, valueOf(kind))
+        }
+      }.sortBy(r => (r._3, r._2))
+      val want = pat4.detect(
+        rows.toDF("user_id", "event_id", "__us", "value")
+          .withColumn("ts", timestamp_micros(col("__us"))).drop("__us"))
+        .select("user_id", "run_start_us", "run_end_us", "mid_ts_us_list",
+          "next_ts_us")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getSeq[Long](3).toVector, r.getLong(4))).toSet
+      val mem = MemoryStream[(Long, Long, Long, Double)]
+      val q = pat4.copy(tsCol = "ts").detectChainStream(
+          mem.toDF().toDF("user_id", "event_id", "ts", "value"))
+        .writeStream.format("memory").queryName(s"cepN_$round")
+        .outputMode("append").start()
+      try {
+        val (b1, b2) = rows.splitAt(rows.length / 2)
+        mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+        mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+        if (rows.nonEmpty) { // late replay of the first event: dropped
+          mem.addData(Seq(rows.head)); q.processAllAvailable()
+        }
+        val got = spark.table(s"cepN_$round")
+          .as[(Long, Long, Long, List[Long], Long, Long)].collect()
+          .map(r => (r._1, r._2, r._3, r._4.toVector, r._5)).toSet
+        assert(got == want,
+          s"chain stream round $round diverged\n got=$got\n want=$want")
+      } finally q.stop()
+    }
+  }
+
   test("interpreter self-consistency: replayChain at m = 1 == replayThreeStage") {
     val rng = new scala.util.Random(4177)
     (1 to 200).foreach { _ =>

@@ -739,6 +739,59 @@ class CepNfaSpec extends SparkSpecBase {
     }
   }
 
+  test("chain checkpoint recovery: both pending stages survive a restart") {
+    // key 1 stops AFTER its stage-2 pending is installed; key 2 stops
+    // after only stage 1. Run 2 completes both. The matches' run starts
+    // are provable only if the per-stage pending lists (not just the
+    // loop buffer) round-tripped the checkpoint.
+    val base = java.nio.file.Files.createTempDirectory("graft-cepn-ck").toString
+    val (in, out, ck) = (s"$base/in", s"$base/out", s"$base/ck")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    val chainPattern = CepPattern.on("user_id")
+      .where(col("value") < 10).times(Min, Max)
+      .followedBy(col("value") >= 60 && col("value") < 70)
+      .followedBy(col("value") >= 70 && col("value") < 80)
+      .followedBy(col("value") > 90)
+      .within(Within)
+    def writeFile(name: String, rows: Seq[(Long, Long, Long, Double)]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(in, name),
+        rows.map { case (k, id, ts, v) =>
+          s"""{"user_id":$k,"event_id":$id,"ts":$ts,"value":$v}"""
+        }.mkString("\n").getBytes("UTF-8"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "user_id LONG, event_id LONG, ts LONG, value DOUBLE")
+    def runOnce(): Unit = {
+      val src = spark.readStream.format("json").schema(schema).load(in)
+      val q = chainPattern.detectChainStream(src).writeStream.format("json")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    writeFile("p1.jsonl",
+      (1 to Min.toInt).map(i => (1L, i.toLong, i * 10L, 5.0)) ++ Seq(
+        (1L, 90L, 50L, 65.0), (1L, 91L, 60L, 75.0)) ++
+      (1 to Min.toInt).map(i => (2L, i.toLong, i * 10L, 5.0)) ++ Seq(
+        (2L, 90L, 50L, 65.0)))
+    runOnce()
+    val outSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "key LONG, run_start_us LONG, run_end_us LONG, " +
+        "mid_ts_us_list ARRAY<LONG>, next_ts_us LONG, run_count LONG")
+    assert(spark.read.schema(outSchema).json(out).count() == 0,
+      "nothing completes in run 1")
+    writeFile("p2.jsonl", Seq(
+      (1L, 92L, 70L, 95.0),
+      (2L, 91L, 55L, 75.0), (2L, 92L, 65L, 95.0)))
+    runOnce()
+    val got = spark.read.schema(outSchema).json(out)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getSeq[Long](3).toVector, r.getLong(4), r.getLong(5)))
+      .toSeq.sortBy(_._1)
+    assert(got == Seq(
+      (1L, 10L, Min * 10L, Vector(50L, 60L), 70L, Min),
+      (2L, 10L, Min * 10L, Vector(50L, 55L), 65L, Min)),
+      s"pending stages must survive the restart: got $got")
+  }
+
   test("interpreter self-consistency: replayChain at m = 1 == replayThreeStage") {
     val rng = new scala.util.Random(4177)
     (1 to 200).foreach { _ =>

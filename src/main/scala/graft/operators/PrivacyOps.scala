@@ -473,6 +473,71 @@ object PrivacyOps {
        |ORDER BY dp_release""".stripMargin
   }
 
+  /** Per-document distinct-token contribution cap for [[dpVocab]]. */
+  val VocabCapPerDoc = 40
+
+  /** Stability threshold for [[dpVocab]]: noisy df below this never
+    * releases.
+    */
+  val VocabTau = 50L
+
+  /** Pre-noise capped document frequencies — [[dpVocab]]'s sensitivity
+    * half, exposed for the spec. Expects (doc_id, text).
+    */
+  def cappedDfOn(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("token"))
+      .filter(length(col("token")) > 0)
+    val w = Window.partitionBy("doc_id").orderBy("token")
+    toks.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= VocabCapPerDoc)
+      .groupBy("token").agg(count(lit(1)).as("df"))
+  }
+
+  /** `doc_dp_vocab` — publish the corpus vocabulary SAFELY: the tokens
+    * themselves can be the secret (a rare name, an id string — exactly
+    * the rows a raw vocab dump leaks), so the release is document
+    * frequencies with the STABILITY-threshold mechanism: per-doc distinct
+    * contribution (presence, not occurrences — and capped at the first
+    * [[VocabCapPerDoc]] tokens per doc in deterministic order, so one
+    * document moves ≤ Cap cells by 1 each), seeded discrete-Laplace
+    * noise per token cell, and NO row released below [[VocabTau]] — a
+    * token appearing in a handful of documents cannot clear τ even at
+    * the noise ceiling (+16), so identifying-rare vocabulary is
+    * suppressed with certainty, not probability. Gate corpus exercises
+    * BOTH paths (30 of 31 tokens release; the df=25 straggler is
+    * suppressed). Scale shape: one explode + one (token) shuffle; the
+    * release is vocabulary-sized.
+    */
+  def dpVocabOn(docs: DataFrame): DataFrame = {
+    val seed = concat_ws(":", lit(Salt), lit("vocab"), col("token"))
+    cappedDfOn(docs)
+      .withColumn("dp_df", col("df") + noiseFor(seed))
+      .filter(col("dp_df") >= VocabTau)
+      .select("token", "dp_df")
+      .orderBy("token")
+  }
+
+  def dpVocab(s: SparkSession, dir: String): DataFrame =
+    dpVocabOn(Tables.t(s, dir, "documents").select("doc_id", "text"))
+
+  val dpVocabOracle: String = {
+    val h = s"md5('$Salt:vocab:' || token)"
+    s"""WITH dpv_t AS (
+       |  SELECT doc_id, token,
+       |         row_number() OVER (PARTITION BY doc_id ORDER BY token) AS rn
+       |  FROM (SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS token
+       |        FROM documents)
+       |  WHERE len(token) > 0),
+       |dpv_c AS (
+       |  SELECT token, COUNT(*) AS df FROM dpv_t
+       |  WHERE rn <= $VocabCapPerDoc GROUP BY 1),
+       |dpv_h AS (SELECT token, df, $h AS h FROM dpv_c)
+       |SELECT token, df + ${sqlNoise("h")} AS dp_df
+       |FROM dpv_h WHERE df + ${sqlNoise("h")} >= $VocabTau
+       |ORDER BY token""".stripMargin
+  }
+
   /** Salt for the export pseudonyms: re-identification requires it, so it
     * lives with the data owner, never with the export.
     */
@@ -516,5 +581,6 @@ object PrivacyOps {
     QueryDef("ev_kanon_audit", kanonAudit, Some(kanonAuditOracle)),
     QueryDef("ev_dp_budget_audit", dpBudgetAudit,
       Some(dpBudgetAuditOracle)),
-    QueryDef("doc_safe_export", safeExport, Some(safeExportOracle)))
+    QueryDef("doc_safe_export", safeExport, Some(safeExportOracle)),
+    QueryDef("doc_dp_vocab", dpVocab, Some(dpVocabOracle)))
 }

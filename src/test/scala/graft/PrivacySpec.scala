@@ -165,6 +165,26 @@ class PrivacySpec extends SparkSpecBase {
     assert(scrubbed === "mail me at <EMAIL> now")
   }
 
+  test("vocab release: rare tokens suppressed with certainty, the cap " +
+      "bounds a document's reach") {
+    // 100 docs share token "common"; "rare" appears in 3 — even at the
+    // noise ceiling (+16) it cannot clear tau
+    val docs = (1 to 100).map(i =>
+      (i.toLong, if (i <= 3) "common rare" else "common"))
+      .toDF("doc_id", "text")
+    val rel = PrivacyOps.dpVocabOn(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rel.contains("common") && !rel.contains("rare"),
+      s"stability threshold must suppress the rare token: $rel")
+    assert(math.abs(rel("common") - 100L) <= 16L)
+    // cap: a doc with 60 distinct tokens contributes to exactly the cap
+    val wide = Seq((1L, (1 to 60).map(i => f"t$i%02d").mkString(" ")))
+      .toDF("doc_id", "text")
+    val df = PrivacyOps.cappedDfOn(wide).agg(sum("df")).first().getLong(0)
+    assert(df === PrivacyOps.VocabCapPerDoc.toLong,
+      s"one document must move at most VocabCapPerDoc cells, moved $df")
+  }
+
   test("releases: deterministic and non-negative on sf0.001") {
     val a = PrivacyOps.dpDailyCounts(spark, sf0001).collect()
     val b = PrivacyOps.dpDailyCounts(spark, sf0001).collect()

@@ -159,7 +159,22 @@ object Bench {
     }
     val errJson2 = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"soak":$soakJson,"neardup_soak":$ndJson,"distinct_soak":$dsJson,"dp_soak":$dpJson,"index_serve":$serveJson,"errors":$errJson2,"sf":"$sfDir"}""")
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"soak":$soakJson,"neardup_soak":$ndJson,"distinct_soak":$dsJson,"dp_soak":$dpJson,"index_serve":$serveJson,"errors":$errJson2,"sf":"$sfDir"}"""
+    // The harness captures only the TAIL of stdout (a bounded window), and
+    // the full payload line has outgrown it — the r13 artifact carried no
+    // headline numbers. Self-containment discipline: the full payload goes
+    // to a file AND an earlier stdout line; the LAST line is a compact
+    // headline (totals + per-query seconds + errors) guaranteed to fit any
+    // plausible tail window, so the artifact chain always has the numbers
+    // of record.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_full.json")
+    try {
+      val p = java.nio.file.Paths.get(outPath)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, fullJson.getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"[bench] write $outPath: $e") }
+    println(fullJson)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson2,"sf":"$sfDir","full":${jstr(outPath)}}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -65,8 +65,21 @@ import graft.sources.Tables
   */
 object PrivacyOps {
 
-  /** Versioned salt: bump when re-releasing the same cells. */
-  val Salt = "graft_dp_v1"
+  /** Versioned noise seed — SECRECY IS LOAD-BEARING. Every draw is a
+    * deterministic function of (salt, public cell key), so anyone who
+    * learns the salt can recompute and SUBTRACT the noise from every
+    * released cell: the ε-DP guarantee holds only against adversaries
+    * who do not hold it (the standard seeded-noise threat model — the
+    * seed is a secret of the data owner, like a MAC key). Production
+    * deployments MUST set `GRAFT_DP_SALT` from secret configuration
+    * (keystore/env); the compile-time default exists for the oracle
+    * gate and the test suite, where determinism across two independent
+    * engines is the point and the "adversary" is the test itself.
+    * Bump/rotate when re-releasing the same cells (a re-release under
+    * the same salt re-publishes the same draw — spends no new ε; a
+    * re-release under a new salt spends again and must be budgeted).
+    */
+  val Salt: String = sys.env.getOrElse("GRAFT_DP_SALT", "graft_dp_v1")
 
   /** Per-user contribution cap per (event_type, day) cell. */
   val CapPerUserDay = 4
@@ -538,10 +551,16 @@ object PrivacyOps {
        |ORDER BY token""".stripMargin
   }
 
-  /** Salt for the export pseudonyms: re-identification requires it, so it
-    * lives with the data owner, never with the export.
+  /** Salt for the export pseudonyms — same secrecy contract as [[Salt]]:
+    * md5(salt:doc_id) over a small enumerable id space is
+    * dictionary-reversible BY ANY HOLDER OF THE SALT (that is the
+    * feature — the data owner can re-identify; it is also the threat —
+    * a leaked salt re-identifies every export from its epoch). Set
+    * `GRAFT_MASK_SALT` from secret configuration in production; the
+    * default is the gate/test value. The salt lives with the data
+    * owner, never with the export.
     */
-  val MaskSalt = "graft_mask_v1"
+  val MaskSalt: String = sys.env.getOrElse("GRAFT_MASK_SALT", "graft_mask_v1")
 
   /** `doc_safe_export` — the masking-policy export: what actually leaves
     * the boundary when a corpus is shared. Three composed disciplines:

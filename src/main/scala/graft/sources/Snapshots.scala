@@ -78,21 +78,47 @@ object Snapshots {
     commitAt(s, path, next)
   }
 
+  /** Commit only if the current file set differs from the latest
+    * committed version; returns the latest version either way. This is
+    * the idempotent form a replayed writer wants (e.g. a re-executed
+    * foreachBatch whose previous attempt died between append and
+    * commit): re-running it after a completed commit is a metadata read,
+    * never a duplicate content-identical version.
+    */
+  def commitIfChanged(s: SparkSession, path: String): Long =
+    versionsOf(s, path).lastOption match {
+      case Some((v, p)) =>
+        val f = fs(s, path)
+        val recorded = {
+          val in = f.open(p)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        }
+        if (recorded == currentEntryLines(s, path).mkString("\n")) v
+        else commitAt(s, path, v + 1)
+      case None => commitAt(s, path, 1L)
+    }
+
   /** The commit step at a CHOSEN version number — the race window between
     * picking `next` and renaming lives here, which is why it is factored
     * out where the spec can drive both racers onto one number.
     */
-  private[graft] def commitAt(s: SparkSession, path: String, next: Long): Long = {
+  // each entry records the file LENGTH beside the basename: resolution
+  // verifies it, so a later live file that happens to reuse a listed
+  // basename (possible for non-UUID writers) can never be silently
+  // served in the original's place
+  private def currentEntryLines(s: SparkSession, path: String): Seq[String] = {
     val f = fs(s, path)
-    // each entry records the file LENGTH beside the basename: resolution
-    // verifies it, so a later live file that happens to reuse a listed
-    // basename (possible for non-UUID writers) can never be silently
-    // served in the original's place
-    val files = s.read.parquet(path).inputFiles.toSeq
+    s.read.parquet(path).inputFiles.toSeq
       .map { u =>
         val p = new Path(u)
         s"${graft.plans.ManifestStore.baseName(u)}\t${f.getFileStatus(p).getLen}"
       }.sorted
+  }
+
+  private[graft] def commitAt(s: SparkSession, path: String, next: Long): Long = {
+    val f = fs(s, path)
+    val files = currentEntryLines(s, path)
     val dir = new Path(s"$path/$VersionsDir")
     f.mkdirs(dir)
     val tmp = new Path(dir, s".v$next.tmp")
@@ -211,7 +237,7 @@ object Snapshots {
   }
 
   /** The file-pruning half of [[changesBetween]], exposed for the spec:
-    * (v1 entries not shared, v2 entries not shared, shared count). An
+    * (v1 entries not shared, v2 entries not shared, shared entries). An
     * entry is shared when BOTH versions list the same basename at the
     * same recorded length — such a file contributes byte-identical rows
     * to both sides, which the row-hash diff would cancel anyway, so
@@ -219,11 +245,11 @@ object Snapshots {
     */
   private[graft] def diffEntries(s: SparkSession, path: String,
       v1: Long, v2: Long): (Seq[(String, Option[Long])],
-      Seq[(String, Option[Long])], Int) = {
+      Seq[(String, Option[Long])], Seq[(String, Option[Long])]) = {
     val e1 = fileEntries(s, path, v1)
     val e2 = fileEntries(s, path, v2)
     val shared = e1.toSet.intersect(e2.toSet)
-    (e1.filterNot(shared), e2.filterNot(shared), shared.size)
+    (e1.filterNot(shared), e2.filterNot(shared), shared.toSeq)
   }
 
   /** [[readVersion]] restricted to a subset of a version's entries —
@@ -260,13 +286,26 @@ object Snapshots {
     * rewrite (same rows, new files) scans its rewritten files but emits
     * ZERO changes: update detection is a 64-bit row hash (the repo's
     * fingerprint discipline), cancelled by the full-outer join on the
-    * key. Keys must be unique per version — enforced on the pruned sides
-    * (a duplicate key would emit fabricated updates silently).
+    * key.
+    *
+    * KEY-UNIQUENESS contract: keys must be unique per version. By
+    * default the check runs over the CHANGED-FILE FOOTPRINT only — the
+    * same files the diff scans, so enforcement costs nothing extra but
+    * cannot see a duplicate split between a changed file and a shared
+    * one (a key living once in a shared file and once in a v2-only file
+    * would pass and then surface as a fabricated `insert` the other
+    * version also holds). `strict = true` closes that hole: it
+    * additionally scans the shared files' KEY COLUMNS once and fails on
+    * any key they share with a changed file of either version (or
+    * duplicate among themselves) — complete per-version uniqueness
+    * enforcement, at the cost of one key-only pass over the shared
+    * footprint (column-pruned to the keys; the default path's cost
+    * still tracks only the change footprint).
     */
   def changesBetween(s: SparkSession, path: String, v1: Long, v2: Long,
-      keyCols: Seq[String]): DataFrame = {
+      keyCols: Seq[String], strict: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions._
-    val (only1, only2, _) = diffEntries(s, path, v1, v2)
+    val (only1, only2, sharedEntries) = diffEntries(s, path, v1, v2)
     val a = readEntries(s, path, v1, only1)
     val b = readEntries(s, path, v2, only2)
     require(a.columns.sameElements(b.columns),
@@ -286,6 +325,25 @@ object Snapshots {
     }
     val ka = keyed(a, "_h1"); assertUnique(ka, v1)
     val kb = keyed(b, "_h2"); assertUnique(kb, v2)
+    if (strict && sharedEntries.nonEmpty) {
+      // one key-only pass over the shared footprint: a duplicate within
+      // it, or any overlap with a changed file of either version, is a
+      // real per-version duplicate the pruned-side check cannot see
+      val sharedKeys = readEntries(s, path, v2, sharedEntries)
+        .select(keyCols.map(col): _*)
+      val su = sharedKeys.agg(count(lit(1)), count_distinct(
+        struct(keyCols.map(col): _*))).first()
+      require(su.getLong(0) == su.getLong(1),
+        s"shared files of v$v1/v$v2 hold duplicate keys — " +
+          "changesBetween(strict) needs per-version key uniqueness")
+      Seq((ka, v1), (kb, v2)).foreach { case (side, v) =>
+        val overlap = side.join(sharedKeys, keyCols, "left_semi").count()
+        require(overlap == 0L,
+          s"v$v holds $overlap key(s) both in a changed file and in a " +
+            "shared file — duplicate keys; the feed would fabricate " +
+            "changes for them")
+      }
+    }
     val cls = ka.join(kb, keyCols, "full_outer")
       .withColumn("change",
         when(col("_h1").isNull, "insert")

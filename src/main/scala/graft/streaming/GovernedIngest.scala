@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
 
@@ -24,6 +25,36 @@ import graft.sources.{Materialized, Snapshots}
   *      newest version" (GovernedIngestSpec pins it after every batch)
   *      while paying only the batch's change footprint.
   *
+  * EXACTLY-ONCE ADMISSION under foreachBatch's at-least-once contract:
+  * Spark re-executes a failed micro-batch with the SAME batchId, so a
+  * naive append would double-count the table (and every view) whenever
+  * the failure landed between the append and the commit, or between the
+  * commit and the checkpoint. The admitted path is therefore idempotent
+  * by batchId, in three mechanical steps whose crash windows all replay
+  * cleanly:
+  *
+  *   - the batch is first written to a per-batch STAGING dir
+  *     (`_graft_ingest/stage_b<id>`, overwrite mode — a replay wipes any
+  *     partial files of the crashed attempt), then its part files are
+  *     renamed into the table dir under a deterministic `b<id>-` prefix;
+  *   - BEFORE re-staging, a replay deletes any `b<id>-*` files already
+  *     in the table dir — safe because the admitted-marker gates the
+  *     commit, so no committed version can reference them yet;
+  *   - a durable marker (`_graft_ingest/admitted_b<id>`, written AFTER
+  *     the move, BEFORE the commit) flips the replay path: a replay that
+  *     finds the marker skips checks/append entirely and only catches up
+  *     the commit ([[Snapshots.commitIfChanged]] — a completed commit
+  *     replays as a metadata read, never a duplicate version) and the
+  *     view refreshes (already catch-up idempotent by table version).
+  *
+  * Net: every crash point between "batch delivered" and "checkpoint
+  * written" replays to exactly one table version holding exactly one
+  * copy of the batch's rows, and views equal the rebuild. The
+  * QUARANTINE path stays plain at-least-once: a replayed quarantined
+  * batch may append twice, but every row carries `_quarantined_batch`,
+  * so the replay-after-fix consumer dedupes on (batchId) — quarantine
+  * is a diagnostics holding pen, not a versioned table.
+  *
   * Failure containment is the design point: a quarantined batch leaves
   * NO trace in the table, the version log, or any view — replaying it
   * after the producer fix is a plain re-send.
@@ -37,31 +68,83 @@ object GovernedIngest {
       keyCols: Seq[String],
       views: Seq[(String, Materialized.AggView)])
 
+  private val IngestDir = "_graft_ingest"
+
+  private def fs(s: SparkSession, path: String) =
+    new Path(path).getFileSystem(s.sessionState.newHadoopConf())
+
+  private def refreshViews(s: SparkSession, p: Pipeline): Unit =
+    p.views.foreach { case (viewPath, av) =>
+      if (Materialized.exists(s, viewPath))
+        Materialized.refresh(s, p.tablePath, viewPath, p.keyCols, av)
+      else
+        Materialized.create(s, p.tablePath, viewPath, av)
+    }
+
+  /** Idempotent-by-batchId admit: stage → wipe prior partials → move in
+    * under the `b<id>-` prefix → marker → commit → views. See the object
+    * doc for the crash-window argument.
+    */
+  private def admit(s: SparkSession, p: Pipeline, batch: DataFrame,
+      id: Long): Unit = {
+    val f = fs(s, p.tablePath)
+    val tableDir = new Path(p.tablePath)
+    val prefix = s"b$id-"
+    // wipe move targets of a crashed prior attempt: the marker (not yet
+    // written on this path) gates the commit, so none are referenced
+    if (f.exists(tableDir))
+      f.listStatus(tableDir).filter(_.isFile)
+        .filter(_.getPath.getName.startsWith(prefix))
+        .foreach(st => f.delete(st.getPath, false))
+    val stage = new Path(s"${p.tablePath}/$IngestDir/stage_b$id")
+    batch.write.mode("overwrite").parquet(stage.toString)
+    f.listStatus(stage).filter(_.isFile)
+      .filter(_.getPath.getName.startsWith("part-"))
+      .foreach { st =>
+        val dst = new Path(tableDir, prefix + st.getPath.getName)
+        require(f.rename(st.getPath, dst), s"ingest move failed: $dst")
+      }
+    f.delete(stage, true)
+    val marker = new Path(s"${p.tablePath}/$IngestDir/admitted_b$id")
+    f.mkdirs(marker.getParent)
+    f.create(marker, true).close()
+    Snapshots.commitIfChanged(s, p.tablePath)
+    refreshViews(s, p)
+  }
+
+  /** The per-micro-batch body — public so the spec can drive the
+    * at-least-once contract directly (re-invoke with the same id to
+    * simulate Spark's replay of a failed batch).
+    */
+  def processBatch(p: Pipeline, batch: DataFrame, id: Long)(
+      onVerdict: StreamingQuality.BatchVerdict => Unit = _ => ()): Unit =
+    if (!batch.isEmpty) {
+      val s = batch.sparkSession
+      val marker = new Path(s"${p.tablePath}/$IngestDir/admitted_b$id")
+      if (fs(s, p.tablePath).exists(marker)) {
+        // replay of a fully-admitted batch: rows are in place; only
+        // the commit and/or the view refreshes may still be owed
+        Snapshots.commitIfChanged(s, p.tablePath)
+        refreshViews(s, p)
+      } else {
+        val report = QualityGate.run(batch, p.checks).collect().toSeq
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getBoolean(3)))
+        val ok = report.forall(_._4)
+        onVerdict(StreamingQuality.BatchVerdict(id, ok, report))
+        if (!ok) {
+          batch.withColumn("_quarantined_batch", lit(id))
+            .write.mode("append").parquet(p.quarantinePath)
+        } else {
+          admit(s, p, batch, id)
+        }
+      }
+    }
+
   def run(stream: DataFrame, p: Pipeline)(
       onVerdict: StreamingQuality.BatchVerdict => Unit = _ => ())
       : DataStreamWriter[Row] =
     stream.writeStream.outputMode("append").foreachBatch {
-      (batch: DataFrame, id: Long) =>
-        if (!batch.isEmpty) {
-          val s = batch.sparkSession
-          val report = QualityGate.run(batch, p.checks).collect().toSeq
-            .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-              r.getBoolean(3)))
-          val ok = report.forall(_._4)
-          onVerdict(StreamingQuality.BatchVerdict(id, ok, report))
-          if (!ok) {
-            batch.withColumn("_quarantined_batch", lit(id))
-              .write.mode("append").parquet(p.quarantinePath)
-          } else {
-            batch.write.mode("append").parquet(p.tablePath)
-            Snapshots.commit(s, p.tablePath)
-            p.views.foreach { case (viewPath, av) =>
-              if (Materialized.exists(s, viewPath))
-                Materialized.refresh(s, p.tablePath, viewPath, p.keyCols, av)
-              else
-                Materialized.create(s, p.tablePath, viewPath, av)
-            }
-          }
-        }
+      (batch: DataFrame, id: Long) => processBatch(p, batch, id)(onVerdict)
     }
 }

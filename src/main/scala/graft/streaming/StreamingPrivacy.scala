@@ -28,8 +28,22 @@ import graft.operators.PrivacyOps
   *     being removed: a straggler arriving after its cell released would
   *     otherwise recreate the cell and release it AGAIN at the next
   *     timeout — double-spend. The tombstone absorbs stragglers (counted
-  *     as dropped) and never re-fires; production DP systems persist
-  *     exactly this ledger.
+  *     as dropped) and never re-fires.
+  *   - The tombstone itself is NOT kept forever (that would leak one
+  *     state entry per (event_type, day) cell for the life of the
+  *     query): it carries a second, far-future event-time timeout
+  *     (`tombstoneTtlMs` past the day end, default 7 days — choose it
+  *     well past any plausible straggler horizon) and is removed when
+  *     the watermark passes it. Removal is safe, not just expedient:
+  *     the operator's watermark filter drops any row whose event time
+  *     trails the watermark BEFORE it reaches the fold, and every
+  *     event of a removed cell's day trails the watermark by at least
+  *     the TTL — so no event can recreate a removed cell. A
+  *     belt-and-suspenders guard enforces the same invariant inside
+  *     the fold (a cell whose release deadline already passed the
+  *     current watermark is never re-created). Double-spend protection
+  *     thus only needs to outlive the straggler window, and state is
+  *     bounded by the cells of the last TTL window, not of all time.
   */
 object StreamingPrivacy {
 
@@ -43,7 +57,8 @@ object StreamingPrivacy {
   private val DayUs = 86400000000L
 
   def dpDailyCountsStream(events: Dataset[DpEvent],
-      lateness: String = "10 minutes"): Dataset[DpRelease] = {
+      lateness: String = "10 minutes",
+      tombstoneTtlMs: Long = 7L * 86400000L): Dataset[DpRelease] = {
     val spark = events.sparkSession
     import spark.implicits._
     events
@@ -55,13 +70,33 @@ object StreamingPrivacy {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case ((typ, day), it, state: GroupState[CellState]) =>
           val st = state.getOption.getOrElse(CellState(Map.empty, false, 0L))
+          val deadlineMs = (day + DayUs) / 1000L
           if (state.hasTimedOut) {
-            // close the cell: one release, then the tombstone
-            val capped = st.admitted.values.sum
-            val seed = s"${PrivacyOps.Salt}:$typ:$day"
-            val dp = math.max(0L, capped + PrivacyOps.scalaNoise(seed))
-            state.update(CellState(Map.empty, released = true, st.dropped))
-            Iterator.single(DpRelease(typ, day, dp))
+            if (st.released) {
+              // second timeout = the tombstone's TTL: the straggler
+              // horizon has passed, reclaim the ledger entry
+              state.remove()
+              Iterator.empty
+            } else {
+              // close the cell: one release, then the tombstone (with
+              // its own far-future eviction timeout; max() because the
+              // watermark may already have leapt past deadline+TTL in
+              // one jump, and a timeout must sit above the watermark)
+              val capped = st.admitted.values.sum
+              val seed = s"${PrivacyOps.Salt}:$typ:$day"
+              val dp = math.max(0L, capped + PrivacyOps.scalaNoise(seed))
+              state.update(CellState(Map.empty, released = true, st.dropped))
+              state.setTimeoutTimestamp(math.max(deadlineMs + tombstoneTtlMs,
+                state.getCurrentWatermarkMs() + 1L))
+              Iterator.single(DpRelease(typ, day, dp))
+            }
+          } else if (state.getOption.isEmpty &&
+              deadlineMs <= state.getCurrentWatermarkMs()) {
+            // guard: an event for a cell whose release deadline already
+            // passed the watermark (only reachable if the operator's
+            // late-row filter were ever bypassed) must not re-open the
+            // cell — it already released and its tombstone may be gone
+            Iterator.empty
           } else if (st.released) {
             // straggler after release: absorbed by the ledger entry
             state.update(st.copy(dropped = st.dropped + it.size))
@@ -75,8 +110,10 @@ object StreamingPrivacy {
             }
             state.update(CellState(admitted, released = false, st.dropped))
             // fire when the watermark passes the day's end (the lateness
-            // allowance rides in the watermark itself)
-            state.setTimeoutTimestamp((day + DayUs) / 1000L)
+            // allowance rides in the watermark itself); admitted events
+            // satisfy ts > watermark, and ts < day end, so the deadline
+            // always sits strictly above the current watermark here
+            state.setTimeoutTimestamp(deadlineMs)
             Iterator.empty
           }
       }

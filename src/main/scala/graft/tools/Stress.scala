@@ -1111,8 +1111,8 @@ object Stress {
           new org.apache.hadoop.fs.Path(retired, churn.getName)))
         v2 = Snapshots.commit(spark, table)
         val (o1, o2, shared) = Snapshots.diffEntries(spark, table, v1, v2)
-        require(shared == 63 && o1.size == 1 && o2.size == 1,
-          s"prune must isolate the churned file: shared=$shared, " +
+        require(shared.size == 63 && o1.size == 1 && o2.size == 1,
+          s"prune must isolate the churned file: shared=${shared.size}, " +
             s"v1-only=${o1.size}, v2-only=${o2.size}")
         "ok"
       }

@@ -74,4 +74,68 @@ class GovernedIngestSpec extends SparkSpecBase {
       assert(verdicts.toSeq === Seq(true, false, true))
     } finally q.stop()
   }
+
+  test("a replayed batch id admits exactly once, from every crash window") {
+    val base = java.nio.file.Files.createTempDirectory("graft-gov2").toString
+    val p = Pipeline(
+      tablePath = s"$base/t",
+      quarantinePath = s"$base/q",
+      checks = Seq(complete("id")),
+      keyCols = Seq("id"),
+      views = Seq(s"$base/mv" -> AggView(Seq("grp"), Seq("cents"))))
+    def latest() = Snapshots.versions(spark, p.tablePath).last._1
+    def tableRows() = {
+      Snapshots.readVersion(spark, p.tablePath, latest())
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSeq.sorted
+    }
+    def viewRows() = Materialized.read(spark, s"$base/mv")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+
+    val b0 = Seq((1L, "a", 100L), (2L, "b", 50L)).toDF("id", "grp", "cents")
+    GovernedIngest.processBatch(p, b0, 0L)()
+    val rows0 = tableRows()
+    val v0 = latest()
+
+    // crash window: after commit, before the checkpoint — Spark replays
+    // the WHOLE batch with the same id; it must be a no-op on content
+    GovernedIngest.processBatch(p, b0, 0L)()
+    assert(latest() === v0, "a replayed admitted batch must not re-commit")
+    assert(tableRows() === rows0, "…and must not duplicate rows")
+    assert(viewRows() === Set(("a", 1L, 100L), ("b", 1L, 50L)))
+
+    // crash window: after the move, before the marker — fabricate the
+    // crashed attempt's moved files (a full copy of batch 1 under its
+    // b<id>- prefix, uncommitted), then replay; the partials must be
+    // wiped, not doubled
+    val b1 = Seq((3L, "a", 25L), (4L, "c", 7L)).toDF("id", "grp", "cents")
+    val fs = new org.apache.hadoop.fs.Path(p.tablePath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val ghost = s"$base/ghost"
+    b1.write.mode("overwrite").parquet(ghost)
+    fs.listStatus(new org.apache.hadoop.fs.Path(ghost)).filter(_.isFile)
+      .filter(_.getPath.getName.startsWith("part-")).foreach { st =>
+        assert(fs.rename(st.getPath, new org.apache.hadoop.fs.Path(
+          p.tablePath, "b1-" + st.getPath.getName)))
+      }
+    GovernedIngest.processBatch(p, b1, 1L)()
+    assert(latest() === v0 + 1, "the replay must commit exactly one version")
+    assert(tableRows() === (rows0 ++ Seq((3L, "a", 25L), (4L, "c", 7L)))
+      .sorted, "the crashed attempt's moved files must be wiped, " +
+      "never double-counted")
+    assert(viewRows() === Set(("a", 2L, 125L), ("b", 1L, 50L),
+      ("c", 1L, 7L)), "the view must see each admitted row exactly once")
+
+    // and a second full replay of batch 1 is content-idempotent too
+    GovernedIngest.processBatch(p, b1, 1L)()
+    assert(latest() === v0 + 1)
+    assert(viewRows() === Set(("a", 2L, 125L), ("b", 1L, 50L),
+      ("c", 1L, 7L)))
+
+    // commitIfChanged is the primitive the replay path leans on: a no-op
+    // on an unchanged file set, a real commit once content changes
+    assert(Snapshots.commitIfChanged(spark, p.tablePath) === v0 + 1)
+    assert(latest() === v0 + 1)
+  }
 }

@@ -263,7 +263,7 @@ class SnapshotSpec extends SparkSpecBase {
     // and never scanned
     val (only1, only2, shared) =
       Snapshots.diffEntries(spark, path, v1, v2)
-    assert(shared === 2, s"stable files must be pruned, shared=$shared")
+    assert(shared.size === 2, s"stable files must be pruned, shared=$shared")
     assert(only1.size === 1 && only2.size === 1)
 
     val feed = Snapshots.changesBetween(spark, path, v1, v2, Seq("id"))
@@ -308,5 +308,53 @@ class SnapshotSpec extends SparkSpecBase {
     val noise = Snapshots.changesBetween(spark, path, v2, v3, Seq("id"))
     assert(noise.count() === 0L,
       "a pure compaction must produce an empty change feed")
+  }
+
+  test("changesBetween strict mode catches a duplicate split across a shared and a changed file") {
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-snap-strict").toString + "/t"
+    // file A: keys 0..9 — shared between v1 and v2 (never touched)
+    (0L until 10L).map(i => (i, s"r$i")).toDF("id", "payload")
+      .coalesce(1).write.parquet(path)
+    val v1 = Snapshots.commit(spark, path)
+    // file B (v2-only): key 5 AGAIN (a real duplicate v2 now holds) plus
+    // a genuinely new key 100
+    Seq((5L, "dup"), (100L, "new")).toDF("id", "payload")
+      .coalesce(1).write.mode("append").parquet(path)
+    val v2 = Snapshots.commit(spark, path)
+
+    // default mode: uniqueness is enforced over the changed-file
+    // footprint only (documented) — the duplicate passes and the feed
+    // fabricates an insert for key 5, which v1 also holds
+    val lax = Snapshots.changesBetween(spark, path, v1, v2, Seq("id"))
+      .filter(col("change") === "insert")
+      .collect().map(_.getLong(1)).toSet
+    assert(lax === Set(5L, 100L),
+      "footprint-limited mode emits the fabricated insert (the " +
+        "documented trade; this pin exists so a behavior change is loud)")
+
+    // strict mode pays one key-only pass over the shared footprint and
+    // refuses to fabricate
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.changesBetween(spark, path, v1, v2, Seq("id"),
+        strict = true).count()
+    }
+    assert(e.getMessage.contains("shared file"),
+      s"strict mode must name the duplicate-key cause: ${e.getMessage}")
+
+    // strict mode on a CLEAN diff is a pass-through: same feed
+    val path2 = java.nio.file.Files
+      .createTempDirectory("graft-snap-strict2").toString + "/t"
+    (0L until 10L).map(i => (i, s"r$i")).toDF("id", "payload")
+      .coalesce(1).write.parquet(path2)
+    val w1 = Snapshots.commit(spark, path2)
+    Seq((100L, "new")).toDF("id", "payload")
+      .coalesce(1).write.mode("append").parquet(path2)
+    val w2 = Snapshots.commit(spark, path2)
+    val strictFeed = Snapshots
+      .changesBetween(spark, path2, w1, w2, Seq("id"), strict = true)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(strictFeed === Set(("insert", 100L)))
   }
 }

@@ -69,4 +69,58 @@ class StreamingPrivacySpec extends SparkSpecBase {
         "day 1's release must cover exactly the in-time probe event")
     } finally q.stop()
   }
+
+  test("tombstones are evicted after their TTL and never re-open a cell") {
+    implicit val sqlCtx = spark.sqlContext
+    val day = 86400000000L
+    val hour = 3600000000L
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("dp_ttl_ckpt").toString
+    def stateRows(): Long =
+      spark.read.format("statestore").load(ckpt).count()
+
+    val mem = MemoryStream[DpEvent]
+    // TTL = 1 hour of event time: small enough that one day-granular
+    // probe cadence walks a tombstone through its whole lifecycle
+    val q = StreamingPrivacy
+      .dpDailyCountsStream(mem.toDS(), tombstoneTtlMs = 3600000L)
+      .writeStream.format("memory").queryName("dp_ttl_out")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      def released() = spark.table("dp_ttl_out")
+        .as[(String, Long, Long)].collect().toSeq.sorted
+
+      mem.addData((1 to 5).map(u =>
+        DpEvent("click", 0L, u.toLong, u.toLong, u * hour)))
+      q.processAllAvailable()
+      assert(stateRows() === 1L, "one open cell")
+
+      // probe pushes the watermark past day 0's end: release + tombstone
+      mem.addData(Seq(DpEvent("click", day, 9L, 100L, day + 12 * hour)))
+      q.processAllAvailable()
+      val afterClose = released()
+      assert(afterClose.size === 1, "day 0 released once")
+      assert(stateRows() === 2L, "day-0 tombstone + open day-1 cell")
+
+      // next probe pushes the watermark past the tombstone's TTL: the
+      // ledger entry is reclaimed (day-1 releases and becomes the new
+      // tombstone, day 2 opens — still 2, not 3)
+      mem.addData(Seq(DpEvent("click", 2 * day, 9L, 200L, 2 * day + 12 * hour)))
+      q.processAllAvailable()
+      assert(released().size === 2, "day 1 released once")
+      assert(stateRows() === 2L,
+        "the day-0 tombstone must be evicted after its TTL — state is " +
+          "bounded by the TTL window, not by all history")
+
+      // a straggler for the long-closed day 0 trails the watermark by
+      // far more than the TTL: the operator's late-row filter drops it
+      // before the fold — no state resurrection, no re-release
+      val afterEvict = released()
+      mem.addData(Seq(DpEvent("click", 0L, 6L, 300L, 9 * hour)))
+      q.processAllAvailable()
+      assert(released() === afterEvict,
+        "a post-TTL straggler must never re-open or re-release a cell")
+      assert(stateRows() === 2L, "and must leave no new state behind")
+    } finally q.stop()
+  }
 }

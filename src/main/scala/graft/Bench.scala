@@ -139,6 +139,17 @@ object Bench {
         System.err.println(s"[bench] dp_soak: $e")
         errors("dp_soak") = e.toString.take(200); "null"
       }
+    // stream-stream interval-join soak: live enrichment (points ⋈
+    // intervals with event-time range bounds) under sustained load, with
+    // both sides' join state watermark-evicted to the horizon plateau.
+    val ivjSecs = sys.env.getOrElse("SPARK_GRAFT_IVJOIN_SOAK_SECS", "15").toInt
+    val ivjJson =
+      if (ivjSecs <= 0) "null"
+      else try streaming.Soak.json(streaming.Soak.runIntervalJoin(spark, ivjSecs, 20000))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] ivjoin_soak: $e")
+        errors("ivjoin_soak") = e.toString.take(200); "null"
+      }
     // index-serving stage: per family (pq/ivfpq/minhash/cosine), the
     // one-time build cost vs the per-query direct-recompute vs the stored
     // serve path — the measured form of the write/serve/append story.
@@ -159,7 +170,7 @@ object Bench {
     }
     val errJson2 = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"soak":$soakJson,"neardup_soak":$ndJson,"distinct_soak":$dsJson,"dp_soak":$dpJson,"index_serve":$serveJson,"errors":$errJson2,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"soak":$soakJson,"neardup_soak":$ndJson,"distinct_soak":$dsJson,"dp_soak":$dpJson,"ivjoin_soak":$ivjJson,"index_serve":$serveJson,"errors":$errJson2,"sf":"$sfDir"}"""
     // The harness captures only the TAIL of stdout (a bounded window), and
     // the full payload line has outgrown it — the r13 artifact carried no
     // headline numbers. Self-containment discipline: the full payload goes

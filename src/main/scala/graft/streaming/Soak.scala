@@ -351,6 +351,37 @@ object Soak {
       mode = "append", minBatches = 2)
   }
 
+  /** Stream-stream interval-join soak ([[StreamingIntervalJoin]]): two
+    * independent rate sources share the wall clock as event time — a
+    * point stream (key, ts) at full rate and an interval stream opening
+    * 5-second windows per key at ~1/50 the rate — through the symmetric
+    * hash join. `attacks` counts emitted enrichment rows; state rows =
+    * both sides' buffers, which must plateau at ~rate × (lateness +
+    * maxDur) horizon instead of rate × runtime — the watermark-eviction
+    * half of the evidence, measured under sustained load.
+    */
+  def runIntervalJoin(spark: SparkSession, seconds: Int,
+      rowsPerSecond: Int, keys: Int = 1000): SoakResult = {
+    def stream(rps: Int) = {
+      val pts = spark.readStream.format("rate")
+        .option("rowsPerSecond", rps)
+        .option("numPartitions", 8).load()
+        .select(pmod(col("value"), lit(keys.toLong)).as("user_id"),
+          unix_micros(col("timestamp")).as("ts_us"),
+          (col("value") % 97).cast("double").as("value"))
+      val ivs = spark.readStream.format("rate")
+        .option("rowsPerSecond", math.max(1, rps / 50))
+        .option("numPartitions", 2).load()
+        .select(pmod(col("value"), lit(keys.toLong)).as("target_id"),
+          unix_micros(col("timestamp")).as("attack_start_us"),
+          (unix_micros(col("timestamp")) + 5000000L).as("normal_ts_us"))
+      StreamingIntervalJoin.attackContextStream(pts, ivs,
+        maxDurUs = 5000000L, lateness = "5 seconds")
+    }
+    measure(spark, 1, "ivjoin", stream(2000), minBatches = 1)
+    measure(spark, seconds, "ivjoin", stream(rowsPerSecond), minBatches = 2)
+  }
+
   def json(r: SoakResult): String = {
     // Double.toString, never locale-dependent %f (a comma decimal separator
     // would make the JSON line unparseable)

@@ -41,6 +41,10 @@ object GraftFunctions {
       WordShingles(args(0), args(1).eval().asInstanceOf[Number].intValue) },
     "graft_pq_adc" -> { args => PqAdc(args(0), args(1)) },
     "graft_phash64" -> { args => PHash64(args(0)) },
+    "graft_byte_affine" -> { args =>
+      ByteAffine(args(0), args(1).eval().asInstanceOf[Number].intValue,
+        args(2).eval().asInstanceOf[Number].intValue,
+        args(3).eval().asInstanceOf[Number].intValue) },
     "graft_ln" -> { args => PortableLn(args(0)) },
     "graft_nfc" -> { args => NfcNormalize(args(0)) },
     "graft_mg_topk" -> { args =>
@@ -144,6 +148,11 @@ object GraftFunctions {
   def graftNfc(s: Column): Column = call_function("graft_nfc", s)
   def graftPHash64(payload: Column): Column =
     call_function("graft_phash64", payload)
+  def graftByteAffine(payload: Column, mul: Int, add: Int, drop: Int): Column =
+    call_function("graft_byte_affine", payload,
+      org.apache.spark.sql.functions.lit(mul),
+      org.apache.spark.sql.functions.lit(add),
+      org.apache.spark.sql.functions.lit(drop))
   def graftMgTopK(tokens: Column, k: Int): Column =
     call_function("graft_mg_topk", tokens, org.apache.spark.sql.functions.lit(k))
   def graftBloom(c: Column, m: Int, k: Int): Column =

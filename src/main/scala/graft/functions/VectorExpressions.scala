@@ -543,6 +543,51 @@ case class PHash64(child: Expression) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** Deterministic byte-level "jitter" over a binary payload — the
+  * transform half of the pHash gate fixture: y[i] = mul * x[i+drop] + add
+  * over unsigned bytes, returning the EMPTY payload when any output
+  * would overflow a byte (the caller filters on octet_length > 0; the
+  * DuckDB oracle expresses the same guard as a list_max predicate, so
+  * both engines derive the identical twin set). mul=1/add=c is a
+  * brightness shift (pHash-exact by the integer mean-centering), mul=2
+  * a contrast scale (pHash-exact by sign-invariance under positive
+  * uniform scaling), drop=k a head crop (pHash-tolerant, not exact).
+  * Pure map-side, codegen'd — the twins never leave the scan stage.
+  */
+case class ByteAffine(child: Expression, mul: Int, add: Int, drop: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_byte_affine"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ByteAffine.compute(input.asInstanceOf[Array[Byte]], mul, add, drop)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ByteAffine.compute($c, $mul, $add, $drop)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ByteAffine {
+  private val Empty = Array.emptyByteArray
+  def compute(payload: Array[Byte], mul: Int, add: Int, drop: Int): Array[Byte] = {
+    val len = payload.length - drop
+    if (len <= 0) return Empty
+    val out = new Array[Byte](len)
+    var i = 0
+    while (i < len) {
+      val y = (payload(i + drop) & 0xff) * mul + add
+      if (y > 255 || y < 0) return Empty
+      out(i) = y.toByte
+      i += 1
+    }
+    out
+  }
+}
+
 object PHash64 {
   val N = 128     // resampled signal length
   val P = 8       // low-pass picks summed per sample (fixed count)

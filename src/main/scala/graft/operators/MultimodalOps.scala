@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.QueryDef
@@ -249,11 +249,19 @@ object MultimodalOps {
     */
   private[graft] def phashDedup(s: SparkSession, dir: String,
       materialize: Boolean): DataFrame = {
-    val cap = 50L
     val h0 = asBinaryTable(s, dir)
       .select(col("doc_id"),
         graft.functions.GraftFunctions.graftPHash64(col("payload")).as("ph"))
-    val h = if (materialize) h0.localCheckpoint(true) else h0
+    phashPairsOf(if (materialize) h0.localCheckpoint(true) else h0)
+  }
+
+  /** The banded hamming ≤ 3 pairing tail over an 8-byte hash frame
+    * (doc_id, ph): pigeonhole 4×16-bit bands, hot-band df cap, verify on
+    * the banded candidates only — shared by the corpus pairing query and
+    * the jittered-twin gate.
+    */
+  private def phashPairsOf(h: DataFrame): DataFrame = {
+    val cap = 50L
     val bands = h.select(col("doc_id"), col("ph"),
         explode(expr("sequence(0, 3)")).as("b"))
       .withColumn("v", expr("shiftright(ph, CAST(b * 16 AS INT)) & 65535"))
@@ -353,6 +361,111 @@ object MultimodalOps {
     s"""$base
        |SELECT doc_id, hi AS ph_hi, lo AS ph_lo
        |FROM ph0 ORDER BY doc_id""".stripMargin
+  }
+
+  /** Twin-id offset per jitter mode — twin ids never collide with corpus
+    * doc_ids (gate corpora stay far below 1e8 ids).
+    */
+  private val JitterIdStride = 100000000L
+
+  /** The pHash PAIRING path gated on a NON-EMPTY pair set (r14): the
+    * corpus query above is the no-false-positive control (its token-level
+    * near-dups legitimately produce 0 pairs — pHash does not cover byte-
+    * offset-shifting edits), so until now the band join + hamming filter
+    * never emitted a row both engines had to agree on. This query derives
+    * DETERMINISTIC JITTERED TWINS from the existing payload bytes inside
+    * the query itself — a +3 brightness shift (pHash-EXACT by integer
+    * mean-centering), a ×2 contrast scale (pHash-EXACT by sign-invariance
+    * under positive scaling), and a 2-byte head crop (pHash-tolerant) —
+    * via [[graft.functions.ByteAffine]], whose overflow guard (empty
+    * payload out) the oracle replays as a list_max predicate; the oracle
+    * then re-derives the identical twins from the same bytes, so the
+    * >0 pairs that flow through the band/cap/hamming machinery are
+    * hash-checked end-to-end on both engines. Twin ids live on disjoint
+    * [[JitterIdStride]] strata per mode.
+    */
+  def phashJitterDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.{graftByteAffine, graftPHash64}
+    val base = asBinaryTable(s, dir)
+      .select(col("doc_id"), col("payload"), col("n_bytes"))
+    def twins(mode: Int, mul: Int, add: Int, drop: Int, pred: Column) =
+      base.filter(pred)
+        .select((col("doc_id") + lit(mode * JitterIdStride)).as("doc_id"),
+          graftByteAffine(col("payload"), mul, add, drop).as("payload"))
+        .filter(octet_length(col("payload")) > 0)
+    val all = base.select("doc_id", "payload")
+      .unionByName(twins(1, 1, 3, 0, col("doc_id") % 7 === 0))
+      .unionByName(twins(2, 2, 0, 0, col("doc_id") % 11 === 0))
+      .unionByName(twins(3, 1, 0, 2,
+        col("doc_id") % 13 === 0 && col("n_bytes") > 256))
+    phashPairsOf(all
+      .select(col("doc_id"), graftPHash64(col("payload")).as("ph"))
+      .localCheckpoint(true))
+  }
+
+  /** DuckDB replay of [[phashJitterDedup]]: the [[phashDedupOracle]]
+    * construction with a `jt` twin-derivation CTE unioned in — the same
+    * byte lists transformed by the same affine maps under the same
+    * overflow guards, then the identical hash/band/cap/hamming tail.
+    */
+  val phashJitterOracle: String = {
+    val n = graft.functions.PHash64.N
+    val p = graft.functions.PHash64.P
+    val bits = graft.functions.PHash64.Bits
+    s"""WITH pb AS (SELECT doc_id, hex(encode(text)) AS hx,
+       |                   octet_length(encode(text)) AS len FROM documents),
+       |py AS (SELECT doc_id, len, list_transform(generate_series(1, len), i ->
+       |         CAST((strpos('0123456789ABCDEF', substr(hx, 2*i - 1, 1)) - 1) * 16
+       |            + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1) AS BIGINT)) AS bytes
+       |       FROM pb WHERE len > 0),
+       |jt AS (SELECT doc_id + ${JitterIdStride} AS doc_id, len,
+       |              list_transform(bytes, x -> x + 3) AS bytes
+       |       FROM py WHERE doc_id % 7 = 0 AND list_max(bytes) <= 252
+       |       UNION ALL
+       |       SELECT doc_id + ${2 * JitterIdStride}, len,
+       |              list_transform(bytes, x -> x * 2)
+       |       FROM py WHERE doc_id % 11 = 0 AND list_max(bytes) <= 127
+       |       UNION ALL
+       |       SELECT doc_id + ${3 * JitterIdStride}, len - 2, bytes[3:]
+       |       FROM py WHERE doc_id % 13 = 0 AND len > 256),
+       |ally AS (SELECT * FROM py UNION ALL SELECT * FROM jt),
+       |ps AS (SELECT doc_id, list_transform(generate_series(0, ${n - 1}), nn ->
+       |         CAST(list_sum(list_transform(generate_series(0, ${p - 1}), pp ->
+       |           bytes[CAST(((nn * $p + pp) * len) // ${n * p} AS INT) + 1]))
+       |         AS BIGINT)) AS x
+       |       FROM ally),
+       |pm AS (SELECT doc_id, x,
+       |         CAST(list_sum(x) AS BIGINT) AS sm FROM ps),
+       |pc AS (SELECT doc_id, list_transform(${graft.functions.PHash64.sqlBasis},
+       |         row -> CAST(list_sum(list_transform(generate_series(1, $n),
+       |           i -> ($n * x[i] - sm) * row[i])) AS BIGINT)) AS coef
+       |       FROM pm),
+       |pmed AS (SELECT doc_id, coef, list_sort(coef)[${bits / 2}] AS med FROM pc),
+       |ph0 AS (SELECT doc_id,
+       |         CAST(list_sum(list_transform(generate_series(1, 32), k ->
+       |           CASE WHEN coef[k] > med THEN (1::BIGINT << CAST(k - 1 AS INT))
+       |                ELSE 0 END)) AS BIGINT) AS lo,
+       |         CAST(list_sum(list_transform(generate_series(33, $bits), k ->
+       |           CASE WHEN coef[k] > med THEN (1::BIGINT << CAST(k - 33 AS INT))
+       |                ELSE 0 END)) AS BIGINT) AS hi
+       |       FROM pmed
+       |       UNION ALL
+       |       SELECT doc_id, 0, 0 FROM pb WHERE len = 0),
+       |bands AS (SELECT doc_id, lo, hi, t.b AS b,
+       |            CASE WHEN t.b < 2 THEN (lo >> CAST(t.b * 16 AS INT)) & 65535
+       |                 ELSE (hi >> CAST((t.b - 2) * 16 AS INT)) & 65535 END AS v
+       |          FROM ph0 CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) t),
+       |caps AS (SELECT b, v FROM bands GROUP BY b, v HAVING COUNT(*) <= 50),
+       |kb AS (SELECT bands.* FROM bands JOIN caps USING (b, v)),
+       |prs AS (SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2,
+       |          a.lo AS lo1, a.hi AS hi1, c.lo AS lo2, c.hi AS hi2
+       |        FROM kb a JOIN kb c
+       |          ON a.b = c.b AND a.v = c.v AND a.doc_id < c.doc_id)
+       |SELECT d1, d2,
+       |       CAST(bit_count(xor(lo1, lo2)) + bit_count(xor(hi1, hi2)) AS BIGINT) AS hamming
+       |FROM prs
+       |WHERE bit_count(xor(lo1, lo2)) + bit_count(xor(hi1, hi2)) <= 3
+       |ORDER BY d1, d2""".stripMargin
   }
 
   /** Scene segmentation over the frame stream (r13) — the video-pipeline
@@ -545,6 +658,7 @@ object MultimodalOps {
     QueryDef("mm_embed_dedup", embedDedup, Some(embedDedupOracle)),
     QueryDef("mm_frame_dedup", frameDedup, Some(frameDedupOracle)),
     QueryDef("mm_phash_dedup", phashDedup, Some(phashDedupOracle)),
+    QueryDef("mm_phash_jitter", phashJitterDedup, Some(phashJitterOracle)),
     QueryDef("mm_phash", phashValues, Some(phashValuesOracle)),
     QueryDef("mm_scene_cuts", sceneCuts, Some(sceneCutsOracle)),
     QueryDef("mm_keyframe_dedup", keyframeDedup, Some(keyframeDedupOracle))

@@ -144,6 +144,45 @@ class MultimodalSpec extends SparkSpecBase {
       "exact frames must MISS the brightness/contrast twins")
   }
 
+  test("jittered-twin pHash gate emits the derived pairs, at hamming 0 for the exact classes") {
+    import graft.functions.{ByteAffine, PHash64}
+    val got = MultimodalOps.phashJitterDedup(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.nonEmpty, "the jitter gate must exercise a NON-EMPTY pair set")
+    assert(got.forall(_._3 <= 3))
+
+    // expected brightness/contrast twins, derived the same way the query
+    // derives them (eligibility = the ByteAffine overflow guard)
+    val payloads = MultimodalOps.asBinaryTable(spark, sf0001)
+      .select("doc_id", "payload").collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]]("payload")))
+    def eligible(mod: Long, mul: Int, add: Int) = payloads.filter {
+      case (id, p) => id % mod == 0 &&
+        ByteAffine.compute(p, mul, add, 0).nonEmpty
+    }.map(_._1)
+    val bright = eligible(7, 1, 3)
+    val contrast = eligible(11, 2, 0)
+    assert(bright.nonEmpty && contrast.nonEmpty, "fixture sanity")
+    // both transform classes are pHash-EXACT, so each eligible twin must
+    // pair with its original at hamming 0 (band df-cap exclusion would
+    // need > 50 identical band values — not this corpus)
+    bright.foreach { id =>
+      assert(got.contains((id, id + 100000000L, 0L)),
+        s"brightness twin of $id must pair at hamming 0")
+    }
+    contrast.foreach { id =>
+      assert(got.contains((id, id + 200000000L, 0L)),
+        s"contrast twin of $id must pair at hamming 0")
+    }
+    // the crop class is tolerant, not exact: any crop pair that appears
+    // sits within the banding radius by construction of the filter; and
+    // the original corpus-only query remains the no-false-positive
+    // control (its pairs, if any, are a subset of this query's)
+    val corpusPairs = MultimodalOps.phashDedup(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(corpusPairs.subsetOf(got))
+  }
+
   test("scene cuts: pHash segments a jittered-frame video that exact frames cannot") {
     import spark.implicits._
     // A planted "video": three scenes of 4/3/5 frames. Each scene repeats

@@ -150,6 +150,16 @@ object Bench {
         System.err.println(s"[bench] ivjoin_soak: $e")
         errors("ivjoin_soak") = e.toString.take(200); "null"
       }
+    // in-stream frozen-model scoring soak: daily cells close at the
+    // watermark and score against the broadcast frozen factors.
+    val scSecs = sys.env.getOrElse("SPARK_GRAFT_SCORING_SOAK_SECS", "12").toInt
+    val scJson =
+      if (scSecs <= 0) "null"
+      else try streaming.Soak.json(streaming.Soak.runScoring(spark, scSecs, 30000))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] scoring_soak: $e")
+        errors("scoring_soak") = e.toString.take(200); "null"
+      }
     // index-serving stage: per family (pq/ivfpq/minhash/cosine), the
     // one-time build cost vs the per-query direct-recompute vs the stored
     // serve path — the measured form of the write/serve/append story.
@@ -170,7 +180,7 @@ object Bench {
     }
     val errJson2 = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"soak":$soakJson,"neardup_soak":$ndJson,"distinct_soak":$dsJson,"dp_soak":$dpJson,"ivjoin_soak":$ivjJson,"index_serve":$serveJson,"errors":$errJson2,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"soak":$soakJson,"neardup_soak":$ndJson,"distinct_soak":$dsJson,"dp_soak":$dpJson,"ivjoin_soak":$ivjJson,"scoring_soak":$scJson,"index_serve":$serveJson,"errors":$errJson2,"sf":"$sfDir"}"""
     // The harness captures only the TAIL of stdout (a bounded window), and
     // the full payload line has outgrown it — the r13 artifact carried no
     // headline numbers. Self-containment discipline: the full payload goes

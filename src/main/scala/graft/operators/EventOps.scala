@@ -830,20 +830,36 @@ object EventOps {
     * Unknown keys drop (inner join) = the trainer's cold-start drop.
     * Scale shape: ONE fact-scale aggregate; both factor sides broadcast.
     */
-  def ipinsightsServe(s: SparkSession, dir: String): DataFrame = {
+  /** The frozen-factor scoring tail shared by the batch gate and the
+    * STREAMING serving leg ([[graft.streaming.StreamingScoring]]): join
+    * any (user_id, event_type, …) frame against the broadcast `AlsRef`
+    * factor tables and append the ordered zip_with product + 0.0-seeded
+    * left fold in DOUBLE — one expression, so batch and stream scores
+    * are bit-equal BY CONSTRUCTION (and spec-pinned). Unknown keys drop
+    * (inner join) = the trainer's cold-start drop. Works unchanged on a
+    * streaming frame: both factor sides are broadcast statics and the
+    * score is a map-side projection.
+    */
+  private[graft] def alsServeScore(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
     import s.implicits._
     val uf = graft.model.AlsRef.Users.toSeq.toDF("user_id", "uf")
     val tf = graft.model.AlsRef.Types.toSeq.toDF("event_type", "tf")
-    Tables.t(s, dir, "events")
-      .groupBy("user_id", "event_type")
-      .agg(count(lit(1)).as("n_pair"))
+    pairs
       .join(broadcast(uf), "user_id")
       .join(broadcast(tf), "event_type")
       .withColumn("score", expr(
         "aggregate(zip_with(uf, tf, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, v) -> a + v)"))
+      .drop("uf", "tf")
+  }
+
+  def ipinsightsServe(s: SparkSession, dir: String): DataFrame =
+    alsServeScore(
+      Tables.t(s, dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n_pair")))
       .select("user_id", "event_type", "n_pair", "score")
       .orderBy("user_id", "event_type")
-  }
 
   /** DuckDB replay of [[ipinsightsServe]]: the frozen factor tables as
     * VALUES literals (E-notation — strtod path), the same count

@@ -351,6 +351,38 @@ object Soak {
       mode = "append", minBatches = 2)
   }
 
+  /** In-stream frozen-model scoring soak ([[StreamingScoring]]): a rate
+    * source synthesizes events over REAL frozen-factor keys (so the
+    * cold-start drop never zeroes the output) with event time running
+    * ~86400× real time — daily cells open, fill, close at the watermark
+    * and score every few real seconds. `attacks` counts scored cell
+    * releases; state = the open cells of the live horizon (bounded by
+    * |users|×|types| per open day, never stream length). The factors ride
+    * as broadcast statics — they never enter the state store.
+    */
+  def runScoring(spark: SparkSession, seconds: Int,
+      rowsPerSecond: Int): SoakResult = {
+    val users = graft.model.AlsRef.Users.map(_._1).take(200).toSeq
+    val types = graft.model.AlsRef.Types.map(_._1).toSeq
+    val uArr = array(users.map(lit): _*)
+    val tArr = array(types.map(lit): _*)
+    def stream(rps: Int) = {
+      val rate = spark.readStream.format("rate")
+        .option("rowsPerSecond", rps)
+        .option("numPartitions", 8).load()
+      StreamingScoring.ipinsightsStream(rate.select(
+        element_at(uArr,
+          pmod(col("value"), lit(users.size.toLong)).cast("int") + 1)
+          .as("user_id"),
+        element_at(tArr,
+          pmod(col("value") / 3, lit(types.size.toLong)).cast("int") + 1)
+          .as("event_type"),
+        (col("value") * 1000000L).as("ts_us")))
+    }
+    measure(spark, 1, "scoring", stream(2000), minBatches = 1)
+    measure(spark, seconds, "scoring", stream(rowsPerSecond), minBatches = 2)
+  }
+
   /** Stream-stream interval-join soak ([[StreamingIntervalJoin]]): two
     * independent rate sources share the wall clock as event time — a
     * point stream (key, ts) at full rate and an interval stream opening

@@ -2687,7 +2687,70 @@ object SimilarityOps {
     sb.toString
   }
 
+  /** Embedding-level benchmark contamination (r14) — the semantic
+    * complement of `doc_contamination`'s exact n-gram screen: a corpus
+    * vector whose cosine against any "test set" probe embedding clears
+    * the threshold is flagged, which catches PARAPHRASE-level leakage
+    * (rewordings share ~zero 5-gram shingles but land next to the
+    * benchmark text in embedding space — the spec plants exactly such a
+    * pair and pins that the n-gram screen provably cannot flag it at any
+    * threshold while this catches it).
+    *
+    * Scale shape: the probe side is a benchmark TEST SET — bounded by
+    * construction (thousands, not billions) — so it broadcasts and the
+    * corpus streams past it ONCE, map-side: no corpus shuffle at any
+    * corpus size (the `emb_incr_cosine` invariant). A probe set too big
+    * to broadcast composes with the cell index ([[buildCellIndex]])
+    * instead. Similarity is the quantized-integer cosine
+    * (`emb_cosine_dups` discipline), so the gate is hash-exact.
+    */
+  def embContaminationOn(corpus: DataFrame, probes: DataFrame,
+      t: Double = 0.99): DataFrame =
+    corpus.crossJoin(broadcast(probes))
+      .withColumn("sim", graftCosine(col("embedding"), col("probe_vec")))
+      .filter(col("sim") >= t)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_probes_hit"), max(col("sim")).as("max_sim"))
+      .orderBy("vec_id")
+
+  /** The gated form. The driver corpus carries no natural cross-id
+    * near-identical pairs at gate scale (max pairwise cosine 0.51), so —
+    * the `mm_phash_jitter` discipline — the frozen probe table is DERIVED
+    * deterministically in-query: every 31st vector, perturbed in its
+    * first coordinate by +0.05 in DOUBLE then narrowed back to FLOAT (the
+    * IEEE op sequence DuckDB replays exactly), stands in for a test-set
+    * embedding that is a PARAPHRASE (near, not equal) of a corpus member.
+    * Both engines re-derive the identical probes, so the >0 flagged rows
+    * are engine-vs-oracle-checked end-to-end.
+    */
+  def embContamination(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "embeddings")
+    val probes = e.filter(col("vec_id") % 31 === 0)
+      .select(col("vec_id").as("probe_id"),
+        expr("transform(embedding, (x, i) -> " +
+          "IF(i = 0, CAST(CAST(x AS DOUBLE) + 0.05D AS FLOAT), x))")
+          .as("probe_vec"))
+    embContaminationOn(e, probes)
+  }
+
+  val embContaminationOracle: String =
+    s"""WITH pr AS (
+       |  SELECT vec_id AS probe_id,
+       |    list_transform(generate_series(1, len(embedding)), i ->
+       |      CASE WHEN i = 1 THEN CAST(CAST(embedding[i] AS DOUBLE) + 0.05 AS REAL)
+       |           ELSE embedding[i] END) AS pv
+       |  FROM embeddings WHERE vec_id % 31 = 0),
+       |hits AS (
+       |  SELECT e.vec_id, ${sqlQCos("e.embedding", "pr.pv")} AS sim
+       |  FROM embeddings e CROSS JOIN pr
+       |  WHERE ${sqlQCos("e.embedding", "pr.pv")} >= 0.99)
+       |SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_probes_hit,
+       |       MAX(sim) AS max_sim
+       |FROM hits GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("emb_contamination", embContamination,
+      Some(embContaminationOracle)),
     QueryDef("emb_kcenter_sample", kcenterSample, Some(kcenterOracle)),
     QueryDef("emb_kmeans_lloyd", kmeansLloyd, Some(kmeansOracle)),
     QueryDef("emb_knn_brute", knnBrute, Some(knnOracle), headline = true),

@@ -1141,4 +1141,37 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(rows.forall { case (_, cand, tru, hit) =>
       hit <= math.min(cand, tru) })
   }
+
+  test("embedding contamination catches a paraphrase the n-gram screen provably cannot") {
+    import spark.implicits._
+    // a benchmark item and its PARAPHRASE: same meaning, zero shared
+    // word 5-grams (every 5-token window differs in at least one token)
+    val bench = "the quick brown fox jumped over the lazy dog near the river bank at dawn"
+    val para = "a fast auburn fox leapt above a sleepy hound beside that stream edge by sunrise"
+    def shingles(t: String): Set[String] =
+      t.split(" ").sliding(5).map(_.mkString(" ")).toSet
+    assert(shingles(bench).intersect(shingles(para)).isEmpty,
+      "fixture: the paraphrase shares ZERO 5-grams — no n-gram threshold " +
+        "can flag it (doc_contamination's class boundary)")
+
+    // embeddings: the paraphrase lands next to the benchmark item in
+    // vector space (cosine ~0.995); unrelated corpus docs are far
+    def unit(v: Array[Double]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val benchVec = unit(Array(1.0, 0.2, 0.1, 0.0, 0.0, 0.0))
+    val paraVec = unit(Array(1.0, 0.2, 0.1, 0.09, 0.0, 0.0)) // near twin
+    val farVec1 = unit(Array(0.0, 0.1, 0.0, 0.0, 1.0, 0.3))
+    val farVec2 = unit(Array(0.1, 0.0, 0.0, 0.3, 0.0, 1.0))
+    val corpus = Seq((100L, paraVec), (101L, farVec1), (102L, farVec2))
+      .toDF("vec_id", "embedding")
+    val probes = Seq((1L, benchVec)).toDF("probe_id", "probe_vec")
+
+    val flagged = graft.operators.SimilarityOps
+      .embContaminationOn(corpus, probes, t = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(flagged === Seq((100L, 1L)),
+      s"the paraphrase (and only it) must be flagged: $flagged")
+  }
 }

@@ -249,7 +249,13 @@ object ServeBench {
       // own serving point is picked FROM (smallest knob holding `floor`;
       // on the adversarial uniform-random fixture that is deliberately a
       // wide point — clustered corpora hold the floor at the small end)
-      val mrlSweep = Seq(100, 200, 400, 800).map { w =>
+      // the r13 record had mrl topping out at 0.83 with rerank 800 — a
+      // 0.03 margin over the hard floor, one unlucky fixture from a red
+      // bench. The shortlist is the cheap knob (exact rescore of bounded
+      // point-lookup rows), so the sweep now extends until a >= 0.9
+      // point exists on this corpus and the pick PREFERS the 0.1-margin
+      // point (floor + 0.1, then + 0.05, then the floor).
+      val mrlSweep = Seq(100, 200, 400, 800, 1600, 3200).map { w =>
         w -> recallAndTime(() => SimilarityOps.knnPqServe(
           s, emb, s"$serveRoot/mrl", rerank = w))
       }
@@ -265,11 +271,13 @@ object ServeBench {
         w -> recallAndTime(() => SimilarityOps.knnPqServe(
           s, emb, s"$serveRoot/pq", rerank = w))
       }
-      // pick with MARGIN where a bigger knob exists (floor + 0.05, so a
-      // knife-edge 0.80 can't flip the hard require on a re-measure),
-      // falling back to the plain floor, then the largest knob
+      // pick with MARGIN where a bigger knob exists (floor + 0.1 first —
+      // the r13 verdict's margin ask — then + 0.05 so a knife-edge 0.80
+      // can't flip the hard require on a re-measure), falling back to
+      // the plain floor, then the largest knob
       def pick[A](sweep: Seq[(A, (Double, Double))]): A =
-        sweep.find(_._2._1 >= floor + 0.05)
+        sweep.find(_._2._1 >= floor + 0.1)
+          .orElse(sweep.find(_._2._1 >= floor + 0.05))
           .orElse(sweep.find(_._2._1 >= floor))
           .map(_._1).getOrElse(sweep.last._1)
       mrlRerankChosen = pick(mrlSweep)

@@ -1465,6 +1465,83 @@ object DedupOps {
        |       coalesce(c.text_clean, '') AS text_clean
        |FROM base b LEFT JOIN cleaned c USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** MAXIMAL repeated-substring mining (r14) — the discovery half of the
+    * Lee et al. 2022 suffix-array dedup, re-expressed Spark-first: the
+    * fixed-k window family above answers "how much of this doc is
+    * duplicated span" but FRAGMENTS a long repeat into k-sized pieces
+    * and never reports its true extent. This operator recovers the full
+    * repeat via seed-and-chain: the SAME k-token window pass (one
+    * corpus-scale exchange — the exchange [[substringDupOn]] already
+    * pays), df-capped seed pairing, then DIAGONAL CHAINING — matched
+    * positions of one true repeat between (d1, d2) lie on one diagonal
+    * (p2 − p1 constant) at consecutive positions, so a gaps-and-islands
+    * pass (p1 − row_number per diagonal) merges them into one maximal
+    * run of length (maxP1 − minP1 + k) tokens, with NO re-access to the
+    * document text. A repeat of ANY length ≥ k surfaces as one row with
+    * its full extent; `minLen > k` keeps only the beyond-fixed-n finds.
+    *
+    * Scale: corpus-scale cost = window construction (array-local HOF) +
+    * one df aggregate + a semi-join; the pair set is bounded by
+    * cap²·|duplicated grams| (hot boilerplate windows above `cap`
+    * occurrences are dropped — the family's measured-cap discipline);
+    * the island sort runs on the PAIR set (output-scale, not corpus-
+    * scale). At 100 TB the group/join key swaps from the gram string to
+    * xxhash64(gram) — 8 bytes a row, the `doc_minhash_lsh` basis
+    * discipline with its md5 oracle-parity twin.
+    */
+  def repeatMineOn(docs: DataFrame, minLen: Long = 20L,
+      cap: Long = 20L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = spanGrams(spanToks(docs))
+    val kept = grams.join(
+      grams.groupBy("gram").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= cap).select("gram"),
+      Seq("gram"), "left_semi")
+    val pairs = kept.as("a").join(kept.as("b"),
+        col("a.gram") === col("b.gram") &&
+          (col("a.doc_id") < col("b.doc_id") ||
+            (col("a.doc_id") === col("b.doc_id") &&
+              col("a.pos") < col("b.pos"))))
+      .select(col("a.doc_id").as("d1"), col("a.pos").as("p1"),
+        col("b.doc_id").as("d2"), col("b.pos").as("p2"),
+        (col("b.pos") - col("a.pos")).as("diag"))
+    val w = Window.partitionBy("d1", "d2", "diag").orderBy("p1")
+    pairs
+      .withColumn("grp", col("p1") - row_number().over(w).cast("long"))
+      .groupBy("d1", "d2", "diag", "grp")
+      .agg(min(col("p1")).as("s1"), min(col("p2")).as("s2"),
+        (max(col("p1")) - min(col("p1")) + lit(SpanK.toLong)).as("rep_len"))
+      .filter(col("rep_len") >= minLen)
+      .select(col("d1"), col("s1").as("p1"), col("d2"),
+        col("s2").as("p2"), col("rep_len"))
+      .orderBy("d1", "p1", "d2", "p2")
+  }
+
+  def repeatMine(s: SparkSession, dir: String): DataFrame =
+    repeatMineOn(Tables.t(s, dir, "documents"))
+
+  /** DuckDB replay of [[repeatMineOn]]: the shared window CTEs, the same
+    * df band, the same diagonal gaps-and-islands chaining.
+    */
+  val repeatMineOracle: String =
+    s"""WITH $sqlSpanGrams,
+       |rdf AS (SELECT gram FROM grams GROUP BY gram
+       |        HAVING COUNT(*) BETWEEN 2 AND 20),
+       |rk AS (SELECT g.doc_id, g.pos, g.gram FROM grams g JOIN rdf USING (gram)),
+       |rp AS (SELECT a.doc_id AS d1, a.pos AS p1, b.doc_id AS d2, b.pos AS p2,
+       |              b.pos - a.pos AS diag
+       |       FROM rk a JOIN rk b ON a.gram = b.gram AND
+       |         (a.doc_id < b.doc_id OR
+       |          (a.doc_id = b.doc_id AND a.pos < b.pos))),
+       |isl AS (SELECT d1, d2, diag, p1, p2,
+       |          p1 - row_number() OVER (PARTITION BY d1, d2, diag ORDER BY p1) AS grp
+       |        FROM rp),
+       |runs AS (SELECT d1, d2, MIN(p1) AS p1, MIN(p2) AS p2,
+       |           CAST(MAX(p1) - MIN(p1) + $SpanK AS BIGINT) AS rep_len
+       |         FROM isl GROUP BY d1, d2, diag, grp)
+       |SELECT d1, p1, d2, p2, rep_len FROM runs WHERE rep_len >= 20
+       |ORDER BY d1, p1, d2, p2""".stripMargin
+
   val dupClustersOracle: String =
     s"""WITH RECURSIVE $sqlCappedPairs,
        |pairs AS (SELECT d1, d2 FROM jp),
@@ -2066,6 +2143,7 @@ object DedupOps {
     QueryDef("doc_editdist_pairs", editDistPairs, Some(editDistOracle)),
     QueryDef("doc_dup_clusters", dupClusters, Some(dupClustersOracle)),
     QueryDef("doc_substring_dup", substringDup, Some(substringDupOracle)),
+    QueryDef("doc_repeat_mine", repeatMine, Some(repeatMineOracle)),
     QueryDef("doc_substring_scrub", substringScrub, Some(substringScrubOracle)),
     QueryDef("doc_incr_dedup", incrementalDedup, Some(incrementalOracle)),
     QueryDef("doc_incr_minhash", incrementalMinHash, Some(incrMinhashOracle)),

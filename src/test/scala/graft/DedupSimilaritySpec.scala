@@ -1142,6 +1142,55 @@ class DedupSimilaritySpec extends SparkSpecBase {
       hit <= math.min(cand, tru) })
   }
 
+  test("repeat mining reports a planted long repeat WHOLE where fixed-k windows fragment it") {
+    import spark.implicits._
+    import graft.operators.DedupOps
+    val block = (0 until 60).map(i => s"rep$i").mkString(" ")
+    val docA = "alpha beta " + block + " gamma delta" // block at token pos 2
+    val docB = (0 until 7).map(i => s"head$i").mkString(" ") + " " + block // pos 7
+    // a doc repeating ITS OWN 30-token block (intra-doc repeat, offset 31)
+    val self = (0 until 30).map(i => s"own$i").mkString(" ") + " mid " +
+      (0 until 30).map(i => s"own$i").mkString(" ")
+    val noise = (0 until 4).map(n =>
+      (50L + n, (0 until 40).map(i => s"u${n}x$i").mkString(" ")))
+    val docs = (Seq((1L, docA), (2L, docB), (3L, self)) ++ noise)
+      .toDF("doc_id", "text")
+
+    val got = DedupOps.repeatMineOn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    // ONE row per true repeat, carrying its FULL extent — 53 fragmented
+    // 8-token seed windows chained back into the 60-token find
+    assert(got === Seq((1L, 2L, 2L, 7L, 60L), (3L, 0L, 3L, 31L, 30L)),
+      s"maximal repeats with exact offsets and lengths: $got")
+
+    // the delta vs the fixed-k family: substringDup KNOWS 60 tokens of
+    // doc 1 are duplicated but carries no notion of extent — nothing in
+    // its output distinguishes one 60-token repeat from dozens of
+    // scattered 8-token ones
+    val cov = DedupOps.substringDupOn(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(cov(1L) === 60L && cov(2L) === 60L)
+  }
+
+  test("repeat mining output is exactly linear in independently-planted repeats") {
+    import spark.implicits._
+    import graft.operators.DedupOps
+    def corpus(n: Int) = {
+      val pairs = (0 until n).flatMap { p =>
+        val block = (0 until 25).map(i => s"blk${p}_$i").mkString(" ")
+        Seq((p * 2L, s"pre$p " + block), (p * 2L + 1L, block + s" post$p"))
+      }
+      val noise = (0 until n).map(k =>
+        (10000L + k, (0 until 30).map(i => s"n${k}q$i").mkString(" ")))
+      (pairs ++ noise).toDF("doc_id", "text")
+    }
+    val n20 = DedupOps.repeatMineOn(corpus(20)).count()
+    val n40 = DedupOps.repeatMineOn(corpus(40)).count()
+    assert(n20 === 20L && n40 === 40L,
+      s"one maximal find per planted pair, at every corpus size: $n20/$n40")
+  }
+
   test("embedding contamination catches a paraphrase the n-gram screen provably cannot") {
     import spark.implicits._
     // a benchmark item and its PARAPHRASE: same meaning, zero shared

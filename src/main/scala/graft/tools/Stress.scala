@@ -90,6 +90,27 @@ object Stress {
       DedupOps.substringDupOn(docsN).agg(sum("dup_tokens")).first().getLong(0))
     spark.catalog.clearCache()
 
+    // maximal repeat mining: every copy's rewrite is identical (twin docs
+    // get the same marker interleave), so each copy's repeat structure is
+    // isomorphic to copy 0's and cross-copy grams are dead — the
+    // (rep_len → count) HISTOGRAM must be an exact copies-fold replica
+    // (hard require, the winnow discipline)
+    var rm1 = Map.empty[Long, Long]
+    time("repeat-mine x1 finds") {
+      rm1 = DedupOps.repeatMineOn(corpusOf(1)).groupBy("rep_len").count()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      rm1.values.sum
+    }
+    spark.catalog.clearCache()
+    time(s"repeat-mine x$copies finds") {
+      val rmN = DedupOps.repeatMineOn(docsN).groupBy("rep_len").count()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      require(rmN == rm1.map { case (l, n) => (l, n * copies) },
+        s"repeat-mine histogram not a $copies-fold replica of x1")
+      rmN.values.sum
+    }
+    spark.catalog.clearCache()
+
     // novelty + containment: the marker interleave makes every copy's
     // 5-grams copy-unique, so first-occurrence structure and containment
     // pairs are both strictly within-copy — totals must be EXACTLY linear

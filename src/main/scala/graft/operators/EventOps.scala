@@ -818,18 +818,6 @@ object EventOps {
     } finally pairs.unpersist()
   }
 
-  /** FROZEN-model serving twin of [[ipinsightsScoreOn]] — the gated form.
-    * The r11 freeze-the-fit pattern applied to the ALS analog of the
-    * reference's SageMaker IPInsights deployment (the notebook trains
-    * once, the endpoint serves the frozen weights — this is that shape):
-    * the seeded fit's (user, type) factor tables ship as `model/AlsRef`
-    * literals (spec-pinned to a fresh deterministic fit replay), and the
-    * score is the ordered zip_with product + 0.0-seeded left fold in
-    * DOUBLE — the exact IEEE op sequence DuckDB replays with
-    * list_reduce/list_prepend, making the last rows-only gate hash-exact.
-    * Unknown keys drop (inner join) = the trainer's cold-start drop.
-    * Scale shape: ONE fact-scale aggregate; both factor sides broadcast.
-    */
   /** The frozen-factor scoring tail shared by the batch gate and the
     * STREAMING serving leg ([[graft.streaming.StreamingScoring]]): join
     * any (user_id, event_type, …) frame against the broadcast `AlsRef`
@@ -853,6 +841,17 @@ object EventOps {
       .drop("uf", "tf")
   }
 
+  /** FROZEN-model serving twin of [[ipinsightsScoreOn]] — the gated form.
+    * The r11 freeze-the-fit pattern applied to the ALS analog of the
+    * reference's SageMaker IPInsights deployment (the notebook trains
+    * once, the endpoint serves the frozen weights — this is that shape):
+    * the seeded fit's (user, type) factor tables ship as `model/AlsRef`
+    * literals (spec-pinned to a fresh deterministic fit replay), scored
+    * through [[alsServeScore]] — the exact IEEE op sequence DuckDB
+    * replays with list_reduce/list_prepend, making the last rows-only
+    * gate hash-exact. Scale shape: ONE fact-scale aggregate; both
+    * factor sides broadcast.
+    */
   def ipinsightsServe(s: SparkSession, dir: String): DataFrame =
     alsServeScore(
       Tables.t(s, dir, "events")

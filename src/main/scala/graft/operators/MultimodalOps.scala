@@ -386,8 +386,19 @@ object MultimodalOps {
     */
   def phashJitterDedup(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.GraftFunctions.{graftByteAffine, graftPHash64}
+    // the stride assumption is ENFORCED, not assumed: a corpus id at or
+    // above the twin strata would silently collide with a twin id and
+    // fabricate pairs — raise loudly per offending row instead (map-side,
+    // rides the projection the query already pays)
     val base = asBinaryTable(s, dir)
-      .select(col("doc_id"), col("payload"), col("n_bytes"))
+      .select(
+        when(col("doc_id") >= 0 && col("doc_id") < lit(JitterIdStride),
+          col("doc_id"))
+          .otherwise(raise_error(concat(
+            lit(s"mm_phash_jitter: doc_id outside [0, $JitterIdStride) " +
+              "collides with a twin stratum: "),
+            col("doc_id").cast("string")))).as("doc_id"),
+        col("payload"), col("n_bytes"))
     def twins(mode: Int, mul: Int, add: Int, drop: Int, pred: Column) =
       base.filter(pred)
         .select((col("doc_id") + lit(mode * JitterIdStride)).as("doc_id"),
@@ -450,22 +461,11 @@ object MultimodalOps {
        |                ELSE 0 END)) AS BIGINT) AS hi
        |       FROM pmed
        |       UNION ALL
-       |       SELECT doc_id, 0, 0 FROM pb WHERE len = 0),
-       |bands AS (SELECT doc_id, lo, hi, t.b AS b,
-       |            CASE WHEN t.b < 2 THEN (lo >> CAST(t.b * 16 AS INT)) & 65535
-       |                 ELSE (hi >> CAST((t.b - 2) * 16 AS INT)) & 65535 END AS v
-       |          FROM ph0 CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) t),
-       |caps AS (SELECT b, v FROM bands GROUP BY b, v HAVING COUNT(*) <= 50),
-       |kb AS (SELECT bands.* FROM bands JOIN caps USING (b, v)),
-       |prs AS (SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2,
-       |          a.lo AS lo1, a.hi AS hi1, c.lo AS lo2, c.hi AS hi2
-       |        FROM kb a JOIN kb c
-       |          ON a.b = c.b AND a.v = c.v AND a.doc_id < c.doc_id)
-       |SELECT d1, d2,
-       |       CAST(bit_count(xor(lo1, lo2)) + bit_count(xor(hi1, hi2)) AS BIGINT) AS hamming
-       |FROM prs
-       |WHERE bit_count(xor(lo1, lo2)) + bit_count(xor(hi1, hi2)) <= 3
-       |ORDER BY d1, d2""".stripMargin
+       |       SELECT doc_id, 0, 0 FROM pb WHERE len = 0)""".stripMargin +
+      // the band/cap/pair/hamming tail is SHARED with the corpus oracle
+      // (sliced, the phashValuesOracle convention) — one source of truth
+      // for the banding radius, cap and hamming bound
+      phashDedupOracle.substring(phashDedupOracle.indexOf(",\nbands AS"))
   }
 
   /** Scene segmentation over the frame stream (r13) — the video-pipeline

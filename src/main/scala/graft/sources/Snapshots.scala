@@ -328,21 +328,33 @@ object Snapshots {
     if (strict && sharedEntries.nonEmpty) {
       // one key-only pass over the shared footprint: a duplicate within
       // it, or any overlap with a changed file of either version, is a
-      // real per-version duplicate the pruned-side check cannot see
+      // real per-version duplicate the pruned-side check cannot see.
+      // The scan is cached so the three checks really do cost ONE pass
+      // over the shared files, as documented — uncached, the agg and
+      // each semi-join would each re-read the whole shared footprint
       val sharedKeys = readEntries(s, path, v2, sharedEntries)
         .select(keyCols.map(col): _*)
-      val su = sharedKeys.agg(count(lit(1)), count_distinct(
-        struct(keyCols.map(col): _*))).first()
-      require(su.getLong(0) == su.getLong(1),
-        s"shared files of v$v1/v$v2 hold duplicate keys — " +
-          "changesBetween(strict) needs per-version key uniqueness")
-      Seq((ka, v1), (kb, v2)).foreach { case (side, v) =>
-        val overlap = side.join(sharedKeys, keyCols, "left_semi").count()
-        require(overlap == 0L,
-          s"v$v holds $overlap key(s) both in a changed file and in a " +
-            "shared file — duplicate keys; the feed would fabricate " +
-            "changes for them")
-      }
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val su = sharedKeys.agg(count(lit(1)), count_distinct(
+          struct(keyCols.map(col): _*))).first()
+        require(su.getLong(0) == su.getLong(1),
+          s"shared files of v$v1/v$v2 hold duplicate keys — " +
+            "changesBetween(strict) needs per-version key uniqueness")
+        val overlap = ka.select(keyCols.map(col): _*)
+          .withColumn("_v", lit(v1))
+          .unionByName(kb.select(keyCols.map(col): _*)
+            .withColumn("_v", lit(v2)))
+          .join(sharedKeys, keyCols, "left_semi")
+          .groupBy("_v").count().collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        overlap.foreach { case (v, n) =>
+          require(n == 0L,
+            s"v$v holds $n key(s) both in a changed file and in a " +
+              "shared file — duplicate keys; the feed would fabricate " +
+              "changes for them")
+        }
+      } finally sharedKeys.unpersist()
     }
     val cls = ka.join(kb, keyCols, "full_outer")
       .withColumn("change",

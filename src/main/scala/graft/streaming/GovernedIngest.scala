@@ -40,9 +40,9 @@ import graft.sources.{Materialized, Snapshots}
   *   - BEFORE re-staging, a replay deletes any `b<id>-*` files already
   *     in the table dir — safe because the admitted-marker gates the
   *     commit, so no committed version can reference them yet;
-  *   - a durable marker (`_graft_ingest/admitted_b<id>`, written AFTER
-  *     the move, BEFORE the commit) flips the replay path: a replay that
-  *     finds the marker skips checks/append entirely and only catches up
+  *   - a durable marker (`_graft_ingest/admitted_<appId>_b<id>`, written
+  *     AFTER the move, BEFORE the commit) flips the replay path: a replay
+  *     that finds the marker skips checks/append entirely and only catches up
   *     the commit ([[Snapshots.commitIfChanged]] — a completed commit
   *     replays as a metadata read, never a duplicate version) and the
   *     view refreshes (already catch-up idempotent by table version).
@@ -61,14 +61,46 @@ import graft.sources.{Materialized, Snapshots}
   */
 object GovernedIngest {
 
+  /** `appId` scopes the idempotence markers: Spark batchIds are unique
+    * only PER CHECKPOINT, so a marker written by one query incarnation
+    * must never dedupe a different incarnation's batch 0 (a stale
+    * `admitted_b0` would silently drop it). The contract is the lakehouse
+    * `txnAppId` one: resetting the checkpoint location ⇒ use a new
+    * `appId`; keeping the checkpoint (normal restarts, failure replays)
+    * ⇒ keep the `appId`, and replays dedupe exactly as designed.
+    */
   final case class Pipeline(
       tablePath: String,
       quarantinePath: String,
       checks: Seq[QualityGate.DqCheck],
       keyCols: Seq[String],
-      views: Seq[(String, Materialized.AggView)])
+      views: Seq[(String, Materialized.AggView)],
+      appId: String = "governed")
 
   private val IngestDir = "_graft_ingest"
+
+  private def markerName(p: Pipeline, id: Long) =
+    s"admitted_${p.appId}_b$id"
+
+  /** Markers older than the current batch are DEAD — Spark processes
+    * batches sequentially, so by the time batch `id` runs, every batch
+    * below it is checkpoint-committed and can never replay. Pruning them
+    * here keeps the marker dir at O(1) files instead of one-per-batch
+    * forever (NameNode/LIST pressure on a long-running ingest). Only this
+    * appId's markers are touched — other incarnations own theirs.
+    */
+  private def pruneMarkers(s: SparkSession, p: Pipeline, id: Long): Unit = {
+    val f = fs(s, p.tablePath)
+    val dir = new Path(s"${p.tablePath}/$IngestDir")
+    if (f.exists(dir)) {
+      val prefix = s"admitted_${p.appId}_b"
+      f.listStatus(dir).filter(_.isFile)
+        .map(_.getPath)
+        .filter(_.getName.startsWith(prefix))
+        .filter(_.getName.drop(prefix.length).toLongOption.exists(_ < id))
+        .foreach(f.delete(_, false))
+    }
+  }
 
   private def fs(s: SparkSession, path: String) =
     new Path(path).getFileSystem(s.sessionState.newHadoopConf())
@@ -89,14 +121,17 @@ object GovernedIngest {
       id: Long): Unit = {
     val f = fs(s, p.tablePath)
     val tableDir = new Path(p.tablePath)
-    val prefix = s"b$id-"
+    // the moved-file prefix is appId-scoped like the marker: a fresh
+    // incarnation's batch 0 must never wipe a PRIOR incarnation's
+    // committed b0 files
+    val prefix = s"b_${p.appId}_$id-"
     // wipe move targets of a crashed prior attempt: the marker (not yet
     // written on this path) gates the commit, so none are referenced
     if (f.exists(tableDir))
       f.listStatus(tableDir).filter(_.isFile)
         .filter(_.getPath.getName.startsWith(prefix))
         .foreach(st => f.delete(st.getPath, false))
-    val stage = new Path(s"${p.tablePath}/$IngestDir/stage_b$id")
+    val stage = new Path(s"${p.tablePath}/$IngestDir/stage_${p.appId}_b$id")
     batch.write.mode("overwrite").parquet(stage.toString)
     f.listStatus(stage).filter(_.isFile)
       .filter(_.getPath.getName.startsWith("part-"))
@@ -105,7 +140,7 @@ object GovernedIngest {
         require(f.rename(st.getPath, dst), s"ingest move failed: $dst")
       }
     f.delete(stage, true)
-    val marker = new Path(s"${p.tablePath}/$IngestDir/admitted_b$id")
+    val marker = new Path(s"${p.tablePath}/$IngestDir/${markerName(p, id)}")
     f.mkdirs(marker.getParent)
     f.create(marker, true).close()
     Snapshots.commitIfChanged(s, p.tablePath)
@@ -120,7 +155,8 @@ object GovernedIngest {
       onVerdict: StreamingQuality.BatchVerdict => Unit = _ => ()): Unit =
     if (!batch.isEmpty) {
       val s = batch.sparkSession
-      val marker = new Path(s"${p.tablePath}/$IngestDir/admitted_b$id")
+      pruneMarkers(s, p, id)
+      val marker = new Path(s"${p.tablePath}/$IngestDir/${markerName(p, id)}")
       if (fs(s, p.tablePath).exists(marker)) {
         // replay of a fully-admitted batch: rows are in place; only
         // the commit and/or the view refreshes may still be owed

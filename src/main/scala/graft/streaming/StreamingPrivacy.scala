@@ -98,8 +98,14 @@ object StreamingPrivacy {
             // cell — it already released and its tombstone may be gone
             Iterator.empty
           } else if (st.released) {
-            // straggler after release: absorbed by the ledger entry
+            // straggler after release: absorbed by the ledger entry.
+            // Spark CLEARS a stored timeout on every invocation that
+            // touches the key, so the tombstone's TTL must be RE-ARMED
+            // here or this very straggler would make the ledger entry
+            // immortal — the exact leak the TTL exists to close
             state.update(st.copy(dropped = st.dropped + it.size))
+            state.setTimeoutTimestamp(math.max(deadlineMs + tombstoneTtlMs,
+              state.getCurrentWatermarkMs() + 1L))
             Iterator.empty
           } else {
             var admitted = st.admitted

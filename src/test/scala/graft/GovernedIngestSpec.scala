@@ -117,7 +117,7 @@ class GovernedIngestSpec extends SparkSpecBase {
     fs.listStatus(new org.apache.hadoop.fs.Path(ghost)).filter(_.isFile)
       .filter(_.getPath.getName.startsWith("part-")).foreach { st =>
         assert(fs.rename(st.getPath, new org.apache.hadoop.fs.Path(
-          p.tablePath, "b1-" + st.getPath.getName)))
+          p.tablePath, "b_governed_1-" + st.getPath.getName)))
       }
     GovernedIngest.processBatch(p, b1, 1L)()
     assert(latest() === v0 + 1, "the replay must commit exactly one version")
@@ -137,5 +137,32 @@ class GovernedIngestSpec extends SparkSpecBase {
     // on an unchanged file set, a real commit once content changes
     assert(Snapshots.commitIfChanged(spark, p.tablePath) === v0 + 1)
     assert(latest() === v0 + 1)
+
+    // markers are scoped by appId (the txnAppId contract): a NEW query
+    // incarnation with a fresh checkpoint reuses batchId 0 — under a new
+    // appId its batch 0 must ADMIT, never dedupe against the old
+    // incarnation's stale marker
+    val p2 = p.copy(appId = "incarnation2")
+    val b0again = Seq((9L, "d", 11L)).toDF("id", "grp", "cents")
+    GovernedIngest.processBatch(p2, b0again, 0L)()
+    assert(latest() === v0 + 2,
+      "a fresh incarnation's batch 0 must commit, not be marker-dropped")
+    assert(viewRows() === Set(("a", 2L, 125L), ("b", 1L, 50L),
+      ("c", 1L, 7L), ("d", 1L, 11L)))
+
+    // dead markers are pruned: by the time batch id runs, every batch
+    // below it is checkpoint-committed and can never replay — the marker
+    // dir stays O(1) per appId instead of one file per batch forever
+    GovernedIngest.processBatch(p2,
+      Seq((10L, "d", 2L)).toDF("id", "grp", "cents"), 1L)()
+    GovernedIngest.processBatch(p2,
+      Seq((11L, "d", 3L)).toDF("id", "grp", "cents"), 2L)()
+    val fs2 = new org.apache.hadoop.fs.Path(p.tablePath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val markers = fs2.listStatus(new org.apache.hadoop.fs.Path(
+      s"${p.tablePath}/_graft_ingest")).map(_.getPath.getName)
+      .filter(_.startsWith("admitted_incarnation2_"))
+    assert(markers.toSeq === Seq("admitted_incarnation2_b2"),
+      s"only the newest incarnation2 marker survives: ${markers.toSeq}")
   }
 }

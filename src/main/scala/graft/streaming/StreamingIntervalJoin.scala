@@ -47,6 +47,14 @@ import org.apache.spark.sql.functions._
   * independent of stream lifetime (spec-pinned via the statestore
   * reader; soak-measured in Bench).
   *
+  * Benign log noise: StreamingJoinHelper WARNs "Error trying to extract
+  * state constraint" (with an INTERNAL_ERROR about the raw micros
+  * column) while scanning the FULL condition — the `ts <= end` conjunct
+  * is over raw longs, which the constraint extractor cannot use. It
+  * then derives both state watermarks from the two `_pt_time`/`_iv_time`
+  * conjuncts, which is the design: the long conjunct is filter-only.
+  * Eviction is spec-asserted, so a regression here would be loud.
+  *
   * At 100 TB/day: the join shuffles both streams by key once (the
   * symmetric hash join's clustered distribution); state per executor is
   * the horizon's rows for its key range, and eviction is incremental
@@ -70,7 +78,8 @@ object StreamingIntervalJoin {
     */
   def pointInInterval(points: DataFrame, intervals: DataFrame,
       pKey: String, pTs: String, iKey: String, iStart: String, iEnd: String,
-      maxDurUs: Long, lateness: String = "10 minutes"): DataFrame = {
+      maxDurUs: Long, lateness: String = "10 minutes",
+      keepEventTime: Boolean = false): DataFrame = {
     require(maxDurUs > 0, s"maxDurUs must be positive, got $maxDurUs")
     val p = points
       .withColumn("_pt_time", timestamp_micros(col(pTs)))
@@ -88,14 +97,18 @@ object StreamingIntervalJoin {
             lit(" len="), (col(iEnd) - col(iStart)).cast("string")))))
       .withColumn("_iv_time", timestamp_micros(col(iStart)))
       .withWatermark("_iv_time", lateness)
-    p.join(i,
+    val joined = p.join(i,
         col(pKey) === col(iKey) &&
           col("_pt_time") >= col("_iv_time") &&
           col("_pt_time") <= col("_iv_time") +
             expr(s"INTERVAL $maxDurUs MICROSECOND") &&
           col(pTs) <= col(iEnd),
         "inner")
-      .drop("_pt_time", "_iv_time")
+      .drop("_iv_time")
+    // `_pt_time` is the join's PROPAGATED event-time column — a chained
+    // stateful consumer (windowed aggregation) groups on a window of it;
+    // re-watermarking downstream of the join is disallowed by Spark
+    if (keepEventTime) joined else joined.drop("_pt_time")
   }
 
   /** The streaming twin of `ev_attack_context`'s join stage: live events
@@ -108,4 +121,36 @@ object StreamingIntervalJoin {
       maxDurUs: Long, lateness: String = "10 minutes"): DataFrame =
     pointInInterval(events, attacks, "user_id", "ts_us",
       "target_id", "attack_start_us", "normal_ts_us", maxDurUs, lateness)
+
+  /** The AGGREGATED streaming twin of `ev_attack_context` — the full
+    * chained-stateful pipeline (stream-stream join → windowed
+    * aggregation, Spark's supported multi-stateful shape): each joined
+    * context row lands in a per-attack time-window FRAGMENT
+    * (frag_us, target_id, attack_start_us) → (n_ctx, sum_ctx), which
+    * closes in append mode when the watermark passes its window end.
+    * Spark disallows re-watermarking after the join, and a bare
+    * per-attack group has no event-time to finalize on — so the emitted
+    * unit is the window fragment, and fragments are ADDITIVE: count and
+    * DECIMAL sum are order-free, so the per-attack totals are an exact
+    * metadata-scale rollup of the emitted fragments (the
+    * StreamingDistinct "any span off the emitted table" discipline),
+    * spec-pinned equal to the batch join + dsum aggregate over the same
+    * rows. The decimal stays decimal in the fragments (a double partial
+    * would re-order the IEEE adds); the rollup casts at the very end,
+    * exactly where the batch `dsum` does.
+    */
+  def attackContextAggStream(events: DataFrame, attacks: DataFrame,
+      maxDurUs: Long, lateness: String = "10 minutes",
+      frag: String = "1 hour"): DataFrame =
+    pointInInterval(events, attacks, "user_id", "ts_us",
+      "target_id", "attack_start_us", "normal_ts_us", maxDurUs, lateness,
+      keepEventTime = true)
+      .groupBy(window(col("_pt_time"), frag),
+        col("target_id"), col("attack_start_us"))
+      .agg(count(lit(1)).as("n_ctx"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .as("sum_ctx"))
+      .select(unix_micros(col("window.start")).as("frag_us"),
+        col("target_id"), col("attack_start_us"), col("n_ctx"),
+        col("sum_ctx"))
 }

@@ -50,10 +50,10 @@ import graft.sources.{Materialized, Snapshots}
   * Net: every crash point between "batch delivered" and "checkpoint
   * written" replays to exactly one table version holding exactly one
   * copy of the batch's rows, and views equal the rebuild. The
-  * QUARANTINE path stays plain at-least-once: a replayed quarantined
-  * batch may append twice, but every row carries `_quarantined_batch`,
-  * so the replay-after-fix consumer dedupes on (batchId) — quarantine
-  * is a diagnostics holding pen, not a versioned table.
+  * QUARANTINE path is exactly-once by the same stage-and-move
+  * discipline (flat dir, per-(appId, batch) file prefix, replay wipes
+  * the crashed attempt's partials); rows additionally carry
+  * `_quarantined_batch` for the replay-after-fix consumer.
   *
   * Failure containment is the design point: a quarantined batch leaves
   * NO trace in the table, the version log, or any view — replaying it
@@ -117,29 +117,37 @@ object GovernedIngest {
     * under the `b<id>-` prefix → marker → commit → views. See the object
     * doc for the crash-window argument.
     */
-  private def admit(s: SparkSession, p: Pipeline, batch: DataFrame,
-      id: Long): Unit = {
-    val f = fs(s, p.tablePath)
-    val tableDir = new Path(p.tablePath)
-    // the moved-file prefix is appId-scoped like the marker: a fresh
-    // incarnation's batch 0 must never wipe a PRIOR incarnation's
-    // committed b0 files
-    val prefix = s"b_${p.appId}_$id-"
-    // wipe move targets of a crashed prior attempt: the marker (not yet
-    // written on this path) gates the commit, so none are referenced
-    if (f.exists(tableDir))
-      f.listStatus(tableDir).filter(_.isFile)
+  /** Idempotent flat-dir batch write: wipe this (appId, batch)'s moved
+    * files from a crashed prior attempt, stage fresh (overwrite wipes
+    * partial staging), rename the part files into `destDir` under the
+    * deterministic prefix. Every crash window replays to exactly one
+    * copy. The prefix is appId-scoped so a fresh incarnation's batch 0
+    * can never wipe a prior incarnation's files.
+    */
+  private def stageAndMove(s: SparkSession, p: Pipeline, batch: DataFrame,
+      destDir: Path, prefix: String, stageName: String): Unit = {
+    val f = fs(s, destDir.toString)
+    if (f.exists(destDir))
+      f.listStatus(destDir).filter(_.isFile)
         .filter(_.getPath.getName.startsWith(prefix))
         .foreach(st => f.delete(st.getPath, false))
-    val stage = new Path(s"${p.tablePath}/$IngestDir/stage_${p.appId}_b$id")
+    val stage = new Path(s"${p.tablePath}/$IngestDir/$stageName")
     batch.write.mode("overwrite").parquet(stage.toString)
+    f.mkdirs(destDir)
     f.listStatus(stage).filter(_.isFile)
       .filter(_.getPath.getName.startsWith("part-"))
       .foreach { st =>
-        val dst = new Path(tableDir, prefix + st.getPath.getName)
+        val dst = new Path(destDir, prefix + st.getPath.getName)
         require(f.rename(st.getPath, dst), s"ingest move failed: $dst")
       }
     f.delete(stage, true)
+  }
+
+  private def admit(s: SparkSession, p: Pipeline, batch: DataFrame,
+      id: Long): Unit = {
+    val f = fs(s, p.tablePath)
+    stageAndMove(s, p, batch, new Path(p.tablePath),
+      s"b_${p.appId}_$id-", s"stage_${p.appId}_b$id")
     val marker = new Path(s"${p.tablePath}/$IngestDir/${markerName(p, id)}")
     f.mkdirs(marker.getParent)
     f.create(marker, true).close()
@@ -169,8 +177,14 @@ object GovernedIngest {
         val ok = report.forall(_._4)
         onVerdict(StreamingQuality.BatchVerdict(id, ok, report))
         if (!ok) {
-          batch.withColumn("_quarantined_batch", lit(id))
-            .write.mode("append").parquet(p.quarantinePath)
+          // the quarantine write is exactly-once by the same
+          // stage-and-move discipline as the admit path (a replayed
+          // quarantined batch must not double its rows any more than an
+          // admitted one would); the dir stays FLAT so plain parquet
+          // reads of quarantinePath keep working
+          stageAndMove(s, p, batch.withColumn("_quarantined_batch", lit(id)),
+            new Path(p.quarantinePath), s"q_${p.appId}_$id-",
+            s"qstage_${p.appId}_b$id")
         } else {
           admit(s, p, batch, id)
         }

@@ -64,6 +64,14 @@ class GovernedIngestSpec extends SparkSpecBase {
       assert(quarantined.select("_quarantined_batch").distinct()
         .collect().map(_.getLong(0)).toSeq === Seq(1L))
 
+      // quarantine is exactly-once too: a replay of the SAME dirty batch
+      // id (Spark's at-least-once foreachBatch) must not double its rows
+      GovernedIngest.processBatch(p,
+        Seq((2L, "b", 999999L), (2L, "c", 10L)).toDF("id", "grp", "cents"),
+        1L)()
+      assert(spark.read.parquet(p.quarantinePath).count() === 2L,
+        "a replayed quarantined batch must not duplicate quarantine rows")
+
       // clean follow-up batch: new version, view == rebuild again
       mem.addData(Seq((3L, "a", 25L), (4L, "c", 7L)))
       q.processAllAvailable()

@@ -1542,6 +1542,78 @@ object DedupOps {
        |SELECT d1, p1, d2, p2, rep_len FROM runs WHERE rep_len >= 20
        |ORDER BY d1, p1, d2, p2""".stripMargin
 
+  /** Incremental repeat mining — the fifth incremental-ingest member
+    * (exact fingerprint, MinHash band, SimHash band, Bloom novelty, and
+    * now maximal repeats): a NEW batch's windows probe the corpus gram
+    * index and diagonal-chain into maximal batch×corpus repeats. The
+    * INCREMENTAL asymmetry carries the scale shape: the batch's gram set
+    * is small by assumption (it BROADCASTS), so the probe join streams
+    * the corpus grams past it ONCE map-side — the `doc_incr_dedup`
+    * invariant — and the chaining sort runs on the matched-pair set
+    * (output-scale). The df band [2, cap] is computed over corpus ∪
+    * batch so the probe admits exactly the grams the self-contained
+    * [[repeatMineOn]] would (corpus-hot boilerplate stays capped away);
+    * at scale that df index is PRECOMPUTED and appended to per batch
+    * (the `incrementalDedupOn` corpus-index note) — recomputing it here
+    * is the self-contained-query form and its one corpus aggregate.
+    * Cross-pairs only by design: d1 is always the corpus doc, d2 the
+    * batch doc (within-corpus history is [[repeatMineOn]]'s job;
+    * within-batch repeats are a batch-local rerun of it).
+    */
+  def incrementalRepeatOn(corpus: DataFrame, batch: DataFrame,
+      minLen: Long = 20L, cap: Long = 20L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cg = spanGrams(spanToks(corpus))
+    val bg = spanGrams(spanToks(batch))
+    // df over the union: a gram hot in the corpus must stay capped even
+    // if the batch holds it once
+    val df = cg.select("gram").unionByName(bg.select("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= cap).select("gram")
+    val bk = broadcast(bg.join(df, Seq("gram"), "left_semi")
+      .select(col("gram"), col("doc_id").as("d2"), col("pos").as("p2")))
+    val pairs = cg.join(bk, "gram")
+      .select(col("doc_id").as("d1"), col("pos").as("p1"),
+        col("d2"), col("p2"), (col("p2") - col("pos")).as("diag"))
+    val w = Window.partitionBy("d1", "d2", "diag").orderBy("p1")
+    pairs
+      .withColumn("grp", col("p1") - row_number().over(w).cast("long"))
+      .groupBy("d1", "d2", "diag", "grp")
+      .agg(min(col("p1")).as("s1"), min(col("p2")).as("s2"),
+        (max(col("p1")) - min(col("p1")) + lit(SpanK.toLong)).as("rep_len"))
+      .filter(col("rep_len") >= minLen)
+      .select(col("d1"), col("s1").as("p1"), col("d2"),
+        col("s2").as("p2"), col("rep_len"))
+      .orderBy("d1", "p1", "d2", "p2")
+  }
+
+  def incrementalRepeat(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.t(s, dir, "documents")
+    incrementalRepeatOn(
+      docs.filter(col("doc_id") % 5 =!= 0),
+      docs.filter(col("doc_id") % 5 === 0))
+  }
+
+  val incrementalRepeatOracle: String =
+    s"""WITH $sqlSpanGrams,
+       |ig AS (SELECT doc_id, pos, gram, doc_id % 5 = 0 AS is_batch
+       |       FROM grams),
+       |idf AS (SELECT gram FROM ig GROUP BY gram
+       |        HAVING COUNT(*) BETWEEN 2 AND 20),
+       |ip AS (SELECT c.doc_id AS d1, c.pos AS p1, b.doc_id AS d2,
+       |              b.pos AS p2, b.pos - c.pos AS diag
+       |       FROM ig c JOIN ig b ON c.gram = b.gram
+       |         AND NOT c.is_batch AND b.is_batch
+       |       WHERE c.gram IN (SELECT gram FROM idf)),
+       |iisl AS (SELECT d1, d2, diag, p1, p2,
+       |           p1 - row_number() OVER (PARTITION BY d1, d2, diag ORDER BY p1) AS grp
+       |         FROM ip),
+       |iruns AS (SELECT d1, d2, MIN(p1) AS p1, MIN(p2) AS p2,
+       |            CAST(MAX(p1) - MIN(p1) + $SpanK AS BIGINT) AS rep_len
+       |          FROM iisl GROUP BY d1, d2, diag, grp)
+       |SELECT d1, p1, d2, p2, rep_len FROM iruns WHERE rep_len >= 20
+       |ORDER BY d1, p1, d2, p2""".stripMargin
+
   val dupClustersOracle: String =
     s"""WITH RECURSIVE $sqlCappedPairs,
        |pairs AS (SELECT d1, d2 FROM jp),
@@ -2144,6 +2216,8 @@ object DedupOps {
     QueryDef("doc_dup_clusters", dupClusters, Some(dupClustersOracle)),
     QueryDef("doc_substring_dup", substringDup, Some(substringDupOracle)),
     QueryDef("doc_repeat_mine", repeatMine, Some(repeatMineOracle)),
+    QueryDef("doc_incr_repeat", incrementalRepeat,
+      Some(incrementalRepeatOracle)),
     QueryDef("doc_substring_scrub", substringScrub, Some(substringScrubOracle)),
     QueryDef("doc_incr_dedup", incrementalDedup, Some(incrementalOracle)),
     QueryDef("doc_incr_minhash", incrementalMinHash, Some(incrMinhashOracle)),

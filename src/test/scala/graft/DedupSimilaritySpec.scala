@@ -1191,6 +1191,35 @@ class DedupSimilaritySpec extends SparkSpecBase {
       s"one maximal find per planted pair, at every corpus size: $n20/$n40")
   }
 
+  test("incremental repeat mining: batch block found whole in the corpus, probe join broadcast") {
+    import spark.implicits._
+    import graft.operators.DedupOps
+    val block = (0 until 40).map(i => s"irb$i").mkString(" ")
+    val corpus = (Seq(
+      (1L, s"corpus head words " + block + " corpus tail"),
+      (2L, (0 until 30).map(i => s"c2w$i").mkString(" "))) ++
+      (0 until 3).map(k => (10L + k,
+        (0 until 25).map(i => s"cn${k}v$i").mkString(" "))))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, s"new doc starts here " + block),
+      (101L, (0 until 20).map(i => s"b1u$i").mkString(" ")))
+      .toDF("doc_id", "text")
+
+    val out = DedupOps.incrementalRepeatOn(corpus, batch)
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got === Seq((1L, 3L, 100L, 4L, 40L)),
+      s"the batch's 40-token block must surface whole against the corpus: $got")
+
+    // the probe join must broadcast the batch side — the corpus gram
+    // frame streams past it with no corpus-side hash exchange into the
+    // join (the df aggregate is the index-build cost, not the probe's)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"probe join must be broadcast:\n$plan")
+  }
+
   test("embedding contamination catches a paraphrase the n-gram screen provably cannot") {
     import spark.implicits._
     // a benchmark item and its PARAPHRASE: same meaning, zero shared

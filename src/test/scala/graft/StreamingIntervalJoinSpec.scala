@@ -237,6 +237,72 @@ class StreamingIntervalJoinSpec extends SparkSpecBase {
       "fixture sanity: real cross-restart matches existed")
   }
 
+  test("chained join->agg survives a checkpoint restart: rollup still equals batch") {
+    val base = java.nio.file.Files.createTempDirectory("ivj_agg_ckpt").toString
+    val (inP, inI, out, ck) = (s"$base/p", s"$base/i", s"$base/out", s"$base/ck")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inP))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inI))
+    def writeP(name: String, rows: Seq[(Long, Long, Double)]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(inP, name),
+        rows.map { case (k, t, v) =>
+          s"""{"user_id":$k,"ts_us":$t,"value":$v}""" }
+          .mkString("\n").getBytes("UTF-8"))
+    def writeI(name: String, rows: Seq[(Long, Long, Long)]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(inI, name),
+        rows.map { case (k, a, b) =>
+          s"""{"target_id":$k,"attack_start_us":$a,"normal_ts_us":$b}""" }
+          .mkString("\n").getBytes("UTF-8"))
+    val pSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "user_id LONG, ts_us LONG, value DOUBLE")
+    val iSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "target_id LONG, attack_start_us LONG, normal_ts_us LONG")
+    def runOnce(): Unit = {
+      val q = StreamingIntervalJoin.attackContextAggStream(
+        spark.readStream.format("json").schema(pSchema).load(inP),
+        spark.readStream.format("json").schema(iSchema).load(inI),
+        MaxDur, lateness = "10 minutes", frag = "15 minutes")
+        .writeStream.format("json")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val (ps1, ps2) = pointRows.sortBy(_._2).splitAt(pointRows.size / 2)
+    val (is1, is2) = intervalRows.sortBy(_._2).splitAt(intervalRows.size / 2)
+    writeP("p1.jsonl", ps1); writeI("i1.jsonl", is1)
+    runOnce()
+    // run 2: rest + far disjoint-key probes to close every fragment —
+    // both the JOIN buffers and the AGG cells must ride the checkpoint
+    writeP("p2.jsonl", ps2 ++ Seq((8L, 10000 * Min, 0.0), (8L, 10001 * Min, 0.0)))
+    writeI("i2.jsonl", is2 ++ Seq((9L, 10000 * Min, 10001 * Min)))
+    runOnce()
+    val outSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "frag_us LONG, target_id LONG, attack_start_us LONG, " +
+        "n_ctx LONG, sum_ctx DECIMAL(28,2)")
+    val rolled = spark.read.schema(outSchema).json(out)
+      .groupBy("target_id", "attack_start_us")
+      .agg(sum("n_ctx").as("n_ctx"),
+        sum("sum_ctx").cast("double").as("sum_ctx"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val batch = {
+      import spark.implicits._
+      val p = pointRows.toDF("user_id", "ts_us", "value")
+      val a = intervalRows.toDF("target_id", "attack_start_us", "normal_ts_us")
+      p.join(a, col("user_id") === col("target_id") &&
+          col("ts_us") >= col("attack_start_us") &&
+          col("ts_us") <= col("normal_ts_us"))
+        .groupBy("target_id", "attack_start_us")
+        .agg(count(lit(1)).as("n_ctx"), graft.Exact.dsum(col("value")).as("sum_ctx"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+    }
+    assert(rolled === batch,
+      "the two-stateful-operator chain must restore exactly across a restart")
+  }
+
   test("watermark evicts both sides' state: bounded by the horizon, not the run") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = java.nio.file.Files

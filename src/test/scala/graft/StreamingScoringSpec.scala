@@ -81,6 +81,54 @@ class StreamingScoringSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("checkpoint restart mid-day: restored cells score once, equal to batch") {
+    val base = java.nio.file.Files.createTempDirectory("als_ckpt").toString
+    val (in, out, ck) = (s"$base/in", s"$base/out", s"$base/ck")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    def writeIn(name: String, rows: Seq[(Long, String, Long)]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(in, name),
+        rows.map { case (u, t, ts) =>
+          s"""{"user_id":$u,"event_type":"$t","ts_us":$ts}""" }
+          .mkString("\n").getBytes("UTF-8"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "user_id LONG, event_type STRING, ts_us LONG")
+    def runOnce(): Unit = {
+      val q = StreamingScoring.ipinsightsStream(
+        spark.readStream.format("json").schema(schema).load(in))
+        .writeStream.format("json")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val us = knownUsers; val ts = knownTypes
+    val half1 = for (i <- 0 until 12) yield
+      (us(i % us.size), ts(i % ts.size), (i % 10).toLong * Hour)
+    val half2 = for (i <- 0 until 12) yield
+      (us((i * 5) % us.size), ts(i % ts.size), (10 + i % 8).toLong * Hour)
+
+    // run 1: half of day 0 — cells accumulate into the checkpoint,
+    // nothing closes
+    writeIn("p1.jsonl", half1)
+    runOnce()
+    val outSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "day_us LONG, user_id LONG, event_type STRING, n_pair LONG, score DOUBLE")
+    assert(spark.read.schema(outSchema).json(out).count() === 0L,
+      "an open day must not emit across a restart either")
+
+    // run 2 (fresh query, same checkpoint): the rest of day 0 + probes
+    // that close it — restored state must fold with the new rows so the
+    // closed cells equal the batch serve over BOTH halves, exactly once
+    writeIn("p2.jsonl", half2 ++ Seq((-1L, "probe", Day + 2 * Hour),
+      (-1L, "probe", Day + 3 * Hour)))
+    runOnce()
+    val got = spark.read.schema(outSchema).json(out)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(got === batchExpected(half1 ++ half2),
+      "restored cells must score once, bit-equal to the batch frozen serve")
+  }
+
   test("cells never emit provisionally — only at watermark close, once") {
     implicit val sqlCtx = spark.sqlContext
     val u = knownUsers.head; val t = knownTypes.head

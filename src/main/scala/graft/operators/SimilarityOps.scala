@@ -2723,14 +2723,19 @@ object SimilarityOps {
     * Both engines re-derive the identical probes, so the >0 flagged rows
     * are engine-vs-oracle-checked end-to-end.
     */
-  def embContamination(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.t(s, dir, "embeddings")
-    val probes = e.filter(col("vec_id") % 31 === 0)
+  /** The gated query's derived probe set, shared with the spec that pins
+    * the cell-index scale path against the broadcast scan.
+    */
+  private[graft] def contaminationProbes(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") % 31 === 0)
       .select(col("vec_id").as("probe_id"),
         expr("transform(embedding, (x, i) -> " +
           "IF(i = 0, CAST(CAST(x AS DOUBLE) + 0.05D AS FLOAT), x))")
           .as("probe_vec"))
-    embContaminationOn(e, probes)
+
+  def embContamination(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "embeddings")
+    embContaminationOn(e, contaminationProbes(e))
   }
 
   val embContaminationOracle: String =

@@ -1191,6 +1191,27 @@ class DedupSimilaritySpec extends SparkSpecBase {
       s"one maximal find per planted pair, at every corpus size: $n20/$n40")
   }
 
+  test("embedding contamination's scale path: cell-probe composition equals the broadcast scan") {
+    import graft.operators.SimilarityOps
+    import graft.sources.Tables
+    // the scaladoc's "a probe set too big to broadcast composes with the
+    // cell index" claim, PINNED: the triangle-inequality cell probe is
+    // lossless, so routing the same derived probes through
+    // incrementalCosineOn must flag the identical (vector, hits, max sim)
+    val e = Tables.t(spark, sf0001, "embeddings")
+    val probes = SimilarityOps.contaminationProbes(e)
+    val direct = SimilarityOps.embContaminationOn(e, probes, t = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaCells = SimilarityOps.incrementalCosineOn(e,
+        probes.select(col("probe_id").as("vec_id"),
+          col("probe_vec").as("embedding")), t = 0.99)
+      .groupBy(col("c_id").as("vec_id"))
+      .agg(count(lit(1)).as("n_probes_hit"), max("sim").as("max_sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(direct.nonEmpty && viaCells === direct,
+      s"cell path must lose nothing: direct=${direct.size} cells=${viaCells.size}")
+  }
+
   test("incremental repeat mining: batch block found whole in the corpus, probe join broadcast") {
     import spark.implicits._
     import graft.operators.DedupOps

@@ -995,6 +995,70 @@ object TextOps {
        |FROM tf JOIN df USING (token)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Sliding-window document chunking (r14) — the operator every
+    * RAG/pretraining pipeline runs BEFORE packing: each doc splits into
+    * fixed [[ChunkLen]]-token windows at stride [[ChunkStride]] (sized
+    * so the gate corpus — max 99 tokens/doc — genuinely exercises the
+    * multi-chunk overlap path, the mm_phash_dedup non-hollow lesson)
+    * (overlap = len − stride), with the standard no-redundant-tail rule:
+    * m = 1 for n ≤ len, else ceil((n − len) / stride) + 1 chunks — the
+    * last chunk reaches the end and no chunk is wholly contained in its
+    * predecessor. Emits stable (doc_id, chunk_idx) ids, token offsets,
+    * and an md5 content fingerprint (so the chunk table composes with
+    * the exact-dedup family directly — chunk-level dedup is the
+    * cross-doc boilerplate catcher at finer grain than doc fingerprints).
+    * One scan, array-local HOF windowing, zero shuffles beyond the
+    * output sort; at 100 TB the chunker is a pure map stage.
+    */
+  final val ChunkLen = 32
+  final val ChunkStride = 24
+
+  def chunk(s: SparkSession, dir: String): DataFrame = {
+    val (c, st) = (ChunkLen, ChunkStride)
+    Tables.t(s, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("m", when(col("n_tokens") <= c, lit(1L))
+        .otherwise(ceil((col("n_tokens") - c).cast(DoubleType) / st) + 1L))
+      .select(col("doc_id"), col("toks"), col("n_tokens"),
+        posexplode(expr(s"transform(sequence(0, CAST(m - 1 AS INT)), " +
+          s"k -> k * $st)")))
+      .withColumnRenamed("pos", "chunk_idx")
+      .withColumnRenamed("col", "start_tok")
+      .withColumn("chunk_idx", col("chunk_idx").cast("long"))
+      .withColumn("start_tok", col("start_tok").cast("long"))
+      .withColumn("n_tok",
+        least(lit(c.toLong), col("n_tokens") - col("start_tok")))
+      .withColumn("chunk_text", concat_ws(" ",
+        slice(col("toks"), col("start_tok").cast("int") + 1, lit(c))))
+      .withColumn("chunk_fp", md5(col("chunk_text")))
+      .select("doc_id", "chunk_idx", "start_tok", "n_tok", "chunk_fp",
+        "chunk_text")
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  val chunkOracle: String =
+    s"""WITH ct AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+       |cn AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |         CASE WHEN len(toks) <= $ChunkLen THEN 1
+       |              ELSE CAST(ceil((len(toks) - $ChunkLen) /
+       |                CAST($ChunkStride AS DOUBLE)) AS BIGINT) + 1 END AS m
+       |       FROM ct),
+       |cc0 AS (SELECT doc_id, toks, n_tokens,
+       |          CAST(unnest(generate_series(0, m - 1)) AS BIGINT) AS chunk_idx
+       |        FROM cn),
+       |cc AS (SELECT doc_id, toks, n_tokens, chunk_idx,
+       |         chunk_idx * $ChunkStride AS start_tok
+       |       FROM cc0),
+       |cx AS (SELECT doc_id, chunk_idx, start_tok,
+       |         least($ChunkLen, n_tokens - start_tok) AS n_tok,
+       |         array_to_string(toks[CAST(start_tok + 1 AS INT):
+       |           CAST(start_tok + $ChunkLen AS INT)], ' ') AS chunk_text
+       |       FROM cc)
+       |SELECT doc_id, chunk_idx, start_tok, CAST(n_tok AS BIGINT) AS n_tok,
+       |       md5(chunk_text) AS chunk_fp, chunk_text
+       |FROM cx ORDER BY doc_id, chunk_idx""".stripMargin
+
   /** Sequence packing (GPT-style concat-and-chop): documents are laid out
     * in doc_id order and cut into fixed 256-token training sequences; a
     * doc belongs to the sequence its first token lands in. Packing is PER
@@ -2407,6 +2471,7 @@ object TextOps {
     QueryDef("doc_tfidf_top", tfidfTop, Some(tfidfOracle)),
     QueryDef("doc_rare_tokens", rareTokenRatio, Some(rareTokenOracle)),
     QueryDef("doc_seq_pack", seqPack, Some(seqPackOracle)),
+    QueryDef("doc_chunk", chunk, Some(chunkOracle)),
     QueryDef("doc_sample_per_source", samplePerSource, Some(samplePerSourceOracle)),
     QueryDef("doc_weighted_sample", weightedSample, Some(weightedSampleOracle)),
     QueryDef("doc_mix_sample", mixSample, Some(mixSampleOracle)),

@@ -452,4 +452,38 @@ class TextAnalyticsSpec extends SparkSpecBase {
       assert(est(k) == n.toDouble, s"pair $k: sketch ${est(k)} vs exact $n")
     }
   }
+
+  test("chunker invariants: exact coverage, stride offsets, no redundant tail") {
+    import graft.operators.TextOps
+    val ch = TextOps.chunk(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(5)))
+    assert(ch.nonEmpty)
+    val docs = graft.sources.Tables.t(spark, sf0001, "documents")
+      .selectExpr("doc_id", "split(text, ' ') AS toks")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(ch.exists(_._2 > 0L), "multi-chunk docs must exist at gate scale")
+    ch.groupBy(_._1).foreach { case (id, rows) =>
+      val toks = docs(id)
+      val sorted = rows.sortBy(_._2)
+      // stride offsets + contiguous ids
+      sorted.zipWithIndex.foreach { case ((_, idx, start, _, _), i) =>
+        assert(idx == i && start == i * TextOps.ChunkStride)
+      }
+      // every chunk is the exact token window it claims
+      sorted.foreach { case (_, _, start, n, text) =>
+        assert(text == toks.slice(start.toInt, start.toInt + n.toInt)
+          .mkString(" "))
+        assert(n <= TextOps.ChunkLen)
+      }
+      // coverage: the last chunk reaches the doc end, and no chunk is
+      // wholly contained in its predecessor (the no-redundant-tail rule)
+      val (_, _, ls, ln, _) = sorted.last
+      assert(ls + ln == toks.size.toLong, s"doc $id tail not covered")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 + b._4 > a._3 + a._4)
+        case _ => ()
+      }
+    }
+  }
 }

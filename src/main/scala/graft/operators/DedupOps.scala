@@ -1022,6 +1022,214 @@ object DedupOps {
       |FROM batch b LEFT JOIN corpus c ON b.fp = c.fp
       |ORDER BY b.doc_id""".stripMargin
 
+  // ---- chunk-grain dedup (r15) -----------------------------------------
+  // doc_chunk emits md5 chunk fingerprints precisely so dedup can run at
+  // CHUNK grain: cross-doc boilerplate (headers, license blocks, templated
+  // paragraphs) duplicates chunks long before whole documents match.
+  // These queries wire the chunker into the dedup family end-to-end:
+  // per-chunk keeper verdicts, per-doc boilerplate fractions with a
+  // keep/scrub verdict, and the incremental batch-vs-corpus novelty
+  // probe. The scale shape is inherited: the chunker is a pure map stage,
+  // and everything after is one hash-shuffle on chunk_fp — the same plan
+  // exact doc dedup runs, at ~n/stride x the row count.
+
+  /** Per-chunk exact dedup over the chunk fingerprint table: the keeper
+    * of a fingerprint is the lexicographically smallest (doc_id,
+    * chunk_idx) occurrence; every other occurrence is a `dup` pointing at
+    * it. Keeper rows of multi-occurrence groups report `keeper`,
+    * singletons `uniq`, so downstream scrubbing can distinguish "drop
+    * this chunk" from "this chunk is the canonical copy".
+    */
+  def chunkDedupOn(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("chunk_fp")
+    TextOps.chunkOn(docs)
+      .select("doc_id", "chunk_idx", "chunk_fp")
+      .withColumn("k", min(struct(col("doc_id"), col("chunk_idx"))).over(w))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .withColumn("is_keeper",
+        col("doc_id") === col("k.doc_id") && col("chunk_idx") === col("k.chunk_idx"))
+      .select(
+        col("doc_id"), col("chunk_idx"), col("chunk_fp"),
+        when(col("is_keeper") && col("cnt") > 1, lit("keeper"))
+          .when(col("is_keeper"), lit("uniq"))
+          .otherwise(lit("dup")).as("status"),
+        when(!col("is_keeper"), col("k.doc_id")).as("keeper_doc"),
+        when(!col("is_keeper"), col("k.chunk_idx")).as("keeper_idx"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  def chunkDedup(s: SparkSession, dir: String): DataFrame =
+    chunkDedupOn(Tables.t(s, dir, "documents"))
+
+  val chunkDedupOracle: String =
+    s"""WITH ${TextOps.chunkCteSql("documents")},
+       |ch AS (SELECT doc_id, chunk_idx, md5(chunk_text) AS chunk_fp FROM cx),
+       |kd AS (SELECT chunk_fp, MIN(doc_id) AS keeper_doc,
+       |              CAST(COUNT(*) AS BIGINT) AS cnt
+       |       FROM ch GROUP BY chunk_fp),
+       |ki AS (SELECT ch.chunk_fp, MIN(ch.chunk_idx) AS keeper_idx
+       |       FROM ch JOIN kd ON ch.chunk_fp = kd.chunk_fp
+       |                      AND ch.doc_id = kd.keeper_doc
+       |       GROUP BY ch.chunk_fp)
+       |SELECT ch.doc_id, ch.chunk_idx, ch.chunk_fp,
+       |  CASE WHEN ch.doc_id = kd.keeper_doc AND ch.chunk_idx = ki.keeper_idx
+       |       THEN CASE WHEN kd.cnt > 1 THEN 'keeper' ELSE 'uniq' END
+       |       ELSE 'dup' END AS status,
+       |  CASE WHEN ch.doc_id = kd.keeper_doc AND ch.chunk_idx = ki.keeper_idx
+       |       THEN NULL ELSE kd.keeper_doc END AS keeper_doc,
+       |  CASE WHEN ch.doc_id = kd.keeper_doc AND ch.chunk_idx = ki.keeper_idx
+       |       THEN NULL ELSE ki.keeper_idx END AS keeper_idx
+       |FROM ch
+       |JOIN kd ON ch.chunk_fp = kd.chunk_fp
+       |JOIN ki ON ch.chunk_fp = ki.chunk_fp
+       |ORDER BY ch.doc_id, ch.chunk_idx""".stripMargin
+
+  /** Per-doc boilerplate verdict: a chunk is boilerplate when its
+    * fingerprint occurs in >= 2 DISTINCT docs (cross-doc repetition, the
+    * signature of templated text — intra-doc repeats are doc_repetition's
+    * job). A doc whose boilerplate fraction reaches 1/2 is `scrub`,
+    * else `keep`; the threshold compares 2*n_boiler >= n_chunks in
+    * integers so neither engine's float rounding can flip a verdict.
+    */
+  def chunkBoilerplateOn(docs: DataFrame): DataFrame = {
+    val ch = TextOps.chunkOn(docs).select("doc_id", "chunk_idx", "chunk_fp")
+    val nd = ch.groupBy("chunk_fp")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    ch.join(nd, Seq("chunk_fp"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_boiler"))
+      .select(
+        col("doc_id"), col("n_chunks"), col("n_boiler"),
+        (col("n_boiler").cast(DoubleType) / col("n_chunks").cast(DoubleType))
+          .as("boiler_frac"),
+        when(col("n_boiler") * 2 >= col("n_chunks"), lit("scrub"))
+          .otherwise(lit("keep")).as("verdict"))
+      .orderBy("doc_id")
+  }
+
+  def chunkBoilerplate(s: SparkSession, dir: String): DataFrame =
+    chunkBoilerplateOn(Tables.t(s, dir, "documents"))
+
+  val chunkBoilerplateOracle: String =
+    s"""WITH ${TextOps.chunkCteSql("documents")},
+       |ch AS (SELECT doc_id, chunk_idx, md5(chunk_text) AS chunk_fp FROM cx),
+       |nd AS (SELECT chunk_fp, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+       |       FROM ch GROUP BY chunk_fp),
+       |agg AS (SELECT ch.doc_id,
+       |          CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |          CAST(SUM(CASE WHEN nd.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |            AS n_boiler
+       |        FROM ch JOIN nd ON ch.chunk_fp = nd.chunk_fp
+       |        GROUP BY ch.doc_id)
+       |SELECT doc_id, n_chunks, n_boiler,
+       |       CAST(n_boiler AS DOUBLE) / CAST(n_chunks AS DOUBLE) AS boiler_frac,
+       |       CASE WHEN n_boiler * 2 >= n_chunks THEN 'scrub' ELSE 'keep' END
+       |         AS verdict
+       |FROM agg ORDER BY doc_id""".stripMargin
+
+  /** Incremental chunk novelty — the batch-vs-corpus probe at chunk
+    * grain: which fraction of an arriving doc's chunks already exist in
+    * the corpus chunk-fingerprint store? Same asymmetric plan as
+    * [[incrementalDedupOn]]: the batch's distinct fps BROADCAST, the
+    * corpus store streams past them ONCE (at scale the store is a
+    * maintained table appended per admitted batch, not recomputed); the
+    * bounded hit set broadcasts back onto the batch chunks. A doc is
+    * `dup_corpus` when every chunk is known, `new` when none is, and —
+    * the verdict exact doc dedup cannot give — `partial` when it shares
+    * some chunks (an edited near-copy or a doc quoting corpus text).
+    */
+  def incrementalChunkOn(corpus: DataFrame, batch: DataFrame): DataFrame =
+    incrementalChunkAgainst(TextOps.chunkOn(corpus).select("chunk_fp"), batch)
+
+  /** The probe core over any corpus fingerprint frame (one `chunk_fp`
+    * column, duplicates tolerated) — shared by the self-contained query
+    * and the persisted-store path ([[incrementalChunkFromStore]]).
+    */
+  def incrementalChunkAgainst(corpusFps: DataFrame, batch: DataFrame): DataFrame = {
+    val batchCh = TextOps.chunkOn(batch).select("doc_id", "chunk_idx", "chunk_fp")
+    val batchFps = batchCh.select("chunk_fp").distinct()
+    val knownFps = corpusFps.select("chunk_fp")
+      .join(broadcast(batchFps), Seq("chunk_fp"))
+      .distinct()
+    batchCh
+      .join(broadcast(knownFps.withColumn("known", lit(1L))), Seq("chunk_fp"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(coalesce(col("known"), lit(0L))).as("n_known"))
+      .select(
+        col("doc_id"), col("n_chunks"), col("n_known"),
+        (col("n_known").cast(DoubleType) / col("n_chunks").cast(DoubleType))
+          .as("known_frac"),
+        when(col("n_known") === col("n_chunks"), lit("dup_corpus"))
+          .when(col("n_known") === 0L, lit("new"))
+          .otherwise(lit("partial")).as("status"))
+      .orderBy("doc_id")
+  }
+
+  def incrementalChunk(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.t(s, dir, "documents")
+    incrementalChunkOn(
+      docs.filter(col("doc_id") % 5 =!= 0),
+      docs.filter(col("doc_id") % 5 === 0))
+  }
+
+  /** Persisted chunk-fingerprint store — the maintained-table form of the
+    * incremental probe's corpus side, mirroring the novelty index
+    * lifecycle ([[writeNoveltyIndex]]): build once from the corpus,
+    * probe arriving batches with ZERO corpus re-chunking, append each
+    * admitted batch's fingerprints so the next batch sees it as corpus.
+    * Rows are (chunk_fp, n) occurrence counts, bucketed on chunk_fp; the
+    * store is bounded by DISTINCT fingerprints per write — appending a
+    * batch adds at most its distinct-fp count, never its chunk count
+    * (ChunkDedupSpec pins the bound; the StreamingSpec leg drives the
+    * full stream lifecycle through foreachBatch).
+    */
+  def writeChunkFpStore(corpus: DataFrame, storePath: String): Unit = {
+    val fps = TextOps.chunkOn(corpus)
+      .groupBy("chunk_fp").agg(count(lit(1)).as("n"))
+    graft.sources.Bucketed.write(fps, s"$storePath/fps", "chunk_fp",
+      graft.sources.Bucketed.indexBuckets(corpus.sparkSession))
+  }
+
+  /** Probe: identical semantics to [[incrementalChunkOn]] over whatever
+    * corpus the store covers.
+    */
+  def incrementalChunkFromStore(s: SparkSession, batch: DataFrame,
+      storePath: String): DataFrame = {
+    val fps = graft.sources.Bucketed.read(s, s"$storePath/fps")
+      .map(_._1).getOrElse(s.read.parquet(s"$storePath/fps"))
+    incrementalChunkAgainst(fps.select("chunk_fp"), batch)
+  }
+
+  def appendToChunkFpStore(batch: DataFrame, storePath: String): Unit = {
+    val fps = TextOps.chunkOn(batch)
+      .groupBy("chunk_fp").agg(count(lit(1)).as("n"))
+    if (!graft.sources.Bucketed.append(fps, s"$storePath/fps"))
+      fps.write.mode("append").parquet(s"$storePath/fps")
+  }
+
+  val incrementalChunkOracle: String =
+    s"""WITH ${TextOps.chunkCteSql("documents")},
+       |ch AS (SELECT doc_id, chunk_idx, md5(chunk_text) AS chunk_fp FROM cx),
+       |corp AS (SELECT DISTINCT chunk_fp FROM ch WHERE doc_id % 5 <> 0),
+       |b AS (SELECT doc_id, chunk_idx, chunk_fp FROM ch WHERE doc_id % 5 = 0),
+       |agg AS (SELECT b.doc_id,
+       |          CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |          CAST(SUM(CASE WHEN corp.chunk_fp IS NOT NULL THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_known
+       |        FROM b LEFT JOIN corp ON b.chunk_fp = corp.chunk_fp
+       |        GROUP BY b.doc_id)
+       |SELECT doc_id, n_chunks, n_known,
+       |       CAST(n_known AS DOUBLE) / CAST(n_chunks AS DOUBLE) AS known_frac,
+       |       CASE WHEN n_known = n_chunks THEN 'dup_corpus'
+       |            WHEN n_known = 0 THEN 'new'
+       |            ELSE 'partial' END AS status
+       |FROM agg ORDER BY doc_id""".stripMargin
+
   /** Incremental NEAR-dup: batch docs probe the corpus's MinHash band
     * index. Same asymmetric plan — the corpus band index (at scale: a
     * maintained table, 16 rows per corpus doc) streams past the
@@ -2220,6 +2428,10 @@ object DedupOps {
       Some(incrementalRepeatOracle)),
     QueryDef("doc_substring_scrub", substringScrub, Some(substringScrubOracle)),
     QueryDef("doc_incr_dedup", incrementalDedup, Some(incrementalOracle)),
+    QueryDef("doc_chunk_dedup", chunkDedup, Some(chunkDedupOracle)),
+    QueryDef("doc_chunk_boilerplate", chunkBoilerplate,
+      Some(chunkBoilerplateOracle)),
+    QueryDef("doc_incr_chunk", incrementalChunk, Some(incrementalChunkOracle)),
     QueryDef("doc_incr_minhash", incrementalMinHash, Some(incrMinhashOracle)),
     QueryDef("doc_incr_simhash", incrementalSimHash, Some(incrSimhashOracle)),
     QueryDef("doc_dedup_keep_best", dedupKeepBest, Some(keepBestOracle)),

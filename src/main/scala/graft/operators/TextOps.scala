@@ -1013,9 +1013,17 @@ object TextOps {
   final val ChunkLen = 32
   final val ChunkStride = 24
 
-  def chunk(s: SparkSession, dir: String): DataFrame = {
+  def chunk(s: SparkSession, dir: String): DataFrame =
+    chunkOn(Tables.t(s, dir, "documents"))
+      .orderBy("doc_id", "chunk_idx")
+
+  /** The chunk frame WITHOUT the gate query's output sort — the
+    * composition surface (chunk-grain dedup, boilerplate verdicts,
+    * incremental chunk novelty all start here). Pure map stage.
+    */
+  def chunkOn(docs: DataFrame): DataFrame = {
     val (c, st) = (ChunkLen, ChunkStride)
-    Tables.t(s, dir, "documents")
+    docs
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("m", when(col("n_tokens") <= c, lit(1L))
@@ -1034,11 +1042,15 @@ object TextOps {
       .withColumn("chunk_fp", md5(col("chunk_text")))
       .select("doc_id", "chunk_idx", "start_tok", "n_tok", "chunk_fp",
         "chunk_text")
-      .orderBy("doc_id", "chunk_idx")
   }
 
-  val chunkOracle: String =
-    s"""WITH ct AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+  /** DuckDB CTE chain replaying [[chunkOn]] over `src` (a relation or
+    * parenthesized subquery). Terminal CTE is `cx(doc_id, chunk_idx,
+    * start_tok, n_tok, chunk_text)` — callers append their own SELECT
+    * (and md5 the text for `chunk_fp`, as the gate query does).
+    */
+  def chunkCteSql(src: String): String =
+    s"""ct AS (SELECT doc_id, str_split(text, ' ') AS toks FROM $src),
        |cn AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens,
        |         CASE WHEN len(toks) <= $ChunkLen THEN 1
        |              ELSE CAST(ceil((len(toks) - $ChunkLen) /
@@ -1054,10 +1066,14 @@ object TextOps {
        |         least($ChunkLen, n_tokens - start_tok) AS n_tok,
        |         array_to_string(toks[CAST(start_tok + 1 AS INT):
        |           CAST(start_tok + $ChunkLen AS INT)], ' ') AS chunk_text
-       |       FROM cc)
+       |       FROM cc)""".stripMargin
+
+  val chunkOracle: String =
+    s"""WITH ${chunkCteSql("documents")}
        |SELECT doc_id, chunk_idx, start_tok, CAST(n_tok AS BIGINT) AS n_tok,
        |       md5(chunk_text) AS chunk_fp, chunk_text
        |FROM cx ORDER BY doc_id, chunk_idx""".stripMargin
+
 
   /** Sequence packing (GPT-style concat-and-chop): documents are laid out
     * in doc_id order and cut into fixed 256-token training sequences; a

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DedupOps, TextOps}
+
+/** Planted semantics for the chunk-grain dedup family (r15): keeper
+  * verdicts at chunk grain, per-doc boilerplate fractions, the
+  * incremental batch-vs-corpus probe, and the persisted fingerprint
+  * store's bound (rows grow by DISTINCT fps per write, never by chunk
+  * occurrences).
+  *
+  * Corpus geometry: ChunkLen=32, stride=24, so an 80-token doc chunks at
+  * starts 0/24/48 — three chunks, pairwise-distinct fingerprints.
+  */
+class ChunkDedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def toks(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+  private val docA = toks("a", 80)
+  private val docC = toks("a", 32) + " " + (33 to 80).map(i => s"c$i").mkString(" ")
+  private val docD = toks("d", 80)
+
+  test("chunkDedupOn: copies dup to the smallest (doc,chunk) keeper; shared prefix dups only its aligned chunk") {
+    val docs = Seq((1L, docA), (2L, docA), (3L, docC), (4L, docD))
+      .toDF("doc_id", "text")
+    val out = DedupOps.chunkDedupOn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    assert(out.size == 12, s"4 docs x 3 chunks expected: ${out.size}")
+    // doc 2 is a full copy: every chunk dups to doc 1's same-index chunk
+    (0L to 2L).foreach { k =>
+      val r = out((2L, k))
+      assert(r.getString(3) == "dup" && r.getLong(4) == 1L && r.getLong(5) == k,
+        s"doc2 chunk $k must dup to (1,$k): $r")
+    }
+    // doc 3 shares only the aligned first window
+    assert(out((3L, 0L)).getString(3) == "dup" &&
+      out((3L, 0L)).getLong(4) == 1L && out((3L, 0L)).getLong(5) == 0L)
+    assert(out((3L, 1L)).getString(3) == "uniq")
+    assert(out((3L, 2L)).getString(3) == "uniq")
+    // doc 1's chunks are all keepers of multi-occurrence groups; keeper
+    // rows carry null pointers
+    (0L to 2L).foreach { k =>
+      assert(out((1L, k)).getString(3) == "keeper")
+      assert(out((1L, k)).isNullAt(4) && out((1L, k)).isNullAt(5))
+    }
+    (0L to 2L).foreach(k => assert(out((4L, k)).getString(3) == "uniq"))
+  }
+
+  test("chunkBoilerplateOn: cross-doc chunks scrub at the integer 1/2 threshold") {
+    val docs = Seq((1L, docA), (2L, docA), (3L, docC), (4L, docD))
+      .toDF("doc_id", "text")
+    val out = DedupOps.chunkBoilerplateOn(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // docs 1 and 2 share all three chunks -> frac 1.0 -> scrub
+    Seq(1L, 2L).foreach { d =>
+      assert(out(d).getLong(2) == 3L && out(d).getString(4) == "scrub", out(d))
+    }
+    // doc 3: one boilerplate chunk of three -> 2*1 < 3 -> keep
+    assert(out(3L).getLong(2) == 1L && out(3L).getString(4) == "keep", out(3L))
+    assert(out(3L).getDouble(3) == 1.0 / 3.0)
+    assert(out(4L).getLong(2) == 0L && out(4L).getString(4) == "keep")
+  }
+
+  test("incrementalChunkOn: full copy dup_corpus, shared prefix partial, unseen new") {
+    val corpus = Seq((1L, docA), (4L, docD)).toDF("doc_id", "text")
+    val batch = Seq((10L, docA), (11L, docC), (12L, toks("z", 80)))
+      .toDF("doc_id", "text")
+    val out = DedupOps.incrementalChunkOn(corpus, batch).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(10L).getString(4) == "dup_corpus" && out(10L).getLong(2) == 3L)
+    assert(out(11L).getString(4) == "partial" && out(11L).getLong(2) == 1L)
+    assert(out(11L).getDouble(3) == 1.0 / 3.0)
+    assert(out(12L).getString(4) == "new" && out(12L).getLong(2) == 0L)
+  }
+
+  test("chunk-fp store: probe == self-contained plan; appends grow by distinct fps, not chunk count") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-chunkstore")
+      .toString + "/store"
+    val corpus = Seq((1L, docA), (4L, docD)).toDF("doc_id", "text")
+    // two identical batch docs: 6 chunks, only 3 distinct fingerprints
+    val batch = Seq((10L, toks("z", 80)), (11L, toks("z", 80)))
+      .toDF("doc_id", "text")
+    DedupOps.writeChunkFpStore(corpus, dir)
+    val stored = () => spark.read.parquet(s"$dir/fps")
+    assert(stored().count() == 6L, "corpus store = its 6 distinct fps")
+
+    val fromStore = DedupOps.incrementalChunkFromStore(spark, batch, dir)
+      .collect().map(_.toSeq).toSeq
+    val selfContained = DedupOps.incrementalChunkOn(corpus, batch)
+      .collect().map(_.toSeq).toSeq
+    assert(fromStore == selfContained,
+      "store probe must equal the self-contained query")
+
+    DedupOps.appendToChunkFpStore(batch, dir)
+    assert(stored().count() == 9L,
+      "append adds the batch's 3 DISTINCT fps (6 chunks), pinning the bound")
+    val replay = DedupOps.incrementalChunkFromStore(spark, batch, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(replay == Map(10L -> "dup_corpus", 11L -> "dup_corpus"),
+      s"appended batch must replay as corpus: $replay")
+  }
+
+  test("gate split non-hollow at sf0.001: dup chunks and scrub verdicts exist") {
+    val docs = graft.sources.Tables.t(spark, sf0001, "documents")
+    val dd = DedupOps.chunkDedupOn(docs)
+      .groupBy("status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dd.getOrElse("dup", 0L) > 0L, s"fixture must contain dup chunks: $dd")
+    assert(dd.getOrElse("keeper", 0L) > 0L, s"keepers must surface: $dd")
+    // the chunk grain must agree with itself: every dup points at a chunk
+    // whose own status is keeper
+    val joined = DedupOps.chunkDedupOn(docs).alias("d")
+      .filter(col("d.status") === "dup")
+      .join(DedupOps.chunkDedupOn(docs).alias("k"),
+        col("d.keeper_doc") === col("k.doc_id") &&
+          col("d.keeper_idx") === col("k.chunk_idx"))
+      .filter(col("k.status") =!= "keeper")
+    assert(joined.count() == 0L, "every dup must point at a keeper row")
+  }
+}

@@ -1128,6 +1128,59 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("chunk-fp store serves a document stream via foreachBatch; state bounded by distinct fps") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-chunkstream")
+      .toString + "/store"
+    val corpus = graft.sources.Tables.t(spark, sf0001, "documents")
+      .filter(col("doc_id") % 5 =!= 0).select("doc_id", "text")
+    graft.operators.DedupOps.writeChunkFpStore(corpus, dir)
+    val storeRows = () => spark.read.parquet(s"$dir/fps").count()
+    val baseRows = storeRows()
+    val mem = MemoryStream[(Long, String)]
+    val statuses = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    // stateless per-micro-batch probe + append: the stream's state IS the
+    // persisted store, so the bound to pin is store growth — distinct fps
+    // per appended batch, never chunk occurrences
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val scored = graft.operators.DedupOps
+          .incrementalChunkFromStore(spark, batch, dir).collect()
+        statuses.synchronized {
+          statuses ++= scored.map(r =>
+            (r.getAs[Long]("doc_id"), r.getAs[String]("status")))
+        }
+        graft.operators.DedupOps.appendToChunkFpStore(batch, dir)
+        ()
+      }.start()
+    try {
+      val clone = corpus.orderBy("doc_id").limit(1).collect().head.getString(1)
+      val novelTxt = (1 to 80).map(i => s"stream$i").mkString(" ")
+      // two copies of the novel doc in one batch: 6 chunks, 3 distinct fps
+      mem.addData((9001L, clone), (9002L, novelTxt), (9003L, novelTxt))
+      q.processAllAvailable()
+      val afterB1 = storeRows()
+      // batch 2 replays the batch-1 novel doc: the append made it corpus
+      mem.addData((9004L, novelTxt))
+      q.processAllAvailable()
+      val byId = statuses.toMap
+      assert(byId(9001L) == "dup_corpus", s"corpus clone: $byId")
+      assert(byId(9002L) == "new" && byId(9003L) == "new",
+        s"unseen docs are new within their arrival batch: $byId")
+      assert(byId(9004L) == "dup_corpus",
+        s"batch-2 replay must see batch 1 appended as corpus: $byId")
+      // store bound: batch 1 appended clone fps (distinct within batch)
+      // + 3 novel fps — strictly fewer rows than its 6+clone chunks
+      val cloneFps = graft.operators.TextOps
+        .chunkOn(Seq((9001L, clone)).toDF("doc_id", "text"))
+        .select("chunk_fp").distinct().count()
+      assert(afterB1 == baseRows + cloneFps + 3L,
+        s"append must add distinct fps only: base=$baseRows after=$afterB1")
+      assert(storeRows() == afterB1 + 3L,
+        "batch-2 single novel replay appends its 3 distinct fps")
+    } finally q.stop()
+  }
+
   test("pathStream: folded stream paths match the batch top-20 exactly") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamingPaths

@@ -271,6 +271,18 @@ object ServeBench {
         w -> recallAndTime(() => SimilarityOps.knnPqServe(
           s, emb, s"$serveRoot/pq", rerank = w))
       }
+      // graph ANN (r15): no persisted tree — the adjacency derives
+      // in-plan from the frozen cells — but its recall rides the same
+      // hard floor at a sweep-chosen (seeds, out-degree) point. Uniform
+      // random is this family's adversarial corpus (no neighborhood
+      // structure for hops to exploit), so the serving point lands wide
+      // here and small on clustered data (GraphAnnSpec holds 0.9 at
+      // (6,6) on planted clusters).
+      val graphSweep = Seq((6, 6), (12, 8), (16, 12), (24, 16))
+        .map { case (sd, m) =>
+          (sd, m) -> recallAndTime(() =>
+            SimilarityOps.knnGraphFrozenOn(emb, seedsN = sd, m = m))
+        }
       // pick with MARGIN where a bigger knob exists (floor + 0.1 first —
       // the r13 verdict's margin ask — then + 0.05 so a knife-edge 0.80
       // can't flip the hard require on a re-measure), falling back to
@@ -285,6 +297,8 @@ object ServeBench {
       ivfNprobeChosen = ivfNp
       ivfRerankChosen = ivfW
       pqRerankChosen = pick(pqSweep)
+      val (graphS, graphM) = pick(graphSweep)
+      val graphRecall = graphSweep.find(_._1 == ((graphS, graphM))).get._2._1
 
       // interleaved passes: every (family, form) gets `draws` temporally
       // separated samples; report the min (steady-state serving cost)
@@ -319,17 +333,19 @@ object ServeBench {
       }
       val recallVals = Seq("pq", "ivfpq", "mrl").map(n => n -> recallOf(n))
       val recalls = (recallVals
-        .map { case (n, r) => s""""$n":$r""" } :+ s""""hybrid":$hybridRecall""")
+        .map { case (n, r) => s""""$n":$r""" } :+
+        s""""graph":$graphRecall""" :+ s""""hybrid":$hybridRecall""")
         .mkString("{", ",", "}")
       // HARD recall floor in the bench of record (r12 verdict #3): every
       // served ANN family must reach 0.8 at its recorded serving point —
       // a regression fails the bench loudly instead of logging a number.
       // ivfpq/mrl hold it by the sweep-chosen knob; pq by the auto
       // shortlist; hybrid by construction (RRF of two floored rankers).
-      (recallVals :+ ("hybrid" -> hybridRecall)).foreach { case (n, r) =>
-        require(r >= floor,
-          f"index_serve recall floor: $n served recall@10 $r%.3f < $floor")
-      }
+      (recallVals :+ ("graph" -> graphRecall) :+ ("hybrid" -> hybridRecall))
+        .foreach { case (n, r) =>
+          require(r >= floor,
+            f"index_serve recall floor: $n served recall@10 $r%.3f < $floor")
+        }
       val mrlSweepJson = mrlSweep.map { case (w, (r, t)) =>
         f"""{"rerank":$w,"recall":$r,"sec":$t%.3f}""" }.mkString("[", ",", "]")
       val ivfSweepJson = ivfSweep.map { case ((np, w), (r, t)) =>
@@ -337,13 +353,23 @@ object ServeBench {
         .mkString("[", ",", "]")
       val pqSweepJson = pqSweep.map { case (w, (r, t)) =>
         f"""{"rerank":$w,"recall":$r,"sec":$t%.3f}""" }.mkString("[", ",", "]")
+      val graphSweepJson = graphSweep.map { case ((sd, m), (r, t)) =>
+        f"""{"seeds":$sd,"degree":$m,"recall":$r,"sec":$t%.3f}""" }
+        .mkString("[", ",", "]")
+      // sweep cost reported SEPARATELY from build (r14 verdict #4: the
+      // r13->r14 "index_build.hybrid" growth was sweep extension, not
+      // build regression — this key makes the two impossible to conflate)
+      def sweepSec(xs: Seq[(_, (Double, Double))]): Double =
+        math.round(xs.map(_._2._2).sum * 1000) / 1000.0
+      val sweepSecs = s"""{"mrl":${sweepSec(mrlSweep)},"ivfpq":${sweepSec(ivfSweep)},"pq":${sweepSec(pqSweep)},"graph":${sweepSec(graphSweep)}}"""
       s"""{"build":${obj(builds)},""" +
+        s""""sweep_sec":$sweepSecs,""" +
         s""""direct":${obj(n => samples((n, "direct")).min)},""" +
         s""""serve":${obj(n => samples((n, "serve")).min)},""" +
         s""""recall":$recalls,""" +
         s""""recall_floor":$floor,""" +
-        s""""serving_point":{"mrl_rerank":$mrlRerankChosen,"ivfpq_nprobe":$ivfNprobeChosen,"ivfpq_rerank":$ivfRerankChosen,"pq_rerank":$pqRerankChosen},""" +
-        s""""sweep":{"mrl":$mrlSweepJson,"ivfpq":$ivfSweepJson,"pq":$pqSweepJson},""" +
+        s""""serving_point":{"mrl_rerank":$mrlRerankChosen,"ivfpq_nprobe":$ivfNprobeChosen,"ivfpq_rerank":$ivfRerankChosen,"pq_rerank":$pqRerankChosen,"graph_seeds":$graphS,"graph_degree":$graphM},""" +
+        s""""sweep":{"mrl":$mrlSweepJson,"ivfpq":$ivfSweepJson,"pq":$pqSweepJson,"graph":$graphSweepJson},""" +
         """"recall_basis":"uniform-random sf fixture, recall@10 of the served answer vs exact brute; the 0.8 floor is HARD-required at the recorded serving point, which the sweep picks as the smallest knob holding it on this corpus; recall@10 >= 0.9 additionally spec-enforced on planted clusters in DedupSimilaritySpec; hybrid = served fused top-k vs the direct full-scan fusion"}"""
     } finally {
       // bucketed serving tables registered in the catalog must not outlive

@@ -1697,8 +1697,17 @@ object DedupOps {
     * xxhash64(gram) — 8 bytes a row, the `doc_minhash_lsh` basis
     * discipline with its md5 oracle-parity twin.
     */
-  def repeatMineOn(docs: DataFrame, minLen: Long = 20L,
-      cap: Long = 20L): DataFrame = {
+  /** Shared defaults for the repeat-mining family, interpolated into
+    * BOTH the Scala signatures and the oracle SQL so the documented
+    * DuckDB replay can never silently diverge from the defaults (the
+    * oracles replay exactly this configuration; non-default calls are a
+    * Scala-API-only surface).
+    */
+  private[graft] final val RepMinLen = 20L
+  private[graft] final val RepDfCap = 20L
+
+  def repeatMineOn(docs: DataFrame, minLen: Long = RepMinLen,
+      cap: Long = RepDfCap): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val grams = spanGrams(spanToks(docs))
     val kept = grams.join(
@@ -1734,7 +1743,7 @@ object DedupOps {
   val repeatMineOracle: String =
     s"""WITH $sqlSpanGrams,
        |rdf AS (SELECT gram FROM grams GROUP BY gram
-       |        HAVING COUNT(*) BETWEEN 2 AND 20),
+       |        HAVING COUNT(*) BETWEEN 2 AND $RepDfCap),
        |rk AS (SELECT g.doc_id, g.pos, g.gram FROM grams g JOIN rdf USING (gram)),
        |rp AS (SELECT a.doc_id AS d1, a.pos AS p1, b.doc_id AS d2, b.pos AS p2,
        |              b.pos - a.pos AS diag
@@ -1747,7 +1756,7 @@ object DedupOps {
        |runs AS (SELECT d1, d2, MIN(p1) AS p1, MIN(p2) AS p2,
        |           CAST(MAX(p1) - MIN(p1) + $SpanK AS BIGINT) AS rep_len
        |         FROM isl GROUP BY d1, d2, diag, grp)
-       |SELECT d1, p1, d2, p2, rep_len FROM runs WHERE rep_len >= 20
+       |SELECT d1, p1, d2, p2, rep_len FROM runs WHERE rep_len >= $RepMinLen
        |ORDER BY d1, p1, d2, p2""".stripMargin
 
   /** Incremental repeat mining — the fifth incremental-ingest member
@@ -1769,7 +1778,7 @@ object DedupOps {
     * within-batch repeats are a batch-local rerun of it).
     */
   def incrementalRepeatOn(corpus: DataFrame, batch: DataFrame,
-      minLen: Long = 20L, cap: Long = 20L): DataFrame = {
+      minLen: Long = RepMinLen, cap: Long = RepDfCap): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cg = spanGrams(spanToks(corpus))
     val bg = spanGrams(spanToks(batch))
@@ -1807,7 +1816,7 @@ object DedupOps {
        |ig AS (SELECT doc_id, pos, gram, doc_id % 5 = 0 AS is_batch
        |       FROM grams),
        |idf AS (SELECT gram FROM ig GROUP BY gram
-       |        HAVING COUNT(*) BETWEEN 2 AND 20),
+       |        HAVING COUNT(*) BETWEEN 2 AND $RepDfCap),
        |ip AS (SELECT c.doc_id AS d1, c.pos AS p1, b.doc_id AS d2,
        |              b.pos AS p2, b.pos - c.pos AS diag
        |       FROM ig c JOIN ig b ON c.gram = b.gram
@@ -1819,7 +1828,7 @@ object DedupOps {
        |iruns AS (SELECT d1, d2, MIN(p1) AS p1, MIN(p2) AS p2,
        |            CAST(MAX(p1) - MIN(p1) + $SpanK AS BIGINT) AS rep_len
        |          FROM iisl GROUP BY d1, d2, diag, grp)
-       |SELECT d1, p1, d2, p2, rep_len FROM iruns WHERE rep_len >= 20
+       |SELECT d1, p1, d2, p2, rep_len FROM iruns WHERE rep_len >= $RepMinLen
        |ORDER BY d1, p1, d2, p2""".stripMargin
 
   val dupClustersOracle: String =

@@ -123,6 +123,17 @@ object GovernedIngest {
     * deterministic prefix. Every crash window replays to exactly one
     * copy. The prefix is appId-scoped so a fresh incarnation's batch 0
     * can never wipe a prior incarnation's files.
+    *
+    * Staging lives under `destDir/_graft_ingest` — the DESTINATION's own
+    * filesystem — so the rename is always a same-FS move (a quarantine
+    * path on a different filesystem than the table still admits
+    * correctly; the leading-underscore dir is invisible to plain parquet
+    * reads of the flat dir). Caveat that cannot be engineered away here:
+    * on object stores whose `rename` is copy+delete the move is not
+    * atomic — the crash window is still closed by the wipe-by-prefix
+    * replay, but readers may see a partial batch between crash and
+    * replay; front such a table with the snapshot/manifest layer
+    * ([[graft.sources.Snapshots]]) when that matters.
     */
   private def stageAndMove(s: SparkSession, p: Pipeline, batch: DataFrame,
       destDir: Path, prefix: String, stageName: String): Unit = {
@@ -131,7 +142,7 @@ object GovernedIngest {
       f.listStatus(destDir).filter(_.isFile)
         .filter(_.getPath.getName.startsWith(prefix))
         .foreach(st => f.delete(st.getPath, false))
-    val stage = new Path(s"${p.tablePath}/$IngestDir/$stageName")
+    val stage = new Path(s"$destDir/$IngestDir/$stageName")
     batch.write.mode("overwrite").parquet(stage.toString)
     f.mkdirs(destDir)
     f.listStatus(stage).filter(_.isFile)

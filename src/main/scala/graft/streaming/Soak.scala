@@ -353,9 +353,10 @@ object Soak {
 
   /** In-stream frozen-model scoring soak ([[StreamingScoring]]): a rate
     * source synthesizes events over REAL frozen-factor keys (so the
-    * cold-start drop never zeroes the output) with event time running
-    * ~86400× real time — daily cells open, fill, close at the watermark
-    * and score every few real seconds. `attacks` counts scored cell
+    * cold-start drop never zeroes the output) with event time advancing
+    * at ~rowsPerSecond seconds per real second (ts_us = value·1e6 —
+    * ~30000× real time at the Bench default of 30k rows/s) — daily cells
+    * open, fill, close at the watermark and score every few real seconds. `attacks` counts scored cell
     * releases; state = the open cells of the live horizon (bounded by
     * |users|×|types| per open day, never stream length). The factors ride
     * as broadcast statics — they never enter the state store.

@@ -22,7 +22,17 @@ import graft.operators.QualityGate
   */
 object StreamingQuality {
 
-  /** One micro-batch's verdict: the full rule report plus the admit bit. */
+  /** One micro-batch's verdict: the full rule report plus the admit bit.
+    *
+    * Delivery to verdict callbacks is AT-LEAST-ONCE while the data path
+    * is exactly-once: a replayed batch whose crash window closed before
+    * the admit marker re-fires the callback with the same `batchId`, and
+    * a replay that finds the marker fires none (the verdict was already
+    * delivered in the attempt that wrote it). Consumers must therefore
+    * be idempotent BY BATCH ID — dedup on `batchId` (per pipeline appId)
+    * before alerting/billing; GovernedIngestSpec's quarantine-replay
+    * test exercises the double-fire.
+    */
   final case class BatchVerdict(batchId: Long, admitted: Boolean,
       report: Seq[(String, Long, Long, Boolean)])
 

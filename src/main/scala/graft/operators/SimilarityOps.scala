@@ -570,6 +570,175 @@ object SimilarityOps {
        |FROM ranked WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin
   }
 
+  /** Largest out-degree the persisted graph index stores per vector —
+    * the ceiling of the sweep grid; serves at any degree <= this are
+    * EXACTLY equal to a direct build at that degree (append-safe: see
+    * [[appendToGraphIndex]]'s superset argument).
+    */
+  final val GraphMaxDegree = 16
+
+  /** Persisted graph-ANN index — the maintained-table form of
+    * [[knnGraphFrozenOn]], same lifecycle as the PQ/IVF families:
+    *  - `cells/`  (vec_id, embedding, is_prim) PARTITIONED BY the frozen
+    *    cell id under top-2 multi-assignment — the seed probe lists only
+    *    the query's primary-cell directory, edge construction on append
+    *    lists only the batch's cells;
+    *  - `adj/`    (u, v, sim) BUCKETED on u — hop lookups bucket-prune;
+    *    build stores each u's top-[[GraphMaxDegree]] by (sim desc, v asc),
+    *    the serve-time window re-ranks whatever rows the point lookup
+    *    returns, so appended unranked edges compose exactly;
+    *  - `raw/`    (vec_id, embedding) bucketed on vec_id — the exact
+    *    re-rank's point-lookup table (the PQ index convention).
+    */
+  def writeGraphIndexOn(corpus: DataFrame, indexPath: String): Unit = {
+    val s = corpus.sparkSession
+    val withD2 = withFrozenCellDists(Tables.spread(corpus))
+    val aw = Window.partitionBy("vec_id").orderBy(col("d2").asc, col("cell").asc)
+    val cells = withD2
+      .select(col("vec_id"), col("embedding"),
+        posexplode(col("d2s")).as(Seq("ci0", "d2")))
+      .withColumn("cell", col("ci0") + 1)
+      .withColumn("rk", row_number().over(aw))
+      .filter(col("rk") <= 2)
+      .select(col("vec_id"), col("embedding"), (col("rk") === 1).as("is_prim"),
+        col("cell"))
+    cells.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexPath/cells")
+    val adj = graphEdgesTopK(
+      cells.select(col("cell"), col("vec_id").as("u"), col("embedding").as("ue")),
+      cells.select(col("cell"), col("vec_id").as("v"), col("embedding").as("ve")))
+    graft.sources.Bucketed.write(adj, s"$indexPath/adj", "u",
+      graft.sources.Bucketed.indexBuckets(s))
+    graft.sources.Bucketed.write(corpus.select("vec_id", "embedding"),
+      s"$indexPath/raw", "vec_id", graft.sources.Bucketed.indexBuckets(s))
+  }
+
+  /** Distinct shared-cell pairs of the two (cell, id, embedding) sides,
+    * scored and cut to each u's top-[[GraphMaxDegree]].
+    */
+  private def graphEdgesTopK(left: DataFrame, right: DataFrame): DataFrame = {
+    val gw = Window.partitionBy("u").orderBy(col("sim").desc, col("v").asc)
+    left.join(right, Seq("cell"))
+      .filter(col("u") =!= col("v"))
+      .select("u", "ue", "v", "ve").dropDuplicates("u", "v")
+      .withColumn("sim", graftCosine(col("ue"), col("ve")))
+      .withColumn("rk", row_number().over(gw))
+      .filter(col("rk") <= GraphMaxDegree)
+      .select("u", "v", "sim")
+  }
+
+  /** Serve the persisted graph index for an explicit query frame
+    * (vec_id, embedding): primary-cell seed probe off `cells/`, `hops`
+    * bounded expansion off `adj/` (per-u top-`degree` re-ranked at serve
+    * time over the point-looked-up rows only), exact re-rank off `raw/`.
+    * Element-exact equal to [[knnGraphFrozenOn]] at the same knobs
+    * (GraphIndexSpec pins it, including across appends).
+    */
+  def knnGraphServe(s: SparkSession, queries: DataFrame, indexPath: String,
+      seedsN: Int = GraphSeeds, degree: Int = GraphM, hops: Int = 2): DataFrame = {
+    require(degree <= GraphMaxDegree,
+      s"stored adjacency holds top-$GraphMaxDegree per vector; degree $degree exceeds it")
+    require(hops >= 0 && hops <= 2, s"bounded expansion supports 0..2 hops, got $hops")
+    val qs = withFrozenCellDists(queries)
+      .withColumn("cell", frozenCell)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("cell"))
+    val cells = s.read.parquet(s"$indexPath/cells")
+    val sw = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
+    val seeds = cells.filter(col("is_prim"))
+      .join(broadcast(qs), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", graftCosine(col("q_emb"), col("embedding")))
+      .withColumn("rk", row_number().over(sw))
+      .filter(col("rk") <= seedsN)
+      .select(col("q_id"), col("vec_id").as("n"))
+    val adjAll = graft.sources.Bucketed.read(s, s"$indexPath/adj")
+      .map(_._1).getOrElse(s.read.parquet(s"$indexPath/adj"))
+    // per-u top-degree over ONLY the rows the id lookup returns: appended
+    // edges carry no stored rank, the serve window ranks them uniformly
+    def expand(frontier: DataFrame): DataFrame = {
+      val ew = Window.partitionBy("q_id", "u").orderBy(col("sim").desc, col("v").asc)
+      // distinct first: a node reached from two frontier members would
+      // otherwise duplicate its edge rows and the duplicates would
+      // consume row_number rank slots, silently shrinking the cut
+      val f = frontier.distinct()
+      f.join(adjAll, f("n") === adjAll("u"))
+        .withColumn("rk", row_number().over(ew))
+        .filter(col("rk") <= degree)
+        .select(col("q_id"), col("v").as("n"))
+    }
+    val frontiers = Iterator.iterate(seeds)(expand).take(hops + 1).toSeq
+    val cand = frontiers.reduce(_.union(_)).distinct()
+      .filter(col("n") =!= col("q_id"))
+    val raw = graft.sources.Bucketed.read(s, s"$indexPath/raw")
+      .map(_._1).getOrElse(s.read.parquet(s"$indexPath/raw"))
+    val rw = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n").asc)
+    cand
+      .join(raw.select(col("vec_id").as("n"), col("embedding").as("ne")), Seq("n"))
+      .join(broadcast(qs.select(col("q_id"), col("q_emb"))), Seq("q_id"))
+      .withColumn("sim", graftCosine(col("q_emb"), col("ne")))
+      .withColumn("rnk", row_number().over(rw).cast("long"))
+      .filter(col("rnk") <= 10)
+      .select(col("q_id"), col("n").as("n_id"), col("rnk"), col("sim"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** Incremental-ingest form: assign the NEW batch to its top-2 frozen
+    * cells, list ONLY those cells' members, and append
+    *  - the new vectors' top-[[GraphMaxDegree]] edge lists (their full
+    *    candidate set is present at append time, so their lists equal a
+    *    full rebuild's), and
+    *  - RAW reverse edges (existing u → new v, unranked) for every
+    *    shared-cell pair — the serve-time window re-ranks, and for any
+    *    degree <= [[GraphMaxDegree]] the union {stored top-16 of the old
+    *    corpus} ∪ {all old→new shared-cell edges} is a SUPERSET of the
+    *    full rebuild's top-degree (dropping candidates only improves an
+    *    old edge's rank), so serve == rebuild exactly.
+    * No existing row is touched; the cost is one bounded probe of the
+    * batch's cells, never a corpus pass.
+    */
+  def appendToGraphIndex(batch: DataFrame, indexPath: String): Unit = {
+    val s = batch.sparkSession
+    val withD2 = withFrozenCellDists(Tables.spread(batch))
+    val aw = Window.partitionBy("vec_id").orderBy(col("d2").asc, col("cell").asc)
+    val newCells = withD2
+      .select(col("vec_id"), col("embedding"),
+        posexplode(col("d2s")).as(Seq("ci0", "d2")))
+      .withColumn("cell", col("ci0") + 1)
+      .withColumn("rk", row_number().over(aw))
+      .filter(col("rk") <= 2)
+      .select(col("vec_id"), col("embedding"), (col("rk") === 1).as("is_prim"),
+        col("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val touched = newCells.select("cell").distinct()
+    val existing = s.read.parquet(s"$indexPath/cells")
+      .join(broadcast(touched), Seq("cell"))
+      .select(col("cell"), col("vec_id"), col("embedding"))
+    val newSide = newCells.select(col("cell"), col("vec_id").as("u"),
+      col("embedding").as("ue"))
+    val allSide = existing
+      .select(col("cell"), col("vec_id").as("v"), col("embedding").as("ve"))
+      .union(newCells.select(col("cell"), col("vec_id").as("v"),
+        col("embedding").as("ve")))
+    // new u: ranked lists over their complete candidate set
+    val newEdges = graphEdgesTopK(newSide, allSide)
+    // old u: raw reverse edges, serve-time window ranks them
+    val revEdges = existing
+      .select(col("cell"), col("vec_id").as("u"), col("embedding").as("ue"))
+      .join(newCells.select(col("cell"), col("vec_id").as("v"),
+        col("embedding").as("ve")), Seq("cell"))
+      .select("u", "ue", "v", "ve").dropDuplicates("u", "v")
+      .withColumn("sim", graftCosine(col("ue"), col("ve")))
+      .select("u", "v", "sim")
+    val edges = newEdges.union(revEdges)
+    if (!graft.sources.Bucketed.append(edges, s"$indexPath/adj"))
+      edges.write.mode("append").parquet(s"$indexPath/adj")
+    newCells.write.mode("append").partitionBy("cell")
+      .parquet(s"$indexPath/cells")
+    graft.sources.Bucketed.append(
+      batch.select("vec_id", "embedding"), s"$indexPath/raw")
+    newCells.unpersist()
+  }
+
   /** The IVF core over any (vec_id, embedding) frame — factored so the
     * planted-cluster recall spec can drive it on a corpus with real
     * cluster structure (the sf fixtures are uniform random, where a

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.SimilarityOps
+import graft.sources.{Bucketed, Tables}
+
+/** Persisted graph-ANN index lifecycle: the served answer must equal the
+  * self-contained plan at identical knobs, build + append must equal a
+  * full rebuild (the maintained-table contract every index family holds),
+  * and the stored adjacency must respect its degree bound.
+  */
+class GraphIndexSpec extends SparkSpecBase {
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).toSeq
+
+  private def freshDir() =
+    java.nio.file.Files.createTempDirectory("graft-graphidx").toString + "/g"
+
+  private def cleanup(dir: String): Unit = {
+    Seq(s"$dir/adj", s"$dir/raw").foreach { p =>
+      try Bucketed.dropRegistration(spark, p) catch { case _: Throwable => () }
+    }
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(dir).getParentFile).deleteRecursively()
+  }
+
+  test("serve == direct at identical knobs (two serving points)") {
+    val corpus = Tables.spread(Tables.t(spark, sf0001, "embeddings"))
+    val dir = freshDir()
+    try {
+      SimilarityOps.writeGraphIndexOn(corpus, dir)
+      val queries = corpus.filter(col("vec_id") < 10)
+      for ((sN, d) <- Seq((6, 6), (16, 12))) {
+        val served = rows(SimilarityOps.knnGraphServe(spark, queries, dir,
+          seedsN = sN, degree = d))
+        val direct = rows(SimilarityOps.knnGraphFrozenOn(corpus,
+          seedsN = sN, m = d))
+        assert(served == direct, s"serve != direct at (seeds=$sN, degree=$d)")
+      }
+    } finally cleanup(dir)
+  }
+
+  test("build + append == full rebuild, including at the stored-degree ceiling") {
+    val corpus = Tables.spread(Tables.t(spark, sf0001, "embeddings"))
+    // queries stay in the base so both trees serve the identical corpus
+    val base = corpus.filter(col("vec_id") < 10 || col("vec_id") % 3 =!= 0)
+    val batch = corpus.filter(col("vec_id") >= 10 && col("vec_id") % 3 === 0)
+    val (dirA, dirB) = (freshDir(), freshDir())
+    try {
+      SimilarityOps.writeGraphIndexOn(base, dirA)
+      SimilarityOps.appendToGraphIndex(batch, dirA)
+      SimilarityOps.writeGraphIndexOn(corpus, dirB)
+      val queries = corpus.filter(col("vec_id") < 10)
+      for ((sN, d) <- Seq((16, 12), (16, SimilarityOps.GraphMaxDegree))) {
+        val appended = rows(SimilarityOps.knnGraphServe(spark, queries, dirA,
+          seedsN = sN, degree = d))
+        val rebuilt = rows(SimilarityOps.knnGraphServe(spark, queries, dirB,
+          seedsN = sN, degree = d))
+        val direct = rows(SimilarityOps.knnGraphFrozenOn(corpus,
+          seedsN = sN, m = d))
+        assert(appended == rebuilt,
+          s"append path diverged from rebuild at (seeds=$sN, degree=$d)")
+        assert(rebuilt == direct,
+          s"rebuild serve diverged from direct at (seeds=$sN, degree=$d)")
+      }
+    } finally { cleanup(dirA); cleanup(dirB) }
+  }
+
+  test("stored adjacency respects the degree ceiling at build") {
+    val corpus = Tables.spread(Tables.t(spark, sf0001, "embeddings"))
+    val dir = freshDir()
+    try {
+      SimilarityOps.writeGraphIndexOn(corpus, dir)
+      val maxDeg = spark.read.parquet(s"$dir/adj")
+        .groupBy("u").count().agg(max("count")).collect().head.getLong(0)
+      assert(maxDeg <= SimilarityOps.GraphMaxDegree,
+        s"adjacency out-degree $maxDeg exceeds the stored ceiling")
+      // a serve beyond the ceiling must refuse rather than silently
+      // under-return
+      intercept[IllegalArgumentException] {
+        SimilarityOps.knnGraphServe(spark,
+          corpus.filter(col("vec_id") < 10), dir,
+          degree = SimilarityOps.GraphMaxDegree + 1)
+      }
+    } finally cleanup(dir)
+  }
+}

@@ -111,6 +111,26 @@ object Stress {
     }
     spark.catalog.clearCache()
 
+    // chunk-grain dedup (r15): twin docs get the same marker interleave,
+    // so each copy's chunk-dup structure replicates and cross-copy chunk
+    // fingerprints are dead — the status histogram must be an exact
+    // copies-fold replica of x1 (hard require)
+    var cd1 = Map.empty[String, Long]
+    time("chunk-dedup x1") {
+      cd1 = DedupOps.chunkDedupOn(corpusOf(1)).groupBy("status").count()
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      cd1.values.sum
+    }
+    spark.catalog.clearCache()
+    time(s"chunk-dedup x$copies") {
+      val cdN = DedupOps.chunkDedupOn(docsN).groupBy("status").count()
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      require(cdN == cd1.map { case (k, n) => (k, n * copies) },
+        s"chunk-dedup histogram not a $copies-fold replica of x1")
+      cdN.values.sum
+    }
+    spark.catalog.clearCache()
+
     // novelty + containment: the marker interleave makes every copy's
     // 5-grams copy-unique, so first-occurrence structure and containment
     // pairs are both strictly within-copy — totals must be EXACTLY linear

@@ -1181,6 +1181,52 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("graph index serves a query stream via foreachBatch; appended vectors visible to the next batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.SimilarityOps
+    val dir = java.nio.file.Files.createTempDirectory("graft-graphstream")
+      .toString + "/g"
+    val corpus = graft.sources.Tables.spread(
+      graft.sources.Tables.t(spark, sf0001, "embeddings"))
+    SimilarityOps.writeGraphIndexOn(corpus, dir)
+    val qVec = corpus.filter(col("vec_id") === 3L)
+      .collect().head.getAs[scala.collection.Seq[Float]]("embedding").toArray
+    // a near-clone of the query vector, unseen at build time
+    val clone = qVec.map(x => x + 0.001f)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val tops = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val q = mem.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val top1 = SimilarityOps.knnGraphServe(spark, batch, dir)
+          .filter(col("rnk") === 1L).collect()
+        tops.synchronized {
+          tops ++= top1.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id")))
+        }
+        ()
+      }.start()
+    try {
+      mem.addData((3L, qVec))
+      q.processAllAvailable()
+      val before = tops.toMap.apply(3L)
+      // append the clone BETWEEN micro-batches: the plain per-probe reads
+      // re-list the index dirs, so the next batch must see it
+      SimilarityOps.appendToGraphIndex(
+        Seq((9001L, clone.toSeq)).toDF("vec_id", "embedding"), dir)
+      mem.addData((3L, qVec))
+      q.processAllAvailable()
+      val after = tops.reverse.find(_._1 == 3L).get._2
+      assert(before != 9001L, "clone must not exist before the append")
+      assert(after == 9001L,
+        s"appended near-clone must serve as the new top-1: got $after")
+    } finally {
+      q.stop()
+      Seq(s"$dir/adj", s"$dir/raw").foreach { p =>
+        try graft.sources.Bucketed.dropRegistration(spark, p)
+        catch { case _: Throwable => () }
+      }
+    }
+  }
+
   test("pathStream: folded stream paths match the batch top-20 exactly") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamingPaths

@@ -1130,6 +1130,73 @@ object DedupOps {
        |         AS verdict
        |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** Chunk-grain SCRUB — the action the boilerplate verdict feeds: drop
+    * from each doc every token covered ONLY by boilerplate chunks (fp in
+    * >= 2 distinct docs) and emit the rebuilt text. With overlapping
+    * windows a token can sit under one boiler and one clean chunk — such
+    * tokens survive (the clean chunk proves local context that isn't
+    * templated), which is why this runs at token grain over the chunk
+    * covers rather than dropping whole chunks. An exact-dup doc loses
+    * everything (clean_text = ''), the doc-grain dedup family's verdict
+    * by other means; a doc QUOTING boilerplate loses just the quoted
+    * window. Scale shape: the chunker's map stage, one fp-shuffle for
+    * the df counts, one (doc, pos)-shuffle for the cover fold, rebuild
+    * map-side over each doc's own token array.
+    */
+  def chunkScrubOn(docs: DataFrame): DataFrame = {
+    val ch = TextOps.chunkOn(docs)
+    val nd = ch.groupBy("chunk_fp")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    val cover = ch.join(nd, Seq("chunk_fp"))
+      .select(col("doc_id"), (col("n_docs") >= 2).as("boiler"),
+        explode(sequence(col("start_tok"),
+          col("start_tok") + col("n_tok") - 1)).as("pos"))
+    val dropped = cover.groupBy("doc_id", "pos")
+      .agg(expr("bool_and(boiler)").as("all_boiler"))
+      .filter(col("all_boiler"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("pos"))).as("drops"))
+    docs.withColumn("toks", split(col("text"), " "))
+      .join(dropped, Seq("doc_id"), "left")
+      .withColumn("drops",
+        coalesce(col("drops"), expr("CAST(array() AS ARRAY<BIGINT>)")))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(col("drops")).cast("long").as("n_dropped"),
+        concat_ws(" ", expr(
+          "filter(toks, (t, i) -> NOT array_contains(drops, CAST(i AS BIGINT)))"))
+          .as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  def chunkScrub(s: SparkSession, dir: String): DataFrame =
+    chunkScrubOn(Tables.t(s, dir, "documents"))
+
+  val chunkScrubOracle: String =
+    s"""WITH ${TextOps.chunkCteSql("documents")},
+       |ch AS (SELECT doc_id, start_tok, n_tok, md5(chunk_text) AS chunk_fp
+       |       FROM cx),
+       |nd AS (SELECT chunk_fp, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+       |       FROM ch GROUP BY chunk_fp),
+       |cover AS (SELECT ch.doc_id, nd.n_docs >= 2 AS boiler,
+       |            start_tok + CAST(unnest(generate_series(0, n_tok - 1))
+       |              AS BIGINT) AS pos
+       |          FROM ch JOIN nd ON ch.chunk_fp = nd.chunk_fp),
+       |dropped AS (SELECT doc_id, pos FROM cover GROUP BY doc_id, pos
+       |            HAVING bool_and(boiler)),
+       |tok AS (SELECT c.doc_id, CAST(i - 1 AS BIGINT) AS pos, c.toks[i] AS t
+       |        FROM ct c, unnest(generate_series(1, len(c.toks))) AS u(i)),
+       |agg AS (SELECT t.doc_id,
+       |          CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |          CAST(COUNT(d.pos) AS BIGINT) AS n_dropped,
+       |          COALESCE(string_agg(CASE WHEN d.pos IS NULL THEN t.t END,
+       |            ' ' ORDER BY t.pos), '') AS clean_text
+       |        FROM tok t
+       |        LEFT JOIN dropped d ON d.doc_id = t.doc_id AND d.pos = t.pos
+       |        GROUP BY t.doc_id)
+       |SELECT doc_id, n_tokens, n_dropped, clean_text
+       |FROM agg ORDER BY doc_id""".stripMargin
+
   /** Incremental chunk novelty — the batch-vs-corpus probe at chunk
     * grain: which fraction of an arriving doc's chunks already exist in
     * the corpus chunk-fingerprint store? Same asymmetric plan as
@@ -2441,6 +2508,7 @@ object DedupOps {
     QueryDef("doc_chunk_boilerplate", chunkBoilerplate,
       Some(chunkBoilerplateOracle)),
     QueryDef("doc_incr_chunk", incrementalChunk, Some(incrementalChunkOracle)),
+    QueryDef("doc_chunk_scrub", chunkScrub, Some(chunkScrubOracle)),
     QueryDef("doc_incr_minhash", incrementalMinHash, Some(incrMinhashOracle)),
     QueryDef("doc_incr_simhash", incrementalSimHash, Some(incrSimhashOracle)),
     QueryDef("doc_dedup_keep_best", dedupKeepBest, Some(keepBestOracle)),

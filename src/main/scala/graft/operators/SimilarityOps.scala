@@ -739,6 +739,27 @@ object SimilarityOps {
     newCells.unpersist()
   }
 
+  /** Graph-index compaction: cut the adjacency back to each source's
+    * top-[[GraphMaxDegree]] (appends accumulate unranked reverse edges —
+    * K daily appends otherwise leave K extra row sets per hot u), one
+    * file per bucket; re-tile the cells partitions and the raw table.
+    * Every serve at degree <= the ceiling is IDENTICAL before and after
+    * (GraphIndexSpec pins it): the accumulated union is a superset of
+    * the global top-ceiling, so pruning it to the ceiling equals a full
+    * rebuild's adjacency.
+    */
+  def compactGraphIndex(s: SparkSession, indexPath: String): Unit = {
+    val gw = Window.partitionBy("u").orderBy(col("sim").desc, col("v").asc)
+    graft.sources.IndexCompact.rewriteBucketedPruned(s, s"$indexPath/adj") {
+      df =>
+        df.withColumn("rk", row_number().over(gw))
+          .filter(col("rk") <= GraphMaxDegree)
+          .select("u", "v", "sim")
+    }
+    graft.sources.IndexCompact.rewritePartitioned(s, s"$indexPath/cells", "cell")
+    graft.sources.IndexCompact.rewriteBucketed(s, s"$indexPath/raw")
+  }
+
   /** The IVF core over any (vec_id, embedding) frame — factored so the
     * planted-cluster recall spec can drive it on a corpus with real
     * cluster structure (the sf fixtures are uniform random, where a

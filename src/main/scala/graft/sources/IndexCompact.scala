@@ -112,6 +112,27 @@ object IndexCompact {
         true
     }
 
+  /** Compact a bucketed table while PRUNING rows: same swap discipline as
+    * [[rewriteBucketed]], but the rewritten content is `prune(read)` —
+    * the graph adjacency's shape, where appends accumulate unranked
+    * reverse edges and compaction cuts each source back to its stored
+    * degree ceiling (probes at any degree <= the ceiling are identical
+    * before and after, because the pruned union's top-k IS the global
+    * top-k — see `appendToGraphIndex`'s superset argument).
+    */
+  def rewriteBucketedPruned(s: SparkSession, path: String)(
+      prune: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Boolean =
+    Bucketed.spec(s, path) match {
+      case None => false
+      case Some((key, n)) =>
+        val df = prune(Bucketed.read(s, path).get._1)
+        swapInto(s, path, () => Bucketed.refresh(s, path)) { tmp =>
+          Bucketed.write(df, tmp, key, n)
+        }
+        Bucketed.dropRegistration(s, path + ".compacting") // side-dir entry
+        true
+    }
+
   /** Compact a partition-column directory layout (e.g. `cell=K` dirs)
     * back to one file per partition value — hash-repartitioning on the
     * partition column puts each value in exactly one write task.

@@ -101,6 +101,24 @@ class ChunkDedupSpec extends SparkSpecBase {
       s"appended batch must replay as corpus: $replay")
   }
 
+  test("chunkScrubOn: boiler-only tokens drop; overlap with a clean chunk protects") {
+    val docs = Seq((1L, docA), (2L, docA), (3L, docC), (4L, docD))
+      .toDF("doc_id", "text")
+    val out = DedupOps.chunkScrubOn(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // full copies: every chunk boiler -> everything drops
+    Seq(1L, 2L).foreach { d =>
+      assert(out(d).getLong(2) == 80L && out(d).getString(3) == "", out(d))
+    }
+    // doc 3: chunk0 (toks 0..31) is boiler, chunk1 (24..55) is clean —
+    // tokens 0..23 are covered ONLY by the boiler chunk and drop; tokens
+    // 24..31 sit under both and the clean chunk protects them
+    assert(out(3L).getLong(2) == 24L, out(3L))
+    assert(out(3L).getString(3) ==
+      docC.split(" ").drop(24).mkString(" "), "scrub must cut exactly the prefix")
+    assert(out(4L).getLong(2) == 0L && out(4L).getString(3) == docD)
+  }
+
   test("gate split non-hollow at sf0.001: dup chunks and scrub verdicts exist") {
     val docs = graft.sources.Tables.t(spark, sf0001, "documents")
     val dd = DedupOps.chunkDedupOn(docs)

@@ -68,6 +68,35 @@ class GraphIndexSpec extends SparkSpecBase {
     } finally { cleanup(dirA); cleanup(dirB) }
   }
 
+  test("compact after appends: probes identical, adjacency back under the ceiling, files drop") {
+    val corpus = Tables.spread(Tables.t(spark, sf0001, "embeddings"))
+    val base = corpus.filter(col("vec_id") < 10 || col("vec_id") % 3 =!= 0)
+    val batch = corpus.filter(col("vec_id") >= 10 && col("vec_id") % 3 === 0)
+    val dir = freshDir()
+    try {
+      SimilarityOps.writeGraphIndexOn(base, dir)
+      SimilarityOps.appendToGraphIndex(batch, dir)
+      val queries = corpus.filter(col("vec_id") < 10)
+      val before = rows(SimilarityOps.knnGraphServe(spark, queries, dir,
+        seedsN = 16, degree = SimilarityOps.GraphMaxDegree))
+      val filesBefore = graft.sources.IndexCompact.dataFileCount(spark, s"$dir/adj")
+      val degBefore = spark.read.parquet(s"$dir/adj")
+        .groupBy("u").count().agg(max("count")).collect().head.getLong(0)
+      assert(degBefore > SimilarityOps.GraphMaxDegree,
+        "the appended reverse edges must actually exceed the ceiling here")
+      SimilarityOps.compactGraphIndex(spark, dir)
+      val after = rows(SimilarityOps.knnGraphServe(spark, queries, dir,
+        seedsN = 16, degree = SimilarityOps.GraphMaxDegree))
+      assert(after == before, "compaction changed a served answer")
+      val degAfter = spark.read.parquet(s"$dir/adj")
+        .groupBy("u").count().agg(max("count")).collect().head.getLong(0)
+      assert(degAfter <= SimilarityOps.GraphMaxDegree,
+        s"compaction must restore the degree ceiling: $degAfter")
+      assert(graft.sources.IndexCompact.dataFileCount(spark, s"$dir/adj")
+        <= filesBefore, "compaction must not grow the file count")
+    } finally cleanup(dir)
+  }
+
   test("stored adjacency respects the degree ceiling at build") {
     val corpus = Tables.spread(Tables.t(spark, sf0001, "embeddings"))
     val dir = freshDir()

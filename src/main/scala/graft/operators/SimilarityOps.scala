@@ -760,6 +760,51 @@ object SimilarityOps {
     graft.sources.IndexCompact.rewriteBucketed(s, s"$indexPath/raw")
   }
 
+  /** Index-side DELETE for the graph family (the `removeFrom*Index`
+    * contract the other four families hold): victims vanish from every
+    * tree — cells, raw, and the adjacency IN BOTH ROLES (their own edge
+    * lists AND edges pointing at them) — so probes stop returning them
+    * immediately, and queries whose answers never contained a victim are
+    * bit-identical. One honest asymmetry, stated rather than hidden: a
+    * victim may have occupied another vector's stored top-16 slot, so
+    * until [[rebuildGraphAdjacency]] the survivors' edge lists can hold
+    * fewer than 16 live edges — probes stay CORRECT (candidates only
+    * shrink; the exact re-rank never returns a wrong neighbor), recall
+    * at the widest degree can dip. The cosine family's radii have the
+    * same remove-then-retighten shape.
+    */
+  def removeFromGraphIndex(s: SparkSession, indexPath: String,
+      victims: DataFrame): Unit = {
+    val ks = victims.toDF("__k").filter(col("__k").isNotNull).distinct()
+      .localCheckpoint(true)
+    graft.sources.IndexCompact.rewriteBucketedPruned(s, s"$indexPath/adj") {
+      df =>
+        df.join(broadcast(ks), df("u") === col("__k"), "left_anti")
+          .join(broadcast(ks), col("v") === col("__k"), "left_anti")
+    }
+    graft.sources.IndexCompact.removeKeys(s, s"$indexPath/cells", "vec_id", ks)
+    graft.sources.IndexCompact.removeKeys(s, s"$indexPath/raw", "vec_id", ks)
+  }
+
+  /** Recompute the adjacency from the cells tree (write-aside-then-swap):
+    * cells after removals/appends holds exactly the live corpus's top-2
+    * assignments, so the rebuilt adjacency EQUALS a fresh build's —
+    * post-remove full parity restoration (GraphIndexSpec pins serve ==
+    * fresh-build-on-purged-corpus). This is the expensive re-tighten;
+    * [[compactGraphIndex]]'s prune is the cheap steady-state pass.
+    */
+  def rebuildGraphAdjacency(s: SparkSession, indexPath: String): Unit = {
+    val cells = s.read.parquet(s"$indexPath/cells")
+    graft.sources.IndexCompact.rewriteBucketedPruned(s, s"$indexPath/adj") {
+      _ =>
+        graphEdgesTopK(
+          cells.select(col("cell"), col("vec_id").as("u"),
+            col("embedding").as("ue")),
+          cells.select(col("cell"), col("vec_id").as("v"),
+            col("embedding").as("ve")))
+    }
+  }
+
   /** The IVF core over any (vec_id, embedding) frame — factored so the
     * planted-cluster recall spec can drive it on a corpus with real
     * cluster structure (the sf fixtures are uniform random, where a

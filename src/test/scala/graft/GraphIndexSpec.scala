@@ -97,6 +97,41 @@ class GraphIndexSpec extends SparkSpecBase {
     } finally cleanup(dir)
   }
 
+  test("remove: victims vanish immediately; adjacency rebuild restores fresh-build parity") {
+    import spark.implicits._
+    val corpus = Tables.spread(Tables.t(spark, sf0001, "embeddings"))
+    val victims = Seq(101L, 202L, 303L)
+    val purged = corpus.filter(!col("vec_id").isInCollection(victims))
+    val (dirA, dirB) = (freshDir(), freshDir())
+    try {
+      SimilarityOps.writeGraphIndexOn(corpus, dirA)
+      val queries = corpus.filter(col("vec_id") < 10)
+      val before = rows(SimilarityOps.knnGraphServe(spark, queries, dirA))
+      SimilarityOps.removeFromGraphIndex(spark, dirA, victims.toDF("vec_id"))
+      val after = rows(SimilarityOps.knnGraphServe(spark, queries, dirA))
+      assert(!after.exists(r => victims.contains(r(1).asInstanceOf[Long])),
+        "victims must vanish from served answers immediately")
+      // adjacency must hold no victim in either role
+      val adj = spark.read.parquet(s"$dirA/adj")
+      assert(adj.filter(col("u").isInCollection(victims) ||
+        col("v").isInCollection(victims)).count() == 0L)
+      // queries untouched by the victims answer bit-identically
+      val touched = before.filter(r => victims.contains(r(1).asInstanceOf[Long]))
+        .map(_(0)).toSet
+      assert(after.filter(r => !touched.contains(r(0))) ==
+        before.filter(r => !touched.contains(r(0))),
+        "queries whose answers held no victim must be bit-identical")
+      // the expensive re-tighten: rebuilt adjacency == a fresh build on
+      // the purged corpus, so serves are EXACTLY equal
+      SimilarityOps.rebuildGraphAdjacency(spark, dirA)
+      SimilarityOps.writeGraphIndexOn(purged, dirB)
+      val rebuilt = rows(SimilarityOps.knnGraphServe(spark, queries, dirA))
+      val fresh = rows(SimilarityOps.knnGraphServe(spark, queries, dirB))
+      assert(rebuilt == fresh,
+        "post-remove adjacency rebuild must equal a fresh build on the purged corpus")
+    } finally { cleanup(dirA); cleanup(dirB) }
+  }
+
   test("stored adjacency respects the degree ceiling at build") {
     val corpus = Tables.spread(Tables.t(spark, sf0001, "embeddings"))
     val dir = freshDir()

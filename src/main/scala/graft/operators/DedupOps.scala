@@ -1041,12 +1041,16 @@ object DedupOps {
     * this chunk" from "this chunk is the canonical copy".
     */
   def chunkDedupOn(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("chunk_fp")
-    TextOps.chunkOn(docs)
-      .select("doc_id", "chunk_idx", "chunk_fp")
-      .withColumn("k", min(struct(col("doc_id"), col("chunk_idx"))).over(w))
-      .withColumn("cnt", count(lit(1)).over(w))
+    val ch = TextOps.chunkOn(docs).select("doc_id", "chunk_idx", "chunk_fp")
+    // groupBy + join-back, NOT a window over chunk_fp: a hot boilerplate
+    // fingerprint (a license block in millions of docs) would make the
+    // window buffer every occurrence in one task; the aggregate gets
+    // map-side partial combine and the join redistributes normally —
+    // the same shape the DuckDB oracle (kd/ki CTEs) replays
+    val kd = ch.groupBy("chunk_fp").agg(
+      min(struct(col("doc_id"), col("chunk_idx"))).as("k"),
+      count(lit(1)).as("cnt"))
+    ch.join(kd, Seq("chunk_fp"))
       .withColumn("is_keeper",
         col("doc_id") === col("k.doc_id") && col("chunk_idx") === col("k.chunk_idx"))
       .select(
@@ -1154,18 +1158,26 @@ object DedupOps {
     val dropped = cover.groupBy("doc_id", "pos")
       .agg(expr("bool_and(boiler)").as("all_boiler"))
       .filter(col("all_boiler"))
-      .groupBy("doc_id")
-      .agg(sort_array(collect_set(col("pos"))).as("drops"))
-    docs.withColumn("toks", split(col("text"), " "))
-      .join(dropped, Seq("doc_id"), "left")
-      .withColumn("drops",
-        coalesce(col("drops"), expr("CAST(array() AS ARRAY<BIGINT>)")))
+      .select(col("doc_id"), col("pos"), lit(true).as("drop"))
+    // token-grain rebuild (linear): mark dropped positions with a join,
+    // re-assemble kept tokens in position order. An array_contains scan
+    // of a drops array per token would be O(n_tokens x n_dropped) on a
+    // mostly-boilerplate doc; this is one (doc, pos) join + one per-doc
+    // sort-agg, linear like the rest of the pipeline.
+    docs
       .select(col("doc_id"),
-        size(col("toks")).cast("long").as("n_tokens"),
-        size(col("drops")).cast("long").as("n_dropped"),
-        concat_ws(" ", expr(
-          "filter(toks, (t, i) -> NOT array_contains(drops, CAST(i AS BIGINT)))"))
-          .as("clean_text"))
+        posexplode(split(col("text"), " ")).as(Seq("pos0", "t")))
+      .withColumn("pos", col("pos0").cast("long"))
+      .join(dropped, Seq("doc_id", "pos"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("drop"), 1L).otherwise(0L)).as("n_dropped"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(col("drop").isNull, struct(col("pos"), col("t"))))),
+          x => x.getField("t"))).as("clean_text"))
+      .select("doc_id", "n_tokens", "n_dropped", "clean_text")
       .orderBy("doc_id")
   }
 

@@ -26,6 +26,22 @@ object SimilarityOps {
     s"""(CAST(${sqlQDot(a, b)} AS DOUBLE) /
        |  (SQRT(CAST(${sqlQDot(a, a)} AS DOUBLE)) * SQRT(CAST(${sqlQDot(b, b)} AS DOUBLE))))""".stripMargin
 
+  /** Double -> DuckDB literal with a guaranteed exponent marker (a bare
+    * "0.5" would parse as DECIMAL and change the arithmetic) — shared by
+    * every frozen-model oracle builder so the rendering rule lives once.
+    */
+  private def dbl(x: Double): String = {
+    val s = x.toString
+    if (s.contains('E') || s.contains('e')) s else s + "E0"
+  }
+
+  /** The frozen coarse centroids as one DuckDB DOUBLE[][] literal —
+    * shared by the IVF and graph oracles.
+    */
+  private lazy val frozenCentsSql: String = graft.model.IvfRef.Centroids
+    .map(_.map(dbl).mkString("[", ", ", "]"))
+    .mkString("CAST([", ",\n", "] AS DOUBLE[][])")
+
   /** Brute-force exact top-10 cosine neighbors for a 10-vector query set.
     * The query side is broadcast; the corpus is scanned once; ranking is a
     * per-query window (the 100 TB plan: per-partition top-k heaps then a
@@ -139,10 +155,6 @@ object SimilarityOps {
     * through DECIMAL).
     */
   lazy val knnLshOracle: String = {
-    def dbl(x: Double): String = {
-      val s = x.toString
-      if (s.contains('E') || s.contains('e')) s else s + "E0"
-    }
     val sigSql = (0 until LshBits).map { b =>
       val pl = planes(b).map(dbl).mkString("[", ", ", "]")
       s"""(CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -337,17 +349,11 @@ object SimilarityOps {
     * quantized cosine.
     */
   val knnIvfOracle: String = {
-    def dbl(x: Double): String = {
-      val s = x.toString
-      if (s.contains('E') || s.contains('e')) s else s + "E0"
-    }
     val k = graft.model.IvfRef.Centroids.length
     val d = graft.model.IvfRef.Centroids.head.length
     // DOUBLE[][] (variable-size lists), not DOUBLE[d][k]: DuckDB's
     // LIST_EXTRACT is unimplemented for nested fixed-size ARRAY types
-    val cents = graft.model.IvfRef.Centroids
-      .map(_.map(dbl).mkString("[", ", ", "]"))
-      .mkString(s"CAST([", ",\n", s"] AS DOUBLE[][])")
+    val cents = frozenCentsSql
     s"""WITH cents AS (SELECT $cents AS cs),
        |d2 AS (
        |  SELECT e.vec_id, ci,
@@ -414,16 +420,27 @@ object SimilarityOps {
   final val GraphM = 12 // kNN-graph out-degree
   final val GraphSeeds = 16 // seeds from the query's primary cell (H = 2 hops)
 
-  /** Top-2 frozen-cell multi-assignment rows (vec_id, cell). */
-  private def frozenAsg2(withD2: DataFrame): DataFrame = {
-    val aw = Window.partitionBy("vec_id").orderBy(col("d2").asc, col("ci").asc)
+  /** Top-2 frozen-cell multi-assignment (vec_id, embedding, is_prim,
+    * cell) — THE one assignment computation the direct plan, the index
+    * build, and the append all share. Its bit-exactness (first-min
+    * primary, (d2, cell) tie-break) is what serve == direct == oracle
+    * hangs on, so it lives exactly once.
+    */
+  private def frozenCells2(withD2: DataFrame): DataFrame = {
+    val aw = Window.partitionBy("vec_id").orderBy(col("d2").asc, col("cell").asc)
     withD2
-      .select(col("vec_id"), posexplode(col("d2s")).as(Seq("ci0", "d2")))
-      .withColumn("ci", col("ci0") + 1)
+      .select(col("vec_id"), col("embedding"),
+        posexplode(col("d2s")).as(Seq("ci0", "d2")))
+      .withColumn("cell", col("ci0") + 1)
       .withColumn("rk", row_number().over(aw))
       .filter(col("rk") <= 2)
-      .select(col("vec_id"), col("ci").as("cell"))
+      .select(col("vec_id"), col("embedding"), (col("rk") === 1).as("is_prim"),
+        col("cell"))
   }
+
+  /** Top-2 frozen-cell multi-assignment rows (vec_id, cell). */
+  private def frozenAsg2(withD2: DataFrame): DataFrame =
+    frozenCells2(withD2).select("vec_id", "cell")
 
   /** Deterministic cell-local kNN graph: candidate pairs share one of
     * their top-2 cells, edges are each vector's top-[[GraphM]] by the
@@ -432,6 +449,26 @@ object SimilarityOps {
     */
   def knnGraphFrozenOn(corpus: DataFrame, hops: Int = 2,
       seedsN: Int = GraphSeeds, m: Int = GraphM): DataFrame = {
+    val (qs, cand) = graphCandidatesOn(corpus, hops, seedsN, m)
+    val emb = corpus.select(col("vec_id"), col("embedding"))
+    val rw = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n").asc)
+    cand
+      .join(emb.select(col("vec_id").as("n"), col("embedding").as("ne")), Seq("n"))
+      .join(broadcast(qs.select(col("q_id"), col("q_emb"))), Seq("q_id"))
+      .withColumn("sim", graftCosine(col("q_emb"), col("ne")))
+      .withColumn("rnk", row_number().over(rw).cast("long"))
+      .filter(col("rnk") <= 10)
+      .select(col("q_id"), col("n").as("n_id"), col("rnk"), col("sim"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** (queries, candidate set) of the direct plan — factored so the spec
+    * can measure the ACTUAL per-query candidate work against the
+    * S + S·M + S·M² bound (the top-10 output can't witness it: a broken
+    * degree cut that explodes candidates still returns 10 rows).
+    */
+  private[graft] def graphCandidatesOn(corpus: DataFrame, hops: Int,
+      seedsN: Int, m: Int): (DataFrame, DataFrame) = {
     require(hops >= 0 && hops <= 2, s"bounded expansion supports 0..2 hops, got $hops")
     val withD2 = withFrozenCellDists(corpus)
     val asg2 = frozenAsg2(withD2)
@@ -473,15 +510,7 @@ object SimilarityOps {
     val frontiers = Seq(seeds, hop1, hop2).take(hops + 1)
     val cand = frontiers.reduce(_.union(_)).distinct()
       .filter(col("n") =!= col("q_id"))
-    val rw = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n").asc)
-    cand
-      .join(emb.select(col("vec_id").as("n"), col("embedding").as("ne")), Seq("n"))
-      .join(broadcast(qs.select(col("q_id"), col("q_emb"))), Seq("q_id"))
-      .withColumn("sim", graftCosine(col("q_emb"), col("ne")))
-      .withColumn("rnk", row_number().over(rw).cast("long"))
-      .filter(col("rnk") <= 10)
-      .select(col("q_id"), col("n").as("n_id"), col("rnk"), col("sim"))
-      .orderBy("q_id", "rnk")
+    (qs, cand)
   }
 
   def knnGraph(s: SparkSession, dir: String): DataFrame =
@@ -493,15 +522,9 @@ object SimilarityOps {
     * expansion, and the exact quantized-cosine re-rank.
     */
   val knnGraphOracle: String = {
-    def dbl(x: Double): String = {
-      val s = x.toString
-      if (s.contains('E') || s.contains('e')) s else s + "E0"
-    }
     val k = graft.model.IvfRef.Centroids.length
     val d = graft.model.IvfRef.Centroids.head.length
-    val cents = graft.model.IvfRef.Centroids
-      .map(_.map(dbl).mkString("[", ", ", "]"))
-      .mkString(s"CAST([", ",\n", s"] AS DOUBLE[][])")
+    val cents = frozenCentsSql
     s"""WITH cents AS (SELECT $cents AS cs),
        |d2 AS (
        |  SELECT e.vec_id, ci,
@@ -592,16 +615,10 @@ object SimilarityOps {
     */
   def writeGraphIndexOn(corpus: DataFrame, indexPath: String): Unit = {
     val s = corpus.sparkSession
-    val withD2 = withFrozenCellDists(Tables.spread(corpus))
-    val aw = Window.partitionBy("vec_id").orderBy(col("d2").asc, col("cell").asc)
-    val cells = withD2
-      .select(col("vec_id"), col("embedding"),
-        posexplode(col("d2s")).as(Seq("ci0", "d2")))
-      .withColumn("cell", col("ci0") + 1)
-      .withColumn("rk", row_number().over(aw))
-      .filter(col("rk") <= 2)
-      .select(col("vec_id"), col("embedding"), (col("rk") === 1).as("is_prim"),
-        col("cell"))
+    // three consumers (the cells write + both sides of the edge join)
+    // would otherwise each re-run the full-corpus frozen-distance pass
+    val cells = frozenCells2(withFrozenCellDists(Tables.spread(corpus)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cells.write.mode("overwrite").partitionBy("cell")
       .parquet(s"$indexPath/cells")
     val adj = graphEdgesTopK(
@@ -611,6 +628,7 @@ object SimilarityOps {
       graft.sources.Bucketed.indexBuckets(s))
     graft.sources.Bucketed.write(corpus.select("vec_id", "embedding"),
       s"$indexPath/raw", "vec_id", graft.sources.Bucketed.indexBuckets(s))
+    cells.unpersist()
   }
 
   /** Distinct shared-cell pairs of the two (cell, id, embedding) sides,
@@ -698,16 +716,7 @@ object SimilarityOps {
     */
   def appendToGraphIndex(batch: DataFrame, indexPath: String): Unit = {
     val s = batch.sparkSession
-    val withD2 = withFrozenCellDists(Tables.spread(batch))
-    val aw = Window.partitionBy("vec_id").orderBy(col("d2").asc, col("cell").asc)
-    val newCells = withD2
-      .select(col("vec_id"), col("embedding"),
-        posexplode(col("d2s")).as(Seq("ci0", "d2")))
-      .withColumn("cell", col("ci0") + 1)
-      .withColumn("rk", row_number().over(aw))
-      .filter(col("rk") <= 2)
-      .select(col("vec_id"), col("embedding"), (col("rk") === 1).as("is_prim"),
-        col("cell"))
+    val newCells = frozenCells2(withFrozenCellDists(Tables.spread(batch)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val touched = newCells.select("cell").distinct()
     val existing = s.read.parquet(s"$indexPath/cells")
@@ -734,8 +743,13 @@ object SimilarityOps {
       edges.write.mode("append").parquet(s"$indexPath/adj")
     newCells.write.mode("append").partitionBy("cell")
       .parquet(s"$indexPath/cells")
-    graft.sources.Bucketed.append(
-      batch.select("vec_id", "embedding"), s"$indexPath/raw")
+    // unlike the PQ families there is no legacy-index/fallback read for
+    // raw — a silently skipped append would drop the batch from every
+    // re-rank forever, so fall back to a plain append like adj does
+    if (!graft.sources.Bucketed.append(
+        batch.select("vec_id", "embedding"), s"$indexPath/raw"))
+      batch.select("vec_id", "embedding")
+        .write.mode("append").parquet(s"$indexPath/raw")
     newCells.unpersist()
   }
 
@@ -850,10 +864,6 @@ object SimilarityOps {
     */
   private def pqFrozenOracle(books: Array[Array[Array[Double]]],
       ivf: Boolean): String = {
-    def dbl(x: Double): String = {
-      val s = x.toString
-      if (s.contains('E') || s.contains('e')) s else s + "E0"
-    }
     val m = books.length
     val k = books(0).length
     val sub = books(0)(0).length
@@ -1901,10 +1911,6 @@ object SimilarityOps {
     * verify; count/max are order-independent.
     */
   lazy val semDeDupOracle: String = {
-    def dbl(x: Double): String = {
-      val s = x.toString
-      if (s.contains('E') || s.contains('e')) s else s + "E0"
-    }
     val cents = graft.model.SemRef.Centroids
     val k = cents.length
     val d = cents.head.length
@@ -2513,10 +2519,6 @@ object SimilarityOps {
     // DECIMAL and then double-rounds on the cast to DOUBLE (measured
     // off-by-1-ulp on 5 of 64 axis entries); an exponent literal goes
     // through strtod — correctly rounded, bit-identical to the Scala side
-    def dbl(x: Double): String = {
-      val s = x.toString
-      if (s.contains('E') || s.contains('e')) s else s + "E0"
-    }
     def lst(a: Array[Double]) = a.map(dbl).mkString("CAST([", ", ", s"] AS DOUBLE[$d])")
     val coords = graft.model.PcaRef.Axes.zipWithIndex.map { case (ax, j) =>
       s"""  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),

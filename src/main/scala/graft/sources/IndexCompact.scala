@@ -101,16 +101,7 @@ object IndexCompact {
     * Returns false when `path` is not a bucketed layout.
     */
   def rewriteBucketed(s: SparkSession, path: String): Boolean =
-    Bucketed.spec(s, path) match {
-      case None => false
-      case Some((key, n)) =>
-        val df = Bucketed.read(s, path).get._1
-        swapInto(s, path, () => Bucketed.refresh(s, path)) { tmp =>
-          Bucketed.write(df, tmp, key, n)
-        }
-        Bucketed.dropRegistration(s, path + ".compacting") // side-dir entry
-        true
-    }
+    rewriteBucketedPruned(s, path)(identity)
 
   /** Compact a bucketed table while PRUNING rows: same swap discipline as
     * [[rewriteBucketed]], but the rewritten content is `prune(read)` —

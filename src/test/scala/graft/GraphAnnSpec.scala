@@ -72,12 +72,17 @@ class GraphAnnSpec extends SparkSpecBase {
     val corpus = graft.sources.Tables.spread(
       graft.sources.Tables.t(spark, sf0001, "embeddings"))
     // small knobs so the bound bites below even this 500-vector fixture:
-    // the serve path's work is (S, M, H)-bounded, corpus-size-independent
+    // the serve path's work is (S, M, H)-bounded, corpus-size-independent.
+    // Measure the ACTUAL candidate frame, not the top-10 output (which is
+    // 10 rows regardless of how badly a broken degree cut explodes).
     val (s, m) = (4, 4)
     val bound = s + s * m + s * m * m
-    val out = SimilarityOps.knnGraphFrozenOn(corpus, seedsN = s, m = m).collect()
-    val perQ = out.groupBy(_.getAs[Long]("q_id")).view.mapValues(_.length)
-    assert(perQ.values.forall(_ <= math.min(10, bound)))
+    val (_, cand) = SimilarityOps.graphCandidatesOn(corpus, hops = 2,
+      seedsN = s, m = m)
+    val perQ = cand.groupBy("q_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perQ.nonEmpty && perQ.values.forall(_ <= bound),
+      s"candidate counts exceed the bound $bound: $perQ")
     assert(bound < corpus.count(),
       "candidate bound must stay below corpus size even at sf0.001")
   }

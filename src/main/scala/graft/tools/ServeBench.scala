@@ -292,10 +292,15 @@ object ServeBench {
       // structure for hops to exploit), so the serving point lands wide
       // here and small on clustered data (GraphAnnSpec holds 0.9 at
       // (6,6) on planted clusters).
+      // swept on the SERVED path (the tree is already built by now, and
+      // serve == direct is spec-pinned): measures the knob the record
+      // actually serves at, ~4x cheaper than direct re-derivations; the
+      // grid's max degree equals the stored ceiling
       val graphSweep = Seq((6, 6), (12, 8), (16, 12), (24, 16))
         .map { case (sd, m) =>
           (sd, m) -> recallAndTime(() =>
-            SimilarityOps.knnGraphFrozenOn(emb, seedsN = sd, m = m))
+            SimilarityOps.knnGraphServe(s, emb.filter(col("vec_id") < 10),
+              s"$serveRoot/graph", seedsN = sd, degree = m))
         }
       // pick with MARGIN where a bigger knob exists (floor + 0.1 first —
       // the r13 verdict's margin ask — then + 0.05 so a knife-edge 0.80

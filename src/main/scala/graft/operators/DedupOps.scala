@@ -1041,7 +1041,12 @@ object DedupOps {
     * this chunk" from "this chunk is the canonical copy".
     */
   def chunkDedupOn(docs: DataFrame): DataFrame = {
+    // persist the 3-column chunk table: it feeds both the keeper
+    // aggregate and the join-back, and an unpersisted branch pair would
+    // re-run the chunker (and re-SCAN the text) twice — Audit pins the
+    // single documents scan
     val ch = TextOps.chunkOn(docs).select("doc_id", "chunk_idx", "chunk_fp")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // groupBy + join-back, NOT a window over chunk_fp: a hot boilerplate
     // fingerprint (a license block in millions of docs) would make the
     // window buffer every occurrence in one task; the aggregate gets
@@ -1097,7 +1102,9 @@ object DedupOps {
     * integers so neither engine's float rounding can flip a verdict.
     */
   def chunkBoilerplateOn(docs: DataFrame): DataFrame = {
+    // persisted for the same two-consumer reason as chunkDedupOn
     val ch = TextOps.chunkOn(docs).select("doc_id", "chunk_idx", "chunk_fp")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nd = ch.groupBy("chunk_fp")
       .agg(countDistinct(col("doc_id")).as("n_docs"))
     ch.join(nd, Seq("chunk_fp"))
@@ -1148,7 +1155,12 @@ object DedupOps {
     * map-side over each doc's own token array.
     */
   def chunkScrubOn(docs: DataFrame): DataFrame = {
+    // two consumers (df counts + the cover explode): persist so the
+    // chunker and its text scan run once; the token-rebuild pass below
+    // is the query's one other documents scan (it needs the raw text)
     val ch = TextOps.chunkOn(docs)
+      .select("doc_id", "start_tok", "n_tok", "chunk_fp")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nd = ch.groupBy("chunk_fp")
       .agg(countDistinct(col("doc_id")).as("n_docs"))
     val cover = ch.join(nd, Seq("chunk_fp"))
@@ -1228,7 +1240,12 @@ object DedupOps {
     * and the persisted-store path ([[incrementalChunkFromStore]]).
     */
   def incrementalChunkAgainst(corpusFps: DataFrame, batch: DataFrame): DataFrame = {
+    // the batch side feeds both the broadcast probe and the per-doc
+    // aggregate; it is small by assumption, so persist it and chunk the
+    // batch input once (the incrementalDedupOn discipline) — the corpus
+    // side streams exactly once by construction
     val batchCh = TextOps.chunkOn(batch).select("doc_id", "chunk_idx", "chunk_fp")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val batchFps = batchCh.select("chunk_fp").distinct()
     val knownFps = corpusFps.select("chunk_fp")
       .join(broadcast(batchFps), Seq("chunk_fp"))

@@ -438,10 +438,6 @@ object SimilarityOps {
         col("cell"))
   }
 
-  /** Top-2 frozen-cell multi-assignment rows (vec_id, cell). */
-  private def frozenAsg2(withD2: DataFrame): DataFrame =
-    frozenCells2(withD2).select("vec_id", "cell")
-
   /** Deterministic cell-local kNN graph: candidate pairs share one of
     * their top-2 cells, edges are each vector's top-[[GraphM]] by the
     * quantized cosine (ties broken on neighbor id). With the centroids
@@ -470,25 +466,20 @@ object SimilarityOps {
   private[graft] def graphCandidatesOn(corpus: DataFrame, hops: Int,
       seedsN: Int, m: Int): (DataFrame, DataFrame) = {
     require(hops >= 0 && hops <= 2, s"bounded expansion supports 0..2 hops, got $hops")
-    val withD2 = withFrozenCellDists(corpus)
-    val asg2 = frozenAsg2(withD2)
-    val emb = corpus.select(col("vec_id"), col("embedding"))
-    val pairs = asg2.select(col("cell"), col("vec_id").as("u"))
-      .join(asg2.select(col("cell"), col("vec_id").as("v")), Seq("cell"))
-      .filter(col("u") =!= col("v"))
-      .select("u", "v").distinct()
-    val gw = Window.partitionBy("u").orderBy(col("sim").desc, col("v").asc)
-    val adj = pairs
-      .join(emb.select(col("vec_id").as("u"), col("embedding").as("ue")), Seq("u"))
-      .join(emb.select(col("vec_id").as("v"), col("embedding").as("ve")), Seq("v"))
-      .withColumn("sim", graftCosine(col("ue"), col("ve")))
-      .withColumn("rk", row_number().over(gw))
-      .filter(col("rk") <= m)
-      .select("u", "v")
+    // ONE persisted assignment frame (2 rows/vector) feeds every
+    // consumer — both edge-join sides, seed-cell membership, and the
+    // query set; unpersisted, each would re-run the full-corpus frozen-
+    // distance pass (Audit showed embeddings x20 before this)
+    val cells2 = frozenCells2(withFrozenCellDists(corpus))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val adj = graphEdgesTopK(
+      cells2.select(col("cell"), col("vec_id").as("u"), col("embedding").as("ue")),
+      cells2.select(col("cell"), col("vec_id").as("v"), col("embedding").as("ve")),
+      m).select("u", "v")
 
     // seeds: 1-cell probe (vs the IVF query's 4) — the graph supplies
-    // the rest of the reach
-    val assigned = withD2.withColumn("cell", frozenCell)
+    // the rest of the reach; primary assignment = the is_prim rows
+    val assigned = cells2.filter(col("is_prim"))
       .select(col("vec_id"), col("embedding"), col("cell"))
     val qs = assigned.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("cell"))
@@ -634,14 +625,15 @@ object SimilarityOps {
   /** Distinct shared-cell pairs of the two (cell, id, embedding) sides,
     * scored and cut to each u's top-[[GraphMaxDegree]].
     */
-  private def graphEdgesTopK(left: DataFrame, right: DataFrame): DataFrame = {
+  private def graphEdgesTopK(left: DataFrame, right: DataFrame,
+      k: Int = GraphMaxDegree): DataFrame = {
     val gw = Window.partitionBy("u").orderBy(col("sim").desc, col("v").asc)
     left.join(right, Seq("cell"))
       .filter(col("u") =!= col("v"))
       .select("u", "ue", "v", "ve").dropDuplicates("u", "v")
       .withColumn("sim", graftCosine(col("ue"), col("ve")))
       .withColumn("rk", row_number().over(gw))
-      .filter(col("rk") <= GraphMaxDegree)
+      .filter(col("rk") <= k)
       .select("u", "v", "sim")
   }
 

@@ -1326,6 +1326,141 @@ object DedupOps {
        |            ELSE 'partial' END AS status
        |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** Chunk-grain NEAR dedup — the fuzzy catcher the exact chunk
+    * fingerprints cannot be: a 32-token boilerplate window with ONE
+    * edited token has a fresh md5 (invisible to `doc_chunk_dedup`) but
+    * word-5-shingle Jaccard ~0.86+, squarely in MinHash-band range. Same
+    * machinery as the doc-grain [[minHashLshOn]] — one-pass native
+    * `MinHashSig` over the chunker's windows, 16x4 banding, hot-bucket
+    * cap, exact-Jaccard verify on the hashed shingle sets — keyed on
+    * (doc_id, chunk_idx). Pairs are CROSS-DOC only (within-doc window
+    * overlap is structural, and intra-doc repetition is doc_repetition's
+    * job) and exclude exact-equal fingerprints (those are
+    * doc_chunk_dedup's rows); output is the near-miss remainder, the
+    * lightly-edited templated text a scrubber wants flagged.
+    *
+    * Basis contract mirrors the doc family: production (and the gate)
+    * runs the xxhash64 basis, the DuckDB oracle replays the md5 basis,
+    * and the output (d1, c1, d2, c2, jaccard) is a basis-independent
+    * function of the surviving pair set — BasisParitySpec pins the two
+    * bases' chunk pair sets equal on the gate corpus.
+    *
+    * Scale shape: chunker map stage, signature map stage, one shuffle on
+    * (band, bkey), candidate-only verify joins — ~n_chunks = n_tokens /
+    * stride rows through the same plan the doc-grain query runs, no
+    * all-pairs anywhere.
+    */
+  def chunkMinhash(s: SparkSession, dir: String): DataFrame =
+    chunkMinhashOn(Tables.t(s, dir, "documents"))
+
+  def chunkMinhashOn(docs: DataFrame, md5Parity: Boolean = false): DataFrame = {
+    // chunk frame + shingle hashes + signatures, persisted: bands feed
+    // the hot-bucket count AND the candidate join, and the verify stage
+    // joins back twice — unpersisted, the chunker + signature pass (the
+    // expensive map work) would run four times
+    val sh = TextOps.chunkOn(docs)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_fp"),
+        GraftFunctions.graftWordShingles(col("chunk_text"), 5).as("shs"))
+      .filter(size(col("shs")) > 0)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_fp"),
+        transform(col("shs"), x => h32col(x, md5Parity)).as("hsh"),
+        GraftFunctions.graftMinHashSig(col("shs"), md5Parity).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandKeys = (0 until Bands).map { b =>
+      val rows = (0 until RowsPerBand).map(r => col("sig").getItem(b * RowsPerBand + r))
+      struct(lit(b).as("band"), bkeyCol(rows, md5Parity).as("bkey"))
+    }
+    val exploded = sh
+      .select(col("doc_id"), col("chunk_idx"), explode(array(bandKeys: _*)).as("bk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val pruned = pruneHotBuckets(exploded, Seq("band", "bkey"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("a.chunk_idx").as("c1"),
+        col("b.doc_id").as("d2"), col("b.chunk_idx").as("c2"))
+      .distinct()
+    cands
+      .join(sh.select(col("doc_id").as("d1"), col("chunk_idx").as("c1"),
+        col("chunk_fp").as("fp1"), col("hsh").as("hsh1")), Seq("d1", "c1"))
+      .join(sh.select(col("doc_id").as("d2"), col("chunk_idx").as("c2"),
+        col("chunk_fp").as("fp2"), col("hsh").as("hsh2")), Seq("d2", "c2"))
+      .filter(col("fp1") =!= col("fp2"))
+      .withColumn("common", size(array_intersect(col("hsh1"), col("hsh2"))))
+      .withColumn("jaccard", col("common").cast(DoubleType) /
+        (size(col("hsh1")) + size(col("hsh2")) - col("common")).cast(DoubleType))
+      .filter(col("jaccard") >= 0.7)
+      .select("d1", "c1", "d2", "c2", "jaccard")
+      .orderBy("d1", "c1", "d2", "c2")
+  }
+
+  /** DuckDB replay of [[chunkMinhashOn]] on the md5 basis: the chunker
+    * CTE chain, then the doc-grain minhash pipeline keyed on
+    * (doc_id, chunk_idx).
+    */
+  val chunkMinhashOracle: String = {
+    val perms = graft.functions.MinHashSig.A
+      .zip(graft.functions.MinHashSig.B).zipWithIndex
+      .map { case ((a, b), p) => s"($p, $a, $b)" }
+      .mkString(", ")
+    val bandConcat = (1 to RowsPerBand)
+      .map(r => s"CAST(sig[band * $RowsPerBand + $r] AS VARCHAR)")
+      .mkString(" || ',' || ")
+    s"""WITH ${TextOps.chunkCteSql("documents")},
+       |chv AS (SELECT doc_id, chunk_idx, md5(chunk_text) AS chunk_fp,
+       |          str_split(chunk_text, ' ') AS toks
+       |        FROM cx WHERE len(str_split(chunk_text, ' ')) >= 5),
+       |sh AS (SELECT doc_id, chunk_idx, chunk_fp,
+       |         list_distinct(list_transform(range(1, len(toks) - 3),
+       |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+       |                toks[i+3] || ' ' || toks[i+4])) AS shs
+       |       FROM chv),
+       |inv AS (SELECT doc_id, chunk_idx, unnest(shs) AS s FROM sh),
+       |hh AS (SELECT doc_id, chunk_idx, md5(s) AS m FROM inv),
+       |hv AS (SELECT doc_id, chunk_idx, ${sqlHexPoly("m", 1, 8)} AS h FROM hh),
+       |perms AS (SELECT * FROM (VALUES $perms) AS t(p, a, b)),
+       |sigv AS (SELECT doc_id, chunk_idx, p,
+       |           MIN((a * h + b) % ${graft.functions.MinHashSig.P}) AS v
+       |         FROM hv, perms GROUP BY doc_id, chunk_idx, p),
+       |sig AS (SELECT doc_id, chunk_idx, list(v ORDER BY p) AS sig
+       |        FROM sigv GROUP BY doc_id, chunk_idx),
+       |bm AS (SELECT doc_id, chunk_idx, band, md5($bandConcat) AS m
+       |       FROM sig, unnest(generate_series(0, ${Bands - 1})) AS t(band)),
+       |bands AS (SELECT doc_id, chunk_idx, band, ${sqlHexPoly("m", 1, 15)} AS bkey
+       |          FROM bm),
+       |nsh AS (SELECT doc_id, chunk_idx, COUNT(*) AS n FROM hv
+       |        GROUP BY doc_id, chunk_idx),
+       |bsz AS (SELECT band, bkey, COUNT(*) AS n FROM bands GROUP BY band, bkey),
+       |pb AS (SELECT bands.doc_id, bands.chunk_idx, bands.band, bands.bkey
+       |       FROM bands JOIN bsz ON bands.band = bsz.band AND bands.bkey = bsz.bkey
+       |       WHERE bsz.n <= $MaxBucket),
+       |cand AS (SELECT DISTINCT a.doc_id AS d1, a.chunk_idx AS c1,
+       |           b.doc_id AS d2, b.chunk_idx AS c2
+       |         FROM pb a JOIN pb b ON a.band = b.band AND a.bkey = b.bkey
+       |           AND a.doc_id < b.doc_id),
+       |candx AS (SELECT c.* FROM cand c
+       |          JOIN sh x ON x.doc_id = c.d1 AND x.chunk_idx = c.c1
+       |          JOIN sh y ON y.doc_id = c.d2 AND y.chunk_idx = c.c2
+       |          WHERE x.chunk_fp <> y.chunk_fp),
+       |com AS (SELECT c.d1, c.c1, c.d2, c.c2, COUNT(DISTINCT x.h) AS common
+       |        FROM candx c
+       |        JOIN hv x ON x.doc_id = c.d1 AND x.chunk_idx = c.c1
+       |        JOIN hv y ON y.doc_id = c.d2 AND y.chunk_idx = c.c2 AND y.h = x.h
+       |        GROUP BY c.d1, c.c1, c.d2, c.c2),
+       |jp AS (SELECT com.d1, com.c1, com.d2, com.c2,
+       |         CAST(common AS DOUBLE) / CAST(n1.n + n2.n - common AS DOUBLE)
+       |           AS jaccard
+       |       FROM com
+       |       JOIN nsh n1 ON n1.doc_id = com.d1 AND n1.chunk_idx = com.c1
+       |       JOIN nsh n2 ON n2.doc_id = com.d2 AND n2.chunk_idx = com.c2
+       |       WHERE CAST(common AS DOUBLE) / CAST(n1.n + n2.n - common AS DOUBLE)
+       |         >= 0.7)
+       |SELECT d1, c1, d2, c2, jaccard FROM jp ORDER BY d1, c1, d2, c2""".stripMargin
+  }
+
   /** Incremental NEAR-dup: batch docs probe the corpus's MinHash band
     * index. Same asymmetric plan — the corpus band index (at scale: a
     * maintained table, 16 rows per corpus doc) streams past the
@@ -2538,6 +2673,7 @@ object DedupOps {
       Some(chunkBoilerplateOracle)),
     QueryDef("doc_incr_chunk", incrementalChunk, Some(incrementalChunkOracle)),
     QueryDef("doc_chunk_scrub", chunkScrub, Some(chunkScrubOracle)),
+    QueryDef("doc_chunk_minhash", chunkMinhash, Some(chunkMinhashOracle)),
     QueryDef("doc_incr_minhash", incrementalMinHash, Some(incrMinhashOracle)),
     QueryDef("doc_incr_simhash", incrementalSimHash, Some(incrSimhashOracle)),
     QueryDef("doc_dedup_keep_best", dedupKeepBest, Some(keepBestOracle)),

@@ -2461,6 +2461,118 @@ object TextOps {
        |FROM sc ORDER BY doc_id""".stripMargin
   }
 
+  /** Curriculum schedule — the deterministic training ORDER a
+    * curriculum-learning run consumes: easy-first by length (the classic
+    * proxy) with a stationary source mix. Each doc ranks within its
+    * source by (n_tokens, doc_id); `phase` is the doc's quartile of its
+    * OWN source's rank range (integer cross-multiplication — no float
+    * boundary can flip a phase), so phase 0 is "every source's shortest
+    * quarter", and training walks phases in order while each phase stays
+    * a full 20-source mix (interleaved by src_rank — round-robin across
+    * sources inside a phase). The schedule IS the lexicographic key
+    * (phase, src_rank, source): a dense global index is deliberately NOT
+    * materialized — at corpus scale that's a zipWithIndex over the final
+    * sort, not a single-partition window.
+    *
+    * Scale shape: one per-source window (rank within source — hash-
+    * partitioned by source; for a pathologically hot source the key
+    * degrades gracefully to (length-bucket, doc_id) arithmetic), one
+    * tiny per-source count agg broadcast back, map-side phase math, and
+    * the output range-sort.
+    */
+  def curriculum(s: SparkSession, dir: String): DataFrame =
+    curriculumOn(Tables.t(s, dir, "documents"))
+
+  def curriculumOn(docs: DataFrame): DataFrame = {
+    val ranked = docs
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("src_rank", row_number().over(
+        Window.partitionBy("source")
+          .orderBy(col("n_tokens"), col("doc_id"))).cast("long"))
+    val counts = ranked.groupBy("source")
+      .agg(count(lit(1)).as("src_count"))
+    ranked.join(broadcast(counts), Seq("source"))
+      .withColumn("phase", expr("(4 * (src_rank - 1)) div src_count"))
+      .select("phase", "src_rank", "source", "doc_id", "n_tokens", "src_count")
+      .orderBy("phase", "src_rank", "source")
+  }
+
+  val curriculumOracle: String =
+    """WITH ranked AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY len(str_split(text, ' ')), doc_id) AS BIGINT) AS src_rank
+      |  FROM documents),
+      |counts AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS src_count
+      |           FROM ranked GROUP BY source)
+      |SELECT CAST((4 * (src_rank - 1)) // src_count AS BIGINT) AS phase,
+      |       src_rank, ranked.source, doc_id, n_tokens, src_count
+      |FROM ranked JOIN counts ON ranked.source = counts.source
+      |ORDER BY phase, src_rank, ranked.source""".stripMargin
+
+  /** Heaps-law vocabulary growth — distinct-token count as the corpus
+    * grows in doc_id order, reported at [[VocabCheckpoints]] fixed
+    * checkpoints (each 1/20 of the doc_id range). The curve every
+    * tokenizer-training and dedup-ROI decision reads: a corpus whose
+    * vocabulary still grows linearly at the last checkpoint is unsaturated
+    * (more data keeps buying new types); a flattening curve says token
+    * budget should go to repetition control instead.
+    *
+    * Checkpoint COUNT is fixed, not checkpoint width: the cumulative sum
+    * runs over a 20-row aggregate no matter the corpus size. The heavy
+    * work is one min-agg per distinct token (token -> first doc), one
+    * shuffle; bucket arithmetic is integer (doc_id * K div (max+1)) in
+    * both engines.
+    */
+  final val VocabCheckpoints = 20
+
+  def vocabGrowth(s: SparkSession, dir: String): DataFrame =
+    vocabGrowthOn(Tables.t(s, dir, "documents"))
+
+  def vocabGrowthOn(docs: DataFrame): DataFrame = {
+    val k = VocabCheckpoints
+    val maxd = docs.agg(max(col("doc_id")).as("max_d"))
+    val withBucket = docs.crossJoin(broadcast(maxd))
+      .withColumn("bucket", expr(s"doc_id * $k div (max_d + 1)"))
+    val newPerBucket = withBucket
+      .select(col("bucket"), col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("token"))
+      .groupBy("token").agg(min(struct(col("doc_id"), col("bucket"))).as("f"))
+      .groupBy(col("f.bucket").as("bucket"))
+      .agg(count(lit(1)).as("n_new"))
+    val docsPerBucket = withBucket.groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"))
+    docsPerBucket.join(newPerBucket, Seq("bucket"), "left")
+      .na.fill(0L, Seq("n_new"))
+      // 20-row frame: the unpartitioned running sum is aggregate-sized
+      .withColumn("vocab_size",
+        sum(col("n_new")).over(Window.orderBy("bucket")))
+      .select("bucket", "n_docs", "n_new", "vocab_size")
+      .orderBy("bucket")
+  }
+
+  val vocabGrowthOracle: String =
+    s"""WITH md AS (SELECT MAX(doc_id) AS max_d FROM documents),
+       |db AS (SELECT doc_id, text,
+       |         doc_id * $VocabCheckpoints // (max_d + 1) AS bucket
+       |       FROM documents, md),
+       |tok AS (SELECT bucket, doc_id, unnest(list_distinct(str_split(text, ' ')))
+       |          AS token
+       |        FROM db),
+       |firsts AS (SELECT token, arg_min(bucket, doc_id) AS bucket
+       |           FROM tok GROUP BY token),
+       |nb AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_new
+       |       FROM firsts GROUP BY bucket),
+       |nd AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |       FROM db GROUP BY bucket)
+       |SELECT nd.bucket, n_docs, COALESCE(n_new, CAST(0 AS BIGINT)) AS n_new,
+       |       CAST(SUM(COALESCE(n_new, 0)) OVER (ORDER BY nd.bucket) AS BIGINT)
+       |         AS vocab_size
+       |FROM nd LEFT JOIN nb ON nd.bucket = nb.bucket
+       |ORDER BY nd.bucket""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("doc_token_stats", tokenStats, Some(tokenStatsOracle)),
     QueryDef("doc_quality", quality, Some(qualityOracle)),
@@ -2488,6 +2600,8 @@ object TextOps {
     QueryDef("doc_rare_tokens", rareTokenRatio, Some(rareTokenOracle)),
     QueryDef("doc_seq_pack", seqPack, Some(seqPackOracle)),
     QueryDef("doc_chunk", chunk, Some(chunkOracle)),
+    QueryDef("doc_curriculum", curriculum, Some(curriculumOracle)),
+    QueryDef("doc_vocab_growth", vocabGrowth, Some(vocabGrowthOracle)),
     QueryDef("doc_sample_per_source", samplePerSource, Some(samplePerSourceOracle)),
     QueryDef("doc_weighted_sample", weightedSample, Some(weightedSampleOracle)),
     QueryDef("doc_mix_sample", mixSample, Some(mixSampleOracle)),

@@ -34,6 +34,19 @@ class BasisParitySpec extends SparkSpecBase {
       s"jaccard diverged for ${key(r)} — a basis-specific hash collision in the verify arrays"))
   }
 
+  test("chunk minhash: xx-basis and md5-basis verified pair sets are equal on the gate corpus") {
+    val docs = Tables.t(spark, sf001, "documents")
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val xx = DedupOps.chunkMinhashOn(docs).collect()
+    val md = DedupOps.chunkMinhashOn(docs, md5Parity = true).collect()
+    assert(xx.map(key).toSet == md.map(key).toSet,
+      "basis change altered the chunk pair set — the md5 oracle no longer covers the xx-basis gate")
+    val mdBy = md.map(r => key(r) -> r.getDouble(4)).toMap
+    xx.foreach(r => assert(r.getDouble(4) == mdBy(key(r)),
+      s"chunk jaccard diverged for ${key(r)} — a basis-specific hash collision in the verify arrays"))
+  }
+
   test("incremental minhash probe: pair sets equal across bases on the gate split") {
     val docs = Tables.t(spark, sf001, "documents")
     import org.apache.spark.sql.functions.col

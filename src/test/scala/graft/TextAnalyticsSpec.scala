@@ -486,4 +486,50 @@ class TextAnalyticsSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("curriculum: phases walk length quartiles, every phase keeps the full source mix") {
+    import graft.operators.TextOps
+    val out = TextOps.curriculum(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.nonEmpty)
+    // phase is the integer quartile of the source's own rank range
+    out.foreach { case (ph, rank, _, _, _, cnt) =>
+      assert(ph == 4 * (rank - 1) / cnt && ph >= 0 && ph <= 3)
+    }
+    // within a source, rank order is (n_tokens, doc_id) order — easy first
+    out.groupBy(_._3).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_._2)
+      byRank.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5 < b._5 || (a._5 == b._5 && a._4 < b._4),
+            s"rank order must follow (n_tokens, doc_id): $a then $b")
+        case _ => ()
+      }
+      byRank.zipWithIndex.foreach { case (r, i) => assert(r._2 == i + 1L) }
+    }
+    // stationary mix: every phase contains every source
+    val sources = out.map(_._3).toSet
+    out.groupBy(_._1).foreach { case (ph, rows) =>
+      assert(rows.map(_._3).toSet == sources,
+        s"phase $ph lost sources: ${sources -- rows.map(_._3).toSet}")
+    }
+  }
+
+  test("vocabGrowth: checkpoint count fixed, curve monotone, totals reconcile with the corpus") {
+    import graft.operators.TextOps
+    val docs = graft.sources.Tables.t(spark, sf0001, "documents")
+    val out = TextOps.vocabGrowth(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length <= TextOps.VocabCheckpoints)
+    assert(out.map(_._2).sum == docs.count(), "every doc lands in a bucket")
+    // monotone cumulative curve that ends at the corpus's distinct-token count
+    out.sliding(2).foreach {
+      case Array(a, b) => assert(a._1 < b._1 && b._4 == a._4 + b._3)
+      case _ => ()
+    }
+    val vocab = docs.selectExpr("explode(split(text, ' ')) AS t")
+      .distinct().count()
+    assert(out.last._4 == vocab, s"curve must end at |vocab| = $vocab")
+  }
 }

@@ -1353,28 +1353,38 @@ object DedupOps {
   def chunkMinhash(s: SparkSession, dir: String): DataFrame =
     chunkMinhashOn(Tables.t(s, dir, "documents"))
 
-  def chunkMinhashOn(docs: DataFrame, md5Parity: Boolean = false): DataFrame = {
-    // chunk frame + shingle hashes + signatures, persisted: bands feed
-    // the hot-bucket count AND the candidate join, and the verify stage
-    // joins back twice — unpersisted, the chunker + signature pass (the
-    // expensive map work) would run four times
-    val sh = TextOps.chunkOn(docs)
+  /** Per-chunk index rows — (doc_id, chunk_idx), fp, hashed shingle set,
+    * MinHash signature — shared by the one-shot pair query and the
+    * incremental probe.
+    */
+  private def chunkSigs(docs: DataFrame, md5Parity: Boolean): DataFrame =
+    TextOps.chunkOn(docs)
       .select(col("doc_id"), col("chunk_idx"), col("chunk_fp"),
         GraftFunctions.graftWordShingles(col("chunk_text"), 5).as("shs"))
       .filter(size(col("shs")) > 0)
       .select(col("doc_id"), col("chunk_idx"), col("chunk_fp"),
         transform(col("shs"), x => h32col(x, md5Parity)).as("hsh"),
         GraftFunctions.graftMinHashSig(col("shs"), md5Parity).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** Exploded (doc_id, chunk_idx, band, bkey) band-bucket rows. */
+  private def chunkBands(sh: DataFrame, md5Parity: Boolean): DataFrame = {
     val bandKeys = (0 until Bands).map { b =>
       val rows = (0 until RowsPerBand).map(r => col("sig").getItem(b * RowsPerBand + r))
       struct(lit(b).as("band"), bkeyCol(rows, md5Parity).as("bkey"))
     }
-    val exploded = sh
-      .select(col("doc_id"), col("chunk_idx"), explode(array(bandKeys: _*)).as("bk"))
+    sh.select(col("doc_id"), col("chunk_idx"), explode(array(bandKeys: _*)).as("bk"))
       .select(col("doc_id"), col("chunk_idx"),
         col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    val pruned = pruneHotBuckets(exploded, Seq("band", "bkey"))
+  }
+
+  def chunkMinhashOn(docs: DataFrame, md5Parity: Boolean = false): DataFrame = {
+    // chunk frame + shingle hashes + signatures, persisted: bands feed
+    // the hot-bucket count AND the candidate join, and the verify stage
+    // joins back twice — unpersisted, the chunker + signature pass (the
+    // expensive map work) would run four times
+    val sh = chunkSigs(docs, md5Parity)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pruned = pruneHotBuckets(chunkBands(sh, md5Parity), Seq("band", "bkey"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = pruned.as("a")
       .join(pruned.as("b"),
@@ -1459,6 +1469,123 @@ object DedupOps {
        |       WHERE CAST(common AS DOUBLE) / CAST(n1.n + n2.n - common AS DOUBLE)
        |         >= 0.7)
        |SELECT d1, c1, d2, c2, jaccard FROM jp ORDER BY d1, c1, d2, c2""".stripMargin
+  }
+
+  /** Incremental chunk-grain NEAR-dup — the missing cell of the
+    * {exact, near} x {batch, incremental} x {doc, chunk} matrix: an
+    * arriving batch's chunks probe the corpus chunk band index for
+    * lightly-EDITED boilerplate ([[incrementalChunkOn]] answers only
+    * "chunk fp already known"). Same asymmetric plan as the doc-grain
+    * probe: the batch's band keys BROADCAST, the corpus band index
+    * streams past them once (hot-bucket cap counted over corpus bands
+    * only — the index is pruned before any batch arrives); candidate
+    * chunk pairs verify with exact Jaccard, exact-equal fps excluded
+    * (those are the exact probe's rows).
+    */
+  def incrementalChunkMinhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.t(s, dir, "documents")
+    chunkMinhashProbeOn(
+      docs.filter(col("doc_id") % 5 =!= 0),
+      docs.filter(col("doc_id") % 5 === 0))
+  }
+
+  def chunkMinhashProbeOn(corpus: DataFrame, batch: DataFrame,
+      md5Parity: Boolean = false): DataFrame = {
+    // corpus signatures persist (bands + verify join consume them); the
+    // batch side is broadcast-sized by the incremental contract
+    val cs = chunkSigs(corpus, md5Parity)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bs = chunkSigs(batch, md5Parity)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pruned = pruneHotBuckets(chunkBands(cs, md5Parity), Seq("band", "bkey"))
+    val cands = pruned.as("c")
+      .join(broadcast(chunkBands(bs, md5Parity).as("b")),
+        col("c.band") === col("b.band") && col("c.bkey") === col("b.bkey"))
+      .select(col("b.doc_id").as("batch_doc"), col("b.chunk_idx").as("batch_idx"),
+        col("c.doc_id").as("corpus_doc"), col("c.chunk_idx").as("corpus_idx"))
+      .distinct()
+    cands
+      .join(broadcast(bs.select(col("doc_id").as("batch_doc"),
+        col("chunk_idx").as("batch_idx"), col("chunk_fp").as("fp_b"),
+        col("hsh").as("hsh_b"))), Seq("batch_doc", "batch_idx"))
+      .join(cs.select(col("doc_id").as("corpus_doc"),
+        col("chunk_idx").as("corpus_idx"), col("chunk_fp").as("fp_c"),
+        col("hsh").as("hsh_c")), Seq("corpus_doc", "corpus_idx"))
+      .filter(col("fp_b") =!= col("fp_c"))
+      .withColumn("common", size(array_intersect(col("hsh_b"), col("hsh_c"))))
+      .withColumn("jaccard", col("common").cast(DoubleType) /
+        (size(col("hsh_b")) + size(col("hsh_c")) - col("common")).cast(DoubleType))
+      .filter(col("jaccard") >= 0.7)
+      .select("batch_doc", "batch_idx", "corpus_doc", "corpus_idx", "jaccard")
+      .orderBy("batch_doc", "batch_idx", "corpus_doc", "corpus_idx")
+  }
+
+  /** DuckDB replay of [[incrementalChunkMinhash]] on the md5 basis:
+    * corpus = doc_id % 5 <> 0, batch = doc_id % 5 = 0, cap counted over
+    * CORPUS bands only, batch bands join unpruned.
+    */
+  val incrChunkMinhashOracle: String = {
+    val perms = graft.functions.MinHashSig.A
+      .zip(graft.functions.MinHashSig.B).zipWithIndex
+      .map { case ((a, b), p) => s"($p, $a, $b)" }
+      .mkString(", ")
+    val bandConcat = (1 to RowsPerBand)
+      .map(r => s"CAST(sig[band * $RowsPerBand + $r] AS VARCHAR)")
+      .mkString(" || ',' || ")
+    s"""WITH ${TextOps.chunkCteSql("documents")},
+       |chv AS (SELECT doc_id, chunk_idx, md5(chunk_text) AS chunk_fp,
+       |          str_split(chunk_text, ' ') AS toks
+       |        FROM cx WHERE len(str_split(chunk_text, ' ')) >= 5),
+       |sh AS (SELECT doc_id, chunk_idx, chunk_fp,
+       |         list_distinct(list_transform(range(1, len(toks) - 3),
+       |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+       |                toks[i+3] || ' ' || toks[i+4])) AS shs
+       |       FROM chv),
+       |inv AS (SELECT doc_id, chunk_idx, unnest(shs) AS s FROM sh),
+       |hh AS (SELECT doc_id, chunk_idx, md5(s) AS m FROM inv),
+       |hv AS (SELECT doc_id, chunk_idx, ${sqlHexPoly("m", 1, 8)} AS h FROM hh),
+       |perms AS (SELECT * FROM (VALUES $perms) AS t(p, a, b)),
+       |sigv AS (SELECT doc_id, chunk_idx, p,
+       |           MIN((a * h + b) % ${graft.functions.MinHashSig.P}) AS v
+       |         FROM hv, perms GROUP BY doc_id, chunk_idx, p),
+       |sig AS (SELECT doc_id, chunk_idx, list(v ORDER BY p) AS sig
+       |        FROM sigv GROUP BY doc_id, chunk_idx),
+       |bm AS (SELECT doc_id, chunk_idx, band, md5($bandConcat) AS m
+       |       FROM sig, unnest(generate_series(0, ${Bands - 1})) AS t(band)),
+       |bands AS (SELECT doc_id, chunk_idx, band, ${sqlHexPoly("m", 1, 15)} AS bkey
+       |          FROM bm),
+       |nsh AS (SELECT doc_id, chunk_idx, COUNT(*) AS n FROM hv
+       |        GROUP BY doc_id, chunk_idx),
+       |cb AS (SELECT * FROM bands WHERE doc_id % 5 <> 0),
+       |bb AS (SELECT * FROM bands WHERE doc_id % 5 = 0),
+       |bsz AS (SELECT band, bkey, COUNT(*) AS n FROM cb GROUP BY band, bkey),
+       |pb AS (SELECT cb.doc_id, cb.chunk_idx, cb.band, cb.bkey FROM cb
+       |       JOIN bsz ON cb.band = bsz.band AND cb.bkey = bsz.bkey
+       |       WHERE bsz.n <= $MaxBucket),
+       |cand AS (SELECT DISTINCT b.doc_id AS batch_doc, b.chunk_idx AS batch_idx,
+       |           c.doc_id AS corpus_doc, c.chunk_idx AS corpus_idx
+       |         FROM pb c JOIN bb b ON c.band = b.band AND c.bkey = b.bkey),
+       |candx AS (SELECT c.* FROM cand c
+       |          JOIN sh x ON x.doc_id = c.batch_doc AND x.chunk_idx = c.batch_idx
+       |          JOIN sh y ON y.doc_id = c.corpus_doc AND y.chunk_idx = c.corpus_idx
+       |          WHERE x.chunk_fp <> y.chunk_fp),
+       |com AS (SELECT c.batch_doc, c.batch_idx, c.corpus_doc, c.corpus_idx,
+       |          COUNT(DISTINCT x.h) AS common
+       |        FROM candx c
+       |        JOIN hv x ON x.doc_id = c.batch_doc AND x.chunk_idx = c.batch_idx
+       |        JOIN hv y ON y.doc_id = c.corpus_doc AND y.chunk_idx = c.corpus_idx
+       |          AND y.h = x.h
+       |        GROUP BY c.batch_doc, c.batch_idx, c.corpus_doc, c.corpus_idx),
+       |jp AS (SELECT com.batch_doc, com.batch_idx, com.corpus_doc, com.corpus_idx,
+       |         CAST(common AS DOUBLE) / CAST(n1.n + n2.n - common AS DOUBLE)
+       |           AS jaccard
+       |       FROM com
+       |       JOIN nsh n1 ON n1.doc_id = com.batch_doc AND n1.chunk_idx = com.batch_idx
+       |       JOIN nsh n2 ON n2.doc_id = com.corpus_doc AND n2.chunk_idx = com.corpus_idx
+       |       WHERE CAST(common AS DOUBLE) / CAST(n1.n + n2.n - common AS DOUBLE)
+       |         >= 0.7)
+       |SELECT batch_doc, batch_idx, corpus_doc, corpus_idx, jaccard FROM jp
+       |ORDER BY batch_doc, batch_idx, corpus_doc, corpus_idx""".stripMargin
   }
 
   /** Incremental NEAR-dup: batch docs probe the corpus's MinHash band
@@ -2674,6 +2801,8 @@ object DedupOps {
     QueryDef("doc_incr_chunk", incrementalChunk, Some(incrementalChunkOracle)),
     QueryDef("doc_chunk_scrub", chunkScrub, Some(chunkScrubOracle)),
     QueryDef("doc_chunk_minhash", chunkMinhash, Some(chunkMinhashOracle)),
+    QueryDef("doc_incr_chunk_minhash", incrementalChunkMinhash,
+      Some(incrChunkMinhashOracle)),
     QueryDef("doc_incr_minhash", incrementalMinHash, Some(incrMinhashOracle)),
     QueryDef("doc_incr_simhash", incrementalSimHash, Some(incrSimhashOracle)),
     QueryDef("doc_dedup_keep_best", dedupKeepBest, Some(keepBestOracle)),

@@ -2526,6 +2526,58 @@ object TextOps {
     * shuffle; bucket arithmetic is integer (doc_id * K div (max+1)) in
     * both engines.
     */
+  /** N-gram diversity per source — the distinct-n-gram ratios (n = 1..3)
+    * corpus-diversity reports run (the corpus-level cousin of Self-BLEU:
+    * a source whose distinct-trigram ratio collapses is template-heavy
+    * even when each individual doc looks fine, the failure mode per-doc
+    * repetition scores miss). One exploded (source, n, gram) stream,
+    * exact integer counts, one IEEE division per row; `n_grams` is the
+    * stream size so ratios compare fairly across n.
+    *
+    * Scale shape: a map-side gram explode (~3x token count) into one
+    * groupBy(source, n) with a distinct count — two shuffles on a
+    * 20-source key space; no per-doc state, no joins.
+    */
+  def ngramDiversity(s: SparkSession, dir: String): DataFrame =
+    ngramDiversityOn(Tables.t(s, dir, "documents"))
+
+  def ngramDiversityOn(docs: DataFrame): DataFrame = {
+    val gramStreams = Seq(1, 2, 3).map { n =>
+      s"""transform(
+         |  CASE WHEN size(t) >= $n THEN sequence(1, size(t) - ${n - 1})
+         |       ELSE CAST(array() AS ARRAY<INT>) END,
+         |  i -> named_struct('n', CAST($n AS BIGINT),
+         |                    'g', concat_ws(' ', slice(t, i, $n))))""".stripMargin
+    }
+    docs
+      .select(col("source"), split(col("text"), " ").as("t"))
+      .select(col("source"),
+        explode(expr(gramStreams.mkString("concat(", ", ", ")"))).as("x"))
+      .select(col("source"), col("x.n").as("n"), col("x.g").as("g"))
+      .groupBy("source", "n")
+      .agg(count(lit(1)).as("n_grams"),
+        countDistinct(col("g")).as("n_distinct"))
+      .withColumn("distinct_ratio",
+        col("n_distinct").cast(DoubleType) / col("n_grams").cast(DoubleType))
+      .orderBy("source", "n")
+  }
+
+  val ngramDiversityOracle: String =
+    """WITH toks AS (SELECT source, str_split(text, ' ') AS t FROM documents),
+      |g1 AS (SELECT source, 1 AS n, unnest(t) AS g FROM toks),
+      |g2 AS (SELECT source, 2 AS n, t[i] || ' ' || t[i+1] AS g
+      |       FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)),
+      |g3 AS (SELECT source, 3 AS n, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+      |       FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)),
+      |g AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2 UNION ALL
+      |      SELECT * FROM g3)
+      |SELECT source, CAST(n AS BIGINT) AS n,
+      |  CAST(COUNT(*) AS BIGINT) AS n_grams,
+      |  CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct,
+      |  CAST(COUNT(DISTINCT g) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+      |    AS distinct_ratio
+      |FROM g GROUP BY source, n ORDER BY source, n""".stripMargin
+
   final val VocabCheckpoints = 20
 
   def vocabGrowth(s: SparkSession, dir: String): DataFrame =
@@ -2602,6 +2654,7 @@ object TextOps {
     QueryDef("doc_chunk", chunk, Some(chunkOracle)),
     QueryDef("doc_curriculum", curriculum, Some(curriculumOracle)),
     QueryDef("doc_vocab_growth", vocabGrowth, Some(vocabGrowthOracle)),
+    QueryDef("doc_ngram_diversity", ngramDiversity, Some(ngramDiversityOracle)),
     QueryDef("doc_sample_per_source", samplePerSource, Some(samplePerSourceOracle)),
     QueryDef("doc_weighted_sample", weightedSample, Some(weightedSampleOracle)),
     QueryDef("doc_mix_sample", mixSample, Some(mixSampleOracle)),

@@ -47,6 +47,19 @@ class BasisParitySpec extends SparkSpecBase {
       s"chunk jaccard diverged for ${key(r)} — a basis-specific hash collision in the verify arrays"))
   }
 
+  test("incremental chunk minhash probe: pair sets equal across bases on the gate split") {
+    val docs = Tables.t(spark, sf001, "documents")
+    import org.apache.spark.sql.functions.col
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val xx = DedupOps.chunkMinhashProbeOn(corpus, batch).collect().map(key).toSet
+    val md = DedupOps.chunkMinhashProbeOn(corpus, batch, md5Parity = true)
+      .collect().map(key).toSet
+    assert(xx == md, "incremental chunk probe pair set diverged across bases")
+  }
+
   test("incremental minhash probe: pair sets equal across bases on the gate split") {
     val docs = Tables.t(spark, sf001, "documents")
     import org.apache.spark.sql.functions.col

@@ -153,6 +153,24 @@ class ChunkDedupSpec extends SparkSpecBase {
     assert(math.abs(r.getDouble(4) - 27.0 / 29.0) < 1e-12, r)
   }
 
+  test("chunkMinhashProbeOn: batch's edited window hits the corpus index; exact chunks stay the exact probe's rows") {
+    val docEdit = "zz " + (2 to 80).map(i => s"a$i").mkString(" ")
+    val corpus = Seq((1L, docA), (4L, docD)).toDF("doc_id", "text")
+    val batch = Seq((10L, docEdit)).toDF("doc_id", "text")
+    val out = DedupOps.chunkMinhashProbeOn(corpus, batch).collect()
+    assert(out.length == 1, s"exactly the edited window must hit: ${out.mkString("; ")}")
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((10L, 0L, 1L, 0L)), r)
+    assert(math.abs(r.getDouble(4) - 27.0 / 29.0) < 1e-12, r)
+    // probe == one-shot restricted to cross-split pairs: the incremental
+    // form must not invent or lose pairs relative to the batch query
+    val all = DedupOps.chunkMinhashOn(
+      corpus.unionByName(batch)).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(all.toSet == Set((1L, 0L, 10L, 0L)))
+  }
+
   test("chunkMinhashOn gate corpus: near pairs exist at sf0.001 and none duplicates an exact chunk pair") {
     val docs = graft.sources.Tables.t(spark, sf0001, "documents")
     val pairs = DedupOps.chunkMinhashOn(docs).collect()

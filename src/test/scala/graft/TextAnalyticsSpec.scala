@@ -516,6 +516,25 @@ class TextAnalyticsSpec extends SparkSpecBase {
     }
   }
 
+  test("ngramDiversity: exact counts on a planted source; short docs emit only the grams they have") {
+    import graft.operators.TextOps
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b", "s1"),   // uni 4/2, bi 3/2 (a b, b a, a b), tri 2/2
+      (2L, "a b a b", "s1"),   // doubles totals, distinct unchanged
+      (3L, "x", "s2")          // single token: no bigrams/trigrams
+    ).toDF("doc_id", "text", "source")
+    val out = TextOps.ngramDiversityOn(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out(("s1", 1L)) == ((8L, 2L, 0.25)))
+    assert(out(("s1", 2L)) == ((6L, 2L, 2.0 / 6.0)))
+    assert(out(("s1", 3L)) == ((4L, 2L, 0.5)))
+    assert(out(("s2", 1L)) == ((1L, 1L, 1.0)))
+    assert(!out.contains(("s2", 2L)) && !out.contains(("s2", 3L)),
+      "a 1-token source has no bigram/trigram stream")
+  }
+
   test("vocabGrowth: checkpoint count fixed, curve monotone, totals reconcile with the corpus") {
     import graft.operators.TextOps
     val docs = graft.sources.Tables.t(spark, sf0001, "documents")

@@ -2585,9 +2585,13 @@ object TextOps {
 
   def vocabGrowthOn(docs: DataFrame): DataFrame = {
     val k = VocabCheckpoints
-    val maxd = docs.agg(max(col("doc_id")).as("max_d"))
-    val withBucket = docs.crossJoin(broadcast(maxd))
-      .withColumn("bucket", expr(s"doc_id * $k div (max_d + 1)"))
+    // 1-row aggregate collected once (a crossJoin(broadcast(agg)) here
+    // would re-derive the max under BOTH consumers below — the id column
+    // scanned twice for one scalar)
+    val maxRow = docs.agg(max(col("doc_id"))).head()
+    val maxd = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    val withBucket = docs
+      .withColumn("bucket", expr(s"doc_id * $k div ${maxd + 1}"))
     val newPerBucket = withBucket
       .select(col("bucket"), col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("token"))

@@ -1491,13 +1491,24 @@ object DedupOps {
 
   def chunkMinhashProbeOn(corpus: DataFrame, batch: DataFrame,
       md5Parity: Boolean = false): DataFrame = {
-    // corpus signatures persist (bands + verify join consume them); the
-    // batch side is broadcast-sized by the incremental contract
+    // self-contained form: corpus signatures recomputed here and
+    // persisted (bands + verify join consume them); the steady-state
+    // ingest path serves them from the stored index instead
+    // ([[writeChunkMinhashIndex]] / [[incrementalChunkMinhashFromIndex]])
     val cs = chunkSigs(corpus, md5Parity)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    chunkProbeCore(cs, chunkBands(cs, md5Parity), batch, md5Parity)
+  }
+
+  /** Probe core over a given corpus side (recomputed or stored): the
+    * batch side is broadcast-sized by the incremental contract; the
+    * corpus signature table streams past the candidates ONCE.
+    */
+  private def chunkProbeCore(cs: DataFrame, corpusBands: DataFrame,
+      batch: DataFrame, md5Parity: Boolean): DataFrame = {
     val bs = chunkSigs(batch, md5Parity)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pruned = pruneHotBuckets(chunkBands(cs, md5Parity), Seq("band", "bkey"))
+    val pruned = pruneHotBuckets(corpusBands, Seq("band", "bkey"))
     val cands = pruned.as("c")
       .join(broadcast(chunkBands(bs, md5Parity).as("b")),
         col("c.band") === col("b.band") && col("c.bkey") === col("b.bkey"))
@@ -1586,6 +1597,57 @@ object DedupOps {
        |         >= 0.7)
        |SELECT batch_doc, batch_idx, corpus_doc, corpus_idx, jaccard FROM jp
        |ORDER BY batch_doc, batch_idx, corpus_doc, corpus_idx""".stripMargin
+  }
+
+  /** Materialize the chunk MinHash band index — the steady-state ingest
+    * form of [[chunkMinhashProbeOn]]: corpus chunking/shingling/hashing
+    * happens ONCE at build; every subsequent batch probes the stored
+    * tables and appends its own rows without touching any existing
+    * corpus chunk. Same marker discipline as the doc-grain index (drop
+    * first, write LAST after both parquet writes): a crashed rebuild
+    * leaves a marker-less index that fails loudly, never a valid marker
+    * over partial band rows. Sigs bucket on doc_id (a doc's chunks
+    * colocate; the probe's verify join against a bucketed layout needs
+    * no corpus-side exchange).
+    */
+  def writeChunkMinhashIndex(corpus: DataFrame, indexPath: String): Unit = {
+    dropBasisMarker(corpus.sparkSession, indexPath)
+    val sig = chunkSigs(corpus, md5Parity = false)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.sources.Bucketed.write(sig, s"$indexPath/sigs", "doc_id",
+      graft.sources.Bucketed.indexBuckets(corpus.sparkSession))
+    chunkBands(sig, md5Parity = false).write.mode("overwrite")
+      .parquet(s"$indexPath/bands")
+    sig.unpersist()
+    writeBasisMarker(corpus.sparkSession, indexPath)
+  }
+
+  /** Probe a stored chunk index: identical semantics to
+    * [[chunkMinhashProbeOn]] over whatever corpus the index covers, with
+    * zero corpus recomputation (hot-bucket pruning runs over the stored
+    * band table, so appended hot clusters stay capped).
+    */
+  def incrementalChunkMinhashFromIndex(s: SparkSession, batch: DataFrame,
+      indexPath: String): DataFrame = {
+    requireIndexBasis(s, indexPath)
+    val sigs = graft.sources.Bucketed.read(s, s"$indexPath/sigs")
+      .map(_._1).getOrElse(s.read.parquet(s"$indexPath/sigs"))
+    chunkProbeCore(sigs, s.read.parquet(s"$indexPath/bands"), batch,
+      md5Parity = false)
+  }
+
+  /** Extend the chunk index with a new batch: one map pass over the
+    * batch only; the next batch's probe sees these chunks as corpus.
+    */
+  def appendToChunkMinhashIndex(batch: DataFrame, indexPath: String): Unit = {
+    requireIndexBasis(batch.sparkSession, indexPath)
+    val sig = chunkSigs(batch, md5Parity = false)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (!graft.sources.Bucketed.append(sig, s"$indexPath/sigs"))
+      sig.write.mode("append").parquet(s"$indexPath/sigs")
+    chunkBands(sig, md5Parity = false).write.mode("append")
+      .parquet(s"$indexPath/bands")
+    sig.unpersist()
   }
 
   /** Incremental NEAR-dup: batch docs probe the corpus's MinHash band

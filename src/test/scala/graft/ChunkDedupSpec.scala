@@ -171,6 +171,37 @@ class ChunkDedupSpec extends SparkSpecBase {
     assert(all.toSet == Set((1L, 0L, 10L, 0L)))
   }
 
+  test("chunk minhash index: stored probe == self-contained; appends become corpus; marker guards the basis") {
+    val dir = java.nio.file.Files.createTempDirectory("chunkmh").toString
+    val docs = graft.sources.Tables.t(spark, sf0001, "documents")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch1 = docs.filter(col("doc_id") % 10 === 0)
+    val batch2 = docs.filter(col("doc_id") % 10 === 5)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+    DedupOps.writeChunkMinhashIndex(corpus, dir)
+    // probe == the self-contained plan over the same corpus
+    val stored1 = DedupOps.incrementalChunkMinhashFromIndex(spark, batch1, dir)
+      .collect().map(key).toSeq
+    val direct1 = DedupOps.chunkMinhashProbeOn(corpus, batch1)
+      .collect().map(key).toSeq
+    assert(stored1 == direct1, "stored probe diverged from the direct plan")
+    // append batch1: batch2's probe must now see it as corpus
+    DedupOps.appendToChunkMinhashIndex(batch1, dir)
+    val stored2 = DedupOps.incrementalChunkMinhashFromIndex(spark, batch2, dir)
+      .collect().map(key).toSeq
+    val direct2 = DedupOps.chunkMinhashProbeOn(
+      corpus.unionByName(batch1), batch2).collect().map(key).toSeq
+    assert(stored2 == direct2, "append did not become corpus for the next probe")
+    // basis marker: a foreign-basis index must fail loudly, not match nothing
+    new java.io.File(s"$dir/._graft_basis.crc").delete()
+    val p = new java.io.PrintWriter(s"$dir/_graft_basis"); p.print("md5"); p.close()
+    val e = intercept[IllegalArgumentException] {
+      DedupOps.incrementalChunkMinhashFromIndex(spark, batch2, dir)
+    }
+    assert(e.getMessage.contains("rebuild"), e.getMessage)
+  }
+
   test("chunkMinhashOn gate corpus: near pairs exist at sf0.001 and none duplicates an exact chunk pair") {
     val docs = graft.sources.Tables.t(spark, sf0001, "documents")
     val pairs = DedupOps.chunkMinhashOn(docs).collect()

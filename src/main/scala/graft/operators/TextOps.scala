@@ -2578,6 +2578,58 @@ object TextOps {
       |    AS distinct_ratio
       |FROM g GROUP BY source, n ORDER BY source, n""".stripMargin
 
+  /** Exact per-source token-length quantiles (p25/p50/p75/p95) — the
+    * length profile a packing/filtering config is tuned against. KLL
+    * (18u) answers this approximately for unbounded streams; this is the
+    * EXACT batch form via deterministic integer selection: rank within
+    * source by (n_tokens, doc_id), pick the value at rank
+    * ceil(p·n/100) = (p·n + 99) div 100 — no interpolation, no float
+    * percentile semantics to disagree across engines.
+    *
+    * Scale shape: one per-source window rank + a tiny count broadcast
+    * joined back, conditional max per quantile in one agg pass.
+    */
+  def lengthQuantiles(s: SparkSession, dir: String): DataFrame =
+    lengthQuantilesOn(Tables.t(s, dir, "documents"))
+
+  private val QuantPs = Seq(25, 50, 75, 95)
+
+  def lengthQuantilesOn(docs: DataFrame): DataFrame = {
+    val ranked = docs
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source")
+          .orderBy(col("n_tokens"), col("doc_id"))).cast("long"))
+    val counts = ranked.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val aggs = max(col("n_docs")).as("n_docs") +:
+      QuantPs.map(p => max(when(
+        col("rk") === expr(s"($p * n_docs + 99) div 100"),
+        col("n_tokens"))).as(s"p$p"))
+    ranked.join(broadcast(counts), Seq("source"))
+      .groupBy("source")
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy("source")
+  }
+
+  val lengthQuantilesOracle: String = {
+    val cols = QuantPs.map(p =>
+      s"MAX(CASE WHEN rk = ($p * n_docs + 99) // 100 THEN n_tokens END) AS p$p")
+      .mkString(",\n  ")
+    s"""WITH ranked AS (
+       |  SELECT source, doc_id,
+       |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY len(str_split(text, ' ')), doc_id) AS BIGINT) AS rk
+       |  FROM documents),
+       |counts AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |           FROM ranked GROUP BY source)
+       |SELECT ranked.source, MAX(counts.n_docs) AS n_docs,
+       |  $cols
+       |FROM ranked JOIN counts ON ranked.source = counts.source
+       |GROUP BY ranked.source ORDER BY ranked.source""".stripMargin
+  }
+
   final val VocabCheckpoints = 20
 
   def vocabGrowth(s: SparkSession, dir: String): DataFrame =
@@ -2659,6 +2711,8 @@ object TextOps {
     QueryDef("doc_curriculum", curriculum, Some(curriculumOracle)),
     QueryDef("doc_vocab_growth", vocabGrowth, Some(vocabGrowthOracle)),
     QueryDef("doc_ngram_diversity", ngramDiversity, Some(ngramDiversityOracle)),
+    QueryDef("doc_length_quantiles", lengthQuantiles,
+      Some(lengthQuantilesOracle)),
     QueryDef("doc_sample_per_source", samplePerSource, Some(samplePerSourceOracle)),
     QueryDef("doc_weighted_sample", weightedSample, Some(weightedSampleOracle)),
     QueryDef("doc_mix_sample", mixSample, Some(mixSampleOracle)),

@@ -1181,6 +1181,52 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("chunk minhash index serves a document stream via foreachBatch; appended chunks become corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-chunkmh")
+      .toString + "/idx"
+    val corpus = graft.sources.Tables.t(spark, sf0001, "documents")
+      .filter(col("doc_id") % 5 =!= 0).select("doc_id", "text")
+    graft.operators.DedupOps.writeChunkMinhashIndex(corpus, dir)
+    // longest corpus doc: guarantees a full 32-token chunk 0 to edit
+    val base = corpus.orderBy(expr("size(split(text, ' '))").desc, col("doc_id"))
+      .limit(1).collect().head
+    val (baseId, baseTxt) = (base.getLong(0), base.getString(1))
+    val editedCorpus = "zz " + baseTxt.split(" ").drop(1).mkString(" ")
+    val novelTxt = (1 to 80).map(i => s"stream$i").mkString(" ")
+    val editedNovel = "zz " + novelTxt.split(" ").drop(1).mkString(" ")
+    val mem = MemoryStream[(Long, String)]
+    val hits = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val scored = graft.operators.DedupOps
+          .incrementalChunkMinhashFromIndex(spark, batch, dir).collect()
+        hits.synchronized {
+          hits ++= scored.map(r =>
+            (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        }
+        graft.operators.DedupOps.appendToChunkMinhashIndex(batch, dir)
+        ()
+      }.start()
+    try {
+      // batch 1: an edited near-copy of a corpus doc (must hit its chunk 0)
+      // and a genuinely novel doc (no near chunks anywhere yet)
+      mem.addData((9001L, editedCorpus), (9002L, novelTxt))
+      q.processAllAvailable()
+      val b1 = hits.synchronized(hits.toSet)
+      assert(b1.contains((9001L, 0L, baseId, 0L)),
+        s"edited window must hit the corpus index: $b1")
+      assert(!b1.exists(_._1 == 9002L), s"novel doc cannot hit yet: $b1")
+      // batch 2: an edited near-copy of batch 1's NOVEL doc — a hit is
+      // only possible through the append
+      mem.addData((9003L, editedNovel))
+      q.processAllAvailable()
+      val b2 = hits.synchronized(hits.toSet) -- b1
+      assert(b2.contains((9003L, 0L, 9002L, 0L)),
+        s"appended batch-1 chunks must serve as corpus: $b2")
+    } finally q.stop()
+  }
+
   test("graph index serves a query stream via foreachBatch; appended vectors visible to the next batch") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.SimilarityOps

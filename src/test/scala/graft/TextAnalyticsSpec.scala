@@ -535,6 +535,19 @@ class TextAnalyticsSpec extends SparkSpecBase {
       "a 1-token source has no bigram/trigram stream")
   }
 
+  test("lengthQuantiles: exact rank selection on a planted source") {
+    import graft.operators.TextOps
+    import spark.implicits._
+    // lengths 10, 20, 30, 40: ceil-rank selection gives p25=10 (rank 1),
+    // p50=20 (rank 2), p75=30 (rank 3), p95=40 (rank ceil(3.8)=4)
+    val docs = (1 to 4).map(i =>
+      (i.toLong, (1 to i * 10).map(j => s"t$j").mkString(" "), "s1"))
+      .toDF("doc_id", "text", "source")
+    val r = TextOps.lengthQuantilesOn(docs).collect().head
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == (("s1", 4L, 10L, 20L, 30L, 40L)), r)
+  }
+
   test("vocabGrowth: checkpoint count fixed, curve monotone, totals reconcile with the corpus") {
     import graft.operators.TextOps
     val docs = graft.sources.Tables.t(spark, sf0001, "documents")

@@ -2630,6 +2630,98 @@ object TextOps {
        |GROUP BY ranked.source ORDER BY ranked.source""".stripMargin
   }
 
+  /** Incremental OOV rate — an arriving batch's out-of-vocabulary token
+    * share against the corpus vocabulary, per doc: the tokenizer-drift
+    * probe an ingest pipeline watches ([[vocabGrowthOn]] is the batch
+    * curve; this is its streaming-shaped twin, completing the
+    * incremental family: doc fp → chunk fp → chunk near → vocab). Same
+    * asymmetric plan as the other probes: the batch's DISTINCT tokens
+    * broadcast, the corpus token stream passes them ONCE (at scale the
+    * vocabulary is a maintained table, not recomputed); the bounded
+    * known-set broadcasts back onto the batch's token occurrences.
+    */
+  def incrementalOov(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.t(s, dir, "documents")
+    incrementalOovOn(
+      docs.filter(col("doc_id") % 5 =!= 0),
+      docs.filter(col("doc_id") % 5 === 0))
+  }
+
+  def incrementalOovOn(corpus: DataFrame, batch: DataFrame): DataFrame =
+    incrementalOovAgainst(
+      corpus.select(explode(split(col("text"), " ")).as("token")), batch)
+
+  /** Probe core over any corpus token frame (one `token` column,
+    * duplicates tolerated) — shared by the self-contained query and the
+    * persisted-store path ([[incrementalOovFromStore]]).
+    */
+  def incrementalOovAgainst(corpusTokens: DataFrame, batch: DataFrame): DataFrame = {
+    val batchTypes = batch
+      .select(explode(array_distinct(split(col("text"), " "))).as("token"))
+      .distinct()
+    val known = corpusTokens
+      .join(broadcast(batchTypes), Seq("token"), "left_semi")
+      .distinct()
+      .withColumn("known", lit(1L))
+    batch
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .join(broadcast(known), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("known").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+      .orderBy("doc_id")
+  }
+
+  /** Persisted vocabulary store — the steady-state form of the OOV probe
+    * (the chunk-fp-store shape at token grain): distinct tokens bucketed
+    * on token; appends grow by NEW distinct tokens, never occurrences.
+    */
+  def writeVocabStore(corpus: DataFrame, storePath: String): Unit = {
+    val toks = corpus
+      .select(explode(array_distinct(split(col("text"), " "))).as("token"))
+      .distinct()
+    graft.sources.Bucketed.write(toks, s"$storePath/vocab", "token",
+      graft.sources.Bucketed.indexBuckets(corpus.sparkSession))
+  }
+
+  def incrementalOovFromStore(s: SparkSession, batch: DataFrame,
+      storePath: String): DataFrame = {
+    val v = graft.sources.Bucketed.read(s, s"$storePath/vocab")
+      .map(_._1).getOrElse(s.read.parquet(s"$storePath/vocab"))
+    incrementalOovAgainst(v.select("token"), batch)
+  }
+
+  /** Append only the batch's UNSEEN tokens (an anti-join against the
+    * store), so the store stays a distinct-token table across appends.
+    */
+  def appendToVocabStore(batch: DataFrame, storePath: String): Unit = {
+    val s = batch.sparkSession
+    val existing = graft.sources.Bucketed.read(s, s"$storePath/vocab")
+      .map(_._1).getOrElse(s.read.parquet(s"$storePath/vocab"))
+    val fresh = batch
+      .select(explode(array_distinct(split(col("text"), " "))).as("token"))
+      .distinct()
+      .join(existing, Seq("token"), "left_anti")
+    if (!graft.sources.Bucketed.append(fresh, s"$storePath/vocab"))
+      fresh.write.mode("append").parquet(s"$storePath/vocab")
+  }
+
+  val incrementalOovOracle: String =
+    """WITH corp AS (SELECT DISTINCT unnest(str_split(text, ' ')) AS token
+      |              FROM documents WHERE doc_id % 5 <> 0),
+      |bt AS (SELECT doc_id, unnest(str_split(text, ' ')) AS token
+      |       FROM documents WHERE doc_id % 5 = 0)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(CASE WHEN corp.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_oov,
+      |  CAST(SUM(CASE WHEN corp.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE) /
+      |    CAST(COUNT(*) AS DOUBLE) AS oov_rate
+      |FROM bt LEFT JOIN corp ON bt.token = corp.token
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   final val VocabCheckpoints = 20
 
   def vocabGrowth(s: SparkSession, dir: String): DataFrame =
@@ -2713,6 +2805,7 @@ object TextOps {
     QueryDef("doc_ngram_diversity", ngramDiversity, Some(ngramDiversityOracle)),
     QueryDef("doc_length_quantiles", lengthQuantiles,
       Some(lengthQuantilesOracle)),
+    QueryDef("doc_incr_oov", incrementalOov, Some(incrementalOovOracle)),
     QueryDef("doc_sample_per_source", samplePerSource, Some(samplePerSourceOracle)),
     QueryDef("doc_weighted_sample", weightedSample, Some(weightedSampleOracle)),
     QueryDef("doc_mix_sample", mixSample, Some(mixSampleOracle)),

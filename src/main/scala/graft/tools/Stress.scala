@@ -131,6 +131,24 @@ object Stress {
     }
     spark.catalog.clearCache()
 
+    // chunk-grain NEAR dedup (r15): the marker interleave makes cross-copy
+    // shingles dead, so band keys never collide across copies — each
+    // copy's near-pair set replicates and the hot-bucket cap sees the
+    // same per-copy bucket sizes. Pair count must be EXACTLY linear
+    // (hard require); wall is the banding's scale curve.
+    var cm1 = 0L
+    time("chunk-minhash x1 pairs") {
+      cm1 = DedupOps.chunkMinhashOn(corpusOf(1)).count(); cm1
+    }
+    spark.catalog.clearCache()
+    time(s"chunk-minhash x$copies pairs") {
+      val cmN = DedupOps.chunkMinhashOn(docsN).count()
+      require(cmN == cm1 * copies,
+        s"chunk-minhash pairs not linear in copies: $cm1 -> $cmN")
+      cmN
+    }
+    spark.catalog.clearCache()
+
     // novelty + containment: the marker interleave makes every copy's
     // 5-grams copy-unique, so first-occurrence structure and containment
     // pairs are both strictly within-copy — totals must be EXACTLY linear

@@ -548,6 +548,46 @@ class TextAnalyticsSpec extends SparkSpecBase {
       r.getLong(4), r.getLong(5)) == (("s1", 4L, 10L, 20L, 30L, 40L)), r)
   }
 
+  test("incrementalOov: planted batch rates; corpus-only tokens never leak into the known set") {
+    import graft.operators.TextOps
+    import spark.implicits._
+    val corpus = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "a b a z"),   // 4 tokens, 1 oov occurrence (z)
+      (11L, "q r"),       // all oov
+      (12L, "c c c")      // none oov
+    ).toDF("doc_id", "text")
+    val out = TextOps.incrementalOovOn(corpus, batch).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out(10L) == ((4L, 1L, 0.25)))
+    assert(out(11L) == ((2L, 2L, 1.0)))
+    assert(out(12L) == ((3L, 0L, 0.0)))
+  }
+
+  test("vocab store: probe == self-contained; appends add only unseen tokens") {
+    import graft.operators.TextOps
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("vocabstore").toString
+    val corpus = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val batch = Seq((10L, "a b a z"), (11L, "q r")).toDF("doc_id", "text")
+    TextOps.writeVocabStore(corpus, dir)
+    val direct = TextOps.incrementalOovOn(corpus, batch).collect().map(_.toString).toSeq
+    val stored = TextOps.incrementalOovFromStore(spark, batch, dir)
+      .collect().map(_.toString).toSeq
+    assert(stored == direct, "stored probe diverged from the direct plan")
+    val before = spark.read.parquet(s"$dir/vocab").count()
+    TextOps.appendToVocabStore(batch, dir)
+    // batch types: a b z q r — a and b already known, 3 new
+    assert(spark.read.parquet(s"$dir/vocab").count() == before + 3L)
+    // replayed append adds nothing (anti-join idempotence)
+    TextOps.appendToVocabStore(batch, dir)
+    assert(spark.read.parquet(s"$dir/vocab").count() == before + 3L)
+    // post-append probe sees the batch as corpus: everything known
+    val replay = TextOps.incrementalOovFromStore(spark, batch, dir).collect()
+    assert(replay.forall(_.getLong(2) == 0L), "appended tokens must be known")
+  }
+
   test("vocabGrowth: checkpoint count fixed, curve monotone, totals reconcile with the corpus") {
     import graft.operators.TextOps
     val docs = graft.sources.Tables.t(spark, sf0001, "documents")

@@ -1407,11 +1407,14 @@ object DedupOps {
       .orderBy("d1", "c1", "d2", "c2")
   }
 
-  /** DuckDB replay of [[chunkMinhashOn]] on the md5 basis: the chunker
-    * CTE chain, then the doc-grain minhash pipeline keyed on
-    * (doc_id, chunk_idx).
+  /** Shared CTE chain for the chunk-grain minhash replays on the md5
+    * basis — the chunker, per-chunk shingles, 32-bit basis hashes,
+    * signatures, band-bucket keys and shingle-set sizes, all keyed on
+    * (doc_id, chunk_idx). Terminal CTEs: `sh` (fp + shingles), `hv`
+    * (hashes), `bands`, `nsh` — callers append cap/candidate/verify
+    * stages ([[chunkMinhashOracle]], [[incrChunkMinhashOracle]]).
     */
-  val chunkMinhashOracle: String = {
+  private def sqlChunkMinhashCtes: String = {
     val perms = graft.functions.MinHashSig.A
       .zip(graft.functions.MinHashSig.B).zipWithIndex
       .map { case ((a, b), p) => s"($p, $a, $b)" }
@@ -1419,7 +1422,7 @@ object DedupOps {
     val bandConcat = (1 to RowsPerBand)
       .map(r => s"CAST(sig[band * $RowsPerBand + $r] AS VARCHAR)")
       .mkString(" || ',' || ")
-    s"""WITH ${TextOps.chunkCteSql("documents")},
+    s"""${TextOps.chunkCteSql("documents")},
        |chv AS (SELECT doc_id, chunk_idx, md5(chunk_text) AS chunk_fp,
        |          str_split(chunk_text, ' ') AS toks
        |        FROM cx WHERE len(str_split(chunk_text, ' ')) >= 5),
@@ -1442,7 +1445,15 @@ object DedupOps {
        |bands AS (SELECT doc_id, chunk_idx, band, ${sqlHexPoly("m", 1, 15)} AS bkey
        |          FROM bm),
        |nsh AS (SELECT doc_id, chunk_idx, COUNT(*) AS n FROM hv
-       |        GROUP BY doc_id, chunk_idx),
+       |        GROUP BY doc_id, chunk_idx)""".stripMargin
+  }
+
+  /** DuckDB replay of [[chunkMinhashOn]] on the md5 basis: the chunker
+    * CTE chain, then the doc-grain minhash pipeline keyed on
+    * (doc_id, chunk_idx).
+    */
+  val chunkMinhashOracle: String = {
+    s"""WITH $sqlChunkMinhashCtes,
        |bsz AS (SELECT band, bkey, COUNT(*) AS n FROM bands GROUP BY band, bkey),
        |pb AS (SELECT bands.doc_id, bands.chunk_idx, bands.band, bands.bkey
        |       FROM bands JOIN bsz ON bands.band = bsz.band AND bands.bkey = bsz.bkey
@@ -1536,37 +1547,7 @@ object DedupOps {
     * CORPUS bands only, batch bands join unpruned.
     */
   val incrChunkMinhashOracle: String = {
-    val perms = graft.functions.MinHashSig.A
-      .zip(graft.functions.MinHashSig.B).zipWithIndex
-      .map { case ((a, b), p) => s"($p, $a, $b)" }
-      .mkString(", ")
-    val bandConcat = (1 to RowsPerBand)
-      .map(r => s"CAST(sig[band * $RowsPerBand + $r] AS VARCHAR)")
-      .mkString(" || ',' || ")
-    s"""WITH ${TextOps.chunkCteSql("documents")},
-       |chv AS (SELECT doc_id, chunk_idx, md5(chunk_text) AS chunk_fp,
-       |          str_split(chunk_text, ' ') AS toks
-       |        FROM cx WHERE len(str_split(chunk_text, ' ')) >= 5),
-       |sh AS (SELECT doc_id, chunk_idx, chunk_fp,
-       |         list_distinct(list_transform(range(1, len(toks) - 3),
-       |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
-       |                toks[i+3] || ' ' || toks[i+4])) AS shs
-       |       FROM chv),
-       |inv AS (SELECT doc_id, chunk_idx, unnest(shs) AS s FROM sh),
-       |hh AS (SELECT doc_id, chunk_idx, md5(s) AS m FROM inv),
-       |hv AS (SELECT doc_id, chunk_idx, ${sqlHexPoly("m", 1, 8)} AS h FROM hh),
-       |perms AS (SELECT * FROM (VALUES $perms) AS t(p, a, b)),
-       |sigv AS (SELECT doc_id, chunk_idx, p,
-       |           MIN((a * h + b) % ${graft.functions.MinHashSig.P}) AS v
-       |         FROM hv, perms GROUP BY doc_id, chunk_idx, p),
-       |sig AS (SELECT doc_id, chunk_idx, list(v ORDER BY p) AS sig
-       |        FROM sigv GROUP BY doc_id, chunk_idx),
-       |bm AS (SELECT doc_id, chunk_idx, band, md5($bandConcat) AS m
-       |       FROM sig, unnest(generate_series(0, ${Bands - 1})) AS t(band)),
-       |bands AS (SELECT doc_id, chunk_idx, band, ${sqlHexPoly("m", 1, 15)} AS bkey
-       |          FROM bm),
-       |nsh AS (SELECT doc_id, chunk_idx, COUNT(*) AS n FROM hv
-       |        GROUP BY doc_id, chunk_idx),
+    s"""WITH $sqlChunkMinhashCtes,
        |cb AS (SELECT * FROM bands WHERE doc_id % 5 <> 0),
        |bb AS (SELECT * FROM bands WHERE doc_id % 5 = 0),
        |bsz AS (SELECT band, bkey, COUNT(*) AS n FROM cb GROUP BY band, bkey),

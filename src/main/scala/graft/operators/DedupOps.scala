@@ -1452,8 +1452,13 @@ object DedupOps {
     * CTE chain, then the doc-grain minhash pipeline keyed on
     * (doc_id, chunk_idx).
     */
-  val chunkMinhashOracle: String = {
-    s"""WITH $sqlChunkMinhashCtes,
+  /** The full pair pipeline on top of [[sqlChunkMinhashCtes]] — cap,
+    * candidates, exact-fp exclusion, Jaccard verify — terminal CTE `jp`
+    * (d1, c1, d2, c2, jaccard). Shared by the pair replay and the
+    * near-boilerplate composition.
+    */
+  private def sqlChunkMinhashPairCtes: String =
+    s"""$sqlChunkMinhashCtes,
        |bsz AS (SELECT band, bkey, COUNT(*) AS n FROM bands GROUP BY band, bkey),
        |pb AS (SELECT bands.doc_id, bands.chunk_idx, bands.band, bands.bkey
        |       FROM bands JOIN bsz ON bands.band = bsz.band AND bands.bkey = bsz.bkey
@@ -1478,9 +1483,82 @@ object DedupOps {
        |       JOIN nsh n1 ON n1.doc_id = com.d1 AND n1.chunk_idx = com.c1
        |       JOIN nsh n2 ON n2.doc_id = com.d2 AND n2.chunk_idx = com.c2
        |       WHERE CAST(common AS DOUBLE) / CAST(n1.n + n2.n - common AS DOUBLE)
-       |         >= 0.7)
+       |         >= 0.7)""".stripMargin
+
+  val chunkMinhashOracle: String =
+    s"""WITH $sqlChunkMinhashPairCtes
        |SELECT d1, c1, d2, c2, jaccard FROM jp ORDER BY d1, c1, d2, c2""".stripMargin
+
+  /** Near-aware boilerplate verdict — the COMPLETE fuzzy detector the
+    * exact verdict (chunkBoilerplateOn) approximates: a chunk is
+    * boilerplate when its fingerprint occurs in >= 2 distinct docs
+    * (exact, 27l5's rule) OR when it sits in a verified >= 0.7 near pair
+    * with another doc's chunk (the lightly-edited template the md5 rule
+    * misses). Same integer 1/2 scrub threshold; `n_exact_boiler` and
+    * `n_near_boiler` are reported separately so the near rule's marginal
+    * catch is visible per doc. The verdict depends on the near PAIR SET
+    * only (never on basis-specific jaccard values), so the xx-basis gate
+    * replays against the md5 oracle under the same BasisParitySpec pin
+    * as the pair query itself.
+    */
+  def chunkNearBoilerplate(s: SparkSession, dir: String): DataFrame =
+    chunkNearBoilerplateOn(Tables.t(s, dir, "documents"))
+
+  def chunkNearBoilerplateOn(docs: DataFrame): DataFrame = {
+    // ALL chunks (the pair pipeline drops <5-token windows — those can
+    // still be exact boilerplate, so the verdict counts over the full
+    // chunk table)
+    val ch = TextOps.chunkOn(docs).select("doc_id", "chunk_idx", "chunk_fp")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nd = ch.groupBy("chunk_fp")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    val pairs = chunkMinhashOn(docs)
+    val nearIds = pairs
+      .select(col("d1").as("doc_id"), col("c1").as("chunk_idx"))
+      .unionByName(pairs.select(col("d2").as("doc_id"), col("c2").as("chunk_idx")))
+      .distinct()
+      .withColumn("near", lit(1L))
+    ch.join(nd, Seq("chunk_fp"))
+      .join(nearIds, Seq("doc_id", "chunk_idx"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_exact_boiler"),
+        sum(when(col("n_docs") < 2 && col("near").isNotNull, 1L).otherwise(0L))
+          .as("n_near_boiler"))
+      .withColumn("n_boiler", col("n_exact_boiler") + col("n_near_boiler"))
+      .withColumn("verdict",
+        when(col("n_boiler") * 2 >= col("n_chunks"), lit("scrub"))
+          .otherwise(lit("keep")))
+      .select("doc_id", "n_chunks", "n_exact_boiler", "n_near_boiler",
+        "n_boiler", "verdict")
+      .orderBy("doc_id")
   }
+
+  val chunkNearBoilerplateOracle: String =
+    s"""WITH $sqlChunkMinhashPairCtes,
+       |ch AS (SELECT doc_id, chunk_idx, md5(chunk_text) AS chunk_fp FROM cx),
+       |nd AS (SELECT chunk_fp, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+       |       FROM ch GROUP BY chunk_fp),
+       |near AS (SELECT DISTINCT doc_id, chunk_idx FROM (
+       |           SELECT d1 AS doc_id, c1 AS chunk_idx FROM jp
+       |           UNION ALL SELECT d2, c2 FROM jp)),
+       |agg AS (SELECT ch.doc_id,
+       |          CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |          CAST(SUM(CASE WHEN nd.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |            AS n_exact_boiler,
+       |          CAST(SUM(CASE WHEN nd.n_docs < 2 AND near.doc_id IS NOT NULL
+       |            THEN 1 ELSE 0 END) AS BIGINT) AS n_near_boiler
+       |        FROM ch
+       |        JOIN nd ON ch.chunk_fp = nd.chunk_fp
+       |        LEFT JOIN near ON near.doc_id = ch.doc_id
+       |                      AND near.chunk_idx = ch.chunk_idx
+       |        GROUP BY ch.doc_id)
+       |SELECT doc_id, n_chunks, n_exact_boiler, n_near_boiler,
+       |       n_exact_boiler + n_near_boiler AS n_boiler,
+       |       CASE WHEN (n_exact_boiler + n_near_boiler) * 2 >= n_chunks
+       |            THEN 'scrub' ELSE 'keep' END AS verdict
+       |FROM agg ORDER BY doc_id""".stripMargin
 
   /** Incremental chunk-grain NEAR-dup — the missing cell of the
     * {exact, near} x {batch, incremental} x {doc, chunk} matrix: an
@@ -2846,6 +2924,8 @@ object DedupOps {
     QueryDef("doc_chunk_minhash", chunkMinhash, Some(chunkMinhashOracle)),
     QueryDef("doc_incr_chunk_minhash", incrementalChunkMinhash,
       Some(incrChunkMinhashOracle)),
+    QueryDef("doc_chunk_near_boiler", chunkNearBoilerplate,
+      Some(chunkNearBoilerplateOracle)),
     QueryDef("doc_incr_minhash", incrementalMinHash, Some(incrMinhashOracle)),
     QueryDef("doc_incr_simhash", incrementalSimHash, Some(incrSimhashOracle)),
     QueryDef("doc_dedup_keep_best", dedupKeepBest, Some(keepBestOracle)),

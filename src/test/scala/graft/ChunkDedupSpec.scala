@@ -202,6 +202,32 @@ class ChunkDedupSpec extends SparkSpecBase {
     assert(e.getMessage.contains("rebuild"), e.getMessage)
   }
 
+  test("chunkNearBoilerplateOn: the near rule catches the edited template the exact rule misses") {
+    // docs 1/2 share an exact template; doc 5 carries the EDITED template
+    // (one token changed in chunk 0) plus unique text: exact-only counts
+    // doc 5's chunk 0 clean, the near rule flags it
+    val docEdit = "zz " + (2 to 32).map(i => s"a$i").mkString(" ") + " " +
+      (33 to 80).map(i => s"e$i").mkString(" ")
+    val docs = Seq((1L, docA), (2L, docA), (5L, docEdit)).toDF("doc_id", "text")
+    val out = DedupOps.chunkNearBoilerplateOn(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // full copies: all 3 chunks exact boiler, no near marginal
+    Seq(1L, 2L).foreach { d =>
+      val r = out(d)
+      assert(r.getLong(2) == 3L && r.getLong(3) == 0L &&
+        r.getString(5) == "scrub", r)
+    }
+    // doc 5: zero exact boiler, chunk 0 near-boiler -> 1 of 3 -> keep,
+    // but the near catch is visible
+    val r5 = out(5L)
+    assert(r5.getLong(2) == 0L && r5.getLong(3) == 1L &&
+      r5.getLong(4) == 1L && r5.getString(5) == "keep", r5)
+    // and the exact-only verdict indeed misses it
+    val exactOnly = DedupOps.chunkBoilerplateOn(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(exactOnly(5L) == 0L, "exact rule must not count the edited window")
+  }
+
   test("chunkMinhashOn gate corpus: near pairs exist at sf0.001 and none duplicates an exact chunk pair") {
     val docs = graft.sources.Tables.t(spark, sf0001, "documents")
     val pairs = DedupOps.chunkMinhashOn(docs).collect()

@@ -1108,6 +1108,44 @@ object TextOps {
       |        FROM documents))
       |GROUP BY source, seq_id ORDER BY source, seq_id""".stripMargin
 
+  /** Curriculum-ordered packing — [[seqPack]] with the curriculum's
+    * within-source order ((n_tokens, doc_id), [[curriculumOn]]'s rank
+    * key) instead of doc_id order: how a curriculum actually reaches the
+    * training loop, since the packer's input order IS the batch order.
+    * The per-sequence (min_tok, max_tok) spread makes the property the
+    * curriculum buys measurable: early sequences pack many short docs
+    * (homogeneous, easy), late ones few long docs — under doc_id-order
+    * packing the spread is wide everywhere. Same scale shape as
+    * seqPack: one per-source running-sum window, one group-agg.
+    */
+  def curriculumPack(s: SparkSession, dir: String): DataFrame = {
+    val L = 256
+    val w = Window.partitionBy("source").orderBy(col("n_tok"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.t(s, dir, "documents")
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("seq_id", expr(s"(cum - n_tok) div $L"))
+      .groupBy("source", "seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        min(col("n_tok")).as("min_tok"), max(col("n_tok")).as("max_tok"))
+      .orderBy("source", "seq_id")
+  }
+
+  val curriculumPackOracle: String =
+    """SELECT source, seq_id, COUNT(*) AS n_docs,
+      |       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+      |       MIN(n_tok) AS min_tok, MAX(n_tok) AS max_tok
+      |FROM (
+      |  SELECT source, doc_id, n_tok,
+      |         (CAST(SUM(n_tok) OVER (PARTITION BY source
+      |            ORDER BY n_tok, doc_id
+      |            ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tok) // 256 AS seq_id
+      |  FROM (SELECT source, doc_id,
+      |          CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok
+      |        FROM documents))
+      |GROUP BY source, seq_id ORDER BY source, seq_id""".stripMargin
+
   /** Deterministic per-source corpus sampling: keep the 5 docs per source
     * with the smallest multiplicative-hash value — a reproducible,
     * engine-portable "random" sample with no RNG state (same hash family as
@@ -2806,6 +2844,7 @@ object TextOps {
     QueryDef("doc_length_quantiles", lengthQuantiles,
       Some(lengthQuantilesOracle)),
     QueryDef("doc_incr_oov", incrementalOov, Some(incrementalOovOracle)),
+    QueryDef("doc_pack_curriculum", curriculumPack, Some(curriculumPackOracle)),
     QueryDef("doc_sample_per_source", samplePerSource, Some(samplePerSourceOracle)),
     QueryDef("doc_weighted_sample", weightedSample, Some(weightedSampleOracle)),
     QueryDef("doc_mix_sample", mixSample, Some(mixSampleOracle)),

@@ -588,6 +588,54 @@ class TextAnalyticsSpec extends SparkSpecBase {
     assert(replay.forall(_.getLong(2) == 0L), "appended tokens must be known")
   }
 
+  test("curriculumPack: tokens conserve; within-sequence spread tightens vs doc_id-order packing") {
+    import graft.operators.TextOps
+    val packed = TextOps.curriculumPack(spark, sf0001).collect()
+    val docs = graft.sources.Tables.t(spark, sf0001, "documents")
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n"))
+      .groupBy("source").agg(sum("n").as("total")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    packed.groupBy(_.getString(0)).foreach { case (src, rows) =>
+      // token conservation + contiguous sequence ids, like seqPack
+      assert(rows.map(_.getLong(3)).sum == docs(src))
+      val ids = rows.map(_.getLong(1)).sorted
+      assert(ids.head == 0L && ids.last == ids.length - 1)
+      // curriculum order ⇒ per-sequence min never decreases across seqs
+      val bySeq = rows.sortBy(_.getLong(1))
+      bySeq.sliding(2).foreach {
+        case Array(a, b) => assert(a.getLong(4) <= b.getLong(4),
+          s"$src: curriculum packing must be length-sorted: $a then $b")
+        case _ => ()
+      }
+    }
+    // the property bought: mean within-sequence (max-min) spread is no
+    // wider than doc_id-order packing's (strictly tighter on this corpus)
+    val spread = packed.map(r => r.getLong(5) - r.getLong(4))
+    val base = TextOps.seqPack(spark, sf0001).collect()
+    assert(spread.sum.toDouble / spread.length <
+      // seqPack reports first_doc not min/max — recompute its spread
+      {
+        val byDoc = graft.sources.Tables.t(spark, sf0001, "documents")
+          .select(col("source"), col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n")).collect()
+          .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+        val seqOf = graft.sources.Tables.t(spark, sf0001, "documents")
+          .select("source", "doc_id").collect()
+          .map(r => (r.getString(0), r.getLong(1)))
+          .groupBy(_._1).toSeq.flatMap { case (src, ds) =>
+            var cum = 0L
+            ds.map(_._2).sorted.map { d =>
+              val n = byDoc((src, d)); val sid = (cum) / 256L; cum += n
+              ((src, sid), n)
+            }
+          }
+        val spreads = seqOf.groupBy(_._1).values
+          .map(xs => xs.map(_._2).max - xs.map(_._2).min)
+        spreads.sum.toDouble / spreads.size
+      }, "curriculum packing must tighten the mean within-sequence spread")
+    assert(base.nonEmpty)
+  }
+
   test("vocabGrowth: checkpoint count fixed, curve monotone, totals reconcile with the corpus") {
     import graft.operators.TextOps
     val docs = graft.sources.Tables.t(spark, sf0001, "documents")

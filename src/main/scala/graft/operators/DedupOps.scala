@@ -1658,6 +1658,87 @@ object DedupOps {
        |ORDER BY batch_doc, batch_idx, corpus_doc, corpus_idx""".stripMargin
   }
 
+  /** Measured QUALITY of the chunk-grain banded pipeline — the QA row
+    * 30e ships for the doc grain, at chunk grain: exact ground truth =
+    * ALL cross-doc, non-exact chunk pairs with hashed-shingle Jaccard
+    * >= 0.7 (computed losslessly by an inverted-index join over the
+    * shingle hashes — no banding, no cap), candidates = the gated
+    * [[chunkMinhashOn]] output. One row: pair counts, hits, recall
+    * (band coverage of true pairs) and precision (1.0 unless a 32-bit
+    * verify collision ever fires — measured, not assumed). The truth
+    * side is the eval's cost, exactly as at doc grain: an
+    * inverted-index self-join that explodes on hot shingle hashes —
+    * run it when tuning, not per ingest.
+    */
+  def chunkDedupEval(s: SparkSession, dir: String): DataFrame =
+    chunkDedupEvalOn(Tables.t(s, dir, "documents"))
+
+  def chunkDedupEvalOn(docs: DataFrame): DataFrame = {
+    val sh = chunkSigs(docs, md5Parity = false)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hv = sh.select(col("doc_id"), col("chunk_idx"), explode(col("hsh")).as("h"))
+    val nsh = sh.select(col("doc_id"), col("chunk_idx"),
+      size(col("hsh")).cast("long").as("n"))
+    val tc = hv.as("a")
+      .join(hv.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("a.chunk_idx").as("c1"),
+        col("b.doc_id").as("d2"), col("b.chunk_idx").as("c2"))
+      .agg(countDistinct(col("a.h")).as("common"))
+    val truth = tc
+      .join(nsh.select(col("doc_id").as("d1"), col("chunk_idx").as("c1"),
+        col("n").as("n1")), Seq("d1", "c1"))
+      .join(nsh.select(col("doc_id").as("d2"), col("chunk_idx").as("c2"),
+        col("n").as("n2")), Seq("d2", "c2"))
+      .join(sh.select(col("doc_id").as("d1"), col("chunk_idx").as("c1"),
+        col("chunk_fp").as("fp1")), Seq("d1", "c1"))
+      .join(sh.select(col("doc_id").as("d2"), col("chunk_idx").as("c2"),
+        col("chunk_fp").as("fp2")), Seq("d2", "c2"))
+      .filter(col("fp1") =!= col("fp2"))
+      .filter(col("common").cast(DoubleType) /
+        (col("n1") + col("n2") - col("common")).cast(DoubleType) >= 0.7)
+      .select(col("d1"), col("c1"), col("d2"), col("c2"), lit(1L).as("__t"))
+    val lsh = chunkMinhashOn(docs)
+      .select(col("d1"), col("c1"), col("d2"), col("c2"), lit(1L).as("__l"))
+    truth.join(lsh, Seq("d1", "c1", "d2", "c2"), "full_outer")
+      .agg(coalesce(sum("__t"), lit(0L)).as("n_true"),
+        coalesce(sum("__l"), lit(0L)).as("n_lsh"),
+        coalesce(sum(col("__t") * col("__l")), lit(0L)).as("n_hit"))
+      .select(col("n_true"), col("n_lsh"), col("n_hit"),
+        (col("n_hit").cast(DoubleType) / col("n_true").cast(DoubleType)).as("recall"),
+        (col("n_hit").cast(DoubleType) / col("n_lsh").cast(DoubleType)).as("precision"))
+  }
+
+  /** Oracle: the md5-basis chunk pair replay full-outer-joined against
+    * an exact >= 0.7 truth over the hashed shingle sets (inverted-index
+    * `tc`, fps-differ, no cap); counts integers, recall/precision one
+    * IEEE division each.
+    */
+  val chunkDedupEvalOracle: String =
+    s"""WITH $sqlChunkMinhashPairCtes,
+       |tc AS (SELECT a.doc_id AS d1, a.chunk_idx AS c1,
+       |         b.doc_id AS d2, b.chunk_idx AS c2, COUNT(DISTINCT a.h) AS common
+       |       FROM hv a JOIN hv b ON a.h = b.h AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2, 3, 4),
+       |truth AS (SELECT tc.d1, tc.c1, tc.d2, tc.c2 FROM tc
+       |          JOIN nsh x ON x.doc_id = tc.d1 AND x.chunk_idx = tc.c1
+       |          JOIN nsh y ON y.doc_id = tc.d2 AND y.chunk_idx = tc.c2
+       |          JOIN sh fx ON fx.doc_id = tc.d1 AND fx.chunk_idx = tc.c1
+       |          JOIN sh fy ON fy.doc_id = tc.d2 AND fy.chunk_idx = tc.c2
+       |          WHERE fx.chunk_fp <> fy.chunk_fp
+       |            AND CAST(tc.common AS DOUBLE)
+       |                / CAST(x.n + y.n - tc.common AS DOUBLE) >= 0.7),
+       |m AS (SELECT COALESCE(t.hit, 0) AS th, COALESCE(l.hit, 0) AS lh
+       |      FROM (SELECT d1, c1, d2, c2, 1 AS hit FROM truth) t
+       |      FULL OUTER JOIN (SELECT d1, c1, d2, c2, 1 AS hit FROM jp) l
+       |        ON t.d1 = l.d1 AND t.c1 = l.c1 AND t.d2 = l.d2 AND t.c2 = l.c2)
+       |SELECT CAST(SUM(th) AS BIGINT) AS n_true,
+       |       CAST(SUM(lh) AS BIGINT) AS n_lsh,
+       |       CAST(SUM(th * lh) AS BIGINT) AS n_hit,
+       |       CAST(SUM(th * lh) AS DOUBLE) / CAST(SUM(th) AS DOUBLE) AS recall,
+       |       CAST(SUM(th * lh) AS DOUBLE) / CAST(SUM(lh) AS DOUBLE) AS precision
+       |FROM m""".stripMargin
+
   /** Materialize the chunk MinHash band index — the steady-state ingest
     * form of [[chunkMinhashProbeOn]]: corpus chunking/shingling/hashing
     * happens ONCE at build; every subsequent batch probes the stored
@@ -2926,6 +3007,8 @@ object DedupOps {
       Some(incrChunkMinhashOracle)),
     QueryDef("doc_chunk_near_boiler", chunkNearBoilerplate,
       Some(chunkNearBoilerplateOracle)),
+    QueryDef("doc_chunk_dedup_eval", chunkDedupEval,
+      Some(chunkDedupEvalOracle)),
     QueryDef("doc_incr_minhash", incrementalMinHash, Some(incrMinhashOracle)),
     QueryDef("doc_incr_simhash", incrementalSimHash, Some(incrSimhashOracle)),
     QueryDef("doc_dedup_keep_best", dedupKeepBest, Some(keepBestOracle)),

@@ -228,6 +228,17 @@ class ChunkDedupSpec extends SparkSpecBase {
     assert(exactOnly(5L) == 0L, "exact rule must not count the edited window")
   }
 
+  test("chunkDedupEval: recall floor holds and precision is exactly 1.0 on the gate fixture") {
+    val r = DedupOps.chunkDedupEval(spark, sf0001).collect().head
+    val (nTrue, nLsh, nHit) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nTrue > 0L, "fixture must contain true near chunk pairs")
+    assert(r.getDouble(4) == 1.0,
+      s"every verified candidate must be a true pair (precision): $r")
+    assert(r.getDouble(3) >= 0.9,
+      s"band config must keep recall >= 0.9 on the fixture: $r")
+    assert(nHit <= math.min(nTrue, nLsh))
+  }
+
   test("chunkMinhashOn gate corpus: near pairs exist at sf0.001 and none duplicates an exact chunk pair") {
     val docs = graft.sources.Tables.t(spark, sf0001, "documents")
     val pairs = DedupOps.chunkMinhashOn(docs).collect()

@@ -1146,6 +1146,55 @@ object TextOps {
       |        FROM documents))
       |GROUP BY source, seq_id ORDER BY source, seq_id""".stripMargin
 
+  /** Dataset card — the one-row corpus summary a release ships next to
+    * the data: sizes, source/language spread, vocabulary, exact-dup
+    * mass. Composes the individually-gated stats into the artifact
+    * users actually export; every count is an exact integer, the two
+    * rates one IEEE division each. Three aggregate passes (base counts,
+    * vocabulary, dup mass), each a column-pruned scan — 1-row frames
+    * cross-joined broadcast, the house global-total shape.
+    */
+  def datasetCard(s: SparkSession, dir: String): DataFrame =
+    datasetCardOn(Tables.t(s, dir, "documents"))
+
+  def datasetCardOn(docs: DataFrame): DataFrame = {
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"),
+      sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+    val vocab = docs
+      .select(explode(array_distinct(split(col("text"), " "))).as("t"))
+      .agg(countDistinct(col("t")).as("vocab_size"))
+    val dups = docs
+      .groupBy(md5(lower(col("text"))).as("fp"))
+      .agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(when(col("n") > 1, col("n"))), lit(0L)).as("n_dup_docs"))
+    base.crossJoin(broadcast(vocab)).crossJoin(broadcast(dups))
+      .withColumn("dup_frac",
+        col("n_dup_docs").cast(DoubleType) / col("n_docs").cast(DoubleType))
+      .withColumn("mean_tokens",
+        col("n_tokens").cast(DoubleType) / col("n_docs").cast(DoubleType))
+      .select("n_docs", "n_sources", "n_langs", "n_tokens", "vocab_size",
+        "n_dup_docs", "dup_frac", "mean_tokens")
+  }
+
+  val datasetCardOracle: String =
+    """WITH base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+      |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+      |    CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |vocab AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS vocab_size
+      |  FROM (SELECT unnest(str_split(text, ' ')) AS t FROM documents)),
+      |dups AS (SELECT CAST(COALESCE(SUM(CASE WHEN n > 1 THEN n END), 0)
+      |    AS BIGINT) AS n_dup_docs
+      |  FROM (SELECT COUNT(*) AS n FROM documents GROUP BY md5(lower(text))))
+      |SELECT n_docs, n_sources, n_langs, n_tokens, vocab_size, n_dup_docs,
+      |  CAST(n_dup_docs AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_frac,
+      |  CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_tokens
+      |FROM base, vocab, dups""".stripMargin
+
   /** Deterministic per-source corpus sampling: keep the 5 docs per source
     * with the smallest multiplicative-hash value — a reproducible,
     * engine-portable "random" sample with no RNG state (same hash family as
@@ -2845,6 +2894,7 @@ object TextOps {
       Some(lengthQuantilesOracle)),
     QueryDef("doc_incr_oov", incrementalOov, Some(incrementalOovOracle)),
     QueryDef("doc_pack_curriculum", curriculumPack, Some(curriculumPackOracle)),
+    QueryDef("doc_dataset_card", datasetCard, Some(datasetCardOracle)),
     QueryDef("doc_sample_per_source", samplePerSource, Some(samplePerSourceOracle)),
     QueryDef("doc_weighted_sample", weightedSample, Some(weightedSampleOracle)),
     QueryDef("doc_mix_sample", mixSample, Some(mixSampleOracle)),

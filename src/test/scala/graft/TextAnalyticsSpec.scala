@@ -636,6 +636,22 @@ class TextAnalyticsSpec extends SparkSpecBase {
     assert(base.nonEmpty)
   }
 
+  test("datasetCard: one row whose fields reconcile with direct recounts") {
+    import graft.operators.TextOps
+    val docs = graft.sources.Tables.t(spark, sf0001, "documents")
+    val rows = TextOps.datasetCard(spark, sf0001).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getLong(0) == docs.count())
+    assert(r.getLong(1) == docs.select("source").distinct().count())
+    assert(r.getLong(4) ==
+      docs.selectExpr("explode(split(text, ' ')) AS t").distinct().count())
+    val dupMass = docs.groupBy(lower(col("text"))).count()
+      .filter(col("count") > 1).agg(sum("count")).head()
+    assert(r.getLong(5) == (if (dupMass.isNullAt(0)) 0L else dupMass.getLong(0)))
+    assert(r.getDouble(6) == r.getLong(5).toDouble / r.getLong(0).toDouble)
+  }
+
   test("vocabGrowth: checkpoint count fixed, curve monotone, totals reconcile with the corpus") {
     import graft.operators.TextOps
     val docs = graft.sources.Tables.t(spark, sf0001, "documents")

@@ -1377,7 +1377,19 @@ object DedupOps {
         col("bk.band").as("band"), col("bk.bkey").as("bkey"))
   }
 
-  def chunkMinhashOn(docs: DataFrame, md5Parity: Boolean = false): DataFrame = {
+  def chunkMinhashOn(docs: DataFrame, md5Parity: Boolean = false): DataFrame =
+    // one-shot gated form: the two internal caches stay pinned until the
+    // session clears them (the result is lazy; compositions that can
+    // materialize eagerly use [[chunkMinhashPairs]] and release)
+    chunkMinhashPairs(docs, md5Parity)._1
+
+  /** [[chunkMinhashOn]] plus a release hook for its two internal caches —
+    * compositions that materialize the pair set (near-boilerplate, the
+    * QA eval) call the hook once done instead of pinning three
+    * MEMORY_AND_DISK chunk-grain frames for the rest of the session.
+    */
+  private[graft] def chunkMinhashPairs(docs: DataFrame,
+      md5Parity: Boolean): (DataFrame, () => Unit) = {
     // chunk frame + shingle hashes + signatures, persisted: bands feed
     // the hot-bucket count AND the candidate join, and the verify stage
     // joins back twice — unpersisted, the chunker + signature pass (the
@@ -1393,7 +1405,7 @@ object DedupOps {
       .select(col("a.doc_id").as("d1"), col("a.chunk_idx").as("c1"),
         col("b.doc_id").as("d2"), col("b.chunk_idx").as("c2"))
       .distinct()
-    cands
+    val pairs = cands
       .join(sh.select(col("doc_id").as("d1"), col("chunk_idx").as("c1"),
         col("chunk_fp").as("fp1"), col("hsh").as("hsh1")), Seq("d1", "c1"))
       .join(sh.select(col("doc_id").as("d2"), col("chunk_idx").as("c2"),
@@ -1405,6 +1417,7 @@ object DedupOps {
       .filter(col("jaccard") >= 0.7)
       .select("d1", "c1", "d2", "c2", "jaccard")
       .orderBy("d1", "c1", "d2", "c2")
+    (pairs, () => { sh.unpersist(); pruned.unpersist() })
   }
 
   /** Shared CTE chain for the chunk-grain minhash replays on the md5
@@ -1512,13 +1525,13 @@ object DedupOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nd = ch.groupBy("chunk_fp")
       .agg(countDistinct(col("doc_id")).as("n_docs"))
-    val pairs = chunkMinhashOn(docs)
+    val (pairs, releasePairs) = chunkMinhashPairs(docs, md5Parity = false)
     val nearIds = pairs
       .select(col("d1").as("doc_id"), col("c1").as("chunk_idx"))
       .unionByName(pairs.select(col("d2").as("doc_id"), col("c2").as("chunk_idx")))
       .distinct()
       .withColumn("near", lit(1L))
-    ch.join(nd, Seq("chunk_fp"))
+    val verdicts = ch.join(nd, Seq("chunk_fp"))
       .join(nearIds, Seq("doc_id", "chunk_idx"), "left")
       .groupBy("doc_id")
       .agg(
@@ -1533,6 +1546,14 @@ object DedupOps {
       .select("doc_id", "n_chunks", "n_exact_boiler", "n_near_boiler",
         "n_boiler", "verdict")
       .orderBy("doc_id")
+    // Materialize the per-doc verdicts eagerly (one 6-scalar row per doc,
+    // orders smaller than the chunk sig/band frames upstream), then
+    // release the three MEMORY_AND_DISK caches the composition pinned —
+    // the lazy form kept all three alive for the rest of the session.
+    val out = verdicts.localCheckpoint()
+    ch.unpersist()
+    releasePairs()
+    out
   }
 
   val chunkNearBoilerplateOracle: String =
@@ -1660,31 +1681,40 @@ object DedupOps {
 
   /** Measured QUALITY of the chunk-grain banded pipeline — the QA row
     * 30e ships for the doc grain, at chunk grain: exact ground truth =
-    * ALL cross-doc, non-exact chunk pairs with hashed-shingle Jaccard
-    * >= 0.7 (computed losslessly by an inverted-index join over the
-    * shingle hashes — no banding, no cap), candidates = the gated
-    * [[chunkMinhashOn]] output. One row: pair counts, hits, recall
-    * (band coverage of true pairs) and precision (1.0 unless a 32-bit
-    * verify collision ever fires — measured, not assumed). The truth
-    * side is the eval's cost, exactly as at doc grain: an
-    * inverted-index self-join that explodes on hot shingle hashes —
-    * run it when tuning, not per ingest.
+    * ALL cross-doc, non-exact chunk pairs with RAW-shingle-string
+    * Jaccard >= 0.7 (computed losslessly by an inverted-index join over
+    * the shingle strings themselves — no banding, no cap, and no 32-bit
+    * hashing on the truth side), candidates = the gated
+    * [[chunkMinhashOn]] output, which verifies over the 32-bit hashed
+    * sets. One row: pair counts, hits, recall (band coverage of true
+    * pairs) and precision. Because truth and candidates use DIFFERENT
+    * shingle representations, a 32-bit collision that pushes a
+    * sub-threshold pair over 0.7 in hashed space lands in n_lsh but not
+    * n_true — precision is a real measurement, not a tautology (the
+    * pre-r16 form computed truth over the same hashed sets, making the
+    * verified output a subset of truth by construction). The truth side
+    * is the eval's cost, exactly as at doc grain: an inverted-index
+    * self-join that explodes on hot shingles — run it when tuning, not
+    * per ingest.
     */
   def chunkDedupEval(s: SparkSession, dir: String): DataFrame =
     chunkDedupEvalOn(Tables.t(s, dir, "documents"))
 
   def chunkDedupEvalOn(docs: DataFrame): DataFrame = {
-    val sh = chunkSigs(docs, md5Parity = false)
+    val sh = TextOps.chunkOn(docs)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_fp"),
+        GraftFunctions.graftWordShingles(col("chunk_text"), 5).as("shs"))
+      .filter(size(col("shs")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val hv = sh.select(col("doc_id"), col("chunk_idx"), explode(col("hsh")).as("h"))
+    val hv = sh.select(col("doc_id"), col("chunk_idx"), explode(col("shs")).as("s"))
     val nsh = sh.select(col("doc_id"), col("chunk_idx"),
-      size(col("hsh")).cast("long").as("n"))
+      size(col("shs")).cast("long").as("n"))
     val tc = hv.as("a")
       .join(hv.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("a.chunk_idx").as("c1"),
         col("b.doc_id").as("d2"), col("b.chunk_idx").as("c2"))
-      .agg(countDistinct(col("a.h")).as("common"))
+      .agg(countDistinct(col("a.s")).as("common"))
     val truth = tc
       .join(nsh.select(col("doc_id").as("d1"), col("chunk_idx").as("c1"),
         col("n").as("n1")), Seq("d1", "c1"))
@@ -1698,31 +1728,40 @@ object DedupOps {
       .filter(col("common").cast(DoubleType) /
         (col("n1") + col("n2") - col("common")).cast(DoubleType) >= 0.7)
       .select(col("d1"), col("c1"), col("d2"), col("c2"), lit(1L).as("__t"))
-    val lsh = chunkMinhashOn(docs)
+    val (pairs, releasePairs) = chunkMinhashPairs(docs, md5Parity = false)
+    val lsh = pairs
       .select(col("d1"), col("c1"), col("d2"), col("c2"), lit(1L).as("__l"))
-    truth.join(lsh, Seq("d1", "c1", "d2", "c2"), "full_outer")
+    val eval = truth.join(lsh, Seq("d1", "c1", "d2", "c2"), "full_outer")
       .agg(coalesce(sum("__t"), lit(0L)).as("n_true"),
         coalesce(sum("__l"), lit(0L)).as("n_lsh"),
         coalesce(sum(col("__t") * col("__l")), lit(0L)).as("n_hit"))
       .select(col("n_true"), col("n_lsh"), col("n_hit"),
         (col("n_hit").cast(DoubleType) / col("n_true").cast(DoubleType)).as("recall"),
         (col("n_hit").cast(DoubleType) / col("n_lsh").cast(DoubleType)).as("precision"))
+    // single summary row: materialize eagerly, release both caches
+    val out = eval.localCheckpoint()
+    sh.unpersist()
+    releasePairs()
+    out
   }
 
   /** Oracle: the md5-basis chunk pair replay full-outer-joined against
-    * an exact >= 0.7 truth over the hashed shingle sets (inverted-index
-    * `tc`, fps-differ, no cap); counts integers, recall/precision one
-    * IEEE division each.
+    * an exact >= 0.7 truth over the RAW shingle strings (inverted-index
+    * `tc` on `inv.s`, sizes from `len(shs)`, fps-differ, no cap) —
+    * the truth side never touches the 32-bit hash basis, so a verify
+    * collision is a measurable precision miss; counts integers,
+    * recall/precision one IEEE division each.
     */
   val chunkDedupEvalOracle: String =
     s"""WITH $sqlChunkMinhashPairCtes,
+       |nshr AS (SELECT doc_id, chunk_idx, CAST(len(shs) AS BIGINT) AS n FROM sh),
        |tc AS (SELECT a.doc_id AS d1, a.chunk_idx AS c1,
-       |         b.doc_id AS d2, b.chunk_idx AS c2, COUNT(DISTINCT a.h) AS common
-       |       FROM hv a JOIN hv b ON a.h = b.h AND a.doc_id < b.doc_id
+       |         b.doc_id AS d2, b.chunk_idx AS c2, COUNT(DISTINCT a.s) AS common
+       |       FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
        |       GROUP BY 1, 2, 3, 4),
        |truth AS (SELECT tc.d1, tc.c1, tc.d2, tc.c2 FROM tc
-       |          JOIN nsh x ON x.doc_id = tc.d1 AND x.chunk_idx = tc.c1
-       |          JOIN nsh y ON y.doc_id = tc.d2 AND y.chunk_idx = tc.c2
+       |          JOIN nshr x ON x.doc_id = tc.d1 AND x.chunk_idx = tc.c1
+       |          JOIN nshr y ON y.doc_id = tc.d2 AND y.chunk_idx = tc.c2
        |          JOIN sh fx ON fx.doc_id = tc.d1 AND fx.chunk_idx = tc.c1
        |          JOIN sh fy ON fy.doc_id = tc.d2 AND fy.chunk_idx = tc.c2
        |          WHERE fx.chunk_fp <> fy.chunk_fp
@@ -1778,9 +1817,15 @@ object DedupOps {
 
   /** Extend the chunk index with a new batch: one map pass over the
     * batch only; the next batch's probe sees these chunks as corpus.
+    * Appends run under the same marker discipline as rebuilds (drop
+    * first, restore LAST): a crash between the sig and band appends
+    * would otherwise leave a valid-marker index whose new chunks are
+    * silently invisible to probes — sig rows with no band rows, or
+    * band candidates whose verify join finds no signature.
     */
   def appendToChunkMinhashIndex(batch: DataFrame, indexPath: String): Unit = {
     requireIndexBasis(batch.sparkSession, indexPath)
+    dropBasisMarker(batch.sparkSession, indexPath)
     val sig = chunkSigs(batch, md5Parity = false)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (!graft.sources.Bucketed.append(sig, s"$indexPath/sigs"))
@@ -1788,6 +1833,20 @@ object DedupOps {
     chunkBands(sig, md5Parity = false).write.mode("append")
       .parquet(s"$indexPath/bands")
     sig.unpersist()
+    writeBasisMarker(batch.sparkSession, indexPath)
+  }
+
+  /** Chunk-grain twin of [[compactMinHashIndex]]: rewrite the chunk
+    * index's append deltas (one sig delta per bucket plus band part
+    * files per ingest batch) into one fresh tiling with identical probe
+    * results. Register with `Maintain.runIndex` like the doc-grain
+    * family so steady-state appends stay bounded.
+    */
+  def compactChunkMinhashIndex(s: SparkSession, indexPath: String): Unit = {
+    import graft.sources.IndexCompact
+    if (!IndexCompact.rewriteBucketed(s, s"$indexPath/sigs"))
+      IndexCompact.rewritePlain(s, s"$indexPath/sigs", Seq("doc_id"))
+    IndexCompact.rewritePlain(s, s"$indexPath/bands", Seq("band", "bkey"))
   }
 
   /** Incremental NEAR-dup: batch docs probe the corpus's MinHash band
@@ -1995,16 +2054,21 @@ object DedupOps {
 
   /** Extend the index with a new batch: compute the batch's signatures and
     * band rows (one map pass over the batch only) and append both tables.
-    * The next batch's probe sees these docs as corpus.
+    * The next batch's probe sees these docs as corpus. Marker discipline
+    * as in [[appendToChunkMinhashIndex]]: drop before the two appends,
+    * restore after both succeed, so a crashed append fails loudly in
+    * [[requireIndexBasis]] instead of silently losing recall.
     */
   def appendToMinHashIndex(batch: DataFrame, indexPath: String): Unit = {
     requireIndexBasis(batch.sparkSession, indexPath)
+    dropBasisMarker(batch.sparkSession, indexPath)
     val sig = minhashSigs(batch)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (!graft.sources.Bucketed.append(sig, s"$indexPath/sigs"))
       sig.write.mode("append").parquet(s"$indexPath/sigs")
     bandRows(sig).write.mode("append").parquet(s"$indexPath/bands")
     sig.unpersist()
+    writeBasisMarker(batch.sparkSession, indexPath)
   }
 
   /** Rewrite the index's append deltas into one fresh tiling — same

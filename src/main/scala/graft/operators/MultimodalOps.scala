@@ -27,7 +27,8 @@ object MultimodalOps {
         octet_length(col("text")).as("n_bytes"))
 
   /** Deterministic fake "decode": byte histogram features. A real codec
-    * would slot in here (??? boundary) with the identical partition-local
+    * (the image/audio libraries absent from this container) would slot
+    * in at exactly this boundary with the identical partition-local
     * batch shape — one record in, one feature row out, no shuffle.
     */
   def decodeStub(r: MmRecord): MmFeatures = {

@@ -2796,6 +2796,18 @@ object TextOps {
       fresh.write.mode("append").parquet(s"$storePath/vocab")
   }
 
+  /** Rewrite the vocab store's append deltas into one fresh tiling —
+    * identical probe results, bounded file count (per-batch anti-join
+    * appends otherwise accumulate one file per bucket per batch
+    * forever). Register with `Maintain.runIndex` like the minhash index
+    * families.
+    */
+  def compactVocabStore(s: SparkSession, storePath: String): Unit = {
+    import graft.sources.IndexCompact
+    if (!IndexCompact.rewriteBucketed(s, s"$storePath/vocab"))
+      IndexCompact.rewritePlain(s, s"$storePath/vocab", Seq("token"))
+  }
+
   val incrementalOovOracle: String =
     """WITH corp AS (SELECT DISTINCT unnest(str_split(text, ' ')) AS token
       |              FROM documents WHERE doc_id % 5 <> 0),

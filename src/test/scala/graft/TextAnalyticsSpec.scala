@@ -586,6 +586,14 @@ class TextAnalyticsSpec extends SparkSpecBase {
     // post-append probe sees the batch as corpus: everything known
     val replay = TextOps.incrementalOovFromStore(spark, batch, dir).collect()
     assert(replay.forall(_.getLong(2) == 0L), "appended tokens must be known")
+    // compact: fresh tiling, identical store contents and probe results
+    val filesBefore = graft.sources.IndexCompact.dataFileCount(spark, dir)
+    TextOps.compactVocabStore(spark, dir)
+    assert(graft.sources.IndexCompact.dataFileCount(spark, dir) <= filesBefore,
+      "compaction must not grow the tiling")
+    assert(spark.read.parquet(s"$dir/vocab").count() == before + 3L)
+    val replayC = TextOps.incrementalOovFromStore(spark, batch, dir).collect()
+    assert(replayC.forall(_.getLong(2) == 0L), "compaction changed probe results")
   }
 
   test("curriculumPack: tokens conserve; within-sequence spread tightens vs doc_id-order packing") {

@@ -519,6 +519,107 @@ object Stress {
       spark.catalog.clearCache()
     }
 
+    // planted-skew TASK bound (r16): one key holds 10% of the corpus and
+    // the claim under test is about REAL task inputs, not plan strings —
+    // a shuffle join on the hot key must keep its max-task shuffle read
+    // bounded. Two runs of the identical join, hard-required both ways:
+    // with AQE skew-split OFF the probe must SEE the planted skew (the
+    // hot partition concentrates >= ~8% of the join stage's shuffle read
+    // in one task — if it doesn't, the measurement is vacuous); with
+    // skew-split ON (house thresholds scaled to the stress corpus) the
+    // same plan's max-task share must drop under half that concentration.
+    // This is the runtime half of the salting stage above: saltedJoin is
+    // the explicit lever, AQE skew-split is the automatic one, and both
+    // must provably bound per-task load on a 10%-hot corpus.
+    {
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+      // an incompressible per-row payload keeps shuffle BYTES proportional
+      // to rows: without it, lz4 flattens the hot partition (100k rows
+      // sharing one user_id compress away) and the skew is invisible to
+      // the byte metric AQE itself splits on
+      val hot10 = evN.withColumn("user_id",
+        when(pmod(col("event_id"), lit(10)) === 0, lit(777L))
+          .otherwise(col("user_id")))
+        .withColumn("payload",
+          sha2(concat_ws(":", col("event_id"), col("user_id"), col("ts")), 256))
+      // one row per user; broadcast disabled below so the join shuffles
+      val dim10 = hot10.select("user_id").distinct()
+        .withColumn("w", pmod(col("user_id"), lit(997)))
+        .localCheckpoint(true)
+      def maxTaskShare(label: String)(job: => Long): (Double, Long) = {
+        val perStage =
+          new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long)]()
+        val lst = new SparkListener {
+          override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+            val m = t.taskMetrics
+            if (m != null) {
+              val r = m.shuffleReadMetrics.totalBytesRead
+              if (r > 0) perStage.merge(t.stageId, (r, r),
+                (a, b) => (math.max(a._1, b._1), a._2 + b._2))
+            }
+          }
+        }
+        spark.sparkContext.addSparkListener(lst)
+        val n =
+          try { val x = job; Thread.sleep(3000L); x }
+          finally spark.sparkContext.removeSparkListener(lst)
+        import scala.jdk.CollectionConverters._
+        val stages = perStage.asScala.values.toSeq
+        require(stages.nonEmpty, s"$label: no shuffle-reading stage observed")
+        // the join stage dominates the job's shuffle volume — take it
+        val (mx, sm) = stages.maxBy(_._2)
+        val share = mx.toDouble / sm
+        println(f"[stress] $label: rows=$n maxTask=${mx / 1e6}%.1f MB " +
+          f"of ${sm / 1e6}%.1f MB total (share=$share%.3f)")
+        (share, sm)
+      }
+      val keep = Seq(
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.coalescePartitions.enabled")
+        .map(k => k -> spark.conf.getOption(k)).toMap
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        // coalescing would merge the skew-split partitions right back
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        // the aggregate CONSUMES the payload so column pruning cannot
+        // strip it from the exchange (a bare count() ships only the join
+        // key — repeated identical longs that compress to nothing)
+        def hotJoin(): Long = hot10.join(dim10, "user_id")
+          .agg(sum(pmod(xxhash64(col("payload"), col("w")), lit(1000000L))))
+          .first().getLong(0)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        val (shareOff, sumOff) = maxTaskShare(
+          s"hot10-join skew-split OFF x$copies")(hotJoin())
+        require(shareOff >= 0.08,
+          f"probe must observe the planted 10%% hot key: share=$shareOff%.3f")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        // the production 256 MB/64 MB thresholds scaled to THIS corpus's
+        // measured stage size (threshold just under the 1/32 median, split
+        // grain well under the hot partition) — the RATIO assert is
+        // size-free, so the stage holds at any SF the driver runs
+        val par = spark.sparkContext.defaultParallelism.toLong
+        spark.conf.set(
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+          math.max(sumOff / (2L * par), 64L * 1024L).toString)
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+          math.max(sumOff / (4L * par), 32L * 1024L).toString)
+        val (shareOn, _) = maxTaskShare(
+          s"hot10-join skew-split ON x$copies")(hotJoin())
+        require(shareOn <= shareOff / 2,
+          f"AQE skew-split must bound the hot task: ON=$shareOn%.3f vs OFF=$shareOff%.3f")
+      } finally keep.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+      }
+      spark.catalog.clearCache()
+    }
+
     // EWMA fold linearity (r12 cont.): copy i shifts the fixture month by
     // i*40 days, so the fold's (type, day) keys are disjoint across
     // copies with byte-identical per-key content — key count AND total

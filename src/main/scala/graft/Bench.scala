@@ -31,6 +31,28 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/nation.parquet").count()
 
+    // Frozen host-speed calibration (r15 verdict #5): the per-round bench
+    // artifact is taken in whatever slot the driver lands on, and this
+    // shared box drifts ~1.4x between slots (r15's same-window A/B). This
+    // workload is FROZEN — pure synthetic range -> hash -> one shuffle ->
+    // agg, no repo operator, no table — so its time across BENCH_rN files
+    // is a pure slot-speed signal: divide any round's headline total by
+    // (calib_rN / calib_rM) to compare tree M and tree N as if same-window.
+    // Timed once before and once after the suite to bracket the window;
+    // DO NOT change this job, its sizes, or its partitioning — a frozen
+    // workload is only comparable while it stays frozen.
+    def calibRun(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 20000000L, 1L, 32)
+        .selectExpr("id % 999983 AS k", "pmod(xxhash64(id), 1000000000) AS h")
+        .groupBy("k").agg(org.apache.spark.sql.functions.sum("h").as("s"))
+        .agg(org.apache.spark.sql.functions.sum("s"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibRun() // untimed: the calib job's own codegen/JIT must not leak into pre
+    val calibPre = Seq.fill(3)(calibRun()).min
+
     val targets = Registry.all.filter(_.headline)
     // three timed runs per query, report the best: the steady-state cost a
     // resident service would see. A query that throws is reported as null
@@ -178,9 +200,11 @@ object Bench {
       try s.stop() catch { case e: Throwable =>
         System.err.println(s"[bench] stop leaked stream ${s.id}: $e") }
     }
+    val calibPost = Seq.fill(3)(calibRun()).min
+    val calibJson = s"""{"sec":${math.min(calibPre, calibPost)},"pre":$calibPre,"post":$calibPost}"""
     val errJson2 = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"soak":$soakJson,"neardup_soak":$ndJson,"distinct_soak":$dsJson,"dp_soak":$dpJson,"ivjoin_soak":$ivjJson,"scoring_soak":$scJson,"index_serve":$serveJson,"errors":$errJson2,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"calib":$calibJson,"soak":$soakJson,"neardup_soak":$ndJson,"distinct_soak":$dsJson,"dp_soak":$dpJson,"ivjoin_soak":$ivjJson,"scoring_soak":$scJson,"index_serve":$serveJson,"errors":$errJson2,"sf":"$sfDir"}"""
     // The harness captures only the TAIL of stdout (a bounded window), and
     // the full payload line has outgrown it — the r13 artifact carried no
     // headline numbers. Self-containment discipline: the full payload goes
@@ -195,7 +219,7 @@ object Bench {
       java.nio.file.Files.write(p, fullJson.getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] write $outPath: $e") }
     println(fullJson)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson2,"sf":"$sfDir","full":${jstr(outPath)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"calib":$calibJson,"errors":$errJson2,"sf":"$sfDir","full":${jstr(outPath)}}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

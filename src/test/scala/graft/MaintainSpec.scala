@@ -129,6 +129,50 @@ class MaintainSpec extends SparkSpecBase {
     assert(after == before, "compaction must not change probe results")
   }
 
+  test("index maintenance: chunk-minhash and vocab compactors register with runIndex the same way") {
+    import graft.operators.{DedupOps, TextOps}
+    val base = java.nio.file.Files.createTempDirectory("graft-maint-ix2").toString
+    val mk = (r: Range, tag: String) =>
+      r.map(i => (i.toLong, s"$tag document number $i with some shared body text"))
+        .toDF("doc_id", "text")
+    // chunk-grain minhash index
+    val cix = s"$base/chunkmh"
+    DedupOps.writeChunkMinhashIndex(mk(1 to 30, "corpus"), cix)
+    (1 to 3).foreach(i => DedupOps.appendToChunkMinhashIndex(
+      mk(100 * i to 100 * i + 10, "corpus"), cix))
+    val cbatch = mk(9000 to 9005, "corpus")
+    val cBefore = DedupOps.incrementalChunkMinhashFromIndex(spark, cbatch, cix)
+      .collect().map(_.toString).sorted.toSeq
+    withConfs("spark.graft.maintain.maxIndexFiles" -> "100000") {
+      assert(!Maintain.runIndex(spark, cix)(
+        DedupOps.compactChunkMinhashIndex(spark, cix)))
+    }
+    val cFiles0 = graft.sources.IndexCompact.dataFileCount(spark, cix)
+    withConfs("spark.graft.maintain.maxIndexFiles" -> "4") {
+      assert(Maintain.runIndex(spark, cix)(
+        DedupOps.compactChunkMinhashIndex(spark, cix)))
+    }
+    assert(graft.sources.IndexCompact.dataFileCount(spark, cix) < cFiles0)
+    assert(DedupOps.incrementalChunkMinhashFromIndex(spark, cbatch, cix)
+      .collect().map(_.toString).sorted.toSeq == cBefore,
+      "chunk compaction must not change probe results")
+    // vocab store
+    val vix = s"$base/vocab"
+    TextOps.writeVocabStore(mk(1 to 30, "corpus"), vix)
+    (1 to 3).foreach(i => TextOps.appendToVocabStore(mk(100 * i to 100 * i + 10, s"b$i"), vix))
+    val vbatch = mk(9000 to 9005, "corpus")
+    val vBefore = TextOps.incrementalOovFromStore(spark, vbatch, vix)
+      .collect().map(_.toString).sorted.toSeq
+    val vFiles0 = graft.sources.IndexCompact.dataFileCount(spark, vix)
+    withConfs("spark.graft.maintain.maxIndexFiles" -> "4") {
+      assert(Maintain.runIndex(spark, vix)(TextOps.compactVocabStore(spark, vix)))
+    }
+    assert(graft.sources.IndexCompact.dataFileCount(spark, vix) < vFiles0)
+    assert(TextOps.incrementalOovFromStore(spark, vbatch, vix)
+      .collect().map(_.toString).sorted.toSeq == vBefore,
+      "vocab compaction must not change probe results")
+  }
+
   test("manifest-unknown majority (raw appends) trips compact and restores coverage") {
     val (path, orders) = freshTable()
     // raw parquet appends bypass the manifest delta -> unknown files

@@ -12,7 +12,14 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", "32")
+      // scale-adaptive, not a constant tuned for local[32]: shuffle
+      // parallelism tracks the executor core count the driver hands us
+      // (identical to the old hard-coded 32 at the 32-core bench point, so
+      // cross-round numbers stay comparable; the driver's lower-core
+      // scaling run no longer pays 32-task scheduling overhead on tiny
+      // post-AQE shuffles). On a real cluster this is the
+      // input-size-derived setting; AQE coalescing owns the final sizes.
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       // interleaved passes run ~15 other queries' stages between two runs

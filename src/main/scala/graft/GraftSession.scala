@@ -14,7 +14,9 @@ object GraftSession {
       .builder()
       .appName(appName)
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", "32")
+      // track the core count (same 32 at the default bench point); see the
+      // scale-adaptive note in Bench — AQE coalescing owns final sizes
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

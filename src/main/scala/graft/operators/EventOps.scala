@@ -175,31 +175,44 @@ object EventOps {
   def cepAttack(s: SparkSession, dir: String): DataFrame =
     cepAttackOn(Tables.t(s, dir, "events"))
 
-  /** Same, over any (user_id, event_id, ts, value) frame. */
+  /** Same, over any (user_id, event_id, ts, value) frame.
+    *
+    * Single-pass shape (r16): the closing "normal" event of a run is the
+    * event at rn_end + 1, which is exactly `lead(...)` of the run's LAST
+    * low row in the same (user_id, ts, event_id) window that computes rn —
+    * so instead of re-scanning events and self-joining on
+    * (user_id, rn_end + 1), annotate every event with its successor's
+    * (value, epoch) up front and recover the join columns as conditional
+    * aggregates. A low row is last-of-run iff its successor is absent or
+    * not itself low (rn is consecutive over ALL events, so a low successor
+    * is always the same run's next fragment), and each run has exactly one
+    * such row. One events scan instead of two, and the runs⋈events
+    * sort-merge join (one more full exchange + sort of the fact table)
+    * disappears; output is row-identical, same oracle.
+    */
   def cepAttackOn(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val e = events
       .select("user_id", "event_id", "ts", "value")
       .withColumn("rn", row_number().over(byUser))
+      .withColumn("nv", lead(col("value"), 1).over(byUser))
+      .withColumn("nts", lead(unix_micros(col("ts")), 1).over(byUser))
 
-    val runs = e
-      .filter(col("value") < LowThresh)
+    e.filter(col("value") < LowThresh)
       .withColumn("grp", col("rn") - row_number().over(byUser))
+      // NOT(nv < LowThresh) rather than nv >= LowThresh: the predicate must
+      // be the exact negation of the run-membership test so a NaN successor
+      // still terminates the run
+      .withColumn("is_last", col("nv").isNull || !(col("nv") < LowThresh))
       .groupBy("user_id", "grp")
       .agg(
         count(lit(1)).as("fragment_count"),
-        max(col("rn")).as("rn_end"),
         min(unix_micros(col("ts"))).as("attack_start_us"),
         max(unix_micros(col("ts"))).as("attack_end_us"),
-        dsum(col("value")).as("sum_low"))
+        dsum(col("value")).as("sum_low"),
+        max(when(col("is_last"), col("nv"))).as("avg_packets"),
+        max(when(col("is_last"), col("nts"))).as("normal_ts_us"))
       .filter(col("fragment_count") >= MinRun)
-
-    val nxt = e.select(
-      col("user_id").as("n_user"), col("rn").as("n_rn"),
-      unix_micros(col("ts")).as("normal_ts_us"), col("value").as("avg_packets"))
-
-    runs
-      .join(nxt, col("user_id") === col("n_user") && col("n_rn") === col("rn_end") + 1)
       .filter(col("avg_packets") > HighThresh &&
         col("normal_ts_us") - col("attack_end_us") <= WithinUs)
       .withColumn("avg_fragment_size", col("sum_low") / col("fragment_count"))
@@ -258,9 +271,15 @@ object EventOps {
 
   def cepAttackBoundedOn(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    // Same single-pass shape as [[cepAttackOn]] (successor columns via
+    // lead() instead of a runs⋈events self-join): the truncation keeps the
+    // last min(L, MaxRun) fragments of each run, which always includes the
+    // max-rn row — the one whose is_last flag carries the closing event.
     val e = events
       .select("user_id", "event_id", "ts", "value")
       .withColumn("rn", row_number().over(byUser))
+      .withColumn("nv", lead(col("value"), 1).over(byUser))
+      .withColumn("nts", lead(unix_micros(col("ts")), 1).over(byUser))
 
     val lows = e
       .filter(col("value") < LowThresh)
@@ -271,23 +290,18 @@ object EventOps {
     val kept = lows
       .withColumn("rn_last", max(col("rn")).over(Window.partitionBy("user_id", "grp")))
       .filter(col("rn") > col("rn_last") - MaxRun)
+      .withColumn("is_last", col("nv").isNull || !(col("nv") < LowThresh))
 
-    val runs = kept
+    kept
       .groupBy("user_id", "grp")
       .agg(
         count(lit(1)).as("fragment_count"),
-        max(col("rn")).as("rn_end"),
         min(unix_micros(col("ts"))).as("attack_start_us"),
         max(unix_micros(col("ts"))).as("attack_end_us"),
-        dsum(col("value")).as("sum_low"))
+        dsum(col("value")).as("sum_low"),
+        max(when(col("is_last"), col("nv"))).as("avg_packets"),
+        max(when(col("is_last"), col("nts"))).as("normal_ts_us"))
       .filter(col("fragment_count") >= MinRun)
-
-    val nxt = e.select(
-      col("user_id").as("n_user"), col("rn").as("n_rn"),
-      unix_micros(col("ts")).as("normal_ts_us"), col("value").as("avg_packets"))
-
-    runs
-      .join(nxt, col("user_id") === col("n_user") && col("n_rn") === col("rn_end") + 1)
       .filter(col("avg_packets") > HighThresh &&
         col("normal_ts_us") - col("attack_start_us") <= WithinUs) // Flink `within`: whole-match window
       .withColumn("avg_fragment_size", col("sum_low") / col("fragment_count"))

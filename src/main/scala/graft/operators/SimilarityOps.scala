@@ -52,7 +52,12 @@ object SimilarityOps {
     val e = Tables.t(s, dir, "embeddings")
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val scored = e.crossJoin(broadcast(q))
+    // spread the CORPUS side: the driver's single-row-group file caps the
+    // scan at 1 task, and every cosine of the 10 x N cross product is
+    // computed in the scan stage — before the spread the whole compute ran
+    // single-threaded and the map-side WindowGroupLimit top-k never
+    // parallelized (no-op on a real multi-file layout, see Tables.spread)
+    val scored = Tables.spread(e).crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("sim", graftCosine(col("q_emb"), col("embedding")))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
@@ -88,7 +93,9 @@ object SimilarityOps {
     val e = Tables.t(s, dir, "embeddings")
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val scored = e.filter(col("label") === 1) // the metadata predicate
+    // spread AFTER the pushed-down predicate, same 1-task rationale as
+    // [[knnBrute]]: all the surviving rows' cosines run in the scan stage
+    val scored = Tables.spread(e.filter(col("label") === 1)) // the metadata predicate
       .crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("sim", graftCosine(col("q_emb"), col("embedding")))

@@ -100,15 +100,23 @@ class PlanSpec extends SparkSpecBase {
     assert("InMemoryTableScan".r.findAllIn(p).length >= 2, p.take(3000))
   }
 
-  test("cep: both event-level passes share ONE shuffle; runs side broadcasts") {
-    // the scale claim: events are exchanged on user_id exactly once — the
-    // second window pass's exchange is AQE-reused, and the (tiny) aggregated
-    // runs side reaches the join as a broadcast, never a full-data shuffle.
+  test("cep: one events scan, one event-level shuffle, no join at all") {
+    // the scale claim (r16): the closing "normal" event is recovered with
+    // lead() inside the single user_id window pass, so the plan has exactly
+    // one scan of events, exactly one exchange of event-level data (the
+    // window shuffle — the groupBy(user_id, grp) is satisfied by the same
+    // hash(user_id) partitioning), and NO join — the old shape re-scanned
+    // events and broadcast the whole rn-annotated fact table to join runs
+    // with their closing event, which is a scale-killer the moment events
+    // outgrows the broadcast cap.
     val df = graft.operators.EventOps.cepAttack(spark, sf0001)
-    df.collect() // adaptive plan finalizes (exchange reuse happens at runtime)
-    val p = plan(df)
-    assert(p.contains("ReusedExchange"), "second event-level exchange must be reused")
-    assert(p.contains("BroadcastExchange"), "aggregated runs side must broadcast")
+    df.collect() // adaptive plan finalizes
+    // a finalized AdaptiveSparkPlan prints final AND initial plan sections —
+    // assert on the final one only
+    val p = plan(df).split("== Initial Plan ==").head
+    assert(!p.contains("Join"), "single-pass CEP must not join")
+    assert("FileScan".r.findAllIn(p).size == 1, "events must be scanned once")
+    assert(!p.contains("BroadcastExchange"), "nothing to broadcast any more")
   }
 
   test("jaccard: persisted shingle/prefix intermediates are actually reused") {

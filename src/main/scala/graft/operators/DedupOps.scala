@@ -146,12 +146,19 @@ object DedupOps {
     val capped =
       if (hot.isEmpty) col("shs")
       else array_except(col("shs"), typedLit(hot.toSeq))
+    // NOT persisted (r16): every consumer (prefix index, both verify join
+    // sides) re-derives this frame from the `raw` cache with cheap map work
+    // — array_except against the tiny broadcast stop-set and a per-row size.
+    // A second MEMORY_AND_DISK build of the same string arrays cost more
+    // than the recompute it saved (~0.3 s of the bench query at sf0.1) and
+    // doubled the cached footprint at every scale; the one expensive
+    // derived column (the sorted xxhash64 image) has a single consumer, so
+    // it never needed cache protection either.
     raw.select(col("doc_id"), capped.as("shs"))
       .filter(size(col("shs")) > 0)
       .select(col("doc_id"), col("shs"),
         array_sort(transform(col("shs"), s => xxhash64(s))).as("hsorted"),
         size(col("shs")).as("n_sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Candidate stage: prefix-index self-join over capped shingle sets.

@@ -33,6 +33,29 @@ class EventOpsSpec extends SparkSpecBase {
     assert(r.getAs[Double]("avg_packets") == 150.0)
   }
 
+  test("cepAttackOn single-pass lead form: non-high closers and adjacent runs") {
+    // pins the r16 internals (closing event recovered as lead() of the
+    // run's last low row instead of a runs⋈events join):
+    // user 1: run closed by a MID-band event (75) — the last-of-run row is
+    //   found (successor not low) but the closer fails > HighThresh: no match;
+    // user 2: two runs split by that same mid event, the SECOND closed by a
+    //   high — exactly one match, from the second run's fragments only;
+    // user 3: run closed by another user's first event in global order —
+    //   per-user windowing means no closer exists: no match.
+    val e = mkEvents(Seq(
+      (1L, 0L, 5.0), (1L, 1L, 6.0), (1L, 2L, 7.0), (1L, 3L, 75.0),
+      (2L, 0L, 5.0), (2L, 1L, 6.0), (2L, 2L, 7.0), (2L, 3L, 60.0),
+      (2L, 4L, 8.0), (2L, 5L, 9.0), (2L, 6L, 10.0), (2L, 7L, 150.0),
+      (3L, 0L, 5.0), (3L, 1L, 6.0), (3L, 2L, 7.0)))
+    val res = EventOps.cepAttackOn(e).collect()
+    assert(res.length == 1)
+    val r = res(0)
+    assert(r.getAs[Long]("target_id") == 2L)
+    assert(r.getAs[Long]("fragment_count") == 3L)
+    assert(math.abs(r.getAs[Double]("avg_fragment_size") - 9.0) < 1e-9)
+    assert(r.getAs[Double]("avg_packets") == 150.0)
+  }
+
   test("cepAttackOn respects the within-window bound") {
     // high event arrives 25h after the run ends -> outside WithinUs (24h)
     val e = mkEvents(Seq(

@@ -23,6 +23,17 @@ object DedupOps {
     Tables.spread(df).withColumn("shs",
       GraftFunctions.graftWordShingles(col("text"), 5))
 
+  /** The shared per-doc shingle-set frame (doc_id, shs) every sketch
+    * pipeline starts from — NOT persisted here; single-pipeline callers
+    * consume it inline, composite evals persist it once and feed BOTH
+    * legs ([[dedupEvalOn]], [[lshSweepOn]]) so the corpus is shingled
+    * once instead of once per leg.
+    */
+  private[graft] def rawShingles(df: DataFrame): DataFrame =
+    withShingles(df)
+      .select(col("doc_id"), col("shs"))
+      .filter(size(col("shs")) > 0)
+
   private val sqlShingles: String =
     """SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 3),
       |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) AS shs
@@ -119,17 +130,21 @@ object DedupOps {
     * threshold; the count triggers the caching the freq pass needs anyway,
     * so the old separate parquet-count job disappears).
     */
-  private[graft] def cappedShingles(documents: DataFrame, dfCap: Long): DataFrame = {
-    require(dfCap > 0 || dfCap == AdaptiveCap,
-      s"dfCap must be positive or AdaptiveCap, got $dfCap")
+  private[graft] def cappedShingles(documents: DataFrame, dfCap: Long): DataFrame =
     // persist the RAW shingle arrays first: the df count and the capped
     // projection below both consume them, and without the cache the
     // shingling map phase — the single most expensive map stage — runs
     // twice (measured +47% on the 20x stress corpus)
-    val raw = withShingles(documents)
-      .select(col("doc_id"), col("shs"))
-      .filter(size(col("shs")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cappedShinglesFrom(rawShingles(documents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK), dfCap)
+
+  /** [[cappedShingles]] over an ALREADY-PERSISTED raw shingle frame —
+    * the sharing point for evals that feed one shingle pass to several
+    * pipelines.
+    */
+  private[graft] def cappedShinglesFrom(raw: DataFrame, dfCap: Long): DataFrame = {
+    require(dfCap > 0 || dfCap == AdaptiveCap,
+      s"dfCap must be positive or AdaptiveCap, got $dfCap")
     val cap = if (dfCap == AdaptiveCap) math.max(DfCap, raw.count() / 100) else dfCap
     // df via groupBy partial aggregation (map-side combine keeps the
     // exchange ~one row per distinct shingle per map partition; a
@@ -194,8 +209,17 @@ object DedupOps {
     * build the exact ground truth its recall/precision measure against.
     */
   private[graft] def jaccardPairsOn(documents: DataFrame, dfCap: Long,
+      t: Double): DataFrame =
+    jaccardPairsFrom(rawShingles(documents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK), dfCap, t)
+
+  /** PPJoin over an already-persisted raw shingle frame — used by
+    * [[dedupEvalOn]]/[[lshSweepOn]] to share one corpus shingle pass
+    * between the exact-truth leg and the sketch leg.
+    */
+  private[graft] def jaccardPairsFrom(raw: DataFrame, dfCap: Long,
       t: Double): DataFrame = {
-    val eff = cappedShingles(documents, dfCap)
+    val eff = cappedShinglesFrom(raw, dfCap)
     val cands = jaccardCandidatesFrom(eff, t)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cands
@@ -318,7 +342,15 @@ object DedupOps {
   def minHashLshMd5(s: SparkSession, dir: String): DataFrame =
     minHashLshOn(Tables.t(s, dir, "documents"), md5Parity = true)
 
-  def minHashLshOn(documents: DataFrame, md5Parity: Boolean = false): DataFrame = {
+  def minHashLshOn(documents: DataFrame, md5Parity: Boolean = false): DataFrame =
+    minHashLshFromShingles(rawShingles(documents), md5Parity)
+
+  /** [[minHashLshOn]] over a pre-shingled (doc_id, shs) frame — the
+    * sharing point for [[dedupEvalOn]], whose truth leg consumes the same
+    * shingle pass.
+    */
+  private[graft] def minHashLshFromShingles(raw: DataFrame,
+      md5Parity: Boolean = false): DataFrame = {
     // hsh = per-doc shingle set as 64-bit hashes: the verify stage
     // intersects THESE instead of the string arrays (equal strings hash
     // equal, so |A∩B| is preserved up to 64-bit collisions — this query is
@@ -326,9 +358,7 @@ object DedupOps {
     // signature are computed BEFORE the persist and the string arrays are
     // DROPPED, so the cached frame (the thing that must fit at corpus
     // scale) holds only longs — ~5x smaller than caching the strings.
-    val sh = withShingles(documents)
-      .select(col("doc_id"), col("shs"))
-      .filter(size(col("shs")) > 0)
+    val sh = raw
       .select(col("doc_id"),
         transform(col("shs"), s => h32col(s, md5Parity)).as("hsh"),
         GraftFunctions.graftMinHashSig(col("shs"), md5Parity).as("sig"))
@@ -580,9 +610,16 @@ object DedupOps {
     dedupEvalOn(Tables.t(s, dir, "documents"))
 
   def dedupEvalOn(documents: DataFrame): DataFrame = {
-    val truth = jaccardPairsOn(documents, Long.MaxValue, 0.7)
+    // ONE corpus shingle pass feeds both legs (r16): the truth PPJoin and
+    // the LSH pipeline previously each ran their own withShingles scan —
+    // the eval's single most expensive map stage, duplicated. The shared
+    // frame is persisted once; each leg still persists only its own
+    // derived columns (capped/sorted sets vs hsh+sig longs).
+    val raw = rawShingles(documents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val truth = jaccardPairsFrom(raw, Long.MaxValue, 0.7)
       .select(col("d1"), col("d2"), lit(1L).as("__t"))
-    val lsh = minHashLshOn(documents)
+    val lsh = minHashLshFromShingles(raw)
       .select(col("d1"), col("d2"), lit(1L).as("__l"))
     truth.join(lsh, Seq("d1", "d2"), "full_outer")
       .agg(coalesce(sum("__t"), lit(0L)).as("n_true"),
@@ -646,10 +683,14 @@ object DedupOps {
 
   def lshSweepOn(documents: DataFrame): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val sig = minhashSigs(documents, md5Parity = true)
+    // shared shingle pass for the signature AND truth legs (r16, same
+    // sharing as dedupEvalOn) — unpersisted with the other intermediates
+    val raw = rawShingles(documents).persist(lvl)
+    try {
+    val sig = minhashSigsFrom(raw, md5Parity = true)
       .select("doc_id", "sig").persist(lvl)
     try {
-      val truth = jaccardPairsOn(documents, Long.MaxValue, 0.7)
+      val truth = jaccardPairsFrom(raw, Long.MaxValue, 0.7)
         .select(col("d1"), col("d2"), lit(1L).as("__t")).persist(lvl)
       try {
         val rows = Seq(2, 4, 8).map { r =>
@@ -682,6 +723,7 @@ object DedupOps {
           .localCheckpoint(true)
       } finally truth.unpersist()
     } finally sig.unpersist()
+    } finally raw.unpersist()
   }
 
   /** Oracle: the shared md5 signature CTE swept through the same three
@@ -1875,6 +1917,15 @@ object DedupOps {
       .select(col("doc_id") +:
         transform(col("shs"), s => h32col(s, md5Parity)).as("hsh") +:
         GraftFunctions.graftMinHashSig(col("shs"), md5Parity).as("sig") +: keep.map(col): _*)
+
+  /** [[minhashSigs]] over a pre-shingled (doc_id, shs) frame (the
+    * [[lshSweepOn]] sharing point; no keep-columns variant needed there).
+    */
+  private[graft] def minhashSigsFrom(raw: DataFrame,
+      md5Parity: Boolean = false): DataFrame =
+    raw.select(col("doc_id"),
+      transform(col("shs"), s => h32col(s, md5Parity)).as("hsh"),
+      GraftFunctions.graftMinHashSig(col("shs"), md5Parity).as("sig"))
 
   /** (doc_id, band, bkey) band-bucket rows of a signature frame. */
   private[graft] def bandRows(df: DataFrame, keep: Seq[String] = Nil,

@@ -19,7 +19,8 @@ object Bench {
       // scaling run no longer pays 32-task scheduling overhead on tiny
       // post-AQE shuffles). On a real cluster this is the
       // input-size-derived setting; AQE coalescing owns the final sizes.
-      .config("spark.sql.shuffle.partitions", cpus)
+      // (validated: cpus may be any master-legal token such as "*")
+      .config("spark.sql.shuffle.partitions", GraftSession.shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       // interleaved passes run ~15 other queries' stages between two runs
@@ -49,13 +50,22 @@ object Bench {
     // DO NOT change this job, its sizes, or its partitioning — a frozen
     // workload is only comparable while it stays frozen.
     def calibRun(): Double = {
-      val t0 = System.nanoTime()
-      spark.range(0L, 20000000L, 1L, 32)
-        .selectExpr("id % 999983 AS k", "pmod(xxhash64(id), 1000000000) AS h")
-        .groupBy("k").agg(org.apache.spark.sql.functions.sum("h").as("s"))
-        .agg(org.apache.spark.sql.functions.sum("s"))
-        .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      // pin the calib job's shuffle at the FROZEN 32 partitions regardless
+      // of the session's cpus-tracking setting: since shuffle.partitions
+      // started following SPARK_GRAFT_CPUS, an unpinned calib would change
+      // partitioning on the driver's low-core scaling run and stop being
+      // the cross-slot constant it exists to be (r16 ADVICE).
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      try {
+        val t0 = System.nanoTime()
+        spark.range(0L, 20000000L, 1L, 32)
+          .selectExpr("id % 999983 AS k", "pmod(xxhash64(id), 1000000000) AS h")
+          .groupBy("k").agg(org.apache.spark.sql.functions.sum("h").as("s"))
+          .agg(org.apache.spark.sql.functions.sum("s"))
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     }
     calibRun() // untimed: the calib job's own codegen/JIT must not leak into pre
     val calibPre = Seq.fill(3)(calibRun()).min

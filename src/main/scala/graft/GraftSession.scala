@@ -9,6 +9,15 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
   def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
+  /** SPARK_GRAFT_CPUS may legally be any `local[...]` token (e.g. "*"),
+    * but `spark.sql.shuffle.partitions` needs a positive integer — fall
+    * back to the machine's core count for non-numeric values instead of
+    * failing session startup with an invalid config.
+    */
+  def shufflePartitions: String =
+    scala.util.Try(cpus.trim.toInt).toOption.filter(_ > 0)
+      .getOrElse(Runtime.getRuntime.availableProcessors).toString
+
   def builder(appName: String = "graft"): SparkSession.Builder =
     SparkSession
       .builder()
@@ -16,7 +25,7 @@ object GraftSession {
       .master(s"local[$cpus]")
       // track the core count (same 32 at the default bench point); see the
       // scale-adaptive note in Bench — AQE coalescing owns final sizes
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

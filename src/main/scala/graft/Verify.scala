@@ -10,9 +10,12 @@ object Verify {
     // (the driver always passes exactly two args → no filter)
     val only: Option[Set[String]] = args.lift(2).map(_.split(",").toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // cpus may be any master-legal token ("*"); partitions need an integer
+    val parts = scala.util.Try(cpus.trim.toInt).toOption.filter(_ > 0)
+      .getOrElse(Runtime.getRuntime.availableProcessors).toString
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // 58 queries in one JVM compile far more generated classes than the

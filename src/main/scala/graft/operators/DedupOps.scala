@@ -207,6 +207,14 @@ object DedupOps {
   /** PPJoin at an arbitrary threshold `t` — the 0.8 default is the gated
     * near-dup query; [[dedupEval]] runs t = 0.7 (the LSH verify bar) to
     * build the exact ground truth its recall/precision measure against.
+    *
+    * Caching contract (lazy query paths, here and [[minHashLshOn]]): the
+    * returned frame is lazy, so the internal MEMORY_AND_DISK shingle
+    * cache stays pinned after the caller's action — the gate/bench
+    * harnesses `spark.catalog.clearCache()` after each query, and any
+    * long-lived library caller must do the same (or use the eager
+    * compositions, which release their own caches: [[dedupEvalOn]],
+    * [[lshSweepOn]], [[editDistPairsOn]]).
     */
   private[graft] def jaccardPairsOn(documents: DataFrame, dfCap: Long,
       t: Double): DataFrame =
@@ -220,8 +228,11 @@ object DedupOps {
   private[graft] def jaccardPairsFrom(raw: DataFrame, dfCap: Long,
       t: Double): DataFrame = {
     val eff = cappedShinglesFrom(raw, dfCap)
+    // NOT persisted (r17): the candidate frame has exactly ONE consumer —
+    // the verify chain below — so the MEMORY_AND_DISK build was pure
+    // overhead (same reasoning that dropped the capped-shingles cache in
+    // r16); the verify joins stream it once
     val cands = jaccardCandidatesFrom(eff, t)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cands
       .join(eff.select(col("doc_id").as("d1"), col("shs").as("shs1"),
         col("n_sh").as("n1")), "d1")
@@ -387,7 +398,16 @@ object DedupOps {
     * shingle pass.
     */
   private[graft] def minHashLshFromShingles(raw: DataFrame,
-      md5Parity: Boolean = false): DataFrame = {
+      md5Parity: Boolean = false): DataFrame =
+    minHashLshPairsFrom(raw, md5Parity)._1
+
+  /** [[minHashLshFromShingles]] plus a release hook for its internal
+    * signature cache — eager compositions ([[dedupEvalOn]]) call it once
+    * materialized instead of pinning the corpus-scale long arrays for the
+    * rest of the session (the chunkMinhashPairs convention).
+    */
+  private[graft] def minHashLshPairsFrom(raw: DataFrame,
+      md5Parity: Boolean = false): (DataFrame, () => Unit) = {
     // hsh = per-doc shingle set as 64-bit hashes: the verify stage
     // intersects THESE instead of the string arrays (equal strings hash
     // equal, so |A∩B| is preserved up to 64-bit collisions — this query is
@@ -412,7 +432,7 @@ object DedupOps {
     val cands = bucketPairs(exploded, Seq("band", "bkey"), col("doc_id"))
       .select(col("a").as("d1"), col("b").as("d2"))
       .distinct()
-    cands
+    val pairs = cands
       .join(sh.select(col("doc_id").as("d1"), col("hsh").as("hsh1")), "d1")
       .join(sh.select(col("doc_id").as("d2"), col("hsh").as("hsh2")), "d2")
       .withColumn("common", size(array_intersect(col("hsh1"), col("hsh2"))))
@@ -421,6 +441,7 @@ object DedupOps {
       .filter(col("jaccard") >= 0.7)
       .select("d1", "d2", "jaccard")
       .orderBy("d1", "d2")
+    (pairs, () => sh.unpersist())
   }
 
   /** SimHash near-dup: 64-bit fingerprints from the native SimHash64
@@ -647,11 +668,11 @@ object DedupOps {
     * measured figure generalizes; the production pipeline itself never
     * runs all-pairs.
     *
-    * Caching: both sides deliberately ride their pipelines' keep-cached
-    * intermediates (the minHashLshOn pattern — reused several times
-    * WITHIN one eval); the gate/bench harnesses clear the cache after
-    * each query, and a long-lived session looping corpus evals should
-    * `spark.catalog.clearCache()` between corpora.
+    * Caching: both sides ride their pipelines' keep-cached intermediates
+    * (reused several times WITHIN one eval), and because the one-row
+    * result materializes eagerly, every internal cache is released before
+    * return (r16 ADVICE) — a long-lived session can loop corpus evals
+    * without accumulating corpus-scale cached frames.
     */
   def dedupEval(s: SparkSession, dir: String): DataFrame =
     dedupEvalOn(Tables.t(s, dir, "documents"))
@@ -661,20 +682,30 @@ object DedupOps {
     // the LSH pipeline previously each ran their own withShingles scan —
     // the eval's single most expensive map stage, duplicated. The shared
     // frame is persisted once; each leg still persists only its own
-    // derived columns (capped/sorted sets vs hsh+sig longs).
+    // derived columns (capped/sorted sets vs hsh+sig longs). The one-row
+    // result materializes EAGERLY (the lshSweepOn convention, r17) so
+    // every internal cache is released before return instead of pinning
+    // two corpus-scale frames until the session clears them.
     val raw = rawShingles(documents)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val truth = jaccardPairsFrom(raw, Long.MaxValue, 0.7)
-      .select(col("d1"), col("d2"), lit(1L).as("__t"))
-    val lsh = minHashLshFromShingles(raw)
-      .select(col("d1"), col("d2"), lit(1L).as("__l"))
-    truth.join(lsh, Seq("d1", "d2"), "full_outer")
-      .agg(coalesce(sum("__t"), lit(0L)).as("n_true"),
-        coalesce(sum("__l"), lit(0L)).as("n_lsh"),
-        coalesce(sum(col("__t") * col("__l")), lit(0L)).as("n_hit"))
-      .select(col("n_true"), col("n_lsh"), col("n_hit"),
-        (col("n_hit").cast(DoubleType) / col("n_true").cast(DoubleType)).as("recall"),
-        (col("n_hit").cast(DoubleType) / col("n_lsh").cast(DoubleType)).as("precision"))
+    val (lshPairs, releaseLsh) = minHashLshPairsFrom(raw)
+    try {
+      val truth = jaccardPairsFrom(raw, Long.MaxValue, 0.7)
+        .select(col("d1"), col("d2"), lit(1L).as("__t"))
+      val lsh = lshPairs
+        .select(col("d1"), col("d2"), lit(1L).as("__l"))
+      truth.join(lsh, Seq("d1", "d2"), "full_outer")
+        .agg(coalesce(sum("__t"), lit(0L)).as("n_true"),
+          coalesce(sum("__l"), lit(0L)).as("n_lsh"),
+          coalesce(sum(col("__t") * col("__l")), lit(0L)).as("n_hit"))
+        .select(col("n_true"), col("n_lsh"), col("n_hit"),
+          (col("n_hit").cast(DoubleType) / col("n_true").cast(DoubleType)).as("recall"),
+          (col("n_hit").cast(DoubleType) / col("n_lsh").cast(DoubleType)).as("precision"))
+        .localCheckpoint(true)
+    } finally {
+      releaseLsh()
+      raw.unpersist()
+    }
   }
 
   /** Oracle: the md5-basis LSH replay ([[minhashOracle]]'s pipeline) full-

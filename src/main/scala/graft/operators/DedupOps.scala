@@ -335,43 +335,18 @@ object DedupOps {
       .select(keys.map(col): _*)
     exploded.join(broadcast(hot), keys, "left_anti")
   }
-
-  /** In-bucket candidate pairs from banded rows, hot buckets pruned: ONE
-    * hash exchange — groupBy the bucket key, collect each surviving
-    * bucket's ids (every bucket is <= [[MaxBucket]] after the prune, so
-    * the aggregation buffer is bounded), sort, and expand the i < j
-    * combinations map-side with codegen'd array expressions. Replaces the
-    * former bucket SELF-JOIN, which shuffled the banded frame twice more,
-    * paid the join itself, and needed the pruned frame persisted to avoid
-    * recomputing it for both sides (guide §2.4 — remove shuffles
-    * outright). The hot-bucket prune stays the count + broadcast
-    * anti-join two-phase on purpose: folding the cap into the collect
-    * would buffer exactly the unbounded buckets the cap exists to bound.
-    *
-    * `id` may be any orderable column — a plain id, or a struct whose
-    * first field is the pair key — and pairs come out with `a < b` under
-    * that type's total order, exactly the self-join's `a.id < b.id`
-    * (ids are unique per banded row, so the sort is deterministic).
-    * Callers still `.distinct()` (a pair can collide in several bands).
-    */
-  /** All i < j combinations of a SORTED array as (a, b) structs — the
-    * codegen'd map-side pair expansion every bounded-bucket candidate
-    * stage shares (here and in MultimodalOps' banded pHash/frame paths).
-    */
-  private[graft] def comboPairs(ds: Column): Column =
-    flatten(transform(ds, (x, i) =>
-      transform(slice(ds, i + lit(2), size(ds)),
-        y => struct(x.as("a"), y.as("b")))))
-
-  private[graft] def bucketPairs(exploded: DataFrame, keys: Seq[String],
-      id: Column): DataFrame = {
-    val pruned = pruneHotBuckets(
-      exploded.select(keys.map(col) :+ id.as("__id"): _*), keys)
-    pruned.groupBy(keys.map(col): _*)
-      .agg(array_sort(collect_list(col("__id"))).as("ds"))
-      .select(explode(comboPairs(col("ds"))).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
-  }
+  // NOTE (r17, measured negative result): replacing the bucket self-joins
+  // below with a grouped in-bucket pair expansion (one exchange: groupBy
+  // the bucket key, array_sort(collect_list(id)), explode the i < j
+  // combinations) produces the identical pair set but measured ~25%
+  // SLOWER on the bench corpus in a same-JVM interleaved A/B
+  // (`runMain graft.tools.Exp <sf> mhab` — candidate stage 1.05 s
+  // self-join vs 1.39 s grouped, full query 1.23 vs 1.57): the persisted
+  // pruned frame broadcasts locally, making the join map-side and
+  // shuffle-free, while the grouped form always pays a full hash exchange
+  // plus an object aggregate. At cluster scale AQE replaces the broadcast
+  // with the sort-merge join every Spark LSH runs — the self-join is the
+  // scale-ADAPTIVE shape, not a local-only trick.
 
   /** MinHash-LSH near-dup: candidates from band-bucket join, verified with
     * exact Jaccard on the (few) candidates via array_intersect.
@@ -427,10 +402,18 @@ object DedupOps {
     val exploded = sh
       .select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    // in-bucket pair expansion (see bucketPairs): one exchange of the
-    // banded rows instead of the old prune + persisted self-join
-    val cands = bucketPairs(exploded, Seq("band", "bkey"), col("doc_id"))
-      .select(col("a").as("d1"), col("b").as("d2"))
+    // the bucket SELF-JOIN is deliberate (r17 re-measured): grouped
+    // in-bucket pair expansion (collect_list + combination explode) was
+    // tried and is ~25% slower on the bench corpus — the persisted pruned
+    // frame broadcasts here, making the join map-side, and at cluster
+    // scale AQE falls back to the sort-merge join every Spark LSH runs
+    val pruned = pruneHotBuckets(exploded, Seq("band", "bkey"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
     val pairs = cands
       .join(sh.select(col("doc_id").as("d1"), col("hsh").as("hsh1")), "d1")
@@ -441,7 +424,7 @@ object DedupOps {
       .filter(col("jaccard") >= 0.7)
       .select("d1", "d2", "jaccard")
       .orderBy("d1", "d2")
-    (pairs, () => sh.unpersist())
+    (pairs, () => { pruned.unpersist(); sh.unpersist() })
   }
 
   /** SimHash near-dup: 64-bit fingerprints from the native SimHash64
@@ -488,28 +471,15 @@ object DedupOps {
     val d = simhashFps(documents, md5Parity)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = simhashBands(d)
-    val cands =
-      if (capped)
-        // production path: capped buckets -> bounded in-bucket pair
-        // expansion, one exchange of the banded rows (see bucketPairs)
-        bucketPairs(banded, Seq("band", "chunk"),
-            struct(col("doc_id"), col("sh64")))
-          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-            bit_count(col("a.sh64").bitwiseXOR(col("b.sh64"))).as("hamming"))
-      else {
-        // UNCAPPED ground-truth leg (simhashEvalOn): buckets are unbounded
-        // by design, so the self-join — which never buffers a bucket —
-        // stays; persist because both join sides consume the banding
-        val pruned = banded
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        pruned.as("a")
-          .join(pruned.as("b"),
-            col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-            bit_count(col("a.sh64").bitwiseXOR(col("b.sh64"))).as("hamming"))
-      }
-    cands
+    val pruned = (if (capped) pruneHotBuckets(banded, Seq("band", "chunk"))
+      else banded)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        bit_count(col("a.sh64").bitwiseXOR(col("b.sh64"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= 3)
       .orderBy("d1", "d2")
@@ -919,12 +889,14 @@ object DedupOps {
       materialize: Boolean = true): DataFrame = {
     val sh = minhashSigs(documents)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pruned = pruneHotBuckets(bandRows(sh), Seq("band", "bkey"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // in-bucket pair expansion (see bucketPairs); the band rows are
-      // cheap map work off the cached signature frame, so the old pruned
-      // persist is gone with the self-join that needed it
-      val cands = bucketPairs(bandRows(sh), Seq("band", "bkey"), col("doc_id"))
-        .select(col("a").as("d1"), col("b").as("d2"))
+      val cands = pruned.as("a")
+        .join(pruned.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .distinct()
       val t = Tables.spread(documents).select(col("doc_id"), col("text"))
       val out = cands
@@ -941,6 +913,7 @@ object DedupOps {
       // accumulating across repeated invocations (bench/serve loops)
       if (materialize) out.localCheckpoint(true) else out
     } finally if (materialize) {
+      pruned.unpersist()
       sh.unpersist()
     }
   }
@@ -1502,30 +1475,30 @@ object DedupOps {
   }
 
   def chunkMinhashOn(docs: DataFrame, md5Parity: Boolean = false): DataFrame =
-    // one-shot gated form: the internal cache stays pinned until the
-    // session clears it (the result is lazy; compositions that can
+    // one-shot gated form: the two internal caches stay pinned until the
+    // session clears them (the result is lazy; compositions that can
     // materialize eagerly use [[chunkMinhashPairs]] and release)
     chunkMinhashPairs(docs, md5Parity)._1
 
-  /** [[chunkMinhashOn]] plus a release hook for its internal cache —
+  /** [[chunkMinhashOn]] plus a release hook for its two internal caches —
     * compositions that materialize the pair set (near-boilerplate, the
-    * QA eval) call the hook once done instead of pinning a
-    * MEMORY_AND_DISK chunk-grain frame for the rest of the session.
+    * QA eval) call the hook once done instead of pinning the
+    * MEMORY_AND_DISK chunk-grain frames for the rest of the session.
     */
   private[graft] def chunkMinhashPairs(docs: DataFrame,
       md5Parity: Boolean): (DataFrame, () => Unit) = {
     // chunk frame + shingle hashes + signatures, persisted: bands feed
-    // the hot-bucket count AND the in-bucket collect, and the verify
-    // stage joins back twice — unpersisted, the chunker + signature pass
-    // (the expensive map work) would run four times
+    // the hot-bucket count AND the candidate join, and the verify stage
+    // joins back twice — unpersisted, the chunker + signature pass (the
+    // expensive map work) would run four times
     val sh = chunkSigs(docs, md5Parity)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // in-bucket pair expansion (see bucketPairs): the struct sorts by
-    // doc_id first, and the cross-doc filter keeps exactly the old join's
-    // `a.doc_id < b.doc_id` pairs (within-doc combos are dropped)
-    val cands = bucketPairs(chunkBands(sh, md5Parity), Seq("band", "bkey"),
-        struct(col("doc_id"), col("chunk_idx")))
-      .filter(col("a.doc_id") < col("b.doc_id"))
+    val pruned = pruneHotBuckets(chunkBands(sh, md5Parity), Seq("band", "bkey"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("a.chunk_idx").as("c1"),
         col("b.doc_id").as("d2"), col("b.chunk_idx").as("c2"))
       .distinct()
@@ -1541,7 +1514,7 @@ object DedupOps {
       .filter(col("jaccard") >= 0.7)
       .select("d1", "c1", "d2", "c2", "jaccard")
       .orderBy("d1", "c1", "d2", "c2")
-    (pairs, () => sh.unpersist())
+    (pairs, () => { sh.unpersist(); pruned.unpersist() })
   }
 
   /** Shared CTE chain for the chunk-grain minhash replays on the md5

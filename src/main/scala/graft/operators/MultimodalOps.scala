@@ -141,14 +141,9 @@ object MultimodalOps {
       frames.groupBy("frame").agg(count(lit(1)).as("df"))
         .filter(col("df") <= dfCap).select("frame"),
       Seq("frame"), "left_semi")
-    // buckets are df-capped (<= dfCap docs per frame), so the in-bucket
-    // pair expansion is bounded: ONE exchange of the kept rows instead of
-    // the old inverted-index self-join's two (guide §2.4); shared-frame
-    // counts are the same per-(frame, pair) rows, aggregated as before
-    kept.groupBy("frame")
-      .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
-      .select(explode(DedupOps.comboPairs(col("ds"))).as("p"))
-      .groupBy(col("p.a").as("d1"), col("p.b").as("d2"))
+    kept.as("a").join(kept.as("b"),
+        col("a.frame") === col("b.frame") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
       .orderBy("d1", "d2")
@@ -275,13 +270,11 @@ object MultimodalOps {
       bands.groupBy("b", "v").agg(count(lit(1)).as("df"))
         .filter(col("df") <= cap).select("b", "v"),
       Seq("b", "v"), "left_semi")
-    // df-capped buckets -> bounded in-bucket pair expansion: one exchange
-    // of the banded 8-byte hashes instead of the self-join's two
-    kept.groupBy("b", "v")
-      .agg(array_sort(collect_list(struct(col("doc_id"), col("ph")))).as("ds"))
-      .select(explode(DedupOps.comboPairs(col("ds"))).as("p"))
-      .select(col("p.a.doc_id").as("d1"), col("p.b.doc_id").as("d2"),
-        col("p.a.ph").as("h1"), col("p.b.ph").as("h2"))
+    kept.as("a").join(kept.as("c"),
+        col("a.b") === col("c.b") && col("a.v") === col("c.v") &&
+          col("a.doc_id") < col("c.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("c.doc_id").as("d2"),
+        col("a.ph").as("h1"), col("c.ph").as("h2"))
       .distinct()
       .withColumn("hamming", expr("CAST(bit_count(h1 ^ h2) AS BIGINT)"))
       .filter(col("hamming") <= 3)
@@ -558,17 +551,12 @@ object MultimodalOps {
       bands.groupBy("b", "v").agg(count(lit(1)).as("df"))
         .filter(col("df") <= cap).select("b", "v"),
       Seq("b", "v"), "left_semi")
-    // df-capped buckets -> bounded in-bucket pair expansion; the struct
-    // sorts by doc_id first, so the cross-asset filter keeps exactly the
-    // old join's `a.doc_id < c.doc_id` pairs (same-asset combos dropped)
-    kept.groupBy("b", "v")
-      .agg(array_sort(collect_list(
-        struct(col("doc_id"), col("fi"), col("ph")))).as("ds"))
-      .select(explode(DedupOps.comboPairs(col("ds"))).as("p"))
-      .filter(col("p.a.doc_id") < col("p.b.doc_id"))
-      .select(col("p.a.doc_id").as("d1"), col("p.b.doc_id").as("d2"),
-        col("p.a.fi").as("f1"), col("p.b.fi").as("f2"),
-        col("p.a.ph").as("h1"), col("p.b.ph").as("h2"))
+    kept.as("a").join(kept.as("c"),
+        col("a.b") === col("c.b") && col("a.v") === col("c.v") &&
+          col("a.doc_id") < col("c.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("c.doc_id").as("d2"),
+        col("a.fi").as("f1"), col("c.fi").as("f2"),
+        col("a.ph").as("h1"), col("c.ph").as("h2"))
       .distinct()
       .filter(expr("bit_count(h1 ^ h2) <= 3"))
       .groupBy("d1", "d2")

@@ -90,6 +90,194 @@ object Exp {
       }
       spark.stop(); return
     }
+    if (args.contains("jcab")) {
+      // same-JVM interleaved A/B for the r17 cands-persist drop: the gated
+      // jaccard query (no candidate cache) vs an inline twin WITH the old
+      // MEMORY_AND_DISK candidate persist
+      import graft.operators.DedupOps
+      import org.apache.spark.sql.types.DoubleType
+      val docs = Tables.t(spark, dir, "documents")
+      def t(act: => Unit): Double = {
+        val t0 = System.nanoTime(); act; (System.nanoTime() - t0) / 1e9
+      }
+      def newQ(): Unit = {
+        DedupOps.jaccardPairs(spark, dir).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+      }
+      def oldQ(): Unit = {
+        val raw = DedupOps.rawShingles(docs)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val eff = DedupOps.cappedShinglesFrom(raw, DedupOps.AdaptiveCap)
+        val cands = DedupOps.jaccardCandidatesFrom(eff)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cands
+          .join(eff.select(col("doc_id").as("d1"), col("shs").as("shs1"),
+            col("n_sh").as("n1")), "d1")
+          .join(eff.select(col("doc_id").as("d2"), col("shs").as("shs2"),
+            col("n_sh").as("n2")), "d2")
+          .withColumn("common", size(array_intersect(col("shs1"), col("shs2"))).cast("long"))
+          .withColumn("jaccard", col("common").cast(DoubleType) /
+            (col("n1") + col("n2") - col("common")).cast(DoubleType))
+          .filter(col("jaccard") >= 0.8)
+          .select("d1", "d2", "common", "jaccard")
+          .orderBy("d1", "d2")
+          .write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+      }
+      val o = scala.collection.mutable.ArrayBuffer[Double]()
+      val n = scala.collection.mutable.ArrayBuffer[Double]()
+      t(oldQ()); t(newQ())
+      for (_ <- 1 to 4) { o += t(oldQ()); n += t(newQ()) }
+      println(f"EXP jcab OLD(persist) best ${o.min}%6.3f all ${o.map(x => f"$x%.3f").mkString(" ")}")
+      println(f"EXP jcab NEW(no-pers) best ${n.min}%6.3f all ${n.map(x => f"$x%.3f").mkString(" ")}")
+      spark.stop(); return
+    }
+    if (args.contains("mhab")) {
+      // same-JVM interleaved A/B: the r17 grouped in-bucket pair expansion
+      // vs an inline reconstruction of the old prune + persisted self-join
+      // (identical pair set; this isolates the pair-stage shape from slot
+      // drift, which poisons cross-run bench comparisons)
+      import graft.operators.DedupOps
+      import org.apache.spark.sql.types.DoubleType
+      val docs = Tables.t(spark, dir, "documents")
+      def oldShape(): Unit = {
+        val sh = DedupOps.minhashSigs(docs)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val pruned = DedupOps.pruneHotBuckets(
+            DedupOps.bandRows(sh), Seq("band", "bkey"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cands = pruned.as("a")
+          .join(pruned.as("b"),
+            col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .distinct()
+        cands
+          .join(sh.select(col("doc_id").as("d1"), col("hsh").as("hsh1")), "d1")
+          .join(sh.select(col("doc_id").as("d2"), col("hsh").as("hsh2")), "d2")
+          .withColumn("common", size(array_intersect(col("hsh1"), col("hsh2"))))
+          .withColumn("jaccard", col("common").cast(DoubleType) /
+            (size(col("hsh1")) + size(col("hsh2")) - col("common")).cast(DoubleType))
+          .filter(col("jaccard") >= 0.7)
+          .select("d1", "d2", "jaccard")
+          .orderBy("d1", "d2")
+          .write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+      }
+      // the r17 grouped in-bucket expansion, inlined (tried and REVERTED in
+      // the operators — kept here as the runnable negative-result evidence):
+      // prune hot buckets, collect each surviving bucket, sort, expand the
+      // i < j combinations map-side
+      def groupedPairs(exploded: org.apache.spark.sql.DataFrame,
+          keys: Seq[String], id: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+        val pruned = DedupOps.pruneHotBuckets(
+          exploded.select(keys.map(col) :+ id.as("__id"): _*), keys)
+        pruned.groupBy(keys.map(col): _*)
+          .agg(array_sort(collect_list(col("__id"))).as("ds"))
+          .select(explode(flatten(transform(col("ds"), (x, i) =>
+            transform(slice(col("ds"), i + lit(2), size(col("ds"))),
+              y => struct(x.as("a"), y.as("b")))))).as("p"))
+          .select(col("p.a").as("a"), col("p.b").as("b"))
+      }
+      def newShape(): Unit = {
+        val sh = DedupOps.minhashSigs(docs)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cands = groupedPairs(DedupOps.bandRows(sh), Seq("band", "bkey"), col("doc_id"))
+          .select(col("a").as("d1"), col("b").as("d2"))
+          .distinct()
+        cands
+          .join(sh.select(col("doc_id").as("d1"), col("hsh").as("hsh1")), "d1")
+          .join(sh.select(col("doc_id").as("d2"), col("hsh").as("hsh2")), "d2")
+          .withColumn("common", size(array_intersect(col("hsh1"), col("hsh2"))))
+          .withColumn("jaccard", col("common").cast(DoubleType) /
+            (size(col("hsh1")) + size(col("hsh2")) - col("common")).cast(DoubleType))
+          .filter(col("jaccard") >= 0.7)
+          .select("d1", "d2", "jaccard")
+          .orderBy("d1", "d2")
+          .write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+      }
+      def t(act: => Unit): Double = {
+        val t0 = System.nanoTime(); act; (System.nanoTime() - t0) / 1e9
+      }
+      // candidate-stage-only variants: pair generation without the verify
+      def oldCands(): Unit = {
+        val sh = DedupOps.minhashSigs(docs)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val pruned = DedupOps.pruneHotBuckets(
+            DedupOps.bandRows(sh), Seq("band", "bkey"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        pruned.as("a")
+          .join(pruned.as("b"),
+            col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .distinct()
+          .write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+      }
+      def newCands(): Unit = {
+        val sh = DedupOps.minhashSigs(docs)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        groupedPairs(DedupOps.bandRows(sh), Seq("band", "bkey"), col("doc_id"))
+          .select(col("a").as("d1"), col("b").as("d2"))
+          .distinct()
+          .write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+      }
+      // double-explode expansion: same pair set, no higher-order functions
+      // (ArrayTransform/Flatten are CodegenFallback), two codegen Generates
+      def newCands2(): Unit = {
+        val sh = DedupOps.minhashSigs(docs)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val pruned = DedupOps.pruneHotBuckets(
+          DedupOps.bandRows(sh).select(col("band"), col("bkey"), col("doc_id")),
+          Seq("band", "bkey"))
+        pruned.groupBy("band", "bkey")
+          .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
+          .select(posexplode(col("ds")).as(Seq("i", "d1")), col("ds"))
+          .select(col("d1"),
+            explode(slice(col("ds"), col("i") + lit(2), size(col("ds")))).as("d2"))
+          .distinct()
+          .write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+      }
+      // the old self-join minus the pruned persist (both sides re-derive
+      // the banding off the signature cache)
+      def oldCands2(): Unit = {
+        val sh = DedupOps.minhashSigs(docs)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val pruned = DedupOps.pruneHotBuckets(
+          DedupOps.bandRows(sh), Seq("band", "bkey"))
+        pruned.as("a")
+          .join(pruned.as("b"),
+            col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .distinct()
+          .write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+      }
+      val olds = scala.collection.mutable.ArrayBuffer[Double]()
+      val news = scala.collection.mutable.ArrayBuffer[Double]()
+      val oldc = scala.collection.mutable.ArrayBuffer[Double]()
+      val newc = scala.collection.mutable.ArrayBuffer[Double]()
+      val oldc2 = scala.collection.mutable.ArrayBuffer[Double]()
+      val newc2 = scala.collection.mutable.ArrayBuffer[Double]()
+      t(oldShape()); t(newShape()); t(oldCands()); t(newCands())
+      t(oldCands2()); t(newCands2()) // untimed warmup
+      for (_ <- 1 to 4) {
+        olds += t(oldShape()); news += t(newShape())
+        oldc += t(oldCands()); newc += t(newCands())
+        oldc2 += t(oldCands2()); newc2 += t(newCands2())
+      }
+      def row(n: String, xs: Seq[Double]) =
+        println(f"EXP mhab $n best ${xs.min}%6.3f all ${xs.map(x => f"$x%.3f").mkString(" ")}")
+      row("OLD  ", olds.toSeq); row("NEW  ", news.toSeq)
+      row("OLDc ", oldc.toSeq); row("NEWc ", newc.toSeq)
+      row("OLDc2", oldc2.toSeq); row("NEWc2", newc2.toSeq)
+      spark.stop(); return
+    }
     if (args.contains("probe")) {
       // decompose the from-index minhash probe at the Stress xN corpus
       // shape: where does serve latency go once corpus shingling is gone?

@@ -31,37 +31,6 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(recall >= 0.9, s"LSH recall $recall too low (missed ${exact -- lsh})")
   }
 
-  test("bucketPairs == the bucket self-join's pair set (hot bucket pruned both ways)") {
-    // synthetic banded rows: one hot bucket (> MaxBucket rows, must vanish
-    // entirely), one full-at-the-cap bucket, several ordinary buckets with
-    // overlapping membership so a pair can collide in two bands
-    val rows =
-      (1L to (DedupOps.MaxBucket + 5)).map(i => (0, 7L, i)) ++        // hot
-      (1L to DedupOps.MaxBucket).map(i => (1, 8L, 1000L + i)) ++      // at cap
-      Seq((2, 9L, 1L), (2, 9L, 2L), (2, 9L, 3L),
-        (3, 9L, 2L), (3, 9L, 1L),                                     // dup pair via band 3
-        (4, 11L, 42L))                                                // singleton
-    val banded = rows.toDF("band", "bkey", "doc_id")
-    val got = DedupOps.bucketPairs(banded, Seq("band", "bkey"), col("doc_id"))
-      .select(col("a").as("d1"), col("b").as("d2"))
-      .distinct().as[(Long, Long)].collect().toSet
-    // reference: the former self-join over the pruned frame
-    val pruned = DedupOps.pruneHotBuckets(banded, Seq("band", "bkey"))
-    val want = pruned.as("x").join(pruned.as("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-      .distinct().as[(Long, Long)].collect().toSet
-    assert(got == want)
-    assert(got.contains((1L, 2L)) && got.contains((1L, 3L)))
-    assert(!got.exists { case (a, b) => a <= DedupOps.MaxBucket + 5 && b <= DedupOps.MaxBucket + 5 && a >= 4L },
-      "hot-bucket pairs must be pruned")
-    assert(got.forall { case (a, b) => a < b }, "pairs must come out ordered")
-    // the at-cap bucket survives in full: C(MaxBucket, 2) pairs
-    val atCap = got.count { case (a, b) => a > 1000L && b > 1000L }
-    assert(atCap == (DedupOps.MaxBucket * (DedupOps.MaxBucket - 1) / 2).toInt)
-  }
-
   test("simhash finds the planted near-dups (sf0.001)") {
     val docs = Tables.t(spark, sf0001, "documents")
     val pairs = DedupOps.simHashPairsOn(docs).collect()

@@ -80,12 +80,15 @@ object Analytics {
     val c = Tables.t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
     val o = Tables.t(s, dir, "orders").filter(col("o_orderdate") < cutoff)
     val l = Tables.t(s, dir, "lineitem").filter(col("l_shipdate") > cutoff)
-    // lineitem is the STREAM side: the filtered orders⋈customer chain is
-    // the small side the planner may broadcast — never the fact table
-    // (building a hash relation of the biggest input is backwards at every
-    // scale; at 100 TB the planner falls back to a shuffle join on
-    // l_orderkey, which is the right plan there)
-    l.join(o.join(c, col("c_custkey") === col("o_custkey")),
+    // lineitem is the STREAM side. The final fact⋈chain join is DECLARED
+    // merge (r17, measured): without the hint the planner's size-only
+    // estimator inflates the o⋈c chain (join estimates multiply) and
+    // broadcasts the projected LINEITEM instead — building a hash relation
+    // of the biggest input, backwards at every scale (same-JVM A/B at
+    // sf0.1: 0.81 s static vs 0.68 s merge, `Exp q3ab`). At 100 TB the
+    // shuffle join on l_orderkey is what the planner falls back to anyway,
+    // so the hint only removes the toy-scale estimate accident.
+    l.join(o.join(c, col("c_custkey") === col("o_custkey")).hint("merge"),
         col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("l_orderkey"), epochUs(col("o_orderdate")).as("o_odate_us"),
         col("o_orderpriority"))
@@ -122,12 +125,16 @@ object Analytics {
         col("o_orderdate") < lit("1998-01-01"))
     val l = Tables.t(s, dir, "lineitem")
     // same stream-the-fact shape as q3: the r⋈n⋈c⋈o chain reduces to the
-    // date-filtered orders annotated with nation — lineitem probes it
+    // date-filtered orders annotated with nation — lineitem probes it.
+    // The fact⋈chain join is DECLARED merge (r17, measured): the size-only
+    // estimator inflates the chain and broadcast the projected LINEITEM
+    // instead (same-JVM A/B at sf0.1: 1.05 s static vs 0.93 s merge,
+    // `Exp q5ab`); at 100 TB the shuffle join is the plan either way.
     val chain = broadcast(r)
       .join(broadcast(n), col("n_regionkey") === col("r_regionkey"))
       .join(c, col("c_nationkey") === col("n_nationkey"))
       .join(o, col("o_custkey") === col("c_custkey"))
-    l.join(chain, col("l_orderkey") === col("o_orderkey"))
+    l.join(chain.hint("merge"), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(sup),
         col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))

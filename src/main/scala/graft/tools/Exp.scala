@@ -90,6 +90,214 @@ object Exp {
       }
       spark.stop(); return
     }
+    if (args.contains("cfgab")) {
+      // suite-wide same-JVM A/B: estimate-based static broadcasts (default)
+      // vs runtime-size-only broadcasts (static off, AQE threshold pinned
+      // to the default 10m). Hinted dim broadcasts are unaffected either
+      // way. Interleaved passes over all headline queries.
+      val qs = graft.Registry.all.filter(_.headline)
+      def t(act: => Unit): Double = {
+        val t0 = System.nanoTime(); act; (System.nanoTime() - t0) / 1e9
+      }
+      def runSuite(): Map[String, Double] =
+        qs.map { q =>
+          val dt = t {
+            q.build(spark, dir).write.format("noop").mode("overwrite").save()
+            spark.catalog.clearCache()
+          }
+          q.name -> dt
+        }.toMap
+      def setRuntimeOnly(): Unit = {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10485760")
+      }
+      def setDefault(): Unit = {
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+      // warmup both codegen universes
+      setDefault(); runSuite(); setRuntimeOnly(); runSuite()
+      val accA = scala.collection.mutable.Map[String, List[Double]]().withDefaultValue(Nil)
+      val accB = scala.collection.mutable.Map[String, List[Double]]().withDefaultValue(Nil)
+      for (_ <- 1 to 3) {
+        setDefault(); runSuite().foreach { case (k, v) => accA(k) = v :: accA(k) }
+        setRuntimeOnly(); runSuite().foreach { case (k, v) => accB(k) = v :: accB(k) }
+      }
+      setDefault()
+      var ta = 0.0; var tb = 0.0
+      qs.foreach { q =>
+        val a = accA(q.name).min; val b = accB(q.name).min
+        ta += a; tb += b
+        println(f"EXP cfgab ${q.name}%-24s default ${a}%6.3f  runtime-only ${b}%6.3f")
+      }
+      println(f"EXP cfgab TOTAL default ${ta}%6.3f  runtime-only ${tb}%6.3f")
+      spark.stop(); return
+    }
+    if (args.contains("q3ab")) {
+      // targeted: q3's final fact⋈chain join declared merge (SMJ) vs the
+      // planner's static choice (which broadcasts the projected lineitem)
+      import graft.operators.Analytics
+      def t(act: => Unit): Double = {
+        val t0 = System.nanoTime(); act; (System.nanoTime() - t0) / 1e9
+      }
+      def cur(): Unit = {
+        Analytics.q3ShippingPriority(spark, dir).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+      }
+      def alt(): Unit = {
+        val cutoff = lit("1998-01-01")
+        val c = Tables.t(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val o = Tables.t(spark, dir, "orders").filter(col("o_orderdate") < cutoff)
+        val l = Tables.t(spark, dir, "lineitem").filter(col("l_shipdate") > cutoff)
+        l.join(o.join(c, col("c_custkey") === col("o_custkey")).hint("merge"),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("l_orderkey"), graft.Exact.epochUs(col("o_orderdate")).as("o_odate_us"),
+            col("o_orderpriority"))
+          .agg(lsum(centsDisc(col("l_extendedprice"), col("l_discount")), 4)
+            .as("revenue"))
+          .select("l_orderkey", "revenue", "o_odate_us", "o_orderpriority")
+          .orderBy("l_orderkey")
+          .write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+      }
+      val a = scala.collection.mutable.ArrayBuffer[Double]()
+      val b = scala.collection.mutable.ArrayBuffer[Double]()
+      t(cur()); t(alt())
+      for (_ <- 1 to 4) { a += t(cur()); b += t(alt()) }
+      println(f"EXP q3ab CUR(static)  best ${a.min}%6.3f all ${a.map(x => f"$x%.3f").mkString(" ")}")
+      println(f"EXP q3ab ALT(merge)   best ${b.min}%6.3f all ${b.map(x => f"$x%.3f").mkString(" ")}")
+      spark.stop(); return
+    }
+    if (args.contains("q5ab")) {
+      // probe ONLY (scale-unsafe hint, never shipped): does the planner's
+      // broadcast-the-projected-lineitem choice on q5's final join cost
+      // anything vs broadcasting the o⋈c chain? Decides whether the
+      // estimate quirk is worth engineering around.
+      import graft.operators.Analytics
+      def t(act: => Unit): Double = {
+        val t0 = System.nanoTime(); act; (System.nanoTime() - t0) / 1e9
+      }
+      def cur(): Unit = {
+        Analytics.q5LocalSupplier(spark, dir).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+      }
+      def alt(): Unit = {
+        val r = Tables.t(spark, dir, "region").filter(col("r_name") === "ASIA")
+        val n = Tables.t(spark, dir, "nation")
+        val sup = Tables.t(spark, dir, "supplier")
+        val c = Tables.t(spark, dir, "customer")
+        val o = Tables.t(spark, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01") &&
+            col("o_orderdate") < lit("1998-01-01"))
+        val l = Tables.t(spark, dir, "lineitem")
+        val chain = broadcast(r)
+          .join(broadcast(n), col("n_regionkey") === col("r_regionkey"))
+          .join(c, col("c_nationkey") === col("n_nationkey"))
+          .join(o, col("o_custkey") === col("c_custkey"))
+        l.join(broadcast(chain), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(sup),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+          .groupBy("n_name")
+          .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"))
+          .orderBy("n_name")
+          .write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+      }
+      // alt2: chain-broadcast join shape + the REAL salted-cents agg tail
+      // (isolates the join-shape effect from the aggregate difference)
+      def alt2(): Unit = {
+        val r = Tables.t(spark, dir, "region").filter(col("r_name") === "ASIA")
+        val n = Tables.t(spark, dir, "nation")
+        val sup = Tables.t(spark, dir, "supplier")
+        val c = Tables.t(spark, dir, "customer")
+        val o = Tables.t(spark, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01") &&
+            col("o_orderdate") < lit("1998-01-01"))
+        val l = Tables.t(spark, dir, "lineitem")
+        val chain = broadcast(r)
+          .join(broadcast(n), col("n_regionkey") === col("r_regionkey"))
+          .join(c, col("c_nationkey") === col("n_nationkey"))
+          .join(o, col("o_custkey") === col("c_custkey"))
+        l.join(broadcast(chain), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(sup),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+          .transform(withSalt(_, col("o_orderkey")))
+          .groupBy("n_name", "__salt")
+          .agg(sum(centsDisc(col("l_extendedprice"), col("l_discount"))).as("c_rev"))
+          .groupBy("n_name")
+          .agg(rollupCents(col("c_rev"), 4).as("revenue"))
+          .orderBy("n_name")
+          .write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+      }
+      // scale-safe candidates: how the final fact⋈chain join is declared
+      def q5tail(joined: org.apache.spark.sql.DataFrame): Unit = {
+        joined
+          .transform(withSalt(_, col("o_orderkey")))
+          .groupBy("n_name", "__salt")
+          .agg(sum(centsDisc(col("l_extendedprice"), col("l_discount"))).as("c_rev"))
+          .groupBy("n_name")
+          .agg(rollupCents(col("c_rev"), 4).as("revenue"))
+          .orderBy("n_name")
+          .write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+      }
+      def q5chain() = {
+        val r = Tables.t(spark, dir, "region").filter(col("r_name") === "ASIA")
+        val n = Tables.t(spark, dir, "nation")
+        val c = Tables.t(spark, dir, "customer")
+        val o = Tables.t(spark, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01") &&
+            col("o_orderdate") < lit("1998-01-01"))
+        broadcast(r)
+          .join(broadcast(n), col("n_regionkey") === col("r_regionkey"))
+          .join(c, col("c_nationkey") === col("n_nationkey"))
+          .join(o, col("o_custkey") === col("c_custkey"))
+      }
+      def sup() = Tables.t(spark, dir, "supplier")
+      def li() = Tables.t(spark, dir, "lineitem")
+      // merge-hinted SMJ: AQE should convert to a broadcast of the truly
+      // smaller side from RUNTIME sizes (scale-adaptive by construction)
+      def alt3(): Unit = q5tail(
+        li().join(q5chain().hint("merge"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(sup()),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey")))
+      // shuffled-hash with the chain as declared build side
+      def alt4(): Unit = q5tail(
+        li().join(q5chain().hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(sup()),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey")))
+      if (args.contains("plan3")) {
+        val df = li().join(q5chain().hint("merge"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(sup()),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+        df.write.format("noop").mode("overwrite").save()
+        println("PLAN-BEGIN")
+        println(df.queryExecution.executedPlan.toString.take(6000))
+        println("PLAN-END")
+        spark.stop(); return
+      }
+      val a = scala.collection.mutable.ArrayBuffer[Double]()
+      val b = scala.collection.mutable.ArrayBuffer[Double]()
+      val b2 = scala.collection.mutable.ArrayBuffer[Double]()
+      val b3 = scala.collection.mutable.ArrayBuffer[Double]()
+      val b4 = scala.collection.mutable.ArrayBuffer[Double]()
+      t(cur()); t(alt()); t(alt2()); t(alt3()); t(alt4())
+      for (_ <- 1 to 4) {
+        a += t(cur()); b += t(alt()); b2 += t(alt2()); b3 += t(alt3()); b4 += t(alt4())
+      }
+      println(f"EXP q5ab CUR(bc-lineitem) best ${a.min}%6.3f all ${a.map(x => f"$x%.3f").mkString(" ")}")
+      println(f"EXP q5ab ALT(bc-chain)    best ${b.min}%6.3f all ${b.map(x => f"$x%.3f").mkString(" ")}")
+      println(f"EXP q5ab ALT2(bc-chain+salted-cents) best ${b2.min}%6.3f all ${b2.map(x => f"$x%.3f").mkString(" ")}")
+      println(f"EXP q5ab ALT3(merge-hint+AQE)        best ${b3.min}%6.3f all ${b3.map(x => f"$x%.3f").mkString(" ")}")
+      println(f"EXP q5ab ALT4(shuffle-hash)          best ${b4.min}%6.3f all ${b4.map(x => f"$x%.3f").mkString(" ")}")
+      spark.stop(); return
+    }
     if (args.contains("jcab")) {
       // same-JVM interleaved A/B for the r17 cands-persist drop: the gated
       // jaccard query (no candidate cache) vs an inline twin WITH the old
